@@ -1,13 +1,281 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2.
+  *
+  * Each query is registered together with its DuckDB oracle SQL so the two
+  * can never drift. Column names are aliased identically on both sides
+  * (the driver sorts columns by name before hashing values). Double
+  * aggregates that accumulate (sum/avg) are rounded to 2 decimals on both
+  * sides; min/max/count need no rounding (bit-identical inputs).
+  */
 object SparkEntry {
+
+  private type QFn = (SparkSession, String) => DataFrame
+  private final case class Q(fn: QFn, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // --------------------------------------------------------------------
+  // §2.2 Projections / filters / predicates
+  // --------------------------------------------------------------------
+
+  /** P1 — column projection (Catalyst prunes the parquet scan). */
+  private val p1Project = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice")),
+    Some("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem"))
+
+  /** P5 — row filter via predicate (pushed to the scan). */
+  private val p5Filter = Q(
+    (s, dir) => t(s, dir, "orders")
+      .filter(col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus")),
+    Some("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders WHERE o_totalprice > 150000.0"))
+
+  /** P4 — predicate filter over an array column (higher-order `filter`),
+    * mirroring the reference's expected-error suppression
+    * (s3_to_json_s3.py:418-490): drop allowlisted entries, count survivors.
+    */
+  private val p4ArrayFilter = Q(
+    (s, dir) => t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 4)).as("n_long_tokens")),
+    Some("SELECT doc_id, length(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS n_long_tokens FROM documents"))
+
+  // --------------------------------------------------------------------
+  // §2.3 Joins
+  // --------------------------------------------------------------------
+
+  /** J1 — parent-child equi-join with an explicitly broadcast small side
+    * (json_s3_to_parquet.py:151-160). part is the small dimension.
+    */
+  private val j1BroadcastJoin = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items")),
+    Some("SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"))
+
+  /** J2 — anti-join diff: rows not yet present downstream
+    * (bootstrap_trigger.py:228-250).
+    */
+  private val j2AntiJoin = Q(
+    (s, dir) => t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name")),
+    Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')"))
+
+  /** J3 — two-way anti-join diff + union-distinct of the key sets
+    * (bootstrap_trigger.py:241-250).
+    */
+  private val j3UnionDiff = Q(
+    (s, dir) => {
+      val orders = t(s, dir, "orders").select(col("o_orderkey"))
+      val li = t(s, dir, "lineitem")
+      val needR = orders.join(
+        li.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      val needA = orders.join(
+        li.filter(col("l_returnflag") === "A").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      needR.union(needA).distinct()
+    },
+    Some("SELECT DISTINCT o_orderkey FROM (SELECT o_orderkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') UNION ALL SELECT o_orderkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'A'))"))
+
+  /** J4 — key-membership lookup against tiny reference data as a map-side
+    * (broadcast-literal) join, the Spark shape of the reference's nested
+    * dict lookup (s3_to_json_s3.py:515-556). The region dim (5 rows) is
+    * collected to a literal map — no shuffle, no join node at all.
+    */
+  private val j4MapLookup = Q(
+    (s, dir) => {
+      val regionMap = map(
+        t(s, dir, "region").collect().flatMap(r =>
+          Seq(lit(r.getInt(0)), lit(r.getString(1)))).toIndexedSeq: _*)
+      t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          element_at(regionMap, col("n_regionkey")).as("region_name"))
+    },
+    Some("SELECT n_nationkey, n_name, r_name AS region_name FROM nation JOIN region ON n_regionkey = r_regionkey"))
+
+  // --------------------------------------------------------------------
+  // §2.4 Aggregations / distinct / dedup
+  // --------------------------------------------------------------------
+
+  /** A-flagship — grouped aggregation over the fact table (TPC-H Q1 shape). */
+  private val q1Agg = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        count(lit(1)).as("count_order")),
+    Some("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, round(avg(l_quantity), 2) AS avg_qty, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"))
+
+  /** A1 — distinct (hash aggregate), json_s3_to_parquet.py:151-155. */
+  private val a1Distinct = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+    Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"))
+
+  /** A2 — dedup keep-latest per key by timestamp (bootstrap_trigger.py:222-225).
+    * Ties broken deterministically by event_id.
+    */
+  private val a2KeepLatest = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("latest_event_id"), col("event_type").as("latest_type"))
+    },
+    Some("SELECT user_id, event_id AS latest_event_id, event_type AS latest_type FROM (SELECT user_id, event_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"))
+
+  /** A3 — count / count-distinct parity check (JIRA/etl-245/main.py:20-55). */
+  private val a3CountDistinct = Q(
+    (s, dir) => t(s, dir, "events")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_events")),
+    Some("SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types, count(*) AS n_events FROM events"))
+
+  /** A4 — group-and-batch (sns_to_glue/app.py:26-57): group by routing key,
+    * count members per batch.
+    */
+  private val a4GroupBatch = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users")),
+    Some("SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"))
+
+  /** A5 — sample one representative row per group (get_representative_sample.py:55-66),
+    * deterministic rank instead of shuffle-then-drop-duplicates.
+    */
+  private val a5SamplePerGroup = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("event_id").as("sample_event_id"))
+    },
+    Some("SELECT event_type, event_id AS sample_event_id FROM (SELECT event_type, event_id, row_number() OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS rn FROM events) WHERE rn = 1"))
+
+  /** A6 — max-over-group (archive_dataset.py:119-152). min/max are exact on
+    * doubles, so no rounding.
+    */
+  private val a6MaxPerGroup = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(col("value")).as("max_value"), min(col("value")).as("min_value")),
+    Some("SELECT user_id, max(value) AS max_value, min(value) AS min_value FROM events GROUP BY user_id"))
+
+  // --------------------------------------------------------------------
+  // §2.7 Set ops, sorts, limits
+  // --------------------------------------------------------------------
+
+  /** SO1 — union of key sets + distinct (bootstrap_trigger.py:244-246). */
+  private val so1UnionDistinct = Q(
+    (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct(),
+    Some("SELECT DISTINCT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer UNION ALL SELECT s_nationkey AS nationkey FROM supplier)"))
+
+  /** SO2 — deterministic global sort + top-N (order fully tie-broken). */
+  private val so2SortTopN = Q(
+    (s, dir) => t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_totalprice")),
+    Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"))
+
+  /** SO3 — slice/truncation of a per-row list (the 10-error cap,
+    * s3_to_json_s3.py:814-818), emitted as a joined string for stable hashing.
+    */
+  private val so3Slice = Q(
+    (s, dir) => t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 10)).as("head10")),
+    Some("SELECT doc_id, array_to_string(string_split(text, ' ')[1:10], ' ') AS head10 FROM documents"))
+
+  // --------------------------------------------------------------------
+  // §2.6 Scalar-function surface
+  // --------------------------------------------------------------------
+
+  /** V5 — timestamp part extraction (s3_to_json_s3.py:592-603). */
+  private val v5TimestampParts = Q(
+    (s, dir) => t(s, dir, "events")
+      .select(
+        col("event_id"),
+        year(col("ts")).as("y"), month(col("ts")).as("m"), dayofmonth(col("ts")).as("d")),
+    Some("SELECT event_id, year(ts) AS y, month(ts) AS m, day(ts) AS d FROM events"))
+
+  /** V6 — string munging: prefix/suffix manipulation, separators
+    * (s3_to_json_s3.py:620-639).
+    */
+  private val v6StringFns = Q(
+    (s, dir) => t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        regexp_replace(col("p_type"), " ", "_").as("type_norm"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len")),
+    Some("SELECT p_partkey, upper(p_name) AS name_upper, replace(p_type, ' ', '_') AS type_norm, p_brand || '#' || p_type AS brand_type, length(p_name) AS name_len FROM part"))
+
+  // --------------------------------------------------------------------
+  // Registry
+  // --------------------------------------------------------------------
+
+  private val registry: Seq[(String, Q)] = Seq(
+    "q1_agg" -> q1Agg,
+    "p1_project" -> p1Project,
+    "p4_array_filter" -> p4ArrayFilter,
+    "p5_filter" -> p5Filter,
+    "j1_broadcast_join" -> j1BroadcastJoin,
+    "j2_anti_join" -> j2AntiJoin,
+    "j3_union_diff" -> j3UnionDiff,
+    "j4_map_lookup" -> j4MapLookup,
+    "a1_distinct" -> a1Distinct,
+    "a2_dedup_keep_latest" -> a2KeepLatest,
+    "a3_count_distinct" -> a3CountDistinct,
+    "a4_group_batch" -> a4GroupBatch,
+    "a5_sample_per_group" -> a5SamplePerGroup,
+    "a6_max_per_group" -> a6MaxPerGroup,
+    "so1_union_distinct" -> so1UnionDistinct,
+    "so2_sort_topn" -> so2SortTopN,
+    "so3_slice" -> so3Slice,
+    "v5_timestamp_parts" -> v5TimestampParts,
+    "v6_string_fns" -> v6StringFns,
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    q1Agg.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (name, q) => name -> q.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (name, Q(_, Some(sql))) => name -> sql }.toMap
 }
