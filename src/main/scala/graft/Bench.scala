@@ -1,24 +1,66 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Runs every registered query on SPARK_GRAFT_SF_DIR,
+  * forcing full materialization (xxhash64-agg over every column — a count()
+  * lets Catalyst collapse projections to a near-empty scan), after one
+  * warmup pass so JVM/codegen warmup doesn't land on whichever query runs
+  * first. Emits ONE clean JSON line on stdout and mirrors it to
+  * bench_result.json so the driver's parse never depends on sbt log
+  * formatting. Failures are reported as null timings, not swallowed.
+  */
 object Bench {
+  private def materialize(df: DataFrame): Unit = {
+    // xxhash64 over all columns touches every value; xor-folding the hashes
+    // forces the full pipeline without collecting rows to the driver
+    // (bit_xor can't overflow under ANSI mode, unlike sum of longs).
+    val h = xxhash64(df.columns.toIndexedSeq.map(col): _*)
+    df.select(h.as("h")).agg(bit_xor(col("h"))).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Warmup: exercise codegen/IO once per query; ignore failures here
+    // (they are reported from the timed pass).
+    names.foreach { n =>
+      try materialize(SparkEntry.queries(n)(spark, sfDir))
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results: Seq[(String, Option[Double])] = names.map { n =>
+      val t0 = System.nanoTime()
+      try {
+        materialize(SparkEntry.queries(n)(spark, sfDir))
+        n -> Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
+          n -> None
+      }
+    }
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
+      case (k, None) => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val nFailed = results.count(_._2.isEmpty)
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$nFailed}"""
+    println(line)
+    Files.writeString(Paths.get("bench_result.json"), line)
     spark.stop()
   }
 }

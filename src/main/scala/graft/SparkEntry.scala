@@ -76,36 +76,38 @@ object SparkEntry {
     Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')"))
 
   /** J3 — two-way anti-join diff + union-distinct of the key sets
-    * (bootstrap_trigger.py:241-250).
+    * (bootstrap_trigger.py:241-250). Single fact-table pass: aggregate
+    * per-order flag presence once, then one join — equivalent to the two
+    * anti-joins + union-distinct, but scans lineitem once instead of twice
+    * (at 100 TB the double scan is the bottleneck). o_orderkey is unique in
+    * orders so no final distinct is needed.
     */
   private val j3UnionDiff = Q(
     (s, dir) => {
-      val orders = t(s, dir, "orders").select(col("o_orderkey"))
-      val li = t(s, dir, "lineitem")
-      val needR = orders.join(
-        li.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
-        col("o_orderkey") === col("l_orderkey"), "left_anti")
-      val needA = orders.join(
-        li.filter(col("l_returnflag") === "A").select(col("l_orderkey")),
-        col("o_orderkey") === col("l_orderkey"), "left_anti")
-      needR.union(needA).distinct()
+      val flags = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"),
+          max(when(col("l_returnflag") === "A", 1).otherwise(0)).as("has_a"))
+      t(s, dir, "orders").select(col("o_orderkey"))
+        .join(flags, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .filter(col("has_r").isNull || col("has_r") === 0 || col("has_a") === 0)
+        .select(col("o_orderkey"))
     },
     Some("SELECT DISTINCT o_orderkey FROM (SELECT o_orderkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') UNION ALL SELECT o_orderkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'A'))"))
 
-  /** J4 — key-membership lookup against tiny reference data as a map-side
-    * (broadcast-literal) join, the Spark shape of the reference's nested
-    * dict lookup (s3_to_json_s3.py:515-556). The region dim (5 rows) is
-    * collected to a literal map — no shuffle, no join node at all.
+  /** J4 — key-membership lookup against tiny reference data, the Spark
+    * shape of the reference's nested dict lookup (s3_to_json_s3.py:515-556):
+    * an explicit broadcast hash join. No shuffle of the probe side, no
+    * driver-side materialization in the query path (a collect-to-literal-map
+    * is a scale trap once the reference table isn't 5 rows).
     */
   private val j4MapLookup = Q(
-    (s, dir) => {
-      val regionMap = map(
-        t(s, dir, "region").collect().flatMap(r =>
-          Seq(lit(r.getInt(0)), lit(r.getString(1)))).toIndexedSeq: _*)
-      t(s, dir, "nation")
-        .select(col("n_nationkey"), col("n_name"),
-          element_at(regionMap, col("n_regionkey")).as("region_name"))
-    },
+    (s, dir) => t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"),
+        col("r_name").as("region_name")),
     Some("SELECT n_nationkey, n_name, r_name AS region_name FROM nation JOIN region ON n_regionkey = r_regionkey"))
 
   // --------------------------------------------------------------------
@@ -135,8 +137,11 @@ object SparkEntry {
     */
   private val a2KeepLatest = Q(
     (s, dir) => {
+      // Order by the raw nanosecond ts (ts_ns) — the DuckDB oracle orders by
+      // full-nanosecond precision, so the µs-truncated ts could tie-break
+      // differently on sub-µs collisions.
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
       t(s, dir, "events")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -168,7 +173,7 @@ object SparkEntry {
   private val a5SamplePerGroup = Q(
     (s, dir) => {
       val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts").asc, col("event_id").asc)
+        .orderBy(col("ts_ns").asc, col("event_id").asc)
       t(s, dir, "events")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)

@@ -14,13 +14,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by default;
-    // read nanos as long and restore microsecond timestamps (UTC session tz).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    else df
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
+      // default; read nanos as long, keep the raw nanos as `ts_ns` (windows
+      // order by it for full-precision parity with the nanosecond oracle)
+      // and restore a microsecond timestamp via exact integral division —
+      // a double round-trip (ts / 1000.0) loses 1µs on ~12% of values
+      // because ~1.7e18 exceeds double's 53-bit mantissa.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 }

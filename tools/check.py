@@ -23,7 +23,12 @@ def norm(v):
 def rows_of(table):
     cols = sorted(table.column_names)
     data = [table.column(c).to_pylist() for c in cols]
-    return cols, sorted(zip(*data), key=lambda r: tuple(str(x) for x in r)) if data else (cols, [])
+    if not data:
+        return cols, []
+    # Normalize BEFORE sorting so tolerance-equal floats order identically
+    # on both sides; sort key is the stringified normalized tuple.
+    rows = [tuple(norm(v) for v in r) for r in zip(*data)]
+    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -61,9 +66,8 @@ def main():
             continue
         bad = None
         for i, (a, b) in enumerate(zip(sr, dr)):
-            na, nb = tuple(map(norm, a)), tuple(map(norm, b))
-            if na != nb:
-                bad = (i, na, nb)
+            if a != b:  # rows are already normalized by rows_of
+                bad = (i, a, b)
                 break
         if bad:
             print(f"FAIL {name}: row {bad[0]} spark={bad[1]} duck={bad[2]}")
