@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.relationalize.Relationalize
+
 /** Driver contract — one entry per implemented operator from SURVEY.md §2.
   *
   * Each query is registered together with its DuckDB oracle SQL so the two
@@ -220,6 +222,89 @@ object SparkEntry {
     Some("SELECT doc_id, array_to_string(string_split(text, ' ')[1:10], ' ') AS head10 FROM documents"))
 
   // --------------------------------------------------------------------
+  // §2.5 Restructuring (relationalize — the engine core)
+  // --------------------------------------------------------------------
+
+  /** R1 — relationalize an array-of-structs column into a child table with
+    * synthetic FK id + index, then join back to the parent to prove the FK
+    * linkage (json_s3_to_parquet.py:195-214; golden contract
+    * tests/test_json_s3_to_parquet.py:365-425). The nested input is built
+    * from orders+lineitem so the oracle can re-derive the flat output.
+    */
+  private val r1Relationalize = Q(
+    (s, dir) => {
+      val nested = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"), col("l_quantity").as("qty")))).as("items"))
+      val tables = Relationalize.relationalize(
+        nested, "orders", keyCols = Seq("o_orderkey"))
+      tables("orders_items")
+        .join(tables("orders")
+          .select(col("items").as("id"), col("o_orderkey")), "id")
+        .select(col("o_orderkey"), col("index").as("idx"),
+          col("ln"), col("qty"))
+    },
+    Some("SELECT o_orderkey, CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) - 1 AS INT) AS idx, l_linenumber AS ln, l_quantity AS qty FROM lineitem JOIN orders ON o_orderkey = l_orderkey"))
+
+  /** R1-deep — two-level nesting: array of structs whose elements contain a
+    * further array; the grandchild keys on the child's (id, index) chain.
+    */
+  private val r1DeepRelationalize = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val inner = li.groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
+      val nested = inner.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_returnflag").as("flag"), col("qtys")))).as("flags"))
+      val tables = Relationalize.relationalize(
+        nested, "li", keyCols = Seq("l_orderkey"), carryCols = Seq("l_orderkey"))
+      tables("li_flags_qtys")
+        .join(tables("li_flags").select(col("qtys").as("id"), col("flag")), "id")
+        .select(col("l_orderkey"), col("flag"),
+          col("index").as("idx"), col("qtys_val").as("qty"))
+    },
+    Some("SELECT l_orderkey, l_returnflag AS flag, CAST(row_number() OVER (PARTITION BY l_orderkey, l_returnflag ORDER BY l_quantity) - 1 AS INT) AS idx, l_quantity AS qty FROM lineitem"))
+
+  /** R2 — partition/index-column inheritance: carry columns flow into every
+    * child without the reference's distinct+re-join per child
+    * (json_s3_to_parquet.py:105-177).
+    */
+  private val r2CarryCols = Q(
+    (s, dir) => {
+      val nested = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_nationkey"))
+        .agg(sort_array(collect_list(struct(
+          col("o_orderkey").as("okey"), col("o_totalprice").as("price")))).as("ords"))
+      val tables = Relationalize.relationalize(
+        nested, "cust", keyCols = Seq("c_custkey"),
+        carryCols = Seq("c_custkey", "c_nationkey"))
+      tables("cust_ords")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("index").as("idx"), col("okey"), col("price"))
+    },
+    Some("SELECT c_custkey, c_nationkey, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS INT) AS idx, o_orderkey AS okey, o_totalprice AS price FROM orders JOIN customer ON c_custkey = o_custkey"))
+
+  /** R3 — nested-field detection (json_s3_to_parquet.py:37-57): flat tables
+    * bypass relationalize, nested ones don't. Schema-only — no scan runs.
+    */
+  private val r3NestedDetect = Q(
+    (s, dir) => {
+      import s.implicits._
+      val flat = t(s, dir, "lineitem")
+      val nested = flat.select(struct(col("l_orderkey")).as("s"),
+        array(col("l_quantity")).as("a"))
+      Seq(
+        ("flat", Relationalize.hasNestedFields(flat.schema)),
+        ("nested", Relationalize.hasNestedFields(nested.schema)))
+        .toDF("tbl", "has_nested")
+    },
+    Some("SELECT * FROM (VALUES ('flat', false), ('nested', true)) AS t(tbl, has_nested)"))
+
+  // --------------------------------------------------------------------
   // §2.6 Scalar-function surface
   // --------------------------------------------------------------------
 
@@ -263,6 +348,10 @@ object SparkEntry {
     "a4_group_batch" -> a4GroupBatch,
     "a5_sample_per_group" -> a5SamplePerGroup,
     "a6_max_per_group" -> a6MaxPerGroup,
+    "r1_relationalize" -> r1Relationalize,
+    "r1_deep_relationalize" -> r1DeepRelationalize,
+    "r2_carry_cols" -> r2CarryCols,
+    "r3_nested_detect" -> r3NestedDetect,
     "so1_union_distinct" -> so1UnionDistinct,
     "so2_sort_topn" -> so2SortTopN,
     "so3_slice" -> so3Slice,
