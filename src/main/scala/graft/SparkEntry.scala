@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import org.apache.spark.sql.types.StructType
+
 import graft.relationalize.Relationalize
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2.
@@ -21,6 +23,27 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  // --------------------------------------------------------------------
+  // §2.1 Scans / sources / sinks
+  // --------------------------------------------------------------------
+
+  /** S2 — catalog-schema-applied JSON scan (json_s3_to_parquet.py:59-79):
+    * reading NDJSON with the declared StructType replaces both the catalog
+    * lookup and resolveChoice(match_catalog). Round-trips documents through
+    * NDJSON to prove the declared-schema read reproduces the source.
+    */
+  private val s2SchemaJsonScan = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s2").toString
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").json(tmp)
+      val declared = StructType.fromDDL(
+        "doc_id bigint, text string, lang string, n_chars bigint")
+      s.read.schema(declared).json(tmp)
+    },
+    Some("SELECT doc_id, text, lang, n_chars FROM documents"))
 
   // --------------------------------------------------------------------
   // §2.2 Projections / filters / predicates
@@ -335,6 +358,7 @@ object SparkEntry {
 
   private val registry: Seq[(String, Q)] = Seq(
     "q1_agg" -> q1Agg,
+    "s2_schema_json_scan" -> s2SchemaJsonScan,
     "p1_project" -> p1Project,
     "p4_array_filter" -> p4ArrayFilter,
     "p5_filter" -> p5Filter,
