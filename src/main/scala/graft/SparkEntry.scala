@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.StructType
 
 import graft.relationalize.Relationalize
+import graft.sources.{JsonDataset, ParquetDataset}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2.
   *
@@ -45,9 +46,78 @@ object SparkEntry {
     },
     Some("SELECT doc_id, text, lang, n_chars FROM documents"))
 
+  /** S3 — partitioned-NDJSON sink round-trip (s3_to_json_s3.py:620-647):
+    * write the Hive `dataset=/assessmentid=/year=/month=/day=` layout, read
+    * back through the schema-applied scan, recover every value. Partition
+    * values are synthesized deterministically so the oracle can re-derive
+    * them from the base table.
+    */
+  private val s3NdjsonRoundtrip = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s3").toString
+      val df = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"), col("lang").as("assessmentid"),
+        (lit(2020) + col("doc_id") % 3).cast("int").as("year"),
+        (lit(1) + col("doc_id") % 12).cast("int").as("month"),
+        (lit(1) + col("doc_id") % 28).cast("int").as("day"))
+      JsonDataset.write(df, tmp, "docs")
+      JsonDataset.read(s, tmp, "docs",
+          StructType.fromDDL("doc_id bigint, n_chars bigint"))
+        .select(col("doc_id"), col("n_chars"), col("assessmentid"),
+          col("year").cast("int"), col("month").cast("int"),
+          col("day").cast("int"))
+    },
+    Some("SELECT doc_id, n_chars, lang AS assessmentid, CAST(2020 + doc_id % 3 AS INT) AS year, CAST(1 + doc_id % 12 AS INT) AS month, CAST(1 + doc_id % 28 AS INT) AS day FROM documents"))
+
+  /** S4 — partitioned-Parquet sink round-trip, the pipeline's final output
+    * artifact (json_s3_to_parquet.py:81-103).
+    */
+  private val s4ParquetRoundtrip = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s4").toString
+      val df = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("value"),
+        col("event_type").as("assessmentid"),
+        year(col("ts")).as("year"), month(col("ts")).as("month"),
+        dayofmonth(col("ts")).as("day"))
+      ParquetDataset.write(df, tmp)
+      ParquetDataset.read(s, tmp)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("assessmentid"), col("year").cast("int"),
+          col("month").cast("int"), col("day").cast("int"))
+    },
+    Some("SELECT event_id, user_id, value, event_type AS assessmentid, CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month, CAST(day(ts) AS INT) AS day FROM events"))
+
   // --------------------------------------------------------------------
   // §2.2 Projections / filters / predicates
   // --------------------------------------------------------------------
+
+  /** P2 — flatten-name normalization (json_s3_to_parquet.py:136-176):
+    * struct path `info.name` → column `info_name`.
+    */
+  private val p2FlattenRename = Q(
+    (s, dir) => Relationalize.flattenStructs(
+      t(s, dir, "part").select(col("p_partkey"),
+        struct(col("p_name").as("name"), col("p_type").as("tpe")).as("info"))),
+    Some("SELECT p_partkey, p_name AS info_name, p_type AS info_tpe FROM part"))
+
+  /** P3 — partition+metadata column injection (s3_to_json_s3.py:592-619):
+    * year/month/day parsed from the ISO-8601 `uploadedon` metadata string
+    * (V5), assessmentid/recordid stamped onto every row.
+    */
+  private val p3Inject = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        date_format(col("ts"), JsonDataset.UploadedOnFormat).as("uploadedon"))
+      JsonDataset.injectPartitions(ev,
+          uploadedOn = col("uploadedon"),
+          assessmentId = col("event_type"),
+          recordId = col("event_id"))
+        .select(col("event_id"), col("assessmentid"), col("year"),
+          col("month"), col("day"), col("recordid"))
+    },
+    Some("SELECT event_id, event_type AS assessmentid, CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month, CAST(day(ts) AS INT) AS day, event_id AS recordid FROM events"))
 
   /** P1 — column projection (Catalyst prunes the parquet scan). */
   private val p1Project = Q(
@@ -359,7 +429,11 @@ object SparkEntry {
   private val registry: Seq[(String, Q)] = Seq(
     "q1_agg" -> q1Agg,
     "s2_schema_json_scan" -> s2SchemaJsonScan,
+    "s3_ndjson_roundtrip" -> s3NdjsonRoundtrip,
+    "s4_parquet_roundtrip" -> s4ParquetRoundtrip,
     "p1_project" -> p1Project,
+    "p2_flatten_rename" -> p2FlattenRename,
+    "p3_inject" -> p3Inject,
     "p4_array_filter" -> p4ArrayFilter,
     "p5_filter" -> p5Filter,
     "j1_broadcast_join" -> j1BroadcastJoin,

@@ -1,0 +1,81 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = Seq(
+    ("r1", "assessA", 2022, 9, 1, "hello"),
+    ("r2", "assessA", 2022, 9, 2, "world"),
+    ("r3", "assessB", 2023, 1, 15, "!"))
+    .toDF("recordid", "assessmentid", "year", "month", "day", "payload")
+
+  test("S3 sink produces the exact Hive layout " +
+      "dataset=/assessmentid=/year=/month=/day= (s3_to_json_s3.py:628-639)") {
+    val tmp = Files.createTempDirectory("graft_sink").toString
+    JsonDataset.write(sample, tmp, "WeatherResult_v1")
+    val expect = Paths.get(tmp,
+      "dataset=WeatherResult_v1", "assessmentid=assessA", "year=2022",
+      "month=9", "day=1")
+    assert(Files.isDirectory(expect), s"missing $expect")
+    val files = Files.list(expect).iterator()
+    var sawJson = false
+    while (files.hasNext) {
+      val f = files.next().getFileName.toString
+      if (f.endsWith(".json")) sawJson = true
+    }
+    assert(sawJson, "no .json part files in leaf partition dir")
+  }
+
+  test("S2 read recovers rows + partition columns from the layout") {
+    val tmp = Files.createTempDirectory("graft_sink").toString
+    JsonDataset.write(sample, tmp, "ds")
+    val back = JsonDataset.read(spark, tmp, "ds",
+      StructType.fromDDL("recordid string, payload string"))
+    assert(back.count() == 3)
+    assert(back.schema.fieldNames.toSet ==
+      Set("recordid", "payload", "assessmentid", "year", "month", "day"))
+    val r1 = back.where($"recordid" === "r1").collect().head
+    assert(r1.getAs[String]("assessmentid") == "assessA")
+    assert(r1.getAs[Int]("year") == 2022)
+  }
+
+  test("S4 parquet sink appends new partitions without clobbering") {
+    val tmp = Files.createTempDirectory("graft_sink").toString
+    ParquetDataset.write(sample.where($"recordid" === "r1"), tmp)
+    ParquetDataset.write(sample.where($"recordid" =!= "r1"), tmp)
+    val back = ParquetDataset.read(spark, tmp)
+    assert(back.count() == 3)
+    // partition pruning: a single-partition read touches one directory
+    val one = ParquetDataset.read(spark, tmp)
+      .where($"assessmentid" === "assessB" && $"year" === 2023)
+    assert(one.count() == 1)
+  }
+
+  test("P3 injection parses the reference uploadedon format (V5)") {
+    val df = Seq(("2022-09-02T10:36:27.754Z", "a1", "r1"))
+      .toDF("uploadedon", "aid", "rid")
+    val out = JsonDataset.injectPartitions(df,
+      $"uploadedon", $"aid", $"rid").collect().head
+    assert(out.getAs[Int]("year") == 2022)
+    assert(out.getAs[Int]("month") == 9)
+    assert(out.getAs[Int]("day") == 2)
+    assert(out.getAs[String]("recordid") == "r1")
+  }
+
+  test("ArchiveMetadata variant injects every metadata field " +
+      "(s3_to_json_s3.py:598-604)") {
+    val df = Seq(("r1", 1)).toDF("recordid", "x")
+    val meta = Map(
+      "healthcode" -> lit("hc-1"), "clientinfo" -> lit("{Android}"),
+      "sessionguid" -> lit("g-1"))
+    val out = JsonDataset.injectAllMetadata(df, meta)
+    assert(out.schema.fieldNames.toSet ==
+      Set("recordid", "x", "healthcode", "clientinfo", "sessionguid"))
+    assert(out.collect().head.getAs[String]("healthcode") == "hc-1")
+  }
+}
