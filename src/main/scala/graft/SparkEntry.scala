@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.relationalize.Relationalize
 import graft.sources.{JsonDataset, ParquetDataset}
+import graft.validate.{ErrorSuppression, JsonSchemaValidator, SchemaResolver}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2.
   *
@@ -398,6 +399,73 @@ object SparkEntry {
     Some("SELECT * FROM (VALUES ('flat', false), ('nested', true)) AS t(tbl, has_nested)"))
 
   // --------------------------------------------------------------------
+  // §2.6 Validation surface (V1–V4)
+  // --------------------------------------------------------------------
+
+  /** V1 — 3-level schema resolution's nearest-revision rule as a broadcast
+    * as-of join (s3_to_json_s3.py:231-254): for each record (customer) the
+    * entry (supplier) with the greatest revision ≤ the record's revision
+    * within the key group. No shuffle of the record side — candidates are
+    * pre-sorted per key and broadcast.
+    */
+  private val v1SchemaResolve = Q(
+    (s, dir) => SchemaResolver.resolveNearest(
+        records = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        entries = t(s, dir, "supplier")
+          .select(col("s_nationkey"), col("s_suppkey"), col("s_name")),
+        keys = Seq(("c_nationkey", "s_nationkey")),
+        recordRev = col("c_custkey"),
+        entryRevCol = "s_suppkey",
+        payloadCols = Seq("s_name"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("resolved_rev"), col("resolved_s_name")),
+    Some("SELECT c_custkey, c_nationkey, resolved_rev, resolved_s_name FROM (SELECT c_custkey, c_nationkey, s_suppkey AS resolved_rev, s_name AS resolved_s_name, row_number() OVER (PARTITION BY c_custkey ORDER BY s_suppkey DESC) AS rn FROM customer JOIN supplier ON s_nationkey = c_nationkey AND s_suppkey <= c_custkey) WHERE rn = 1"))
+
+  /** V3 — JSON-Schema validation over a payload column
+    * (s3_to_json_s3.py:302-415): three deterministic payload shapes (valid,
+    * missing required, wrong type) produce python-jsonschema-parity error
+    * strings the oracle re-derives per shape.
+    */
+  private val v3Validate = Q(
+    (s, dir) => {
+      val schema =
+        """{"type": "object", "required": ["name", "size"],
+            "properties": {"name": {"type": "string"},
+                           "size": {"type": "integer"}}}"""
+      val validateUdf = udf((data: String) =>
+        JsonSchemaValidator.validate(data, schema))
+      val payload = when(col("n_chars") % 3 === 0,
+          concat(lit("{\"name\": \""), col("lang"), lit("\"}")))
+        .when(col("n_chars") % 3 === 1,
+          concat(lit("{\"name\": 7, \"size\": "), col("n_chars"), lit("}")))
+        .otherwise(concat(lit("{\"name\": \""), col("lang"),
+          lit("\", \"size\": "), col("n_chars"), lit("}")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("|", validateUdf(payload)).as("errs"))
+    },
+    Some("SELECT doc_id, CASE WHEN n_chars % 3 = 0 THEN '''size'' is a required property' WHEN n_chars % 3 = 1 THEN '7 is not of type ''string''' ELSE '' END AS errs FROM documents"))
+
+  /** V4 — expected-error suppression re-expressed over an errors array
+    * column (s3_to_json_s3.py:418-490): allowlisted errors drop (as a
+    * higher-order filter that preserves duplicates of unexpected errors,
+    * unlike array_except), survivors remain.
+    */
+  private val v4Suppress = Q(
+    (s, dir) => {
+      val allow = ErrorSuppression.MetadataAllowed
+      val errs = array(
+        lit("'appName' is a required property"),
+        lit("'files' is a required property"),
+        when(col("n_chars") % 2 === 0,
+          concat(lit("'"), col("lang"), lit("' is not of type 'object'")))
+          .otherwise(lit("'appName' is a required property")))
+      t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("|", filter(errs, e => !e.isin(allow: _*))).as("remaining"))
+    },
+    Some("SELECT doc_id, CASE WHEN n_chars % 2 = 0 THEN '''' || lang || ''' is not of type ''object''' ELSE '' END AS remaining FROM documents"))
+
+  // --------------------------------------------------------------------
   // §2.6 Scalar-function surface
   // --------------------------------------------------------------------
 
@@ -453,6 +521,9 @@ object SparkEntry {
     "so1_union_distinct" -> so1UnionDistinct,
     "so2_sort_topn" -> so2SortTopN,
     "so3_slice" -> so3Slice,
+    "v1_schema_resolve" -> v1SchemaResolve,
+    "v3_validate" -> v3Validate,
+    "v4_suppress" -> v4Suppress,
     "v5_timestamp_parts" -> v5TimestampParts,
     "v6_string_fns" -> v6StringFns,
   )
