@@ -6,9 +6,10 @@ import org.apache.spark.sql.expressions.Window
 
 import org.apache.spark.sql.types.StructType
 
+import graft.ingest.{FileListing, Router, ZipSource}
 import graft.relationalize.Relationalize
 import graft.sources.{JsonDataset, ParquetDataset}
-import graft.validate.{ErrorSuppression, JsonSchemaValidator, SchemaResolver}
+import graft.validate.{ErrorSuppression, FileMetadata, JsonSchemaValidator, SchemaResolver}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2.
   *
@@ -46,6 +47,77 @@ object SparkEntry {
       s.read.schema(declared).json(tmp)
     },
     Some("SELECT doc_id, text, lang, n_chars FROM documents"))
+
+  /** S1 — ZIP-archive source round-trip: documents are zipped into
+    * multi-member archives executor-side (the test fixture stands in for
+    * Bridge-landed archives on shared storage), then read back through the
+    * distributed ZipSource (binaryFile rows → executor-side unzip,
+    * s3_to_json_s3.py:786-799) and parsed.
+    */
+  private val s1ZipRoundtrip = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s1").toString
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(8)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            val f = new java.io.File(tmp,
+              s"part-${java.util.UUID.randomUUID()}.zip")
+            val zos = new java.util.zip.ZipOutputStream(
+              new java.io.FileOutputStream(f))
+            it.foreach { r =>
+              zos.putNextEntry(new java.util.zip.ZipEntry(
+                s"doc_${r.getLong(0)}.json"))
+              val o = mapper.createObjectNode()
+              o.put("doc_id", r.getLong(0))
+              o.put("text", r.getString(1))
+              zos.write(mapper.writeValueAsBytes(o))
+              zos.closeEntry()
+            }
+            zos.close()
+          }
+        }
+      ZipSource.read(s, s"$tmp/*.zip").toDF()
+        .select(from_json(col("content").cast("string"),
+          StructType.fromDDL("doc_id bigint, text string")).as("j"))
+        .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"))
+    },
+    Some("SELECT doc_id, text FROM documents"))
+
+  /** S5 — column-pruned parquet projection scan of a partitioned dataset
+    * (bootstrap_trigger.py:121-144).
+    */
+  private val s5ProjectionScan = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s5").toString
+      ParquetDataset.write(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey"), col("o_orderstatus")),
+        tmp, partitionCols = Seq("o_orderstatus"))
+      ParquetDataset.read(s, tmp, Seq("o_orderkey", "o_totalprice"))
+    },
+    Some("SELECT o_orderkey, o_totalprice FROM orders"))
+
+  /** S8 — file-listing source over a partitioned dataset: per-partition
+    * file counts after two appends (etl_408.py:38-60).
+    */
+  private val s8Listing = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s8").toString
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"))
+      ParquetDataset.write(ev.repartition(1), tmp, Seq("event_type"))
+      ParquetDataset.write(
+        ev.filter(col("event_type") < "m").repartition(1),
+        tmp, Seq("event_type"))
+      FileListing.list(s, tmp)
+        .where(col("path").endsWith(".parquet"))
+        .withColumn("event_type",
+          regexp_extract(col("path"), "event_type=([^/]+)", 1))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_files"))
+    },
+    Some("SELECT event_type, CAST(CASE WHEN event_type < 'm' THEN 2 ELSE 1 END AS BIGINT) AS n_files FROM (SELECT DISTINCT event_type FROM events)"))
 
   /** S3 — partitioned-NDJSON sink round-trip (s3_to_json_s3.py:620-647):
     * write the Hive `dataset=/assessmentid=/year=/month=/day=` layout, read
@@ -125,6 +197,28 @@ object SparkEntry {
     (s, dir) => t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice")),
     Some("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem"))
+
+  /** P6 — file-name routing predicate (s3_to_json_s3.py:692-693, :721-722):
+    * normalize the member filename, then resolve its dataset through the
+    * legacy mapping; unmapped files are skipped (routed to a sentinel).
+    */
+  private val p6Route = Q(
+    (s, dir) => {
+      val route = udf((fname: String) =>
+        Router.datasetIdentifier(
+          schemaId = None,
+          schemaMapping = Map.empty,
+          datasetMapping = Router.defaultDatasetMapping,
+          meta = FileMetadata("dccs", 5, Router.normalizeFileName(fname),
+            "mobile-toolbox")).getOrElse("skipped"))
+      val fname = when(col("doc_id") % 4 === 0, "microphone.json")
+        .when(col("doc_id") % 4 === 1, "motion.json")
+        .when(col("doc_id") % 4 === 2, "weather.json")
+        .otherwise("info.json")
+      t(s, dir, "documents")
+        .select(col("doc_id"), fname.as("fname"), route(fname).as("dataset"))
+    },
+    Some("SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'microphone.json' WHEN doc_id % 4 = 1 THEN 'motion.json' WHEN doc_id % 4 = 2 THEN 'weather.json' ELSE 'info.json' END AS fname, CASE WHEN doc_id % 4 = 0 THEN 'AudioLevelRecord_v1' WHEN doc_id % 4 = 1 THEN 'MotionRecord_v1' WHEN doc_id % 4 = 2 THEN 'WeatherResult_v1' ELSE 'skipped' END AS dataset FROM documents"))
 
   /** P5 — row filter via predicate (pushed to the scan). */
   private val p5Filter = Q(
@@ -496,12 +590,16 @@ object SparkEntry {
 
   private val registry: Seq[(String, Q)] = Seq(
     "q1_agg" -> q1Agg,
+    "s1_zip_roundtrip" -> s1ZipRoundtrip,
     "s2_schema_json_scan" -> s2SchemaJsonScan,
     "s3_ndjson_roundtrip" -> s3NdjsonRoundtrip,
     "s4_parquet_roundtrip" -> s4ParquetRoundtrip,
+    "s5_projection_scan" -> s5ProjectionScan,
+    "s8_listing" -> s8Listing,
     "p1_project" -> p1Project,
     "p2_flatten_rename" -> p2FlattenRename,
     "p3_inject" -> p3Inject,
+    "p6_route" -> p6Route,
     "p4_array_filter" -> p4ArrayFilter,
     "p5_filter" -> p5Filter,
     "j1_broadcast_join" -> j1BroadcastJoin,

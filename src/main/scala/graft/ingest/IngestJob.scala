@@ -1,0 +1,190 @@
+package graft.ingest
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import java.time.OffsetDateTime
+import java.time.format.DateTimeFormatter
+
+import scala.jdk.CollectionConverters._
+
+import graft.validate.{ArchiveMap, ErrorSuppression, FileMetadata, JsonSchemaValidator, SchemaCache}
+
+/** One Bridge record: the ZIP archive plus its S3 object metadata
+  * (recordid, assessmentid, assessmentrevision, uploadedon, clientinfo, …
+  * — the ~22-field surface of tests/test_s3_to_json_s3.py:173-198).
+  */
+final case class RawRecord(metadata: Map[String, String], zipBytes: Array[Byte])
+
+/** An NDJSON line routed to its dataset with partition values attached. */
+final case class RoutedLine(
+    dataset: String,
+    assessmentid: String,
+    year: Int,
+    month: Int,
+    day: Int,
+    recordid: String,
+    line: String)
+
+/** A failed-validation record headed for the quarantine sink (S7). */
+final case class InvalidRecord(
+    recordid: String,
+    assessmentid: String,
+    fileName: String,
+    errors: Seq[String])
+
+/** Union row for the single-pass validate+route flatMap (Spark has no
+  * Either encoder; a pair of Options encodes fine).
+  */
+final case class IngestOut(
+    valid: Option[RoutedLine], invalid: Option[InvalidRecord])
+
+/** Stage-1 ingest (E1, s3_to_json_s3.py:733-832), Spark-native: records
+  * arrive as a Dataset and every step — unzip, schema resolution,
+  * validation, suppression, routing, field injection — runs executor-side
+  * in one narrow flatMap. The reference loops records on a single driver;
+  * this shape fans the same per-record logic across the cluster, and the
+  * partitioned NDJSON write replaces its per-file S3 puts.
+  */
+object IngestJob {
+
+  final case class Config(
+      archiveMap: ArchiveMap,
+      schemas: SchemaCache,
+      schemaMapping: Map[String, String],
+      datasetMapping: Router.DatasetMapping,
+      appId: String = "mobile-toolbox")
+
+  private val mapper = new ObjectMapper()
+
+  /** Self-referencing schemas from metadata.json files[].jsonSchema
+    * (s3_to_json_s3.py:29-48).
+    */
+  def selfRefSchemas(entries: Seq[(String, Array[Byte])]): Map[String, String] =
+    entries.collectFirst { case ("metadata.json", bytes) => bytes } match {
+      case None => Map.empty
+      case Some(bytes) =>
+        val meta = mapper.readTree(bytes)
+        Option(meta.get("files")).toSeq
+          .flatMap(_.elements.asScala)
+          .flatMap { f =>
+            (Option(f.get("filename")), Option(f.get("jsonSchema"))) match {
+              case (Some(n), Some(s)) => Some(n.asText -> s.asText)
+              case _ => None
+            }
+          }.toMap
+    }
+
+  /** V3+V4 for one record: file → unexpected errors (empty map = valid).
+    * Records mapped in the legacy dataset mapping skip validation
+    * (validate_data, s3_to_json_s3.py:302-415).
+    */
+  def validateRecord(record: RawRecord, cfg: Config): Map[String, Seq[String]] = {
+    val md = record.metadata
+    val assessmentId = md("assessmentid")
+    val revision = md("assessmentrevision")
+    if (cfg.datasetMapping.contains(assessmentId, revision)) return Map.empty
+    val entries = ZipSource.entries(record.zipBytes)
+    val selfRef = selfRefSchemas(entries)
+    val errors = entries.flatMap { case (path, bytes) =>
+      val meta = FileMetadata(
+        assessmentId, revision.toInt, Router.normalizeFileName(path), cfg.appId)
+      cfg.archiveMap.resolveUrl(meta, selfRef).flatMap { url =>
+        val errs = JsonSchemaValidator.validate(
+          mapper.readTree(bytes), cfg.schemas.get(url))
+        if (errs.nonEmpty) Some(path -> errs) else None
+      }
+    }.toMap
+    ErrorSuppression.cap(
+      ErrorSuppression.suppress(errors, cfg.appId, md.getOrElse("clientinfo", "")))
+  }
+
+  /** Route every member file of a valid record to its dataset, injecting
+    * the partition fields (and, for ArchiveMetadata, every metadata field)
+    * into each JSON object. Top-level JSON arrays are normalized to one
+    * line per element (subsuming the reference's `$[*]` crawler
+    * classifier). Mirrors process_record + write_file_to_json_dataset
+    * (s3_to_json_s3.py:560-730).
+    */
+  def routeRecord(record: RawRecord, cfg: Config): Seq[RoutedLine] = {
+    val md = record.metadata
+    val assessmentId = md("assessmentid")
+    val revision = md("assessmentrevision")
+    val recordId = md("recordid")
+    val uploadedOn = OffsetDateTime.parse(
+      md("uploadedon"), DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+    val entries = ZipSource.entries(record.zipBytes)
+    val selfRef = selfRefSchemas(entries)
+    entries.flatMap { case (path, bytes) =>
+      val fileName = Router.normalizeFileName(path)
+      val meta = FileMetadata(assessmentId, revision.toInt, fileName, cfg.appId)
+      val schemaId = cfg.archiveMap.resolveUrl(meta, selfRef)
+        .map(url => cfg.schemas.get(url))
+        .flatMap(s => Option(s.get("$id")).map(_.asText))
+      Router.datasetIdentifier(
+          schemaId, cfg.schemaMapping, cfg.datasetMapping, meta).toSeq
+        .flatMap { dataset =>
+          val schemaIdent = dataset.split("_").head
+          val root = mapper.readTree(bytes)
+          val objs: Seq[ObjectNode] =
+            if (root.isArray)
+              root.elements.asScala.collect { case o: ObjectNode => o }.toSeq
+            else root match {
+              case o: ObjectNode => Seq(o)
+              case _ => Nil
+            }
+          objs.map { o =>
+            if (schemaIdent == "ArchiveMetadata" || schemaIdent == "TaskMetadata") {
+              // every metadata field goes into the metadata dataset
+              md.foreach { case (k, v) => o.put(k, v) }
+            }
+            o.put("assessmentid", assessmentId)
+            o.put("year", uploadedOn.getYear)
+            o.put("month", uploadedOn.getMonthValue)
+            o.put("day", uploadedOn.getDayOfMonth)
+            o.put("recordid", recordId)
+            RoutedLine(
+              dataset, assessmentId, uploadedOn.getYear,
+              uploadedOn.getMonthValue, uploadedOn.getDayOfMonth,
+              recordId, mapper.writeValueAsString(o))
+          }
+        }
+    }
+  }
+
+  /** Full stage-1 run over a Dataset of records: validate, split
+    * valid/invalid, write valid lines to partitioned NDJSON datasets and
+    * invalid records to the quarantine sink (S7). Returns the routed lines
+    * for inspection.
+    */
+  def run(
+      spark: SparkSession,
+      records: Dataset[RawRecord],
+      cfg: Config,
+      jsonRoot: String,
+      quarantinePath: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val routed = records.flatMap { r =>
+      val errs = validateRecord(r, cfg)
+      if (errs.isEmpty) routeRecord(r, cfg).map(l => IngestOut(Some(l), None))
+      else errs.toSeq.map { case (f, es) =>
+        IngestOut(None, Some(InvalidRecord(r.metadata("recordid"),
+          r.metadata("assessmentid"), f, es)))
+      }
+    }.cache()
+    val invalid = routed.flatMap(_.invalid).toDF()
+    val valid = routed.flatMap(_.valid).toDF()
+    // text sink: one data column (the pre-serialized NDJSON line) + the
+    // Hive partition columns — the reference's per-file S3 put loop
+    // becomes a single distributed partitioned write
+    valid.select("line", "dataset", "assessmentid", "year", "month", "day")
+      .write.mode("append")
+      .partitionBy("dataset", "assessmentid", "year", "month", "day")
+      .text(jsonRoot)
+    if (!invalid.isEmpty)
+      invalid.write.mode("append").json(quarantinePath)
+    (valid, invalid)
+  }
+}

@@ -115,7 +115,7 @@ object ArchiveMap {
   * (s3_to_json_s3.py:285-299; offline: `fetch` reads bundled resources or
   * a pre-downloaded map instead of the network).
   */
-final class SchemaCache(fetch: String => String) {
+final class SchemaCache(fetch: String => String) extends Serializable {
   private val memo = TrieMap.empty[String, JsonNode]
   private val mapper = new ObjectMapper()
 
