@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.StructType
 
 import graft.ingest.{FileListing, Router, ZipSource}
+import graft.streaming.Bookmark
 import graft.relationalize.Relationalize
 import graft.sources.{JsonDataset, ParquetDataset}
 import graft.validate.{ErrorSuppression, FileMetadata, JsonSchemaValidator, SchemaResolver}
@@ -160,6 +161,65 @@ object SparkEntry {
           col("month").cast("int"), col("day").cast("int"))
     },
     Some("SELECT event_id, user_id, value, event_type AS assessmentid, CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month, CAST(day(ts) AS INT) AS day FROM events"))
+
+  /** S6 — table-query source (bootstrap_trigger.py:98-120): a SQL query
+    * with a pushed-down WHERE clause against a registered manifest view —
+    * the Spark shape of the Synapse file-view query.
+    */
+  private val s6QuerySource = Q(
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("s6_manifest")
+      s.sql("SELECT o_orderkey AS recordId, o_custkey, o_totalprice " +
+        "FROM s6_manifest WHERE o_totalprice > 100000.0 AND o_orderstatus = 'O'")
+    },
+    Some("SELECT o_orderkey AS recordId, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000.0 AND o_orderstatus = 'O'"))
+
+  /** S7 — quarantine sink for failed-validation records
+    * (s3_to_json_s3.py:813-823): invalid rows (with their V3 errors)
+    * written to a quarantine dataset and read back.
+    */
+  private val s7Quarantine = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s7").toString
+      val schema =
+        """{"type": "object", "required": ["name", "size"],
+            "properties": {"name": {"type": "string"},
+                           "size": {"type": "integer"}}}"""
+      val validateUdf = udf((data: String) =>
+        JsonSchemaValidator.validate(data, schema))
+      val payload = when(col("n_chars") % 3 === 0,
+          concat(lit("{\"name\": \""), col("lang"), lit("\"}")))
+        .when(col("n_chars") % 3 === 1,
+          concat(lit("{\"name\": 7, \"size\": "), col("n_chars"), lit("}")))
+        .otherwise(concat(lit("{\"name\": \""), col("lang"),
+          lit("\", \"size\": "), col("n_chars"), lit("}")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), validateUdf(payload).as("errors"))
+        .where(size(col("errors")) > 0)
+        .write.mode("overwrite").json(tmp)
+      s.read.schema(StructType.fromDDL("doc_id bigint, errors array<string>"))
+        .json(tmp)
+        .select(col("doc_id"), concat_ws("|", col("errors")).as("errs"))
+    },
+    Some("SELECT doc_id, CASE WHEN n_chars % 3 = 0 THEN '''size'' is a required property' ELSE '7 is not of type ''string''' END AS errs FROM documents WHERE n_chars % 3 <> 2"))
+
+  /** §2.8 — incremental bookmark: after batch 1 is committed to the
+    * manifest, a second run sees only batch 2's files (the Glue
+    * job-bookmark semantics as a manifest + anti-join on
+    * input_file_name()).
+    */
+  private val bmIncremental = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm").toString
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"))
+      ev.filter(col("event_id") % 2 === 0)
+        .write.mode("append").parquet(s"$tmp/data")
+      Bookmark.commit(s, s"$tmp/data", s"$tmp/manifest")
+      ev.filter(col("event_id") % 2 =!= 0)
+        .write.mode("append").parquet(s"$tmp/data")
+      Bookmark.newData(s, s"$tmp/data", s"$tmp/manifest")
+    },
+    Some("SELECT event_id, event_type FROM events WHERE event_id % 2 <> 0"))
 
   // --------------------------------------------------------------------
   // §2.2 Projections / filters / predicates
@@ -409,6 +469,21 @@ object SparkEntry {
         concat_ws(" ", slice(split(col("text"), " "), 1, 10)).as("head10")),
     Some("SELECT doc_id, array_to_string(string_split(text, ' ')[1:10], ' ') AS head10 FROM documents"))
 
+  /** SO4 — batching: deterministic groups of 100 per routing key
+    * (bootstrap_trigger.py:163-181's grouped submission, distributed as a
+    * ranked batch assignment instead of a driver loop).
+    */
+  private val so4Batching = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          row_number().over(w).as("rn"))
+        .select(col("event_id"), col("event_type"),
+          expr("CAST((rn - 1) div 100 AS INT) AS batch_no"))
+    },
+    Some("SELECT event_id, event_type, CAST((row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1) // 100 AS INT) AS batch_no FROM events"))
+
   // --------------------------------------------------------------------
   // §2.5 Restructuring (relationalize — the engine core)
   // --------------------------------------------------------------------
@@ -595,7 +670,10 @@ object SparkEntry {
     "s3_ndjson_roundtrip" -> s3NdjsonRoundtrip,
     "s4_parquet_roundtrip" -> s4ParquetRoundtrip,
     "s5_projection_scan" -> s5ProjectionScan,
+    "s6_query_source" -> s6QuerySource,
+    "s7_quarantine" -> s7Quarantine,
     "s8_listing" -> s8Listing,
+    "bm_incremental" -> bmIncremental,
     "p1_project" -> p1Project,
     "p2_flatten_rename" -> p2FlattenRename,
     "p3_inject" -> p3Inject,
@@ -619,6 +697,7 @@ object SparkEntry {
     "so1_union_distinct" -> so1UnionDistinct,
     "so2_sort_topn" -> so2SortTopN,
     "so3_slice" -> so3Slice,
+    "so4_batching" -> so4Batching,
     "v1_schema_resolve" -> v1SchemaResolve,
     "v3_validate" -> v3Validate,
     "v4_suppress" -> v4Suppress,
