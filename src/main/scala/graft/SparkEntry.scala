@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import org.apache.spark.sql.types.StructType
 
+import graft.dedup.{Dedup, SimHash}
 import graft.ingest.{FileListing, Router, ZipSource}
 import graft.streaming.Bookmark
 import graft.relationalize.Relationalize
@@ -568,6 +569,37 @@ object SparkEntry {
     Some("SELECT * FROM (VALUES ('flat', false), ('nested', true)) AS t(tbl, has_nested)"))
 
   // --------------------------------------------------------------------
+  // LLM-pipeline: deduplication
+  // --------------------------------------------------------------------
+
+  /** Exact dedup — one fingerprint hash-aggregate pass. */
+  private val dedupExact = Q(
+    (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text"),
+    Some("SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups FROM documents GROUP BY 1"))
+
+  /** Exact word-set Jaccard near-dup pairs via inverted-index join. */
+  private val dedupJaccard = Q(
+    (s, dir) => Dedup.jaccardPairs(
+      t(s, dir, "documents"), "doc_id", "text", threshold = 0.8),
+    Some("WITH w AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents), sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
+
+  /** MinHash-LSH near-dup detection (the 100 TB path): banded signatures →
+    * in-bucket candidates → exact verification. The oracle is the exact
+    * all-pairs shingle Jaccard — the entry proves the LSH pipeline loses
+    * nothing at this threshold.
+    */
+  private val dedupMinhash = Q(
+    (s, dir) => Dedup.minhashPairs(
+      t(s, dir, "documents"), "doc_id", "text", threshold = 0.8),
+    Some("WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
+
+  /** SimHash fingerprints (md5-digit bit votes), oracle-recomputable. */
+  private val dedupSimhash = Q(
+    (s, dir) => SimHash.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("simhash")),
+    Some("WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents), w AS (SELECT doc_id, md5(w) AS h FROM w0), bits AS (SELECT doc_id, i, CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(h, i, 1)) > 0 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit FROM w, generate_series(1, 16) AS g(i) GROUP BY doc_id, i) SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY doc_id"))
+
+  // --------------------------------------------------------------------
   // §2.6 Validation surface (V1–V4)
   // --------------------------------------------------------------------
 
@@ -698,6 +730,10 @@ object SparkEntry {
     "so2_sort_topn" -> so2SortTopN,
     "so3_slice" -> so3Slice,
     "so4_batching" -> so4Batching,
+    "dedup_exact" -> dedupExact,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
     "v1_schema_resolve" -> v1SchemaResolve,
     "v3_validate" -> v3Validate,
     "v4_suppress" -> v4Suppress,

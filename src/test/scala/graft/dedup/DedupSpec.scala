@@ -1,0 +1,63 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the rain falls softly on the quiet green meadow tonight"
+
+  private def docs = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base.replace("tonight", "today")), // near dup of 1
+    (4L, "completely different content about spark catalyst optimizer " +
+      "rules and tungsten codegen execution pipelines for analytics"),
+    (5L, "yet another unrelated document mentioning minhash banding " +
+      "signatures buckets and locality sensitive hashing methods"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under one fingerprint") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 4) // 1+2 collapse
+    val dupGroup = out.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dupGroup.getAs[Long]("keeper") == 1L)
+  }
+
+  test("jaccard pairs find exact and near dups, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash pipeline: candidates from LSH buckets only, verified " +
+      "pairs match exact jaccard") {
+    val verified = Dedup.minhashPairs(docs, "doc_id", "text", 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(verified == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // determinism: second run bit-identical
+    val again = Dedup.minhashPairs(docs, "doc_id", "text", 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(again == verified)
+  }
+
+  test("minhash candidate set prunes the pair space") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text").count()
+    assert(cands < 10) // far below the 10 all-pairs
+  }
+
+  test("simhash: identical docs share fingerprints, unrelated docs do not") {
+    val fp = SimHash.fingerprints(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L).length == 16 && fp(1L).forall(c => c == '0' || c == '1'))
+    assert(fp(1L) != fp(4L))
+    val pairs = SimHash.identicalPairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}
