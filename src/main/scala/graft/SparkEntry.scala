@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import org.apache.spark.sql.types.StructType
 
+import graft.ann.Ann
 import graft.dedup.{Dedup, SimHash}
 import graft.ingest.{FileListing, Router, ZipSource}
 import graft.streaming.Bookmark
@@ -600,6 +601,42 @@ object SparkEntry {
     Some("WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents), w AS (SELECT doc_id, md5(w) AS h FROM w0), bits AS (SELECT doc_id, i, CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(h, i, 1)) > 0 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit FROM w, generate_series(1, 16) AS g(i) GROUP BY doc_id, i) SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY doc_id"))
 
   // --------------------------------------------------------------------
+  // LLM-pipeline: similarity search
+  // --------------------------------------------------------------------
+
+  /** Brute-force cosine top-k (the exactness baseline): 10 query vectors
+    * broadcast against the corpus, ranked per query.
+    */
+  private val annTopK = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.topK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    },
+    Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neighbor_id, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
+
+  /** Embedding-cosine near-dup pairs ≥ 0.4 (exact verification baseline;
+    * signLshPairs is the high-threshold scale path).
+    */
+  private val annNearDup = Q(
+    (s, dir) => Ann.bruteForcePairs(
+      t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4),
+    Some("SELECT a.vec_id AS id1, b.vec_id AS id2, round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.4"))
+
+  /** IVF-style approximate top-k (scale path): probe the 3 nearest
+    * label-cluster centroids, score only those clusters. Approximate by
+    * construction → rows-only check; recall is asserted in AnnSpec.
+    */
+  private val annIvfTopK = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopK(emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 3)
+    },
+    None)
+
+  // --------------------------------------------------------------------
   // §2.6 Validation surface (V1–V4)
   // --------------------------------------------------------------------
 
@@ -730,6 +767,9 @@ object SparkEntry {
     "so2_sort_topn" -> so2SortTopN,
     "so3_slice" -> so3Slice,
     "so4_batching" -> so4Batching,
+    "ann_topk" -> annTopK,
+    "ann_neardup" -> annNearDup,
+    "ann_ivf_topk" -> annIvfTopK,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,

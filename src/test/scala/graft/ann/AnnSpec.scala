@@ -1,0 +1,64 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  private def unit(hot: Int): Seq[Float] =
+    (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+
+  private def mix(hot: Int, eps: Float): Seq[Float] =
+    (0 until dim).map(d =>
+      if (d == hot) 1.0f else if (d == (hot + 1) % dim) eps else 0.0f)
+
+  // clusters 0/1/2 around axes 0/2/4; vec 10 is a near-copy of vec 0
+  private def corpus = Seq(
+    (0L, unit(0), 0), (1L, mix(0, 0.1f), 0), (10L, mix(0, 0.01f), 0),
+    (2L, unit(2), 1), (3L, mix(2, 0.1f), 1),
+    (4L, unit(4), 2), (5L, mix(4, 0.1f), 2))
+    .toDF("vec_id", "embedding", "label")
+
+  test("cosine: identical=1, orthogonal=0") {
+    val df = Seq((unit(0), unit(0)), (unit(0), unit(2)))
+      .toDF("a", "b")
+      .select(round(Ann.cosine($"a", $"b"), 6).as("c"))
+    assert(df.as[Double].collect().toSeq == Seq(1.0, 0.0))
+  }
+
+  test("brute-force topK ranks near-copies first") {
+    val q = corpus.where($"vec_id" === 0L)
+    val top = Ann.topK(corpus, "vec_id", "embedding", q,
+      "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(10L, 1L))
+  }
+
+  test("ivf with nprobe=all matches brute force; nprobe=1 stays in-cluster") {
+    val q = corpus.where($"vec_id" === 0L)
+    val brute = Ann.topK(corpus, "vec_id", "embedding", q,
+      "vec_id", "embedding", k = 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSet
+    val ivfAll = Ann.ivfTopK(corpus, "vec_id", "embedding", "label", q,
+      "vec_id", "embedding", k = 3, nprobe = 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSet
+    assert(ivfAll == brute)
+    val ivf1 = Ann.ivfTopK(corpus, "vec_id", "embedding", "label", q,
+      "vec_id", "embedding", k = 3, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ivf1 == Set(10L, 1L)) // only cluster-0 members
+  }
+
+  test("sign-LSH pairs find high-cosine near-dups and verify exactly") {
+    val pairs = Ann.signLshPairs(corpus, "vec_id", "embedding",
+      threshold = 0.95, bits = 16, bands = 8, dim = dim)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 10L)))
+    // verified: no cross-cluster (cos 0) pair survives
+    assert(!pairs.exists { case (a, b) =>
+      Set((0L, 2L), (0L, 4L), (2L, 4L)).contains((a, b)) })
+  }
+}
