@@ -10,6 +10,7 @@ import graft.ann.Ann
 import graft.dedup.{Dedup, SimHash}
 import graft.ingest.{FileListing, Router, ZipSource}
 import graft.streaming.Bookmark
+import graft.text.TextAnalysis
 import graft.relationalize.Relationalize
 import graft.sources.{JsonDataset, ParquetDataset}
 import graft.validate.{ErrorSuppression, FileMetadata, JsonSchemaValidator, SchemaResolver}
@@ -601,6 +602,35 @@ object SparkEntry {
     Some("WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents), w AS (SELECT doc_id, md5(w) AS h FROM w0), bits AS (SELECT doc_id, i, CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(h, i, 1)) > 0 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit FROM w, generate_series(1, 16) AS g(i) GROUP BY doc_id, i) SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY doc_id"))
 
   // --------------------------------------------------------------------
+  // LLM-pipeline: text analysis
+  // --------------------------------------------------------------------
+
+  /** Token counting: whitespace tokens + BPE-ish subword pieces. */
+  private val textTokens = Q(
+    (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).cast("int").as("n_subwords")),
+    Some("SELECT doc_id, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT) AS n_tokens, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_subwords FROM documents"))
+
+  /** Language-ID heuristic: argmax of per-language marker-token hits. */
+  private val textLangId = Q(
+    (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred")),
+    Some("WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), s AS (SELECT doc_id, len(list_filter(t, x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS de, len(list_filter(t, x -> list_contains(['the','a','of','and','to','in'], x))) AS en, len(list_filter(t, x -> list_contains(['el','los','las','y','que','una'], x))) AS es, len(list_filter(t, x -> list_contains(['le','les','et','dans','une','est'], x))) AS fr FROM tk) SELECT doc_id, CASE WHEN de >= en AND de >= es AND de >= fr AND de > 0 THEN 'de' WHEN en >= es AND en >= fr AND en > 0 THEN 'en' WHEN es >= fr AND es > 0 THEN 'es' WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM s"))
+
+  /** Quality scoring: length/stopword/punctuation composite. */
+  private val textQuality = Q(
+    (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality")),
+    Some("WITH b AS (SELECT doc_id, text, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS n, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) AS stophits, CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct FROM documents) SELECT doc_id, round(least(1.0, n / 100.0) * 0.4 + least(1.0, stophits / n * 5.0) * 0.3 + (1.0 - punct / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3, 4) AS quality FROM b"))
+
+  /** Document fingerprinting: md5 of normalized text. */
+  private val textFingerprint = Q(
+    (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp")),
+    Some("SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents"))
+
+  // --------------------------------------------------------------------
   // LLM-pipeline: similarity search
   // --------------------------------------------------------------------
 
@@ -767,6 +797,10 @@ object SparkEntry {
     "so2_sort_topn" -> so2SortTopN,
     "so3_slice" -> so3Slice,
     "so4_batching" -> so4Batching,
+    "text_tokens" -> textTokens,
+    "text_langid" -> textLangId,
+    "text_quality" -> textQuality,
+    "text_fingerprint" -> textFingerprint,
     "ann_topk" -> annTopK,
     "ann_neardup" -> annNearDup,
     "ann_ivf_topk" -> annIvfTopK,

@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis signals for corpus curation: language ID, quality
+  * scoring, token counting, fingerprinting. All pure column expressions —
+  * codegen-friendly, no UDFs in the hot path, and every signal is
+  * re-derivable in plain SQL for oracle verification.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and individual
+    * punctuation marks each count as one piece — a cheap, deterministic
+    * proxy for tokenizer cost accounting.
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Language markers: tiny high-frequency function-word sets per
+    * language (n-gram/stopword heuristic — argmax of marker hits).
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "es" -> Seq("el", "los", "las", "y", "que", "una"),
+    "fr" -> Seq("le", "les", "et", "dans", "une", "est"))
+
+  private def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers: _*)))
+
+  /** Language-ID heuristic: the language with the most marker-token hits;
+    * ties break alphabetically; zero hits everywhere → "und".
+    */
+  def langId(text: Column): Column = {
+    val scores = Markers.map { case (l, ms) => l -> markerHits(text, ms) }
+    val byLang = scores.toMap
+    val Seq(de, en, es, fr) =
+      Seq("de", "en", "es", "fr").map(byLang): @unchecked
+    when(de >= en && de >= es && de >= fr && de > 0, "de")
+      .when(en >= es && en >= fr && en > 0, "en")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Quality score in [0, 1]: length credit (saturates at 100 tokens) +
+    * function-word density credit + punctuation-noise penalty. The exact
+    * formula matters less than determinism — it is reproducible in SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val stopHits = markerHits(text, Markers.toMap.apply("en")).cast("double")
+    val punct = (length(text) -
+      length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double")
+    val lenCredit = least(lit(1.0), n / 100.0)
+    val stopCredit = least(lit(1.0), stopHits / n * 5.0)
+    val punctPenalty = lit(1.0) - punct / greatest(length(text).cast("double"), lit(1.0))
+    round(lenCredit * 0.4 + stopCredit * 0.3 + punctPenalty * 0.3, 4)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key, stable under formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}
