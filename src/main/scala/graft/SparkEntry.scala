@@ -9,6 +9,7 @@ import org.apache.spark.sql.types.StructType
 import graft.ann.Ann
 import graft.dedup.{Dedup, SimHash}
 import graft.ingest.{FileListing, Router, ZipSource}
+import graft.multimodal.Multimodal
 import graft.streaming.Bookmark
 import graft.text.TextAnalysis
 import graft.relationalize.Relationalize
@@ -602,6 +603,52 @@ object SparkEntry {
     Some("WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents), w AS (SELECT doc_id, md5(w) AS h FROM w0), bits AS (SELECT doc_id, i, CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(h, i, 1)) > 0 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit FROM w, generate_series(1, 16) AS g(i) GROUP BY doc_id, i) SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY doc_id"))
 
   // --------------------------------------------------------------------
+  // LLM-pipeline: multimodal binary columns (stubbed codec)
+  // --------------------------------------------------------------------
+
+  /** Synthetic media blobs: fake container header + document text as
+    * payload, cast to binary — deterministic so oracles can re-derive the
+    * decoded metadata from the base table.
+    */
+  private def mmContent = {
+    val w = (lit(64) + col("doc_id") % 64).cast("int")
+    val h = (lit(48) + col("doc_id") % 32).cast("int")
+    val f = (lit(1) + col("doc_id") % 4).cast("int")
+    concat(lit("GRFT|img|"), w, lit("|"), h, lit("|"), f, lit("|"),
+      col("text")).cast("binary")
+  }
+
+  /** Multimodal decode: binary blobs → typed metadata via batch-shaped
+    * mapPartitions (stub codec, real plumbing).
+    */
+  private val mmDecodeMeta = Q(
+    (s, dir) => Multimodal.decodeMeta(
+      t(s, dir, "documents").select(col("doc_id"), mmContent.as("content")),
+      "doc_id", "content"),
+    Some("SELECT doc_id, 'img' AS format, CAST(64 + doc_id % 64 AS INT) AS width, CAST(48 + doc_id % 32 AS INT) AS height, CAST(1 + doc_id % 4 AS INT) AS n_frames, CAST(length(text) AS INT) AS payload_len FROM documents"))
+
+  /** Frame sampling: payload split into n_frames chunks, every 2nd kept —
+    * the child-table shape of video frame extraction.
+    */
+  private val mmFrameSample = Q(
+    (s, dir) => Multimodal.frameSample(
+        t(s, dir, "documents").select(col("doc_id"), mmContent.as("content")),
+        "doc_id", "content", everyN = 2)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("int").as("frame_len")),
+    Some("SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(CASE WHEN i < f - 1 THEN pl // f ELSE pl - (pl // f) * (f - 1) END AS INT) AS frame_len FROM (SELECT doc_id, 1 + doc_id % 4 AS f, length(text) AS pl FROM documents) t JOIN (SELECT unnest(generate_series(0, 3)) AS i) s ON i < f WHERE i % 2 = 0"))
+
+  /** Feature extraction plumbing: fixed-size float vector per blob
+    * (byte-histogram stub) — approximate-free but oracle-heavy, so
+    * registered rows-only; values are asserted in MultimodalSpec.
+    */
+  private val mmFeaturize = Q(
+    (s, dir) => Multimodal.featurize(
+      t(s, dir, "documents").select(col("doc_id"), mmContent.as("content")),
+      "doc_id", "content"),
+    None)
+
+  // --------------------------------------------------------------------
   // LLM-pipeline: text analysis
   // --------------------------------------------------------------------
 
@@ -797,6 +844,9 @@ object SparkEntry {
     "so2_sort_topn" -> so2SortTopN,
     "so3_slice" -> so3Slice,
     "so4_batching" -> so4Batching,
+    "mm_decode_meta" -> mmDecodeMeta,
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_featurize" -> mmFeaturize,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,

@@ -1,0 +1,110 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata, decoded/featurized batch-wise in
+  * `mapPartitions` (the Scala analogue of mapInPandas — one iterator per
+  * partition, no per-row task overhead, executor-local codec state).
+  *
+  * STUB NOTICE: this container ships no image/audio codecs, so
+  * `decodeStub` parses a deterministic fake header
+  * (`GRFT|<fmt>|<w>|<h>|<frames>|<payload>`) instead of real JPEG/WAV
+  * decoding. The Spark-side plumbing — schema, partitioning, batch
+  * iteration, child-table frame output — is real and tested; swap
+  * `decodeStub` for a codec binding (e.g. javacpp/ffmpeg) in production.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      format: String, width: Int, height: Int, nFrames: Int, payloadLen: Int)
+
+  /** Parse the fake container header. Malformed input → format "unknown"
+    * with zeroed dimensions (quarantine-able, never throws).
+    */
+  def decodeStub(bytes: Array[Byte]): MediaMeta = {
+    val s = new String(bytes, StandardCharsets.UTF_8)
+    val parts = s.split("\\|", 6)
+    if (parts.length == 6 && parts(0) == "GRFT")
+      try MediaMeta(parts(1), parts(2).toInt, parts(3).toInt,
+        parts(4).toInt, parts(5).getBytes(StandardCharsets.UTF_8).length)
+      catch { case _: NumberFormatException =>
+        MediaMeta("unknown", 0, 0, 0, bytes.length) }
+    else MediaMeta("unknown", 0, 0, 0, bytes.length)
+  }
+
+  /** Decode metadata for every blob: (id, content) → id + flattened
+    * MediaMeta columns. Batch-shaped mapPartitions; the decoder is
+    * invoked once per row off one iterator, so a real codec can hold
+    * per-partition native state.
+    */
+  def decodeMeta(df: DataFrame, id: String, content: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (rowId, bytes) =>
+          val m = decodeStub(bytes)
+          (rowId, m.format, m.width, m.height, m.nFrames, m.payloadLen)
+        }
+      }
+      .toDF(id, "format", "width", "height", "n_frames", "payload_len")
+  }
+
+  /** Frame sampling: split the payload into nFrames chunks, keep every
+    * `everyN`-th — the child-table shape of video frame extraction
+    * ((id, frame_idx, frame) rows, FK to the parent blob).
+    */
+  def frameSample(
+      df: DataFrame, id: String, content: String, everyN: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (rowId, bytes) =>
+          val m = decodeStub(bytes)
+          if (m.nFrames <= 0) Iterator.empty
+          else {
+            val s = new String(bytes, StandardCharsets.UTF_8)
+            val payload = s.substring(s.length - m.payloadLen)
+              .getBytes(StandardCharsets.UTF_8)
+            val chunk = payload.length / m.nFrames
+            (0 until m.nFrames).iterator
+              .filter(_ % everyN == 0)
+              .map { i =>
+                val from = i * chunk
+                val until =
+                  if (i == m.nFrames - 1) payload.length else from + chunk
+                (rowId, i, payload.slice(from, until))
+              }
+          }
+        }
+      }
+      .toDF(id, "frame_idx", "frame")
+  }
+
+  /** Deterministic fake featurizer: 16-bin byte histogram, L1-normalized
+    * to a float vector — the embedding-extraction plumbing (fixed-size
+    * Array[Float] column) with a stub feature function.
+    */
+  def featurize(df: DataFrame, id: String, content: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (rowId, bytes) =>
+          val hist = new Array[Float](16)
+          bytes.foreach(b => hist((b & 0xff) % 16) += 1f)
+          val total = math.max(bytes.length, 1).toFloat
+          (rowId, hist.map(_ / total).toSeq)
+        }
+      }
+      .toDF(id, "features")
+  }
+}
