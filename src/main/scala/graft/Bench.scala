@@ -37,14 +37,19 @@ object Bench {
     // Warmup: exercise codegen/IO once per query; ignore failures here
     // (they are reported from the timed pass).
     names.foreach { n =>
+      val t0 = System.nanoTime()
       try materialize(SparkEntry.queries(n)(spark, sfDir))
       catch { case _: Throwable => () }
+      System.err.println(
+        f"[bench:warmup] $n ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     val results: Seq[(String, Option[Double])] = names.map { n =>
       val t0 = System.nanoTime()
       try {
         materialize(SparkEntry.queries(n)(spark, sfDir))
-        n -> Some((System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $n $dt%.2fs")
+        n -> Some(dt)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $n FAILED: ${e.getMessage}")

@@ -24,16 +24,26 @@ object Ann {
 
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Cosine similarity of two numeric array columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = toDouble(a)
-    val bd = toDouble(b)
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(ad, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(bd, lit(0.0), (acc, v) => acc + v * v))
-    dot / (na * nb)
+  /** Compute-bound stages need at least one partition per core — a single
+    * small parquet file otherwise pins the whole similarity computation to
+    * one task. No-op on already-wide inputs.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Dot product of two numeric array columns (double math). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of a numeric array column. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(toDouble(a), lit(0.0), (acc, v) => acc + v * v))
+
+  /** Cosine similarity of two numeric array columns (double math). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Brute-force cosine top-k: each query row against the whole corpus.
     * Queries are broadcast; similarity is rounded to 4 decimals before
@@ -43,10 +53,16 @@ object Ann {
       corpus: DataFrame, id: String, vec: String,
       queries: DataFrame, qId: String, qVec: String,
       k: Int): DataFrame = {
-    val scored = corpus.crossJoin(
-        broadcast(queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))))
+    // norms precomputed once per row, not once per pair — the higher-order
+    // aggregate lambdas are interpreted, so this cuts the per-pair work to
+    // a single dot product (numerically identical: same dot / (na * nb))
+    val scored = widen(corpus).withColumn("__n", l2norm(col(vec)))
+      .crossJoin(broadcast(
+        queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
+          .withColumn("__qn", l2norm(col("q_vec")))))
       .where(col("q_id") =!= col(id))
-      .withColumn("sim", round(cosine(col("q_vec"), col(vec)), 4))
+      .withColumn("sim",
+        round(dot(col("q_vec"), col(vec)) / (col("__qn") * col("__n")), 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col(id).asc)
     scored.withColumn("rank", row_number().over(w))
@@ -87,9 +103,12 @@ object Ann {
       .select(col("q_id"), col("q_vec"), col(cluster))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col(id).asc)
-    corpus.join(broadcast(probed), Seq(cluster))
+    widen(corpus).withColumn("__n", l2norm(col(vec)))
+      .join(broadcast(probed.withColumn("__qn", l2norm(col("q_vec")))),
+        Seq(cluster))
       .where(col("q_id") =!= col(id))
-      .withColumn("sim", round(cosine(col("q_vec"), col(vec)), 4))
+      .withColumn("sim",
+        round(dot(col("q_vec"), col(vec)) / (col("__qn") * col("__n")), 4))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("int").as("rank"),
@@ -102,10 +121,13 @@ object Ann {
   def bruteForcePairs(
       corpus: DataFrame, id: String, vec: String,
       threshold: Double): DataFrame = {
-    val a = corpus.select(col(id).as("id1"), col(vec).as("v1"))
-    val b = corpus.select(col(id).as("id2"), col(vec).as("v2"))
-    a.crossJoin(b).where(col("id1") < col("id2"))
-      .withColumn("sim", round(cosine(col("v1"), col("v2")), 4))
+    val a = widen(corpus).select(col(id).as("id1"), col(vec).as("v1"),
+      l2norm(col(vec)).as("n1"))
+    val b = corpus.select(col(id).as("id2"), col(vec).as("v2"),
+      l2norm(col(vec)).as("n2"))
+    a.crossJoin(broadcast(b)).where(col("id1") < col("id2"))
+      .withColumn("sim",
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
       .where(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }
@@ -142,7 +164,7 @@ object Ann {
       threshold: Double, bits: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
     require(bits % bands == 0)
     val rows = bits / bands
-    val sig = corpus.select(col(id).as("id"), col(vec).as("v"),
+    val sig = widen(corpus).select(col(id).as("id"), col(vec).as("v"),
       signature(col(vec), bits, dim).as("sig"))
     val banded = sig.select(col("id"), col("v"),
         posexplode(array((0 until bands).map(b =>

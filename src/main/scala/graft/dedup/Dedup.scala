@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Ensure a compute-bound stage has at least one partition per core:
+    * a small-but-dense input (one parquet file) otherwise pins the whole
+    * shingle/signature computation to a single task. No-op when the input
+    * is already wide (the 100 TB case — real datasets arrive pre-split).
+    */
+  private[graft] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Word n-gram shingle set (lowercased, whitespace-tokenized). */
   def shingles(text: Column, n: Int = 3): Column = {
     val words = split(lower(text), "\\s+")
@@ -42,7 +52,7 @@ object Dedup {
   def jaccardPairs(
       docs: DataFrame, id: String, text: String,
       threshold: Double): DataFrame = {
-    val words = docs.select(col(id).as("id"),
+    val words = widen(docs).select(col(id).as("id"),
       explode(array_distinct(split(lower(col(text)), "\\s+"))).as("w"))
     val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = words.as("a").join(words.as("b"),
@@ -70,10 +80,15 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = docs.select(col(id).as("id"),
+    // one string hash per shingle, then numHashes seeded hashes of that
+    // 8-byte base value — each behaves as an independent permutation for
+    // min-hashing at a fraction of the cost of re-hashing the string
+    // (and no overflowing arithmetic, which ANSI mode would reject)
+    val sh = widen(docs).select(col(id).as("id"),
       explode(shingles(col(text), shingleN)).as("sh"))
+      .withColumn("base", xxhash64(col("sh")))
     val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      min(xxhash64(lit(i.toLong), col("base"))).as(s"h$i"))
     val sig = sh.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -100,7 +115,7 @@ object Dedup {
       docs: DataFrame, id: String, text: String, threshold: Double,
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, id, text, numHashes, bands, shingleN)
-    val sets = docs.select(col(id).as("id"),
+    val sets = widen(docs).select(col(id).as("id"),
       shingles(col(text), shingleN).as("set"))
     cands
       .join(sets.select(col("id").as("id1"), col("set").as("set1")), "id1")

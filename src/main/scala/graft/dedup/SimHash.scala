@@ -20,7 +20,7 @@ object SimHash {
 
   /** (id, simhash) — fingerprint emitted as a 16-char '0'/'1' string. */
   def fingerprints(docs: DataFrame, id: String, text: String): DataFrame = {
-    val words = docs.select(col(id).as("id"),
+    val words = Dedup.widen(docs).select(col(id).as("id"),
       explode(array_distinct(split(lower(col(text)), "\\s+"))).as("w"))
       .select(col("id"), md5(col("w")).as("h"))
     words

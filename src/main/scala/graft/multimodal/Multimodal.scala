@@ -22,6 +22,14 @@ object Multimodal {
   final case class MediaMeta(
       format: String, width: Int, height: Int, nFrames: Int, payloadLen: Int)
 
+  /** Batch decode wants one partition per core — a single dense input
+    * file otherwise serializes the codec work onto one task.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Parse the fake container header. Malformed input → format "unknown"
     * with zeroed dimensions (quarantine-able, never throws).
     */
@@ -44,7 +52,7 @@ object Multimodal {
   def decodeMeta(df: DataFrame, id: String, content: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(id).cast("long"), col(content))
+    widen(df).select(col(id).cast("long"), col(content))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (rowId, bytes) =>
@@ -63,7 +71,7 @@ object Multimodal {
       df: DataFrame, id: String, content: String, everyN: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(id).cast("long"), col(content))
+    widen(df).select(col(id).cast("long"), col(content))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (rowId, bytes) =>
@@ -95,7 +103,7 @@ object Multimodal {
   def featurize(df: DataFrame, id: String, content: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(id).cast("long"), col(content))
+    widen(df).select(col(id).cast("long"), col(content))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (rowId, bytes) =>
