@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.relationalize.Relationalize
+import graft.schema.TableSpec
+import graft.sources.{JsonDataset, ParquetDataset}
+import graft.streaming.Bookmark
+
+/** Stage-2 job (E2, json_s3_to_parquet.py:179-233), Spark-native: one run
+  * converts a JSON dataset's new files into partitioned Parquet datasets —
+  * the root table plus one child per nested path.
+  *
+  * Differences from the reference, by design:
+  *  - relationalize carries the partition columns into children directly
+  *    (R2) instead of a distinct+join per child
+  *  - incremental state is an explicit file manifest (Bookmark) instead of
+  *    an opaque Glue job bookmark; reset = delete the manifest
+  *  - the per-dataset fan-out is a plain loop/Par collection over dataset
+  *    names in one SparkSession instead of one Glue job per table
+  */
+object ParquetJob {
+
+  final case class Result(tables: Map[String, Long])
+
+  /** The injected columns every table carries (schemas/BridgeDownstream
+    * .json:37-44): recordid plus the partition fields.
+    */
+  val CarryCols: Seq[String] =
+    Seq("recordid", "assessmentid", "year", "month", "day")
+
+  /** Run one dataset: read new NDJSON files (bookmark-filtered) with the
+    * declared schema, relationalize if nested, append every produced
+    * table to its partitioned Parquet dataset, then advance the bookmark.
+    * Returns per-table appended row counts.
+    */
+  def run(
+      spark: SparkSession,
+      jsonRoot: String,
+      dataset: String,
+      spec: TableSpec,
+      parquetRoot: String,
+      manifestRoot: String): Result = {
+    val dataPath = s"$jsonRoot/dataset=$dataset"
+    val manifestPath = s"$manifestRoot/$dataset"
+    val raw = JsonDataset.read(spark, jsonRoot, dataset, spec.schema)
+    val fresh = Bookmark.newDataFrom(spark, raw, dataPath, manifestPath)
+    if (fresh.isEmpty) return Result(Map.empty)
+
+    val tables: Map[String, DataFrame] =
+      if (Relationalize.hasNestedFields(fresh.schema))
+        Relationalize.relationalize(
+          fresh, dataset, keyCols = Seq("recordid"), carryCols = CarryCols)
+      else Map(dataset -> fresh)
+
+    val counts = tables.map { case (name, df) =>
+      // partition columns must be last for partitionBy; ensure presence
+      val out = df.select(
+        (df.columns.filterNot(JsonDataset.PartitionCols.contains) ++
+          JsonDataset.PartitionCols).map(col).toIndexedSeq: _*)
+      ParquetDataset.write(out, s"$parquetRoot/$name")
+      name -> out.count()
+    }
+    Bookmark.commit(spark, dataPath, manifestPath)
+    Result(counts)
+  }
+}

@@ -28,28 +28,36 @@ object Bookmark {
   /** Record the current file set of `dataPath` as processed. Overwrites —
     * the manifest is always the full listing, which makes commit
     * idempotent and crash-safe (a re-run after failure re-lists).
+    * Glue-style hidden files (leading `_`/`.`) are never data.
     */
   def commit(spark: SparkSession, dataPath: String, manifestPath: String): Unit =
     FileListing.list(spark, dataPath)
-      .where(col("path").endsWith(".parquet"))
+      .where(!col("path").rlike("/[_.][^/]*$"))
       .select(normalize(col("path")).as("path"))
       .write.mode("overwrite").parquet(manifestPath)
 
-  /** Scan `dataPath`, keeping only rows from files NOT in the manifest.
-    * With no manifest yet, everything is new (first run).
+  /** Keep only rows of `df` coming from files of `dataPath` NOT yet in
+    * the manifest. With no manifest yet, everything is new (first run).
+    * Works for any file-based source (`df` must originate from a scan so
+    * input_file_name() is populated).
     */
-  def newData(spark: SparkSession, dataPath: String, manifestPath: String): DataFrame = {
-    val df = spark.read.parquet(dataPath)
-      .withColumn("__file", normalize(input_file_name()))
+  def newDataFrom(
+      spark: SparkSession, df: DataFrame,
+      dataPath: String, manifestPath: String): DataFrame = {
+    val withFile = df.withColumn("__file", normalize(input_file_name()))
     val manifestExists = {
       val p = new org.apache.hadoop.fs.Path(manifestPath)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
     val out =
-      if (!manifestExists) df
-      else df.join(
+      if (!manifestExists) withFile
+      else withFile.join(
         broadcast(spark.read.parquet(manifestPath)),
-        df("__file") === col("path"), "left_anti")
+        withFile("__file") === col("path"), "left_anti")
     out.drop("__file")
   }
+
+  /** Parquet-dataset convenience wrapper over newDataFrom. */
+  def newData(spark: SparkSession, dataPath: String, manifestPath: String): DataFrame =
+    newDataFrom(spark, spark.read.parquet(dataPath), dataPath, manifestPath)
 }

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.ingest.{IngestJob, RawRecord, Router}
+import graft.schema.TableCatalog
+import graft.sources.ParquetDataset
+import graft.validate.{ArchiveMap, SchemaCache}
+
+import java.nio.file.{Files, Paths}
+
+/** Stage-2 orchestration (E2) + bootstrap driver (E3) over the reference
+  * fixture flow.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixtureZip =
+    "/root/reference/tests/data/OCJByUtSrVTYtqObYp7XZV_J-mtbSpelling.zip"
+
+  private def record(rid: String) = RawRecord(
+    metadata = Map(
+      "recordid" -> rid,
+      "assessmentid" -> "spelling",
+      "assessmentrevision" -> "4",
+      "uploadedon" -> "2022-02-15T20:47:36.270Z",
+      "clientinfo" -> "{osName:'iOS'}"),
+    zipBytes = Files.readAllBytes(Paths.get(fixtureZip)))
+
+  private def cfg = IngestJob.Config(
+    archiveMap = ArchiveMap(Nil, Nil, Nil),
+    schemas = new SchemaCache(_ => "{}"),
+    schemaMapping = Router.defaultSchemaMapping,
+    datasetMapping = Router.defaultDatasetMapping)
+
+  test("E2 ParquetJob: NDJSON -> relationalized partitioned parquet, " +
+      "bookmark makes reruns no-ops, new records append incrementally") {
+    val tmp = Files.createTempDirectory("graft_e2").toString
+    val jsonRoot = s"$tmp/raw_json"
+    IngestJob.run(spark, spark.createDataset(Seq(record("rec1"))), cfg,
+      jsonRoot, s"$tmp/quarantine")
+
+    val spec = TableCatalog.default("WeatherResult_v1")
+    def runJob() = ParquetJob.run(spark, jsonRoot, "WeatherResult_v1",
+      spec, s"$tmp/parquet", s"$tmp/manifests")
+
+    val first = runJob()
+    assert(first.tables.keySet.contains("WeatherResult_v1"))
+    assert(first.tables("WeatherResult_v1") == 1)
+    // weather struct flattened in place — no struct/array columns remain
+    val weatherOut = ParquetDataset.read(
+      spark, s"$tmp/parquet/WeatherResult_v1")
+    assert(!graft.relationalize.Relationalize.hasNestedFields(weatherOut.schema))
+
+    // sharedSchema (taskData.json) HAS array columns → child tables
+    val sharedSpec = TableCatalog.default("sharedSchema_v1")
+    val shared = ParquetJob.run(spark, jsonRoot, "sharedSchema_v1",
+      sharedSpec, s"$tmp/parquet", s"$tmp/manifests")
+    assert(shared.tables.keySet.contains("sharedSchema_v1"))
+    assert(shared.tables.keys.exists(_.startsWith("sharedSchema_v1_")),
+      s"no child tables in ${shared.tables.keySet}")
+
+    // rerun without new data: bookmark filters everything
+    assert(runJob().tables.isEmpty)
+
+    // second record arrives → only it is processed and appended
+    IngestJob.run(spark, spark.createDataset(Seq(record("rec2"))), cfg,
+      jsonRoot, s"$tmp/quarantine")
+    val second = runJob()
+    assert(second.tables("WeatherResult_v1") == 1)
+    val all = ParquetDataset.read(spark, s"$tmp/parquet/WeatherResult_v1")
+    assert(all.select("recordid").distinct().count() == 2)
+  }
+
+  test("E3 BootstrapDriver: keep-latest, diff, batching, archive version") {
+    val manifest = Seq(
+      ("r1", 10L), ("r1", 20L), // r1 exported twice: keep ts 20
+      ("r2", 5L), ("r3", 7L), ("r4", 9L))
+      .toDF("recordId", "exportedOn")
+    val latest = BootstrapDriver.keepLatest(manifest, "recordId", "exportedOn")
+    assert(latest.count() == 4)
+    assert(latest.where($"recordId" === "r1")
+      .select("exportedOn").as[Long].head() == 20L)
+
+    // existing parquet holds r2 only → r1/r3/r4 need processing
+    val tmp = Files.createTempDirectory("graft_e3").toString
+    Seq(("r2", "a", 2022, 1, 1)).toDF(
+      "recordid", "assessmentid", "year", "month", "day")
+      .write.parquet(s"$tmp/ds1")
+    val need = BootstrapDriver.needsProcessing(
+      spark, latest, "recordId", Seq(s"$tmp/ds1"))
+    assert(need.select("recordId").as[String].collect().toSet ==
+      Set("r1", "r3", "r4"))
+
+    val batches = BootstrapDriver.batched(
+      need.withColumn("app", org.apache.spark.sql.functions.lit("mtb")),
+      Seq("app"), "recordId", batchSize = 2)
+    val byBatch = batches.groupBy("batch_no").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byBatch == Map(0 -> 2, 1 -> 1))
+
+    assert(BootstrapDriver.nextArchiveVersion(
+      Seq(1, 4, 2).toDF("n"), "n") == 5L)
+    assert(BootstrapDriver.nextArchiveVersion(
+      Seq.empty[Int].toDF("n"), "n") == 1L)
+  }
+}
