@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AvailableNow drain: first run takes everything, second run only " +
+      "new files (checkpoint = bookmark)") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    val jsonRoot = s"$tmp/json"
+    val schema = StructType.fromDDL("recordid string, v bigint")
+
+    def writeBatch(rid: String) =
+      Seq((rid, 1L, "a", 2022, 1, 1))
+        .toDF("recordid", "v", "assessmentid", "year", "month", "day")
+        .write.mode("append")
+        .partitionBy("assessmentid", "year", "month", "day")
+        .json(s"$jsonRoot/dataset=ds")
+
+    writeBatch("r1")
+    val q1 = StreamingIngest.drainToParquet(
+      StreamingIngest.readJsonStream(spark, jsonRoot, "ds", schema),
+      s"$tmp/out", s"$tmp/ckpt", Seq("assessmentid"))
+    q1.awaitTermination()
+    assert(spark.read.parquet(s"$tmp/out").count() == 1)
+
+    writeBatch("r2")
+    val q2 = StreamingIngest.drainToParquet(
+      StreamingIngest.readJsonStream(spark, jsonRoot, "ds", schema),
+      s"$tmp/out", s"$tmp/ckpt", Seq("assessmentid"))
+    q2.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 2)
+    assert(out.select("recordid").as[String].collect().toSet == Set("r1", "r2"))
+  }
+
+  test("watermarked windowed counts aggregate per key and window") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData(
+      (Timestamp.valueOf("2022-01-01 00:00:10"), "click"),
+      (Timestamp.valueOf("2022-01-01 00:00:20"), "click"),
+      (Timestamp.valueOf("2022-01-01 00:01:10"), "view"))
+    val counts = StreamingIngest.windowedCounts(
+      mem.toDF.toDF("ts", "kind"), "ts", "kind", "1 minute", "10 seconds")
+    val q = counts.writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$tmp/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("win_counts")
+      .select("kind", "n").as[(String, Long)].collect().toMap
+    assert(rows == Map("click" -> 2L, "view" -> 1L))
+  }
+
+  test("stateful keep-latest updates the per-user winner across batches") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingIngest.Event]
+    val latest = StreamingIngest.keepLatest(mem.toDS())
+    val q = latest.writeStream
+      .format("memory").queryName("latest_by_user")
+      .outputMode("update")
+      .option("checkpointLocation", s"$tmp/ckpt3")
+      .start()
+    mem.addData(
+      StreamingIngest.Event(1L, 100L, 1000L),
+      StreamingIngest.Event(1L, 101L, 2000L),
+      StreamingIngest.Event(2L, 200L, 500L))
+    q.processAllAvailable()
+    // a later event for user 1, an older (ignored) one for user 2
+    mem.addData(
+      StreamingIngest.Event(1L, 102L, 3000L),
+      StreamingIngest.Event(2L, 199L, 100L))
+    q.processAllAvailable()
+    val state = spark.table("latest_by_user")
+      .groupBy("user_id")
+      .agg(max_by(col("latest_event_id"), col("ts_ns")).as("winner"))
+      .as[(Long, Long)].collect().toMap
+    q.stop()
+    assert(state == Map(1L -> 102L, 2L -> 200L))
+  }
+}
