@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.dedup.Dedup
+import graft.relationalize.Relationalize
+import graft.schema.SchemaMerge
+
+/** ScalaCheck properties over generated inputs — the invariants the
+  * example-based suites can't sweep: relationalize round-trips arbitrary
+  * nested data, schema merge is idempotent/additive, exact dedup
+  * partitions the corpus.
+  */
+object PropertySpec extends Properties("graft") {
+
+  // Spark jobs per case are expensive; a handful of generated cases per
+  // property still sweeps sizes/shapes example tests would miss.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6).withMaxDiscardRatio(10)
+
+  private lazy val spark = SparkSpec.session
+
+  private val rowsGen: Gen[List[(String, Option[List[Int]])]] = for {
+    n <- Gen.chooseNum(1, 8)
+    ids = (0 until n).map(i => s"r$i").toList
+    arrays <- Gen.listOfN(n, Gen.option(
+      Gen.chooseNum(0, 5).flatMap(m =>
+        Gen.listOfN(m, Gen.chooseNum(-100, 100)))))
+  } yield ids.zip(arrays)
+
+  property("relationalize round-trip: child join-back reconstructs every " +
+      "array, parent row count preserved") =
+    Prop.forAllNoShrink(rowsGen) { rows =>
+      val schema = StructType(Seq(
+        StructField("rid", StringType),
+        StructField("xs", ArrayType(IntegerType))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (id, xs) => Row(id, xs.orNull) }, 2),
+        schema)
+      val tables = Relationalize.relationalize(
+        df, "t", keyCols = Seq("rid"), carryCols = Seq("rid"))
+      val root = tables("t")
+      val child = tables("t_xs")
+
+      val parentCountOk = root.count() == rows.length
+      // reconstruct each non-null array from the child via the carried key
+      val rebuilt = child.collect()
+        .map(r => (r.getAs[String]("rid"), r.getAs[Int]("index"),
+          r.getAs[Int]("xs_val")))
+        .groupBy(_._1)
+        .map { case (id, es) =>
+          id -> es.sortBy(_._2).map(_._3).toList
+        }
+      val expected = rows.collect {
+        case (id, Some(xs)) if xs.nonEmpty => id -> xs
+      }.toMap
+      val contentOk = rebuilt == expected
+      // FK linkage: child ids all appear as parent fk values
+      val fks = root.collect()
+        .flatMap(r => Option(r.get(r.fieldIndex("xs"))))
+        .map(_.asInstanceOf[Long]).toSet
+      val childFks = child.collect()
+        .map(_.getAs[Long]("id")).toSet
+      val fkOk = childFks.subsetOf(fks)
+      parentCountOk && contentOk && fkOk
+    }
+
+  private val typeGen: Gen[DataType] = Gen.oneOf(
+    StringType, IntegerType, LongType, DoubleType, BooleanType,
+    ArrayType(StringType), ArrayType(IntegerType))
+
+  private val structGen: Gen[StructType] = for {
+    n <- Gen.chooseNum(1, 6)
+    names <- Gen.pick(n, Seq("a", "b", "c", "d", "e", "f", "g", "h"))
+    types <- Gen.listOfN(n, typeGen)
+  } yield StructType(names.toSeq.zip(types).map {
+    case (nm, t) => StructField(nm, t)
+  })
+
+  property("schema merge is idempotent: merge(a, a) == a") =
+    Prop.forAllNoShrink(structGen) { st =>
+      SchemaMerge.merge(st, st) == Right(st)
+    }
+
+  property("schema merge is additive: result covers both field sets") =
+    Prop.forAllNoShrink(structGen, structGen) { (a, b) =>
+      SchemaMerge.merge(a, b) match {
+        case Right(m) =>
+          val names = m.fieldNames.toSet
+          a.fieldNames.forall(names) && b.fieldNames.forall(names)
+        case Left(errs) => errs.nonEmpty // conflicts must be reported
+      }
+    }
+
+  private val textsGen: Gen[List[String]] = for {
+    n <- Gen.chooseNum(1, 20)
+    pool <- Gen.listOfN(5, Gen.alphaStr.map(s => s"doc $s"))
+    texts <- Gen.listOfN(n, Gen.oneOf(pool))
+  } yield texts
+
+  property("exact dedup partitions the corpus: group sizes sum to total, " +
+      "groups == distinct texts, keeper is the min id") =
+    Prop.forAllNoShrink(textsGen) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Dedup.exact(df, "doc_id", "text").collect()
+      val sumOk = out.map(_.getAs[Long]("n_dups")).sum == texts.length
+      val groupsOk = out.length == texts.distinct.length
+      val keeperOk = out.forall { r =>
+        val fpTexts = texts.zipWithIndex
+          .filter { case (t, _) => t == texts(r.getAs[Long]("keeper").toInt) }
+        fpTexts.map(_._2.toLong).min == r.getAs[Long]("keeper")
+      }
+      sumOk && groupsOk && keeperOk
+    }
+}
