@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** Session extensions registering the library's native expressions —
+  * enable with `spark.sql.extensions=graft.GraftExtensions` (the public
+  * Catalyst extension point; no internal APIs involved).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(DotProduct.Name),
+      new ExpressionInfo(classOf[DotProduct].getName, DotProduct.Name),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"${DotProduct.Name} takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

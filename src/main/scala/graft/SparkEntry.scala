@@ -10,6 +10,7 @@ import graft.ann.Ann
 import graft.dedup.{Dedup, SimHash}
 import graft.ingest.{FileListing, Router, ZipSource}
 import graft.multimodal.Multimodal
+import graft.operators.Salted
 import graft.streaming.Bookmark
 import graft.text.TextAnalysis
 import graft.relationalize.Relationalize
@@ -387,20 +388,21 @@ object SparkEntry {
     Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"))
 
   /** A2 — dedup keep-latest per key by timestamp (bootstrap_trigger.py:222-225).
-    * Ties broken deterministically by event_id.
+    * Ties broken deterministically by event_id. Implemented as a single
+    * max_by aggregate rather than a row_number window: the partial
+    * aggregation combines map-side and AQE can split a skewed hot key,
+    * where a window must co-locate the whole partition on one task.
+    * Ordering uses raw nanosecond ts (ts_ns) for full-precision parity
+    * with the oracle.
     */
   private val a2KeepLatest = Q(
-    (s, dir) => {
-      // Order by the raw nanosecond ts (ts_ns) — the DuckDB oracle orders by
-      // full-nanosecond precision, so the µs-truncated ts could tie-break
-      // differently on sub-µs collisions.
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_ns").desc, col("event_id").desc)
-      t(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_id").as("latest_event_id"), col("event_type").as("latest_type"))
-    },
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type")),
+        struct(col("ts_ns"), col("event_id"))).as("w"))
+      .select(col("user_id"), col("w.event_id").as("latest_event_id"),
+        col("w.event_type").as("latest_type")),
     Some("SELECT user_id, event_id AS latest_event_id, event_type AS latest_type FROM (SELECT user_id, event_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"))
 
   /** A3 — count / count-distinct parity check (JIRA/etl-245/main.py:20-55). */
@@ -422,18 +424,26 @@ object SparkEntry {
     Some("SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"))
 
   /** A5 — sample one representative row per group (get_representative_sample.py:55-66),
-    * deterministic rank instead of shuffle-then-drop-duplicates.
+    * deterministic pick instead of shuffle-then-drop-duplicates; min_by
+    * aggregate for the same skew-friendliness as A2.
     */
   private val a5SamplePerGroup = Q(
-    (s, dir) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts_ns").asc, col("event_id").asc)
-      t(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_type"), col("event_id").as("sample_event_id"))
-    },
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(min_by(col("event_id"),
+        struct(col("ts_ns"), col("event_id"))).as("sample_event_id")),
     Some("SELECT event_type, event_id AS sample_event_id FROM (SELECT event_type, event_id, row_number() OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS rn FROM events) WHERE rn = 1"))
+
+  /** A3-salted — exact count-distinct with a salted value space: the
+    * skew-safe form for hot keys whose distinct-state would otherwise
+    * accumulate on a single reducer. Result is identical to a plain
+    * count-distinct (each distinct value lands in exactly one salt).
+    */
+  private val a3SaltedDistinct = Q(
+    (s, dir) => Salted.countDistinct(
+      t(s, dir, "events"), Seq("event_type"), "user_id",
+      salts = 16, resultName = "n_users"),
+    Some("SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"))
 
   /** A6 — max-over-group (archive_dataset.py:119-152). min/max are exact on
     * doubles, so no rounding.
@@ -833,6 +843,7 @@ object SparkEntry {
     "a1_distinct" -> a1Distinct,
     "a2_dedup_keep_latest" -> a2KeepLatest,
     "a3_count_distinct" -> a3CountDistinct,
+    "a3_salted_distinct" -> a3SaltedDistinct,
     "a4_group_batch" -> a4GroupBatch,
     "a5_sample_per_group" -> a5SamplePerGroup,
     "a6_max_per_group" -> a6MaxPerGroup,

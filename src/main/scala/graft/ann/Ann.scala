@@ -33,14 +33,19 @@ object Ann {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Dot product of two numeric array columns (double math). */
+  /** Dot product of two numeric array columns (double math) — a native
+    * codegen'd expression (graft.functions.DotProduct): identical
+    * left-to-right accumulation to the zip_with/aggregate form, minus the
+    * interpreted per-element lambdas.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dotNative(toDouble(a), toDouble(b))
 
   /** L2 norm of a numeric array column. */
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(toDouble(a), lit(0.0), (acc, v) => acc + v * v))
+  def l2norm(a: Column): Column = {
+    val ad = toDouble(a)
+    sqrt(graft.functions.DotProduct.dotNative(ad, ad))
+  }
 
   /** Cosine similarity of two numeric array columns (double math). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))

@@ -14,6 +14,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
