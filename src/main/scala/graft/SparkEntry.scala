@@ -15,7 +15,7 @@ import graft.streaming.Bookmark
 import graft.text.TextAnalysis
 import graft.relationalize.Relationalize
 import graft.sources.{JsonDataset, ParquetDataset}
-import graft.validate.{ErrorSuppression, FileMetadata, JsonSchemaValidator, SchemaResolver}
+import graft.validate.{ErrorSuppression, FileMetadata, JsonSchemaValidator, SchemaCache, SchemaResolver}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2.
   *
@@ -746,6 +746,22 @@ object SparkEntry {
         col("resolved_rev"), col("resolved_s_name")),
     Some("SELECT c_custkey, c_nationkey, resolved_rev, resolved_s_name FROM (SELECT c_custkey, c_nationkey, s_suppkey AS resolved_rev, s_name AS resolved_s_name, row_number() OVER (PARTITION BY c_custkey ORDER BY s_suppkey DESC) AS rn FROM customer JOIN supplier ON s_nationkey = c_nationkey AND s_suppkey <= c_custkey) WHERE rn = 1"))
 
+  /** V2 — schema caching (s3_to_json_s3.py:285-299): resolving the same
+    * URLs repeatedly fetches each exactly once. Driver-side reference-data
+    * machinery, surfaced as a deterministic one-row result.
+    */
+  private val v2SchemaCache = Q(
+    (s, dir) => {
+      import s.implicits._
+      var fetches = 0
+      val cache = new SchemaCache(url => { fetches += 1; s"""{"$$id": "$url"}""" })
+      val urls = Seq("u1", "u2", "u3", "u1", "u2", "u1")
+      urls.foreach(cache.get)
+      Seq((urls.length, cache.size, fetches))
+        .toDF("n_resolves", "n_cached", "n_fetches")
+    },
+    Some("SELECT * FROM (VALUES (6, 3, 3)) AS t(n_resolves, n_cached, n_fetches)"))
+
   /** V3 — JSON-Schema validation over a payload column
     * (s3_to_json_s3.py:302-415): three deterministic payload shapes (valid,
     * missing required, wrong type) produce python-jsonschema-parity error
@@ -870,6 +886,7 @@ object SparkEntry {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "v1_schema_resolve" -> v1SchemaResolve,
+    "v2_schema_cache" -> v2SchemaCache,
     "v3_validate" -> v3Validate,
     "v4_suppress" -> v4Suppress,
     "v5_timestamp_parts" -> v5TimestampParts,
