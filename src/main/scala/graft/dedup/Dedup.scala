@@ -51,9 +51,22 @@ object Dedup {
     */
   def jaccardPairs(
       docs: DataFrame, id: String, text: String,
-      threshold: Double): DataFrame = {
-    val words = widen(docs).select(col(id).as("id"),
+      threshold: Double, maxDf: Option[Long] = None): DataFrame = {
+    val allWords = widen(docs).select(col(id).as("id"),
       explode(array_distinct(split(lower(col(text)), "\\s+"))).as("w"))
+    // Optional scale valve: tokens in more than maxDf documents are
+    // excluded from pair GENERATION (they dominate the Σ df² fanout while
+    // discriminating nothing). A capped run is a candidate filter — pairs
+    // sharing only ultra-common tokens are missed, so exact semantics
+    // require maxDf = None; true scale runs should use minhash() instead.
+    val words = maxDf match {
+      case None => allWords
+      case Some(cap) =>
+        val rare = allWords.groupBy(col("w"))
+          .agg(count(lit(1)).as("df")).where(col("df") <= cap)
+          .select(col("w"))
+        allWords.join(broadcast(rare), "w")
+    }
     val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = words.as("a").join(words.as("b"),
         col("a.w") === col("b.w") && col("a.id") < col("b.id"))
