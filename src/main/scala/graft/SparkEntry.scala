@@ -136,9 +136,9 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_s3").toString
       val df = t(s, dir, "documents").select(
         col("doc_id"), col("n_chars"), col("lang").as("assessmentid"),
-        (lit(2020) + col("doc_id") % 3).cast("int").as("year"),
-        (lit(1) + col("doc_id") % 12).cast("int").as("month"),
-        (lit(1) + col("doc_id") % 28).cast("int").as("day"))
+        (lit(2020) + col("doc_id") % 2).cast("int").as("year"),
+        (lit(1) + col("doc_id") % 3).cast("int").as("month"),
+        (lit(1) + col("doc_id") % 4).cast("int").as("day"))
       JsonDataset.write(df, tmp, "docs")
       JsonDataset.read(s, tmp, "docs",
           StructType.fromDDL("doc_id bigint, n_chars bigint"))
@@ -146,7 +146,7 @@ object SparkEntry {
           col("year").cast("int"), col("month").cast("int"),
           col("day").cast("int"))
     },
-    Some("SELECT doc_id, n_chars, lang AS assessmentid, CAST(2020 + doc_id % 3 AS INT) AS year, CAST(1 + doc_id % 12 AS INT) AS month, CAST(1 + doc_id % 28 AS INT) AS day FROM documents"))
+    Some("SELECT doc_id, n_chars, lang AS assessmentid, CAST(2020 + doc_id % 2 AS INT) AS year, CAST(1 + doc_id % 3 AS INT) AS month, CAST(1 + doc_id % 4 AS INT) AS day FROM documents"))
 
   /** S4 — partitioned-Parquet sink round-trip, the pipeline's final output
     * artifact (json_s3_to_parquet.py:81-103).
@@ -225,6 +225,39 @@ object SparkEntry {
       Bookmark.newData(s, s"$tmp/data", s"$tmp/manifest")
     },
     Some("SELECT event_id, event_type FROM events WHERE event_id % 2 <> 0"))
+
+  /** §2.8-streaming — watermarked tumbling-window counts executed as a
+    * REAL Structured Streaming job (file source → window agg → memory
+    * sink, Trigger.AvailableNow — one drained micro-batch run, the
+    * streaming shape of a bookmark-enabled batch). Batch-parity oracle:
+    * the drained stream must equal the equivalent GROUP BY over the same
+    * data. Window starts are emitted as formatted strings so both engines
+    * compare wall-clock values, not timezone encodings. At scale the sink
+    * would be drainToParquet (partitioned files + checkpoint); the memory
+    * sink is the harness-comparable form.
+    */
+  private val stWindowCounts = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st").toString
+      t(s, dir, "events").select(col("event_id"), col("event_type"), col("ts"))
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream
+        .schema(StructType.fromDDL(
+          "event_id bigint, event_type string, ts timestamp"))
+        .parquet(s"$tmp/in")
+      val agg = graft.streaming.StreamingIngest.windowedCounts(
+        stream, "ts", "event_type", "1 hour", "1 hour")
+      val qn = "st_wc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).select(
+        date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"))
+    },
+    Some("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, event_type, count(*) AS n FROM events GROUP BY 1, 2"))
 
   // --------------------------------------------------------------------
   // §2.2 Projections / filters / predicates
@@ -648,15 +681,20 @@ object SparkEntry {
         length(col("frame")).cast("int").as("frame_len")),
     Some("SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(CASE WHEN i < f - 1 THEN pl // f ELSE pl - (pl // f) * (f - 1) END AS INT) AS frame_len FROM (SELECT doc_id, 1 + doc_id % 4 AS f, length(text) AS pl FROM documents) t JOIN (SELECT unnest(generate_series(0, 3)) AS i) s ON i < f WHERE i % 2 = 0"))
 
-  /** Feature extraction plumbing: fixed-size float vector per blob
-    * (byte-histogram stub) — approximate-free but oracle-heavy, so
-    * registered rows-only; values are asserted in MultimodalSpec.
+  /** Feature extraction plumbing: fixed-size vector per blob
+    * (byte-histogram stub), emitted exploded as (doc_id, bin, value) scalar
+    * rows — vector columns can't be hash-compared by the harness, and the
+    * exploded form is the exact child-table shape a feature store would
+    * use. The oracle recomputes the byte histogram character-wise (the
+    * synthetic content is pure ASCII, so byte == codepoint).
     */
   private val mmFeaturize = Q(
     (s, dir) => Multimodal.featurize(
-      t(s, dir, "documents").select(col("doc_id"), mmContent.as("content")),
-      "doc_id", "content"),
-    None)
+        t(s, dir, "documents").select(col("doc_id"), mmContent.as("content")),
+        "doc_id", "content")
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "value")))
+      .select(col("doc_id"), col("bin").cast("int").as("bin"), col("value")),
+    Some("WITH c AS (SELECT doc_id, 'GRFT|img|' || CAST(64 + doc_id % 64 AS VARCHAR) || '|' || CAST(48 + doc_id % 32 AS VARCHAR) || '|' || CAST(1 + doc_id % 4 AS VARCHAR) || '|' || text AS s FROM documents), pos AS (SELECT unnest(generate_series(1, 1024)) AS i), ch AS (SELECT doc_id, ascii(substr(s, CAST(i AS INT), 1)) % 16 AS bin FROM c JOIN pos ON i <= length(s)), cnt AS (SELECT doc_id, bin, count(*) AS n FROM ch GROUP BY 1, 2), bins AS (SELECT unnest(generate_series(0, 15)) AS bin), tot AS (SELECT doc_id, length(s) AS len FROM c) SELECT tot.doc_id, CAST(bins.bin AS INT) AS bin, CAST(COALESCE(cnt.n, 0) AS DOUBLE) / tot.len AS value FROM tot CROSS JOIN bins LEFT JOIN cnt ON cnt.doc_id = tot.doc_id AND cnt.bin = bins.bin"))
 
   // --------------------------------------------------------------------
   // LLM-pipeline: text analysis
@@ -711,17 +749,20 @@ object SparkEntry {
     Some("SELECT a.vec_id AS id1, b.vec_id AS id2, round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.4"))
 
   /** IVF-style approximate top-k (scale path): probe the 3 nearest
-    * label-cluster centroids, score only those clusters. Approximate by
-    * construction → rows-only check; recall is asserted in AnnSpec.
+    * cluster pivots, score only those clusters' vectors. Pivot centroids
+    * (min-id member per cluster) are bit-reproducible — no float-mean
+    * fold-order drift — so the whole approximate operator is exactly
+    * oracle-checkable; mean-centroid recall is asserted in AnnSpec.
     */
   private val annIvfTopK = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.ivfTopK(emb, "vec_id", "embedding", "label",
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nprobe = 3)
+        k = 5, nprobe = 3,
+        cents = Some(Ann.pivotCentroids(emb, "label", "vec_id", "embedding")))
     },
-    None)
+    Some("WITH cent AS (SELECT label, arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)), vec_id) AS cv FROM embeddings GROUP BY label), q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id < 10), probe AS (SELECT q_id, qe, label, row_number() OVER (PARTITION BY q_id ORDER BY round(list_cosine_similarity(qe, cv), 4) DESC, label) AS crank FROM q CROSS JOIN cent), pr AS (SELECT q_id, qe, label FROM probe WHERE crank <= 3), s AS (SELECT q_id, e.vec_id AS neighbor_id, round(list_cosine_similarity(qe, list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM pr JOIN embeddings e ON e.label = pr.label WHERE e.vec_id <> pr.q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
 
   // --------------------------------------------------------------------
   // §2.6 Validation surface (V1–V4)
@@ -846,6 +887,7 @@ object SparkEntry {
     "s7_quarantine" -> s7Quarantine,
     "s8_listing" -> s8Listing,
     "bm_incremental" -> bmIncremental,
+    "st_window_counts" -> stWindowCounts,
     "p1_project" -> p1Project,
     "p2_flatten_rename" -> p2FlattenRename,
     "p3_inject" -> p3Inject,

@@ -17,12 +17,17 @@ import org.apache.spark.sql.functions._
   *                near-dup pairs without an all-pairs product
   *  - bruteForcePairs: exact pair similarity (verification baseline)
   *
-  * All arithmetic is cast to double before accumulation so results are
-  * reproducible across engines (float fold order differs otherwise).
+  * All arithmetic is in doubles so results are reproducible across engines
+  * (float fold order differs otherwise). The cast to `array<double>` is
+  * applied ONCE per row before any join: a cast inside the pair-scoring
+  * expression would re-allocate and re-convert both arrays per PAIR —
+  * at 2k vectors that is 4M hidden conversions, at 100 TB it dominates.
+  * Per-pair work after the pre-cast is a single codegen'd dot product
+  * (graft.functions.DotProduct).
   */
 object Ann {
 
-  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Compute-bound stages need at least one partition per core — a single
     * small parquet file otherwise pins the whole similarity computation to
@@ -34,12 +39,17 @@ object Ann {
   }
 
   /** Dot product of two numeric array columns (double math) — a native
-    * codegen'd expression (graft.functions.DotProduct): identical
-    * left-to-right accumulation to the zip_with/aggregate form, minus the
-    * interpreted per-element lambdas.
+    * codegen'd expression: identical left-to-right accumulation to the
+    * zip_with/aggregate form, minus the interpreted per-element lambdas.
     */
   def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct.dotNative(toDouble(a), toDouble(b))
+
+  /** Dot product of two columns that are ALREADY array<double> — no cast
+    * in the hot path. Use after a per-row pre-cast projection.
+    */
+  private def dotD(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotNative(a, b)
 
   /** L2 norm of a numeric array column. */
   def l2norm(a: Column): Column = {
@@ -50,6 +60,16 @@ object Ann {
   /** Cosine similarity of two numeric array columns (double math). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Per-row similarity state: id, double vector, precomputed norm — the
+    * projection every scoring join starts from, so the pair loop does one
+    * dot product and one divide per pair.
+    */
+  private def prepared(
+      df: DataFrame, id: String, vec: String,
+      idAs: String, vecAs: String, normAs: String): DataFrame =
+    df.select(col(id).as(idAs), toDouble(col(vec)).as(vecAs))
+      .withColumn(normAs, sqrt(dotD(col(vecAs), col(vecAs))))
+
   /** Brute-force cosine top-k: each query row against the whole corpus.
     * Queries are broadcast; similarity is rounded to 4 decimals before
     * ranking (ties broken by neighbor id) for cross-engine determinism.
@@ -58,16 +78,12 @@ object Ann {
       corpus: DataFrame, id: String, vec: String,
       queries: DataFrame, qId: String, qVec: String,
       k: Int): DataFrame = {
-    // norms precomputed once per row, not once per pair — the higher-order
-    // aggregate lambdas are interpreted, so this cuts the per-pair work to
-    // a single dot product (numerically identical: same dot / (na * nb))
-    val scored = widen(corpus).withColumn("__n", l2norm(col(vec)))
-      .crossJoin(broadcast(
-        queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
-          .withColumn("__qn", l2norm(col("q_vec")))))
+    val corp = widen(prepared(corpus, id, vec, id, "__v", "__n"))
+    val qs = prepared(queries, qId, qVec, "q_id", "q_vec", "__qn")
+    val scored = corp.crossJoin(broadcast(qs))
       .where(col("q_id") =!= col(id))
       .withColumn("sim",
-        round(dot(col("q_vec"), col(vec)) / (col("__qn") * col("__n")), 4))
+        round(dotD(col("q_vec"), col("__v")) / (col("__qn") * col("__n")), 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col(id).asc)
     scored.withColumn("rank", row_number().over(w))
@@ -76,8 +92,11 @@ object Ann {
         col(id).as("neighbor_id"), col("sim"))
   }
 
-  /** Elementwise centroid per cluster column (posexplode + avg + rebuild —
-    * a two-shuffle aggregation over (cluster, dim)).
+  /** Elementwise mean centroid per cluster column (posexplode + avg +
+    * rebuild — a two-shuffle aggregation over (cluster, dim)). The mean is
+    * the highest-recall coarse quantizer, but its low-order bits depend on
+    * the reduction order, so use [[pivotCentroids]] when the downstream
+    * ranking must be bit-reproducible across engines/runs.
     */
   def centroids(corpus: DataFrame, cluster: String, vec: String): DataFrame =
     corpus
@@ -88,32 +107,52 @@ object Ann {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col(cluster), transform(col("pm"), p => p.getField("m")).as("centroid"))
 
+  /** Deterministic pivot "centroids": the member vector with the smallest
+    * id per cluster — a k-medoid-style coarse quantizer whose pivots are
+    * exact corpus vectors. Unlike a floating-point mean (whose low bits
+    * depend on partition fold order), pivots are bit-reproducible across
+    * runs and engines, so IVF results built on them are exactly
+    * oracle-checkable. One map-side-combining aggregate, no explode.
+    */
+  def pivotCentroids(
+      corpus: DataFrame, cluster: String, id: String, vec: String): DataFrame =
+    corpus.groupBy(col(cluster))
+      .agg(min_by(toDouble(col(vec)), col(id)).as("centroid"))
+
   /** IVF-style approximate top-k: score each query against the (tiny,
     * broadcast) centroid table, keep the `nprobe` nearest clusters, then
     * score only vectors in those clusters. Recall < 1 by construction;
     * the scan cost drops by roughly nclusters/nprobe.
+    *
+    * `cents` overrides the centroid table ((cluster, centroid) rows, e.g.
+    * [[pivotCentroids]]); default is the elementwise mean. Probe ranking
+    * rounds to 4 decimals with a cluster-id tiebreak, so a deterministic
+    * centroid table makes the whole operator deterministic.
     */
   def ivfTopK(
       corpus: DataFrame, id: String, vec: String, cluster: String,
       queries: DataFrame, qId: String, qVec: String,
-      k: Int, nprobe: Int): DataFrame = {
-    val cents = centroids(corpus, cluster, vec)
+      k: Int, nprobe: Int, cents: Option[DataFrame] = None): DataFrame = {
+    val centTable = cents.getOrElse(centroids(corpus, cluster, vec))
+      .select(col(cluster), toDouble(col("centroid")).as("centroid"))
+      .withColumn("__cn", sqrt(dotD(col("centroid"), col("centroid"))))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("csim").desc, col(cluster).asc)
-    val probed = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("q_vec"), col("centroid")))
+    val probed = prepared(queries, qId, qVec, "q_id", "q_vec", "__qn")
+      .crossJoin(broadcast(centTable))
+      .withColumn("csim",
+        round(dotD(col("q_vec"), col("centroid")) / (col("__qn") * col("__cn")), 4))
       .withColumn("crank", row_number().over(probeW))
       .where(col("crank") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col(cluster))
+      .select(col("q_id"), col("q_vec"), col("__qn"), col(cluster))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col(id).asc)
-    widen(corpus).withColumn("__n", l2norm(col(vec)))
-      .join(broadcast(probed.withColumn("__qn", l2norm(col("q_vec")))),
-        Seq(cluster))
+    widen(corpus.select(col(id), col(cluster), toDouble(col(vec)).as("__v")))
+      .withColumn("__n", sqrt(dotD(col("__v"), col("__v"))))
+      .join(broadcast(probed), Seq(cluster))
       .where(col("q_id") =!= col(id))
       .withColumn("sim",
-        round(dot(col("q_vec"), col(vec)) / (col("__qn") * col("__n")), 4))
+        round(dotD(col("q_vec"), col("__v")) / (col("__qn") * col("__n")), 4))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("int").as("rank"),
@@ -126,13 +165,11 @@ object Ann {
   def bruteForcePairs(
       corpus: DataFrame, id: String, vec: String,
       threshold: Double): DataFrame = {
-    val a = widen(corpus).select(col(id).as("id1"), col(vec).as("v1"),
-      l2norm(col(vec)).as("n1"))
-    val b = corpus.select(col(id).as("id2"), col(vec).as("v2"),
-      l2norm(col(vec)).as("n2"))
+    val a = widen(prepared(corpus, id, vec, "id1", "v1", "n1"))
+    val b = prepared(corpus, id, vec, "id2", "v2", "n2")
     a.crossJoin(broadcast(b)).where(col("id1") < col("id2"))
       .withColumn("sim",
-        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
+        round(dotD(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
       .where(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }
@@ -147,13 +184,16 @@ object Ann {
   }
 
   /** Sign-sketch signature: bit j = sign(v · plane_j), emitted as a
-    * '0'/'1' string of length `bits`.
+    * '0'/'1' string of length `bits`. The per-plane dot runs through the
+    * native codegen'd expression against a constant plane array — same
+    * left-to-right accumulation as the interpreted zip_with/aggregate
+    * form, ~an order of magnitude cheaper per row.
     */
   def signature(vec: Column, bits: Int, dim: Int): Column = {
+    val vd = toDouble(vec)
     val bitCols = (0 until bits).map { j =>
       val plane = array((0 until dim).map(d => lit(planeComponent(j, d))): _*)
-      when(aggregate(zip_with(toDouble(vec), plane, (x, p) => x * p),
-        lit(0.0), (acc, v) => acc + v) > 0, "1").otherwise("0")
+      when(dotD(vd, plane) > 0, "1").otherwise("0")
     }
     concat(bitCols: _*)
   }
@@ -169,20 +209,22 @@ object Ann {
       threshold: Double, bits: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
     require(bits % bands == 0)
     val rows = bits / bands
-    val sig = widen(corpus).select(col(id).as("id"), col(vec).as("v"),
-      signature(col(vec), bits, dim).as("sig"))
-    val banded = sig.select(col("id"), col("v"),
+    val sig = widen(prepared(corpus, id, vec, "id", "v", "n"))
+      .withColumn("sig", signature(col("v"), bits, dim))
+    val banded = sig.select(col("id"), col("v"), col("n"),
         posexplode(array((0 until bands).map(b =>
           concat(lit(b.toString), lit(":"),
             substring(col("sig"), b * rows + 1, rows))): _*))
           .as(Seq("band", "bucket")))
-      .select(col("id"), col("v"), col("bucket"))
+      .select(col("id"), col("v"), col("n"), col("bucket"))
     banded.as("x").join(banded.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"),
-        col("x.v").as("v1"), col("y.v").as("v2"))
+        col("x.v").as("v1"), col("x.n").as("n1"),
+        col("y.v").as("v2"), col("y.n").as("n2"))
       .distinct()
-      .withColumn("sim", round(cosine(col("v1"), col("v2")), 4))
+      .withColumn("sim",
+        round(dotD(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
       .where(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }

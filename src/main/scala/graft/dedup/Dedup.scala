@@ -44,39 +44,63 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("fp"))
       .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** EXACT word-set Jaccard pairs ≥ threshold via inverted index:
-    * token → sorted doc pairs sharing it → intersection counts → Jaccard.
-    * No cartesian product; the fanout is Σ df(token)² — acceptable when
-    * token document-frequencies are bounded, otherwise use minhash().
+  /** EXACT word-set Jaccard pairs ≥ threshold via prefix-filtered
+    * inverted index (the All-Pairs/PPJoin scheme — Bayardo et al. WWW'07,
+    * Xiao et al. WWW'08, both public): order tokens globally by document
+    * frequency (rarest first), keep only each doc's first
+    * `|d| − ⌈t·|d|⌉ + 1` tokens as its PREFIX, and generate candidates
+    * from prefix-token collisions plus a symmetric size filter. Any pair
+    * with J ≥ t provably shares a token in both prefixes, so the
+    * candidate set is complete; each candidate is then verified exactly
+    * against the full token sets. Versus a naive inverted-index join this
+    * cuts the fanout from Σ df(token)² (every shared token, dominated by
+    * stopwords) to collisions on rare tokens only — on templated corpora
+    * that is orders of magnitude, and nothing scales with the pair
+    * product.
     */
   def jaccardPairs(
       docs: DataFrame, id: String, text: String,
       threshold: Double, maxDf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val allWords = widen(docs).select(col(id).as("id"),
       explode(array_distinct(split(lower(col(text)), "\\s+"))).as("w"))
+    val dfs = allWords.groupBy(col("w")).agg(count(lit(1)).as("df"))
     // Optional scale valve: tokens in more than maxDf documents are
-    // excluded from pair GENERATION (they dominate the Σ df² fanout while
-    // discriminating nothing). A capped run is a candidate filter — pairs
-    // sharing only ultra-common tokens are missed, so exact semantics
+    // excluded entirely (sets, sizes, and candidates) — a capped run
+    // computes Jaccard over the capped vocabulary. Exact semantics
     // require maxDf = None; true scale runs should use minhash() instead.
-    val words = maxDf match {
-      case None => allWords
-      case Some(cap) =>
-        val rare = allWords.groupBy(col("w"))
-          .agg(count(lit(1)).as("df")).where(col("df") <= cap)
-          .select(col("w"))
-        allWords.join(broadcast(rare), "w")
+    val capped = maxDf match {
+      case None => dfs
+      case Some(cap) => dfs.where(col("df") <= cap)
     }
-    val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = words.as("a").join(words.as("b"),
-        col("a.w") === col("b.w") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id1")
-        .withColumnRenamed("sz", "sz1"), "id1")
-      .join(sizes.withColumnRenamed("id", "id2")
-        .withColumnRenamed("sz", "sz2"), "id2")
+    val words = allWords.join(capped, "w")
+    // ceil(t·sz) on doubles can land 1 ulp above an integer (0.8·10 →
+    // 8.000000000000002 → ceil 9), silently shrinking the prefix and
+    // breaking completeness; round to 6 decimals first.
+    def tceil(sz: Column): Column = ceil(round(lit(threshold) * sz, 6))
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("w").asc)
+    val perDoc = Window.partitionBy(col("id"))
+    val prefix = words
+      .withColumn("pos", row_number().over(byRarity))
+      .withColumn("sz", count(lit(1)).over(perDoc))
+      .where(col("pos") <= col("sz") - tceil(col("sz")) + 1)
+      .select(col("id"), col("w"), col("sz"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.id") < col("b.id") &&
+          col("b.sz") >= tceil(col("a.sz")) &&
+          col("a.sz") >= tceil(col("b.sz")))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val sets = words.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("w"))).as("set"),
+        count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("id").as("id1"), col("set").as("set1"),
+        col("sz").as("sz1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("set").as("set2"),
+        col("sz").as("sz2")), "id2")
+      .withColumn("inter", size(array_intersect(col("set1"), col("set2"))))
       .withColumn("jaccard",
         col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .where(col("jaccard") >= threshold)

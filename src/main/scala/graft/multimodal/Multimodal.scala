@@ -97,8 +97,11 @@ object Multimodal {
   }
 
   /** Deterministic fake featurizer: 16-bin byte histogram, L1-normalized
-    * to a float vector — the embedding-extraction plumbing (fixed-size
-    * Array[Float] column) with a stub feature function.
+    * to a fixed-size vector — the embedding-extraction plumbing with a stub
+    * feature function. Double math throughout: integer counts divided in
+    * IEEE double are bit-identical across engines, so the output is exactly
+    * oracle-checkable (a float32 division would round differently than the
+    * oracle's double division).
     */
   def featurize(df: DataFrame, id: String, content: String): DataFrame = {
     val spark = df.sparkSession
@@ -107,9 +110,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (rowId, bytes) =>
-          val hist = new Array[Float](16)
-          bytes.foreach(b => hist((b & 0xff) % 16) += 1f)
-          val total = math.max(bytes.length, 1).toFloat
+          val hist = new Array[Long](16)
+          bytes.foreach(b => hist((b & 0xff) % 16) += 1L)
+          val total = math.max(bytes.length, 1).toDouble
           (rowId, hist.map(_ / total).toSeq)
         }
       }

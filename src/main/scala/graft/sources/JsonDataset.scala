@@ -50,9 +50,13 @@ object JsonDataset {
   def injectAllMetadata(df: DataFrame, metadata: Map[String, Column]): DataFrame =
     metadata.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, v) }
 
-  /** S3 — partitioned-NDJSON sink. */
+  /** S3 — partitioned-NDJSON sink. Clustered by the partition columns
+    * first so each partition directory receives one file per run instead
+    * of one per task (see ParquetDataset.write).
+    */
   def write(df: DataFrame, root: String, dataset: String): Unit =
-    df.write
+    df.repartition(PartitionCols.map(df.col): _*)
+      .write
       .mode("append")
       .partitionBy(PartitionCols: _*)
       .json(s"$root/dataset=$dataset")

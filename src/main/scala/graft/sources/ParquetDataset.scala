@@ -11,12 +11,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ParquetDataset {
 
+  /** Rows are clustered by the partition columns before the write:
+    * without it every task opens a writer in every partition directory it
+    * touches (tasks × partitions small files — the classic partitioned-
+    * write explosion); with it each partition value lands in one task and
+    * produces one well-sized file. Hot partition values that overflow a
+    * single task are the writer-side skew case — bound file size with
+    * `spark.sql.files.maxRecordsPerFile` rather than pre-splitting here.
+    */
   def write(df: DataFrame, path: String,
-      partitionCols: Seq[String] = JsonDataset.PartitionCols): Unit =
-    df.write
+      partitionCols: Seq[String] = JsonDataset.PartitionCols): Unit = {
+    val clustered =
+      if (partitionCols.isEmpty) df
+      else df.repartition(partitionCols.map(df.col): _*)
+    clustered.write
       .mode("append")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
 
   /** S5 — column-pruned scan; Catalyst pushes the projection to the
     * parquet footer, so this reads only the requested columns.

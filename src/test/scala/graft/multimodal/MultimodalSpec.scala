@@ -44,11 +44,11 @@ class MultimodalSpec extends SparkSpec {
     assert(!frames.exists(_._1 == 3L))
   }
 
-  test("featurize yields a fixed-size L1-normalized float vector") {
+  test("featurize yields a fixed-size L1-normalized vector") {
     val feats = Multimodal.featurize(df, "doc_id", "content")
       .where($"doc_id" === 1L)
-      .select("features").as[Seq[Float]].head()
+      .select("features").as[Seq[Double]].head()
     assert(feats.length == 16)
-    assert(math.abs(feats.sum - 1.0f) < 1e-5)
+    assert(math.abs(feats.sum - 1.0) < 1e-12)
   }
 }
