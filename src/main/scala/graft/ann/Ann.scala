@@ -33,10 +33,8 @@ object Ann {
     * small parquet file otherwise pins the whole similarity computation to
     * one task. No-op on already-wide inputs.
     */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def widen(df: DataFrame): DataFrame =
+    graft.operators.Widen(df)
 
   /** Dot product of two numeric array columns (double math) — a native
     * codegen'd expression: identical left-to-right accumulation to the

@@ -17,15 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Ensure a compute-bound stage has at least one partition per core:
-    * a small-but-dense input (one parquet file) otherwise pins the whole
-    * shingle/signature computation to a single task. No-op when the input
-    * is already wide (the 100 TB case — real datasets arrive pre-split).
+  /** Ensure a compute-bound stage has at least one partition per core
+    * (no-op on already-wide inputs — the 100 TB case). See
+    * [[graft.operators.Widen]].
     */
-  private[graft] def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private[graft] def widen(df: DataFrame): DataFrame =
+    graft.operators.Widen(df)
 
   /** Word n-gram shingle set (lowercased, whitespace-tokenized). */
   def shingles(text: Column, n: Int = 3): Column = {
@@ -44,57 +41,110 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("fp"))
       .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** EXACT word-set Jaccard pairs ≥ threshold via prefix-filtered
-    * inverted index (the All-Pairs/PPJoin scheme — Bayardo et al. WWW'07,
-    * Xiao et al. WWW'08, both public): order tokens globally by document
-    * frequency (rarest first), keep only each doc's first
-    * `|d| − ⌈t·|d|⌉ + 1` tokens as its PREFIX, and generate candidates
-    * from prefix-token collisions plus a symmetric size filter. Any pair
-    * with J ≥ t provably shares a token in both prefixes, so the
-    * candidate set is complete; each candidate is then verified exactly
-    * against the full token sets. Versus a naive inverted-index join this
-    * cuts the fanout from Σ df(token)² (every shared token, dominated by
-    * stopwords) to collisions on rare tokens only — on templated corpora
-    * that is orders of magnitude, and nothing scales with the pair
-    * product.
+  /** ceil(t·sz) on doubles can land 1 ulp above an integer (0.8·10 →
+    * 8.000000000000002 → ceil 9), silently tightening a bound and
+    * breaking completeness; round to 6 decimals first.
+    */
+  private def tceil(threshold: Double, sz: Column): Column =
+    ceil(round(lit(threshold) * sz, 6))
+
+  /** EXACT word-set Jaccard pairs ≥ threshold via a counted inverted
+    * index: one token self-join (shuffle by token) feeding a map-side-
+    * combining count aggregate — |∩| per pair — with set sizes carried in
+    * the token rows (computed in the projection, so no size-lookup joins).
+    * A symmetric size filter (J ≤ min/max, so J ≥ t needs
+    * min(sz) ≥ ⌈t·max(sz)⌉) prunes pairs inside the join before the
+    * aggregate sees them.
+    *
+    * Cost model: fanout is Σ df(token)² tiny (id,id) rows — never the
+    * full per-pair token SETS, which is why this beats prefix-filtered
+    * candidate+verify ([[jaccardPairsPrefix]]) on dup-dense corpora where
+    * most colliding pairs really do qualify (verification there shuffles
+    * two full arrays per candidate). On dup-SPARSE corpora with heavy
+    * stopword skew the prefix variant wins; at true scale use minhash().
     */
   def jaccardPairs(
       docs: DataFrame, id: String, text: String,
       threshold: Double, maxDf: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val allWords = widen(docs).select(col(id).as("id"),
-      explode(array_distinct(split(lower(col(text)), "\\s+"))).as("w"))
-    val dfs = allWords.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    // Optional scale valve: tokens in more than maxDf documents are
-    // excluded entirely (sets, sizes, and candidates) — a capped run
-    // computes Jaccard over the capped vocabulary. Exact semantics
-    // require maxDf = None; true scale runs should use minhash() instead.
-    val capped = maxDf match {
-      case None => dfs
-      case Some(cap) => dfs.where(col("df") <= cap)
+    val toks = tokensWithSize(docs, id, text, maxDf)
+    toks.as("a").join(toks.as("b"),
+        col("a.w") === col("b.w") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            tceil(threshold, greatest(col("a.sz"), col("b.sz"))))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Exploded (id, token) rows with the doc's distinct-token-set size
+    * carried in each row. Uncapped, sizes come straight from the
+    * projection (zero shuffles); with a df cap, tokens in more than
+    * `maxDf` docs are dropped from the vocabulary first (sets, sizes and
+    * pairs all see the capped vocabulary) which costs one small
+    * re-aggregation. The cap is a scale valve: ultra-common tokens
+    * dominate the Σ df² fanout while discriminating nothing.
+    */
+  private def tokensWithSize(
+      docs: DataFrame, id: String, text: String,
+      maxDf: Option[Long]): DataFrame = {
+    val sets = widen(docs).select(col(id).as("id"),
+      array_distinct(split(lower(col(text)), "\\s+")).as("ts"))
+    maxDf match {
+      case None =>
+        sets.select(col("id"), size(col("ts")).as("sz"),
+          explode(col("ts")).as("w"))
+      case Some(cap) =>
+        val words = sets.select(col("id"), explode(col("ts")).as("w"))
+        val rare = words.groupBy(col("w"))
+          .agg(count(lit(1)).as("df")).where(col("df") <= cap)
+          .select(col("w"))
+        val capped = words.join(broadcast(rare), "w")
+        capped.join(
+          capped.groupBy(col("id")).agg(count(lit(1)).as("sz")), "id")
+          .select(col("id"), col("sz"), col("w"))
     }
-    val words = allWords.join(capped, "w")
-    // ceil(t·sz) on doubles can land 1 ulp above an integer (0.8·10 →
-    // 8.000000000000002 → ceil 9), silently shrinking the prefix and
-    // breaking completeness; round to 6 decimals first.
-    def tceil(sz: Column): Column = ceil(round(lit(threshold) * sz, 6))
+  }
+
+  /** EXACT Jaccard pairs via prefix-filtered candidate generation (the
+    * All-Pairs/PPJoin scheme — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    * order tokens globally by document frequency (rarest first), keep only
+    * each doc's first `|d| − ⌈t·|d|⌉ + 1` tokens as its PREFIX, generate
+    * candidates from prefix-token collisions + the symmetric size filter,
+    * then verify each candidate against the full sorted token sets. Any
+    * pair with J ≥ t provably shares a prefix token on both sides, so the
+    * candidate set is complete.
+    *
+    * The scale profile is the mirror image of [[jaccardPairs]]: candidate
+    * generation collides only on rare tokens (orders of magnitude below
+    * Σ df² under stopword skew), but verification ships two full token
+    * arrays per candidate — so this wins when qualifying pairs are rare
+    * (web-scale dedup) and loses when the corpus is dup-dense.
+    */
+  def jaccardPairsPrefix(
+      docs: DataFrame, id: String, text: String,
+      threshold: Double, maxDf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = tokensWithSize(docs, id, text, maxDf)
+    val dfs = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("id"))
       .orderBy(col("df").asc, col("w").asc)
-    val perDoc = Window.partitionBy(col("id"))
-    val prefix = words
+    val prefix = words.join(dfs, "w")
       .withColumn("pos", row_number().over(byRarity))
-      .withColumn("sz", count(lit(1)).over(perDoc))
-      .where(col("pos") <= col("sz") - tceil(col("sz")) + 1)
+      .where(col("pos") <= col("sz") - tceil(threshold, col("sz")) + 1)
       .select(col("id"), col("w"), col("sz"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.w") === col("b.w") && col("a.id") < col("b.id") &&
-          col("b.sz") >= tceil(col("a.sz")) &&
-          col("a.sz") >= tceil(col("b.sz")))
+          least(col("a.sz"), col("b.sz")) >=
+            tceil(threshold, greatest(col("a.sz"), col("b.sz"))))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     val sets = words.groupBy(col("id"))
       .agg(sort_array(collect_list(col("w"))).as("set"),
-        count(lit(1)).as("sz"))
+        first(col("sz")).as("sz"))
     cand
       .join(sets.select(col("id").as("id1"), col("set").as("set1"),
         col("sz").as("sz1")), "id1")

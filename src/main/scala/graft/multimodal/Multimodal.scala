@@ -25,10 +25,8 @@ object Multimodal {
   /** Batch decode wants one partition per core — a single dense input
     * file otherwise serializes the codec work onto one task.
     */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def widen(df: DataFrame): DataFrame =
+    graft.operators.Widen(df)
 
   /** Parse the fake container header. Malformed input → format "unknown"
     * with zeroed dimensions (quarantine-able, never throws).

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan audit: the properties that make these queries survive a
+  * 100× scale-up are plan shapes, not results — pruned scans, pushed
+  * filters, broadcast joins where one side is small, whole-stage codegen
+  * in the hot path, and no cartesian product outside the intentional
+  * broadcast cross joins. Asserting them here keeps query evolution from
+  * silently regressing the plans (`runMain graft.Explain` prints them for
+  * human review).
+  *
+  * Only side-effect-free registry entries are audited — sink round-trips
+  * (s1/s3/s4/st_*) execute jobs at plan-construction time.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  private def df(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("q1_agg: pruned scan feeding a partial hash aggregate under codegen") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"))
+    // the formatted AQE plan hides codegen spans until execution; ask the
+    // codegen printer directly
+    val cg = df("q1_agg").queryExecution
+      .explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(cg.contains("WholeStageCodegen"))
+    // column pruning reached the parquet footer: only the 2 grouped/
+    // aggregated columns are read, not all 16 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_comment"))
+  }
+
+  test("p5_filter: predicate is pushed to the parquet scan") {
+    val p = plan("p5_filter")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("IsNotNull") || pushed.contains("GreaterThan"),
+      s"no pushed filters in: $pushed")
+  }
+
+  test("j1_broadcast_join: dimension side broadcast, no shuffle join") {
+    val p = plan("j1_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("j2_anti_join: anti join stays a broadcast hash join") {
+    val p = plan("j2_anti_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+  }
+
+  test("j4_map_lookup: reference lookup is a broadcast join, not a collect") {
+    val p = plan("j4_map_lookup")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("no unintended cartesian products anywhere") {
+    // ANN/brute-pair queries are intentional broadcast *nested-loop* cross
+    // joins (scored top-k / thresholded pairs); a CartesianProduct node —
+    // the shuffle-both-sides form — must never appear.
+    val audited = Seq("q1_agg", "j1_broadcast_join", "j3_union_diff",
+      "a2_dedup_keep_latest", "dedup_jaccard", "dedup_minhash",
+      "ann_topk", "ann_ivf_topk", "ann_neardup", "r1_relationalize",
+      "text_quality", "mm_featurize")
+    audited.foreach { n =>
+      assert(!plan(n).contains("CartesianProduct"),
+        s"$n contains a CartesianProduct")
+    }
+  }
+
+  test("ann_topk: queries broadcast; corpus side never shuffles for the join") {
+    val p = plan("ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup_minhash: signature aggregate is map-side partial") {
+    val p = plan("dedup_minhash")
+    // partial min() signatures combine before the shuffle — the signature
+    // stage's shuffle volume is rows, not (rows × shingles)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+  }
+
+  test("a2_dedup_keep_latest: single-pass max_by aggregate, no window sort") {
+    val p = plan("a2_dedup_keep_latest")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    assert(!p.contains("Window"))
+  }
+}

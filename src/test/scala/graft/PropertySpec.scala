@@ -101,6 +101,39 @@ object PropertySpec extends Properties("graft") {
     texts <- Gen.listOfN(n, Gen.oneOf(pool))
   } yield texts
 
+  // Small word pool => dense overlaps; lengths 1-12 sweep the prefix-size
+  // boundary cases (|d| - ceil(t*|d|) + 1) of the PPJoin-style filter.
+  private val corpusGen: Gen[(List[String], Double)] = for {
+    n <- Gen.chooseNum(2, 12)
+    texts <- Gen.listOfN(n, for {
+      len <- Gen.chooseNum(1, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf(
+        "alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa"))
+    } yield ws.mkString(" "))
+    t <- Gen.oneOf(0.3, 0.5, 0.7, 0.8, 0.9)
+  } yield (texts, t)
+
+  property("both jaccardPairs variants (counted index, prefix-filtered) " +
+      "equal brute-force all-pairs word-set Jaccard") =
+    Prop.forAllNoShrink(corpusGen) { case (texts, threshold) =>
+      import spark.implicits._
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val counted = Dedup.jaccardPairs(df, "doc_id", "text", threshold)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val prefixed = Dedup.jaccardPairsPrefix(df, "doc_id", "text", threshold)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val sets = texts.map(_.toLowerCase.split("\\s+").toSet)
+      val expected = (for {
+        i <- sets.indices; j <- sets.indices if i < j
+        inter = (sets(i) & sets(j)).size
+        union = (sets(i) | sets(j)).size
+        if union > 0 && inter.toDouble / union >= threshold
+      } yield (i.toLong, j.toLong)).toSet
+      counted == expected && prefixed == expected
+    }
+
   property("exact dedup partitions the corpus: group sizes sum to total, " +
       "groups == distinct texts, keeper is the min id") =
     Prop.forAllNoShrink(textsGen) { texts =>

@@ -52,6 +52,30 @@ class AnnSpec extends SparkSpec {
     assert(ivf1 == Set(10L, 1L)) // only cluster-0 members
   }
 
+  test("pivot centroids are the min-id member vector and are deterministic") {
+    val pivots = Ann.pivotCentroids(corpus, "label", "vec_id", "embedding")
+      .select("label", "centroid").as[(Int, Seq[Double])].collect().toMap
+    // min-id member per cluster: 0 -> vec 0, 1 -> vec 2, 2 -> vec 4
+    assert(pivots(0) == unit(0).map(_.toDouble))
+    assert(pivots(1) == unit(2).map(_.toDouble))
+    assert(pivots(2) == unit(4).map(_.toDouble))
+    val again = Ann.pivotCentroids(corpus, "label", "vec_id", "embedding")
+      .select("label", "centroid").as[(Int, Seq[Double])].collect().toMap
+    assert(again == pivots)
+  }
+
+  test("ivf over pivot centroids matches brute force at nprobe=all") {
+    val q = corpus.where($"vec_id" === 0L)
+    val brute = Ann.topK(corpus, "vec_id", "embedding", q,
+      "vec_id", "embedding", k = 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSet
+    val pivots = Ann.pivotCentroids(corpus, "label", "vec_id", "embedding")
+    val ivf = Ann.ivfTopK(corpus, "vec_id", "embedding", "label", q,
+      "vec_id", "embedding", k = 3, nprobe = 3, cents = Some(pivots))
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSet
+    assert(ivf == brute)
+  }
+
   test("sign-LSH pairs find high-cosine near-dups and verify exactly") {
     val pairs = Ann.signLshPairs(corpus, "vec_id", "embedding",
       threshold = 0.95, bits = 16, bands = 8, dim = dim)
