@@ -259,6 +259,23 @@ object SparkEntry {
     },
     Some("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, event_type, count(*) AS n FROM events GROUP BY 1, 2"))
 
+  /** §2.8-streaming — gap-based sessionization (built-in session_window,
+    * 12-hour gap). Registered in its batch form, where the full result is
+    * defined; the watermarked streaming form of the same operator is
+    * exercised in StreamingIngestSpec (append mode finalizes a session
+    * once the watermark passes its close). Oracle: classic lag/cumsum
+    * gap-sessionization — break when the gap is >= 12h (session_window's
+    * half-open interval), session end = last event + gap.
+    */
+  private val stSessionWindow = Q(
+    (s, dir) => graft.streaming.StreamingIngest.sessionCounts(
+        t(s, dir, "events"), "ts", "user_id", "12 hours")
+      .select(col("user_id"),
+        date_format(col("sess_start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("sess_end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n")),
+    Some("WITH m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '12 hours' THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start, strftime(max(ts) + INTERVAL '12 hours', '%Y-%m-%d %H:%M:%S') AS sess_end, count(*) AS n FROM s GROUP BY user_id, sid"))
+
   // --------------------------------------------------------------------
   // §2.2 Projections / filters / predicates
   // --------------------------------------------------------------------
@@ -645,6 +662,16 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("simhash")),
     Some("WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents), w AS (SELECT doc_id, md5(w) AS h FROM w0), bits AS (SELECT doc_id, i, CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(h, i, 1)) > 0 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit FROM w, generate_series(1, 16) AS g(i) GROUP BY doc_id, i) SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY doc_id"))
 
+  /** SimHash Hamming-radius near-dup: block-bucketed candidates (pairs
+    * within distance d agree on one of d+1 fingerprint blocks), exact
+    * popcount verification. Oracle is the brute-force all-pairs Hamming
+    * filter over the same fingerprints.
+    */
+  private val dedupSimhashNear = Q(
+    (s, dir) => SimHash.nearPairs(
+      t(s, dir, "documents"), "doc_id", "text", maxDist = 3),
+    Some("WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents), w AS (SELECT doc_id, md5(w) AS h FROM w0), bits AS (SELECT doc_id, i, CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(h, i, 1)) > 0 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit FROM w, generate_series(1, 16) AS g(i) GROUP BY doc_id, i), fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY doc_id), pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.simhash AS f1, b.simhash AS f2 FROM fp a JOIN fp b ON a.doc_id < b.doc_id), d AS (SELECT id1, id2, count(*) FILTER (WHERE substr(f1, CAST(i AS INT), 1) <> substr(f2, CAST(i AS INT), 1)) AS dist FROM pairs CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) s GROUP BY 1, 2) SELECT id1, id2, CAST(dist AS INT) AS dist FROM d WHERE dist <= 3"))
+
   // --------------------------------------------------------------------
   // LLM-pipeline: multimodal binary columns (stubbed codec)
   // --------------------------------------------------------------------
@@ -888,6 +915,7 @@ object SparkEntry {
     "s8_listing" -> s8Listing,
     "bm_incremental" -> bmIncremental,
     "st_window_counts" -> stWindowCounts,
+    "st_session_window" -> stSessionWindow,
     "p1_project" -> p1Project,
     "p2_flatten_rename" -> p2FlattenRename,
     "p3_inject" -> p3Inject,
@@ -927,6 +955,7 @@ object SparkEntry {
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_near" -> dedupSimhashNear,
     "v1_schema_resolve" -> v1SchemaResolve,
     "v2_schema_cache" -> v2SchemaCache,
     "v3_validate" -> v3Validate,

@@ -51,6 +51,25 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"))
       .select(col(s"window.start").as("win_start"), col(keyCol), col("n"))
 
+  /** Gap-based sessionization via the built-in session_window: events
+    * within `gap` of the previous event extend the session; the window is
+    * half-open, so an event exactly `gap` after the last one starts a new
+    * session. Works identically over a batch DataFrame (full result) and
+    * a watermarked stream (append mode emits a session once the watermark
+    * passes its close — i.e. sessions finalize `watermark` after their
+    * last event).
+    */
+  def sessionCounts(
+      events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: Option[String] = None): DataFrame = {
+    val base = watermark.fold(events)(events.withWatermark(tsCol, _))
+    base
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n"))
+  }
+
   final case class Event(user_id: Long, event_id: Long, ts_ns: Long)
   final case class Latest(user_id: Long, latest_event_id: Long, ts_ns: Long)
 

@@ -50,6 +50,28 @@ class DedupSpec extends SparkSpec {
     assert(cands < 10) // far below the 10 all-pairs
   }
 
+  test("simhash nearPairs equals brute-force Hamming filter") {
+    import org.apache.spark.sql.functions._
+    val fp = SimHash.fingerprints(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    for (d <- Seq(0, 1, 3, 7)) {
+      val expected = (for {
+        i <- fp.keys.toSeq; j <- fp.keys.toSeq
+        if i < j && ham(fp(i), fp(j)) <= d
+      } yield (i, j, ham(fp(i), fp(j)))).toSet
+      val got = SimHash.nearPairs(docs, "doc_id", "text", maxDist = d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expected, s"maxDist=$d")
+    }
+    // popcount hamming matches the char-wise definition
+    val hs = Seq(("1010101010101010", "1010101010101011", 1),
+      ("0000000000000000", "1111111111111111", 16)).toDF("a", "b", "want")
+      .select(SimHash.hamming(col("a"), col("b")).cast("int").as("got"),
+        col("want")).as[(Int, Int)].collect()
+    assert(hs.forall { case (g, w) => g == w })
+  }
+
   test("simhash: identical docs share fingerprints, unrelated docs do not") {
     val fp = SimHash.fingerprints(docs, "doc_id", "text")
       .as[(Long, String)].collect().toMap

@@ -63,6 +63,39 @@ class StreamingIngestSpec extends SparkSpec {
     assert(rows == Map("click" -> 2L, "view" -> 1L))
   }
 
+  test("streaming session_window: sessions finalize in append mode once " +
+      "the watermark passes their close") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    // user 7: two events 30s apart (one session), then a 10-minute gap
+    // (new session); the final far-future event advances the watermark
+    // past both sessions' closes so append mode emits them
+    mem.addData(
+      (Timestamp.valueOf("2022-01-01 00:00:00"), 7L),
+      (Timestamp.valueOf("2022-01-01 00:00:30"), 7L),
+      (Timestamp.valueOf("2022-01-01 00:10:30"), 7L))
+    val sessions = StreamingIngest.sessionCounts(
+      mem.toDF.toDF("ts", "user_id"), "ts", "user_id",
+      gap = "1 minute", watermark = Some("5 seconds"))
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_counts")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt4")
+      .start()
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2022-01-02 00:00:00"), 99L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_counts")
+      .select("user_id", "sess_start", "n")
+      .as[(Long, Timestamp, Long)].collect().toSet
+    assert(rows.contains(
+      (7L, Timestamp.valueOf("2022-01-01 00:00:00"), 2L)))
+    assert(rows.contains(
+      (7L, Timestamp.valueOf("2022-01-01 00:10:30"), 1L)))
+  }
+
   test("stateful keep-latest updates the per-user winner across batches") {
     val tmp = Files.createTempDirectory("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
