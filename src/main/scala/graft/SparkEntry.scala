@@ -662,15 +662,15 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("simhash")),
     Some("WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents), w AS (SELECT doc_id, md5(w) AS h FROM w0), bits AS (SELECT doc_id, i, CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(h, i, 1)) > 0 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit FROM w, generate_series(1, 16) AS g(i) GROUP BY doc_id, i) SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY doc_id"))
 
-  /** SimHash Hamming-radius near-dup: block-bucketed candidates (pairs
-    * within distance d agree on one of d+1 fingerprint blocks), exact
-    * popcount verification. Oracle is the brute-force all-pairs Hamming
-    * filter over the same fingerprints.
+  /** SimHash Hamming-radius near-dup: 64-bit fingerprints (4 bits per
+    * md5 digit), block-bucketed candidates (pairs within distance d agree
+    * on one of d+1 16-bit blocks), exact popcount verification. Oracle is
+    * the brute-force all-pairs Hamming filter over the same fingerprints.
     */
   private val dedupSimhashNear = Q(
     (s, dir) => SimHash.nearPairs(
-      t(s, dir, "documents"), "doc_id", "text", maxDist = 3),
-    Some("WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents), w AS (SELECT doc_id, md5(w) AS h FROM w0), bits AS (SELECT doc_id, i, CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(h, i, 1)) > 0 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit FROM w, generate_series(1, 16) AS g(i) GROUP BY doc_id, i), fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY doc_id), pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.simhash AS f1, b.simhash AS f2 FROM fp a JOIN fp b ON a.doc_id < b.doc_id), d AS (SELECT id1, id2, count(*) FILTER (WHERE substr(f1, CAST(i AS INT), 1) <> substr(f2, CAST(i AS INT), 1)) AS dist FROM pairs CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) s GROUP BY 1, 2) SELECT id1, id2, CAST(dist AS INT) AS dist FROM d WHERE dist <= 3"))
+      t(s, dir, "documents"), "doc_id", "text", maxDist = 3, bitsPerDigit = 4),
+    Some("WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents), w AS (SELECT doc_id, md5(w) AS h FROM w0), bits AS (SELECT doc_id, i, CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST((i - 1) // 4 + 1 AS INT), 1)) - 1 >> CAST(3 - ((i - 1) % 4) AS INT)) % 2) = 1 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit FROM w, generate_series(1, 64) AS g(i) GROUP BY doc_id, i), fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY doc_id), pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.simhash AS f1, b.simhash AS f2 FROM fp a JOIN fp b ON a.doc_id < b.doc_id), d AS (SELECT id1, id2, count(*) FILTER (WHERE substr(f1, CAST(i AS INT), 1) <> substr(f2, CAST(i AS INT), 1)) AS dist FROM pairs CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2) SELECT id1, id2, CAST(dist AS INT) AS dist FROM d WHERE dist <= 3"))
 
   // --------------------------------------------------------------------
   // LLM-pipeline: multimodal binary columns (stubbed codec)

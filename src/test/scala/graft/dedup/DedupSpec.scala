@@ -52,24 +52,34 @@ class DedupSpec extends SparkSpec {
 
   test("simhash nearPairs equals brute-force Hamming filter") {
     import org.apache.spark.sql.functions._
-    val fp = SimHash.fingerprints(docs, "doc_id", "text")
-      .as[(Long, String)].collect().toMap
     def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
-    for (d <- Seq(0, 1, 3, 7)) {
-      val expected = (for {
-        i <- fp.keys.toSeq; j <- fp.keys.toSeq
-        if i < j && ham(fp(i), fp(j)) <= d
-      } yield (i, j, ham(fp(i), fp(j)))).toSet
-      val got = SimHash.nearPairs(docs, "doc_id", "text", maxDist = d)
-        .as[(Long, Long, Int)].collect().toSet
-      assert(got == expected, s"maxDist=$d")
+    for ((bpd, dists) <- Seq(1 -> Seq(0, 1, 3, 7), 4 -> Seq(3, 7))) {
+      val fp = SimHash.fingerprints(docs, "doc_id", "text", bpd)
+        .as[(Long, String)].collect().toMap
+      assert(fp.values.forall(_.length == 16 * bpd))
+      for (d <- dists) {
+        val expected = (for {
+          i <- fp.keys.toSeq; j <- fp.keys.toSeq
+          if i < j && ham(fp(i), fp(j)) <= d
+        } yield (i, j, ham(fp(i), fp(j)))).toSet
+        val got = SimHash.nearPairs(docs, "doc_id", "text",
+          maxDist = d, bitsPerDigit = bpd)
+          .as[(Long, Long, Int)].collect().toSet
+        assert(got == expected, s"bitsPerDigit=$bpd maxDist=$d")
+      }
     }
-    // popcount hamming matches the char-wise definition
+    // string-form popcount hamming matches the char-wise definition
     val hs = Seq(("1010101010101010", "1010101010101011", 1),
       ("0000000000000000", "1111111111111111", 16)).toDF("a", "b", "want")
-      .select(SimHash.hamming(col("a"), col("b")).cast("int").as("got"),
+      .select(SimHash.hammingStr(col("a"), col("b")).cast("int").as("got"),
         col("want")).as[(Int, Int)].collect()
     assert(hs.forall { case (g, w) => g == w })
+    // packed-long and string fingerprints agree
+    val both = SimHash.fingerprintsLong(docs, "doc_id", "text", 4)
+      .join(SimHash.fingerprints(docs, "doc_id", "text", 4), "id")
+      .select(lpad(bin(col("fp")), 64, "0").as("rendered"), col("simhash"))
+      .as[(String, String)].collect()
+    assert(both.nonEmpty && both.forall { case (r, s) => r == s })
   }
 
   test("simhash: identical docs share fingerprints, unrelated docs do not") {
