@@ -1,6 +1,9 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Content-level deduplication operators for large-scale text corpora.
@@ -157,6 +160,38 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Typed min-signature aggregator: buffer = Array[Long] of running
+    * minima, one per hash function. Bit-identical to per-column
+    * `min(xxhash64(lit(i), base))` aggregates (same seed chaining:
+    * `xxhash64(a, b)` = `hashLong(b, hashLong(a, 42))`), but 128 separate
+    * min() buffers knock the aggregate out of JIT-able codegen; this is
+    * two tight JVM loops with map-side combine — the shuffle carries one
+    * 128-long array per doc per partition.
+    */
+  private final class MinSig(numHashes: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    private val seeds: Array[Long] =
+      Array.tabulate(numHashes)(i => XXH64.hashLong(i.toLong, 42L))
+    def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    def reduce(buf: Array[Long], base: Long): Array[Long] = {
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashLong(base, seeds(i))
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
   /** MinHash-LSH candidate pairs: deterministic seeded xxhash64 minhash
     * signatures over the shingle set, xor-banded into `bands` buckets of
     * `numHashes / bands` rows; docs colliding in any band become a
@@ -174,13 +209,12 @@ object Dedup {
     val sh = widen(docs).select(col(id).as("id"),
       explode(shingles(col(text), shingleN)).as("sh"))
       .withColumn("base", xxhash64(col("sh")))
-    val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i.toLong), col("base"))).as(s"h$i"))
-    val sig = sh.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+    val minsig = udaf(new MinSig(numHashes))
+    val sig = sh.groupBy(col("id")).agg(minsig(col("base")).as("sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
-          .as("bh"))
+        xxhash64((b * rows until (b + 1) * rows)
+          .map(i => col("sig").getItem(i)): _*).as("bh"))
     }
     val banded = sig
       .select(col("id"), explode(array(bandCols: _*)).as("b"))

@@ -45,6 +45,14 @@ class DedupSpec extends SparkSpec {
     assert(again == verified)
   }
 
+  test("JVM XXH64 seed chaining matches the xxhash64 expression") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    val fromExpr = Seq(1).toDF("x")
+      .select(xxhash64(lit(3L), lit(12345L)).as("h")).as[Long].head()
+    assert(fromExpr == XXH64.hashLong(12345L, XXH64.hashLong(3L, 42L)))
+  }
+
   test("minhash candidate set prunes the pair space") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text").count()
     assert(cands < 10) // far below the 10 all-pairs
