@@ -415,6 +415,40 @@ object SparkEntry {
         col("r_name").as("region_name")),
     Some("SELECT n_nationkey, n_name, r_name AS region_name FROM nation JOIN region ON n_regionkey = r_regionkey"))
 
+  /** J5 — bucket-co-located join: both sides written bucketed (+ sorted)
+    * on the join key, so the sort-merge join runs with NO shuffle
+    * exchange and no per-run sort on either side — the 100 TB fact-fact
+    * join strategy when neither side broadcasts. The plan property
+    * (SortMergeJoin with zero Exchange nodes) is asserted in
+    * PlanAuditSpec; here the joined result is checked for value parity.
+    */
+  private val j5BucketedJoin = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_j5").toString
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val custT = s"j5_cust_$tag"
+      val ordT = s"j5_ord_$tag"
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$tmp/c").saveAsTable(custT)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$tmp/o").saveAsTable(ordT)
+      bucketedJoin(s.table(custT), s.table(ordT))
+    },
+    Some("SELECT c_custkey, c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1, 2"))
+
+  /** The join+agg shape shared by the entry and PlanAuditSpec. The merge
+    * hint pins the sort-merge strategy (at test scale Catalyst would
+    * auto-broadcast the tiny side; at fact-fact scale neither side
+    * broadcasts and SMJ over aligned buckets is the wanted plan).
+    */
+  def bucketedJoin(cust: DataFrame, ord: DataFrame): DataFrame =
+    cust.hint("merge").join(ord, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+
   // --------------------------------------------------------------------
   // §2.4 Aggregations / distinct / dedup
   // --------------------------------------------------------------------
@@ -926,6 +960,7 @@ object SparkEntry {
     "j2_anti_join" -> j2AntiJoin,
     "j3_union_diff" -> j3UnionDiff,
     "j4_map_lookup" -> j4MapLookup,
+    "j5_bucketed_join" -> j5BucketedJoin,
     "a1_distinct" -> a1Distinct,
     "a2_dedup_keep_latest" -> a2KeepLatest,
     "a3_count_distinct" -> a3CountDistinct,

@@ -77,6 +77,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("j5: bucket-co-located join plans with zero shuffle exchanges") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_j5_spec").toString
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$tmp/c").saveAsTable("j5_spec_cust")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$tmp/o").saveAsTable("j5_spec_ord")
+    val p = SparkEntry.bucketedJoin(
+      spark.table("j5_spec_cust"), spark.table("j5_spec_ord"))
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("SortMergeJoin"))
+    // bucketing makes both the join AND the bucket-key aggregation
+    // exchange-free; per-run sorts are also skipped (sortBy at write)
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+  }
+
   test("ann_topk: queries broadcast; corpus side never shuffles for the join") {
     val p = plan("ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin"))
