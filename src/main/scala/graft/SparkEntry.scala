@@ -758,6 +758,65 @@ object SparkEntry {
     Some("WITH c AS (SELECT doc_id, 'GRFT|img|' || CAST(64 + doc_id % 64 AS VARCHAR) || '|' || CAST(48 + doc_id % 32 AS VARCHAR) || '|' || CAST(1 + doc_id % 4 AS VARCHAR) || '|' || text AS s FROM documents), pos AS (SELECT unnest(generate_series(1, 1024)) AS i), ch AS (SELECT doc_id, ascii(substr(s, CAST(i AS INT), 1)) % 16 AS bin FROM c JOIN pos ON i <= length(s)), cnt AS (SELECT doc_id, bin, count(*) AS n FROM ch GROUP BY 1, 2), bins AS (SELECT unnest(generate_series(0, 15)) AS bin), tot AS (SELECT doc_id, length(s) AS len FROM c) SELECT tot.doc_id, CAST(bins.bin AS INT) AS bin, CAST(COALESCE(cnt.n, 0) AS DOUBLE) / tot.len AS value FROM tot CROSS JOIN bins LEFT JOIN cnt ON cnt.doc_id = tot.doc_id AND cnt.bin = bins.bin"))
 
   // --------------------------------------------------------------------
+  // Analytic surface: percentiles, rollup, windows, pivot
+  // --------------------------------------------------------------------
+
+  /** Exact grouped percentiles (builtin `percentile`, linear
+    * interpolation — same definition as SQL quantile_cont). The exact
+    * form is oracle-checkable; at 100 TB swap in approx_percentile
+    * (t-digest) per group, same plan shape.
+    */
+  private val a7Percentile = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(min(col("value")), 4).as("vmin"),
+        round(max(col("value")), 4).as("vmax")),
+    Some("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, round(quantile_cont(value, 0.9), 4) AS p90, round(min(value), 4) AS vmin, round(max(value), 4) AS vmax FROM events GROUP BY 1"))
+
+  /** Hierarchical totals via rollup — subtotal + grand-total rows with
+    * NULL group markers, one pass (expand + hash agg), no union of
+    * re-scans.
+    */
+  private val a8Rollup = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n")),
+    Some("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"))
+
+  /** Ordered analytic windows per user: row numbering, running sum, and
+    * lag — the deterministic (ts, event_id) ordering makes RANGE peers
+    * singletons, so both engines accumulate in the identical order.
+    */
+  private val w1WindowFuncs = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).as("rn"),
+        round(sum(col("value")).over(w), 4).as("running_value"),
+        lag(col("event_id"), 1).over(w).as("prev_event"))
+    },
+    Some("SELECT user_id, event_id, CAST(row_number() OVER w AS INT) AS rn, round(sum(value) OVER w, 4) AS running_value, lag(event_id, 1) OVER w AS prev_event FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"))
+
+  /** Pivot (long → wide counts over the closed event-type domain).
+    * Explicit pivot values keep the plan a single pass (no
+    * distinct-values pre-query) and the output schema static.
+    */
+  private val a9Pivot = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L),
+    Some("SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS click, count(*) FILTER (WHERE event_type = 'error') AS error, count(*) FILTER (WHERE event_type = 'purchase') AS purchase, count(*) FILTER (WHERE event_type = 'signup') AS signup, count(*) FILTER (WHERE event_type = 'view') AS view FROM events GROUP BY 1"))
+
+  // --------------------------------------------------------------------
   // LLM-pipeline: text analysis
   // --------------------------------------------------------------------
 
@@ -968,6 +1027,10 @@ object SparkEntry {
     "a4_group_batch" -> a4GroupBatch,
     "a5_sample_per_group" -> a5SamplePerGroup,
     "a6_max_per_group" -> a6MaxPerGroup,
+    "a7_percentile" -> a7Percentile,
+    "a8_rollup" -> a8Rollup,
+    "a9_pivot" -> a9Pivot,
+    "w1_window_funcs" -> w1WindowFuncs,
     "r1_relationalize" -> r1Relationalize,
     "r1_deep_relationalize" -> r1DeepRelationalize,
     "r2_carry_cols" -> r2CarryCols,
