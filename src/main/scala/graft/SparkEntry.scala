@@ -776,6 +776,31 @@ object SparkEntry {
         round(max(col("value")), 4).as("vmax")),
     Some("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, round(quantile_cont(value, 0.9), 4) AS p90, round(min(value), 4) AS vmin, round(max(value), 4) AS vmax FROM events GROUP BY 1"))
 
+  /** Sketch aggregates — the 100 TB form of count-distinct/quantiles
+    * (HLL++ and t-digest: mergeable partials, fixed memory, one pass, no
+    * exact-distinct shuffle). Sketch estimates are engine-specific, so
+    * the oracle checks the INVARIANT instead of the value: the estimate
+    * must land within the published error bound of the exact answer
+    * (HLL++ at default rsd 0.05 → assert |approx−exact|/exact ≤ 0.15,
+    * 3σ; t-digest p50 within the observed value range). The exact
+    * figures in the output hash-match the oracle as usual.
+    */
+  private val a10Sketches = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id")).as("n_approx"),
+        expr("approx_percentile(value, 0.5)").as("p50_approx"),
+        round(min(col("value")), 4).as("vmin"),
+        round(max(col("value")), 4).as("vmax"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          greatest(col("n_exact") * 0.15, lit(3.0))).as("hll_ok"),
+        col("p50_approx").between(col("vmin"), col("vmax")).as("tdigest_ok"),
+        col("vmin"), col("vmax")),
+    Some("SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS hll_ok, true AS tdigest_ok, round(min(value), 4) AS vmin, round(max(value), 4) AS vmax FROM events GROUP BY 1"))
+
   /** Hierarchical totals via rollup — subtotal + grand-total rows with
     * NULL group markers, one pass (expand + hash agg), no union of
     * re-scans.
@@ -1030,6 +1055,7 @@ object SparkEntry {
     "a7_percentile" -> a7Percentile,
     "a8_rollup" -> a8Rollup,
     "a9_pivot" -> a9Pivot,
+    "a10_sketches" -> a10Sketches,
     "w1_window_funcs" -> w1WindowFuncs,
     "r1_relationalize" -> r1Relationalize,
     "r1_deep_relationalize" -> r1DeepRelationalize,

@@ -96,6 +96,29 @@ class StreamingIngestSpec extends SparkSpec {
       (7L, Timestamp.valueOf("2022-01-01 00:10:30"), 1L)))
   }
 
+  test("streaming dropDuplicates suppresses re-deliveries across batches") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val dedup = mem.toDF.toDF("event_id", "payload")
+      .dropDuplicates("event_id")
+    val q = dedup.writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt5")
+      .start()
+    mem.addData((1L, "a"), (2L, "b"), (1L, "a-dup-same-batch"))
+    q.processAllAvailable()
+    // batch 2 re-delivers event 1 and 2 (at-least-once upstream) — state
+    // from batch 1 must suppress both
+    mem.addData((1L, "a-redelivered"), (2L, "b-redelivered"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_stream")
+      .select("event_id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("stateful keep-latest updates the per-user winner across batches") {
     val tmp = Files.createTempDirectory("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
