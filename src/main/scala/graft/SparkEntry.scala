@@ -112,10 +112,11 @@ object SparkEntry {
     (s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_s8").toString
       val ev = t(s, dir, "events").select(col("event_id"), col("event_type"))
-      ParquetDataset.write(ev.repartition(1), tmp, Seq("event_type"))
+      // write clustering (ParquetDataset.write repartitions by the
+      // partition cols) guarantees one file per partition dir per append
+      ParquetDataset.write(ev, tmp, Seq("event_type"))
       ParquetDataset.write(
-        ev.filter(col("event_type") < "m").repartition(1),
-        tmp, Seq("event_type"))
+        ev.filter(col("event_type") < "m"), tmp, Seq("event_type"))
       FileListing.list(s, tmp)
         .where(col("path").endsWith(".parquet"))
         .withColumn("event_type",
@@ -247,7 +248,11 @@ object SparkEntry {
         .parquet(s"$tmp/in")
       val agg = graft.streaming.StreamingIngest.windowedCounts(
         stream, "ts", "event_type", "1 hour", "1 hour")
-      val qn = "st_wc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // fixed sink name, previous registration dropped — repeated runs in
+      // one session (bench warmup + timed) must not accumulate memory-sink
+      // tables each pinning a full result set
+      val qn = "st_wc_sink"
+      s.catalog.dropTempView(qn)
       val q = agg.writeStream.format("memory").queryName(qn)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -424,15 +429,16 @@ object SparkEntry {
     */
   private val j5BucketedJoin = Q(
     (s, dir) => {
+      // fixed table names + overwrite: repeated runs in one session
+      // replace the catalog entries instead of accumulating them
       val tmp = java.nio.file.Files.createTempDirectory("graft_j5").toString
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
-      val custT = s"j5_cust_$tag"
-      val ordT = s"j5_ord_$tag"
+      val custT = "j5_cust"
+      val ordT = "j5_ord"
       t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
-        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", s"$tmp/c").saveAsTable(custT)
       t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
-        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", s"$tmp/o").saveAsTable(ordT)
       bucketedJoin(s.table(custT), s.table(ordT))
     },
@@ -747,7 +753,10 @@ object SparkEntry {
     * rows — vector columns can't be hash-compared by the harness, and the
     * exploded form is the exact child-table shape a feature store would
     * use. The oracle recomputes the byte histogram character-wise (the
-    * synthetic content is pure ASCII, so byte == codepoint).
+    * synthetic content is pure ASCII, so byte == codepoint); its
+    * position series is bounded at 8192 — >10× the longest synthetic
+    * blob (~600 bytes) — because the driver's DuckDB build lacks
+    * lateral generate_series over a column bound.
     */
   private val mmFeaturize = Q(
     (s, dir) => Multimodal.featurize(
@@ -755,7 +764,7 @@ object SparkEntry {
         "doc_id", "content")
       .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "value")))
       .select(col("doc_id"), col("bin").cast("int").as("bin"), col("value")),
-    Some("WITH c AS (SELECT doc_id, 'GRFT|img|' || CAST(64 + doc_id % 64 AS VARCHAR) || '|' || CAST(48 + doc_id % 32 AS VARCHAR) || '|' || CAST(1 + doc_id % 4 AS VARCHAR) || '|' || text AS s FROM documents), pos AS (SELECT unnest(generate_series(1, 1024)) AS i), ch AS (SELECT doc_id, ascii(substr(s, CAST(i AS INT), 1)) % 16 AS bin FROM c JOIN pos ON i <= length(s)), cnt AS (SELECT doc_id, bin, count(*) AS n FROM ch GROUP BY 1, 2), bins AS (SELECT unnest(generate_series(0, 15)) AS bin), tot AS (SELECT doc_id, length(s) AS len FROM c) SELECT tot.doc_id, CAST(bins.bin AS INT) AS bin, CAST(COALESCE(cnt.n, 0) AS DOUBLE) / tot.len AS value FROM tot CROSS JOIN bins LEFT JOIN cnt ON cnt.doc_id = tot.doc_id AND cnt.bin = bins.bin"))
+    Some("WITH c AS (SELECT doc_id, 'GRFT|img|' || CAST(64 + doc_id % 64 AS VARCHAR) || '|' || CAST(48 + doc_id % 32 AS VARCHAR) || '|' || CAST(1 + doc_id % 4 AS VARCHAR) || '|' || text AS s FROM documents), pos AS (SELECT unnest(generate_series(1, 8192)) AS i), ch AS (SELECT doc_id, ascii(substr(s, CAST(i AS INT), 1)) % 16 AS bin FROM c JOIN pos ON i <= length(s)), cnt AS (SELECT doc_id, bin, count(*) AS n FROM ch GROUP BY 1, 2), bins AS (SELECT unnest(generate_series(0, 15)) AS bin), tot AS (SELECT doc_id, length(s) AS len FROM c) SELECT tot.doc_id, CAST(bins.bin AS INT) AS bin, CAST(COALESCE(cnt.n, 0) AS DOUBLE) / tot.len AS value FROM tot CROSS JOIN bins LEFT JOIN cnt ON cnt.doc_id = tot.doc_id AND cnt.bin = bins.bin"))
 
   // --------------------------------------------------------------------
   // Analytic surface: percentiles, rollup, windows, pivot

@@ -108,11 +108,12 @@ object SimHash {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Hamming distance between two equal-length '0'/'1' fingerprint
-    * STRINGS (the oracle-friendly rendering) — parses via conv() per
-    * call, so keep it out of hot paths; joins should carry the packed
-    * long and use [[hamming]].
+    * STRINGS of width `bits` (the oracle-friendly rendering) — parses via
+    * conv() per call, so keep it out of hot paths; joins should carry the
+    * packed long and use [[hamming]]. `bits` is required: a default would
+    * silently ignore the tail of wider fingerprints.
     */
-  def hammingStr(a: Column, b: Column, bits: Int = Bits): Column =
+  def hammingStr(a: Column, b: Column, bits: Int): Column =
     (0 until bits by 32).map { off =>
       bit_count(conv(substring(a, off + 1, 32), 2, 10).cast("long")
         .bitwiseXOR(conv(substring(b, off + 1, 32), 2, 10).cast("long")))

@@ -79,7 +79,7 @@ class DedupSpec extends SparkSpec {
     // string-form popcount hamming matches the char-wise definition
     val hs = Seq(("1010101010101010", "1010101010101011", 1),
       ("0000000000000000", "1111111111111111", 16)).toDF("a", "b", "want")
-      .select(SimHash.hammingStr(col("a"), col("b")).cast("int").as("got"),
+      .select(SimHash.hammingStr(col("a"), col("b"), 16).cast("int").as("got"),
         col("want")).as[(Int, Int)].collect()
     assert(hs.forall { case (g, w) => g == w })
     // packed-long and string fingerprints agree
