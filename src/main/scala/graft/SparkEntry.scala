@@ -444,6 +444,26 @@ object SparkEntry {
     },
     Some("SELECT c_custkey, c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1, 2"))
 
+  /** J6 — as-of join ([[graft.operators.AsofJoin]]): each error event
+    * attributed to the user's most recent click at or before it. The
+    * click side is pre-aggregated per (user, ts) so equal-timestamp
+    * matches are deterministic; the oracle is DuckDB's native ASOF LEFT
+    * JOIN over the same inputs.
+    */
+  private val j6AsofJoin = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_event_id"))
+      graft.operators.AsofJoin.asof(errors, clicks, Seq("user_id"),
+          "ts", "ts", Map("click_event_id" -> "click_event_id"))
+        .select(col("event_id"), col("user_id"), col("click_event_id"))
+    },
+    Some("SELECT e.event_id, e.user_id, c.click_event_id FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_event_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) c ON e.user_id = c.user_id AND e.ts >= c.ts"))
+
   /** The join+agg shape shared by the entry and PlanAuditSpec. The merge
     * hint pins the sort-merge strategy (at test scale Catalyst would
     * auto-broadcast the tiny side; at fact-fact scale neither side
@@ -1054,6 +1074,7 @@ object SparkEntry {
     "j3_union_diff" -> j3UnionDiff,
     "j4_map_lookup" -> j4MapLookup,
     "j5_bucketed_join" -> j5BucketedJoin,
+    "j6_asof_join" -> j6AsofJoin,
     "a1_distinct" -> a1Distinct,
     "a2_dedup_keep_latest" -> a2KeepLatest,
     "a3_count_distinct" -> a3CountDistinct,
