@@ -464,6 +464,28 @@ object SparkEntry {
     },
     Some("SELECT e.event_id, e.user_id, c.click_event_id FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_event_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) c ON e.user_id = c.user_id AND e.ts >= c.ts"))
 
+  /** J7 — range join ([[graft.operators.RangeJoin]]): view events matched
+    * to purchase events whose value lies within ±0.05 — a large×large
+    * interval join executed as bin-bucketed equi-join + exact filter,
+    * never a nested-loop product. Both engines compute the interval
+    * bounds with the same IEEE double ops, so boundary comparisons
+    * agree exactly.
+    */
+  private val j7RangeJoin = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("value").as("pv"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          (col("value") - 0.05).as("lo"), (col("value") + 0.05).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(
+          views, "pv", purchases, "lo", "hi", binWidth = 0.05)
+        .select(col("view_id"), col("purchase_id"),
+          round(col("pv"), 4).as("view_value"))
+    },
+    Some("SELECT v.event_id AS view_id, p.event_id AS purchase_id, round(v.value, 4) AS view_value FROM (SELECT * FROM events WHERE event_type = 'view') v JOIN (SELECT * FROM events WHERE event_type = 'purchase') p ON v.value >= p.value - 0.05 AND v.value < p.value + 0.05"))
+
   /** The join+agg shape shared by the entry and PlanAuditSpec. The merge
     * hint pins the sort-merge strategy (at test scale Catalyst would
     * auto-broadcast the tiny side; at fact-fact scale neither side
@@ -1075,6 +1097,7 @@ object SparkEntry {
     "j4_map_lookup" -> j4MapLookup,
     "j5_bucketed_join" -> j5BucketedJoin,
     "j6_asof_join" -> j6AsofJoin,
+    "j7_range_join" -> j7RangeJoin,
     "a1_distinct" -> a1Distinct,
     "a2_dedup_keep_latest" -> a2KeepLatest,
     "a3_count_distinct" -> a3CountDistinct,

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val points = Seq(
+    (1L, 0.0),   // == lo of r1 -> inclusive match
+    (2L, 9.99),  // just under hi of r1
+    (3L, 10.0),  // == hi of r1 -> exclusive, no match; == lo of r2
+    (4L, 25.0),  // inside wide r3 spanning many bins
+    (5L, -3.0),  // negative domain, inside r4
+    (6L, 99.0))  // no range
+    .toDF("pid", "p")
+
+  private val ranges = Seq(
+    (10L, 0.0, 10.0),   // r1
+    (20L, 10.0, 12.0),  // r2
+    (30L, 20.0, 40.0),  // r3 spans 4+ bins at width 5
+    (40L, -5.0, -1.0))  // r4 negative
+    .toDF("rid", "lo", "hi")
+
+  test("bin-bucketed range join matches brute-force inequality join") {
+    for (w <- Seq(0.5, 5.0, 50.0)) {
+      val got = RangeJoin.pointInInterval(points, "p", ranges, "lo", "hi", w)
+        .select("pid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      val brute = points.as("a").crossJoin(ranges.as("b"))
+        .where($"p" >= $"lo" && $"p" < $"hi")
+        .select("pid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == brute, s"binWidth=$w")
+      assert(got == Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L), (5L, 40L)))
+    }
+  }
+
+  test("no duplicate pairs even when a range spans many bins") {
+    val out = RangeJoin.pointInInterval(points, "p", ranges, "lo", "hi", 0.1)
+      .select("pid", "rid").as[(Long, Long)].collect()
+    assert(out.length == out.distinct.length)
+  }
+}
