@@ -119,6 +119,30 @@ class StreamingIngestSpec extends SparkSpec {
     assert(rows.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-static join enriches each micro-batch from a broadcast dim") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long)]
+    val enriched = mem.toDF.toDF("event_id", "user_id")
+      .join(broadcast(dim), Seq("user_id"), "left_outer")
+    val q = enriched.writeStream
+      .format("memory").queryName("enriched_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt6")
+      .start()
+    mem.addData((100L, 1L), (101L, 3L))
+    q.processAllAvailable()
+    mem.addData((102L, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched_stream")
+      .select("event_id", "tier").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows == Map(100L -> Some("gold"), 101L -> None,
+      102L -> Some("silver")))
+  }
+
   test("stateful keep-latest updates the per-user winner across batches") {
     val tmp = Files.createTempDirectory("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
