@@ -808,6 +808,35 @@ object SparkEntry {
       .select(col("doc_id"), col("bin").cast("int").as("bin"), col("value")),
     Some("WITH c AS (SELECT doc_id, 'GRFT|img|' || CAST(64 + doc_id % 64 AS VARCHAR) || '|' || CAST(48 + doc_id % 32 AS VARCHAR) || '|' || CAST(1 + doc_id % 4 AS VARCHAR) || '|' || text AS s FROM documents), pos AS (SELECT unnest(generate_series(1, 8192)) AS i), ch AS (SELECT doc_id, ascii(substr(s, CAST(i AS INT), 1)) % 16 AS bin FROM c JOIN pos ON i <= length(s)), cnt AS (SELECT doc_id, bin, count(*) AS n FROM ch GROUP BY 1, 2), bins AS (SELECT unnest(generate_series(0, 15)) AS bin), tot AS (SELECT doc_id, length(s) AS len FROM c) SELECT tot.doc_id, CAST(bins.bin AS INT) AS bin, CAST(COALESCE(cnt.n, 0) AS DOUBLE) / tot.len AS value FROM tot CROSS JOIN bins LEFT JOIN cnt ON cnt.doc_id = tot.doc_id AND cnt.bin = bins.bin"))
 
+  /** V7 — semi-structured extraction: parse the JSON props payload with
+    * an explicit schema (`from_json` — schema-applied, columnar, no
+    * schema inference pass) and filter on the extracted field. The
+    * per-record JSON payload is the reference's bread and butter; this is
+    * the column-level form (whole-file JSON goes through S2/relationalize).
+    */
+  private val v7JsonExtract = Q(
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), StructType.fromDDL("k bigint"))
+          .getField("k").as("k"))
+      .where(col("k") >= 50),
+    Some("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50"))
+
+  /** SO5 — intersect / except over key sets (both DISTINCT set semantics),
+    * emitted as one tagged union so a single entry covers both ops.
+    */
+  private val so5IntersectExcept = Q(
+    (s, dir) => {
+      val big = t(s, dir, "orders").where(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey"))
+      val open = t(s, dir, "orders").where(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      big.intersect(open).select(col("o_custkey"), lit("both").as("src"))
+        .unionByName(
+          big.except(open).select(col("o_custkey"), lit("only_big").as("src")))
+    },
+    Some("WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0), open_o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') SELECT o_custkey, 'both' AS src FROM (SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM open_o) UNION ALL SELECT o_custkey, 'only_big' AS src FROM (SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM open_o)"))
+
   // --------------------------------------------------------------------
   // Analytic surface: percentiles, rollup, windows, pivot
   // --------------------------------------------------------------------
@@ -1139,6 +1168,8 @@ object SparkEntry {
     "v4_suppress" -> v4Suppress,
     "v5_timestamp_parts" -> v5TimestampParts,
     "v6_string_fns" -> v6StringFns,
+    "v7_json_extract" -> v7JsonExtract,
+    "so5_intersect_except" -> so5IntersectExcept,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
