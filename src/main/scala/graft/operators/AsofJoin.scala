@@ -35,6 +35,11 @@ object AsofJoin {
       leftTime: String, rightTime: String,
       payload: Map[String, String]): DataFrame = {
     require(payload.nonEmpty, "payload must name at least one right column")
+    require(keyCols.forall(right.columns.contains),
+      s"right side must carry the key columns ${keyCols.mkString(", ")}")
+    val reserved = Seq("__t", "__side", "__p", "__m")
+    require(!left.columns.exists(reserved.contains),
+      s"left side uses reserved column names (${reserved.mkString(", ")})")
     val pStruct = struct(payload.keys.toSeq.map(col): _*)
     val lFields = left.schema.fields.toSeq
     // right rows reshaped to the left schema (non-key columns nulled) so

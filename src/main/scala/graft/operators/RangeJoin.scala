@@ -25,6 +25,10 @@ object RangeJoin {
       ranges: DataFrame, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    val shared = points.columns.toSet.intersect(ranges.columns.toSet)
+    require(shared.isEmpty,
+      s"points and ranges share column names: ${shared.mkString(", ")} — " +
+        "rename one side before joining")
     val pb = points.withColumn("__bin",
       floor(col(pCol) / binWidth).cast("long"))
     val rb = ranges.withColumn("__bin", explode(sequence(
