@@ -237,11 +237,20 @@ object SparkEntry {
     * would be drainToParquet (partitioned files + checkpoint); the memory
     * sink is the harness-comparable form.
     */
+  // file-streaming sources need a directory; the per-sfDir copy of events
+  // is harness scaffolding, written once per session, not per invocation
+  private val stInputCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   private val stWindowCounts = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st").toString
-      t(s, dir, "events").select(col("event_id"), col("event_type"), col("ts"))
-        .write.mode("overwrite").parquet(s"$tmp/in")
+      val tmp = stInputCache.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft_st").toString
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("ts"))
+          .write.mode("overwrite").parquet(s"$d/in")
+        d
+      })
       val stream = s.readStream
         .schema(StructType.fromDDL(
           "event_id bigint, event_type string, ts timestamp"))
