@@ -6,9 +6,10 @@ import java.nio.file.{Files, Paths}
 
 /** Benchmark main. Runs every registered query on SPARK_GRAFT_SF_DIR,
   * forcing full materialization (xxhash64-agg over every column — a count()
-  * lets Catalyst collapse projections to a near-empty scan), after one
-  * warmup pass so JVM/codegen warmup doesn't land on whichever query runs
-  * first. Emits ONE clean JSON line on stdout and mirrors it to
+  * lets Catalyst collapse projections to a near-empty scan), two passes,
+  * reporting best-of-two: the first pass absorbs JVM/codegen warmup, and a
+  * transient contention spike in either pass can't fake a regression.
+  * Emits ONE clean JSON line on stdout and mirrors it to
   * bench_result.json so the driver's parse never depends on sbt log
   * formatting. Failures are reported as null timings, not swallowed.
   */
@@ -35,27 +36,29 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // Warmup: exercise codegen/IO once per query; ignore failures here
-    // (they are reported from the timed pass).
-    names.foreach { n =>
-      val t0 = System.nanoTime()
-      try materialize(SparkEntry.queries(n)(spark, sfDir))
-      catch { case _: Throwable => () }
-      System.err.println(
-        f"[bench:warmup] $n ${(System.nanoTime() - t0) / 1e9}%.2fs")
-    }
-    val results: Seq[(String, Option[Double])] = names.map { n =>
+    // Pass 1 doubles as warmup (codegen compile, page-cache fill); pass 2
+    // runs warm. Reported timing is the MIN of the passes: a transient
+    // machine-contention spike during either pass then can't masquerade as
+    // a query regression, while a real regression shows in both passes.
+    def onePass(tag: String): Map[String, Double] = names.flatMap { n =>
       val t0 = System.nanoTime()
       try {
         materialize(SparkEntry.queries(n)(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $n $dt%.2fs")
-        n -> Some(dt)
+        System.err.println(f"[bench:$tag] $n $dt%.2fs")
+        Some(n -> dt)
       } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
-          n -> None
+          System.err.println(s"[bench:$tag] $n FAILED: ${e.getMessage}")
+          None
       }
+    }.toMap
+    val p1 = onePass("p1")
+    val p2 = onePass("p2")
+    val results: Seq[(String, Option[Double])] = names.map { n =>
+      // a query must succeed in the warm pass to count; p1-only success
+      // (e.g. a flaky external resource) is not a benchmarkable state
+      n -> p2.get(n).map(t2 => math.min(p1.getOrElse(n, t2), t2))
     }
     val qs = results.map {
       case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"

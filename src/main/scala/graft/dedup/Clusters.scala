@@ -1,0 +1,80 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dedup-cluster resolution: turn pairwise near-duplicate matches into
+  * connected components, so each group of mutually-similar documents keeps
+  * exactly one canonical representative. This is the step after
+  * [[Dedup.minhashPairs]] in a corpus-dedup pipeline — pairs alone
+  * over-delete (A~B and B~C must keep one of {A,B,C}, not drop both B
+  * and C's partners independently).
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labeled
+  * with itself; each round every node takes the minimum label among itself
+  * and its neighbors. Converges in O(component diameter) rounds — near-dup
+  * components are dense and shallow (diameter ≲ 3 in practice), so this
+  * beats the O(log n) large-star/small-star scheme on its constant factor
+  * while staying fully distributed: each round is one shuffle join
+  * (edges × labels) plus one aggregate, with `localCheckpoint` truncating
+  * the lineage so plans don't grow with iteration count. The driver sees
+  * only a per-round convergence scalar, never row data.
+  *
+  * Convergence test: labels only ever decrease, so Σ labels (exact, as
+  * decimal — no ANSI overflow) strictly decreases until the fixpoint;
+  * equal consecutive sums ⟺ no label changed.
+  */
+object Clusters {
+
+  /** Connected components of the undirected graph given by `edges`.
+    *
+    * @param edges  pair list; endpoints must be non-null
+    * @param src    left endpoint column (any orderable numeric/long type)
+    * @param dst    right endpoint column
+    * @param nodes  optional full node universe (one column named `id`'s
+    *               source column `idCol`); pass it to get singleton
+    *               components for unmatched nodes — otherwise only edge
+    *               endpoints appear
+    * @return (id, component) — component = min node id of the component
+    */
+  def connectedComponents(
+      edges: DataFrame, src: String, dst: String,
+      nodes: Option[DataFrame] = None, idCol: String = "id",
+      maxIter: Int = 50): DataFrame = {
+    val ends = edges.select(col(src).as("src"), col(dst).as("dst"))
+    // undirected: propagate along both directions; localCheckpoint once —
+    // the edge list is re-joined every round
+    val und = ends
+      .union(ends.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val universe = nodes match {
+      case Some(n) => n.select(col(idCol).as("id")).distinct()
+      case None => und.select(col("src").as("id")).distinct()
+    }
+    var labels = universe.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var prevSum: java.math.BigDecimal = null
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val raw = next.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+      // empty universe sums to NULL; normalize so it converges immediately
+      val s = if (raw == null) java.math.BigDecimal.ZERO else raw
+      converged = prevSum != null && prevSum.compareTo(s) == 0
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter " +
+      "rounds — component diameter exceeds the iteration budget")
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+}

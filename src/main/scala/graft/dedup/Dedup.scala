@@ -66,12 +66,34 @@ object Dedup {
     * two full arrays per candidate). On dup-SPARSE corpora with heavy
     * stopword skew the prefix variant wins; at true scale use minhash().
     */
+  /** @param salt two-sided salting factor for the token self-join. A
+    *   skewed vocabulary (few very-frequent tokens) hashes all of a hot
+    *   token's pairs into ONE shuffle partition, and AQE cannot split a
+    *   single key — the classic stuck-straggler. With `salt = k`, each
+    *   side carries its own `hash(id) % k` and replicates the other
+    *   side's salt 0..k-1, turning every token into k² balanced join
+    *   keys; each qualifying pair still meets exactly once (a's replica
+    *   at b's salt × b's replica at a's salt), so no dedup is added.
+    *   Costs k× shuffle volume of the tiny (id, sz, w) rows; leave at 1
+    *   for well-spread vocabularies.
+    */
   def jaccardPairs(
       docs: DataFrame, id: String, text: String,
-      threshold: Double, maxDf: Option[Long] = None): DataFrame = {
+      threshold: Double, maxDf: Option[Long] = None,
+      salt: Int = 1): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
     val toks = tokensWithSize(docs, id, text, maxDf)
-    toks.as("a").join(toks.as("b"),
-        col("a.w") === col("b.w") && col("a.id") < col("b.id") &&
+    val allSalts = array((0 until salt).map(lit): _*)
+    val (a, b, saltCond) =
+      if (salt == 1) (toks.as("a"), toks.as("b"), lit(true))
+      else (
+        toks.withColumn("__sa", pmod(xxhash64(col("id")), lit(salt)))
+          .withColumn("__sb", explode(allSalts)).as("a"),
+        toks.withColumn("__sb", pmod(xxhash64(col("id")), lit(salt)))
+          .withColumn("__sa", explode(allSalts)).as("b"),
+        col("a.__sa") === col("b.__sa") && col("a.__sb") === col("b.__sb"))
+    a.join(b,
+        col("a.w") === col("b.w") && saltCond && col("a.id") < col("b.id") &&
           least(col("a.sz"), col("b.sz")) >=
             tceil(threshold, greatest(col("a.sz"), col("b.sz"))))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),

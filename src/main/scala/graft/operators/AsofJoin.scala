@@ -40,13 +40,28 @@ object AsofJoin {
     val reserved = Seq("__t", "__side", "__p", "__m")
     require(!left.columns.exists(reserved.contains),
       s"left side uses reserved column names (${reserved.mkString(", ")})")
+    // output names must not shadow a left column — a duplicate name would
+    // only fail on downstream access, far from this call site
+    val clash = payload.values.toSeq.intersect(left.columns.toSeq)
+    require(clash.isEmpty,
+      s"payload output names collide with left columns: ${clash.mkString(", ")}")
+    require(payload.values.toSeq.distinct.size == payload.size,
+      "payload output names must be distinct")
+    // key dtypes must match exactly: a silent cast would turn a type
+    // mismatch into all-null join keys (zero matches) instead of an error
+    keyCols.foreach { k =>
+      val (lt, rt) = (left.schema(k).dataType, right.schema(k).dataType)
+      require(lt == rt,
+        s"key column $k has mismatched types: left=$lt right=$rt — " +
+          "cast one side explicitly before joining")
+    }
     val pStruct = struct(payload.keys.toSeq.map(col): _*)
     val lFields = left.schema.fields.toSeq
     // right rows reshaped to the left schema (non-key columns nulled) so
     // the union lines up by name
     val r2 = right.select(
       lFields.map(f =>
-        if (keyCols.contains(f.name)) col(f.name).cast(f.dataType)
+        if (keyCols.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)) ++
         Seq(col(rightTime).cast("timestamp").as("__t"),
           lit(0).as("__side"), pStruct.as("__p")): _*)

@@ -20,20 +20,38 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** @param maxBinsPerInterval fail-fast cap on the explode fanout: one
+    *   interval spanning `> maxBinsPerInterval` bins means `binWidth` is
+    *   mis-sized for the data (each such row would allocate that many
+    *   array entries before OOM/array-limit errors surface far from the
+    *   cause). Checked per row inside the plan; raising it is legitimate
+    *   for genuinely wide intervals.
+    */
   def pointInInterval(
       points: DataFrame, pCol: String,
       ranges: DataFrame, loCol: String, hiCol: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double, maxBinsPerInterval: Long = 100000L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val shared = points.columns.toSet.intersect(ranges.columns.toSet)
     require(shared.isEmpty,
       s"points and ranges share column names: ${shared.mkString(", ")} — " +
         "rename one side before joining")
     val pb = points.withColumn("__bin",
       floor(col(pCol) / binWidth).cast("long"))
-    val rb = ranges.withColumn("__bin", explode(sequence(
-      floor(col(loCol) / binWidth).cast("long"),
-      floor(col(hiCol) / binWidth).cast("long"))))
+    val binLo = floor(col(loCol) / binWidth).cast("long")
+    val binHi = floor(col(hiCol) / binWidth).cast("long")
+    // assert_true yields NULL on pass; adding it (coalesced to 0) into the
+    // sequence start makes the check un-prunable — a mis-sized binWidth
+    // fails with this message instead of an opaque array-size error
+    val guard = coalesce(
+      assert_true(binHi - binLo < lit(maxBinsPerInterval),
+        concat(lit(s"range join: an interval spans more than " +
+          s"$maxBinsPerInterval bins of width $binWidth ([")
+          , col(loCol), lit(", "), col(hiCol),
+          lit(")) — increase binWidth or maxBinsPerInterval"))).cast("long"),
+      lit(0L))
+    val rb = ranges.withColumn("__bin", explode(sequence(binLo + guard, binHi)))
     pb.join(rb, Seq("__bin"))
       .where(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__bin")

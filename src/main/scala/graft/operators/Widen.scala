@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, Deduplicate, Join, RepartitionOperation, Sort, Window => LWindow}
 
 /** Partition-width guard for compute-bound stages (shingling, signature
   * hashing, pair scoring, blob decoding): work per byte is high, so the
@@ -22,10 +24,20 @@ object Widen {
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
+    val plan = df.queryExecution.optimizedPlan
+    // an upstream exchange already spread the data across
+    // spark.sql.shuffle.partitions tasks — a second round-robin shuffle
+    // would cost a full pass for nothing
+    val alreadyShuffled = plan.exists {
+      case _: RepartitionOperation | _: Join | _: Aggregate |
+           _: Deduplicate | _: Sort | _: LWindow => true
+      case _ => false
+    }
     val maxPartBytes = JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estBytes < BigInt(maxPartBytes) * target) df.repartition(target)
+    val estBytes = plan.stats.sizeInBytes
+    if (!alreadyShuffled && estBytes < BigInt(maxPartBytes) * target)
+      df.repartition(target)
     else df
   }
 }

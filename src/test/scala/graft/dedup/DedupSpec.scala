@@ -34,6 +34,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("salted jaccard join returns the identical pair set") {
+    val plain = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    for (k <- Seq(2, 3, 8)) {
+      val salted = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8, salt = k)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(salted == plain, s"salt=$k")
+    }
+  }
+
   test("minhash pipeline: candidates from LSH buckets only, verified " +
       "pairs match exact jaccard") {
     val verified = Dedup.minhashPairs(docs, "doc_id", "text", 0.8)

@@ -39,4 +39,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.count() == 6)
     assert(out.columns.toSeq == Seq("trade_id", "sym", "t", "px"))
   }
+
+  test("payload output name colliding with a left column is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(trades, quotes, Seq("sym"), "t", "qt",
+        Map("px" -> "sym"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("mismatched key column types are rejected, not silently cast") {
+    val quotesIntKey = quotes.withColumn("sym", $"px".cast("int"))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(trades, quotesIntKey, Seq("sym"), "t", "qt",
+        Map("px" -> "px"))
+    }
+    assert(e.getMessage.contains("mismatched types"))
+  }
 }

@@ -38,4 +38,18 @@ class RangeJoinSpec extends SparkSpec {
       .select("pid", "rid").as[(Long, Long)].collect()
     assert(out.length == out.distinct.length)
   }
+
+  test("an interval spanning more than maxBinsPerInterval fails fast") {
+    // r3 is 20 units wide: 201 bins at width 0.1 — over a cap of 100
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "p", ranges, "lo", "hi", 0.1,
+        maxBinsPerInterval = 100L).collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString
+    assert(chain.contains("increase binWidth"), s"unexpected error: $chain")
+    // same cap passes at a sane binWidth
+    assert(RangeJoin.pointInInterval(points, "p", ranges, "lo", "hi", 5.0,
+      maxBinsPerInterval = 100L).count() == 5)
+  }
 }
