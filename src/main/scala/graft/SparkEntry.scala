@@ -736,14 +736,16 @@ object SparkEntry {
     (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text"),
     Some("SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups FROM documents GROUP BY 1"))
 
-  /** Exact word-set Jaccard near-dup pairs via inverted-index join. The
-    * synthetic corpus has a ~31-token vocabulary — a worst-case skew for a
-    * token equi-join (≤31 distinct keys, unsplittable by AQE) — so the
-    * salted form spreads each token over salt² balanced join keys.
+  /** Exact word-set Jaccard near-dup pairs via inverted-index join.
+    * salt=1: this corpus's ~31-token vocabulary is near-UNIFORM (every
+    * token has similar df), so per-token work is already balanced and
+    * salting would only pay its k× replication; the salted form
+    * ([[Dedup.jaccardPairs]] salt>1, covered in DedupSpec) is for Zipf
+    * vocabularies where one hot token pins a single shuffle partition.
     */
   private val dedupJaccard = Q(
     (s, dir) => Dedup.jaccardPairs(
-      t(s, dir, "documents"), "doc_id", "text", threshold = 0.8, salt = 8),
+      t(s, dir, "documents"), "doc_id", "text", threshold = 0.8),
     Some("WITH w AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents), sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
 
   /** MinHash-LSH near-dup detection (the 100 TB path): banded signatures →
@@ -825,6 +827,19 @@ object SparkEntry {
         length(col("frame")).cast("int").as("frame_len")),
     Some("SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(CASE WHEN i < f - 1 THEN pl // f ELSE pl - (pl // f) * (f - 1) END AS INT) AS frame_len FROM (SELECT doc_id, 1 + doc_id % 4 AS f, length(text) AS pl FROM documents) t JOIN (SELECT unnest(generate_series(0, 3)) AS i) s ON i < f WHERE i % 2 = 0"))
 
+  /** Resize plumbing: nearest-neighbor resample of each payload to a
+    * fixed 8×8 grid (stub sampler, real batch shape). The synthetic
+    * payload is pure ASCII, so the oracle's character sampling equals the
+    * byte sampling; output compared as a string for the same reason.
+    */
+  private val mmResize = Q(
+    (s, dir) => Multimodal.resize(
+        t(s, dir, "documents").select(col("doc_id"), mmContent.as("content")),
+        "doc_id", "content", outW = 8, outH = 8)
+      .select(col("doc_id"), col("width"), col("height"),
+        col("resized").cast("string").as("resized_str")),
+    Some("WITH p AS (SELECT doc_id, text AS payload, length(text) AS len FROM documents WHERE length(text) > 0), idx AS (SELECT unnest(generate_series(0, 63)) AS k), s AS (SELECT doc_id, k, substr(payload, CAST((k * len) // 64 AS INT) + 1, 1) AS ch FROM p CROSS JOIN idx) SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, string_agg(ch, '' ORDER BY k) AS resized_str FROM s GROUP BY doc_id"))
+
   /** Feature extraction plumbing: fixed-size vector per blob
     * (byte-histogram stub), emitted exploded as (doc_id, bin, value) scalar
     * rows — vector columns can't be hash-compared by the harness, and the
@@ -901,19 +916,29 @@ object SparkEntry {
     * figures in the output hash-match the oracle as usual.
     */
   private val a10Sketches = Q(
-    (s, dir) => t(s, dir, "events")
-      .groupBy(col("event_type"))
-      .agg(
+    (s, dir) => {
+      // Deliberately TWO aggregations joined, not one: countDistinct plans
+      // a first-level aggregate keyed (event_type, user_id), and mixing in
+      // imperative aggs (HLL, percentile) makes every per-USER group carry
+      // a full 52-long HLL sketch + QuantileSummaries buffer through two
+      // exchanges — 5× slower measured. Split, the exact branch stays in
+      // codegen'd hash aggregation and the sketch branch keeps one sketch
+      // per event_type; the rejoin is a broadcast of a handful of rows.
+      val ev = t(s, dir, "events")
+      val exact = ev.groupBy(col("event_type")).agg(
         countDistinct(col("user_id")).as("n_exact"),
-        approx_count_distinct(col("user_id")).as("n_approx"),
-        expr("approx_percentile(value, 0.5)").as("p50_approx"),
         round(min(col("value")), 4).as("vmin"),
         round(max(col("value")), 4).as("vmax"))
-      .select(col("event_type"), col("n_exact"),
-        (abs(col("n_approx") - col("n_exact")) <=
-          greatest(col("n_exact") * 0.15, lit(3.0))).as("hll_ok"),
-        col("p50_approx").between(col("vmin"), col("vmax")).as("tdigest_ok"),
-        col("vmin"), col("vmax")),
+      val sketch = ev.groupBy(col("event_type")).agg(
+        approx_count_distinct(col("user_id")).as("n_approx"),
+        expr("approx_percentile(value, 0.5)").as("p50_approx"))
+      exact.join(broadcast(sketch), "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            greatest(col("n_exact") * 0.15, lit(3.0))).as("hll_ok"),
+          col("p50_approx").between(col("vmin"), col("vmax")).as("tdigest_ok"),
+          col("vmin"), col("vmax"))
+    },
     Some("SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS hll_ok, true AS tdigest_ok, round(min(value), 4) AS vmin, round(max(value), 4) AS vmax FROM events GROUP BY 1"))
 
   /** Hierarchical totals via rollup — subtotal + grand-total rows with
@@ -1185,6 +1210,7 @@ object SparkEntry {
     "mm_decode_meta" -> mmDecodeMeta,
     "mm_frame_sample" -> mmFrameSample,
     "mm_featurize" -> mmFeaturize,
+    "mm_resize" -> mmResize,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,

@@ -94,6 +94,39 @@ object Multimodal {
       .toDF(id, "frame_idx", "frame")
   }
 
+  /** Nearest-neighbor resize of the payload to a fixed `outW × outH`
+    * grid: output byte k samples payload byte `(k · len) / (outW · outH)`
+    * — the deterministic stand-in for an image resample (swap the sampler
+    * for a real scaler with the same (id, content) → (id, dims, bytes)
+    * shape). Empty payloads produce no row (nothing to sample).
+    */
+  def resize(
+      df: DataFrame, id: String, content: String,
+      outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "target dimensions must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = outW * outH
+    widen(df).select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (rowId, bytes) =>
+          val m = decodeStub(bytes)
+          if (m.payloadLen <= 0) Iterator.empty
+          else {
+            val s = new String(bytes, StandardCharsets.UTF_8)
+            val payload = s.substring(s.length - m.payloadLen)
+              .getBytes(StandardCharsets.UTF_8)
+            // long arithmetic: k·len overflows Int for payloads ≳ 32 MB
+            val out = Array.tabulate(n)(k =>
+              payload((k.toLong * payload.length / n).toInt))
+            Iterator.single((rowId, outW, outH, out))
+          }
+        }
+      }
+      .toDF(id, "width", "height", "resized")
+  }
+
   /** Deterministic fake featurizer: 16-bin byte histogram, L1-normalized
     * to a fixed-size vector — the embedding-extraction plumbing with a stub
     * feature function. Double math throughout: integer counts divided in

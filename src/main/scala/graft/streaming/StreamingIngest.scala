@@ -70,6 +70,68 @@ object StreamingIngest {
         col("session_window.end").as("sess_end"), col("n"))
   }
 
+  final case class TsEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessAcc(startMs: Long, lastMs: Long, n: Long)
+  final case class Session(
+      user_id: Long, sess_start: java.sql.Timestamp,
+      sess_end: java.sql.Timestamp, n: Long)
+
+  /** Gap sessionization as CUSTOM state (flatMapGroupsWithState +
+    * event-time timeout) — the escape hatch for session semantics
+    * session_window can't express (per-session caps, custom merge rules,
+    * emitting partial sessions). Semantics here intentionally mirror
+    * [[sessionCounts]] (half-open gap, end = last event + gap) so the two
+    * are parity-testable: closed sessions are emitted as soon as a
+    * same-batch successor closes them, and the final open session of each
+    * key is emitted when the event-time watermark passes its close
+    * (timeout fires). State per key is three longs — constant memory at
+    * any stream length; one state-store shuffle per micro-batch.
+    */
+  def gapSessionsCustom(
+      events: Dataset[TsEvent], gapMs: Long,
+      watermark: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def close(uid: Long, a: SessAcc): Session = Session(
+      uid, new java.sql.Timestamp(a.startMs),
+      new java.sql.Timestamp(a.lastMs + gapMs), a.n)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessAcc, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[TsEvent], state: GroupState[SessAcc]) =>
+          if (state.hasTimedOut) {
+            val a = state.get
+            state.remove()
+            Iterator.single(close(uid, a))
+          } else {
+            val times = evs.map(_.ts.getTime).toArray.sorted
+            val out = List.newBuilder[Session]
+            var acc = state.getOption
+            times.foreach { t =>
+              acc match {
+                case Some(a) if t - a.lastMs < gapMs =>
+                  acc = Some(SessAcc(a.startMs, math.max(a.lastMs, t), a.n + 1))
+                case Some(a) =>
+                  out += close(uid, a)
+                  acc = Some(SessAcc(t, t, 1L))
+                case None =>
+                  acc = Some(SessAcc(t, t, 1L))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              // the timeout target must sit above the current watermark;
+              // a close instant already at/behind it fires next batch
+              state.setTimeoutTimestamp(
+                math.max(a.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   final case class Event(user_id: Long, event_id: Long, ts_ns: Long)
   final case class Latest(user_id: Long, latest_event_id: Long, ts_ns: Long)
 

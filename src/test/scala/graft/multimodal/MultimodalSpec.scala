@@ -44,6 +44,23 @@ class MultimodalSpec extends SparkSpec {
     assert(!frames.exists(_._1 == 3L))
   }
 
+  test("resize nearest-neighbor-samples the payload to the target grid") {
+    val out = Multimodal.resize(df, "doc_id", "content", outW = 2, outH = 2)
+      .collect()
+      .map(r => (r.getLong(0),
+        new String(r.getAs[Array[Byte]]("resized"), StandardCharsets.UTF_8)))
+      .toMap
+    // payload "0123456789": k·10/4 for k=0..3 → indices 0,2,5,7
+    assert(out(1L) == "0257")
+    // payload "abcdefg": k·7/4 → indices 0,1,3,5
+    assert(out(2L) == "abdf")
+    // malformed blob (payloadLen from fallback) still samples its bytes
+    assert(out(3L).length == 4)
+    val dims = Multimodal.resize(df, "doc_id", "content", 2, 2)
+      .select("width", "height").distinct().as[(Int, Int)].collect().toSeq
+    assert(dims == Seq((2, 2)))
+  }
+
   test("featurize yields a fixed-size L1-normalized vector") {
     val feats = Multimodal.featurize(df, "doc_id", "content")
       .where($"doc_id" === 1L)

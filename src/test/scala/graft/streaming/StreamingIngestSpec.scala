@@ -96,6 +96,53 @@ class StreamingIngestSpec extends SparkSpec {
       (7L, Timestamp.valueOf("2022-01-01 00:10:30"), 1L)))
   }
 
+  test("flatMapGroupsWithState gap sessions match the built-in " +
+      "session_window semantics") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingIngest.TsEvent]
+    // user 7: same shape as the session_window test — 2-event session,
+    // 10-minute gap, 1-event session; user 8 spans batches (the 00:00:40
+    // event arrives in batch 2 but still extends the open session)
+    mem.addData(
+      StreamingIngest.TsEvent(7L, Timestamp.valueOf("2022-01-01 00:00:00")),
+      StreamingIngest.TsEvent(7L, Timestamp.valueOf("2022-01-01 00:00:30")),
+      StreamingIngest.TsEvent(8L, Timestamp.valueOf("2022-01-01 00:00:10")))
+    val sessions = StreamingIngest.gapSessionsCustom(
+      mem.toDS(), gapMs = 60000L, watermark = "5 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("custom_sess")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt_cs")
+      .start()
+    q.processAllAvailable()
+    mem.addData(
+      StreamingIngest.TsEvent(8L, Timestamp.valueOf("2022-01-01 00:00:40")),
+      StreamingIngest.TsEvent(7L, Timestamp.valueOf("2022-01-01 00:10:30")))
+    q.processAllAvailable()
+    // far-future event pushes the watermark past every open session's
+    // close; the event-time timeouts fire and flush them
+    mem.addData(
+      StreamingIngest.TsEvent(99L, Timestamp.valueOf("2022-01-02 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("custom_sess")
+      .where($"user_id" =!= 99L)
+      .select("user_id", "sess_start", "sess_end", "n")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    val expected = StreamingIngest.sessionCounts(
+      Seq(
+        (7L, Timestamp.valueOf("2022-01-01 00:00:00")),
+        (7L, Timestamp.valueOf("2022-01-01 00:00:30")),
+        (7L, Timestamp.valueOf("2022-01-01 00:10:30")),
+        (8L, Timestamp.valueOf("2022-01-01 00:00:10")),
+        (8L, Timestamp.valueOf("2022-01-01 00:00:40")))
+        .toDF("user_id", "ts"), "ts", "user_id", "1 minute")
+      .select("user_id", "sess_start", "sess_end", "n")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(rows == expected)
+  }
+
   test("streaming dropDuplicates suppresses re-deliveries across batches") {
     val tmp = Files.createTempDirectory("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext

@@ -6,10 +6,8 @@ def mat(df: org.apache.spark.sql.DataFrame): Unit = {
   val h = xxhash64(df.columns.toIndexedSeq.map(col): _*)
   df.select(h.as("h")).agg(bit_xor(col("h"))).collect(); ()
 }
-val names = Seq("dedup_jaccard", "a10_sketches", "dedup_exact",
-  "dedup_minhash", "bm_incremental", "ann_ivf_topk", "a8_rollup",
-  "ann_topk", "ann_neardup", "a3_salted_distinct", "a1_distinct",
-  "s4_parquet_roundtrip")
+val names = Seq("dedup_jaccard", "dedup_clusters", "a10_sketches",
+  "dedup_minhash", "bm_incremental", "ann_ivf_topk")
 for (n <- names; r <- 1 to 2) {
   val t0 = System.nanoTime()
   mat(graft.SparkEntry.queries(n)(spark, dir))
