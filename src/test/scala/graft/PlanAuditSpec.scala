@@ -114,4 +114,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
     assert(!p.contains("Window"))
   }
+
+  test("a10_sketches: sketch branch rejoins by broadcast and no aggregate " +
+      "carries imperative sketches per user") {
+    val p = plan("a10_sketches")
+    assert(p.contains("BroadcastHashJoin"))
+    // the regression this guards: countDistinct's first-level aggregate is
+    // keyed (event_type, user_id); if the HLL/percentile aggs ride along,
+    // every per-USER group materializes a 52-long sketch buffer. Split
+    // correctly, no ObjectHashAggregate groups by user_id.
+    assert(!p.linesIterator
+      .sliding(4).exists(w => w.exists(_.contains("ObjectHashAggregate")) &&
+        w.exists(l => l.trim.startsWith("Keys") && l.contains("user_id"))),
+      "an ObjectHashAggregate is keyed by user_id — sketch buffers " +
+        "are being built per user")
+  }
+
+  test("dedup_clusters: iterative rounds stay join+aggregate, never " +
+      "cartesian, and edges are checkpoint-backed") {
+    val out = df("dedup_clusters")
+    val p = out.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"))
+    // the returned frame is the converged localCheckpoint — re-consuming
+    // it (bench does, twice) must not replay the iterations
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"expected a checkpoint-backed result, got:\n$p")
+  }
 }
