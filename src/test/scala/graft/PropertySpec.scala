@@ -134,6 +134,45 @@ object PropertySpec extends Properties("graft") {
       counted == expected && prefixed == expected
     }
 
+  // Random sparse graphs: up to 14 nodes, random edge subsets — sweeps
+  // chains, cliques, forests, and isolated nodes in one generator.
+  private val graphGen: Gen[(Int, List[(Long, Long)])] = for {
+    n <- Gen.chooseNum(1, 14)
+    m <- Gen.chooseNum(0, n * 2)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0, n - 1)
+      b <- Gen.chooseNum(0, n - 1)
+      if a != b
+    } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+  } yield (n, edges)
+
+  property("connectedComponents equals a reference union-find") =
+    Prop.forAllNoShrink(graphGen) { case (n, edges) =>
+      import spark.implicits._
+      val nodes = (0L until n.toLong).toDF("id")
+      val edgeDf = edges.toDF("id1", "id2")
+      val got = graft.dedup.Clusters.connectedComponents(
+          edgeDf, "id1", "id2", nodes = Some(nodes))
+        .as[(Long, Long)].collect().toMap
+      // driver-side union-find as the oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map { i =>
+        // component label = min node id of the component
+        val members = (0 until n).filter(j => find(j) == find(i))
+        i.toLong -> members.min.toLong
+      }.toMap
+      got == expected
+    }
+
   property("exact dedup partitions the corpus: group sizes sum to total, " +
       "groups == distinct texts, keeper is the min id") =
     Prop.forAllNoShrink(textsGen) { texts =>
