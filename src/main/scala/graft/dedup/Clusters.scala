@@ -47,11 +47,13 @@ object Clusters {
     val und = ends
       .union(ends.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    val universe = nodes match {
-      case Some(n) => n.select(col(idCol).as("id")).distinct()
-      case None => und.select(col("src").as("id")).distinct()
-    }
-    var labels = universe.select(col("id"), col("id").as("lbl"))
+    // iterate over edge ENDPOINTS only: a node with no edge is its own
+    // component and needs no propagation rounds. In corpus dedup the edge
+    // set is orders of magnitude smaller than the node universe, so the
+    // per-round join/aggregate touches |endpoints| rows, not |corpus|;
+    // singletons are attached in one final left join.
+    val endpoints = und.select(col("src").as("id")).distinct()
+    var labels = endpoints.select(col("id"), col("id").as("lbl"))
       .localCheckpoint()
     var prevSum: java.math.BigDecimal = null
     var it = 0
@@ -75,6 +77,13 @@ object Clusters {
     }
     require(converged, s"connectedComponents did not converge in $maxIter " +
       "rounds — component diameter exceeds the iteration budget")
-    labels.select(col("id"), col("lbl").as("component"))
+    nodes match {
+      case Some(n) =>
+        n.select(col(idCol).as("id")).distinct()
+          .join(labels, Seq("id"), "left")
+          .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
+      case None =>
+        labels.select(col("id"), col("lbl").as("component"))
+    }
   }
 }
