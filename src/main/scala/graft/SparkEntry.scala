@@ -242,6 +242,17 @@ object SparkEntry {
   private val stInputCache =
     scala.collection.concurrent.TrieMap[String, String]()
   private val stSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  locally { // session-lifetime scaffolding, removed when the JVM exits
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stInputCache.values.foreach { d =>
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }))
+  }
 
   private val stWindowCounts = Q(
     (s, dir) => {
