@@ -1013,7 +1013,7 @@ object SparkEntry {
   private val textQuality = Q(
     (s, dir) => t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality")),
-    Some("WITH b AS (SELECT doc_id, text, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS n, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) AS stophits, CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct FROM documents) SELECT doc_id, round(least(1.0, n / 100.0) * 0.4 + least(1.0, stophits / n * 5.0) * 0.3 + (1.0 - punct / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3, 4) AS quality FROM b"))
+    Some("WITH b AS (SELECT doc_id, text, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS n, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) AS stophits, CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct FROM documents) SELECT doc_id, floor((least(1.0, n / 100.0) * 0.4 + least(1.0, stophits / n * 5.0) * 0.3 + (1.0 - punct / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality FROM b"))
 
   /** Document fingerprinting: md5 of normalized text. */
   private val textFingerprint = Q(

@@ -76,9 +76,10 @@ object Multimodal {
           val m = decodeStub(bytes)
           if (m.nFrames <= 0) Iterator.empty
           else {
-            val s = new String(bytes, StandardCharsets.UTF_8)
-            val payload = s.substring(s.length - m.payloadLen)
-              .getBytes(StandardCharsets.UTF_8)
+            // slice bytes directly: payloadLen counts BYTES, and a
+            // char-indexed substring diverges (or throws) the moment the
+            // payload holds multi-byte or invalid UTF-8 sequences
+            val payload = bytes.slice(bytes.length - m.payloadLen, bytes.length)
             val chunk = payload.length / m.nFrames
             (0 until m.nFrames).iterator
               .filter(_ % everyN == 0)
@@ -114,9 +115,8 @@ object Multimodal {
           val m = decodeStub(bytes)
           if (m.payloadLen <= 0) Iterator.empty
           else {
-            val s = new String(bytes, StandardCharsets.UTF_8)
-            val payload = s.substring(s.length - m.payloadLen)
-              .getBytes(StandardCharsets.UTF_8)
+            // byte slice, not char substring — see frameSample
+            val payload = bytes.slice(bytes.length - m.payloadLen, bytes.length)
             // long arithmetic: k·len overflows Int for payloads ≳ 32 MB
             val out = Array.tabulate(n)(k =>
               payload((k.toLong * payload.length / n).toInt))

@@ -44,8 +44,11 @@ object RangeJoin {
     // assert_true yields NULL on pass; adding it (coalesced to 0) into the
     // sequence start makes the check un-prunable — a mis-sized binWidth
     // fails with this message instead of an opaque array-size error
+    // NULL bounds keep their pre-guard behavior (sequence(NULL, …) is
+    // NULL, explode drops the row) — the assert must not fire on them
     val guard = coalesce(
-      assert_true(binHi - binLo < lit(maxBinsPerInterval),
+      assert_true(
+        binLo.isNull || binHi.isNull || binHi - binLo < lit(maxBinsPerInterval),
         concat(lit(s"range join: an interval spans more than " +
           s"$maxBinsPerInterval bins of width $binWidth ([")
           , col(loCol), lit(", "), col(hiCol),

@@ -62,7 +62,15 @@ object TextAnalysis {
     val lenCredit = least(lit(1.0), n / 100.0)
     val stopCredit = least(lit(1.0), stopHits / n * 5.0)
     val punctPenalty = lit(1.0) - punct / greatest(length(text).cast("double"), lit(1.0))
-    round(lenCredit * 0.4 + stopCredit * 0.3 + punctPenalty * 0.3, 4)
+    val raw = lenCredit * 0.4 + stopCredit * 0.3 + punctPenalty * 0.3
+    // NOT round(raw, 4): engines disagree on decimal-boundary doubles
+    // (a raw score whose shortest decimal form is exactly …5 rounds up
+    // under DuckDB's scaled-approximation rounding and down under
+    // Spark's exact-binary-expansion rounding — observed at sf0.1).
+    // floor(x·10⁴ + 0.5)/10⁴ is the same IEEE op sequence in any engine,
+    // so the quantized score is bit-identical everywhere. Valid because
+    // the score is non-negative.
+    floor(raw * 10000.0 + lit(0.5)) / 10000.0
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
