@@ -134,6 +134,92 @@ object Dedup {
     }
   }
 
+  /** EXACT word-set Jaccard pairs for corpora whose distinct vocabulary
+    * fits in 64 tokens: each doc's token set packs into ONE 64-bit mask,
+    * so intersection and union sizes are two popcounts and the candidate
+    * space collapses from Σ df² token collisions to pairs of DISTINCT
+    * masks (exact-duplicate docs share a mask and are compared once).
+    * No token self-join, no shuffle fanout: the mask projection is
+    * narrow, the mask-pair comparison is a broadcast nested-loop over
+    * the ≤ 2⁶⁴ (in practice ≤ corpus-distinct) mask table, and the only
+    * shuffles left are the expansion joins whose size is the OUTPUT
+    * pair count. On the 31-token bench corpus this replaces ~620M joined
+    * token rows with ~m²/2 popcount comparisons (m = distinct sets).
+    *
+    * Same contract as [[jaccardPairs]]: (id1 < id2, jaccard ≥ threshold),
+    * bit-identical jaccard doubles (integer-ratio division both ways).
+    *
+    * The vocabulary probe collects ≤ 65 tokens to the driver (the same
+    * "small enough to inline" rule as a broadcast dim); a corpus whose
+    * vocabulary exceeds 64 tokens fails fast with IllegalArgumentException
+    * — use [[jaccardPairsAuto]] to fall back to the inverted index.
+    */
+  def jaccardPairsBitset(
+      docs: DataFrame, id: String, text: String,
+      threshold: Double): DataFrame = {
+    val sets = widen(docs).select(col(id).as("id"),
+      array_distinct(split(lower(col(text)), "\\s+")).as("ts"))
+    val vocab = sets.select(explode(col("ts")).as("w"))
+      .distinct().limit(65).collect().map(_.getString(0))
+    require(vocab.length <= 64,
+      "jaccardPairsBitset: vocabulary exceeds 64 distinct tokens — " +
+        "use jaccardPairs/jaccardPairsAuto for general corpora")
+    // token → bit map inlined as a literal (≤ 64 entries); element_at
+    // under ANSI mode errors on a token absent from the probe, which is
+    // exactly right — it means the input changed between probe and run
+    val bitOf = map(vocab.sorted.zipWithIndex.flatMap {
+      case (w, i) => Seq(lit(w), lit(1L << i))
+    }.toIndexedSeq: _*)
+    // narrow per-doc fold — no groupBy shuffle; ≤ 64 iterations per doc
+    val masks = sets.select(col("id"),
+      aggregate(col("ts"), lit(0L),
+        (acc, w) => acc.bitwiseOR(element_at(bitOf, w))).as("mask"))
+    val dm = masks.select(col("mask")).distinct()
+    def pc(c: Column): Column = bit_count(c)
+    // m×m popcount comparisons under the symmetric size filter; the
+    // jaccard double is the same integer ratio the inverted index emits
+    val cross = dm.as("x").join(broadcast(dm.as("y")),
+        col("x.mask") < col("y.mask") &&
+          least(pc(col("x.mask")), pc(col("y.mask"))) >=
+            tceil(threshold, greatest(pc(col("x.mask")), pc(col("y.mask")))))
+      .select(col("x.mask").as("m1"), col("y.mask").as("m2"),
+        (pc(col("x.mask").bitwiseAND(col("y.mask"))) /
+          pc(col("x.mask").bitwiseOR(col("y.mask")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    // docs sharing a mask are exact set-duplicates: J = 1.0, compare once
+    val same = dm.select(col("mask").as("m1"), col("mask").as("m2"),
+        lit(1.0).as("jaccard"))
+      .where(lit(1.0) >= threshold)
+    val mp = cross.unionByName(same)
+    // expansion joins: sized by the qualifying OUTPUT pairs, nothing more.
+    // Same-mask pairs keep x.id < y.id (each unordered pair once);
+    // cross-mask ids can't collide, least/greatest just normalizes order.
+    masks.as("x")
+      .join(broadcast(mp), col("x.mask") === col("m1"))
+      .join(masks.as("y"), col("y.mask") === col("m2") &&
+        (col("m1") =!= col("m2") || col("x.id") < col("y.id")))
+      .select(least(col("x.id"), col("y.id")).as("id1"),
+        greatest(col("x.id"), col("y.id")).as("id2"), col("jaccard"))
+  }
+
+  /** Adaptive exact-Jaccard: probe the vocabulary and take the bitset
+    * path when it fits in 64 bits, the inverted index otherwise — an
+    * AQE-style runtime algorithm choice costing one probe scan. Options
+    * that only parameterize the inverted index (df cap, salt) force the
+    * general path.
+    */
+  def jaccardPairsAuto(
+      docs: DataFrame, id: String, text: String,
+      threshold: Double, maxDf: Option[Long] = None,
+      salt: Int = 1): DataFrame =
+    if (maxDf.isEmpty && salt == 1) {
+      try jaccardPairsBitset(docs, id, text, threshold)
+      catch {
+        case _: IllegalArgumentException =>
+          jaccardPairs(docs, id, text, threshold, maxDf, salt)
+      }
+    } else jaccardPairs(docs, id, text, threshold, maxDf, salt)
+
   /** EXACT Jaccard pairs via prefix-filtered candidate generation (the
     * All-Pairs/PPJoin scheme — Bayardo et al. WWW'07, Xiao et al. WWW'08):
     * order tokens globally by document frequency (rarest first), keep only

@@ -44,6 +44,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bitset jaccard equals the inverted index, values included") {
+    val plain = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val bitset = Dedup.jaccardPairsBitset(docs, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bitset == plain)
+  }
+
+  test("bitset jaccard matches inverted index on random small-vocab corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'z').map(_.toString)
+    for (trial <- 0 until 3; threshold <- Seq(0.5, 0.8)) {
+      val corpus = (1L to 40L).map { i =>
+        val n = 3 + rnd.nextInt(20)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val plain = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold)
+        .as[(Long, Long, Double)].collect().toSet
+      val bitset = Dedup.jaccardPairsBitset(corpus, "doc_id", "text", threshold)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(bitset == plain, s"trial=$trial t=$threshold")
+    }
+  }
+
+  test("bitset jaccard fails fast past 64 distinct tokens; auto falls back") {
+    val wide = (1L to 5L).map(i =>
+      (i, (0 until 70).map(k => s"tok$k").mkString(" "))).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsBitset(wide, "doc_id", "text", 0.8)
+    }
+    val auto = Dedup.jaccardPairsAuto(wide, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val plain = Dedup.jaccardPairs(wide, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == plain && auto.nonEmpty)
+  }
+
   test("minhash pipeline: candidates from LSH buckets only, verified " +
       "pairs match exact jaccard") {
     val verified = Dedup.minhashPairs(docs, "doc_id", "text", 0.8)
