@@ -5,10 +5,12 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.DotProduct
+import graft.plans.IntervalJoinStrategy
 
-/** Session extensions registering the library's native expressions —
-  * enable with `spark.sql.extensions=graft.GraftExtensions` (the public
-  * Catalyst extension point; no internal APIs involved).
+/** Session extensions registering the library's native expressions and
+  * planner strategies — enable with
+  * `spark.sql.extensions=graft.GraftExtensions` (the public Catalyst
+  * extension point; no internal APIs involved).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -21,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${DotProduct.Name} takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectPlannerStrategy(_ => new IntervalJoinStrategy)
   }
 }

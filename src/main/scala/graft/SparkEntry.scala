@@ -511,6 +511,31 @@ object SparkEntry {
     },
     Some("SELECT v.event_id AS view_id, p.event_id AS purchase_id, round(v.value, 4) AS view_value FROM (SELECT * FROM events WHERE event_type = 'view') v JOIN (SELECT * FROM events WHERE event_type = 'purchase') p ON v.value >= p.value - 0.05 AND v.value < p.value + 0.05"))
 
+  /** J8 — the same point-in-interval semantics as J7, written as a
+    * DECLARATIVE inequality join and planned by the injected
+    * [[graft.plans.IntervalJoinStrategy]]: lineitem quantities (large
+    * side, streamed in place — no shuffle) against per-nation value
+    * bands (small side, broadcast + segment-tree interval index,
+    * O(log m + k) per row). Built-in planning would nested-loop this at
+    * |lineitem|×|nation| comparisons. The large×large form stays J7's
+    * bin-bucketed equi-join; the strategy gates on the broadcast
+    * threshold so each shape gets the plan that survives scale-up.
+    */
+  private val j8IntervalJoin = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val bands = t(s, dir, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * 2.0).as("lo"),
+        (col("n_nationkey") * 2.0 + 6.0).as("hi"))
+      li.join(bands,
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_matches"))
+    },
+    Some("SELECT n_nationkey, count(*) AS n_matches FROM lineitem, nation " +
+      "WHERE l_quantity >= n_nationkey * 2.0 " +
+      "AND l_quantity < n_nationkey * 2.0 + 6.0 GROUP BY 1"))
+
   /** The join+agg shape shared by the entry and PlanAuditSpec. The merge
     * hint pins the sort-merge strategy (at test scale Catalyst would
     * auto-broadcast the tiny side; at fact-fact scale neither side
@@ -1199,6 +1224,7 @@ object SparkEntry {
     "j5_bucketed_join" -> j5BucketedJoin,
     "j6_asof_join" -> j6AsofJoin,
     "j7_range_join" -> j7RangeJoin,
+    "j8_interval_join" -> j8IntervalJoin,
     "a1_distinct" -> a1Distinct,
     "a2_dedup_keep_latest" -> a2KeepLatest,
     "a3_count_distinct" -> a3CountDistinct,

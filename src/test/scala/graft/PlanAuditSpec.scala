@@ -97,6 +97,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
   }
 
+  test("j8: declarative interval join planned by the injected strategy, " +
+      "not a nested loop") {
+    val p = plan("j8_interval_join")
+    assert(p.contains("BroadcastIntervalJoin"), s"strategy did not fire:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("ann_topk: queries broadcast; corpus side never shuffles for the join") {
     val p = plan("ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin"))

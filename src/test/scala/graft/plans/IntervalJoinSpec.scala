@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(11)
+  private def points = (1L to 400L).map(i => (i, rnd.nextDouble() * 100))
+    .toDF("pid", "p")
+  private def intervals = (1L to 120L).map { i =>
+    val lo = rnd.nextDouble() * 100
+    (i, lo, lo + rnd.nextDouble() * 10)
+  }.toDF("iid", "lo", "hi")
+
+  // AdaptiveSparkPlanExec is a LEAF node (the real plan hides behind it),
+  // so tree traversal can't find the join — its string rendering can
+  private def usesNative(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("BroadcastIntervalJoin")
+
+  private def collectPairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("pid", "iid").as[(Long, Long)].collect().toSet
+
+  test("declarative interval join plans as BroadcastIntervalJoinExec " +
+      "and matches the brute-force result") {
+    val p = points.cache(); val iv = intervals.cache()
+    val native = p.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+    assert(usesNative(native))
+    val brute = p.collect().flatMap { pr =>
+      iv.collect().collect {
+        case ir if pr.getDouble(1) >= ir.getDouble(1) &&
+          pr.getDouble(1) < ir.getDouble(2) =>
+          (pr.getLong(0), ir.getLong(0))
+      }
+    }.toSet
+    assert(collectPairs(native) == brute && brute.nonEmpty)
+  }
+
+  test("operand order, side assignment, and <= upper bound all match") {
+    val p = points; val iv = intervals
+    val variants = Seq(
+      p.join(iv, col("lo") <= col("p") && col("hi") > col("p")),
+      iv.join(p, col("p") >= col("lo") && col("p") < col("hi")),
+      p.join(iv, col("p") >= col("lo") && col("p") <= col("hi")))
+    variants.foreach(v => assert(usesNative(v), v.queryExecution.toString))
+    // inclusive-vs-exclusive: the <= variant must be a superset containing
+    // any boundary hits, and equal when no point sits exactly on a hi
+    val excl = collectPairs(variants.head)
+    val incl = collectPairs(variants(2))
+    assert(excl.subsetOf(incl))
+    // side-swapped join output carries the same pairs
+    assert(collectPairs(variants(1)) == excl)
+  }
+
+  test("non-matching shapes fall back to built-in planning, same result") {
+    val p = points; val iv = intervals
+    // three conjuncts: not the recognized shape
+    val extra = p.join(iv,
+      col("p") >= col("lo") && col("p") < col("hi") && col("pid") =!= col("iid"))
+    assert(!usesNative(extra))
+    // strict lower bound: not recognized
+    val strict = p.join(iv, col("p") > col("lo") && col("p") < col("hi"))
+    assert(!usesNative(strict))
+    // oversized build side: gated by the broadcast threshold
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val gated = p.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+      assert(!usesNative(gated))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("null points and null bounds never match") {
+    val p = Seq((1L, Some(5.0)), (2L, None)).toDF("pid", "p")
+    val iv = Seq((1L, Some(0.0), Some(10.0)), (2L, None, Some(10.0)),
+      (3L, Some(0.0), None)).toDF("iid", "lo", "hi")
+    val out = p.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+    assert(usesNative(out))
+    assert(collectPairs(out) == Set((1L, 1L)))
+  }
+
+  test("interval index stabs exactly the covering intervals") {
+    val los = Array[Any](0.0, 2.0, 4.0, 4.0, 9.0)
+    val his = Array[Any](3.0, 2.5, 8.0, 5.0, 9.5)
+    val ord = implicitly[Ordering[Double]].asInstanceOf[Ordering[Any]]
+    val idx = new IntervalIndex(los, his, ord, hiInclusive = false)
+    val buf = new scala.collection.mutable.ArrayBuffer[Int]
+    def stab(p: Double): Set[Int] = { buf.clear(); idx.stab(p, buf); buf.toSet }
+    assert(stab(2.2) == Set(0, 1))
+    assert(stab(4.5) == Set(2, 3))
+    assert(stab(8.5) == Set.empty)
+    assert(stab(9.0) == Set(4))
+    assert(stab(3.0) == Set.empty[Int]) // i0's hi=3.0 is exclusive
+  }
+}
