@@ -924,6 +924,23 @@ object SparkEntry {
     },
     Some("WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0), open_o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') SELECT o_custkey, 'both' AS src FROM (SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM open_o) UNION ALL SELECT o_custkey, 'only_big' AS src FROM (SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM open_o)"))
 
+  /** SO6 — deterministic hash split (train/val/test assignment, the
+    * standard training-data partitioner): bucket by the first hex digit
+    * of md5(id) — 12/2/2 of 16 digits ≈ 75/12.5/12.5 — so membership is
+    * a pure function of the key: stable across runs, retries, cluster
+    * sizes, and engines (md5 hex strings compare identically in Spark
+    * and DuckDB), with no RNG state and no sampling shuffle. A narrow
+    * projection — the split never moves data.
+    */
+  private val so6HashSplit = Q(
+    (s, dir) => {
+      val d = substring(md5(col("doc_id").cast("string")), 1, 1)
+      t(s, dir, "documents").select(col("doc_id"),
+        when(d <= "b", "train").when(d <= "d", "val")
+          .otherwise("test").as("split"))
+    },
+    Some("SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val' ELSE 'test' END AS split FROM documents"))
+
   // --------------------------------------------------------------------
   // Analytic surface: percentiles, rollup, windows, pivot
   // --------------------------------------------------------------------
@@ -1046,6 +1063,28 @@ object SparkEntry {
     (s, dir) => t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp")),
     Some("SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents"))
+
+  /** Corpus bigram frequencies, top-20 with lexicographic tie-break —
+    * the n-gram census behind contamination checks and boilerplate
+    * detection. Explode + map-side-combining count + TakeOrdered: the
+    * full bigram multiset never sorts globally, only the per-partition
+    * top-20 candidates reach the driver.
+    */
+  private val textNgrams = Q(
+    (s, dir) => {
+      val words = split(lower(trim(col("text"))), "\\s+")
+      t(s, dir, "documents")
+        .select(explode(when(size(words) >= 2,
+          transform(sequence(lit(0), size(words) - 2),
+            i => concat_ws(" ", slice(words, i + 1, lit(2)))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    },
+    // the driver's DuckDB lacks lateral generate_series over a column —
+    // cross-join a fixed index domain and bound it by the token count
+    Some("WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS a FROM documents), i AS (SELECT unnest(generate_series(1, 1000)) AS i), g AS (SELECT a[i] || ' ' || a[i+1] AS bigram FROM t, i WHERE i <= len(a) - 1) SELECT bigram, count(*) AS n FROM g GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"))
 
   // --------------------------------------------------------------------
   // LLM-pipeline: similarity search
@@ -1253,6 +1292,7 @@ object SparkEntry {
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "text_fingerprint" -> textFingerprint,
+    "text_ngrams" -> textNgrams,
     "ann_topk" -> annTopK,
     "ann_neardup" -> annNearDup,
     "ann_ivf_topk" -> annIvfTopK,
@@ -1270,6 +1310,7 @@ object SparkEntry {
     "v6_string_fns" -> v6StringFns,
     "v7_json_extract" -> v7JsonExtract,
     "so5_intersect_except" -> so5IntersectExcept,
+    "so6_hash_split" -> so6HashSplit,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -104,6 +104,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("s4 output: partition predicates prune the hive-partitioned scan") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s4_prune").toString
+    val df = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type").as("assessmentid"),
+        year(col("ts")).as("year"), month(col("ts")).as("month"),
+        dayofmonth(col("ts")).as("day"))
+    graft.sources.ParquetDataset.write(df, tmp)
+    val rd = graft.sources.ParquetDataset.read(spark, tmp)
+      .where(col("assessmentid") === "view" && col("month") === 1)
+    val p = rd.queryExecution.explainString(FormattedMode)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("assessmentid") && pf.contains("month"),
+      s"partition predicates not pruned: $pf")
+    // and they must NOT degrade to data filters over a full scan
+    assert(rd.count() > 0)
+  }
+
+  test("text_ngrams: top-k is TakeOrdered, never a global sort") {
+    val p = plan("text_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("ann_topk: queries broadcast; corpus side never shuffles for the join") {
     val p = plan("ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin"))
