@@ -1125,6 +1125,37 @@ object SparkEntry {
     },
     Some("WITH cent AS (SELECT label, arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)), vec_id) AS cv FROM embeddings GROUP BY label), q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id < 10), probe AS (SELECT q_id, qe, label, row_number() OVER (PARTITION BY q_id ORDER BY round(list_cosine_similarity(qe, cv), 4) DESC, label) AS crank FROM q CROSS JOIN cent), pr AS (SELECT q_id, qe, label FROM probe WHERE crank <= 3), s AS (SELECT q_id, e.vec_id AS neighbor_id, round(list_cosine_similarity(qe, list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM pr JOIN embeddings e ON e.label = pr.label WHERE e.vec_id <> pr.q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
 
+  /** IVF quantizer TRAINING ([[Ann.kmeans]], deterministic Lloyd's):
+    * k=8, 3 iterations over the embedding corpus. The oracle is
+    * invariant-style (a10 pattern): DuckDB pins the exact corpus count;
+    * Spark additionally proves every vector got assigned, at most k
+    * clusters were used, Lloyd's inertia never increased across passes,
+    * and training is run-to-run deterministic (two independent trainings
+    * produce identical assignments).
+    */
+  private val annKmeans = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (assign, model) = Ann.kmeans(emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val (again, _) = Ann.kmeans(emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val deterministic = assign.withColumnRenamed("cluster", "c1")
+        .join(again.withColumnRenamed("cluster", "c2"), Seq("id"))
+        .filter(col("c1") =!= col("c2")).isEmpty
+      val monotone = model.inertia.sliding(2)
+        .forall(w => w.last <= w.head * (1 + 1e-9))
+      assign.agg(
+          count(lit(1)).as("n_assigned"),
+          countDistinct(col("cluster")).as("used"))
+        .select(col("n_assigned"),
+          (col("used") <= 8).as("k_ok"),
+          lit(monotone).as("inertia_monotone"),
+          lit(deterministic).as("deterministic"))
+    },
+    Some("SELECT count(*) AS n_assigned, true AS k_ok, " +
+      "true AS inertia_monotone, true AS deterministic FROM embeddings"))
+
   // --------------------------------------------------------------------
   // §2.6 Validation surface (V1–V4)
   // --------------------------------------------------------------------
@@ -1296,6 +1327,7 @@ object SparkEntry {
     "ann_topk" -> annTopK,
     "ann_neardup" -> annNearDup,
     "ann_ivf_topk" -> annIvfTopK,
+    "ann_kmeans" -> annKmeans,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,

@@ -157,6 +157,83 @@ object Ann {
         col(id).as("neighbor_id"), col("sim"))
   }
 
+  /** Result of [[kmeans]]: final centroids (cluster index → vector) and
+    * the inertia (Σ min squared distance) after each assignment pass —
+    * non-increasing by Lloyd's guarantee.
+    */
+  final case class KMeansModel(
+      centroids: Array[Array[Double]], inertia: Seq[Double])
+
+  /** Distributed Lloyd's k-means — trains the IVF coarse quantizer
+    * ([[ivfTopK]]'s cluster column) instead of assuming one. The model
+    * (k×dim doubles) lives on the driver and ships to executors as plan
+    * literals each pass — the standard small-model/large-data split, so
+    * per iteration the corpus does ONE narrow argmin pass (k codegen'd
+    * dot products per row, no join, no corpus shuffle) plus one
+    * (cluster, dim)-keyed mean aggregation whose output is k×dim rows.
+    * Nothing driver-side ever scales with the corpus.
+    *
+    * Deterministic end to end: seeding takes the k rows with the
+    * smallest (xxhash64(id), id) — no RNG state; assignment breaks
+    * distance ties by lower cluster index (lexicographic struct min);
+    * distances and means are rounded to 9 decimals so float fold-order
+    * noise cannot flip a tie between runs; empty clusters keep their
+    * previous centroid.
+    *
+    * @return final (id, cluster) assignment (lazy; computed from the
+    *         final centroids) and the trained model
+    */
+  def kmeans(
+      corpus: DataFrame, id: String, vec: String,
+      k: Int, iters: Int): (DataFrame, KMeansModel) = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    val prep = widen(corpus.select(col(id).as("id"), toDouble(col(vec)).as("v")))
+    prep.persist()
+    try {
+      var cents: Array[Array[Double]] = prep
+        .orderBy(xxhash64(col("id")), col("id")).limit(k)
+        .select(col("v")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(cents.nonEmpty, "kmeans: corpus is empty")
+      val inertia = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (pass <- 0 to iters) {
+        val assigned = assignClusters(prep, cents)
+        inertia += assigned.agg(sum(col("dist2"))).head().getDouble(0)
+        if (pass < iters) {
+          val rows = assigned
+            .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy(col("cluster"), col("pos"))
+            .agg(round(avg(col("x")), 9).as("m"))
+            .collect()
+          val byCluster = rows.groupBy(_.getInt(0))
+          cents = Array.tabulate(cents.length)(i => byCluster.get(i)
+            .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)))
+            .getOrElse(cents(i)))
+        }
+      }
+      (assignClusters(prep, cents).select(col("id"), col("cluster")),
+        KMeansModel(cents, inertia.toSeq))
+    } finally prep.unpersist(blocking = false)
+  }
+
+  /** Argmin assignment against driver-held centroids: dist²(v, cᵢ) =
+    * ‖v‖² − 2·v·cᵢ + ‖cᵢ‖², argmin as the lexicographic minimum of
+    * (dist², i) structs — the lower cluster index wins exact ties.
+    */
+  private def assignClusters(
+      prep: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val vn2 = dotD(col("v"), col("v"))
+    val options = cents.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit).toIndexedSeq: _*)
+      val d2 = vn2 - lit(2.0) * dotD(col("v"), cl) + lit(c.map(x => x * x).sum)
+      struct(round(d2, 9).as("dist2"), lit(i).as("cluster"))
+    }
+    prep.withColumn("__best", array_min(array(options.toIndexedSeq: _*)))
+      .select(col("id"), col("v"),
+        col("__best.cluster").as("cluster"), col("__best.dist2").as("dist2"))
+  }
+
   /** Exact pairwise similarity ≥ threshold (verification baseline —
     * quadratic; use signLshPairs at scale for high thresholds).
     */

@@ -85,4 +85,37 @@ class AnnSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) =>
       Set((0L, 2L), (0L, 4L), (2L, 4L)).contains((a, b)) })
   }
+
+  test("kmeans recovers well-separated clusters") {
+    val (assign, model) = Ann.kmeans(corpus, "vec_id", "embedding",
+      k = 3, iters = 5)
+    val byCluster = assign.as[(Long, Int)].collect()
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(byCluster ==
+      Set(Set(0L, 1L, 10L), Set(2L, 3L), Set(4L, 5L)))
+    assert(model.centroids.length == 3)
+    // Lloyd's inertia never increases pass to pass
+    assert(model.inertia.sliding(2).forall(w => w.last <= w.head + 1e-9))
+  }
+
+  test("kmeans is deterministic across runs") {
+    def run() = Ann.kmeans(corpus, "vec_id", "embedding", k = 3, iters = 3)
+    val (a1, m1) = run(); val (a2, m2) = run()
+    assert(a1.as[(Long, Int)].collect().sorted.toSeq ==
+      a2.as[(Long, Int)].collect().sorted.toSeq)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    assert(m1.inertia == m2.inertia)
+  }
+
+  test("kmeans survives k exceeding the distinct-point count") {
+    val tiny = Seq((1L, unit(0), 0), (2L, unit(0), 0), (3L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val (assign, model) = Ann.kmeans(tiny, "vec_id", "embedding",
+      k = 3, iters = 3)
+    assert(assign.count() == 3)
+    assert(model.centroids.length == 3)
+    // duplicate seeds collapse; every point still lands in some cluster
+    val used = assign.select("cluster").distinct().count()
+    assert(used >= 1 && used <= 3)
+  }
 }
