@@ -1006,6 +1006,22 @@ object SparkEntry {
         count(lit(1)).as("n")),
     Some("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"))
 
+  /** A11 — full cube: all four grouping sets in one expand + hash-agg
+    * pass (the rollup's superset; both are Expand-based, never a union
+    * of re-scans). grouping_id disambiguates subtotal NULLs from data
+    * NULLs — emitted so the oracle compares marker semantics too.
+    */
+  private val a11Cube = Q(
+    (s, dir) => t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        count(lit(1)).as("n")),
+    Some("SELECT o_orderstatus, o_orderpriority, " +
+      "CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid, " +
+      "round(sum(o_totalprice), 2) AS sum_price, count(*) AS n " +
+      "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"))
+
   /** Ordered analytic windows per user: row numbering, running sum, and
     * lag — the deterministic (ts, event_id) ordering makes RANGE peers
     * singletons, so both engines accumulate in the identical order.
@@ -1073,10 +1089,14 @@ object SparkEntry {
   private val textNgrams = Q(
     (s, dir) => {
       val words = split(lower(trim(col("text"))), "\\s+")
+      // zip of two shifted slices: O(len) per doc; a slice inside a
+      // transform lambda would be O(len²) interpreted work per doc
+      val bigrams = zip_with(
+        slice(words, lit(1), size(words) - 1),
+        slice(words, lit(2), size(words) - 1),
+        (a, b) => concat_ws(" ", a, b))
       t(s, dir, "documents")
-        .select(explode(when(size(words) >= 2,
-          transform(sequence(lit(0), size(words) - 2),
-            i => concat_ws(" ", slice(words, i + 1, lit(2)))))
+        .select(explode(when(size(words) >= 2, bigrams)
           .otherwise(array().cast("array<string>"))).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
@@ -1129,20 +1149,17 @@ object SparkEntry {
     * k=8, 3 iterations over the embedding corpus. The oracle is
     * invariant-style (a10 pattern): DuckDB pins the exact corpus count;
     * Spark additionally proves every vector got assigned, at most k
-    * clusters were used, Lloyd's inertia never increased across passes,
-    * and training is run-to-run deterministic (two independent trainings
-    * produce identical assignments).
+    * clusters were used, and Lloyd's inertia never increased across
+    * passes. (Run-to-run determinism — identical assignments from two
+    * independent trainings — is pinned in AnnSpec, where its second
+    * training belongs; doubling the entry's work for it would only
+    * benchmark the same code twice.)
     */
   private val annKmeans = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val (assign, model) = Ann.kmeans(emb, "vec_id", "embedding",
         k = 8, iters = 3)
-      val (again, _) = Ann.kmeans(emb, "vec_id", "embedding",
-        k = 8, iters = 3)
-      val deterministic = assign.withColumnRenamed("cluster", "c1")
-        .join(again.withColumnRenamed("cluster", "c2"), Seq("id"))
-        .filter(col("c1") =!= col("c2")).isEmpty
       val monotone = model.inertia.sliding(2)
         .forall(w => w.last <= w.head * (1 + 1e-9))
       assign.agg(
@@ -1150,11 +1167,10 @@ object SparkEntry {
           countDistinct(col("cluster")).as("used"))
         .select(col("n_assigned"),
           (col("used") <= 8).as("k_ok"),
-          lit(monotone).as("inertia_monotone"),
-          lit(deterministic).as("deterministic"))
+          lit(monotone).as("inertia_monotone"))
     },
     Some("SELECT count(*) AS n_assigned, true AS k_ok, " +
-      "true AS inertia_monotone, true AS deterministic FROM embeddings"))
+      "true AS inertia_monotone FROM embeddings"))
 
   // --------------------------------------------------------------------
   // §2.6 Validation surface (V1–V4)
@@ -1306,6 +1322,7 @@ object SparkEntry {
     "a8_rollup" -> a8Rollup,
     "a9_pivot" -> a9Pivot,
     "a10_sketches" -> a10Sketches,
+    "a11_cube" -> a11Cube,
     "w1_window_funcs" -> w1WindowFuncs,
     "r1_relationalize" -> r1Relationalize,
     "r1_deep_relationalize" -> r1DeepRelationalize,

@@ -196,20 +196,27 @@ object Ann {
         .select(col("v")).collect()
         .map(_.getSeq[Double](0).toArray)
       require(cents.nonEmpty, "kmeans: corpus is empty")
+      val dim = cents(0).length
       val inertia = scala.collection.mutable.ArrayBuffer.empty[Double]
       for (pass <- 0 to iters) {
         val assigned = assignClusters(prep, cents)
-        inertia += assigned.agg(sum(col("dist2"))).head().getDouble(0)
         if (pass < iters) {
+          // ONE action per iteration: each row explodes into exactly dim
+          // (cluster, pos) entries carrying its dist², so Σ sd / dim is
+          // the pass inertia and the means are the next centroids
           val rows = assigned
-            .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+            .select(col("cluster"), col("dist2"),
+              posexplode(col("v")).as(Seq("pos", "x")))
             .groupBy(col("cluster"), col("pos"))
-            .agg(round(avg(col("x")), 9).as("m"))
+            .agg(round(avg(col("x")), 9).as("m"), sum(col("dist2")).as("sd"))
             .collect()
+          inertia += rows.map(_.getDouble(3)).sum / dim
           val byCluster = rows.groupBy(_.getInt(0))
           cents = Array.tabulate(cents.length)(i => byCluster.get(i)
             .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)))
             .getOrElse(cents(i)))
+        } else {
+          inertia += assigned.agg(sum(col("dist2"))).head().getDouble(0)
         }
       }
       (assignClusters(prep, cents).select(col("id"), col("cluster")),

@@ -134,6 +134,58 @@ object PropertySpec extends Properties("graft") {
       counted == expected && prefixed == expected
     }
 
+  property("bitset jaccard equals brute-force all-pairs word-set Jaccard") =
+    Prop.forAllNoShrink(corpusGen) { case (texts, threshold) =>
+      import spark.implicits._
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.jaccardPairsBitset(df, "doc_id", "text", threshold)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val sets = texts.map(_.toLowerCase.split("\\s+").toSet)
+      val expected = (for {
+        i <- sets.indices; j <- sets.indices if i < j
+        inter = (sets(i) & sets(j)).size
+        union = (sets(i) | sets(j)).size
+        if union > 0 && inter.toDouble / union >= threshold
+      } yield (i.toLong, j.toLong)).toSet
+      got == expected
+    }
+
+  // Half-integer lattice values make every bound an exact double, so
+  // boundary (p == lo, p == hi) semantics are exercised exactly;
+  // zero-width intervals are generated too.
+  private val intervalCaseGen: Gen[(List[Double], List[(Double, Double)])] =
+    for {
+      np <- Gen.chooseNum(1, 30)
+      ni <- Gen.chooseNum(1, 15)
+      ps <- Gen.listOfN(np, Gen.chooseNum(0, 100).map(_ / 2.0))
+      ivs <- Gen.listOfN(ni, for {
+        lo <- Gen.chooseNum(0, 100).map(_ / 2.0)
+        w <- Gen.chooseNum(0, 30).map(_ / 2.0)
+      } yield (lo, lo + w))
+    } yield (ps, ivs)
+
+  property("strategy-planned interval join equals brute force, " +
+      "boundary points included") =
+    Prop.forAllNoShrink(intervalCaseGen) { case (ps, ivs) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val p = ps.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("pid", "p")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val joined = p.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+      val planned = joined.queryExecution.executedPlan.toString
+        .contains("BroadcastIntervalJoin")
+      val got = joined.select("pid", "iid").as[(Long, Long)].collect().toSet
+      val expected = (for {
+        (v, i) <- ps.zipWithIndex
+        ((lo, hi), j) <- ivs.zipWithIndex
+        if v >= lo && v < hi
+      } yield (i.toLong, j.toLong)).toSet
+      planned && got == expected
+    }
+
   // Random sparse graphs: up to 14 nodes, random edge subsets — sweeps
   // chains, cliques, forests, and isolated nodes in one generator.
   private val graphGen: Gen[(Int, List[(Long, Long)])] = for {
