@@ -1102,9 +1102,9 @@ object SparkEntry {
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
     },
-    // the driver's DuckDB lacks lateral generate_series over a column —
-    // cross-join a fixed index domain and bound it by the token count
-    Some("WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS a FROM documents), i AS (SELECT unnest(generate_series(1, 1000)) AS i), g AS (SELECT a[i] || ' ' || a[i+1] AS bigram FROM t, i WHERE i <= len(a) - 1) SELECT bigram, count(*) AS n FROM g GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"))
+    // list comprehension: bigram positions track each doc's own length —
+    // no fixed index-domain bound to fall out of sync with the data
+    Some("WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS a FROM documents), g AS (SELECT unnest([a[i] || ' ' || a[i+1] FOR i IN generate_series(1, len(a) - 1)]) AS bigram FROM t) SELECT bigram, count(*) AS n FROM g GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"))
 
   // --------------------------------------------------------------------
   // LLM-pipeline: similarity search

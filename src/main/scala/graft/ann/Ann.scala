@@ -173,12 +173,15 @@ object Ann {
     * (cluster, dim)-keyed mean aggregation whose output is k×dim rows.
     * Nothing driver-side ever scales with the corpus.
     *
-    * Deterministic end to end: seeding takes the k rows with the
-    * smallest (xxhash64(id), id) — no RNG state; assignment breaks
-    * distance ties by lower cluster index (lexicographic struct min);
-    * distances and means are rounded to 9 decimals so float fold-order
-    * noise cannot flip a tie between runs; empty clusters keep their
-    * previous centroid.
+    * Deterministic for a fixed partitioning (pinned in AnnSpec):
+    * seeding takes the k rows with the smallest (xxhash64(id), id) — no
+    * RNG state; assignment breaks distance ties by lower cluster index
+    * (lexicographic struct min); distances and means are quantized to 9
+    * decimals, which absorbs fold-order noise except in the measure-zero
+    * case of a mean within an ulp of a rounding boundary — across
+    * DIFFERENT partitionings determinism is near-certain, not absolute
+    * (floating-point means are fold-order-dependent). Empty clusters
+    * keep their previous centroid.
     *
     * @return final (id, cluster) assignment (lazy; computed from the
     *         final centroids) and the trained model

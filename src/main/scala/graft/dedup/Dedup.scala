@@ -134,6 +134,39 @@ object Dedup {
     }
   }
 
+  /** Capped distinct-vocabulary probe: a typed aggregate whose state
+    * stops growing at 65 tokens, so the probe is ONE map-side-combining
+    * pass with ≤ 65-entry partials — it never shuffles a large
+    * vocabulary only to discard it (the merge keeps adding until the
+    * cap, so a final size < 65 proves the vocabulary is complete).
+    * Returns None when the vocabulary exceeds 64 tokens.
+    */
+  private[dedup] def probeVocab(
+      docs: DataFrame, text: String): Option[Array[String]] = {
+    val words = widen(docs).select(
+      explode(array_distinct(split(lower(col(text)), "\\s+"))).as("w"))
+    val capped = udaf(new CappedVocab(65))
+    val v = words.agg(capped(col("w")).as("v")).head().getSeq[String](0)
+    if (v.length <= 64) Some(v.toArray) else None
+  }
+
+  private final class CappedVocab(cap: Int)
+      extends Aggregator[String, Array[String], Array[String]] {
+    def zero: Array[String] = Array.empty
+    def reduce(b: Array[String], w: String): Array[String] =
+      if (b.length >= cap || b.contains(w)) b else b :+ w
+    def merge(a: Array[String], b: Array[String]): Array[String] = {
+      var m = a
+      b.foreach(w => if (m.length < cap && !m.contains(w)) m = m :+ w)
+      m
+    }
+    def finish(b: Array[String]): Array[String] = b
+    def bufferEncoder: Encoder[Array[String]] =
+      ExpressionEncoder[Array[String]]()
+    def outputEncoder: Encoder[Array[String]] =
+      ExpressionEncoder[Array[String]]()
+  }
+
   /** EXACT word-set Jaccard pairs for corpora whose distinct vocabulary
     * fits in 64 tokens: each doc's token set packs into ONE 64-bit mask,
     * so intersection and union sizes are two popcounts and the candidate
@@ -149,21 +182,23 @@ object Dedup {
     * Same contract as [[jaccardPairs]]: (id1 < id2, jaccard ≥ threshold),
     * bit-identical jaccard doubles (integer-ratio division both ways).
     *
-    * The vocabulary probe collects ≤ 65 tokens to the driver (the same
-    * "small enough to inline" rule as a broadcast dim); a corpus whose
-    * vocabulary exceeds 64 tokens fails fast with IllegalArgumentException
-    * — use [[jaccardPairsAuto]] to fall back to the inverted index.
+    * A corpus whose vocabulary exceeds 64 tokens fails fast with
+    * IllegalArgumentException — use [[jaccardPairsAuto]] to fall back to
+    * the inverted index instead.
     */
   def jaccardPairsBitset(
       docs: DataFrame, id: String, text: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    bitsetPairs(docs, id, text, threshold,
+      probeVocab(docs, text).getOrElse(throw new IllegalArgumentException(
+        "jaccardPairsBitset: vocabulary exceeds 64 distinct tokens — " +
+          "use jaccardPairs/jaccardPairsAuto for general corpora")))
+
+  private def bitsetPairs(
+      docs: DataFrame, id: String, text: String,
+      threshold: Double, vocab: Array[String]): DataFrame = {
     val sets = widen(docs).select(col(id).as("id"),
       array_distinct(split(lower(col(text)), "\\s+")).as("ts"))
-    val vocab = sets.select(explode(col("ts")).as("w"))
-      .distinct().limit(65).collect().map(_.getString(0))
-    require(vocab.length <= 64,
-      "jaccardPairsBitset: vocabulary exceeds 64 distinct tokens — " +
-        "use jaccardPairs/jaccardPairsAuto for general corpora")
     // token → bit map inlined as a literal (≤ 64 entries); element_at
     // under ANSI mode errors on a token absent from the probe, which is
     // exactly right — it means the input changed between probe and run
@@ -202,23 +237,20 @@ object Dedup {
         greatest(col("x.id"), col("y.id")).as("id2"), col("jaccard"))
   }
 
-  /** Adaptive exact-Jaccard: probe the vocabulary and take the bitset
-    * path when it fits in 64 bits, the inverted index otherwise — an
-    * AQE-style runtime algorithm choice costing one probe scan. Options
-    * that only parameterize the inverted index (df cap, salt) force the
-    * general path.
+  /** Adaptive exact-Jaccard: probe the vocabulary (capped aggregate, one
+    * cheap pass) and take the bitset path when it fits in 64 bits, the
+    * inverted index otherwise — an AQE-style runtime algorithm choice.
+    * Options that only parameterize the inverted index (df cap, salt)
+    * force the general path.
     */
   def jaccardPairsAuto(
       docs: DataFrame, id: String, text: String,
       threshold: Double, maxDf: Option[Long] = None,
       salt: Int = 1): DataFrame =
-    if (maxDf.isEmpty && salt == 1) {
-      try jaccardPairsBitset(docs, id, text, threshold)
-      catch {
-        case _: IllegalArgumentException =>
-          jaccardPairs(docs, id, text, threshold, maxDf, salt)
-      }
-    } else jaccardPairs(docs, id, text, threshold, maxDf, salt)
+    (if (maxDf.isEmpty && salt == 1) probeVocab(docs, text) else None) match {
+      case Some(vocab) => bitsetPairs(docs, id, text, threshold, vocab)
+      case None => jaccardPairs(docs, id, text, threshold, maxDf, salt)
+    }
 
   /** EXACT Jaccard pairs via prefix-filtered candidate generation (the
     * All-Pairs/PPJoin scheme — Bayardo et al. WWW'07, Xiao et al. WWW'08):

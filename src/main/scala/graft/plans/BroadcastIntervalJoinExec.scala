@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  BindReferences, Expression, JoinedRow}
+  BindReferences, Expression, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.physical.{
   BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning,
   UnspecifiedDistribution}
@@ -117,6 +117,7 @@ case class BroadcastIntervalJoinExec(
       .asInstanceOf[Ordering[Any]]
     val incl = hiInclusive
     val br = buildRight
+    val outAttrs = output // local copy: the closure must not capture `this`
     streamedPlan.execute().mapPartitions { iter =>
       val rows = broadcastRows.value
       // SQL comparison semantics: a null bound can never satisfy
@@ -128,6 +129,9 @@ case class BroadcastIntervalJoinExec(
         keep.map(i => boundLo.eval(rows(i))),
         keep.map(i => boundHi.eval(rows(i))), ord, incl)
       val joined = new JoinedRow
+      // downstream exchanges/collects cast emitted rows to UnsafeRow —
+      // every physical operator must project before handing rows off
+      val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
       val hits = new scala.collection.mutable.ArrayBuffer[Int]
       iter.flatMap { srow =>
         val p = boundP.eval(srow)
@@ -135,12 +139,13 @@ case class BroadcastIntervalJoinExec(
         else {
           hits.clear()
           index.stab(p, hits)
-          // JoinedRow + hits buffer are reused row-to-row — safe because
-          // flatMap drains each inner iterator before the next srow, the
-          // same reuse contract as the built-in broadcast joins
+          // JoinedRow + hits buffer + projection output are reused
+          // row-to-row — safe because flatMap drains each inner iterator
+          // before the next srow, the same reuse contract as the
+          // built-in broadcast joins
           hits.iterator.map { k =>
             val b = rows(keep(k))
-            if (br) joined(srow, b) else joined(b, srow)
+            toUnsafe(if (br) joined(srow, b) else joined(b, srow))
           }
         }
       }

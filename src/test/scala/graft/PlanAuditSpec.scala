@@ -115,7 +115,8 @@ class PlanAuditSpec extends SparkSpec {
     val rd = graft.sources.ParquetDataset.read(spark, tmp)
       .where(col("assessmentid") === "view" && col("month") === 1)
     val p = rd.queryExecution.explainString(FormattedMode)
-    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail(s"no PartitionFilters line in plan:\n$p"))
     assert(pf.contains("assessmentid") && pf.contains("month"),
       s"partition predicates not pruned: $pf")
     // and they must NOT degrade to data filters over a full scan

@@ -72,6 +72,18 @@ class IntervalJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("join output survives collect, exchange, and sort without a " +
+      "projection in between (UnsafeRow contract)") {
+    val p = points; val iv = intervals
+    val j = p.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+    assert(usesNative(j))
+    // each of these consumes the join's rows directly: a raw collect
+    // (getByteArrayRdd casts to UnsafeRow), a shuffle exchange, a sort
+    assert(j.collect().nonEmpty)
+    assert(j.repartition(3).count() > 0)
+    assert(j.orderBy(col("pid"), col("iid")).limit(5).collect().length == 5)
+  }
+
   test("null points and null bounds never match") {
     val p = Seq((1L, Some(5.0)), (2L, None)).toDF("pid", "p")
     val iv = Seq((1L, Some(0.0), Some(10.0)), (2L, None, Some(10.0)),
