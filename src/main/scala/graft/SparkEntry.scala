@@ -168,6 +168,26 @@ object SparkEntry {
     },
     Some("SELECT event_id, user_id, value, event_type AS assessmentid, CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month, CAST(day(ts) AS INT) AS day FROM events"))
 
+  /** S9 — CSV export/import roundtrip: Hive-partitioned CSV sink with
+    * header plus a SCHEMA-APPLIED read-back (no inference — the
+    * reference loads its reference CSVs with declared dtypes,
+    * etl_408.py:146, and inference at 100 TB means a second full scan).
+    * Integer/string columns only: CSV is not a lossless float carrier.
+    */
+  private val s9CsvRoundtrip = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s9").toString
+      t(s, dir, "nation")
+        .write.mode("overwrite").partitionBy("n_regionkey")
+        .option("header", "true").csv(tmp)
+      s.read
+        .schema(StructType.fromDDL(
+          "n_nationkey int, n_name string, n_regionkey int"))
+        .option("header", "true").csv(tmp)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
+
   /** S6 — table-query source (bootstrap_trigger.py:98-120): a SQL query
     * with a pushed-down WHERE clause against a registered manifest view —
     * the Spark shape of the Synapse file-view query.
@@ -1294,6 +1314,7 @@ object SparkEntry {
     "s6_query_source" -> s6QuerySource,
     "s7_quarantine" -> s7Quarantine,
     "s8_listing" -> s8Listing,
+    "s9_csv_roundtrip" -> s9CsvRoundtrip,
     "bm_incremental" -> bmIncremental,
     "st_window_counts" -> stWindowCounts,
     "st_session_window" -> stSessionWindow,
