@@ -3,12 +3,29 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  BindReferences, Expression, JoinedRow, UnsafeProjection}
+  BindReferences, BoundReference, Expression, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.plans.physical.{
   BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning,
   UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
+
+/** Growable int list with a Java-friendly surface (the generated code
+  * calls it directly — Scala collection methods have mangled names).
+  */
+private[plans] final class IntVec {
+  private var arr = new Array[Int](16)
+  private var n = 0
+  def add(i: Int): Unit = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+    arr(n) = i; n += 1
+  }
+  def get(k: Int): Int = arr(k)
+  def size(): Int = n
+  def clear(): Unit = n = 0
+}
 
 /** Static interval-stabbing index: intervals sorted by `lo` with a max-`hi`
   * segment tree over that order. `stab(p)` enumerates every interval with
@@ -52,18 +69,56 @@ private[plans] final class IntervalIndex(
   }
 
   /** Appends matching interval ids to `out` (caller clears between rows). */
-  def stab(p: Any, out: scala.collection.mutable.ArrayBuffer[Int]): Unit = {
+  def stab(p: Any, out: IntVec): Unit = {
     val ub = upperBound(p)
     if (ub > 0) descend(1, 0, n, ub, p, out)
   }
 
   private def descend(node: Int, l: Int, r: Int, ub: Int, p: Any,
-      out: scala.collection.mutable.ArrayBuffer[Int]): Unit = {
+      out: IntVec): Unit = {
     if (l >= ub || !clears(seg(node), p)) return
-    if (r - l == 1) { out += byLo(l); return }
+    if (r - l == 1) { out.add(byLo(l)); return }
     val mid = (l + r) >>> 1
     descend(2 * node, l, mid, ub, p, out)
     descend(2 * node + 1, mid, r, ub, p, out)
+  }
+}
+
+/** Per-task probe facade over the broadcast interval rows: builds the
+  * index once, then `stab(p)` fills an internal hit list that generated
+  * code walks with `size()`/`row(k)` — plain-Java calls, no generics.
+  * One instance per task (built in generated-class init / per partition),
+  * so the internal buffer needs no synchronization.
+  */
+final class IntervalProbe(
+    rows: Array[InternalRow], keep: Array[Int],
+    index: IntervalIndex, hits: IntVec) {
+  def stab(p: Any): Unit = { hits.clear(); if (p != null) index.stab(p, hits) }
+  def size(): Int = hits.size()
+  def row(k: Int): InternalRow = rows(keep(hits.get(k)))
+}
+
+/** Serializable recipe for [[IntervalProbe]]: ships the broadcast handle
+  * plus bound bound-expressions; `build()` evaluates lo/hi over the
+  * broadcast rows on the executor and assembles the index. Null-bounded
+  * intervals are excluded (SQL comparison semantics).
+  */
+final class IntervalProbeBuilder(
+    bcast: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
+    boundLo: Expression, boundHi: Expression,
+    pointType: org.apache.spark.sql.types.DataType,
+    hiInclusive: Boolean) extends Serializable {
+  def build(): IntervalProbe = {
+    val rows = bcast.value
+    val ord = TypeUtils.getInterpretedOrdering(pointType)
+      .asInstanceOf[Ordering[Any]]
+    val keep = rows.indices.filter { i =>
+      boundLo.eval(rows(i)) != null && boundHi.eval(rows(i)) != null
+    }.toArray
+    val index = new IntervalIndex(
+      keep.map(i => boundLo.eval(rows(i))),
+      keep.map(i => boundHi.eval(rows(i))), ord, hiInclusive)
+    new IntervalProbe(rows, keep, index, new IntVec)
   }
 }
 
@@ -89,7 +144,8 @@ private[plans] final class IntervalIndex(
 case class BroadcastIntervalJoinExec(
     left: SparkPlan, right: SparkPlan,
     point: Expression, lo: Expression, hi: Expression,
-    hiInclusive: Boolean, buildRight: Boolean) extends BinaryExecNode {
+    hiInclusive: Boolean, buildRight: Boolean)
+  extends BinaryExecNode with CodegenSupport {
 
   private def streamedPlan: SparkPlan = if (buildRight) left else right
   private def buildPlan: SparkPlan = if (buildRight) right else left
@@ -108,47 +164,92 @@ case class BroadcastIntervalJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     copy(left = newLeft, right = newRight)
 
+  private def probeBuilder(): IntervalProbeBuilder =
+    new IntervalProbeBuilder(
+      buildPlan.executeBroadcast[Array[InternalRow]](),
+      BindReferences.bindReference(lo, buildPlan.output),
+      BindReferences.bindReference(hi, buildPlan.output),
+      point.dataType, hiInclusive)
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val broadcastRows = buildPlan.executeBroadcast[Array[InternalRow]]()
+    val builder = probeBuilder()
     val boundP = BindReferences.bindReference(point, streamedPlan.output)
-    val boundLo = BindReferences.bindReference(lo, buildPlan.output)
-    val boundHi = BindReferences.bindReference(hi, buildPlan.output)
-    val ord = TypeUtils.getInterpretedOrdering(point.dataType)
-      .asInstanceOf[Ordering[Any]]
-    val incl = hiInclusive
     val br = buildRight
     val outAttrs = output // local copy: the closure must not capture `this`
     streamedPlan.execute().mapPartitions { iter =>
-      val rows = broadcastRows.value
-      // SQL comparison semantics: a null bound can never satisfy
-      // lo <= p < hi, so null-bounded intervals drop out of the index
-      val keep = rows.indices.filter { i =>
-        boundLo.eval(rows(i)) != null && boundHi.eval(rows(i)) != null
-      }.toArray
-      val index = new IntervalIndex(
-        keep.map(i => boundLo.eval(rows(i))),
-        keep.map(i => boundHi.eval(rows(i))), ord, incl)
+      val probe = builder.build()
       val joined = new JoinedRow
       // downstream exchanges/collects cast emitted rows to UnsafeRow —
       // every physical operator must project before handing rows off
       val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
-      val hits = new scala.collection.mutable.ArrayBuffer[Int]
       iter.flatMap { srow =>
-        val p = boundP.eval(srow)
-        if (p == null) Iterator.empty
-        else {
-          hits.clear()
-          index.stab(p, hits)
-          // JoinedRow + hits buffer + projection output are reused
-          // row-to-row — safe because flatMap drains each inner iterator
-          // before the next srow, the same reuse contract as the
-          // built-in broadcast joins
-          hits.iterator.map { k =>
-            val b = rows(keep(k))
-            toUnsafe(if (br) joined(srow, b) else joined(b, srow))
-          }
+        probe.stab(boundP.eval(srow))
+        // JoinedRow + probe hit list + projection output are reused
+        // row-to-row — safe because flatMap drains each inner iterator
+        // before the next srow, the same reuse contract as the built-in
+        // broadcast joins
+        (0 until probe.size()).iterator.map { k =>
+          val b = probe.row(k)
+          toUnsafe(if (br) joined(srow, b) else joined(b, srow))
         }
       }
     }
+  }
+
+  // ---- whole-stage codegen ------------------------------------------
+  // The streamed side stays inside the surrounding WholeStageCodegen
+  // span; per row the generated code evaluates the point, probes the
+  // per-task interval index, and walks the hit list emitting joined
+  // column variables — no iterator allocation, no row materialization
+  // until the next exchange.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    streamedPlan.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    streamedPlan.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  // every matched interval emits a row that shares the streamed row's
+  // column variables — downstream buffering operators must copy
+  override def needCopyResult: Boolean = true
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    val builderTerm = ctx.addReferenceObj("probeBuilder", probeBuilder(),
+      classOf[IntervalProbeBuilder].getName)
+    val probeTerm = ctx.addMutableState(classOf[IntervalProbe].getName,
+      "intervalProbe", v => s"$v = $builderTerm.build();")
+    // evaluate the point from the streamed row's column variables
+    ctx.currentVars = input
+    val pEv = BindReferences.bindReference(point, streamedPlan.output)
+      .genCode(ctx)
+    val pBoxed = CodeGenerator.javaType(point.dataType) match {
+      case jt if CodeGenerator.isPrimitiveType(jt) =>
+        s"${CodeGenerator.boxedType(point.dataType)}.valueOf(${pEv.value})"
+      case _ => s"(Object) ${pEv.value}"
+    }
+    // build-side columns read from the matched broadcast row
+    val buildRow = ctx.freshName("buildRow")
+    ctx.currentVars = null
+    ctx.INPUT_ROW = buildRow
+    val buildVars = buildPlan.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val outVars =
+      if (buildRight) input ++ buildVars else buildVars ++ input
+    val k = ctx.freshName("k")
+    // buildVars' code is NOT pre-emitted here: consume() evaluates each
+    // variable exactly once at the consumption site (inside the loop,
+    // where $buildRow is in scope) — emitting it here too would redefine
+    // the locals and fail Janino compilation
+    s"""
+       |${pEv.code}
+       |$probeTerm.stab(${pEv.isNull} ? null : $pBoxed);
+       |int ${k}n = $probeTerm.size();
+       |for (int $k = 0; $k < ${k}n; $k++) {
+       |  InternalRow $buildRow = $probeTerm.row($k);
+       |  ${consume(ctx, outVars)}
+       |}
+     """.stripMargin
   }
 }

@@ -84,6 +84,21 @@ class IntervalJoinSpec extends SparkSpec {
     assert(j.orderBy(col("pid"), col("iid")).limit(5).collect().length == 5)
   }
 
+  test("join participates in whole-stage codegen (no silent fallback)") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      // a Janino failure must surface as an error here, not a quiet
+      // interpreted fallback
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val j = points.join(intervals,
+        col("p") >= col("lo") && col("p") < col("hi"))
+      assert(j.collect().nonEmpty)
+      assert(j.queryExecution.executedPlan.toString
+        .matches("(?s).*\\*\\(\\d+\\) BroadcastIntervalJoin.*"),
+        "join not inside a WholeStageCodegen span")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("null points and null bounds never match") {
     val p = Seq((1L, Some(5.0)), (2L, None)).toDF("pid", "p")
     val iv = Seq((1L, Some(0.0), Some(10.0)), (2L, None, Some(10.0)),
@@ -98,8 +113,11 @@ class IntervalJoinSpec extends SparkSpec {
     val his = Array[Any](3.0, 2.5, 8.0, 5.0, 9.5)
     val ord = implicitly[Ordering[Double]].asInstanceOf[Ordering[Any]]
     val idx = new IntervalIndex(los, his, ord, hiInclusive = false)
-    val buf = new scala.collection.mutable.ArrayBuffer[Int]
-    def stab(p: Double): Set[Int] = { buf.clear(); idx.stab(p, buf); buf.toSet }
+    val buf = new IntVec
+    def stab(p: Double): Set[Int] = {
+      buf.clear(); idx.stab(p, buf)
+      (0 until buf.size()).map(buf.get).toSet
+    }
     assert(stab(2.2) == Set(0, 1))
     assert(stab(4.5) == Set(2, 3))
     assert(stab(8.5) == Set.empty)
