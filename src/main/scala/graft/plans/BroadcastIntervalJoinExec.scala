@@ -112,12 +112,13 @@ final class IntervalProbeBuilder(
     val rows = bcast.value
     val ord = TypeUtils.getInterpretedOrdering(pointType)
       .asInstanceOf[Ordering[Any]]
-    val keep = rows.indices.filter { i =>
-      boundLo.eval(rows(i)) != null && boundHi.eval(rows(i)) != null
-    }.toArray
+    // evaluate each bound once per row, then filter the value arrays
+    val los = rows.map(boundLo.eval)
+    val his = rows.map(boundHi.eval)
+    val keep = rows.indices.filter(i => los(i) != null && his(i) != null)
+      .toArray
     val index = new IntervalIndex(
-      keep.map(i => boundLo.eval(rows(i))),
-      keep.map(i => boundHi.eval(rows(i))), ord, hiInclusive)
+      keep.map(los), keep.map(his), ord, hiInclusive)
     new IntervalProbe(rows, keep, index, new IntVec)
   }
 }

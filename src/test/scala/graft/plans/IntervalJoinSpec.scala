@@ -99,6 +99,20 @@ class IntervalJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("interpreted doExecute path matches codegen output " +
+      "(wholeStage disabled)") {
+    val p = points.cache(); val iv = intervals.cache()
+    def run(): Set[(Long, Long)] = collectPairs(
+      p.join(iv, col("p") >= col("lo") && col("p") < col("hi")))
+    val withCodegen = run()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    val interpreted = try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      run()
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    assert(interpreted == withCodegen && interpreted.nonEmpty)
+  }
+
   test("null points and null bounds never match") {
     val p = Seq((1L, Some(5.0)), (2L, None)).toDF("pid", "p")
     val iv = Seq((1L, Some(0.0), Some(10.0)), (2L, None, Some(10.0)),
