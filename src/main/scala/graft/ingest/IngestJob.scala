@@ -158,6 +158,17 @@ object IngestJob {
     * valid/invalid, write valid lines to partitioned NDJSON datasets and
     * invalid records to the quarantine sink (S7). Returns the routed lines
     * for inspection.
+    *
+    * Scale design: the unzip+validate flatMap is the expensive stage and
+    * two sinks need its output. Rather than pinning the whole routed
+    * corpus in executor storage (`.cache`) to feed both, the run stages
+    * the union rows ONCE as parquet partitioned by validity. The valid
+    * branch is then a column-pruned scan of `is_valid=true`; the invalid
+    * branch is skipped entirely via a filesystem existence check (no
+    * Spark action); and a failed downstream write restarts from the
+    * staging files instead of re-unzipping the corpus. The staging dir
+    * is `_`-prefixed so NDJSON scans, bookmarks and downstream listings
+    * treat it as hidden; the next run's overwrite reclaims it.
     */
   def run(
       spark: SparkSession,
@@ -173,9 +184,15 @@ object IngestJob {
         IngestOut(None, Some(InvalidRecord(r.metadata("recordid"),
           r.metadata("assessmentid"), f, es)))
       }
-    }.cache()
-    val invalid = routed.flatMap(_.invalid).toDF()
-    val valid = routed.flatMap(_.valid).toDF()
+    }
+    val staging = s"$jsonRoot/_staging"
+    val tagged = routed.withColumn("is_valid", $"valid".isNotNull)
+    tagged.write.mode("overwrite").partitionBy("is_valid").parquet(staging)
+    // explicit schema: a run with zero records writes no part files, and
+    // schema inference would fail on the empty directory
+    val staged = spark.read.schema(tagged.schema).parquet(staging)
+    val valid = staged.where($"is_valid").select($"valid.*")
+    val invalid = staged.where(!$"is_valid").select($"invalid.*")
     // text sink: one data column (the pre-serialized NDJSON line) + the
     // Hive partition columns — the reference's per-file S3 put loop
     // becomes a single distributed partitioned write
@@ -183,7 +200,9 @@ object IngestJob {
       .write.mode("append")
       .partitionBy("dataset", "assessmentid", "year", "month", "day")
       .text(jsonRoot)
-    if (!invalid.isEmpty)
+    val invalidDir = new org.apache.hadoop.fs.Path(staging, "is_valid=false")
+    val fs = invalidDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(invalidDir))
       invalid.write.mode("append").json(quarantinePath)
     (valid, invalid)
   }

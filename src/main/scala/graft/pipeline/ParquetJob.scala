@@ -1,7 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 import graft.relationalize.Relationalize
 import graft.schema.TableSpec
@@ -59,8 +59,17 @@ object ParquetJob {
       val out = df.select(
         (df.columns.filterNot(JsonDataset.PartitionCols.contains) ++
           JsonDataset.PartitionCols).map(col).toIndexedSeq: _*)
-      ParquetDataset.write(out, s"$parquetRoot/$name")
-      name -> out.count()
+      // The reported row count rides the write action as an observed
+      // metric (a CollectMetrics node under the writer), so each table's
+      // plan executes exactly once; a separate count() would recompute
+      // the whole table from the NDJSON source just to report a number.
+      val obs = Observation()
+      ParquetDataset.write(
+        out.observe(obs, count(lit(1)).as("rows")), s"$parquetRoot/$name")
+      // a table with zero rows schedules zero tasks, so CollectMetricsExec
+      // never updates its accumulator and the observation resolves to an
+      // empty map — that absence IS the zero count
+      name -> obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
     }
     Bookmark.commit(spark, dataPath, manifestPath)
     Result(counts)

@@ -43,7 +43,27 @@ class PipelineSpec extends SparkSpec {
     def runJob() = ParquetJob.run(spark, jsonRoot, "WeatherResult_v1",
       spec, s"$tmp/parquet", s"$tmp/manifests")
 
-    val first = runJob()
+    // regression pin: the reported row counts must ride the write action
+    // (observed metric), not a separate count() that recomputes the table
+    val countExecs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "count") countExecs.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val first =
+      try {
+        val r = runJob()
+        Thread.sleep(1000) // QueryExecutionListener callbacks are async
+        r
+      } finally spark.listenerManager.unregister(listener)
+    assert(countExecs.get() == 0,
+      s"ParquetJob.run issued ${countExecs.get()} count() executions")
     assert(first.tables.keySet.contains("WeatherResult_v1"))
     assert(first.tables("WeatherResult_v1") == 1)
     // weather struct flattened in place — no struct/array columns remain
