@@ -227,11 +227,33 @@ object Ann {
     } finally prep.unpersist(blocking = false)
   }
 
+  /** Above this k×dim the assignment switches from plan-literal centroids
+    * to a broadcast variable: a 4096×768 IVF model embedded as literal
+    * arrays would blow up Catalyst analysis and codegen (the plan itself
+    * becomes megabytes) long before the data is the problem.
+    */
+  private[graft] val LiteralModelBudget = 8192
+
   /** Argmin assignment against driver-held centroids: dist²(v, cᵢ) =
-    * ‖v‖² − 2·v·cᵢ + ‖cᵢ‖², argmin as the lexicographic minimum of
-    * (dist², i) structs — the lower cluster index wins exact ties.
+    * ‖v‖² − 2·v·cᵢ + ‖cᵢ‖², ties won by the lower cluster index.
+    * Dispatches on model size: small models inline as plan literals
+    * (whole-stage codegen, zero setup); production-sized IVF models
+    * (k in the thousands) ship ONCE per executor as a broadcast variable
+    * and the argmin runs as a tight primitive loop in mapPartitions.
+    * Both paths compute bit-identical results (same left-to-right
+    * accumulation, same HALF_UP 9-decimal quantization) — pinned by
+    * AnnSpec's literal-vs-broadcast parity case.
     */
   private def assignClusters(
+      prep: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    if (cents.length.toLong * cents(0).length <= LiteralModelBudget)
+      assignLiteral(prep, cents)
+    else assignBroadcast(prep, cents)
+
+  /** Literal-plan argmin: k (dist², i) struct options per row, lexicographic
+    * array_min — the lower cluster index wins exact ties.
+    */
+  private[graft] def assignLiteral(
       prep: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val vn2 = dotD(col("v"), col("v"))
     val options = cents.zipWithIndex.map { case (c, i) =>
@@ -242,6 +264,51 @@ object Ann {
     prep.withColumn("__best", array_min(array(options.toIndexedSeq: _*)))
       .select(col("id"), col("v"),
         col("__best.cluster").as("cluster"), col("__best.dist2").as("dist2"))
+  }
+
+  /** Broadcast-model argmin: the centroid matrix (and its precomputed
+    * ‖cᵢ‖², matching the literal path's driver-side constant) rides one
+    * torrent broadcast; each row does k primitive-array dot products with
+    * the same left-to-right accumulation as the codegen'd DotProduct and
+    * the same `round(_, 9)` quantization (scala BigDecimal HALF_UP —
+    * verified equal to Spark's Round on doubles). Strict `<` keeps the
+    * first (lowest) index on ties, matching the struct-min tiebreak.
+    */
+  private[graft] def assignBroadcast(
+      prep: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    val spark = prep.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      (cents, cents.map(c => c.map(x => x * x).sum)))
+    val vIdx = prep.schema.fieldIndex("v")
+    val outSchema = StructType(prep.schema.fields ++ Seq(
+      StructField("cluster", IntegerType, nullable = false),
+      StructField("dist2", DoubleType, nullable = false)))
+    val assigned = prep.mapPartitions { rows =>
+      val (cs, cSq) = bc.value
+      rows.map { r =>
+        val v = r.getSeq[Double](vIdx).toArray
+        var vn2 = 0.0
+        var i = 0
+        while (i < v.length) { vn2 += v(i) * v(i); i += 1 }
+        var bestD = Double.PositiveInfinity
+        var bestI = 0
+        var j = 0
+        while (j < cs.length) {
+          val c = cs(j)
+          var dot = 0.0
+          var d = 0
+          while (d < v.length) { dot += v(d) * c(d); d += 1 }
+          val d2 = BigDecimal(vn2 - 2.0 * dot + cSq(j))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (d2 < bestD) { bestD = d2; bestI = j }
+          j += 1
+        }
+        Row.fromSeq(r.toSeq :+ bestI :+ bestD)
+      }
+    }(Encoders.row(outSchema))
+    assigned.select(col("id"), col("v"), col("cluster"), col("dist2"))
   }
 
   /** Exact pairwise similarity ≥ threshold (verification baseline —

@@ -107,6 +107,29 @@ class AnnSpec extends SparkSpec {
     assert(m1.inertia == m2.inertia)
   }
 
+  test("broadcast-model argmin matches the literal plan at k=256") {
+    // production-k IVF models broadcast instead of inlining as plan
+    // literals; both paths must pick identical clusters AND distances
+    val k = 256
+    val kDim = 40
+    assert(k * kDim > Ann.LiteralModelBudget) // this k takes the broadcast path
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(kDim)(rnd.nextDouble() * 2 - 1)
+    val prep = (0L until 500L).map(i => (i, vec())).toDF("id", "v")
+    val cents = Array.fill(k)(Array.fill(kDim)(rnd.nextDouble() * 2 - 1))
+    // force exact ties: centroid 40 duplicates centroid 17, so every row
+    // nearest to 17 exercises the lower-index tiebreak on both paths
+    cents(40) = cents(17).clone()
+    val lit = Ann.assignLiteral(prep, cents)
+      .select("id", "cluster", "dist2").as[(Long, Int, Double)]
+      .collect().sortBy(_._1).toSeq
+    val bc = Ann.assignBroadcast(prep, cents)
+      .select("id", "cluster", "dist2").as[(Long, Int, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(bc == lit)
+    assert(!bc.exists(_._2 == 40)) // ties resolved to the lower index
+  }
+
   test("kmeans survives k exceeding the distinct-point count") {
     val tiny = Seq((1L, unit(0), 0), (2L, unit(0), 0), (3L, unit(2), 1))
       .toDF("vec_id", "embedding", "label")
