@@ -1,29 +1,53 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
-  PredicateHelper, RowOrdering}
+  Alias, And, Attribute, AttributeReference, Cast, Divide, EqualTo, Explode,
+  Expression, Floor, GreaterThan, GreaterThanOrEqual, LessThan,
+  LessThanOrEqual, Literal, PredicateHelper, RowOrdering, Sequence}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Filter, Generate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.execution.{FilterExec, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 
 /** Planner strategy recognizing the declarative point-in-interval join —
   * `points.join(intervals, p >= lo && p < hi)` in any operand order /
-  * side assignment, `<=` upper bound included — and planning it as
-  * [[BroadcastIntervalJoinExec]] when the interval side fits the
-  * broadcast threshold. Injected via
+  * side assignment, `<=` upper bound included — and planning the fast
+  * form instead of the O(n·m) BroadcastNestedLoopJoin that built-in
+  * planning produces for non-equi conditions. Injected via
   * `SparkSessionExtensions.injectPlannerStrategy`
-  * ([[graft.GraftExtensions]]), the public Catalyst extension point, so
-  * user code keeps the declarative form and still escapes the O(n·m)
-  * BroadcastNestedLoopJoin that built-in planning produces for non-equi
-  * conditions. Anything that doesn't match EXACTLY (extra conjuncts,
-  * outer joins, both bounds on one side, non-orderable key types,
-  * oversized build side) returns Nil and falls through to Spark's own
-  * strategies — the strategy can only ever substitute a better plan for
-  * the same semantics, never change them.
+  * ([[graft.GraftExtensions]]), the public Catalyst extension point.
+  *
+  * Shape tolerance: the interval pair may sit among ADDITIONAL conjuncts
+  * (`… && pid != iid`); the extras are peeled into a filter above the
+  * interval join, so adding a predicate never silently demotes the plan
+  * to a nested loop.
+  *
+  * Physical choice:
+  *  - bound (build) side within the broadcast threshold →
+  *    [[BroadcastIntervalJoinExec]]: broadcast max-hi segment list,
+  *    O(log m + k) per probe row, zero shuffle of the point side.
+  *  - oversized build side with `spark.graft.intervalJoin.binWidth` set
+  *    and numeric bounds → the large×large path: the join is REWRITTEN to
+  *    the bin-bucketed logical form ([[graft.operators.RangeJoin]]'s
+  *    plan — explode intervals to covered fixed-width bins, equi-join on
+  *    the point's bin, re-filter exact bounds) and handed back to the
+  *    planner, which gives it a shuffled hash/sort-merge join. Linear in
+  *    both inputs; no broadcast, no nested loop. The conf carries the
+  *    bin width because a logical strategy sees byte statistics, not
+  *    value distributions — width should be on the order of the typical
+  *    interval length (see RangeJoin's sizing notes).
+  *  - otherwise → Nil, falling through to Spark's own strategies: the
+  *    strategy only ever substitutes a better plan for the same
+  *    semantics, never changes them.
   */
 class IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
+
+  /** Session conf for the large×large bin width (same unit as the point
+    * column). Unset = no bin rewrite; oversized builds fall through.
+    */
+  val BinWidthConf = "spark.graft.intervalJoin.binWidth"
 
   /** (point, bound) when e is `point >= bound` in either written order. */
   private def asLower(e: Expression): Option[(Expression, Expression)] =
@@ -43,33 +67,94 @@ class IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
       case _ => None
     }
 
+  /** A recognized interval pair among the join's conjuncts: the point
+    * comes whole from one side, both bounds from the other, `rest` is
+    * every conjunct not consumed by the pair.
+    */
+  private case class IntervalShape(
+      point: Expression, lo: Expression, hi: Expression, hiInclusive: Boolean,
+      buildRight: Boolean, rest: Seq[Expression])
+
+  private def findShape(
+      conjuncts: Seq[Expression], l: LogicalPlan, r: LogicalPlan): Option[IntervalShape] = {
+    def from(e: Expression, side: LogicalPlan) =
+      e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+    val candidates = for {
+      i <- conjuncts.indices.iterator
+      j <- conjuncts.indices.iterator
+      if i != j
+      (p1, lo) <- asLower(conjuncts(i)).iterator
+      (p2, hi, incl) <- asUpper(conjuncts(j)).iterator
+      if p1.semanticEquals(p2) && RowOrdering.isOrderable(p1.dataType)
+      buildRight <-
+        (if (from(p1, l) && from(lo, r) && from(hi, r)) Some(true)
+         else if (from(p1, r) && from(lo, l) && from(hi, l)) Some(false)
+         else None).iterator
+    } yield IntervalShape(p1, lo, hi, incl, buildRight,
+      conjuncts.zipWithIndex.collect { case (c, k) if k != i && k != j => c })
+    candidates.nextOption()
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case Join(l, r, Inner, Some(cond), _) if cond.deterministic =>
-      val threshold = SQLConf.get.autoBroadcastJoinThreshold
       val conjuncts = splitConjunctivePredicates(cond)
-      if (threshold <= 0 || conjuncts.length != 2) return Nil
-      val Seq(c1, c2) = conjuncts
-
-      def attempt(lowerC: Expression, upperC: Expression): Option[SparkPlan] =
-        for {
-          (p1, lo) <- asLower(lowerC)
-          (p2, hi, incl) <- asUpper(upperC)
-          if p1.semanticEquals(p2) && RowOrdering.isOrderable(p1.dataType)
-          // the point must come whole from one side, both bounds from the
-          // other; sizing gates the bound (build) side to broadcast scale
-          buildRight <- {
-            def from(e: Expression, side: LogicalPlan) =
-              e.references.nonEmpty && e.references.subsetOf(side.outputSet)
-            if (from(p1, l) && from(lo, r) && from(hi, r) &&
-              r.stats.sizeInBytes <= threshold) Some(true)
-            else if (from(p1, r) && from(lo, l) && from(hi, l) &&
-              l.stats.sizeInBytes <= threshold) Some(false)
-            else None
-          }
-        } yield BroadcastIntervalJoinExec(
-          planLater(l), planLater(r), p1, lo, hi, incl, buildRight)
-
-      attempt(c1, c2).orElse(attempt(c2, c1)).toSeq
+      if (conjuncts.length < 2) return Nil
+      findShape(conjuncts, l, r) match {
+        case None => Nil
+        case Some(shape) =>
+          val threshold = SQLConf.get.autoBroadcastJoinThreshold
+          val buildSide = if (shape.buildRight) r else l
+          if (threshold > 0 && buildSide.stats.sizeInBytes <= threshold) {
+            val exec = BroadcastIntervalJoinExec(
+              planLater(l), planLater(r), shape.point, shape.lo, shape.hi,
+              shape.hiInclusive, shape.buildRight)
+            Seq(
+              if (shape.rest.isEmpty) exec
+              else FilterExec(shape.rest.reduce(And), exec))
+          } else binRewrite(plan, l, r, shape, cond).toSeq
+      }
     case _ => Nil
+  }
+
+  /** Large×large fallback: rebuild the join as the bin-bucketed logical
+    * plan and hand it back to the planner (`planLater`). Bins only
+    * manufacture an equi key — the full original condition is re-applied
+    * above the join, so any bin width is correct; width only tunes cost.
+    * A point meets an interval in exactly one bin (the point's), so no
+    * dedup is needed. Null points/bounds produce null bins or an empty
+    * bin sequence and drop, matching inner-join null semantics.
+    */
+  private def binRewrite(
+      join: LogicalPlan, l: LogicalPlan, r: LogicalPlan,
+      shape: IntervalShape, cond: Expression): Option[SparkPlan] = {
+    val numeric = Seq(shape.point, shape.lo, shape.hi)
+      .forall(_.dataType.isInstanceOf[NumericType])
+    val widthStr = SQLConf.get.getConfString(BinWidthConf, "")
+    if (!numeric || widthStr.isEmpty) return None
+    val width = widthStr.toDouble
+    require(width > 0, s"$BinWidthConf must be positive, got $widthStr")
+
+    def bin(e: Expression): Expression =
+      Cast(Floor(Divide(Cast(e, DoubleType), Literal(width))), LongType)
+
+    val (points, intervals) = if (shape.buildRight) (l, r) else (r, l)
+    // the point's single bin rides a projection; fresh exprIds keep the
+    // helper column from ever colliding with user attributes
+    val pBinAlias = Alias(bin(shape.point), "__graft_bin")()
+    val pointsB = Project(points.output :+ pBinAlias, points)
+    // each interval explodes to the bins it covers; sequence without an
+    // explicit step tolerates inverted (empty) intervals by descending —
+    // harmless candidates the exact re-filter removes
+    val iBinAttr =
+      AttributeReference("__graft_bin", LongType, nullable = false)()
+    val intervalsB = Generate(
+      Explode(Sequence(bin(shape.lo), bin(shape.hi), None, None)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(iBinAttr), child = intervals)
+    val binJoin = Join(pointsB, intervalsB, Inner,
+      Some(EqualTo(pBinAlias.toAttribute, iBinAttr)), JoinHint.NONE)
+    val filtered = Filter(cond, binJoin)
+    val out: Seq[Attribute] = join.output
+    Some(planLater(Project(out, filtered)))
   }
 }

@@ -54,22 +54,61 @@ class IntervalJoinSpec extends SparkSpec {
     assert(collectPairs(variants(1)) == excl)
   }
 
-  test("non-matching shapes fall back to built-in planning, same result") {
-    val p = points; val iv = intervals
-    // three conjuncts: not the recognized shape
+  test("extra conjuncts peel into a filter; the interval join stays native") {
+    val p = points.cache(); val iv = intervals.cache()
+    val base = p.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
     val extra = p.join(iv,
       col("p") >= col("lo") && col("p") < col("hi") && col("pid") =!= col("iid"))
-    assert(!usesNative(extra))
+    assert(usesNative(extra), extra.queryExecution.toString)
+    // the peeled predicate is applied: result = base minus pid==iid pairs
+    val expect = collectPairs(base).filter { case (a, b) => a != b }
+    assert(collectPairs(extra) == expect && expect.nonEmpty)
+    // conjunct order must not matter (pair found among any positions)
+    val reordered = p.join(iv,
+      col("pid") =!= col("iid") && col("p") >= col("lo") && col("p") < col("hi"))
+    assert(usesNative(reordered))
+    assert(collectPairs(reordered) == expect)
+  }
+
+  test("non-matching shapes fall back to built-in planning, same result") {
+    val p = points; val iv = intervals
     // strict lower bound: not recognized
     val strict = p.join(iv, col("p") > col("lo") && col("p") < col("hi"))
     assert(!usesNative(strict))
-    // oversized build side: gated by the broadcast threshold
+    // oversized build side with no bin width configured: falls through
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val gated = p.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
       assert(!usesNative(gated))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("oversized build side with binWidth set plans the bin equi-join, " +
+      "not a nested loop, and matches the broadcast result") {
+    val p = points.cache(); val iv = intervals.cache()
+    def q() = p.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+    val expect = collectPairs(q()) // broadcast plan, already verified above
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.intervalJoin.binWidth", "5.0")
+      val binned = q()
+      val rendered = binned.queryExecution.executedPlan.toString
+      assert(!rendered.contains("BroadcastNestedLoopJoin"), rendered)
+      assert(!rendered.contains("BroadcastIntervalJoin"), rendered)
+      assert(collectPairs(binned) == expect && expect.nonEmpty)
+      // extra conjuncts ride the same rewrite
+      val extra = p.join(iv, col("p") >= col("lo") && col("p") < col("hi")
+        && col("pid") =!= col("iid"))
+      val renderedX = extra.queryExecution.executedPlan.toString
+      assert(!renderedX.contains("BroadcastNestedLoopJoin"), renderedX)
+      assert(collectPairs(extra) ==
+        expect.filter { case (a, b) => a != b })
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.unset("spark.graft.intervalJoin.binWidth")
+    }
   }
 
   test("join output survives collect, exchange, and sort without a " +
