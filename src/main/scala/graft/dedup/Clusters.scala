@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * and its neighbors. Converges in O(component diameter) rounds — near-dup
   * components are dense and shallow (diameter ≲ 3 in practice), so this
   * beats the O(log n) large-star/small-star scheme on its constant factor
-  * while staying fully distributed: each round is one shuffle join
-  * (edges × labels) plus one aggregate, with `localCheckpoint` truncating
-  * the lineage so plans don't grow with iteration count. The driver sees
-  * only a per-round convergence scalar, never row data.
+  * while staying fully distributed: each round is ONE job — the shuffle
+  * join (edges × labels) materialized by the eager `localCheckpoint`
+  * (which truncates lineage so plans don't grow with iteration count),
+  * with the convergence scalar riding that same job as an observed
+  * metric. The driver sees only that scalar, never row data.
   *
   * Convergence test: labels only ever decrease, so Σ labels (exact, as
   * decimal — no ANSI overflow) strictly decreases until the fixpoint;
@@ -62,14 +63,22 @@ object Clusters {
       val nbrMin = und
         .join(labels.select(col("id").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nlbl"))
+      // the convergence sum rides the (already mandatory) eager-checkpoint
+      // materialization job as an observed metric, so each round costs
+      // exactly ONE action — no separate aggregate round-trip
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("s"))
         .localCheckpoint()
-      val raw = next.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
-        .head.getDecimal(0)
-      // empty universe sums to NULL; normalize so it converges immediately
-      val s = if (raw == null) java.math.BigDecimal.ZERO else raw
+      // empty universe: zero rows yield a null sum (or, with zero tasks,
+      // no metric at all); normalize so it converges immediately
+      val s = obs.get.getOrElse("s", null) match {
+        case null => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal => d
+        case d: scala.math.BigDecimal => d.bigDecimal
+      }
       converged = prevSum != null && prevSum.compareTo(s) == 0
       prevSum = s
       labels = next
