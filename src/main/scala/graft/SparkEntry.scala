@@ -11,6 +11,8 @@ import graft.dedup.{Clusters, Dedup, SimHash}
 import graft.ingest.{FileListing, Router, ZipSource}
 import graft.multimodal.Multimodal
 import graft.operators.Salted
+import graft.pipeline.SchemaEvolution
+import graft.schema.{ColumnSpec, TableSpec}
 import graft.streaming.Bookmark
 import graft.text.TextAnalysis
 import graft.relationalize.Relationalize
@@ -325,6 +327,82 @@ object SparkEntry {
         date_format(col("sess_end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
         col("n")),
     Some("WITH m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '12 hours' THEN 1 ELSE 0 END AS brk FROM events), s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start, strftime(max(ts) + INTERVAL '12 hours', '%Y-%m-%d %H:%M:%S') AS sess_end, count(*) AS n FROM s GROUP BY user_id, sid"))
+
+  /** §2.8-streaming — the production sink shape: checkpointed
+    * AvailableNow drain into a PARTITIONED parquet dataset
+    * (study-pipeline-infra.j2:125's bookmark-enabled job as Structured
+    * Streaming). Two drains over a growing source dir share one
+    * checkpoint; run 2 must process only the files that appeared after
+    * run 1 — any reprocessing would append batch-1 rows twice and fail
+    * the oracle hash, so the entry proves checkpoint incrementality, not
+    * just sink plumbing.
+    */
+  private val stDrainParquet = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_std").toString
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"))
+      val schema = StructType.fromDDL("event_id bigint, event_type string")
+      def drain(): Unit =
+        graft.streaming.StreamingIngest.drainToParquet(
+          s.readStream.schema(schema).parquet(s"$tmp/in"),
+          s"$tmp/out", s"$tmp/ckpt", Seq("event_type"))
+          .awaitTermination()
+      ev.filter(col("event_id") % 2 === 0)
+        .write.mode("append").parquet(s"$tmp/in")
+      drain()
+      ev.filter(col("event_id") % 2 =!= 0)
+        .write.mode("append").parquet(s"$tmp/in")
+      drain()
+      s.read.parquet(s"$tmp/out")
+        .select(col("event_id"), col("event_type").cast("string").as("event_type"))
+    },
+    Some("SELECT event_id, event_type FROM events"))
+
+  /** E2+crawler — schema evolution through the pipeline front door
+    * (study-pipeline-infra.j2:178-218; docs/schema_change_protocol.md):
+    * batch 1 lands under a declared schema; batch 2 arrives with a NEW
+    * `quality` column; the crawler pass infers it from the new files
+    * only, merges (additive → compatible), and the conversion proceeds
+    * under the merged schema into the SAME table. Read-back must show
+    * batch-1 rows with null quality (schema-evolved parquet) and batch-2
+    * rows with the computed value — proving inference, merge, and the
+    * merged-schema conversion all ran, not just the unit-level merge.
+    */
+  private val e2SchemaEvolve = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_se").toString
+      val docs = t(s, dir, "documents")
+      def stamp(df: DataFrame) = df
+        .withColumn("assessmentid", col("lang"))
+        .withColumn("year", lit(2023))
+        .withColumn("month", lit(1))
+        .withColumn("day", lit(15))
+      val b1 = stamp(docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars").as("size"),
+          col("doc_id").as("recordid")))
+      JsonDataset.write(b1, s"$tmp/json", "docs_v1")
+      val declared = TableSpec("docs_v1", Seq(
+        ColumnSpec("doc_id", "bigint"), ColumnSpec("lang", "string"),
+        ColumnSpec("size", "bigint"), ColumnSpec("recordid", "bigint")), Nil)
+      val r1 = SchemaEvolution.run(s, s"$tmp/json", "docs_v1", declared,
+        s"$tmp/parquet", s"$tmp/manifests")
+      val b2 = stamp(docs.where(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars").as("size"),
+          (col("n_chars") / lit(10.0)).as("quality"),
+          col("doc_id").as("recordid")))
+      JsonDataset.write(b2, s"$tmp/json", "docs_v1")
+      val r2 = SchemaEvolution.run(s, s"$tmp/json", "docs_v1", r1.spec,
+        s"$tmp/parquet", s"$tmp/manifests")
+      require(!r2.versioned && r2.spec.schema.fieldNames.contains("quality"),
+        s"additive change must merge, got $r2")
+      s.read.schema(StructType.fromDDL(
+          "doc_id bigint, lang string, size bigint, quality double"))
+        .parquet(s"$tmp/parquet/docs_v1")
+        .select("doc_id", "lang", "size", "quality")
+    },
+    Some("SELECT doc_id, lang, n_chars AS size, " +
+      "CASE WHEN doc_id % 2 <> 0 THEN n_chars / 10.0 END AS quality " +
+      "FROM documents"))
 
   // --------------------------------------------------------------------
   // §2.2 Projections / filters / predicates
@@ -1318,6 +1396,8 @@ object SparkEntry {
     "bm_incremental" -> bmIncremental,
     "st_window_counts" -> stWindowCounts,
     "st_session_window" -> stSessionWindow,
+    "st_drain_parquet" -> stDrainParquet,
+    "e2_schema_evolve" -> e2SchemaEvolve,
     "p1_project" -> p1Project,
     "p2_flatten_rename" -> p2FlattenRename,
     "p3_inject" -> p3Inject,
