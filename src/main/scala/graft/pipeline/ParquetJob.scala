@@ -34,6 +34,11 @@ object ParquetJob {
     * declared schema, relationalize if nested, append every produced
     * table to its partitioned Parquet dataset, then advance the bookmark.
     * Returns per-table appended row counts.
+    *
+    * @param outName output table name + bookmark identity when it differs
+    *                from the source dataset — the schema-versioning case
+    *                ([[SchemaEvolution]]): a `docs_v2` table draining the
+    *                `docs_v1` JSON layout under its own manifest
     */
   def run(
       spark: SparkSession,
@@ -41,9 +46,11 @@ object ParquetJob {
       dataset: String,
       spec: TableSpec,
       parquetRoot: String,
-      manifestRoot: String): Result = {
+      manifestRoot: String,
+      outName: Option[String] = None): Result = {
+    val table = outName.getOrElse(dataset)
     val dataPath = s"$jsonRoot/dataset=$dataset"
-    val manifestPath = s"$manifestRoot/$dataset"
+    val manifestPath = s"$manifestRoot/$table"
     val raw = JsonDataset.read(spark, jsonRoot, dataset, spec.schema)
     val fresh = Bookmark.newDataFrom(spark, raw, dataPath, manifestPath)
     if (fresh.isEmpty) return Result(Map.empty)
@@ -51,8 +58,8 @@ object ParquetJob {
     val tables: Map[String, DataFrame] =
       if (Relationalize.hasNestedFields(fresh.schema))
         Relationalize.relationalize(
-          fresh, dataset, keyCols = Seq("recordid"), carryCols = CarryCols)
-      else Map(dataset -> fresh)
+          fresh, table, keyCols = Seq("recordid"), carryCols = CarryCols)
+      else Map(table -> fresh)
 
     val counts = tables.map { case (name, df) =>
       // partition columns must be last for partitionBy; ensure presence

@@ -91,6 +91,53 @@ class PipelineSpec extends SparkSpec {
     assert(all.select("recordid").distinct().count() == 2)
   }
 
+  test("schema evolution: incompatible change versions the dataset and " +
+      "leaves the current table untouched (schema_change_protocol)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.schema.{ColumnSpec, TableSpec}
+    val tmp = Files.createTempDirectory("graft_sv").toString
+    def stamp(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("assessmentid", lit("a"))
+      .withColumn("year", lit(2023))
+      .withColumn("month", lit(1)).withColumn("day", lit(15))
+    val b1 = stamp(Seq((1L, 10L, 1L), (2L, 20L, 2L))
+      .toDF("doc_id", "size", "recordid"))
+    graft.sources.JsonDataset.write(b1, s"$tmp/json", "docs_v1")
+    val declared = TableSpec("docs_v1", Seq(
+      ColumnSpec("doc_id", "bigint"), ColumnSpec("size", "bigint"),
+      ColumnSpec("recordid", "bigint")), Nil)
+    val r1 = SchemaEvolution.run(spark, s"$tmp/json", "docs_v1", declared,
+      s"$tmp/parquet", s"$tmp/manifests")
+    assert(!r1.versioned && r1.result.tables("docs_v1") == 2)
+
+    // batch 2 flips `size` to a string — incompatible, not widenable
+    val b2 = stamp(Seq((3L, "big", 3L)).toDF("doc_id", "size", "recordid"))
+    graft.sources.JsonDataset.write(b2, s"$tmp/json", "docs_v1")
+    val r2 = SchemaEvolution.run(spark, s"$tmp/json", "docs_v1", r1.spec,
+      s"$tmp/parquet", s"$tmp/manifests")
+    assert(r2.versioned && r2.tableName == "docs_v2")
+    assert(r2.incompatibilities.exists(i => i.path == "size"), r2.toString)
+    // the versioned table got ONLY batch 2, under the inferred schema
+    assert(r2.result.tables("docs_v2") == 1)
+    val v2 = spark.read.parquet(s"$tmp/parquet/docs_v2")
+    assert(v2.schema("size").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(v2.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    // the old table is untouched: still exactly batch 1
+    val v1 = spark.read.parquet(s"$tmp/parquet/docs_v1")
+    assert(v1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // continuation: carrying the versioned spec forward, a further batch
+    // lands in docs_v2 only — its manifest (seeded from docs_v1's, then
+    // advanced) already covers batches 1 and 2
+    val b3 = stamp(Seq((4L, "huge", 4L)).toDF("doc_id", "size", "recordid"))
+    graft.sources.JsonDataset.write(b3, s"$tmp/json", "docs_v1")
+    val r3 = SchemaEvolution.run(spark, s"$tmp/json", "docs_v1", r2.spec,
+      s"$tmp/parquet", s"$tmp/manifests")
+    assert(!r3.versioned && r3.tableName == "docs_v2")
+    assert(r3.result.tables("docs_v2") == 1)
+    assert(spark.read.parquet(s"$tmp/parquet/docs_v2").count() == 2)
+  }
+
   test("E3 BootstrapDriver: keep-latest, diff, batching, archive version") {
     val manifest = Seq(
       ("r1", 10L), ("r1", 20L), // r1 exported twice: keep ts 20
