@@ -300,11 +300,22 @@ object SparkEntry {
       val myId = stSinkSeq.incrementAndGet()
       val qn = s"st_wc_sink_$myId"
       (1L until myId - 1).foreach(k => s.catalog.dropTempView(s"st_wc_sink_$k"))
-      val q = agg.writeStream.format("memory").queryName(qn)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // stateful-streaming sizing: each state-store instance pays a
+      // commit per micro-batch, so partition count should track state
+      // cardinality (~3600 windows here), not the batch shuffle setting —
+      // 32 state partitions cost ~2s/batch of pure commit overhead at
+      // this size. The value is pinned into the checkpoint at first
+      // start; set-and-restore is safe under the single-threaded harness
+      // assumption documented at stInputCache.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        agg.writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(qn).select(
         date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"))
