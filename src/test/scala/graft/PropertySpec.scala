@@ -68,6 +68,73 @@ object PropertySpec extends Properties("graft") {
       parentCountOk && contentOk && fkOk
     }
 
+  // Deep corners from the golden contract's edge semantics
+  // (tests/test_json_s3_to_parquet.py:365-425): null structs, null/empty
+  // outer arrays, null/empty INNER arrays of an array-of-array — the
+  // shapes example tests under-sweep.
+  private val deepRowsGen
+      : Gen[List[(String, Option[(String, Option[Int])], Option[List[Option[List[Int]]]])]] =
+    for {
+      n <- Gen.chooseNum(1, 6)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.option(Gen.zip(
+          Gen.alphaStr.map(_.take(4)), Gen.option(Gen.chooseNum(0, 9))))
+        xs <- Gen.option(Gen.chooseNum(0, 3).flatMap(m => Gen.listOfN(m,
+          Gen.option(Gen.chooseNum(0, 3).flatMap(k =>
+            Gen.listOfN(k, Gen.chooseNum(-9, 9)))))))
+      } yield (s, xs))
+    } yield rows.zipWithIndex.map { case ((s, xs), i) => (s"r$i", s, xs) }
+
+  property("relationalize deep corners: null struct flattens to nulls, " +
+      "array-of-array recurses, empty/null inners reconstruct exactly") =
+    Prop.forAllNoShrink(deepRowsGen) { rows =>
+      val schema = StructType(Seq(
+        StructField("rid", StringType),
+        StructField("st", StructType(Seq(
+          StructField("a", StringType), StructField("b", IntegerType)))),
+        StructField("xs", ArrayType(ArrayType(IntegerType)))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, s, xs) =>
+          Row(id,
+            s.map { case (a, b) => Row(a, b.map(Int.box).orNull) }.orNull,
+            xs.map(_.map(_.orNull).toSeq).orNull)
+        }, 2), schema)
+      val tables = Relationalize.relationalize(
+        df, "t", keyCols = Seq("rid"), carryCols = Seq("rid"))
+      val namesOk = tables.keySet == Set("t", "t_xs", "t_xs_xs_val")
+
+      val root = tables("t").collect()
+        .map(r => r.getAs[String]("rid") -> r).toMap
+      // null struct → both flattened columns null; non-null → field values
+      val structOk = rows.forall { case (id, s, _) =>
+        val r = root(id)
+        Option(r.getAs[String]("st_a")) == s.map(_._1) &&
+          Option(r.get(r.fieldIndex("st_b")))
+            .map(_.asInstanceOf[Int]) == s.flatMap(_._2)
+      }
+      // two-level reconstruction via the FK chain
+      val child = tables("t_xs").collect()
+      val grand = tables("t_xs_xs_val").collect()
+      val innersByFk = grand.groupBy(_.getAs[Long]("id"))
+        .map { case (fk, rs) =>
+          fk -> rs.sortBy(_.getAs[Int]("index"))
+            .map(_.getAs[Int]("xs_val_val")).toList
+        }
+      val rebuilt = child.groupBy(_.getAs[String]("rid"))
+        .map { case (id, rs) =>
+          id -> rs.sortBy(_.getAs[Int]("index")).map { r =>
+            Option(r.get(r.fieldIndex("xs_val"))).map(fk =>
+              innersByFk.getOrElse(fk.asInstanceOf[Long], Nil))
+          }.toList
+        }
+      // a null outer array (or an empty one) produces no child rows
+      val expected = rows.collect {
+        case (id, _, Some(xs)) if xs.nonEmpty => id -> xs
+      }.toMap
+      val contentOk = rebuilt == expected
+      namesOk && structOk && contentOk
+    }
+
   private val typeGen: Gen[DataType] = Gen.oneOf(
     StringType, IntegerType, LongType, DoubleType, BooleanType,
     ArrayType(StringType), ArrayType(IntegerType))

@@ -161,6 +161,28 @@ class IntervalJoinSpec extends SparkSpec {
     assert(collectPairs(out) == Set((1L, 1L)))
   }
 
+  test("timestamp and string point types plan natively and match " +
+      "(non-numeric ordering paths)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // timestamps: internally long micros (primitive ordering)
+    val tp = Seq((1L, ts("2023-01-01 10:30:00")), (2L, ts("2023-01-01 11:30:00")),
+      (3L, ts("2023-01-02 00:00:00"))).toDF("pid", "p")
+    val tiv = Seq(
+      (10L, ts("2023-01-01 10:00:00"), ts("2023-01-01 11:00:00")),
+      (20L, ts("2023-01-01 11:00:00"), ts("2023-01-02 00:00:00"))).toDF("iid", "lo", "hi")
+    val tj = tp.join(tiv, col("p") >= col("lo") && col("p") < col("hi"))
+    assert(usesNative(tj), tj.queryExecution.toString)
+    assert(collectPairs(tj) == Set((1L, 10L), (2L, 20L)))
+    // strings: genuinely interpreted (non-primitive) ordering in the index
+    val sp = Seq((1L, "banana"), (2L, "cherry"), (3L, "apple")).toDF("pid", "p")
+    val siv = Seq((10L, "a", "b"), (20L, "b", "c"), (30L, "cherry", "cherry"))
+      .toDF("iid", "lo", "hi")
+    val sj = sp.join(siv, col("p") >= col("lo") && col("p") < col("hi"))
+    assert(usesNative(sj), sj.queryExecution.toString)
+    // "apple" in [a,b); "banana" in [b,c); zero-width [cherry,cherry) empty
+    assert(collectPairs(sj) == Set((3L, 10L), (1L, 20L)))
+  }
+
   test("interval index stabs exactly the covering intervals") {
     val los = Array[Any](0.0, 2.0, 4.0, 4.0, 9.0)
     val his = Array[Any](3.0, 2.5, 8.0, 5.0, 9.5)
