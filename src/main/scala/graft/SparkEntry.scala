@@ -1075,8 +1075,11 @@ object SparkEntry {
     * the oracle checks the INVARIANT instead of the value: the estimate
     * must land within the published error bound of the exact answer
     * (HLL++ at default rsd 0.05 → assert |approx−exact|/exact ≤ 0.15,
-    * 3σ; t-digest p50 within the observed value range). The exact
-    * figures in the output hash-match the oracle as usual.
+    * 3σ — plus an absolute floor of 3 counts, which at n_exact < 20 is
+    * LOOSER than 3σ; HLL small-cardinality bias correction makes the
+    * relative bound meaningless there, so the floor absorbs it.
+    * t-digest p50 is checked within the observed value range.) The
+    * exact figures in the output hash-match the oracle as usual.
     */
   private val a10Sketches = Q(
     (s, dir) => {
