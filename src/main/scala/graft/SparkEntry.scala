@@ -894,6 +894,21 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text", threshold = 0.8),
     Some("WITH w AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents), sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
 
+  /** Character-trigram Jaccard near-dup pairs — the boundary-free
+    * tokenizer (CJK, OCR noise, code) over the same counted inverted
+    * index as `dedup_jaccard`. The entry caps the corpus at 500 docs:
+    * ubiquitous trigrams ("e t", "he ") appear in every doc, so Σ df²
+    * grows quadratically with corpus size — the production valve is
+    * `maxDf` (drop grams above a document-frequency cap; exercised in
+    * DedupSpec), which this oracle-checked entry leaves off to stay
+    * bit-comparable.
+    */
+  private val dedupNgramJaccard = Q(
+    (s, dir) => Dedup.ngramJaccardPairs(
+      t(s, dir, "documents").where(col("doc_id") < 500), "doc_id", "text",
+      n = 3, threshold = 0.8),
+    Some("WITH g0 AS (SELECT doc_id, unnest(list_distinct([substr(lower(text), i, 3) FOR i IN generate_series(1, len(text)-2)])) AS w FROM documents WHERE doc_id < 500), sz AS (SELECT doc_id, count(*) AS n FROM g0 GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM g0 a JOIN g0 b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
+
   /** MinHash-LSH near-dup detection (the 100 TB path): banded signatures →
     * in-bucket candidates → exact verification. The oracle is the exact
     * all-pairs shingle Jaccard — the entry proves the LSH pipeline loses
@@ -1462,6 +1477,7 @@ object SparkEntry {
     "ann_kmeans" -> annKmeans,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_near" -> dedupSimhashNear,

@@ -80,9 +80,44 @@ object Dedup {
   def jaccardPairs(
       docs: DataFrame, id: String, text: String,
       threshold: Double, maxDf: Option[Long] = None,
+      salt: Int = 1): DataFrame =
+    pairsFromTokens(tokensWithSize(docs, id, text, maxDf), threshold, salt)
+
+  /** Character n-gram set of `text`, lowercased — the tokenizer for
+    * scripts without word boundaries (CJK), OCR noise, and code, where
+    * word sets miss near-dups. Interpreted HOF cost is O(len·n) per row
+    * (substr per gram) — fine for shingling, keep it out of pair loops.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(text)
+    val cnt = length(t) - lit(n - 1)
+    when(cnt >= 1,
+      array_distinct(transform(sequence(lit(1), cnt), i => t.substr(i, lit(n)))))
+      .otherwise(array_distinct(array(t)))
+  }
+
+  /** EXACT character-n-gram Jaccard pairs ≥ threshold — [[jaccardPairs]]
+    * with the word tokenizer swapped for [[charShingles]]; same counted
+    * inverted index, size filter, and salt/df-cap valves. The n-gram
+    * domain is denser than words (every doc shares common trigrams), so
+    * at scale ALWAYS pair this with `maxDf` — ubiquitous grams
+    * discriminate nothing and dominate the Σ df² join fanout.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, id: String, text: String, n: Int,
+      threshold: Double, maxDf: Option[Long] = None,
       salt: Int = 1): DataFrame = {
+    val sets = widen(docs).select(col(id).as("id"),
+      charShingles(col(text), n).as("ts"))
+    pairsFromTokens(withSizes(sets, maxDf), threshold, salt)
+  }
+
+  /** The counted-inverted-index pair join over exploded (id, sz, w)
+    * token rows — shared by the word and char-n-gram forms.
+    */
+  private def pairsFromTokens(
+      toks: DataFrame, threshold: Double, salt: Int): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
-    val toks = tokensWithSize(docs, id, text, maxDf)
     val allSalts = array((0 until salt).map(lit): _*)
     val (a, b, saltCond) =
       if (salt == 1) (toks.as("a"), toks.as("b"), lit(true))
@@ -115,9 +150,14 @@ object Dedup {
     */
   private def tokensWithSize(
       docs: DataFrame, id: String, text: String,
-      maxDf: Option[Long]): DataFrame = {
-    val sets = widen(docs).select(col(id).as("id"),
-      array_distinct(split(lower(col(text)), "\\s+")).as("ts"))
+      maxDf: Option[Long]): DataFrame =
+    withSizes(widen(docs).select(col(id).as("id"),
+      array_distinct(split(lower(col(text)), "\\s+")).as("ts")), maxDf)
+
+  /** Explode a (id, ts: array<string>) token-set frame into (id, sz, w)
+    * rows, optionally dropping tokens above the df cap first.
+    */
+  private def withSizes(sets: DataFrame, maxDf: Option[Long]): DataFrame = {
     maxDf match {
       case None =>
         sets.select(col("id"), size(col("ts")).as("sz"),

@@ -34,6 +34,38 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("char-ngram jaccard pairs equal brute-force trigram-set jaccard " +
+      "(short texts, df cap, salt parity)") {
+    val texts = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fax"),
+      (3L, "THE QUICK BROWN FOX"), (4L, "completely different words"),
+      (5L, "ab"), (6L, "ab")) // shorter than n: whole text is the gram
+    val df = texts.toDF("doc_id", "text")
+    def grams(s: String): Set[String] = {
+      val t = s.toLowerCase
+      if (t.length < 3) Set(t) else t.sliding(3).toSet
+    }
+    for (threshold <- Seq(0.5, 0.8)) {
+      val expected = (for {
+        (i, a) <- texts; (j, b) <- texts if i < j
+        inter = (grams(a) & grams(b)).size
+        union = (grams(a) | grams(b)).size
+        if inter.toDouble / union >= threshold
+      } yield (i, j)).toSet
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, threshold)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"t=$threshold")
+      val salted = Dedup.ngramJaccardPairs(
+        df, "doc_id", "text", 3, threshold, salt = 3)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(salted == expected, s"salted t=$threshold")
+    }
+    // df cap drops ubiquitous grams from the vocabulary on both sides
+    val capped = Dedup.ngramJaccardPairs(
+      df, "doc_id", "text", 3, 0.8, maxDf = Some(2L))
+    assert(capped.columns.toSeq == Seq("id1", "id2", "jaccard"))
+  }
+
   test("salted jaccard join returns the identical pair set") {
     val plain = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
       .as[(Long, Long, Double)].collect().toSet
