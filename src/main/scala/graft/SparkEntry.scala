@@ -645,6 +645,46 @@ object SparkEntry {
       "WHERE l_quantity >= n_nationkey * 2.0 " +
       "AND l_quantity < n_nationkey * 2.0 + 6.0 GROUP BY 1"))
 
+  /** J9 — the LARGE×LARGE shape of the declarative interval join: with
+    * broadcasting disabled and `spark.graft.intervalJoin.binWidth` set,
+    * [[graft.plans.IntervalJoinStrategy]] rewrites the same inequality
+    * join to the bin-bucketed equi-join (J7's plan) instead of letting
+    * built-in planning nested-loop it. The entry REQUIREs no
+    * BroadcastNestedLoopJoin in the initial physical plan, so a silently
+    * regressed strategy fails the driver run rather than hash-matching
+    * its way past it. Conf set/restore relies on the single-threaded
+    * harness; planning is forced inside the conf window (AQE may still
+    * re-plan exchanges at runtime with the restored confs — the pinned
+    * property is the compile-time plan choice).
+    */
+  private val j9BinIntervalJoin = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val bands = t(s, dir, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * 2.0).as("lo"),
+        (col("n_nationkey") * 2.0 + 6.0).as("hi"))
+      val prevT = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.graft.intervalJoin.binWidth", "6.0")
+        val out = li.join(bands,
+            col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+          .groupBy(col("n_nationkey"))
+          .agg(count(lit(1)).as("n_matches"))
+        // force planning while the confs are live; QueryExecution caches it
+        val rendered = out.queryExecution.executedPlan.toString
+        require(!rendered.contains("BroadcastNestedLoopJoin"),
+          "bin rewrite did not fire — large interval join fell to a nested loop")
+        out
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+        s.conf.unset("spark.graft.intervalJoin.binWidth")
+      }
+    },
+    Some("SELECT n_nationkey, count(*) AS n_matches FROM lineitem, nation " +
+      "WHERE l_quantity >= n_nationkey * 2.0 " +
+      "AND l_quantity < n_nationkey * 2.0 + 6.0 GROUP BY 1"))
+
   /** The join+agg shape shared by the entry and PlanAuditSpec. The merge
     * hint pins the sort-merge strategy (at test scale Catalyst would
     * auto-broadcast the tiny side; at fact-fact scale neither side
@@ -1441,6 +1481,7 @@ object SparkEntry {
     "j6_asof_join" -> j6AsofJoin,
     "j7_range_join" -> j7RangeJoin,
     "j8_interval_join" -> j8IntervalJoin,
+    "j9_bin_interval_join" -> j9BinIntervalJoin,
     "a1_distinct" -> a1Distinct,
     "a2_dedup_keep_latest" -> a2KeepLatest,
     "a3_count_distinct" -> a3CountDistinct,
