@@ -947,7 +947,7 @@ object SparkEntry {
     (s, dir) => Dedup.ngramJaccardPairs(
       t(s, dir, "documents").where(col("doc_id") < 500), "doc_id", "text",
       n = 3, threshold = 0.8),
-    Some("WITH g0 AS (SELECT doc_id, unnest(list_distinct([substr(lower(text), i, 3) FOR i IN generate_series(1, len(text)-2)])) AS w FROM documents WHERE doc_id < 500), sz AS (SELECT doc_id, count(*) AS n FROM g0 GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM g0 a JOIN g0 b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
+    Some("WITH g0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(text) >= 3 THEN [substr(lower(text), i, 3) FOR i IN generate_series(1, len(text)-2)] ELSE [lower(text)] END)) AS w FROM documents WHERE doc_id < 500), sz AS (SELECT doc_id, count(*) AS n FROM g0 GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM g0 a JOIN g0 b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
 
   /** MinHash-LSH near-dup detection (the 100 TB path): banded signatures →
     * in-bucket candidates → exact verification. The oracle is the exact

@@ -202,25 +202,31 @@ object Ann {
       val dim = cents(0).length
       val inertia = scala.collection.mutable.ArrayBuffer.empty[Double]
       for (pass <- 0 to iters) {
-        val assigned = assignClusters(prep, cents)
-        if (pass < iters) {
-          // ONE action per iteration: each row explodes into exactly dim
-          // (cluster, pos) entries carrying its dist², so Σ sd / dim is
-          // the pass inertia and the means are the next centroids
-          val rows = assigned
-            .select(col("cluster"), col("dist2"),
-              posexplode(col("v")).as(Seq("pos", "x")))
-            .groupBy(col("cluster"), col("pos"))
-            .agg(round(avg(col("x")), 9).as("m"), sum(col("dist2")).as("sd"))
-            .collect()
-          inertia += rows.map(_.getDouble(3)).sum / dim
-          val byCluster = rows.groupBy(_.getInt(0))
-          cents = Array.tabulate(cents.length)(i => byCluster.get(i)
-            .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)))
-            .getOrElse(cents(i)))
-        } else {
-          inertia += assigned.agg(sum(col("dist2"))).head().getDouble(0)
-        }
+        val (assigned, modelBc) = assignClustersH(prep, cents)
+        try {
+          if (pass < iters) {
+            // ONE action per iteration: each row explodes into exactly dim
+            // (cluster, pos) entries carrying its dist², so Σ sd / dim is
+            // the pass inertia and the means are the next centroids
+            val rows = assigned
+              .select(col("cluster"), col("dist2"),
+                posexplode(col("v")).as(Seq("pos", "x")))
+              .groupBy(col("cluster"), col("pos"))
+              .agg(round(avg(col("x")), 9).as("m"), sum(col("dist2")).as("sd"))
+              .collect()
+            inertia += rows.map(_.getDouble(3)).sum / dim
+            val byCluster = rows.groupBy(_.getInt(0))
+            cents = Array.tabulate(cents.length)(i => byCluster.get(i)
+              .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)))
+              .getOrElse(cents(i)))
+          } else {
+            inertia += assigned.agg(sum(col("dist2"))).head().getDouble(0)
+          }
+          // each pass's model broadcast is dead once its action returns;
+          // without this, iters copies of a k×dim model pile up in
+          // executor storage until driver GC. unpersist (not destroy) —
+          // a re-execution of this pass's plan would just re-broadcast.
+        } finally modelBc.foreach(_.unpersist(blocking = false))
       }
       (assignClusters(prep, cents).select(col("id"), col("cluster")),
         KMeansModel(cents, inertia.toSeq))
@@ -246,9 +252,20 @@ object Ann {
     */
   private def assignClusters(
       prep: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    assignClustersH(prep, cents)._1
+
+  /** [[assignClusters]] plus the model broadcast handle (None on the
+    * literal path) so iterative callers can release each pass's model
+    * once its action completes.
+    */
+  private def assignClustersH(prep: DataFrame, cents: Array[Array[Double]])
+      : (DataFrame, Option[org.apache.spark.broadcast.Broadcast[_]]) =
     if (cents.length.toLong * cents(0).length <= LiteralModelBudget)
-      assignLiteral(prep, cents)
-    else assignBroadcast(prep, cents)
+      (assignLiteral(prep, cents), None)
+    else {
+      val (df, bc) = assignBroadcastH(prep, cents)
+      (df, Some(bc))
+    }
 
   /** Literal-plan argmin: k (dist², i) struct options per row, lexicographic
     * array_min — the lower cluster index wins exact ties.
@@ -275,7 +292,12 @@ object Ann {
     * first (lowest) index on ties, matching the struct-min tiebreak.
     */
   private[graft] def assignBroadcast(
-      prep: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+      prep: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    assignBroadcastH(prep, cents)._1
+
+  private[graft] def assignBroadcastH(
+      prep: DataFrame, cents: Array[Array[Double]])
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[_]) = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
     val spark = prep.sparkSession
@@ -308,7 +330,7 @@ object Ann {
         Row.fromSeq(r.toSeq :+ bestI :+ bestD)
       }
     }(Encoders.row(outSchema))
-    assigned.select(col("id"), col("v"), col("cluster"), col("dist2"))
+    (assigned.select(col("id"), col("v"), col("cluster"), col("dist2")), bc)
   }
 
   /** Exact pairwise similarity ≥ threshold (verification baseline —

@@ -166,9 +166,13 @@ object IngestJob {
     * branch is then a column-pruned scan of `is_valid=true`; the invalid
     * branch is skipped entirely via a filesystem existence check (no
     * Spark action); and a failed downstream write restarts from the
-    * staging files instead of re-unzipping the corpus. The staging dir
+    * staging files instead of re-unzipping the corpus. The staging root
     * is `_`-prefixed so NDJSON scans, bookmarks and downstream listings
-    * treat it as hidden; the next run's overwrite reclaims it.
+    * treat it as hidden. Each run stages under its own subdirectory and
+    * keeps the previous run's (the returned frames are lazy scans a
+    * caller may still be consuming); older generations are reclaimed at
+    * the start of the next run. One writer per jsonRoot at a time — the
+    * reference's one-Glue-job-per-dataset assumption.
     */
   def run(
       spark: SparkSession,
@@ -185,7 +189,17 @@ object IngestJob {
           r.metadata("assessmentid"), f, es)))
       }
     }
-    val staging = s"$jsonRoot/_staging"
+    val stagingRoot = new org.apache.hadoop.fs.Path(s"$jsonRoot/_staging")
+    val stagingFs = stagingRoot.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // retention: this run + the immediately previous one stay readable;
+    // anything older is reclaimed now
+    if (stagingFs.exists(stagingRoot))
+      stagingFs.listStatus(stagingRoot).filter(_.isDirectory)
+        .sortBy(_.getModificationTime).dropRight(1)
+        .foreach(d => stagingFs.delete(d.getPath, true))
+    val staging =
+      s"$stagingRoot/run-${java.util.UUID.randomUUID().toString.take(8)}"
     val tagged = routed.withColumn("is_valid", $"valid".isNotNull)
     tagged.write.mode("overwrite").partitionBy("is_valid").parquet(staging)
     // explicit schema: a run with zero records writes no part files, and

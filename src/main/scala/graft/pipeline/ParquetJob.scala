@@ -39,6 +39,9 @@ object ParquetJob {
     *                from the source dataset — the schema-versioning case
     *                ([[SchemaEvolution]]): a `docs_v2` table draining the
     *                `docs_v1` JSON layout under its own manifest
+    * @param newFiles pre-computed new-file list (Bookmark.newFiles) to
+    *                pin the exact batch, e.g. the files schema inference
+    *                just examined; None re-derives from the manifest
     */
   def run(
       spark: SparkSession,
@@ -47,12 +50,13 @@ object ParquetJob {
       spec: TableSpec,
       parquetRoot: String,
       manifestRoot: String,
-      outName: Option[String] = None): Result = {
+      outName: Option[String] = None,
+      newFiles: Option[Seq[String]] = None): Result = {
     val table = outName.getOrElse(dataset)
     val dataPath = s"$jsonRoot/dataset=$dataset"
     val manifestPath = s"$manifestRoot/$table"
     val raw = JsonDataset.read(spark, jsonRoot, dataset, spec.schema)
-    val fresh = Bookmark.newDataFrom(spark, raw, dataPath, manifestPath)
+    val fresh = Bookmark.newDataFrom(spark, raw, dataPath, manifestPath, newFiles)
     if (fresh.isEmpty) return Result(Map.empty)
 
     val tables: Map[String, DataFrame] =
@@ -78,7 +82,10 @@ object ParquetJob {
       // empty map — that absence IS the zero count
       name -> obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
     }
-    Bookmark.commit(spark, dataPath, manifestPath)
+    newFiles match {
+      case Some(ps) => Bookmark.commitFiles(spark, manifestPath, ps)
+      case None => Bookmark.commit(spark, dataPath, manifestPath)
+    }
     Result(counts)
   }
 }

@@ -1,12 +1,11 @@
 package graft.pipeline
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
 import org.apache.spark.sql.types.StructType
 
-import graft.ingest.FileListing
 import graft.schema.{ColumnSpec, SchemaMerge, TableSpec}
 import graft.sources.JsonDataset
+import graft.streaming.Bookmark
 
 /** Crawler front door for the E2 stage — the reference's
   * infer-new-partition → CombineCompatibleSchemas → merge-or-version flow
@@ -47,9 +46,6 @@ object SchemaEvolution {
     case s => s + "_v2"
   }
 
-  private def normalize(c: org.apache.spark.sql.Column) =
-    regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")
-
   def run(
       spark: SparkSession,
       jsonRoot: String,
@@ -64,18 +60,7 @@ object SchemaEvolution {
     val table = declared.name
     val dataPath = s"$jsonRoot/dataset=$dataset"
     val manifestPath = s"$manifestRoot/$table"
-    val listed = FileListing.list(spark, dataPath)
-      .where(!col("path").rlike("/[_.][^/]*$"))
-      .select(normalize(col("path")).as("path"))
-    val manifestExists = {
-      val p = new org.apache.hadoop.fs.Path(manifestPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    val newPaths = (
-      if (!manifestExists) listed
-      else listed.join(
-        broadcast(spark.read.parquet(manifestPath)), Seq("path"), "left_anti"))
-      .collect().map(_.getString(0)).sorted
+    val newPaths = Bookmark.newFiles(spark, dataPath, manifestPath)
     if (newPaths.isEmpty)
       return Outcome(declared, table, versioned = false, Nil,
         ParquetJob.Result(Map.empty))
@@ -91,15 +76,17 @@ object SchemaEvolution {
       case Right(merged) =>
         val spec = declared.copy(columns =
           merged.fields.map(f => ColumnSpec(f.name, f.dataType.sql)).toSeq)
+        // the conversion is pinned to exactly the files inference saw —
+        // a file landing between the two calls waits for the next run
         val res = ParquetJob.run(
           spark, jsonRoot, dataset, spec, parquetRoot, manifestRoot,
-          outName = Some(table))
+          outName = Some(table), newFiles = Some(newPaths))
         Outcome(spec, table, versioned = false, Nil, res)
       case Left(errs) =>
         val vName = bumpVersion(table)
         // seed the versioned bookmark from the old table's manifest: the
         // new version owns every file the old version never processed
-        if (manifestExists)
+        if (Bookmark.manifestExists(spark, manifestPath))
           spark.read.parquet(manifestPath)
             .write.mode("overwrite").parquet(s"$manifestRoot/$vName")
         val spec = TableSpec(vName,
@@ -107,7 +94,7 @@ object SchemaEvolution {
           declared.partitionKeys)
         val res = ParquetJob.run(
           spark, jsonRoot, dataset, spec, parquetRoot, manifestRoot,
-          outName = Some(vName))
+          outName = Some(vName), newFiles = Some(newPaths))
         Outcome(spec, vName, versioned = true, errs, res)
     }
   }

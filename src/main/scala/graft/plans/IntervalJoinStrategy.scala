@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, And, Attribute, AttributeReference, Cast, Divide, EqualTo, Explode,
-  Expression, Floor, GreaterThan, GreaterThanOrEqual, LessThan,
-  LessThanOrEqual, Literal, PredicateHelper, RowOrdering, Sequence}
+  Add, Alias, And, Attribute, AttributeReference, Cast, Divide, EqualTo,
+  Explode, Expression, Floor, GreaterThan, GreaterThanOrEqual, If, IsNull,
+  LessThan, LessThanOrEqual, Literal, Or, PredicateHelper, RaiseError,
+  RowOrdering, Sequence, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
   Filter, Generate, Join, JoinHint, LogicalPlan, Project}
@@ -48,6 +49,12 @@ class IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
     * column). Unset = no bin rewrite; oversized builds fall through.
     */
   val BinWidthConf = "spark.graft.intervalJoin.binWidth"
+
+  /** Fail-fast cap on explode fanout, mirroring
+    * [[graft.operators.RangeJoin]]'s default: beyond this many bins per
+    * interval the configured width is mis-sized for the data.
+    */
+  val MaxBinsPerInterval = 100000L
 
   /** (point, bound) when e is `point >= bound` in either written order. */
   private def asLower(e: Expression): Option[(Expression, Expression)] =
@@ -131,7 +138,12 @@ class IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
       .forall(_.dataType.isInstanceOf[NumericType])
     val widthStr = SQLConf.get.getConfString(BinWidthConf, "")
     if (!numeric || widthStr.isEmpty) return None
-    val width = widthStr.toDouble
+    val width =
+      try widthStr.toDouble
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$BinWidthConf must be a positive number, got '$widthStr'")
+      }
     require(width > 0, s"$BinWidthConf must be positive, got $widthStr")
 
     def bin(e: Expression): Expression =
@@ -144,11 +156,25 @@ class IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
     val pointsB = Project(points.output :+ pBinAlias, points)
     // each interval explodes to the bins it covers; sequence without an
     // explicit step tolerates inverted (empty) intervals by descending —
-    // harmless candidates the exact re-filter removes
+    // harmless candidates the exact re-filter removes. Same fail-fast
+    // fanout guard as RangeJoin.pointInInterval: one interval spanning
+    // more than MaxBinsPerInterval bins means the width is mis-sized for
+    // the data, and must surface as THIS message, not an opaque
+    // array-allocation error (or a quiet OOM) deep in a task
+    val binLo = bin(shape.lo)
+    val binHi = bin(shape.hi)
+    val guard = If(
+      Or(Or(IsNull(binLo), IsNull(binHi)),
+        LessThan(Subtract(binHi, binLo), Literal(MaxBinsPerInterval))),
+      Literal(0L),
+      Cast(new RaiseError(Literal(
+        s"interval join bin rewrite: an interval spans more than " +
+          s"$MaxBinsPerInterval bins of width $width — increase " +
+          s"$BinWidthConf")), LongType))
     val iBinAttr =
       AttributeReference("__graft_bin", LongType, nullable = false)()
     val intervalsB = Generate(
-      Explode(Sequence(bin(shape.lo), bin(shape.hi), None, None)),
+      Explode(Sequence(Add(binLo, guard), binHi, None, None)),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(iBinAttr), child = intervals)
     val binJoin = Join(pointsB, intervalsB, Inner,

@@ -55,11 +55,24 @@ class PipelineSpec extends SparkSpec {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     }
+    // QueryExecutionListener callbacks ride the async listener bus; drain
+    // it deterministically (a fixed sleep can green-light the regression
+    // on a loaded machine). LiveListenerBus.waitUntilEmpty is
+    // private[spark] — bytecode-public, reached via reflection.
+    def drainListenerBus(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val m = bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount <= 1)
+        .get
+      if (m.getParameterCount == 0) m.invoke(bus)
+      else m.invoke(bus, java.lang.Long.valueOf(30000L))
+    }
     spark.listenerManager.register(listener)
     val first =
       try {
         val r = runJob()
-        Thread.sleep(1000) // QueryExecutionListener callbacks are async
+        drainListenerBus()
         r
       } finally spark.listenerManager.unregister(listener)
     assert(countExecs.get() == 0,

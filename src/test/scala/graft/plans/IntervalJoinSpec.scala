@@ -161,6 +161,25 @@ class IntervalJoinSpec extends SparkSpec {
     assert(collectPairs(out) == Set((1L, 1L)))
   }
 
+  test("bin rewrite fails fast when an interval spans too many bins") {
+    val p = Seq((1L, 5.0)).toDF("pid", "p")
+    val iv = Seq((1L, 0.0, 1.0e9)).toDF("iid", "lo", "hi") // 2e8 bins at w=5
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.intervalJoin.binWidth", "5.0")
+      val e = intercept[Exception] {
+        p.join(iv, col("p") >= col("lo") && col("p") < col("hi")).collect()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("spans more than"), s"unexpected error: $e")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.unset("spark.graft.intervalJoin.binWidth")
+    }
+  }
+
   test("timestamp and string point types plan natively and match " +
       "(non-numeric ordering paths)") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
