@@ -1312,6 +1312,28 @@ object SparkEntry {
     },
     Some("WITH cent AS (SELECT label, arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)), vec_id) AS cv FROM embeddings GROUP BY label), q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id < 10), probe AS (SELECT q_id, qe, label, row_number() OVER (PARTITION BY q_id ORDER BY round(list_cosine_similarity(qe, cv), 4) DESC, label) AS crank FROM q CROSS JOIN cent), pr AS (SELECT q_id, qe, label FROM probe WHERE crank <= 3), s AS (SELECT q_id, e.vec_id AS neighbor_id, round(list_cosine_similarity(qe, list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM pr JOIN embeddings e ON e.label = pr.label WHERE e.vec_id <> pr.q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
 
+  /** E2E embedding-index pipeline: TRAIN the coarse quantizer
+    * ([[Ann.kmeans]]), assign the corpus, then SEARCH the trained IVF —
+    * the full index-build-and-query path of a production vector store.
+    * At nprobe = k every cluster is probed, so the trained-IVF result
+    * must EQUAL brute-force top-k regardless of what the training
+    * converged to (the partition can hide nothing) — making the whole
+    * composite exactly oracle-checkable while still executing training,
+    * the assignment join, per-cluster scoring, and probe ranking. The
+    * recall-at-nprobe<k behavior is AnnSpec's territory.
+    */
+  private val annTrainedIvf = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (assign, _) = Ann.kmeans(emb, "vec_id", "embedding", k = 4, iters = 2)
+      val clustered = emb.join(
+        assign.withColumnRenamed("id", "vec_id"), "vec_id")
+      Ann.ivfTopK(clustered, "vec_id", "embedding", "cluster",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 4)
+    },
+    Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neighbor_id, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
+
   /** IVF quantizer TRAINING ([[Ann.kmeans]], deterministic Lloyd's):
     * k=8, 3 iterations over the embedding corpus. The oracle is
     * invariant-style (a10 pattern): DuckDB pins the exact corpus count;
@@ -1515,6 +1537,7 @@ object SparkEntry {
     "ann_topk" -> annTopK,
     "ann_neardup" -> annNearDup,
     "ann_ivf_topk" -> annIvfTopK,
+    "ann_trained_ivf" -> annTrainedIvf,
     "ann_kmeans" -> annKmeans,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
