@@ -1241,6 +1241,34 @@ object SparkEntry {
       TextAnalysis.qualityScore(col("text")).as("quality")),
     Some("WITH b AS (SELECT doc_id, text, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS n, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) AS stophits, CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct FROM documents) SELECT doc_id, floor((least(1.0, n / 100.0) * 0.4 + least(1.0, stophits / n * 5.0) * 0.3 + (1.0 - punct / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality FROM b"))
 
+  /** The canonical training-data curation pipeline as ONE composite:
+    * quality-score, language-identify, filter, then fingerprint-dedup
+    * the survivors (keep the smallest doc id per fingerprint). Each
+    * stage has its own oracle entry; this one proves they COMPOSE — all
+    * three scoring expressions ride a single scan projection (no UDFs,
+    * no extra passes) and the dedup aggregate is the only shuffle in
+    * the plan. Duplicates share identical text, so the keeper's
+    * quality/lang equal any member's.
+    */
+  private val corpusCuration = Q(
+    (s, dir) => {
+      val scored = t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .where(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+      scored.groupBy(col("fp"))
+        .agg(
+          min_by(struct(col("doc_id"), col("quality"), col("lang_pred")),
+            col("doc_id")).as("k"),
+          count(lit(1)).as("n_dups"))
+        .select(col("k.doc_id").as("doc_id"),
+          col("k.quality").as("quality"),
+          col("k.lang_pred").as("lang_pred"), col("n_dups"))
+    },
+    Some("WITH b AS (SELECT doc_id, text, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS n, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) AS stophits, CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct FROM documents), q AS (SELECT doc_id, floor((least(1.0, n / 100.0) * 0.4 + least(1.0, stophits / n * 5.0) * 0.3 + (1.0 - punct / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality FROM b), tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents), sl AS (SELECT doc_id, len(list_filter(t, x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS de, len(list_filter(t, x -> list_contains(['the','a','of','and','to','in'], x))) AS en, len(list_filter(t, x -> list_contains(['el','los','las','y','que','una'], x))) AS es, len(list_filter(t, x -> list_contains(['le','les','et','dans','une','est'], x))) AS fr FROM tk), l AS (SELECT doc_id, CASE WHEN de >= en AND de >= es AND de >= fr AND de > 0 THEN 'de' WHEN en >= es AND en >= fr AND en > 0 THEN 'en' WHEN es >= fr AND es > 0 THEN 'es' WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM sl), kept AS (SELECT q.doc_id, q.quality, l.lang_pred, md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp FROM q JOIN l ON l.doc_id = q.doc_id JOIN documents d ON d.doc_id = q.doc_id WHERE q.quality >= 0.5 AND l.lang_pred <> 'und'), g AS (SELECT fp, min(doc_id) AS doc_id, count(*) AS n_dups FROM kept GROUP BY fp) SELECT g.doc_id, k.quality, k.lang_pred, g.n_dups FROM g JOIN kept k ON k.doc_id = g.doc_id"))
+
   /** Document fingerprinting: md5 of normalized text. */
   private val textFingerprint = Q(
     (s, dir) => t(s, dir, "documents").select(col("doc_id"),
@@ -1532,6 +1560,7 @@ object SparkEntry {
     "text_tokens" -> textTokens,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
+    "corpus_curation" -> corpusCuration,
     "text_fingerprint" -> textFingerprint,
     "text_ngrams" -> textNgrams,
     "ann_topk" -> annTopK,
