@@ -123,6 +123,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(rd.count() > 0)
   }
 
+  test("corpus_curation: one scan, one shuffle, no UDF in the plan") {
+    val p = plan("corpus_curation")
+    // all three scoring expressions ride the single documents scan; the
+    // dedup aggregate is the only exchange (a SortAggregate — min_by's
+    // struct buffer is not hash-aggregable — but still map-side partial)
+    def nodes(kind: String) =
+      p.linesIterator.count(_.matches(s"\\(\\d+\\) $kind\\s*"))
+    assert(nodes("Scan parquet") == 1, p)
+    assert(nodes("Exchange") == 1, p)
+    // column expressions only — a BatchEvalPython/ScalaUDF here would
+    // mean a scoring stage fell out of codegen
+    assert(!p.contains("UDF"), p)
+  }
+
   test("text_ngrams: top-k is TakeOrdered, never a global sort") {
     val p = plan("text_ngrams")
     assert(p.contains("TakeOrderedAndProject"), p)
