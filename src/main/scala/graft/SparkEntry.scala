@@ -369,6 +369,44 @@ object SparkEntry {
     },
     Some("SELECT event_id, event_type FROM events"))
 
+  /** §2.8-streaming — the COMPLETE E2 stage as Structured Streaming
+    * ([[graft.streaming.StreamingIngest.relationalizeDrain]]):
+    * checkpointed NDJSON drain → relationalize → root + child parquet
+    * tables via foreachBatch (one stream, many sinks). The oracle is
+    * R1's flat re-derivation, proving the streamed child table carries
+    * the same FK-linked rows as the batch operator — streaming and
+    * batch E2 share the relationalize code, and this pins that they
+    * share RESULTS. Corpus sampled 1-in-7 by order key to bound the
+    * JSON-roundtrip fixture cost at bench scale.
+    */
+  private val stRelationalizeDrain = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rd").toString
+      val nested = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("o_orderkey") % 7 === 0)
+        .groupBy(col("o_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"), col("l_quantity").as("qty")))).as("items"))
+        .withColumn("recordid", col("o_orderkey").cast("string"))
+        .withColumn("assessmentid", lit("a"))
+        .withColumn("year", lit(2022))
+        .withColumn("month", lit(1))
+        .withColumn("day", lit(15))
+      JsonDataset.write(nested, s"$tmp/json", "ds")
+      val schema = StructType.fromDDL(
+        "o_orderkey bigint, items array<struct<ln:int,qty:double>>, recordid string")
+      graft.streaming.StreamingIngest.relationalizeDrain(
+        s, s"$tmp/json", "ds", schema, s"$tmp/pq", s"$tmp/ckpt")
+        .awaitTermination()
+      s.read.parquet(s"$tmp/pq/ds_items")
+        .join(s.read.parquet(s"$tmp/pq/ds")
+          .select(col("items").as("id"), col("o_orderkey")), "id")
+        .select(col("o_orderkey"), col("index").as("idx"),
+          col("ln"), col("qty"))
+    },
+    Some("SELECT o_orderkey, CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) - 1 AS INT) AS idx, l_linenumber AS ln, l_quantity AS qty FROM lineitem JOIN orders ON o_orderkey = l_orderkey WHERE o_orderkey % 7 = 0"))
+
   /** E2+crawler — schema evolution through the pipeline front door
     * (study-pipeline-infra.j2:178-218; docs/schema_change_protocol.md):
     * batch 1 lands under a declared schema; batch 2 arrives with a NEW
@@ -1516,6 +1554,7 @@ object SparkEntry {
     "st_window_counts" -> stWindowCounts,
     "st_session_window" -> stSessionWindow,
     "st_drain_parquet" -> stDrainParquet,
+    "st_relationalize_drain" -> stRelationalizeDrain,
     "e2_schema_evolve" -> e2SchemaEvolve,
     "p1_project" -> p1Project,
     "p2_flatten_rename" -> p2FlattenRename,

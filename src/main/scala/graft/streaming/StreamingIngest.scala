@@ -39,6 +39,44 @@ object StreamingIngest {
       .option("path", outPath)
       .start()
 
+  /** The COMPLETE E2 stage as Structured Streaming: each micro-batch of
+    * new NDJSON files is relationalized and every produced table — root
+    * plus one child per nested path — appends to its partitioned
+    * Parquet dataset. `foreachBatch`, because one stream fans out to
+    * MULTIPLE sinks, which no single-sink `writeStream` expresses; the
+    * checkpoint tracks processed files (the Glue bookmark) and
+    * `AvailableNow` drains like one bookmark-enabled batch run.
+    * Inside the batch function the micro-batch is an ordinary DataFrame,
+    * so this reuses the exact batch relationalize — streaming and batch
+    * E2 can never drift apart.
+    */
+  def relationalizeDrain(
+      spark: SparkSession, jsonRoot: String, dataset: String,
+      schema: StructType, parquetRoot: String,
+      checkpoint: String): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    import graft.relationalize.Relationalize
+    import graft.sources.{JsonDataset, ParquetDataset}
+    readJsonStream(spark, jsonRoot, dataset, schema).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val tables =
+          if (Relationalize.hasNestedFields(batch.schema))
+            Relationalize.relationalize(batch.toDF(), dataset,
+              keyCols = Seq("recordid"),
+              carryCols = graft.pipeline.ParquetJob.CarryCols)
+          else Map(dataset -> batch.toDF())
+        tables.foreach { case (name, df) =>
+          val out = df.select(
+            (df.columns.filterNot(JsonDataset.PartitionCols.contains) ++
+              JsonDataset.PartitionCols).map(col).toIndexedSeq: _*)
+          ParquetDataset.write(out, s"$parquetRoot/$name")
+        }
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window counts — the streaming form of the
     * count-parity reconciliation (A3) tolerating late data.
     */

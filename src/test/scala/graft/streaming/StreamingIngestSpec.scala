@@ -41,6 +41,50 @@ class StreamingIngestSpec extends SparkSpec {
     assert(out.select("recordid").as[String].collect().toSet == Set("r1", "r2"))
   }
 
+  test("relationalize drain: micro-batches fan out to root + child " +
+      "parquet tables, incrementally, FK-linked") {
+    val tmp = Files.createTempDirectory("graft_rdrain").toString
+    val jsonRoot = s"$tmp/json"
+    val schema = StructType.fromDDL(
+      "recordid string, xs array<bigint>")
+
+    def writeBatch(rid: String, xs: Seq[Long]) =
+      Seq((rid, xs, rid, 2022, 1, 1))
+        .toDF("recordid", "xs", "assessmentid", "year", "month", "day")
+        .write.mode("append")
+        .partitionBy("assessmentid", "year", "month", "day")
+        .json(s"$jsonRoot/dataset=ds")
+
+    def drain() = StreamingIngest.relationalizeDrain(
+      spark, jsonRoot, "ds", schema, s"$tmp/pq", s"$tmp/ckpt")
+      .awaitTermination()
+
+    writeBatch("r1", Seq(10L, 20L))
+    drain()
+    val root1 = spark.read.parquet(s"$tmp/pq/ds")
+    val child1 = spark.read.parquet(s"$tmp/pq/ds_xs")
+    assert(root1.count() == 1 && child1.count() == 2)
+    // FK round-trip: child id equals the root's replaced array column
+    val fk = root1.select(col("xs")).as[Long].head()
+    assert(child1.select("id").as[Long].collect().forall(_ == fk))
+    // child carries the inherited partition columns
+    assert(child1.columns.contains("assessmentid"))
+
+    // second drain processes ONLY the new record (checkpoint bookmark);
+    // a reprocess would double r1's child rows
+    writeBatch("r2", Seq(30L))
+    drain()
+    assert(spark.read.parquet(s"$tmp/pq/ds").count() == 2)
+    val child = spark.read.parquet(s"$tmp/pq/ds_xs")
+    assert(child.count() == 3)
+    assert(child.select("xs_val").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 30L))
+
+    // third drain with nothing new is a no-op
+    drain()
+    assert(spark.read.parquet(s"$tmp/pq/ds_xs").count() == 3)
+  }
+
   test("watermarked windowed counts aggregate per key and window") {
     val tmp = Files.createTempDirectory("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
