@@ -1031,12 +1031,15 @@ object SparkEntry {
     Some("WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents), w AS (SELECT doc_id, md5(w) AS h FROM w0), bits AS (SELECT doc_id, i, CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST((i - 1) // 4 + 1 AS INT), 1)) - 1 >> CAST(3 - ((i - 1) % 4) AS INT)) % 2) = 1 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit FROM w, generate_series(1, 64) AS g(i) GROUP BY doc_id, i), fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY doc_id), pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.simhash AS f1, b.simhash AS f2 FROM fp a JOIN fp b ON a.doc_id < b.doc_id), d AS (SELECT id1, id2, count(*) FILTER (WHERE substr(f1, CAST(i AS INT), 1) <> substr(f2, CAST(i AS INT), 1)) AS dist FROM pairs CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2) SELECT id1, id2, CAST(dist AS INT) AS dist FROM d WHERE dist <= 3"))
 
   // --------------------------------------------------------------------
-  // LLM-pipeline: multimodal binary columns (stubbed codec)
+  // LLM-pipeline: multimodal binary columns (REAL PNG/WAV codecs via the
+  // JVM-bundled javax.imageio / javax.sound.sampled; the one remaining
+  // stub container is video frame demuxing, which has no JVM codec)
   // --------------------------------------------------------------------
 
   /** Synthetic media blobs: fake container header + document text as
     * payload, cast to binary — deterministic so oracles can re-derive the
-    * decoded metadata from the base table.
+    * decoded metadata from the base table. Video stand-in only (see
+    * `mm_frame_sample`); images/audio use real containers below.
     */
   private def mmContent = {
     val w = (lit(64) + col("doc_id") % 64).cast("int")
@@ -1046,14 +1049,47 @@ object SparkEntry {
       col("text")).cast("binary")
   }
 
-  /** Multimodal decode: binary blobs → typed metadata via batch-shaped
-    * mapPartitions (stub codec, real plumbing).
+  /** Deterministic REAL grayscale PNGs, encoded executor-side: dims and
+    * every pixel are pure functions of doc_id (`px(x,y) = (31·id + 7x +
+    * 13y) mod 256`), so the DuckDB oracle re-derives every decoded fact
+    * from the base table while the engine does genuine PNG byte decoding.
+    */
+  private def mmPngBlobs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val w = (16 + id % 16).toInt
+      val h = (12 + id % 8).toInt
+      (id, Multimodal.encodeGrayPng(w, h,
+        (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+    }.toDF("doc_id", "content")
+  }
+
+  /** Deterministic REAL WAV blobs (unsigned 8-bit mono PCM). */
+  private def mmWavBlobs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val n = (100 + id % 50).toInt
+      val samples = Array.tabulate(n)(k => ((id + k * 17) % 256).toByte)
+      (id, Multimodal.encodeWavPcm8(samples, sampleRate = 8000))
+    }.toDF("doc_id", "content")
+  }
+
+  /** Multimodal image decode: REAL PNG containers decoded with
+    * javax.imageio via batch-shaped mapPartitions; the oracle re-derives
+    * the decoded dimensions from the generator arithmetic.
     */
   private val mmDecodeMeta = Q(
-    (s, dir) => Multimodal.decodeMeta(
-      t(s, dir, "documents").select(col("doc_id"), mmContent.as("content")),
-      "doc_id", "content"),
-    Some("SELECT doc_id, 'img' AS format, CAST(64 + doc_id % 64 AS INT) AS width, CAST(48 + doc_id % 32 AS INT) AS height, CAST(1 + doc_id % 4 AS INT) AS n_frames, CAST(length(text) AS INT) AS payload_len FROM documents"))
+    (s, dir) => Multimodal.decodeImageMeta(mmPngBlobs(s, dir), "doc_id", "content")
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("n_frames")),
+    Some("SELECT doc_id, 'png' AS format, CAST(16 + doc_id % 16 AS INT) AS width, CAST(12 + doc_id % 8 AS INT) AS height, CAST(1 AS INT) AS n_frames FROM documents"))
+
+  /** Multimodal audio decode: REAL WAV containers decoded with
+    * javax.sound.sampled (header + frame count).
+    */
+  private val mmAudioMeta = Q(
+    (s, dir) => Multimodal.decodeAudioMeta(mmWavBlobs(s, dir), "doc_id", "content"),
+    Some("SELECT doc_id, 'wav' AS format, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, CAST(100 + doc_id % 50 AS BIGINT) AS n_frames FROM documents"))
 
   /** Frame sampling: payload split into n_frames chunks, every 2nd kept —
     * the child-table shape of video frame extraction.
@@ -1066,36 +1102,38 @@ object SparkEntry {
         length(col("frame")).cast("int").as("frame_len")),
     Some("SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(CASE WHEN i < f - 1 THEN pl // f ELSE pl - (pl // f) * (f - 1) END AS INT) AS frame_len FROM (SELECT doc_id, 1 + doc_id % 4 AS f, length(text) AS pl FROM documents) t JOIN (SELECT unnest(generate_series(0, 3)) AS i) s ON i < f WHERE i % 2 = 0"))
 
-  /** Resize plumbing: nearest-neighbor resample of each payload to a
-    * fixed 8×8 grid (stub sampler, real batch shape). The synthetic
-    * payload is pure ASCII, so the oracle's character sampling equals the
-    * byte sampling; output compared as a string for the same reason.
+  /** REAL image resize: decode the PNG raster, nearest-neighbor resample
+    * to a fixed 8×8 grid, emit the resampled gray levels exploded as
+    * (doc_id, k, px) scalar rows. The oracle recomputes each output pixel
+    * from the generator arithmetic at the NN source coordinates
+    * `(⌊ox·w/8⌋, ⌊oy·h/8⌋)`.
     */
   private val mmResize = Q(
-    (s, dir) => Multimodal.resize(
-        t(s, dir, "documents").select(col("doc_id"), mmContent.as("content")),
-        "doc_id", "content", outW = 8, outH = 8)
+    (s, dir) => Multimodal.resizeImage(mmPngBlobs(s, dir), "doc_id", "content",
+        outW = 8, outH = 8)
       .select(col("doc_id"), col("width"), col("height"),
-        col("resized").cast("string").as("resized_str")),
-    Some("WITH p AS (SELECT doc_id, text AS payload, length(text) AS len FROM documents WHERE length(text) > 0), idx AS (SELECT unnest(generate_series(0, 63)) AS k), s AS (SELECT doc_id, k, substr(payload, CAST((k * len) // 64 AS INT) + 1, 1) AS ch FROM p CROSS JOIN idx) SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, string_agg(ch, '' ORDER BY k) AS resized_str FROM s GROUP BY doc_id"))
+        posexplode(col("resized")).as(Seq("k", "px")))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("k").cast("int").as("k"), col("px")),
+    Some("WITH d AS (SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS w, CAST(12 + doc_id % 8 AS INT) AS h FROM documents), idx AS (SELECT unnest(generate_series(0, 63)) AS k) SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, CAST(k AS INT) AS k, CAST((doc_id * 31 + (((k % 8) * w) // 8) * 7 + (((k // 8) * h) // 8) * 13) % 256 AS INT) AS px FROM d CROSS JOIN idx"))
 
-  /** Feature extraction plumbing: fixed-size vector per blob
-    * (byte-histogram stub), emitted exploded as (doc_id, bin, value) scalar
-    * rows — vector columns can't be hash-compared by the harness, and the
-    * exploded form is the exact child-table shape a feature store would
-    * use. The oracle recomputes the byte histogram character-wise (the
-    * synthetic content is pure ASCII, so byte == codepoint); its
-    * position series is bounded at 8192 — >10× the longest synthetic
-    * blob (~600 bytes) — because the driver's DuckDB build lacks
-    * lateral generate_series over a column bound.
+  /** REAL image featurizer: decode the PNG raster, 16-bin gray-level
+    * histogram L1-normalized by pixel count, emitted exploded as
+    * (doc_id, bin, value) scalar rows — vector columns can't be
+    * hash-compared by the harness, and the exploded form is the exact
+    * child-table shape a feature store would use. The oracle recomputes
+    * every pixel from the generator arithmetic; its position series is
+    * bounded at 1023 (> max w·h = 31·19 = 589) because the driver's
+    * DuckDB build lacks lateral generate_series over a column bound.
+    * Integer counts divided in IEEE double are bit-identical across
+    * engines.
     */
   private val mmFeaturize = Q(
-    (s, dir) => Multimodal.featurize(
-        t(s, dir, "documents").select(col("doc_id"), mmContent.as("content")),
-        "doc_id", "content")
+    (s, dir) => Multimodal.featurizeImage(mmPngBlobs(s, dir), "doc_id",
+        "content", bins = 16)
       .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "value")))
       .select(col("doc_id"), col("bin").cast("int").as("bin"), col("value")),
-    Some("WITH c AS (SELECT doc_id, 'GRFT|img|' || CAST(64 + doc_id % 64 AS VARCHAR) || '|' || CAST(48 + doc_id % 32 AS VARCHAR) || '|' || CAST(1 + doc_id % 4 AS VARCHAR) || '|' || text AS s FROM documents), pos AS (SELECT unnest(generate_series(1, 8192)) AS i), ch AS (SELECT doc_id, ascii(substr(s, CAST(i AS INT), 1)) % 16 AS bin FROM c JOIN pos ON i <= length(s)), cnt AS (SELECT doc_id, bin, count(*) AS n FROM ch GROUP BY 1, 2), bins AS (SELECT unnest(generate_series(0, 15)) AS bin), tot AS (SELECT doc_id, length(s) AS len FROM c) SELECT tot.doc_id, CAST(bins.bin AS INT) AS bin, CAST(COALESCE(cnt.n, 0) AS DOUBLE) / tot.len AS value FROM tot CROSS JOIN bins LEFT JOIN cnt ON cnt.doc_id = tot.doc_id AND cnt.bin = bins.bin"))
+    Some("WITH d AS (SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS w, CAST(12 + doc_id % 8 AS INT) AS h FROM documents), pos AS (SELECT unnest(generate_series(0, 1023)) AS i), px AS (SELECT doc_id, w, h, (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS v FROM d JOIN pos ON i < w * h), cnt AS (SELECT doc_id, v // 16 AS bin, count(*) AS n FROM px GROUP BY 1, 2), bins AS (SELECT unnest(generate_series(0, 15)) AS bin) SELECT d.doc_id, CAST(bins.bin AS INT) AS bin, CAST(COALESCE(cnt.n, 0) AS DOUBLE) / (d.w * d.h) AS value FROM d CROSS JOIN bins LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = bins.bin"))
 
   /** V7 — semi-structured extraction: parse the JSON props payload with
     * an explicit schema (`from_json` — schema-applied, columnar, no
@@ -1593,6 +1631,7 @@ object SparkEntry {
     "so3_slice" -> so3Slice,
     "so4_batching" -> so4Batching,
     "mm_decode_meta" -> mmDecodeMeta,
+    "mm_audio_meta" -> mmAudioMeta,
     "mm_frame_sample" -> mmFrameSample,
     "mm_featurize" -> mmFeaturize,
     "mm_resize" -> mmResize,

@@ -3,21 +3,36 @@ package graft.multimodal
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.charset.StandardCharsets
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import scala.util.control.NonFatal
 
 /** Multimodal column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata, decoded/featurized batch-wise in
   * `mapPartitions` (the Scala analogue of mapInPandas — one iterator per
   * partition, no per-row task overhead, executor-local codec state).
   *
-  * STUB NOTICE: this container ships no image/audio codecs, so
-  * `decodeStub` parses a deterministic fake header
-  * (`GRFT|<fmt>|<w>|<h>|<frames>|<payload>`) instead of real JPEG/WAV
-  * decoding. The Spark-side plumbing — schema, partitioning, batch
-  * iteration, child-table frame output — is real and tested; swap
-  * `decodeStub` for a codec binding (e.g. javacpp/ffmpeg) in production.
+  * Two codec tiers:
+  *   - REAL: PNG/BMP images via `javax.imageio` and WAV audio via
+  *     `javax.sound.sampled` — both ship with the JVM, no native deps.
+  *     `decodeImage`/`decodeGray`/`decodeAudio` and the operators built on
+  *     them (`decodeImageMeta`, `featurizeImage`, `resizeImage`,
+  *     `decodeAudioMeta`) do genuine byte-level decoding of genuine
+  *     containers.
+  *   - STUB (video only): no video codec ships with the JVM, so
+  *     `decodeStub` parses a deterministic fake container
+  *     (`GRFT|<fmt>|<w>|<h>|<frames>|<payload>`) standing in for a frame
+  *     demuxer; `frameSample` exercises the child-table frame-extraction
+  *     shape over it. Swap for a javacpp/ffmpeg binding in production.
   */
 object Multimodal {
+
+  // ImageIO defaults to a disk-backed scratch cache per encode/decode;
+  // executor tasks want pure in-memory streams (global, idempotent).
+  ImageIO.setUseCache(false)
 
   final case class MediaMeta(
       format: String, width: Int, height: Int, nFrames: Int, payloadLen: Int)
@@ -42,23 +57,208 @@ object Multimodal {
     else MediaMeta("unknown", 0, 0, 0, bytes.length)
   }
 
+  // --------------------------------------------------------------------
+  // Real image codec (javax.imageio — PNG/BMP, JVM-bundled)
+  // --------------------------------------------------------------------
+
+  /** Container sniff from magic bytes — cheap reject before the decoder
+    * runs, and the format label `ImageIO.read` itself doesn't report.
+    */
+  def sniffFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+        bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') "wav"
+    else "unknown"
+
+  /** REAL image decode: PNG/BMP via `javax.imageio`. Malformed or
+    * non-image input → format "unknown" with zeroed dimensions
+    * (quarantine-able, never throws) — same contract as `decodeStub`.
+    */
+  def decodeImage(bytes: Array[Byte]): MediaMeta = {
+    val fmt = sniffFormat(bytes)
+    if (fmt != "png" && fmt != "bmp")
+      MediaMeta("unknown", 0, 0, 0, bytes.length)
+    else try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) MediaMeta("unknown", 0, 0, 0, bytes.length)
+      else MediaMeta(fmt, img.getWidth, img.getHeight, 1, bytes.length)
+    } catch { case NonFatal(_) => MediaMeta("unknown", 0, 0, 0, bytes.length) }
+  }
+
+  /** REAL decode to an 8-bit row-major raster of band-0 samples (gray
+    * level for grayscale images, red channel otherwise). None on any
+    * malformed input.
+    */
+  def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = try {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      Some((w, h, out))
+    }
+  } catch { case NonFatal(_) => None }
+
+  /** Encode a deterministic 8-bit grayscale PNG — the synthetic-blob
+    * generator for entries and specs (PNG is lossless: `decodeGray` of
+    * `encodeGrayPng(w,h,f)` returns exactly `f` sampled on the grid).
+    */
+  def encodeGrayPng(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // --------------------------------------------------------------------
+  // Real audio codec (javax.sound.sampled — WAV, JVM-bundled)
+  // --------------------------------------------------------------------
+
+  final case class AudioMeta(
+      format: String, sampleRate: Int, channels: Int, nFrames: Long)
+
+  /** REAL WAV decode: header + frame count via `javax.sound.sampled`.
+    * Malformed input → format "unknown" (never throws).
+    */
+  def decodeAudio(bytes: Array[Byte]): AudioMeta = try {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val f = ais.getFormat
+      AudioMeta("wav", f.getSampleRate.toInt, f.getChannels, ais.getFrameLength)
+    } finally ais.close()
+  } catch { case NonFatal(_) => AudioMeta("unknown", 0, 0, 0L) }
+
+  /** Encode unsigned 8-bit mono PCM samples as a WAV container. */
+  def encodeWavPcm8(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val fmt = new AudioFormat(sampleRate.toFloat, 8, 1, false, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
   /** Decode metadata for every blob: (id, content) → id + flattened
     * MediaMeta columns. Batch-shaped mapPartitions; the decoder is
     * invoked once per row off one iterator, so a real codec can hold
     * per-partition native state.
     */
-  def decodeMeta(df: DataFrame, id: String, content: String): DataFrame = {
+  private def metaWith(decoder: Array[Byte] => MediaMeta)(
+      df: DataFrame, id: String, content: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     widen(df).select(col(id).cast("long"), col(content))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (rowId, bytes) =>
-          val m = decodeStub(bytes)
+          val m = decoder(bytes)
           (rowId, m.format, m.width, m.height, m.nFrames, m.payloadLen)
         }
       }
       .toDF(id, "format", "width", "height", "n_frames", "payload_len")
+  }
+
+  /** Stub-container metadata decode (video stand-in; see STUB notice). */
+  def decodeMeta(df: DataFrame, id: String, content: String): DataFrame =
+    metaWith(decodeStub)(df, id, content)
+
+  /** REAL image metadata decode over PNG/BMP blobs. */
+  def decodeImageMeta(df: DataFrame, id: String, content: String): DataFrame =
+    metaWith(decodeImage)(df, id, content)
+
+  /** REAL audio metadata decode over WAV blobs: (id, content) → id +
+    * format/sample_rate/channels/n_frames.
+    */
+  def decodeAudioMeta(df: DataFrame, id: String, content: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    widen(df).select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (rowId, bytes) =>
+          val m = decodeAudio(bytes)
+          (rowId, m.format, m.sampleRate, m.channels, m.nFrames)
+        }
+      }
+      .toDF(id, "format", "sample_rate", "channels", "n_frames")
+  }
+
+  /** REAL image featurizer: decode, then a `bins`-bin histogram of gray
+    * levels, L1-normalized (counts / pixel count, IEEE double — exactly
+    * oracle-recomputable). Undecodable blobs produce no row.
+    */
+  def featurizeImage(
+      df: DataFrame, id: String, content: String, bins: Int = 16): DataFrame = {
+    require(bins > 0 && 256 % bins == 0, s"bins must divide 256, got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    widen(df).select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (rowId, bytes) =>
+          decodeGray(bytes).iterator.map { case (w, h, px) =>
+            val hist = new Array[Long](bins)
+            val span = 256 / bins
+            px.foreach(v => hist(v / span) += 1L)
+            val total = (w.toLong * h).toDouble
+            (rowId, hist.map(_ / total).toSeq)
+          }
+        }
+      }
+      .toDF(id, "features")
+  }
+
+  /** REAL nearest-neighbor image resize: decode, then sample the source
+    * raster at `(ox·w/outW, oy·h/outH)` — the standard NN grid. Output is
+    * the resampled gray raster as an int array (row-major). Undecodable
+    * blobs produce no row.
+    */
+  def resizeImage(
+      df: DataFrame, id: String, content: String,
+      outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "target dimensions must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    widen(df).select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (rowId, bytes) =>
+          decodeGray(bytes).iterator.map { case (w, h, px) =>
+            val out = new Array[Int](outW * outH)
+            var oy = 0
+            while (oy < outH) {
+              val sy = oy * h / outH
+              var ox = 0
+              while (ox < outW) {
+                out(oy * outW + ox) = px(sy * w + ox * w / outW)
+                ox += 1
+              }
+              oy += 1
+            }
+            (rowId, outW, outH, out.toSeq)
+          }
+        }
+      }
+      .toDF(id, "width", "height", "resized")
   }
 
   /** Frame sampling: split the payload into nFrames chunks, keep every

@@ -68,4 +68,89 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.length == 16)
     assert(math.abs(feats.sum - 1.0) < 1e-12)
   }
+
+  // ------------------------------------------------------------------
+  // Real codecs (javax.imageio PNG, javax.sound.sampled WAV)
+  // ------------------------------------------------------------------
+
+  private def pixel(x: Int, y: Int): Int = (x * 7 + y * 13) % 256
+
+  private def pngDf = Seq(
+    (1L, Multimodal.encodeGrayPng(5, 3, pixel)),
+    (2L, Multimodal.encodeGrayPng(8, 8, (x, y) => x * y % 256)),
+    (3L, "not a png at all".getBytes(StandardCharsets.UTF_8)))
+    .toDF("doc_id", "content")
+
+  test("encodeGrayPng → decodeGray round-trips every pixel exactly") {
+    val Some((w, h, px)) =
+      Multimodal.decodeGray(Multimodal.encodeGrayPng(5, 3, pixel))
+    assert((w, h) == (5, 3))
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert(px(y * 5 + x) == pixel(x, y))
+    assert(Multimodal.decodeGray("junk".getBytes).isEmpty)
+  }
+
+  test("decodeImage sniffs and decodes real PNG; garbage degrades safely") {
+    val m = Multimodal.decodeImage(Multimodal.encodeGrayPng(5, 3, pixel))
+    assert(m.format == "png" && m.width == 5 && m.height == 3 && m.nFrames == 1)
+    val bad = Multimodal.decodeImage("garbage".getBytes)
+    assert(bad.format == "unknown" && bad.width == 0)
+    // PNG magic but truncated body: reader fails → unknown, no throw
+    val truncated = Multimodal.encodeGrayPng(5, 3, pixel).take(12)
+    assert(Multimodal.decodeImage(truncated).format == "unknown")
+  }
+
+  test("decodeImageMeta decodes real blobs and quarantines garbage") {
+    val out = Multimodal.decodeImageMeta(pngDf, "doc_id", "content")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("format") == "png")
+    assert(out(0).getAs[Int]("width") == 5 && out(0).getAs[Int]("height") == 3)
+    assert(out(1).getAs[Int]("width") == 8)
+    assert(out(2).getAs[String]("format") == "unknown")
+  }
+
+  test("resizeImage nearest-neighbor samples the decoded raster") {
+    val out = Multimodal.resizeImage(pngDf, "doc_id", "content", 2, 2)
+      .where($"doc_id" === 1L)
+      .select("resized").as[Seq[Int]].head()
+    // NN grid over 5×3: src x ∈ {0·5/2, 1·5/2} = {0, 2}, y ∈ {0, 1}
+    assert(out == Seq(pixel(0, 0), pixel(2, 0), pixel(0, 1), pixel(2, 1)))
+    // garbage rows produce no output instead of crashing
+    val ids = Multimodal.resizeImage(pngDf, "doc_id", "content", 2, 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L))
+  }
+
+  test("featurizeImage histograms the decoded gray levels, L1-normalized") {
+    val feats = Multimodal.featurizeImage(pngDf, "doc_id", "content", bins = 16)
+      .where($"doc_id" === 1L)
+      .select("features").as[Seq[Double]].head()
+    assert(feats.length == 16)
+    assert(math.abs(feats.sum - 1.0) < 1e-12)
+    // recompute bin of pixel(0,0)..: every pixel lands in bin v/16
+    val expect = new Array[Double](16)
+    for (y <- 0 until 3; x <- 0 until 5) expect(pixel(x, y) / 16) += 1.0 / 15
+    feats.zip(expect).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("encodeWavPcm8 → decodeAudio round-trips format and frame count") {
+    val samples = Array.tabulate(200)(k => (k % 256).toByte)
+    val wav = Multimodal.encodeWavPcm8(samples, sampleRate = 8000)
+    assert(Multimodal.sniffFormat(wav) == "wav")
+    val m = Multimodal.decodeAudio(wav)
+    assert(m == Multimodal.AudioMeta("wav", 8000, 1, 200L))
+    assert(Multimodal.decodeAudio("nope".getBytes).format == "unknown")
+  }
+
+  test("decodeAudioMeta decodes real WAV blobs per row") {
+    val df = Seq(
+      (1L, Multimodal.encodeWavPcm8(Array.fill(100)(0.toByte), 8000)),
+      (2L, Multimodal.encodeWavPcm8(Array.fill(50)(1.toByte), 16000)),
+      (3L, "junk".getBytes)).toDF("doc_id", "content")
+    val out = Multimodal.decodeAudioMeta(df, "doc_id", "content")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_frames") == 100L)
+    assert(out(1).getAs[Int]("sample_rate") == 16000)
+    assert(out(2).getAs[String]("format") == "unknown")
+  }
 }
