@@ -723,6 +723,39 @@ object SparkEntry {
       "WHERE l_quantity >= n_nationkey * 2.0 " +
       "AND l_quantity < n_nationkey * 2.0 + 6.0 GROUP BY 1"))
 
+  /** J9ts — the TIMESTAMP twin of J9, the single most common
+    * interval-join shape at scale (events × time windows): view events
+    * against 10-minute purchase sessions, large×large (broadcast
+    * disabled). [[graft.plans.IntervalJoinStrategy]] bins timestamp
+    * bounds on exact epoch microseconds; the bin width is deliberately
+    * left UNSET so the entry also exercises the sampled-median
+    * auto-width. REQUIREs no BroadcastNestedLoopJoin in the plan — the
+    * shape that silently fell to a nested loop before the epoch-cast
+    * landed now fails loudly if it regresses.
+    */
+  private val j9TsIntervalJoin = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("p"))
+      val sessions = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("hi"))
+      val prevT = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val out = views.join(sessions,
+            col("p") >= col("lo") && col("p") < col("hi"))
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).as("n_views"))
+        val rendered = out.queryExecution.executedPlan.toString
+        require(!rendered.contains("BroadcastNestedLoopJoin"),
+          "timestamp bin rewrite did not fire — fell to a nested loop")
+        out
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+    },
+    Some("SELECT p.event_id AS purchase_id, count(*) AS n_views FROM (SELECT event_id, ts FROM events WHERE event_type = 'view') v JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p ON v.ts >= p.ts AND v.ts < p.ts + INTERVAL 10 MINUTE GROUP BY 1"))
+
   /** The join+agg shape shared by the entry and PlanAuditSpec. The merge
     * hint pins the sort-merge strategy (at test scale Catalyst would
     * auto-broadcast the tiny side; at fact-fact scale neither side
@@ -1609,6 +1642,7 @@ object SparkEntry {
     "j7_range_join" -> j7RangeJoin,
     "j8_interval_join" -> j8IntervalJoin,
     "j9_bin_interval_join" -> j9BinIntervalJoin,
+    "j9_ts_interval_join" -> j9TsIntervalJoin,
     "a1_distinct" -> a1Distinct,
     "a2_dedup_keep_latest" -> a2KeepLatest,
     "a3_count_distinct" -> a3CountDistinct,

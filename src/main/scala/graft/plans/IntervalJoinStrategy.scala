@@ -4,13 +4,15 @@ import org.apache.spark.sql.catalyst.expressions.{
   Add, Alias, And, Attribute, AttributeReference, Cast, Divide, EqualTo,
   Explode, Expression, Floor, GreaterThan, GreaterThanOrEqual, If, IsNull,
   LessThan, LessThanOrEqual, Literal, Or, PredicateHelper, RaiseError,
-  RowOrdering, Sequence, Subtract}
+  RowOrdering, Sequence, Subtract, UnixDate, UnixMicros}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
   Filter, Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.execution.{FilterExec, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{
+  ArrayType, DateType, DoubleType, LongType, NumericType, TimestampType}
+import scala.util.control.NonFatal
 
 /** Planner strategy recognizing the declarative point-in-interval join —
   * `points.join(intervals, p >= lo && p < hi)` in any operand order /
@@ -29,15 +31,19 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   *  - bound (build) side within the broadcast threshold →
   *    [[BroadcastIntervalJoinExec]]: broadcast max-hi segment list,
   *    O(log m + k) per probe row, zero shuffle of the point side.
-  *  - oversized build side with `spark.graft.intervalJoin.binWidth` set
-  *    and numeric bounds → the large×large path: the join is REWRITTEN to
-  *    the bin-bucketed logical form ([[graft.operators.RangeJoin]]'s
-  *    plan — explode intervals to covered fixed-width bins, equi-join on
-  *    the point's bin, re-filter exact bounds) and handed back to the
-  *    planner, which gives it a shuffled hash/sort-merge join. Linear in
-  *    both inputs; no broadcast, no nested loop. The conf carries the
-  *    bin width because a logical strategy sees byte statistics, not
-  *    value distributions — width should be on the order of the typical
+  *  - oversized build side with numeric, timestamp, or date bounds →
+  *    the large×large path: the join is REWRITTEN to the bin-bucketed
+  *    logical form ([[graft.operators.RangeJoin]]'s plan — explode
+  *    intervals to covered fixed-width bins, equi-join on the point's
+  *    bin, re-filter exact bounds) and handed back to the planner, which
+  *    gives it a shuffled hash/sort-merge join. Linear in both inputs;
+  *    no broadcast, no nested loop. Timestamps bin on epoch
+  *    microseconds, dates on epoch days (the exact original condition is
+  *    the re-filter, so the cast only manufactures candidates). Width
+  *    comes from `spark.graft.intervalJoin.binWidth` when set — a
+  *    logical strategy sees byte statistics, not value distributions —
+  *    and otherwise from a sampled interval-length median
+  *    ([[autoWidth]]); width should be on the order of the typical
   *    interval length (see RangeJoin's sizing notes).
   *  - otherwise → Nil, falling through to Spark's own strategies: the
   *    strategy only ever substitutes a better plan for the same
@@ -46,9 +52,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 class IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
 
   /** Session conf for the large×large bin width (same unit as the point
-    * column). Unset = no bin rewrite; oversized builds fall through.
+    * column; for timestamp bounds the unit is MICROSECONDS, for date
+    * bounds days). Unset = the width is derived automatically from a
+    * sampled interval-length median ([[autoWidth]]); set it to pin the
+    * width when the sample would be unrepresentative.
     */
   val BinWidthConf = "spark.graft.intervalJoin.binWidth"
+
+  /** Rows sampled (from the leading partitions — a cost heuristic, not a
+    * statistic) when deriving the automatic bin width.
+    */
+  val AutoWidthSampleSize = 10000
 
   /** Fail-fast cap on explode fanout, mirroring
     * [[graft.operators.RangeJoin]]'s default: beyond this many bins per
@@ -131,38 +145,88 @@ class IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
     * dedup is needed. Null points/bounds produce null bins or an empty
     * bin sequence and drop, matching inner-join null semantics.
     */
+  /** Maps a point/bound expression onto the numeric line the bins live
+    * on: numerics pass through, timestamps become epoch MICROSECONDS
+    * (`unix_micros` — exact, monotonic, ANSI-safe), dates become epoch
+    * days. None for any other type.
+    */
+  private def epochOf(e: Expression): Option[Expression] = e.dataType match {
+    case _: NumericType => Some(e)
+    case TimestampType => Some(UnixMicros(e))
+    case DateType => Some(Cast(UnixDate(e), LongType))
+    case _ => None
+  }
+
+  /** Automatic bin width: median interval length over a bounded sample
+    * of the intervals side, executed as its own tiny subquery
+    * (`take` reads only the leading partitions — a deliberately cheap
+    * cost heuristic; the width only tunes candidate fanout, never
+    * correctness). None when the sample yields no positive finite
+    * length (the caller then falls through to built-in planning).
+    */
+  private def autoWidth(
+      intervals: LogicalPlan, epochLo: Expression,
+      epochHi: Expression): Option[Double] =
+    if (intervals.isStreaming) None
+    else try {
+      val proj = Project(Seq(
+        Alias(Cast(epochLo, DoubleType), "__graft_lo")(),
+        Alias(Cast(epochHi, DoubleType), "__graft_hi")()), intervals)
+      val spark = org.apache.spark.sql.classic.SparkSession.active
+      val rows =
+        spark.sessionState.executePlan(proj).toRdd.take(AutoWidthSampleSize)
+      val lens = rows.iterator
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .map(r => r.getDouble(1) - r.getDouble(0))
+        .filter(d => d > 0 && !d.isInfinite).toArray
+      if (lens.isEmpty) None
+      else {
+        java.util.Arrays.sort(lens)
+        Some(lens(lens.length / 2))
+      }
+    } catch { case NonFatal(_) => None }
+
   private def binRewrite(
       join: LogicalPlan, l: LogicalPlan, r: LogicalPlan,
       shape: IntervalShape, cond: Expression): Option[SparkPlan] = {
-    val numeric = Seq(shape.point, shape.lo, shape.hi)
-      .forall(_.dataType.isInstanceOf[NumericType])
+    val epochs = Seq(shape.point, shape.lo, shape.hi).map(epochOf)
+    if (epochs.exists(_.isEmpty)) return None
+    val Seq(epochP, epochLo, epochHi) = epochs.flatten
+    val (points, intervals) = if (shape.buildRight) (l, r) else (r, l)
     val widthStr = SQLConf.get.getConfString(BinWidthConf, "")
-    if (!numeric || widthStr.isEmpty) return None
     val width =
-      try widthStr.toDouble
-      catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$BinWidthConf must be a positive number, got '$widthStr'")
+      if (widthStr.isEmpty) autoWidth(intervals, epochLo, epochHi) match {
+        case Some(w) => w
+        case None => return None
       }
-    require(width > 0, s"$BinWidthConf must be positive, got $widthStr")
+      else
+        try {
+          val w = widthStr.toDouble
+          require(w > 0, s"$BinWidthConf must be positive, got $widthStr")
+          w
+        } catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$BinWidthConf must be a positive number, got '$widthStr'")
+        }
 
     def bin(e: Expression): Expression =
       Cast(Floor(Divide(Cast(e, DoubleType), Literal(width))), LongType)
 
-    val (points, intervals) = if (shape.buildRight) (l, r) else (r, l)
     // the point's single bin rides a projection; fresh exprIds keep the
     // helper column from ever colliding with user attributes
-    val pBinAlias = Alias(bin(shape.point), "__graft_bin")()
+    val pBinAlias = Alias(bin(epochP), "__graft_bin")()
     val pointsB = Project(points.output :+ pBinAlias, points)
-    // each interval explodes to the bins it covers; sequence without an
-    // explicit step tolerates inverted (empty) intervals by descending —
-    // harmless candidates the exact re-filter removes. Same fail-fast
-    // fanout guard as RangeJoin.pointInInterval: one interval spanning
-    // more than MaxBinsPerInterval bins means the width is mis-sized for
-    // the data, and must surface as THIS message, not an opaque
-    // array-allocation error (or a quiet OOM) deep in a task
-    val binLo = bin(shape.lo)
-    val binHi = bin(shape.hi)
+    // each interval explodes to the bins it covers. Inverted intervals
+    // (lo > hi) are EMPTY under the join condition and must produce zero
+    // bins — a descending Sequence would instead manufacture |span|
+    // candidates and a grossly inverted interval would explode into a
+    // huge array. Same fail-fast fanout guard as
+    // RangeJoin.pointInInterval: one interval spanning more than
+    // MaxBinsPerInterval bins means the width is mis-sized for the data,
+    // and must surface as THIS message, not an opaque array-allocation
+    // error (or a quiet OOM) deep in a task
+    val binLo = bin(epochLo)
+    val binHi = bin(epochHi)
     val guard = If(
       Or(Or(IsNull(binLo), IsNull(binHi)),
         LessThan(Subtract(binHi, binLo), Literal(MaxBinsPerInterval))),
@@ -171,10 +235,14 @@ class IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
         s"interval join bin rewrite: an interval spans more than " +
           s"$MaxBinsPerInterval bins of width $width — increase " +
           s"$BinWidthConf")), LongType))
+    val emptyBins =
+      Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false))
+    val binsExpr = If(GreaterThan(binLo, binHi), emptyBins,
+      Sequence(Add(binLo, guard), binHi, None, None))
     val iBinAttr =
       AttributeReference("__graft_bin", LongType, nullable = false)()
     val intervalsB = Generate(
-      Explode(Sequence(Add(binLo, guard), binHi, None, None)),
+      Explode(binsExpr),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(iBinAttr), child = intervals)
     val binJoin = Join(pointsB, intervalsB, Inner,

@@ -75,12 +75,21 @@ class IntervalJoinSpec extends SparkSpec {
     // strict lower bound: not recognized
     val strict = p.join(iv, col("p") > col("lo") && col("p") < col("hi"))
     assert(!usesNative(strict))
-    // oversized build side with no bin width configured: falls through
+  }
+
+  test("oversized build side with NO binWidth conf derives the width " +
+      "from a sampled interval-length median — no nested loop") {
+    val p = points.cache(); val iv = intervals.cache()
+    def q() = p.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+    val expect = collectPairs(q()) // broadcast plan, verified elsewhere
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val gated = p.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
-      assert(!usesNative(gated))
+      val auto = q()
+      val rendered = auto.queryExecution.executedPlan.toString
+      assert(!rendered.contains("BroadcastNestedLoopJoin"), rendered)
+      assert(!rendered.contains("BroadcastIntervalJoin"), rendered)
+      assert(collectPairs(auto) == expect && expect.nonEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
@@ -159,6 +168,57 @@ class IntervalJoinSpec extends SparkSpec {
     val out = p.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
     assert(usesNative(out))
     assert(collectPairs(out) == Set((1L, 1L)))
+  }
+
+  test("oversized build with TIMESTAMP bounds bins on epoch micros — " +
+      "no nested loop, conf set or unset") {
+    def ts(m: Long) = new java.sql.Timestamp(1672531200000L + m * 60000L)
+    val tp = (1L to 300L).map(i => (i, ts(rnd.nextInt(10000).toLong)))
+      .toDF("pid", "p").cache()
+    val tiv = (1L to 80L).map { i =>
+      val lo = rnd.nextInt(10000).toLong
+      (i, ts(lo), ts(lo + 1 + rnd.nextInt(120).toLong))
+    }.toDF("iid", "lo", "hi").cache()
+    def q() = tp.join(tiv, col("p") >= col("lo") && col("p") < col("hi"))
+    val expect = collectPairs(q()) // broadcast interval plan
+    assert(expect.nonEmpty)
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // explicit width: one hour of MICROSECONDS
+      spark.conf.set("spark.graft.intervalJoin.binWidth", s"${3600L * 1000000}")
+      val binned = q()
+      val rendered = binned.queryExecution.executedPlan.toString
+      assert(!rendered.contains("BroadcastNestedLoopJoin"), rendered)
+      assert(collectPairs(binned) == expect)
+      // unset width: sampled-median auto-width, still no nested loop
+      spark.conf.unset("spark.graft.intervalJoin.binWidth")
+      val auto = q()
+      val renderedA = auto.queryExecution.executedPlan.toString
+      assert(!renderedA.contains("BroadcastNestedLoopJoin"), renderedA)
+      assert(collectPairs(auto) == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.unset("spark.graft.intervalJoin.binWidth")
+    }
+  }
+
+  test("grossly inverted intervals produce zero bins, not a huge " +
+      "descending sequence") {
+    val p = Seq((1L, 5.0), (2L, 42.0)).toDF("pid", "p")
+    val iv = Seq((1L, 1.0e12, 0.0), (2L, 40.0, 45.0)).toDF("iid", "lo", "hi")
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.intervalJoin.binWidth", "5.0")
+      val out = p.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+      // the inverted interval is empty under the join condition; the
+      // valid one still matches — and no task tries to allocate 2e11 bins
+      assert(collectPairs(out) == Set((2L, 2L)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.unset("spark.graft.intervalJoin.binWidth")
+    }
   }
 
   test("bin rewrite fails fast when an interval spans too many bins") {
