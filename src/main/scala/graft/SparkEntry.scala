@@ -1020,6 +1020,21 @@ object SparkEntry {
       n = 3, threshold = 0.8),
     Some("WITH g0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(text) >= 3 THEN [substr(lower(text), i, 3) FOR i IN generate_series(1, len(text)-2)] ELSE [lower(text)] END)) AS w FROM documents WHERE doc_id < 500), sz AS (SELECT doc_id, count(*) AS n FROM g0 GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM g0 a JOIN g0 b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
 
+  /** The `maxDf`-capped twin of `dedup_ngram_jaccard` — the code path
+    * that must ALWAYS be on at 100 TB (ubiquitous trigrams dominate the
+    * Σ df² fanout while discriminating nothing). Grams above the df cap
+    * are dropped from the vocabulary first, so sets, sizes, and Jaccard
+    * all see the capped vocabulary; the oracle mirrors the cap with a
+    * df CTE (`WHERE dfc <= 100`) over the same gram postings. 17 pairs
+    * vs the uncapped 25 — the cap is visibly load-bearing in the result,
+    * not a no-op.
+    */
+  private val dedupNgramJaccardCapped = Q(
+    (s, dir) => Dedup.ngramJaccardPairs(
+      t(s, dir, "documents").where(col("doc_id") < 500), "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = Some(100L)),
+    Some("WITH g0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(text) >= 3 THEN [substr(lower(text), i, 3) FOR i IN generate_series(1, len(text)-2)] ELSE [lower(text)] END)) AS w FROM documents WHERE doc_id < 500), df AS (SELECT w, count(*) AS dfc FROM g0 GROUP BY 1), g AS (SELECT g0.doc_id, g0.w FROM g0 JOIN df USING (w) WHERE dfc <= 100), sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM g a JOIN g b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
+
   /** MinHash-LSH near-dup detection (the 100 TB path): banded signatures →
     * in-bucket candidates → exact verification. The oracle is the exact
     * all-pairs shingle Jaccard — the entry proves the LSH pipeline loses
@@ -1046,6 +1061,30 @@ object SparkEntry {
           (col("id") === col("component")).as("is_canonical"))
     },
     Some("WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8), e AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2 AS s, id1 AS d FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.id) SELECT id AS doc_id, min(lbl) AS cluster, min(lbl) = id AS is_canonical FROM walk GROUP BY id"))
+
+  /** Near-dup curation E2E composite — the pipeline a real corpus
+    * curator actually runs, executed as ONE entry: MinHash-LSH candidate
+    * pairs → connected components → keep one canonical doc (min id) per
+    * component → rejoin the corpus for the curated projection. Each
+    * stage is individually oracle-checked (`dedup_minhash`,
+    * `dedup_clusters`); this entry pins their COMPOSITION, the way
+    * `ann_trained_ivf` pins kmeans+ivf. Oracle: exact all-pairs Jaccard
+    * edges + recursive-CTE min-label closure, keep-set = component
+    * representatives, rejoined to documents.
+    */
+  private val corpusNeardupCuration = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      val comps = Clusters.connectedComponents(pairs, "id1", "id2",
+        nodes = Some(docs.select(col("doc_id"))), idCol = "doc_id")
+      val kept = comps.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("component").as("doc_id"), col("n_members"))
+      kept.join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("doc_id"))
+    },
+    Some("WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8), e AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2 AS s, id1 AS d FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.id), comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id), keep AS (SELECT cluster AS doc_id, count(*) AS n_members FROM comp GROUP BY 1) SELECT k.doc_id, k.n_members, d.lang, d.n_chars FROM keep k JOIN documents d ON d.doc_id = k.doc_id"))
 
   /** SimHash fingerprints (md5-digit bit votes), oracle-recomputable. */
   private val dedupSimhash = Q(
@@ -1683,10 +1722,12 @@ object SparkEntry {
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_near" -> dedupSimhashNear,
     "dedup_clusters" -> dedupClusters,
+    "corpus_neardup_curation" -> corpusNeardupCuration,
     "v1_schema_resolve" -> v1SchemaResolve,
     "v2_schema_cache" -> v2SchemaCache,
     "v3_validate" -> v3Validate,

@@ -137,6 +137,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("UDF"), p)
   }
 
+  test("corpus_neardup_curation: keep-set stage shuffles component " +
+      "labels, never the corpus — no cartesian, bounded exchanges") {
+    // the pair stage runs eagerly inside connectedComponents (banded LSH
+    // + localCheckpoint); the plan under audit is everything AFTER it:
+    // label aggregate + corpus rejoin. That tail must contain no
+    // nested-loop/cartesian and at most 3 exchanges (agg + join sides) —
+    // a full-corpus shuffle outside the pair stage would show up here.
+    val p = plan("corpus_neardup_curation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange\\s*"))
+    assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n$p")
+  }
+
   test("text_ngrams: top-k is TakeOrdered, never a global sort") {
     val p = plan("text_ngrams")
     assert(p.contains("TakeOrderedAndProject"), p)
