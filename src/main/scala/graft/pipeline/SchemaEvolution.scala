@@ -84,17 +84,33 @@ object SchemaEvolution {
         Outcome(spec, table, versioned = false, Nil, res)
       case Left(errs) =>
         val vName = bumpVersion(table)
+        val vManifestPath = s"$manifestRoot/$vName"
         // seed the versioned bookmark from the old table's manifest: the
-        // new version owns every file the old version never processed
-        if (Bookmark.manifestExists(spark, manifestPath))
+        // new version owns every file the old version never processed.
+        // Seed ONLY if the versioned manifest does not already exist — a
+        // re-run with the stale pre-version spec (driver crash losing the
+        // in-memory Outcome) must not clobber the advanced _v{n+1}
+        // manifest with the old table's stale one
+        val vExisted = Bookmark.manifestExists(spark, vManifestPath)
+        if (!vExisted && Bookmark.manifestExists(spark, manifestPath))
           spark.read.parquet(manifestPath)
-            .write.mode("overwrite").parquet(s"$manifestRoot/$vName")
+            .write.mode("overwrite").parquet(vManifestPath)
+        // on that same stale re-run, `newPaths` was diffed against the
+        // OLD manifest and may include files the versioned table already
+        // converted; re-derive the pin against the versioned table's own
+        // manifest so the conversion is idempotent (no double-append)
+        val vPaths =
+          if (vExisted) Bookmark.newFiles(spark, dataPath, vManifestPath)
+            .filter(newPaths.toSet)
+          else newPaths
         val spec = TableSpec(vName,
           inferred.fields.map(f => ColumnSpec(f.name, f.dataType.sql)).toSeq,
           declared.partitionKeys)
-        val res = ParquetJob.run(
-          spark, jsonRoot, dataset, spec, parquetRoot, manifestRoot,
-          outName = Some(vName), newFiles = Some(newPaths))
+        val res =
+          if (vPaths.isEmpty) ParquetJob.Result(Map.empty)
+          else ParquetJob.run(
+            spark, jsonRoot, dataset, spec, parquetRoot, manifestRoot,
+            outName = Some(vName), newFiles = Some(vPaths))
         Outcome(spec, vName, versioned = true, errs, res)
     }
   }

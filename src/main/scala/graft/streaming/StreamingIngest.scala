@@ -49,6 +49,19 @@ object StreamingIngest {
     * Inside the batch function the micro-batch is an ordinary DataFrame,
     * so this reuses the exact batch relationalize — streaming and batch
     * E2 can never drift apart.
+    *
+    * foreachBatch is AT-LEAST-ONCE: a failure after some tables are
+    * written, followed by a batch retry, would re-append to the
+    * already-written tables. The per-table writes are therefore made
+    * idempotent with a `_graft_batch_<id>` marker written after each
+    * table's append commits: a retry skips every (table, batchId) whose
+    * marker exists and re-runs only the tables that never committed
+    * (within one table, Spark's file commit protocol already makes the
+    * append all-or-nothing). Markers ride inside the table directory —
+    * `_`-prefixed, so every reader treats them as hidden — and each
+    * marker supersedes the previous batch's, which is deleted once the
+    * new one lands (batches are sequential per query, so only the
+    * newest can ever be retried).
     */
   def relationalizeDrain(
       spark: SparkSession, jsonRoot: String, dataset: String,
@@ -57,10 +70,12 @@ object StreamingIngest {
     import org.apache.spark.sql.functions.col
     import graft.relationalize.Relationalize
     import graft.sources.{JsonDataset, ParquetDataset}
+    import org.apache.hadoop.fs.Path
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     readJsonStream(spark, jsonRoot, dataset, schema).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val tables =
           if (Relationalize.hasNestedFields(batch.schema))
             Relationalize.relationalize(batch.toDF(), dataset,
@@ -68,10 +83,24 @@ object StreamingIngest {
               carryCols = graft.pipeline.ParquetJob.CarryCols)
           else Map(dataset -> batch.toDF())
         tables.foreach { case (name, df) =>
-          val out = df.select(
-            (df.columns.filterNot(JsonDataset.PartitionCols.contains) ++
-              JsonDataset.PartitionCols).map(col).toIndexedSeq: _*)
-          ParquetDataset.write(out, s"$parquetRoot/$name")
+          val tableDir = new Path(s"$parquetRoot/$name")
+          val marker = new Path(tableDir, s"_graft_batch_$batchId")
+          val fs = marker.getFileSystem(hadoopConf)
+          if (!fs.exists(marker)) {
+            val out = df.select(
+              (df.columns.filterNot(JsonDataset.PartitionCols.contains) ++
+                JsonDataset.PartitionCols).map(col).toIndexedSeq: _*)
+            ParquetDataset.write(out, tableDir.toString)
+            fs.create(marker, true).close()
+            // retire superseded markers: earlier batches can no longer
+            // be retried once this one committed
+            if (fs.exists(tableDir)) fs.listStatus(tableDir).foreach { st =>
+              val n = st.getPath.getName
+              if (n.startsWith("_graft_batch_") &&
+                  n.stripPrefix("_graft_batch_").toLong < batchId)
+                fs.delete(st.getPath, false)
+            }
+          }
         }
       }
       .start()

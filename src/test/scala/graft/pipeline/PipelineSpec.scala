@@ -149,6 +149,21 @@ class PipelineSpec extends SparkSpec {
     assert(!r3.versioned && r3.tableName == "docs_v2")
     assert(r3.result.tables("docs_v2") == 1)
     assert(spark.read.parquet(s"$tmp/parquet/docs_v2").count() == 2)
+
+    // recovery hazard: a driver crash loses the in-memory Outcome and the
+    // caller re-runs with the STALE pre-version spec. The versioning
+    // branch fires again, but it must neither clobber docs_v2's advanced
+    // manifest (seed only when absent) nor re-convert files docs_v2
+    // already owns (pin re-derived against the versioned manifest)
+    val rStale = SchemaEvolution.run(spark, s"$tmp/json", "docs_v1", r1.spec,
+      s"$tmp/parquet", s"$tmp/manifests")
+    assert(rStale.versioned && rStale.tableName == "docs_v2")
+    assert(rStale.result.tables.isEmpty, rStale.toString)
+    assert(spark.read.parquet(s"$tmp/parquet/docs_v2").count() == 2)
+    // the advanced manifest survived: a normal follow-up run sees nothing
+    val rNext = SchemaEvolution.run(spark, s"$tmp/json", "docs_v1", r2.spec,
+      s"$tmp/parquet", s"$tmp/manifests")
+    assert(rNext.result.tables.isEmpty)
   }
 
   test("E3 BootstrapDriver: keep-latest, diff, batching, archive version") {

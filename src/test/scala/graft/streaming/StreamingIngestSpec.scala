@@ -85,6 +85,38 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/pq/ds_xs").count() == 3)
   }
 
+  test("relationalize drain: a replayed micro-batch does not double-append " +
+      "(per-table batch markers make foreachBatch idempotent)") {
+    val tmp = Files.createTempDirectory("graft_rretry").toString
+    val jsonRoot = s"$tmp/json"
+    val schema = StructType.fromDDL("recordid string, xs array<bigint>")
+    Seq(("r1", Seq(10L, 20L), "r1", 2022, 1, 1))
+      .toDF("recordid", "xs", "assessmentid", "year", "month", "day")
+      .write.mode("append")
+      .partitionBy("assessmentid", "year", "month", "day")
+      .json(s"$jsonRoot/dataset=ds")
+    def drain() = StreamingIngest.relationalizeDrain(
+      spark, jsonRoot, "ds", schema, s"$tmp/pq", s"$tmp/ckpt")
+      .awaitTermination()
+    drain()
+    assert(spark.read.parquet(s"$tmp/pq/ds").count() == 1)
+    assert(spark.read.parquet(s"$tmp/pq/ds_xs").count() == 2)
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate the at-least-once failure mode: offsets/0 recorded but
+    // commits/0 lost → the restarted query REPLAYS batch 0 in full
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/ckpt/commits/0"), false))
+    // and one table's write never committed: wipe the child table whole
+    // (marker + data), as the file commit protocol leaves it on failure
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/pq/ds_xs"), true)
+    drain()
+    // the marked root table was skipped (1 row, not 2); the unmarked
+    // child was re-written by the replay (2 rows, not 0 and not 4)
+    assert(spark.read.parquet(s"$tmp/pq/ds").count() == 1)
+    assert(spark.read.parquet(s"$tmp/pq/ds_xs").count() == 2)
+  }
+
   test("watermarked windowed counts aggregate per key and window") {
     val tmp = Files.createTempDirectory("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
