@@ -36,15 +36,23 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // Phase breakdowns for composite entries (PhaseTimer), keyed
+    // "<query>.<stage>"; the warm pass's numbers win.
+    val phases = scala.collection.mutable.Map[String, Double]()
     // Pass 1 doubles as warmup (codegen compile, page-cache fill); pass 2
     // runs warm. Reported timing is the MIN of the passes: a transient
     // machine-contention spike during either pass then can't masquerade as
     // a query regression, while a real regression shows in both passes.
     def onePass(tag: String): Map[String, Double] = names.flatMap { n =>
       val t0 = System.nanoTime()
+      PhaseTimer.drain() // clear anything a failed predecessor left behind
       try {
         materialize(SparkEntry.queries(n)(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
+        PhaseTimer.drain().foreach { case (ph, v) =>
+          phases(s"$n.$ph") = v
+          System.err.println(f"[bench:$tag]   $n.$ph $v%.2fs")
+        }
         System.err.println(f"[bench:$tag] $n $dt%.2fs")
         Some(n -> dt)
       } catch {
@@ -66,8 +74,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val nFailed = results.count(_._2.isEmpty)
+    val ph = phases.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$nFailed}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"phases":$ph,"sf":"$sfDir","failed":$nFailed}"""
     println(line)
     Files.writeString(Paths.get("bench_result.json"), line)
     spark.stop()

@@ -426,22 +426,26 @@ object SparkEntry {
         .withColumn("year", lit(2023))
         .withColumn("month", lit(1))
         .withColumn("day", lit(15))
-      val b1 = stamp(docs.where(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("lang"), col("n_chars").as("size"),
-          col("doc_id").as("recordid")))
-      JsonDataset.write(b1, s"$tmp/json", "docs_v1")
       val declared = TableSpec("docs_v1", Seq(
         ColumnSpec("doc_id", "bigint"), ColumnSpec("lang", "string"),
         ColumnSpec("size", "bigint"), ColumnSpec("recordid", "bigint")), Nil)
-      val r1 = SchemaEvolution.run(s, s"$tmp/json", "docs_v1", declared,
-        s"$tmp/parquet", s"$tmp/manifests")
-      val b2 = stamp(docs.where(col("doc_id") % 2 =!= 0)
-        .select(col("doc_id"), col("lang"), col("n_chars").as("size"),
-          (col("n_chars") / lit(10.0)).as("quality"),
-          col("doc_id").as("recordid")))
-      JsonDataset.write(b2, s"$tmp/json", "docs_v1")
-      val r2 = SchemaEvolution.run(s, s"$tmp/json", "docs_v1", r1.spec,
-        s"$tmp/parquet", s"$tmp/manifests")
+      val r1 = PhaseTimer.phase("batch1_convert") {
+        val b1 = stamp(docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars").as("size"),
+            col("doc_id").as("recordid")))
+        JsonDataset.write(b1, s"$tmp/json", "docs_v1")
+        SchemaEvolution.run(s, s"$tmp/json", "docs_v1", declared,
+          s"$tmp/parquet", s"$tmp/manifests")
+      }
+      val r2 = PhaseTimer.phase("batch2_evolve_convert") {
+        val b2 = stamp(docs.where(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("lang"), col("n_chars").as("size"),
+            (col("n_chars") / lit(10.0)).as("quality"),
+            col("doc_id").as("recordid")))
+        JsonDataset.write(b2, s"$tmp/json", "docs_v1")
+        SchemaEvolution.run(s, s"$tmp/json", "docs_v1", r1.spec,
+          s"$tmp/parquet", s"$tmp/manifests")
+      }
       require(!r2.versioned && r2.spec.schema.fieldNames.contains("quality"),
         s"additive change must merge, got $r2")
       s.read.schema(StructType.fromDDL(
@@ -1501,12 +1505,16 @@ object SparkEntry {
   private val annTrainedIvf = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val (assign, _) = Ann.kmeans(emb, "vec_id", "embedding", k = 4, iters = 2)
-      val clustered = emb.join(
-        assign.withColumnRenamed("id", "vec_id"), "vec_id")
-      Ann.ivfTopK(clustered, "vec_id", "embedding", "cluster",
-        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nprobe = 4)
+      val (assign, _) = PhaseTimer.phase("train") {
+        Ann.kmeans(emb, "vec_id", "embedding", k = 4, iters = 2)
+      }
+      PhaseTimer.phase("index_search") {
+        val clustered = emb.join(
+          assign.withColumnRenamed("id", "vec_id"), "vec_id")
+        Ann.ivfTopK(clustered, "vec_id", "embedding", "cluster",
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nprobe = 4)
+      }
     },
     Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neighbor_id, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
 

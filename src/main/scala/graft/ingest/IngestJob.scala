@@ -173,6 +173,14 @@ object IngestJob {
     * caller may still be consuming); older generations are reclaimed at
     * the start of the next run. One writer per jsonRoot at a time — the
     * reference's one-Glue-job-per-dataset assumption.
+    *
+    * Storage envelope: by default up to TWO staged generations exist on
+    * disk during a run (this run's plus the previous one) — at 100 TB
+    * that doubles stage-1 storage. `spark.graft.ingest.staging.ttlSeconds`
+    * is the reclaim valve: a previous generation older than the TTL is
+    * deleted at run start even though it is the newest; `0` reclaims the
+    * previous generation immediately (envelope = 1 generation, for
+    * callers that consume the returned frames before the next run).
     */
   def run(
       spark: SparkSession,
@@ -193,11 +201,19 @@ object IngestJob {
     val stagingFs = stagingRoot.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // retention: this run + the immediately previous one stay readable;
-    // anything older is reclaimed now
-    if (stagingFs.exists(stagingRoot))
-      stagingFs.listStatus(stagingRoot).filter(_.isDirectory)
-        .sortBy(_.getModificationTime).dropRight(1)
+    // anything older is reclaimed now. With the TTL conf set, the
+    // previous generation is also reclaimed once expired (see scaladoc)
+    val ttlMs = spark.conf.getOption("spark.graft.ingest.staging.ttlSeconds")
+      .map(_.toLong * 1000L)
+    if (stagingFs.exists(stagingRoot)) {
+      val gens = stagingFs.listStatus(stagingRoot).filter(_.isDirectory)
+        .sortBy(_.getModificationTime)
+      gens.dropRight(1).foreach(d => stagingFs.delete(d.getPath, true))
+      val now = System.currentTimeMillis()
+      gens.takeRight(1)
+        .filter(d => ttlMs.exists(t => now - d.getModificationTime >= t))
         .foreach(d => stagingFs.delete(d.getPath, true))
+    }
     val staging =
       s"$stagingRoot/run-${java.util.UUID.randomUUID().toString.take(8)}"
     val tagged = routed.withColumn("is_valid", $"valid".isNotNull)

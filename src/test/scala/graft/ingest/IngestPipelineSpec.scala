@@ -103,6 +103,39 @@ class IngestPipelineSpec extends SparkSpec {
     assert(jsonIds == pqIds)
   }
 
+  test("staging retention: previous generation survives by default, " +
+      "is reclaimed under the TTL valve, older ones always go") {
+    val tmp = Files.createTempDirectory("graft_stage").toString
+    val jsonRoot = s"$tmp/raw_json"
+    def stagingDirs(): Seq[String] = {
+      val f = new java.io.File(s"$jsonRoot/_staging")
+      if (!f.isDirectory) Nil
+      else f.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    }
+    def run() = IngestJob.run(spark, spark.createDataset(Seq(record)), cfg,
+      jsonRoot, s"$tmp/quarantine")._1.count()
+
+    run()
+    assert(stagingDirs().size == 1)
+    // default: the previous generation stays readable through the next run
+    run()
+    assert(stagingDirs().size == 2)
+    // and the one before THAT is always reclaimed
+    run()
+    assert(stagingDirs().size == 2)
+    // TTL valve: 0 seconds — the previous generation is reclaimed
+    // immediately, bounding the envelope to one generation
+    try {
+      spark.conf.set("spark.graft.ingest.staging.ttlSeconds", "0")
+      run()
+      assert(stagingDirs().size == 1)
+      // a generous TTL keeps the previous generation (not yet expired)
+      spark.conf.set("spark.graft.ingest.staging.ttlSeconds", "3600")
+      run()
+      assert(stagingDirs().size == 2)
+    } finally spark.conf.unset("spark.graft.ingest.staging.ttlSeconds")
+  }
+
   test("S8: file listing enumerates the written NDJSON dataset") {
     val tmp = Files.createTempDirectory("graft_e2e").toString
     val jsonRoot = s"$tmp/raw_json"
