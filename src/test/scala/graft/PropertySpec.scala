@@ -135,6 +135,52 @@ object PropertySpec extends Properties("graft") {
       namesOk && structOk && contentOk
     }
 
+  property("relationalizeDrain ≡ batch relationalize: streamed root and " +
+      "child tables match the batch operator over generated rows") =
+    Prop.forAllNoShrink(rowsGen) { rows =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.functions.lit
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pdrain").toString
+      val schema = StructType(Seq(
+        StructField("recordid", StringType),
+        StructField("xs", ArrayType(IntegerType))))
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            rows.map { case (id, xs) => Row(id, xs.orNull) }, 2), schema)
+        .withColumn("assessmentid", lit("a"))
+        .withColumn("year", lit(2023))
+        .withColumn("month", lit(1))
+        .withColumn("day", lit(15))
+        .write.partitionBy("assessmentid", "year", "month", "day")
+        .json(s"$tmp/json/dataset=ds")
+      graft.streaming.StreamingIngest.relationalizeDrain(
+        spark, s"$tmp/json", "ds", schema, s"$tmp/pq", s"$tmp/ckpt")
+        .awaitTermination()
+      val batchIn = spark.read.schema(schema)
+        .option("basePath", s"$tmp/json/dataset=ds")
+        .json(s"$tmp/json/dataset=ds")
+      val batch = Relationalize.relationalize(batchIn, "ds",
+        keyCols = Seq("recordid"),
+        carryCols = graft.pipeline.ParquetJob.CarryCols)
+
+      def roots(d: DataFrame) = d.select("recordid", "xs").collect()
+        .map(r => (r.getAs[String]("recordid"),
+          Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .sortBy(_._1).toSeq
+      def children(d: DataFrame) = d.select("id", "index", "xs_val")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+
+      val rootOk =
+        roots(spark.read.parquet(s"$tmp/pq/ds")) == roots(batch("ds"))
+      // the streamed child dir may hold zero part files when no row had a
+      // non-empty array; an explicit schema makes the empty read legal
+      val streamedChild = spark.read.schema(batch("ds_xs").schema)
+        .parquet(s"$tmp/pq/ds_xs")
+      val childOk = children(streamedChild) == children(batch("ds_xs"))
+      rootOk && childOk
+    }
+
   private val typeGen: Gen[DataType] = Gen.oneOf(
     StringType, IntegerType, LongType, DoubleType, BooleanType,
     ArrayType(StringType), ArrayType(IntegerType))

@@ -130,6 +130,30 @@ class AnnSpec extends SparkSpec {
     assert(!bc.exists(_._2 == 40)) // ties resolved to the lower index
   }
 
+  test("k=1 with dim above the literal budget still dispatches to the " +
+      "broadcast path and matches the literal plan (degenerate boundary)") {
+    // 1 × (budget+1) crosses the k·dim budget with a single cluster —
+    // the boundary where a k-based dispatch would wrongly stay literal
+    val dim = Ann.LiteralModelBudget + 1
+    val rnd = new scala.util.Random(13)
+    val prep = (0L until 10L).map(i => (i, Seq.fill(dim)(rnd.nextDouble())))
+      .toDF("id", "v")
+    val cents = Array(Array.fill(dim)(rnd.nextDouble()))
+    val lit = Ann.assignLiteral(prep, cents)
+      .select("id", "cluster", "dist2").as[(Long, Int, Double)]
+      .collect().sortBy(_._1).toSeq
+    val bc = Ann.assignBroadcast(prep, cents)
+      .select("id", "cluster", "dist2").as[(Long, Int, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(bc == lit)
+    assert(bc.forall(_._2 == 0)) // one cluster: everything lands in 0
+    // and the public API trains through the dispatch without error
+    val (assign, model) = Ann.kmeans(
+      prep.withColumnRenamed("id", "vec_id").withColumnRenamed("v", "embedding"),
+      "vec_id", "embedding", k = 1, iters = 1)
+    assert(assign.count() == 10 && model.centroids.length == 1)
+  }
+
   test("kmeans survives k exceeding the distinct-point count") {
     val tiny = Seq((1L, unit(0), 0), (2L, unit(0), 0), (3L, unit(2), 1))
       .toDF("vec_id", "embedding", "label")
