@@ -35,7 +35,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args restrict the run (local iteration aid)
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      if (args.isEmpty) all else all.filter(args.toSet)
+    }
     // Phase breakdowns for composite entries (PhaseTimer), keyed
     // "<query>.<stage>"; the warm pass's numbers win.
     val phases = scala.collection.mutable.Map[String, Double]()

@@ -167,7 +167,16 @@ object Dedup {
         val rare = words.groupBy(col("w"))
           .agg(count(lit(1)).as("df")).where(col("df") <= cap)
           .select(col("w"))
-        val capped = words.join(broadcast(rare), "w")
+        // materialize the CAPPED postings once (eager localCheckpoint):
+        // they feed the size re-aggregation and both sides of the pair
+        // self-join, and without a cut each consumer re-runs the whole
+        // tokenizer transform (O(len·n) per row — measured ~5× the
+        // shingling cost per query). Storage is one copy of the post-cap
+        // postings — the SMALLER side, never the uncapped vocabulary —
+        // reclaimed with the RDD by the ContextCleaner. The df census
+        // itself still streams off the raw text, so tokenization runs
+        // exactly twice end-to-end (census + this materialization).
+        val capped = words.join(broadcast(rare), "w").localCheckpoint()
         capped.join(
           capped.groupBy(col("id")).agg(count(lit(1)).as("sz")), "id")
           .select(col("id"), col("sz"), col("w"))
