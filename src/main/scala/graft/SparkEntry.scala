@@ -1257,6 +1257,32 @@ object SparkEntry {
     },
     Some("SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val' ELSE 'test' END AS split FROM documents"))
 
+  /** SO7 — deterministic stratified sampling: per-stratum keep rates
+    * driven by an md5 bucket of the row key (~50% of `en`, ~25% of every
+    * other language) — a pure filter, no RNG state, no sampling shuffle,
+    * identical keep-set on every retry/backfill. The hex-prefix
+    * comparison (256 buckets) evaluates identically in both engines.
+    */
+  private val so7StratifiedSample = Q(
+    (s, dir) => {
+      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+      t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .where(when(col("lang") === "en", h2 <= "7f").otherwise(h2 <= "3f"))
+    },
+    Some("SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f' ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '3f' END"))
+
+  /** Sequence packing for LLM training ([[TextAnalysis.packSequences]]):
+    * documents packed in id order into 256-token training rows across 8
+    * independent pack groups — the distributed concat-and-chunk shape
+    * (a global cumsum would serialize the corpus through one window
+    * partition). Oracle recomputes the same exclusive-cumsum window
+    * arithmetic.
+    */
+  private val textPackSequences = Q(
+    (s, dir) => TextAnalysis.packSequences(
+      t(s, dir, "documents"), "doc_id", "text", maxTokens = 256, groups = 8),
+    Some("WITH tk AS (SELECT doc_id, doc_id % 8 AS grp, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS toks FROM documents), c AS (SELECT grp, doc_id, toks, COALESCE(sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tk) SELECT grp, cum // 256 AS seq, count(*) AS n_docs, sum(toks) AS n_tokens FROM c GROUP BY 1, 2"))
+
   // --------------------------------------------------------------------
   // Analytic surface: percentiles, rollup, windows, pivot
   // --------------------------------------------------------------------
@@ -1745,6 +1771,8 @@ object SparkEntry {
     "v7_json_extract" -> v7JsonExtract,
     "so5_intersect_except" -> so5IntersectExcept,
     "so6_hash_split" -> so6HashSplit,
+    "so7_stratified_sample" -> so7StratifiedSample,
+    "text_pack_sequences" -> textPackSequences,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis signals for corpus curation: language ID, quality
@@ -78,4 +79,31 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Distributed sequence packing for LLM training: documents are packed
+    * in deterministic id order into fixed token-budget training rows
+    * (the concat-and-chunk shape). The corpus splits into `groups`
+    * independent pack groups (`id % groups`), each packed in parallel —
+    * a single global cumulative sum would serialize the corpus through
+    * ONE window partition, while per-group packing scales with executors
+    * and costs at most one under-filled tail sequence per group. Within
+    * a group a document's sequence is ⌊exclusive-cumsum / maxTokens⌋ —
+    * pure window arithmetic, re-derivable in SQL for the oracle. Returns
+    * one row per packed sequence: (grp, seq, n_docs, n_tokens); n_tokens
+    * may overhang maxTokens by the boundary doc's tail, which the
+    * trainer's truncation handles (standard packing semantics).
+    */
+  def packSequences(
+      df: DataFrame, id: String, text: String,
+      maxTokens: Int, groups: Int): DataFrame = {
+    require(maxTokens > 0 && groups > 0, "maxTokens and groups must be > 0")
+    val w = Window.partitionBy(col("grp")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(id), (col(id) % groups).as("grp"),
+        tokenCount(col(text)).cast("long").as("toks"))
+      .withColumn("cum", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("seq", floor(col("cum") / maxTokens))
+      .groupBy(col("grp"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+  }
 }

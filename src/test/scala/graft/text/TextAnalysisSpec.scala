@@ -46,4 +46,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("packSequences conserves docs and tokens, numbers sequences " +
+      "contiguously per group, and respects the chunk boundaries") {
+    val rnd = new scala.util.Random(5)
+    val docs = (0L until 100L)
+      .map(i => (i, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val maxTokens = 32
+    val packed = TextAnalysis.packSequences(
+      docs, "doc_id", "text", maxTokens, groups = 4).collect()
+    // conservation: every doc lands in exactly one sequence, all tokens kept
+    assert(packed.map(_.getAs[Long]("n_docs")).sum == 100L)
+    val totalToks = docs
+      .select(TextAnalysis.tokenCount($"text").cast("long")).as[Long]
+      .collect().sum
+    assert(packed.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+    // per group: sequences start at 0 and ascend; an ABSENT seq id is
+    // legal (one long doc covered that whole chunk), but the cumulative
+    // token stream through each present sequence must reach the next
+    // present sequence's chunk start — chunks partition the stream
+    packed.groupBy(_.getAs[Long]("grp")).foreach { case (_, rows) =>
+      val bySeq = rows.sortBy(_.getAs[Long]("seq"))
+      val seqs = bySeq.map(_.getAs[Long]("seq")).toSeq
+      assert(seqs.head == 0L && seqs == seqs.distinct.sorted)
+      val cums = bySeq.map(_.getAs[Long]("n_tokens")).scanLeft(0L)(_ + _).drop(1)
+      seqs.zip(cums).sliding(2).foreach {
+        case Seq((_, cum), (nextSeq, _)) =>
+          assert(cum >= nextSeq * maxTokens,
+            s"token stream fell short of seq $nextSeq's chunk start: $cum")
+        case _ =>
+      }
+    }
+    // determinism: a second run packs identically
+    val again = TextAnalysis.packSequences(
+      docs, "doc_id", "text", maxTokens, groups = 4).collect()
+    assert(packed.map(_.toSeq).sortBy(_.toString).toSeq ==
+      again.map(_.toSeq).sortBy(_.toString).toSeq)
+  }
 }
