@@ -1544,6 +1544,26 @@ object SparkEntry {
     },
     Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neighbor_id, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
 
+  /** Product quantization E2E (the memory-compression tier of a
+    * production vector index): build the deterministic seed codebook
+    * (8 subspaces × 16 centroids = corpus-slice pivots, so the whole
+    * pipeline is exactly oracle-checkable), PQ-encode the corpus to
+    * 8 small ints per vector, then run the ADC top-k scan — per-partition
+    * query/centroid lookup tables, m array lookups per (code row, query),
+    * no decode, no joins, no corpus shuffle. The oracle recomputes
+    * slicing, assignment (round-9 + lower-index tiebreak), and the ADC
+    * sum (round-4) in DuckDB.
+    */
+  private val annPqTopK = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      val codes = Ann.pqEncode(emb, "vec_id", "embedding", cb)
+      Ann.pqTopK(codes, "vec_id",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", cb, k = 5)
+    },
+    Some("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), sub AS (SELECT unnest(generate_series(0, 7)) AS s), cent AS (SELECT sub.s, v.vec_id AS cj, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS cv FROM v CROSS JOIN sub WHERE v.vec_id < 16), sl AS (SELECT v.vec_id, sub.s, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS sv FROM v CROSS JOIN sub), asg AS (SELECT sl.vec_id, sl.s, cent.cj, row_number() OVER (PARTITION BY sl.vec_id, sl.s ORDER BY round(list_inner_product(sv, sv) - 2*list_inner_product(sv, cv) + list_inner_product(cv, cv), 9), cent.cj) AS rn FROM sl JOIN cent ON cent.s = sl.s), code AS (SELECT vec_id, s, cj FROM asg WHERE rn = 1), q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10), qsl AS (SELECT q_id, sub.s, qe[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS qv FROM q CROSS JOIN sub), term AS (SELECT qsl.q_id, code.vec_id AS nid, round(list_inner_product(qv, qv) - 2*list_inner_product(qv, cv) + list_inner_product(cv, cv), 9) AS t FROM qsl JOIN code ON code.s = qsl.s JOIN cent ON cent.s = code.s AND cent.cj = code.cj), adc0 AS (SELECT q_id, nid, round(sum(t), 4) AS adc FROM term GROUP BY 1, 2), r AS (SELECT q_id, nid, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc, nid) AS rank FROM adc0 WHERE q_id <> nid) SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5"))
+
   /** IVF quantizer TRAINING ([[Ann.kmeans]], deterministic Lloyd's):
     * k=8, 3 iterations over the embedding corpus. The oracle is
     * invariant-style (a10 pattern): DuckDB pins the exact corpus count;
@@ -1752,6 +1772,7 @@ object SparkEntry {
     "ann_neardup" -> annNearDup,
     "ann_ivf_topk" -> annIvfTopK,
     "ann_trained_ivf" -> annTrainedIvf,
+    "ann_pq_topk" -> annPqTopK,
     "ann_kmeans" -> annKmeans,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,

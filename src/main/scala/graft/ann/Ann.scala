@@ -333,6 +333,159 @@ object Ann {
     (assigned.select(col("id"), col("v"), col("cluster"), col("dist2")), bc)
   }
 
+  // --------------------------------------------------------------------
+  // Product quantization: byte codes + asymmetric-distance (ADC) scan —
+  // the memory-compression tier of a production vector index (an IVF-PQ
+  // index stores m small ints per vector instead of dim floats)
+  // --------------------------------------------------------------------
+
+  /** PQ codebook: `m` subspaces × `ksub` centroids of `subDim` doubles.
+    * Driver-sized (m·ksub·subDim doubles — e.g. 8×256×96 ≈ 1.5 MB for a
+    * 768-dim production model), ships to executors as one broadcast.
+    */
+  final case class PqCodebook(
+      m: Int, subDim: Int, cents: Array[Array[Array[Double]]]) {
+    require(cents.length == m && cents.forall(_.forall(_.length == subDim)),
+      "codebook shape must be m × ksub × subDim")
+    def ksub: Int = cents(0).length
+    def dim: Int = m * subDim
+  }
+
+  /** Deterministic seed codebook: centroid j of subspace s is the s-th
+    * slice of the corpus vector with the j-th smallest id — the
+    * [[pivotCentroids]] rule applied per subspace, so the whole PQ
+    * pipeline is exactly oracle-checkable (a trained codebook's floats
+    * depend on fold order; exact corpus slices are bit-reproducible).
+    * Production swaps in per-subspace [[kmeans]] over slices; encode and
+    * ADC are identical either way. One driver-sized collect of ksub rows.
+    */
+  def pqSeedCodebook(
+      corpus: DataFrame, id: String, vec: String,
+      m: Int, ksub: Int): PqCodebook = {
+    require(m >= 1 && ksub >= 1, "m and ksub must be >= 1")
+    val seeds = corpus
+      .select(col(id).cast("long").as("id"), toDouble(col(vec)).as("v"))
+      .orderBy(col("id")).limit(ksub)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ksub, s"corpus has fewer than $ksub vectors")
+    val dim = seeds(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    PqCodebook(m, subDim,
+      Array.tabulate(m)(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim))))
+  }
+
+  /** Squared L2 between `v[off, off+len)` and `c`, as ‖v‖² − 2·v·c + ‖c‖²
+    * with each accumulator running left-to-right (the kmeans/oracle
+    * contract) and the result quantized to 9 decimals so assignment
+    * tie-breaks agree across engines.
+    */
+  private def subDist2(v: Array[Double], off: Int, c: Array[Double]): Double = {
+    var vn2 = 0.0; var dot = 0.0; var cn2 = 0.0
+    var i = 0
+    while (i < c.length) {
+      val x = v(off + i); val y = c(i)
+      vn2 += x * x; dot += x * y; cn2 += y * y
+      i += 1
+    }
+    BigDecimal(vn2 - 2.0 * dot + cn2)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** PQ encode: the codebook rides ONE broadcast; the corpus does one
+    * narrow mapPartitions pass, each row m primitive argmins (ties to
+    * the lower centroid index, matching the kmeans assignment contract).
+    * Output (id, codes array<int>) — the compressed representation the
+    * index stores; nothing shuffles.
+    */
+  def pqEncode(
+      corpus: DataFrame, id: String, vec: String, cb: PqCodebook): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    widen(corpus).select(col(id).cast("long"), toDouble(col(vec)))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.map { case (rid, vseq) =>
+          val v = vseq.toArray
+          require(v.length == b.dim,
+            s"vector dim ${v.length} != codebook dim ${b.dim}")
+          val codes = new Array[Int](b.m)
+          var s = 0
+          while (s < b.m) {
+            val cs = b.cents(s)
+            var best = Double.PositiveInfinity
+            var bi = 0
+            var j = 0
+            while (j < cs.length) {
+              val d = subDist2(v, s * b.subDim, cs(j))
+              if (d < best) { best = d; bi = j }
+              j += 1
+            }
+            codes(s) = bi
+            s += 1
+          }
+          (rid, codes.toSeq)
+        }
+      }.toDF(id, "codes")
+  }
+
+  /** ADC (asymmetric distance) top-k over PQ codes: the query batch and
+    * codebook broadcast; each partition builds the |q|×m×ksub lookup
+    * table ONCE (query-slice-to-centroid squared distances), then every
+    * code row costs m array lookups per query — the classic PQ scan: no
+    * decode, no joins, no corpus shuffle, distance work independent of
+    * the original dimensionality. The query batch is collected driver-
+    * side (the standard small-queries/large-corpus split; batch size is
+    * the caller's budget). ADC is an approximation of the true distance;
+    * with the seed codebook it is still fully deterministic, so results
+    * are exactly oracle-checkable. Output rounds ADC to 4 decimals
+    * (absorbing summation-order ulps) and ranks ascending with a
+    * neighbor-id tiebreak.
+    */
+  def pqTopK(
+      codes: DataFrame, id: String,
+      queries: DataFrame, qId: String, qVec: String,
+      cb: PqCodebook, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(qId).cast("long"), toDouble(col(qVec)))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (i, v) =>
+        require(v.length == cb.dim,
+          s"query dim ${v.length} != codebook dim ${cb.dim}")
+        (i, v.toArray)
+      }
+    val bc = spark.sparkContext.broadcast((qs, cb))
+    val scored = widen(codes).select(col(id).cast("long"), col("codes"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        val (q, b) = bc.value
+        val lut = Array.tabulate(q.length, b.m, b.ksub)((qi, s, j) =>
+          subDist2(q(qi)._2, s * b.subDim, b.cents(s)(j)))
+        it.flatMap { case (nid, cseq) =>
+          val cArr = cseq.toArray
+          q.indices.iterator.map { qi =>
+            var adc = 0.0
+            var s = 0
+            while (s < b.m) { adc += lut(qi)(s)(cArr(s)); s += 1 }
+            (q(qi)._1, nid,
+              BigDecimal(adc).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+          }
+        }
+      }.toDF("q_id", "neighbor_id", "adc")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    scored.where(col("q_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("adc"))
+  }
+
   /** Exact pairwise similarity ≥ threshold (verification baseline —
     * quadratic; use signLshPairs at scale for high thresholds).
     */

@@ -154,6 +154,42 @@ class AnnSpec extends SparkSpec {
     assert(assign.count() == 10 && model.centroids.length == 1)
   }
 
+  test("pq: seeds encode to their own codebook index; encode is " +
+      "deterministic") {
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 40L)
+      .map(i => (i, Seq.fill(16)(rnd.nextDouble().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = Ann.pqSeedCodebook(df, "vec_id", "embedding", m = 4, ksub = 4)
+    assert(cb.subDim == 4 && cb.ksub == 4 && cb.dim == 16)
+    val codes = Ann.pqEncode(df, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    // a seed's nearest centroid in every subspace is its own slice
+    (0 until 4).foreach(j => assert(codes(j.toLong) == Seq.fill(4)(j)))
+    assert(codes.values.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 4)))
+    val again = Ann.pqEncode(df, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes == again)
+  }
+
+  test("pq ADC scan: an exact duplicate achieves the minimal ADC and " +
+      "ranks first; every query gets k ranked rows") {
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 30L)
+      .map(i => (i, Seq.fill(16)(rnd.nextDouble().toFloat)))
+    val dupOf2 = (99L, base(2)._2) // exact copy → identical codes
+    val df = (base :+ dupOf2).toDF("vec_id", "embedding")
+    val cb = Ann.pqSeedCodebook(df, "vec_id", "embedding", m = 4, ksub = 8)
+    val codes = Ann.pqEncode(df, "vec_id", "embedding", cb)
+    val q = df.where($"vec_id" === 2L)
+    val top = Ann.pqTopK(codes, "vec_id", q, "vec_id", "embedding", cb, k = 3)
+      .orderBy("rank").collect()
+    // ADC is minimized by the query's own code tuple; the duplicate
+    // shares it, so nothing can rank above vec 99
+    assert(top(0).getAs[Long]("neighbor_id") == 99L)
+    assert(top.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
   test("kmeans survives k exceeding the distinct-point count") {
     val tiny = Seq((1L, unit(0), 0), (2L, unit(0), 0), (3L, unit(2), 1))
       .toDF("vec_id", "embedding", "label")
