@@ -1564,6 +1564,28 @@ object SparkEntry {
     },
     Some("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), sub AS (SELECT unnest(generate_series(0, 7)) AS s), cent AS (SELECT sub.s, v.vec_id AS cj, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS cv FROM v CROSS JOIN sub WHERE v.vec_id < 16), sl AS (SELECT v.vec_id, sub.s, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS sv FROM v CROSS JOIN sub), asg AS (SELECT sl.vec_id, sl.s, cent.cj, row_number() OVER (PARTITION BY sl.vec_id, sl.s ORDER BY round(list_inner_product(sv, sv) - 2*list_inner_product(sv, cv) + list_inner_product(cv, cv), 9), cent.cj) AS rn FROM sl JOIN cent ON cent.s = sl.s), code AS (SELECT vec_id, s, cj FROM asg WHERE rn = 1), q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10), qsl AS (SELECT q_id, sub.s, qe[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS qv FROM q CROSS JOIN sub), term AS (SELECT qsl.q_id, code.vec_id AS nid, round(list_inner_product(qv, qv) - 2*list_inner_product(qv, cv) + list_inner_product(cv, cv), 9) AS t FROM qsl JOIN code ON code.s = qsl.s JOIN cent ON cent.s = code.s AND cent.cj = code.cj), adc0 AS (SELECT q_id, nid, round(sum(t), 4) AS adc FROM term GROUP BY 1, 2), r AS (SELECT q_id, nid, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc, nid) AS rank FROM adc0 WHERE q_id <> nid) SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5"))
 
+  /** IVF-PQ E2E — the full production vector-index shape in one entry:
+    * coarse probe (pivot centroids per label, nprobe = 3 of 5 clusters —
+    * REAL pruning, not probe-everything) routes each query, then the ADC
+    * scan runs over only the probed clusters' PQ codes. Index build =
+    * pqEncode ⋈ cluster assignment (one co-keyed join at build time);
+    * query time touches codes only. The oracle composes the
+    * `ann_ivf_topk` probe CTEs with the `ann_pq_topk` code/ADC CTEs,
+    * restricted to probed clusters.
+    */
+  private val annIvfPqTopK = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      val indexed = Ann.pqEncode(emb, "vec_id", "embedding", cb)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      Ann.ivfPqTopK(indexed, "vec_id", "label",
+        Ann.pivotCentroids(emb, "label", "vec_id", "embedding"),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cb, k = 5, nprobe = 3)
+    },
+    Some("WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), coarse AS (SELECT label, arg_min(e, vec_id) AS cv FROM v GROUP BY label), q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10), probe AS (SELECT q_id, qe, label, row_number() OVER (PARTITION BY q_id ORDER BY round(list_cosine_similarity(qe, cv), 4) DESC, label) AS crank FROM q CROSS JOIN coarse), pr AS (SELECT q_id, qe, label FROM probe WHERE crank <= 3), sub AS (SELECT unnest(generate_series(0, 7)) AS s), cent AS (SELECT sub.s, v.vec_id AS cj, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS cv FROM v CROSS JOIN sub WHERE v.vec_id < 16), sl AS (SELECT v.vec_id, v.label, sub.s, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS sv FROM v CROSS JOIN sub), asg AS (SELECT sl.vec_id, sl.label, sl.s, cent.cj, row_number() OVER (PARTITION BY sl.vec_id, sl.s ORDER BY round(list_inner_product(sv, sv) - 2*list_inner_product(sv, cv) + list_inner_product(cv, cv), 9), cent.cj) AS rn FROM sl JOIN cent ON cent.s = sl.s), code AS (SELECT vec_id, label, s, cj FROM asg WHERE rn = 1), qsl AS (SELECT q_id, pr.label, sub.s, qe[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS qv FROM pr CROSS JOIN sub), term AS (SELECT qsl.q_id, code.vec_id AS nid, round(list_inner_product(qv, qv) - 2*list_inner_product(qv, cv) + list_inner_product(cv, cv), 9) AS t FROM qsl JOIN code ON code.s = qsl.s AND code.label = qsl.label JOIN cent ON cent.s = code.s AND cent.cj = code.cj), adc0 AS (SELECT q_id, nid, round(sum(t), 4) AS adc FROM term GROUP BY 1, 2), r AS (SELECT q_id, nid, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc, nid) AS rank FROM adc0 WHERE q_id <> nid) SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5"))
+
   /** IVF quantizer TRAINING ([[Ann.kmeans]], deterministic Lloyd's):
     * k=8, 3 iterations over the embedding corpus. The oracle is
     * invariant-style (a10 pattern): DuckDB pins the exact corpus count;
@@ -1773,6 +1795,7 @@ object SparkEntry {
     "ann_ivf_topk" -> annIvfTopK,
     "ann_trained_ivf" -> annTrainedIvf,
     "ann_pq_topk" -> annPqTopK,
+    "ann_ivfpq_topk" -> annIvfPqTopK,
     "ann_kmeans" -> annKmeans,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,

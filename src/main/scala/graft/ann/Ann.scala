@@ -486,6 +486,75 @@ object Ann {
         col("neighbor_id"), col("adc"))
   }
 
+  /** IVF-PQ top-k — the full production index shape: a coarse quantizer
+    * routes each query to its `nprobe` nearest clusters (the [[ivfTopK]]
+    * probe contract: cosine against the tiny broadcast centroid table,
+    * round-4, cluster-id tiebreak), then the ADC scan runs over ONLY the
+    * probed clusters' PQ codes. `indexed` is the stored index — one row
+    * per vector: (id, cluster, codes) — built once by joining
+    * [[pqEncode]] output with the cluster assignment; query time touches
+    * codes only (no raw vectors, no decode, no corpus shuffle: the
+    * probed (q, cluster) pairs broadcast onto the cluster-keyed scan).
+    * Scan cost ≈ nprobe/nclusters of the corpus, each row m lookups.
+    */
+  def ivfPqTopK(
+      indexed: DataFrame, id: String, cluster: String,
+      centTable: DataFrame,
+      queries: DataFrame, qId: String, qVec: String,
+      cb: PqCodebook, k: Int, nprobe: Int): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(qId).cast("long"), toDouble(col(qVec)))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (i, v) =>
+        require(v.length == cb.dim,
+          s"query dim ${v.length} != codebook dim ${cb.dim}")
+        (i, v.toArray)
+      }
+    val qDf = qs.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("q_id", "q_vec")
+      .withColumn("__qn", sqrt(dotD(col("q_vec"), col("q_vec"))))
+    val cents = centTable
+      .select(col(cluster), toDouble(col("centroid")).as("centroid"))
+      .withColumn("__cn", sqrt(dotD(col("centroid"), col("centroid"))))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col(cluster).asc)
+    val probed = qDf.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(dotD(col("q_vec"), col("centroid")) / (col("__qn") * col("__cn")), 4))
+      .withColumn("crank", row_number().over(probeW))
+      .where(col("crank") <= nprobe)
+      .select(col("q_id"), col(cluster))
+    val bc = spark.sparkContext.broadcast((qs, cb))
+    val scored = widen(indexed)
+      .join(broadcast(probed), Seq(cluster))
+      .select(col(id).cast("long"), col("q_id"), col("codes"))
+      .as[(Long, Long, Seq[Int])]
+      .mapPartitions { it =>
+        val (q, b) = bc.value
+        val qIdx = q.iterator.map(_._1).zipWithIndex.toMap
+        val lut = Array.tabulate(q.length, b.m, b.ksub)((qi, s, j) =>
+          subDist2(q(qi)._2, s * b.subDim, b.cents(s)(j)))
+        it.map { case (nid, qid, cseq) =>
+          val cArr = cseq.toArray
+          val qi = qIdx(qid)
+          var adc = 0.0
+          var s = 0
+          while (s < b.m) { adc += lut(qi)(s)(cArr(s)); s += 1 }
+          (qid, nid,
+            BigDecimal(adc).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+        }
+      }.toDF("q_id", "neighbor_id", "adc")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    scored.where(col("q_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("adc"))
+  }
+
   /** Exact pairwise similarity ≥ threshold (verification baseline —
     * quadratic; use signLshPairs at scale for high thresholds).
     */

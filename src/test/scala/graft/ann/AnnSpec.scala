@@ -190,6 +190,35 @@ class AnnSpec extends SparkSpec {
     assert(top.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
   }
 
+  test("ivfPq with nprobe=all equals the flat pq scan; nprobe=1 scans " +
+      "only the probed cluster") {
+    val rnd = new scala.util.Random(31)
+    val df = (0L until 40L)
+      .map(i => (i, Seq.fill(16)(rnd.nextDouble().toFloat), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(df, "vec_id", "embedding", m = 4, ksub = 8)
+    val codes = Ann.pqEncode(df, "vec_id", "embedding", cb)
+    val indexed = codes.join(df.select($"vec_id", $"label"), "vec_id")
+    val cents = Ann.pivotCentroids(df, "label", "vec_id", "embedding")
+    val q = df.where($"vec_id" < 3L)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("q_id", "rank", "neighbor_id", "adc")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // probing every cluster can hide nothing: must equal the flat scan
+    val full = rows(Ann.ivfPqTopK(indexed, "vec_id", "label", cents,
+      q, "vec_id", "embedding", cb, k = 4, nprobe = 3))
+    val flat = rows(Ann.pqTopK(codes, "vec_id", q, "vec_id", "embedding",
+      cb, k = 4))
+    assert(full == flat && full.nonEmpty)
+    // nprobe=1: every neighbor comes from one coarse cluster per query
+    val one = Ann.ivfPqTopK(indexed, "vec_id", "label", cents,
+        q, "vec_id", "embedding", cb, k = 4, nprobe = 1)
+      .join(df.select($"vec_id".as("neighbor_id"), $"label"), "neighbor_id")
+    val perQuery = one.groupBy("q_id")
+      .agg(countDistinct($"label").as("n")).select("n").as[Long].collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_ == 1L))
+  }
+
   test("kmeans survives k exceeding the distinct-point count") {
     val tiny = Seq((1L, unit(0), 0), (2L, unit(0), 0), (3L, unit(2), 1))
       .toDF("vec_id", "embedding", "label")
