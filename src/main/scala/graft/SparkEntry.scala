@@ -1257,6 +1257,19 @@ object SparkEntry {
     },
     Some("SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val' ELSE 'test' END AS split FROM documents"))
 
+  /** BM25 retrieval scoring ([[TextAnalysis.bm25TopK]]): top-20 documents
+    * for a 3-term query — the relevance scorer behind "keep documents
+    * that look like the target domain" corpus filtering. Postings filter
+    * to the query terms before any shuffle; idf quantized to 9 decimals
+    * (ln bits differ across engines by an ulp), score to 4. Oracle
+    * recomputes the same BM25 arithmetic over the same token postings.
+    */
+  private val textBm25 = Q(
+    (s, dir) => TextAnalysis.bm25TopK(
+      t(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("vector", "hash", "scan"), k = 20),
+    Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM d), tk AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS w FROM d), tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tk WHERE w IN ('vector', 'hash', 'scan') GROUP BY 1, 2, 3), idf AS (SELECT w, round(ln((st.n - CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5) / (CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5) + 1.0), 9) AS idf FROM tf, st GROUP BY w, st.n), sc AS (SELECT doc_id, round(sum(idf.idf * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score FROM tf JOIN idf USING (w), st GROUP BY 1), r AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc) SELECT doc_id, CAST(rank AS INT) AS rank, score FROM r WHERE rank <= 20"))
+
   /** SO7 — deterministic stratified sampling: per-stratum keep rates
     * driven by an md5 bucket of the row key (~50% of `en`, ~25% of every
     * other language) — a pure filter, no RNG state, no sampling shuffle,
@@ -1816,6 +1829,7 @@ object SparkEntry {
     "so5_intersect_except" -> so5IntersectExcept,
     "so6_hash_split" -> so6HashSplit,
     "so7_stratified_sample" -> so7StratifiedSample,
+    "text_bm25" -> textBm25,
     "text_pack_sequences" -> textPackSequences,
   )
 

@@ -80,6 +80,54 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** BM25 relevance of every document against a small query-term set —
+    * the retrieval scorer behind relevance-based corpus filtering
+    * ("keep documents that look like the target domain"). Postings are
+    * restricted to the query's terms BEFORE any shuffle (an `isin`
+    * filter on the exploded tokens), so the shuffled volume is the query
+    * terms' postings, never the corpus vocabulary; document count and
+    * average length ride one driver-sized aggregate. idf is quantized
+    * to 9 decimals — `ln` bits can differ across engines by an ulp, and
+    * quantization absorbs it (the kmeans mean contract) — and the final
+    * score to 4, ranked descending with an id tiebreak.
+    */
+  def bm25TopK(
+      docs: DataFrame, id: String, text: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k > 0, "terms and k must be non-empty/positive")
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(tokenCount(col(text)).cast("double")).as("avgdl")).head()
+    val n = stats.getDouble(0)
+    val avgdl = stats.getDouble(1)
+    val toks = docs
+      .select(col(id), tokenCount(col(text)).cast("double").as("dl"),
+        explode(tokens(col(text))).as("w"))
+      .where(col("w").isin(terms: _*))
+    val tf = toks.groupBy(col(id), col("dl"), col("w"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val idf = tf.groupBy(col("w"))
+      .agg(countDistinct(col(id)).cast("double").as("df"))
+      .withColumn("idf",
+        round(log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 9))
+      .select(col("w"), col("idf"))
+    // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, never a global sort); the rank window then runs over only
+    // the k survivors
+    val top = tf.join(broadcast(idf), "w")
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy(col(id))
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col(id).asc)
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(id).asc)))
+      .select(col(id), col("rank").cast("int").as("rank"), col("score"))
+  }
+
   /** Distributed sequence packing for LLM training: documents are packed
     * in deterministic id order into fixed token-budget training rows
     * (the concat-and-chunk shape). The corpus splits into `groups`

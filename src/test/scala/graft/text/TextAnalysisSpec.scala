@@ -47,6 +47,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("bm25 ranks term-dense short docs above term-sparse long ones, " +
+      "ignores non-query terms, caps at k") {
+    val docs = Seq(
+      (1L, "vector vector vector"),             // dense in a query term
+      (2L, "vector " + ("filler " * 50).trim),  // same term, diluted
+      (3L, "hash join scan"),                   // multiple query terms
+      (4L, "completely unrelated words here"),  // no query terms → absent
+      (5L, "vector hash")).toDF("doc_id", "text")
+    val top = TextAnalysis.bm25TopK(
+      docs, "doc_id", "text", terms = Seq("vector", "hash"), k = 3)
+      .orderBy("rank").collect()
+    assert(top.length == 3)
+    val ids = top.map(_.getAs[Long]("doc_id")).toSeq
+    assert(!ids.contains(4L)) // doc without query terms never scores
+    // two query terms beat one diluted term; density beats dilution
+    assert(ids.head == 5L || ids.head == 1L)
+    val scores = top.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+    val d1 = top.find(_.getAs[Long]("doc_id") == 1L).map(_.getAs[Double]("score"))
+    val d2 = TextAnalysis.bm25TopK(
+      docs, "doc_id", "text", Seq("vector", "hash"), k = 5)
+      .where($"doc_id" === 2L).select("score").as[Double].collect().headOption
+    assert(d1.get > d2.get) // dilution by length lowers the score
+  }
+
   test("packSequences conserves docs and tokens, numbers sequences " +
       "contiguously per group, and respects the chunk boundaries") {
     val rnd = new scala.util.Random(5)
