@@ -1049,6 +1049,22 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text", threshold = 0.8),
     Some("WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
 
+  /** Decontamination scan ([[Dedup.contamination]]): near-dup pairs
+    * BETWEEN a training corpus (doc_id ≥ 250) and a held-out set
+    * (doc_id < 250) — the benchmark-leakage check every training
+    * pipeline runs before a data release. Same MinHash-LSH banding as
+    * `dedup_minhash`; only cross-set pairs survive. Oracle: exact
+    * all-pairs shingle Jaccard restricted to cross pairs.
+    */
+  private val dedupContamination = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(
+        docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250),
+        "doc_id", "text", threshold = 0.8)
+    },
+    Some("WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < 250 AND b.doc_id >= 250 GROUP BY 1, 2) SELECT id2 AS corpus_id, id1 AS held_id, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
+
   /** Dedup-cluster resolution: minhash near-dup pairs → connected
     * components → one canonical doc per cluster. Pairwise matches alone
     * over-delete (A~B, B~C must keep one of three); the component step is
@@ -1819,6 +1835,7 @@ object SparkEntry {
     "dedup_simhash_near" -> dedupSimhashNear,
     "dedup_clusters" -> dedupClusters,
     "corpus_neardup_curation" -> corpusNeardupCuration,
+    "dedup_contamination" -> dedupContamination,
     "v1_schema_resolve" -> v1SchemaResolve,
     "v2_schema_cache" -> v2SchemaCache,
     "v3_validate" -> v3Validate,

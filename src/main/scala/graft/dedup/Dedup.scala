@@ -183,6 +183,37 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus contamination scan (decontamination): near-duplicate
+    * pairs BETWEEN a training corpus and a held-out/benchmark set via the
+    * same MinHash-LSH banding as [[minhashPairs]] — the union is banded
+    * once, candidates verify exactly, and only cross-set pairs survive
+    * (within-set duplicates are the dedup pipeline's business, not
+    * contamination). Ids must be unique across the two inputs. Returns
+    * (corpus_id, held_id, jaccard). At scale the held side is typically
+    * tiny (benchmark suites), but nothing assumes it: both sides ride
+    * the same banded shuffle, never an all-pairs product.
+    */
+  def contamination(
+      corpus: DataFrame, held: DataFrame, id: String, text: String,
+      threshold: Double, numHashes: Int = 128, bands: Int = 32,
+      shingleN: Int = 3): DataFrame = {
+    val tagged = corpus
+      .select(col(id).as("id"), col(text).as("__t"), lit(false).as("__held"))
+      .unionByName(held
+        .select(col(id).as("id"), col(text).as("__t"), lit(true).as("__held")))
+    val pairs = minhashPairs(
+      tagged, "id", "__t", threshold, numHashes, bands, shingleN)
+    val tags = tagged.select(col("id"), col("__held"))
+    pairs
+      .join(tags.select(col("id").as("id1"), col("__held").as("h1")), "id1")
+      .join(tags.select(col("id").as("id2"), col("__held").as("h2")), "id2")
+      .where(col("h1") =!= col("h2"))
+      .select(
+        when(col("h1"), col("id2")).otherwise(col("id1")).as("corpus_id"),
+        when(col("h1"), col("id1")).otherwise(col("id2")).as("held_id"),
+        col("jaccard"))
+  }
+
   /** Capped distinct-vocabulary probe: a typed aggregate whose state
     * stops growing at 65 tokens, so the probe is ONE map-side-combining
     * pass with ≤ 65-entry partials — it never shuffles a large

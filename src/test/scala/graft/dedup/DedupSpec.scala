@@ -169,6 +169,25 @@ class DedupSpec extends SparkSpec {
     assert(both.nonEmpty && both.forall { case (r, s) => r == s })
   }
 
+  test("contamination finds only CROSS-set near-dups, oriented " +
+      "(corpus_id, held_id)") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight"),
+      (102L, "one two three four five six seven eight")) // within-set dup
+      .toDF("doc_id", "text")
+    val held = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // leaked!
+      (2L, "totally different benchmark prompt words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, held, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    // the leak is found, oriented corpus-side first, at jaccard 1
+    assert(out == Set((100L, 1L, 1.0)))
+    // the within-corpus duplicate (101,102) is NOT contamination
+    assert(!out.exists { case (c, h, _) => c == 101L || c == 102L || h > 2L })
+  }
+
   test("simhash: identical docs share fingerprints, unrelated docs do not") {
     val fp = SimHash.fingerprints(docs, "doc_id", "text")
       .as[(Long, String)].collect().toMap
