@@ -170,6 +170,38 @@ object SparkEntry {
     },
     Some("SELECT event_id, user_id, value, event_type AS assessmentid, CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month, CAST(day(ts) AS INT) AS day FROM events"))
 
+  /** S10 — small-file compaction ([[ParquetDataset.compact]]): three
+    * incremental appends accumulate ≥3 files per partition (the
+    * streaming-drain/bookmark-run pattern); compaction rewrites every
+    * over-full partition in place to one file via dynamic partition
+    * overwrite. The entry REQUIREs the file count actually dropped and
+    * that rows survive byte-identically (the read-back is the oracle
+    * comparison); a compactor that loses or duplicates rows fails the
+    * hash, one that doesn't compact fails the REQUIRE.
+    */
+  private val s10Compact = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s10").toString
+      val df = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("value"),
+        col("event_type").as("assessmentid"),
+        year(col("ts")).as("year"), month(col("ts")).as("month"),
+        dayofmonth(col("ts")).as("day"))
+      (0 to 2).foreach(r =>
+        ParquetDataset.write(df.where(col("event_id") % 3 === r), tmp))
+      val before = s.read.parquet(tmp).inputFiles.length
+      val (parts, filesBefore) = ParquetDataset.compact(
+        s, tmp, maxFilesPerPartition = 1)
+      val after = s.read.parquet(tmp).inputFiles.length
+      require(parts > 0 && after < before,
+        s"compaction did not reduce files: $before -> $after ($filesBefore in $parts partitions)")
+      ParquetDataset.read(s, tmp)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("assessmentid"), col("year").cast("int"),
+          col("month").cast("int"), col("day").cast("int"))
+    },
+    Some("SELECT event_id, user_id, value, event_type AS assessmentid, CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month, CAST(day(ts) AS INT) AS day FROM events"))
+
   /** S9 — CSV export/import roundtrip: Hive-partitioned CSV sink with
     * header plus a SCHEMA-APPLIED read-back (no inference — the
     * reference loads its reference CSVs with declared dtypes,
@@ -1765,6 +1797,7 @@ object SparkEntry {
     "s7_quarantine" -> s7Quarantine,
     "s8_listing" -> s8Listing,
     "s9_csv_roundtrip" -> s9CsvRoundtrip,
+    "s10_compact" -> s10Compact,
     "bm_incremental" -> bmIncremental,
     "st_window_counts" -> stWindowCounts,
     "st_session_window" -> stSessionWindow,

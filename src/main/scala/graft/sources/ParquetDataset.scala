@@ -37,4 +37,60 @@ object ParquetDataset {
     val df = spark.read.parquet(path)
     if (columns.isEmpty) df else df.select(columns.map(df.col): _*)
   }
+
+  /** Small-file compaction for an append-heavy partitioned dataset — the
+    * operational complement of incremental appends (every streaming
+    * micro-batch and bookmark run adds files; at scale, listing cost and
+    * task count eventually track file count, not data size). Partitions
+    * holding more than `maxFilesPerPartition` files are rewritten IN
+    * PLACE via dynamic partition overwrite: untouched partitions keep
+    * their files byte-identical, rewritten ones collapse to one
+    * well-clustered file each, and rows are preserved exactly. The
+    * over-full partitions are selected with an explicit OR-of-ANDs
+    * partition predicate (so the rewrite scan prunes to exactly those
+    * directories) and materialized via localCheckpoint before the
+    * overwrite — Spark refuses to overwrite a path its own plan is
+    * still reading. The partition list is driver-sized (one entry per
+    * partition DIRECTORY, same budget as the bookmark manifest).
+    *
+    * @return (partitionsCompacted, filesBefore) for the rewritten set
+    */
+  def compact(
+      spark: SparkSession, path: String,
+      partitionCols: Seq[String] = JsonDataset.PartitionCols,
+      maxFilesPerPartition: Int = 4): (Long, Long) = {
+    require(partitionCols.nonEmpty, "compact needs a partitioned dataset")
+    val files = spark.read.parquet(path).inputFiles
+    val byDir = files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    val overFull = byDir.filter(_._2.length > maxFilesPerPartition)
+    if (overFull.isEmpty) return (0L, 0L)
+    // dir ".../year=2022/month=1" → AND(year=2022, month=1); values ride
+    // as strings and cast against the column type
+    import org.apache.spark.sql.functions.{col, lit}
+    val predicates = overFull.keys.map { dir =>
+      dir.split('/').toSeq
+        .filter(_.contains('='))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          (k, java.net.URLDecoder.decode(v, "UTF-8"))
+        }
+        .filter { case (k, _) => partitionCols.contains(k) }
+        .map { case (k, v) => col(k) === lit(v) }
+        .reduce(_ && _)
+    }
+    val selected = spark.read.parquet(path)
+      .where(predicates.reduce(_ || _))
+      .localCheckpoint() // cut the file-source dependency before overwrite
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      selected
+        .repartition(partitionCols.map(selected.col): _*)
+        .write.mode("overwrite")
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    (overFull.size.toLong, overFull.values.map(_.length.toLong).sum)
+  }
 }

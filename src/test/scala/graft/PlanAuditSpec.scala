@@ -156,6 +156,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("text_bm25: top-k is TakeOrdered; idf table broadcasts; no " +
+      "cartesian product") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ann_pq_topk: code scan never shuffles; ranking is the only " +
+      "exchange past the scored rows") {
+    val p = plan("ann_pq_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ann_topk: queries broadcast; corpus side never shuffles for the join") {
     val p = plan("ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin"))

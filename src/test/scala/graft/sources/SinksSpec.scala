@@ -56,6 +56,37 @@ class SinksSpec extends SparkSpec {
     assert(one.count() == 1)
   }
 
+  test("compact rewrites ONLY over-full partitions; quiet partitions " +
+      "keep their files untouched; rows survive exactly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    def rows(a: String, n: Int) = (1 to n)
+      .map(i => (s"$a-$i", a, 2023, 1, 1))
+      .toDF("recordid", "assessmentid", "year", "month", "day")
+    // partition a: three appends (over-full); partition b: one append
+    (1 to 3).foreach(i => ParquetDataset.write(rows("a", 2), tmp))
+    ParquetDataset.write(rows("b", 2), tmp)
+    def filesOf(part: String) = spark.read.parquet(tmp)
+      .inputFiles.filter(_.contains(s"assessmentid=$part")).sorted.toSeq
+    val aBefore = filesOf("a"); val bBefore = filesOf("b")
+    assert(aBefore.size == 3 && bBefore.size == 1)
+    val beforeRows = spark.read.parquet(tmp).collect()
+      .map(_.toString).sorted.toSeq
+
+    val (parts, nFiles) = ParquetDataset.compact(
+      spark, tmp, maxFilesPerPartition = 2)
+    assert(parts == 1L && nFiles == 3L)
+    // a collapsed to one file; b's file is the SAME file (no rewrite)
+    assert(filesOf("a").size == 1)
+    assert(filesOf("b") == bBefore)
+    val afterRows = spark.read.parquet(tmp).collect()
+      .map(_.toString).sorted.toSeq
+    assert(afterRows == beforeRows)
+    // idempotent: nothing left over the threshold
+    assert(ParquetDataset.compact(spark, tmp, maxFilesPerPartition = 2)
+      == ((0L, 0L)))
+  }
+
   test("P3 injection parses the reference uploadedon format (V5)") {
     val df = Seq(("2022-09-02T10:36:27.754Z", "a1", "r1"))
       .toDF("uploadedon", "aid", "rid")
