@@ -187,11 +187,14 @@ object SparkEntry {
         col("event_type").as("assessmentid"),
         year(col("ts")).as("year"), month(col("ts")).as("month"),
         dayofmonth(col("ts")).as("day"))
+      // partition by assessmentid only: the compaction mechanics are the
+      // same at 5 dirs as at 150, without the bench paying 450 tiny files
       (0 to 2).foreach(r =>
-        ParquetDataset.write(df.where(col("event_id") % 3 === r), tmp))
+        ParquetDataset.write(df.where(col("event_id") % 3 === r), tmp,
+          partitionCols = Seq("assessmentid")))
       val before = s.read.parquet(tmp).inputFiles.length
       val (parts, filesBefore) = ParquetDataset.compact(
-        s, tmp, maxFilesPerPartition = 1)
+        s, tmp, partitionCols = Seq("assessmentid"), maxFilesPerPartition = 1)
       val after = s.read.parquet(tmp).inputFiles.length
       require(parts > 0 && after < before,
         s"compaction did not reduce files: $before -> $after ($filesBefore in $parts partitions)")
