@@ -1218,6 +1218,16 @@ object SparkEntry {
     (s, dir) => Multimodal.decodeAudioMeta(mmWavBlobs(s, dir), "doc_id", "content"),
     Some("SELECT doc_id, 'wav' AS format, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, CAST(100 + doc_id % 50 AS BIGINT) AS n_frames FROM documents"))
 
+  /** REAL audio featurization: decode the WAV PCM samples, per-frame RMS
+    * energy + zero-crossing count (the VAD/silence-filter features).
+    * Samples are exact dyadic rationals, so Σx² is bit-exact in double
+    * regardless of fold order and the oracle needs no rounding at all.
+    */
+  private val mmAudioFeatures = Q(
+    (s, dir) => Multimodal.audioFeatures(mmWavBlobs(s, dir), "doc_id",
+      "content", frameSize = 50),
+    Some("WITH d AS (SELECT doc_id, CAST(100 + doc_id % 50 AS INT) AS n FROM documents), pos AS (SELECT unnest(generate_series(0, 149)) AS k), s AS (SELECT doc_id, k, CAST((doc_id + k * 17) % 256 AS INT) AS sv, CAST(k // 50 AS INT) AS f FROM d JOIN pos ON k < (n // 50) * 50), x AS (SELECT doc_id, f, k % 50 AS kin, (sv - 128) / 128.0 AS xv, sv >= 128 AS sgn, lag(sv >= 128) OVER (PARTITION BY doc_id ORDER BY k) AS prev FROM s) SELECT doc_id, f AS frame_idx, sqrt(sum(xv * xv) / 50) AS rms, CAST(count(*) FILTER (WHERE kin > 0 AND sgn <> prev) AS INT) AS zc FROM x GROUP BY 1, 2"))
+
   /** Frame sampling: payload split into n_frames chunks, every 2nd kept —
     * the child-table shape of video frame extraction.
     */
@@ -1846,6 +1856,7 @@ object SparkEntry {
     "so4_batching" -> so4Batching,
     "mm_decode_meta" -> mmDecodeMeta,
     "mm_audio_meta" -> mmAudioMeta,
+    "mm_audio_features" -> mmAudioFeatures,
     "mm_frame_sample" -> mmFrameSample,
     "mm_featurize" -> mmFeaturize,
     "mm_resize" -> mmResize,

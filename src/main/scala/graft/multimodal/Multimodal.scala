@@ -146,6 +146,71 @@ object Multimodal {
     } finally ais.close()
   } catch { case NonFatal(_) => AudioMeta("unknown", 0, 0, 0L) }
 
+  /** REAL PCM decode: the WAV's unsigned 8-bit mono samples as ints
+    * 0..255 (None for malformed input or any other sample format —
+    * this decoder is deliberately strict so featurization never
+    * silently misinterprets bytes).
+    */
+  def decodePcm8(bytes: Array[Byte]): Option[Array[Int]] = try {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val f = ais.getFormat
+      if (f.getSampleSizeInBits != 8 || f.getChannels != 1 ||
+          f.getEncoding != AudioFormat.Encoding.PCM_UNSIGNED) None
+      else {
+        val n = ais.getFrameLength.toInt
+        val buf = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = ais.read(buf, off, n - off)
+          if (r <= 0) throw new java.io.EOFException("short WAV body")
+          off += r
+        }
+        Some(buf.map(_ & 0xff))
+      }
+    } finally ais.close()
+  } catch { case NonFatal(_) => None }
+
+  /** REAL audio featurization: decode the WAV's PCM samples and emit
+    * per-frame RMS energy and zero-crossing count — the standard cheap
+    * features behind voice-activity/silence filtering of audio corpora.
+    * Samples center as x = (s − 128)/128 (exact dyadic rationals, so
+    * the per-frame Σx² is bit-exact in double regardless of fold order
+    * and the whole feature is oracle-recomputable with no rounding);
+    * only COMPLETE frames are emitted (the tail partial frame carries
+    * no comparable energy). Undecodable blobs produce no rows.
+    */
+  def audioFeatures(
+      df: DataFrame, id: String, content: String, frameSize: Int): DataFrame = {
+    require(frameSize > 0, "frameSize must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    widen(df).select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (rowId, bytes) =>
+          decodePcm8(bytes).iterator.flatMap { s =>
+            val nFrames = s.length / frameSize
+            (0 until nFrames).iterator.map { f =>
+              var sumSq = 0.0
+              var zc = 0
+              var k = f * frameSize
+              val end = k + frameSize
+              while (k < end) {
+                val x = (s(k) - 128) / 128.0
+                sumSq += x * x
+                if (k > f * frameSize &&
+                    (s(k) >= 128) != (s(k - 1) >= 128)) zc += 1
+                k += 1
+              }
+              (rowId, f, math.sqrt(sumSq / frameSize), zc)
+            }
+          }
+        }
+      }
+      .toDF(id, "frame_idx", "rms", "zc")
+  }
+
   /** Encode unsigned 8-bit mono PCM samples as a WAV container. */
   def encodeWavPcm8(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
     val fmt = new AudioFormat(sampleRate.toFloat, 8, 1, false, false)

@@ -133,6 +133,44 @@ class MultimodalSpec extends SparkSpec {
     feats.zip(expect).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
   }
 
+  test("decodeImage handles real BMP bytes (second JVM-bundled format)") {
+    val img = new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 3; x <- 0 until 4)
+      img.getRaster.setSample(x, y, 0, (x * 10 + y) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val bytes = bos.toByteArray
+    assert(Multimodal.sniffFormat(bytes) == "bmp")
+    val m = Multimodal.decodeImage(bytes)
+    assert(m.format == "bmp" && m.width == 4 && m.height == 3)
+    val Some((w, h, px)) = Multimodal.decodeGray(bytes)
+    assert((w, h) == (4, 3) && px(1 * 4 + 2) == 21) // (x=2,y=1) → 2·10+1
+  }
+
+  test("decodePcm8 round-trips samples; audioFeatures computes exact " +
+      "RMS and zero crossings per complete frame") {
+    val samples = Array.tabulate(25)(k => ((k * 37 + 5) % 256).toByte)
+    val wav = Multimodal.encodeWavPcm8(samples, 8000)
+    assert(Multimodal.decodePcm8(wav).get.toSeq ==
+      samples.map(_ & 0xff).toSeq)
+    assert(Multimodal.decodePcm8("nope".getBytes).isEmpty)
+
+    val df = Seq((1L, wav), (2L, "junk".getBytes)).toDF("doc_id", "content")
+    val out = Multimodal.audioFeatures(df, "doc_id", "content", frameSize = 10)
+      .collect()
+    // 25 samples at frame 10 → 2 complete frames, tail dropped; junk → none
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+    assert(out.map(_.getInt(1)).sorted.toSeq == Seq(0, 1))
+    // recompute frame 0 by hand
+    val xs = samples.take(10).map(b => ((b & 0xff) - 128) / 128.0)
+    val rms = math.sqrt(xs.map(x => x * x).sum / 10)
+    val zc = (1 until 10).count(k =>
+      ((samples(k) & 0xff) >= 128) != ((samples(k - 1) & 0xff) >= 128))
+    val f0 = out.find(_.getInt(1) == 0).get
+    assert(f0.getDouble(2) == rms && f0.getInt(3) == zc)
+  }
+
   test("encodeWavPcm8 → decodeAudio round-trips format and frame count") {
     val samples = Array.tabulate(200)(k => (k % 256).toByte)
     val wav = Multimodal.encodeWavPcm8(samples, sampleRate = 8000)
