@@ -299,6 +299,20 @@ object SparkEntry {
   private val stInputCache =
     scala.collection.concurrent.TrieMap[String, String]()
   private val stSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-sfDir normalized events copy for file-streaming entries
+    * (micros timestamp, the columns every streaming entry needs);
+    * consumers declare their own narrower read schema and Catalyst
+    * prunes the rest.
+    */
+  private def stEventsDir(s: SparkSession, dir: String): String =
+    stInputCache.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_st").toString
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$d/in")
+      d
+    })
   locally { // session-lifetime scaffolding, removed when the JVM exits
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       stInputCache.values.foreach { d =>
@@ -313,13 +327,7 @@ object SparkEntry {
 
   private val stWindowCounts = Q(
     (s, dir) => {
-      val tmp = stInputCache.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("graft_st").toString
-        t(s, dir, "events")
-          .select(col("event_id"), col("event_type"), col("ts"))
-          .write.mode("overwrite").parquet(s"$d/in")
-        d
-      })
+      val tmp = stEventsDir(s, dir)
       val stream = s.readStream
         .schema(StructType.fromDDL(
           "event_id bigint, event_type string, ts timestamp"))
@@ -356,6 +364,49 @@ object SparkEntry {
         col("event_type"), col("n"))
     },
     Some("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, event_type, count(*) AS n FROM events GROUP BY 1, 2"))
+
+  /** §2.8-streaming — STREAM-STREAM interval join: view events joined to
+    * purchase events of the same user within a 60-minute event-time
+    * window, both sides watermarked, the time bound inside the join
+    * condition (state evicts once the other side's watermark clears the
+    * window — state tracks the window, never the stream). Inner joins
+    * emit on match, so the AvailableNow drain must equal the batch join
+    * exactly; the streamed pairs land in a parquet sink and the batch
+    * count-per-purchase read-back is the oracle comparison.
+    */
+  private val stStreamJoin = Q(
+    (s, dir) => {
+      val tmp = stEventsDir(s, dir)
+      def stream() = s.readStream
+        .schema(StructType.fromDDL(
+          "event_id bigint, event_type string, ts timestamp, user_id bigint"))
+        .parquet(s"$tmp/in")
+      val views = stream().where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+      val purchases = stream().where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      val joined = graft.streaming.StreamingIngest.streamIntervalJoin(
+        views, purchases, "user_id", "v_ts", "p_ts",
+        window = "60 MINUTES", watermark = "1 hour")
+      val out = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        joined.select(col("purchase_id")).writeStream
+          .format("parquet")
+          .option("path", s"$out/pairs")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.schema(StructType.fromDDL("purchase_id bigint"))
+        .parquet(s"$out/pairs")
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_views"))
+    },
+    Some("SELECT p.event_id AS purchase_id, count(*) AS n_views FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p ON v.user_id = p.user_id AND v.ts >= p.ts AND v.ts < p.ts + INTERVAL 60 MINUTE GROUP BY 1"))
 
   /** §2.8-streaming — gap-based sessionization (built-in session_window,
     * 12-hour gap). Registered in its batch form, where the full result is
@@ -1814,6 +1865,7 @@ object SparkEntry {
     "bm_incremental" -> bmIncremental,
     "st_window_counts" -> stWindowCounts,
     "st_session_window" -> stSessionWindow,
+    "st_stream_join" -> stStreamJoin,
     "st_drain_parquet" -> stDrainParquet,
     "st_relationalize_drain" -> stRelationalizeDrain,
     "e2_schema_evolve" -> e2SchemaEvolve,

@@ -106,6 +106,30 @@ object StreamingIngest {
       .start()
   }
 
+  /** Stream-stream interval join: two event streams joined on a key
+    * within an event-time window — the streaming twin of the
+    * declarative interval join (J8/J9ts). Both sides carry watermarks
+    * and the time bound rides IN the join condition (not a post-filter),
+    * so each side's buffered state evicts once the other side's
+    * watermark clears the window: state stays proportional to the
+    * window and arrival skew, never the stream. Inner joins emit each
+    * match as soon as both rows have arrived, so an AvailableNow drain
+    * equals the batch join exactly. Contract: the frames share ONLY
+    * `keyCol`; their timestamp columns must be distinctly named.
+    */
+  def streamIntervalJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String,
+      window: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        l(leftTs) >= r(rightTs) &&
+        l(leftTs) < r(rightTs) + expr(s"INTERVAL $window"))
+      .drop(r(keyCol))
+  }
+
   /** Watermarked tumbling-window counts — the streaming form of the
     * count-parity reconciliation (A3) tolerating late data.
     */

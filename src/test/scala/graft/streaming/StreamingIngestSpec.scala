@@ -266,6 +266,37 @@ class StreamingIngestSpec extends SparkSpec {
       102L -> Some("silver")))
   }
 
+  test("stream-stream interval join equals the batch join across " +
+      "out-of-order micro-batches") {
+    val tmp = Files.createTempDirectory("graft_ssjoin").toString
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Long) = new Timestamp(1672531200000L + m * 60000L)
+    val lmem = MemoryStream[(Long, Timestamp)]
+    val rmem = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamingIngest.streamIntervalJoin(
+      lmem.toDF.toDF("user_id", "v_ts"),
+      rmem.toDF.toDF("user_id", "purchase_id", "p_ts"),
+      "user_id", "v_ts", "p_ts", window = "10 MINUTES", watermark = "1 day")
+    val q = joined.select($"purchase_id", $"v_ts").writeStream
+      .format("memory").queryName("ssj_sink")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    // batch 1: purchases first, one view in-window, one out
+    rmem.addData((1L, 500L, ts(0)), (2L, 501L, ts(100)))
+    lmem.addData((1L, ts(5)), (1L, ts(30)))
+    q.processAllAvailable()
+    // batch 2: a LATE view arrives for the old purchase (inside the
+    // generous watermark) plus a match for user 2
+    lmem.addData((1L, ts(9)), (2L, ts(105)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_sink").as[(Long, Timestamp)].collect().toSet
+    // every (view within [p_ts, p_ts+10min), same user) pair — including
+    // the late arrival — and nothing else
+    assert(got == Set((500L, ts(5)), (500L, ts(9)), (501L, ts(105))))
+  }
+
   test("stateful keep-latest updates the per-user winner across batches") {
     val tmp = Files.createTempDirectory("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
