@@ -54,9 +54,43 @@ object RangeJoin {
           , col(loCol), lit(", "), col(hiCol),
           lit(")) — increase binWidth or maxBinsPerInterval"))).cast("long"),
       lit(0L))
-    val rb = ranges.withColumn("__bin", explode(sequence(binLo + guard, binHi)))
+    // inverted intervals (lo > hi) are EMPTY under the bound filter and
+    // must produce zero bins — a descending sequence would manufacture
+    // |span| candidates, and a grossly inverted interval would explode
+    // into a huge array before the guard (which tests the ascending
+    // span) could fire
+    val bins = when(binLo > binHi, array().cast("array<long>"))
+      .otherwise(sequence(binLo + guard, binHi))
+    val rb = ranges.withColumn("__bin", explode(bins))
     pb.join(rb, Seq("__bin"))
       .where(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__bin")
+  }
+
+  /** Rows sampled (leading partitions — a cost heuristic) for the
+    * automatic bin width.
+    */
+  val AutoWidthSampleSize = 10000
+
+  /** [[pointInInterval]] with the bin width derived from the sampled
+    * median interval length — the same auto-width contract as the
+    * declarative [[graft.plans.IntervalJoinStrategy]]. Width only tunes
+    * cost, never correctness, so a biased sample degrades performance,
+    * not results. Fails fast when the sample holds no positive finite
+    * length (pass an explicit width for such data).
+    */
+  def pointInInterval(
+      points: DataFrame, pCol: String,
+      ranges: DataFrame, loCol: String, hiCol: String): DataFrame = {
+    val lens = ranges
+      .select((col(hiCol) - col(loCol)).cast("double").as("len"))
+      .where(col("len") > 0 && !col("len").isNaN)
+      .limit(AutoWidthSampleSize)
+      .collect().map(_.getDouble(0))
+    require(lens.nonEmpty,
+      "cannot derive binWidth: no positive interval length in the " +
+        "sample — pass binWidth explicitly")
+    java.util.Arrays.sort(lens)
+    pointInInterval(points, pCol, ranges, loCol, hiCol, lens(lens.length / 2))
   }
 }

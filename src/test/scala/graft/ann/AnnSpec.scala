@@ -190,6 +190,32 @@ class AnnSpec extends SparkSpec {
     assert(top.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
   }
 
+  test("production codebook path: per-subspace kmeans centroids plug " +
+      "into pqEncode/pqTopK unchanged") {
+    val rnd = new scala.util.Random(41)
+    val df = (0L until 60L)
+      .map(i => (i, Seq.fill(16)(rnd.nextDouble().toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    // train one kmeans per subspace over that subspace's slices — the
+    // production replacement for the seed codebook; encode/scan are
+    // byte-for-byte the same machinery
+    val cents = (0 until 4).map { s =>
+      val slices = df.select($"vec_id",
+        slice(Ann.toDouble($"embedding"), s * 4 + 1, 4).as("sub"))
+      val (_, model) = Ann.kmeans(slices, "vec_id", "sub", k = 8, iters = 2)
+      model.centroids
+    }.toArray
+    val cb = Ann.PqCodebook(m = 4, subDim = 4, cents = cents)
+    val codes = Ann.pqEncode(df, "vec_id", "embedding", cb)
+    assert(codes.count() == 60)
+    val q = df.where($"vec_id" < 2L)
+    def run() = Ann.pqTopK(codes, "vec_id", q, "vec_id", "embedding", cb, k = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val first = run()
+    assert(first.size == 8) // 2 queries × k
+    assert(first == run())  // trained model + ADC remain deterministic
+  }
+
   test("ivfPq with nprobe=all equals the flat pq scan; nprobe=1 scans " +
       "only the probed cluster") {
     val rnd = new scala.util.Random(31)

@@ -39,6 +39,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.length == out.distinct.length)
   }
 
+  test("auto bin width (sampled median length) matches every explicit width") {
+    val got = RangeJoin.pointInInterval(points, "p", ranges, "lo", "hi")
+      .select("pid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L), (5L, 40L)))
+  }
+
+  test("grossly inverted intervals yield zero bins, not a huge " +
+      "descending sequence") {
+    val inv = Seq((90L, 1.0e12, 0.0), (91L, 24.0, 26.0)).toDF("rid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, "p", inv, "lo", "hi", 5.0)
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    // the valid interval still matches; the inverted one matches nothing
+    // and allocates nothing
+    assert(out == Set((4L, 91L)))
+  }
+
   test("an interval spanning more than maxBinsPerInterval fails fast") {
     // r3 is 20 units wide: 201 bins at width 0.1 — over a cap of 100
     val e = intercept[Exception] {
