@@ -726,6 +726,27 @@ object SparkEntry {
     },
     Some("SELECT e.event_id, e.user_id, c.click_event_id FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_event_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) c ON e.user_id = c.user_id AND e.ts >= c.ts"))
 
+  /** J6t — the as-of join's TOLERANCE contract: a preceding click older
+    * than one hour is too stale to attribute and yields nulls instead of
+    * a match (the match itself stays the latest-preceding row; tolerance
+    * only gates it). Oracle: DuckDB ASOF LEFT JOIN with the staleness
+    * CASE applied to the matched row's own timestamp.
+    */
+  private val j6AsofTolerance = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_event_id"))
+      graft.operators.AsofJoin.asof(errors, clicks, Seq("user_id"),
+          "ts", "ts", Map("click_event_id" -> "click_event_id"),
+          tolerance = Some("1 HOUR"))
+        .select(col("event_id"), col("user_id"), col("click_event_id"))
+    },
+    Some("SELECT e.event_id, e.user_id, CASE WHEN c.ts IS NOT NULL AND e.ts - c.ts <= INTERVAL 1 HOUR THEN c.click_event_id END AS click_event_id FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_event_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) c ON e.user_id = c.user_id AND e.ts >= c.ts"))
+
   /** J7 — range join ([[graft.operators.RangeJoin]]): view events matched
     * to purchase events whose value lies within ±0.05 — a large×large
     * interval join executed as bin-bucketed equi-join + exact filter,
@@ -1382,6 +1403,17 @@ object SparkEntry {
       terms = Seq("vector", "hash", "scan"), k = 20),
     Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM d), tk AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS w FROM d), tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tk WHERE w IN ('vector', 'hash', 'scan') GROUP BY 1, 2, 3), idf AS (SELECT w, round(ln((st.n - CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5) / (CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5) + 1.0), 9) AS idf FROM tf, st GROUP BY w, st.n), sc AS (SELECT doc_id, round(sum(idf.idf * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score FROM tf JOIN idf USING (w), st GROUP BY 1), r AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc) SELECT doc_id, CAST(rank AS INT) AS rank, score FROM r WHERE rank <= 20"))
 
+  /** Column profiling ([[graft.operators.Profile]]): per-column row/
+    * null/distinct counts and min/max in ONE aggregation over one scan —
+    * the post-conversion sanity report (count parity is the reference's
+    * own acceptance check, etl-245). Oracle: per-column UNION ALL of the
+    * same measures.
+    */
+  private val profileTable = Q(
+    (s, dir) => graft.operators.Profile.table(
+      t(s, dir, "documents"), Seq("doc_id", "lang", "n_chars")),
+    Some("SELECT 'doc_id' AS \"column\", count(*) AS n_rows, count(*) - count(doc_id) AS n_nulls, count(DISTINCT doc_id) AS n_distinct, CAST(min(doc_id) AS VARCHAR) AS min_str, CAST(max(doc_id) AS VARCHAR) AS max_str FROM documents UNION ALL SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents"))
+
   /** SO7 — deterministic stratified sampling: per-stratum keep rates
     * driven by an md5 bucket of the row key (~50% of `en`, ~25% of every
     * other language) — a pure filter, no RNG state, no sampling shuffle,
@@ -1881,6 +1913,7 @@ object SparkEntry {
     "j4_map_lookup" -> j4MapLookup,
     "j5_bucketed_join" -> j5BucketedJoin,
     "j6_asof_join" -> j6AsofJoin,
+    "j6_asof_tolerance" -> j6AsofTolerance,
     "j7_range_join" -> j7RangeJoin,
     "j8_interval_join" -> j8IntervalJoin,
     "j9_bin_interval_join" -> j9BinIntervalJoin,
@@ -1946,6 +1979,7 @@ object SparkEntry {
     "so6_hash_split" -> so6HashSplit,
     "so7_stratified_sample" -> so7StratifiedSample,
     "text_bm25" -> textBm25,
+    "profile_table" -> profileTable,
     "text_pack_sequences" -> textPackSequences,
   )
 

@@ -27,14 +27,21 @@ import org.apache.spark.sql.functions._
   * @param keyCols  equality keys; must exist on both sides by name
   * @param payload  right-side column → output name, carried to each
   *                 matched left row (null where no right row precedes)
+  * @param tolerance optional max staleness as an interval string (e.g.
+  *                 "1 HOUR"): a preceding right row older than this is
+  *                 treated as no match (payload nulls) — the "quote too
+  *                 stale to attribute" contract. The match itself stays
+  *                 the latest-preceding row; tolerance only gates it.
   */
 object AsofJoin {
 
   def asof(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTime: String, rightTime: String,
-      payload: Map[String, String]): DataFrame = {
+      payload: Map[String, String],
+      tolerance: Option[String] = None): DataFrame = {
     require(payload.nonEmpty, "payload must name at least one right column")
+    require(!payload.contains("__rt"), "__rt is a reserved payload name")
     require(keyCols.forall(right.columns.contains),
       s"right side must carry the key columns ${keyCols.mkString(", ")}")
     val reserved = Seq("__t", "__side", "__p", "__m")
@@ -55,7 +62,11 @@ object AsofJoin {
         s"key column $k has mismatched types: left=$lt right=$rt — " +
           "cast one side explicitly before joining")
     }
-    val pStruct = struct(payload.keys.toSeq.map(col): _*)
+    // the matched right row's own time rides in the carry struct so the
+    // tolerance gate can compare it against the left time after the fact
+    val pStruct = struct(
+      col(rightTime).cast("timestamp").as("__rt") +:
+        payload.keys.toSeq.map(col): _*)
     val lFields = left.schema.fields.toSeq
     // right rows reshaped to the left schema (non-key columns nulled) so
     // the union lines up by name
@@ -73,10 +84,16 @@ object AsofJoin {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fresh = tolerance match {
+      case None => lit(true)
+      case Some(t) =>
+        col("__m").getField("__rt") >= col("__t") - expr(s"INTERVAL $t")
+    }
     l2.unionByName(r2)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(lFields.map(f => col(f.name)) ++
-        payload.map { case (rc, out) => col("__m").getField(rc).as(out) }: _*)
+        payload.map { case (rc, out) =>
+          when(fresh, col("__m").getField(rc)).as(out) }: _*)
   }
 }

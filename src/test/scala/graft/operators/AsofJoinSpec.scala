@@ -33,6 +33,25 @@ class AsofJoinSpec extends SparkSpec {
       4L -> Some(101.0), 5L -> Some(55.0), 6L -> None))
   }
 
+  test("tolerance nulls matches staler than the window, keeps fresh ones") {
+    // 20-second tolerance: trade 3 (25s after q1) goes stale; trade 2
+    // (same instant) and trade 4 (30s... ) — compute: t4 at 10:01:30 vs
+    // q2 at 10:01:00 = 30s → also stale at 20s, fresh at 60s
+    val out20 = AsofJoin.asof(trades, quotes, Seq("sym"), "t", "qt",
+        Map("px" -> "px"), tolerance = Some("20 SECONDS"))
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+    assert(out20 == Map(
+      1L -> None, 2L -> Some(100.0), 3L -> None,
+      4L -> None, 5L -> Some(55.0), 6L -> None))
+    val out60 = AsofJoin.asof(trades, quotes, Seq("sym"), "t", "qt",
+        Map("px" -> "px"), tolerance = Some("60 SECONDS"))
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+    // 60s keeps trade 3 (25s) and trade 4 (30s); no-quote rows stay null
+    assert(out60 == Map(
+      1L -> None, 2L -> Some(100.0), 3L -> Some(100.0),
+      4L -> Some(101.0), 5L -> Some(55.0), 6L -> None))
+  }
+
   test("left columns and row count are preserved exactly") {
     val out = AsofJoin.asof(trades, quotes, Seq("sym"), "t", "qt",
       Map("px" -> "px"))
