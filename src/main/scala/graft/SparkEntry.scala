@@ -1390,6 +1390,24 @@ object SparkEntry {
     },
     Some("SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val' ELSE 'test' END AS split FROM documents"))
 
+  /** SO8 — deterministic k-per-group cap sampling (quota sampling: "at
+    * most 30 documents per language", the cap complement of SO7's
+    * rates). Rank within each group by an md5 hash of the row key —
+    * a uniform-but-deterministic order, so the keep-set is identical on
+    * every retry — and keep rank ≤ k. One window over the group key;
+    * groups under the cap pass through whole.
+    */
+  private val so8SampleKPerGroup = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 30)
+        .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk"))
+    },
+    Some("SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) WHERE rk <= 30"))
+
   /** BM25 retrieval scoring ([[TextAnalysis.bm25TopK]]): top-20 documents
     * for a 3-term query — the relevance scorer behind "keep documents
     * that look like the target domain" corpus filtering. Postings filter
@@ -1980,6 +1998,7 @@ object SparkEntry {
     "so7_stratified_sample" -> so7StratifiedSample,
     "text_bm25" -> textBm25,
     "profile_table" -> profileTable,
+    "so8_sample_k_per_group" -> so8SampleKPerGroup,
     "text_pack_sequences" -> textPackSequences,
   )
 
