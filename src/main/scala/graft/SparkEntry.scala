@@ -1390,6 +1390,21 @@ object SparkEntry {
     },
     Some("SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val' ELSE 'test' END AS split FROM documents"))
 
+  /** Overlapping chunking ([[TextAnalysis.chunks]]): 40-token windows
+    * with 10-token overlap, exploded to the (doc, chunk_idx, chunk)
+    * child-table shape — the RAG-ingestion / long-document splitter.
+    * Pure column expressions; the oracle re-derives every window with
+    * the same slice arithmetic.
+    */
+  private val textChunks = Q(
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.chunks(col("text"), size = 40, overlap = 10))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("chunk")),
+    Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), k AS (SELECT doc_id, ws, greatest(1, CAST(ceil((len(ws) - 10) / 30.0) AS BIGINT)) AS nk FROM d), i AS (SELECT doc_id, ws, unnest(generate_series(0, nk - 1)) AS ci FROM k) SELECT doc_id, CAST(ci AS INT) AS chunk_idx, array_to_string(ws[(ci*30+1):(ci*30+40)], ' ') AS chunk FROM i"))
+
   /** SO8 — deterministic k-per-group cap sampling (quota sampling: "at
     * most 30 documents per language", the cap complement of SO7's
     * rates). Rank within each group by an md5 hash of the row key —
@@ -1999,6 +2014,7 @@ object SparkEntry {
     "text_bm25" -> textBm25,
     "profile_table" -> profileTable,
     "so8_sample_k_per_group" -> so8SampleKPerGroup,
+    "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
   )
 

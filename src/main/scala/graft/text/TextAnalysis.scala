@@ -80,6 +80,28 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Overlapping token-window chunks of a document — the context-window
+    * splitter behind RAG ingestion and long-document training prep.
+    * Chunk i covers tokens [i·step, i·step + size) with
+    * step = size − overlap; the chunk count is ⌈(n − overlap)/step⌉
+    * (min 1, so every document yields at least one chunk). Pure column
+    * expressions (sequence/transform/slice — codegen, no UDF), exactly
+    * re-derivable in SQL. Returns array<string> of chunk texts; pair
+    * with posexplode for the (doc, chunk_idx, chunk) child-table shape.
+    */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val ts = tokens(text)
+    // the `size` param shadows functions.size — qualify the builtin
+    val n = org.apache.spark.sql.functions.size(ts).cast("long")
+    val k = greatest(lit(1L),
+      ceil((n - overlap).cast("double") / step).cast("long"))
+    transform(sequence(lit(0L), k - 1),
+      i => concat_ws(" ", slice(ts, (i * step + 1).cast("int"), lit(size))))
+  }
+
   /** BM25 relevance of every document against a small query-term set —
     * the retrieval scorer behind relevance-based corpus filtering
     * ("keep documents that look like the target domain"). Postings are

@@ -47,6 +47,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("chunks: overlapping windows cover every token; short and empty " +
+      "docs yield exactly one chunk") {
+    val words = (1 to 75).map(i => s"w$i")
+    val out = Seq(words.mkString(" ")).toDF("text")
+      .select(TextAnalysis.chunks($"text", size = 40, overlap = 10))
+      .as[Seq[String]].head()
+    // 75 tokens, step 30 → ceil(65/30) = 3 chunks: [1,40], [31,70], [61,75]
+    assert(out.length == 3)
+    assert(out(0) == words.take(40).mkString(" "))
+    assert(out(1) == words.slice(30, 70).mkString(" "))
+    assert(out(2) == words.slice(60, 75).mkString(" "))
+    // consecutive chunks overlap by exactly `overlap` tokens
+    assert(out(0).split(" ").takeRight(10).toSeq ==
+      out(1).split(" ").take(10).toSeq)
+    val one = Seq("only three words", "").toDF("text")
+      .select(TextAnalysis.chunks($"text", 40, 10)).as[Seq[String]].collect()
+    assert(one(0) == Seq("only three words"))
+    assert(one(1).length == 1) // empty doc still yields one (empty) chunk
+  }
+
   test("bm25 ranks term-dense short docs above term-sparse long ones, " +
       "ignores non-query terms, caps at k") {
     val docs = Seq(
