@@ -53,22 +53,37 @@ object ParquetDataset {
     * still reading. The partition list is driver-sized (one entry per
     * partition DIRECTORY, same budget as the bookmark manifest).
     *
+    * By default one call compacts every over-full partition. The
+    * checkpoint pins one copy of every partition being rewritten in
+    * executor storage for the run, so at large backlogs pass
+    * `maxPartitionsPerRun` to bound the envelope: each call takes the
+    * worst offenders (most files first); loop while the returned
+    * `filesBefore` strictly decreases. (Loop on that, not on (0, 0): a
+    * partition whose single-task rewrite still splits into more than
+    * `maxFilesPerPartition` files — `spark.sql.files.maxRecordsPerFile`
+    * — is re-selected forever; size the threshold above the per-task
+    * split count.)
+    *
     * @return (partitionsCompacted, filesBefore) for the rewritten set
     */
   def compact(
       spark: SparkSession, path: String,
       partitionCols: Seq[String] = JsonDataset.PartitionCols,
-      maxFilesPerPartition: Int = 4): (Long, Long) = {
+      maxFilesPerPartition: Int = 4,
+      maxPartitionsPerRun: Int = Int.MaxValue): (Long, Long) = {
     require(partitionCols.nonEmpty, "compact needs a partitioned dataset")
+    require(maxPartitionsPerRun > 0, "maxPartitionsPerRun must be positive")
     val files = spark.read.parquet(path).inputFiles
     val byDir = files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
     val overFull = byDir.filter(_._2.length > maxFilesPerPartition)
+      .toSeq.sortBy { case (d, fs) => (-fs.length, d) }
+      .take(maxPartitionsPerRun)
     if (overFull.isEmpty) return (0L, 0L)
     // dir ".../year=2022/month=1" → AND(year=2022, month=1); values ride
     // as strings and cast against the column type
     import org.apache.spark.sql.functions.{col, lit}
-    val predicates = overFull.keys.map { dir =>
-      dir.split('/').toSeq
+    val predicates = overFull.map { case (dir, _) =>
+      val eqs = dir.split('/').toSeq
         .filter(_.contains('='))
         .map { seg =>
           val Array(k, v) = seg.split("=", 2)
@@ -76,7 +91,14 @@ object ParquetDataset {
         }
         .filter { case (k, _) => partitionCols.contains(k) }
         .map { case (k, v) => col(k) === lit(v) }
-        .reduce(_ && _)
+      // a dir yielding no predicate means the on-disk layout does not
+      // carry the declared partition columns — surface that instead of
+      // an opaque empty.reduce (or a predicate matching the whole table)
+      require(eqs.nonEmpty,
+        s"compact: directory $dir carries none of the declared partition " +
+          s"columns ${partitionCols.mkString(", ")} — is $path partitioned " +
+          "by them?")
+      eqs.reduce(_ && _)
     }
     val selected = spark.read.parquet(path)
       .where(predicates.reduce(_ || _))
@@ -91,6 +113,6 @@ object ParquetDataset {
         .parquet(path)
     } finally
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-    (overFull.size.toLong, overFull.values.map(_.length.toLong).sum)
+    (overFull.size.toLong, overFull.map(_._2.length.toLong).sum)
   }
 }
