@@ -35,9 +35,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // optional args restrict the run (local iteration aid)
+    // optional args restrict the run (local iteration aid); an unknown
+    // name is a typo, and a silently-empty run would read as "fast"
     val names = {
       val all = SparkEntry.queries.keys.toSeq.sorted
+      val unknown = args.filterNot(all.contains)
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
       if (args.isEmpty) all else all.filter(args.toSet)
     }
     // Phase breakdowns for composite entries (PhaseTimer), keyed

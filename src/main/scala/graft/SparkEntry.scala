@@ -1721,16 +1721,19 @@ object SparkEntry {
   private val annTrainedIvf = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // only the EAGER stage gets a phase: kmeans runs its actions here,
+      // while the assignment join + IVF search are lazy and execute in
+      // the caller's materialization — their cost is the query total
+      // minus `train`, and a fake near-zero "search" phase would only
+      // mislead
       val (assign, _) = PhaseTimer.phase("train") {
         Ann.kmeans(emb, "vec_id", "embedding", k = 4, iters = 2)
       }
-      PhaseTimer.phase("index_search") {
-        val clustered = emb.join(
-          assign.withColumnRenamed("id", "vec_id"), "vec_id")
-        Ann.ivfTopK(clustered, "vec_id", "embedding", "cluster",
-          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, nprobe = 4)
-      }
+      val clustered = emb.join(
+        assign.withColumnRenamed("id", "vec_id"), "vec_id")
+      Ann.ivfTopK(clustered, "vec_id", "embedding", "cluster",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 4)
     },
     Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neighbor_id, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
 

@@ -431,52 +431,47 @@ object Ann {
       }.toDF(id, "codes")
   }
 
-  /** ADC (asymmetric distance) top-k over PQ codes: the query batch and
-    * codebook broadcast; each partition builds the |q|×m×ksub lookup
-    * table ONCE (query-slice-to-centroid squared distances), then every
-    * code row costs m array lookups per query — the classic PQ scan: no
-    * decode, no joins, no corpus shuffle, distance work independent of
-    * the original dimensionality. The query batch is collected driver-
-    * side (the standard small-queries/large-corpus split; batch size is
-    * the caller's budget). ADC is an approximation of the true distance;
-    * with the seed codebook it is still fully deterministic, so results
-    * are exactly oracle-checkable. Output rounds ADC to 4 decimals
-    * (absorbing summation-order ulps) and ranks ascending with a
-    * neighbor-id tiebreak.
+  /** Collect the (driver-sized) query batch with a dim check against the
+    * codebook — shared by both ADC scans.
     */
-  def pqTopK(
-      codes: DataFrame, id: String,
+  private def collectQueries(
       queries: DataFrame, qId: String, qVec: String,
-      cb: PqCodebook, k: Int): DataFrame = {
-    val spark = codes.sparkSession
+      cb: PqCodebook): Array[(Long, Array[Double])] = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    val qs = queries
-      .select(col(qId).cast("long"), toDouble(col(qVec)))
+    queries.select(col(qId).cast("long"), toDouble(col(qVec)))
       .as[(Long, Seq[Double])].collect()
       .map { case (i, v) =>
         require(v.length == cb.dim,
           s"query dim ${v.length} != codebook dim ${cb.dim}")
         (i, v.toArray)
       }
-    val bc = spark.sparkContext.broadcast((qs, cb))
-    val scored = widen(codes).select(col(id).cast("long"), col("codes"))
-      .as[(Long, Seq[Int])]
-      .mapPartitions { it =>
-        val (q, b) = bc.value
-        val lut = Array.tabulate(q.length, b.m, b.ksub)((qi, s, j) =>
-          subDist2(q(qi)._2, s * b.subDim, b.cents(s)(j)))
-        it.flatMap { case (nid, cseq) =>
-          val cArr = cseq.toArray
-          q.indices.iterator.map { qi =>
-            var adc = 0.0
-            var s = 0
-            while (s < b.m) { adc += lut(qi)(s)(cArr(s)); s += 1 }
-            (q(qi)._1, nid,
-              BigDecimal(adc).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-                .toDouble)
-          }
-        }
-      }.toDF("q_id", "neighbor_id", "adc")
+  }
+
+  /** The |q|×m×ksub query-slice-to-centroid distance table one partition
+    * builds once — every subsequent code row costs m array lookups.
+    */
+  private def adcLut(
+      q: Array[(Long, Array[Double])], b: PqCodebook): Array[Array[Array[Double]]] =
+    Array.tabulate(q.length, b.m, b.ksub)((qi, s, j) =>
+      subDist2(q(qi)._2, s * b.subDim, b.cents(s)(j)))
+
+  /** Sum a code row's m LUT entries, quantized to 4 decimals (absorbing
+    * summation-order ulps) — the one ADC arithmetic both scans share.
+    */
+  private def adcOf(
+      lut: Array[Array[Array[Double]]], qi: Int, codes: Array[Int],
+      m: Int): Double = {
+    var adc = 0.0
+    var s = 0
+    while (s < m) { adc += lut(qi)(s)(codes(s)); s += 1 }
+    BigDecimal(adc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Rank scored (q_id, neighbor_id, adc) rows: ascending ADC with a
+    * neighbor-id tiebreak, self excluded, top k per query.
+    */
+  private def rankAdc(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     scored.where(col("q_id") =!= col("neighbor_id"))
@@ -484,6 +479,38 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("int").as("rank"),
         col("neighbor_id"), col("adc"))
+  }
+
+  /** ADC (asymmetric distance) top-k over PQ codes: the query batch and
+    * codebook broadcast; each partition builds the lookup table ONCE
+    * ([[adcLut]]), then every code row costs m array lookups per query —
+    * the classic PQ scan: no decode, no joins, no corpus shuffle,
+    * distance work independent of the original dimensionality. The query
+    * batch is collected driver-side (the standard small-queries/
+    * large-corpus split; batch size is the caller's budget). ADC is an
+    * approximation of the true distance; with the seed codebook it is
+    * still fully deterministic, so results are exactly oracle-checkable.
+    */
+  def pqTopK(
+      codes: DataFrame, id: String,
+      queries: DataFrame, qId: String, qVec: String,
+      cb: PqCodebook, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qs = collectQueries(queries, qId, qVec, cb)
+    val bc = spark.sparkContext.broadcast((qs, cb))
+    val scored = widen(codes).select(col(id).cast("long"), col("codes"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        val (q, b) = bc.value
+        val lut = adcLut(q, b)
+        it.flatMap { case (nid, cseq) =>
+          val cArr = cseq.toArray
+          q.indices.iterator.map(qi =>
+            (q(qi)._1, nid, adcOf(lut, qi, cArr, b.m)))
+        }
+      }.toDF("q_id", "neighbor_id", "adc")
+    rankAdc(scored, k)
   }
 
   /** IVF-PQ top-k — the full production index shape: a coarse quantizer
@@ -504,14 +531,7 @@ object Ann {
       cb: PqCodebook, k: Int, nprobe: Int): DataFrame = {
     val spark = indexed.sparkSession
     import spark.implicits._
-    val qs = queries
-      .select(col(qId).cast("long"), toDouble(col(qVec)))
-      .as[(Long, Seq[Double])].collect()
-      .map { case (i, v) =>
-        require(v.length == cb.dim,
-          s"query dim ${v.length} != codebook dim ${cb.dim}")
-        (i, v.toArray)
-      }
+    val qs = collectQueries(queries, qId, qVec, cb)
     val qDf = qs.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("q_id", "q_vec")
       .withColumn("__qn", sqrt(dotD(col("q_vec"), col("q_vec"))))
     val cents = centTable
@@ -533,26 +553,12 @@ object Ann {
       .mapPartitions { it =>
         val (q, b) = bc.value
         val qIdx = q.iterator.map(_._1).zipWithIndex.toMap
-        val lut = Array.tabulate(q.length, b.m, b.ksub)((qi, s, j) =>
-          subDist2(q(qi)._2, s * b.subDim, b.cents(s)(j)))
+        val lut = adcLut(q, b)
         it.map { case (nid, qid, cseq) =>
-          val cArr = cseq.toArray
-          val qi = qIdx(qid)
-          var adc = 0.0
-          var s = 0
-          while (s < b.m) { adc += lut(qi)(s)(cArr(s)); s += 1 }
-          (qid, nid,
-            BigDecimal(adc).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble)
+          (qid, nid, adcOf(lut, qIdx(qid), cseq.toArray, b.m))
         }
       }.toDF("q_id", "neighbor_id", "adc")
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc").asc, col("neighbor_id").asc)
-    scored.where(col("q_id") =!= col("neighbor_id"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"), col("adc"))
+    rankAdc(scored, k)
   }
 
   /** Exact pairwise similarity ≥ threshold (verification baseline —

@@ -72,6 +72,23 @@ object RangeJoin {
     */
   val AutoWidthSampleSize = 10000
 
+  /** Median of the positive FINITE lengths in `lens` — the one
+    * auto-width rule, shared with the planner strategy
+    * ([[graft.plans.IntervalJoinStrategy]]) so the two paths can never
+    * drift. Infinite lengths (open-ended intervals) are excluded: an
+    * infinite width would collapse every row into one bin — the exact
+    * single-task pathology binning exists to avoid. Mutates `lens`
+    * order (sorts in place).
+    */
+  private[graft] def medianPositive(lens: Array[Double]): Option[Double] = {
+    val ok = lens.filter(d => d > 0 && !d.isNaN && !d.isInfinite)
+    if (ok.isEmpty) None
+    else {
+      java.util.Arrays.sort(ok)
+      Some(ok(ok.length / 2))
+    }
+  }
+
   /** [[pointInInterval]] with the bin width derived from the sampled
     * median interval length — the same auto-width contract as the
     * declarative [[graft.plans.IntervalJoinStrategy]]. Width only tunes
@@ -84,13 +101,11 @@ object RangeJoin {
       ranges: DataFrame, loCol: String, hiCol: String): DataFrame = {
     val lens = ranges
       .select((col(hiCol) - col(loCol)).cast("double").as("len"))
-      .where(col("len") > 0 && !col("len").isNaN)
       .limit(AutoWidthSampleSize)
-      .collect().map(_.getDouble(0))
-    require(lens.nonEmpty,
-      "cannot derive binWidth: no positive interval length in the " +
-        "sample — pass binWidth explicitly")
-    java.util.Arrays.sort(lens)
-    pointInInterval(points, pCol, ranges, loCol, hiCol, lens(lens.length / 2))
+      .collect().map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    val width = medianPositive(lens).getOrElse(throw new IllegalArgumentException(
+      "cannot derive binWidth: no positive finite interval length in the " +
+        "sample — pass binWidth explicitly"))
+    pointInInterval(points, pCol, ranges, loCol, hiCol, width)
   }
 }

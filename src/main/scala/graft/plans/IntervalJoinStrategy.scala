@@ -161,8 +161,15 @@ class IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
     * of the intervals side, executed as its own tiny subquery
     * (`take` reads only the leading partitions — a deliberately cheap
     * cost heuristic; the width only tunes candidate fanout, never
-    * correctness). None when the sample yields no positive finite
-    * length (the caller then falls through to built-in planning).
+    * correctness). Note the tradeoff this buys: the sampling job runs
+    * at PLAN time, so even `explain()` of an oversized interval join
+    * reads up to the sample's rows — accepted, because the alternative
+    * is the nested-loop plan. The median rule itself is shared with the
+    * explicit API ([[graft.operators.RangeJoin.medianPositive]]) so the
+    * two paths cannot drift. None when the sample yields no positive
+    * finite length OR the sampling fails — the failure is logged before
+    * falling through to built-in planning, so a silent BNLJ degrade is
+    * traceable.
     */
   private def autoWidth(
       intervals: LogicalPlan, epochLo: Expression,
@@ -177,14 +184,15 @@ class IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
         spark.sessionState.executePlan(proj).toRdd.take(AutoWidthSampleSize)
       val lens = rows.iterator
         .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-        .map(r => r.getDouble(1) - r.getDouble(0))
-        .filter(d => d > 0 && !d.isInfinite).toArray
-      if (lens.isEmpty) None
-      else {
-        java.util.Arrays.sort(lens)
-        Some(lens(lens.length / 2))
-      }
-    } catch { case NonFatal(_) => None }
+        .map(r => r.getDouble(1) - r.getDouble(0)).toArray
+      graft.operators.RangeJoin.medianPositive(lens)
+    } catch {
+      case NonFatal(e) =>
+        logWarning("interval-join auto-width sampling failed; falling " +
+          s"through to built-in planning (likely BroadcastNestedLoopJoin). " +
+          s"Set $BinWidthConf explicitly. Cause: $e")
+        None
+    }
 
   private def binRewrite(
       join: LogicalPlan, l: LogicalPlan, r: LogicalPlan,

@@ -73,9 +73,32 @@ object ParquetDataset {
       maxPartitionsPerRun: Int = Int.MaxValue): (Long, Long) = {
     require(partitionCols.nonEmpty, "compact needs a partitioned dataset")
     require(maxPartitionsPerRun > 0, "maxPartitionsPerRun must be positive")
+    // partition values must round-trip VERBATIM: with type inference on,
+    // a string partition holding numeric-looking values (month=01) would
+    // re-render through the int type into a DIFFERENT directory
+    // (month=1) — dynamic overwrite then leaves the original dir and its
+    // files in place and every row reads twice. Reading the partition
+    // columns as strings pins dir names across the rewrite.
+    val prevInfer = spark.conf.get(
+      "spark.sql.sources.partitionColumnTypeInference.enabled")
+    spark.conf.set(
+      "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try compactStrings(
+      spark, path, partitionCols, maxFilesPerPartition, maxPartitionsPerRun)
+    finally spark.conf.set(
+      "spark.sql.sources.partitionColumnTypeInference.enabled", prevInfer)
+  }
+
+  private def compactStrings(
+      spark: SparkSession, path: String, partitionCols: Seq[String],
+      maxFilesPerPartition: Int, maxPartitionsPerRun: Int): (Long, Long) = {
     val files = spark.read.parquet(path).inputFiles
     val byDir = files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
     val overFull = byDir.filter(_._2.length > maxFilesPerPartition)
+      // a null partition value (__HIVE_DEFAULT_PARTITION__) cannot be
+      // selected by an equality predicate; leave such dirs untouched
+      // rather than reporting them compacted
+      .filterNot(_._1.contains("__HIVE_DEFAULT_PARTITION__"))
       .toSeq.sortBy { case (d, fs) => (-fs.length, d) }
       .take(maxPartitionsPerRun)
     if (overFull.isEmpty) return (0L, 0L)

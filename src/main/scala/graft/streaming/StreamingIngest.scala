@@ -52,16 +52,23 @@ object StreamingIngest {
     *
     * foreachBatch is AT-LEAST-ONCE: a failure after some tables are
     * written, followed by a batch retry, would re-append to the
-    * already-written tables. The per-table writes are therefore made
-    * idempotent with a `_graft_batch_<id>` marker written after each
-    * table's append commits: a retry skips every (table, batchId) whose
+    * already-written tables. Each table's append therefore commits a
+    * marker after it lands: a retry skips every (table, batchId) whose
     * marker exists and re-runs only the tables that never committed
     * (within one table, Spark's file commit protocol already makes the
-    * append all-or-nothing). Markers ride inside the table directory —
-    * `_`-prefixed, so every reader treats them as hidden — and each
-    * marker supersedes the previous batch's, which is deleted once the
-    * new one lands (batches are sequential per query, so only the
-    * newest can ever be retried).
+    * append all-or-nothing). This shrinks the duplicate window from
+    * "every table written before the failure" to the single table whose
+    * append committed but whose marker write didn't — true exactly-once
+    * across multiple plain parquet sinks needs a transactional table
+    * format. Markers ride inside the table directory (`_`-prefixed, so
+    * every reader treats them as hidden) and are NAMESPACED BY
+    * CHECKPOINT: batchIds restart at 0 when a checkpoint is discarded,
+    * and a stale same-id marker from an earlier incarnation must never
+    * silently swallow the new run's batch (discarding a checkpoint while
+    * keeping the output means reprocessing — duplicates are that
+    * contract, dropped batches are not). Each marker supersedes its
+    * predecessor, which is deleted once the new one lands (batches are
+    * sequential per query, so only the newest can ever be retried).
     */
   def relationalizeDrain(
       spark: SparkSession, jsonRoot: String, dataset: String,
@@ -72,6 +79,12 @@ object StreamingIngest {
     import graft.sources.{JsonDataset, ParquetDataset}
     import org.apache.hadoop.fs.Path
     val hadoopConf = spark.sparkContext.hadoopConfiguration
+    // checkpoint identity, not path chars: same checkpoint → same prefix
+    // across restarts; a different checkpoint can never collide
+    val ckptTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val prefix = s"_graft_batch_${ckptTag}_"
     readJsonStream(spark, jsonRoot, dataset, schema).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -84,7 +97,7 @@ object StreamingIngest {
           else Map(dataset -> batch.toDF())
         tables.foreach { case (name, df) =>
           val tableDir = new Path(s"$parquetRoot/$name")
-          val marker = new Path(tableDir, s"_graft_batch_$batchId")
+          val marker = new Path(tableDir, s"$prefix$batchId")
           val fs = marker.getFileSystem(hadoopConf)
           if (!fs.exists(marker)) {
             val out = df.select(
@@ -92,12 +105,12 @@ object StreamingIngest {
                 JsonDataset.PartitionCols).map(col).toIndexedSeq: _*)
             ParquetDataset.write(out, tableDir.toString)
             fs.create(marker, true).close()
-            // retire superseded markers: earlier batches can no longer
-            // be retried once this one committed
+            // retire superseded markers of THIS checkpoint: earlier
+            // batches can no longer be retried once this one committed
             if (fs.exists(tableDir)) fs.listStatus(tableDir).foreach { st =>
               val n = st.getPath.getName
-              if (n.startsWith("_graft_batch_") &&
-                  n.stripPrefix("_graft_batch_").toLong < batchId)
+              if (n.startsWith(prefix) &&
+                  n.stripPrefix(prefix).toLong < batchId)
                 fs.delete(st.getPath, false)
             }
           }

@@ -122,6 +122,14 @@ object TextAnalysis {
       count(lit(1)).cast("double").as("n"),
       avg(tokenCount(col(text)).cast("double")).as("avgdl")).head()
     val n = stats.getDouble(0)
+    // empty corpus: avg is null — return zero rows with the output
+    // schema instead of an unboxing NPE (a filtering pipeline may
+    // legitimately hand this an empty partition)
+    if (stats.isNullAt(1))
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(null).cast(docs.schema(id).dataType).as(id),
+          lit(null).cast("int").as("rank"),
+          lit(null).cast("double").as("score"))
     val avgdl = stats.getDouble(1)
     val toks = docs
       .select(col(id), tokenCount(col(text)).cast("double").as("dl"),

@@ -87,6 +87,25 @@ class SinksSpec extends SparkSpec {
       == ((0L, 0L)))
   }
 
+  test("compact preserves directory names for numeric-looking string " +
+      "partition values (no re-typed dir, no row duplication)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp01").toString
+    def rows(n: Int) = (1 to n).map(i => (s"r$i", "01"))
+      .toDF("recordid", "assessmentid")
+    (1 to 3).foreach(_ => ParquetDataset.write(rows(2), tmp,
+      partitionCols = Seq("assessmentid")))
+    assert(spark.read.parquet(tmp).count() == 6)
+    val (parts, _) = ParquetDataset.compact(
+      spark, tmp, partitionCols = Seq("assessmentid"), maxFilesPerPartition = 1)
+    assert(parts == 1L)
+    // the value "01" must NOT re-render through int inference into a new
+    // assessmentid=1 directory (which would leave the old files in place
+    // and double every row)
+    assert(new java.io.File(s"$tmp/assessmentid=01").isDirectory)
+    assert(!new java.io.File(s"$tmp/assessmentid=1").exists())
+    assert(spark.read.parquet(tmp).count() == 6)
+  }
+
   test("P3 injection parses the reference uploadedon format (V5)") {
     val df = Seq(("2022-09-02T10:36:27.754Z", "a1", "r1"))
       .toDF("uploadedon", "aid", "rid")
