@@ -205,6 +205,27 @@ object SparkEntry {
     },
     Some("SELECT event_id, user_id, value, event_type AS assessmentid, CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month, CAST(day(ts) AS INT) AS day FROM events"))
 
+  /** S11 — ORC sink/source roundtrip (the second columnar format Spark
+    * ships natively): Hive-partitioned write with the same pre-write
+    * clustering contract as the parquet sink, schema-preserving
+    * read-back. Interop surface for warehouses that standardized on ORC;
+    * predicate pushdown and column pruning work through the same
+    * Catalyst machinery as parquet.
+    */
+  private val s11OrcRoundtrip = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s11").toString
+      val df = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("value"),
+        col("event_type").as("assessmentid"))
+      df.repartition(col("assessmentid"))
+        .write.mode("overwrite").partitionBy("assessmentid").orc(tmp)
+      s.read.orc(tmp)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("assessmentid"))
+    },
+    Some("SELECT event_id, user_id, value, event_type AS assessmentid FROM events"))
+
   /** S9 — CSV export/import roundtrip: Hive-partitioned CSV sink with
     * header plus a SCHEMA-APPLIED read-back (no inference — the
     * reference loads its reference CSVs with declared dtypes,
@@ -1930,6 +1951,7 @@ object SparkEntry {
     "s8_listing" -> s8Listing,
     "s9_csv_roundtrip" -> s9CsvRoundtrip,
     "s10_compact" -> s10Compact,
+    "s11_orc_roundtrip" -> s11OrcRoundtrip,
     "bm_incremental" -> bmIncremental,
     "st_window_counts" -> stWindowCounts,
     "st_session_window" -> stSessionWindow,
