@@ -181,6 +181,59 @@ object PropertySpec extends Properties("graft") {
       rootOk && childOk
     }
 
+  private val corpusSizesGen: Gen[(List[Int], Int, Int)] = for {
+    n <- Gen.chooseNum(1, 40)
+    lens <- Gen.listOfN(n, Gen.chooseNum(1, 50))
+    maxTokens <- Gen.oneOf(8, 16, 32)
+    groups <- Gen.chooseNum(1, 4)
+  } yield (lens, maxTokens, groups)
+
+  property("packSequences conserves docs and tokens at any corpus shape, " +
+      "group count, and budget") =
+    Prop.forAllNoShrink(corpusSizesGen) { case (lens, maxTokens, groups) =>
+      import spark.implicits._
+      val docs = lens.zipWithIndex
+        .map { case (len, i) => (i.toLong, List.fill(len)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val packed = graft.text.TextAnalysis.packSequences(
+        docs, "doc_id", "text", maxTokens, groups).collect()
+      val docsOk = packed.map(_.getAs[Long]("n_docs")).sum == lens.length
+      val toksOk = packed.map(_.getAs[Long]("n_tokens")).sum == lens.sum
+      // per group, sequence ids ascend and start at zero
+      val seqOk = packed.groupBy(_.getAs[Long]("grp")).forall { case (_, rs) =>
+        val s = rs.map(_.getAs[Long]("seq")).sorted.toSeq
+        s.head == 0L && s == s.distinct
+      }
+      docsOk && toksOk && seqOk
+    }
+
+  private val chunkGen: Gen[(Int, Int, Int)] = for {
+    n <- Gen.chooseNum(0, 120)
+    chunkSize <- Gen.chooseNum(2, 40)
+    overlap <- Gen.chooseNum(0, chunkSize - 1)
+  } yield (n, chunkSize, overlap)
+
+  property("chunks covers every token in order with the exact overlap, " +
+      "for any length/size/overlap") =
+    Prop.forAllNoShrink(chunkGen) { case (n, chunkSize, overlap) =>
+      import spark.implicits._
+      val words = (1 to n).map(i => s"w$i")
+      val out = Seq(words.mkString(" ")).toDF("text")
+        .select(graft.text.TextAnalysis.chunks($"text", chunkSize, overlap))
+        .as[Seq[String]].head()
+      val step = chunkSize - overlap
+      val chunksTok = out.map(_.split(" ").filter(_.nonEmpty).toSeq)
+      // chunk i is exactly the token window [i·step, i·step + size)
+      val windowsOk = chunksTok.zipWithIndex.forall { case (c, i) =>
+        c == words.slice(i * step, i * step + chunkSize)
+      }
+      // concatenation of de-overlapped chunks reconstructs the corpus
+      val rebuilt = chunksTok.zipWithIndex.flatMap { case (c, i) =>
+        if (i == 0) c else c.drop(overlap)
+      }
+      windowsOk && rebuilt == words && out.nonEmpty
+    }
+
   private val typeGen: Gen[DataType] = Gen.oneOf(
     StringType, IntegerType, LongType, DoubleType, BooleanType,
     ArrayType(StringType), ArrayType(IntegerType))
