@@ -203,10 +203,16 @@ object Dedup {
         .select(col(id).as("id"), col(text).as("__t"), lit(true).as("__held")))
     val pairs = minhashPairs(
       tagged, "id", "__t", threshold, numHashes, bands, shingleN)
+    // re-attach the side tags by BROADCASTING the pair-sized frame and
+    // streaming the corpus-sized tag projection in place — joining the
+    // other way round would shuffle the full corpus twice to decorate a
+    // handful of pairs
     val tags = tagged.select(col("id"), col("__held"))
-    pairs
-      .join(tags.select(col("id").as("id1"), col("__held").as("h1")), "id1")
-      .join(tags.select(col("id").as("id2"), col("__held").as("h2")), "id2")
+    val withH1 = tags.select(col("id").as("id1"), col("__held").as("h1"))
+      .join(broadcast(pairs), "id1")
+    val full = tags.select(col("id").as("id2"), col("__held").as("h2"))
+      .join(broadcast(withH1), "id2")
+    full
       .where(col("h1") =!= col("h2"))
       .select(
         when(col("h1"), col("id2")).otherwise(col("id1")).as("corpus_id"),

@@ -151,6 +151,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n$p")
   }
 
+  test("dedup_contamination: tag decoration broadcasts the pair side; " +
+      "the corpus-sized tag projection never shuffles for it") {
+    val p = plan("dedup_contamination")
+    // the two decoration joins must be BroadcastHashJoins (pairs side
+    // broadcast); a SortMergeJoin here means the full corpus shuffled
+    // to decorate a handful of pairs
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) BroadcastHashJoin\\s*")) >= 2, p)
+  }
+
   test("text_ngrams: top-k is TakeOrdered, never a global sort") {
     val p = plan("text_ngrams")
     assert(p.contains("TakeOrderedAndProject"), p)
