@@ -1430,18 +1430,19 @@ object SparkEntry {
     * most 30 documents per language", the cap complement of SO7's
     * rates). Rank within each group by an md5 hash of the row key —
     * a uniform-but-deterministic order, so the keep-set is identical on
-    * every retry — and keep rank ≤ k. One window over the group key;
-    * groups under the cap pass through whole.
+    * every retry — via the TWO-PHASE salted rank
+    * ([[Salted.topKPerGroup]]): a handful of coarse strata must never
+    * serialize the whole corpus through a few window tasks. Groups under
+    * the cap pass through whole; the oracle is the equivalent
+    * single-phase window.
     */
   private val so8SampleKPerGroup = Q(
-    (s, dir) => {
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      t(s, dir, "documents").select(col("doc_id"), col("lang"))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 30)
-        .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk"))
-    },
+    (s, dir) => Salted.topKPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        groupCols = Seq("lang"),
+        orderCols = Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+        k = 30)
+      .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk")),
     Some("SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) WHERE rk <= 30"))
 
   /** BM25 retrieval scoring ([[TextAnalysis.bm25TopK]]): top-20 documents

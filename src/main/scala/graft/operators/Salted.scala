@@ -12,6 +12,37 @@ import org.apache.spark.sql.functions._
   */
 object Salted {
 
+  /** Deterministic top-k rows per group at ANY group size: two-phase
+    * rank. A single `row_number` window serializes each group through
+    * ONE task — for quota sampling over a handful of coarse strata
+    * (languages, domains) that is the whole corpus sorting on a few
+    * cores. Phase 1 ranks within (group, hash-salt) partitions and
+    * keeps k per salt — the k global minima of a group necessarily
+    * survive their salt's local cut — so phase 2's real window ranks at
+    * most salts·k rows per group. Output matches the single-phase rank
+    * exactly; `orderCols` must be fully tie-broken for determinism.
+    *
+    * @return input columns + `rankName` (1..k per group)
+    */
+  def topKPerGroup(
+      df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+      k: Int, salts: Int = 64, rankName: String = "rk"): DataFrame = {
+    require(k > 0 && salts > 0, "k and salts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val groups: Seq[Column] = groupCols.map(col)
+    val salted = df.withColumn("__tkg_salt",
+      pmod(xxhash64(orderCols: _*), lit(salts.toLong)))
+    val w1 = Window.partitionBy(groups :+ col("__tkg_salt"): _*)
+      .orderBy(orderCols: _*)
+    val w2 = Window.partitionBy(groups: _*).orderBy(orderCols: _*)
+    salted
+      .withColumn("__tkg_r1", row_number().over(w1))
+      .where(col("__tkg_r1") <= k)
+      .withColumn(rankName, row_number().over(w2))
+      .where(col(rankName) <= k)
+      .drop("__tkg_salt", "__tkg_r1")
+  }
+
   /** Exact count-distinct per key with the value space salted: stage 1
     * counts distinct values within (key, hash(value) % salts) — each
     * distinct value lands in exactly one salt bucket, so the per-bucket
