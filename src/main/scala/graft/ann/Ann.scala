@@ -469,17 +469,18 @@ object Ann {
   }
 
   /** Rank scored (q_id, neighbor_id, adc) rows: ascending ADC with a
-    * neighbor-id tiebreak, self excluded, top k per query.
+    * neighbor-id tiebreak, self excluded, top k per query — via the
+    * two-phase salted rank, so a query's whole candidate set (the full
+    * corpus in a flat scan) never sorts through one window task.
     */
-  private def rankAdc(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc").asc, col("neighbor_id").asc)
-    scored.where(col("q_id") =!= col("neighbor_id"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+  private def rankAdc(scored: DataFrame, k: Int): DataFrame =
+    graft.operators.Salted.topKPerGroup(
+        scored.where(col("q_id") =!= col("neighbor_id")),
+        groupCols = Seq("q_id"),
+        orderCols = Seq(col("adc"), col("neighbor_id")),
+        k = k, rankName = "rank")
       .select(col("q_id"), col("rank").cast("int").as("rank"),
         col("neighbor_id"), col("adc"))
-  }
 
   /** ADC (asymmetric distance) top-k over PQ codes: the query batch and
     * codebook broadcast; each partition builds the lookup table ONCE
