@@ -165,6 +165,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("text_pack_sequences: one exchange — the pack-group shuffle " +
+      "feeds window and aggregate without a second one") {
+    val p = plan("text_pack_sequences")
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange\\s*"))
+    assert(exchanges == 1, s"expected the single grp exchange, got $exchanges:\n$p")
+    assert(!p.contains("UDF"), p)
+  }
+
   test("text_bm25: top-k is TakeOrdered; idf table broadcasts; no " +
       "cartesian product") {
     val p = plan("text_bm25")
