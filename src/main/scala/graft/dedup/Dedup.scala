@@ -203,15 +203,18 @@ object Dedup {
         .select(col(id).as("id"), col(text).as("__t"), lit(true).as("__held")))
     val pairs = minhashPairs(
       tagged, "id", "__t", threshold, numHashes, bands, shingleN)
-    // re-attach the side tags by BROADCASTING the pair-sized frame and
-    // streaming the corpus-sized tag projection in place — joining the
-    // other way round would shuffle the full corpus twice to decorate a
-    // handful of pairs
+    // re-attach the side tags with the corpus-sized tag projection on
+    // the STREAM side and the pair frame on the build side, join choice
+    // left to the planner: pairs are usually a handful (AQE's runtime
+    // stats then convert to a broadcast join with local reads — no
+    // corpus shuffle), but a heavily contaminated corpus can produce
+    // O(corpus) pairs, and a forced broadcast hint would hard-fail or
+    // OOM exactly in the case this scan exists to detect
     val tags = tagged.select(col("id"), col("__held"))
     val withH1 = tags.select(col("id").as("id1"), col("__held").as("h1"))
-      .join(broadcast(pairs), "id1")
+      .join(pairs, "id1")
     val full = tags.select(col("id").as("id2"), col("__held").as("h2"))
-      .join(broadcast(withH1), "id2")
+      .join(withH1, "id2")
     full
       .where(col("h1") =!= col("h2"))
       .select(

@@ -22,16 +22,30 @@ object Salted {
     * most salts·k rows per group. Output matches the single-phase rank
     * exactly; `orderCols` must be fully tie-broken for determinism.
     *
+    * @param saltCols plain (hashable) expressions the salt derives
+    *   from. Defaults to `orderCols`, which is only valid when those
+    *   are plain ascending columns — a `col.desc` sort key is a
+    *   SortOrder and cannot be hashed, so pass explicit saltCols (any
+    *   deterministic per-row keys, e.g. the underlying columns) when
+    *   ranking descending.
     * @return input columns + `rankName` (1..k per group)
     */
   def topKPerGroup(
       df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
-      k: Int, salts: Int = 64, rankName: String = "rk"): DataFrame = {
+      k: Int, salts: Int = 64, rankName: String = "rk",
+      saltCols: Seq[Column] = Nil): DataFrame = {
     require(k > 0 && salts > 0, "k and salts must be positive")
+    // loud failure beats silently replacing a caller's column
+    val reserved = Seq("__tkg_salt", "__tkg_r1", rankName)
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input columns collide with topKPerGroup internals/output: " +
+        s"${clash.mkString(", ")} — rename them or pass a different rankName")
     import org.apache.spark.sql.expressions.Window
     val groups: Seq[Column] = groupCols.map(col)
+    val saltOn = if (saltCols.nonEmpty) saltCols else orderCols
     val salted = df.withColumn("__tkg_salt",
-      pmod(xxhash64(orderCols: _*), lit(salts.toLong)))
+      pmod(xxhash64(saltOn: _*), lit(salts.toLong)))
     val w1 = Window.partitionBy(groups :+ col("__tkg_salt"): _*)
       .orderBy(orderCols: _*)
     val w2 = Window.partitionBy(groups: _*).orderBy(orderCols: _*)
