@@ -790,6 +790,26 @@ object SparkEntry {
     },
     Some("SELECT v.event_id AS view_id, p.event_id AS purchase_id, round(v.value, 4) AS view_value FROM (SELECT * FROM events WHERE event_type = 'view') v JOIN (SELECT * FROM events WHERE event_type = 'purchase') p ON v.value >= p.value - 0.05 AND v.value < p.value + 0.05"))
 
+  /** J7L — the LEFT-OUTER range join ([[RangeJoin.pointInIntervalLeft]]):
+    * the enrichment shape — every view survives, purchase columns null
+    * where no band covers it. Composed as the inner bin join plus a
+    * keyed anti-join; both legs linear, no nested loop.
+    */
+  private val j7RangeJoinLeft = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("value").as("pv"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          (col("value") - 0.05).as("lo"), (col("value") + 0.05).as("hi"))
+      graft.operators.RangeJoin.pointInIntervalLeft(
+          views, "pv", purchases, "lo", "hi", binWidth = 0.05)
+        .select(col("view_id"), col("purchase_id"),
+          round(col("pv"), 4).as("view_value"))
+    },
+    Some("SELECT v.event_id AS view_id, p.event_id AS purchase_id, round(v.value, 4) AS view_value FROM (SELECT * FROM events WHERE event_type = 'view') v LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p ON v.value >= p.value - 0.05 AND v.value < p.value + 0.05"))
+
   /** J8 — the same point-in-interval semantics as J7, written as a
     * DECLARATIVE inequality join and planned by the injected
     * [[graft.plans.IntervalJoinStrategy]]: lineitem quantities (large
@@ -1974,6 +1994,7 @@ object SparkEntry {
     "j6_asof_join" -> j6AsofJoin,
     "j6_asof_tolerance" -> j6AsofTolerance,
     "j7_range_join" -> j7RangeJoin,
+    "j7_range_join_left" -> j7RangeJoinLeft,
     "j8_interval_join" -> j8IntervalJoin,
     "j9_bin_interval_join" -> j9BinIntervalJoin,
     "j9_ts_interval_join" -> j9TsIntervalJoin,

@@ -67,6 +67,28 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** LEFT-OUTER point-in-interval join: every point survives, nulls on
+    * the range side where no interval covers it — the enrichment shape
+    * ("attach the containing session, keep unmatched events"). Composed
+    * as the inner bin join plus an anti-join of the unmatched points
+    * against the MATCHED point set (left_anti on the point frame's own
+    * columns — no second interval pass), so both legs stay linear and
+    * keyed; no nested loop at any cardinality.
+    */
+  def pointInIntervalLeft(
+      points: DataFrame, pCol: String,
+      ranges: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double, maxBinsPerInterval: Long = 100000L): DataFrame = {
+    val inner = pointInInterval(
+      points, pCol, ranges, loCol, hiCol, binWidth, maxBinsPerInterval)
+    val matchedPoints = inner.select(points.columns.map(col): _*)
+    val unmatched = points.join(
+      matchedPoints.distinct(), points.columns.toSeq, "left_anti")
+    val nulls = ranges.schema.fields.toSeq.map(f =>
+      lit(null).cast(f.dataType).as(f.name))
+    inner.unionByName(unmatched.select(points.columns.map(col) ++ nulls: _*))
+  }
+
   /** Rows sampled (leading partitions — a cost heuristic) for the
     * automatic bin width.
     */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
 
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -37,6 +38,26 @@ class RangeJoinSpec extends SparkSpec {
     val out = RangeJoin.pointInInterval(points, "p", ranges, "lo", "hi", 0.1)
       .select("pid", "rid").as[(Long, Long)].collect()
     assert(out.length == out.distinct.length)
+  }
+
+  test("left-outer variant keeps unmatched points with nulled range " +
+      "columns and equals the brute-force left join") {
+    val got = RangeJoin.pointInIntervalLeft(
+        points, "p", ranges, "lo", "hi", 5.0)
+      .select("pid", "rid").as[(Long, Option[Long])]
+      .collect().sorted.toSeq
+    val brute = points.as("a").crossJoin(ranges.as("b"))
+      .where($"p" >= $"lo" && $"p" < $"hi")
+      .select($"pid", $"rid")
+      .unionByName(points.join(
+          points.as("a").crossJoin(ranges.as("b"))
+            .where($"p" >= $"lo" && $"p" < $"hi").select("pid").distinct(),
+          Seq("pid"), "left_anti")
+        .select($"pid", lit(null).cast("bigint").as("rid")))
+      .as[(Long, Option[Long])].collect().sorted.toSeq
+    assert(got == brute)
+    // point 6 (no covering range) survives with a null rid
+    assert(got.contains((6L, None)))
   }
 
   test("auto bin width (sampled median length) matches every explicit width") {

@@ -34,6 +34,29 @@ class SaltedSpec extends SparkSpec {
     assert(single.count(_._2 == "c") == 3)
   }
 
+  test("topKPerGroup ranks by DESCENDING keys via explicit saltCols") {
+    val df = (1L to 200L).map(i => (i, (i % 3).toString, (i * 37 % 101).toInt))
+      .toDF("id", "grp", "score")
+    val order = Seq($"score".desc, $"id")
+    val w = Window.partitionBy($"grp").orderBy(order: _*)
+    val single = df.withColumn("rk", row_number().over(w)).where($"rk" <= 5)
+      .select("id", "grp", "rk").as[(Long, String, Int)]
+      .collect().sortBy(r => (r._2, r._3)).toSeq
+    val two = Salted.topKPerGroup(df, Seq("grp"), order, k = 5,
+        saltCols = Seq($"score", $"id"))
+      .select("id", "grp", "rk").as[(Long, String, Int)]
+      .collect().sortBy(r => (r._2, r._3)).toSeq
+    assert(two == single && two.nonEmpty)
+  }
+
+  test("topKPerGroup rejects colliding input column names loudly") {
+    val df = Seq((1L, "a", 2)).toDF("id", "grp", "rk")
+    val e = intercept[IllegalArgumentException] {
+      Salted.topKPerGroup(df, Seq("grp"), Seq($"id"), k = 1)
+    }
+    assert(e.getMessage.contains("rk"))
+  }
+
   test("salted countDistinct equals the plain aggregate") {
     val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
     val got = Salted.countDistinct(df, Seq("k"), "v", salts = 4)
