@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${DotProduct.Name} takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
-    ext.injectPlannerStrategy(_ => new IntervalJoinStrategy)
+    // thread the owning session through so plan-time width sampling runs
+    // on the session that owns the plan, not whatever is `active`
+    ext.injectPlannerStrategy(s => new IntervalJoinStrategy(Some(s)))
   }
 }

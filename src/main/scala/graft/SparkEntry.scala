@@ -1509,11 +1509,16 @@ object SparkEntry {
     * (a global cumsum would serialize the corpus through one window
     * partition). Oracle recomputes the same exclusive-cumsum window
     * arithmetic.
+    *
+    * Oracle convention: DuckDB widens integer `sum(...)` and `//` to
+    * HUGEINT (arrow decimal128), which hash-mismatches Spark's int64
+    * even when values agree — every integer aggregate/division in a
+    * final oracle SELECT must be wrapped in CAST(... AS BIGINT).
     */
   private val textPackSequences = Q(
     (s, dir) => TextAnalysis.packSequences(
       t(s, dir, "documents"), "doc_id", "text", maxTokens = 256, groups = 8),
-    Some("WITH tk AS (SELECT doc_id, doc_id % 8 AS grp, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS toks FROM documents), c AS (SELECT grp, doc_id, toks, COALESCE(sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tk) SELECT grp, cum // 256 AS seq, count(*) AS n_docs, sum(toks) AS n_tokens FROM c GROUP BY 1, 2"))
+    Some("WITH tk AS (SELECT doc_id, doc_id % 8 AS grp, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS toks FROM documents), c AS (SELECT grp, doc_id, toks, COALESCE(sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tk) SELECT grp, CAST(cum // 256 AS BIGINT) AS seq, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM c GROUP BY 1, 2"))
 
   // --------------------------------------------------------------------
   // Analytic surface: percentiles, rollup, windows, pivot

@@ -188,19 +188,29 @@ object Dedup {
     * same MinHash-LSH banding as [[minhashPairs]] — the union is banded
     * once, candidates verify exactly, and only cross-set pairs survive
     * (within-set duplicates are the dedup pipeline's business, not
-    * contamination). Ids must be unique across the two inputs. Returns
-    * (corpus_id, held_id, jaccard). At scale the held side is typically
-    * tiny (benchmark suites), but nothing assumes it: both sides ride
-    * the same banded shuffle, never an all-pairs product.
+    * contamination). Ids must be unique WITHIN each input; the two id
+    * spaces may overlap (both numbered from 0 is the common case) — ids
+    * are namespaced internally with the side tag before banding, so a
+    * corpus doc and a held doc sharing an id value are never conflated.
+    * Returns (corpus_id, held_id, jaccard) in the inputs' id type. At
+    * scale the held side is typically tiny (benchmark suites), but
+    * nothing assumes it: both sides ride the same banded shuffle, never
+    * an all-pairs product.
     */
   def contamination(
       corpus: DataFrame, held: DataFrame, id: String, text: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 32,
       shingleN: Int = 3): DataFrame = {
+    // namespace the banding key by side ("c:"/"h:" + id) so overlapping
+    // id spaces stay distinct; the original-typed id rides along for the
+    // final projection
     val tagged = corpus
-      .select(col(id).as("id"), col(text).as("__t"), lit(false).as("__held"))
+      .select(col(id).as("__oid"), col(text).as("__t"), lit(false).as("__held"))
       .unionByName(held
-        .select(col(id).as("id"), col(text).as("__t"), lit(true).as("__held")))
+        .select(col(id).as("__oid"), col(text).as("__t"), lit(true).as("__held")))
+      .withColumn("id", concat(
+        when(col("__held"), lit("h:")).otherwise(lit("c:")),
+        col("__oid").cast("string")))
     val pairs = minhashPairs(
       tagged, "id", "__t", threshold, numHashes, bands, shingleN)
     // re-attach the side tags with the corpus-sized tag projection on
@@ -210,16 +220,18 @@ object Dedup {
     // corpus shuffle), but a heavily contaminated corpus can produce
     // O(corpus) pairs, and a forced broadcast hint would hard-fail or
     // OOM exactly in the case this scan exists to detect
-    val tags = tagged.select(col("id"), col("__held"))
-    val withH1 = tags.select(col("id").as("id1"), col("__held").as("h1"))
+    val tags = tagged.select(col("id"), col("__oid"), col("__held"))
+    val withH1 = tags.select(
+        col("id").as("id1"), col("__oid").as("oid1"), col("__held").as("h1"))
       .join(pairs, "id1")
-    val full = tags.select(col("id").as("id2"), col("__held").as("h2"))
+    val full = tags.select(
+        col("id").as("id2"), col("__oid").as("oid2"), col("__held").as("h2"))
       .join(withH1, "id2")
     full
       .where(col("h1") =!= col("h2"))
       .select(
-        when(col("h1"), col("id2")).otherwise(col("id1")).as("corpus_id"),
-        when(col("h1"), col("id1")).otherwise(col("id2")).as("held_id"),
+        when(col("h1"), col("oid2")).otherwise(col("oid1")).as("corpus_id"),
+        when(col("h1"), col("oid1")).otherwise(col("oid2")).as("held_id"),
         col("jaccard"))
   }
 

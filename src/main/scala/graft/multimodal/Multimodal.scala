@@ -89,8 +89,11 @@ object Multimodal {
   }
 
   /** REAL decode to an 8-bit row-major raster of band-0 samples (gray
-    * level for grayscale images, red channel otherwise). None on any
-    * malformed input.
+    * level for grayscale images, red channel otherwise). Deeper rasters
+    * (e.g. 16-bit grayscale PNG → TYPE_USHORT_GRAY) are rescaled to
+    * 0..255 by dropping low bits, so the 8-bit contract holds for every
+    * decodable image — downstream histograms must never see a sample
+    * > 255. None on any malformed input.
     */
   def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = try {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
@@ -99,11 +102,16 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       val raster = img.getRaster
+      val bits = raster.getSampleModel.getSampleSize(0)
+      val shift = math.max(0, bits - 8)
       val out = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        while (x < w) {
+          out(y * w + x) = math.min(255, raster.getSample(x, y, 0) >>> shift)
+          x += 1
+        }
         y += 1
       }
       Some((w, h, out))

@@ -71,9 +71,15 @@ object RangeJoin {
     * the range side where no interval covers it — the enrichment shape
     * ("attach the containing session, keep unmatched events"). Composed
     * as the inner bin join plus an anti-join of the unmatched points
-    * against the MATCHED point set (left_anti on the point frame's own
-    * columns — no second interval pass), so both legs stay linear and
-    * keyed; no nested loop at any cardinality.
+    * against the MATCHED point set, so both legs stay linear and keyed;
+    * no nested loop at any cardinality.
+    *
+    * The anti-join compares every point column NULL-SAFELY (`<=>`): with
+    * plain equality a matched row holding a NULL attribute would never
+    * equal its own entry in the matched set and would be re-emitted as
+    * "unmatched" with nulled range columns — appearing both matched and
+    * null-extended. EqualNullSafe still extracts as a hash-join key, so
+    * the leg stays a keyed anti join, not a nested loop.
     */
   def pointInIntervalLeft(
       points: DataFrame, pCol: String,
@@ -81,9 +87,13 @@ object RangeJoin {
       binWidth: Double, maxBinsPerInterval: Long = 100000L): DataFrame = {
     val inner = pointInInterval(
       points, pCol, ranges, loCol, hiCol, binWidth, maxBinsPerInterval)
-    val matchedPoints = inner.select(points.columns.map(col): _*)
-    val unmatched = points.join(
-      matchedPoints.distinct(), points.columns.toSeq, "left_anti")
+    // prefixed aliases break the self-join lineage so each <=> side
+    // resolves unambiguously
+    val matched = inner.select(points.columns.map(col): _*).distinct()
+      .toDF(points.columns.map("__m_" + _): _*)
+    val antiCond = points.columns
+      .map(c => col(c) <=> col("__m_" + c)).reduce(_ && _)
+    val unmatched = points.join(matched, antiCond, "left_anti")
     val nulls = ranges.schema.fields.toSeq.map(f =>
       lit(null).cast(f.dataType).as(f.name))
     inner.unionByName(unmatched.select(points.columns.map(col) ++ nulls: _*))

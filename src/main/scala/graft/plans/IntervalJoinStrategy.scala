@@ -49,7 +49,11 @@ import scala.util.control.NonFatal
   *    strategy only ever substitutes a better plan for the same
   *    semantics, never changes them.
   */
-class IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
+class IntervalJoinStrategy(
+    owner: Option[org.apache.spark.sql.SparkSession] = None)
+  extends SparkStrategy with PredicateHelper {
+
+  def this() = this(None)
 
   /** Session conf for the large×large bin width (same unit as the point
     * column; for timestamp bounds the unit is MICROSECONDS, for date
@@ -170,28 +174,64 @@ class IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
     * finite length OR the sampling fails — the failure is logged before
     * falling through to built-in planning, so a silent BNLJ degrade is
     * traceable.
+    *
+    * The sampled width is CACHED per canonicalized intervals plan: the
+    * planner re-plans (and `explain()` replans) the same query several
+    * times, and without the cache each pass re-runs the sampling job.
+    * The cache is per-strategy-instance — strategies are built once per
+    * session by [[graft.GraftExtensions]] — so entries never leak across
+    * sessions. Bounded LRU (`AutoWidthCacheSize`) so long-lived sessions
+    * planning many distinct interval joins don't accumulate plans.
     */
+  private val AutoWidthCacheSize = 64
+
+  private val widthCache =
+    new java.util.LinkedHashMap[LogicalPlan, Option[Double]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[LogicalPlan, Option[Double]]): Boolean =
+        size() > AutoWidthCacheSize
+    }
+
+  /** The session owning the plan being sampled: the one this strategy
+    * was registered with when available (multi-session applications —
+    * `SparkSession.active` can be a DIFFERENT session with different
+    * conf/catalog than the one planning), else the active session.
+    */
+  private def sessionFor(): org.apache.spark.sql.classic.SparkSession =
+    owner match {
+      case Some(s: org.apache.spark.sql.classic.SparkSession) => s
+      case _ => org.apache.spark.sql.classic.SparkSession.active
+    }
+
   private def autoWidth(
       intervals: LogicalPlan, epochLo: Expression,
       epochHi: Expression): Option[Double] =
     if (intervals.isStreaming) None
-    else try {
+    else {
       val proj = Project(Seq(
         Alias(Cast(epochLo, DoubleType), "__graft_lo")(),
         Alias(Cast(epochHi, DoubleType), "__graft_hi")()), intervals)
-      val spark = org.apache.spark.sql.classic.SparkSession.active
-      val rows =
-        spark.sessionState.executePlan(proj).toRdd.take(AutoWidthSampleSize)
-      val lens = rows.iterator
-        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-        .map(r => r.getDouble(1) - r.getDouble(0)).toArray
-      graft.operators.RangeJoin.medianPositive(lens)
-    } catch {
-      case NonFatal(e) =>
-        logWarning("interval-join auto-width sampling failed; falling " +
-          s"through to built-in planning (likely BroadcastNestedLoopJoin). " +
-          s"Set $BinWidthConf explicitly. Cause: $e")
-        None
+      val key = proj.canonicalized
+      widthCache.synchronized {
+        val hit = widthCache.get(key)
+        if (hit != null) return hit
+      }
+      val computed = try {
+        val rows = sessionFor().sessionState
+          .executePlan(proj).toRdd.take(AutoWidthSampleSize)
+        val lens = rows.iterator
+          .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+          .map(r => r.getDouble(1) - r.getDouble(0)).toArray
+        graft.operators.RangeJoin.medianPositive(lens)
+      } catch {
+        case NonFatal(e) =>
+          logWarning("interval-join auto-width sampling failed; falling " +
+            s"through to built-in planning (likely BroadcastNestedLoopJoin). " +
+            s"Set $BinWidthConf explicitly. Cause: $e")
+          None
+      }
+      widthCache.synchronized { widthCache.put(key, computed) }
+      computed
     }
 
   private def binRewrite(

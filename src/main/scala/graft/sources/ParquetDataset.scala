@@ -89,6 +89,28 @@ object ParquetDataset {
       "spark.sql.sources.partitionColumnTypeInference.enabled", prevInfer)
   }
 
+  /** Hive/Spark partition-path unescape: only `%XX` sequences decode
+    * (Spark's `ExternalCatalogUtils.unescapePathName` semantics). NOT
+    * URL decoding — `java.net.URLDecoder` maps `+` to a space, but the
+    * writer leaves literal `+` unescaped (spaces become `%20`), so a
+    * partition value containing `+` would produce a predicate matching
+    * nothing and the compaction loop would never converge on it.
+    */
+  private[sources] def unescapePathName(path: String): String = {
+    val sb = new StringBuilder(path.length)
+    var i = 0
+    while (i < path.length) {
+      val c = path.charAt(i)
+      if (c == '%' && i + 2 < path.length) {
+        val code = try Integer.parseInt(path.substring(i + 1, i + 3), 16)
+        catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def compactStrings(
       spark: SparkSession, path: String, partitionCols: Seq[String],
       maxFilesPerPartition: Int, maxPartitionsPerRun: Int): (Long, Long) = {
@@ -110,7 +132,7 @@ object ParquetDataset {
         .filter(_.contains('='))
         .map { seg =>
           val Array(k, v) = seg.split("=", 2)
-          (k, java.net.URLDecoder.decode(v, "UTF-8"))
+          (k, unescapePathName(v))
         }
         .filter { case (k, _) => partitionCols.contains(k) }
         .map { case (k, v) => col(k) === lit(v) }

@@ -188,6 +188,24 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists { case (c, h, _) => c == 101L || c == 102L || h > 2L })
   }
 
+  test("contamination tolerates OVERLAPPING id spaces (both sides " +
+      "numbered from the same range)") {
+    // corpus doc 1 and held doc 1 share an id value but are different
+    // docs; held doc 1 leaks corpus doc 2's text — the cross pair must
+    // surface as (2, 1), not be conflated or dropped
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val held = Seq(
+      (1L, "one two three four five six seven eight"), // leaked, same id as c1
+      (2L, "totally different benchmark prompt words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, held, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((2L, 1L, 1.0)))
+  }
+
   test("simhash: identical docs share fingerprints, unrelated docs do not") {
     val fp = SimHash.fingerprints(docs, "doc_id", "text")
       .as[(Long, String)].collect().toMap

@@ -90,6 +90,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeGray("junk".getBytes).isEmpty)
   }
 
+  test("decodeGray rescales 16-bit grayscale PNG to the 8-bit contract " +
+      "and featurizeImage never overflows its histogram") {
+    // well-formed 16-bit gray PNG with samples up to 65535
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.getRaster.setSample(x, y, 0, (x + y * 4) * 4369) // 0..65535
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    val Some((w, h, px)) = Multimodal.decodeGray(bytes)
+    assert((w, h) == (4, 4))
+    assert(px.forall(v => v >= 0 && v <= 255), s"out-of-range: ${px.toSeq}")
+    assert(px.max == 255 && px.min == 0) // full range survives the rescale
+    // the featurizer path (the original crash site) produces a row
+    val df = Seq((1L, bytes)).toDF("doc_id", "content")
+    val feats = Multimodal.featurizeImage(df, "doc_id", "content", bins = 16)
+      .select("features").as[Seq[Double]].head()
+    assert(feats.length == 16 && math.abs(feats.sum - 1.0) < 1e-12)
+  }
+
   test("decodeImage sniffs and decodes real PNG; garbage degrades safely") {
     val m = Multimodal.decodeImage(Multimodal.encodeGrayPng(5, 3, pixel))
     assert(m.format == "png" && m.width == 5 && m.height == 3 && m.nFrames == 1)

@@ -60,6 +60,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.contains((6L, None)))
   }
 
+  test("left-outer variant: a matched point with a NULL attribute column " +
+      "is not duplicated as unmatched") {
+    // pid=2 matches r1 but carries a null tag; null-unsafe anti-join
+    // equality would re-emit it as "unmatched" with a nulled rid
+    val tagged = Seq(
+      (1L, 0.0, Some("a")),
+      (2L, 9.99, None: Option[String]),
+      (6L, 99.0, None: Option[String]))
+      .toDF("pid", "p", "tag")
+    val got = RangeJoin.pointInIntervalLeft(
+        tagged, "p", ranges, "lo", "hi", 5.0)
+      .select("pid", "rid").as[(Long, Option[Long])]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, Some(10L)), (2L, Some(10L)), (6L, None)))
+  }
+
   test("auto bin width (sampled median length) matches every explicit width") {
     val got = RangeJoin.pointInInterval(points, "p", ranges, "lo", "hi")
       .select("pid", "rid").as[(Long, Long)].collect().sorted.toSeq

@@ -106,6 +106,31 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(tmp).count() == 6)
   }
 
+  test("compact converges on partition values containing '+' (path " +
+      "unescape is Hive %XX semantics, not URL decoding)") {
+    // URLDecoder would turn "a+b" in the dir name into "a b", producing
+    // a predicate matching nothing: the partition reports compacted but
+    // its files never merge
+    assert(ParquetDataset.unescapePathName("a+b") == "a+b")
+    assert(ParquetDataset.unescapePathName("a%20b") == "a b")
+    assert(ParquetDataset.unescapePathName("x%3Ay") == "x:y")
+    assert(ParquetDataset.unescapePathName("50%") == "50%") // dangling %
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmpplus").toString
+    def rows(n: Int) = (1 to n).map(i => (s"r$i", "a+b"))
+      .toDF("recordid", "assessmentid")
+    (1 to 3).foreach(_ => ParquetDataset.write(rows(2), tmp,
+      partitionCols = Seq("assessmentid")))
+    val (parts, nFiles) = ParquetDataset.compact(
+      spark, tmp, partitionCols = Seq("assessmentid"), maxFilesPerPartition = 1)
+    assert(parts == 1L && nFiles == 3L)
+    // actually converged: one file left, rows intact, second run a no-op
+    assert(spark.read.parquet(tmp)
+      .inputFiles.count(_.contains("assessmentid=")) == 1)
+    assert(spark.read.parquet(tmp).count() == 6)
+    assert(ParquetDataset.compact(spark, tmp,
+      partitionCols = Seq("assessmentid"), maxFilesPerPartition = 1) == ((0L, 0L)))
+  }
+
   test("P3 injection parses the reference uploadedon format (V5)") {
     val df = Seq(("2022-09-02T10:36:27.754Z", "a1", "r1"))
       .toDF("uploadedon", "aid", "rid")
