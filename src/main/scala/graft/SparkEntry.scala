@@ -151,6 +151,36 @@ object SparkEntry {
     },
     Some("SELECT doc_id, n_chars, lang AS assessmentid, CAST(2020 + doc_id % 2 AS INT) AS year, CAST(1 + doc_id % 3 AS INT) AS month, CAST(1 + doc_id % 4 AS INT) AS day FROM documents"))
 
+  /** S12 — per-record NDJSON sink ([[JsonDataset.writePerRecord]]): the
+    * reference's file-level contract — exactly one `{recordid}.ndjson`
+    * per record, hidden-prefixed names (`_`/`.`) renamed with a `0`
+    * prefix so downstream scanners don't drop them
+    * (s3_to_json_s3.py:620-623). The entry writes per-record files and
+    * returns the LISTED file names; the oracle re-derives every expected
+    * name from the base table, so a writer that drops a record, skips
+    * the rename, or splits a record across part files hash-fails.
+    */
+  private val s12PerRecordSink = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s12").toString
+      val df = t(s, dir, "documents").select(
+        when(col("doc_id") % 7 === 0, concat(lit("_doc_"), col("doc_id")))
+          .otherwise(concat(lit("doc_"), col("doc_id"))).as("recordid"),
+        col("n_chars"),
+        col("lang").as("assessmentid"),
+        (lit(2020) + col("doc_id") % 2).cast("int").as("year"),
+        lit(1).cast("int").as("month"),
+        lit(1).cast("int").as("day"))
+      JsonDataset.writePerRecord(df, tmp, "docs")
+      FileListing.list(s, tmp)
+        .where(col("path").endsWith(".ndjson"))
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+          regexp_extract(col("path"), "assessmentid=([^/]+)", 1)
+            .as("assessmentid"))
+    },
+    Some("SELECT CASE WHEN doc_id % 7 = 0 THEN '0_doc_' || doc_id ELSE 'doc_' || doc_id END || '.ndjson' AS fname, lang AS assessmentid FROM documents"))
+
   /** S4 — partitioned-Parquet sink round-trip, the pipeline's final output
     * artifact (json_s3_to_parquet.py:81-103).
     */
@@ -1978,6 +2008,7 @@ object SparkEntry {
     "s9_csv_roundtrip" -> s9CsvRoundtrip,
     "s10_compact" -> s10Compact,
     "s11_orc_roundtrip" -> s11OrcRoundtrip,
+    "s12_per_record_sink" -> s12PerRecordSink,
     "bm_incremental" -> bmIncremental,
     "st_window_counts" -> stWindowCounts,
     "st_session_window" -> stSessionWindow,

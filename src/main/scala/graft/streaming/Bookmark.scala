@@ -40,18 +40,47 @@ object Bookmark {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Normalized paths of data files not yet in the manifest — the
-    * driver-sized file delta (one row per FILE; see the class doc's
-    * budget argument). Sorted for deterministic downstream use.
+  /** Default cap on how many new-file paths [[newFiles]] may pull to the
+    * driver. One million short strings is ~100 MB of driver heap — past
+    * that the delta should stay distributed ([[newFilesDF]]) or the run
+    * split, not silently balloon driver state.
+    */
+  val DefaultNewFilesBudget = 1000000
+
+  /** DISTRIBUTED new-file delta: normalized paths of data files not yet
+    * in the manifest, as a (path) DataFrame — never collects, so it
+    * scales to manifests of any size. The anti-join is file-sized on
+    * both sides; the planner (AQE) picks the join strategy from runtime
+    * stats.
+    */
+  def newFilesDF(
+      spark: SparkSession, dataPath: String, manifestPath: String): DataFrame = {
+    val listed = listDataFiles(spark, dataPath)
+    if (!manifestExists(spark, manifestPath)) listed
+    else listed.join(
+      spark.read.parquet(manifestPath).select("path"), Seq("path"), "left_anti")
+  }
+
+  /** Driver-held new-file delta, sorted for deterministic downstream
+    * use. FAILS FAST when the delta exceeds `maxFiles`
+    * ([[DefaultNewFilesBudget]]) — a delta past the budget means the
+    * driver-list pattern is mis-sized for the dataset; process the delta
+    * distributedly ([[newFilesDF]]/[[newDataFrom]]) or raise the budget
+    * deliberately. The check reads at most `maxFiles + 1` rows, never
+    * the full oversized delta.
     */
   def newFiles(
-      spark: SparkSession, dataPath: String, manifestPath: String): Seq[String] = {
-    val listed = listDataFiles(spark, dataPath)
-    val fresh =
-      if (!manifestExists(spark, manifestPath)) listed
-      else listed.join(
-        broadcast(spark.read.parquet(manifestPath)), Seq("path"), "left_anti")
-    fresh.collect().map(_.getString(0)).sorted.toSeq
+      spark: SparkSession, dataPath: String, manifestPath: String,
+      maxFiles: Int = DefaultNewFilesBudget): Seq[String] = {
+    require(maxFiles > 0 && maxFiles < Int.MaxValue,
+      s"maxFiles must be in (0, ${Int.MaxValue}), got $maxFiles")
+    val rows = newFilesDF(spark, dataPath, manifestPath)
+      .limit(maxFiles + 1).collect()
+    if (rows.length > maxFiles) throw new IllegalStateException(
+      s"bookmark: more than $maxFiles new files under $dataPath — the " +
+        "driver-held file list would exceed its budget. Use newFilesDF/" +
+        "newDataFrom to keep the delta distributed, or raise maxFiles.")
+    rows.map(_.getString(0)).sorted.toSeq
   }
 
   /** Record the current file set of `dataPath` as processed. Overwrites —
@@ -65,20 +94,32 @@ object Bookmark {
   /** Record exactly `paths` (plus everything already committed) as
     * processed — the commit for a PINNED batch: a full-listing commit
     * after a pinned run would mark files that landed mid-run as
-    * processed without them ever being converted. The manifest is
-    * driver-sized by the budget argument above, so the union runs on
-    * the driver (reading and overwriting the same parquet path in one
-    * lazy plan would race the overwrite with the scan).
+    * processed without them ever being converted.
     */
   def commitFiles(
       spark: SparkSession, manifestPath: String, paths: Seq[String]): Unit = {
     import spark.implicits._
+    commitFilesDF(spark, manifestPath, paths.toDF("path"))
+  }
+
+  /** DISTRIBUTED pinned commit: union the previous manifest with `paths`
+    * (a (path) DataFrame) and overwrite, without ever pulling the
+    * manifest to the driver. Reading and overwriting the same parquet
+    * path in one lazy plan would race the overwrite with the scan, so
+    * the union is materialized first (`localCheckpoint` — executor
+    * block storage, still distributed) to cut the scan dependency.
+    */
+  def commitFilesDF(
+      spark: SparkSession, manifestPath: String, paths: DataFrame): Unit = {
     val prev =
-      if (!manifestExists(spark, manifestPath)) Nil
-      else spark.read.parquet(manifestPath)
-        .select("path").as[String].collect().toSeq
-    (prev ++ paths).distinct.toDF("path")
-      .write.mode("overwrite").parquet(manifestPath)
+      if (!manifestExists(spark, manifestPath)) None
+      else Some(spark.read.parquet(manifestPath).select("path"))
+    val all = prev.fold(paths.select("path"))(
+        _.unionByName(paths.select("path")))
+      .distinct()
+      .localCheckpoint()
+    try all.write.mode("overwrite").parquet(manifestPath)
+    finally all.unpersist()
   }
 
   /** Keep only rows of `df` coming from files of `dataPath` NOT yet in

@@ -31,6 +31,43 @@ class SinksSpec extends SparkSpec {
     assert(sawJson, "no .json part files in leaf partition dir")
   }
 
+  test("per-record sink writes exactly one {recordid}.ndjson per record " +
+      "with the hidden-name 0-prefix rename (s3_to_json_s3.py:620-623)") {
+    val tmp = Files.createTempDirectory("graft_sinkpr").toString
+    // _r4 starts with '_' (hidden to downstream scanners) → 0_r4.ndjson;
+    // r2 is a multi-row record (the reference's JSON-array case)
+    val df = Seq(
+      ("r1", "assessA", 2022, 9, 1, "hello"),
+      ("r2", "assessA", 2022, 9, 2, "item one"),
+      ("r2", "assessA", 2022, 9, 2, "item two"),
+      ("_r4", "assessB", 2023, 1, 15, "hidden"))
+      .toDF("recordid", "assessmentid", "year", "month", "day", "payload")
+    val nFiles = JsonDataset.writePerRecord(df, tmp, "ds")
+    assert(nFiles == 3L)
+    def leaf(a: String, y: Int, m: Int, d: Int) =
+      Paths.get(tmp, "dataset=ds", s"assessmentid=$a", s"year=$y",
+        s"month=$m", s"day=$d")
+    assert(Files.exists(leaf("assessA", 2022, 9, 1).resolve("r1.ndjson")))
+    assert(Files.exists(leaf("assessA", 2022, 9, 2).resolve("r2.ndjson")))
+    assert(Files.exists(leaf("assessB", 2023, 1, 15).resolve("0_r4.ndjson")))
+    assert(!Files.exists(leaf("assessB", 2023, 1, 15).resolve("_r4.ndjson")))
+    // multi-row record: both rows in ITS one file, newline-delimited
+    val r2 = new String(Files.readAllBytes(
+      leaf("assessA", 2022, 9, 2).resolve("r2.ndjson")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(r2.linesIterator.size == 2 && r2.contains("item one") &&
+      r2.contains("item two"))
+    // the layout reads back as a normal JSON dataset, no rows lost
+    val back = JsonDataset.read(spark, tmp, "ds",
+      StructType.fromDDL("recordid string, payload string"))
+    assert(back.count() == 4)
+    assert(back.where($"recordid" === "_r4").count() == 1)
+    // idempotent: a re-run overwrites in place, nothing doubles
+    assert(JsonDataset.writePerRecord(df, tmp, "ds") == 3L)
+    assert(JsonDataset.read(spark, tmp, "ds",
+      StructType.fromDDL("recordid string, payload string")).count() == 4)
+  }
+
   test("S2 read recovers rows + partition columns from the layout") {
     val tmp = Files.createTempDirectory("graft_sink").toString
     JsonDataset.write(sample, tmp, "ds")
