@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.XXH64
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Content-level deduplication operators for large-scale text corpora.
@@ -371,7 +371,6 @@ object Dedup {
   def jaccardPairsPrefix(
       docs: DataFrame, id: String, text: String,
       threshold: Double, maxDf: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val words = tokensWithSize(docs, id, text, maxDf)
     val dfs = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("id"))
@@ -433,14 +432,22 @@ object Dedup {
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
-  /** MinHash-LSH candidate pairs: deterministic seeded xxhash64 minhash
-    * signatures over the shingle set, xor-banded into `bands` buckets of
-    * `numHashes / bands` rows; docs colliding in any band become a
-    * candidate pair. Deterministic across runs/retries (no RNG state).
+  /** Default cap on the members of one LSH bucket a single task may
+    * self-join: a bucket of n members costs O(n²) pair checks on ONE
+    * join key (band, bh) — unsplittable by AQE — so a
+    * duplicate-saturated corpus (thousands of byte-identical docs share
+    * every band hash) turns into a single straggler task. Buckets past
+    * the cap are decomposed (see [[minhashCandidates]]).
     */
-  def minhashCandidates(
+  val DefaultMaxBucketSize = 1024
+
+  /** (id, band, bh) band rows of the minhash signature — the bucketing
+    * frame [[minhashCandidates]] self-joins. Exposed for spec-level
+    * verification of the bucket decomposition.
+    */
+  private[dedup] def bandedSignatures(
       docs: DataFrame, id: String, text: String,
-      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3): DataFrame = {
+      numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // one string hash per shingle, then numHashes seeded hashes of that
@@ -457,11 +464,53 @@ object Dedup {
         xxhash64((b * rows until (b + 1) * rows)
           .map(i => col("sig").getItem(i)): _*).as("bh"))
     }
-    val banded = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("b"))
+    sig.select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    banded.as("x").join(banded.as("y"),
+  }
+
+  /** The (x, y) legs of the bucket self-join, decomposed so no join key
+    * carries more than ~`maxBucketSize` members per side: each bucket of
+    * n members splits into g = ⌈n / maxBucketSize⌉ id-hash chunks, the
+    * x leg replicates each member across the g columns of its chunk row
+    * and the y leg across the g rows of its chunk column, and the join
+    * key becomes (band, bh, cx, cy) — a pair (a, b) meets in EXACTLY the
+    * (chunk(a), chunk(b)) cell, so candidate parity with the unsalted
+    * join is exact while every cell is an independent, boundable key.
+    * Normal buckets have g = 1: one cell, zero replication — the salt is
+    * free until a bucket actually overflows.
+    */
+  private[dedup] def saltedBandLegs(
+      banded: DataFrame, maxBucketSize: Int): (DataFrame, DataFrame) = {
+    require(maxBucketSize > 0, "maxBucketSize must be positive")
+    val w = Window.partitionBy(col("band"), col("bh"))
+    val withG = banded.withColumn("g",
+      ceil(count(lit(1)).over(w) / lit(maxBucketSize)).cast("int"))
+    val chunk = pmod(xxhash64(col("id")), col("g")).cast("int")
+    val x = withG.withColumn("cx", chunk)
+      .withColumn("cy", explode(sequence(lit(0), col("g") - 1)))
+    val y = withG.withColumn("cy", chunk)
+      .withColumn("cx", explode(sequence(lit(0), col("g") - 1)))
+    (x.drop("g"), y.drop("g"))
+  }
+
+  /** MinHash-LSH candidate pairs: deterministic seeded xxhash64 minhash
+    * signatures over the shingle set, xor-banded into `bands` buckets of
+    * `numHashes / bands` rows; docs colliding in any band become a
+    * candidate pair. Deterministic across runs/retries (no RNG state).
+    * Oversized buckets (> `maxBucketSize` members — duplicate-saturated
+    * corpora) are decomposed into bounded join cells
+    * ([[saltedBandLegs]]) so the O(n²) hot bucket never lands on one
+    * unsplittable task.
+    */
+  def minhashCandidates(
+      docs: DataFrame, id: String, text: String,
+      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val banded = bandedSignatures(docs, id, text, numHashes, bands, shingleN)
+    val (x, y) = saltedBandLegs(banded, maxBucketSize)
+    x.as("x").join(y.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.cx") === col("y.cx") && col("x.cy") === col("y.cy") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()

@@ -137,6 +137,40 @@ class DedupSpec extends SparkSpec {
     assert(cands < 10) // far below the 10 all-pairs
   }
 
+  test("oversized LSH buckets decompose into bounded join cells with " +
+      "exact candidate parity (duplicate-saturated corpus)") {
+    // 200 byte-identical docs: every band hash collides, one (band, bh)
+    // bucket holds the whole corpus — the unsplittable hot key
+    val sat = (1L to 200L).map(i =>
+        (i, "the exact same document text repeated everywhere"))
+      .toDF("doc_id", "text")
+    val cap = 16
+    // parity: the decomposed join produces exactly the unsalted pair set
+    val salted = Dedup.minhashCandidates(sat, "doc_id", "text",
+        maxBucketSize = cap)
+      .as[(Long, Long)].collect().toSet
+    val unsalted = Dedup.minhashCandidates(sat, "doc_id", "text",
+        maxBucketSize = Int.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(salted == unsalted)
+    assert(salted.size == 200 * 199 / 2) // all true pairs survive
+    // bound: no join cell carries more than ~cap members per leg
+    // (hash-chunking is approximate, so allow 2× slack)
+    val banded = Dedup.bandedSignatures(sat, "doc_id", "text", 128, 32, 3)
+    val (x, y) = Dedup.saltedBandLegs(banded, cap)
+    import org.apache.spark.sql.functions.{max => fmax}
+    val maxCell = x.groupBy("band", "bh", "cx", "cy")
+      .count().agg(fmax("count")).as[Long].head()
+    assert(maxCell <= 2L * cap, s"cell of $maxCell members exceeds 2×$cap")
+    assert(y.groupBy("band", "bh", "cx", "cy").count()
+      .agg(fmax("count")).as[Long].head() <= 2L * cap)
+    // and a normal-sized bucket pays zero replication (g = 1, one cell)
+    val smallBanded = Dedup.bandedSignatures(docs, "doc_id", "text", 128, 32, 3)
+    val (xs, ys) = Dedup.saltedBandLegs(smallBanded, Dedup.DefaultMaxBucketSize)
+    assert(xs.count() == smallBanded.count())
+    assert(ys.count() == smallBanded.count())
+  }
+
   test("simhash nearPairs equals brute-force Hamming filter") {
     import org.apache.spark.sql.functions._
     def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
