@@ -6,9 +6,23 @@ import scala.jdk.CollectionConverters._
 
 /** Offline JSON-Schema validator (V3) covering the keyword surface the
   * reference's schemas exercise: type, required, properties,
-  * additionalProperties, items, enum, const, allOf/anyOf
-  * (s3_to_json_s3.py:302-415 delegates to python-jsonschema; we validate
-  * on the JVM with no network — schemas are bundled/cached, V2).
+  * additionalProperties, items, enum, const, allOf/anyOf, and
+  * same-document `$ref` (JSON Pointer `#/...` and `$id` anchors like
+  * `#FileInfo`, the shape the reference's ArchiveMetadata schema uses
+  * for its FileInfo items) (s3_to_json_s3.py:302-415 delegates to
+  * python-jsonschema; we validate on the JVM with no network — schemas
+  * are bundled/cached, V2).
+  *
+  * `$id` handling and the v0 workaround: references always resolve
+  * against the ROOT schema document, never against a base URI derived
+  * from `$id`. This bakes in the reference's `schemas/v0/` workaround
+  * (s3_to_json_s3.py:405-415, python-jsonschema issue 1012): there a
+  * relative root `$id` breaks `$ref` resolution and the reference
+  * substitutes `$id: ""` before validating — same-document resolution,
+  * which is exactly what this resolver does for EVERY schema, so v0 and
+  * v2 schemas with identical bodies validate identically. Truly
+  * external refs (another document) are unresolvable offline and fail
+  * loudly instead of silently passing.
   *
   * Error messages reproduce python-jsonschema's phrasing (including its
   * repr of instances: None/True/False, single-quoted strings) because the
@@ -19,13 +33,56 @@ object JsonSchemaValidator {
 
   private val mapper = new ObjectMapper()
 
+  /** Refs deeper than this mean a `$ref` cycle (a schema referencing
+    * itself without consuming input) — fail fast instead of overflowing
+    * the task stack.
+    */
+  private val MaxRefDepth = 64
+
   def validate(dataJson: String, schemaJson: String): Seq[String] =
     validate(mapper.readTree(dataJson), mapper.readTree(schemaJson))
 
   def validate(data: JsonNode, schema: JsonNode): Seq[String] = {
     val errs = Seq.newBuilder[String]
-    check(data, schema, errs)
+    check(data, schema, schema, 0, errs)
     errs.result()
+  }
+
+  /** Same-document `$ref` resolution: `#` (root), `#/json/pointer`, or
+    * `#anchor` matching a nested subschema's `$id`. Anything pointing
+    * outside the document throws — offline validation cannot fetch, and
+    * a silently-skipped constraint would pass invalid records.
+    */
+  private def resolveRef(ref: String, root: JsonNode): JsonNode =
+    if (ref == "#") root
+    else if (ref.startsWith("#/")) {
+      val node = root.at(ref.substring(1))
+      if (node.isMissingNode) throw new IllegalArgumentException(
+        s"unresolvable JSON-Schema $$ref '$ref': no such pointer in the " +
+          "schema document")
+      node
+    } else if (ref.startsWith("#")) {
+      findAnchor(root, ref).getOrElse(throw new IllegalArgumentException(
+        s"unresolvable JSON-Schema $$ref '$ref': no subschema with that " +
+          "$id anchor"))
+    } else throw new IllegalArgumentException(
+      s"external JSON-Schema $$ref '$ref' cannot be resolved offline — " +
+        "bundle the referenced schema into the document")
+
+  /** Depth-first search for a subschema whose `$id` equals `anchor`
+    * (draft-07 plain-name fragments, e.g. `$id: "#FileInfo"`).
+    */
+  private def findAnchor(node: JsonNode, anchor: String): Option[JsonNode] = {
+    if (node.isObject) {
+      val id = node.get("$id")
+      if (id != null && id.isTextual && id.asText == anchor) return Some(node)
+    }
+    if (node.isObject || node.isArray)
+      node.elements.asScala.foreach { child =>
+        val hit = findAnchor(child, anchor)
+        if (hit.isDefined) return hit
+      }
+    None
   }
 
   /** python repr of a JSON value, as embedded in jsonschema messages. */
@@ -52,9 +109,18 @@ object JsonSchemaValidator {
     case _ => true
   }
 
-  private def check(n: JsonNode, schema: JsonNode,
+  private def check(n: JsonNode, schema: JsonNode, root: JsonNode, depth: Int,
       errs: scala.collection.mutable.Builder[String, Seq[String]]): Unit = {
     if (schema == null || !schema.isObject) return
+    if (depth > MaxRefDepth) throw new IllegalArgumentException(
+      s"JSON-Schema $$ref nesting exceeds $MaxRefDepth — reference cycle?")
+
+    // draft-07: a $ref REPLACES the subschema (sibling keywords ignored)
+    val refNode = schema.get("$ref")
+    if (refNode != null && refNode.isTextual) {
+      check(n, resolveRef(refNode.asText, root), root, depth + 1, errs)
+      return
+    }
 
     Option(schema.get("type")).foreach { t =>
       val types =
@@ -85,7 +151,8 @@ object JsonSchemaValidator {
       val props = Option(schema.get("properties"))
       props.foreach { p =>
         p.properties.asScala.foreach { e =>
-          if (n.has(e.getKey)) check(n.get(e.getKey), e.getValue, errs)
+          if (n.has(e.getKey))
+            check(n.get(e.getKey), e.getValue, root, depth + 1, errs)
         }
       }
       Option(schema.get("additionalProperties")).foreach { ap =>
@@ -104,17 +171,23 @@ object JsonSchemaValidator {
     if (n.isArray) {
       Option(schema.get("items")).foreach { items =>
         if (items.isObject)
-          n.elements.asScala.foreach(el => check(el, items, errs))
+          n.elements.asScala.foreach(el =>
+            check(el, items, root, depth + 1, errs))
       }
     }
 
     Option(schema.get("allOf")).foreach { all =>
-      all.elements.asScala.foreach(sub => check(n, sub, errs))
+      all.elements.asScala.foreach(sub =>
+        check(n, sub, root, depth + 1, errs))
     }
 
     Option(schema.get("anyOf")).foreach { any =>
       val branches = any.elements.asScala.toSeq
-      val ok = branches.exists(sub => validate(n, sub).isEmpty)
+      val ok = branches.exists { sub =>
+        val branchErrs = Seq.newBuilder[String]
+        check(n, sub, root, depth + 1, branchErrs)
+        branchErrs.result().isEmpty
+      }
       if (!ok)
         errs += s"${pyRepr(n)} is not valid under any of the given schemas"
     }

@@ -158,6 +158,57 @@ class ValidateSpec extends AnyFunSuite {
       "'k' is a required property"))
   }
 
+  test("V3: $ref resolves against the document root — pointer refs, $id " +
+      "anchors, and the v0 relative-$id workaround " +
+      "(s3_to_json_s3.py:405-415, test_s3_to_json_s3.py:547-571)") {
+    // the reference's ArchiveMetadata shape: items -> $ref -> definitions
+    def schema(id: String) =
+      s"""{"$$id": "$id",
+           "type": "object",
+           "definitions": {
+             "FileInfo": {
+               "$$id": "#FileInfo",
+               "type": "object",
+               "required": ["filename", "timestamp"],
+               "properties": {"filename": {"type": "string"},
+                              "timestamp": {"type": "string"}},
+               "additionalProperties": false}},
+           "required": ["appName", "files"],
+           "properties": {
+             "appName": {"type": "string"},
+             "files": {"type": "array",
+                       "items": {"$$ref": "#/definitions/FileInfo"}}}}"""
+    val good =
+      """{"appName": "mtb",
+          "files": [{"filename": "a.json", "timestamp": "t"}]}"""
+    val bad = // missing timestamp + an undeclared property in FileInfo
+      """{"appName": "mtb", "files": [{"filename": "a.json", "extra": 1}]}"""
+    val v2 = "https://example.org/schemas/v2/ArchiveMetadata.json"
+    val v0 = "schemas/v0/ArchiveMetadata.json" // python-jsonschema bug 1012
+    for (id <- Seq(v2, v0)) {
+      assert(JsonSchemaValidator.validate(good, schema(id)).isEmpty,
+        s"id=$id")
+      val errs = JsonSchemaValidator.validate(bad, schema(id))
+      assert(errs.toSet == Set(
+        "'timestamp' is a required property",
+        "Additional properties are not allowed ('extra' was unexpected)"),
+        s"id=$id: $errs")
+    }
+    // $id-anchor form resolves to the same subschema
+    val anchored = schema(v0).replace("#/definitions/FileInfo", "#FileInfo")
+    assert(JsonSchemaValidator.validate(bad, anchored).size == 2)
+    // external refs fail loudly instead of silently passing
+    val external = schema(v2)
+      .replace("#/definitions/FileInfo", "https://example.org/Other.json")
+    intercept[IllegalArgumentException] {
+      JsonSchemaValidator.validate(bad, external)
+    }
+    // $ref cycles fail fast rather than overflowing the stack
+    intercept[IllegalArgumentException] {
+      JsonSchemaValidator.validate("""{"a": 1}""", """{"$ref": "#"}""")
+    }
+  }
+
   test("V3: additionalProperties plural uses 'were'") {
     val errs = JsonSchemaValidator.validate("""{"a": 1, "b": 2, "c": 3}""",
       """{"properties": {"a": {}}, "additionalProperties": false}""")
