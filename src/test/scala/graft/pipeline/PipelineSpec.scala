@@ -198,4 +198,33 @@ class PipelineSpec extends SparkSpec {
     assert(BootstrapDriver.nextArchiveVersion(
       Seq.empty[Int].toDF("n"), "n") == 1L)
   }
+
+  test("archiveDataset snapshot-copies to archive/{name}_{n}, verifies " +
+      "row parity, and the archive stays frozen when the source mutates " +
+      "(archive_dataset.py:119-170)") {
+    val tmp = Files.createTempDirectory("graft_arch").toString
+    val src = s"$tmp/parquet/dataset_v1"
+    val archive = s"$tmp/parquet/archive"
+    Seq(("r1", 1), ("r2", 2)).toDF("recordid", "v")
+      .write.partitionBy("v").parquet(src)
+    // empty archive dir → version 1
+    assert(BootstrapDriver.nextArchiveVersion(spark, archive, "dataset_v1") == 1L)
+    val (dest1, n1) = BootstrapDriver.archiveDataset(
+      spark, src, archive, "dataset_v1")
+    assert(dest1 == s"$archive/dataset_v1_1" && n1 == 2L)
+    // partition layout survives the copy
+    assert(spark.read.parquet(dest1).where($"v" === 2).count() == 1)
+    // mutate the source: the archive is FROZEN, a new archive versions up
+    Seq(("r3", 3)).toDF("recordid", "v")
+      .write.mode("append").partitionBy("v").parquet(src)
+    assert(spark.read.parquet(dest1).count() == 2)
+    assert(spark.read.parquet(src).count() == 3)
+    val (dest2, n2) = BootstrapDriver.archiveDataset(
+      spark, src, archive, "dataset_v1")
+    assert(dest2 == s"$archive/dataset_v1_2" && n2 == 3L)
+    assert(spark.read.parquet(dest1).count() == 2) // v1 still frozen
+    // a sibling dataset's numbering is independent (name-prefix parse)
+    assert(BootstrapDriver.nextArchiveVersion(spark, archive, "other_v1") == 1L)
+    assert(BootstrapDriver.nextArchiveVersion(spark, archive, "dataset_v1") == 3L)
+  }
 }
