@@ -1301,23 +1301,10 @@ object SparkEntry {
     Some("WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents), w AS (SELECT doc_id, md5(w) AS h FROM w0), bits AS (SELECT doc_id, i, CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST((i - 1) // 4 + 1 AS INT), 1)) - 1 >> CAST(3 - ((i - 1) % 4) AS INT)) % 2) = 1 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit FROM w, generate_series(1, 64) AS g(i) GROUP BY doc_id, i), fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY doc_id), pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.simhash AS f1, b.simhash AS f2 FROM fp a JOIN fp b ON a.doc_id < b.doc_id), d AS (SELECT id1, id2, count(*) FILTER (WHERE substr(f1, CAST(i AS INT), 1) <> substr(f2, CAST(i AS INT), 1)) AS dist FROM pairs CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2) SELECT id1, id2, CAST(dist AS INT) AS dist FROM d WHERE dist <= 3"))
 
   // --------------------------------------------------------------------
-  // LLM-pipeline: multimodal binary columns (REAL PNG/WAV codecs via the
-  // JVM-bundled javax.imageio / javax.sound.sampled; the one remaining
-  // stub container is video frame demuxing, which has no JVM codec)
+  // LLM-pipeline: multimodal binary columns — REAL codecs for all three
+  // modalities: PNG/BMP via javax.imageio, WAV via javax.sound.sampled,
+  // Y4M video demuxed byte-exactly from the container's own markers
   // --------------------------------------------------------------------
-
-  /** Synthetic media blobs: fake container header + document text as
-    * payload, cast to binary — deterministic so oracles can re-derive the
-    * decoded metadata from the base table. Video stand-in only (see
-    * `mm_frame_sample`); images/audio use real containers below.
-    */
-  private def mmContent = {
-    val w = (lit(64) + col("doc_id") % 64).cast("int")
-    val h = (lit(48) + col("doc_id") % 32).cast("int")
-    val f = (lit(1) + col("doc_id") % 4).cast("int")
-    concat(lit("GRFT|img|"), w, lit("|"), h, lit("|"), f, lit("|"),
-      col("text")).cast("binary")
-  }
 
   /** Deterministic REAL grayscale PNGs, encoded executor-side: dims and
     * every pixel are pure functions of doc_id (`px(x,y) = (31·id + 7x +
@@ -1371,16 +1358,48 @@ object SparkEntry {
       "content", frameSize = 50),
     Some("WITH d AS (SELECT doc_id, CAST(100 + doc_id % 50 AS INT) AS n FROM documents), pos AS (SELECT unnest(generate_series(0, 149)) AS k), s AS (SELECT doc_id, k, CAST((doc_id + k * 17) % 256 AS INT) AS sv, CAST(k // 50 AS INT) AS f FROM d JOIN pos ON k < (n // 50) * 50), x AS (SELECT doc_id, f, k % 50 AS kin, (sv - 128) / 128.0 AS xv, sv >= 128 AS sgn, lag(sv >= 128) OVER (PARTITION BY doc_id ORDER BY k) AS prev FROM s) SELECT doc_id, f AS frame_idx, sqrt(sum(xv * xv) / 50) AS rms, CAST(count(*) FILTER (WHERE kin > 0 AND sgn <> prev) AS INT) AS zc FROM x GROUP BY 1, 2"))
 
-  /** Frame sampling: payload split into n_frames chunks, every 2nd kept —
-    * the child-table shape of video frame extraction.
+  /** Deterministic REAL Y4M video containers (monochrome plane, 8×4):
+    * frame count and every plane byte are pure functions of doc_id
+    * (`px(f, k) = (31·id + 7f + 13k) mod 256`), so the oracle re-derives
+    * demuxed facts from the base table while the engine walks genuine
+    * YUV4MPEG2 container bytes.
+    */
+  private def mmY4mBlobs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val f = (1 + id % 4).toInt
+      (id, Multimodal.encodeY4mMono(8, 4, f,
+        (fi, k) => ((id * 31 + fi * 7 + k * 13) % 256).toInt))
+    }.toDF("doc_id", "content")
+  }
+
+  /** REAL video frame sampling ([[Multimodal.frameSampleVideo]]): demux
+    * the Y4M container, keep every 2nd frame, and return each kept
+    * frame's length AND unsigned byte sum — the byte sum proves the
+    * demuxer returned the exact plane bytes at the exact offsets the
+    * container declared, not an assumed fixed layout.
     */
   private val mmFrameSample = Q(
-    (s, dir) => Multimodal.frameSample(
-        t(s, dir, "documents").select(col("doc_id"), mmContent.as("content")),
-        "doc_id", "content", everyN = 2)
-      .select(col("doc_id"), col("frame_idx"),
-        length(col("frame")).cast("int").as("frame_len")),
-    Some("SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(CASE WHEN i < f - 1 THEN pl // f ELSE pl - (pl // f) * (f - 1) END AS INT) AS frame_len FROM (SELECT doc_id, 1 + doc_id % 4 AS f, length(text) AS pl FROM documents) t JOIN (SELECT unnest(generate_series(0, 3)) AS i) s ON i < f WHERE i % 2 = 0"))
+    (s, dir) => {
+      import s.implicits._
+      Multimodal.frameSampleVideo(
+          mmY4mBlobs(s, dir), "doc_id", "content", everyN = 2)
+        .as[(Long, Int, Array[Byte])]
+        .map { case (id, fi, frame) =>
+          (id, fi, frame.length, frame.map(b => (b & 0xff).toLong).sum)
+        }
+        .toDF("doc_id", "frame_idx", "frame_len", "byte_sum")
+        .withColumn("frame_len", col("frame_len").cast("int"))
+    },
+    Some("WITH d AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS f FROM documents), fr AS (SELECT doc_id, CAST(i AS INT) AS frame_idx FROM d JOIN (SELECT unnest(generate_series(0, 3)) AS i) s ON i < f WHERE i % 2 = 0), px AS (SELECT doc_id, frame_idx, CAST(sum((doc_id * 31 + frame_idx * 7 + k * 13) % 256) AS BIGINT) AS byte_sum FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k) g GROUP BY 1, 2) SELECT doc_id, frame_idx, CAST(32 AS INT) AS frame_len, byte_sum FROM px"))
+
+  /** REAL video metadata ([[Multimodal.decodeVideoMeta]]): header fields
+    * re-derived by the oracle from the generator arithmetic.
+    */
+  private val mmVideoMeta = Q(
+    (s, dir) => Multimodal.decodeVideoMeta(mmY4mBlobs(s, dir), "doc_id",
+      "content"),
+    Some("SELECT doc_id, 'y4m' AS format, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height, 'mono' AS colorspace, CAST(1 + doc_id % 4 AS INT) AS n_frames FROM documents"))
 
   /** REAL image resize: decode the PNG raster, nearest-neighbor resample
     * to a fixed 8×8 grid, emit the resampled gray levels exploded as
@@ -2059,6 +2078,7 @@ object SparkEntry {
     "mm_audio_meta" -> mmAudioMeta,
     "mm_audio_features" -> mmAudioFeatures,
     "mm_frame_sample" -> mmFrameSample,
+    "mm_video_meta" -> mmVideoMeta,
     "mm_featurize" -> mmFeaturize,
     "mm_resize" -> mmResize,
     "text_tokens" -> textTokens,

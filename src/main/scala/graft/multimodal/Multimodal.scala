@@ -15,18 +15,22 @@ import scala.util.control.NonFatal
   * `mapPartitions` (the Scala analogue of mapInPandas — one iterator per
   * partition, no per-row task overhead, executor-local codec state).
   *
-  * Two codec tiers:
-  *   - REAL: PNG/BMP images via `javax.imageio` and WAV audio via
+  * Codec tiers:
+  *   - REAL images/audio: PNG/BMP via `javax.imageio` and WAV via
   *     `javax.sound.sampled` — both ship with the JVM, no native deps.
   *     `decodeImage`/`decodeGray`/`decodeAudio` and the operators built on
   *     them (`decodeImageMeta`, `featurizeImage`, `resizeImage`,
   *     `decodeAudioMeta`) do genuine byte-level decoding of genuine
   *     containers.
-  *   - STUB (video only): no video codec ships with the JVM, so
-  *     `decodeStub` parses a deterministic fake container
-  *     (`GRFT|<fmt>|<w>|<h>|<frames>|<payload>`) standing in for a frame
-  *     demuxer; `frameSample` exercises the child-table frame-extraction
-  *     shape over it. Swap for a javacpp/ffmpeg binding in production.
+  *   - REAL video: Y4M (YUV4MPEG2 — uncompressed planes behind a
+  *     plain-ASCII header) demuxed byte-exactly (`demuxY4m`,
+  *     `decodeVideoMeta`, `frameSampleVideo`). COMPRESSED codecs
+  *     (H.264 etc.) have no JVM decoder — bind javacpp/ffmpeg behind the
+  *     same (id, content) → (id, frame_idx, frame) shape in production.
+  *   - STUB (legacy): `decodeStub` parses a deterministic fake container
+  *     (`GRFT|<fmt>|<w>|<h>|<frames>|<payload>`); `frameSample`/`resize`/
+  *     `featurize` keep the generic binary-plumbing shape testable
+  *     without any codec at all.
   */
 object Multimodal {
 
@@ -228,6 +232,150 @@ object Multimodal {
     try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
     finally ais.close()
     bos.toByteArray
+  }
+
+  // --------------------------------------------------------------------
+  // Real video container (Y4M / YUV4MPEG2: plain-ASCII header + raw
+  // uncompressed planes — a genuinely public format demuxable byte-
+  // exactly on the JVM without native codecs)
+  // --------------------------------------------------------------------
+
+  final case class VideoMeta(
+      format: String, width: Int, height: Int, colorspace: String,
+      nFrames: Int)
+
+  /** Bytes per frame for a Y4M colorspace tag (C420* subsamples chroma
+    * 2×2, C422 2×1, C444 none, Cmono has no chroma planes). None for
+    * tags this demuxer doesn't know — better no rows than wrong offsets.
+    */
+  private[multimodal] def y4mFrameSize(
+      w: Int, h: Int, cs: String): Option[Long] =
+    if (w <= 0 || h <= 0) None
+    else cs match {
+      case "mono" => Some(w.toLong * h)
+      case c if c.startsWith("420") => Some(w.toLong * h * 3 / 2)
+      case "422" => Some(w.toLong * h * 2)
+      case "444" => Some(w.toLong * h * 3)
+      case _ => None
+    }
+
+  /** REAL Y4M demux: parse the `YUV4MPEG2 W.. H.. [C..]` stream header,
+    * then walk the `FRAME`-delimited raw planes, returning the metadata
+    * and each frame's exact (offset, length) in the blob. None on ANY
+    * malformation — truncated frame, unknown colorspace, missing marker
+    * — because a misaligned offset would silently demux garbage.
+    */
+  def demuxY4m(bytes: Array[Byte]): Option[(VideoMeta, Array[(Int, Int)])] = {
+    val Magic = "YUV4MPEG2"
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != 0x0a) i += 1
+      i // == bytes.length when unterminated (caller rejects)
+    }
+    val hEnd = lineEnd(0)
+    if (hEnd >= bytes.length) return None
+    val header = new String(bytes, 0, hEnd, StandardCharsets.US_ASCII)
+    if (!header.startsWith(Magic)) return None
+    val params = header.drop(Magic.length).trim.split("\\s+").filter(_.nonEmpty)
+    var w = -1; var h = -1
+    var cs = "420" // the spec's default when no C tag is present
+    try params.foreach { p =>
+      p.charAt(0) match {
+        case 'W' => w = p.tail.toInt
+        case 'H' => h = p.tail.toInt
+        case 'C' => cs = p.tail
+        case _ => () // F/I/A/X tags don't affect demuxing
+      }
+    } catch { case _: NumberFormatException => return None }
+    val frameSize = y4mFrameSize(w, h, cs) match {
+      case Some(sz) if sz <= Int.MaxValue.toLong => sz.toInt
+      case _ => return None
+    }
+    val frames = Array.newBuilder[(Int, Int)]
+    var pos = hEnd + 1
+    while (pos < bytes.length) {
+      val fEnd = lineEnd(pos)
+      if (fEnd >= bytes.length) return None
+      val marker = new String(bytes, pos, fEnd - pos, StandardCharsets.US_ASCII)
+      if (!marker.startsWith("FRAME")) return None
+      val dataStart = fEnd + 1
+      if (dataStart + frameSize > bytes.length) return None // truncated
+      frames += ((dataStart, frameSize))
+      pos = dataStart + frameSize
+    }
+    val out = frames.result()
+    Some((VideoMeta("y4m", w, h, cs, out.length), out))
+  }
+
+  /** Encode a deterministic monochrome Y4M container — the synthetic-
+    * blob generator for entries and specs (Y4M is uncompressed:
+    * `demuxY4m` of `encodeY4mMono(w,h,n,f)` returns exactly `f` sampled
+    * per frame/pixel).
+    */
+  def encodeY4mMono(
+      w: Int, h: Int, nFrames: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(
+      s"YUV4MPEG2 W$w H$h F30:1 Ip A1:1 Cmono\n"
+        .getBytes(StandardCharsets.US_ASCII))
+    var f = 0
+    while (f < nFrames) {
+      bos.write("FRAME\n".getBytes(StandardCharsets.US_ASCII))
+      var k = 0
+      val n = w * h
+      while (k < n) { bos.write(pixel(f, k) & 0xff); k += 1 }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** REAL video metadata per blob: (id, format, width, height,
+    * colorspace, n_frames). Malformed blobs quarantine as "unknown"
+    * rows, same contract as `decodeImageMeta`.
+    */
+  def decodeVideoMeta(df: DataFrame, id: String, content: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    widen(df).select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (rowId, bytes) =>
+          demuxY4m(bytes) match {
+            case Some((m, _)) =>
+              (rowId, m.format, m.width, m.height, m.colorspace, m.nFrames)
+            case None => (rowId, "unknown", 0, 0, "", 0)
+          }
+        }
+      }
+      .toDF(id, "format", "width", "height", "colorspace", "n_frames")
+  }
+
+  /** REAL video frame sampling: demux the Y4M container and emit every
+    * `everyN`-th frame's exact plane bytes as (id, frame_idx, frame) —
+    * the child-table shape of frame extraction, with offsets that came
+    * from the container itself rather than an assumed layout.
+    * Undecodable blobs produce no rows (quarantine upstream via
+    * `decodeVideoMeta`).
+    */
+  def frameSampleVideo(
+      df: DataFrame, id: String, content: String, everyN: Int): DataFrame = {
+    require(everyN > 0, "everyN must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    widen(df).select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (rowId, bytes) =>
+          demuxY4m(bytes).iterator.flatMap { case (_, frames) =>
+            frames.iterator.zipWithIndex
+              .filter(_._2 % everyN == 0)
+              .map { case ((off, len), idx) =>
+                (rowId, idx, java.util.Arrays.copyOfRange(bytes, off, off + len))
+              }
+          }
+        }
+      }
+      .toDF(id, "frame_idx", "frame")
   }
 
   /** Decode metadata for every blob: (id, content) → id + flattened

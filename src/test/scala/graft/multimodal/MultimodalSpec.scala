@@ -212,4 +212,67 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).getAs[Int]("sample_rate") == 16000)
     assert(out(2).getAs[String]("format") == "unknown")
   }
+
+  // ------------------------------------------------------------------
+  // Real video container (Y4M)
+  // ------------------------------------------------------------------
+
+  test("encodeY4mMono → demuxY4m round-trips header fields, frame " +
+      "offsets, and every plane byte exactly") {
+    def px(f: Int, k: Int): Int = (f * 7 + k * 13) % 256
+    val y4m = Multimodal.encodeY4mMono(6, 4, 3, px)
+    val Some((meta, frames)) = Multimodal.demuxY4m(y4m)
+    assert(meta == Multimodal.VideoMeta("y4m", 6, 4, "mono", 3))
+    assert(frames.length == 3 && frames.forall(_._2 == 24))
+    for (f <- 0 until 3; k <- 0 until 24) {
+      val (off, _) = frames(f)
+      assert((y4m(off + k) & 0xff) == px(f, k), s"frame $f byte $k")
+    }
+    // zero frames is a valid (empty) stream
+    val empty = Multimodal.encodeY4mMono(6, 4, 0, px)
+    assert(Multimodal.demuxY4m(empty).get._2.isEmpty)
+  }
+
+  test("demuxY4m computes 420/422/444 frame sizes from the header and " +
+      "rejects every malformation instead of misaligning") {
+    assert(Multimodal.y4mFrameSize(8, 4, "mono") == Some(32L))
+    assert(Multimodal.y4mFrameSize(8, 4, "420jpeg") == Some(48L))
+    assert(Multimodal.y4mFrameSize(8, 4, "422") == Some(64L))
+    assert(Multimodal.y4mFrameSize(8, 4, "444") == Some(96L))
+    assert(Multimodal.y4mFrameSize(8, 4, "bogus").isEmpty)
+    // a real 420 stream with explicit C tag and FRAME params demuxes
+    val hdr = "YUV4MPEG2 W4 H2 F25:1 C420jpeg\n".getBytes("US-ASCII")
+    val f0 = "FRAME Xcustom\n".getBytes("US-ASCII") ++ Array.fill(12)(7.toByte)
+    val ok = Multimodal.demuxY4m(hdr ++ f0)
+    assert(ok.get._1 == Multimodal.VideoMeta("y4m", 4, 2, "420jpeg", 1))
+    // malformations: wrong magic, truncated frame, missing marker
+    assert(Multimodal.demuxY4m("MPEG4 W4 H2\nFRAME\n".getBytes).isEmpty)
+    assert(Multimodal.demuxY4m((hdr ++ f0).dropRight(1)).isEmpty)
+    assert(Multimodal.demuxY4m(
+      hdr ++ "NOTFRAME\n".getBytes ++ Array.fill(12)(0.toByte)).isEmpty)
+    assert(Multimodal.demuxY4m("YUV4MPEG2 W4 Hx\n".getBytes).isEmpty)
+    assert(Multimodal.demuxY4m(Array[Byte]()).isEmpty)
+  }
+
+  test("frameSampleVideo emits every Nth real frame; decodeVideoMeta " +
+      "quarantines malformed blobs") {
+    val vids = Seq(
+      (1L, Multimodal.encodeY4mMono(4, 2, 4, (f, k) => f * 10 + k)),
+      (2L, Multimodal.encodeY4mMono(4, 2, 1, (_, k) => k)),
+      (3L, "definitely not a video".getBytes))
+      .toDF("doc_id", "content")
+    val meta = Multimodal.decodeVideoMeta(vids, "doc_id", "content")
+      .orderBy("doc_id").collect()
+    assert(meta(0).getAs[Int]("n_frames") == 4)
+    assert(meta(1).getAs[String]("colorspace") == "mono")
+    assert(meta(2).getAs[String]("format") == "unknown")
+    val frames = Multimodal.frameSampleVideo(vids, "doc_id", "content", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]]("frame")))
+    // doc 1: frames 0 and 2 of 4; doc 2: frame 0; doc 3: nothing
+    assert(frames.map(f => (f._1, f._2)).sorted.toSeq ==
+      Seq((1L, 0), (1L, 2), (2L, 0)))
+    val f2 = frames.find(f => f._1 == 1L && f._2 == 2).get._3
+    assert(f2.toSeq == Array.tabulate(8)(k => (20 + k).toByte).toSeq)
+  }
 }
