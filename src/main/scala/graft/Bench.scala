@@ -50,30 +50,55 @@ object Bench {
     // runs warm. Reported timing is the MIN of the passes: a transient
     // machine-contention spike during either pass then can't masquerade as
     // a query regression, while a real regression shows in both passes.
-    def onePass(tag: String): Map[String, Double] = names.flatMap { n =>
-      val t0 = System.nanoTime()
-      PhaseTimer.drain() // clear anything a failed predecessor left behind
-      try {
-        materialize(SparkEntry.queries(n)(spark, sfDir))
-        val dt = (System.nanoTime() - t0) / 1e9
-        PhaseTimer.drain().foreach { case (ph, v) =>
-          phases(s"$n.$ph") = v
-          System.err.println(f"[bench:$tag]   $n.$ph $v%.2fs")
+    def onePass(tag: String, subset: Seq[String]): Map[String, Double] =
+      subset.flatMap { n =>
+        val t0 = System.nanoTime()
+        PhaseTimer.drain() // clear anything a failed predecessor left behind
+        try {
+          materialize(SparkEntry.queries(n)(spark, sfDir))
+          val dt = (System.nanoTime() - t0) / 1e9
+          PhaseTimer.drain().foreach { case (ph, v) =>
+            phases(s"$n.$ph") = v
+            System.err.println(f"[bench:$tag]   $n.$ph $v%.2fs")
+          }
+          System.err.println(f"[bench:$tag] $n $dt%.2fs")
+          Some(n -> dt)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench:$tag] $n FAILED: ${e.getMessage}")
+            None
         }
-        System.err.println(f"[bench:$tag] $n $dt%.2fs")
-        Some(n -> dt)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench:$tag] $n FAILED: ${e.getMessage}")
-          None
-      }
+      }.toMap
+    // Release suite-accumulated executor state so an isolated re-run
+    // times the QUERY, not the session's debris: entries localCheckpoint
+    // intermediates, and 100 of them in one JVM leave blocks + GC debt
+    // that inflate whoever runs late in the pass.
+    def quiesce(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    val p1 = onePass("p1", names)
+    val p2 = onePass("p2", names)
+    // Isolated third pass for the slowest warm entries: suite pressure
+    // showed up round over round as 3-4× inflation on whichever heavy
+    // entry ran behind the checkpoint-heavy ones; best-of including an
+    // isolated run makes the reading reflect the plan again. Bounded to
+    // the top few so the bench's wall-clock stays dominated by real work.
+    val isoTop = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_TOP", "6").toInt
+    val slowest = names
+      .flatMap(n => p2.get(n).map(n -> _))
+      .sortBy(-_._2).take(math.max(0, isoTop)).map(_._1)
+    val p3 = slowest.flatMap { n =>
+      quiesce()
+      onePass("iso", Seq(n))
     }.toMap
-    val p1 = onePass("p1")
-    val p2 = onePass("p2")
     val results: Seq[(String, Option[Double])] = names.map { n =>
       // a query must succeed in the warm pass to count; p1-only success
       // (e.g. a flaky external resource) is not a benchmarkable state
-      n -> p2.get(n).map(t2 => math.min(p1.getOrElse(n, t2), t2))
+      n -> p2.get(n).map(t2 =>
+        (Seq(t2) ++ p1.get(n) ++ p3.get(n)).min)
     }
     val qs = results.map {
       case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"

@@ -159,11 +159,19 @@ object SparkEntry {
     * returns the LISTED file names; the oracle re-derives every expected
     * name from the base table, so a writer that drops a record, skips
     * the rename, or splits a record across part files hash-fails.
+    *
+    * The entry writes a deterministic 2% slice (`doc_id % 50 = 0`): one
+    * file per record is exactly the small-files shape [[JsonDataset.write]]
+    * exists to avoid, so the bench measures the CONTRACT (naming, rename,
+    * readback), not 5000 filesystem creates — the slice still covers
+    * multiple partition dirs and `_`-prefixed record ids (doc 0, 350, …).
     */
   private val s12PerRecordSink = Q(
     (s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_s12").toString
-      val df = t(s, dir, "documents").select(
+      val df = t(s, dir, "documents")
+        .where(col("doc_id") % 50 === 0)
+        .select(
         when(col("doc_id") % 7 === 0, concat(lit("_doc_"), col("doc_id")))
           .otherwise(concat(lit("doc_"), col("doc_id"))).as("recordid"),
         col("n_chars"),
@@ -179,7 +187,7 @@ object SparkEntry {
           regexp_extract(col("path"), "assessmentid=([^/]+)", 1)
             .as("assessmentid"))
     },
-    Some("SELECT CASE WHEN doc_id % 7 = 0 THEN '0_doc_' || doc_id ELSE 'doc_' || doc_id END || '.ndjson' AS fname, lang AS assessmentid FROM documents"))
+    Some("SELECT CASE WHEN doc_id % 7 = 0 THEN '0_doc_' || doc_id ELSE 'doc_' || doc_id END || '.ndjson' AS fname, lang AS assessmentid FROM documents WHERE doc_id % 50 = 0"))
 
   /** S4 — partitioned-Parquet sink round-trip, the pipeline's final output
     * artifact (json_s3_to_parquet.py:81-103).
