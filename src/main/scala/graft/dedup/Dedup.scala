@@ -503,9 +503,20 @@ object Dedup {
   private[dedup] def saltedBandLegs(
       banded: DataFrame, maxBucketSize: Int): (DataFrame, DataFrame) = {
     require(maxBucketSize > 0, "maxBucketSize must be positive")
-    val w = Window.partitionBy(col("band"), col("bh"))
-    val withG = banded.withColumn("g",
-      ceil(count(lit(1)).over(w) / lit(maxBucketSize)).cast("int"))
+    // census only the OVERSIZED buckets: the aggregate shuffles slim
+    // (band, bh) rows with map-side combine, and the surviving list is
+    // empty for any non-degenerate corpus — AQE then makes the re-join
+    // a broadcast and normal corpora pay ~nothing for the guard (a
+    // window count here would shuffle the full banded frame instead)
+    val over = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxBucketSize)
+      .select(col("band"), col("bh"),
+        ceil(col("__n") / lit(maxBucketSize)).cast("int").as("__g"))
+    // materialized: both self-join legs read the g-annotated rows from
+    // storage instead of re-executing the census join per leg
+    val withG = banded.join(over, Seq("band", "bh"), "left")
+      .withColumn("g", coalesce(col("__g"), lit(1))).drop("__g")
+      .localCheckpoint()
     val chunk = pmod(xxhash64(col("id")), col("g")).cast("int")
     val x = withG.withColumn("cx", chunk)
       .withColumn("cy", explode(sequence(lit(0), col("g") - 1)))
@@ -547,8 +558,9 @@ object Dedup {
       docs: DataFrame, id: String, text: String, threshold: Double,
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, id, text, numHashes, bands, shingleN)
+    // materialized: the shingle sets feed BOTH verify-join legs
     val sets = widen(docs).select(col(id).as("id"),
-      shingles(col(text), shingleN).as("set"))
+      shingles(col(text), shingleN).as("set")).localCheckpoint()
     cands
       .join(sets.select(col("id").as("id1"), col("set").as("set1")), "id1")
       .join(sets.select(col("id").as("id2"), col("set").as("set2")), "id2")
