@@ -1577,6 +1577,41 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text", maxTokens = 256, groups = 8),
     Some("WITH tk AS (SELECT doc_id, doc_id % 8 AS grp, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS toks FROM documents), c AS (SELECT grp, doc_id, toks, COALESCE(sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tk) SELECT grp, CAST(cum // 256 AS BIGINT) AS seq, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM c GROUP BY 1, 2"))
 
+  /** Gopher-style repetition signals ([[TextAnalysis.repetitionSignals]]):
+    * top-unigram fraction + intra-doc duplicate-trigram fraction — the
+    * degenerate-generation filter of a training-data quality gate. The
+    * trigram fraction never leaves its task (array arithmetic); the
+    * unigram mode is one explode + map-side-combined (id, token) count.
+    */
+  private val textRepetition = Q(
+    (s, dir) => TextAnalysis.repetitionSignals(
+      t(s, dir, "documents"), "doc_id", "text"),
+    Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), tg AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE [] END AS g FROM d), base AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens FROM d), dt AS (SELECT doc_id, CASE WHEN len(g) >= 1 THEN floor((1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)) * 10000.0 + 0.5) / 10000.0 ELSE 0.0 END AS dup_trigram_frac FROM tg), u AS (SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY 1, 2), tu AS (SELECT doc_id, floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS top_unigram_frac FROM u GROUP BY 1) SELECT base.doc_id, n_tokens, top_unigram_frac, dup_trigram_frac FROM base JOIN tu ON base.doc_id = tu.doc_id JOIN dt ON base.doc_id = dt.doc_id"))
+
+  /** Duplicated-span fractions ([[graft.dedup.Dedup.spanDupFractions]]):
+    * per document, the fraction of its sliding 5-token windows that
+    * occur verbatim in at least one OTHER document — the
+    * exact-substring-dedup signal (Lee et al. 2021). Spans shuffle as
+    * fixed-width md5 keys; cost is linear in corpus tokens.
+    */
+  private val dedupSpans = Q(
+    (s, dir) => graft.dedup.Dedup.spanDupFractions(
+        t(s, dir, "documents"), "doc_id", "text", w = 5)
+      .select(col("id").as("doc_id"), col("n_spans"), col("dup_span_frac")),
+    Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), s AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS sh FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM d WHERE len(ws) >= 5)), f AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM s GROUP BY sh), per AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans, floor(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS dup_span_frac FROM s JOIN f USING (sh) GROUP BY doc_id) SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans, coalesce(dup_span_frac, 0.0) AS dup_span_frac FROM d LEFT JOIN per USING (doc_id)"))
+
+  /** SemDeDup semantic near-dup pruning ([[Ann.semanticDedup]]): assign
+    * embeddings to pivot-centroid clusters, drop the higher id of every
+    * intra-cluster pair with cosine ≥ 0.3 — per-cluster self-joins
+    * bound the pair fanout (the SemDeDup scaling argument), and the
+    * pivot centroids make the whole operator exactly oracle-checkable.
+    */
+  private val dedupSemantic = Q(
+    (s, dir) => Ann.semanticDedup(
+      t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+      threshold = 0.3),
+    Some("WITH cent AS (SELECT label AS cl, arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)), vec_id) AS cv FROM embeddings GROUP BY label), v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), asg AS (SELECT vec_id, e, cl FROM (SELECT v.vec_id, v.e, c.cl, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC, c.cl) AS r FROM v CROSS JOIN cent c) WHERE r = 1), p AS (SELECT b.vec_id AS id2 FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id AND round(list_cosine_similarity(a.e, b.e), 4) >= 0.3), dr AS (SELECT DISTINCT id2 FROM p) SELECT asg.vec_id, asg.cl AS cluster, (dr.id2 IS NULL) AS keep FROM asg LEFT JOIN dr ON asg.vec_id = dr.id2"))
+
   // --------------------------------------------------------------------
   // Analytic surface: percentiles, rollup, windows, pivot
   // --------------------------------------------------------------------
@@ -2127,6 +2162,9 @@ object SparkEntry {
     "so8_sample_k_per_group" -> so8SampleKPerGroup,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
+    "text_repetition" -> textRepetition,
+    "dedup_spans" -> dedupSpans,
+    "dedup_semantic" -> dedupSemantic,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -577,6 +577,59 @@ object Ann {
       .select(col("id1"), col("id2"), col("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to its nearest coarse
+    * centroid, find cosine near-duplicate pairs WITHIN each cluster,
+    * and keep the smallest-id member of each near-dup relation — the
+    * paper's core trick is that clustering turns the O(N²) corpus
+    * problem into Σ O(|c|²) per cluster with |c| ≪ N, and the cluster
+    * count is the knob that bounds the pair fanout at any scale.
+    *
+    * Deterministic end-to-end given a deterministic centroid table
+    * ([[pivotCentroids]] — the default): assignment takes the argmax of
+    * round(cos, 4) with a cluster-id tiebreak, and a vector is dropped
+    * iff some smaller-id vector in its cluster is ≥ `threshold` similar
+    * (greedy-by-id keep rule: one pass, no iteration, retry-stable).
+    *
+    * Scale shape: the centroid table broadcasts (k rows); assignment is
+    * a crossJoin + per-id `min_by` aggregate, so the map-side partial
+    * collapses the k candidate rows per vector BEFORE any shuffle (a
+    * rank window here would shuffle corpus×k rows into window tasks
+    * instead). The assigned projection is materialized once and feeds
+    * both legs of the per-cluster self-join. Output one row per input
+    * vector: (id, cluster, keep).
+    */
+  def semanticDedup(
+      corpus: DataFrame, id: String, vec: String, cluster: String,
+      threshold: Double, cents: Option[DataFrame] = None): DataFrame = {
+    val centTable = cents.getOrElse(pivotCentroids(corpus, cluster, id, vec))
+      .select(col(cluster).as("cl"), toDouble(col("centroid")).as("cv"))
+      .withColumn("__cn", sqrt(dotD(col("cv"), col("cv"))))
+    val assigned = widen(prepared(corpus, id, vec, "__id", "__v", "__n"))
+      .crossJoin(broadcast(centTable))
+      .withColumn("csim",
+        round(dotD(col("__v"), col("cv")) / (col("__n") * col("__cn")), 4))
+      .groupBy(col("__id"))
+      .agg(min_by(struct(col("cl"), col("__v"), col("__n")),
+        struct((-col("csim")).as("d"), col("cl"))).as("a"))
+      .select(col("__id"), col("a.cl").as("cl"),
+        col("a.__v").as("__v"), col("a.__n").as("__n"))
+      .localCheckpoint()
+    val pairs = assigned
+      .select(col("cl"), col("__id").as("id1"),
+        col("__v").as("v1"), col("__n").as("n1"))
+      .join(assigned.select(col("cl"), col("__id").as("id2"),
+        col("__v").as("v2"), col("__n").as("n2")), "cl")
+      .where(col("id1") < col("id2"))
+      .where(round(dotD(col("v1"), col("v2")) /
+        (col("n1") * col("n2")), 4) >= threshold)
+    val dropped = pairs.select(col("id2").as("__id")).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(dropped, Seq("__id"), "left")
+      .select(col("__id").as(id), col("cl").as("cluster"),
+        col("__drop").isNull.as("keep"))
+  }
+
   /** Deterministic Rademacher hyperplanes: component (j, d) is ±1 from a
     * seeded hash — reproducible across runs with no RNG state.
     */

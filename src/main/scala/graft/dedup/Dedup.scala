@@ -44,6 +44,48 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("fp"))
       .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_dups"))
 
+  /** Per-document duplicated-span fraction — the exact-substring-dedup
+    * signal (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"): for each document, the fraction of its
+    * sliding `w`-token windows that also occur verbatim in at least one
+    * OTHER document. Documents near 1.0 are copies or heavy quoters;
+    * the signal feeds span-level removal or doc-level down-weighting.
+    *
+    * Distributed shape: one explode to (id, span) rows keyed by the
+    * span's md5 (a 32-char key regardless of `w`, so the shuffle carries
+    * fixed-width rows, not w-token strings), a two-stage count-distinct
+    * per span, and a join back — cost is linear in corpus token count.
+    * The hot keys ARE the duplicated spans, but the per-span aggregate
+    * output is one row per span, so the join-back fans out only to the
+    * documents that contain the span — exactly the rows the answer
+    * needs. Documents shorter than `w` tokens have no spans: n_spans 0,
+    * fraction 0.0. Fractions use the engine-stable floor quantization.
+    * Output: (id, n_spans, dup_span_frac).
+    */
+  def spanDupFractions(
+      docs: DataFrame, id: String, text: String, w: Int): DataFrame = {
+    require(w >= 2, s"span width must be >= 2, got $w")
+    val q4 = (c: Column) => floor(c * 10000.0 + lit(0.5)) / 10000.0
+    val ts = split(lower(trim(col(text))), "\\s+")
+    val spans = when(size(ts) >= w,
+      transform(sequence(lit(1), size(ts) - (w - 1)),
+        i => md5(concat_ws(" ", slice(ts, i, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+    val s = widen(docs).select(col(id).as("id"), explode(spans).as("sh"))
+    val df = s.groupBy(col("sh"))
+      .agg(countDistinct(col("id")).as("nd"))
+    val per = s.join(df, "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup"))
+      .select(col("id"), col("n").cast("int").as("n_spans"),
+        q4(col("dup").cast("double") / col("n").cast("double"))
+          .as("dup_span_frac"))
+    widen(docs).select(col(id).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("dup_span_frac"), lit(0.0)).as("dup_span_frac"))
+  }
+
   /** ceil(t·sz) on doubles can land 1 ulp above an integer (0.8·10 →
     * 8.000000000000002 → ceil 9), silently tightening a bound and
     * breaking completeness; round to 6 decimals first.

@@ -158,6 +158,47 @@ object TextAnalysis {
       .select(col(id), col("rank").cast("int").as("rank"), col("score"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1) — the
+    * quality filter that catches degenerate, loopy generations before
+    * they enter a training mix:
+    *   - `top_unigram_frac`: occurrences of the single most frequent
+    *     token / total tokens (a high value means the doc is dominated
+    *     by one word);
+    *   - `dup_trigram_frac`: 1 − distinct/total over the doc's sliding
+    *     token trigrams (a high value means the doc repeats itself).
+    * The trigram fraction is pure array arithmetic per row (codegen, no
+    * shuffle — `array_distinct` never leaves the task). The unigram mode
+    * needs a per-(doc, token) count, which is one explode + two-stage
+    * hash aggregate keyed by (id, token) — map-side combine bounds the
+    * shuffle at the doc's distinct vocabulary, never its length — joined
+    * back on id. An `aggregate`-HOF mode would avoid the shuffle but
+    * costs O(len · vocab) per row: a single pathological 100k-token doc
+    * would stall its task, so the explode is the scale-safe altitude.
+    * Both fractions use the engine-stable floor quantization
+    * ([[qualityScore]]). Output: (id, n_tokens, top_unigram_frac,
+    * dup_trigram_frac).
+    */
+  def repetitionSignals(docs: DataFrame, id: String, text: String): DataFrame = {
+    val q4 = (c: Column) => floor(c * 10000.0 + lit(0.5)) / 10000.0
+    val ts = tokens(col(text))
+    val n = size(ts)
+    val tg = transform(sequence(lit(1), n - 2),
+      i => concat_ws(" ", slice(ts, i, lit(3))))
+    val base = docs.select(col(id), n.cast("int").as("n_tokens"),
+      when(n >= 3,
+        q4(lit(1.0) - size(array_distinct(tg)).cast("double") /
+          size(tg).cast("double")))
+        .otherwise(0.0).as("dup_trigram_frac"))
+    val top = docs.select(col(id), explode(tokens(col(text))).as("w"))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(q4(max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_unigram_frac"))
+    base.join(top, Seq(id))
+      .select(col(id), col("n_tokens"), col("top_unigram_frac"),
+        col("dup_trigram_frac"))
+  }
+
   /** Distributed sequence packing for LLM training: documents are packed
     * in deterministic id order into fixed token-budget training rows
     * (the concat-and-chunk shape). The corpus splits into `groups`

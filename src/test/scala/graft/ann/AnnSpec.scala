@@ -245,6 +245,30 @@ class AnnSpec extends SparkSpec {
     assert(perQuery.nonEmpty && perQuery.forall(_ == 1L))
   }
 
+  test("semanticDedup keeps the smallest id of each intra-cluster " +
+      "near-dup relation; threshold gates the pruning") {
+    // pivots are the min-id member per label: 0 → unit(0), 2 → unit(2),
+    // 4 → unit(4); every member re-assigns to its own label's pivot
+    val out = Ann.semanticDedup(corpus, "vec_id", "embedding", "label",
+      threshold = 0.99)
+    val rows = out.as[(Long, Int, Boolean)].collect().toSeq
+    assert(rows.length == 7) // one row per input vector
+    val keep = rows.map(r => r._1 -> r._3).toMap
+    // each cluster's members are mutually >= 0.99 similar: only the
+    // smallest id survives per cluster
+    assert(keep == Map(0L -> true, 1L -> false, 10L -> false,
+      2L -> true, 3L -> false, 4L -> true, 5L -> false))
+    // cluster column equals the assigned (= original) label here
+    assert(rows.map(r => r._1 -> r._2).toMap ==
+      Map(0L -> 0, 1L -> 0, 10L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2))
+    // a tighter threshold only prunes the near-copy (cos(0,10) ≈ 1.0)
+    val tight = Ann.semanticDedup(corpus, "vec_id", "embedding", "label",
+        threshold = 0.9999)
+      .as[(Long, Int, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(tight == Map(0L -> true, 1L -> true, 10L -> false,
+      2L -> true, 3L -> true, 4L -> true, 5L -> true))
+  }
+
   test("kmeans survives k exceeding the distinct-point count") {
     val tiny = Seq((1L, unit(0), 0), (2L, unit(0), 0), (3L, unit(2), 1))
       .toDF("vec_id", "embedding", "label")

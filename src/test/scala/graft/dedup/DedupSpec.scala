@@ -240,6 +240,24 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((2L, 1L, 1.0)))
   }
 
+  test("spanDupFractions: cross-doc spans count, within-doc repeats and " +
+      "short docs do not") {
+    val data = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6"), // spans [t1..t5, t2..t6]
+      (2L, "t1 t2 t3 t4 t5 zz"), // shares t1..t5 with doc 1
+      (3L, "q1 q2 q3"), // shorter than w: no spans
+      // the 5-gram r1..r5 occurs TWICE here but in no other doc: a
+      // within-doc repeat is not cross-corpus duplication
+      (4L, "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDupFractions(data, "doc_id", "text", w = 5)
+      .orderBy("id").as[(Long, Int, Double)].collect().toSeq
+    assert(out(0) == ((1L, 2, 0.5)))
+    assert(out(1) == ((2L, 2, 0.5)))
+    assert(out(2) == ((3L, 0, 0.0)))
+    assert(out(3) == ((4L, 6, 0.0)))
+  }
+
   test("simhash: identical docs share fingerprints, unrelated docs do not") {
     val fp = SimHash.fingerprints(docs, "doc_id", "text")
       .as[(Long, String)].collect().toMap

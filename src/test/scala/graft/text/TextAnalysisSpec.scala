@@ -129,4 +129,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(packed.map(_.toSeq).sortBy(_.toString).toSeq ==
       again.map(_.toSeq).sortBy(_.toString).toSeq)
   }
+
+  test("repetitionSignals: mode fraction and duplicate-trigram fraction " +
+      "match hand computation; short docs degrade to zero trigram signal") {
+    val docs = Seq(
+      (1L, "a a a a"), // 4 tokens, trigrams [a a a, a a a] → dup 0.5
+      (2L, "a b c d"), // all distinct → top 0.25, dup 0.0
+      (3L, "x"), // 1 token: top 1.0, no trigrams
+      (4L, "spam spam spam ham spam spam spam")) // 6/7 spam
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, Double, Double)].collect().toSeq
+    assert(out(0) == ((1L, 4, 1.0, 0.5)))
+    assert(out(1) == ((2L, 4, 0.25, 0.0)))
+    assert(out(2) == ((3L, 1, 1.0, 0.0)))
+    // trigrams of doc 4: 5 total, distinct {s s s, s s h, s h s, h s s} →
+    // dup = 1 - 4/5 = 0.2; top unigram = 6/7
+    assert(out(3)._3 == math.floor(6.0 / 7.0 * 10000 + 0.5) / 10000)
+    assert(out(3)._4 == 0.2)
+  }
 }
