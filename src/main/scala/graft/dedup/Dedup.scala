@@ -66,12 +66,22 @@ object Dedup {
       docs: DataFrame, id: String, text: String, w: Int): DataFrame = {
     require(w >= 2, s"span width must be >= 2, got $w")
     val q4 = (c: Column) => floor(c * 10000.0 + lit(0.5)) / 10000.0
-    val ts = split(lower(trim(col(text))), "\\s+")
+    // staged projection: materialize the token array once per row before
+    // the span lambda slices it — an inlined split() re-runs per element
+    // (HOFs block subexpression elimination; see repetitionSignals)
+    val ts = col("__ts")
     val spans = when(size(ts) >= w,
       transform(sequence(lit(1), size(ts) - (w - 1)),
         i => md5(concat_ws(" ", slice(ts, i, lit(w))))))
       .otherwise(array().cast("array<string>"))
-    val s = widen(docs).select(col(id).as("id"), explode(spans).as("sh"))
+    // materialized: the span rows feed BOTH the per-span df aggregate
+    // and the join-back leg — without the cut the tokenize+md5 explode
+    // runs twice (the ngram-jaccard postings pattern)
+    val s = widen(docs)
+      .select(col(id).as("id"),
+        split(lower(trim(col(text))), "\\s+").as("__ts"))
+      .select(col("id"), explode(spans).as("sh"))
+      .localCheckpoint()
     val df = s.groupBy(col("sh"))
       .agg(countDistinct(col("id")).as("nd"))
     val per = s.join(df, "sh")
