@@ -1496,9 +1496,10 @@ object SparkEntry {
     */
   private val textChunks = Q(
     (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ts"))
       .select(col("doc_id"),
-        posexplode(TextAnalysis.chunks(col("text"), size = 40, overlap = 10))
-          .as(Seq("chunk_idx", "chunk")))
+        posexplode(TextAnalysis.chunksOfTokens(col("__ts"), size = 40,
+          overlap = 10)).as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
         col("chunk")),
     Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), k AS (SELECT doc_id, ws, greatest(1, CAST(ceil((len(ws) - 10) / 30.0) AS BIGINT)) AS nk FROM d), i AS (SELECT doc_id, ws, unnest(generate_series(0, nk - 1)) AS ci FROM k) SELECT doc_id, CAST(ci AS INT) AS chunk_idx, array_to_string(ws[(ci*30+1):(ci*30+40)], ' ') AS chunk FROM i"))

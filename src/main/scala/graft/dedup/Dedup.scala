@@ -27,15 +27,26 @@ object Dedup {
   private[graft] def widen(df: DataFrame): DataFrame =
     graft.operators.Widen(df)
 
-  /** Word n-gram shingle set (lowercased, whitespace-tokenized). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(lower(text), "\\s+")
+  /** Word n-gram shingle set (lowercased, whitespace-tokenized). Prefer
+    * [[shinglesOfTokens]] over a PRE-STAGED token column inside
+    * operators: handing this an inline text expression re-runs the
+    * split() once per shingle (higher-order functions block
+    * subexpression elimination).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfTokens(split(lower(text), "\\s+"), n)
+
+  /** [[shingles]] over an already-tokenized array column — the form
+    * every internal call site uses, after materializing the token array
+    * in its own projection stage so the shingle lambda slices a column
+    * reference instead of re-splitting per element.
+    */
+  def shinglesOfTokens(words: Column, n: Int): Column =
     when(size(words) >= n,
       array_distinct(transform(
         sequence(lit(0), size(words) - n),
         i => concat_ws(" ", slice(words, i + lit(1), lit(n))))))
       .otherwise(array_distinct(array(concat_ws(" ", words))))
-  }
 
   /** Exact dedup: fingerprint groupBy keeping the smallest id
     * (the distributed form of "drop exact duplicates").
@@ -139,9 +150,16 @@ object Dedup {
     * scripts without word boundaries (CJK), OCR noise, and code, where
     * word sets miss near-dups. Interpreted HOF cost is O(len·n) per row
     * (substr per gram) — fine for shingling, keep it out of pair loops.
+    * Internal call sites stage the lowercase into its own projection and
+    * use [[charShinglesOfLower]]: an inline lower(text) here re-runs
+    * once per gram (HOFs block subexpression elimination), turning the
+    * per-row cost O(len²).
     */
-  def charShingles(text: Column, n: Int): Column = {
-    val t = lower(text)
+  def charShingles(text: Column, n: Int): Column =
+    charShinglesOfLower(lower(text), n)
+
+  /** [[charShingles]] over an already-lowercased string column. */
+  def charShinglesOfLower(t: Column, n: Int): Column = {
     val cnt = length(t) - lit(n - 1)
     when(cnt >= 1,
       array_distinct(transform(sequence(lit(1), cnt), i => t.substr(i, lit(n)))))
@@ -159,8 +177,9 @@ object Dedup {
       docs: DataFrame, id: String, text: String, n: Int,
       threshold: Double, maxDf: Option[Long] = None,
       salt: Int = 1): DataFrame = {
-    val sets = widen(docs).select(col(id).as("id"),
-      charShingles(col(text), n).as("ts"))
+    val sets = widen(docs)
+      .select(col(id).as("id"), lower(col(text)).as("__t"))
+      .select(col("id"), charShinglesOfLower(col("__t"), n).as("ts"))
     pairsFromTokens(withSizes(sets, maxDf), threshold, salt)
   }
 
@@ -527,8 +546,9 @@ object Dedup {
     // 8-byte base value — each behaves as an independent permutation for
     // min-hashing at a fraction of the cost of re-hashing the string
     // (and no overflowing arithmetic, which ANSI mode would reject)
-    val sh = widen(docs).select(col(id).as("id"),
-      explode(shingles(col(text), shingleN)).as("sh"))
+    val sh = widen(docs)
+      .select(col(id).as("id"), split(lower(col(text)), "\\s+").as("__w"))
+      .select(col("id"), explode(shinglesOfTokens(col("__w"), shingleN)).as("sh"))
       .withColumn("base", xxhash64(col("sh")))
     val minsig = udaf(new MinSig(numHashes))
     val sig = sh.groupBy(col("id")).agg(minsig(col("base")).as("sig"))
@@ -610,9 +630,12 @@ object Dedup {
       docs: DataFrame, id: String, text: String, threshold: Double,
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, id, text, numHashes, bands, shingleN)
-    // materialized: the shingle sets feed BOTH verify-join legs
-    val sets = widen(docs).select(col(id).as("id"),
-      shingles(col(text), shingleN).as("set")).localCheckpoint()
+    // materialized: the shingle sets feed BOTH verify-join legs; token
+    // staging keeps the shingle lambda from re-splitting per element
+    val sets = widen(docs)
+      .select(col(id).as("id"), split(lower(col(text)), "\\s+").as("__w"))
+      .select(col("id"), shinglesOfTokens(col("__w"), shingleN).as("set"))
+      .localCheckpoint()
     cands
       .join(sets.select(col("id").as("id1"), col("set").as("set1")), "id1")
       .join(sets.select(col("id").as("id2"), col("set").as("set2")), "id2")

@@ -89,11 +89,19 @@ object TextAnalysis {
     * re-derivable in SQL. Returns array<string> of chunk texts; pair
     * with posexplode for the (doc, chunk_idx, chunk) child-table shape.
     */
-  def chunks(text: Column, size: Int, overlap: Int): Column = {
+  def chunks(text: Column, size: Int, overlap: Int): Column =
+    chunksOfTokens(tokens(text), size, overlap)
+
+  /** [[chunks]] over an already-tokenized array column. Operators should
+    * stage the token array into its own projection and call this form:
+    * an inline tokenizer inside the chunk lambda re-splits the text once
+    * per CHUNK (higher-order functions block subexpression elimination),
+    * which is quadratic for long documents.
+    */
+  def chunksOfTokens(ts: Column, size: Int, overlap: Int): Column = {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")
     val step = size - overlap
-    val ts = tokens(text)
     // the `size` param shadows functions.size — qualify the builtin
     val n = org.apache.spark.sql.functions.size(ts).cast("long")
     val k = greatest(lit(1L),
