@@ -384,6 +384,57 @@ object SparkEntry {
       }))
   }
 
+  /** Per-sfDir events copy written TWICE into one directory — the
+    * redelivered-input fixture for the streaming dedup entry (every file
+    * delivered exactly two times).
+    */
+  private def stEventsDirDup(s: SparkSession, dir: String): String =
+    stInputCache.getOrElseUpdate(dir + "#dup", {
+      val d = java.nio.file.Files.createTempDirectory("graft_st2x").toString
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"))
+      ev.write.mode("overwrite").parquet(s"$d/in")
+      ev.write.mode("append").parquet(s"$d/in")
+      d
+    })
+
+  /** §2.8-streaming — at-least-once redelivery dedup
+    * ([[graft.streaming.StreamingIngest.dedupFirstSeen]]): the doubled
+    * input simulates upstream redelivery (every record arrives twice);
+    * streaming dropDuplicates state keeps the first-processed copy, so
+    * the drained output must equal the DISTINCT record set — the
+    * batch-parity oracle. The watermark delay models the redelivery
+    * horizon; here it exceeds the fixture's span so no state evicts
+    * mid-run and the parity is exact.
+    */
+  private val stDedupReplay = Q(
+    (s, dir) => {
+      val tmp = stEventsDirDup(s, dir)
+      val stream = s.readStream
+        .schema(StructType.fromDDL(
+          "event_id bigint, event_type string, ts timestamp"))
+        .parquet(s"$tmp/in")
+      val deduped = graft.streaming.StreamingIngest.dedupFirstSeen(
+        stream, "ts", "3650 days", Seq("event_id"))
+      val myId = stSinkSeq.incrementAndGet()
+      val qn = s"st_dd_sink_$myId"
+      (1L until myId - 1).foreach(k => s.catalog.dropTempView(s"st_dd_sink_$k"))
+      // dedup state is one row per distinct key: size partitions to the
+      // key count, not the batch shuffle setting (see stWindowCounts)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        deduped.writeStream.format("memory").queryName(qn)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(qn).select(col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    },
+    Some("SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM events"))
+
   private val stWindowCounts = Q(
     (s, dir) => {
       val tmp = stEventsDir(s, dir)
@@ -2166,6 +2217,7 @@ object SparkEntry {
     "text_repetition" -> textRepetition,
     "dedup_spans" -> dedupSpans,
     "dedup_semantic" -> dedupSemantic,
+    "st_dedup_replay" -> stDedupReplay,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

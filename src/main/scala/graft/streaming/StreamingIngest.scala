@@ -39,6 +39,23 @@ object StreamingIngest {
       .option("path", outPath)
       .start()
 
+  /** At-least-once redelivery dedup — the ingest-side guard every
+    * file/queue source needs: upstream delivery (SQS retries, Glue
+    * re-crawls, producer replays) can hand the stream the same record
+    * twice, and `dropDuplicates` over the record key holds one state row
+    * per key so only the first-processed copy survives. The watermark
+    * bounds state: a key's row is evicted once event time passes
+    * `delay`, so `delay` must cover the redelivery horizon (how stale a
+    * replayed copy can be), NOT the stream's length — state is
+    * ∝ keys-per-horizon, never the stream. Copies of a record are
+    * byte-identical, so which one survives is immaterial and the
+    * result is deterministic: exactly the distinct record set.
+    */
+  def dedupFirstSeen(
+      stream: DataFrame, eventTimeCol: String, delay: String,
+      keys: Seq[String]): DataFrame =
+    stream.withWatermark(eventTimeCol, delay).dropDuplicates(keys)
+
   /** The COMPLETE E2 stage as Structured Streaming: each micro-batch of
     * new NDJSON files is relationalized and every produced table — root
     * plus one child per nested path — appends to its partitioned

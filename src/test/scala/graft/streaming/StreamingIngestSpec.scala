@@ -242,6 +242,34 @@ class StreamingIngestSpec extends SparkSpec {
     assert(rows.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("dedupFirstSeen: watermarked redelivery dedup emits each key once, " +
+      "late replays beyond the horizon are dropped, not re-emitted") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2022-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(Timestamp, Long)]
+    val dedup = StreamingIngest.dedupFirstSeen(
+      mem.toDF.toDF("ts", "event_id"), "ts", "10 minutes", Seq("event_id"))
+    val q = dedup.writeStream
+      .format("memory").queryName("dedup_fs_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt_fs")
+      .start()
+    mem.addData((ts(0), 1L), (ts(0), 2L))
+    q.processAllAvailable()
+    // in-horizon redelivery of 1 suppressed by state; 3 is new
+    mem.addData((ts(0), 1L), (ts(30), 3L))
+    q.processAllAvailable()
+    // watermark is now 10:20; key 2's replay is BELOW it — state may have
+    // evicted, but the late filter drops the row, so still no duplicate
+    mem.addData((ts(59), 4L), (ts(0), 2L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_fs_stream")
+      .select("event_id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("stream-static join enriches each micro-batch from a broadcast dim") {
     val tmp = Files.createTempDirectory("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
