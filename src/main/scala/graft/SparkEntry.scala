@@ -1652,6 +1652,19 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_spans"), col("dup_span_frac")),
     Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), s AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS sh FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM d WHERE len(ws) >= 5)), f AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM s GROUP BY sh), per AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans, floor(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS dup_span_frac FROM s JOIN f USING (sh) GROUP BY doc_id) SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans, coalesce(dup_span_frac, 0.0) AS dup_span_frac FROM d LEFT JOIN per USING (doc_id)"))
 
+  /** Winnowed span duplication ([[graft.dedup.Dedup.winnowedSpanDup]]):
+    * the 100 TB form of `dedup_spans` — each doc shuffles only the
+    * ~1/win winnowing-selected spans (min-hash of each length-win window
+    * run, leftmost tie-break), preserving the guarantee that any shared
+    * verbatim run of ≥ w + win − 1 tokens is caught. The oracle
+    * re-derives the same selection with list arithmetic.
+    */
+  private val dedupSpansWinnowed = Q(
+    (s, dir) => graft.dedup.Dedup.winnowedSpanDup(
+        t(s, dir, "documents"), "doc_id", "text", w = 5, win = 4)
+      .select(col("id").as("doc_id"), col("n_spans"), col("dup_span_frac")),
+    Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), h AS (SELECT doc_id, CASE WHEN len(ws) >= 5 THEN list_transform(generate_series(1, len(ws) - 4), i -> md5(array_to_string(ws[i:i+4], ' '))) ELSE [] END AS hs FROM d), sel AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(1, len(hs) - 3)), s -> s - 1 + list_position(hs[s:s+3], list_min(hs[s:s+3])))) AS idx, hs FROM h WHERE len(hs) >= 1), sp AS (SELECT doc_id, hs[CAST(i AS BIGINT)] AS sh FROM (SELECT doc_id, hs, unnest(idx) AS i FROM sel)), f AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM sp GROUP BY sh), per AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans, floor(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS dup_span_frac FROM sp JOIN f USING (sh) GROUP BY doc_id) SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans, coalesce(dup_span_frac, 0.0) AS dup_span_frac FROM d LEFT JOIN per USING (doc_id)"))
+
   /** SemDeDup semantic near-dup pruning ([[Ann.semanticDedup]]): assign
     * embeddings to pivot-centroid clusters, drop the higher id of every
     * intra-cluster pair with cosine ≥ 0.3 — per-cluster self-joins
@@ -2216,6 +2229,7 @@ object SparkEntry {
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,
     "dedup_spans" -> dedupSpans,
+    "dedup_spans_winnowed" -> dedupSpansWinnowed,
     "dedup_semantic" -> dedupSemantic,
     "st_dedup_replay" -> stDedupReplay,
   )

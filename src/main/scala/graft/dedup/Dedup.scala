@@ -93,6 +93,17 @@ object Dedup {
         split(lower(trim(col(text))), "\\s+").as("__ts"))
       .select(col("id"), explode(spans).as("sh"))
       .localCheckpoint()
+    spanDupFromPostings(docs, id, s)
+  }
+
+  /** Shared tail of the span-dup operators: census the (id, sh) posting
+    * rows for cross-doc duplication (a span counts iff ≥ 2 DISTINCT docs
+    * contain it), roll up per doc, and re-attach zero rows for docs that
+    * produced no postings.
+    */
+  private def spanDupFromPostings(
+      docs: DataFrame, id: String, s: DataFrame): DataFrame = {
+    val q4 = (c: Column) => floor(c * 10000.0 + lit(0.5)) / 10000.0
     val df = s.groupBy(col("sh"))
       .agg(countDistinct(col("id")).as("nd"))
     val per = s.join(df, "sh")
@@ -105,6 +116,58 @@ object Dedup {
     widen(docs).select(col(id).as("id")).join(per, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_spans"), lit(0)).as("n_spans"),
         coalesce(col("dup_span_frac"), lit(0.0)).as("dup_span_frac"))
+  }
+
+  /** Winnowed duplicated-span fraction — the 100 TB form of
+    * [[spanDupFractions]] (Schleimer et al. 2003, the MOSS winnowing
+    * scheme): instead of shuffling EVERY w-token window, each document
+    * selects only the windows that are the minimum hash of some length-
+    * `win` window run (leftmost tie-break), ~1/win of the full posting
+    * volume, and the census runs over the selected sample. The winnowing
+    * guarantee transfers: two documents sharing a verbatim run of at
+    * least w + win − 1 tokens select at least one common span, so long
+    * copies are always caught; what the sample trades away is
+    * RESOLUTION on short overlaps, not recall on real duplication.
+    *
+    * Selection is per-row array arithmetic (O(spans · win) string
+    * compares, staged projections keep it single-pass); only selected
+    * spans explode into postings, so the shuffle is ~corpus/win rows of
+    * fixed-width md5 keys. `n_spans` counts SELECTED spans and the
+    * fraction is over the selection — directly comparable across docs,
+    * deterministically reproducible in SQL. Output:
+    * (id, n_spans, dup_span_frac).
+    */
+  def winnowedSpanDup(
+      docs: DataFrame, id: String, text: String, w: Int,
+      win: Int): DataFrame = {
+    require(w >= 2 && win >= 1,
+      s"need span width >= 2 and window >= 1, got w=$w win=$win")
+    val ts = col("__ts")
+    val hs = col("__hs")
+    val spanHashes = when(size(ts) >= w,
+      transform(sequence(lit(1), size(ts) - (w - 1)),
+        i => md5(concat_ws(" ", slice(ts, i, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+    // window start s selects position s-1+pos(min of hs[s, s+win-1]);
+    // consecutive windows usually agree, array_distinct collapses them.
+    // Docs with no spans must short-circuit: array_min(empty) is null
+    // and a null index would explode into a null posting row.
+    val selIdx = when(size(hs) >= 1,
+      array_distinct(transform(
+        sequence(lit(1), greatest(lit(1), size(hs) - (win - 1))),
+        s => {
+          val sl = slice(hs, s, lit(win))
+          s - 1 + array_position(sl, array_min(sl))
+        })))
+      .otherwise(array().cast("array<bigint>"))
+    val selected = transform(selIdx, p => element_at(hs, p.cast("int")))
+    val s = widen(docs)
+      .select(col(id).as("id"),
+        split(lower(trim(col(text))), "\\s+").as("__ts"))
+      .select(col("id"), spanHashes.as("__hs"))
+      .select(col("id"), explode(selected).as("sh"))
+      .localCheckpoint()
+    spanDupFromPostings(docs, id, s)
   }
 
   /** ceil(t·sz) on doubles can land 1 ulp above an integer (0.8·10 →

@@ -258,6 +258,30 @@ class DedupSpec extends SparkSpec {
     assert(out(3) == ((4L, 6, 0.0)))
   }
 
+  test("winnowedSpanDup: a shared run of >= w + win - 1 tokens is always " +
+      "caught; selection samples the span stream; short docs yield zero") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // w+win-1 = 8
+    val data = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5 a6"),
+      (2L, s"b1 b2 $shared b3 b4 b5 b6"),
+      (3L, (1 to 60).map(i => s"u$i").mkString(" ")), // unique long doc
+      (4L, "q1 q2 q3")) // shorter than w
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowedSpanDup(data, "doc_id", "text", w = 5, win = 4)
+      .orderBy("id").as[(Long, Int, Double)].collect().toSeq
+    // winnowing guarantee: both sharers select >= 1 common span
+    assert(out(0)._3 > 0.0 && out(1)._3 > 0.0)
+    assert(out(2) == ((3L, out(2)._2, 0.0)))
+    assert(out(3) == ((4L, 0, 0.0)))
+    // sampling: the unique 60-token doc has 56 full spans; winnowing
+    // must select strictly fewer (~1/win of them)
+    assert(out(2)._2 > 0 && out(2)._2 < 56)
+    // determinism
+    val again = Dedup.winnowedSpanDup(data, "doc_id", "text", w = 5, win = 4)
+      .orderBy("id").as[(Long, Int, Double)].collect().toSeq
+    assert(out == again)
+  }
+
   test("simhash: identical docs share fingerprints, unrelated docs do not") {
     val fp = SimHash.fingerprints(docs, "doc_id", "text")
       .as[(Long, String)].collect().toMap
