@@ -1460,6 +1460,52 @@ object SparkEntry {
       "content"),
     Some("SELECT doc_id, 'y4m' AS format, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height, 'mono' AS colorspace, CAST(1 + doc_id % 4 AS INT) AS n_frames FROM documents"))
 
+  /** Deterministic REAL AVI (RIFF) containers: every frame payload byte
+    * is a pure function of doc_id (`(37·id + 11·f + 5·k) mod 256`, 32
+    * bytes per 8×4 DIB frame), so the oracle re-derives every demuxed
+    * fact while the engine walks genuine RIFF chunk trees — LIST sizes,
+    * even-byte padding, avih/strh parsing and all.
+    */
+  private def mmAviBlobs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val n = (1 + id % 3).toInt
+      val frames = (0 until n).map { f =>
+        Array.tabulate(32)(k => ((id * 37 + f * 11 + k * 5) % 256).toByte)
+      }
+      (id, Multimodal.encodeAvi(8, 4, "DIB ", frames))
+    }.toDF("doc_id", "content")
+  }
+
+  /** REAL AVI metadata ([[Multimodal.demuxAvi]] via the dispatching
+    * [[Multimodal.decodeVideoMeta]]): width/height from avih, codec
+    * handler from strh, frame count from the movi walk cross-checked
+    * against avih.
+    */
+  private val mmAviMeta = Q(
+    (s, dir) => Multimodal.decodeVideoMeta(mmAviBlobs(s, dir), "doc_id",
+      "content"),
+    Some("SELECT doc_id, 'avi' AS format, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height, 'dib' AS colorspace, CAST(1 + doc_id % 3 AS INT) AS n_frames FROM documents"))
+
+  /** REAL AVI frame sampling: the RIFF walk must surface each 00dc
+    * chunk's exact payload bytes — the byte sum proves offsets came from
+    * the container, not an assumed layout (the Y4M entry's contract,
+    * on the second container format).
+    */
+  private val mmAviFrameSample = Q(
+    (s, dir) => {
+      import s.implicits._
+      Multimodal.frameSampleVideo(
+          mmAviBlobs(s, dir), "doc_id", "content", everyN = 2)
+        .as[(Long, Int, Array[Byte])]
+        .map { case (id, fi, frame) =>
+          (id, fi, frame.length, frame.map(b => (b & 0xff).toLong).sum)
+        }
+        .toDF("doc_id", "frame_idx", "frame_len", "byte_sum")
+        .withColumn("frame_len", col("frame_len").cast("int"))
+    },
+    Some("WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS f FROM documents), fr AS (SELECT doc_id, CAST(i AS INT) AS frame_idx FROM d JOIN (SELECT unnest(generate_series(0, 2)) AS i) s ON i < f WHERE i % 2 = 0), px AS (SELECT doc_id, frame_idx, CAST(sum((doc_id * 37 + frame_idx * 11 + k * 5) % 256) AS BIGINT) AS byte_sum FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k) g GROUP BY 1, 2) SELECT doc_id, frame_idx, CAST(32 AS INT) AS frame_len, byte_sum FROM px"))
+
   /** REAL image resize: decode the PNG raster, nearest-neighbor resample
     * to a fixed 8×8 grid, emit the resampled gray levels exploded as
     * (doc_id, k, px) scalar rows. The oracle recomputes each output pixel
@@ -2187,6 +2233,8 @@ object SparkEntry {
     "mm_audio_features" -> mmAudioFeatures,
     "mm_frame_sample" -> mmFrameSample,
     "mm_video_meta" -> mmVideoMeta,
+    "mm_avi_meta" -> mmAviMeta,
+    "mm_avi_frame_sample" -> mmAviFrameSample,
     "mm_featurize" -> mmFeaturize,
     "mm_resize" -> mmResize,
     "text_tokens" -> textTokens,

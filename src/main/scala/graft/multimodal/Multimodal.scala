@@ -307,6 +307,132 @@ object Multimodal {
     Some((VideoMeta("y4m", w, h, cs, out.length), out))
   }
 
+  // --------------------------------------------------------------------
+  // Real video container #2: AVI (RIFF) — the Microsoft container every
+  // MJPEG webcam/capture pipeline emits. The demuxer walks the RIFF
+  // chunk tree (LIST hdrl → avih/strh for metadata, LIST movi → ##dc/
+  // ##db chunks for frame payloads); frame DECODE is then the frame
+  // codec's problem — MJPEG frames are plain JPEGs, which javax.imageio
+  // reads natively, so MJPEG-in-AVI is fully decodable on the JVM.
+  // --------------------------------------------------------------------
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, StandardCharsets.US_ASCII)
+
+  /** REAL AVI demux: walk the RIFF chunk tree and return the stream
+    * metadata (avih width/height, strh codec handler) plus each movi
+    * frame chunk's exact (offset, length). None on ANY malformation —
+    * truncated chunk, missing avih/movi, or an avih frame count that
+    * contradicts the movi walk — a misaligned RIFF walk would hand the
+    * frame codec garbage. Unknown chunks (JUNK, idx1, odml) skip
+    * harmlessly, as the spec requires.
+    */
+  def demuxAvi(bytes: Array[Byte]): Option[(VideoMeta, Array[(Int, Int)])] = {
+    if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+      fourcc(bytes, 8) != "AVI ") return None
+    val riffEnd = {
+      val declared = 8L + u32le(bytes, 4)
+      if (declared > bytes.length) return None
+      declared.toInt
+    }
+    var w = -1; var h = -1; var declaredFrames = -1L
+    var handler = "unknown"
+    val frames = Array.newBuilder[(Int, Int)]
+    var nFrames = 0
+    // walk one LIST body; lists nest (hdrl contains strl), so recurse
+    def walk(from: Int, until: Int, inMovi: Boolean): Boolean = {
+      var pos = from
+      while (pos < until) {
+        if (pos + 8 > until) return false
+        val cc = fourcc(bytes, pos)
+        val sz = u32le(bytes, pos + 4)
+        val dataStart = pos + 8
+        if (sz > Int.MaxValue || dataStart + sz > until) return false
+        val dataEnd = dataStart + sz.toInt
+        cc match {
+          case "LIST" =>
+            if (sz < 4) return false
+            val listType = fourcc(bytes, dataStart)
+            if (!walk(dataStart + 4, dataEnd,
+              inMovi || listType == "movi")) return false
+          case "avih" =>
+            if (sz < 40) return false
+            declaredFrames = u32le(bytes, dataStart + 16)
+            w = u32le(bytes, dataStart + 32).toInt
+            h = u32le(bytes, dataStart + 36).toInt
+          case "strh" =>
+            if (sz < 8) return false
+            if (fourcc(bytes, dataStart) == "vids")
+              handler = fourcc(bytes, dataStart + 4).trim.toLowerCase
+          case c if inMovi && c.length == 4 &&
+              c(0).isDigit && c(1).isDigit &&
+              (c.substring(2) == "dc" || c.substring(2) == "db") =>
+            frames += ((dataStart, sz.toInt))
+            nFrames += 1
+          case _ => () // JUNK, idx1, strf, odml... — skip per spec
+        }
+        pos = dataEnd + (sz.toInt & 1) // chunks pad to even
+      }
+      true
+    }
+    if (!walk(12, riffEnd, inMovi = false)) return None
+    if (w <= 0 || h <= 0) return None // no (usable) avih
+    if (declaredFrames > 0 && declaredFrames != nFrames) return None
+    val out = frames.result()
+    if (out.isEmpty) return None // no movi payload
+    Some((VideoMeta("avi", w, h, handler, out.length), out))
+  }
+
+  /** Encode a minimal spec-conformant AVI container around the given
+    * frame payloads (any per-frame codec bytes — MJPEG JPEGs, raw DIBs).
+    * The synthetic-blob generator for entries and specs; `demuxAvi`
+    * round-trips it byte-exactly.
+    */
+  def encodeAvi(
+      w: Int, h: Int, handler: String,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(handler.length == 4, "fourcc handler must be 4 chars")
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte]
+      cc.getBytes(StandardCharsets.US_ASCII) ++ le32(data.length) ++ data ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes(StandardCharsets.US_ASCII) ++ body)
+    val avih = le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte)
+    val strh = "vids".getBytes(StandardCharsets.US_ASCII) ++
+      handler.getBytes(StandardCharsets.US_ASCII) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(30) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(0xffffffffL) ++ le32(0) ++
+      Array.fill(8)(0.toByte)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++
+      Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++
+      handler.getBytes(StandardCharsets.US_ASCII) ++
+      le32(w.toLong * h * 3) ++ Array.fill(16)(0.toByte)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = "AVI ".getBytes(StandardCharsets.US_ASCII) ++ hdrl ++ movi
+    "RIFF".getBytes(StandardCharsets.US_ASCII) ++ le32(body.length) ++ body
+  }
+
+  /** Format-dispatching demux: Y4M streams and RIFF AVI containers both
+    * land on the same (meta, frame offsets) shape.
+    */
+  def demuxVideo(bytes: Array[Byte]): Option[(VideoMeta, Array[(Int, Int)])] =
+    if (bytes.length >= 4 &&
+      fourcc(bytes, 0) == "RIFF") demuxAvi(bytes)
+    else demuxY4m(bytes)
+
   /** Encode a deterministic monochrome Y4M container — the synthetic-
     * blob generator for entries and specs (Y4M is uncompressed:
     * `demuxY4m` of `encodeY4mMono(w,h,n,f)` returns exactly `f` sampled
@@ -340,7 +466,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (rowId, bytes) =>
-          demuxY4m(bytes) match {
+          demuxVideo(bytes) match {
             case Some((m, _)) =>
               (rowId, m.format, m.width, m.height, m.colorspace, m.nFrames)
             case None => (rowId, "unknown", 0, 0, "", 0)
@@ -366,7 +492,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (rowId, bytes) =>
-          demuxY4m(bytes).iterator.flatMap { case (_, frames) =>
+          demuxVideo(bytes).iterator.flatMap { case (_, frames) =>
             frames.iterator.zipWithIndex
               .filter(_._2 % everyN == 0)
               .map { case ((off, len), idx) =>

@@ -70,7 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     val audited = Seq("q1_agg", "j1_broadcast_join", "j3_union_diff",
       "a2_dedup_keep_latest", "dedup_jaccard", "dedup_minhash",
       "ann_topk", "ann_ivf_topk", "ann_neardup", "r1_relationalize",
-      "text_quality", "mm_featurize")
+      "text_quality", "mm_featurize", "text_repetition", "dedup_spans",
+      "dedup_spans_winnowed", "dedup_semantic")
     audited.foreach { n =>
       assert(!plan(n).contains("CartesianProduct"),
         s"$n contains a CartesianProduct")
@@ -229,5 +230,28 @@ class PlanAuditSpec extends SparkSpec {
     // it (bench does, twice) must not replay the iterations
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
       s"expected a checkpoint-backed result, got:\n$p")
+  }
+
+  test("dedup_semantic: pair stage reads the checkpointed assignment, " +
+      "joins stay keyed, and no rank window appears anywhere") {
+    // the assignment (broadcast centroids + min_by argmax) executes into
+    // a localCheckpoint at construction; the returned plan must read that
+    // checkpoint on both self-join legs rather than re-assigning
+    val p = plan("dedup_semantic")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), "a rank window crept into the pair stage")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("span-dup entries: postings census joins stay keyed; the winnowed " +
+      "selection never adds a shuffle over the full span stream") {
+    Seq("dedup_spans", "dedup_spans_winnowed").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      // census postings come from the checkpoint, not a re-tokenize
+      assert(p.contains("Scan ExistingRDD"), s"$n lost its posting cut:\n$p")
+    }
   }
 }

@@ -275,4 +275,64 @@ class MultimodalSpec extends SparkSpec {
     val f2 = frames.find(f => f._1 == 1L && f._2 == 2).get._3
     assert(f2.toSeq == Array.tabulate(8)(k => (20 + k).toByte).toSeq)
   }
+
+  test("encodeAvi → demuxAvi round-trips meta and exact frame payloads, " +
+      "including odd-length chunk padding") {
+    // odd-length frames force the RIFF even-byte pad path
+    val payloads = Seq(
+      Array.tabulate(33)(k => (k * 3).toByte),
+      Array.tabulate(32)(k => (k * 5).toByte),
+      Array.tabulate(7)(k => (k * 7).toByte))
+    val avi = Multimodal.encodeAvi(8, 4, "DIB ", payloads)
+    val Some((meta, frames)) = Multimodal.demuxAvi(avi): @unchecked
+    assert(meta == Multimodal.VideoMeta("avi", 8, 4, "dib", 3))
+    assert(frames.length == 3)
+    payloads.zip(frames).foreach { case (p, (off, len)) =>
+      assert(len == p.length)
+      assert(java.util.Arrays.copyOfRange(avi, off, off + len).toSeq == p.toSeq)
+    }
+  }
+
+  test("MJPEG-in-AVI: real JPEG frames demux and decode via javax.imageio") {
+    val jpegs = (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 12).foreach(y => (0 until 16).foreach { x =>
+        val g = (x * 16 + y * 7 + f * 40) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    val avi = Multimodal.encodeAvi(16, 12, "MJPG", jpegs)
+    val Some((meta, frames)) = Multimodal.demuxAvi(avi): @unchecked
+    assert(meta.colorspace == "mjpg" && meta.nFrames == 3)
+    // every demuxed frame is a decodable JPEG with the container's dims
+    frames.foreach { case (off, len) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(
+          java.util.Arrays.copyOfRange(avi, off, off + len)))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 12)
+    }
+  }
+
+  test("demuxAvi rejects malformations instead of misaligning") {
+    val good = Multimodal.encodeAvi(8, 4, "DIB ",
+      Seq(Array.tabulate(32)(_.toByte)))
+    // truncated container: declared RIFF size exceeds the bytes
+    assert(Multimodal.demuxAvi(good.dropRight(10)).isEmpty)
+    // wrong magic
+    assert(Multimodal.demuxAvi("JUNKJUNKJUNK".getBytes).isEmpty)
+    // avih frame count contradicting the movi walk
+    val lying = good.clone()
+    // avih dwTotalFrames lives at hdrl→avih data offset 16; find it by
+    // scanning for the avih fourcc and patching its data
+    val avihAt = good.indices.find(i => i + 4 <= good.length &&
+      new String(good, i, 4, "US-ASCII") == "avih").get
+    lying(avihAt + 8 + 16) = 9 // declare 9 frames, movi has 1
+    assert(Multimodal.demuxAvi(lying).isEmpty)
+    // the untouched container still demuxes
+    assert(Multimodal.demuxAvi(good).nonEmpty)
+  }
 }
