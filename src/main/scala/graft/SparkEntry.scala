@@ -1675,6 +1675,25 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text", maxTokens = 256, groups = 8),
     Some("WITH tk AS (SELECT doc_id, doc_id % 8 AS grp, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS toks FROM documents), c AS (SELECT grp, doc_id, toks, COALESCE(sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tk) SELECT grp, CAST(cum // 256 AS BIGINT) AS seq, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM c GROUP BY 1, 2"))
 
+  /** Trained-BPE subword accounting ([[graft.text.Bpe]]): train 24
+    * merges on the corpus' own word-frequency table (ONE corpus pass;
+    * every iteration is vocabulary-sized), then encode every document
+    * under the trained ranks with the greedy lowest-rank-first loop.
+    * Oracle: NONE — iterative BPE training is not expressible in SQL,
+    * so the driver records the weaker rows-only check and BpeSpec
+    * carries the verification load (the Sennrich golden merge sequence,
+    * greedy-encode behavior, determinism, count monotonicity).
+    */
+  private val textBpe = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = PhaseTimer.phase("train") {
+        graft.text.Bpe.train(docs, "text", numMerges = 24)
+      }
+      graft.text.Bpe.encodeCounts(docs, "doc_id", "text", merges)
+    },
+    None)
+
   /** Gopher-style repetition signals ([[TextAnalysis.repetitionSignals]]):
     * top-unigram fraction + intra-doc duplicate-trigram fraction — the
     * degenerate-generation filter of a training-data quality gate. The
@@ -2276,6 +2295,7 @@ object SparkEntry {
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,
+    "text_bpe" -> textBpe,
     "dedup_spans" -> dedupSpans,
     "dedup_spans_winnowed" -> dedupSpansWinnowed,
     "dedup_semantic" -> dedupSemantic,
