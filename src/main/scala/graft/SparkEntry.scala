@@ -1826,6 +1826,34 @@ object SparkEntry {
       "round(sum(o_totalprice), 2) AS sum_price, count(*) AS n " +
       "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"))
 
+  /** A12 — explicit GROUPING SETS (the general form rollup/cube
+    * specialize): per-status, per-priority, and grand-total aggregates
+    * in ONE pass — Spark expands the sets into a single Expand +
+    * aggregate, one shuffle for all three groupings.
+    */
+  private val a12GroupingSets = Q(
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("a12_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+          round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        FROM a12_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    },
+    Some("SELECT o_orderstatus, o_orderpriority, CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid, round(sum(o_totalprice), 2) AS sum_price, count(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"))
+
+  /** SO9 — quantile-bucket assignment ([[graft.operators.Buckets]]):
+    * the length-curriculum assigner (short/medium/long/very-long
+    * mixes). One exact percentile aggregate yields the 3 thresholds
+    * (driver-sized model → plan literals); assignment is a pure
+    * projection, no second shuffle, retry-deterministic.
+    */
+  private val so9QuantileBuckets = Q(
+    (s, dir) => graft.operators.Buckets.quantileBuckets(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", k = 4),
+    Some("WITH th AS (SELECT quantile_cont(n_chars, 0.25) AS q1, quantile_cont(n_chars, 0.5) AS q2, quantile_cont(n_chars, 0.75) AS q3 FROM documents) SELECT doc_id, n_chars, CAST(CASE WHEN n_chars <= q1 THEN 0 WHEN n_chars <= q2 THEN 1 WHEN n_chars <= q3 THEN 2 ELSE 3 END AS INT) AS bucket FROM documents, th"))
+
   /** Ordered analytic windows per user: row numbering, running sum, and
     * lag — the deterministic (ts, event_id) ordering makes RANGE peers
     * singletons, so both engines accumulate in the identical order.
@@ -2048,6 +2076,38 @@ object SparkEntry {
     },
     Some("WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), coarse AS (SELECT label, arg_min(e, vec_id) AS cv FROM v GROUP BY label), q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10), probe AS (SELECT q_id, qe, label, row_number() OVER (PARTITION BY q_id ORDER BY round(list_cosine_similarity(qe, cv), 4) DESC, label) AS crank FROM q CROSS JOIN coarse), pr AS (SELECT q_id, qe, label FROM probe WHERE crank <= 3), sub AS (SELECT unnest(generate_series(0, 7)) AS s), cent AS (SELECT sub.s, v.vec_id AS cj, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS cv FROM v CROSS JOIN sub WHERE v.vec_id < 16), sl AS (SELECT v.vec_id, v.label, sub.s, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS sv FROM v CROSS JOIN sub), asg AS (SELECT sl.vec_id, sl.label, sl.s, cent.cj, row_number() OVER (PARTITION BY sl.vec_id, sl.s ORDER BY round(list_inner_product(sv, sv) - 2*list_inner_product(sv, cv) + list_inner_product(cv, cv), 9), cent.cj) AS rn FROM sl JOIN cent ON cent.s = sl.s), code AS (SELECT vec_id, label, s, cj FROM asg WHERE rn = 1), qsl AS (SELECT q_id, pr.label, sub.s, qe[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS qv FROM pr CROSS JOIN sub), term AS (SELECT qsl.q_id, code.vec_id AS nid, round(list_inner_product(qv, qv) - 2*list_inner_product(qv, cv) + list_inner_product(cv, cv), 9) AS t FROM qsl JOIN code ON code.s = qsl.s AND code.label = qsl.label JOIN cent ON cent.s = code.s AND cent.cj = code.cj), adc0 AS (SELECT q_id, nid, round(sum(t), 4) AS adc FROM term GROUP BY 1, 2), r AS (SELECT q_id, nid, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc, nid) AS rank FROM adc0 WHERE q_id <> nid) SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5"))
 
+  /** IVF-PQ index persistence — the production vector-store lifecycle:
+    * BUILD the index once (pqEncode ⋈ cluster assignment), SAVE it as
+    * cluster-partitioned parquet + a codebook table, LOAD it in a
+    * fresh reader, and serve the same queries. The result must equal
+    * the fresh-index `ann_ivfpq_topk` bit-for-bit (same oracle), which
+    * proves the round-trip loses nothing — codes, clusters, codebook.
+    * Cluster partitioning means a probe-routed scan prunes to the
+    * probed clusters' FILES at the storage layer.
+    */
+  private val annIndexPersist = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      val indexed = Ann.pqEncode(emb, "vec_id", "embedding", cb)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      val path = annIndexCache.getOrElseUpdate(dir,
+        java.nio.file.Files.createTempDirectory("graft_annidx").toString)
+      PhaseTimer.phase("build_save") {
+        Ann.saveIndex(indexed, "label", cb, path)
+      }
+      val (codes, cbLoaded) = Ann.loadIndex(s, path)
+      Ann.ivfPqTopK(codes, "vec_id", "label",
+        Ann.pivotCentroids(emb, "label", "vec_id", "embedding"),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cbLoaded, k = 5, nprobe = 3)
+    },
+    // identical to ann_ivfpq_topk: the persisted index must hide nothing
+    Some("WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), coarse AS (SELECT label, arg_min(e, vec_id) AS cv FROM v GROUP BY label), q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10), probe AS (SELECT q_id, qe, label, row_number() OVER (PARTITION BY q_id ORDER BY round(list_cosine_similarity(qe, cv), 4) DESC, label) AS crank FROM q CROSS JOIN coarse), pr AS (SELECT q_id, qe, label FROM probe WHERE crank <= 3), sub AS (SELECT unnest(generate_series(0, 7)) AS s), cent AS (SELECT sub.s, v.vec_id AS cj, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS cv FROM v CROSS JOIN sub WHERE v.vec_id < 16), sl AS (SELECT v.vec_id, v.label, sub.s, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS sv FROM v CROSS JOIN sub), asg AS (SELECT sl.vec_id, sl.label, sl.s, cent.cj, row_number() OVER (PARTITION BY sl.vec_id, sl.s ORDER BY round(list_inner_product(sv, sv) - 2*list_inner_product(sv, cv) + list_inner_product(cv, cv), 9), cent.cj) AS rn FROM sl JOIN cent ON cent.s = sl.s), code AS (SELECT vec_id, label, s, cj FROM asg WHERE rn = 1), qsl AS (SELECT q_id, pr.label, sub.s, qe[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS qv FROM pr CROSS JOIN sub), term AS (SELECT qsl.q_id, code.vec_id AS nid, round(list_inner_product(qv, qv) - 2*list_inner_product(qv, cv) + list_inner_product(cv, cv), 9) AS t FROM qsl JOIN code ON code.s = qsl.s AND code.label = qsl.label JOIN cent ON cent.s = code.s AND cent.cj = code.cj), adc0 AS (SELECT q_id, nid, round(sum(t), 4) AS adc FROM term GROUP BY 1, 2), r AS (SELECT q_id, nid, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc, nid) AS rank FROM adc0 WHERE q_id <> nid) SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5"))
+
+  private val annIndexCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** IVF quantizer TRAINING ([[Ann.kmeans]], deterministic Lloyd's):
     * k=8, 3 iterations over the embedding corpus. The oracle is
     * invariant-style (a10 pattern): DuckDB pins the exact corpus count;
@@ -2238,6 +2298,7 @@ object SparkEntry {
     "a9_pivot" -> a9Pivot,
     "a10_sketches" -> a10Sketches,
     "a11_cube" -> a11Cube,
+    "a12_grouping_sets" -> a12GroupingSets,
     "w1_window_funcs" -> w1WindowFuncs,
     "r1_relationalize" -> r1Relationalize,
     "r1_deep_relationalize" -> r1DeepRelationalize,
@@ -2268,6 +2329,7 @@ object SparkEntry {
     "ann_trained_ivf" -> annTrainedIvf,
     "ann_pq_topk" -> annPqTopK,
     "ann_ivfpq_topk" -> annIvfPqTopK,
+    "ann_index_persist" -> annIndexPersist,
     "ann_kmeans" -> annKmeans,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
@@ -2292,6 +2354,7 @@ object SparkEntry {
     "text_bm25" -> textBm25,
     "profile_table" -> profileTable,
     "so8_sample_k_per_group" -> so8SampleKPerGroup,
+    "so9_quantile_buckets" -> so9QuantileBuckets,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,

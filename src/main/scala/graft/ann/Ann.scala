@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -575,6 +575,46 @@ object Ann {
         round(dotD(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
       .where(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
+  }
+
+  /** Persist a built IVF-PQ index: the (id, cluster, codes) table as
+    * partitioned parquet — partitioned BY CLUSTER, so a probe-routed
+    * query scan prunes to the probed clusters' files at the storage
+    * layer — and the codebook (a driver-sized model) as one flattened
+    * parquet table next to it. Persist-once/query-many is the
+    * production vector-store lifecycle; rebuilding the index per query
+    * session re-pays the encode of the whole corpus.
+    */
+  def saveIndex(
+      indexed: DataFrame, cluster: String, cb: PqCodebook,
+      path: String): Unit = {
+    indexed.write.mode("overwrite")
+      .partitionBy(cluster).parquet(s"$path/codes")
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    cb.cents.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (cv, j) => (s, j, cv.toSeq) }
+    }.toSeq.toDF("s", "j", "cv")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Load a persisted IVF-PQ index: the codes frame (cluster partition
+    * pruning intact) and the reconstructed codebook.
+    */
+  def loadIndex(
+      spark: SparkSession, path: String): (DataFrame, PqCodebook) = {
+    import spark.implicits._
+    val codes = spark.read.parquet(s"$path/codes")
+    val rows = spark.read.parquet(s"$path/codebook")
+      .select(col("s"), col("j"), col("cv"))
+      .as[(Int, Int, Seq[Double])].collect()
+    require(rows.nonEmpty, s"no codebook at $path/codebook")
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val subDim = rows.head._3.length
+    val cents = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { case (s, j, cv) => cents(s)(j) = cv.toArray }
+    (codes, PqCodebook(m, subDim, cents))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

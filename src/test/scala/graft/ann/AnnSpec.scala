@@ -269,6 +269,34 @@ class AnnSpec extends SparkSpec {
       2L -> true, 3L -> true, 4L -> true, 5L -> true))
   }
 
+  test("saveIndex/loadIndex round-trips codes, clusters, and codebook; " +
+      "the persisted index serves identical queries") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    val cb = Ann.pqSeedCodebook(corpus, "vec_id", "embedding", m = 4, ksub = 4)
+    val indexed = Ann.pqEncode(corpus, "vec_id", "embedding", cb)
+      .join(corpus.select($"vec_id", $"label"), "vec_id")
+    Ann.saveIndex(indexed, "label", cb, tmp)
+    val (codes, cbLoaded) = Ann.loadIndex(spark, tmp)
+    // codebook identity
+    assert(cbLoaded.m == cb.m && cbLoaded.subDim == cb.subDim)
+    assert(cbLoaded.cents.flatten.flatten.toSeq == cb.cents.flatten.flatten.toSeq)
+    // codes parity (cluster partitioning must not lose or retype rows)
+    val orig = indexed.select($"vec_id", $"label", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1).toSeq
+    val loaded = codes.select($"vec_id", col("label").cast("int"), $"codes")
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(loaded == orig)
+    // persisted-index query equals fresh-index query
+    val cents = Ann.pivotCentroids(corpus, "label", "vec_id", "embedding")
+    val q = corpus.where($"vec_id" === 0L)
+    def rows2(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(rows2(Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+        q, "vec_id", "embedding", cbLoaded, k = 3, nprobe = 2)) ==
+      rows2(Ann.ivfPqTopK(indexed, "vec_id", "label", cents,
+        q, "vec_id", "embedding", cb, k = 3, nprobe = 2)))
+  }
+
   test("kmeans survives k exceeding the distinct-point count") {
     val tiny = Seq((1L, unit(0), 0), (2L, unit(0), 0), (3L, unit(2), 1))
       .toDF("vec_id", "embedding", "label")

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BucketsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantileBuckets: quartiles of 1..8 split evenly, boundaries " +
+      "land left (v <= q rule)") {
+    val df = (1 to 8).map(i => (i.toLong, i)).toDF("id", "v")
+    val out = Buckets.quantileBuckets(df, "v", k = 4)
+      .orderBy("id").select("bucket").as[Int].collect().toSeq
+    // quantile_cont thresholds of 1..8 at .25/.5/.75 = 2.75, 4.5, 6.25
+    assert(out == Seq(0, 0, 1, 1, 2, 2, 3, 3))
+  }
+
+  test("quantileBuckets: nulls keep a null bucket; empty input yields " +
+      "all-null buckets without failing") {
+    val df = Seq((1L, Some(10)), (2L, None), (3L, Some(20)))
+      .toDF("id", "v")
+    val out = Buckets.quantileBuckets(df, "v", k = 2)
+      .orderBy("id").select("bucket").as[Option[Int]].collect().toSeq
+    assert(out(1).isEmpty && out(0).nonEmpty && out(2).nonEmpty)
+    val empty = Buckets.quantileBuckets(
+      Seq.empty[(Long, Int)].toDF("id", "v"), "v", k = 4)
+    assert(empty.columns.contains("bucket") && empty.count() == 0)
+  }
+
+  test("quantileBuckets is deterministic and every bucket id is in range") {
+    val df = (1 to 100).map(i => (i.toLong, i * 37 % 101)).toDF("id", "v")
+    val a = Buckets.quantileBuckets(df, "v", k = 5).orderBy("id")
+      .select("bucket").as[Int].collect().toSeq
+    val b = Buckets.quantileBuckets(df, "v", k = 5).orderBy("id")
+      .select("bucket").as[Int].collect().toSeq
+    assert(a == b)
+    assert(a.forall(x => x >= 0 && x < 5))
+    // quartile-ish balance: exact percentiles put ~n/k per bucket
+    val sizes = a.groupBy(identity).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 2)
+  }
+}
