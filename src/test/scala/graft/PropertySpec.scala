@@ -391,6 +391,71 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("spanDupFractions equals brute-force cross-doc window counting") =
+    Prop.forAllNoShrink(corpusGen) { case (texts, _) =>
+      import spark.implicits._
+      val w = 3
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.spanDupFractions(df, "doc_id", "text", w)
+        .as[(Long, Int, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val spans = texts.map(_.toLowerCase.split("\\s+").toSeq)
+        .map(ts => if (ts.length >= w) ts.sliding(w).map(_.mkString(" ")).toSeq
+        else Seq.empty)
+      val docsOf = spans.zipWithIndex
+        .flatMap { case (ss, i) => ss.distinct.map(_ -> i) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      texts.indices.forall { i =>
+        val n = spans(i).length
+        val dup = spans(i).count(s => docsOf(s) >= 2)
+        val expFrac =
+          if (n == 0) 0.0
+          else math.floor(dup.toDouble / n * 10000 + 0.5) / 10000
+        got(i.toLong) == ((n, expFrac))
+      }
+    }
+
+  property("winnowed span-dup is a sound sample of the full span census: " +
+      "selected spans never exceed full spans, and a winnowed dup signal " +
+      "implies a full dup signal") =
+    Prop.forAllNoShrink(corpusGen) { case (texts, _) =>
+      import spark.implicits._
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val full = Dedup.spanDupFractions(df, "doc_id", "text", 3)
+        .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+      val win = Dedup.winnowedSpanDup(df, "doc_id", "text", 3, 2)
+        .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+      texts.indices.forall { i =>
+        val f = full(i.toLong); val v = win(i.toLong)
+        v._2 <= f._2 && (v._3 == 0.0 || f._3 > 0.0)
+      }
+    }
+
+  property("repetitionSignals equals brute-force mode and trigram " +
+      "distinct-fraction computation") =
+    Prop.forAllNoShrink(corpusGen) { case (texts, _) =>
+      import spark.implicits._
+      import graft.text.TextAnalysis
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+        .as[(Long, Int, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      def q4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+      texts.indices.forall { i =>
+        val ts = texts(i).trim.toLowerCase.split("\\s+").toSeq
+        val top = q4(ts.groupBy(identity).values.map(_.size).max.toDouble /
+          ts.length)
+        val tgs = if (ts.length >= 3)
+          ts.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty
+        val dup = if (tgs.isEmpty) 0.0
+          else q4(1.0 - tgs.distinct.length.toDouble / tgs.length)
+        got(i.toLong) == ((ts.length, top, dup))
+      }
+    }
+
   property("exact dedup partitions the corpus: group sizes sum to total, " +
       "groups == distinct texts, keeper is the min id") =
     Prop.forAllNoShrink(textsGen) { texts =>
