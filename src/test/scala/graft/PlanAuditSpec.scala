@@ -71,7 +71,8 @@ class PlanAuditSpec extends SparkSpec {
       "a2_dedup_keep_latest", "dedup_jaccard", "dedup_minhash",
       "ann_topk", "ann_ivf_topk", "ann_neardup", "r1_relationalize",
       "text_quality", "mm_featurize", "text_repetition", "dedup_spans",
-      "dedup_spans_winnowed", "dedup_semantic")
+      "dedup_spans_winnowed", "dedup_semantic", "a12_grouping_sets",
+      "so9_quantile_buckets")
     audited.foreach { n =>
       assert(!plan(n).contains("CartesianProduct"),
         s"$n contains a CartesianProduct")
