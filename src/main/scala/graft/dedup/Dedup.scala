@@ -673,7 +673,11 @@ object Dedup {
       docs: DataFrame, id: String, text: String,
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // materialized: the banded rows feed the oversize census AND the
+    // annotation join's left side — without the cut the shingle explode
+    // + MinSig signature aggregate execute twice
     val banded = bandedSignatures(docs, id, text, numHashes, bands, shingleN)
+      .localCheckpoint()
     val (x, y) = saltedBandLegs(banded, maxBucketSize)
     x.as("x").join(y.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
