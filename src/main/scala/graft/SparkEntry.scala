@@ -1343,6 +1343,89 @@ object SparkEntry {
     },
     Some("WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8), e AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2 AS s, id1 AS d FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.id), comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id), keep AS (SELECT cluster AS doc_id, count(*) AS n_members FROM comp GROUP BY 1) SELECT k.doc_id, k.n_members, d.lang, d.n_chars FROM keep k JOIN documents d ON d.doc_id = k.doc_id"))
 
+  /** AN1 — ordered funnel analysis (view → click → purchase): each
+    * stage's first event must FOLLOW the previous stage's first event,
+    * per user. Three keyed aggregates, each pruned to one event type
+    * before its shuffle; stage tables are user-keyed (tiny) so the
+    * chain joins broadcast. Output: (stage, n_users) — the conversion
+    * report every product-analytics stack runs.
+    */
+  private val an1Funnel = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_type"), col("ts"))
+      def firstAfter(tpe: String, prev: DataFrame, prevTs: String,
+          outTs: String): DataFrame =
+        ev.where(col("event_type") === tpe)
+          .join(broadcast(prev), Seq("user_id"))
+          .where(col("ts") > col(prevTs))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = firstAfter("click", v, "t1", "t2")
+      val p = firstAfter("purchase", c, "t2", "t3")
+      val counts = Seq(
+        ("1_view", v), ("2_click", c), ("3_purchase", p))
+        .map { case (n, df) => df.agg(lit(n).as("stage"),
+          count(lit(1)).as("n_users")) }
+      counts.reduce(_.unionAll(_))
+    },
+    Some("WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1), c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v ON v.user_id = e.user_id WHERE event_type = 'click' AND ts > t1 GROUP BY 1), p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c ON c.user_id = e.user_id WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1) SELECT '1_view' AS stage, count(*) AS n_users FROM v UNION ALL SELECT '2_click', count(*) FROM c UNION ALL SELECT '3_purchase', count(*) FROM p"))
+
+  /** AN2 — weekly cohort retention: users bucketed by first-activity
+    * week, the matrix counts distinct users active k weeks after their
+    * cohort week. One first-seen aggregate (user-keyed, broadcast back)
+    * + one distinct-user count over (cohort, offset) — the standard
+    * retention triangle.
+    */
+  private val an2Cohort = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      ev.join(broadcast(cohort), Seq("user_id"))
+        .withColumn("offset_wk",
+          datediff(col("wk"), col("cohort_wk")).cast("int") / 7)
+        .groupBy(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort"),
+          col("offset_wk").cast("int").as("offset_wk"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    },
+    Some("WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events), c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1) SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort, CAST(date_diff('day', cohort_wk, wk) // 7 AS INT) AS offset_wk, count(DISTINCT e.user_id) AS n_active FROM e JOIN c ON c.user_id = e.user_id GROUP BY 1, 2"))
+
+  /** S13 — keyed parquet upsert ([[ParquetDataset.upsert]]): MERGE for
+    * plain parquet. Base = ¾ of events; updates = the even-keyed half
+    * with shifted values — so the upsert exercises both halves of MERGE
+    * (updates of existing keys AND inserts of new ones) and the
+    * read-back must equal the CASE-merged oracle. The REQUIRE pins that
+    * only touched partitions were rewritten.
+    */
+  private val s13Upsert = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s13").toString
+      val all = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("value"),
+        col("event_type").as("assessmentid"))
+      ParquetDataset.write(all.where(col("event_id") % 4 =!= 0), tmp,
+        partitionCols = Seq("assessmentid"))
+      // pin one partition as untouched: updates exclude 'error' events
+      val untouchedBefore = s.read.parquet(tmp).inputFiles
+        .filter(_.contains("assessmentid=error")).sorted.toSeq
+      val updates = all.where(col("event_id") % 2 === 0 &&
+          col("assessmentid") =!= "error")
+        .withColumn("value", col("value") + 1000.0)
+      ParquetDataset.upsert(s, tmp, updates,
+        keyCols = Seq("event_id"), partitionCols = Seq("assessmentid"))
+      val untouchedAfter = s.read.parquet(tmp).inputFiles
+        .filter(_.contains("assessmentid=error")).sorted.toSeq
+      require(untouchedAfter == untouchedBefore,
+        "upsert rewrote a partition absent from the updates")
+      ParquetDataset.read(s, tmp)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("assessmentid"))
+    },
+    Some("SELECT event_id, user_id, CASE WHEN event_id % 2 = 0 AND event_type <> 'error' THEN value + 1000.0 ELSE value END AS value, event_type AS assessmentid FROM events WHERE event_id % 4 <> 0 OR (event_id % 2 = 0 AND event_type <> 'error')"))
+
   /** SimHash fingerprints (md5-digit bit votes), oracle-recomputable. */
   private val dedupSimhash = Q(
     (s, dir) => SimHash.fingerprints(t(s, dir, "documents"), "doc_id", "text")
@@ -2260,6 +2343,7 @@ object SparkEntry {
     "s9_csv_roundtrip" -> s9CsvRoundtrip,
     "s10_compact" -> s10Compact,
     "s11_orc_roundtrip" -> s11OrcRoundtrip,
+    "s13_upsert" -> s13Upsert,
     "s12_per_record_sink" -> s12PerRecordSink,
     "bm_incremental" -> bmIncremental,
     "st_window_counts" -> stWindowCounts,
@@ -2300,6 +2384,8 @@ object SparkEntry {
     "a11_cube" -> a11Cube,
     "a12_grouping_sets" -> a12GroupingSets,
     "w1_window_funcs" -> w1WindowFuncs,
+    "an1_funnel" -> an1Funnel,
+    "an2_cohort" -> an2Cohort,
     "r1_relationalize" -> r1Relationalize,
     "r1_deep_relationalize" -> r1DeepRelationalize,
     "r2_carry_cols" -> r2CarryCols,

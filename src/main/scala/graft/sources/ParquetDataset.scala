@@ -89,6 +89,45 @@ object ParquetDataset {
       "spark.sql.sources.partitionColumnTypeInference.enabled", prevInfer)
   }
 
+  /** Keyed upsert into a partitioned dataset — MERGE for plain parquet
+    * (the reference's bootstrap diff+append handles inserts; this adds
+    * the update half a mutable-source backfill needs). Only partitions
+    * PRESENT in `updates` are read and rewritten: the existing side
+    * prunes by a semi-join on the (small, distinct) touched partition
+    * values, surviving rows are the anti-join on the key, and the union
+    * lands via dynamic partition overwrite — untouched partitions keep
+    * their files byte-identical, so cost tracks the update's partition
+    * footprint, never the dataset. The union is materialized
+    * (localCheckpoint) before the write because the plan reads the same
+    * path it overwrites. Re-running the same upsert is a no-op rewrite
+    * (idempotent). Caller guarantees `updates` itself is key-unique.
+    */
+  def upsert(
+      spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String],
+      partitionCols: Seq[String] = JsonDataset.PartitionCols): Unit = {
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    require(partitionCols.nonEmpty, "upsert needs a partitioned dataset")
+    import org.apache.spark.sql.functions.broadcast
+    val existing = spark.read.parquet(path)
+    val touched = updates.select(partitionCols.map(updates.col): _*).distinct()
+    val survivors = existing
+      .join(broadcast(touched), partitionCols, "left_semi")
+      .join(updates.select(keyCols.map(updates.col): _*), keyCols, "left_anti")
+      .select(updates.columns.toIndexedSeq.map(existing.col): _*)
+    val merged = survivors.union(updates).localCheckpoint()
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      merged
+        .repartition(partitionCols.map(merged.col): _*)
+        .write.mode("overwrite")
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
+
   /** Hive/Spark partition-path unescape: only `%XX` sequences decode
     * (Spark's `ExternalCatalogUtils.unescapePathName` semantics). NOT
     * URL decoding — `java.net.URLDecoder` maps `+` to a space, but the

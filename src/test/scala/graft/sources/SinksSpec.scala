@@ -168,6 +168,35 @@ class SinksSpec extends SparkSpec {
       partitionCols = Seq("assessmentid"), maxFilesPerPartition = 1) == ((0L, 0L)))
   }
 
+  test("upsert replaces keys, inserts new ones, leaves untouched " +
+      "partitions byte-identical, and re-runs idempotently") {
+    val tmp = Files.createTempDirectory("graft_upsert").toString
+    val base = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "c", 40.0))
+      .toDF("k", "part", "v")
+    ParquetDataset.write(base, tmp, partitionCols = Seq("part"))
+    val filesC = spark.read.parquet(tmp).inputFiles
+      .filter(_.contains("part=c")).sorted.toSeq
+    // update key 1, insert key 5 — both land in partitions a/b only
+    val updates = Seq((1L, "a", 11.0), (5L, "b", 50.0))
+      .toDF("k", "part", "v")
+    ParquetDataset.upsert(spark, tmp, updates,
+      keyCols = Seq("k"), partitionCols = Seq("part"))
+    def snap() = spark.read.parquet(tmp)
+      .select($"k", $"part", $"v").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    val after = snap()
+    assert(after == Seq((1L, "a", 11.0), (2L, "a", 20.0),
+      (3L, "b", 30.0), (4L, "c", 40.0), (5L, "b", 50.0)))
+    // partition c was absent from the updates: its files are untouched
+    assert(spark.read.parquet(tmp).inputFiles
+      .filter(_.contains("part=c")).sorted.toSeq == filesC)
+    // idempotence: replaying the same updates changes nothing
+    ParquetDataset.upsert(spark, tmp, updates,
+      keyCols = Seq("k"), partitionCols = Seq("part"))
+    assert(snap() == after)
+  }
+
   test("P3 injection parses the reference uploadedon format (V5)") {
     val df = Seq(("2022-09-02T10:36:27.754Z", "a1", "r1"))
       .toDF("uploadedon", "aid", "rid")
