@@ -16,7 +16,7 @@ import graft.schema.{ColumnSpec, TableSpec}
 import graft.streaming.Bookmark
 import graft.text.TextAnalysis
 import graft.relationalize.Relationalize
-import graft.sources.{JsonDataset, ParquetDataset}
+import graft.sources.{JsonDataset, ParquetDataset, TarShards}
 import graft.validate.{ErrorSuppression, FileMetadata, JsonSchemaValidator, SchemaCache, SchemaResolver}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2.
@@ -1426,6 +1426,30 @@ object SparkEntry {
     },
     Some("SELECT event_id, user_id, CASE WHEN event_id % 2 = 0 AND event_type <> 'error' THEN value + 1000.0 ELSE value END AS value, event_type AS assessmentid FROM events WHERE event_id % 4 <> 0 OR (event_id % 2 = 0 AND event_type <> 'error')"))
 
+  /** S14 — WebDataset-style tar shard round-trip ([[TarShards]]): the
+    * standard sequential-read layout for multi-TB multimodal training
+    * corpora. Documents become `{key}.txt` + `{key}.cls` members in
+    * size-bounded ustar shards (pure-JVM writer, system-tar-compatible,
+    * mtime pinned to 0 so shard bytes are reproducible); the entry reads
+    * the shards back through Spark's binaryFile source and the ustar
+    * parser, decoding every member — so a writer that drops a member,
+    * mis-sizes a header, or splits a key across shards hash-fails
+    * against the oracle's member list re-derived from the base table.
+    */
+  private val s14TarShards = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s14").toString
+      val df = t(s, dir, "documents").select(
+        concat(lit("doc_"), col("doc_id")).as("key"),
+        col("text"), col("lang"))
+      TarShards.write(df, tmp, "key",
+        Seq("text" -> "txt", "lang" -> "cls"), numShards = 8)
+      TarShards.read(s, tmp).toDF()
+        .select(col("key"), col("ext"),
+          col("data").cast("string").as("payload"))
+    },
+    Some("SELECT 'doc_' || doc_id AS key, 'txt' AS ext, text AS payload FROM documents UNION ALL SELECT 'doc_' || doc_id AS key, 'cls' AS ext, lang AS payload FROM documents"))
+
   /** SimHash fingerprints (md5-digit bit votes), oracle-recomputable. */
   private val dedupSimhash = Q(
     (s, dir) => SimHash.fingerprints(t(s, dir, "documents"), "doc_id", "text")
@@ -2344,6 +2368,7 @@ object SparkEntry {
     "s10_compact" -> s10Compact,
     "s11_orc_roundtrip" -> s11OrcRoundtrip,
     "s13_upsert" -> s13Upsert,
+    "s14_tar_shards" -> s14TarShards,
     "s12_per_record_sink" -> s12PerRecordSink,
     "bm_incremental" -> bmIncremental,
     "st_window_counts" -> stWindowCounts,
