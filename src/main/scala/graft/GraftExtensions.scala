@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{BloomContains, DotProduct}
 import graft.plans.IntervalJoinStrategy
 
 /** Session extensions registering the library's native expressions and
@@ -22,6 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"${DotProduct.Name} takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(BloomContains.Name),
+      new ExpressionInfo(classOf[BloomContains].getName, BloomContains.Name),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          s"${BloomContains.Name} takes exactly 5 arguments")
+        BloomContains(children(0), children(1), children(2),
+          children(3), children(4))
       }))
     // thread the owning session through so plan-time width sampling runs
     // on the session that owns the plan, not whatever is `active`

@@ -997,6 +997,28 @@ object SparkEntry {
     },
     Some("SELECT p.event_id AS purchase_id, count(*) AS n_views FROM (SELECT event_id, ts FROM events WHERE event_type = 'view') v JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p ON v.ts >= p.ts AND v.ts < p.ts + INTERVAL 10 MINUTE GROUP BY 1"))
 
+  /** J10 — Bloom-prefiltered semi join ([[graft.operators.BloomJoin]]):
+    * the fact side is prefiltered by a distributed-built, broadcast
+    * Bloom bitset of the key side before the exact semi join — the scale
+    * shape for membership joins where the key SET sketches small but its
+    * rows don't broadcast. False positives are removed by the exact
+    * join, so the oracle is the plain semi-join SQL; the sketch only
+    * decides how many probe rows reach the shuffle.
+    */
+  private val j10BloomJoin = Q(
+    (s, dir) => {
+      val bigOrders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 420000.0)
+        .select(col("o_orderkey"))
+      graft.operators.BloomJoin.semiJoin(
+          t(s, dir, "lineitem"), bigOrders,
+          Seq("l_orderkey"), Seq("o_orderkey"),
+          expectedItems = 4000, fpp = 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+    },
+    Some("SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 420000)"))
+
   /** The join+agg shape shared by the entry and PlanAuditSpec. The merge
     * hint pins the sort-merge strategy (at test scale Catalyst would
     * auto-broadcast the tiny side; at fact-fact scale neither side
@@ -2395,6 +2417,7 @@ object SparkEntry {
     "j8_interval_join" -> j8IntervalJoin,
     "j9_bin_interval_join" -> j9BinIntervalJoin,
     "j9_ts_interval_join" -> j9TsIntervalJoin,
+    "j10_bloom_join" -> j10BloomJoin,
     "a1_distinct" -> a1Distinct,
     "a2_dedup_keep_latest" -> a2KeepLatest,
     "a3_count_distinct" -> a3CountDistinct,
