@@ -1787,6 +1787,20 @@ object SparkEntry {
     },
     Some("SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f' ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '3f' END"))
 
+  /** SO10 — deterministic weighted sampling without replacement
+    * ([[graft.operators.WeightedSample]], Efraimidis–Spirakis): 100
+    * documents drawn proportional to length, keys derived from md5 so
+    * every retry selects the identical sample. Plans as
+    * TakeOrderedAndProject (asserted in WeightedSampleSpec) — never a
+    * global sort. Oracle recomputes the same key arithmetic (the 1e12
+    * floor-rounding convention absorbs cross-engine ln ulps).
+    */
+  private val so10WeightedSample = Q(
+    (s, dir) => graft.operators.WeightedSample.take(
+        t(s, dir, "documents"), "doc_id", "n_chars", k = 100)
+      .select(col("doc_id"), col("lang"), col("skey")),
+    Some("SELECT doc_id, lang, skey FROM (SELECT doc_id, lang, floor(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1) / 4294967296.0) / CAST(n_chars AS DOUBLE) * 1e12 + 0.5) / 1e12 AS skey FROM documents) ORDER BY skey, doc_id LIMIT 100"))
+
   /** Sequence packing for LLM training ([[TextAnalysis.packSequences]]):
     * documents packed in id order into 256-token training rows across 8
     * independent pack groups — the distributed concat-and-chunk shape
@@ -2488,6 +2502,7 @@ object SparkEntry {
     "text_bm25" -> textBm25,
     "profile_table" -> profileTable,
     "so8_sample_k_per_group" -> so8SampleKPerGroup,
+    "so10_weighted_sample" -> so10WeightedSample,
     "so9_quantile_buckets" -> so9QuantileBuckets,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
