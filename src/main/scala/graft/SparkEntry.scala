@@ -1787,6 +1787,22 @@ object SparkEntry {
     },
     Some("SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f' ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '3f' END"))
 
+  /** Temperature-based domain mixture ([[graft.operators.Mixture]]):
+    * a 300-document training mix at α = 0.5 — low-resource languages
+    * upweighted relative to natural frequency, quotas capped at
+    * availability, rows chosen by deterministic md5 rank (salted
+    * bounded windows, never one task per domain). The domain table is
+    * the only driver-held state. Oracle recomputes quota arithmetic and
+    * rank prefix; at these counts every quota sits ≥0.04 from its
+    * rounding boundary, so cross-engine pow ulps cannot flip a floor.
+    */
+  private val mixTemperatureSample = Q(
+    (s, dir) => graft.operators.Mixture.sample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", alpha = 0.5, budget = 300)
+      .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk")),
+    Some("WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), z AS (SELECT sum(power(CAST(n AS DOUBLE), 0.5)) AS z FROM c), q AS (SELECT lang, least(n, CAST(floor(300.0 * power(CAST(n AS DOUBLE), 0.5) / z + 0.5) AS BIGINT)) AS quota FROM c, z), r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) SELECT doc_id, r.lang AS lang, CAST(rk AS INT) AS rk FROM r JOIN q ON r.lang = q.lang WHERE rk <= quota"))
+
   /** SO10 — deterministic weighted sampling without replacement
     * ([[graft.operators.WeightedSample]], Efraimidis–Spirakis): 100
     * documents drawn proportional to length, keys derived from md5 so
@@ -2503,6 +2519,7 @@ object SparkEntry {
     "profile_table" -> profileTable,
     "so8_sample_k_per_group" -> so8SampleKPerGroup,
     "so10_weighted_sample" -> so10WeightedSample,
+    "mix_temperature_sample" -> mixTemperatureSample,
     "so9_quantile_buckets" -> so9QuantileBuckets,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Temperature-based domain mixture sampling — the "data mixing" step
+  * of a multilingual / multi-domain training pipeline: sampling
+  * probability per domain ∝ (n_d / N)^α with α ∈ (0, 1], which
+  * upweights low-resource domains relative to their natural frequency
+  * (α = 1 is proportional sampling, α → 0 approaches uniform-by-domain).
+  *
+  * Scale shape: the domain table is a MODEL (one row per language /
+  * source domain), so it may be aggregated small, broadcast back, and
+  * its max quota read on the driver — the corpus itself only ever flows
+  * through one hash aggregation and one salted bounded rank
+  * ([[Salted.topKPerGroup]]; no window ever sees a whole domain).
+  * Selection within a domain is an md5 rank of the row key: no RNG, the
+  * same rows are chosen on every retry (cf. so6/so7/so10).
+  */
+object Mixture {
+
+  /** Per-domain target counts: `quota_d = min(n_d,
+    * floor(budget · n_d^α / Σ n^α + 0.5))` — capped at availability
+    * (without-replacement semantics; α < 1 can ask a rare domain for
+    * more rows than it has). Returns (domain, n, quota), one row per
+    * domain, computed distributed.
+    */
+  def temperatureQuotas(df: DataFrame, domainCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(budget > 0, "budget must be positive")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(
+      sum(pow(col("n").cast("double"), alpha)).as("z"))
+    counts.crossJoin(broadcast(total))
+      .select(col(domainCol), col("n"),
+        least(col("n"),
+          floor(lit(budget.toDouble) *
+            pow(col("n").cast("double"), alpha) / col("z") + 0.5)
+            .cast("long")).as("quota"))
+  }
+
+  /** The mixture sample itself: `quota_d` rows per domain, chosen by
+    * deterministic md5 rank within the domain. Output = input columns +
+    * `rk` (1-based rank within the domain).
+    */
+  def sample(df: DataFrame, domainCol: String, idCol: String,
+      alpha: Double, budget: Long, salts: Int = 16): DataFrame = {
+    val quotas = temperatureQuotas(df, domainCol, alpha, budget)
+      .withColumnRenamed(domainCol, "__mix_domain")
+    // driver-held scalar from the domain-sized model frame (not the corpus)
+    val maxQuota = quotas.agg(max(col("quota"))).head().getLong(0)
+    require(maxQuota <= Int.MaxValue, "quota exceeds rank capacity")
+    val ranked = Salted.topKPerGroup(df, Seq(domainCol),
+      orderCols = Seq(md5(col(idCol).cast("string")), col(idCol)),
+      k = math.max(1L, maxQuota).toInt, salts = salts)
+    ranked.join(broadcast(quotas),
+        ranked(domainCol) === quotas("__mix_domain"))
+      .filter(col("rk") <= col("quota"))
+      .drop("__mix_domain", "n", "quota")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (
+    (1L to 800L).map(i => (i, "en")) ++
+      (801L to 950L).map(i => (i, "fr")) ++
+      (951L to 1000L).map(i => (i, "sw")))
+    .toDF("id", "dom")
+
+  test("quotas follow the alpha-scaled distribution and cap at " +
+      "availability") {
+    val q = Mixture.temperatureQuotas(corpus, "dom", alpha = 0.5,
+        budget = 500)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val z = math.sqrt(800.0) + math.sqrt(150.0) + math.sqrt(50.0)
+    def want(n: Double): Long =
+      math.min(n, math.floor(500 * math.sqrt(n) / z + 0.5)).toLong
+    assert(q("en")._2 == want(800.0))
+    assert(q("fr")._2 == want(150.0))
+    // sw's alpha-scaled ask (74) exceeds its 50 rows — capped
+    assert(math.floor(500 * math.sqrt(50.0) / z + 0.5).toLong == 74L)
+    assert(q("sw")._2 == 50L)
+  }
+
+  test("alpha=1 is proportional; quota caps at domain size when the " +
+      "budget overshoots") {
+    val q1 = Mixture.temperatureQuotas(corpus, "dom", alpha = 1.0,
+        budget = 100)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(q1 == Map("en" -> 80L, "fr" -> 15L, "sw" -> 5L))
+    val qBig = Mixture.temperatureQuotas(corpus, "dom", alpha = 0.2,
+        budget = 5000)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(qBig("sw") == 50L) // can't sample more than exists
+  }
+
+  test("sample meets every quota exactly and is deterministic") {
+    val got = Mixture.sample(corpus, "dom", "id", alpha = 0.5,
+      budget = 500)
+    val byDom = got.groupBy("dom").count()
+      .as[(String, Long)].collect().toMap
+    val quotas = Mixture.temperatureQuotas(corpus, "dom", 0.5, 500)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(byDom == quotas)
+    val again = Mixture.sample(corpus.repartition(7), "dom", "id", 0.5, 500)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == got.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("selection within a domain is the md5 rank prefix") {
+    val got = Mixture.sample(corpus, "dom", "id", alpha = 0.5, budget = 100)
+    val swIds = got.filter($"dom" === "sw").select("id")
+      .as[Long].collect().toSet
+    val expected = corpus.filter($"dom" === "sw")
+      .withColumn("h", md5($"id".cast("string")))
+      .orderBy("h", "id").limit(swIds.size)
+      .select("id").as[Long].collect().toSet
+    assert(swIds == expected)
+  }
+}
