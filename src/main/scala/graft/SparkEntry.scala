@@ -1853,6 +1853,21 @@ object SparkEntry {
     },
     None)
 
+  /** Trained-BPE token sequences ([[graft.text.Bpe.encodeTokens]]): the
+    * tokenizer OUTPUT (per-document subword arrays + counts), i.e. what
+    * feeds sequence packing / vocab-id lookup — text_bpe only accounts.
+    * Oracle: NONE (same reason as text_bpe — the greedy merge loop is
+    * not SQL-expressible); BpeSpec pins the exact token sequences,
+    * count parity with encodeCounts, and the detokenize round-trip.
+    */
+  private val textBpeEncode = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.train(docs, "text", numMerges = 24)
+      graft.text.Bpe.encodeTokens(docs, "doc_id", "text", merges)
+    },
+    None)
+
   /** Gopher-style repetition signals ([[TextAnalysis.repetitionSignals]]):
     * top-unigram fraction + intra-doc duplicate-trigram fraction — the
     * degenerate-generation filter of a training-data quality gate. The
@@ -2525,6 +2540,7 @@ object SparkEntry {
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,
     "text_bpe" -> textBpe,
+    "text_bpe_encode" -> textBpeEncode,
     "dedup_spans" -> dedupSpans,
     "dedup_spans_winnowed" -> dedupSpansWinnowed,
     "dedup_semantic" -> dedupSemantic,

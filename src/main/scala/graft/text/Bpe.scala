@@ -205,6 +205,35 @@ object Bpe {
     syms
   }
 
+  /** Per-document subword token sequences under a trained merge list:
+    * (id, tokens: array<string>, n_tokens) — the actual tokenizer
+    * output a training pipeline feeds to packing
+    * ([[TextAnalysis.packSequences]]) or a vocab-id lookup join. Words
+    * are encoded independently (whitespace pre-tokenization, same as
+    * [[encodeCounts]]) and concatenated in document order. The rank
+    * table broadcasts; one narrow mapPartitions pass, no shuffle.
+    */
+  def encodeTokens(
+      docs: DataFrame, id: String, text: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranksB = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    graft.operators.Widen(docs)
+      .select(col(id).cast("long"), col(text))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = ranksB.value
+        it.map { case (rowId, t) =>
+          val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          val toks = ws.toVector.flatMap(w => encodeWord(w, ranks))
+          (rowId, toks, toks.length)
+        }
+      }
+      .toDF(id, "tokens", "n_tokens")
+      .withColumn("n_tokens", col("n_tokens").cast("int"))
+  }
+
   /** Per-document subword accounting under a trained merge list:
     * (id, n_words, n_subwords). The rank table broadcasts; encoding is
     * a narrow mapPartitions pass — no shuffle, no state.

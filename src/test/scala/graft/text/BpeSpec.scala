@@ -72,4 +72,23 @@ class BpeSpec extends SparkSpec {
     assert(trained(0)._2 == 3 && trained(1)._2 == 2)
     assert(trained(0)._3 < none(0)._3 && trained(1)._3 < none(1)._3)
   }
+
+  test("encodeTokens emits the exact concatenated subword sequence " +
+      "and agrees with encodeCounts totals") {
+    val merges = Bpe.train(corpus, "text", numMerges = 8)
+    val docs = Seq((1L, "lowest newest"), (2L, "xyz")).toDF("doc_id", "text")
+    val got = Bpe.encodeTokens(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Seq[String], Int)].collect()
+    val ranks = merges.zipWithIndex.toMap
+    assert(got(0)._2 ==
+      Bpe.encodeWord("lowest", ranks) ++ Bpe.encodeWord("newest", ranks))
+    assert(got(1)._2 == Vector("x", "y", "z", "</w>"))
+    // token counts match the accounting pass exactly
+    val counts = Bpe.encodeCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Int, Long)].collect()
+    assert(got.map(r => (r._1, r._3.toLong)).toSeq ==
+      counts.map(r => (r._1, r._3)).toSeq)
+    // round-trip: concatenating subwords (minus markers) re-spells the text
+    assert(got(0)._2.mkString.replace("</w>", " ").trim == "lowest newest")
+  }
 }
