@@ -1787,6 +1787,33 @@ object SparkEntry {
     },
     Some("SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f' ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '3f' END"))
 
+  /** A13 — Misra–Gries heavy hitters ([[graft.operators.FrequentItems]]):
+    * the bounded-memory frequent-items sketch for unbounded key spaces
+    * (vocabularies, URLs). On this corpus the capacity exceeds the
+    * distinct count, so the estimates are provably exact and the oracle
+    * is the exact grouped count; FrequentItemsSpec pins the
+    * approximation guarantee when capacity is undersized.
+    */
+  private val a13HeavyHitters = Q(
+    (s, dir) => graft.operators.FrequentItems.topItems(
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w")),
+      col("w"), capacity = 256),
+    Some("SELECT w AS item, CAST(count(*) AS BIGINT) AS est FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) GROUP BY 1 ORDER BY est DESC, item"))
+
+  /** J11 — salted skew join ([[graft.operators.SkewJoin]]): the
+    * manufactured-finer-keys fix for a hot join key AQE cannot split
+    * (SURVEY §4, LSH band lesson in join form). Pair-exact vs the plain
+    * join — the oracle IS the plain join; SkewJoinSpec proves the hot
+    * key spreads across salt values.
+    */
+  private val j11SkewJoin = Q(
+    (s, dir) => graft.operators.SkewJoin.inner(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      "o_custkey", "c_custkey", salts = 8),
+    Some("SELECT o_orderkey, o_custkey, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey"))
+
   /** Temperature-based domain mixture ([[graft.operators.Mixture]]):
     * a 300-document training mix at α = 0.5 — low-resource languages
     * upweighted relative to natural frequency, quotas capped at
@@ -2463,6 +2490,8 @@ object SparkEntry {
     "j9_bin_interval_join" -> j9BinIntervalJoin,
     "j9_ts_interval_join" -> j9TsIntervalJoin,
     "j10_bloom_join" -> j10BloomJoin,
+    "j11_skew_join" -> j11SkewJoin,
+    "a13_heavy_hitters" -> a13HeavyHitters,
     "a1_distinct" -> a1Distinct,
     "a2_dedup_keep_latest" -> a2KeepLatest,
     "a3_count_distinct" -> a3CountDistinct,
