@@ -1,33 +1,28 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
 
-/** Plan-audit utility: print the formatted physical plan of one or more
-  * registered queries (all when no names given). Used to keep pushdown /
-  * broadcast / codegen properties honest as queries evolve.
-  *
-  * Usage: runMain graft.Explain <sfDir> [queryName ...]
+/** Dev tool: print the formatted physical plan of registry entries —
+  * `runMain graft.Explain <sfDir> <query> [query...]`. The same session
+  * config as Verify, so the audited plan is the one the driver runs.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names =
-      if (args.length > 1) args.drop(1).toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+    val sfDir = args(0)
+    val names = args.drop(1)
+    val unknown = names.toSet.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n===== $n =====")
-      try println(SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
-      catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
+    names.foreach { name =>
+      println(s"==== $name ====")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

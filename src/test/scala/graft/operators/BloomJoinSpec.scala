@@ -57,10 +57,39 @@ class BloomJoinSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("the bloom filter sits BELOW the exact join in the plan — " +
+      "literal and broadcast-udf tiers both") {
+    // parquet-backed probe: over a LocalRelation the optimizer folds
+    // the (foldable-input) filter away entirely, hiding the plan shape
+    val tmp = java.nio.file.Files.createTempDirectory("bloom_plan").toString
+    (1L to 500L).toDF("k").write.mode("overwrite").parquet(tmp)
+    val probe = spark.read.parquet(tmp)
+    val build = (1L to 500L by 11).toDF("k")
+    // literal tier (small sketch)
+    val small = BloomJoin.semiJoin(probe, build, Seq("k"), Seq("k"), 50)
+    val planS = small.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(planS.contains(graft.functions.BloomContains.Name), planS)
+    assert(!planS.contains("BroadcastNestedLoopJoin"), planS)
+    // the filter must be on the probe-scan side, i.e. INSIDE the join's
+    // subtree: in the formatted tree, subtree lines print after their
+    // parent, so the Filter line must come after the LeftSemi line
+    val tree = planS.linesIterator.takeWhile(!_.startsWith("(")).toVector
+    val joinIdx = tree.indexWhere(_.contains("LeftSemi"))
+    val filterIdx = tree.indexWhere(_.contains("Filter"))
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"filter not below the join:\n$planS")
+    // broadcast-udf tier: force it by sizing past MaxLiteralWords
+    val bigExpected = (BloomJoin.MaxLiteralWords.toLong + 1) * 64 * 2
+    val bits = BloomJoin.bitset(build, Seq(col("k")), bigExpected, 0.01)
+    assert(bits.length > BloomJoin.MaxLiteralWords)
+    val kept = BloomJoin.prefilter(probe, Seq(col("k")), bits,
+      bigExpected, 0.01).select("k").as[Long].collect().toSet
+    assert((1L to 500L by 11).toSet.subsetOf(kept))
+  }
+
   test("expression eval and codegen agree with the aggregator's " +
       "position arithmetic") {
-    // interpreted path (eval) via filter on a literal-array column with
-    // codegen disabled vs enabled must select identical rows
     val probe = (1L to 500L).toDF("k")
     val build = (1L to 500L by 11).toDF("k")
     val bits = BloomJoin.bitset(build, Seq(col("k")), 50, 0.01)
