@@ -1787,6 +1787,26 @@ object SparkEntry {
     },
     Some("SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f' ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '3f' END"))
 
+  /** A14 — re-mergeable distinct-count sketch rollup (datasketches HLL
+    * built-ins): per-(lang, day) sketches — the persisted pre-aggregate
+    * a 100 TB warehouse materializes once per partition — unioned into
+    * per-lang distinct counts WITHOUT revisiting rows. At these
+    * cardinalities the sketch is in exact (coupon-list) mode, so the
+    * oracle is the exact COUNT(DISTINCT); at scale the same plan
+    * degrades to ±1.6% instead of degrading to a second full scan.
+    */
+  private val a14SketchRollup = Q(
+    (s, dir) => {
+      val daily = t(s, dir, "documents")
+        .withColumn("day", pmod(col("doc_id"), lit(7)))
+        .groupBy(col("lang"), col("day"))
+        .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      daily.groupBy(col("lang"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .cast("long").as("n_distinct"))
+    },
+    Some("SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents GROUP BY 1"))
+
   /** A13 — Misra–Gries heavy hitters ([[graft.operators.FrequentItems]]):
     * the bounded-memory frequent-items sketch for unbounded key spaces
     * (vocabularies, URLs). On this corpus the capacity exceeds the
@@ -2492,6 +2512,7 @@ object SparkEntry {
     "j10_bloom_join" -> j10BloomJoin,
     "j11_skew_join" -> j11SkewJoin,
     "a13_heavy_hitters" -> a13HeavyHitters,
+    "a14_sketch_rollup" -> a14SketchRollup,
     "a1_distinct" -> a1Distinct,
     "a2_dedup_keep_latest" -> a2KeepLatest,
     "a3_count_distinct" -> a3CountDistinct,
