@@ -1821,6 +1821,16 @@ object SparkEntry {
       col("w"), capacity = 256),
     Some("SELECT w AS item, CAST(count(*) AS BIGINT) AS est FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) GROUP BY 1 ORDER BY est DESC, item"))
 
+  /** A13g — per-group heavy hitters: one bounded sketch per language
+    * (domain vocabularies). Same exactness argument as a13.
+    */
+  private val a13HeavyHittersGrouped = Q(
+    (s, dir) => graft.operators.FrequentItems.topItemsPerGroup(
+      t(s, dir, "documents")
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w")),
+      Seq("lang"), col("w"), capacity = 256),
+    Some("SELECT lang, w AS item, CAST(count(*) AS BIGINT) AS est FROM (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) GROUP BY 1, 2 ORDER BY lang, est DESC, item"))
+
   /** J11 — salted skew join ([[graft.operators.SkewJoin]]): the
     * manufactured-finer-keys fix for a hot join key AQE cannot split
     * (SURVEY §4, LSH band lesson in join form). Pair-exact vs the plain
@@ -2090,6 +2100,26 @@ object SparkEntry {
         lag(col("event_id"), 1).over(w).as("prev_event"))
     },
     Some("SELECT user_id, event_id, CAST(row_number() OVER w AS INT) AS rn, round(sum(value) OVER w, 4) AS running_value, lag(event_id, 1) OVER w AS prev_event FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"))
+
+  /** W2 — RANGE-frame rolling features: per event, the trailing-hour
+    * event count and value sum for its user — the sliding-window
+    * feature-engineering shape (w1 covers ROWS frames; a RANGE frame
+    * bounds by the ORDER key's VALUE, so gaps and ties behave
+    * differently). Both engines frame over integral epoch-micros —
+    * identical peer and boundary semantics, no timestamp-precision
+    * ambiguity.
+    */
+  private val w2RollingWindow = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value")).over(w), 4).as("value_1h"))
+    },
+    Some("SELECT user_id, event_id, CAST(count(*) OVER w AS BIGINT) AS n_1h, round(sum(value) OVER w, 4) AS value_1h FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"))
 
   /** Pivot (long → wide counts over the closed event-type domain).
     * Explicit pivot values keep the plan a single pass (no
@@ -2513,6 +2543,7 @@ object SparkEntry {
     "j11_skew_join" -> j11SkewJoin,
     "a13_heavy_hitters" -> a13HeavyHitters,
     "a14_sketch_rollup" -> a14SketchRollup,
+    "a13_heavy_hitters_grouped" -> a13HeavyHittersGrouped,
     "a1_distinct" -> a1Distinct,
     "a2_dedup_keep_latest" -> a2KeepLatest,
     "a3_count_distinct" -> a3CountDistinct,
@@ -2527,6 +2558,7 @@ object SparkEntry {
     "a11_cube" -> a11Cube,
     "a12_grouping_sets" -> a12GroupingSets,
     "w1_window_funcs" -> w1WindowFuncs,
+    "w2_rolling_window" -> w2RollingWindow,
     "an1_funnel" -> an1Funnel,
     "an2_cohort" -> an2Cohort,
     "r1_relationalize" -> r1Relationalize,

@@ -76,4 +76,20 @@ object FrequentItems {
       .select(explode(col("sketch")).as(Seq("item", "est")))
       .orderBy(col("est").desc, col("item"))
   }
+
+  /** Per-group heavy hitters: one capacity-bounded sketch per group
+    * (domain vocabularies, per-study error censuses). Memory is
+    * `groups × capacity` counters — the group column must be coarse
+    * (languages, domains), which is exactly the heavy-hitters use case.
+    */
+  def topItemsPerGroup(df: DataFrame, groupCols: Seq[String],
+      item: Column, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val mg = udaf(new MisraGries(capacity))
+    df.select(groupCols.map(col) :+ item.cast("string").as("item"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(mg(col("item")).as("sketch"))
+      .select(groupCols.map(col) :+ explode(col("sketch")).as(Seq("item", "est")): _*)
+      .orderBy(groupCols.map(col) ++ Seq(col("est").desc, col("item")): _*)
+  }
 }

@@ -36,6 +36,19 @@ class FrequentItemsSpec extends SparkSpec {
     }
   }
 
+  test("per-group sketches are exact per group when capacity fits") {
+    val df = (1 to 900).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      (g, s"w${i % (if (g == "a") 5 else 11)}")
+    }.toDF("g", "w")
+    val got = FrequentItems.topItemsPerGroup(df, Seq("g"), $"w", capacity = 32)
+      .as[(String, String, Long)].collect().toSeq
+    val exact = df.groupBy("g", "w").count()
+      .orderBy($"g", $"count".desc, $"w")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == exact)
+  }
+
   test("counter count stays within capacity regardless of partitioning") {
     val rows = (1 to 5000).map(i => s"k$i")
     for (parts <- Seq(1, 7)) {
