@@ -435,6 +435,35 @@ object SparkEntry {
     },
     Some("SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM events"))
 
+  /** §2.8-streaming — CDC upsert drain
+    * ([[graft.streaming.StreamingIngest.upsertDrain]]): the events table
+    * streamed as keyed updates (key = user, seq = event id) through
+    * multiple micro-batches (maxFilesPerTrigger) into a partitioned
+    * parquet target via apply-if-newer MERGE. Batch arrival order is
+    * whatever the file source picks — correctness can't depend on it,
+    * and the oracle is the global keep-latest row per user.
+    */
+  private val stUpsertDrain = Q(
+    (s, dir) => {
+      val tmp = stEventsDir(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_st_up").toString
+      val stream = s.readStream
+        .schema(StructType.fromDDL(
+          "event_id bigint, event_type string, ts timestamp, user_id bigint"))
+        .option("maxFilesPerTrigger", "8")
+        .parquet(s"$tmp/in")
+        .withColumn("part", pmod(col("user_id"), lit(8)))
+      graft.streaming.StreamingIngest.upsertDrain(
+          stream, s"$out/target", s"$out/ckpt",
+          keyCols = Seq("user_id"), seqCol = "event_id",
+          partitionCols = Seq("part"))
+        .awaitTermination()
+      s.read.parquet(s"$out/target")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    },
+    Some("SELECT user_id, event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM (SELECT user_id, event_id, event_type, ts, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) WHERE rn = 1"))
+
   private val stWindowCounts = Q(
     (s, dir) => {
       val tmp = stEventsDir(s, dir)
@@ -2627,6 +2656,7 @@ object SparkEntry {
     "dedup_spans_winnowed" -> dedupSpansWinnowed,
     "dedup_semantic" -> dedupSemantic,
     "st_dedup_replay" -> stDedupReplay,
+    "st_upsert_drain" -> stUpsertDrain,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

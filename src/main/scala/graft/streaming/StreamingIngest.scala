@@ -136,6 +136,76 @@ object StreamingIngest {
       .start()
   }
 
+  /** CDC-style streaming MERGE with apply-if-newer semantics: each
+    * micro-batch of keyed updates is collapsed to its winner per key
+    * (lexicographic struct max with `seqCol` leading — deterministic
+    * even on sequence ties), challenged against the target's CURRENT
+    * row for those keys, and the per-key winner of batch ∪ target is
+    * upserted ([[graft.sources.ParquetDataset.upsert]]). The streaming
+    * half of s13: a mutable source drained continuously instead of
+    * backfilled.
+    *
+    * Applying only-if-newer (not replace-unconditionally) makes the
+    * drain correct under ANY batch arrival order — an out-of-order
+    * batch carrying a stale sequence number can never regress committed
+    * state — and makes at-least-once retries safe WITHOUT markers
+    * (contrast [[relationalizeDrain]]): replaying a batch re-derives
+    * the same winners against the same-or-newer target.
+    *
+    * Contract: `partitionCols` must be a pure function of the key
+    * columns. The upsert only reads partitions present in the batch, so
+    * a key whose partition value changed between updates would leave
+    * its stale row behind in the old partition.
+    */
+  def upsertDrain(
+      stream: DataFrame, targetPath: String, checkpoint: String,
+      keyCols: Seq[String], seqCol: String,
+      partitionCols: Seq[String]): StreamingQuery = {
+    require(keyCols.nonEmpty && !keyCols.contains(seqCol),
+      "keyCols must be non-empty and not contain seqCol")
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val cols = batch.columns.toIndexedSeq
+        val nonKey = cols.filterNot(keyCols.contains)
+        val ordered = col(seqCol) +: nonKey.filterNot(_ == seqCol).map(col)
+        def latestPerKey(df: DataFrame): DataFrame = df
+          .groupBy(keyCols.map(col): _*)
+          .agg(max(struct(ordered: _*)).as("__r"))
+          .select(cols.map(c =>
+            if (keyCols.contains(c)) col(c) else col(s"__r.$c").as(c)): _*)
+        val batchLatest = latestPerKey(batch.toDF())
+        if (!batchLatest.isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(targetPath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+            // challenge the incumbents: only keys in this batch, only
+            // their (pruned) partitions, winner by the same seq order
+            val existing = spark.read.parquet(targetPath)
+              .select(cols.map(col): _*)
+              .join(broadcast(batchLatest.select(keyCols.map(col): _*)),
+                keyCols, "left_semi")
+            val winners = latestPerKey(existing.unionByName(batchLatest))
+            graft.sources.ParquetDataset.upsert(
+              spark, targetPath, winners, keyCols, partitionCols)
+          } else {
+            // first batch: plain partitioned write (overwrite, so a
+            // retried first batch lands identically)
+            val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            try {
+              spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+              batchLatest.write.mode("overwrite")
+                .partitionBy(partitionCols: _*).parquet(targetPath)
+            } finally
+              spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+          }
+        }
+      }
+      .start()
+  }
+
   /** Stream-stream interval join: two event streams joined on a key
     * within an event-time window — the streaming twin of the
     * declarative interval join (J8/J9ts). Both sides carry watermarks

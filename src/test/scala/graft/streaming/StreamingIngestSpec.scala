@@ -352,4 +352,51 @@ class StreamingIngestSpec extends SparkSpec {
     q.stop()
     assert(state == Map(1L -> 102L, 2L -> 200L))
   }
+
+  test("upsertDrain: streamed keyed updates converge to keep-latest, " +
+      "in-batch ties collapse, re-drain is a no-op") {
+    val tmp = Files.createTempDirectory("graft_upsert_drain").toString
+    val in = s"$tmp/in"
+    val target = s"$tmp/target"
+    val schema = StructType.fromDDL(
+      "k bigint, seq bigint, v string, part bigint")
+
+    def writeWave(rows: Seq[(Long, Long, String)]): Unit =
+      rows.map { case (k, seq, v) => (k, seq, v, k % 2) }
+        .toDF("k", "seq", "v", "part")
+        .write.mode("append").json(in)
+    def drain() = StreamingIngest.upsertDrain(
+        spark.readStream.schema(schema).json(in),
+        target, s"$tmp/ckpt", Seq("k"), "seq", Seq("part"))
+      .awaitTermination()
+    def state(): Map[Long, (Long, String)] =
+      spark.read.parquet(target).select("k", "seq", "v")
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // wave 1: k=1 twice in ONE batch (seq 2 must win), k=2 once
+    writeWave(Seq((1L, 1L, "a1"), (1L, 2L, "a2"), (2L, 1L, "b1")))
+    drain()
+    assert(state() == Map(1L -> (2L, "a2"), 2L -> (1L, "b1")))
+
+    // wave 2: update k=2, insert k=3; k=1 untouched
+    writeWave(Seq((2L, 2L, "b2"), (3L, 1L, "c1")))
+    drain()
+    val afterTwo = state()
+    assert(afterTwo ==
+      Map(1L -> (2L, "a2"), 2L -> (2L, "b2"), 3L -> (1L, "c1")))
+
+    // no new files: a re-drain changes nothing (checkpoint = bookmark)
+    drain()
+    assert(state() == afterTwo)
+    // exactly one row per key survived
+    assert(spark.read.parquet(target).count() == 3)
+
+    // wave 3 arrives OUT OF ORDER: a stale seq for k=2 must not regress
+    // committed state; a fresh seq for k=1 applies
+    writeWave(Seq((2L, 1L, "b1-late"), (1L, 3L, "a3")))
+    drain()
+    assert(state() ==
+      Map(1L -> (3L, "a3"), 2L -> (2L, "b2"), 3L -> (1L, "c1")))
+  }
 }
