@@ -1816,6 +1816,31 @@ object SparkEntry {
     },
     Some("SELECT doc_id, lang FROM documents WHERE CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f' ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '3f' END"))
 
+  /** E4 — incremental aggregate maintenance
+    * ([[graft.operators.IncrementalAgg]]): the fact table arrives in two
+    * waves, each pre-aggregated and additively merged into a maintained
+    * per-flag aggregate table — the maintained table must equal the
+    * full-history recompute (the oracle) without ever rescanning wave 1.
+    * Quantities are integer-valued doubles, so the two-phase sums are
+    * bit-exact against the single-pass oracle.
+    */
+  private val e4IncrementalAgg = Q(
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_e4").toString
+      val li = t(s, dir, "lineitem")
+      def wave(pred: org.apache.spark.sql.Column) = li.filter(pred)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(col("l_quantity")).as("total_qty"))
+      Seq(wave(col("l_orderkey") % 2 === 0), wave(col("l_orderkey") % 2 === 1))
+        .foreach(d => graft.operators.IncrementalAgg.mergeAdditive(
+          s, s"$out/agg", d, Seq("l_returnflag"),
+          Seq("n_items", "total_qty"), Seq("l_returnflag")))
+      s.read.parquet(s"$out/agg")
+        .select(col("l_returnflag"), col("n_items"), col("total_qty"))
+    },
+    Some("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items, sum(l_quantity) AS total_qty FROM lineitem GROUP BY 1"))
+
   /** A14 — re-mergeable distinct-count sketch rollup (datasketches HLL
     * built-ins): per-(lang, day) sketches — the persisted pre-aggregate
     * a 100 TB warehouse materializes once per partition — unioned into
@@ -2573,6 +2598,7 @@ object SparkEntry {
     "a13_heavy_hitters" -> a13HeavyHitters,
     "a14_sketch_rollup" -> a14SketchRollup,
     "a13_heavy_hitters_grouped" -> a13HeavyHittersGrouped,
+    "e4_incremental_agg" -> e4IncrementalAgg,
     "a1_distinct" -> a1Distinct,
     "a2_dedup_keep_latest" -> a2KeepLatest,
     "a3_count_distinct" -> a3CountDistinct,
