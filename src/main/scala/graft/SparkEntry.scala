@@ -2139,6 +2139,22 @@ object SparkEntry {
         "n_chars", k = 4),
     Some("WITH th AS (SELECT quantile_cont(n_chars, 0.25) AS q1, quantile_cont(n_chars, 0.5) AS q2, quantile_cont(n_chars, 0.75) AS q3 FROM documents) SELECT doc_id, n_chars, CAST(CASE WHEN n_chars <= q1 THEN 0 WHEN n_chars <= q2 THEN 1 WHEN n_chars <= q3 THEN 2 ELSE 3 END AS INT) AS bucket FROM documents, th"))
 
+  /** SO11 — per-group winsorization ([[graft.operators.Buckets]]):
+    * clip each event's value into its type's [p5, p95] envelope —
+    * outlier taming before normalization. The bounds table is
+    * group-sized (one row per event_type) and broadcast back onto the
+    * data; one aggregation + one narrow clip projection, never a sort.
+    * round(4) absorbs cross-engine interpolation ulps.
+    */
+  private val so11Winsorize = Q(
+    (s, dir) => graft.operators.Buckets.winsorize(
+        t(s, dir, "events").select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), "value", 0.05, 0.95)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 4).as("value"),
+        round(col("value_w"), 4).as("value_w")),
+    Some("WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi FROM events GROUP BY 1) SELECT e.event_type, e.event_id, round(e.value, 4) AS value, round(least(greatest(e.value, b.lo), b.hi), 4) AS value_w FROM events e JOIN b USING (event_type)"))
+
   /** Ordered analytic windows per user: row numbering, running sum, and
     * lag — the deterministic (ts, event_id) ordering makes RANGE peers
     * singletons, so both engines accumulate in the identical order.
@@ -2673,6 +2689,7 @@ object SparkEntry {
     "so10_weighted_sample" -> so10WeightedSample,
     "mix_temperature_sample" -> mixTemperatureSample,
     "so9_quantile_buckets" -> so9QuantileBuckets,
+    "so11_winsorize" -> so11Winsorize,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,

@@ -35,4 +35,29 @@ object Buckets {
     df.withColumn(bucketName,
       when(v.isNull, lit(null)).otherwise(chain).cast("int"))
   }
+
+  /** Per-group winsorization: clip `valueCol` into its group's
+    * [lo, hi] exact-percentile envelope — outlier taming before
+    * normalization / feature extraction. The bounds table is
+    * group-sized (a MODEL: one row per group) and broadcast back; the
+    * data pays one aggregation and one narrow clip projection, never a
+    * sort. Null values stay null (least/greatest would silently swallow
+    * them — they skip nulls); all-null groups pass through unclipped.
+    * At 100 TB swap `percentile` for `approx_percentile`, same shape.
+    */
+  def winsorize(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, outName: String = ""): DataFrame = {
+    require(lo >= 0 && lo < hi && hi <= 1, s"need 0 <= lo < hi <= 1")
+    require(groupCols.nonEmpty, "groupCols required (use a lit group for global)")
+    val out = if (outName.isEmpty) s"${valueCol}_w" else outName
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $lo)").as("__w_lo"),
+        expr(s"percentile($valueCol, $hi)").as("__w_hi"))
+    val v = col(valueCol)
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(out, when(v.isNull, lit(null))
+        .otherwise(least(greatest(v, col("__w_lo")), col("__w_hi"))))
+      .drop("__w_lo", "__w_hi")
+  }
 }

@@ -27,6 +27,34 @@ class BucketsSpec extends SparkSpec {
     assert(empty.columns.contains("bucket") && empty.count() == 0)
   }
 
+  test("winsorize clips into the per-group [lo, hi] percentile envelope " +
+      "and leaves interior values untouched") {
+    // group a: 1..10 → p10 = 1.9, p90 = 9.1 (quantile_cont interpolation)
+    val df = ((1 to 10).map(i => ("a", i.toLong, i.toDouble)) ++
+      Seq(("b", 100L, 5.0), ("b", 101L, 500.0))).toDF("g", "id", "v")
+    val out = Buckets.winsorize(df, Seq("g"), "v", 0.1, 0.9)
+      .orderBy("id").select("v_w").as[Double].collect().toSeq
+    assert(math.abs(out.head - 1.9) < 1e-9)  // 1 clipped up to p10
+    assert(out(4) == 5.0)                    // interior value exact
+    assert(math.abs(out(9) - 9.1) < 1e-9)    // 10 clipped down to p90
+    // group b's envelope comes from b alone, not the global distribution
+    assert(out(10) > 5.0 && out(11) < 500.0)
+  }
+
+  test("winsorize: nulls stay null, all-null groups pass through, " +
+      "and a custom output name is honored") {
+    val df = Seq(("a", 1L, Some(1.0)), ("a", 2L, Some(2.0)),
+      ("a", 3L, None), ("n", 4L, None))
+      .toDF("g", "id", "v")
+    val out = Buckets.winsorize(df, Seq("g"), "v", 0.05, 0.95, "clipped")
+      .orderBy("id").select("clipped").as[Option[Double]].collect().toSeq
+    assert(out(0).nonEmpty && out(1).nonEmpty)
+    assert(out(2).isEmpty && out(3).isEmpty)
+    intercept[IllegalArgumentException] {
+      Buckets.winsorize(df, Seq("g"), "v", 0.9, 0.1)
+    }
+  }
+
   test("quantileBuckets is deterministic and every bucket id is in range") {
     val df = (1 to 100).map(i => (i.toLong, i * 37 % 101)).toDF("id", "v")
     val a = Buckets.quantileBuckets(df, "v", k = 5).orderBy("id")
