@@ -2261,6 +2261,36 @@ object SparkEntry {
       TextAnalysis.fingerprint(col("text")).as("fp")),
     Some("SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents"))
 
+  /** PII redaction ([[graft.text.Pii]]) — the compliance gate before a
+    * corpus ships: emails, IPv4s, and phone numbers masked in one
+    * codegen'd projection, with a per-doc match count. The synthetic
+    * corpus carries no PII, so the entry plants deterministic PII
+    * (email / IP / phone keyed off doc_id residues) identically in
+    * both engines — the redaction itself, patterns, masking order, and
+    * count arithmetic are what the oracle checks. Patterns stay in the
+    * RE2-compatible subset so the same pattern text means the same
+    * matches in Java regex and DuckDB.
+    */
+  private val textPiiRedact = Q(
+    (s, dir) => {
+      val aug = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .withColumn("s", concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" contact "),
+            col("source"), lit("@mail.example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit(" from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".7"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, concat(lit(" call (555) 123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+        .select(col("doc_id"), col("s"))
+      graft.text.Pii.redact(aug, "s")
+        .select(col("doc_id"), col("s_redacted").as("text_redacted"),
+          col("n_pii"))
+    },
+    Some("WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 THEN ' contact ' || source || '@mail.example.com' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END || CASE WHEN doc_id % 7 = 0 THEN ' call (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS s FROM documents), s1 AS (SELECT doc_id, s, regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1 FROM aug), s2 AS (SELECT doc_id, s, t1, regexp_replace(t1, '\\b(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)\\d{1,3}\\b', '[IP]', 'g') AS t2 FROM s1) SELECT doc_id, regexp_replace(t2, '(?:\\+1[ -])?(?:\\(\\d{3}\\)[ -]?|\\d{3}-)\\d{3}-\\d{4}', '[PHONE]', 'g') AS text_redacted, CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) + len(regexp_extract_all(t1, '\\b(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)\\d{1,3}\\b')) + len(regexp_extract_all(t2, '(?:\\+1[ -])?(?:\\(\\d{3}\\)[ -]?|\\d{3}-)\\d{3}-\\d{4}')) AS BIGINT) AS n_pii FROM s2"))
+
   /** Corpus bigram frequencies, top-20 with lexicographic tie-break —
     * the n-gram census behind contamination checks and boilerplate
     * detection. Explode + map-side-combining count + TakeOrdered: the
@@ -2690,6 +2720,7 @@ object SparkEntry {
     "mix_temperature_sample" -> mixTemperatureSample,
     "so9_quantile_buckets" -> so9QuantileBuckets,
     "so11_winsorize" -> so11Winsorize,
+    "text_pii_redact" -> textPiiRedact,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,
