@@ -2291,6 +2291,42 @@ object SparkEntry {
     },
     Some("WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 THEN ' contact ' || source || '@mail.example.com' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END || CASE WHEN doc_id % 7 = 0 THEN ' call (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS s FROM documents), s1 AS (SELECT doc_id, s, regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1 FROM aug), s2 AS (SELECT doc_id, s, t1, regexp_replace(t1, '\\b(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)\\d{1,3}\\b', '[IP]', 'g') AS t2 FROM s1) SELECT doc_id, regexp_replace(t2, '(?:\\+1[ -])?(?:\\(\\d{3}\\)[ -]?|\\d{3}-)\\d{3}-\\d{4}', '[PHONE]', 'g') AS text_redacted, CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) + len(regexp_extract_all(t1, '\\b(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)\\d{1,3}\\b')) + len(regexp_extract_all(t2, '(?:\\+1[ -])?(?:\\(\\d{3}\\)[ -]?|\\d{3}-)\\d{3}-\\d{4}')) AS BIGINT) AS n_pii FROM s2"))
 
+  /** Web-domain curation ([[graft.text.WebCuration]]) — the crawl-side
+    * gate: URL → lowercased host (userinfo skipped, port stripped),
+    * blocklisted domains dropped via a broadcast ANTI join (the corpus
+    * never shuffles), survivors enriched with per-domain stats (one
+    * hash aggregate, domain-sized, broadcast back). URLs are planted
+    * deterministically from (source, doc_id) identically in both
+    * engines — extraction, filtering, and stats are what the oracle
+    * checks.
+    */
+  private val webDomainCuration = Q(
+    (s, dir) => {
+      import graft.text.WebCuration
+      val u = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .withColumn("url", concat(
+          when(col("doc_id") % 2 === 0, lit("https://"))
+            .otherwise(lit("http://user@")),
+          col("source"), lit(".Example.com"),
+          when(col("doc_id") % 4 === 1, lit(":8080")).otherwise(lit("")),
+          lit("/d/"), col("doc_id").cast("string")))
+      val blocklist = s.createDataFrame(
+        s.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row("src0.example.com"),
+          org.apache.spark.sql.Row("src13.example.com"))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("blocked_domain",
+            org.apache.spark.sql.types.StringType))))
+      val kept = WebCuration.blocklistFilter(
+        WebCuration.withDomain(u, "url"), "domain", blocklist)
+      val stats = WebCuration.domainStats(kept, "domain", "n_chars")
+      kept.join(broadcast(stats), "domain")
+        .select(col("doc_id"), col("domain"),
+          col("domain_docs"), col("domain_avg"))
+    },
+    Some("WITH u AS (SELECT doc_id, n_chars, CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://user@' END || source || '.Example.com' || CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END || '/d/' || CAST(doc_id AS VARCHAR) AS url FROM documents), d AS (SELECT doc_id, n_chars, lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS domain FROM u), kept AS (SELECT * FROM d WHERE domain NOT IN ('src0.example.com', 'src13.example.com')), stats AS (SELECT domain, count(*) AS domain_docs, round(avg(n_chars), 4) AS domain_avg FROM kept GROUP BY 1) SELECT k.doc_id, k.domain, s.domain_docs, s.domain_avg FROM kept k JOIN stats s USING (domain)"))
+
   /** Corpus bigram frequencies, top-20 with lexicographic tie-break —
     * the n-gram census behind contamination checks and boilerplate
     * detection. Explode + map-side-combining count + TakeOrdered: the
@@ -2721,6 +2757,7 @@ object SparkEntry {
     "so9_quantile_buckets" -> so9QuantileBuckets,
     "so11_winsorize" -> so11Winsorize,
     "text_pii_redact" -> textPiiRedact,
+    "web_domain_curation" -> webDomainCuration,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,

@@ -1,0 +1,43 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WebCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withDomain lowercases the host and strips scheme, userinfo, " +
+      "port, path, query, and fragment; schemeless URLs yield ''") {
+    val df = Seq(
+      (1L, "https://WWW.Example.COM/path?q=1"),
+      (2L, "http://alice:pw@Sub.Host.org:8080/x#frag"),
+      (3L, "ftp://files.example.net"),
+      (4L, "no-scheme.example.com/path"),
+      (5L, "s3://bucket-name/key/part")).toDF("id", "url")
+    val out = WebCuration.withDomain(df, "url").orderBy("id")
+      .select("domain").as[String].collect().toSeq
+    assert(out == Seq("www.example.com", "sub.host.org",
+      "files.example.net", "", "bucket-name"))
+  }
+
+  test("blocklistFilter drops exactly the blocked domains via a " +
+      "broadcast anti-join") {
+    val docs = WebCuration.withDomain(
+      Seq((1L, "https://bad.com/a"), (2L, "https://good.com/b"),
+        (3L, "https://bad.com/c")).toDF("id", "url"), "url")
+    val bl = Seq("bad.com").toDF("blocked_domain")
+    val kept = WebCuration.blocklistFilter(docs, "domain", bl)
+    assert(kept.select("id").as[Long].collect().toSet == Set(2L))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"))
+  }
+
+  test("domainStats aggregates count and rounded mean per domain") {
+    val df = Seq(("a.com", 10.0), ("a.com", 20.0), ("b.com", 5.0))
+      .toDF("domain", "v")
+    val out = WebCuration.domainStats(df, "domain", "v")
+      .orderBy("domain")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("a.com", 2L, 15.0), ("b.com", 1L, 5.0)))
+  }
+}
