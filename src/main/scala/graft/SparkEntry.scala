@@ -2327,6 +2327,18 @@ object SparkEntry {
     },
     Some("WITH u AS (SELECT doc_id, n_chars, CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://user@' END || source || '.Example.com' || CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END || '/d/' || CAST(doc_id AS VARCHAR) AS url FROM documents), d AS (SELECT doc_id, n_chars, lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS domain FROM u), kept AS (SELECT * FROM d WHERE domain NOT IN ('src0.example.com', 'src13.example.com')), stats AS (SELECT domain, count(*) AS domain_docs, round(avg(n_chars), 4) AS domain_avg FROM kept GROUP BY 1) SELECT k.doc_id, k.domain, s.domain_docs, s.domain_avg FROM kept k JOIN stats s USING (domain)"))
 
+  /** Corpus-trained bigram-LM document scoring ([[graft.text.NgramLm]])
+    * — the perplexity-style quality gate (CCNet tier 1). Counts are
+    * vocabulary-sized aggregates joined back onto the bigram stream;
+    * the ln terms quantize to 9 decimals and the mean to 4 (the BM25
+    * convention) so DuckDB re-derives the identical score.
+    */
+  private val textPerplexity = Q(
+    (s, dir) => graft.text.NgramLm.bigramLogProb(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text"),
+    Some("WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), bg AS (SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2 FROM tk, unnest(range(len(ws) - 1)) AS u(i)), cb AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2), cw AS (SELECT w1, count(*) AS c FROM bg GROUP BY 1), v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM tk)), scored AS (SELECT bg.doc_id, round(ln((cb.c + 1) / (cw.c + v.v)), 9) AS lp FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(lp), 4) AS avg_logprob FROM scored GROUP BY 1"))
+
   /** Corpus bigram frequencies, top-20 with lexicographic tie-break —
     * the n-gram census behind contamination checks and boilerplate
     * detection. Explode + map-side-combining count + TakeOrdered: the
@@ -2758,6 +2770,7 @@ object SparkEntry {
     "so11_winsorize" -> so11Winsorize,
     "text_pii_redact" -> textPiiRedact,
     "web_domain_curation" -> webDomainCuration,
+    "text_perplexity" -> textPerplexity,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,
