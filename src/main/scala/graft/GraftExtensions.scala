@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomContains, DotProduct}
+import graft.functions.{BloomContains, DotProduct, UnicodeNormalize}
 import graft.plans.IntervalJoinStrategy
 
 /** Session extensions registering the library's native expressions and
@@ -32,6 +32,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomContains(children(0), children(1), children(2),
           children(3), children(4))
       }))
+    Seq(
+      (UnicodeNormalize.NfcName, "NFC", false),
+      (UnicodeNormalize.NfkcName, "NFKC", false),
+      (UnicodeNormalize.StripAccentsName, "NFC", true)
+    ).foreach { case (name, form, strip) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[UnicodeNormalize].getName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, s"$name takes exactly 1 argument")
+          UnicodeNormalize(children.head, form, strip)
+        }))
+    }
     // thread the owning session through so plan-time width sampling runs
     // on the session that owns the plan, not whatever is `active`
     ext.injectPlannerStrategy(s => new IntervalJoinStrategy(Some(s)))

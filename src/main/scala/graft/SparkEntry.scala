@@ -2339,6 +2339,27 @@ object SparkEntry {
       "doc_id", "text"),
     Some("WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), bg AS (SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2 FROM tk, unnest(range(len(ws) - 1)) AS u(i)), cb AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2), cw AS (SELECT w1, count(*) AS c FROM bg GROUP BY 1), v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM tk)), scored AS (SELECT bg.doc_id, round(ln((cb.c + 1) / (cw.c + v.v)), 9) AS lp FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(lp), 4) AS avg_logprob FROM scored GROUP BY 1"))
 
+  /** Unicode canonicalization ([[graft.functions.UnicodeNormalize]], a
+    * native codegen Expression — Spark has no normalization built-in
+    * and a UDF would drop out of codegen). The entry plants decomposed
+    * graphemes (a + U+0301) identically in both engines, then checks
+    * NFC recomposition (codepoint counts shrink back) and accent
+    * stripping (recovers the original ASCII) against DuckDB's
+    * nfc_normalize / strip_accents.
+    */
+  private val textNormalize = Q(
+    (s, dir) => {
+      import graft.functions.UnicodeNormalize._
+      val dec = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("d", regexp_replace(col("text"), "a", "á"))
+      dec.select(col("doc_id"),
+        length(col("d")).as("len_dec"),
+        length(nfc(col("d"))).as("len_nfc"),
+        stripAccents(col("d")).as("stripped"))
+    },
+    Some("WITH dec AS (SELECT doc_id, text, replace(text, 'a', 'a' || chr(769)) AS d FROM documents) SELECT doc_id, CAST(len(d) AS INT) AS len_dec, CAST(len(nfc_normalize(d)) AS INT) AS len_nfc, strip_accents(d) AS stripped FROM dec"))
+
   /** Corpus bigram frequencies, top-20 with lexicographic tie-break —
     * the n-gram census behind contamination checks and boilerplate
     * detection. Explode + map-side-combining count + TakeOrdered: the
@@ -2771,6 +2792,7 @@ object SparkEntry {
     "text_pii_redact" -> textPiiRedact,
     "web_domain_curation" -> webDomainCuration,
     "text_perplexity" -> textPerplexity,
+    "text_normalize" -> textNormalize,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,
