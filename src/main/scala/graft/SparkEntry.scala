@@ -1444,6 +1444,46 @@ object SparkEntry {
     },
     Some("WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events), c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1) SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort, CAST(date_diff('day', cohort_wk, wk) // 7 AS INT) AS offset_wk, count(DISTINCT e.user_id) AS n_active FROM e JOIN c ON c.user_id = e.user_id GROUP BY 1, 2"))
 
+  /** AN3 — event-type transition matrix (first-order Markov over each
+    * user's journey): adjacent pairs from one user-partitioned ordered
+    * window (deterministic (ts, event_id) order), then two tiny
+    * aggregates — the matrix is |types|²-sized however large the event
+    * log, so the probability join broadcasts.
+    */
+  private val an3Transitions = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("cur"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .where(col("prev").isNotNull)
+      val counts = pairs.groupBy(col("prev"), col("cur"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("prev"))
+        .agg(sum(col("n")).as("tot"))
+      counts.join(broadcast(totals), "prev")
+        .select(col("prev"), col("cur"), col("n"),
+          round(col("n").cast("double") / col("tot"), 4).as("p"))
+    },
+    Some("WITH pr AS (SELECT user_id, event_type AS cur, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), c AS (SELECT prev, cur, count(*) AS n FROM pr WHERE prev IS NOT NULL GROUP BY 1, 2), t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1) SELECT c.prev, c.cur, c.n, round(c.n / t.tot, 4) AS p FROM c JOIN t USING (prev)"))
+
+  /** AN4 — population-stability drift between snapshots
+    * ([[graft.operators.Drift]]): the reference (¾ of events) defines
+    * quintile bins; the current snapshot (¼, with an injected
+    * scale+shift drift) is scored per bin. Thresholds are a driver-held
+    * model; each side pays one bucket projection + k-row count.
+    */
+  private val an4DriftPsi = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("value"))
+      val ref = ev.where(col("user_id") % 4 =!= 0).select(col("value"))
+      val cur = ev.where(col("user_id") % 4 === 0)
+        .select((col("value") * 1.15 + 2).as("value"))
+      graft.operators.Drift.psi(ref, cur, "value", k = 5)
+    },
+    Some("WITH ref AS (SELECT value AS v FROM events WHERE user_id % 4 <> 0), cur AS (SELECT value * 1.15 + 2 AS v FROM events WHERE user_id % 4 = 0), th AS (SELECT quantile_cont(v, [0.2, 0.4, 0.6, 0.8]) AS t FROM ref), rb AS (SELECT CASE WHEN v <= t[1] THEN 0 WHEN v <= t[2] THEN 1 WHEN v <= t[3] THEN 2 WHEN v <= t[4] THEN 3 ELSE 4 END AS bucket FROM ref, th), cb AS (SELECT CASE WHEN v <= t[1] THEN 0 WHEN v <= t[2] THEN 1 WHEN v <= t[3] THEN 2 WHEN v <= t[4] THEN 3 ELSE 4 END AS bucket FROM cur, th), rc AS (SELECT bucket, count(*) AS n_ref FROM rb GROUP BY 1), cc AS (SELECT bucket, count(*) AS n_cur FROM cb GROUP BY 1), j AS (SELECT bucket, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur FROM rc FULL OUTER JOIN cc USING (bucket)) SELECT CAST(bucket AS INT) AS bucket, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur, round((greatest(n_ref / sum(n_ref) OVER (), 1e-6) - greatest(n_cur / sum(n_cur) OVER (), 1e-6)) * ln(greatest(n_ref / sum(n_ref) OVER (), 1e-6) / greatest(n_cur / sum(n_cur) OVER (), 1e-6)), 9) AS psi_term FROM j"))
+
   /** S13 — keyed parquet upsert ([[ParquetDataset.upsert]]): MERGE for
     * plain parquet. Base = ¾ of events; updates = the even-keyed half
     * with shifted values — so the upsert exercises both halves of MERGE
@@ -2731,6 +2771,8 @@ object SparkEntry {
     "w2_rolling_window" -> w2RollingWindow,
     "an1_funnel" -> an1Funnel,
     "an2_cohort" -> an2Cohort,
+    "an3_transitions" -> an3Transitions,
+    "an4_drift_psi" -> an4DriftPsi,
     "r1_relationalize" -> r1Relationalize,
     "r1_deep_relationalize" -> r1DeepRelationalize,
     "r2_carry_cols" -> r2CarryCols,

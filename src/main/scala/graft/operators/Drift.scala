@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two corpus snapshots — the
+  * data-quality gate a production pipeline runs on every refresh
+  * (feature drift before retraining, ingest anomaly detection before
+  * publishing). The standard measure is the Population Stability
+  * Index: bucket the REFERENCE distribution into quantile bins, score
+  * the CURRENT snapshot's mass shift per bin,
+  * `psi = Σ (p_i − q_i) · ln(p_i / q_i)`.
+  *
+  * The bin thresholds are a driver-sized model (k−1 doubles from one
+  * percentile aggregate over the reference — the [[Buckets]] pattern);
+  * each snapshot then pays one narrow bucket projection and one
+  * k-row count aggregate. Nothing driver-side scales with the data.
+  */
+object Drift {
+
+  /** Per-bucket PSI decomposition of `valueCol` between `ref` and
+    * `cur`: (bucket, n_ref, n_cur, psi_term), bucket 0..k−1 by the
+    * reference's k-quantile bins. Empty-bucket proportions clamp to
+    * `eps` (PSI is undefined at zero mass; 1e-6 is the conventional
+    * floor). `psi_term` rounds to 9 decimals so independent engines
+    * agree to the hash; total PSI = sum(psi_term).
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      k: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(k >= 2, s"need k >= 2 buckets, got $k")
+    val qs = (1 until k).map(i => i.toDouble / k)
+    val row = ref.agg(
+      expr(s"percentile($valueCol, array(${qs.mkString(",")}))")).head()
+    require(!row.isNullAt(0), "reference snapshot has no non-null values")
+    val thresholds = row.getSeq[Double](0)
+    def bucketOf(v: Column): Column =
+      thresholds.zipWithIndex.foldRight(lit(k - 1): Column) {
+        case ((t, i), acc) => when(v <= t, lit(i)).otherwise(acc)
+      }.cast("int")
+    def counted(df: DataFrame, name: String): DataFrame = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(bucketOf(col(valueCol)).as("bucket"))
+      .agg(count(lit(1)).as(name))
+    val joined = counted(ref, "n_ref")
+      .join(counted(cur, "n_cur"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // totals ride a window over the k-row result — no second pass over
+    // the data (k rows; the window is trivially small)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val p = greatest(col("n_ref").cast("double") / sum(col("n_ref")).over(w),
+      lit(eps))
+    val q = greatest(col("n_cur").cast("double") / sum(col("n_cur")).over(w),
+      lit(eps))
+    joined.withColumn("psi_term", round((p - q) * log(p / q), 9))
+  }
+}

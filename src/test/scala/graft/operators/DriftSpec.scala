@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical distributions score ~zero PSI in every bucket") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    val out = Drift.psi(ref, ref, "v", k = 4)
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0, 1, 2, 3))
+    assert(out.forall { case (_, nr, nc, _) => nr == nc })
+    assert(out.forall(_._4 == 0.0))
+  }
+
+  test("a shifted current snapshot concentrates mass in the top bucket " +
+      "and PSI flags it") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    val cur = (1 to 1000).map(i => i.toDouble + 700).toDF("v")
+    val out = Drift.psi(ref, cur, "v", k = 4)
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    val total = out.map(_._4).sum
+    assert(total > 0.25, s"PSI $total should flag a 70% shift")
+    // the top reference bucket gained mass, the bottom lost all of it
+    assert(out.head._3 < out.head._2)
+    assert(out.last._3 > out.last._2)
+  }
+
+  test("a bucket with zero current mass clamps to eps instead of " +
+      "producing infinity; nulls are ignored") {
+    val ref = (1 to 100).map(i => Option(i.toDouble)).toDF("v")
+    val cur = ((1 to 50).map(i => Option(i.toDouble)) :+
+      Option.empty[Double]).toDF("v")
+    val out = Drift.psi(ref, cur, "v", k = 2)
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out.size == 2)
+    assert(out(1)._3 == 0L)
+    assert(!out(1)._4.isInfinity && !out(1)._4.isNaN)
+    assert(out.map(_._3).sum == 50L)
+  }
+}
