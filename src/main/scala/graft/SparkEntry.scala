@@ -2400,6 +2400,18 @@ object SparkEntry {
     },
     Some("WITH dec AS (SELECT doc_id, text, replace(text, 'a', 'a' || chr(769)) AS d FROM documents) SELECT doc_id, CAST(len(d) AS INT) AS len_dec, CAST(len(nfc_normalize(d)) AS INT) AS len_nfc, strip_accents(d) AS stripped FROM dec"))
 
+  /** Per-source characteristic terms by TF-IDF
+    * ([[TextAnalysis.tfidfTopTerms]]): tf is one (source, term)
+    * aggregate, df rides tf's distinct pairs, and the per-group top-5
+    * uses the two-phase salted rank so coarse groups never serialize
+    * the vocabulary through one window task.
+    */
+  private val textTfidfTerms = Q(
+    (s, dir) => TextAnalysis.tfidfTopTerms(
+      t(s, dir, "documents").select(col("source"), col("text")),
+      "source", "text", k = 5),
+    Some("WITH tk AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents), tf AS (SELECT source, w, count(*) AS tf FROM tk GROUP BY 1, 2), dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY 1), g AS (SELECT count(DISTINCT source) AS g FROM tf), scored AS (SELECT source, w, tf, round(tf * round(ln(g.g / df), 9), 4) AS score FROM tf JOIN dfx USING (w) CROSS JOIN g) SELECT source, CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, w ASC) AS INT) AS rk, w, tf, score FROM scored QUALIFY rk <= 5"))
+
   /** Corpus bigram frequencies, top-20 with lexicographic tie-break —
     * the n-gram census behind contamination checks and boilerplate
     * detection. Explode + map-side-combining count + TakeOrdered: the
@@ -2835,6 +2847,7 @@ object SparkEntry {
     "web_domain_curation" -> webDomainCuration,
     "text_perplexity" -> textPerplexity,
     "text_normalize" -> textNormalize,
+    "text_tfidf_terms" -> textTfidfTerms,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,

@@ -242,4 +242,30 @@ object TextAnalysis {
       .groupBy(col("grp"), col("seq"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
   }
+
+  /** Top-k characteristic terms per group by TF-IDF — "what makes this
+    * domain/source distinctive" (corpus exploration, mixture design,
+    * boilerplate spotting). tf is a (group, term) hash aggregate; df
+    * counts groups per term over tf's already-distinct pairs
+    * (vocabulary-sized, never a second corpus pass); the group count is
+    * one scalar. The per-group ranking reuses the two-phase salted
+    * top-k so a handful of coarse groups never serializes the
+    * vocabulary through single window tasks. idf = ln(G/df) quantized
+    * to 9 decimals, score to 4 (the BM25 convention).
+    */
+  def tfidfTopTerms(docs: DataFrame, group: String, text: String,
+      k: Int, salts: Int = 64): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = docs.select(col(group), explode(tokens(col(text))).as("w"))
+    val tf = toks.groupBy(col(group), col("w")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val g = tf.select(col(group)).distinct().count()
+    val scored = tf.join(dfs, "w")
+      .withColumn("score",
+        round(col("tf") * round(log(lit(g.toDouble) / col("df")), 9), 4))
+    graft.operators.Salted.topKPerGroup(scored, Seq(group),
+        Seq(col("score").desc, col("w").asc), k, salts,
+        saltCols = Seq(col("w")))
+      .select(col(group), col("rk"), col("w"), col("tf"), col("score"))
+  }
 }

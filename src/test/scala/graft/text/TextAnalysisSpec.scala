@@ -149,4 +149,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3)._3 == math.floor(6.0 / 7.0 * 10000 + 0.5) / 10000)
     assert(out(3)._4 == 0.2)
   }
+
+  test("tfidfTopTerms ranks group-distinctive terms first with " +
+      "deterministic tie-breaks") {
+    // 'alpha' only in g1, 'beta' only in g2, 'common' everywhere
+    val df = Seq(
+      ("g1", "common alpha alpha common"),
+      ("g1", "alpha common"),
+      ("g2", "common beta common"),
+      ("g3", "common common")).toDF("src", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "src", "text", k = 2)
+      .orderBy("src", "rk")
+      .as[(String, Int, String, Long, Double)].collect().toSeq
+    // g1: alpha (tf=3, idf=ln 3) beats common (idf=0)
+    assert(out(0)._1 == "g1" && out(0)._3 == "alpha" && out(0)._4 == 3L)
+    assert(out(0)._5 > 0.0)
+    assert(out(1)._3 == "common" && out(1)._5 == 0.0)
+    assert(out(2)._1 == "g2" && out(2)._3 == "beta")
+    // g3 has only zero-idf terms; rank is still filled deterministically
+    assert(out.count(_._1 == "g3") == 1)
+    assert(out(4)._3 == "common")
+  }
 }
