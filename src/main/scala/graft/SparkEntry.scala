@@ -2400,6 +2400,30 @@ object SparkEntry {
     },
     Some("WITH dec AS (SELECT doc_id, text, replace(text, 'a', 'a' || chr(769)) AS d FROM documents) SELECT doc_id, CAST(len(d) AS INT) AS len_dec, CAST(len(nfc_normalize(d)) AS INT) AS len_nfc, strip_accents(d) AS stripped FROM dec"))
 
+  /** C4-style boilerplate-line removal
+    * ([[TextAnalysis.stripBoilerplateLines]]): chrome lines planted on
+    * doc_id residues in both engines; the census strips them while
+    * per-doc unique lines survive, and documents reassemble in
+    * original line order.
+    */
+  private val textStripBoilerplate = Q(
+    (s, dir) => {
+      val aug = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("s", concat(
+          when(col("doc_id") % 2 === 0,
+            lit("subscribe to our newsletter\n")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nall rights reserved")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("\nref "), col("doc_id").cast("string")))
+            .otherwise(lit(""))))
+        .select(col("doc_id"), col("s"))
+      TextAnalysis.stripBoilerplateLines(aug, "doc_id", "s", minDocs = 10)
+    },
+    Some("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' || chr(10) ELSE '' END || text || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) ELSE '' END AS s FROM documents), ls AS (SELECT doc_id, string_split(s, chr(10)) AS l FROM aug), lines AS (SELECT doc_id, i AS pos, l[i + 1] AS line FROM ls, unnest(range(len(l))) AS u(i)), census AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line HAVING count(*) >= 10), kept AS (SELECT doc_id, pos, line FROM lines WHERE line NOT IN (SELECT line FROM census)) SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean FROM kept GROUP BY doc_id"))
+
   /** Per-source characteristic terms by TF-IDF
     * ([[TextAnalysis.tfidfTopTerms]]): tf is one (source, term)
     * aggregate, df rides tf's distinct pairs, and the per-group top-5
@@ -2848,6 +2872,7 @@ object SparkEntry {
     "text_perplexity" -> textPerplexity,
     "text_normalize" -> textNormalize,
     "text_tfidf_terms" -> textTfidfTerms,
+    "text_strip_boilerplate" -> textStripBoilerplate,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,

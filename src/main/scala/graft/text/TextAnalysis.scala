@@ -243,6 +243,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
   }
 
+  /** C4-style boilerplate-line removal: census every line across the
+    * corpus, strip lines appearing in ≥ `minDocs` distinct documents
+    * (navigation chrome, cookie banners, copyright footers), and
+    * reassemble each document in original line order. Documents whose
+    * every line is boilerplate drop out.
+    *
+    * The census shuffles (doc, line) pairs once and keeps only the
+    * over-threshold survivors — by definition the small set of
+    * repeated chrome strings — which then broadcast into an ANTI join,
+    * so the corpus-sized line stream never shuffles again.
+    * Reassembly is array_sort-by-position inside one aggregate (no
+    * window). At an extreme corpus where even the censused boilerplate
+    * set outgrows a broadcast, drop the hint and let AQE pick the
+    * join; the threshold semantics are unchanged.
+    */
+  def stripBoilerplateLines(docs: DataFrame, id: String, text: String,
+      minDocs: Int, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs.select(col(id),
+      posexplode(split(col(text), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val boiler = lines.select(col(id), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") >= minDocs)
+      .select(col("line"))
+    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+    kept.groupBy(col(id))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"),
+        sep).as("clean"))
+  }
+
   /** Top-k characteristic terms per group by TF-IDF — "what makes this
     * domain/source distinctive" (corpus exploration, mixture design,
     * boilerplate spotting). tf is a (group, term) hash aggregate; df

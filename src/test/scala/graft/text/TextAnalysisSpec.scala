@@ -170,4 +170,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.count(_._1 == "g3") == 1)
     assert(out(4)._3 == "common")
   }
+
+  test("stripBoilerplateLines removes over-threshold lines, keeps " +
+      "unique lines in order, and drops all-boilerplate docs") {
+    val chrome = "cookie banner"
+    val docs = (1 to 5).map(i => (i.toLong, s"$chrome\nbody $i\nfooter"))
+      .toDF("id", "s")
+      .union(Seq((6L, chrome)).toDF("id", "s"))
+    val out = TextAnalysis.stripBoilerplateLines(docs, "id", "s",
+        minDocs = 3)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    // chrome (6 docs) and footer (5 docs) censused out; bodies survive
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.forall { case (i, c) => c == s"body $i" })
+  }
+
+  test("stripBoilerplateLines preserves multi-line survivors in " +
+      "original order and honors the threshold boundary") {
+    val docs = Seq(
+      (1L, "keep one\nshared\nkeep two"),
+      (2L, "shared\nother"),
+      (3L, "third")).toDF("id", "s")
+    // shared appears in 2 docs; minDocs = 3 keeps it
+    val keep = TextAnalysis.stripBoilerplateLines(docs, "id", "s", 3)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(keep(0)._2 == "keep one\nshared\nkeep two")
+    // minDocs = 2 strips it from both docs
+    val strip = TextAnalysis.stripBoilerplateLines(docs, "id", "s", 2)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(strip(0)._2 == "keep one\nkeep two")
+    assert(strip(1)._2 == "other")
+  }
 }
