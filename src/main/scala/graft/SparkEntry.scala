@@ -2485,6 +2485,19 @@ object SparkEntry {
       t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4),
     Some("SELECT a.vec_id AS id1, b.vec_id AS id2, round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.4"))
 
+  /** Pairwise cosine between per-label embedding centroids
+    * ([[Ann.groupCentroidCosine]]): the corpus collapses to a G×d
+    * centroid model in one aggregate; the pairwise stage touches only
+    * that tiny table. Centroid means quantize to 9 decimals at the
+    * hand-off (cross-row float fold order is engine-dependent), cosine
+    * rounds to 6.
+    */
+  private val annGroupCosine = Q(
+    (s, dir) => Ann.groupCentroidCosine(
+      t(s, dir, "embeddings").select(col("label"), col("embedding")),
+      "label", "embedding"),
+    Some("WITH dims AS (SELECT label, i AS dim, embedding[i + 1] AS v FROM embeddings, unnest(range(len(embedding))) AS u(i)), cent AS (SELECT label, dim, round(avg(v), 9) AS c FROM dims GROUP BY 1, 2), a AS (SELECT label AS l1, dim, c AS ca FROM cent), b AS (SELECT label AS l2, dim, c AS cb FROM cent) SELECT l1, l2, round(sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6) AS cos FROM a JOIN b USING (dim) WHERE l1 < l2 GROUP BY 1, 2"))
+
   /** IVF-style approximate top-k (scale path): probe the 3 nearest
     * cluster pivots, score only those clusters' vectors. Pivot centroids
     * (min-id member per cluster) are bit-reproducible — no float-mean
@@ -2834,6 +2847,7 @@ object SparkEntry {
     "text_ngrams" -> textNgrams,
     "ann_topk" -> annTopK,
     "ann_neardup" -> annNearDup,
+    "ann_group_cosine" -> annGroupCosine,
     "ann_ivf_topk" -> annIvfTopK,
     "ann_trained_ivf" -> annTrainedIvf,
     "ann_pq_topk" -> annPqTopK,

@@ -724,4 +724,33 @@ object Ann {
       .where(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }
+
+  /** Pairwise cosine similarity between per-group embedding centroids —
+    * the source-overlap signal behind mixture design ("how close is
+    * domain A's content to domain B's?") and cross-source semantic
+    * drift monitoring.
+    *
+    * One (group, dim) mean aggregate collapses the corpus to a G×d
+    * table (a MODEL — group-cardinality-sized however large the
+    * corpus); the pairwise stage is a dim-keyed self-join of that tiny
+    * table, never touching corpus rows. Centroid means quantize to 9
+    * decimals before the pairwise arithmetic — cross-row float
+    * summation order is engine/partitioning-dependent, so the quantize
+    * happens at the hand-off boundary (the ln-quantization convention)
+    * — and the cosine rounds to 6. Output: (l1, l2, cos) for l1 < l2.
+    */
+  def groupCentroidCosine(df: DataFrame, group: String,
+      vecCol: String): DataFrame = {
+    val dims = df.select(col(group),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+    val cent = dims.groupBy(col(group), col("dim"))
+      .agg(round(avg(col("v")), 9).as("c"))
+    val a = cent.select(col(group).as("l1"), col("dim"), col("c").as("ca"))
+    val b = cent.select(col(group).as("l2"), col("dim"), col("c").as("cb"))
+    a.join(b, Seq("dim")).where(col("l1") < col("l2"))
+      .groupBy(col("l1"), col("l2"))
+      .agg(round(sum(col("ca") * col("cb")) /
+        (sqrt(sum(col("ca") * col("ca"))) * sqrt(sum(col("cb") * col("cb")))),
+        6).as("cos"))
+  }
 }

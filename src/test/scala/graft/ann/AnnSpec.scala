@@ -308,4 +308,16 @@ class AnnSpec extends SparkSpec {
     val used = assign.select("cluster").distinct().count()
     assert(used >= 1 && used <= 3)
   }
+
+  test("groupCentroidCosine: parallel/antiparallel/orthogonal groups " +
+      "score 1 / -1 / 0, each pair emitted once with l1 < l2") {
+    val df = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(1.0f, 0.0f)),
+      ("b", Seq(-2.0f, 0.0f)),
+      ("c", Seq(0.0f, 3.0f))).toDF("g", "embedding")
+    val out = Ann.groupCentroidCosine(df, "g", "embedding")
+      .orderBy("l1", "l2")
+      .as[(String, String, Double)].collect().toSeq
+    assert(out == Seq(("a", "b", -1.0), ("a", "c", 0.0), ("b", "c", 0.0)))
+  }
 }
