@@ -2424,6 +2424,36 @@ object SparkEntry {
     },
     Some("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' || chr(10) ELSE '' END || text || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) ELSE '' END AS s FROM documents), ls AS (SELECT doc_id, string_split(s, chr(10)) AS l FROM aug), lines AS (SELECT doc_id, i AS pos, l[i + 1] AS line FROM ls, unnest(range(len(l))) AS u(i)), census AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line HAVING count(*) >= 10), kept AS (SELECT doc_id, pos, line FROM lines WHERE line NOT IN (SELECT line FROM census)) SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean FROM kept GROUP BY doc_id"))
 
+  /** The END-TO-END LLM training-data prep as ONE executed pipeline:
+    * quality-filter → exact-dedup (keep smallest id per fingerprint) →
+    * per-source quota (two-phase salted rank, at most 20 docs per
+    * source in deterministic hash order) → pack survivors into
+    * 256-token sequences. Every stage has its own oracle entry
+    * (text_quality, corpus_curation, so8, text_pack_sequences); this
+    * one proves they COMPOSE — scoring rides one scan, the dedup
+    * aggregate and quota rank are the only wide stages before the
+    * pack windows, and nothing recomputes the corpus.
+    */
+  private val corpusTrainingPrep = Q(
+    (s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .where(col("quality") >= 0.5)
+      val ded = scored.groupBy(col("fp"))
+        .agg(min_by(struct(col("doc_id"), col("source"), col("text")),
+          col("doc_id")).as("k"))
+        .select(col("k.doc_id").as("doc_id"),
+          col("k.source").as("source"), col("k.text").as("text"))
+      val quota = Salted.topKPerGroup(ded, Seq("source"),
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")), k = 20)
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.packSequences(quota, "doc_id", "text",
+        maxTokens = 256, groups = 4)
+    },
+    Some("WITH b AS (SELECT doc_id, text, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS n, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) AS stophits, CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct FROM documents), q AS (SELECT doc_id, floor((least(1.0, n / 100.0) * 0.4 + least(1.0, stophits / n * 5.0) * 0.3 + (1.0 - punct / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality FROM b), kept0 AS (SELECT d.doc_id, d.source, d.text, md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp FROM q JOIN documents d USING (doc_id) WHERE q.quality >= 0.5), g AS (SELECT fp, min(doc_id) AS doc_id FROM kept0 GROUP BY fp), ded AS (SELECT k.doc_id, k.source, k.text FROM g JOIN kept0 k ON k.doc_id = g.doc_id), quota AS (SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM ded) WHERE rk <= 20), tk AS (SELECT doc_id, doc_id % 4 AS grp, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS toks FROM quota), c AS (SELECT grp, doc_id, toks, COALESCE(sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tk) SELECT grp, CAST(cum // 256 AS BIGINT) AS seq, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM c GROUP BY 1, 2"))
+
   /** Per-source characteristic terms by TF-IDF
     * ([[TextAnalysis.tfidfTopTerms]]): tf is one (source, term)
     * aggregate, df rides tf's distinct pairs, and the per-group top-5
@@ -2887,6 +2917,7 @@ object SparkEntry {
     "text_normalize" -> textNormalize,
     "text_tfidf_terms" -> textTfidfTerms,
     "text_strip_boilerplate" -> textStripBoilerplate,
+    "corpus_training_prep" -> corpusTrainingPrep,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,
