@@ -2424,6 +2424,35 @@ object SparkEntry {
     },
     Some("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' || chr(10) ELSE '' END || text || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) ELSE '' END AS s FROM documents), ls AS (SELECT doc_id, string_split(s, chr(10)) AS l FROM aug), lines AS (SELECT doc_id, i AS pos, l[i + 1] AS line FROM ls, unnest(range(len(l))) AS u(i)), census AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line HAVING count(*) >= 10), kept AS (SELECT doc_id, pos, line FROM lines WHERE line NOT IN (SELECT line FROM census)) SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean FROM kept GROUP BY doc_id"))
 
+  /** PageRank over a synthesized domain link graph
+    * ([[graft.graph.PageRank]]): 5 damped iterations, each one
+    * edge-keyed join + one destination-keyed sum, rank state quantized
+    * to 9 decimals per iteration so the oracle's unrolled SQL
+    * reproduces every iterate exactly. Edges derive deterministically
+    * from (source, doc_id) in both engines.
+    */
+  private val graphPagerank = Q(
+    (s, dir) => {
+      val edges = t(s, dir, "documents")
+        .where(col("doc_id") % 29 < 3)
+        .select(col("source").as("src"),
+          concat(lit("src"), ((col("doc_id") * (length(col("source")) + 1))
+            % 17).cast("string")).as("dst"))
+        .distinct()
+      graft.graph.PageRank.pagerank(edges, "src", "dst", iters = 5)
+    },
+    Some(("WITH e AS (SELECT DISTINCT source AS src, 'src' || CAST((doc_id * (1 + len(source))) % 17 AS VARCHAR) AS dst FROM documents WHERE doc_id % 29 < 3), " +
+      "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)), " +
+      "nn AS (SELECT count(*) AS n FROM nodes), " +
+      "deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1), " +
+      "r0 AS (SELECT node, round(1.0 / n, 9) AS rank FROM nodes, nn), " +
+      (1 to 5).map(k =>
+        s"r$k AS (SELECT n2.node, round((1.0 - 0.85) / nn.n + 0.85 * COALESCE(s.mass, 0), 9) AS rank " +
+          s"FROM nodes n2 CROSS JOIN nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank / d.deg) AS mass " +
+          s"FROM e JOIN r${k - 1} r ON r.node = e.src JOIN deg d ON d.node = e.src GROUP BY 1) s ON s.node = n2.node)")
+        .mkString(", ") +
+      " SELECT node, rank FROM r5")))
+
   /** The END-TO-END LLM training-data prep as ONE executed pipeline:
     * quality-filter → exact-dedup (keep smallest id per fingerprint) →
     * per-source quota (two-phase salted rank, at most 20 docs per
@@ -2918,6 +2947,7 @@ object SparkEntry {
     "text_tfidf_terms" -> textTfidfTerms,
     "text_strip_boilerplate" -> textStripBoilerplate,
     "corpus_training_prep" -> corpusTrainingPrep,
+    "graph_pagerank" -> graphPagerank,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,

@@ -1,0 +1,62 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge list — the link-graph authority signal behind
+  * crawl frontier prioritization and domain-quality weighting
+  * (Common-Crawl-derived corpora rank hosts by centrality before
+  * sampling).
+  *
+  * Iterative relational form: each iteration is one edge-keyed join of
+  * the rank table onto the (pre-degreed, once-materialized) edge list
+  * plus one destination-keyed sum — both shuffles keyed by node id, so
+  * the plan scales with edges, and rank state stays a node-sized
+  * table. localCheckpoint truncates lineage per iteration (the
+  * connected-components pattern: O(iters) plans, not one
+  * exponentially-nested plan). Ranks quantize to 9 decimals every
+  * iteration — the fixpoint arithmetic stays cross-engine-identical,
+  * so an independent SQL re-derivation reproduces every iterate
+  * exactly.
+  *
+  * Dangling mass (nodes with no out-edges) is dropped, not
+  * redistributed — ranking order is unaffected for the curation use;
+  * callers needing the stochastic-matrix invariant can add the
+  * uniform reinjection term themselves.
+  */
+object PageRank {
+
+  /** Run `iters` damped iterations from the uniform start; returns
+    * (node, rank). Multi-edges contribute multiply — pass a
+    * `.distinct()` edge list for simple-graph semantics.
+    */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val nodes = edges.select(col(srcCol).as("node"))
+      .union(edges.select(col(dstCol).as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    val outDeg = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("deg"))
+    // enrich edges with the source degree ONCE; every iteration reads
+    // this materialized table instead of re-joining the degree
+    val edgesDeg = edges
+      .join(outDeg, edges(srcCol) === outDeg("node"))
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"), col("deg"))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", round(lit(1.0 / n), 9))
+    for (_ <- 1 to iters) {
+      val in = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("mass"))
+      ranks = nodes.join(in, Seq("node"), "left")
+        .select(col("node"), round(
+          lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("mass"), lit(0.0)), 9).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

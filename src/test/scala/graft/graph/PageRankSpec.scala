@@ -1,0 +1,46 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a sink fed by everything outranks its feeders; ranks are " +
+      "deterministic across runs") {
+    // star: a, b, c all point at hub; hub points at a (so no dangling)
+    val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"),
+      ("hub", "a")).toDF("src", "dst")
+    // the hub/a exchange oscillates early (damped by 0.85² per round
+    // trip), so compare near the fixpoint: hub ≈ 0.4797 > a ≈ 0.4453
+    val out = PageRank.pagerank(edges, "src", "dst", iters = 30)
+      .orderBy(col("rank").desc, col("node"))
+      .as[(String, Double)].collect().toSeq
+    assert(out.head._1 == "hub")
+    assert(out(1)._1 == "a") // a gets all of hub's mass
+    assert(math.abs(out.head._2 - 0.4797) < 0.005)
+    val again = PageRank.pagerank(edges, "src", "dst", iters = 30)
+      .orderBy(col("rank").desc, col("node"))
+      .as[(String, Double)].collect().toSeq
+    assert(out == again)
+  }
+
+  test("a regular graph converges to the uniform distribution and " +
+      "total mass stays <= 1") {
+    // 3-cycle: every node has in/out degree 1
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val out = PageRank.pagerank(edges, "src", "dst", iters = 5)
+      .as[(String, Double)].collect().toSeq
+    out.foreach { case (_, r) => assert(math.abs(r - 1.0 / 3) < 1e-6) }
+    assert(out.map(_._2).sum <= 1.0 + 1e-6)
+  }
+
+  test("one iteration matches the hand-computed damped update") {
+    // two nodes: a -> b, b -> a; uniform start 0.5 each
+    // r1(x) = 0.15/2 + 0.85 * 0.5 = 0.5 for both
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val out = PageRank.pagerank(edges, "src", "dst", iters = 1)
+      .orderBy("node").as[(String, Double)].collect().toSeq
+    assert(out == Seq(("a", 0.5), ("b", 0.5)))
+  }
+}
