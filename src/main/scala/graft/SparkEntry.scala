@@ -2483,6 +2483,18 @@ object SparkEntry {
     },
     Some("WITH b AS (SELECT doc_id, text, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS n, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) AS stophits, CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct FROM documents), q AS (SELECT doc_id, floor((least(1.0, n / 100.0) * 0.4 + least(1.0, stophits / n * 5.0) * 0.3 + (1.0 - punct / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality FROM b), kept0 AS (SELECT d.doc_id, d.source, d.text, md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp FROM q JOIN documents d USING (doc_id) WHERE q.quality >= 0.5), g AS (SELECT fp, min(doc_id) AS doc_id FROM kept0 GROUP BY fp), ded AS (SELECT k.doc_id, k.source, k.text FROM g JOIN kept0 k ON k.doc_id = g.doc_id), quota AS (SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM ded) WHERE rk <= 20), tk AS (SELECT doc_id, doc_id % 4 AS grp, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS toks FROM quota), c AS (SELECT grp, doc_id, toks, COALESCE(sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tk) SELECT grp, CAST(cum // 256 AS BIGINT) AS seq, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM c GROUP BY 1, 2"))
 
+  /** Positional-postings phrase search
+    * ([[TextAnalysis.phraseSearch]]): exact occurrence counts for a
+    * 3-token phrase. The oracle deliberately uses a DIFFERENT
+    * formulation (per-row sliding-window list arithmetic) than the
+    * operator's postings joins — both must land on identical counts.
+    */
+  private val textPhraseSearch = Q(
+    (s, dir) => TextAnalysis.phraseSearch(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", Seq("slow", "hash", "batch")),
+    Some("WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), m AS (SELECT doc_id, CAST(len(list_filter(range(len(ws) - 2), i -> ws[i + 1] = 'slow' AND ws[i + 2] = 'hash' AND ws[i + 3] = 'batch')) AS BIGINT) AS n_matches FROM tk) SELECT doc_id, n_matches FROM m WHERE n_matches > 0"))
+
   /** Per-source characteristic terms by TF-IDF
     * ([[TextAnalysis.tfidfTopTerms]]): tf is one (source, term)
     * aggregate, df rides tf's distinct pairs, and the per-group top-5
@@ -2945,6 +2957,7 @@ object SparkEntry {
     "text_perplexity" -> textPerplexity,
     "text_normalize" -> textNormalize,
     "text_tfidf_terms" -> textTfidfTerms,
+    "text_phrase_search" -> textPhraseSearch,
     "text_strip_boilerplate" -> textStripBoilerplate,
     "corpus_training_prep" -> corpusTrainingPrep,
     "graph_pagerank" -> graphPagerank,

@@ -275,6 +275,32 @@ object TextAnalysis {
         sep).as("clean"))
   }
 
+  /** Exact phrase search via positional postings — the multi-token
+    * matching BM25's bag-of-words scoring cannot express (code
+    * identifiers, named entities, quoted spans). Postings are pruned
+    * to the phrase's terms BEFORE any shuffle (the BM25 lesson) and
+    * materialized once; each subsequent term then joins on the
+    * (id, adjusted-position) key — k−1 keyed joins of term-sized
+    * streams, never a corpus scan per term. Returns (id, n_matches)
+    * for documents containing the phrase at least once.
+    */
+  def phraseSearch(docs: DataFrame, id: String, text: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val posts = docs
+      .select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "w")))
+      .where(col("w").isin(phrase.distinct: _*))
+      .localCheckpoint()
+    val anchor = posts.where(col("w") === phrase.head)
+      .select(col(id), col("pos"))
+    val matches = phrase.zipWithIndex.drop(1)
+      .foldLeft(anchor) { case (acc, (t, i)) =>
+        acc.join(posts.where(col("w") === t)
+          .select(col(id), (col("pos") - i).as("pos")), Seq(id, "pos"))
+      }
+    matches.groupBy(col(id)).agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Top-k characteristic terms per group by TF-IDF — "what makes this
     * domain/source distinctive" (corpus exploration, mixture design,
     * boilerplate spotting). tf is a (group, term) hash aggregate; df

@@ -201,4 +201,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(strip(0)._2 == "keep one\nkeep two")
     assert(strip(1)._2 == "other")
   }
+
+  test("phraseSearch counts exact adjacent occurrences, including " +
+      "overlapping and repeated-term phrases, and drops non-matches") {
+    val df = Seq(
+      (1L, "a b c a b c"),      // "a b c" twice
+      (2L, "a c b"),            // terms present, order wrong
+      (3L, "x a b c y"),        // once, mid-document
+      (4L, "a a a a")).toDF("doc_id", "text")
+    val out = TextAnalysis.phraseSearch(df, "doc_id", "text",
+        Seq("a", "b", "c"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (3L, 1L)))
+    // repeated-term phrase: "a a" in "a a a a" matches at 3 starts
+    val rep = TextAnalysis.phraseSearch(df, "doc_id", "text", Seq("a", "a"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(rep.find(_._1 == 4L).map(_._2).contains(3L))
+    // single-term phrase degenerates to term frequency
+    val single = TextAnalysis.phraseSearch(df, "doc_id", "text", Seq("a"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(single.find(_._1 == 4L).map(_._2).contains(4L))
+  }
 }
