@@ -1484,6 +1484,23 @@ object SparkEntry {
     },
     Some("WITH ref AS (SELECT value AS v FROM events WHERE user_id % 4 <> 0), cur AS (SELECT value * 1.15 + 2 AS v FROM events WHERE user_id % 4 = 0), th AS (SELECT quantile_cont(v, [0.2, 0.4, 0.6, 0.8]) AS t FROM ref), rb AS (SELECT CASE WHEN v <= t[1] THEN 0 WHEN v <= t[2] THEN 1 WHEN v <= t[3] THEN 2 WHEN v <= t[4] THEN 3 ELSE 4 END AS bucket FROM ref, th), cb AS (SELECT CASE WHEN v <= t[1] THEN 0 WHEN v <= t[2] THEN 1 WHEN v <= t[3] THEN 2 WHEN v <= t[4] THEN 3 ELSE 4 END AS bucket FROM cur, th), rc AS (SELECT bucket, count(*) AS n_ref FROM rb GROUP BY 1), cc AS (SELECT bucket, count(*) AS n_cur FROM cb GROUP BY 1), j AS (SELECT bucket, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur FROM rc FULL OUTER JOIN cc USING (bucket)) SELECT CAST(bucket AS INT) AS bucket, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur, round((greatest(n_ref / sum(n_ref) OVER (), 1e-6) - greatest(n_cur / sum(n_cur) OVER (), 1e-6)) * ln(greatest(n_ref / sum(n_ref) OVER (), 1e-6) / greatest(n_cur / sum(n_cur) OVER (), 1e-6)), 9) AS psi_term FROM j"))
 
+  /** AN5 — robust outlier detection ([[Drift.madOutliers]]): modified
+    * z-score by per-type median/MAD (immune to the outliers it hunts);
+    * outliers planted at user_id % 97 in both engines. Two group-sized
+    * percentile models broadcast back; the data pays two narrow
+    * projections.
+    */
+  private val an5OutliersMad = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          when(col("user_id") % 97 === 0, col("value") * 25)
+            .otherwise(col("value")).as("value"))
+      graft.operators.Drift.madOutliers(ev, Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+    },
+    Some("WITH ev AS (SELECT event_id, event_type, CASE WHEN user_id % 97 = 0 THEN value * 25 ELSE value END AS value FROM events), med AS (SELECT event_type, quantile_cont(value, 0.5) AS m FROM ev GROUP BY 1), mad AS (SELECT e.event_type, quantile_cont(abs(e.value - m.m), 0.5) AS mad FROM ev e JOIN med m USING (event_type) GROUP BY 1) SELECT e.event_id, e.event_type, e.value, round(0.6745 * (e.value - m.m) / d.mad, 4) AS z FROM ev e JOIN med m USING (event_type) JOIN mad d USING (event_type) WHERE CASE WHEN d.mad = 0 THEN e.value <> m.m ELSE abs(round(0.6745 * (e.value - m.m) / d.mad, 4)) > 3.5 END"))
+
   /** S13 — keyed parquet upsert ([[ParquetDataset.upsert]]): MERGE for
     * plain parquet. Base = ¾ of events; updates = the even-keyed half
     * with shifted values — so the upsert exercises both halves of MERGE
@@ -2893,6 +2910,7 @@ object SparkEntry {
     "an2_cohort" -> an2Cohort,
     "an3_transitions" -> an3Transitions,
     "an4_drift_psi" -> an4DriftPsi,
+    "an5_outliers_mad" -> an5OutliersMad,
     "r1_relationalize" -> r1Relationalize,
     "r1_deep_relationalize" -> r1DeepRelationalize,
     "r2_carry_cols" -> r2CarryCols,

@@ -56,4 +56,32 @@ object Drift {
       lit(eps))
     joined.withColumn("psi_term", round((p - q) * log(p / q), 9))
   }
+
+  /** Robust per-group outlier detection by modified z-score
+    * (median/MAD — immune to the outliers it hunts, unlike mean/σ):
+    * z = 0.6745 · (v − median) / MAD, flag |z| > cutoff (3.5 is the
+    * Iglewicz-Hoaglin convention). Two group-sized percentile
+    * aggregates (median, then median absolute deviation) broadcast
+    * back as models; the data pays two narrow projections. A
+    * zero-MAD group (over half its mass on one value) flags any
+    * deviation from the median instead of dividing by zero. Returns
+    * only the flagged rows, z rounded to 4.
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      cutoff: Double = 3.5): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols required")
+    val v = col(valueCol)
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val withMed = df.join(broadcast(med), groupCols)
+    val mad = withMed
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile(abs($valueCol - __med), 0.5)").as("__mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn("z", round(
+        lit(0.6745) * (v - col("__med")) / col("__mad"), 4))
+      .where(when(col("__mad") === 0.0, v =!= col("__med"))
+        .otherwise(abs(col("z")) > cutoff))
+      .drop("__med", "__mad")
+  }
 }

@@ -43,4 +43,16 @@ class DriftSpec extends SparkSpec {
     assert(!out(1)._4.isInfinity && !out(1)._4.isNaN)
     assert(out.map(_._3).sum == 50L)
   }
+
+  test("madOutliers flags planted spikes per group, not clean rows, " +
+      "and a zero-MAD group flags any deviation without dividing") {
+    val base = (1 to 100).map(i => ("a", i.toLong, 50.0 + (i % 11)))
+    val spike = Seq(("a", 900L, 5000.0), ("a", 901L, -4000.0))
+    val const = (1 to 20).map(i => ("c", 1000L + i, 7.0)) :+
+      ("c", 1021L, 9.0)
+    val df = (base ++ spike ++ const).toDF("g", "id", "v")
+    val out = Drift.madOutliers(df, Seq("g"), "v")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(900L, 901L, 1021L))
+  }
 }
