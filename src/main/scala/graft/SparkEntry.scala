@@ -1501,6 +1501,26 @@ object SparkEntry {
     },
     Some("WITH ev AS (SELECT event_id, event_type, CASE WHEN user_id % 97 = 0 THEN value * 25 ELSE value END AS value FROM events), med AS (SELECT event_type, quantile_cont(value, 0.5) AS m FROM ev GROUP BY 1), mad AS (SELECT e.event_type, quantile_cont(abs(e.value - m.m), 0.5) AS mad FROM ev e JOIN med m USING (event_type) GROUP BY 1) SELECT e.event_id, e.event_type, e.value, round(0.6745 * (e.value - m.m) / d.mad, 4) AS z FROM ev e JOIN med m USING (event_type) JOIN mad d USING (event_type) WHERE CASE WHEN d.mad = 0 THEN e.value <> m.m ELSE abs(round(0.6745 * (e.value - m.m) / d.mad, 4)) > 3.5 END"))
 
+  /** AN6 — batch sessionization ([[graft.operators.Sessionize]]): each
+    * user's event stream split at >30-min inactivity gaps and rolled up
+    * to per-session stats — the batch twin of `st_session_window`. One
+    * (user)-keyed sort carries both window passes (gap flag + running
+    * session number); the roll-up groups on a superset key. Microsecond
+    * epochs on both sides: DuckDB truncates the TIMESTAMP_NS parquet
+    * column to µs on read, and Spark's `unix_micros(ts)` applies the
+    * identical `div 1000` truncation — bit-exact gap arithmetic without
+    * the oracle seeing nanos it cannot represent.
+    */
+  private val an6Sessionize = Q(
+    (s, dir) => graft.operators.Sessionize.stats(
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us")),
+      Seq("user_id"), "ts_us", "event_id", gapNs = 1800L * 1000000L)
+      .select(col("user_id"), col("session_no"), col("n_events"),
+        col("start_ts").as("start_us"), col("duration").as("dur_us")),
+    Some("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tn FROM events), g AS (SELECT user_id, event_id, tn, CASE WHEN lag(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) IS NULL OR tn - lag(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) > 1800000000 THEN 1 ELSE 0 END AS op FROM e), s AS (SELECT user_id, tn, sum(op) OVER (PARTITION BY user_id ORDER BY tn, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM g) SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events, min(tn) AS start_us, CAST(max(tn) - min(tn) AS BIGINT) AS dur_us FROM s GROUP BY 1, 2"))
+
   /** S13 — keyed parquet upsert ([[ParquetDataset.upsert]]): MERGE for
     * plain parquet. Base = ¾ of events; updates = the even-keyed half
     * with shifted values — so the upsert exercises both halves of MERGE
@@ -2911,6 +2931,7 @@ object SparkEntry {
     "an3_transitions" -> an3Transitions,
     "an4_drift_psi" -> an4DriftPsi,
     "an5_outliers_mad" -> an5OutliersMad,
+    "an6_sessionize" -> an6Sessionize,
     "r1_relationalize" -> r1Relationalize,
     "r1_deep_relationalize" -> r1DeepRelationalize,
     "r2_carry_cols" -> r2CarryCols,
