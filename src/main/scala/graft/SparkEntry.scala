@@ -1297,6 +1297,18 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text", threshold = 0.8),
     Some("WITH w AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents), sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
 
+  /** Asymmetric containment pairs ([[Dedup.containmentPairs]]):
+    * |∩| / min(|A|, |B|) ≥ 0.9 over word sets — catches the
+    * quote-inclusion shape Jaccard scores near zero. No symmetric size
+    * filter exists for this relation (that asymmetry is the point), so
+    * the plan's scale valve is the df cap; the entry runs uncapped to
+    * stay bit-comparable with the oracle's full inverted index.
+    */
+  private val dedupContainment = Q(
+    (s, dir) => Dedup.containmentPairs(
+      t(s, dir, "documents"), "doc_id", "text", threshold = 0.9),
+    Some("WITH w AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents), sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / least(sa.n, sb.n) AS containment FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / least(sa.n, sb.n) >= 0.9"))
+
   /** Character-trigram Jaccard near-dup pairs — the boundary-free
     * tokenizer (CJK, OCR noise, code) over the same counted inverted
     * index as `dedup_jaccard`. The entry caps the corpus at 500 docs:
@@ -2966,6 +2978,7 @@ object SparkEntry {
     "ann_kmeans" -> annKmeans,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
+    "dedup_containment" -> dedupContainment,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
     "dedup_minhash" -> dedupMinhash,

@@ -338,6 +338,48 @@ object Dedup {
     }
   }
 
+  /** EXACT containment pairs — the ASYMMETRIC near-dup relation
+    * C(small→big) = |A∩B| / min(|A|, |B|): the fraction of the SMALLER
+    * document's word set found in the other. Jaccard misses the
+    * quote-inclusion shape (a tweet embedded verbatim in an article
+    * scores J ≈ |tweet|/|article| ≈ 0 but containment 1.0); training-
+    * data curation wants both relations.
+    *
+    * Same counted inverted index as [[jaccardPairs]] (one token
+    * self-join feeding a map-side-combining count, sizes carried in the
+    * token rows) but WITHOUT the symmetric size filter — containment is
+    * precisely the relation where a tiny set may fully match a huge
+    * one, so size asymmetry prunes nothing. That makes the df cap the
+    * load-bearing scale valve here: every shared token joins, so cap
+    * ubiquitous tokens (`maxDf`) exactly as the n-gram variant does.
+    * Output: (id1, id2, containment) with id1 < id2.
+    */
+  def containmentPairs(
+      docs: DataFrame, id: String, text: String,
+      threshold: Double, maxDf: Option[Long] = None,
+      salt: Int = 1): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val toks = tokensWithSize(docs, id, text, maxDf).localCheckpoint()
+    val allSalts = array((0 until salt).map(lit): _*)
+    val (a, b, saltCond) =
+      if (salt == 1) (toks.as("a"), toks.as("b"), lit(true))
+      else (
+        toks.withColumn("__sa", pmod(xxhash64(col("id")), lit(salt)))
+          .withColumn("__sb", explode(allSalts)).as("a"),
+        toks.withColumn("__sb", pmod(xxhash64(col("id")), lit(salt)))
+          .withColumn("__sa", explode(allSalts)).as("b"),
+        col("a.__sa") === col("b.__sa") && col("a.__sb") === col("b.__sb"))
+    a.join(b, col("a.w") === col("b.w") && saltCond &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter") / least(col("sz1"), col("sz2")))
+      .where(col("containment") >= threshold)
+      .select(col("id1"), col("id2"), col("containment"))
+  }
+
   /** Cross-corpus contamination scan (decontamination): near-duplicate
     * pairs BETWEEN a training corpus and a held-out/benchmark set via the
     * same MinHash-LSH banding as [[minhashPairs]] — the union is banded

@@ -34,6 +34,33 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containment pairs catch a quote fully embedded in a long doc " +
+      "that jaccard misses, match brute force, and salt preserves pairs") {
+    val quote = "to be or not to be that is the question"
+    val article = "the soliloquy opens with the line " + quote +
+      " and scholars have debated its meaning across four centuries of " +
+      "performance criticism and translation into every major language"
+    val d = Seq((1L, quote), (2L, article), (3L, base)).toDF("doc_id", "text")
+    def tokset(s: String) = s.toLowerCase.split("\\s+").toSet
+    val brute = (for {
+      (i, a) <- Seq((1L, quote), (2L, article), (3L, base))
+      (j, b) <- Seq((1L, quote), (2L, article), (3L, base)) if i < j
+      c = tokset(a).intersect(tokset(b)).size.toDouble /
+        math.min(tokset(a).size, tokset(b).size)
+      if c >= 0.9
+    } yield (i, j)).toSet
+    val got = Dedup.containmentPairs(d, "doc_id", "text", 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == brute && got.contains((1L, 2L)))
+    // jaccard at the same threshold misses the asymmetric pair
+    val jac = Dedup.jaccardPairs(d, "doc_id", "text", 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+    val salted = Dedup.containmentPairs(d, "doc_id", "text", 0.9, salt = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(salted == got)
+  }
+
   test("char-ngram jaccard pairs equal brute-force trigram-set jaccard " +
       "(short texts, df cap, salt parity)") {
     val texts = Seq(
