@@ -1034,6 +1034,32 @@ object SparkEntry {
     * join, so the oracle is the plain semi-join SQL; the sketch only
     * decides how many probe rows reach the shuffle.
     */
+  /** J12 — interval-OVERLAP join ([[RangeJoin.intervalOverlap]]): both
+    * sides are ranges (view bands × purchase bands over the value
+    * domain); a raw `a.lo < b.hi AND b.lo < a.hi` predicate plans a
+    * nested loop, so both sides explode to covered bins and hash-join
+    * on bin, with each pair attributed to exactly one bin (the
+    * overlap-start bin) — no dedup shuffle. Oracle is the plain
+    * inequality join.
+    */
+  private val j12IntervalOverlap = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view" &&
+          col("event_id") % 3 === 0)
+        .select(col("event_id").as("view_id"),
+          (col("value") - 0.03).as("vlo"), (col("value") + 0.03).as("vhi"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          (col("value") - 0.05).as("plo"), (col("value") + 0.05).as("phi"))
+      graft.operators.RangeJoin.intervalOverlap(
+          views, "vlo", "vhi", purchases, "plo", "phi", binWidth = 0.05)
+        .select(col("view_id"), col("purchase_id"),
+          round(least(col("vhi"), col("phi")) -
+            greatest(col("vlo"), col("plo")), 4).as("overlap_len"))
+    },
+    Some("SELECT v.event_id AS view_id, p.event_id AS purchase_id, round(least(v.value + 0.03, p.value + 0.05) - greatest(v.value - 0.03, p.value - 0.05), 4) AS overlap_len FROM (SELECT * FROM events WHERE event_type = 'view' AND event_id % 3 = 0) v JOIN (SELECT * FROM events WHERE event_type = 'purchase') p ON v.value - 0.03 < p.value + 0.05 AND p.value - 0.05 < v.value + 0.03"))
+
   private val j10BloomJoin = Q(
     (s, dir) => {
       val bigOrders = t(s, dir, "orders")
@@ -2919,6 +2945,7 @@ object SparkEntry {
     "j9_ts_interval_join" -> j9TsIntervalJoin,
     "j10_bloom_join" -> j10BloomJoin,
     "j11_skew_join" -> j11SkewJoin,
+    "j12_interval_overlap" -> j12IntervalOverlap,
     "a13_heavy_hitters" -> a13HeavyHitters,
     "a14_sketch_rollup" -> a14SketchRollup,
     "a13_heavy_hitters_grouped" -> a13HeavyHittersGrouped,

@@ -99,6 +99,63 @@ object RangeJoin {
     inner.unionByName(unmatched.select(points.columns.map(col) ++ nulls: _*))
   }
 
+  /** INTERVAL-OVERLAP join: pairs (a, b) with `a.lo < b.hi && b.lo <
+    * a.hi` (half-open overlap) — both sides are ranges, the
+    * generalization of [[pointInInterval]]. A raw inequality-only
+    * predicate plans a nested loop; here BOTH sides explode to their
+    * covered bins and hash-join on bin.
+    *
+    * A pair shares every bin its overlap spans, so naive bin-join output
+    * needs dedup — an extra shuffle sized by the (replicated) result.
+    * Instead each pair is ATTRIBUTED to exactly one bin: the bin of the
+    * overlap's start, `floor(max(a.lo, b.lo) / w)`. Both intervals
+    * cover that point, so both carry the bin; every other shared bin is
+    * filtered by the attribution predicate at the join — zero
+    * duplicates, no dedup pass, output exactly the overlap relation.
+    *
+    * Cost: Σ(width / binWidth) exploded rows per side through one
+    * shuffle; binWidth should be on the order of the typical interval
+    * length on the SHORTER-interval side.
+    */
+  def intervalOverlap(
+      left: DataFrame, lo1: String, hi1: String,
+      right: DataFrame, lo2: String, hi2: String,
+      binWidth: Double, maxBinsPerInterval: Long = 100000L): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"left and right share column names: ${shared.mkString(", ")} — " +
+        "rename one side before joining")
+    def binned(df: DataFrame, loCol: String, hiCol: String): DataFrame = {
+      val binLo = floor(col(loCol) / binWidth).cast("long")
+      val binHi = floor(col(hiCol) / binWidth).cast("long")
+      val guard = coalesce(
+        assert_true(
+          binLo.isNull || binHi.isNull ||
+            binHi - binLo < lit(maxBinsPerInterval),
+          concat(lit(s"interval-overlap join: an interval spans more " +
+            s"than $maxBinsPerInterval bins of width $binWidth (["),
+            col(loCol), lit(", "), col(hiCol),
+            lit(")) — increase binWidth or maxBinsPerInterval")))
+          .cast("long"),
+        lit(0L))
+      // inverted (lo > hi) intervals are empty: zero bins, like
+      // pointInInterval
+      val bins = when(binLo > binHi, array().cast("array<long>"))
+        .otherwise(sequence(binLo + guard, binHi))
+      df.withColumn("__bin", explode(bins))
+    }
+    val lb = binned(left, lo1, hi1)
+    val rb = binned(right, lo2, hi2)
+    val overlapStartBin =
+      floor(greatest(col(lo1), col(lo2)) / binWidth).cast("long")
+    lb.join(rb, Seq("__bin"))
+      .where(col(lo1) < col(hi2) && col(lo2) < col(hi1) &&
+        col("__bin") === overlapStartBin)
+      .drop("__bin")
+  }
+
   /** Rows sampled (leading partitions — a cost heuristic) for the
     * automatic bin width.
     */

@@ -92,6 +92,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set((4L, 91L)))
   }
 
+  test("interval-overlap join matches brute force at several widths, " +
+      "emits no duplicates, and treats touching intervals as disjoint") {
+    val lhs = Seq(
+      (1L, 0.0, 10.0),   // overlaps r1, touches r2 at 10
+      (2L, 11.0, 13.0),  // inside r2
+      (3L, -6.0, -4.5),  // overlaps r4 start
+      (4L, 15.0, 45.0),  // spans r3 entirely
+      (5L, 98.0, 99.0))  // overlaps nothing
+      .toDF("aid", "alo", "ahi")
+    for (w <- Seq(0.5, 5.0, 50.0)) {
+      val got = RangeJoin.intervalOverlap(
+          lhs, "alo", "ahi", ranges, "lo", "hi", w)
+        .select("aid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      val brute = lhs.crossJoin(ranges)
+        .where($"alo" < $"hi" && $"lo" < $"ahi")
+        .select("aid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == brute, s"binWidth=$w")
+      assert(got.size == got.distinct.size, s"binWidth=$w")
+      // half-open: [0,10) × [10,12) do NOT overlap
+      assert(!got.contains((1L, 20L)))
+      assert(got.contains((4L, 30L)) && got.contains((3L, 40L)))
+    }
+  }
+
   test("an interval spanning more than maxBinsPerInterval fails fast") {
     // r3 is 20 units wide: 201 bins at width 0.1 — over a cap of 100
     val e = intercept[Exception] {
