@@ -1375,6 +1375,33 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text", threshold = 0.8),
     Some("WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
 
+  /** Incremental near-dup against a PERSISTED LSH index
+    * ([[Dedup.saveLshIndex]]/[[Dedup.incrementalMinhashPairs]]): the
+    * corpus (doc_id % 10 ≠ 0) is banded once and written as a parquet
+    * index; the "daily batch" (doc_id % 10 = 0) bands only itself and
+    * joins the stored bands — delta cost O(batch), the ingest shape at
+    * 100 TB where re-banding the corpus per batch is a non-starter.
+    * Oracle: exact all-pairs shingle Jaccard restricted to pairs
+    * involving a batch doc (LSH misses at J ≥ 0.8 are ~5·10⁻⁸/pair).
+    */
+  private val dedupIncremental = Q(
+    (s, dir) => {
+      val corpus = t(s, dir, "documents").where(col("doc_id") % 10 =!= 0)
+      val batch = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
+      val path = lshIndexCache.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_lshidx").toString
+        Dedup.saveLshIndex(corpus, "doc_id", "text", p)
+        p
+      })
+      Dedup.incrementalMinhashPairs(
+        s, path, batch, "doc_id", "text", threshold = 0.8)
+    },
+    Some("WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8 AND (id1 % 10 = 0 OR id2 % 10 = 0)"))
+
+  private val lshIndexCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** Decontamination scan ([[Dedup.contamination]]): near-dup pairs
     * BETWEEN a training corpus (doc_id ≥ 250) and a held-out set
     * (doc_id < 250) — the benchmark-leakage check every training
@@ -3006,6 +3033,7 @@ object SparkEntry {
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_containment" -> dedupContainment,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
     "dedup_minhash" -> dedupMinhash,

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.{Aggregator, Window}
@@ -753,5 +753,115 @@ object Dedup {
           size(array_union(col("set1"), col("set2"))))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted LSH index — incremental near-dup without re-banding
+  // ------------------------------------------------------------------
+
+  /** Build and persist the MinHash-LSH index of a corpus: the
+    * (id, band, bh) band rows and the per-doc shingle sets, as two
+    * parquet datasets under `path`. A daily-ingest pipeline pays the
+    * corpus banding ONCE; each new batch then bands only its own docs
+    * and joins the stored bands ([[incrementalMinhashPairs]]) — the
+    * delta cost is O(batch), not O(corpus), which is the difference
+    * between an hourly ingest and a daily re-crawl re-band at 100 TB.
+    * Parameters (numHashes/bands/shingleN) must match between build and
+    * query; they are recorded in a `params.json` sidecar and validated
+    * on query so a drifted caller fails fast instead of silently
+    * producing candidates from incompatible signatures.
+    */
+  def saveLshIndex(
+      docs: DataFrame, id: String, text: String, path: String,
+      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3): Unit = {
+    bandedSignatures(docs, id, text, numHashes, bands, shingleN)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    widen(docs)
+      .select(col(id).as("id"), split(lower(col(text)), "\\s+").as("__w"))
+      .select(col("id"), shinglesOfTokens(col("__w"), shingleN).as("set"))
+      .write.mode("overwrite").parquet(s"$path/sets")
+    val json = s"""{"numHashes":$numHashes,"bands":$bands,""" +
+      s""""shingleN":$shingleN}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "params.json"), json)
+  }
+
+  /** Near-dup pairs of a NEW batch against a persisted index (plus
+    * within-batch pairs): the batch is banded locally, cross candidates
+    * come from an equi-join against the stored bands, within-batch
+    * candidates from the usual bounded bucket self-join, and every
+    * candidate verifies exactly against the stored / freshly-built
+    * shingle sets — no false positives, same guarantees as
+    * [[minhashPairs]] at O(batch + collisions) cost.
+    *
+    * The cross join inherits the big-bucket discipline: oversized INDEX
+    * buckets (> `maxBucketSize` members on a hot (band, bh) key —
+    * unsplittable by AQE) are chunked by id-hash and the batch side
+    * replicates across the chunks, so a duplicate-saturated index never
+    * turns one join key into a straggler; normal buckets have one chunk
+    * and zero replication. Batch ids must be disjoint from indexed ids
+    * (re-ingesting an id would pair it with itself); output is
+    * (id1, id2, jaccard) with id1 < id2.
+    */
+  def incrementalMinhashPairs(
+      spark: SparkSession, path: String, batch: DataFrame,
+      id: String, text: String, threshold: Double,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val params = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "params.json")))
+    val (numHashes, bands, shingleN) = (params.get("numHashes").asInt,
+      params.get("bands").asInt, params.get("shingleN").asInt)
+    val idxBands = spark.read.parquet(s"$path/bands")
+    val idxSets = spark.read.parquet(s"$path/sets")
+    // materialized: batch bands feed the cross join AND the within-batch
+    // bucket self-join; batch sets feed both verify legs
+    val newBanded =
+      bandedSignatures(batch, id, text, numHashes, bands, shingleN)
+        .localCheckpoint()
+    val newSets = widen(batch)
+      .select(col(id).as("id"), split(lower(col(text)), "\\s+").as("__w"))
+      .select(col("id"), shinglesOfTokens(col("__w"), shingleN).as("set"))
+      .localCheckpoint()
+    // census only the oversized index buckets (empty for a sane index —
+    // AQE broadcasts the annotation); chunk the index side, replicate
+    // the batch side across the chunks
+    val over = idxBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxBucketSize)
+      .select(col("band"), col("bh"),
+        ceil(col("__n") / lit(maxBucketSize)).cast("int").as("__g"))
+    val idxChunked = idxBands.join(over, Seq("band", "bh"), "left")
+      .withColumn("cx", coalesce(
+        pmod(xxhash64(col("id")), col("__g")).cast("int"), lit(0)))
+      .drop("__n", "__g")
+    val batchRep = newBanded.join(over, Seq("band", "bh"), "left")
+      .withColumn("cx",
+        explode(sequence(lit(0), coalesce(col("__g"), lit(1)) - 1)))
+      .drop("__n", "__g")
+    val crossCands = batchRep.as("x")
+      .join(idxChunked.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.cx") === col("y.cx"))
+      .select(col("x.id").as("nid"), col("y.id").as("iid")).distinct()
+    // within-batch candidates ride the standard bounded decomposition
+    val (wx, wy) = saltedBandLegs(newBanded, maxBucketSize)
+    val withinCands = wx.as("x").join(wy.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.cx") === col("y.cx") && col("x.cy") === col("y.cy") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("nid"), col("y.id").as("iid")).distinct()
+    def verified(cands: DataFrame, otherSets: DataFrame): DataFrame =
+      cands
+        .join(newSets.select(col("id").as("nid"), col("set").as("set1")),
+          "nid")
+        .join(otherSets.select(col("id").as("iid"), col("set").as("set2")),
+          "iid")
+        .withColumn("jaccard",
+          size(array_intersect(col("set1"), col("set2"))) /
+            size(array_union(col("set1"), col("set2"))))
+        .where(col("jaccard") >= threshold)
+        .select(least(col("nid"), col("iid")).as("id1"),
+          greatest(col("nid"), col("iid")).as("id2"), col("jaccard"))
+    verified(crossCands, idxSets).unionByName(verified(withinCands, newSets))
   }
 }

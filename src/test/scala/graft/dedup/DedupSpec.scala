@@ -34,6 +34,44 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("incremental minhash against a persisted index equals the " +
+      "full-corpus pairs involving a batch doc; params drift fails fast") {
+    val path = java.nio.file.Files.createTempDirectory("lshidx").toString
+    Dedup.saveLshIndex(docs, "doc_id", "text", path)
+    val batch = Seq(
+      (101L, base.replace("softly", "gently")), // near-dup of 1/2/3
+      (102L, base.replace("softly", "gently")), // within-batch dup of 101
+      (103L, "entirely novel content sharing no shingles with anything " +
+        "stored in the index or elsewhere in this batch fixture"))
+      .toDF("doc_id", "text")
+    // 0.6: one word changed mid-text costs 3 of ~21 trigram shingles,
+    // J ≈ 0.71 — above 0.6, below the canonical 0.8
+    val got = Dedup.incrementalMinhashPairs(
+        spark, path, batch, "doc_id", "text", 0.6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashPairs(
+        docs.unionByName(batch), "doc_id", "text", 0.6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val expected = full.filter(p => p._1 > 100L || p._2 > 100L)
+    assert(got == expected)
+    assert(got.contains((1L, 101L)) && got.contains((101L, 102L)))
+    assert(!got.exists(p => p._1 == 103L || p._2 == 103L))
+  }
+
+  test("an oversized index bucket decomposes into bounded cells with " +
+      "exact candidate parity") {
+    val path = java.nio.file.Files.createTempDirectory("lshidx2").toString
+    val dupCorpus = (1L to 60L).map(i => (i, base)).toDF("doc_id", "text")
+    Dedup.saveLshIndex(dupCorpus, "doc_id", "text", path)
+    val batch = Seq((200L, base), (201L, "nothing in common with the " +
+      "saturated corpus content at all in this row")).toDF("doc_id", "text")
+    // cap of 8 forces g = ceil(60/8) = 8 chunks on every hot bucket
+    val got = Dedup.incrementalMinhashPairs(
+        spark, path, batch, "doc_id", "text", 0.8, maxBucketSize = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == (1L to 60L).map(i => (i, 200L)).toSet)
+  }
+
   test("containment pairs catch a quote fully embedded in a long doc " +
       "that jaccard misses, match brute force, and salt preserves pairs") {
     val quote = "to be or not to be that is the question"
