@@ -161,6 +161,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("an6_sessionize: the user-keyed sort carries both window passes " +
+      "and the session roll-up — exactly one exchange, no extra sort " +
+      "for the superset-keyed aggregate") {
+    val p = plan("an6_sessionize")
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange\\s*"))
+    assert(exchanges == 1, s"expected the single user_id exchange, " +
+      s"got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j12_interval_overlap: both sides bin-exploded into a keyed " +
+      "equi-join — never a nested loop") {
+    val p = plan("j12_interval_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_containment: counted inverted index stays a keyed join " +
+      "with a map-side-combined count — no cartesian, no nested loop") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("text_ngrams: top-k is TakeOrdered, never a global sort") {
     val p = plan("text_ngrams")
     assert(p.contains("TakeOrderedAndProject"), p)
