@@ -495,6 +495,27 @@ object Dedup {
   private def bitsetPairs(
       docs: DataFrame, id: String, text: String,
       threshold: Double, vocab: Array[String]): DataFrame = {
+    def pc(c: Column): Column = bit_count(c)
+    bitsetPairsScored(docs, id, text, threshold, vocab, "jaccard",
+      (mx, my) => pc(mx.bitwiseAND(my)) / pc(mx.bitwiseOR(my)),
+      // symmetric size filter: J ≥ t needs min(sz) ≥ ⌈t·max(sz)⌉
+      (mx, my) => least(pc(mx), pc(my)) >=
+        tceil(threshold, greatest(pc(mx), pc(my))))
+  }
+
+  /** The shared ≤64-token-vocabulary engine: docs collapse to 64-bit
+    * masks, DISTINCT masks pair under a cheap popcount predicate, and
+    * qualifying mask pairs expand back to doc pairs — cost m² cheap
+    * comparisons + output-sized expansion, independent of corpus size
+    * beyond the mask projection. `score`/`prefilter` parameterize the
+    * relation (jaccard's symmetric ratio + size filter, containment's
+    * asymmetric min-ratio with no sound prefilter).
+    */
+  private def bitsetPairsScored(
+      docs: DataFrame, id: String, text: String,
+      threshold: Double, vocab: Array[String], scoreName: String,
+      score: (Column, Column) => Column,
+      prefilter: (Column, Column) => Column): DataFrame = {
     val sets = widen(docs).select(col(id).as("id"),
       array_distinct(split(lower(col(text)), "\\s+")).as("ts"))
     // token → bit map inlined as a literal (≤ 64 entries); element_at
@@ -508,20 +529,18 @@ object Dedup {
       aggregate(col("ts"), lit(0L),
         (acc, w) => acc.bitwiseOR(element_at(bitOf, w))).as("mask"))
     val dm = masks.select(col("mask")).distinct()
-    def pc(c: Column): Column = bit_count(c)
-    // m×m popcount comparisons under the symmetric size filter; the
-    // jaccard double is the same integer ratio the inverted index emits
+    // m×m popcount comparisons under the relation's prefilter; the
+    // score double is the same integer ratio the inverted index emits
     val cross = dm.as("x").join(broadcast(dm.as("y")),
         col("x.mask") < col("y.mask") &&
-          least(pc(col("x.mask")), pc(col("y.mask"))) >=
-            tceil(threshold, greatest(pc(col("x.mask")), pc(col("y.mask")))))
+          prefilter(col("x.mask"), col("y.mask")))
       .select(col("x.mask").as("m1"), col("y.mask").as("m2"),
-        (pc(col("x.mask").bitwiseAND(col("y.mask"))) /
-          pc(col("x.mask").bitwiseOR(col("y.mask")))).as("jaccard"))
-      .where(col("jaccard") >= threshold)
-    // docs sharing a mask are exact set-duplicates: J = 1.0, compare once
+        score(col("x.mask"), col("y.mask")).as(scoreName))
+      .where(col(scoreName) >= threshold)
+    // docs sharing a mask are exact set-duplicates: score 1.0 for any
+    // intersection-over-(union|min) relation, compare once
     val same = dm.select(col("mask").as("m1"), col("mask").as("m2"),
-        lit(1.0).as("jaccard"))
+        lit(1.0).as(scoreName))
       .where(lit(1.0) >= threshold)
     val mp = cross.unionByName(same)
     // expansion joins: sized by the qualifying OUTPUT pairs, nothing more.
@@ -532,7 +551,7 @@ object Dedup {
       .join(masks.as("y"), col("y.mask") === col("m2") &&
         (col("m1") =!= col("m2") || col("x.id") < col("y.id")))
       .select(least(col("x.id"), col("y.id")).as("id1"),
-        greatest(col("x.id"), col("y.id")).as("id2"), col("jaccard"))
+        greatest(col("x.id"), col("y.id")).as("id2"), col(scoreName))
   }
 
   /** Adaptive exact-Jaccard: probe the vocabulary (capped aggregate, one
