@@ -1331,9 +1331,15 @@ object SparkEntry {
     * stay bit-comparable with the oracle's full inverted index.
     */
   private val dedupContainment = Q(
+    // The df cap is THE scale valve for containment (no symmetric size
+    // filter exists for an asymmetric relation — module doc), so the
+    // entry runs the capped path: postings above df 300 drop before the
+    // pair join, sizes counted post-cap, cap mirrored in the oracle's
+    // postings CTE. Uncapped brute-force parity lives in DedupSpec.
     (s, dir) => Dedup.containmentPairs(
-      t(s, dir, "documents"), "doc_id", "text", threshold = 0.9),
-    Some("WITH w AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents), sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / least(sa.n, sb.n) AS containment FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / least(sa.n, sb.n) >= 0.9"))
+      t(s, dir, "documents"), "doc_id", "text", threshold = 0.9,
+      maxDf = Some(300L)),
+    Some("WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents), df AS (SELECT word, count(*) AS dfc FROM w0 GROUP BY 1), w AS (SELECT w0.doc_id, w0.word FROM w0 JOIN df USING (word) WHERE dfc <= 300), sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / least(sa.n, sb.n) AS containment FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / least(sa.n, sb.n) >= 0.9"))
 
   /** Character-trigram Jaccard near-dup pairs — the boundary-free
     * tokenizer (CJK, OCR noise, code) over the same counted inverted
@@ -1838,6 +1844,56 @@ object SparkEntry {
       .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "value")))
       .select(col("doc_id"), col("bin").cast("int").as("bin"), col("value")),
     Some("WITH d AS (SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS w, CAST(12 + doc_id % 8 AS INT) AS h FROM documents), pos AS (SELECT unnest(generate_series(0, 1023)) AS i), px AS (SELECT doc_id, w, h, (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS v FROM d JOIN pos ON i < w * h), cnt AS (SELECT doc_id, v // 16 AS bin, count(*) AS n FROM px GROUP BY 1, 2), bins AS (SELECT unnest(generate_series(0, 15)) AS bin) SELECT d.doc_id, CAST(bins.bin AS INT) AS bin, CAST(COALESCE(cnt.n, 0) AS DOUBLE) / (d.w * d.h) AS value FROM d CROSS JOIN bins LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = bins.bin"))
+
+  /** dHash perceptual fingerprints over the REAL PNG corpus
+    * ([[Multimodal.dhashImage]]): the engine decodes genuine PNG bytes
+    * and resamples with the resizeImage floor arithmetic; the oracle
+    * re-derives every gradient bit from the generator's pixel function.
+    * Rendered as the 64-char bit string (MSB first — string position 1 is
+    * long bit 63), the same cross-engine form the SimHash entries use.
+    */
+  private val mmImageDhash = Q(
+    (s, dir) => Multimodal.dhashImage(mmPngBlobs(s, dir), "doc_id", "content")
+      .select(col("id").as("doc_id"),
+        lpad(bin(col("fp")), 64, "0").as("dhash")),
+    Some("WITH d AS (SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS w, CAST(12 + doc_id % 8 AS INT) AS h FROM documents), b0 AS (SELECT doc_id, i, (i % 8) * w // 9 AS xl, ((i % 8) + 1) * w // 9 AS xr, (i // 8) * h // 8 AS sy FROM d CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) s), b AS (SELECT doc_id, i, CASE WHEN (doc_id * 31 + xl * 7 + sy * 13) % 256 > (doc_id * 31 + xr * 7 + sy * 13) % 256 THEN '1' ELSE '0' END AS bit FROM b0) SELECT doc_id, string_agg(bit, '' ORDER BY i) AS dhash FROM b GROUP BY doc_id"))
+
+  /** PNG corpus with PLANTED image near-duplicates: 64 base patterns
+    * (`doc_id % 64` keys the pixel function), each doc perturbing its
+    * group's pattern at the ~`w·h/101` pixels selected by `doc_id / 64`
+    * (+128 gray shift — big enough to flip a sampled gradient). Docs in
+    * one group are near-identical images differing in a few dHash bits;
+    * cross-group images differ in ~half the bits.
+    */
+  private def mmNearDupPngBlobs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val g = id % 64
+      val w = (16 + g % 9).toInt
+      val h = (12 + g % 7).toInt
+      val sel = (id / 64) % 101
+      // (x+g)(y+2g+3) keys the gradient STRUCTURE off the group — a
+      // group-constant offset alone would be invisible to dHash (the
+      // hash is brightness-invariant by design) and collapse all groups
+      // into one near-dup blob
+      (id, Multimodal.encodeGrayPng(w, h, (x, y) =>
+        (((x + g) * (y + 2 * g + 3) * 7 + x * 11 +
+          (if ((x * 31 + y * 17) % 101 == sel) 128 else 0)) % 256).toInt))
+    }.toDF("doc_id", "content")
+  }
+
+  /** Image near-dup pairs: REAL PNG decode → dHash → the SimHash
+    * block-permutation band join ([[SimHash.nearPairsFromFingerprints]] —
+    * 8 blocks of 8 bits for radius 7, candidates from block-bucket
+    * collisions, never all pairs). The oracle brute-forces the full
+    * pair matrix over hashes re-derived from the generator arithmetic,
+    * so banding can hide nothing.
+    */
+  private val mmImageNeardup = Q(
+    (s, dir) => SimHash.nearPairsFromFingerprints(
+      Multimodal.dhashImage(mmNearDupPngBlobs(s, dir), "doc_id", "content"),
+      maxDist = 7, bits = 64),
+    Some("WITH d AS (SELECT doc_id, doc_id % 64 AS g, CAST(16 + (doc_id % 64) % 9 AS INT) AS w, CAST(12 + (doc_id % 64) % 7 AS INT) AS h, (doc_id // 64) % 101 AS sel FROM documents), b0 AS (SELECT doc_id, g, sel, i, (i % 8) * w // 9 AS xl, ((i % 8) + 1) * w // 9 AS xr, (i // 8) * h // 8 AS sy FROM d CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) s), b AS (SELECT doc_id, i, CASE WHEN ((xl + g) * (sy + 2 * g + 3) * 7 + xl * 11 + CASE WHEN (xl * 31 + sy * 17) % 101 = sel THEN 128 ELSE 0 END) % 256 > ((xr + g) * (sy + 2 * g + 3) * 7 + xr * 11 + CASE WHEN (xr * 31 + sy * 17) % 101 = sel THEN 128 ELSE 0 END) % 256 THEN '1' ELSE '0' END AS bit FROM b0), fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS f FROM b GROUP BY doc_id), p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.f AS f1, b.f AS f2 FROM fp a JOIN fp b ON a.doc_id < b.doc_id), dd AS (SELECT id1, id2, count(*) FILTER (WHERE substr(f1, CAST(i AS INT), 1) <> substr(f2, CAST(i AS INT), 1)) AS dist FROM p CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2) SELECT id1, id2, CAST(dist AS INT) AS dist FROM dd WHERE dist <= 7"))
 
   /** V7 — semi-structured extraction: parse the JSON props payload with
     * an explicit schema (`from_json` — schema-applied, columnar, no
@@ -3078,6 +3134,8 @@ object SparkEntry {
     "dedup_semantic" -> dedupSemantic,
     "st_dedup_replay" -> stDedupReplay,
     "st_upsert_drain" -> stUpsertDrain,
+    "mm_image_dhash" -> mmImageDhash,
+    "mm_image_neardup" -> mmImageNeardup,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

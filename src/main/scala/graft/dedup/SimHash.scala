@@ -131,12 +131,22 @@ object SimHash {
     */
   def nearPairs(
       docs: DataFrame, id: String, text: String,
-      maxDist: Int = 3, bitsPerDigit: Int = 4): DataFrame = {
-    val bits = 16 * bitsPerDigit
+      maxDist: Int = 3, bitsPerDigit: Int = 4): DataFrame =
+    nearPairsFromFingerprints(
+      fingerprintsLong(docs, id, text, bitsPerDigit),
+      maxDist, 16 * bitsPerDigit)
+
+  /** The block-join core of [[nearPairs]], over an ALREADY-FINGERPRINTED
+    * `(id, fp)` table — any packed-long Hamming space plugs in: text
+    * SimHash, image dHash ([[graft.multimodal.Multimodal.dhashImage]]),
+    * audio fingerprints. Fingerprints are MSB-aligned: `bits < 64` means
+    * only the LOW `bits` bits carry signal and the high bits must be 0.
+    */
+  def nearPairsFromFingerprints(
+      fp: DataFrame, maxDist: Int, bits: Int): DataFrame = {
     val nBlocks = maxDist + 1
     require(bits % nBlocks == 0, s"$nBlocks blocks must divide $bits bits")
     val blockLen = bits / nBlocks
-    val fp = fingerprintsLong(docs, id, text, bitsPerDigit)
     // block b (MSB-first) as an integer join key: block index in the high
     // bits, block value in the low — all integer ops, no string slicing
     val mask = if (blockLen == 64) -1L else (1L << blockLen) - 1

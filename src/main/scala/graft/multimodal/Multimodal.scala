@@ -608,6 +608,52 @@ object Multimodal {
       .toDF(id, "width", "height", "resized")
   }
 
+  /** dHash perceptual image fingerprint (difference hash — the standard
+    * cheap near-dup hash for image corpora): decode to the 8-bit gray
+    * raster, nearest-neighbor-resample to `(hashW+1) × hashH` (the same
+    * `src = dst · srcDim / outDim` floor sampling as [[resizeImage]], so
+    * both are oracle-re-derivable with identical integer arithmetic),
+    * then bit `y·hashW + x` = 1 iff `r(x,y) > r(x+1,y)` — the hash
+    * encodes horizontal GRADIENT SIGNS, so global brightness/contrast
+    * shifts and small re-encodes preserve it while different pictures
+    * diverge ~half the bits. Packed MSB-first into one long (bit 0 of
+    * the hash = bit `hashW·hashH − 1` of the long), matching the SimHash
+    * packing so [[graft.dedup.SimHash.nearPairsFromFingerprints]] bands
+    * it directly. `hashW·hashH ≤ 64`; undecodable blobs produce no row.
+    */
+  def dhashImage(
+      df: DataFrame, id: String, content: String,
+      hashW: Int = 8, hashH: Int = 8): DataFrame = {
+    require(hashW > 0 && hashH > 0 && hashW * hashH <= 64,
+      "dHash must fit in one long (hashW * hashH <= 64)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inW = hashW + 1
+    widen(df).select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (rowId, bytes) =>
+          decodeGray(bytes).iterator.map { case (w, h, px) =>
+            var acc = 0L
+            var y = 0
+            while (y < hashH) {
+              val sy = y * h / hashH
+              var x = 0
+              while (x < hashW) {
+                val l = px(sy * w + x * w / inW)
+                val r = px(sy * w + (x + 1) * w / inW)
+                acc = (acc << 1) | (if (l > r) 1L else 0L)
+                x += 1
+              }
+              y += 1
+            }
+            (rowId, acc)
+          }
+        }
+      }
+      .toDF("id", "fp")
+  }
+
   /** Frame sampling: split the payload into nFrames chunks, keep every
     * `everyN`-th — the child-table shape of video frame extraction
     * ((id, frame_idx, frame) rows, FK to the parent blob).

@@ -335,4 +335,61 @@ class MultimodalSpec extends SparkSpec {
     // the untouched container still demuxes
     assert(Multimodal.demuxAvi(good).nonEmpty)
   }
+
+  test("dhashImage packs horizontal gradient signs MSB-first with the " +
+      "resizeImage floor sampling; garbage yields no row") {
+    // 9×8 input: the resample is the identity (sx = x·9/9, sy = y·8/8),
+    // so every bit is directly px(x,y) > px(x+1,y) on the raw raster
+    val img = Multimodal.encodeGrayPng(9, 8, pixel)
+    val rows = Multimodal.dhashImage(
+      Seq((1L, img), (2L, "junk".getBytes)).toDF("doc_id", "content"),
+      "doc_id", "content").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L)
+    val fp = rows(0).getLong(1)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val want = pixel(x, y) > pixel(x + 1, y)
+      val got = ((fp >>> (63 - (y * 8 + x))) & 1L) == 1L
+      assert(got == want, s"bit ($x,$y)")
+    }
+  }
+
+  test("dhash is brightness-invariant and flips bits under structural " +
+      "edits — the perceptual property the hash exists for") {
+    def hash(f: (Int, Int) => Int): Long =
+      Multimodal.dhashImage(
+        Seq((1L, Multimodal.encodeGrayPng(20, 15, f)))
+          .toDF("doc_id", "content"), "doc_id", "content")
+        .collect()(0).getLong(1)
+    val base = hash((x, y) => (x * 11 + y * 17) % 200)
+    // +40 gray everywhere (no wrap: max 199+40): every COMPARISON is
+    // unchanged, so the hash is identical — a re-exposed photo dedups
+    assert(hash((x, y) => (x * 11 + y * 17) % 200 + 40) == base)
+    // structurally different image → many bits differ
+    val other = hash((x, y) => (x * 5 + y * 3 + x * y) % 256)
+    assert(java.lang.Long.bitCount(base ^ other) > 8)
+  }
+
+  test("image near-dup via nearPairsFromFingerprints matches brute force " +
+      "over the same dHashes") {
+    import graft.dedup.SimHash
+    // 3 base patterns × 4 variants each, variant v perturbing one pixel
+    // column by v (v=0 is the unperturbed base)
+    val blobs = (0 until 12).map { i =>
+      val g = i % 3; val v = i / 3
+      (i.toLong, Multimodal.encodeGrayPng(18, 14, (x, y) =>
+        ((x + g * 3) * (y + g * 5 + 2) * 7 + (if (x == v * 2) 60 * v else 0)) % 256))
+    }
+    val fp = Multimodal.dhashImage(blobs.toDF("doc_id", "content"),
+      "doc_id", "content")
+    val hashes = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- 0L until 12L; b <- (a + 1) until 12L
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if d <= 7
+    } yield (a, b, d)).toSet
+    assert(brute.nonEmpty, "fixture must plant at least one near pair")
+    val banded = SimHash.nearPairsFromFingerprints(fp, maxDist = 7, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
+  }
 }
