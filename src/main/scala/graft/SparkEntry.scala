@@ -14,7 +14,7 @@ import graft.operators.Salted
 import graft.pipeline.SchemaEvolution
 import graft.schema.{ColumnSpec, TableSpec}
 import graft.streaming.Bookmark
-import graft.text.TextAnalysis
+import graft.text.{Dsir, TextAnalysis}
 import graft.relationalize.Relationalize
 import graft.sources.{JsonDataset, ParquetDataset, TarShards}
 import graft.validate.{ErrorSuppression, FileMetadata, JsonSchemaValidator, SchemaCache, SchemaResolver}
@@ -2537,6 +2537,21 @@ object SparkEntry {
       "doc_id", "text"),
     Some("WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), bg AS (SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2 FROM tk, unnest(range(len(ws) - 1)) AS u(i)), cb AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2), cw AS (SELECT w1, count(*) AS c FROM bg GROUP BY 1), v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM tk)), scored AS (SELECT bg.doc_id, round(ln((cb.c + 1) / (cw.c + v.v)), 9) AS lp FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(lp), 4) AS avg_logprob FROM scored GROUP BY 1"))
 
+  /** DSIR importance weights ([[graft.text.Dsir]], Xie et al. 2023):
+    * hashed-bigram log-likelihood ratio of the target domain (here the
+    * `lang = 'en'` slice) vs the raw corpus — the importance-resampling
+    * data-selection recipe. The oracle re-derives the bucket hash
+    * (md5 low 24 bits mod 4096), both smoothed marginals, and the
+    * quantized log-ratio sum.
+    */
+  private val textDsirWeights = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dsir.importanceWeights(docs, docs.where(col("lang") === "en"),
+        "doc_id", "text")
+    },
+    Some("WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), bg AS (SELECT doc_id, ws[i + 1] || ' ' || ws[i + 2] AS bg FROM tk, unnest(range(len(ws) - 1)) AS u(i)), bk AS (SELECT doc_id, CAST('0x' || substr(md5(bg), 1, 6) AS BIGINT) % 4096 AS bucket FROM bg), prof AS (SELECT doc_id, bucket, count(*) AS n FROM bk GROUP BY 1, 2), cr AS (SELECT bucket, sum(n) AS cr FROM prof GROUP BY 1), tb AS (SELECT bk.bucket FROM bk JOIN documents USING (doc_id) WHERE lang = 'en'), ct AS (SELECT bucket, count(*) AS ct FROM tb GROUP BY 1), tot AS (SELECT (SELECT sum(n) FROM prof) AS tr, (SELECT COALESCE(sum(ct), 0) FROM ct) AS tt), model AS (SELECT cr.bucket, round(ln((COALESCE(ct.ct, 0) + 1) / (tot.tt + 4096.0)) - ln((cr.cr + 1) / (tot.tr + 4096.0)), 9) AS lr FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket CROSS JOIN tot) SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, round(sum(n * lr), 4) AS dsir_score FROM prof JOIN model USING (bucket) GROUP BY 1"))
+
   /** Unicode canonicalization ([[graft.functions.UnicodeNormalize]], a
     * native codegen Expression — Spark has no normalization built-in
     * and a UDF would drop out of codegen). The entry plants decomposed
@@ -3118,6 +3133,7 @@ object SparkEntry {
     "text_pii_redact" -> textPiiRedact,
     "web_domain_curation" -> webDomainCuration,
     "text_perplexity" -> textPerplexity,
+    "text_dsir_weights" -> textDsirWeights,
     "text_normalize" -> textNormalize,
     "text_tfidf_terms" -> textTfidfTerms,
     "text_phrase_search" -> textPhraseSearch,
