@@ -2525,6 +2525,62 @@ object SparkEntry {
     },
     Some("WITH u AS (SELECT doc_id, n_chars, CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://user@' END || source || '.Example.com' || CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END || '/d/' || CAST(doc_id AS VARCHAR) AS url FROM documents), d AS (SELECT doc_id, n_chars, lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS domain FROM u), kept AS (SELECT * FROM d WHERE domain NOT IN ('src0.example.com', 'src13.example.com')), stats AS (SELECT domain, count(*) AS domain_docs, round(avg(n_chars), 4) AS domain_avg FROM kept GROUP BY 1) SELECT k.doc_id, k.domain, s.domain_docs, s.domain_avg FROM kept k JOIN stats s USING (domain)"))
 
+  /** URL canonicalization ([[graft.text.WebCuration.canonicalizeUrl]]):
+    * fragment + tracking-param strip, authority lowercasing, default-port
+    * and bare-trailing-slash removal — the normalize-before-dedup step of
+    * crawl curation. Six planted URL shapes exercise every rule
+    * (tracking runs, adjacent kept params, default vs explicit ports,
+    * userinfo, schemeless passthrough); the oracle replays the identical
+    * RE2 rewrite chain (replacement syntax aside: `$1` here, `\\1` there).
+    */
+  private val webUrlCanonical = Q(
+    (s, dir) => {
+      import graft.text.WebCuration
+      val n = col("doc_id").cast("string")
+      val u = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 6).cast("int").as("m"), n.as("n"))
+        .withColumn("url",
+          when(col("m") === 0, concat(lit("HTTP://Example.COM:80/p/P"),
+            col("n"), lit("?utm_source=a&id="), col("n"),
+            lit("&utm_campaign=c#frag")))
+          .when(col("m") === 1, lit("https://CDN.example.org:443/"))
+          .when(col("m") === 2,
+            concat(lit("https://Site.example.net/A/b?fbclid=x"), col("n")))
+          .when(col("m") === 3,
+            lit("http://example.com/s?q=Spark&gclid=g&msclkid=m"))
+          .when(col("m") === 4,
+            concat(lit("http://User@Host.example.com:8080/x?a=1&b="), col("n")))
+          .otherwise(concat(lit("plain text "), col("n"))))
+      WebCuration.withCanonicalUrl(u, "url")
+        .select(col("doc_id"), col("url"), col("url_canonical"))
+    },
+    Some("WITH u AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'HTTP://Example.COM:80/p/P' || CAST(doc_id AS VARCHAR) || '?utm_source=a&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=c#frag' WHEN 1 THEN 'https://CDN.example.org:443/' WHEN 2 THEN 'https://Site.example.net/A/b?fbclid=x' || CAST(doc_id AS VARCHAR) WHEN 3 THEN 'http://example.com/s?q=Spark&gclid=g&msclkid=m' WHEN 4 THEN 'http://User@Host.example.com:8080/x?a=1&b=' || CAST(doc_id AS VARCHAR) ELSE 'plain text ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nf FROM u), s2 AS (SELECT doc_id, url, regexp_replace(nf, '([?&])(?:(?:utm_[A-Za-z]+|gclid|fbclid|msclkid|mc_eid|igshid)=[^&#]*(?:&|$))+', '\\1', 'g') AS nt0 FROM s1), s3 AS (SELECT doc_id, url, regexp_replace(nt0, '[?&]+$', '', 'g') AS nt FROM s2), s4 AS (SELECT doc_id, url, nt, lower(regexp_extract(nt, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) AS auth, regexp_replace(nt, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS rest FROM s3), s5 AS (SELECT doc_id, url, nt, rest, CASE WHEN auth = '' THEN NULL ELSE regexp_replace(regexp_replace(auth, '^(http://[^/?#]*):80$', '\\1', 'g'), '^(https://[^/?#]*):443$', '\\1', 'g') END AS a2 FROM s4) SELECT doc_id, url, CASE WHEN a2 IS NULL THEN nt ELSE a2 || CASE WHEN rest = '/' THEN '' ELSE rest END END AS url_canonical FROM s5"))
+
+  /** HTML-to-text extraction ([[graft.text.Html]]): script/style/comment
+    * payloads dropped, tags → word boundaries, entities decoded,
+    * whitespace collapsed. HTML chrome is planted deterministically around each
+    * document's text in BOTH engines; the oracle replays the identical
+    * RE2 pattern chain and literal entity replaces.
+    */
+  private val textHtmlExtract = Q(
+    (s, dir) => {
+      import graft.text.Html
+      val h = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("html", concat(
+          lit("<html><head><title>T</title><style type=\"text/css\">.a{color:red}</style></head><body>"),
+          when(col("doc_id") % 3 === 0,
+            lit("<script src=\"x.js\">var x = 1 < 2 && y > 0;</script>"))
+            .otherwise(lit("")),
+          lit("<!-- c "), col("doc_id").cast("string"),
+          lit(" --><p class=\"main\">"), col("text"), lit("</p>"),
+          when(col("doc_id") % 5 === 0,
+            lit("<div>&quot;q&quot; &amp; &lt;e&gt;&nbsp;tail</div>"))
+            .otherwise(lit("")),
+          lit("</body></html>")))
+      Html.stripHtml(h, "html").select(col("doc_id"), col("html_text"))
+    },
+    Some("WITH h AS (SELECT doc_id, '<html><head><title>T</title><style type=\"text/css\">.a{color:red}</style></head><body>' || CASE WHEN doc_id % 3 = 0 THEN '<script src=\"x.js\">var x = 1 < 2 && y > 0;</script>' ELSE '' END || '<!-- c ' || CAST(doc_id AS VARCHAR) || ' --><p class=\"main\">' || text || '</p>' || CASE WHEN doc_id % 5 = 0 THEN '<div>&quot;q&quot; &amp; &lt;e&gt;&nbsp;tail</div>' ELSE '' END || '</body></html>' AS html FROM documents), s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script\\s*>|<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS x FROM h), s2 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s1), s3 AS (SELECT doc_id, regexp_replace(x, '</?[A-Za-z][^>]*>', ' ', 'g') AS x FROM s2), s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(x, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x FROM s3) SELECT doc_id, trim(regexp_replace(x, '\\s+', ' ', 'g')) AS html_text FROM s4"))
+
   /** Corpus-trained bigram-LM document scoring ([[graft.text.NgramLm]])
     * — the perplexity-style quality gate (CCNet tier 1). Counts are
     * vocabulary-sized aggregates joined back onto the bigram stream;
@@ -3134,6 +3190,8 @@ object SparkEntry {
     "web_domain_curation" -> webDomainCuration,
     "text_perplexity" -> textPerplexity,
     "text_dsir_weights" -> textDsirWeights,
+    "web_url_canonical" -> webUrlCanonical,
+    "text_html_extract" -> textHtmlExtract,
     "text_normalize" -> textNormalize,
     "text_tfidf_terms" -> textTfidfTerms,
     "text_phrase_search" -> textPhraseSearch,

@@ -40,4 +40,31 @@ class WebCurationSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq
     assert(out == Seq(("a.com", 2L, 15.0), ("b.com", 1L, 5.0)))
   }
+
+  private def canon(url: String): String =
+    Seq(Tuple1(url)).toDF("u")
+      .select(WebCuration.canonicalizeUrl(col("u"))).head().getString(0)
+
+  test("canonicalizeUrl: tracking runs, adjacent and leading, collapse " +
+      "correctly; kept params preserve order") {
+    assert(canon("http://a.com/p?utm_a=1&utm_b=2&x=3") == "http://a.com/p?x=3")
+    assert(canon("http://a.com/p?x=1&gclid=g&y=2") == "http://a.com/p?x=1&y=2")
+    assert(canon("http://a.com/p?x=1&fbclid=f") == "http://a.com/p?x=1")
+    assert(canon("http://a.com/p?utm_only=1") == "http://a.com/p")
+    // param NAMED xutm_a is not a tracking param
+    assert(canon("http://a.com/p?xutm_a=1") == "http://a.com/p?xutm_a=1")
+    // a VALUE containing 'gclid=' is untouched (separator guard)
+    assert(canon("http://a.com/p?q=zgclid=1") == "http://a.com/p?q=zgclid=1")
+  }
+
+  test("canonicalizeUrl: case, ports, fragment, trailing slash, " +
+      "schemeless passthrough") {
+    assert(canon("HTTP://WWW.Ex.COM:80/Path?Q=V#frag")
+      == "http://www.ex.com/Path?Q=V")
+    assert(canon("https://a.com:443/") == "https://a.com")
+    // lone post-authority slash normalizes away regardless of port
+    assert(canon("https://a.com:8443/") == "https://a.com:8443")
+    assert(canon("http://a.com/deep/" ) == "http://a.com/deep/")
+    assert(canon("not a url") == "not a url")
+  }
 }
