@@ -1895,6 +1895,49 @@ object SparkEntry {
       maxDist = 7, bits = 64),
     Some("WITH d AS (SELECT doc_id, doc_id % 64 AS g, CAST(16 + (doc_id % 64) % 9 AS INT) AS w, CAST(12 + (doc_id % 64) % 7 AS INT) AS h, (doc_id // 64) % 101 AS sel FROM documents), b0 AS (SELECT doc_id, g, sel, i, (i % 8) * w // 9 AS xl, ((i % 8) + 1) * w // 9 AS xr, (i // 8) * h // 8 AS sy FROM d CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) s), b AS (SELECT doc_id, i, CASE WHEN ((xl + g) * (sy + 2 * g + 3) * 7 + xl * 11 + CASE WHEN (xl * 31 + sy * 17) % 101 = sel THEN 128 ELSE 0 END) % 256 > ((xr + g) * (sy + 2 * g + 3) * 7 + xr * 11 + CASE WHEN (xr * 31 + sy * 17) % 101 = sel THEN 128 ELSE 0 END) % 256 THEN '1' ELSE '0' END AS bit FROM b0), fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS f FROM b GROUP BY doc_id), p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.f AS f1, b.f AS f2 FROM fp a JOIN fp b ON a.doc_id < b.doc_id), dd AS (SELECT id1, id2, count(*) FILTER (WHERE substr(f1, CAST(i AS INT), 1) <> substr(f2, CAST(i AS INT), 1)) AS dist FROM p CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2) SELECT id1, id2, CAST(dist AS INT) AS dist FROM dd WHERE dist <= 7"))
 
+  /** Perceptual audio fingerprints ([[Multimodal.audioFingerprint]])
+    * over the REAL WAV corpus: genuine `javax.sound.sampled` decode,
+    * integer frame-energy gradient signs; the oracle re-derives every
+    * frame sum and comparison from the PCM generator arithmetic.
+    */
+  private val mmAudioFp = Q(
+    (s, dir) => Multimodal.audioFingerprint(mmWavBlobs(s, dir), "doc_id",
+        "content")
+      .select(col("id").as("doc_id"), lpad(bin(col("fp")), 64, "0").as("afp")),
+    Some("WITH d AS (SELECT doc_id, CAST(100 + doc_id % 50 AS INT) AS n FROM documents), sm AS (SELECT doc_id, i, (doc_id + i * 17) % 256 AS v, i * 65 // n AS f FROM d JOIN (SELECT unnest(generate_series(0, 148)) AS i) s ON i < n), e AS (SELECT doc_id, f, sum(v) AS e FROM sm GROUP BY 1, 2), b AS (SELECT x.doc_id, x.f AS k, CASE WHEN x.e > y.e THEN '1' ELSE '0' END AS bit FROM e x JOIN e y ON x.doc_id = y.doc_id AND y.f = x.f + 1) SELECT doc_id, string_agg(bit, '' ORDER BY k) AS afp FROM b GROUP BY doc_id"))
+
+  /** WAV corpus with PLANTED audio near-duplicates: 48 base waveforms
+    * (quadratic phase keyed off `doc_id % 48` so groups differ in
+    * gradient STRUCTURE, not just level), each doc level-shifting the
+    * ~n/37 samples selected by `doc_id / 48` — a few frame energies
+    * move, a few bits flip.
+    */
+  private def mmNearDupWavBlobs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val g = id % 48
+      val n = (120 + g % 30).toInt
+      val sel = (id / 48) % 37
+      val samples = Array.tabulate(n) { k =>
+        (((k.toLong * k * 3 + k * (g + 5) + g * 29) % 256 +
+          (if (k % 37 == sel) 64 else 0)) % 256).toByte
+      }
+      (id, Multimodal.encodeWavPcm8(samples, sampleRate = 8000))
+    }.toDF("doc_id", "content")
+  }
+
+  /** Audio near-dup pairs: REAL WAV decode → energy fingerprint → the
+    * same block-permutation band join the image and text paths use —
+    * one Hamming machinery, three modalities. Brute-force all-pairs
+    * oracle over hashes re-derived from the generator arithmetic.
+    */
+  private val mmAudioNeardup = Q(
+    (s, dir) => SimHash.nearPairsFromFingerprints(
+      Multimodal.audioFingerprint(mmNearDupWavBlobs(s, dir), "doc_id",
+        "content"),
+      maxDist = 7, bits = 64),
+    Some("WITH d AS (SELECT doc_id, doc_id % 48 AS g, CAST(120 + (doc_id % 48) % 30 AS INT) AS n, (doc_id // 48) % 37 AS sel FROM documents), sm AS (SELECT doc_id, i, ((i * i * 3 + i * (g + 5) + g * 29) % 256 + CASE WHEN i % 37 = sel THEN 64 ELSE 0 END) % 256 AS v, i * 65 // n AS f FROM d JOIN (SELECT unnest(generate_series(0, 149)) AS i) s ON i < n), e AS (SELECT doc_id, f, sum(v) AS e FROM sm GROUP BY 1, 2), bb AS (SELECT x.doc_id, x.f AS k, CASE WHEN x.e > y.e THEN '1' ELSE '0' END AS bit FROM e x JOIN e y ON x.doc_id = y.doc_id AND y.f = x.f + 1), fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY k) AS fp FROM bb GROUP BY doc_id), p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.fp AS f1, b.fp AS f2 FROM fp a JOIN fp b ON a.doc_id < b.doc_id), dd AS (SELECT id1, id2, count(*) FILTER (WHERE substr(f1, CAST(i AS INT), 1) <> substr(f2, CAST(i AS INT), 1)) AS dist FROM p CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2) SELECT id1, id2, CAST(dist AS INT) AS dist FROM dd WHERE dist <= 7"))
+
   /** V7 — semi-structured extraction: parse the JSON props payload with
     * an explicit schema (`from_json` — schema-applied, columnar, no
     * schema inference pass) and filter on the extracted field. The
@@ -3210,6 +3253,8 @@ object SparkEntry {
     "st_upsert_drain" -> stUpsertDrain,
     "mm_image_dhash" -> mmImageDhash,
     "mm_image_neardup" -> mmImageNeardup,
+    "mm_audio_fp" -> mmAudioFp,
+    "mm_audio_neardup" -> mmAudioNeardup,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

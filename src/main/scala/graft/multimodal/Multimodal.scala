@@ -654,6 +654,55 @@ object Multimodal {
       .toDF("id", "fp")
   }
 
+  /** dHash-style perceptual AUDIO fingerprint over decoded WAV PCM —
+    * the energy-gradient analogue of [[dhashImage]] (frame-energy
+    * difference signs are the core of classic audio fingerprinting à la
+    * Haitsma-Kalder, minus the spectral transform, which an 8-bit PCM
+    * oracle can't re-derive bit-exactly): samples split into
+    * `nBits + 1` near-equal frames (sample i → frame `i·(nBits+1)/n`,
+    * the same floor partitioning the resamplers use), frame energy =
+    * plain sample sum (integers — no float drift), bit k = 1 iff
+    * `e(k) > e(k+1)`, packed MSB-first like [[dhashImage]] so
+    * [[graft.dedup.SimHash.nearPairsFromFingerprints]] bands it
+    * directly. A level shift adds ~equally to every frame's energy, so
+    * re-leveled recordings keep their fingerprint (frame sizes differ
+    * by at most one sample). Undecodable or shorter-than-`nBits+1`
+    * blobs produce no row.
+    */
+  def audioFingerprint(
+      df: DataFrame, id: String, content: String,
+      nBits: Int = 64): DataFrame = {
+    require(nBits > 0 && nBits <= 64, "fingerprint must fit in one long")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val frames = nBits + 1
+    widen(df).select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (rowId, bytes) =>
+          decodePcm8(bytes).iterator
+            .filter(_.length >= frames)
+            .map { samples =>
+              val n = samples.length
+              val e = new Array[Long](frames)
+              var i = 0
+              while (i < n) {
+                e(i * frames / n) += samples(i)
+                i += 1
+              }
+              var acc = 0L
+              var k = 0
+              while (k < nBits) {
+                acc = (acc << 1) | (if (e(k) > e(k + 1)) 1L else 0L)
+                k += 1
+              }
+              (rowId, acc)
+            }
+        }
+      }
+      .toDF("id", "fp")
+  }
+
   /** Frame sampling: split the payload into nFrames chunks, keep every
     * `everyN`-th — the child-table shape of video frame extraction
     * ((id, frame_idx, frame) rows, FK to the parent blob).

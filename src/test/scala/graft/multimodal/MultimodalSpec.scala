@@ -369,6 +369,32 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(base ^ other) > 8)
   }
 
+  test("audioFingerprint: frame partition + energy gradient signs, " +
+      "level-shift invariance, short/garbage quarantine") {
+    def wav(samples: Array[Int]): Array[Byte] =
+      Multimodal.encodeWavPcm8(samples.map(_.toByte), sampleRate = 8000)
+    def fps(rows: (Long, Array[Byte])*): Map[Long, Long] =
+      Multimodal.audioFingerprint(rows.toDF("doc_id", "content"),
+        "doc_id", "content")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = Array.tabulate(130)(k => (k * k * 5 + k * 3) % 200)
+    val out = fps(
+      1L -> wav(base),
+      2L -> wav(base.map(_ + 55)), // level shift, no wrap (max 199+55)
+      3L -> wav(Array.tabulate(130)(k => (k * 7) % 200)), // different wave
+      4L -> wav(Array.tabulate(40)(_ % 200)), // < 65 samples: no row
+      5L -> ("not audio".getBytes: Array[Byte]))
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // reference fingerprint computed independently of the operator
+    val e = new Array[Long](65)
+    for (i <- base.indices) e(i * 65 / base.length) += base(i)
+    var want = 0L
+    for (k <- 0 until 64) want = (want << 1) | (if (e(k) > e(k + 1)) 1L else 0L)
+    assert(out(1L) == want)
+    assert(out(2L) == out(1L), "uniform level shift preserves every bit")
+    assert(out(3L) != out(1L))
+  }
+
   test("image near-dup via nearPairsFromFingerprints matches brute force " +
       "over the same dHashes") {
     import graft.dedup.SimHash
