@@ -325,6 +325,36 @@ object SparkEntry {
     },
     Some("SELECT doc_id, CASE WHEN n_chars % 3 = 0 THEN '''size'' is a required property' ELSE '7 is not of type ''string''' END AS errs FROM documents WHERE n_chars % 3 <> 2"))
 
+  /** Incremental aggregate maintenance, general-monoid tier
+    * ([[graft.operators.IncrementalAgg.merge]] — the in-flight
+    * cnt/sum/MIN/MAX state `e4_incremental_agg`'s additive persisted
+    * path can't carry, with mean derived only at finalize): three
+    * batches fold into per-key state one merge at a time, and the
+    * finalized view must equal the one-shot aggregate over everything —
+    * the oracle IS the full recompute, so the incremental ≡ full
+    * equivalence is what the hash check proves.
+    */
+  private val incAggMerge = Q(
+    (s, dir) => {
+      import graft.operators.IncrementalAgg
+      // centi-units as BIGINT: double sums are merge-order-sensitive in
+      // the last ulp (three-way merge here vs one pass in the oracle
+      // lands on rounding boundaries); integer state merges EXACTLY,
+      // which is also the production discipline for mergeable money/
+      // metric columns
+      val ev = t(s, dir, "events")
+        .withColumn("v100", floor(col("value") * 100).cast("long"))
+      val keys = Seq("user_id", "event_type")
+      val batches = (0 to 2).map(m => ev.where(col("event_id") % 3 === m))
+      val state = batches.tail.foldLeft(
+        IncrementalAgg.partials(batches.head, keys, "v100")) { (st, b) =>
+        IncrementalAgg.merge(st, IncrementalAgg.partials(b, keys, "v100"),
+          keys)
+      }
+      IncrementalAgg.finalizeState(state)
+    },
+    Some("SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(v100) AS BIGINT) AS vsum, min(v100) AS vmin, max(v100) AS vmax, round(CAST(sum(v100) AS DOUBLE) / count(*), 4) AS vavg FROM (SELECT user_id, event_type, CAST(floor(value * 100) AS BIGINT) AS v100 FROM events) GROUP BY 1, 2"))
+
   /** §2.8 — incremental bookmark: after batch 1 is committed to the
     * manifest, a second run sees only batch 2's files (the Glue
     * job-bookmark semantics as a manifest + anti-join on
@@ -3116,6 +3146,7 @@ object SparkEntry {
     "s14_tar_shards" -> s14TarShards,
     "s12_per_record_sink" -> s12PerRecordSink,
     "bm_incremental" -> bmIncremental,
+    "inc_agg_merge" -> incAggMerge,
     "st_window_counts" -> stWindowCounts,
     "st_session_window" -> stSessionWindow,
     "st_stream_join" -> stStreamJoin,

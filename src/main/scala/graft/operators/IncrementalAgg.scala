@@ -59,4 +59,48 @@ object IncrementalAgg {
       ParquetDataset.upsert(spark, path, combined, keyCols, partitionCols)
     }
   }
+
+  // -------------------------------------------------------------------
+  // General monoid state (count / sum / min / max): the NON-additive
+  // measures. mergeAdditive covers what `+` can re-merge; min/max need
+  // their own combine, and mean must be DERIVED at read time (a stored
+  // average cannot merge) — the classic partial-aggregate discipline.
+  // -------------------------------------------------------------------
+
+  private val Measures = Seq("cnt", "vsum", "vmin", "vmax")
+
+  /** One batch → its per-key partial state `(keys..., cnt, vsum, vmin,
+    * vmax)`. Map-side combined; output is key-cardinality-sized.
+    */
+  def partials(batch: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("vsum"),
+        min(col(valueCol)).as("vmin"), max(col(valueCol)).as("vmax"))
+
+  /** Fold a batch's partials into existing state: union + re-aggregate,
+    * each measure by its own monoid combine — one keyed shuffle sized
+    * by `state + delta`, nothing rescans history (and with state and
+    * deltas bucketed on the keys, not even that exchanges). New keys
+    * appear; absent keys carry forward untouched. Same exactly-once
+    * caveat as [[mergeAdditive]].
+    */
+  def merge(state: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("vsum")).as("vsum"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+
+  /** State → the user-facing view: derived measures (mean) computed at
+    * read time from the monoid fields, floats rounded 4 (cross-engine
+    * parity convention).
+    */
+  def finalizeState(state: DataFrame): DataFrame =
+    state.select(
+      state.columns.filterNot(Measures.contains).map(col) ++ Seq(
+        col("cnt"),
+        round(col("vsum"), 4).as("vsum"),
+        col("vmin"), col("vmax"),
+        round(col("vsum") / col("cnt"), 4).as("vavg")): _*)
 }

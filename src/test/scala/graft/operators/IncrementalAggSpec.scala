@@ -69,4 +69,47 @@ class IncrementalAggSpec extends SparkSpec {
         Seq("grp"), Seq("total_n", "missing"), Seq("grp"))
     }
   }
+
+  test("monoid state: any batch split folds to the full recompute, " +
+      "min/max included") {
+    val rows = (1L to 60L).map(i =>
+      (i, s"k${i % 4}", (i * 7 % 23).toDouble))
+    val df = rows.toDF("id", "k", "v")
+    val full = IncrementalAgg.finalizeState(
+      IncrementalAgg.partials(df, Seq("k"), "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    for (nSplits <- Seq(2, 3, 5)) {
+      val batches = (0 until nSplits).map(m =>
+        df.where($"id" % nSplits === m))
+      val state = batches.tail.foldLeft(
+        IncrementalAgg.partials(batches.head, Seq("k"), "v")) { (st, b) =>
+        IncrementalAgg.merge(st, IncrementalAgg.partials(b, Seq("k"), "v"),
+          Seq("k"))
+      }
+      val inc = IncrementalAgg.finalizeState(state)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+      assert(inc == full, s"$nSplits-way split diverged")
+    }
+  }
+
+  test("monoid state: a delta with a NEW key appears; untouched keys " +
+      "carry forward; empty delta is the identity") {
+    val st0 = IncrementalAgg.partials(
+      Seq((1L, "a", 2.0), (2L, "a", 4.0)).toDF("id", "k", "v"),
+      Seq("k"), "v")
+    val st1 = IncrementalAgg.merge(st0,
+      IncrementalAgg.partials(Seq((3L, "b", 9.0)).toDF("id", "k", "v"),
+        Seq("k"), "v"), Seq("k"))
+    val m = IncrementalAgg.finalizeState(st1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(m("a") == ((2L, 6.0, 2.0, 4.0, 3.0)))
+    assert(m("b") == ((1L, 9.0, 9.0, 9.0, 9.0)))
+    val st2 = IncrementalAgg.merge(st1, st1.where($"cnt" < 0), Seq("k"))
+    assert(IncrementalAgg.finalizeState(st2).collect().map(_.toSeq).toSet ==
+      IncrementalAgg.finalizeState(st1).collect().map(_.toSeq).toSet)
+  }
 }
