@@ -355,6 +355,41 @@ object SparkEntry {
     },
     Some("SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(v100) AS BIGINT) AS vsum, min(v100) AS vmin, max(v100) AS vmax, round(CAST(sum(v100) AS DOUBLE) / count(*), 4) AS vavg FROM (SELECT user_id, event_type, CAST(floor(value * 100) AS BIGINT) AS v100 FROM events) GROUP BY 1, 2"))
 
+  /** Snapshot CDC diff ([[graft.operators.Scd2.snapshotDiff]]): two
+    * derived snapshots of the events table (membership and values both
+    * perturbed by residue arithmetic) classify row-level into
+    * insert / delete / update with per-column change attribution — one
+    * keyed full-outer join, unchanged rows dropped. The oracle replays
+    * the join with IS DISTINCT FROM semantics.
+    */
+  private val cdcSnapshotDiff = Q(
+    (s, dir) => {
+      val base = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val oldS = base.where(col("event_id") % 5 =!= 0)
+      val newS = base.where(col("event_id") % 7 =!= 0)
+        .withColumn("value", when(col("event_id") % 3 === 0,
+          col("value") + 1.5).otherwise(col("value")))
+      graft.operators.Scd2.snapshotDiff(oldS, newS,
+        keys = Seq("event_id"), compareCols = Seq("event_type", "value"))
+    },
+    Some("WITH o AS (SELECT event_id, event_type, value FROM events WHERE event_id % 5 <> 0), n AS (SELECT event_id, event_type, CASE WHEN event_id % 3 = 0 THEN value + 1.5 ELSE value END AS value FROM events WHERE event_id % 7 <> 0), j AS (SELECT COALESCE(o.event_id, n.event_id) AS event_id, CASE WHEN o.event_id IS NULL THEN 'insert' WHEN n.event_id IS NULL THEN 'delete' WHEN o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value THEN 'update' END AS change_type, o.event_type AS event_type_old, n.event_type AS event_type_new, o.value AS value_old, n.value AS value_new FROM o FULL OUTER JOIN n ON o.event_id = n.event_id) SELECT event_id, change_type, CASE WHEN change_type = 'update' THEN concat_ws(',', CASE WHEN event_type_old IS DISTINCT FROM event_type_new THEN 'event_type' END, CASE WHEN value_old IS DISTINCT FROM value_new THEN 'value' END) ELSE '' END AS changed_cols, event_type_old, event_type_new, value_old, value_new FROM j WHERE change_type IS NOT NULL"))
+
+  /** SCD2 history build ([[graft.operators.Scd2.buildHistory]]): each
+    * user's event-type stream compresses into runs — one row per
+    * consecutive stretch of the same value, versioned [valid_from,
+    * valid_to) with an is_current flag. Lag + lead stacked on ONE
+    * (user)-keyed sort. The oracle re-derives run starts and interval
+    * ends with the same window arithmetic.
+    */
+  private val scd2History = Q(
+    (s, dir) => graft.operators.Scd2.buildHistory(
+      t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type")),
+      keys = Seq("user_id"), versionCol = "event_id",
+      attrs = Seq("event_type")),
+    Some("WITH o AS (SELECT user_id, event_id, event_type, lag(event_id) OVER w AS pid, lag(event_type) OVER w AS ptype FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)), st AS (SELECT user_id, event_id, event_type FROM o WHERE pid IS NULL OR ptype IS DISTINCT FROM event_type) SELECT user_id, event_type, event_id AS valid_from, lead(event_id) OVER w2 AS valid_to, lead(event_id) OVER w2 IS NULL AS is_current FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY event_id)"))
+
   /** §2.8 — incremental bookmark: after batch 1 is committed to the
     * manifest, a second run sees only batch 2's files (the Glue
     * job-bookmark semantics as a manifest + anti-join on
@@ -3147,6 +3182,8 @@ object SparkEntry {
     "s12_per_record_sink" -> s12PerRecordSink,
     "bm_incremental" -> bmIncremental,
     "inc_agg_merge" -> incAggMerge,
+    "cdc_snapshot_diff" -> cdcSnapshotDiff,
+    "scd2_history" -> scd2History,
     "st_window_counts" -> stWindowCounts,
     "st_session_window" -> stSessionWindow,
     "st_stream_join" -> stStreamJoin,
