@@ -2885,6 +2885,18 @@ object SparkEntry {
     },
     Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neighbor_id, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
 
+  /** Deterministic JL random projection ([[Ann.randomProjection]]):
+    * 64-dim embeddings → 8 dims through the md5-parity ±1 sign matrix —
+    * model broadcast, one narrow pass, no shuffle. The oracle rebuilds
+    * the sign matrix from the same hash parity and re-derives every
+    * projected coordinate.
+    */
+  private val annRandomProjection = Q(
+    (s, dir) => Ann.randomProjection(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      inDims = 64, outDims = 8),
+    Some("WITH sgn AS (SELECT i, j, CASE WHEN strpos('02468ace', substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END AS s FROM (SELECT unnest(generate_series(0, 7)) AS i) a CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) b), e AS (SELECT vec_id, j, CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) AS v FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g), p AS (SELECT vec_id, i, sum(v * s) AS acc FROM e JOIN sgn USING (j) GROUP BY 1, 2) SELECT vec_id, CAST(i AS INT) AS dim, round(acc / sqrt(8.0), 4) AS value FROM p"))
+
   /** Embedding-cosine near-dup pairs ≥ 0.4 (exact verification baseline;
     * signLshPairs is the high-threshold scale path).
     */
@@ -3260,6 +3272,7 @@ object SparkEntry {
     "text_fingerprint" -> textFingerprint,
     "text_ngrams" -> textNgrams,
     "ann_topk" -> annTopK,
+    "ann_random_projection" -> annRandomProjection,
     "ann_neardup" -> annNearDup,
     "ann_group_cosine" -> annGroupCosine,
     "ann_ivf_topk" -> annIvfTopK,

@@ -105,6 +105,55 @@ object Ann {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col(cluster), transform(col("pm"), p => p.getField("m")).as("centroid"))
 
+  /** Deterministic Johnson–Lindenstrauss random projection — the
+    * dimensionality-reduction front of an embedding pipeline (cheaper
+    * LSH/near-dup/index tiers run on the reduced vectors; Achlioptas
+    * 2003 shows ±1 sign matrices preserve distances like Gaussian
+    * ones). The sign matrix `s(i,j) = ±1` comes from the parity of
+    * `md5("i_j")`'s first hex digit — no RNG state, identical on every
+    * run, retry, and engine, and exactly re-derivable by a SQL oracle.
+    * The `outDims × inDims` model is driver-built (k·d tiny hashes) and
+    * ships by broadcast; projection is ONE narrow mapPartitions pass —
+    * no shuffle, nothing driver-held scales with the corpus. Output
+    * `(id, dim, value)` exploded rows, `value = Σ_j v[j]·s(i,j) /
+    * √outDims` rounded 4 (cross-engine float convention). Rows whose
+    * vector length ≠ `inDims` are quarantined (no row), never a crash.
+    */
+  def randomProjection(
+      df: DataFrame, id: String, vec: String,
+      inDims: Int, outDims: Int): DataFrame = {
+    require(inDims > 0 && outDims > 0, "dims must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs = Array.tabulate(outDims, inDims) { (i, j) =>
+      md.reset()
+      val d = md.digest(s"${i}_$j".getBytes("UTF-8"))
+      if ((((d(0) >> 4) & 0xf) & 1) == 0) 1.0 else -1.0
+    }
+    val bc = spark.sparkContext.broadcast(signs)
+    val scale = math.sqrt(outDims.toDouble)
+    widen(df).select(col(id).cast("long"), col(vec).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (rowId, v) =>
+          if (v == null || v.length != inDims) Iterator.empty
+          else (0 until outDims).iterator.map { i =>
+            val row = m(i)
+            var acc = 0.0
+            var j = 0
+            while (j < inDims) { acc += v(j) * row(j); j += 1 }
+            (rowId, i,
+              BigDecimal(acc / scale)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+      }
+      .toDF(id, "dim", "value")
+      .select(col(id), col("dim").cast("int").as("dim"), col("value"))
+  }
+
   /** Deterministic pivot "centroids": the member vector with the smallest
     * id per cluster — a k-medoid-style coarse quantizer whose pivots are
     * exact corpus vectors. Unlike a floating-point mean (whose low bits

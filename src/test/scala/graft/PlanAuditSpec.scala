@@ -280,4 +280,44 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("Scan ExistingRDD"), s"$n lost its posting cut:\n$p")
     }
   }
+
+  test("text_dsir_weights: the log-ratio model joins back BROADCAST — " +
+      "the corpus profile never shuffles for the scoring join") {
+    val p = plan("text_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the profile is checkpointed once and reused by marginal + scoring
+    assert(p.contains("Scan ExistingRDD"), s"profile cut lost:\n$p")
+  }
+
+  test("scd2_history: lead rides the lag's (key, version) sort — one " +
+      "exchange, no second shuffle for the second window") {
+    val p = plan("scd2_history")
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange\\s*"))
+    assert(exchanges == 1, s"expected one user_id exchange, got $exchanges:\n$p")
+  }
+
+  test("cdc_snapshot_diff: keyed full-outer join, never a nested loop") {
+    val p = plan("cdc_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("inc_agg_merge: every merge stage is a partial hash aggregate " +
+      "(map-side combined), no window, no sort-based fallback") {
+    val p = plan("inc_agg_merge")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("mm/audio near-dup: banded fingerprint self-joins are keyed — " +
+      "no cartesian, no nested loop, dedup after verify") {
+    Seq("mm_image_neardup", "mm_audio_neardup").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+    }
+  }
 }

@@ -320,4 +320,35 @@ class AnnSpec extends SparkSpec {
       .as[(String, String, Double)].collect().toSeq
     assert(out == Seq(("a", "b", -1.0), ("a", "c", 0.0), ("b", "c", 0.0)))
   }
+
+  test("randomProjection: hand-checked coordinate, linearity, " +
+      "determinism, wrong-length quarantine") {
+    // reference sign for (i, j) re-derived independently of the operator
+    def sign(i: Int, j: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_$j".getBytes("UTF-8"))
+      if ((((d(0) >> 4) & 0xf) & 1) == 0) 1.0 else -1.0
+    }
+    val v = Array.tabulate(6)(j => (j + 1).toFloat)
+    val rows = Seq(
+      (1L, v.toSeq), (2L, v.map(_ * 2).toSeq),
+      (3L, Seq(1.0f, 2.0f))) // wrong length: no rows
+    val out = Ann.randomProjection(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", inDims = 6, outDims = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.keys.map(_._1).toSet == Set(1L, 2L))
+    for (i <- 0 until 4) {
+      val want = BigDecimal(
+        (0 until 6).map(j => v(j) * sign(i, j)).sum / math.sqrt(4.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out((1L, i)) == want, s"dim $i")
+      // projection is linear: doubling the vector doubles each coord
+      // (up to the final rounding)
+      assert(math.abs(out((2L, i)) - 2 * want) < 2e-4, s"dim $i linearity")
+    }
+    val again = Ann.randomProjection(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", inDims = 6, outDims = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(again == out)
+  }
 }
