@@ -2897,6 +2897,31 @@ object SparkEntry {
       inDims = 64, outDims = 8),
     Some("WITH sgn AS (SELECT i, j, CASE WHEN strpos('02468ace', substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END AS s FROM (SELECT unnest(generate_series(0, 7)) AS i) a CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) b), e AS (SELECT vec_id, j, CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) AS v FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g), p AS (SELECT vec_id, i, sum(v * s) AS acc FROM e JOIN sgn USING (j) GROUP BY 1, 2) SELECT vec_id, CAST(i AS INT) AS dim, round(acc / sqrt(8.0), 4) AS value FROM p"))
 
+  /** Content-defined chunking ([[TextAnalysis.contentChunks]]):
+    * boundaries where the rolling 4-token md5 ≡ 0 mod 8 — edit-stable
+    * chunking (an insertion re-chunks its neighborhood only), the
+    * storage-dedup idea applied to corpus chunking. The oracle replays
+    * the window hash, the exclusive running sum, and the ordered
+    * reassembly.
+    */
+  private val textCdcChunks = Q(
+    (s, dir) => TextAnalysis.contentChunks(
+      t(s, dir, "documents"), "doc_id", "text"),
+    Some("WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), px AS (SELECT doc_id, i, ws[i + 1] AS tok, CASE WHEN i >= 3 AND CAST('0x' || substr(md5(array_to_string(ws[i - 2 : i + 1], ' ')), 1, 4) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS b FROM tk, unnest(range(len(ws))) AS u(i)), c AS (SELECT doc_id, i, tok, COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci FROM px) SELECT doc_id, CAST(ci AS INT) AS chunk_idx, string_agg(tok, ' ' ORDER BY i) AS chunk, CAST(count(*) AS BIGINT) AS n_tokens FROM c GROUP BY 1, 2"))
+
+  /** Hard-negative mining ([[Ann.hardNegatives]]): top-k most-similar
+    * CROSS-label neighbors per query — the contrastive-training pair
+    * miner, with the label exclusion inside the scoring join.
+    */
+  private val annHardNegatives = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.hardNegatives(emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", "label",
+        k = 5)
+    },
+    Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neg_id, label AS neg_label, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id AND label IS DISTINCT FROM ql), r AS (SELECT q_id, neg_id, neg_label, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neg_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neg_id, neg_label, sim FROM r WHERE rank <= 5"))
+
   /** Embedding-cosine near-dup pairs ≥ 0.4 (exact verification baseline;
     * signLshPairs is the high-threshold scale path).
     */
@@ -3273,6 +3298,8 @@ object SparkEntry {
     "text_ngrams" -> textNgrams,
     "ann_topk" -> annTopK,
     "ann_random_projection" -> annRandomProjection,
+    "ann_hard_negatives" -> annHardNegatives,
+    "text_cdc_chunks" -> textCdcChunks,
     "ann_neardup" -> annNearDup,
     "ann_group_cosine" -> annGroupCosine,
     "ann_ivf_topk" -> annIvfTopK,

@@ -90,6 +90,39 @@ object Ann {
         col(id).as("neighbor_id"), col("sim"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector, the k most similar corpus vectors with a DIFFERENT
+    * label (same-label neighbors are positives; the high-similarity
+    * cross-label ones are the negatives that actually teach). Same
+    * scale shape as [[topK]]: queries broadcast, corpus never shuffles
+    * for the scoring, per-query rank window over a corpus-sized scored
+    * stream; the label test rides the join condition so same-label rows
+    * never reach ranking. Swap the scoring stage for [[ivfTopK]]'s
+    * probe pruning when the corpus outgrows brute force.
+    */
+  def hardNegatives(
+      corpus: DataFrame, id: String, vec: String, label: String,
+      queries: DataFrame, qId: String, qVec: String, qLabel: String,
+      k: Int): DataFrame = {
+    val corp = widen(corpus
+      .select(col(id), toDouble(col(vec)).as("__v"), col(label).as("__l"))
+      .withColumn("__n", sqrt(dotD(col("__v"), col("__v")))))
+    val qs = queries
+      .select(col(qId).as("q_id"), toDouble(col(qVec)).as("q_vec"),
+        col(qLabel).as("__ql"))
+      .withColumn("__qn", sqrt(dotD(col("q_vec"), col("q_vec"))))
+    val scored = corp.crossJoin(broadcast(qs))
+      .where(col("q_id") =!= col(id) && !(col("__l") <=> col("__ql")))
+      .withColumn("sim",
+        round(dotD(col("q_vec"), col("__v")) / (col("__qn") * col("__n")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(id).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col(id).as("neg_id"), col("__l").as("neg_label"), col("sim"))
+  }
+
   /** Elementwise mean centroid per cluster column (posexplode + avg +
     * rebuild — a two-shuffle aggregation over (cluster, dim)). The mean is
     * the highest-recall coarse quantizer, but its low-order bits depend on

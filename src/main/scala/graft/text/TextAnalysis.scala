@@ -110,6 +110,56 @@ object TextAnalysis {
       i => concat_ws(" ", slice(ts, (i * step + 1).cast("int"), lit(size))))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync idea at token
+    * altitude): a chunk boundary falls AFTER token i whenever the hash
+    * of the last `window` tokens is ≡ 0 mod `divisor` — boundaries are
+    * a pure function of LOCAL content, so an insertion early in a
+    * document only re-chunks its neighborhood while fixed-width
+    * chunking ([[chunksOfTokens]]) shifts every later window. That
+    * stability is what makes chunk-level dedup/caching survive edits —
+    * the storage-dedup trick applied to corpus chunking.
+    *
+    * Expected chunk length ≈ `divisor` tokens. The hash is md5 of the
+    * space-joined window (16 bits used) — engine-portable like every
+    * other hash convention here. Shape: boundary flags are per-row
+    * array arithmetic; the exclusive running sum that numbers chunks is
+    * a per-doc window (docs are many — the partition key is the doc);
+    * reassembly groups on (doc, chunk). Output: (id, chunk_idx, chunk,
+    * n_tokens), every doc covered, every token in exactly one chunk.
+    */
+  def contentChunks(docs: DataFrame, id: String, text: String,
+      window: Int = 4, divisor: Int = 8): DataFrame = {
+    require(window > 0 && divisor > 0, "window and divisor must be positive")
+    val n = org.apache.spark.sql.functions.size(col("__ts"))
+    val flagged = docs
+      .select(col(id), tokens(col(text)).as("__ts"))
+      .select(col(id), posexplode(transform(
+        sequence(lit(0), n - 1),
+        i => struct(
+          element_at(col("__ts"), (i + 1).cast("int")).as("tok"),
+          when(i >= window - 1,
+            (pmod(conv(substring(md5(concat_ws(" ",
+              slice(col("__ts"), (i - window + 2).cast("int"), lit(window)))),
+              1, 4), 16, 10).cast("long"), lit(divisor.toLong)) === 0)
+              .cast("int"))
+            .otherwise(lit(0)).as("b"))))
+        .as(Seq("pos", "s")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    flagged
+      .select(col(id), col("pos"), col("s.tok").as("tok"), col("s.b").as("b"))
+      .withColumn("chunk_idx",
+        coalesce(sum(col("b")).over(w), lit(0L)).cast("int"))
+      .groupBy(col(id), col("chunk_idx"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          p => p.getField("tok"))).as("chunk"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** BM25 relevance of every document against a small query-term set —
     * the retrieval scorer behind relevance-based corpus filtering
     * ("keep documents that look like the target domain"). Postings are

@@ -321,6 +321,24 @@ class AnnSpec extends SparkSpec {
     assert(out == Seq(("a", "b", -1.0), ("a", "c", 0.0), ("b", "c", 0.0)))
   }
 
+  test("hardNegatives: same-label and self rows never rank; k caps; " +
+      "nearest cross-label wins") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),   // query
+      (2L, Seq(1.0f, 0.01f), 0),  // same label: must never appear
+      (3L, Seq(1.0f, 0.1f), 1),   // hard negative (closest cross-label)
+      (4L, Seq(0.0f, 1.0f), 1),   // easy negative
+      (5L, Seq(0.9f, 0.2f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Ann.hardNegatives(corpus, "vec_id", "embedding", "label",
+      corpus.where($"vec_id" === 1L), "vec_id", "embedding", "label", k = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(out.length == 2)
+    assert(out(0)._2 == 3L && out(0)._3 == 1, s"closest cross-label: $out")
+    assert(!out.exists(_._2 == 2L), "same-label leaked into negatives")
+    assert(!out.exists(_._2 == 1L), "self leaked into negatives")
+  }
+
   test("randomProjection: hand-checked coordinate, linearity, " +
       "determinism, wrong-length quarantine") {
     // reference sign for (i, j) re-derived independently of the operator

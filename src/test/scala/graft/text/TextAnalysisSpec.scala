@@ -222,4 +222,34 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(single.find(_._1 == 4L).map(_._2).contains(4L))
   }
+
+  private def cdcChunks(id: Long, text: String): Seq[(Int, String)] =
+    TextAnalysis.contentChunks(
+      Seq((id, text)).toDF("doc_id", "text"), "doc_id", "text",
+      window = 4, divisor = 4)
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+
+  test("contentChunks: full coverage in order, chunk numbering dense") {
+    val toks = (0 until 80).map(i => s"w${i * 7 % 61}")
+    val chunks = cdcChunks(1L, toks.mkString(" "))
+    assert(chunks.map(_._2).mkString(" ") == toks.mkString(" "),
+      "concatenated chunks must reproduce the document")
+    assert(chunks.map(_._1) == chunks.indices.toSeq, "dense chunk_idx")
+    assert(chunks.length >= 3, "fixture must actually chunk")
+  }
+
+  test("contentChunks: boundaries are content-local — a front insertion " +
+      "leaves every later chunk intact (the property fixed-width loses)") {
+    val toks = (0 until 80).map(i => s"w${i * 7 % 61}")
+    val a = cdcChunks(1L, toks.mkString(" ")).map(_._2)
+    val b = cdcChunks(2L, ("zzz" +: toks).mkString(" ")).map(_._2)
+    // every chunk of A after its first boundary survives verbatim in B,
+    // in order (B re-chunks only the prefix the new token's windows touch)
+    val tailA = a.drop(1)
+    assert(tailA.nonEmpty)
+    val idx = b.indexOf(tailA.head)
+    assert(idx >= 0 && b.slice(idx, idx + tailA.length) == tailA,
+      s"suffix not preserved:\nA=$a\nB=$b")
+  }
 }
