@@ -463,6 +463,38 @@ object SparkEntry {
       d
     })
 
+  /** §2.8-streaming — streaming monoid-state maintenance
+    * ([[graft.streaming.StreamingIngest.monoidStateDrain]]): the events
+    * table arrives as FOUR micro-batches (maxFilesPerTrigger = 1 over a
+    * 4-file source), each folding its per-key partials into persisted
+    * cnt/sum/min/max state through the checkpointed foreachBatch merge.
+    * The finalized state must equal the one-shot aggregate over
+    * everything — the same incremental ≡ full proof as `inc_agg_merge`,
+    * now across real micro-batch boundaries.
+    */
+  private val stMonoidState = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stms").toString
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("v100"))
+        .repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream
+        .schema(StructType.fromDDL(
+          "event_id bigint, user_id bigint, event_type string, v100 bigint"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/in")
+      graft.streaming.StreamingIngest.monoidStateDrain(
+        stream, s"$tmp/state", s"$tmp/ck",
+        keys = Seq("user_id", "event_type"), valueCol = "v100")
+        .awaitTermination()
+      graft.operators.IncrementalAgg.finalizeState(
+        s.read.parquet(s"$tmp/state"))
+        .select(col("user_id"), col("event_type"), col("cnt"),
+          col("vsum"), col("vmin"), col("vmax"), col("vavg"))
+    },
+    Some("SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(v100) AS BIGINT) AS vsum, min(v100) AS vmin, max(v100) AS vmax, round(CAST(sum(v100) AS DOUBLE) / count(*), 4) AS vavg FROM (SELECT user_id, event_type, CAST(floor(value * 100) AS BIGINT) AS v100 FROM events) GROUP BY 1, 2"))
+
   /** §2.8-streaming — at-least-once redelivery dedup
     * ([[graft.streaming.StreamingIngest.dedupFirstSeen]]): the doubled
     * input simulates upstream redelivery (every record arrives twice);
@@ -3358,6 +3390,7 @@ object SparkEntry {
     "dedup_spans_winnowed" -> dedupSpansWinnowed,
     "dedup_semantic" -> dedupSemantic,
     "st_dedup_replay" -> stDedupReplay,
+    "st_monoid_state" -> stMonoidState,
     "st_upsert_drain" -> stUpsertDrain,
     "mm_image_dhash" -> mmImageDhash,
     "mm_image_neardup" -> mmImageNeardup,

@@ -206,6 +206,42 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming monoid-state maintenance: each micro-batch's per-key
+    * partials ([[graft.operators.IncrementalAgg.partials]]) fold into a
+    * persisted parquet state table via the monoid merge — the streaming
+    * arrival path of the incremental-aggregate discipline
+    * (`inc_agg_merge` proves merge ≡ full recompute; this wires the
+    * same merge behind a checkpointed AvailableNow drain, so restarts
+    * resume from the last committed batch instead of double-merging).
+    * State grows with KEYS, not stream; the whole-state rewrite per
+    * batch is the simple-and-correct tier — partition the state and
+    * upsert (as [[upsertDrain]] does) when the key space outgrows it.
+    */
+  def monoidStateDrain(
+      stream: DataFrame, statePath: String, checkpoint: String,
+      keys: Seq[String], valueCol: String): StreamingQuery = {
+    import graft.operators.IncrementalAgg
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val delta = IncrementalAgg.partials(batch.toDF(), keys, valueCol)
+        if (!delta.isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(statePath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val merged =
+            if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+              IncrementalAgg.merge(spark.read.parquet(statePath), delta, keys)
+            else delta
+          // localCheckpoint cuts the self-referential lineage (the new
+          // state reads the files it is about to replace)
+          merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
+        }
+      }
+      .start()
+  }
+
   /** Stream-stream interval join: two event streams joined on a key
     * within an event-time window — the streaming twin of the
     * declarative interval join (J8/J9ts). Both sides carry watermarks

@@ -399,4 +399,36 @@ class StreamingIngestSpec extends SparkSpec {
     assert(state() ==
       Map(1L -> (3L, "a3"), 2L -> (2L, "b2"), 3L -> (1L, "c1")))
   }
+
+  test("monoidStateDrain: micro-batch merges equal the one-shot " +
+      "aggregate; a restart with the same checkpoint never double-merges") {
+    val tmp = Files.createTempDirectory("graft_stmon").toString
+    val schema = StructType.fromDDL("k string, v bigint")
+    def drain(): Unit = StreamingIngest.monoidStateDrain(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in"),
+      s"$tmp/state", s"$tmp/ck", Seq("k"), "v").awaitTermination()
+    def state(): Map[String, (Long, Long, Long, Long)] =
+      spark.read.parquet(s"$tmp/state").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // wave 1: two files -> two micro-batches
+    Seq(("a", 10L), ("a", 2L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    Seq(("a", 30L), ("b", 5L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    drain()
+    assert(state() == Map(
+      "a" -> (3L, 42L, 2L, 30L), "b" -> (1L, 5L, 5L, 5L)))
+    // restart with nothing new: checkpoint must prevent re-merging
+    drain()
+    assert(state() == Map(
+      "a" -> (3L, 42L, 2L, 30L), "b" -> (1L, 5L, 5L, 5L)))
+    // late wave: only the delta folds in
+    Seq(("b", 1L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    drain()
+    assert(state() == Map(
+      "a" -> (3L, 42L, 2L, 30L), "b" -> (2L, 6L, 1L, 5L)))
+  }
 }
