@@ -1562,6 +1562,29 @@ object SparkEntry {
     },
     Some("WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8), e AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2 AS s, id1 AS d FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.id), comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id), keep AS (SELECT cluster AS doc_id, count(*) AS n_members FROM comp GROUP BY 1) SELECT k.doc_id, k.n_members, d.lang, d.n_chars FROM keep k JOIN documents d ON d.doc_id = k.doc_id"))
 
+  /** Image-corpus curation composite — the multimodal twin of
+    * `corpus_neardup_curation`, run END-TO-END as one entry: real PNG
+    * decode → dHash → banded Hamming pairs → connected components →
+    * one canonical image per near-dup cluster with its member count.
+    * The oracle recomputes the hashes from generator arithmetic, the
+    * pair set by brute force, and the closure by recursive CTE — every
+    * stage of the streaming-free pipeline a multimodal curator runs.
+    */
+  private val corpusImageCuration = Q(
+    (s, dir) => {
+      val blobs = mmNearDupPngBlobs(s, dir)
+      val pairs = SimHash.nearPairsFromFingerprints(
+        Multimodal.dhashImage(blobs, "doc_id", "content"),
+        maxDist = 7, bits = 64)
+      val comps = Clusters.connectedComponents(
+        pairs.select(col("id1"), col("id2")), "id1", "id2",
+        nodes = Some(blobs.select(col("doc_id"))), idCol = "doc_id")
+      comps.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("component").as("doc_id"), col("n_members"))
+    },
+    Some("WITH RECURSIVE d AS (SELECT doc_id, doc_id % 64 AS g, CAST(16 + (doc_id % 64) % 9 AS INT) AS w, CAST(12 + (doc_id % 64) % 7 AS INT) AS h, (doc_id // 64) % 101 AS sel FROM documents), b0 AS (SELECT doc_id, g, sel, i, (i % 8) * w // 9 AS xl, ((i % 8) + 1) * w // 9 AS xr, (i // 8) * h // 8 AS sy FROM d CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) s), b AS (SELECT doc_id, i, CASE WHEN ((xl + g) * (sy + 2 * g + 3) * 7 + xl * 11 + CASE WHEN (xl * 31 + sy * 17) % 101 = sel THEN 128 ELSE 0 END) % 256 > ((xr + g) * (sy + 2 * g + 3) * 7 + xr * 11 + CASE WHEN (xr * 31 + sy * 17) % 101 = sel THEN 128 ELSE 0 END) % 256 THEN '1' ELSE '0' END AS bit FROM b0), fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS f FROM b GROUP BY doc_id), pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.f AS f1, b.f AS f2 FROM fp a JOIN fp b ON a.doc_id < b.doc_id), dd AS (SELECT id1, id2, count(*) FILTER (WHERE substr(f1, CAST(i AS INT), 1) <> substr(f2, CAST(i AS INT), 1)) AS dist FROM pr CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM dd WHERE dist <= 7), e AS (SELECT id1 AS s, id2 AS dst FROM pairs UNION SELECT id2 AS s, id1 AS dst FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.dst, w.lbl FROM walk w JOIN e ON e.s = w.id), comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id) SELECT cluster AS doc_id, CAST(count(*) AS BIGINT) AS n_members FROM comp GROUP BY 1"))
+
   /** AN1 — ordered funnel analysis (view → click → purchase): each
     * stage's first event must FOLLOW the previous stage's first event,
     * per user. Three keyed aggregates, each pruned to one event type
@@ -3396,6 +3419,7 @@ object SparkEntry {
     "mm_image_neardup" -> mmImageNeardup,
     "mm_audio_fp" -> mmAudioFp,
     "mm_audio_neardup" -> mmAudioNeardup,
+    "corpus_image_curation" -> corpusImageCuration,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
