@@ -1562,6 +1562,25 @@ object SparkEntry {
     },
     Some("WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8), e AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2 AS s, id1 AS d FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.id), comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id), keep AS (SELECT cluster AS doc_id, count(*) AS n_members FROM comp GROUP BY 1) SELECT k.doc_id, k.n_members, d.lang, d.n_chars FROM keep k JOIN documents d ON d.doc_id = k.doc_id"))
 
+  /** Z-order clustering codes ([[graft.sources.ZOrder.morton2]]): the
+    * bit-interleave behind the 2-D-pruning parquet layout
+    * (ZOrderSpec proves the file-skipping effect; this entry proves the
+    * code arithmetic bit-for-bit against the oracle's shift/mask
+    * re-derivation).
+    */
+  private val so12Zorder = Q(
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(1024L)).cast("long").as("x"),
+        pmod(col("event_id"), lit(1024L)).cast("long").as("y"))
+      .withColumn("zval",
+        graft.sources.ZOrder.morton2(col("x"), col("y"))),
+    Some("SELECT event_id, x, y, " +
+      (0 until 16).map(b =>
+        s"((((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1}))")
+        .mkString("(", " | ", ")") +
+      " AS zval FROM (SELECT event_id, user_id % 1024 AS x, event_id % 1024 AS y FROM events)"))
+
   /** Image-corpus curation composite — the multimodal twin of
     * `corpus_neardup_curation`, run END-TO-END as one entry: real PNG
     * decode → dHash → banded Hamming pairs → connected components →
@@ -3392,6 +3411,7 @@ object SparkEntry {
     "mix_temperature_sample" -> mixTemperatureSample,
     "so9_quantile_buckets" -> so9QuantileBuckets,
     "so11_winsorize" -> so11Winsorize,
+    "so12_zorder" -> so12Zorder,
     "text_pii_redact" -> textPiiRedact,
     "web_domain_curation" -> webDomainCuration,
     "text_perplexity" -> textPerplexity,
