@@ -1562,6 +1562,20 @@ object SparkEntry {
     },
     Some("WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8), e AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2 AS s, id1 AS d FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.id), comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id), keep AS (SELECT cluster AS doc_id, count(*) AS n_members FROM comp GROUP BY 1) SELECT k.doc_id, k.n_members, d.lang, d.n_chars FROM keep k JOIN documents d ON d.doc_id = k.doc_id"))
 
+  /** Deterministic uniform negative sampling
+    * ([[graft.operators.Mixture.uniformNegatives]]): k hash-drawn other
+    * ids per anchor on the dense id ring — contrastive-pair prep with
+    * no RNG state. Oracle replays the hash draw and the self-collision
+    * drop.
+    */
+  private val so13NegativeSample = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Mixture.uniformNegatives(
+        docs.select(col("doc_id")), "doc_id", k = 4, n = docs.count())
+    },
+    Some("WITH nn AS (SELECT count(*) AS n FROM documents), d AS (SELECT doc_id, i AS draw FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)), s AS (SELECT doc_id, draw, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(draw AS VARCHAR)), 1, 12) AS BIGINT) % nn.n AS neg_id FROM d CROSS JOIN nn) SELECT doc_id, CAST(draw AS INT) AS draw, neg_id FROM s WHERE neg_id <> doc_id"))
+
   /** Z-order clustering codes ([[graft.sources.ZOrder.morton2]]): the
     * bit-interleave behind the 2-D-pruning parquet layout
     * (ZOrderSpec proves the file-skipping effect; this entry proves the
@@ -3412,6 +3426,7 @@ object SparkEntry {
     "so9_quantile_buckets" -> so9QuantileBuckets,
     "so11_winsorize" -> so11Winsorize,
     "so12_zorder" -> so12Zorder,
+    "so13_negative_sample" -> so13NegativeSample,
     "text_pii_redact" -> textPiiRedact,
     "web_domain_curation" -> webDomainCuration,
     "text_perplexity" -> textPerplexity,

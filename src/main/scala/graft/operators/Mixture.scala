@@ -59,4 +59,27 @@ object Mixture {
       .filter(col("rk") <= col("quota"))
       .drop("__mix_domain", "n", "quota")
   }
+
+  /** Deterministic uniform negative sampling — the contrastive-pair
+    * companion of [[graft.ann.Ann.hardNegatives]]: `k` pseudo-random
+    * OTHER ids per anchor, drawn by hashing (anchor, draw-index) onto a
+    * dense id ring `[0, n)`. No RNG state: the same negatives on every
+    * run, retry, and engine (the md5 convention of so6/so7/so10). A
+    * draw that lands on the anchor itself is dropped, not redrawn —
+    * redraw loops aren't SQL-expressible and the per-anchor loss is at
+    * most one of k draws with probability k/n. Pure projection +
+    * explode: no join, no shuffle; `n` is caller-supplied (the dense-id
+    * contract, e.g. the corpus row count after id densification).
+    * Output: (anchor id, draw, neg_id).
+    */
+  def uniformNegatives(df: DataFrame, idCol: String, k: Int,
+      n: Long): DataFrame = {
+    require(k > 0 && n > 1, "need k > 0 and a ring larger than 1")
+    df.select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("draw"))
+      .withColumn("neg_id",
+        pmod(conv(substring(md5(concat(col(idCol).cast("string"),
+          lit("_"), col("draw").cast("string"))), 1, 12), 16, 10)
+          .cast("long"), lit(n)))
+      .where(col("neg_id") =!= col(idCol))
+  }
 }

@@ -62,4 +62,20 @@ class MixtureSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(swIds == expected)
   }
+
+  test("uniformNegatives: on-ring, never self, deterministic, k draws " +
+      "minus self-collisions, spread across the ring") {
+    val n = 50L
+    val anchors = (0L until n).toDF("id")
+    def run() = Mixture.uniformNegatives(anchors, "id", k = 4, n = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val out = run()
+    assert(out == run(), "same negatives on every run")
+    assert(out.forall { case (a, _, neg) => neg != a && neg >= 0 && neg < n })
+    // each anchor keeps 3..4 of its 4 draws (at most rare self-hits drop)
+    val perAnchor = out.groupBy(_._1).view.mapValues(_.size)
+    assert(perAnchor.values.forall(c => c >= 3 && c <= 4))
+    // hash draws actually spread: a large fraction of the ring is hit
+    assert(out.map(_._3).size > n / 2)
+  }
 }

@@ -67,4 +67,18 @@ class WebCurationSpec extends SparkSpec {
     assert(canon("http://a.com/deep/" ) == "http://a.com/deep/")
     assert(canon("not a url") == "not a url")
   }
+
+  test("canonicalizeUrl is idempotent: a canonical URL maps to itself") {
+    val urls = Seq(
+      "HTTP://A.com:80/p?utm_a=1&x=2#f",
+      "https://b.com:443/",
+      "http://c.com/p?x=1&gclid=g&y=2",
+      "http://User@d.com:8080/x?a=1",
+      "http://e.com/p?utm_only=1",
+      "not a url at all")
+    urls.foreach { u =>
+      val once = canon(u)
+      assert(canon(once) == once, s"not idempotent for $u -> $once")
+    }
+  }
 }
