@@ -375,6 +375,28 @@ object SparkEntry {
     },
     Some("WITH o AS (SELECT event_id, event_type, value FROM events WHERE event_id % 5 <> 0), n AS (SELECT event_id, event_type, CASE WHEN event_id % 3 = 0 THEN value + 1.5 ELSE value END AS value FROM events WHERE event_id % 7 <> 0), j AS (SELECT COALESCE(o.event_id, n.event_id) AS event_id, CASE WHEN o.event_id IS NULL THEN 'insert' WHEN n.event_id IS NULL THEN 'delete' WHEN o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value THEN 'update' END AS change_type, o.event_type AS event_type_old, n.event_type AS event_type_new, o.value AS value_old, n.value AS value_new FROM o FULL OUTER JOIN n ON o.event_id = n.event_id) SELECT event_id, change_type, CASE WHEN change_type = 'update' THEN concat_ws(',', CASE WHEN event_type_old IS DISTINCT FROM event_type_new THEN 'event_type' END, CASE WHEN value_old IS DISTINCT FROM value_new THEN 'value' END) ELSE '' END AS changed_cols, event_type_old, event_type_new, value_old, value_new FROM j WHERE change_type IS NOT NULL"))
 
+  /** CDC patch application ([[graft.operators.Scd2.applyDiff]]): the
+    * engine diffs two snapshots and then applies the diff back onto the
+    * old one; the oracle is simply THE NEW SNAPSHOT — the hash check
+    * proves `applyDiff(old, diff(old, new)) == new`, the contract that
+    * makes shipping diffs instead of snapshots sound.
+    */
+  private val cdcApplyDiff = Q(
+    (s, dir) => {
+      val base = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val oldS = base.where(col("event_id") % 5 =!= 0)
+      val newS = base.where(col("event_id") % 7 =!= 0)
+        .withColumn("value", when(col("event_id") % 3 === 0,
+          col("value") + 1.5).otherwise(col("value")))
+      val keys = Seq("event_id")
+      val cols = Seq("event_type", "value")
+      graft.operators.Scd2.applyDiff(oldS,
+        graft.operators.Scd2.snapshotDiff(oldS, newS, keys, cols),
+        keys, cols)
+    },
+    Some("SELECT event_id, event_type, CASE WHEN event_id % 3 = 0 THEN value + 1.5 ELSE value END AS value FROM events WHERE event_id % 7 <> 0"))
+
   /** SCD2 history build ([[graft.operators.Scd2.buildHistory]]): each
     * user's event-type stream compresses into runs — one row per
     * consecutive stretch of the same value, versioned [valid_from,
@@ -3308,6 +3330,7 @@ object SparkEntry {
     "bm_incremental" -> bmIncremental,
     "inc_agg_merge" -> incAggMerge,
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
+    "cdc_apply_diff" -> cdcApplyDiff,
     "scd2_history" -> scd2History,
     "st_window_counts" -> stWindowCounts,
     "st_session_window" -> stSessionWindow,

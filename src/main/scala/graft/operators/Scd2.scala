@@ -59,6 +59,32 @@ object Scd2 {
           col(s"o.$c").as(s"${c}_old"), col(s"n.$c").as(s"${c}_new"))): _*)
   }
 
+  /** Apply a [[snapshotDiff]] back onto the OLD snapshot to reproduce
+    * the NEW one — the patch-shipping path: at 100 TB you move the
+    * (tiny) diff between sites, not the snapshot, and `applyDiff(old,
+    * diff(old, new)) == new` is the contract that makes that sound
+    * (Scd2Spec proves the round-trip, including a property-style sweep).
+    * One keyed left join with the diff (diff-sized broadcast in the
+    * common case) — deletes drop, updates substitute `<c>_new`,
+    * inserts append.
+    */
+  def applyDiff(oldSnap: DataFrame, diff: DataFrame,
+      keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    val d = diff.select(
+      (keys.map(col) :+ col("change_type")) ++
+        compareCols.map(c => col(s"${c}_new")): _*)
+    val joined = oldSnap.join(broadcast(d), keys, "left")
+    val survivors = joined
+      .where(col("change_type").isNull || col("change_type") =!= "delete")
+      .select(keys.map(col) ++ compareCols.map(c =>
+        when(col("change_type") === "update", col(s"${c}_new"))
+          .otherwise(col(c)).as(c)): _*)
+    val inserts = d.where(col("change_type") === "insert")
+      .select(keys.map(col) ++
+        compareCols.map(c => col(s"${c}_new").as(c)): _*)
+    survivors.unionByName(inserts)
+  }
+
   /** Compress versioned rows `(keys..., versionCol, attrs...)` into
     * SCD2 history: one row per run of consecutive versions with
     * identical attrs, with `valid_from` (the run's first version),

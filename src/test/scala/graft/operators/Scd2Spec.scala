@@ -55,6 +55,36 @@ class Scd2Spec extends SparkSpec {
       ("B", "z", 7L, None, true)))
   }
 
+  test("applyDiff(old, snapshotDiff(old, new)) == new — the patch " +
+      "round-trip, swept over residue-derived snapshot pairs") {
+    // property-style sweep: several (old, new) pairs carved from one
+    // base set by different membership/mutation residues
+    val base = (0L until 120L).map(i => (i, s"t${i % 7}", (i * 3 % 41).toDouble))
+    for (m <- Seq(2, 3, 5)) {
+      val oldS = base.filter(_._1 % m != 0).toDF("k", "t", "v")
+      val newS = base.filter(_._1 % (m + 2) != 0)
+        .map { case (k, t, v) =>
+          (k, if (k % 4 == 0) t + "x" else t, if (k % 6 == 0) v + 1 else v)
+        }.toDF("k", "t", "v")
+      val diff = Scd2.snapshotDiff(oldS, newS, Seq("k"), Seq("t", "v"))
+      val rebuilt = Scd2.applyDiff(oldS, diff, Seq("k"), Seq("t", "v"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      val want = newS.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(rebuilt == want, s"round-trip failed for m=$m")
+      // and the empty-diff identity
+      val noop = Scd2.applyDiff(oldS,
+        Scd2.snapshotDiff(oldS, oldS, Seq("k"), Seq("t", "v")),
+        Seq("k"), Seq("t", "v"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      val old = oldS.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(noop == old, "diff(a, a) must be the identity patch")
+    }
+  }
+
   test("buildHistory null-safe attr comparison: null runs compress too") {
     val rows = Seq(("K", 1L, null: String), ("K", 2L, null: String),
       ("K", 3L, "x")).toDF("k", "ver", "attr")
