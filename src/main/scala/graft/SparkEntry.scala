@@ -494,6 +494,33 @@ object SparkEntry {
     * everything — the same incremental ≡ full proof as `inc_agg_merge`,
     * now across real micro-batch boundaries.
     */
+  /** §2.8-streaming — streaming distinct-count sketch state
+    * ([[graft.streaming.StreamingIngest.sketchStateDrain]]): per-key
+    * HLL sketches maintained across micro-batches by hll_union_agg —
+    * one ~KB blob per key where exact distinct would hold the value
+    * set. At this cardinality the sketch is in exact coupon mode, so
+    * the oracle is the exact COUNT(DISTINCT) (the a14 convention); at
+    * scale the same plan degrades to ±1.6% instead of unbounded state.
+    */
+  private val stSketchState = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stsk").toString
+      t(s, dir, "events").select(col("event_type"), col("user_id"))
+        .repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream
+        .schema(StructType.fromDDL("event_type string, user_id bigint"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/in")
+      graft.streaming.StreamingIngest.sketchStateDrain(
+        stream, s"$tmp/state", s"$tmp/ck",
+        keys = Seq("event_type"), valueCol = "user_id")
+        .awaitTermination()
+      s.read.parquet(s"$tmp/state")
+        .select(col("event_type"),
+          hll_sketch_estimate(col("sk")).cast("long").as("n_users"))
+    },
+    Some("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events GROUP BY 1"))
+
   private val stMonoidState = Q(
     (s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_stms").toString
@@ -3472,6 +3499,7 @@ object SparkEntry {
     "dedup_semantic" -> dedupSemantic,
     "st_dedup_replay" -> stDedupReplay,
     "st_monoid_state" -> stMonoidState,
+    "st_sketch_state" -> stSketchState,
     "st_upsert_drain" -> stUpsertDrain,
     "mm_image_dhash" -> mmImageDhash,
     "mm_image_neardup" -> mmImageNeardup,

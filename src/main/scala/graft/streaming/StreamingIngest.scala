@@ -242,6 +242,41 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming distinct-count sketch state: the approximate sibling of
+    * [[monoidStateDrain]] for the measure plain monoids can't carry —
+    * COUNT DISTINCT. Each micro-batch aggregates its rows into one HLL
+    * sketch per key (`hll_sketch_agg`), and the persisted state merges
+    * by `hll_union_agg` — sketches are the textbook re-mergeable
+    * aggregate, so state stays one ~KB blob per key no matter how many
+    * batches or how large the stream (an exact distinct would hold the
+    * value SET per key — unbounded). Same checkpoint/restart discipline
+    * as the monoid drain. Read the estimate off the state table with
+    * `hll_sketch_estimate`.
+    */
+  def sketchStateDrain(
+      stream: DataFrame, statePath: String, checkpoint: String,
+      keys: Seq[String], valueCol: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch.toDF().groupBy(keys.map(col): _*)
+          .agg(hll_sketch_agg(col(valueCol)).as("sk"))
+        if (!delta.isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(statePath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val merged =
+            if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+              spark.read.parquet(statePath).unionByName(delta)
+                .groupBy(keys.map(col): _*)
+                .agg(hll_union_agg(col("sk")).as("sk"))
+            else delta
+          merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
+        }
+      }
+      .start()
+
   /** Stream-stream interval join: two event streams joined on a key
     * within an event-time window — the streaming twin of the
     * declarative interval join (J8/J9ts). Both sides carry watermarks

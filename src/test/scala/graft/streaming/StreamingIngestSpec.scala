@@ -431,4 +431,27 @@ class StreamingIngestSpec extends SparkSpec {
     assert(state() == Map(
       "a" -> (3L, 42L, 2L, 30L), "b" -> (2L, 6L, 1L, 5L)))
   }
+
+  test("sketchStateDrain: distinct counts survive batch splits and " +
+      "cross-batch duplicates; restart never double-merges") {
+    val tmp = Files.createTempDirectory("graft_stsk").toString
+    val schema = StructType.fromDDL("k string, v bigint")
+    def drain(): Unit = StreamingIngest.sketchStateDrain(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in"),
+      s"$tmp/state", s"$tmp/ck", Seq("k"), "v").awaitTermination()
+    def counts(): Map[String, Long] =
+      spark.read.parquet(s"$tmp/state")
+        .select($"k", hll_sketch_estimate($"sk").cast("long"))
+        .as[(String, Long)].collect().toMap
+    // v=2 appears in BOTH files: the union must not double-count it
+    Seq(("a", 1L), ("a", 2L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    Seq(("a", 2L), ("a", 3L), ("b", 9L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    drain()
+    assert(counts() == Map("a" -> 3L, "b" -> 1L))
+    drain() // restart, nothing new
+    assert(counts() == Map("a" -> 3L, "b" -> 1L))
+  }
 }
