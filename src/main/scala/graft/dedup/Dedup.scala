@@ -569,6 +569,37 @@ object Dedup {
       case None => jaccardPairs(docs, id, text, threshold, maxDf, salt)
     }
 
+  /** Bitset containment over a ≤64-token vocabulary: the
+    * [[bitsetPairsScored]] engine with the asymmetric |∩|/min score.
+    * NO prefilter — containment is precisely the relation where a tiny
+    * mask may fully match a huge one (module doc on [[containmentPairs]]),
+    * so every distinct-mask pair is scored; still m² CHEAP popcounts
+    * over distinct masks, not doc pairs.
+    */
+  private[dedup] def containmentPairsBitset(
+      docs: DataFrame, id: String, text: String,
+      threshold: Double, vocab: Array[String]): DataFrame = {
+    def pc(c: Column): Column = bit_count(c)
+    bitsetPairsScored(docs, id, text, threshold, vocab, "containment",
+      (mx, my) => pc(mx.bitwiseAND(my)) / least(pc(mx), pc(my)),
+      (_, _) => lit(true))
+  }
+
+  /** Adaptive containment, mirroring [[jaccardPairsAuto]]: bitset masks
+    * when the vocabulary fits in 64 bits, the counted inverted index
+    * otherwise. A df cap forces the general path (the cap changes the
+    * relation, and the bitset form can't express it).
+    */
+  def containmentPairsAuto(
+      docs: DataFrame, id: String, text: String,
+      threshold: Double, maxDf: Option[Long] = None,
+      salt: Int = 1): DataFrame =
+    (if (maxDf.isEmpty && salt == 1) probeVocab(docs, text) else None) match {
+      case Some(vocab) =>
+        containmentPairsBitset(docs, id, text, threshold, vocab)
+      case None => containmentPairs(docs, id, text, threshold, maxDf, salt)
+    }
+
   /** EXACT Jaccard pairs via prefix-filtered candidate generation (the
     * All-Pairs/PPJoin scheme — Bayardo et al. WWW'07, Xiao et al. WWW'08):
     * order tokens globally by document frequency (rarest first), keep only

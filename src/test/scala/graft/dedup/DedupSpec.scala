@@ -99,6 +99,33 @@ class DedupSpec extends SparkSpec {
     assert(salted == got)
   }
 
+  test("containment bitset path (auto, vocab <= 64) equals the inverted " +
+      "index on pairs AND scores, fixed and residue-derived corpora") {
+    // 20-word vocabulary, docs drawing varied subsets incl. full-overlap
+    // small-in-big shapes (the containment signal)
+    val vocabWords = (0 until 20).map(i => s"w$i")
+    val docs = (0L until 24L).map { i =>
+      val k = 3 + (i % 9)
+      val ws = (0L until k).map(j => vocabWords(((i * 5 + j * 3) % 20).toInt))
+      (i, ws.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.7, 0.9, 1.0)) {
+      val inv = Dedup.containmentPairs(docs, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      val auto = Dedup.containmentPairsAuto(docs, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(auto == inv, s"bitset != inverted at t=$t")
+    }
+    // df cap forces the general path and still matches its own contract
+    val capped = Dedup.containmentPairsAuto(docs, "doc_id", "text", 0.9,
+      maxDf = Some(10L))
+      .as[(Long, Long, Double)].collect().toSet
+    val cappedInv = Dedup.containmentPairs(docs, "doc_id", "text", 0.9,
+      maxDf = Some(10L))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == cappedInv)
+  }
+
   test("char-ngram jaccard pairs equal brute-force trigram-set jaccard " +
       "(short texts, df cap, salt parity)") {
     val texts = Seq(
