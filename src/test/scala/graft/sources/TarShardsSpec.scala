@@ -115,4 +115,28 @@ class TarShardsSpec extends SparkSpec {
     assert(back.length == 2)
     assert(back.find(_.key == "b").get.data.isEmpty)
   }
+
+  test("shuffled write orders members by md5(key) — decorrelated but " +
+      "deterministic, same content either way") {
+    import spark.implicits._
+    val rows = (0 until 40).map(i => (f"k$i%03d", s"payload$i"))
+    val df = rows.toDF("key", "text")
+    val plain = tmpDir(); val shuf = tmpDir(); val shuf2 = tmpDir()
+    TarShards.write(df, plain, "key", Seq("text" -> "txt"), 1)
+    TarShards.write(df, shuf, "key", Seq("text" -> "txt"), 1,
+      shuffled = true)
+    TarShards.write(df, shuf2, "key", Seq("text" -> "txt"), 1,
+      shuffled = true)
+    def order(dir: String): Seq[String] =
+      TarShards.read(spark, dir).collect().map(_.key).toSeq
+    val p = order(plain); val s1 = order(shuf); val s2 = order(shuf2)
+    assert(p == p.sorted, "plain write is key-ordered")
+    assert(s1.sorted == p.sorted, "same members either way")
+    assert(s1 != p, "shuffled order must differ from key order")
+    assert(s1 == s2, "shuffle is deterministic across re-runs")
+    val wantOrder = rows.map(_._1).sortBy(k =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString, k))
+    assert(s1 == wantOrder, "order is exactly the md5 rank")
+  }
 }
