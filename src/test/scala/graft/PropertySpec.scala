@@ -317,6 +317,50 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("containment paths (inverted index, adaptive bitset) equal " +
+      "brute-force |A∩B|/min over word sets") =
+    Prop.forAllNoShrink(corpusGen) { case (texts, threshold) =>
+      import spark.implicits._
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val inv = Dedup.containmentPairs(df, "doc_id", "text", threshold)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      // the 10-word corpusGen vocabulary always fits 64 bits, so auto
+      // takes the bitset path — the parity under test
+      val auto = Dedup.containmentPairsAuto(df, "doc_id", "text", threshold)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val sets = texts.map(_.toLowerCase.split("\\s+").toSet)
+      val expected = (for {
+        i <- sets.indices; j <- sets.indices if i < j
+        inter = (sets(i) & sets(j)).size
+        mn = math.min(sets(i).size, sets(j).size)
+        if mn > 0 && inter.toDouble / mn >= threshold
+      } yield (i.toLong, j.toLong)).toSet
+      inv == expected && auto == expected
+    }
+
+  property("contentChunks partitions every document: concatenation " +
+      "reproduces the text, chunk numbering dense from 0") =
+    Prop.forAllNoShrink(corpusGen) { case (texts, _) =>
+      import spark.implicits._
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.text.TextAnalysis
+        .contentChunks(df, "doc_id", "text", window = 3, divisor = 3)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rows) =>
+          id -> rows.sortBy(_.getInt(1)).map(r =>
+            (r.getInt(1), r.getString(2))).toSeq
+        }
+      texts.zipWithIndex.forall { case (t, i) =>
+        val chunks = out.getOrElse(i.toLong, Seq.empty)
+        chunks.map(_._2).mkString(" ") == t.toLowerCase.trim
+          .split("\\s+").mkString(" ") &&
+          chunks.map(_._1) == chunks.indices
+      }
+    }
+
   // Half-integer lattice values make every bound an exact double, so
   // boundary (p == lo, p == hi) semantics are exercised exactly;
   // zero-width intervals are generated too.
