@@ -3034,6 +3034,16 @@ object SparkEntry {
       inDims = 64, outDims = 8),
     Some("WITH sgn AS (SELECT i, j, CASE WHEN strpos('02468ace', substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END AS s FROM (SELECT unnest(generate_series(0, 7)) AS i) a CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) b), e AS (SELECT vec_id, j, CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) AS v FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g), p AS (SELECT vec_id, i, sum(v * s) AS acc FROM e JOIN sgn USING (j) GROUP BY 1, 2) SELECT vec_id, CAST(i AS INT) AS dim, round(acc / sqrt(8.0), 4) AS value FROM p"))
 
+  /** Rule-based quality filter chain
+    * ([[TextAnalysis.qualityRuleFlags]], the Gopher/C4 recipe): named
+    * boolean rules + their conjunction, kept as auditable flags. The
+    * oracle recomputes every rule's arithmetic.
+    */
+  private val textQualityRules = Q(
+    (s, dir) => TextAnalysis.qualityRuleFlags(
+      t(s, dir, "documents"), "doc_id", "text"),
+    Some("WITH b AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), m AS (SELECT doc_id, text, CAST(len(ws) AS DOUBLE) AS n, CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) AS chars, CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE) AS syms, len(list_intersect(list_distinct(ws), ['the', 'a', 'of', 'and', 'to', 'in'])) AS nstops FROM b) SELECT doc_id, n >= 10 AND n <= 10000 AS ok_len, chars / n >= 3.0 AND chars / n <= 10.0 AS ok_word_len, regexp_matches(trim(text), '[.!?]$') AS ok_terminal, syms / n <= 0.1 AS ok_symbols, nstops >= 2 AS ok_stopwords, (n >= 10 AND n <= 10000) AND (chars / n >= 3.0 AND chars / n <= 10.0) AND regexp_matches(trim(text), '[.!?]$') AND (syms / n <= 0.1) AND (nstops >= 2) AS keep FROM m"))
+
   /** Content-defined chunking ([[TextAnalysis.contentChunks]]):
     * boundaries where the rolling 4-token md5 ≡ 0 mod 8 — edit-stable
     * chunking (an insertion re-chunks its neighborhood only), the
@@ -3438,6 +3448,7 @@ object SparkEntry {
     "ann_random_projection" -> annRandomProjection,
     "ann_hard_negatives" -> annHardNegatives,
     "text_cdc_chunks" -> textCdcChunks,
+    "text_quality_rules" -> textQualityRules,
     "ann_neardup" -> annNearDup,
     "ann_group_cosine" -> annGroupCosine,
     "ann_ivf_topk" -> annIvfTopK,

@@ -110,6 +110,41 @@ object TextAnalysis {
       i => concat_ws(" ", slice(ts, (i * step + 1).cast("int"), lit(size))))
   }
 
+  /** Rule-based quality filter chain (the Gopher §A1 / C4 recipe: a
+    * battery of cheap structural rules, each a named boolean, with the
+    * keep decision their conjunction — kept AS FLAGS so curation can
+    * audit which rule fired instead of silently losing documents).
+    * Rules here: token count within bounds, mean word length within
+    * bounds, text ends in terminal punctuation, symbol-to-word ratio
+    * bounded (`#`/`…` spam), and at least `minStopwords` distinct
+    * common stopwords present (gibberish/non-prose gate). One narrow
+    * projection, pure column arithmetic, no UDF.
+    */
+  def qualityRuleFlags(docs: DataFrame, id: String, text: String,
+      minTokens: Int = 10, maxTokens: Int = 10000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopwords: Int = 2): DataFrame = {
+    val ts = tokens(col(text))
+    val n = org.apache.spark.sql.functions.size(ts).cast("double")
+    val meanLen = (length(regexp_replace(trim(col(text)), "\\s+", "")))
+      .cast("double") / n
+    val symbols = (length(col(text)) -
+      length(regexp_replace(col(text), "[#…]", ""))).cast("double")
+    val stops = Seq("the", "a", "of", "and", "to", "in").map(lit)
+    val nStops = org.apache.spark.sql.functions.size(
+      array_intersect(array_distinct(ts), array(stops: _*)))
+    docs.select(col(id),
+      (n >= minTokens && n <= maxTokens).as("ok_len"),
+      (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen)
+        .as("ok_word_len"),
+      trim(col(text)).rlike("[.!?]$").as("ok_terminal"),
+      (symbols / n <= maxSymbolRatio).as("ok_symbols"),
+      (nStops >= minStopwords).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_len") && col("ok_word_len") && col("ok_terminal") &&
+          col("ok_symbols") && col("ok_stopwords"))
+  }
+
   /** Content-defined chunking (the FastCDC/rsync idea at token
     * altitude): a chunk boundary falls AFTER token i whenever the hash
     * of the last `window` tokens is ≡ 0 mod `divisor` — boundaries are

@@ -223,6 +223,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(single.find(_._1 == 4L).map(_._2).contains(4L))
   }
 
+  test("qualityRuleFlags: each rule fires on its designed violation " +
+      "and only then; keep is the conjunction") {
+    val good = "the quick brown fox jumps over a lazy dog of the north " +
+      "and keeps to running in wide circles."
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short."),                          // ok_len fails
+      (3L, good.replace(".", "")),                 // ok_terminal fails
+      (4L, good + " ##### ##### #####."),          // ok_symbols fails
+      (5L, "zx qw vb nm kj hg fd sa po iu yt re.") // ok_stopwords fails
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityRuleFlags(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._6)
+    assert(!out(3L)._3 && !out(3L)._6)
+    assert(!out(4L)._4 && !out(4L)._6)
+    assert(!out(5L)._5 && !out(5L)._6)
+    // every failing doc fails through exactly its designed rule
+    assert(out(3L)._1 && out(3L)._2 && out(3L)._4 && out(3L)._5)
+  }
+
   private def cdcChunks(id: Long, text: String): Seq[(Int, String)] =
     TextAnalysis.contentChunks(
       Seq((id, text)).toDF("doc_id", "text"), "doc_id", "text",
