@@ -128,6 +128,35 @@ object SparkEntry {
     },
     Some("SELECT event_type, CAST(CASE WHEN event_type < 'm' THEN 2 ELSE 1 END AS BIGINT) AS n_files FROM (SELECT DISTINCT event_type FROM events)"))
 
+  /** S15 — orphan-file audit: files present under the dataset root but
+    * absent from the bookmark manifest (crashed-run leftovers, manual
+    * drops, partial commits — the reconciliation every incremental
+    * pipeline needs before it can trust its bookmark). Listing
+    * anti-join manifest, grouped per partition; only the uncommitted
+    * partitions may surface. Fixture commits exactly the `< 'm'`
+    * partitions' files, so the oracle knows the orphan census by
+    * construction.
+    */
+  private val s15Orphans = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s15").toString
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"))
+      ParquetDataset.write(ev, s"$tmp/data", Seq("event_type"))
+      val listed = FileListing.list(s, s"$tmp/data")
+        .where(col("path").endsWith(".parquet"))
+      Bookmark.commitFilesDF(s, s"$tmp/manifest",
+        listed.where(
+          regexp_extract(col("path"), "event_type=([^/]+)", 1) < "m")
+          .select(col("path")))
+      listed.join(
+          s.read.parquet(s"$tmp/manifest").select(col("path")),
+          Seq("path"), "left_anti")
+        .withColumn("event_type",
+          regexp_extract(col("path"), "event_type=([^/]+)", 1))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_orphans"))
+    },
+    Some("SELECT event_type, CAST(1 AS BIGINT) AS n_orphans FROM (SELECT DISTINCT event_type FROM events) WHERE event_type >= 'm'"))
+
   /** S3 — partitioned-NDJSON sink round-trip (s3_to_json_s3.py:620-647):
     * write the Hive `dataset=/assessmentid=/year=/month=/day=` layout, read
     * back through the schema-applied scan, recover every value. Partition
@@ -3358,6 +3387,7 @@ object SparkEntry {
     "s6_query_source" -> s6QuerySource,
     "s7_quarantine" -> s7Quarantine,
     "s8_listing" -> s8Listing,
+    "s15_orphans" -> s15Orphans,
     "s9_csv_roundtrip" -> s9CsvRoundtrip,
     "s10_compact" -> s10Compact,
     "s11_orc_roundtrip" -> s11OrcRoundtrip,
