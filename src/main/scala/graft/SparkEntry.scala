@@ -3063,6 +3063,33 @@ object SparkEntry {
       inDims = 64, outDims = 8),
     Some("WITH sgn AS (SELECT i, j, CASE WHEN strpos('02468ace', substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END AS s FROM (SELECT unnest(generate_series(0, 7)) AS i) a CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) b), e AS (SELECT vec_id, j, CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) AS v FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g), p AS (SELECT vec_id, i, sum(v * s) AS acc FROM e JOIN sgn USING (j) GROUP BY 1, 2) SELECT vec_id, CAST(i AS INT) AS dim, round(acc / sqrt(8.0), 4) AS value FROM p"))
 
+  /** Per-sentence language spans: sentence-split, language-ID each
+    * sentence ([[TextAnalysis.langId]]), then compress adjacent
+    * same-language runs with the SCD2 run-compressor
+    * ([[graft.operators.Scd2.buildHistory]] — the operator reuse is the
+    * point: language runs ARE validity runs over sentence index). A
+    * French tail planted on every fourth document guarantees real
+    * multilingual transitions. Oracle replays the split, the marker
+    * scoring with the exact tie-break chain, and the run windows.
+    */
+  private val textLangidSpans = Q(
+    (s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 4 === 0,
+          lit(". le chat est dans les jardins et le vin est une merveille."))
+          .otherwise(lit(""))).as("t2"))
+      val sents = aug
+        .select(col("doc_id"),
+          posexplode(split(col("t2"), "[.!?]+\\s*"))
+            .as(Seq("sent_idx", "sent")))
+        .where(trim(col("sent")) =!= "")
+        .select(col("doc_id"), col("sent_idx"),
+          TextAnalysis.langId(col("sent")).as("lang"))
+      graft.operators.Scd2.buildHistory(sents, Seq("doc_id"), "sent_idx",
+        Seq("lang"))
+    },
+    Some("WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN '. le chat est dans les jardins et le vin est une merveille.' ELSE '' END AS t2 FROM documents), sp AS (SELECT doc_id, unnest(string_split_regex(t2, '[.!?]+\\s*')) AS s, generate_subscripts(string_split_regex(t2, '[.!?]+\\s*'), 1) - 1 AS i FROM aug), ke AS (SELECT doc_id, i, string_split_regex(lower(trim(s)), '\\s+') AS ws FROM sp WHERE trim(s) <> ''), sc AS (SELECT doc_id, i, len(list_filter(ws, x -> list_contains(['der', 'die', 'das', 'und', 'nicht', 'ist'], x))) AS de, len(list_filter(ws, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in'], x))) AS en, len(list_filter(ws, x -> list_contains(['el', 'los', 'las', 'y', 'que', 'una'], x))) AS es, len(list_filter(ws, x -> list_contains(['le', 'les', 'et', 'dans', 'une', 'est'], x))) AS fr FROM ke), lg AS (SELECT doc_id, i, CASE WHEN de >= en AND de >= es AND de >= fr AND de > 0 THEN 'de' WHEN en >= es AND en >= fr AND en > 0 THEN 'en' WHEN es >= fr AND es > 0 THEN 'es' WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang FROM sc), o AS (SELECT doc_id, i, lang, lag(i) OVER w AS pid, lag(lang) OVER w AS plang FROM lg WINDOW w AS (PARTITION BY doc_id ORDER BY i)), st AS (SELECT doc_id, i, lang FROM o WHERE pid IS NULL OR plang IS DISTINCT FROM lang) SELECT doc_id, lang, CAST(i AS INT) AS valid_from, CAST(lead(i) OVER w2 AS INT) AS valid_to, lead(i) OVER w2 IS NULL AS is_current FROM st WINDOW w2 AS (PARTITION BY doc_id ORDER BY i)"))
+
   /** Rule-based quality filter chain
     * ([[TextAnalysis.qualityRuleFlags]], the Gopher/C4 recipe): named
     * boolean rules + their conjunction, kept as auditable flags. The
@@ -3479,6 +3506,7 @@ object SparkEntry {
     "ann_hard_negatives" -> annHardNegatives,
     "text_cdc_chunks" -> textCdcChunks,
     "text_quality_rules" -> textQualityRules,
+    "text_langid_spans" -> textLangidSpans,
     "ann_neardup" -> annNearDup,
     "ann_group_cosine" -> annGroupCosine,
     "ann_ivf_topk" -> annIvfTopK,
