@@ -1696,6 +1696,32 @@ object SparkEntry {
     },
     Some("WITH RECURSIVE d AS (SELECT doc_id, doc_id % 64 AS g, CAST(16 + (doc_id % 64) % 9 AS INT) AS w, CAST(12 + (doc_id % 64) % 7 AS INT) AS h, (doc_id // 64) % 101 AS sel FROM documents), b0 AS (SELECT doc_id, g, sel, i, (i % 8) * w // 9 AS xl, ((i % 8) + 1) * w // 9 AS xr, (i // 8) * h // 8 AS sy FROM d CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) s), b AS (SELECT doc_id, i, CASE WHEN ((xl + g) * (sy + 2 * g + 3) * 7 + xl * 11 + CASE WHEN (xl * 31 + sy * 17) % 101 = sel THEN 128 ELSE 0 END) % 256 > ((xr + g) * (sy + 2 * g + 3) * 7 + xr * 11 + CASE WHEN (xr * 31 + sy * 17) % 101 = sel THEN 128 ELSE 0 END) % 256 THEN '1' ELSE '0' END AS bit FROM b0), fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS f FROM b GROUP BY doc_id), pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.f AS f1, b.f AS f2 FROM fp a JOIN fp b ON a.doc_id < b.doc_id), dd AS (SELECT id1, id2, count(*) FILTER (WHERE substr(f1, CAST(i AS INT), 1) <> substr(f2, CAST(i AS INT), 1)) AS dist FROM pr CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM dd WHERE dist <= 7), e AS (SELECT id1 AS s, id2 AS dst FROM pairs UNION SELECT id2 AS s, id1 AS dst FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.dst, w.lbl FROM walk w JOIN e ON e.s = w.id), comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id) SELECT cluster AS doc_id, CAST(count(*) AS BIGINT) AS n_members FROM comp GROUP BY 1"))
 
+  /** Quality-aware canonical selection: near-dup clusters keep their
+    * BEST member (highest quality score, ties by smallest id) instead
+    * of the smallest id — the policy a real curator wants (the cleanest
+    * copy survives, not the one that happened to arrive first). One
+    * min_by aggregate over the component labels; the corpus never
+    * re-shuffles for the selection.
+    */
+  private val dedupCanonicalQuality = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      val comps = Clusters.connectedComponents(pairs, "id1", "id2",
+        nodes = Some(docs.select(col("doc_id"))), idCol = "doc_id")
+      val scored = comps.join(
+        docs.select(col("doc_id").as("id"),
+          TextAnalysis.qualityScore(col("text")).as("quality")), Seq("id"))
+      scored.groupBy(col("component"))
+        .agg(
+          min_by(col("id"),
+            struct((-col("quality")).as("nq"), col("id"))).as("doc_id"),
+          count(lit(1)).as("n_members"),
+          max(col("quality")).as("quality"))
+        .select(col("doc_id"), col("n_members"), col("quality"))
+    },
+    Some("WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8), e AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2 AS s, id1 AS d FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.id), comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id), qb AS (SELECT doc_id, text, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS n, CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) AS stophits, CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct FROM documents), q AS (SELECT doc_id, floor((least(1.0, n / 100.0) * 0.4 + least(1.0, stophits / n * 5.0) * 0.3 + (1.0 - punct / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality FROM qb), j AS (SELECT comp.id, comp.cluster, q.quality FROM comp JOIN q ON q.doc_id = comp.id), r AS (SELECT cluster, id, quality, row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, id) AS rk, count(*) OVER (PARTITION BY cluster) AS nm FROM j) SELECT id AS doc_id, CAST(nm AS BIGINT) AS n_members, quality FROM r WHERE rk = 1"))
+
   /** AN1 — ordered funnel analysis (view → click → purchase): each
     * stage's first event must FOLLOW the previous stage's first event,
     * per user. Three keyed aggregates, each pruned to one event type
@@ -3575,6 +3601,7 @@ object SparkEntry {
     "mm_audio_fp" -> mmAudioFp,
     "mm_audio_neardup" -> mmAudioNeardup,
     "corpus_image_curation" -> corpusImageCuration,
+    "dedup_canonical_quality" -> dedupCanonicalQuality,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
