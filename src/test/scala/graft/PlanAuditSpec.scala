@@ -320,4 +320,24 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
     }
   }
+
+  test("pure-projection entries never shuffle: zero Exchange in the " +
+      "plan — these scale as a single map pass no matter the corpus") {
+    Seq("web_url_canonical", "text_html_extract", "text_quality_rules",
+      "so12_zorder", "so13_negative_sample",
+      "text_normalize", "text_pii_redact", "so6_hash_split",
+      "so7_stratified_sample").foreach { n =>
+      val p = plan(n)
+      val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange\\s*"))
+      assert(exchanges == 0, s"$n should be narrow, found $exchanges:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+    }
+    // the codec-tier projections widen deliberately: exactly ONE
+    // round-robin exchange (task parallelism for dense inputs), never a
+    // keyed shuffle
+    val p = plan("ann_random_projection")
+    val ex = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange\\s*"))
+    assert(ex == 1, s"widen should be the only exchange, found $ex:\n$p")
+    assert(p.contains("RoundRobinPartitioning"), p)
+  }
 }
