@@ -1696,6 +1696,21 @@ object SparkEntry {
     },
     Some("WITH RECURSIVE d AS (SELECT doc_id, doc_id % 64 AS g, CAST(16 + (doc_id % 64) % 9 AS INT) AS w, CAST(12 + (doc_id % 64) % 7 AS INT) AS h, (doc_id // 64) % 101 AS sel FROM documents), b0 AS (SELECT doc_id, g, sel, i, (i % 8) * w // 9 AS xl, ((i % 8) + 1) * w // 9 AS xr, (i // 8) * h // 8 AS sy FROM d CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) s), b AS (SELECT doc_id, i, CASE WHEN ((xl + g) * (sy + 2 * g + 3) * 7 + xl * 11 + CASE WHEN (xl * 31 + sy * 17) % 101 = sel THEN 128 ELSE 0 END) % 256 > ((xr + g) * (sy + 2 * g + 3) * 7 + xr * 11 + CASE WHEN (xr * 31 + sy * 17) % 101 = sel THEN 128 ELSE 0 END) % 256 THEN '1' ELSE '0' END AS bit FROM b0), fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS f FROM b GROUP BY doc_id), pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.f AS f1, b.f AS f2 FROM fp a JOIN fp b ON a.doc_id < b.doc_id), dd AS (SELECT id1, id2, count(*) FILTER (WHERE substr(f1, CAST(i AS INT), 1) <> substr(f2, CAST(i AS INT), 1)) AS dist FROM pr CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM dd WHERE dist <= 7), e AS (SELECT id1 AS s, id2 AS dst FROM pairs UNION SELECT id2 AS s, id1 AS dst FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.dst, w.lbl FROM walk w JOIN e ON e.s = w.id), comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id) SELECT cluster AS doc_id, CAST(count(*) AS BIGINT) AS n_members FROM comp GROUP BY 1"))
 
+  /** AN7 — robust scaling ([[graft.operators.Drift.robustScale]]):
+    * (x − median)/IQR per event-type group, the outlier-insensitive
+    * standardization. Group-sized percentile model broadcast back, one
+    * narrow projection; oracle recomputes both quantiles with
+    * quantile_cont (Spark `percentile` is the same interpolated
+    * definition).
+    */
+  private val an7RobustScale = Q(
+    (s, dir) => graft.operators.Drift.robustScale(
+      t(s, dir, "events").select(col("event_id"), col("event_type"),
+        col("value")),
+      groupCols = Seq("event_type"), valueCol = "value")
+      .select(col("event_id"), col("event_type"), col("scaled")),
+    Some("WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med, quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr FROM events GROUP BY 1) SELECT event_id, e.event_type AS event_type, CASE WHEN iqr = 0.0 THEN 0.0 ELSE round((value - med) / iqr, 4) END AS scaled FROM events e JOIN m ON e.event_type = m.event_type"))
+
   /** Quality-aware canonical selection: near-dup clusters keep their
     * BEST member (highest quality score, ties by smallest id) instead
     * of the smallest id — the policy a real curator wants (the cleanest
@@ -3503,6 +3518,7 @@ object SparkEntry {
     "an3_transitions" -> an3Transitions,
     "an4_drift_psi" -> an4DriftPsi,
     "an5_outliers_mad" -> an5OutliersMad,
+    "an7_robust_scale" -> an7RobustScale,
     "an6_sessionize" -> an6Sessionize,
     "r1_relationalize" -> r1Relationalize,
     "r1_deep_relationalize" -> r1DeepRelationalize,

@@ -84,4 +84,28 @@ object Drift {
         .otherwise(abs(col("z")) > cutoff))
       .drop("__med", "__mad")
   }
+
+  /** Robust scaling — `(x − median) / IQR` per group: the
+    * outlier-insensitive standardization (z-scores move with every
+    * extreme value; median/IQR don't), the normalize step feature
+    * pipelines run after [[madOutliers]] has flagged and
+    * [[graft.operators.Buckets.winsorize]] has clipped. Same shape as
+    * both: one group-sized percentile model broadcast back, one narrow
+    * projection. Zero-IQR groups (constant-valued) scale to 0 rather
+    * than divide by zero; output quantized 4.
+    */
+  def robustScale(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, outName: String = "scaled"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols required")
+    val v = col(valueCol)
+    val model = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"),
+        (expr(s"percentile($valueCol, 0.75)") -
+          expr(s"percentile($valueCol, 0.25)")).as("__iqr"))
+    df.join(broadcast(model), groupCols)
+      .withColumn(outName,
+        when(col("__iqr") === 0.0, lit(0.0))
+          .otherwise(round((v - col("__med")) / col("__iqr"), 4)))
+      .drop("__med", "__iqr")
+  }
 }

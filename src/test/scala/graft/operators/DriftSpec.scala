@@ -55,4 +55,22 @@ class DriftSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(out == Set(900L, 901L, 1021L))
   }
+
+  test("robustScale: hand-checked (x - median)/IQR per group; constant " +
+      "group scales to 0; extremes don't move the center") {
+    // group a: 1..9 -> median 5, q1 3, q3 7, iqr 4
+    val a = (1 to 9).map(i => ("a", i.toLong, i.toDouble))
+    // same group with a huge outlier appended: median/IQR barely move,
+    // unlike mean/stddev — the property that makes the scaling robust
+    val b = (1 to 9).map(i => ("b", 100L + i, i.toDouble)) :+
+      ("b", 110L, 1e6)
+    val c = Seq(("c", 200L, 4.0), ("c", 201L, 4.0))
+    val out = Drift.robustScale((a ++ b ++ c).toDF("g", "id", "v"),
+      Seq("g"), "v")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out(5L) == 0.0 && out(1L) == -1.0 && out(9L) == 1.0)
+    assert(out(200L) == 0.0 && out(201L) == 0.0, "zero-IQR group -> 0")
+    // center of the contaminated group still scales near 0
+    assert(math.abs(out(105L)) <= 0.5)
+  }
 }
