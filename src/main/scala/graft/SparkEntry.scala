@@ -1696,6 +1696,36 @@ object SparkEntry {
     },
     Some("WITH RECURSIVE d AS (SELECT doc_id, doc_id % 64 AS g, CAST(16 + (doc_id % 64) % 9 AS INT) AS w, CAST(12 + (doc_id % 64) % 7 AS INT) AS h, (doc_id // 64) % 101 AS sel FROM documents), b0 AS (SELECT doc_id, g, sel, i, (i % 8) * w // 9 AS xl, ((i % 8) + 1) * w // 9 AS xr, (i // 8) * h // 8 AS sy FROM d CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) s), b AS (SELECT doc_id, i, CASE WHEN ((xl + g) * (sy + 2 * g + 3) * 7 + xl * 11 + CASE WHEN (xl * 31 + sy * 17) % 101 = sel THEN 128 ELSE 0 END) % 256 > ((xr + g) * (sy + 2 * g + 3) * 7 + xr * 11 + CASE WHEN (xr * 31 + sy * 17) % 101 = sel THEN 128 ELSE 0 END) % 256 THEN '1' ELSE '0' END AS bit FROM b0), fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS f FROM b GROUP BY doc_id), pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.f AS f1, b.f AS f2 FROM fp a JOIN fp b ON a.doc_id < b.doc_id), dd AS (SELECT id1, id2, count(*) FILTER (WHERE substr(f1, CAST(i AS INT), 1) <> substr(f2, CAST(i AS INT), 1)) AS dist FROM pr CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM dd WHERE dist <= 7), e AS (SELECT id1 AS s, id2 AS dst FROM pairs UNION SELECT id2 AS s, id1 AS dst FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.dst, w.lbl FROM walk w JOIN e ON e.s = w.id), comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id) SELECT cluster AS doc_id, CAST(count(*) AS BIGINT) AS n_members FROM comp GROUP BY 1"))
 
+  /** PMI collocation mining: pointwise mutual information
+    * `ln(N·c(w1,w2) / (c(w1)·c(w2)))` over adjacent token pairs, top-k
+    * strongest collocations with a minimum pair count (PMI is noise
+    * without it — hapax pairs score arbitrarily high). The phrase-mining
+    * classic (Church & Hanks 1990). Two vocabulary-sized aggregates off
+    * one materialized bigram stream, TakeOrdered top-k, ln quantized 9
+    * (BM25 convention).
+    */
+  private val textPmiBigrams = Q(
+    (s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(TextAnalysis.tokens(col("text")).as("__ws"))
+        .select(explode(expr(
+          "transform(sequence(0, size(__ws) - 2), " +
+            "i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint()
+      val n = bg.count()
+      val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .where(col("cb") >= 5)
+      val cw1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val cw2 = bg.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+      cb.join(cw1, Seq("w1")).join(cw2, Seq("w2"))
+        .select(col("w1"), col("w2"), col("cb"),
+          round(log(lit(n.toDouble) * col("cb") / (col("c1") * col("c2"))),
+            9).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+    },
+    Some("WITH tk AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), bg AS (SELECT ws[i + 1] AS w1, ws[i + 2] AS w2 FROM tk, unnest(range(len(ws) - 1)) AS u(i)), nn AS (SELECT count(*) AS n FROM bg), cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2 HAVING count(*) >= 5), c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1), c2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY 1) SELECT w1, w2, CAST(cb AS BIGINT) AS cb, round(ln(CAST(nn.n AS DOUBLE) * cb / (c1.c1 * c2.c2)), 9) AS pmi FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nn ORDER BY pmi DESC, w1, w2 LIMIT 20"))
+
   /** AN7 — robust scaling ([[graft.operators.Drift.robustScale]]):
     * (x − median)/IQR per event-type group, the outlier-insensitive
     * standardization. Group-sized percentile model broadcast back, one
@@ -3549,6 +3579,7 @@ object SparkEntry {
     "text_cdc_chunks" -> textCdcChunks,
     "text_quality_rules" -> textQualityRules,
     "text_langid_spans" -> textLangidSpans,
+    "text_pmi_bigrams" -> textPmiBigrams,
     "ann_neardup" -> annNearDup,
     "ann_group_cosine" -> annGroupCosine,
     "ann_ivf_topk" -> annIvfTopK,
