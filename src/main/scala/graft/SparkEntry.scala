@@ -2488,39 +2488,23 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text", maxTokens = 256, groups = 8),
     Some("WITH tk AS (SELECT doc_id, doc_id % 8 AS grp, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS toks FROM documents), c AS (SELECT grp, doc_id, toks, COALESCE(sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tk) SELECT grp, CAST(cum // 256 AS BIGINT) AS seq, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM c GROUP BY 1, 2"))
 
-  /** Trained-BPE subword accounting ([[graft.text.Bpe]]): train 24
-    * merges on the corpus' own word-frequency table (ONE corpus pass;
-    * every iteration is vocabulary-sized), then encode every document
-    * under the trained ranks with the greedy lowest-rank-first loop.
-    * Oracle: NONE — iterative BPE training is not expressible in SQL,
-    * so the driver records the weaker rows-only check and BpeSpec
-    * carries the verification load (the Sennrich golden merge sequence,
-    * greedy-encode behavior, determinism, count monotonicity).
+  /** BPE training pair statistics ([[graft.text.Bpe.pairStats]]): the
+    * corpus-sized stage of BPE training — char-level (iteration-0)
+    * adjacent-symbol pair counts over the word-frequency table,
+    * deterministic top-50. This is the ONE driver-checkable slice of
+    * the BPE pipeline: the full iterative merge loop ([[graft.text.Bpe
+    * .train]]/`encodeTokens`/`encodeCounts`) is not SQL-expressible, so
+    * it is intentionally NOT registered here — a registry row that can
+    * never go green is worse than a spec-only operator — and BpeSpec
+    * carries its verification (Sennrich golden merge sequence, greedy
+    * encode, detokenize round-trip, in-memory/distributed parity).
+    * The oracle re-derives the same char segmentation with list
+    * arithmetic (ASCII corpus: DuckDB character slicing and JVM char
+    * mapping agree).
     */
-  private val textBpe = Q(
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = PhaseTimer.phase("train") {
-        graft.text.Bpe.train(docs, "text", numMerges = 24)
-      }
-      graft.text.Bpe.encodeCounts(docs, "doc_id", "text", merges)
-    },
-    None)
-
-  /** Trained-BPE token sequences ([[graft.text.Bpe.encodeTokens]]): the
-    * tokenizer OUTPUT (per-document subword arrays + counts), i.e. what
-    * feeds sequence packing / vocab-id lookup — text_bpe only accounts.
-    * Oracle: NONE (same reason as text_bpe — the greedy merge loop is
-    * not SQL-expressible); BpeSpec pins the exact token sequences,
-    * count parity with encodeCounts, and the detokenize round-trip.
-    */
-  private val textBpeEncode = Q(
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = graft.text.Bpe.train(docs, "text", numMerges = 24)
-      graft.text.Bpe.encodeTokens(docs, "doc_id", "text", merges)
-    },
-    None)
+  private val textBpePairStats = Q(
+    (s, dir) => graft.text.Bpe.pairStats(t(s, dir, "documents"), "text", k = 50),
+    Some("WITH w AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) WHERE w <> '' GROUP BY w), sy AS (SELECT list_append(list_transform(generate_series(1, len(w)), i -> w[i:i]), '</w>') AS syms, c FROM w), p AS (SELECT syms[i] AS a, syms[i + 1] AS b, c FROM (SELECT syms, c, unnest(generate_series(1, len(syms) - 1)) AS i FROM sy)) SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt FROM p GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 50"))
 
   /** Gopher-style repetition signals ([[TextAnalysis.repetitionSignals]]):
     * top-unigram fraction + intra-doc duplicate-trigram fraction — the
@@ -3634,8 +3618,7 @@ object SparkEntry {
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,
-    "text_bpe" -> textBpe,
-    "text_bpe_encode" -> textBpeEncode,
+    "text_bpe_pair_stats" -> textBpePairStats,
     "dedup_spans" -> dedupSpans,
     "dedup_spans_winnowed" -> dedupSpansWinnowed,
     "dedup_semantic" -> dedupSemantic,

@@ -182,6 +182,33 @@ object Bpe {
     merges.result()
   }
 
+  /** Adjacent-symbol pair statistics over the char-level (iteration-0)
+    * segmentation — the corpus-sized stage of BPE training, exposed as
+    * a driver-checkable query: (a, b, cnt) for the `k` most frequent
+    * adjacent symbol pairs, total-ordered (cnt desc, a asc, b asc) so
+    * the top-k is deterministic. The corpus collapses to the word table
+    * in one pass (map-side combined groupBy); the pair explosion then
+    * runs over vocabulary-sized data — exactly the cost shape of
+    * [[train]]'s first iteration.
+    */
+  def pairStats(docs: DataFrame, text: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(split(lower(trim(col(text))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+      .flatMap { case (w, c) =>
+        val syms = toSymbols(w)
+        (0 until syms.length - 1).map(i => (syms(i), syms(i + 1), c))
+      }
+      .toDF("a", "b", "c")
+      .groupBy(col("a"), col("b")).agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Encode one word with the greedy lowest-rank-first merge loop (the
     * GPT-2 reference algorithm): repeatedly merge every occurrence of
     * the known pair with the smallest rank until none remains.
