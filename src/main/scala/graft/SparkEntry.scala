@@ -2506,6 +2506,50 @@ object SparkEntry {
     (s, dir) => graft.text.Bpe.pairStats(t(s, dir, "documents"), "text", k = 50),
     Some("WITH w AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) WHERE w <> '' GROUP BY w), sy AS (SELECT list_append(list_transform(generate_series(1, len(w)), i -> w[i:i]), '</w>') AS syms, c FROM w), p AS (SELECT syms[i] AS a, syms[i + 1] AS b, c FROM (SELECT syms, c, unnest(generate_series(1, len(syms) - 1)) AS i FROM sy)) SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt FROM p GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 50"))
 
+  /** Typo-tolerant fuzzy self-join ([[graft.operators.FuzzyJoin]]):
+    * all Levenshtein-distance-≤1 customer-name pairs via SymSpell
+    * deletion-neighborhood blocking — candidate generation is an
+    * equi-join on deletion-variant keys (never a cartesian, never an
+    * all-pairs scan); the exact distance verifies only deduplicated
+    * candidates with the codegen'd built-in. The oracle pays the
+    * quadratic scan the operator exists to avoid — affordable at
+    * sf0.01, which is exactly the point of the comparison.
+    */
+  private val j13FuzzyJoin = Q(
+    (s, dir) => graft.operators.FuzzyJoin.selfJoin(
+      t(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1),
+    Some("SELECT a.c_custkey AS id1, b.c_custkey AS id2, CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist FROM customer a, customer b WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1"))
+
+  /** Exact n-gram decontamination ([[graft.dedup.Dedup
+    * .ngramContamination]], Brown et al. 2020 appendix C): train docs
+    * (doc_id % 10 != 0) flagged by verbatim 8-gram overlap with the
+    * held-out slice (doc_id % 10 == 0) — the exact complement of the
+    * MinHash `dedup_contamination` scan. Held-out grams broadcast
+    * (benchmarks are MB-sized against a 100 TB corpus → map-side
+    * semi-join, zero corpus shuffle).
+    */
+  private val dedupContaminationNgram = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.dedup.Dedup.ngramContamination(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 8, broadcastHeld = true)
+        .select(col("id").as("doc_id"), col("n_overlap"), col("contaminated"))
+    },
+    Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 7), i -> array_to_string(ws[i:i+7], ' '))) AS gs FROM d WHERE len(ws) >= 8), hg AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 10 = 0), tg AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 10 <> 0), ov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap FROM tg JOIN hg USING (g) GROUP BY doc_id) SELECT t.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap, COALESCE(ov.n_overlap, 0) > 0 AS contaminated FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) t LEFT JOIN ov USING (doc_id)"))
+
+  /** Vocabulary coverage curve ([[TextAnalysis.vocabCoverage]]): token
+    * coverage of the top-{100, 1000, 10000} word vocabularies — the
+    * Zipf diagnostic behind tokenizer vocab sizing / OOV estimation.
+    * One map-side-combined word count, a TakeOrdered head, never a
+    * corpus-wide sort or window.
+    */
+  private val textVocabCoverage = Q(
+    (s, dir) => TextAnalysis.vocabCoverage(
+      t(s, dir, "documents"), "text", Seq(100, 1000, 10000)),
+    Some("WITH w AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) WHERE w <> '' GROUP BY w), r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM w), t AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM w) SELECT CAST(k AS INT) AS k, CAST(sum(CASE WHEN rn <= k THEN c ELSE 0 END) AS BIGINT) AS covered_tokens, any_value(total_tokens) AS total_tokens, floor(CAST(sum(CASE WHEN rn <= k THEN c ELSE 0 END) AS DOUBLE) / any_value(total_tokens) * 10000.0 + 0.5) / 10000.0 AS coverage FROM r CROSS JOIN t CROSS JOIN (VALUES (100), (1000), (10000)) ks(k) GROUP BY k"))
+
   /** Gopher-style repetition signals ([[TextAnalysis.repetitionSignals]]):
     * top-unigram fraction + intra-doc duplicate-trigram fraction — the
     * degenerate-generation filter of a training-data quality gate. The
@@ -3619,6 +3663,9 @@ object SparkEntry {
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,
     "text_bpe_pair_stats" -> textBpePairStats,
+    "j13_fuzzy_join" -> j13FuzzyJoin,
+    "dedup_contamination_ngram" -> dedupContaminationNgram,
+    "text_vocab_coverage" -> textVocabCoverage,
     "dedup_spans" -> dedupSpans,
     "dedup_spans_winnowed" -> dedupSpansWinnowed,
     "dedup_semantic" -> dedupSemantic,

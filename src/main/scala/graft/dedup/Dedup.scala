@@ -432,6 +432,54 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Exact n-gram decontamination (the GPT-3 appendix-C method, Brown
+    * et al. 2020: a training doc is contaminated when any of its word
+    * n-grams occurs verbatim in the held-out/eval set) — the exact
+    * complement of the MinHash [[contamination]] scan, which catches
+    * NEAR-duplicate leakage this one cannot, while this one catches
+    * single-quote leakage below any Jaccard threshold.
+    *
+    * Returns every train row: (id, n_overlap = distinct leaked n-grams
+    * in the doc, contaminated). Docs with < n tokens have no n-grams
+    * and report 0.
+    *
+    * Scale: the held-out side collapses to its DISTINCT gram set once;
+    * train grams are per-doc distinct (no within-doc multiplicity
+    * shuffles). The verdict join runs on the gram key — benchmarks are
+    * MB-sized against a 100 TB corpus, so `broadcastHeld = true` turns
+    * it into a map-side semi-join with zero corpus shuffle; the default
+    * stays a shuffle join because a LARGE held set force-broadcast
+    * would OOM exactly when this scan matters most.
+    */
+  def ngramContamination(
+      train: DataFrame, held: DataFrame, id: String, text: String,
+      n: Int = 8, broadcastHeld: Boolean = false): DataFrame = {
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      // stage the token array in its own projection (HOF lambda over a
+      // column reference, not an inline re-split per element); `keep`
+      // columns are aliased in the FIRST projection, then referenced by
+      // their output names downstream
+      val toks = df.select(keep :+ split(lower(trim(col(text))), "\\s+").as("__ts"): _*)
+      val keepNames = toks.columns.dropRight(1).map(col)
+      toks
+        .where(size(col("__ts")) >= n)
+        .select(keepNames :+ explode(array_distinct(transform(
+          sequence(lit(0), size(col("__ts")) - n),
+          i => concat_ws(" ", slice(col("__ts"), i + lit(1), lit(n)))))).as("g"): _*)
+    }
+    val heldGrams = grams(held, Nil).select(col("g")).distinct()
+    val rightSide = if (broadcastHeld) broadcast(heldGrams) else heldGrams
+    val counts = grams(train, Seq(col(id).as("id")))
+      .join(rightSide, "g")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_overlap"))
+    train.select(col(id).as("id"))
+      .join(counts, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Capped distinct-vocabulary probe: a typed aggregate whose state
     * stops growing at 65 tokens, so the probe is ONE map-side-combining
     * pass with ≤ 65-entry partials — it never shuffles a large

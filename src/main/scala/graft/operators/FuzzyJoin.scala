@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance fuzzy self-join via deletion-neighborhood blocking
+  * (the SymSpell decomposition): every string emits itself plus every
+  * single-character deletion variant; two strings within Levenshtein
+  * distance `maxDist` are GUARANTEED to share at least one variant key
+  * (substitution → delete the substituted position on both sides;
+  * insertion/deletion → the longer side's deletion hits the shorter
+  * string verbatim), so candidate generation is an equi-join — never a
+  * cartesian, never a similarity scan.
+  *
+  * Scale shape, 100 TB posture:
+  *   - Each row fans out to L+1 keys for d=1 (O(L^d) in general):
+  *     linear blow-up in string length, not corpus size.
+  *   - Candidates co-locate by shuffling on the variant key; bucket
+  *     width is bounded by how many corpus strings collapse onto one
+  *     deletion variant (alphabet-sized in practice, and any
+  *     pathological key is a data-quality signal, not a plan hazard —
+  *     the same `saltedBandLegs`-style chunking used for LSH buckets
+  *     applies if one ever appears).
+  *   - The exact `levenshtein` verify runs ONLY on deduplicated
+  *     candidate pairs, with the built-in codegen'd expression.
+  *
+  * Entity-resolution / typo-tolerant-join is the training-data use:
+  * linking near-identical metadata strings (author names, titles, URLs
+  * post-canonicalization) without an all-pairs pass.
+  *
+  * Only `maxDist = 1` is exposed for now: d=2 multiplies fan-out by L
+  * and is the point where the prefix-filter family (cf.
+  * `Dedup`'s PPJoin) starts winning; the API keeps the parameter so
+  * the seam is explicit.
+  */
+object FuzzyJoin {
+
+  /** All distance-`maxDist` pairs (id1 < id2) of `df`'s `str` column:
+    * (id1, id2, dist). Requires maxDist == 1 (see object doc).
+    */
+  def selfJoin(
+      df: DataFrame, id: String, str: String, maxDist: Int): DataFrame = {
+    require(maxDist == 1, "deletion-neighborhood blocking is wired for maxDist=1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(id).cast("long").as("id"), col(str).as("s"))
+      .as[(Long, String)]
+    // fan out: the string itself (0 deletions) + each 1-deletion variant
+    val keyed = base.flatMap { case (rowId, s) =>
+      val variants = Iterator.single(s) ++
+        (0 until s.length).iterator.map(i => s.substring(0, i) + s.substring(i + 1))
+      variants.map(v => (v, rowId, s))
+    }.toDF("k", "id", "s")
+    val candidates = keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id1"), col("a.s").as("s1"),
+        col("b.id").as("id2"), col("b.s").as("s2"))
+      .distinct()
+    candidates
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .where(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+}

@@ -343,6 +343,46 @@ object TextAnalysis {
     * set outgrows a broadcast, drop the hint and let AQE pick the
     * join; the threshold semantics are unchanged.
     */
+  /** Vocabulary coverage curve: for each requested vocabulary size k,
+    * the fraction of all corpus tokens covered by the k most frequent
+    * words (freq desc, word asc tie-break) — the Zipf diagnostic behind
+    * choosing a tokenizer vocab size / estimating the OOV rate a fixed
+    * vocabulary would incur.
+    *
+    * Scale shape: the corpus collapses to the word-frequency table in
+    * one map-side-combined pass; the ranked head is a TakeOrdered of
+    * max(ks) rows (distributed top-k — never a global sort or a
+    * corpus-wide window), and the row_number window then runs over that
+    * ≤max(ks)-row head. Output is |ks| rows.
+    */
+  def vocabCoverage(
+      docs: DataFrame, text: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), "ks must be positive")
+    val spark = docs.sparkSession
+    val counts = docs
+      .select(explode(tokens(col(text))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total_tokens"))
+    val head = counts
+      .orderBy(col("c").desc, col("w"))
+      .limit(ks.max)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("c").desc, col("w"))))
+    val ksDf = spark.createDataFrame(
+      ks.sorted.map(Tuple1(_))).toDF("k")
+    val q4 = (c: Column) => floor(c * 10000.0 + lit(0.5)) / 10000.0
+    head.crossJoin(broadcast(ksDf))
+      .groupBy(col("k"))
+      .agg(sum(when(col("rn") <= col("k"), col("c")).otherwise(lit(0L)))
+        .as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("k"), col("covered_tokens"), col("total_tokens"),
+        q4(col("covered_tokens").cast("double") / col("total_tokens"))
+          .as("coverage"))
+  }
+
   def stripBoilerplateLines(docs: DataFrame, id: String, text: String,
       minDocs: Int, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
