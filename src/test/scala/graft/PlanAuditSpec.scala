@@ -321,6 +321,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("j13_fuzzy_join: deletion-neighborhood blocking keeps candidate " +
+      "generation an equi-join — no cartesian, no nested loop") {
+    val p = plan("j13_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_contamination_ngram: held-out gram set broadcasts — the " +
+      "train-side gram stream never shuffles for the verdict join") {
+    val p = plan("dedup_contamination_ngram")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_vocab_coverage: vocabulary head is a distributed top-k " +
+      "(TakeOrdered), never a corpus-wide global sort") {
+    val p = plan("text_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only Sort allowed is the ≤max(ks)-row window after the limit;
+    // a global Sort over the full vocabulary would appear as a Sort
+    // directly above the word-count aggregate feeding a rangepartitioning
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("pure-projection entries never shuffle: zero Exchange in the " +
       "plan — these scale as a single map pass no matter the corpus") {
     Seq("web_url_canonical", "text_html_extract", "text_quality_rules",
