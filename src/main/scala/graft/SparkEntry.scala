@@ -2573,6 +2573,20 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_spans"), col("dup_span_frac")),
     Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), s AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS sh FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM d WHERE len(ws) >= 5)), f AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM s GROUP BY sh), per AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans, floor(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS dup_span_frac FROM s JOIN f USING (sh) GROUP BY doc_id) SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans, coalesce(dup_span_frac, 0.0) AS dup_span_frac FROM d LEFT JOIN per USING (doc_id)"))
 
+  /** Exact-substring-dedup rewrite ([[graft.dedup.Dedup
+    * .removeDupSpans]]): the CLEANED corpus — every token covered by a
+    * 5-token window duplicated across ≥2 docs is excised and the
+    * survivors re-join — i.e. the output side of Lee et al. 2021, where
+    * `dedup_spans` is only the measurement side. The oracle re-derives
+    * the same covered-position arithmetic with list functions.
+    */
+  private val dedupSpansClean = Q(
+    (s, dir) => graft.dedup.Dedup.removeDupSpans(
+        t(s, dir, "documents"), "doc_id", "text", w = 5)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+        col("clean_text")),
+    Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), sp AS (SELECT doc_id, i - 1 AS p, md5(array_to_string(ws[i:i+4], ' ')) AS sh FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM d WHERE len(ws) >= 5)), dup AS (SELECT sh FROM sp GROUP BY sh HAVING count(DISTINCT doc_id) >= 2), cov AS (SELECT doc_id, list_distinct(flatten(list(generate_series(p, p + 4)))) AS covered FROM sp JOIN dup USING (sh) GROUP BY doc_id), j AS (SELECT d.doc_id, ws, COALESCE(covered, []) AS covered FROM d LEFT JOIN cov USING (doc_id)) SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens, CAST(len(covered) AS INT) AS n_removed, COALESCE(array_to_string(list_transform(list_filter(generate_series(0, len(ws) - 1), i -> NOT list_contains(covered, i)), i -> ws[i + 1]), ' '), '') AS clean_text FROM j"))
+
   /** Winnowed span duplication ([[graft.dedup.Dedup.winnowedSpanDup]]):
     * the 100 TB form of `dedup_spans` — each doc shuffles only the
     * ~1/win winnowing-selected spans (min-hash of each length-win window
@@ -3667,6 +3681,7 @@ object SparkEntry {
     "dedup_contamination_ngram" -> dedupContaminationNgram,
     "text_vocab_coverage" -> textVocabCoverage,
     "dedup_spans" -> dedupSpans,
+    "dedup_spans_clean" -> dedupSpansClean,
     "dedup_spans_winnowed" -> dedupSpansWinnowed,
     "dedup_semantic" -> dedupSemantic,
     "st_dedup_replay" -> stDedupReplay,

@@ -118,6 +118,56 @@ object Dedup {
         coalesce(col("dup_span_frac"), lit(0.0)).as("dup_span_frac"))
   }
 
+  /** Exact-substring-dedup REWRITE (the output side of Lee et al. 2021:
+    * not just measuring duplicated spans but excising them): every
+    * token covered by some w-token window that occurs verbatim in ≥ 2
+    * distinct documents is dropped, and the surviving tokens re-join
+    * into `clean_text`. Returns (id, n_tokens, n_removed, clean_text)
+    * for every input doc (short docs pass through untouched).
+    *
+    * Scale shape: postings are the same fixed-width md5 keys as
+    * [[spanDupFractions]] (linear in corpus tokens, checkpointed once
+    * for census + join-back); the duplicated-start sets return to their
+    * docs keyed by id; the rewrite itself is per-row array arithmetic —
+    * covered positions flatten from the start list and the keep-set is
+    * a hash-based `array_except`, so no per-token linear scan of the
+    * start list and nothing corpus-wide ever sorts.
+    */
+  def removeDupSpans(
+      docs: DataFrame, id: String, text: String, w: Int): DataFrame = {
+    require(w >= 2, s"span width must be >= 2, got $w")
+    val ts = col("__ts")
+    val spansWithPos = when(size(ts) >= w,
+      transform(sequence(lit(1), size(ts) - (w - 1)),
+        i => struct((i - 1).as("p"), md5(concat_ws(" ", slice(ts, i, lit(w)))).as("sh"))))
+      .otherwise(array().cast("array<struct<p:int,sh:string>>"))
+    val base = widen(docs)
+      .select(col(id).as("id"), split(lower(trim(col(text))), "\\s+").as("__ts"))
+    val posts = base
+      .select(col("id"), explode(spansWithPos).as("ps"))
+      .select(col("id"), col("ps.p").as("p"), col("ps.sh").as("sh"))
+      .localCheckpoint()
+    val dup = posts.groupBy(col("sh"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .where(col("nd") >= 2).select(col("sh"))
+    val starts = posts.join(dup, "sh")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("p"))).as("starts"))
+    val covered = array_distinct(flatten(transform(
+      col("starts"), s => sequence(s, s + w - 1))))
+    base.join(starts, Seq("id"), "left")
+      .select(col("id"), col("__ts"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("id"), col("__ts"), covered.as("covered"))
+      .select(
+        col("id"),
+        size(col("__ts")).as("n_tokens"),
+        size(col("covered")).as("n_removed"),
+        concat_ws(" ", transform(
+          array_except(sequence(lit(0), size(col("__ts")) - 1), col("covered")),
+          i => element_at(col("__ts"), i + 1))).as("clean_text"))
+  }
+
   /** Winnowed duplicated-span fraction — the 100 TB form of
     * [[spanDupFractions]] (Schleimer et al. 2003, the MOSS winnowing
     * scheme): instead of shuffling EVERY w-token window, each document

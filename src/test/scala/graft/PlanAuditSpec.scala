@@ -345,6 +345,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("dedup_spans_clean: postings join back keyed — no cartesian, " +
+      "no nested loop on the rewrite path") {
+    val p = plan("dedup_spans_clean")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("pure-projection entries never shuffle: zero Exchange in the " +
       "plan — these scale as a single map pass no matter the corpus") {
     Seq("web_url_canonical", "text_html_extract", "text_quality_rules",
