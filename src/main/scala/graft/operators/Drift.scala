@@ -46,15 +46,17 @@ object Drift {
       .select(col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    // totals ride a window over the k-row result — no second pass over
-    // the data (k rows; the window is trivially small)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1))
-    val p = greatest(col("n_ref").cast("double") / sum(col("n_ref")).over(w),
-      lit(eps))
-    val q = greatest(col("n_cur").cast("double") / sum(col("n_cur")).over(w),
-      lit(eps))
-    joined.withColumn("psi_term", round((p - q) * log(p / q), 9))
+    // totals come from a k-row aggregate broadcast back onto the k-row
+    // result — no second pass over the data, and no single-partition
+    // window exchange in the plan (the checkpointed k rows aggregate in
+    // one partial)
+    val totals = joined.agg(
+      sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
+    val p = greatest(col("n_ref").cast("double") / col("__tr"), lit(eps))
+    val q = greatest(col("n_cur").cast("double") / col("__tc"), lit(eps))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("psi_term", round((p - q) * log(p / q), 9))
+      .drop("__tr", "__tc")
   }
 
   /** Robust per-group outlier detection by modified z-score

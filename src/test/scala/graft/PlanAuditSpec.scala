@@ -352,6 +352,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("analytics/CDC tier: no cartesian, no nested-loop join, no " +
+      "corpus-wide window (every Window is partitioned or post-limit)") {
+    // the tier restored by the round-8 loader fix had no plan pins;
+    // these are the three silent scale-killers for event-shaped data
+    Seq("an1_funnel", "an2_cohort", "an3_transitions", "an4_drift_psi",
+      "an5_outliers_mad", "an6_sessionize", "an7_robust_scale",
+      "cdc_snapshot_diff", "cdc_apply_diff", "scd2_history",
+      "inc_agg_merge", "j12_interval_overlap", "so11_winsorize",
+      "w2_rolling_window", "a2_dedup_keep_latest", "a5_sample_per_group",
+      "a6_max_per_group").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      // an explicit Cross nested-loop is the intentional driver-sized
+      // model broadcast (totals/threshold rows); any OTHER nested loop
+      // is an accidental non-equi fallback. The plan TREE line carries
+      // the join type ("BroadcastNestedLoopJoin Cross BuildRight (n)");
+      // the detail-section header repeats the node name bare, so only
+      // audit tree lines (those with the "+-"/":-" connectors or a
+      // leading tree position).
+      p.linesIterator
+        .filter(l => l.contains("BroadcastNestedLoopJoin") &&
+          (l.contains("+-") || l.contains(":-")))
+        .foreach(l => assert(l.contains("Cross"), s"$n: $l\n$p"))
+      // an unpartitioned Window shows as "Window [..], [..ASC..]" with no
+      // partition spec — detect via the physical node's argument shape:
+      // every Window line must carry a partition expression list
+      p.linesIterator.filter(_.matches("\\(\\d+\\) Window\\s*")).foreach { _ =>
+        // formatted mode lists window details in the bottom section; a
+        // global window also forces a SinglePartition exchange — assert
+        // that shape is absent instead of parsing the spec text
+        assert(!p.contains("SinglePartition") ||
+          p.contains("TakeOrderedAndProject"),
+          s"$n has a single-partition exchange (global window/sort):\n$p")
+      }
+    }
+  }
+
   test("pure-projection entries never shuffle: zero Exchange in the " +
       "plan — these scale as a single map pass no matter the corpus") {
     Seq("web_url_canonical", "text_html_extract", "text_quality_rules",
