@@ -41,16 +41,21 @@ object FuzzyJoin {
   def selfJoin(
       df: DataFrame, id: String, str: String, maxDist: Int): DataFrame = {
     require(maxDist == 1, "deletion-neighborhood blocking is wired for maxDist=1")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val base = df.select(col(id).cast("long").as("id"), col(str).as("s"))
-      .as[(Long, String)]
-    // fan out: the string itself (0 deletions) + each 1-deletion variant
-    val keyed = base.flatMap { case (rowId, s) =>
-      val variants = Iterator.single(s) ++
-        (0 until s.length).iterator.map(i => s.substring(0, i) + s.substring(i + 1))
-      variants.map(v => (v, rowId, s))
-    }.toDF("k", "id", "s")
+    // fan out: the string itself (0 deletions) + each 1-deletion variant.
+    // Pure HOF expressions (no typed flatMap) keep the whole fan-out
+    // inside whole-stage codegen. sequence(1, 0) would count DOWN, so
+    // the empty string guards to just its identity variant.
+    val s = col("s")
+    val variants = when(length(s) > 0,
+      concat(
+        array(s),
+        transform(sequence(lit(1), length(s)),
+          i => concat(
+            s.substr(lit(1), i - 1),
+            s.substr(i + 1, length(s) - i)))))
+      .otherwise(array(s))
+    val keyed = df.select(col(id).cast("long").as("id"), col(str).as("s"))
+      .select(col("id"), col("s"), explode(variants).as("k"))
     val candidates = keyed.as("a").join(keyed.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
       .select(
