@@ -49,8 +49,11 @@ object FuzzyJoin {
     // pairs reach a shared variant only via DIFFERENT positions — so
     // deletion-deletion candidates require p1 = p2, and only the
     // identity key (the genuine insert/delete witness) joins
-    // unconstrained. Measured on 15k sequential customer names this cut
-    // the candidate volume ~20× (11 s → sub-second verify stage).
+    // unconstrained. With the position rule every candidate class is
+    // provably within distance 1 (same-position deletions agreeing on
+    // the variant ⇒ the strings differ only at that position), so the
+    // final levenshtein is a dedup-and-annotate, not a filter. Measured
+    // on 15k sequential customer names: 11.1 s → 3.0 s end-to-end.
     // Pure HOF expressions keep the fan-out inside whole-stage codegen;
     // sequence(1, 0) would count DOWN, so the empty string guards to
     // just its identity variant.
