@@ -500,6 +500,64 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // dense small-alphabet strings make distance-1 neighborhoods crowded —
+  // the adversarial case for deletion-neighborhood blocking
+  private val fuzzyGen: Gen[List[String]] = for {
+    n <- Gen.chooseNum(2, 14)
+    strs <- Gen.listOfN(n,
+      Gen.chooseNum(0, 4).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+  } yield strs
+
+  property("fuzzy join matches a brute-force levenshtein scan exactly") =
+    Prop.forAllNoShrink(fuzzyGen) { strs =>
+      import spark.implicits._
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      def lev(s: String, t: String): Int = {
+        val d = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to s.length; j <- 1 to t.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+        d(s.length)(t.length)
+      }
+      val brute = (for {
+        (s1, i1) <- strs.zipWithIndex; (s2, i2) <- strs.zipWithIndex
+        if i1 < i2; d = lev(s1, s2) if d <= 1
+      } yield (i1.toLong, i2.toLong, d)).toSet
+      val got = graft.operators.FuzzyJoin
+        .selfJoin(rows.toDF("id", "s"), "id", "s", maxDist = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      got == brute
+    }
+
+  property("ngram decontamination: flagged docs are exactly those sharing " +
+      "an n-gram with the held-out side, every train row present") =
+    Prop.forAllNoShrink(textsGen, textsGen) { (train, held) =>
+      import spark.implicits._
+      val n = 2
+      def grams(t: String): Set[String] = {
+        val ts = t.toLowerCase.trim.split("\\s+").toSeq
+        if (ts.length < n) Set.empty
+        else ts.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val heldGrams = held.flatMap(grams).toSet
+      val trainDf = train.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val heldDf = held.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = graft.dedup.Dedup
+        .ngramContamination(trainDf, heldDf, "id", "text", n = n)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      val allRows = got.size == train.length
+      val exact = train.zipWithIndex.forall { case (t, i) =>
+        val overlap = grams(t).intersect(heldGrams).size.toLong
+        got(i.toLong) == ((overlap, overlap > 0))
+      }
+      allRows && exact
+    }
+
   property("exact dedup partitions the corpus: group sizes sum to total, " +
       "groups == distinct texts, keeper is the min id") =
     Prop.forAllNoShrink(textsGen) { texts =>
