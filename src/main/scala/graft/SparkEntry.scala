@@ -56,6 +56,71 @@ object SparkEntry {
     },
     Some("SELECT doc_id, text, lang, n_chars FROM documents"))
 
+  /** Deterministic drifted-corpus fixture for the corrupt-accounting
+    * entries: documents re-serialized as partitioned NDJSON where
+    * `doc_id % 13 == 0` rows are truncated mid-record (not JSON at all)
+    * and `doc_id % 13 == 1` rows carry `n_chars` as a non-numeric string
+    * (the upstream type drift resolveChoice tolerates,
+    * json_s3_to_parquet.py:75-78). Everything else conforms to the
+    * declared `doc_id bigint, n_chars bigint` schema.
+    */
+  private def corruptFixture(s: SparkSession, dir: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s2c").toString
+    val line = when(col("doc_id") % 13 === 0,
+        concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"n_chars\":")))
+      .when(col("doc_id") % 13 === 1,
+        concat(lit("{\"doc_id\": "), col("doc_id"),
+          lit(", \"n_chars\": \"lots\"}")))
+      .otherwise(concat(lit("{\"doc_id\": "), col("doc_id"),
+        lit(", \"n_chars\": "), col("n_chars"), lit("}")))
+    t(s, dir, "documents")
+      .select(col("lang").as("assessmentid"), line.as("value"))
+      .repartition(col("assessmentid"))
+      .write.partitionBy("assessmentid").text(s"$tmp/dataset=docs_acct")
+    tmp
+  }
+
+  private val CorruptFixtureSchema = "doc_id bigint, n_chars bigint"
+
+  /** S2b — corrupt-record ACCOUNTING scan ([[JsonDataset.readAccounted]]):
+    * the clean side of a drifted corpus. Rows whose fields no longer match
+    * the declared schema (type drift) or that are unparseable are split
+    * out via `columnNameOfCorruptRecord` — NOT silently nulled (the
+    * failure mode of a plain schema-applied read) — and routed to the
+    * quarantine sink; the oracle sees exactly the conforming complement.
+    */
+  private val s2CorruptAccounting = Q(
+    (s, dir) => {
+      val tmp = corruptFixture(s, dir)
+      val scan = JsonDataset.readAccounted(s, tmp, "docs_acct",
+        StructType.fromDDL(CorruptFixtureSchema))
+      JsonDataset.quarantineCorrupt(scan.corrupt, s"$tmp/quarantine", "docs_acct")
+      scan.clean.select(col("doc_id"), col("n_chars"),
+        col("assessmentid").cast("string").as("assessmentid"))
+    },
+    Some("SELECT doc_id, n_chars, lang AS assessmentid FROM documents " +
+      "WHERE doc_id % 13 NOT IN (0, 1)"))
+
+  /** S2b/S7 — the QUARANTINE side of the same drifted corpus: corrupt
+    * rows (raw line + partition provenance) land in the quarantine
+    * dataset and are read back; per-partition counts must equal the
+    * fixture's corruption census exactly — nothing lost, nothing leaked
+    * into the clean table.
+    */
+  private val s2CorruptQuarantine = Q(
+    (s, dir) => {
+      val tmp = corruptFixture(s, dir)
+      val scan = JsonDataset.readAccounted(s, tmp, "docs_acct",
+        StructType.fromDDL(CorruptFixtureSchema))
+      JsonDataset.quarantineCorrupt(scan.corrupt, s"$tmp/quarantine", "docs_acct")
+      s.read.schema(StructType.fromDDL("assessmentid string, raw string"))
+        .json(s"$tmp/quarantine/dataset=docs_acct")
+        .groupBy(col("assessmentid"))
+        .agg(count(lit(1)).as("n_corrupt"))
+    },
+    Some("SELECT lang AS assessmentid, CAST(count(*) AS BIGINT) AS n_corrupt " +
+      "FROM documents WHERE doc_id % 13 IN (0, 1) GROUP BY 1"))
+
   /** S1 — ZIP-archive source round-trip: documents are zipped into
     * multi-member archives executor-side (the test fixture stands in for
     * Bridge-landed archives on shared storage), then read back through the
@@ -3521,6 +3586,8 @@ object SparkEntry {
     "q1_agg" -> q1Agg,
     "s1_zip_roundtrip" -> s1ZipRoundtrip,
     "s2_schema_json_scan" -> s2SchemaJsonScan,
+    "s2_corrupt_accounting" -> s2CorruptAccounting,
+    "s2_corrupt_quarantine" -> s2CorruptQuarantine,
     "s3_ndjson_roundtrip" -> s3NdjsonRoundtrip,
     "s4_parquet_roundtrip" -> s4ParquetRoundtrip,
     "s5_projection_scan" -> s5ProjectionScan,

@@ -150,4 +150,100 @@ object JsonDataset {
       .option("basePath", s"$root/dataset=$dataset")
       .schema(schema)
       .json(s"$root/dataset=$dataset")
+
+  /** Default name for the corrupt-record column of [[readAccounted]]. */
+  val CorruptCol = "_graft_corrupt"
+
+  /** A corrupt-accounting scan: `clean` carries exactly the declared
+    * schema (plus partition columns); `corrupt` carries every row the
+    * parser could not fully conform — the raw line is in the corrupt
+    * column, partition columns still resolve from the directory layout,
+    * and any fields that did parse survive as partial results.
+    */
+  final case class AccountedScan(clean: DataFrame, corrupt: DataFrame)
+
+  /** S2 with ROW-LEVEL drift accounting — the resolveChoice(match_catalog)
+    * tolerance the plain [[read]] lacks (json_s3_to_parquet.py:75-78;
+    * docs/schema_change_protocol.md). A record whose field no longer
+    * matches the declared type (upstream type drift: `"n": "lots"` under
+    * `n bigint`) or that is not valid JSON at all is NOT silently nulled:
+    * PERMISSIVE parsing with `columnNameOfCorruptRecord` captures the raw
+    * line, and the scan splits into a clean side (declared schema holds,
+    * no surprises) and a corrupt side headed for the quarantine sink (S7
+    * posture) via [[quarantineCorrupt]].
+    *
+    * Corruptness is judged against the FULL declared schema regardless of
+    * what the caller later projects. That rules out the schema-applied
+    * `.json()` reader: its column pruning re-parses only the referenced
+    * fields, so a row drifted in an unreferenced column silently turns
+    * clean. Instead the files are scanned as text (lines are never
+    * pruned) and parsed once per row by `from_json` under the full
+    * declared schema — and because the parse carries non-empty options,
+    * Catalyst's JSON-expression pruning rule (which fires only on
+    * option-free parses, exactly because options can carry
+    * corrupt-record semantics) never narrows it.
+    *
+    * Scale: the split is one predicate over one parse — no second read,
+    * no shuffle; partition pruning still applies (the text scan sees the
+    * Hive layout). The deliberate trade: the clean side always pays the
+    * full-schema parse even under a narrow projection — this is the
+    * ingest/conversion boundary (which materializes every column anyway);
+    * [[read]] remains the column-pruned analytic scan.
+    */
+  def readAccounted(
+      spark: SparkSession,
+      root: String,
+      dataset: String,
+      schema: StructType,
+      corruptCol: String = CorruptCol): AccountedScan = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"declared schema may not contain the corrupt column '$corruptCol'")
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(
+        corruptCol, org.apache.spark.sql.types.StringType, nullable = true))
+    val base = s"$root/dataset=$dataset"
+    val txt = spark.read.option("basePath", base).text(base)
+    val partCols = txt.schema.fieldNames.filterNot(_ == "value").toSeq
+    val parsed = txt.withColumn("__parsed",
+      from_json(col("value"), withCorrupt, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> corruptCol)))
+    val dataCols = schema.fieldNames.toSeq
+      .map(f => col("__parsed").getField(f).as(f))
+    val bad = col("__parsed").isNull ||
+      col("__parsed").getField(corruptCol).isNotNull
+    AccountedScan(
+      clean = parsed.where(!bad)
+        .select(dataCols ++ partCols.map(col): _*),
+      corrupt = parsed.where(bad)
+        .select((dataCols ++ partCols.map(col)) :+
+          col("value").as(corruptCol): _*))
+  }
+
+  /** Per-partition corrupt counts of an [[AccountedScan]]'s corrupt side —
+    * the drift signal an operator watches before trusting a batch (one
+    * partition suddenly 100% corrupt = upstream schema change, not noise).
+    */
+  def corruptCounts(corrupt: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    val present = partitionCols.filter(corrupt.columns.contains)
+    require(present.nonEmpty,
+      s"none of ${partitionCols.mkString(",")} present on the corrupt side")
+    corrupt.groupBy(present.map(col): _*).agg(count(lit(1)).as("n_corrupt"))
+  }
+
+  /** Route an [[AccountedScan]]'s corrupt side to a quarantine dataset
+    * (S7 posture, s3_to_json_s3.py:813-823): raw line + partition
+    * provenance, NDJSON under the quarantine root, append-mode so every
+    * batch accumulates. The clean output never sees these rows.
+    */
+  def quarantineCorrupt(
+      corrupt: DataFrame,
+      quarantineRoot: String,
+      dataset: String,
+      corruptCol: String = CorruptCol): Unit = {
+    val provenance = PartitionCols.filter(corrupt.columns.contains)
+    corrupt
+      .select((provenance.map(col) :+ col(corruptCol).as("raw")): _*)
+      .write.mode("append").json(s"$quarantineRoot/dataset=$dataset")
+  }
 }

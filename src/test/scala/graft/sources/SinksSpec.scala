@@ -219,4 +219,50 @@ class SinksSpec extends SparkSpec {
       Set("recordid", "x", "healthcode", "clientinfo", "sessionguid"))
     assert(out.collect().head.getAs[String]("healthcode") == "hc-1")
   }
+
+  test("corrupt-record accounting: a type-drifted field is counted, " +
+      "quarantined, and absent from the clean output " +
+      "(json_s3_to_parquet.py:75-78 resolveChoice parity)") {
+    val tmp = Files.createTempDirectory("graft_acct").toString
+    def leaf(a: String) = {
+      val p = Paths.get(tmp, "dataset=acc", s"assessmentid=$a",
+        "year=2023", "month=1", "day=1")
+      Files.createDirectories(p)
+      p
+    }
+    Files.write(leaf("A").resolve("part-0.json"), java.util.Arrays.asList(
+      """{"doc_id": 1, "n_chars": 10}""",
+      """{"doc_id": 2, "n_chars": "lots"}""", // upstream type drift
+      """{"doc_id": 3"""))                    // not JSON at all
+    Files.write(leaf("B").resolve("part-0.json"), java.util.Arrays.asList(
+      """{"doc_id": 4, "n_chars": 40}"""))
+    val scan = JsonDataset.readAccounted(spark, tmp, "acc",
+      StructType.fromDDL("doc_id bigint, n_chars bigint"))
+
+    // clean side: declared schema only, drifted/malformed rows ABSENT —
+    // never silently nulled into the table
+    assert(!scan.clean.schema.fieldNames.contains(JsonDataset.CorruptCol))
+    val cleanIds = scan.clean.select("doc_id").as[Long].collect().toSet
+    assert(cleanIds == Set(1L, 4L), s"clean ids: $cleanIds")
+
+    // accounting: both bad rows counted, attributed to their partition
+    val counts = JsonDataset.corruptCounts(scan.corrupt, Seq("assessmentid"))
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("A" -> 2L))
+
+    // quarantine: raw lines survive verbatim for replay/inspection
+    JsonDataset.quarantineCorrupt(scan.corrupt, s"$tmp/q", "acc")
+    val quarantined = spark.read
+      .schema(StructType.fromDDL("assessmentid string, raw string"))
+      .json(s"$tmp/q/dataset=acc")
+      .as[(String, String)].collect().toMap
+    assert(quarantined.keySet == Set("A"))
+    val raws = spark.read
+      .schema(StructType.fromDDL("raw string")).json(s"$tmp/q/dataset=acc")
+      .select("raw").as[String].collect().toSet
+    assert(raws.exists(_.contains("\"lots\"")), "drifted line not quarantined")
+    assert(raws.exists(_.startsWith("{\"doc_id\": 3")),
+      "malformed line not quarantined")
+    assert(raws.size == 2)
+  }
 }
