@@ -2585,6 +2585,20 @@ object SparkEntry {
       t(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1),
     Some("SELECT a.c_custkey AS id1, b.c_custkey AS id2, CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist FROM customer a, customer b WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1"))
 
+  /** d=2 tier of the fuzzy join ([[graft.operators.FuzzyJoin]]): the
+    * double-deletion neighborhood with position-pair witness pruning —
+    * sequential customer names are the worst case (every pair of digit
+    * positions is a distance-2 neighbor), so the input narrows to a
+    * 1-in-7 residue slice to keep the quadratic ORACLE affordable; the
+    * operator itself never goes quadratic. Mod 7 leaves both distance-1
+    * and distance-2 digit pairs dense in the slice.
+    */
+  private val j13FuzzyJoinD2 = Q(
+    (s, dir) => graft.operators.FuzzyJoin.selfJoin(
+      t(s, dir, "customer").where(col("c_custkey") % 7 === 0),
+      "c_custkey", "c_name", maxDist = 2),
+    Some("WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0) SELECT a.c_custkey AS id1, b.c_custkey AS id2, CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist FROM c a, c b WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 2"))
+
   /** Exact n-gram decontamination ([[graft.dedup.Dedup
     * .ngramContamination]], Brown et al. 2020 appendix C): train docs
     * (doc_id % 10 != 0) flagged by verbatim 8-gram overlap with the
@@ -3633,6 +3647,7 @@ object SparkEntry {
     "j10_bloom_join" -> j10BloomJoin,
     "j11_skew_join" -> j11SkewJoin,
     "j12_interval_overlap" -> j12IntervalOverlap,
+    "j13_fuzzy_join_d2" -> j13FuzzyJoinD2,
     "a13_heavy_hitters" -> a13HeavyHitters,
     "a14_sketch_rollup" -> a14SketchRollup,
     "a13_heavy_hitters_grouped" -> a13HeavyHittersGrouped,

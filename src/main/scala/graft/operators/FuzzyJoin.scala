@@ -1,20 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Edit-distance fuzzy self-join via deletion-neighborhood blocking
   * (the SymSpell decomposition): every string emits itself plus every
-  * single-character deletion variant; two strings within Levenshtein
-  * distance `maxDist` are GUARANTEED to share at least one variant key
-  * (substitution → delete the substituted position on both sides;
-  * insertion/deletion → the longer side's deletion hits the shorter
-  * string verbatim), so candidate generation is an equi-join — never a
-  * cartesian, never a similarity scan.
+  * variant reachable by deleting up to `maxDist` characters; two strings
+  * within Levenshtein distance `maxDist` are GUARANTEED to share at
+  * least one variant key, so candidate generation is an equi-join —
+  * never a cartesian, never a similarity scan.
   *
   * Scale shape, 100 TB posture:
-  *   - Each row fans out to L+1 keys for d=1 (O(L^d) in general):
-  *     linear blow-up in string length, not corpus size.
+  *   - Each row fans out to O(L^d) keys (L+1 at d=1, ~L²/2 at d=2):
+  *     polynomial in string LENGTH, independent of corpus size. The
+  *     operator targets short join keys (names, titles, canonical URLs,
+  *     IDs — the entity-resolution use case); for long text use the
+  *     n-gram/MinHash family in [[graft.dedup.Dedup]] instead.
   *   - Candidates co-locate by shuffling on the variant key; bucket
   *     width is bounded by how many corpus strings collapse onto one
   *     deletion variant (alphabet-sized in practice, and any
@@ -24,58 +26,96 @@ import org.apache.spark.sql.functions._
   *   - The exact `levenshtein` verify runs ONLY on deduplicated
   *     candidate pairs, with the built-in codegen'd expression.
   *
-  * Entity-resolution / typo-tolerant-join is the training-data use:
-  * linking near-identical metadata strings (author names, titles, URLs
-  * post-canonicalization) without an all-pairs pass.
-  *
-  * Only `maxDist = 1` is exposed for now: d=2 multiplies fan-out by L
-  * and is the point where the prefix-filter family (cf.
-  * `Dedup`'s PPJoin) starts winning; the API keeps the parameter so
-  * the seam is explicit.
+  * Deleted-POSITION annotation prunes false candidates before the
+  * verify. Every true pair has a witness variant in one of these
+  * classes (completeness argument, by enumeration of ≤`maxDist` edit
+  * scripts; `Pa`/`Pb` are the deleted-position sets, in each string's
+  * own coordinates):
+  *   - equal strings: identity–identity;
+  *   - one substitution: same single position both sides;
+  *   - insert/delete: identity on the shorter side;
+  *   - two substitutions: the SAME two positions on both sides;
+  *   - insert+delete (equal lengths, e.g. transposition-shaped):
+  *     single deletion each side, positions unconstrained;
+  *   - substitution+insert (lengths differ by 1): single deletion {p}
+  *     on the shorter side, double on the longer whose positions meet
+  *     {p, p+1} (the substituted char shifts by at most the insert);
+  *   - two inserts: identity on the shorter side.
+  * Any candidate outside these classes (e.g. double–double with
+  * different position pairs) therefore has its true pairs ALSO covered
+  * by a conforming witness, and pruning it costs nothing — while the
+  * dominant false-candidate class on dense string spaces (sequential
+  * IDs, zero-padded numbers) dies before the join output. At d=1 the
+  * same argument tightens single–single to same-position (measured
+  * 11.1 → 3.0 s on 15k sequential customer names).
   */
 object FuzzyJoin {
 
+  private def del1(s: Column, i: Column): Column =
+    concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s) - i))
+
+  private def del2(s: Column, i: Column, j: Column): Column =
+    concat(s.substr(lit(1), i - 1), s.substr(i + 1, j - i - 1),
+      s.substr(j + 1, length(s) - j))
+
   /** All distance-`maxDist` pairs (id1 < id2) of `df`'s `str` column:
-    * (id1, id2, dist). Requires maxDist == 1 (see object doc).
+    * (id1, id2, dist). `maxDist` must be 1 or 2; `id` must be an
+    * integral column (a non-numeric key would silently cast to null —
+    * derive a surrogate with xxhash64/monotonically_increasing_id
+    * first).
     */
   def selfJoin(
       df: DataFrame, id: String, str: String, maxDist: Int): DataFrame = {
-    require(maxDist == 1, "deletion-neighborhood blocking is wired for maxDist=1")
-    // Fan out: the string itself (position −1) + each 1-deletion variant
-    // tagged with the deleted POSITION. The position prunes the dominant
-    // false-candidate class on dense string spaces (sequential IDs,
-    // zero-padded numbers): a true SUBSTITUTION pair deletes the SAME
-    // position on both sides, while transposition-shaped distance-2
-    // pairs reach a shared variant only via DIFFERENT positions — so
-    // deletion-deletion candidates require p1 = p2, and only the
-    // identity key (the genuine insert/delete witness) joins
-    // unconstrained. With the position rule every candidate class is
-    // provably within distance 1 (same-position deletions agreeing on
-    // the variant ⇒ the strings differ only at that position), so the
-    // final levenshtein is a dedup-and-annotate, not a filter. Measured
-    // on 15k sequential customer names: 11.1 s → 3.0 s end-to-end.
-    // Pure HOF expressions keep the fan-out inside whole-stage codegen;
-    // sequence(1, 0) would count DOWN, so the empty string guards to
-    // just its identity variant.
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion-neighborhood blocking is wired for maxDist in {1, 2}, got $maxDist")
+    val idType = df.schema(id).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"id column '$id' must be integral, got ${idType.simpleString}; " +
+        "derive a surrogate key (xxhash64, monotonically_increasing_id) " +
+        "for string/UUID ids")
+    // Fan out inside whole-stage codegen via pure HOF expressions: the
+    // string itself (n=0), each single deletion tagged with its 1-based
+    // position (n=1), and at d=2 each ordered position pair (n=2).
+    // sequence(1, 0) would count DOWN, so short strings guard each tier.
     val s = col("s")
-    val variants = when(length(s) > 0,
-      concat(
-        array(struct(s.as("k"), lit(-1).as("p"))),
-        transform(sequence(lit(1), length(s)),
-          i => struct(
-            concat(
-              s.substr(lit(1), i - 1),
-              s.substr(i + 1, length(s) - i)).as("k"),
-            (i - 1).as("p")))))
-      .otherwise(array(struct(s.as("k"), lit(-1).as("p"))))
+    val ident = array(struct(s.as("k"),
+      lit(0).as("n"), lit(-1).as("p1"), lit(-1).as("p2")))
+    val singles = transform(sequence(lit(1), length(s)),
+      i => struct(del1(s, i).as("k"), lit(1).as("n"), i.as("p1"),
+        lit(-1).as("p2")))
+    val doubles = flatten(transform(sequence(lit(1), length(s) - 1),
+      i => transform(sequence(i + 1, length(s)),
+        j => struct(del2(s, i, j).as("k"), lit(2).as("n"), i.as("p1"),
+          j.as("p2")))))
+    val variants =
+      if (maxDist == 1)
+        when(length(s) > 0, concat(ident, singles)).otherwise(ident)
+      else
+        when(length(s) > 1, concat(ident, singles, doubles))
+          .when(length(s) > 0, concat(ident, singles))
+          .otherwise(ident)
     val keyed = df.select(col(id).cast("long").as("id"), col(str).as("s"))
       .select(col("id"), explode(variants).as("v"))
-      .select(col("id"), col("v.k").as("k"), col("v.p").as("p"))
+      .select(col("id"), col("v.k").as("k"), col("v.n").as("n"),
+        col("v.p1").as("p1"), col("v.p2").as("p2"))
+    val (na, nb) = (col("a.n"), col("b.n"))
+    def hits(double: String, p: Column): Column =
+      col(s"$double.p1") === p || col(s"$double.p1") === p + 1 ||
+        col(s"$double.p2") === p || col(s"$double.p2") === p + 1
+    val witness =
+      if (maxDist == 1)
+        na === 0 || nb === 0 || col("a.p1") === col("b.p1")
+      else
+        na === 0 || nb === 0 ||
+          (na === 1 && nb === 1) ||
+          (na === 2 && nb === 2 &&
+            col("a.p1") === col("b.p1") && col("a.p2") === col("b.p2")) ||
+          (na === 1 && nb === 2 && hits("b", col("a.p1"))) ||
+          (na === 2 && nb === 1 && hits("a", col("b.p1")))
     // candidate ids FIRST (two longs — the narrowest possible distinct),
     // strings re-attach once per surviving pair
     val candidates = keyed.as("a").join(keyed.as("b"),
-        col("a.k") === col("b.k") && col("a.id") < col("b.id") &&
-          (col("a.p") === col("b.p") || col("a.p") === -1 || col("b.p") === -1))
+        col("a.k") === col("b.k") && col("a.id") < col("b.id") && witness)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     val base = df.select(col(id).cast("long").as("id"), col(str).as("s"))

@@ -509,27 +509,33 @@ object PropertySpec extends Properties("graft") {
         Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
   } yield strs
 
-  property("fuzzy join matches a brute-force levenshtein scan exactly") =
-    Prop.forAllNoShrink(fuzzyGen) { strs =>
-      import spark.implicits._
-      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
-      def lev(s: String, t: String): Int = {
-        val d = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
-          if (i == 0) j else if (j == 0) i else 0 }
-        for (i <- 1 to s.length; j <- 1 to t.length)
-          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-            d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
-        d(s.length)(t.length)
-      }
-      val brute = (for {
-        (s1, i1) <- strs.zipWithIndex; (s2, i2) <- strs.zipWithIndex
-        if i1 < i2; d = lev(s1, s2) if d <= 1
-      } yield (i1.toLong, i2.toLong, d)).toSet
-      val got = graft.operators.FuzzyJoin
-        .selfJoin(rows.toDF("id", "s"), "id", "s", maxDist = 1)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      got == brute
+  private def fuzzyBruteMatches(strs: List[String], maxDist: Int): Boolean = {
+    import spark.implicits._
+    val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
     }
+    val brute = (for {
+      (s1, i1) <- strs.zipWithIndex; (s2, i2) <- strs.zipWithIndex
+      if i1 < i2; d = lev(s1, s2) if d <= maxDist
+    } yield (i1.toLong, i2.toLong, d)).toSet
+    val got = graft.operators.FuzzyJoin
+      .selfJoin(rows.toDF("id", "s"), "id", "s", maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    got == brute
+  }
+
+  property("fuzzy join matches a brute-force levenshtein scan exactly") =
+    Prop.forAllNoShrink(fuzzyGen)(fuzzyBruteMatches(_, 1))
+
+  property("fuzzy join at d=2 matches a brute-force levenshtein scan " +
+      "exactly (incl. transpositions and mixed ins/del/sub)") =
+    Prop.forAllNoShrink(fuzzyGen)(fuzzyBruteMatches(_, 2))
 
   property("ngram decontamination: flagged docs are exactly those sharing " +
       "an n-gram with the held-out side, every train row present") =
