@@ -49,9 +49,18 @@ object FfmpegVideo {
 
   def isAvailable: Boolean = binary.isDefined
 
+  /** Hard ceiling on one blob's transcode. A pathological blob that
+    * makes ffmpeg hang must yield None like every other failure — an
+    * unbounded wait would turn the quarantine posture into a
+    * permanently stuck task.
+    */
+  val TranscodeTimeoutSeconds = 120L
+
   /** Transcode one compressed-container blob to Y4M bytes via ffmpeg.
-    * None when the binary is absent, the blob is undecodable, or the
-    * subprocess fails — never throws (quarantine posture).
+    * None when the binary is absent, the blob is undecodable, the
+    * subprocess fails, or the [[TranscodeTimeoutSeconds]] deadline
+    * passes — never throws, never blocks unboundedly (quarantine
+    * posture).
     */
   def transcodeToY4m(bytes: Array[Byte]): Option[Array[Byte]] =
     binary.flatMap { bin =>
@@ -76,10 +85,28 @@ object FfmpegVideo {
         }, "graft-ffmpeg-stderr")
         drain.setDaemon(true)
         drain.start()
-        val out = proc.getInputStream.readAllBytes()
-        feeder.join(30000)
-        val ok = proc.waitFor() == 0 && out.nonEmpty
-        if (ok) Some(out) else None
+        // stdout is read on its own daemon thread too, so the deadline
+        // below bounds EVERYTHING: a hung ffmpeg is killed by
+        // destroyForcibly (EOF-ing all three pipes, unblocking the
+        // reader threads) and the task moves on.
+        val outBuf = new java.io.ByteArrayOutputStream()
+        val reader = new Thread(() => {
+          try proc.getInputStream.transferTo(outBuf)
+          catch { case NonFatal(_) => () }
+        }, "graft-ffmpeg-stdout")
+        reader.setDaemon(true)
+        reader.start()
+        val finished = proc.waitFor(
+          TranscodeTimeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
+        if (!finished) {
+          proc.destroyForcibly()
+          proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+          None
+        } else {
+          reader.join(30000)
+          val out = outBuf.toByteArray
+          if (proc.exitValue() == 0 && out.nonEmpty) Some(out) else None
+        }
       } catch { case NonFatal(_) => None }
     }
 

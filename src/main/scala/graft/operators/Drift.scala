@@ -41,11 +41,18 @@ object Drift {
       .where(col(valueCol).isNotNull)
       .groupBy(bucketOf(col(valueCol)).as("bucket"))
       .agg(count(lit(1)).as(name))
+    // localCheckpoint the k-row join result (k ≤ bucket count — trivial
+    // to materialize) so BOTH consumers below read the k rows instead of
+    // re-evaluating the two counted() subplans — each a full snapshot
+    // scan + shuffle — a second time; exchange reuse would usually
+    // de-duplicate them, but that's an optimizer courtesy, not a
+    // guarantee
     val joined = counted(ref, "n_ref")
       .join(counted(cur, "n_cur"), Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .localCheckpoint()
     // totals come from a k-row aggregate broadcast back onto the k-row
     // result — no second pass over the data, and no single-partition
     // window exchange in the plan (the checkpointed k rows aggregate in

@@ -375,18 +375,63 @@ class PlanAuditSpec extends SparkSpec {
         .filter(l => l.contains("BroadcastNestedLoopJoin") &&
           (l.contains("+-") || l.contains(":-")))
         .foreach(l => assert(l.contains("Cross"), s"$n: $l\n$p"))
-      // an unpartitioned Window shows as "Window [..], [..ASC..]" with no
-      // partition spec — detect via the physical node's argument shape:
-      // every Window line must carry a partition expression list
-      p.linesIterator.filter(_.matches("\\(\\d+\\) Window\\s*")).foreach { _ =>
-        // formatted mode lists window details in the bottom section; a
-        // global window also forces a SinglePartition exchange — assert
-        // that shape is absent instead of parsing the spec text
-        assert(!p.contains("SinglePartition") ||
-          p.contains("TakeOrderedAndProject"),
-          s"$n has a single-partition exchange (global window/sort):\n$p")
-      }
+      // an unpartitioned Window prints an EMPTY partition-spec list in its
+      // formatted detail ("Arguments: [exprs], [], [order]") — assert
+      // directly on the spec instead of the old SinglePartition/
+      // TakeOrderedAndProject disjunction, which passed whenever a
+      // TakeOrdered appeared anywhere in the plan
+      val globals = globalWindowLines(p)
+      assert(globals.isEmpty,
+        s"$n has a corpus-wide (unpartitioned) window:\n" +
+          globals.mkString("\n") + s"\n$p")
     }
+  }
+
+  /** Window detail lines whose partition spec is empty — the corpus-wide
+    * window shape (all rows through one task). A Window node's formatted
+    * detail prints `Arguments: [exprs], [partitionSpec], [orderSpec]`,
+    * and an EMPTY partition spec is omitted entirely (two top-level
+    * bracket groups instead of three), so count groups at bracket depth
+    * zero under the preceding `(n) Window` header.
+    */
+  private def globalWindowLines(p: String): Seq[String] = {
+    def topLevelGroups(s: String): Int = {
+      var depth = 0; var groups = 0
+      for (c <- s) c match {
+        case '[' => if (depth == 0) groups += 1; depth += 1
+        case ']' | ')' => depth -= 1
+        case '(' => depth += 1
+        case _ => ()
+      }
+      groups
+    }
+    var inWindow = false
+    val out = scala.collection.mutable.Buffer[String]()
+    for (l <- p.linesIterator) {
+      val t = l.trim
+      if (t.matches("\\(\\d+\\) Window\\s*")) inWindow = true
+      else if (t.matches("\\(\\d+\\) .*")) inWindow = false
+      if (inWindow && t.startsWith("Arguments:") && topLevelGroups(t) < 3)
+        out += t
+    }
+    out.toSeq
+  }
+
+  test("the global-window detector itself fires on a deliberately " +
+      "unpartitioned window (guards the guard against vacuity)") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val global = spark.range(10).select(col("id"),
+      sum(col("id")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("id")).as("s"))
+    val gp = global.queryExecution.explainString(FormattedMode)
+    assert(globalWindowLines(gp).nonEmpty,
+      s"detector failed to flag a global window:\n$gp")
+    val partitioned = spark.range(10).select(col("id"),
+      sum(col("id")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id") % 2).orderBy("id")).as("s"))
+    val pp = partitioned.queryExecution.explainString(FormattedMode)
+    assert(globalWindowLines(pp).isEmpty,
+      s"detector false-positived on a partitioned window:\n$pp")
   }
 
   test("pure-projection entries never shuffle: zero Exchange in the " +
