@@ -922,6 +922,60 @@ object SparkEntry {
       "CASE WHEN doc_id % 2 <> 0 THEN n_chars / 10.0 END AS quality " +
       "FROM documents"))
 
+  /** E2+crawler, INCOMPATIBLE tier (docs/schema_change_protocol.md): a
+    * field drifts bigint → string between batches. The merge refuses
+    * (non-numeric type change), the current table is left untouched, and
+    * the run proceeds under a bumped `_v2` dataset with the inferred
+    * schema, seeded from the old bookmark — so batch 1 remains exactly
+    * docs_v1 and batch 2 lands exactly once in docs_v2. The read-back
+    * unions both generations (old side cast for a comparable column),
+    * proving neither lost nor duplicated a row through the versioning
+    * event.
+    */
+  private val e3SchemaVersion = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sv").toString
+      val docs = t(s, dir, "documents")
+      def stamp(df: DataFrame) = df
+        .withColumn("assessmentid", lit("docs"))
+        .withColumn("year", lit(2023))
+        .withColumn("month", lit(1))
+        .withColumn("day", lit(15))
+      val declared = TableSpec("docs_v1", Seq(
+        ColumnSpec("doc_id", "bigint"), ColumnSpec("size", "bigint"),
+        ColumnSpec("recordid", "bigint")), Nil)
+      val b1 = stamp(docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars").as("size"),
+          col("doc_id").as("recordid")))
+      JsonDataset.write(b1, s"$tmp/json", "docs_v1")
+      val r1 = SchemaEvolution.run(s, s"$tmp/json", "docs_v1", declared,
+        s"$tmp/parquet", s"$tmp/manifests")
+      val b2 = stamp(docs.where(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"),
+          concat(lit("sz-"), col("n_chars")).as("size"),
+          col("doc_id").as("recordid")))
+      JsonDataset.write(b2, s"$tmp/json", "docs_v1")
+      val r2 = SchemaEvolution.run(s, s"$tmp/json", "docs_v1", r1.spec,
+        s"$tmp/parquet", s"$tmp/manifests")
+      require(r2.versioned && r2.tableName == "docs_v2" &&
+        r2.incompatibilities.nonEmpty,
+        s"bigint->string drift must version the table, got $r2")
+      val v1 = s.read
+        .schema(StructType.fromDDL("doc_id bigint, size bigint"))
+        .parquet(s"$tmp/parquet/docs_v1")
+        .select(col("doc_id"), col("size").cast("string").as("size"),
+          lit("docs_v1").as("tbl"))
+      val v2 = s.read
+        .schema(StructType.fromDDL("doc_id bigint, size string"))
+        .parquet(s"$tmp/parquet/docs_v2")
+        .select(col("doc_id"), col("size"), lit("docs_v2").as("tbl"))
+      v1.unionAll(v2)
+    },
+    Some("SELECT doc_id, CAST(n_chars AS VARCHAR) AS size, 'docs_v1' AS tbl " +
+      "FROM documents WHERE doc_id % 2 = 0 " +
+      "UNION ALL SELECT doc_id, 'sz-' || n_chars AS size, 'docs_v2' AS tbl " +
+      "FROM documents WHERE doc_id % 2 <> 0"))
+
   // --------------------------------------------------------------------
   // §2.2 Projections / filters / predicates
   // --------------------------------------------------------------------
@@ -3626,6 +3680,7 @@ object SparkEntry {
     "st_drain_parquet" -> stDrainParquet,
     "st_relationalize_drain" -> stRelationalizeDrain,
     "e2_schema_evolve" -> e2SchemaEvolve,
+    "e3_schema_version" -> e3SchemaVersion,
     "p1_project" -> p1Project,
     "p2_flatten_rename" -> p2FlattenRename,
     "p3_inject" -> p3Inject,
