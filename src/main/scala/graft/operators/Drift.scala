@@ -26,11 +26,12 @@ object Drift {
     * agree to the hash; total PSI = sum(psi_term).
     */
   def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
-      k: Int = 10, eps: Double = 1e-6): DataFrame = {
+      k: Int = 10, eps: Double = 1e-6,
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(k >= 2, s"need k >= 2 buckets, got $k")
     val qs = (1 until k).map(i => i.toDouble / k)
-    val row = ref.agg(
-      expr(s"percentile($valueCol, array(${qs.mkString(",")}))")).head()
+    val row = ref.agg(expr(Buckets.pctSql(
+      valueCol, s"array(${qs.mkString(",")})", exact, accuracy))).head()
     require(!row.isNullAt(0), "reference snapshot has no non-null values")
     val thresholds = row.getSeq[Double](0)
     def bucketOf(v: Column): Column =
@@ -77,15 +78,17 @@ object Drift {
     * only the flagged rows, z rounded to 4.
     */
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      cutoff: Double = 3.5): DataFrame = {
+      cutoff: Double = 3.5,
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "groupCols required")
     val v = col(valueCol)
     val med = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+      .agg(expr(Buckets.pctSql(valueCol, "0.5", exact, accuracy)).as("__med"))
     val withMed = df.join(broadcast(med), groupCols)
     val mad = withMed
       .groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile(abs($valueCol - __med), 0.5)").as("__mad"))
+      .agg(expr(Buckets.pctSql(
+        s"abs($valueCol - __med)", "0.5", exact, accuracy)).as("__mad"))
     withMed.join(broadcast(mad), groupCols)
       .withColumn("z", round(
         lit(0.6745) * (v - col("__med")) / col("__mad"), 4))
@@ -104,13 +107,13 @@ object Drift {
     * than divide by zero; output quantized 4.
     */
   def robustScale(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, outName: String = "scaled"): DataFrame = {
+      valueCol: String, outName: String = "scaled",
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "groupCols required")
     val v = col(valueCol)
+    def p(q: String) = expr(Buckets.pctSql(valueCol, q, exact, accuracy))
     val model = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"),
-        (expr(s"percentile($valueCol, 0.75)") -
-          expr(s"percentile($valueCol, 0.25)")).as("__iqr"))
+      .agg(p("0.5").as("__med"), (p("0.75") - p("0.25")).as("__iqr"))
     df.join(broadcast(model), groupCols)
       .withColumn(outName,
         when(col("__iqr") === 0.0, lit(0.0))

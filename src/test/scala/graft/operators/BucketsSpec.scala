@@ -55,6 +55,45 @@ class BucketsSpec extends SparkSpec {
     }
   }
 
+  test("approx mode (exact = false): bucket assignment agrees with exact " +
+      "within rank n/accuracy — and exact mode is byte-identical to the " +
+      "pre-option behavior") {
+    val df = (1 to 5000).map(i => (i.toLong, (i * 2641 % 5003).toDouble))
+      .toDF("id", "v")
+    val ex = Buckets.quantileBuckets(df, "v", k = 10)
+      .orderBy("id").select("bucket").as[Int].collect().toSeq
+    // exact default unchanged: same call with explicit exact = true
+    val ex2 = Buckets.quantileBuckets(df, "v", k = 10, exact = true)
+      .orderBy("id").select("bucket").as[Int].collect().toSeq
+    assert(ex == ex2)
+    // approx at accuracy >= n: thresholds are true elements within one
+    // rank of the interpolated exact ones — only boundary-adjacent rows
+    // may move, and only to a neighboring bucket
+    val ap = Buckets.quantileBuckets(df, "v", k = 10, exact = false,
+      accuracy = 10000).orderBy("id").select("bucket").as[Int].collect().toSeq
+    val moved = ex.zip(ap).count { case (a, b) => a != b }
+    assert(moved <= ex.size / 100, s"$moved of ${ex.size} rows moved buckets")
+    assert(ex.zip(ap).forall { case (a, b) => math.abs(a - b) <= 1 },
+      "approx moved a row farther than a neighboring bucket")
+  }
+
+  test("approx winsorize: clip envelope within one element of exact; " +
+      "null/output-name semantics identical across modes") {
+    val df = (1 to 2000).map(i => ("g", i.toLong, (i * 769 % 2003).toDouble))
+      .toDF("g", "id", "v")
+    val ex = Buckets.winsorize(df, Seq("g"), "v", 0.05, 0.95)
+      .orderBy("id").select("v_w").as[Double].collect().toSeq
+    val ap = Buckets.winsorize(df, Seq("g"), "v", 0.05, 0.95,
+      exact = false, accuracy = 10000)
+      .orderBy("id").select("v_w").as[Double].collect().toSeq
+    // values are consecutive-ish ints mod p: one rank = distance ~1;
+    // interpolation adds < 1, so envelopes differ by < 2 per side
+    ex.zip(ap).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 2.0, s"approx clip drifted: $a vs $b") }
+    // interior values untouched in both modes
+    assert(ex.zip(ap).count { case (a, b) => a != b } <= (0.11 * ex.size).toInt)
+  }
+
   test("quantileBuckets is deterministic and every bucket id is in range") {
     val df = (1 to 100).map(i => (i.toLong, i * 37 % 101)).toDF("id", "v")
     val a = Buckets.quantileBuckets(df, "v", k = 5).orderBy("id")

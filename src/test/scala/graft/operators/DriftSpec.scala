@@ -56,6 +56,48 @@ class DriftSpec extends SparkSpec {
     assert(out == Set(900L, 901L, 1021L))
   }
 
+  test("approx mode (exact = false): PSI within tolerance of exact, " +
+      "MAD flags the same outliers, robustScale within one rank — and " +
+      "exact defaults are unchanged") {
+    val ref = (1 to 5000).map(i => (i * 2641 % 5003).toDouble).toDF("v")
+    val cur = (1 to 5000).map(i => (i * 769 % 4999).toDouble + 800).toDF("v")
+    val ex = Drift.psi(ref, cur, "v", k = 5)
+      .orderBy("bucket").as[(Int, Long, Long, Double)].collect().toSeq
+    val ex2 = Drift.psi(ref, cur, "v", k = 5, exact = true)
+      .orderBy("bucket").as[(Int, Long, Long, Double)].collect().toSeq
+    assert(ex == ex2, "exact default changed")
+    val ap = Drift.psi(ref, cur, "v", k = 5, exact = false, accuracy = 10000)
+      .orderBy("bucket").as[(Int, Long, Long, Double)].collect().toSeq
+    // thresholds within one rank → per-bucket counts within a handful of
+    // rows, PSI totals nearly identical
+    ex.zip(ap).foreach { case ((b1, nr1, nc1, _), (b2, nr2, nc2, _)) =>
+      assert(b1 == b2)
+      assert(math.abs(nr1 - nr2) <= 5 && math.abs(nc1 - nc2) <= 5,
+        s"bucket $b1 counts drifted: ($nr1,$nc1) vs ($nr2,$nc2)")
+    }
+    assert(math.abs(ex.map(_._4).sum - ap.map(_._4).sum) < 0.01)
+
+    val spiky = ((1 to 200).map(i => ("a", i.toLong, 50.0 + (i % 11))) ++
+      Seq(("a", 900L, 5000.0), ("a", 901L, -4000.0))).toDF("g", "id", "v")
+    val exFlags = Drift.madOutliers(spiky, Seq("g"), "v")
+      .select("id").as[Long].collect().toSet
+    val apFlags = Drift.madOutliers(spiky, Seq("g"), "v",
+      exact = false, accuracy = 10000).select("id").as[Long].collect().toSet
+    assert(exFlags == apFlags && apFlags == Set(900L, 901L))
+
+    val dense = (1 to 2000).map(i => ("g", i.toLong, (i * 37 % 2003).toDouble))
+      .toDF("g", "id", "v")
+    val exS = Drift.robustScale(dense, Seq("g"), "v")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val apS = Drift.robustScale(dense, Seq("g"), "v",
+      exact = false, accuracy = 10000)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // median/IQR within one element (~1 of ~1000-wide IQR) → scaled
+    // values agree to ~1e-2
+    exS.foreach { case (id, v) =>
+      assert(math.abs(v - apS(id)) < 0.02, s"id $id: $v vs ${apS(id)}") }
+  }
+
   test("robustScale: hand-checked (x - median)/IQR per group; constant " +
       "group scales to 0; extremes don't move the center") {
     // group a: 1..9 -> median 5, q1 3, q3 7, iqr 4
