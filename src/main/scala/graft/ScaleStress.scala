@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Scale-stress harness: empirical backing for the 100 TB plan-shape
+  * arguments. Every CORRECTNESS/bench number is sf0.1 (~600k rows);
+  * this main replicates the sf0.1 corpus at configurable factors with
+  * id offsets, runs the heavy dedup/ANN/fuzzy operators at each rung,
+  * and reports wall-clock plus the fitted log-log scaling exponent —
+  * which should sit near 1.0 for every operator whose docs claim
+  * linear corpus cost.
+  *
+  * Replication must not change the per-document workload, only the
+  * corpus size, or the exponent measures the salt instead of the
+  * operator. Text replicas therefore differ by a per-replica ALPHABET
+  * ROTATION (a character bijection on [a-z] applied after lowercasing):
+  * within-replica token sets, shingle sets, char-n-gram sets and edit
+  * distances are preserved EXACTLY (bijections commute with all of
+  * them), while cross-replica overlap collapses to digit/punctuation
+  * residue — so near-dup structure per replica is the base corpus's,
+  * and output volume scales linearly, not quadratically.
+  *
+  * A separate IDENTICAL-copy corpus (`sat`) deliberately saturates the
+  * LSH buckets — every doc gains `factor - 1` exact twins — to prove
+  * the g×g bucket decomposition ([[graft.dedup.Dedup.saltedBandLegs]])
+  * actually engages and preserves candidate parity when it does.
+  *
+  * Emits one JSON line (mirrored to STRESS_r09.json) with per-op
+  * per-factor seconds, output rows, exponents, and the guard census.
+  */
+object ScaleStress {
+  private val Offset = 10000000L
+  private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+  private def rotated(k: Int): String = {
+    val r = k % 26
+    Alphabet.drop(r) + Alphabet.take(r)
+  }
+
+  /** One replica: ids offset by k·Offset, [a-z] rotated by k (identity
+    * for k = 0, so factor 1 is byte-identical to the base corpus).
+    */
+  private def replica(df: DataFrame, idCol: String, textCols: Seq[String],
+      k: Int): DataFrame = {
+    val shifted = df.withColumn(idCol, col(idCol) + lit(k * Offset))
+    textCols.foldLeft(shifted) { (d, c) =>
+      d.withColumn(c, translate(lower(col(c)), Alphabet, rotated(k)))
+    }
+  }
+
+  private def replicate(df: DataFrame, idCol: String,
+      textCols: Seq[String], factor: Int): DataFrame =
+    (0 until factor).map(replica(df, idCol, textCols, _)).reduce(_ union _)
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val workDir = args.headOption.getOrElse("target/stress")
+    val factors = Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def quiesce(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
+    // ---- build the replicated corpora (parquet, so every timed run
+    // reads from disk like the bench does, not from a lineage replay)
+    for (f <- factors) {
+      val dir = s"$workDir/f$f"
+      if (!Files.exists(Paths.get(s"$dir/_built"))) {
+        replicate(Tables.load(spark, baseDir, "documents"), "doc_id",
+            Seq("text"), f)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        replicate(Tables.load(spark, baseDir, "customer"), "c_custkey",
+            Seq("c_name"), f)
+          .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+        replicate(Tables.load(spark, baseDir, "embeddings"), "vec_id",
+            Seq.empty, f)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        Files.createFile(Paths.get(s"$dir/_built"))
+      }
+    }
+    val satDir = s"$workDir/sat10"
+    if (!Files.exists(Paths.get(s"$satDir/_built"))) {
+      // identical copies: every doc gains 9 exact twins → duplicate-
+      // saturated LSH buckets, the decomposition's target shape
+      replicate(Tables.load(spark, baseDir, "documents"), "doc_id",
+          Seq.empty, 10)
+        .write.mode("overwrite").parquet(s"$satDir/documents.parquet")
+      Files.createFile(Paths.get(s"$satDir/_built"))
+    }
+
+    def docs(f: Int) = spark.read.parquet(s"$workDir/f$f/documents.parquet")
+    def cust(f: Int) = spark.read.parquet(s"$workDir/f$f/customer.parquet")
+    def emb(f: Int) = spark.read.parquet(s"$workDir/f$f/embeddings.parquet")
+
+    import graft.ann.Ann
+    import graft.dedup.Dedup
+
+    // ---- the operators under stress; each returns the DataFrame whose
+    // full materialization is timed
+    val ops: Seq[(String, Int => DataFrame)] = Seq(
+      "dedup_minhash" -> (f =>
+        Dedup.minhashPairs(docs(f), "doc_id", "text", threshold = 0.8)),
+      "dedup_ngram_capped" -> (f =>
+        // the cap scales with the corpus (a fixed absolute cap at 10×
+        // drops 10× more grams and measures the cap, not the operator;
+        // operationally a df cap is a corpus-relative knob anyway)
+        Dedup.ngramJaccardPairs(
+          docs(f).where(pmod(col("doc_id"), lit(Offset)) < 500),
+          "doc_id", "text", n = 3, threshold = 0.8,
+          maxDf = Some(100L * f))),
+      "dedup_incremental" -> (f => {
+        // index build is amortized ingest cost; the timed query is the
+        // O(batch) path the docs promise
+        val idxPath = s"$workDir/f$f/lshidx"
+        if (!Files.exists(Paths.get(s"$idxPath/params.json")))
+          Dedup.saveLshIndex(
+            docs(f).where(col("doc_id") % 10 =!= 0), "doc_id", "text", idxPath)
+        Dedup.incrementalMinhashPairs(spark, idxPath,
+          docs(f).where(col("doc_id") % 10 === 0), "doc_id", "text",
+          threshold = 0.8)
+      }),
+      "j13_fuzzy_join" -> (f =>
+        graft.operators.FuzzyJoin.selfJoin(cust(f), "c_custkey", "c_name",
+          maxDist = 1)),
+      "ann_ivfpq_topk" -> (f => {
+        // codebook seeds + coarse centroids + queries all resolve to
+        // replica-0 rows (lowest vec_ids), so model and query load stay
+        // FIXED while the scanned index grows with f — the production
+        // scaling axis for a vector store
+        val e = emb(f)
+        val cb = Ann.pqSeedCodebook(e, "vec_id", "embedding", m = 8, ksub = 16)
+        val indexed = Ann.pqEncode(e, "vec_id", "embedding", cb)
+          .join(e.select(col("vec_id"), col("label")), "vec_id")
+        Ann.ivfPqTopK(indexed, "vec_id", "label",
+          Ann.pivotCentroids(e, "label", "vec_id", "embedding"),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cb, k = 5, nprobe = 3)
+      }))
+
+    def time(df: DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // warmup: codegen compile + page cache on the smallest rung
+    ops.foreach { case (_, mk) => mk(factors.head).count(); quiesce() }
+
+    val results = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.LinkedHashMap[Int, (Double, Long)]]()
+    for ((name, mk) <- ops; f <- factors) {
+      val (sec, rows) = time(mk(f))
+      results.getOrElseUpdate(name,
+        scala.collection.mutable.LinkedHashMap()).put(f, (sec, rows))
+      System.err.println(f"[stress] $name f$f $sec%.2fs rows=$rows")
+      quiesce()
+    }
+
+    // ---- guard engagement on the saturated corpus
+    val sat = spark.read.parquet(s"$satDir/documents.parquet")
+    val overDefault = Dedup.oversizedBandBuckets(sat, "doc_id", "text")
+      .agg(count(lit(1)).as("c"), max(col("n")).as("mx")).collect()(0)
+    val over16 = Dedup.oversizedBandBuckets(sat, "doc_id", "text",
+        maxBucketSize = 16)
+      .agg(count(lit(1)).as("c"), max(col("n")).as("mx"),
+        max(col("g")).as("mg")).collect()(0)
+    quiesce()
+    // candidate PARITY under forced decomposition: chunked cells must
+    // reproduce the undecomposed join's candidate set exactly
+    val (tSplit, nSplit) = time(Dedup.minhashCandidates(
+      sat, "doc_id", "text", maxBucketSize = 16))
+    quiesce()
+    val (tWhole, nWhole) = time(Dedup.minhashCandidates(
+      sat, "doc_id", "text", maxBucketSize = Int.MaxValue))
+    quiesce()
+    System.err.println(
+      f"[stress] sat10 candidates split=$nSplit ($tSplit%.2fs) " +
+        f"whole=$nWhole ($tWhole%.2fs) parity=${nSplit == nWhole}")
+
+    // df-cap census on the f10 n-gram slice (diagnostic tokenizer is a
+    // plain-HOF re-derivation of the char-3-gram shingler)
+    val grams = docs(10).where(pmod(col("doc_id"), lit(Offset)) < 500)
+      .select(explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(lower(text)) - 2, 1)), " +
+          "i -> substr(lower(text), i, 3))"))).as("w"))
+    val f10Cap = 100L * factors.last
+    val capped = grams.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .agg(sum(when(col("df") > f10Cap, 1).otherwise(0)).as("over"),
+        max(col("df")).as("mx")).collect()(0)
+    quiesce()
+
+    def expFit(name: String): Double = {
+      val r = results(name)
+      val (f1, fN) = (factors.head, factors.last)
+      math.log(r(fN)._1 / r(f1)._1) / math.log(fN.toDouble / f1)
+    }
+    val opsJson = results.map { case (name, byF) =>
+      val rungs = byF.map { case (f, (sec, rows)) =>
+        s""""f$f":{"sec":${f"$sec%.3f"},"rows":$rows}"""
+      }.mkString(",")
+      s""""$name":{$rungs,"exponent":${f"${expFit(name)}%.2f"}}"""
+    }.mkString(",")
+    val guardJson =
+      s""""sat10_guard":{"oversized_at_1024":${overDefault.getLong(0)},""" +
+        s""""max_bucket_at_1024":${if (overDefault.isNullAt(1)) 0
+        else overDefault.getLong(1)},""" +
+        s""""oversized_at_16":${over16.getLong(0)},""" +
+        s""""max_bucket_at_16":${if (over16.isNullAt(1)) 0
+        else over16.getLong(1)},""" +
+        s""""max_chunks_at_16":${if (over16.isNullAt(2)) 0
+        else over16.getInt(2)},""" +
+        s""""candidates_split":$nSplit,"sec_split":${f"$tSplit%.3f"},""" +
+        s""""candidates_whole":$nWhole,"sec_whole":${f"$tWhole%.3f"},""" +
+        s""""parity":${nSplit == nWhole}},""" +
+        s""""f10_df_cap":{"grams_over_cap":${capped.getLong(0)},""" +
+        s""""max_df":${capped.getLong(1)}}"""
+    val json =
+      s"""{"base":"$baseDir","factors":[${factors.mkString(",")}],""" +
+        s""""ops":{$opsJson},$guardJson}"""
+    println(json)
+    Files.write(Paths.get("STRESS_r09.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

@@ -850,6 +850,23 @@ object Dedup {
     (x.drop("g"), y.drop("g"))
   }
 
+  /** Diagnostic census of the LSH buckets that exceed `maxBucketSize` —
+    * the buckets [[saltedBandLegs]] would decompose into g×g join
+    * cells. Empty for a healthy corpus; a populated result is the
+    * operational signal of a duplicate-saturated (or degenerate-text)
+    * slice, and `g` is the chunk fan-out each such bucket pays. One
+    * slim (band, bh) aggregate — safe to run against the full corpus.
+    */
+  def oversizedBandBuckets(
+      docs: DataFrame, id: String, text: String,
+      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    bandedSignatures(docs, id, text, numHashes, bands, shingleN)
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
+      .select(col("band"), col("bh"), col("n"),
+        ceil(col("n") / lit(maxBucketSize)).cast("int").as("g"))
+
   /** MinHash-LSH candidate pairs: deterministic seeded xxhash64 minhash
     * signatures over the shingle set, xor-banded into `bands` buckets of
     * `numHashes / bands` rows; docs colliding in any band become a

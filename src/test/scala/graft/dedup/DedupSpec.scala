@@ -263,6 +263,21 @@ class DedupSpec extends SparkSpec {
     assert(ys.count() == smallBanded.count())
   }
 
+  test("oversizedBandBuckets census: silent on a healthy corpus, reports " +
+      "the saturated bucket with its chunk fan-out") {
+    assert(Dedup.oversizedBandBuckets(docs, "doc_id", "text").count() == 0)
+    val sat = (1L to 200L).map(i =>
+        (i, "the exact same document text repeated everywhere"))
+      .toDF("doc_id", "text")
+    val census = Dedup.oversizedBandBuckets(sat, "doc_id", "text",
+        maxBucketSize = 16)
+      .as[(Int, Long, Long, Int)].collect()
+    // all 32 bands collide on one 200-member bucket each
+    assert(census.length == 32)
+    assert(census.forall { case (_, _, n, g) =>
+      n == 200 && g == math.ceil(200.0 / 16).toInt })
+  }
+
   test("simhash nearPairs equals brute-force Hamming filter") {
     import org.apache.spark.sql.functions._
     def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
