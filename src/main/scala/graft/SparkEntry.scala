@@ -16,7 +16,7 @@ import graft.schema.{ColumnSpec, TableSpec}
 import graft.streaming.Bookmark
 import graft.text.{Dsir, TextAnalysis}
 import graft.relationalize.Relationalize
-import graft.sources.{JsonDataset, ParquetDataset, TarShards}
+import graft.sources.{JsonDataset, ParquetDataset, TarShards, Warc}
 import graft.validate.{ErrorSuppression, FileMetadata, JsonSchemaValidator, SchemaCache, SchemaResolver}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2.
@@ -2110,6 +2110,51 @@ object SparkEntry {
     },
     Some("SELECT 'doc_' || doc_id AS key, 'txt' AS ext, text AS payload FROM documents UNION ALL SELECT 'doc_' || doc_id AS key, 'cls' AS ext, lang AS payload FROM documents"))
 
+  /** S16 — WARC source ([[graft.sources.Warc]]): documents are wrapped
+    * as HTTP-response records in multi-member `.warc.gz` segment files
+    * executor-side (one gzip member per record — the Common Crawl
+    * layout), then read back through the distributed WARC scan:
+    * per-file sequential parse, Content-Length framing, HTTP
+    * header/body split. The byte-exact text round-trip through the
+    * framing plus the parsed status/URI is what the oracle pins.
+    */
+  private val s16Warc = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s16").toString
+      t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+        .repartition(8)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val fos = new java.io.FileOutputStream(new java.io.File(
+              tmp, s"seg-${java.util.UUID.randomUUID()}.warc.gz"))
+            def member(rec: Array[Byte]): Unit = {
+              val g = new java.util.zip.GZIPOutputStream(fos)
+              g.write(rec)
+              g.finish()
+            }
+            member(Warc.warcinfoRecord("2026-01-01T00:00:00Z",
+              "software: graft\r\n"))
+            it.foreach { r =>
+              member(Warc.httpResponseRecord(
+                s"http://${r.getString(2)}.example.com/doc/${r.getLong(0)}",
+                "2026-01-01T00:00:00Z", s"<urn:uuid:doc-${r.getLong(0)}>",
+                r.getString(1).getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)))
+            }
+            fos.close()
+          }
+        }
+      Warc.read(s, s"$tmp/*.warc.gz")
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("http_status"),
+          col("payload").cast("string").as("text"))
+    },
+    Some("SELECT doc_id, 'http://' || source || '.example.com/doc/' || " +
+      "doc_id AS target_uri, 200 AS http_status, text FROM documents"))
+
   /** SimHash fingerprints (md5-digit bit votes), oracle-recomputable. */
   private val dedupSimhash = Q(
     (s, dir) => SimHash.fingerprints(t(s, dir, "documents"), "doc_id", "text")
@@ -3709,6 +3754,7 @@ object SparkEntry {
     "s11_orc_roundtrip" -> s11OrcRoundtrip,
     "s13_upsert" -> s13Upsert,
     "s14_tar_shards" -> s14TarShards,
+    "s16_warc" -> s16Warc,
     "s12_per_record_sink" -> s12PerRecordSink,
     "bm_incremental" -> bmIncremental,
     "inc_agg_merge" -> incAggMerge,
