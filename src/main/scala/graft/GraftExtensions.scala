@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomContains, DotProduct, UnicodeNormalize}
+import graft.functions.{BloomContains, DotProduct, RepairMojibake, UnicodeNormalize}
 import graft.plans.IntervalJoinStrategy
 
 /** Session extensions registering the library's native expressions and
@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           UnicodeNormalize(children.head, form, strip)
         }))
     }
+    ext.injectFunction((
+      FunctionIdentifier(RepairMojibake.Name),
+      new ExpressionInfo(classOf[RepairMojibake].getName, RepairMojibake.Name),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"${RepairMojibake.Name} takes exactly 1 argument")
+        RepairMojibake(children.head)
+      }))
     // thread the owning session through so plan-time width sampling runs
     // on the session that owns the plan, not whatever is `active`
     ext.injectPlannerStrategy(s => new IntervalJoinStrategy(Some(s)))

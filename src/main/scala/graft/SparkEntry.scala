@@ -3187,6 +3187,58 @@ object SparkEntry {
     },
     Some("WITH h AS (SELECT doc_id, '<html><head><title>T</title><style type=\"text/css\">.a{color:red}</style></head><body>' || CASE WHEN doc_id % 3 = 0 THEN '<script src=\"x.js\">var x = 1 < 2 && y > 0;</script>' ELSE '' END || '<!-- c ' || CAST(doc_id AS VARCHAR) || ' --><p class=\"main\">' || text || '</p>' || CASE WHEN doc_id % 5 = 0 THEN '<div>&quot;q&quot; &amp; &lt;e&gt;&nbsp;tail</div>' ELSE '' END || '</body></html>' AS html FROM documents), s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script\\s*>|<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS x FROM h), s2 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s1), s3 AS (SELECT doc_id, regexp_replace(x, '</?[A-Za-z][^>]*>', ' ', 'g') AS x FROM s2), s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(x, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x FROM s3) SELECT doc_id, trim(regexp_replace(x, '\\s+', ' ', 'g')) AS html_text FROM s4"))
 
+  /** Link-graph extraction ([[graft.text.Html.extractLinks]]) — the
+    * edge list behind crawl prioritization and PageRank: anchors
+    * planted deterministically off doc_id arithmetic (doc_id % 3 links,
+    * targets (7·doc_id + 13j) mod 1000), so the oracle re-derives every
+    * edge INDEPENDENTLY of the regex chain — href, ordered link_idx,
+    * and cleaned anchor text all pinned.
+    */
+  private val textHtmlLinks = Q(
+    (s, dir) => {
+      import graft.text.Html
+      val nlinks = (col("doc_id") % 3).cast("int")
+      val anchors = when(nlinks > 0, array_join(
+          transform(sequence(lit(0), nlinks - 1), j => {
+            val tgt = (col("doc_id") * 7 + j * 13) % 1000
+            concat(lit("<a href=\"http://example.com/doc/"), tgt,
+              lit("\">see doc "), tgt, lit("</a>"))
+          }), ""))
+        .otherwise(lit(""))
+      val h = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("html", concat(
+          lit("<html><body><p>"), col("text"), lit("</p>"), anchors,
+          lit("</body></html>")))
+      Html.extractLinks(h, "doc_id", "html")
+    },
+    Some("SELECT doc_id, CAST(j AS INT) AS link_idx, " +
+      "'http://example.com/doc/' || CAST((doc_id * 7 + 13 * j) % 1000 AS VARCHAR) AS href, " +
+      "'see doc ' || CAST((doc_id * 7 + 13 * j) % 1000 AS VARCHAR) AS anchor " +
+      "FROM documents, generate_series(0, 1) AS g(j) WHERE j < doc_id % 3"))
+
+  /** Mojibake repair ([[graft.functions.RepairMojibake]], the ftfy
+    * transform): accents planted for doc_id % 3 = 0, the text mangled
+    * through a REAL UTF-8-read-as-Latin-1 round trip
+    * (`decode(encode(p, 'UTF-8'), 'ISO-8859-1')`), then repaired by the
+    * native expression. The oracle never sees the mangling — it derives
+    * the expected repaired text and detection flag straight from the
+    * base table, so the repair must be byte-exact to hash-match.
+    */
+  private val textFixMojibake = Q(
+    (s, dir) => {
+      import graft.functions.RepairMojibake.repairMojibake
+      val planted = when(col("doc_id") % 3 === 0,
+        replace(col("text"), lit("a"), lit("ä"))).otherwise(col("text"))
+      t(s, dir, "documents").select(col("doc_id"), planted.as("p"))
+        .withColumn("moji", decode(encode(col("p"), "UTF-8"), "ISO-8859-1"))
+        .select(col("doc_id"),
+          repairMojibake(col("moji")).as("text"),
+          (repairMojibake(col("moji")) =!= col("moji")).as("was_mojibake"))
+    },
+    Some("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
+      "replace(text, 'a', 'ä') ELSE text END AS text, " +
+      "doc_id % 3 = 0 AND text LIKE '%a%' AS was_mojibake FROM documents"))
+
   /** Corpus-trained bigram-LM document scoring ([[graft.text.NgramLm]])
     * — the perplexity-style quality gate (CCNet tier 1). Counts are
     * vocabulary-sized aggregates joined back onto the bigram stream;
@@ -3891,6 +3943,8 @@ object SparkEntry {
     "text_dsir_weights" -> textDsirWeights,
     "web_url_canonical" -> webUrlCanonical,
     "text_html_extract" -> textHtmlExtract,
+    "text_html_links" -> textHtmlLinks,
+    "text_fix_mojibake" -> textFixMojibake,
     "text_normalize" -> textNormalize,
     "text_tfidf_terms" -> textTfidfTerms,
     "text_phrase_search" -> textPhraseSearch,

@@ -67,4 +67,38 @@ object Html {
   /** Append `<htmlCol>_text` = extracted text. */
   def stripHtml(df: DataFrame, htmlCol: String): DataFrame =
     df.withColumn(s"${htmlCol}_text", toText(col(htmlCol)))
+
+  /** A complete `<a …>…</a>` element, non-greedy so adjacent anchors
+    * don't fuse; (?is) for case and multi-line anchors.
+    */
+  val AnchorPattern = "(?is)<a\\b[^>]*>.*?</a\\s*>"
+
+  /** Double-quoted href inside an anchor's open tag. Crawl pipelines
+    * normalize to the quoted form; unquoted/single-quoted hrefs are
+    * left to [[toText]]'s tag stripping rather than half-parsed.
+    */
+  val HrefPattern = "(?i)\\bhref\\s*=\\s*\"([^\"]*)\""
+
+  /** Link-graph extraction — the edge list behind crawl-frontier
+    * prioritization and [[graft.graph.PageRank]] domain authority:
+    * one (id, link_idx, href, anchor) row per `<a href="…">` in
+    * document order, `anchor` = the element's text content through the
+    * same [[toText]] chain the body takes.
+    *
+    * Shape: `regexp_extract_all` pulls the anchor elements as one
+    * in-row array, href/anchor derive per element inside the same
+    * projection, and `posexplode` emits the edges — one narrow
+    * codegen'd stage, no UDF, no shuffle; the output is the edge list,
+    * so downstream graph work starts already exploded.
+    */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    val anchors = regexp_extract_all(col(htmlCol), lit(AnchorPattern), lit(0))
+    df.select(col(idCol), posexplode(anchors).as(Seq("link_idx", "__a")))
+      .select(col(idCol), col("link_idx"),
+        regexp_extract(col("__a"), HrefPattern, 1).as("href"),
+        toText(regexp_replace(col("__a"), "(?is)\\A<a\\b[^>]*>|</a\\s*>\\z", " "))
+          .as("anchor"))
+      .where(col("href") =!= "")
+  }
 }

@@ -41,4 +41,28 @@ class HtmlSpec extends SparkSpec {
       .select(Html.toText(col("h"))).head()
     assert(r.isNullAt(0))
   }
+
+  private def links(html: String): Seq[(Int, String, String)] =
+    Html.extractLinks(Seq((1L, html)).toDF("id", "h"), "id", "h")
+      .select(col("link_idx"), col("href"), col("anchor"))
+      .as[(Int, String, String)].collect().toSeq
+
+  test("extractLinks: document-ordered edges with href and cleaned " +
+      "anchor text") {
+    val html = """<p>intro</p><a href="http://a.com/1">first <b>link</b></a>
+      |mid <A HREF="http://b.com/2" class=x>second &amp; last</A>""".stripMargin
+    assert(links(html) == Seq(
+      (0, "http://a.com/1", "first link"),
+      (1, "http://b.com/2", "second & last")))
+  }
+
+  test("extractLinks: anchors without a double-quoted href drop; " +
+      "adjacent anchors don't fuse; multi-line anchors parse") {
+    assert(links("""<a name="x">no href</a><a href=bare>unquoted</a>""")
+      .isEmpty)
+    assert(links("""<a href="u1">one</a><a href="u2">two</a>""")
+      .map(_._2) == Seq("u1", "u2"))
+    assert(links("<a\nhref=\"u\"\n>across\nlines</a>") ==
+      Seq((0, "u", "across lines")))
+  }
 }
