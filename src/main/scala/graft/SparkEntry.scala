@@ -2118,32 +2118,42 @@ object SparkEntry {
     * header/body split. The byte-exact text round-trip through the
     * framing plus the parsed status/URI is what the oracle pins.
     */
+  /** Write (uri, body) rows as multi-member `.warc.gz` segment files
+    * (one gzip member per record, a warcinfo preamble per file — the
+    * Common Crawl layout) under a fresh temp dir; returns the dir.
+    */
+  private def warcFixture(df: DataFrame): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warc").toString
+    df.repartition(8)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val fos = new java.io.FileOutputStream(new java.io.File(
+            tmp, s"seg-${java.util.UUID.randomUUID()}.warc.gz"))
+          def member(rec: Array[Byte]): Unit = {
+            val g = new java.util.zip.GZIPOutputStream(fos)
+            g.write(rec)
+            g.finish()
+          }
+          member(Warc.warcinfoRecord("2026-01-01T00:00:00Z",
+            "software: graft\r\n"))
+          it.foreach { r =>
+            member(Warc.httpResponseRecord(r.getString(0),
+              "2026-01-01T00:00:00Z", s"<urn:uuid:${r.getString(0)}>",
+              r.getString(1).getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)))
+          }
+          fos.close()
+        }
+      }
+    tmp
+  }
+
   private val s16Warc = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s16").toString
-      t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
-        .repartition(8)
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          if (it.hasNext) {
-            val fos = new java.io.FileOutputStream(new java.io.File(
-              tmp, s"seg-${java.util.UUID.randomUUID()}.warc.gz"))
-            def member(rec: Array[Byte]): Unit = {
-              val g = new java.util.zip.GZIPOutputStream(fos)
-              g.write(rec)
-              g.finish()
-            }
-            member(Warc.warcinfoRecord("2026-01-01T00:00:00Z",
-              "software: graft\r\n"))
-            it.foreach { r =>
-              member(Warc.httpResponseRecord(
-                s"http://${r.getString(2)}.example.com/doc/${r.getLong(0)}",
-                "2026-01-01T00:00:00Z", s"<urn:uuid:doc-${r.getLong(0)}>",
-                r.getString(1).getBytes(
-                  java.nio.charset.StandardCharsets.UTF_8)))
-            }
-            fos.close()
-          }
-        }
+      val tmp = warcFixture(t(s, dir, "documents").select(
+        concat(lit("http://"), col("source"), lit(".example.com/doc/"),
+          col("doc_id")).as("uri"),
+        col("text")))
       Warc.read(s, s"$tmp/*.warc.gz")
         .where(col("warc_type") === "response")
         .select(
@@ -3239,6 +3249,57 @@ object SparkEntry {
       "replace(text, 'a', 'ä') ELSE text END AS text, " +
       "doc_id % 3 = 0 AND text LIKE '%a%' AS was_mojibake FROM documents"))
 
+  /** The full CRAWL loop as ONE executed pipeline: WARC segments →
+    * HTTP-response scan → per-page domain → anchor extraction
+    * ([[graft.text.Html.extractLinks]]) → distinct domain edge list →
+    * 5 damped PageRank iterations ([[graft.graph.PageRank]]) — the
+    * crawl-prioritization composite a web-corpus curator actually
+    * runs. Anchors are planted off doc_id arithmetic, so the oracle
+    * derives the edge list WITHOUT parsing anything and unrolls the
+    * rank iterations in SQL; a single mis-parsed record anywhere in
+    * the WARC/HTML chain shifts a rank and breaks the hash.
+    */
+  private val corpusCrawlPagerank = Q(
+    (s, dir) => {
+      import graft.text.{Html, WebCuration}
+      val nlinks = (col("doc_id") % 3).cast("int")
+      val anchors = when(nlinks > 0, array_join(
+          transform(sequence(lit(0), nlinks - 1), j => {
+            val dom = (col("doc_id") * 7 + j * 13) % 20
+            val tgt = (col("doc_id") * 11 + j) % 1000
+            concat(lit("<a href=\"http://src"), dom, lit(".example.com/doc/"),
+              tgt, lit("\">see "), tgt, lit("</a>"))
+          }), ""))
+        .otherwise(lit(""))
+      val pages = t(s, dir, "documents").select(
+        concat(lit("http://"), col("source"), lit(".example.com/doc/"),
+          col("doc_id")).as("uri"),
+        concat(lit("<html><body><p>"), col("text"), lit("</p>"), anchors,
+          lit("</body></html>")).as("body"))
+      val tmp = warcFixture(pages)
+      val recs = Warc.read(s, s"$tmp/*.warc.gz")
+        .where(col("warc_type") === "response")
+        .select(col("target_uri"), col("payload").cast("string").as("html"))
+      val edges = Html.extractLinks(
+          WebCuration.withDomain(recs, "target_uri", "src")
+            .select(col("src"), col("html")), "src", "html")
+        .select(col("src"), lower(regexp_extract(col("href"),
+          WebCuration.DomainPattern, 1)).as("dst"))
+        .distinct()
+      graft.graph.PageRank.pagerank(edges, "src", "dst", iters = 5)
+    },
+    Some(("WITH e AS (SELECT DISTINCT source || '.example.com' AS src, 'src' || CAST((doc_id * 7 + 13 * j) % 20 AS VARCHAR) || '.example.com' AS dst FROM documents, generate_series(0, 1) AS g(j) WHERE j < doc_id % 3), " +
+      "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)), " +
+      "nn AS (SELECT count(*) AS n FROM nodes), " +
+      "deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1), " +
+      "r0 AS (SELECT node, round(1.0 / n, 9) AS rank FROM nodes, nn), " +
+      (1 to 5).map(k =>
+        s"r$k AS (SELECT n2.node, round((1.0 - 0.85) / nn.n + 0.85 * COALESCE(s.mass, 0), 9) AS rank " +
+          s"FROM nodes n2 CROSS JOIN nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank / d.deg) AS mass " +
+          s"FROM e JOIN r${k - 1} r ON r.node = e.src JOIN deg d ON d.node = e.src GROUP BY 1) s ON s.node = n2.node)")
+        .mkString(", ") +
+      " SELECT node, rank FROM r5")))
+
   /** Corpus-trained bigram-LM document scoring ([[graft.text.NgramLm]])
     * — the perplexity-style quality gate (CCNet tier 1). Counts are
     * vocabulary-sized aggregates joined back onto the bigram stream;
@@ -3945,6 +4006,7 @@ object SparkEntry {
     "text_html_extract" -> textHtmlExtract,
     "text_html_links" -> textHtmlLinks,
     "text_fix_mojibake" -> textFixMojibake,
+    "corpus_crawl_pagerank" -> corpusCrawlPagerank,
     "text_normalize" -> textNormalize,
     "text_tfidf_terms" -> textTfidfTerms,
     "text_phrase_search" -> textPhraseSearch,
