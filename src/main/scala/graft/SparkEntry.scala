@@ -3300,6 +3300,34 @@ object SparkEntry {
         .mkString(", ") +
       " SELECT node, rank FROM r5")))
 
+  /** Trained quality classifier ([[graft.text.QualityModel]]): hashed
+    * bag-of-words logistic regression, 3 full-batch GD iterations from
+    * w₀ = 0 with every floating hand-off quantized to 9 decimals — so
+    * the oracle UNROLLS THE ENTIRE TRAINING RUN in SQL (per-iteration
+    * gradient → weight → margin CTEs, the PageRank discipline) and the
+    * final probabilities must match to the hash. Silver label:
+    * lang = 'en'.
+    */
+  private val textQualityModel = Q(
+    (s, dir) => graft.text.QualityModel.trainAndScore(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en",
+        buckets = 64, iters = 3, lr = 0.5)
+      .select(col("id").as("doc_id"), col("prob"), col("predicted")),
+    Some(("WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents WHERE trim(text) <> ''), " +
+      "bk AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % 64 AS bucket, len(ws) AS nt FROM (SELECT doc_id, unnest(ws) AS w, ws FROM tk)), " +
+      "f0 AS (SELECT doc_id, bucket, round(count(*) * 1.0 / any_value(nt), 9) AS x FROM bk GROUP BY doc_id, bucket UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM tk), " +
+      "lab AS (SELECT doc_id, y FROM tk), nn AS (SELECT count(*) AS n FROM lab), " +
+      "g1 AS (SELECT bucket, round(sum(x * (0.5 - y)) / any_value(n), 9) AS g FROM f0 JOIN lab USING (doc_id) CROSS JOIN nn GROUP BY bucket), " +
+      "w1 AS (SELECT bucket, round(-0.5 * g, 9) AS w FROM g1), " +
+      (2 to 3).map(k =>
+        s"m$k AS (SELECT doc_id, round(sum(x * w), 9) AS m FROM f0 JOIN w${k - 1} USING (bucket) GROUP BY doc_id), " +
+          s"e$k AS (SELECT m$k.doc_id, round(1.0 / (1.0 + exp(-m)), 9) - y AS err FROM m$k JOIN lab USING (doc_id)), " +
+          s"g$k AS (SELECT bucket, round(sum(x * err) / any_value(n), 9) AS g FROM f0 JOIN e$k USING (doc_id) CROSS JOIN nn GROUP BY bucket), " +
+          s"w$k AS (SELECT bucket, round(w - 0.5 * g, 9) AS w FROM w${k - 1} JOIN g$k USING (bucket))")
+        .mkString(", ") +
+      ", mf AS (SELECT doc_id, round(sum(x * w), 9) AS m FROM f0 JOIN w3 USING (bucket) GROUP BY doc_id) " +
+      "SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 4) AS prob, round(1.0 / (1.0 + exp(-m)), 4) >= 0.5 AS predicted FROM mf")))
+
   /** Corpus-trained bigram-LM document scoring ([[graft.text.NgramLm]])
     * — the perplexity-style quality gate (CCNet tier 1). Counts are
     * vocabulary-sized aggregates joined back onto the bigram stream;
@@ -4007,6 +4035,7 @@ object SparkEntry {
     "text_html_links" -> textHtmlLinks,
     "text_fix_mojibake" -> textFixMojibake,
     "corpus_crawl_pagerank" -> corpusCrawlPagerank,
+    "text_quality_model" -> textQualityModel,
     "text_normalize" -> textNormalize,
     "text_tfidf_terms" -> textTfidfTerms,
     "text_phrase_search" -> textPhraseSearch,
