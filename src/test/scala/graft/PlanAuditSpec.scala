@@ -417,6 +417,24 @@ class PlanAuditSpec extends SparkSpec {
     out.toSeq
   }
 
+  test("crawl/classifier tier: link extraction and mojibake repair stay " +
+      "shuffle-free projections; classifier scoring broadcasts the model") {
+    // text_html_links: fixture projection → Generate → filter, one stage
+    val links = plan("text_html_links")
+    assert(!links.contains("Exchange"), links)
+    assert(!links.contains("CartesianProduct"))
+    // text_fix_mojibake: the native expression rides a narrow projection
+    val moji = plan("text_fix_mojibake")
+    assert(!moji.contains("Exchange"), moji)
+    assert(moji.contains("graft_repair_mojibake"), moji)
+    // text_quality_model: the trained model joins back BROADCAST (driver-
+    // sized, never a shuffle join); the per-doc margin aggregate and the
+    // feature census are the only exchanges; no cartesian anywhere
+    val qm = plan("text_quality_model")
+    assert(qm.contains("BroadcastHashJoin"), qm)
+    assert(!qm.contains("CartesianProduct"))
+  }
+
   test("the global-window detector itself fires on a deliberately " +
       "unpartitioned window (guards the guard against vacuity)") {
     import org.apache.spark.sql.functions.{col, sum}
