@@ -3328,6 +3328,49 @@ object SparkEntry {
       ", mf AS (SELECT doc_id, round(sum(x * w), 9) AS m FROM f0 JOIN w3 USING (bucket) GROUP BY doc_id) " +
       "SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 4) AS prob, round(1.0 / (1.0 + exp(-m)), 4) >= 0.5 AS predicted FROM mf")))
 
+  /** robots.txt compliance filter ([[graft.text.Robots]], RFC 9309):
+    * per-domain robots bodies are planted with agent groups, prefix
+    * rules, a wildcard+anchor rule, and a blanket-deny fallback group;
+    * the engine PARSES and evaluates them (exact-group precedence,
+    * longest-match, Allow-wins-ties, `*`/`$` matching), while the
+    * oracle derives every verdict from the planting arithmetic alone.
+    */
+  private val webRobotsFilter = Q(
+    (s, dir) => {
+      import graft.text.Robots
+      val k = (col("doc_id") % 20).cast("int")
+      val m = (col("doc_id") % 5).cast("int")
+      val docs = t(s, dir, "documents")
+      val robots = docs.select(col("source")).distinct()
+        .withColumn("__k",
+          regexp_extract(col("source"), "src(\\d+)", 1).cast("int"))
+        .select(concat(col("source"), lit(".example.com")).as("domain"),
+          when(col("__k") % 4 === 0,
+            lit("User-agent: *\nDisallow: /"))
+            .otherwise(lit("User-agent: graftbot\nDisallow: /private\n" +
+              "Allow: /private/ok\nDisallow: /*.zip$\n\n" +
+              "User-agent: *\nDisallow: /")).as("txt"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("http://src"), k, lit(".example.com"),
+          when(m === 0, concat(lit("/public/x"), col("doc_id")))
+            .when(m === 1, concat(lit("/private/x"), col("doc_id")))
+            .when(m === 2, concat(lit("/private/ok/x"), col("doc_id")))
+            .when(m === 3, concat(lit("/files/a"), col("doc_id"), lit(".zip")))
+            .otherwise(lit("/private"))).as("url"))
+      Robots.withAllowed(urls, "url",
+        Robots.rules(robots, "domain", "txt", "graftbot"))
+    },
+    Some("SELECT doc_id, 'http://src' || CAST(doc_id % 20 AS VARCHAR) || " +
+      "'.example.com' || CASE CAST(doc_id % 5 AS INT) " +
+      "WHEN 0 THEN '/public/x' || CAST(doc_id AS VARCHAR) " +
+      "WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR) " +
+      "WHEN 2 THEN '/private/ok/x' || CAST(doc_id AS VARCHAR) " +
+      "WHEN 3 THEN '/files/a' || CAST(doc_id AS VARCHAR) || '.zip' " +
+      "ELSE '/private' END AS url, " +
+      "CASE WHEN (doc_id % 20) % 4 = 0 THEN false " +
+      "ELSE CAST(doc_id % 5 AS INT) IN (0, 2) END AS allowed " +
+      "FROM documents"))
+
   /** Corpus-trained bigram-LM document scoring ([[graft.text.NgramLm]])
     * — the perplexity-style quality gate (CCNet tier 1). Counts are
     * vocabulary-sized aggregates joined back onto the bigram stream;
@@ -4036,6 +4079,7 @@ object SparkEntry {
     "text_fix_mojibake" -> textFixMojibake,
     "corpus_crawl_pagerank" -> corpusCrawlPagerank,
     "text_quality_model" -> textQualityModel,
+    "web_robots_filter" -> webRobotsFilter,
     "text_normalize" -> textNormalize,
     "text_tfidf_terms" -> textTfidfTerms,
     "text_phrase_search" -> textPhraseSearch,
