@@ -2118,6 +2118,18 @@ object SparkEntry {
     * header/body split. The byte-exact text round-trip through the
     * framing plus the parsed status/URI is what the oracle pins.
     */
+  /** Fixture dirs keyed by (sf dir, fixture kind): the WARC corpora are
+    * pure functions of the documents table, so bench passes and repeat
+    * entries reread the first build instead of re-gzipping 5k records
+    * (the `lshIndexCache` discipline).
+    */
+  private val warcFixtureCache =
+    scala.collection.concurrent.TrieMap[(String, String), String]()
+
+  private def cachedWarcFixture(dir: String, kind: String)(
+      df: => DataFrame): String =
+    warcFixtureCache.getOrElseUpdate((dir, kind), warcFixture(df))
+
   /** Write (uri, body) rows as multi-member `.warc.gz` segment files
     * (one gzip member per record, a warcinfo preamble per file — the
     * Common Crawl layout) under a fresh temp dir; returns the dir.
@@ -2150,10 +2162,12 @@ object SparkEntry {
 
   private val s16Warc = Q(
     (s, dir) => {
-      val tmp = warcFixture(t(s, dir, "documents").select(
-        concat(lit("http://"), col("source"), lit(".example.com/doc/"),
-          col("doc_id")).as("uri"),
-        col("text")))
+      val tmp = cachedWarcFixture(dir, "text") {
+        t(s, dir, "documents").select(
+          concat(lit("http://"), col("source"), lit(".example.com/doc/"),
+            col("doc_id")).as("uri"),
+          col("text"))
+      }
       Warc.read(s, s"$tmp/*.warc.gz")
         .where(col("warc_type") === "response")
         .select(
@@ -3276,7 +3290,7 @@ object SparkEntry {
           col("doc_id")).as("uri"),
         concat(lit("<html><body><p>"), col("text"), lit("</p>"), anchors,
           lit("</body></html>")).as("body"))
-      val tmp = warcFixture(pages)
+      val tmp = cachedWarcFixture(dir, "html")(pages)
       val recs = Warc.read(s, s"$tmp/*.warc.gz")
         .where(col("warc_type") === "response")
         .select(col("target_uri"), col("payload").cast("string").as("html"))

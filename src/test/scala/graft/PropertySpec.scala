@@ -580,4 +580,62 @@ object PropertySpec extends Properties("graft") {
       }
       sumOk && groupsOk && keeperOk
     }
+
+  // bodies designed to confuse a marker-scanning parser: raw binary,
+  // embedded CRLF runs, and full fake WARC records INSIDE the payload —
+  // Content-Length framing must never look at payload bytes
+  private val warcBodyGen: Gen[Array[Byte]] = Gen.oneOf(
+    Gen.listOf(Gen.chooseNum(0, 255).map(_.toByte)).map(_.toArray),
+    for {
+      pre <- Gen.listOf(Gen.chooseNum(32, 126).map(_.toByte))
+      post <- Gen.listOf(Gen.chooseNum(0, 255).map(_.toByte))
+    } yield pre.toArray ++
+      "\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n"
+        .getBytes("UTF-8") ++ post.toArray)
+
+  property("WARC framing is immune to payload content: arbitrary bodies " +
+      "(embedded CRLFs, fake nested records) round-trip byte-exact, " +
+      "plain and gzipped") =
+    Prop.forAllNoShrink(Gen.chooseNum(1, 5).flatMap(n =>
+        Gen.listOfN(n, warcBodyGen))) { bodies =>
+      import graft.sources.Warc
+      val recs = bodies.zipWithIndex.map { case (b, i) =>
+        Warc.httpResponseRecord(s"http://x.test/$i",
+          "2026-01-01T00:00:00Z", s"<urn:uuid:$i>", b)
+      }
+      val plain = Warc.parse("f.warc", recs.reduce(_ ++ _))
+      val gzBytes = {
+        val out = new java.io.ByteArrayOutputStream()
+        recs.foreach { r =>
+          val g = new java.util.zip.GZIPOutputStream(out)
+          g.write(r); g.finish()
+        }
+        out.toByteArray
+      }
+      val gz = Warc.parse("f.warc.gz", gzBytes)
+      Seq(plain, gz).forall { rows =>
+        rows.length == bodies.length &&
+          rows.forall(_.getString(2) == "response") &&
+          rows.zip(bodies).forall { case (r, b) =>
+            r.getAs[Array[Byte]](10).sameElements(b)
+          }
+      }
+    }
+
+  private val robotsSegGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaLowerChar, Gen.const('/'),
+      Gen.const('.'))).map(_.mkString)
+
+  property("robots matching laws: wildcard-free patterns are prefix " +
+      "tests, a lone trailing $ makes them equality tests, and a " +
+      "pattern always matches itself") =
+    Prop.forAllNoShrink(robotsSegGen, robotsSegGen) { (path0, pat0) =>
+      import graft.text.Robots
+      val path = "/" + path0
+      val pat = "/" + pat0
+      val prefixLaw = Robots.matches(path, pat) == path.startsWith(pat)
+      val anchorLaw = Robots.matches(path, pat + "$") == (path == pat)
+      val selfLaw = Robots.matches(pat, pat) && Robots.matches(pat, pat + "$")
+      prefixLaw && anchorLaw && selfLaw
+    }
 }
