@@ -615,6 +615,40 @@ object SparkEntry {
     },
     Some("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events GROUP BY 1"))
 
+  /** §2.8-streaming — incremental WARC crawl-drop ingest
+    * ([[graft.streaming.StreamingIngest.readWarcStream]]): two segment
+    * drops land in one feed dir, each followed by an AvailableNow
+    * drain of the binaryFile stream through the WARC record parse.
+    * The checkpoint must hand the second drain ONLY the new segments —
+    * a re-read would duplicate batch-1 doc_ids and fail the row
+    * check — and the drained parquet must equal the full corpus.
+    */
+  private val stWarcIngest = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stwc").toString
+      val docs = t(s, dir, "documents")
+      def pages(cond: org.apache.spark.sql.Column) = docs.where(cond)
+        .select(concat(lit("http://"), col("source"),
+          lit(".example.com/doc/"), col("doc_id")).as("uri"), col("text"))
+      def drain(): Unit =
+        graft.streaming.StreamingIngest.drainToParquet(
+          graft.streaming.StreamingIngest.readWarcStream(s, s"$tmp/in")
+            .where(col("warc_type") === "response")
+            .select(regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+              col("payload").cast("string").as("text")),
+          s"$tmp/out", s"$tmp/ck", Seq.empty)
+          .awaitTermination()
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$tmp/in"))
+      warcFixtureInto(pages(col("doc_id") % 2 === 0), s"$tmp/in")
+      drain()
+      warcFixtureInto(pages(col("doc_id") % 2 =!= 0), s"$tmp/in")
+      drain()
+      s.read.parquet(s"$tmp/out").select(col("doc_id"), col("text"))
+    },
+    Some("SELECT doc_id, text FROM documents"))
+
   private val stMonoidState = Q(
     (s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_stms").toString
@@ -2134,8 +2168,14 @@ object SparkEntry {
     * (one gzip member per record, a warcinfo preamble per file — the
     * Common Crawl layout) under a fresh temp dir; returns the dir.
     */
-  private def warcFixture(df: DataFrame): String = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_warc").toString
+  private def warcFixture(df: DataFrame): String =
+    warcFixtureInto(df,
+      java.nio.file.Files.createTempDirectory("graft_warc").toString)
+
+  /** Same, into a caller-owned dir (UUID segment names never collide,
+    * so successive drops into one dir model an arriving crawl feed).
+    */
+  private def warcFixtureInto(df: DataFrame, tmp: String): String = {
     df.repartition(8)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
@@ -4113,6 +4153,7 @@ object SparkEntry {
     "dedup_semantic" -> dedupSemantic,
     "st_dedup_replay" -> stDedupReplay,
     "st_monoid_state" -> stMonoidState,
+    "st_warc_ingest" -> stWarcIngest,
     "st_sketch_state" -> stSketchState,
     "st_upsert_drain" -> stUpsertDrain,
     "mm_image_dhash" -> mmImageDhash,

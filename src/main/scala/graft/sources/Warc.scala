@@ -60,10 +60,18 @@ object Warc {
     * `.gz` names are gunzipped first). One output row per record, plus
     * at most one `__corrupt` row per structurally-broken file.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    fromBinary(spark.read.format("binaryFile").load(path))
+
+  /** The binary→records transform on an already-loaded `binaryFile`
+    * frame (columns `path`, `content`) — batch or STREAMING: the same
+    * per-task parse rides a `readStream.format("binaryFile")` source,
+    * which is how an arriving crawl drop ingests incrementally (each
+    * micro-batch sees only files the source hasn't committed yet).
+    */
+  def fromBinary(binary: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(schema)
-    spark.read.format("binaryFile").load(path)
-      .select("path", "content")
+    binary.select("path", "content")
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val name = r.getString(0)

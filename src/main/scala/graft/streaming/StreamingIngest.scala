@@ -24,6 +24,22 @@ object StreamingIngest {
       .option("basePath", s"$root/dataset=$dataset")
       .json(s"$root/dataset=$dataset")
 
+  /** Streaming WARC source: a `binaryFile` file stream feeding the same
+    * per-task record parse the batch scan uses
+    * ([[graft.sources.Warc.fromBinary]]) — the incremental crawl-drop
+    * ingest: each drain's micro-batches see only segment files the
+    * checkpoint hasn't committed, so an arriving feed (Common Crawl
+    * drops, WARC uploads) processes each segment exactly once without
+    * any manifest bookkeeping of our own.
+    */
+  def readWarcStream(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Warc.fromBinary(
+      spark.readStream.format("binaryFile")
+        .schema(StructType.fromDDL(
+          "path string, modificationTime timestamp, length long, content binary"))
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(dir))
+
   /** Drain all currently-available files into a partitioned Parquet
     * dataset and stop — the job-bookmark run shape. Re-invoking processes
     * only files that appeared since the last run (checkpoint state).
