@@ -56,15 +56,24 @@ object QualityModel {
     */
   def fit(docs: DataFrame, id: String, text: String, label: Column,
       buckets: Int = 64, iters: Int = 3, lr: Double = 0.5)
-      : Map[Long, Double] = {
-    require(iters >= 1, "iters must be >= 1")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // profile + labels materialized once; every iteration reads these
-    val feats = hashedFeatures(docs, id, text, buckets).localCheckpoint()
-    val labels = docs.where(trim(col(text)) =!= "")
+      : Map[Long, Double] =
+    fitFeats(hashedFeatures(docs, id, text, buckets).localCheckpoint(),
+      labelsOf(docs, id, text, label), iters, lr)
+
+  private def labelsOf(docs: DataFrame, id: String, text: String,
+      label: Column): DataFrame =
+    docs.where(trim(col(text)) =!= "")
       .select(col(id).as("id"), when(label, 1.0).otherwise(0.0).as("y"))
       .localCheckpoint()
+
+  /** GD loop over a materialized profile — `trainAndScore` shares the
+    * profile between training and scoring through this seam.
+    */
+  private def fitFeats(feats: DataFrame, labels: DataFrame, iters: Int,
+      lr: Double): Map[Long, Double] = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = feats.sparkSession
+    import spark.implicits._
     val n = labels.count()
     var w = Map.empty[Long, Double]
     for (_ <- 1 to iters) {
@@ -88,21 +97,30 @@ object QualityModel {
 
   /** Score documents under a fitted model: (id, prob, predicted). */
   def score(docs: DataFrame, id: String, text: String,
-      model: Map[Long, Double], buckets: Int): DataFrame = {
-    val spark = docs.sparkSession
+      model: Map[Long, Double], buckets: Int): DataFrame =
+    scoreFeats(hashedFeatures(docs, id, text, buckets), model)
+
+  private def scoreFeats(feats: DataFrame,
+      model: Map[Long, Double]): DataFrame = {
+    val spark = feats.sparkSession
     import spark.implicits._
-    marginsWith(hashedFeatures(docs, id, text, buckets),
+    marginsWith(feats,
         spark.createDataset(model.toSeq).toDF("bucket", "w"))
       .select(col("id"), round(sigmoid(col("margin")), 4).as("prob"))
       .withColumn("predicted", col("prob") >= 0.5)
   }
 
-  /** Fit then score the same corpus — the silver-label bootstrap. */
+  /** Fit then score the same corpus — the silver-label bootstrap. The
+    * checkpointed profile is built ONCE and shared by the GD loop and
+    * the final scoring pass.
+    */
   def trainAndScore(docs: DataFrame, id: String, text: String,
       label: Column, buckets: Int = 64, iters: Int = 3,
-      lr: Double = 0.5): DataFrame =
-    score(docs, id, text, fit(docs, id, text, label, buckets, iters, lr),
-      buckets)
+      lr: Double = 0.5): DataFrame = {
+    val feats = hashedFeatures(docs, id, text, buckets).localCheckpoint()
+    scoreFeats(feats,
+      fitFeats(feats, labelsOf(docs, id, text, label), iters, lr))
+  }
 
   /** Per-doc margin Σ_b x_b·w_b under a (bucket, w) model table. An
     * empty model (iteration 1) short-circuits to margin 0 — exactly
