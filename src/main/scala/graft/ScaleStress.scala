@@ -58,7 +58,12 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val workDir = args.headOption.getOrElse("target/stress")
-    val factors = Seq(1, 3, 10)
+    val factors =
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq.sorted
+      else Seq(1, 3, 10)
+    // the alphabet rotation wraps at 26: replica k and k+26 would share
+    // a rotation and become cross-replica near-dups, breaking linearity
+    require(factors.last <= 26, "replication factor must be <= 26")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -192,9 +197,10 @@ object ScaleStress {
       f"[stress] sat10 candidates split=$nSplit ($tSplit%.2fs) " +
         f"whole=$nWhole ($tWhole%.2fs) parity=${nSplit == nWhole}")
 
-    // df-cap census on the f10 n-gram slice (diagnostic tokenizer is a
-    // plain-HOF re-derivation of the char-3-gram shingler)
-    val grams = docs(10).where(pmod(col("doc_id"), lit(Offset)) < 500)
+    // df-cap census on the top-rung n-gram slice (diagnostic tokenizer
+    // is a plain-HOF re-derivation of the char-3-gram shingler)
+    val grams = docs(factors.last)
+      .where(pmod(col("doc_id"), lit(Offset)) < 500)
       .select(explode(array_distinct(expr(
         "transform(sequence(1, greatest(length(lower(text)) - 2, 1)), " +
           "i -> substr(lower(text), i, 3))"))).as("w"))
@@ -233,7 +239,10 @@ object ScaleStress {
       s"""{"base":"$baseDir","factors":[${factors.mkString(",")}],""" +
         s""""ops":{$opsJson},$guardJson}"""
     println(json)
-    Files.write(Paths.get("STRESS_r09.json"),
+    val outName =
+      if (factors == Seq(1, 3, 10)) "STRESS_r09.json"
+      else s"STRESS_r09_f${factors.last}.json"
+    Files.write(Paths.get(outName),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

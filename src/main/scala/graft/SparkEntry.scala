@@ -3790,18 +3790,66 @@ object SparkEntry {
     * `ann_ivf_topk` probe CTEs with the `ann_pq_topk` code/ADC CTEs,
     * restricted to probed clusters.
     */
+  /** Spark-side IVF-PQ query shared by `ann_ivfpq_topk` and
+    * `ann_recall`; identical construction both places so the recall
+    * entry measures THE index the topk entry pins.
+    */
+  private def ivfPqQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val indexed = Ann.pqEncode(emb, "vec_id", "embedding", cb)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    Ann.ivfPqTopK(indexed, "vec_id", "label",
+      Ann.pivotCentroids(emb, "label", "vec_id", "embedding"),
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      cb, k = 5, nprobe = 3)
+  }
+
+  /** The IVF-PQ oracle CTE chain (through ranked candidates `r`),
+    * shared verbatim by `ann_ivfpq_topk`, `ann_index_persist`, and the
+    * `ann_recall` composition.
+    */
+  private val IvfPqCtes =
+    "WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), coarse AS (SELECT label, arg_min(e, vec_id) AS cv FROM v GROUP BY label), q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10), probe AS (SELECT q_id, qe, label, row_number() OVER (PARTITION BY q_id ORDER BY round(list_cosine_similarity(qe, cv), 4) DESC, label) AS crank FROM q CROSS JOIN coarse), pr AS (SELECT q_id, qe, label FROM probe WHERE crank <= 3), sub AS (SELECT unnest(generate_series(0, 7)) AS s), cent AS (SELECT sub.s, v.vec_id AS cj, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS cv FROM v CROSS JOIN sub WHERE v.vec_id < 16), sl AS (SELECT v.vec_id, v.label, sub.s, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS sv FROM v CROSS JOIN sub), asg AS (SELECT sl.vec_id, sl.label, sl.s, cent.cj, row_number() OVER (PARTITION BY sl.vec_id, sl.s ORDER BY round(list_inner_product(sv, sv) - 2*list_inner_product(sv, cv) + list_inner_product(cv, cv), 9), cent.cj) AS rn FROM sl JOIN cent ON cent.s = sl.s), code AS (SELECT vec_id, label, s, cj FROM asg WHERE rn = 1), qsl AS (SELECT q_id, pr.label, sub.s, qe[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS qv FROM pr CROSS JOIN sub), term AS (SELECT qsl.q_id, code.vec_id AS nid, round(list_inner_product(qv, qv) - 2*list_inner_product(qv, cv) + list_inner_product(cv, cv), 9) AS t FROM qsl JOIN code ON code.s = qsl.s AND code.label = qsl.label JOIN cent ON cent.s = code.s AND cent.cj = code.cj), adc0 AS (SELECT q_id, nid, round(sum(t), 4) AS adc FROM term GROUP BY 1, 2), r AS (SELECT q_id, nid, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc, nid) AS rank FROM adc0 WHERE q_id <> nid)"
+
   private val annIvfPqTopK = Q(
+    ivfPqQuery,
+    Some(IvfPqCtes +
+      " SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5"))
+
+  /** Recall@5 of the IVF-PQ index against brute-force cosine ground
+    * truth, measured IN-ENGINE — the index-quality gate a vector store
+    * runs before serving ("measure, don't guess" applied to ANN): both
+    * sides computed distributed, one keyed left join + per-query
+    * aggregate. The oracle composes the brute CTEs with the full IVF-PQ
+    * chain, so the reported recall is pinned, not asserted.
+    *
+    * The measured value is LOW (~0.12 mean at sf0.01): the seed-only
+    * codebook ([[Ann.pqSeedCodebook]]) on near-uniform synthetic
+    * embeddings quantizes poorly — catching exactly that before an
+    * index serves is what this gate is FOR; production trains the
+    * codebook ([[Ann.kmeans]]) until the gate clears.
+    */
+  private val annRecall = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cb = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16)
-      val indexed = Ann.pqEncode(emb, "vec_id", "embedding", cb)
-        .join(emb.select(col("vec_id"), col("label")), "vec_id")
-      Ann.ivfPqTopK(indexed, "vec_id", "label",
-        Ann.pivotCentroids(emb, "label", "vec_id", "embedding"),
-        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        cb, k = 5, nprobe = 3)
+      val truth = Ann.topK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("neighbor_id"))
+      val approx = ivfPqQuery(s, dir)
+        .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0L))) / lit(5.0), 4)
+          .as("recall_at_5"))
     },
-    Some("WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), coarse AS (SELECT label, arg_min(e, vec_id) AS cv FROM v GROUP BY label), q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10), probe AS (SELECT q_id, qe, label, row_number() OVER (PARTITION BY q_id ORDER BY round(list_cosine_similarity(qe, cv), 4) DESC, label) AS crank FROM q CROSS JOIN coarse), pr AS (SELECT q_id, qe, label FROM probe WHERE crank <= 3), sub AS (SELECT unnest(generate_series(0, 7)) AS s), cent AS (SELECT sub.s, v.vec_id AS cj, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS cv FROM v CROSS JOIN sub WHERE v.vec_id < 16), sl AS (SELECT v.vec_id, v.label, sub.s, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS sv FROM v CROSS JOIN sub), asg AS (SELECT sl.vec_id, sl.label, sl.s, cent.cj, row_number() OVER (PARTITION BY sl.vec_id, sl.s ORDER BY round(list_inner_product(sv, sv) - 2*list_inner_product(sv, cv) + list_inner_product(cv, cv), 9), cent.cj) AS rn FROM sl JOIN cent ON cent.s = sl.s), code AS (SELECT vec_id, label, s, cj FROM asg WHERE rn = 1), qsl AS (SELECT q_id, pr.label, sub.s, qe[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS qv FROM pr CROSS JOIN sub), term AS (SELECT qsl.q_id, code.vec_id AS nid, round(list_inner_product(qv, qv) - 2*list_inner_product(qv, cv) + list_inner_product(cv, cv), 9) AS t FROM qsl JOIN code ON code.s = qsl.s AND code.label = qsl.label JOIN cent ON cent.s = code.s AND cent.cj = code.cj), adc0 AS (SELECT q_id, nid, round(sum(t), 4) AS adc FROM term GROUP BY 1, 2), r AS (SELECT q_id, nid, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc, nid) AS rank FROM adc0 WHERE q_id <> nid) SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5"))
+    Some(IvfPqCtes +
+      ", ar AS (SELECT q_id, nid FROM r WHERE rank <= 5), " +
+      "ts AS (SELECT q.q_id, v.vec_id AS neighbor_id, round(list_cosine_similarity(q.qe, v.e), 4) AS sim FROM q, v WHERE v.vec_id <> q.q_id), " +
+      "tr AS (SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM ts) " +
+      "SELECT tr.q_id, round(count(ar.nid) / 5.0, 4) AS recall_at_5 " +
+      "FROM tr LEFT JOIN ar ON ar.q_id = tr.q_id AND ar.nid = tr.neighbor_id " +
+      "WHERE tr.rank <= 5 GROUP BY 1"))
 
   /** IVF-PQ index persistence — the production vector-store lifecycle:
     * BUILD the index once (pqEncode ⋈ cluster assignment), SAVE it as
@@ -4090,6 +4138,7 @@ object SparkEntry {
     "ann_trained_ivf" -> annTrainedIvf,
     "ann_pq_topk" -> annPqTopK,
     "ann_ivfpq_topk" -> annIvfPqTopK,
+    "ann_recall" -> annRecall,
     "ann_index_persist" -> annIndexPersist,
     "ann_kmeans" -> annKmeans,
     "dedup_exact" -> dedupExact,

@@ -285,6 +285,16 @@ object Dedup {
     * domain is denser than words (every doc shares common trigrams), so
     * at scale ALWAYS pair this with `maxDf` — ubiquitous grams
     * discriminate nothing and dominate the Σ df² join fanout.
+    *
+    * `maxDf` must be an ABSOLUTE constant, not a corpus fraction: the
+    * in-bucket join work is Σ_grams df², so a cap that scales with the
+    * corpus makes the operator Θ(corpus²) — measured empirically at
+    * exponent 1.24 on the 25× replication stress (STRESS_r09_f25.json:
+    * 0.65 s → 35.1 s with cap 100·f) vs sub-second with the cap held at
+    * 100. An absolute cap bounds per-gram work outright; if capped-out
+    * grams still matter for the similarity domain, decompose oversized
+    * postings with the minhash-style g×g chunking instead of raising
+    * the cap.
     */
   def ngramJaccardPairs(
       docs: DataFrame, id: String, text: String, n: Int,
