@@ -265,19 +265,27 @@ object Ann {
     * (floating-point means are fold-order-dependent). Empty clusters
     * keep their previous centroid.
     *
+    * `initHashOrdered = false` seeds from the k smallest ids instead of
+    * the hash order — id order is expressible in plain SQL (xxhash64 is
+    * not), which is what lets an oracle replay the whole training run.
+    *
     * @return final (id, cluster) assignment (lazy; computed from the
     *         final centroids) and the trained model
     */
   def kmeans(
       corpus: DataFrame, id: String, vec: String,
-      k: Int, iters: Int): (DataFrame, KMeansModel) = {
+      k: Int, iters: Int, initHashOrdered: Boolean = true)
+      : (DataFrame, KMeansModel) = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1, "iters must be >= 1")
     val prep = widen(corpus.select(col(id).as("id"), toDouble(col(vec)).as("v")))
     prep.persist()
     try {
       var cents: Array[Array[Double]] = prep
-        .orderBy(xxhash64(col("id")), col("id")).limit(k)
+        .orderBy(
+          (if (initHashOrdered) Seq(xxhash64(col("id"))) else Seq.empty) :+
+            col("id"): _*)
+        .limit(k)
         .select(col("v")).collect()
         .map(_.getSeq[Double](0).toArray)
       require(cents.nonEmpty, "kmeans: corpus is empty")
@@ -455,6 +463,33 @@ object Ann {
     val subDim = dim / m
     PqCodebook(m, subDim,
       Array.tabulate(m)(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim))))
+  }
+
+  /** PQ codebook TRAINED per subspace — `ksub`-means over each of the
+    * `m` vector slices ([[kmeans]] Lloyd machinery: deterministic
+    * id-ordered init so an oracle can replay training, quantized
+    * means, empty clusters keep their centroid) — the production
+    * answer when the [[pqSeedCodebook]] index fails the recall gate:
+    * centroids move to where the data is, ADC distances stop being
+    * noise. Cost: m × iters vocabulary-sized aggregates over the
+    * training slice; the model stays k×dim driver-held either way.
+    */
+  def pqTrainCodebook(
+      corpus: DataFrame, id: String, vec: String,
+      m: Int, ksub: Int, iters: Int): PqCodebook = {
+    require(m >= 1 && ksub >= 1, "m and ksub must be >= 1")
+    val prep = corpus
+      .select(col(id).cast("long").as("id"), toDouble(col(vec)).as("v"))
+    val dim = prep.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val cents = Array.tabulate(m) { s =>
+      val sliced = prep.select(col("id"),
+        slice(col("v"), s * subDim + 1, subDim).as("v"))
+      kmeans(sliced, "id", "v", ksub, iters,
+        initHashOrdered = false)._2.centroids
+    }
+    PqCodebook(m, subDim, cents)
   }
 
   /** Squared L2 between `v[off, off+len)` and `c`, as ‖v‖² − 2·v·c + ‖c‖²

@@ -369,4 +369,48 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(again == out)
   }
+
+  test("pqTrainCodebook: one Lloyd step moves each subspace's centroids " +
+      "to the cluster means; deterministic across runs") {
+    val df = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)),
+      (2L, Seq(2f, 0f)), (3L, Seq(8f, 10f)))
+      .toDF("vec_id", "embedding")
+    // init from ids 0,1 → (0,0),(10,10); assignment pairs {0,2} / {1,3};
+    // means (1,0) and (9,10)
+    val cb = Ann.pqTrainCodebook(df, "vec_id", "embedding",
+      m = 1, ksub = 2, iters = 1)
+    assert(cb.cents(0).map(_.toSeq).toSeq ==
+      Seq(Seq(1.0, 0.0), Seq(9.0, 10.0)))
+    val again = Ann.pqTrainCodebook(df, "vec_id", "embedding",
+      m = 1, ksub = 2, iters = 1)
+    assert(again.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.cents.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("training rescues a degenerate seed codebook: seeded codes can't " +
+      "tell far-apart clusters apart, trained codes can") {
+    // ids 0..15 (the seed rows) sit in ONE tight cluster, so every seed
+    // centroid is near-identical; the corpus's second cluster is far away
+    val rows = (0 until 16).map(i => (i.toLong, Seq(0f + i * 0.01f, 0f))) ++
+      Seq((100L, Seq(0f, 0f)), (101L, Seq(50f, 50f)))
+    val df = rows.toDF("vec_id", "embedding")
+    def codesOf(cb: Ann.PqCodebook): Map[Long, Seq[Int]] =
+      Ann.pqEncode(df, "vec_id", "embedding", cb).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val seeded = codesOf(Ann.pqSeedCodebook(df, "vec_id", "embedding",
+      m = 1, ksub = 16))
+    val trained = codesOf(Ann.pqTrainCodebook(df, "vec_id", "embedding",
+      m = 1, ksub = 16, iters = 2))
+    // seeded: all 16 centroids hug (0,0), so (50,50) lands on the same
+    // farthest centroid story as (0,0)'s neighbors — indistinguishable
+    // in ADC terms; trained: Lloyd pulls a centroid to the far cluster
+    assert(trained(100L) != trained(101L),
+      s"trained codes failed to separate the clusters: $trained")
+    // and the trained centroid actually sits AT the far cluster
+    val cb = Ann.pqTrainCodebook(df, "vec_id", "embedding",
+      m = 1, ksub = 16, iters = 2)
+    assert(cb.cents(0).exists(c =>
+      math.abs(c(0) - 50.0) < 1.0 && math.abs(c(1) - 50.0) < 1.0))
+  }
 }
