@@ -3913,8 +3913,11 @@ object SparkEntry {
     * real neighbors inside the probed cells: measured mean recall@5
     * 0.12 → 0.32. The residual gap to the 0.90 ceiling is PQ
     * resolution on near-uniform synthetic vectors — swept empirically:
-    * more Lloyd iterations or probes move it ≤ 0.02; closing it needs
-    * more code bits (m = 16), not more training. The oracle replays BOTH
+    * more Lloyd iterations or probes move it ≤ 0.02, FAISS-style
+    * residual encoding +0.04, and only raw code bits buy headway
+    * (m = 16 → 0.38, m = 32 → 0.56) — i.i.d.-uniform unit vectors are
+    * the information-theoretic worst case for PQ and no training
+    * schedule changes that. The oracle replays BOTH
     * training runs in SQL (coarse: init → argmin → quantized means →
     * membership; PQ: the same per subspace) before the probe, encode,
     * ADC, and recall chain — distributed k-means training is pinned
