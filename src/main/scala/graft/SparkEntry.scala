@@ -3794,16 +3794,9 @@ object SparkEntry {
     * `ann_recall`; identical construction both places so the recall
     * entry measures THE index the topk entry pins.
     */
-  private def ivfPqQuery(s: SparkSession, dir: String): DataFrame =
-    ivfPqQueryWith(s, dir, trained = false)
-
-  private def ivfPqQueryWith(s: SparkSession, dir: String,
-      trained: Boolean): DataFrame = {
+  private def ivfPqQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val cb =
-      if (trained) Ann.pqTrainCodebook(emb, "vec_id", "embedding",
-        m = 8, ksub = 16, iters = 1)
-      else Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val cb = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16)
     val indexed = Ann.pqEncode(emb, "vec_id", "embedding", cb)
       .join(emb.select(col("vec_id"), col("label")), "vec_id")
     Ann.ivfPqTopK(indexed, "vec_id", "label",
