@@ -3425,6 +3425,63 @@ object SparkEntry {
       "ELSE CAST(doc_id % 5 AS INT) IN (0, 2) END AS allowed " +
       "FROM documents"))
 
+  /** SFT chat-template rendering ([[graft.text.Chat]]): documents
+    * grouped four-per-conversation as alternating user/assistant
+    * turns, rendered to one training sequence per conversation with
+    * ASSISTANT-ONLY loss spans — the half-open character ranges a
+    * trainer masks loss to. The oracle re-derives the running-sum
+    * offsets and every span boundary; an off-by-one silently trains on
+    * user text, which is exactly what the hash would catch.
+    */
+  private val chatTemplateRender = Q(
+    (s, dir) => {
+      val turns = t(s, dir, "documents").select(
+        floor(col("doc_id") / 4).cast("long").as("conv"),
+        pmod(col("doc_id"), lit(4)).as("i"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        col("text").as("txt"))
+      graft.text.Chat.renderWithLossSpans(turns, "conv", "i", "role", "txt")
+    },
+    Some("WITH tu AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx, CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, text AS t FROM documents), " +
+      "r AS (SELECT conv_id, turn_idx, role, t, '<|' || role || '|>' || t || '<|end|>' AS r FROM tu), " +
+      "o AS (SELECT *, COALESCE(sum(length(r)) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM r), " +
+      "asm AS (SELECT conv_id, string_agg(r, '' ORDER BY turn_idx) AS text FROM o GROUP BY 1), " +
+      "sp AS (SELECT conv_id, turn_idx AS span_turn, off + length(role) + 4 AS s, off + length(role) + 4 + length(t) AS e FROM o WHERE role = 'assistant') " +
+      "SELECT asm.conv_id, asm.text, sp.span_turn, sp.s, sp.e FROM asm LEFT JOIN sp USING (conv_id)"))
+
+  /** Turn-structure audit ([[graft.text.Chat.alternationAudit]]) — the
+    * validity gate ahead of rendering: defects planted off doc_id
+    * residues (role flips at doc_id % 37 = 0, all-user conversations
+    * at conv % 53 = 0, missing turns at doc_id % 41 = 0 creating index
+    * gaps), each flag re-derived by the oracle's lag windows.
+    */
+  private val chatAlternationAudit = Q(
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(41)) =!= 0)
+        .select(
+          floor(col("doc_id") / 4).cast("long").as("conv"),
+          pmod(col("doc_id"), lit(4)).as("i"),
+          col("doc_id"))
+      val parity = when(pmod(col("doc_id"), lit(2)) === 0, lit("user"))
+        .otherwise(lit("assistant"))
+      val flipped = when(pmod(col("doc_id"), lit(2)) === 0, lit("assistant"))
+        .otherwise(lit("user"))
+      val turns = base.select(col("conv"), col("i"),
+        when(pmod(col("conv"), lit(53)) === 0, lit("user"))
+          .otherwise(when(pmod(col("doc_id"), lit(37)) === 0, flipped)
+            .otherwise(parity)).as("role"))
+      graft.text.Chat.alternationAudit(turns, "conv", "i", "role")
+    },
+    Some("WITH tu AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx, CASE WHEN (doc_id // 4) % 53 = 0 THEN 'user' WHEN doc_id % 37 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 'assistant' ELSE 'user' END) ELSE (CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END) END AS role FROM documents WHERE doc_id % 41 <> 0), " +
+      "l AS (SELECT *, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role, lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx FROM tu) " +
+      "SELECT conv_id, arg_min(role, turn_idx) <> 'user' AS bad_opening, " +
+      "COALESCE(max(CASE WHEN prev_role = role THEN 1 ELSE 0 END), 0) = 1 AS repeated_role, " +
+      "sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) = 0 AS no_assistant, " +
+      "COALESCE(max(CASE WHEN prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1 THEN 1 ELSE 0 END), 0) = 1 AS index_gap " +
+      "FROM l GROUP BY 1"))
+
   /** Corpus-trained bigram-LM document scoring ([[graft.text.NgramLm]])
     * — the perplexity-style quality gate (CCNet tier 1). Counts are
     * vocabulary-sized aggregates joined back onto the bigram stream;
@@ -4278,6 +4335,8 @@ object SparkEntry {
     "corpus_crawl_pagerank" -> corpusCrawlPagerank,
     "text_quality_model" -> textQualityModel,
     "web_robots_filter" -> webRobotsFilter,
+    "chat_template_render" -> chatTemplateRender,
+    "chat_alternation_audit" -> chatAlternationAudit,
     "text_normalize" -> textNormalize,
     "text_tfidf_terms" -> textTfidfTerms,
     "text_phrase_search" -> textPhraseSearch,
