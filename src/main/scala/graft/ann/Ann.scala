@@ -478,18 +478,60 @@ object Ann {
       corpus: DataFrame, id: String, vec: String,
       m: Int, ksub: Int, iters: Int): PqCodebook = {
     require(m >= 1 && ksub >= 1, "m and ksub must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // init = the id-ordered seeds, which IS the seed codebook — so the
+    // whole schedule is 1 + iters actions: the m per-subspace Lloyd
+    // runs FUSE into one (s, cluster, pos)-keyed mean aggregate per
+    // iteration (8 sequential kmeans loops would pay ~4× the
+    // driver-synchronized job count for the identical result — the
+    // same init, quantized argmin, and quantized means, so the SQL
+    // replay of per-subspace Lloyd is unchanged)
+    var cb = pqSeedCodebook(corpus, id, vec, m, ksub)
     val prep = corpus
       .select(col(id).cast("long").as("id"), toDouble(col(vec)).as("v"))
-    val dim = prep.select(size(col("v"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val subDim = dim / m
-    val cents = Array.tabulate(m) { s =>
-      val sliced = prep.select(col("id"),
-        slice(col("v"), s * subDim + 1, subDim).as("v"))
-      kmeans(sliced, "id", "v", ksub, iters,
-        initHashOrdered = false)._2.centroids
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cb)
+      // one narrow pass: every row yields its m (subspace, argmin
+      // cluster, slice) assignments; one aggregate folds them into the
+      // m·ksub·subDim mean table (driver-sized)
+      val means = prep.as[(Long, Seq[Double])]
+        .mapPartitions { it =>
+          val b = bc.value
+          it.flatMap { case (_, vseq) =>
+            val v = vseq.toArray
+            require(v.length == b.dim,
+              s"vector dim ${v.length} != codebook dim ${b.dim}")
+            (0 until b.m).iterator.map { s =>
+              val cs = b.cents(s)
+              var best = Double.PositiveInfinity
+              var bj = 0
+              var j = 0
+              while (j < cs.length) {
+                val d = subDist2(v, s * b.subDim, cs(j))
+                if (d < best) { best = d; bj = j }
+                j += 1
+              }
+              (s, bj, v.slice(s * b.subDim, (s + 1) * b.subDim).toSeq)
+            }
+          }
+        }
+        .toDF("s", "cj", "sv")
+        .select(col("s"), col("cj"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("cj"), col("pos"))
+        .agg(round(avg(col("x")), 9).as("mv"))
+        .collect()
+      bc.unpersist(blocking = false)
+      val byCell = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cb = PqCodebook(m, cb.subDim, Array.tabulate(m)(s =>
+        Array.tabulate(ksub)(j => byCell.get((s, j))
+          .map(_.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+          .getOrElse(cb.cents(s)(j)))))
     }
-    PqCodebook(m, subDim, cents)
+    prep.unpersist()
+    cb
   }
 
   /** Squared L2 between `v[off, off+len)` and `c`, as ‖v‖² − 2·v·c + ‖c‖²

@@ -361,7 +361,8 @@ class PlanAuditSpec extends SparkSpec {
       "cdc_snapshot_diff", "cdc_apply_diff", "scd2_history",
       "inc_agg_merge", "j12_interval_overlap", "so11_winsorize",
       "w2_rolling_window", "a2_dedup_keep_latest", "a5_sample_per_group",
-      "a6_max_per_group").foreach { n =>
+      "a6_max_per_group", "chat_template_render",
+      "chat_alternation_audit").foreach { n =>
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n:\n$p")
       // an explicit Cross nested-loop is the intentional driver-sized
