@@ -40,13 +40,15 @@ object ScaleStress {
     Alphabet.drop(r) + Alphabet.take(r)
   }
 
-  /** One replica: ids offset by k·Offset, [a-z] rotated by k (identity
-    * for k = 0, so factor 1 is byte-identical to the base corpus).
+  /** One replica: ids offset by k·Offset, [a-z] rotated by k. Replica 0
+    * is byte-identical to the base corpus (no lower(), no translate),
+    * so the factor-1 rung anchors to the same inputs the bench times.
     */
   private def replica(df: DataFrame, idCol: String, textCols: Seq[String],
       k: Int): DataFrame = {
     val shifted = df.withColumn(idCol, col(idCol) + lit(k * Offset))
-    textCols.foldLeft(shifted) { (d, c) =>
+    if (k == 0) shifted
+    else textCols.foldLeft(shifted) { (d, c) =>
       d.withColumn(c, translate(lower(col(c)), Alphabet, rotated(k)))
     }
   }
@@ -64,6 +66,8 @@ object ScaleStress {
     // the alphabet rotation wraps at 26: replica k and k+26 would share
     // a rotation and become cross-replica near-dups, breaking linearity
     require(factors.last <= 26, "replication factor must be <= 26")
+    require(factors.distinct.size >= 2,
+      "need at least two distinct factors to fit an exponent")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -64,7 +64,19 @@ object SparkEntry {
     * json_s3_to_parquet.py:75-78). Everything else conforms to the
     * declared `doc_id bigint, n_chars bigint` schema.
     */
-  private def corruptFixture(s: SparkSession, dir: String): String = {
+  /** Fixture dirs keyed by sf dir (the warcFixtureCache discipline):
+    * the drifted-NDJSON corpus is a pure function of documents, so the
+    * two corrupt-accounting entries and repeat bench passes share one
+    * build. Only the INPUT is cached — quarantine output appends, so
+    * each entry invocation writes quarantine to a fresh dir.
+    */
+  private val corruptFixtureCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private def corruptFixture(s: SparkSession, dir: String): String =
+    corruptFixtureCache.getOrElseUpdate(dir, buildCorruptFixture(s, dir))
+
+  private def buildCorruptFixture(s: SparkSession, dir: String): String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_s2c").toString
     val line = when(col("doc_id") % 13 === 0,
         concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"n_chars\":")))
@@ -92,9 +104,10 @@ object SparkEntry {
   private val s2CorruptAccounting = Q(
     (s, dir) => {
       val tmp = corruptFixture(s, dir)
+      val q = java.nio.file.Files.createTempDirectory("graft_s2q").toString
       val scan = JsonDataset.readAccounted(s, tmp, "docs_acct",
         StructType.fromDDL(CorruptFixtureSchema))
-      JsonDataset.quarantineCorrupt(scan.corrupt, s"$tmp/quarantine", "docs_acct")
+      JsonDataset.quarantineCorrupt(scan.corrupt, q, "docs_acct")
       scan.clean.select(col("doc_id"), col("n_chars"),
         col("assessmentid").cast("string").as("assessmentid"))
     },
@@ -110,11 +123,12 @@ object SparkEntry {
   private val s2CorruptQuarantine = Q(
     (s, dir) => {
       val tmp = corruptFixture(s, dir)
+      val q = java.nio.file.Files.createTempDirectory("graft_s2q").toString
       val scan = JsonDataset.readAccounted(s, tmp, "docs_acct",
         StructType.fromDDL(CorruptFixtureSchema))
-      JsonDataset.quarantineCorrupt(scan.corrupt, s"$tmp/quarantine", "docs_acct")
+      JsonDataset.quarantineCorrupt(scan.corrupt, q, "docs_acct")
       s.read.schema(StructType.fromDDL("assessmentid string, raw string"))
-        .json(s"$tmp/quarantine/dataset=docs_acct")
+        .json(s"$q/dataset=docs_acct")
         .groupBy(col("assessmentid"))
         .agg(count(lit(1)).as("n_corrupt"))
     },
@@ -2181,20 +2195,25 @@ object SparkEntry {
         if (it.hasNext) {
           val fos = new java.io.FileOutputStream(new java.io.File(
             tmp, s"seg-${java.util.UUID.randomUUID()}.warc.gz"))
-          def member(rec: Array[Byte]): Unit = {
-            val g = new java.util.zip.GZIPOutputStream(fos)
-            g.write(rec)
-            g.finish()
-          }
-          member(Warc.warcinfoRecord("2026-01-01T00:00:00Z",
-            "software: graft\r\n"))
-          it.foreach { r =>
-            member(Warc.httpResponseRecord(r.getString(0),
-              "2026-01-01T00:00:00Z", s"<urn:uuid:${r.getString(0)}>",
-              r.getString(1).getBytes(
-                java.nio.charset.StandardCharsets.UTF_8)))
-          }
-          fos.close()
+          try {
+            // each member gzips into a buffer and CLOSES its stream
+            // (finish() alone leaks one native Deflater per record)
+            def member(rec: Array[Byte]): Unit = {
+              val buf = new java.io.ByteArrayOutputStream(rec.length / 2 + 64)
+              val g = new java.util.zip.GZIPOutputStream(buf)
+              g.write(rec)
+              g.close()
+              buf.writeTo(fos)
+            }
+            member(Warc.warcinfoRecord("2026-01-01T00:00:00Z",
+              "software: graft\r\n"))
+            it.foreach { r =>
+              member(Warc.httpResponseRecord(r.getString(0),
+                "2026-01-01T00:00:00Z", s"<urn:uuid:${r.getString(0)}>",
+                r.getString(1).getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)))
+            }
+          } finally fos.close()
         }
       }
     tmp

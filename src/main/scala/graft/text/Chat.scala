@@ -33,7 +33,12 @@ object Chat {
       role: String, text: String): DataFrame = {
     val rendered = concat(lit("<|"), col(role), lit("|>"), col(text),
       lit("<|end|>"))
-    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    // the offset window's tie order MUST equal the assembly's
+    // array_sort order ((turn_idx, rendered)): a duplicate turn_idx
+    // with divergent tie-breaks would point a loss span into the
+    // NEIGHBORING turn's characters with no error raised
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("turn_idx"), col("r"))
     val withOff = turns
       .select(col(conv).as("conv_id"), col(idx).as("turn_idx"),
         col(role).as("role"), col(text).as("t"),

@@ -96,7 +96,11 @@ object Html {
     val anchors = regexp_extract_all(col(htmlCol), lit(AnchorPattern), lit(0))
     df.select(col(idCol), posexplode(anchors).as(Seq("link_idx", "__a")))
       .select(col(idCol), col("link_idx"),
-        regexp_extract(col("__a"), HrefPattern, 1).as("href"),
+        // search ONLY the open tag: an href-shaped string in the
+        // anchor's TEXT content must not mint a link edge
+        regexp_extract(
+          regexp_extract(col("__a"), "(?is)\\A<a\\b[^>]*>", 0),
+          HrefPattern, 1).as("href"),
         toText(regexp_replace(col("__a"), "(?is)\\A<a\\b[^>]*>|</a\\s*>\\z", " "))
           .as("anchor"))
       .where(col("href") =!= "")

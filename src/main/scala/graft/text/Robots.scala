@@ -38,7 +38,11 @@ object Robots {
       agent: String): DataFrame = {
     val spark = robots.sparkSession
     import spark.implicits._
-    robots.select(col(domainCol).cast("string"), col(txtCol).cast("string"))
+    // domain lowercased HERE so it meets [[withAllowed]]'s lowercased
+    // URL-host extraction — a mixed-case robots key must not silently
+    // disable its rules
+    robots.select(lower(col(domainCol)).cast("string"),
+        col(txtCol).cast("string"))
       .as[(String, String)]
       .flatMap { case (dom, txt) =>
         parse(Option(txt).getOrElse(""), agent)
@@ -75,9 +79,11 @@ object Robots {
         if (r.isNullAt(rsIdx)) Seq.empty
         else r.getSeq[org.apache.spark.sql.Row](rsIdx)
           .map(x => (x.getBoolean(0), x.getString(1)))
-      val path = pathOf(r.getString(urlIdx))
-      org.apache.spark.sql.Row.fromSeq(
-        r.toSeq.dropRight(1) :+ decide(path, rs))
+      // a null URL row passes through as allowed (no subject to match)
+      // rather than crashing the task — the quarantine posture
+      val url = r.getString(urlIdx)
+      val verdict = if (url == null) true else decide(pathOf(url), rs)
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1) :+ verdict)
     }(enc).drop("__dom")
   }
 
@@ -169,7 +175,9 @@ object Robots {
   }
 
   /** Path + query of a URL (the robots matching subject); `/` when the
-    * URL has none.
+    * URL has neither. A query with no path segment
+    * (`http://h?sessionid=1`) normalizes to `/?sessionid=1` so
+    * query-targeting rules still apply.
     */
   def pathOf(url: String): String = {
     val noFrag = url.takeWhile(_ != '#')
@@ -178,6 +186,9 @@ object Robots {
       if (i < 0) noFrag else noFrag.substring(i + 3)
     }
     val j = afterScheme.indexOf('/')
-    if (j < 0) "/" else afterScheme.substring(j)
+    val q = afterScheme.indexOf('?')
+    if (j >= 0 && (q < 0 || j < q)) afterScheme.substring(j)
+    else if (q >= 0) "/" + afterScheme.substring(q)
+    else "/"
   }
 }

@@ -37,6 +37,21 @@ class ChatSpec extends SparkSpec {
       c2.head._3.isEmpty)
   }
 
+  test("duplicate turn indexes keep spans aligned with the assembled " +
+      "text (offset and assembly share one tie order)") {
+    val dup = Seq(
+      (1L, 0L, "user", "zz"), (1L, 1L, "assistant", "bbb"),
+      (1L, 1L, "assistant", "aaaa"), (1L, 2L, "user", "k"))
+      .toDF("conv", "i", "role", "txt")
+    val out = Chat.renderWithLossSpans(dup, "conv", "i", "role", "txt")
+      .as[(Long, String, Option[Long], Option[Long], Option[Long])]
+      .collect()
+    assert(out.length == 2)
+    val sliced = out.map(r =>
+      r._2.substring(r._4.get.toInt, r._5.get.toInt)).toSet
+    assert(sliced == Set("aaaa", "bbb"), sliced)
+  }
+
   test("alternationAudit flags exactly the planted defects") {
     val bad = Seq(
       (1L, 0L, "user"), (1L, 1L, "assistant"),          // clean

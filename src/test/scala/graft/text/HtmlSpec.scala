@@ -56,6 +56,14 @@ class HtmlSpec extends SparkSpec {
       (1, "http://b.com/2", "second & last")))
   }
 
+  test("extractLinks: href-shaped TEXT inside an anchor body never " +
+      "mints an edge — only the open tag is searched") {
+    assert(links("""<a name="x">use href="http://spam.example/" ok</a>""")
+      .isEmpty)
+    assert(links("""<a href="http://real/">text href="http://fake/"</a>""")
+      .map(_._2) == Seq("http://real/"))
+  }
+
   test("extractLinks: anchors without a double-quoted href drop; " +
       "adjacent anchors don't fuse; multi-line anchors parse") {
     assert(links("""<a name="x">no href</a><a href=bare>unquoted</a>""")

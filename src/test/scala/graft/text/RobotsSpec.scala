@@ -58,6 +58,25 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.parse(t, "any") == Seq((true, "/ok")))
   }
 
+  test("mixed-case robots domains still bind their rules; null URLs " +
+      "pass through allowed; query-only URLs match query rules") {
+    val robots = Seq(
+      ("Example.COM", "User-agent: *\nDisallow: /"),
+      ("q.com", "User-agent: *\nDisallow: /*?*sessionid=*"))
+      .toDF("domain", "txt")
+    val urls = Seq(
+      (1L, "http://example.com/x"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "http://q.com?sessionid=9"),
+      (4L, "http://q.com?page=2")).toDF("id", "url")
+    val m = Robots.withAllowed(urls, "url",
+        Robots.rules(robots, "domain", "txt", "bot"))
+      .select("id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(m == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+    assert(Robots.pathOf("http://h?sessionid=1") == "/?sessionid=1")
+    assert(Robots.pathOf("http://h") == "/")
+  }
+
   test("distributed filter: frontier never shuffles, missing robots " +
       "means allowed") {
     val robots = Seq(
