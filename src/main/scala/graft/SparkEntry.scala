@@ -3373,6 +3373,25 @@ object SparkEntry {
         .mkString(", ") +
       " SELECT node, rank FROM r5")))
 
+  /** The full GD training replay shared by `text_quality_model` and
+    * `pref_best_of_n`: every CTE through `mf` (per-doc final margin) —
+    * 3 iterations of quantized full-batch logistic regression in SQL.
+    */
+  private val qmGdCtes: String =
+    ("WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents WHERE trim(text) <> ''), " +
+      "bk AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % 64 AS bucket, len(ws) AS nt FROM (SELECT doc_id, unnest(ws) AS w, ws FROM tk)), " +
+      "f0 AS (SELECT doc_id, bucket, round(count(*) * 1.0 / any_value(nt), 9) AS x FROM bk GROUP BY doc_id, bucket UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM tk), " +
+      "lab AS (SELECT doc_id, y FROM tk), nn AS (SELECT count(*) AS n FROM lab), " +
+      "g1 AS (SELECT bucket, round(sum(x * (0.5 - y)) / any_value(n), 9) AS g FROM f0 JOIN lab USING (doc_id) CROSS JOIN nn GROUP BY bucket), " +
+      "w1 AS (SELECT bucket, round(-0.5 * g, 9) AS w FROM g1), " +
+      (2 to 3).map(k =>
+        s"m$k AS (SELECT doc_id, round(sum(x * w), 9) AS m FROM f0 JOIN w${k - 1} USING (bucket) GROUP BY doc_id), " +
+          s"e$k AS (SELECT m$k.doc_id, round(1.0 / (1.0 + exp(-m)), 9) - y AS err FROM m$k JOIN lab USING (doc_id)), " +
+          s"g$k AS (SELECT bucket, round(sum(x * err) / any_value(n), 9) AS g FROM f0 JOIN e$k USING (doc_id) CROSS JOIN nn GROUP BY bucket), " +
+          s"w$k AS (SELECT bucket, round(w - 0.5 * g, 9) AS w FROM w${k - 1} JOIN g$k USING (bucket))")
+        .mkString(", ") +
+      ", mf AS (SELECT doc_id, round(sum(x * w), 9) AS m FROM f0 JOIN w3 USING (bucket) GROUP BY doc_id)")
+
   /** Trained quality classifier ([[graft.text.QualityModel]]): hashed
     * bag-of-words logistic regression, 3 full-batch GD iterations from
     * w₀ = 0 with every floating hand-off quantized to 9 decimals — so
@@ -3386,20 +3405,32 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", col("lang") === "en",
         buckets = 64, iters = 3, lr = 0.5)
       .select(col("id").as("doc_id"), col("prob"), col("predicted")),
-    Some(("WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents WHERE trim(text) <> ''), " +
-      "bk AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % 64 AS bucket, len(ws) AS nt FROM (SELECT doc_id, unnest(ws) AS w, ws FROM tk)), " +
-      "f0 AS (SELECT doc_id, bucket, round(count(*) * 1.0 / any_value(nt), 9) AS x FROM bk GROUP BY doc_id, bucket UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM tk), " +
-      "lab AS (SELECT doc_id, y FROM tk), nn AS (SELECT count(*) AS n FROM lab), " +
-      "g1 AS (SELECT bucket, round(sum(x * (0.5 - y)) / any_value(n), 9) AS g FROM f0 JOIN lab USING (doc_id) CROSS JOIN nn GROUP BY bucket), " +
-      "w1 AS (SELECT bucket, round(-0.5 * g, 9) AS w FROM g1), " +
-      (2 to 3).map(k =>
-        s"m$k AS (SELECT doc_id, round(sum(x * w), 9) AS m FROM f0 JOIN w${k - 1} USING (bucket) GROUP BY doc_id), " +
-          s"e$k AS (SELECT m$k.doc_id, round(1.0 / (1.0 + exp(-m)), 9) - y AS err FROM m$k JOIN lab USING (doc_id)), " +
-          s"g$k AS (SELECT bucket, round(sum(x * err) / any_value(n), 9) AS g FROM f0 JOIN e$k USING (doc_id) CROSS JOIN nn GROUP BY bucket), " +
-          s"w$k AS (SELECT bucket, round(w - 0.5 * g, 9) AS w FROM w${k - 1} JOIN g$k USING (bucket))")
-        .mkString(", ") +
-      ", mf AS (SELECT doc_id, round(sum(x * w), 9) AS m FROM f0 JOIN w3 USING (bucket) GROUP BY doc_id) " +
-      "SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 4) AS prob, round(1.0 / (1.0 + exp(-m)), 4) >= 0.5 AS predicted FROM mf")))
+    Some(qmGdCtes +
+      " SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 4) AS prob, round(1.0 / (1.0 + exp(-m)), 4) >= 0.5 AS predicted FROM mf"))
+
+  /** Best-of-N rejection sampling driven by the TRAINED quality model
+    * ([[graft.text.Pref.bestOfN]] over [[graft.text.QualityModel
+    * .trainAndScore]] probabilities): documents pooled
+    * four-per-prompt, each pool collapsed to its top-probability
+    * candidate — the Llama-2-style iterative-SFT selection step as one
+    * composite. The oracle replays the ENTIRE distributed GD run (the
+    * shared `qmGdCtes` replay) and then re-derives the per-prompt
+    * argmax with the (prob, resp_id) tie-break. Blank documents drop
+    * in training on both sides, so pool sizes shrink consistently.
+    */
+  private val prefBestOfN = Q(
+    (s, dir) => {
+      val scored = graft.text.QualityModel.trainAndScore(
+          t(s, dir, "documents"), "doc_id", "text", col("lang") === "en",
+          buckets = 64, iters = 3, lr = 0.5)
+        .select(floor(col("id") / 4).cast("long").as("prompt"),
+          pmod(col("id"), lit(4)).as("rid"), col("prob"))
+      graft.text.Pref.bestOfN(scored, "prompt", "rid", "prob")
+    },
+    Some(qmGdCtes +
+      ", sc AS (SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS resp_id, round(1.0 / (1.0 + exp(-m)), 4) AS prob FROM mf), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY prompt_id ORDER BY prob DESC, resp_id DESC) AS r, count(*) OVER (PARTITION BY prompt_id) AS n FROM sc) " +
+      "SELECT prompt_id, resp_id AS best_id, prob AS best_score, CAST(n AS BIGINT) AS n_responses FROM rk WHERE r = 1"))
 
   /** robots.txt compliance filter ([[graft.text.Robots]], RFC 9309):
     * per-domain robots bodies are planted with agent groups, prefix
@@ -3500,6 +3531,85 @@ object SparkEntry {
       "sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) = 0 AS no_assistant, " +
       "COALESCE(max(CASE WHEN prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1 THEN 1 ELSE 0 END), 0) = 1 AS index_gap " +
       "FROM l GROUP BY 1"))
+
+  /** DPO preference-pair construction ([[graft.text.Pref
+    * .preferencePairs]]): documents pooled four-per-prompt as scored
+    * candidates (score = text length), collapsed to deterministic
+    * (chosen, rejected) pairs under the (score, resp_id) tie-break,
+    * with single-candidate prompts (planted by the % 29 filter),
+    * sub-margin pools, and identical-text pairs filtered. The oracle
+    * re-derives both extremes with row_number windows — a divergent
+    * tie-break or margin boundary flips rows and fails the hash.
+    */
+  private val prefPairBuild = Q(
+    (s, dir) => graft.text.Pref.preferencePairs(
+      t(s, dir, "documents").where(pmod(col("doc_id"), lit(29)) =!= 0)
+        .select(floor(col("doc_id") / 4).cast("long").as("prompt"),
+          pmod(col("doc_id"), lit(4)).as("rid"), col("text"),
+          length(col("text")).as("sc")),
+      "prompt", "rid", "text", "sc", minMargin = 3.0),
+    Some("WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS resp_id, text AS t, CAST(length(text) AS DOUBLE) AS sc FROM documents WHERE doc_id % 29 <> 0), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY prompt_id ORDER BY sc DESC, resp_id DESC) AS ra, row_number() OVER (PARTITION BY prompt_id ORDER BY sc ASC, resp_id ASC) AS rb, count(*) OVER (PARTITION BY prompt_id) AS n FROM r), " +
+      "ch AS (SELECT prompt_id, resp_id AS chosen_id, t AS ct, sc AS cs, CAST(n AS BIGINT) AS n_responses FROM rk WHERE ra = 1), " +
+      "rj AS (SELECT prompt_id, resp_id AS rejected_id, t AS rt, sc AS rs FROM rk WHERE rb = 1) " +
+      "SELECT prompt_id, chosen_id, rejected_id, n_responses, round(cs - rs, 4) AS margin " +
+      "FROM ch JOIN rj USING (prompt_id) " +
+      "WHERE n_responses >= 2 AND cs - rs >= 3.0 AND ct <> rt"))
+
+  /** Preference-pool validity audit ([[graft.text.Pref.pairAudit]]):
+    * per prompt, the defect flags DPO curation reports — too_few,
+    * zero_margin, degenerate_pair (tie-broken extremes carry identical
+    * text), and top_ties (candidates sharing the top score, i.e.
+    * "chosen" decided by tie-break alone). Length-valued scores make
+    * ties and zero-margin pools organically dense in the fixture.
+    */
+  private val prefPairAudit = Q(
+    (s, dir) => graft.text.Pref.pairAudit(
+      t(s, dir, "documents").where(pmod(col("doc_id"), lit(29)) =!= 0)
+        .select(floor(col("doc_id") / 4).cast("long").as("prompt"),
+          pmod(col("doc_id"), lit(4)).as("rid"), col("text"),
+          length(col("text")).as("sc")),
+      "prompt", "rid", "text", "sc"),
+    Some("WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS resp_id, text AS t, CAST(length(text) AS DOUBLE) AS sc FROM documents WHERE doc_id % 29 <> 0), " +
+      "w AS (SELECT *, max(sc) OVER (PARTITION BY prompt_id) AS mx, row_number() OVER (PARTITION BY prompt_id ORDER BY sc DESC, resp_id DESC) AS ra, row_number() OVER (PARTITION BY prompt_id ORDER BY sc ASC, resp_id ASC) AS rb FROM r), " +
+      "a AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_responses, count(*) < 2 AS too_few, max(sc) = min(sc) AS zero_margin, CAST(sum(CASE WHEN sc = mx THEN 1 ELSE 0 END) AS BIGINT) AS top_ties FROM w GROUP BY 1), " +
+      "ch AS (SELECT prompt_id, t AS ct FROM w WHERE ra = 1), " +
+      "rj AS (SELECT prompt_id, t AS rt FROM w WHERE rb = 1) " +
+      "SELECT a.prompt_id, n_responses, too_few, zero_margin, ct = rt AS degenerate_pair, top_ties FROM a JOIN ch USING (prompt_id) JOIN rj USING (prompt_id)"))
+
+  /** Eval-side contamination fractions ([[graft.dedup.Dedup
+    * .contaminationFraction]]): per held-out document, the fraction of
+    * its distinct 5-grams found anywhere in the training slice — the
+    * number benchmark contamination cards publish. Leaks are PLANTED:
+    * even-id held docs swap in the text of doc_id+1 (always a train
+    * member under the % 3 split), so the fixture has exact-1.0 rows,
+    * organic partial overlap, and clean rows.
+    */
+  private val dedupContaminationFrac = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val next = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("next_text"))
+      val held = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+        .join(next, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0 &&
+            col("next_text").isNotNull, col("next_text"))
+            .otherwise(col("text")).as("text"))
+      graft.dedup.Dedup.contaminationFraction(
+          docs.where(pmod(col("doc_id"), lit(3)) =!= 0), held,
+          "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_dirty"),
+          col("frac"))
+    },
+    Some("WITH nx AS (SELECT doc_id - 1 AS doc_id, text AS next_text FROM documents), " +
+      "held AS (SELECT d.doc_id, CASE WHEN d.doc_id % 2 = 0 AND nx.next_text IS NOT NULL THEN nx.next_text ELSE d.text END AS text FROM documents d LEFT JOIN nx USING (doc_id) WHERE d.doc_id % 3 = 0), " +
+      "tw AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents WHERE doc_id % 3 <> 0), " +
+      "tg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(ws) - 4), i -> array_to_string(ws[i:i+4], ' '))) AS g FROM tw WHERE len(ws) >= 5), " +
+      "hw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM held), " +
+      "hg AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws) - 4), i -> array_to_string(ws[i:i+4], ' ')))) AS g FROM hw WHERE len(ws) >= 5), " +
+      "cnt AS (SELECT hg.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty FROM hg LEFT JOIN tg ON hg.g = tg.g GROUP BY 1) " +
+      "SELECT h.doc_id, COALESCE(n_grams, 0) AS n_grams, COALESCE(n_dirty, 0) AS n_dirty, CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0 ELSE floor(CAST(n_dirty AS DOUBLE) / n_grams * 10000.0 + 0.5) / 10000.0 END AS frac FROM held h LEFT JOIN cnt USING (doc_id)"))
 
   /** Corpus-trained bigram-LM document scoring ([[graft.text.NgramLm]])
     * — the perplexity-style quality gate (CCNet tier 1). Counts are
@@ -4356,6 +4466,10 @@ object SparkEntry {
     "web_robots_filter" -> webRobotsFilter,
     "chat_template_render" -> chatTemplateRender,
     "chat_alternation_audit" -> chatAlternationAudit,
+    "pref_pair_build" -> prefPairBuild,
+    "pref_pair_audit" -> prefPairAudit,
+    "pref_best_of_n" -> prefBestOfN,
+    "dedup_contamination_frac" -> dedupContaminationFrac,
     "text_normalize" -> textNormalize,
     "text_tfidf_terms" -> textTfidfTerms,
     "text_phrase_search" -> textPhraseSearch,

@@ -540,6 +540,54 @@ object Dedup {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Eval-side contamination REPORT — the number benchmark cards
+    * actually publish: for each held-out/eval document, the fraction of
+    * its distinct word n-grams that occur anywhere in the training
+    * corpus. [[ngramContamination]] answers "which TRAIN docs must I
+    * drop"; this answers "how dirty is each EVAL item" (and an eval
+    * set is kept or thrown out on that fraction, per GPT-3 appendix C /
+    * PaLM's dataset-contamination analyses).
+    *
+    * Returns every held row: (id, n_grams = distinct n-grams in the
+    * doc, n_dirty = how many of them appear in train, frac = n_dirty /
+    * n_grams rounded to 4 decimals, 0.0 for docs shorter than n
+    * tokens).
+    *
+    * Scale: the TRAIN side — the 100 TB one — collapses to its
+    * distinct gram set via one map-side-combining aggregate and is
+    * never carried per-document; the held side (benchmark-sized)
+    * shuffles only its own grams. The verdict join is gram-keyed
+    * train-distinct × held-distinct, then one held-id aggregate.
+    */
+  def contaminationFraction(
+      train: DataFrame, held: DataFrame, id: String, text: String,
+      n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      val toks =
+        df.select(keep :+ split(lower(trim(col(text))), "\\s+").as("__ts"): _*)
+      val keepNames = toks.columns.dropRight(1).map(col)
+      toks
+        .where(size(col("__ts")) >= n)
+        .select(keepNames :+ explode(array_distinct(transform(
+          sequence(lit(0), size(col("__ts")) - n),
+          i => concat_ws(" ", slice(col("__ts"), i + lit(1), lit(n)))))).as("g"): _*)
+    }
+    val trainGrams = grams(train, Nil).select(col("g")).distinct()
+    val counts = grams(held, Seq(col(id).as("id")))
+      .join(trainGrams.withColumn("__hit", lit(1)), Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_dirty"))
+    held.select(col(id).as("id"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dirty"), lit(0L)).as("n_dirty"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_dirty") / col("n_grams"), 4))
+          .as("frac"))
+  }
+
   /** Capped distinct-vocabulary probe: a typed aggregate whose state
     * stops growing at 65 tokens, so the probe is ONE map-side-combining
     * pass with ≤ 65-entry partials — it never shuffles a large

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Preference-pair construction for DPO/RLHF post-training corpora:
+  * per prompt, a pool of scored candidate responses collapses to one
+  * (chosen, rejected) pair — the highest- and lowest-scored candidates
+  * — with the degenerate shapes every preference trainer must reject
+  * filtered (or, in [[pairAudit]], reported) rather than silently
+  * emitted: single-candidate prompts, zero-margin pools, and pairs
+  * whose two texts are identical (the gradient is exactly zero and the
+  * pair only burns tokens).
+  *
+  * Determinism: ties on score are broken by response id via a
+  * lexicographic (score, resp_id) struct ordering inside `max_by` /
+  * `min_by`, so re-runs (and the SQL oracle's `row_number` twin) pick
+  * the same extreme rows. Shape: ONE prompt-keyed aggregation — group
+  * state is two candidate structs regardless of pool size, so a
+  * 100 TB response table reduces map-side and shuffles only
+  * (prompt, 2 structs).
+  */
+object Pref {
+
+  /** One row per surviving prompt: (prompt_id, chosen_id, rejected_id,
+    * n_responses, margin). A prompt survives when it has ≥ 2
+    * candidates, `margin = score(chosen) - score(rejected) >=
+    * minMargin`, and the two texts differ. Margin is rounded to 4
+    * decimals (the repo-wide oracle-comparison convention).
+    */
+  def preferencePairs(responses: DataFrame, prompt: String,
+      respId: String, text: String, score: String,
+      minMargin: Double): DataFrame = {
+    val ord = struct(col("sc"), col("resp_id"))
+    val cand = struct(col("resp_id"), col("t"), col("sc"))
+    val pooled = responses
+      .select(col(prompt).as("prompt_id"), col(respId).as("resp_id"),
+        col(text).as("t"), col(score).cast("double").as("sc"))
+      .groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n_responses"),
+        max_by(cand, ord).as("ch"), min_by(cand, ord).as("rj"))
+    pooled
+      .where(col("n_responses") >= 2 &&
+        (col("ch.sc") - col("rj.sc")) >= minMargin &&
+        col("ch.t") =!= col("rj.t"))
+      .select(col("prompt_id"), col("ch.resp_id").as("chosen_id"),
+        col("rj.resp_id").as("rejected_id"), col("n_responses"),
+        round(col("ch.sc") - col("rj.sc"), 4).as("margin"))
+  }
+
+  /** Best-of-N rejection sampling — the SFT-side twin of
+    * [[preferencePairs]]: per prompt, keep only the top-scored
+    * candidate (ties broken by resp_id, same lexicographic ordering),
+    * reporting the pool size it won over. Feed it a trained
+    * quality/reward score and this IS the rejection-sampling data
+    * recipe (Llama 2's iterative SFT, WebGPT's best-of-n). Same
+    * one-aggregate shape: constant state per prompt.
+    */
+  def bestOfN(responses: DataFrame, prompt: String, respId: String,
+      score: String): DataFrame = {
+    responses
+      .select(col(prompt).as("prompt_id"), col(respId).as("resp_id"),
+        col(score).cast("double").as("sc"))
+      .groupBy(col("prompt_id"))
+      .agg(max_by(struct(col("resp_id"), col("sc")),
+          struct(col("sc"), col("resp_id"))).as("b"),
+        count(lit(1)).as("n_responses"))
+      .select(col("prompt_id"), col("b.resp_id").as("best_id"),
+        col("b.sc").as("best_score"), col("n_responses"))
+  }
+
+  /** The validity gate ahead of [[preferencePairs]] — one row per
+    * prompt with the defect flags preference curation reports on:
+    * `too_few` (a single candidate — no pair exists), `zero_margin`
+    * (every candidate scored identically), `degenerate_pair` (the
+    * tie-broken extremes carry byte-identical texts — a zero-gradient
+    * pair), and `top_ties` (how many candidates share the top score —
+    * >1 means "chosen" was decided by the tie-break, a labeling-noise
+    * signal). The per-prompt extrema ride a prompt-partitioned window
+    * over bounded candidate pools, then everything collapses in the
+    * same prompt-keyed aggregate.
+    */
+  def pairAudit(responses: DataFrame, prompt: String, respId: String,
+      text: String, score: String): DataFrame = {
+    val w = Window.partitionBy(col("prompt_id"))
+    val ord = struct(col("sc"), col("resp_id"))
+    val withExtrema = responses
+      .select(col(prompt).as("prompt_id"), col(respId).as("resp_id"),
+        col(text).as("t"), col(score).cast("double").as("sc"))
+      .withColumn("mx", max(col("sc")).over(w))
+      .withColumn("mn", min(col("sc")).over(w))
+    withExtrema
+      .groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n_responses"),
+        (count(lit(1)) < 2).as("too_few"),
+        (max(col("sc")) === min(col("sc"))).as("zero_margin"),
+        (max_by(col("t"), ord) === min_by(col("t"), ord))
+          .as("degenerate_pair"),
+        sum(when(col("sc") === col("mx"), 1L).otherwise(0L))
+          .as("top_ties"))
+  }
+}

@@ -391,20 +391,38 @@ class PlanAuditSpec extends SparkSpec {
   /** Window detail lines whose partition spec is empty — the corpus-wide
     * window shape (all rows through one task). A Window node's formatted
     * detail prints `Arguments: [exprs], [partitionSpec], [orderSpec]`,
-    * and an EMPTY partition spec is omitted entirely (two top-level
-    * bracket groups instead of three), so count groups at bracket depth
-    * zero under the preceding `(n) Window` header.
+    * and an EMPTY spec is omitted entirely — the PARTITION spec when the
+    * window is global, but equally the ORDER spec when the window is
+    * partitioned-unordered (max/min over a partition), so a plain
+    * group-count test false-positives on the latter. Disambiguate the
+    * 2-group case by what the trailing group holds: sort orders always
+    * print a direction (`ASC`/`DESC`), partition columns never do.
     */
   private def globalWindowLines(p: String): Seq[String] = {
-    def topLevelGroups(s: String): Int = {
-      var depth = 0; var groups = 0
+    def topLevelGroups(s: String): Seq[String] = {
+      var depth = 0
+      val out = scala.collection.mutable.Buffer[String]()
+      val cur = new StringBuilder
       for (c <- s) c match {
-        case '[' => if (depth == 0) groups += 1; depth += 1
-        case ']' | ')' => depth -= 1
-        case '(' => depth += 1
-        case _ => ()
+        case '[' =>
+          if (depth == 0) cur.clear() else cur += c
+          depth += 1
+        case ']' =>
+          depth -= 1
+          if (depth == 0) out += cur.toString else cur += c
+        case ')' => depth -= 1; if (depth > 0) cur += c
+        case '(' => if (depth > 0) cur += c; depth += 1
+        case c => if (depth > 0) cur += c
       }
-      groups
+      out.toSeq
+    }
+    def isGlobal(line: String): Boolean = {
+      val gs = topLevelGroups(line)
+      if (gs.size >= 3) false // all three specs printed -> partitioned
+      else if (gs.size == 2)
+        // [exprs], [orderSpec] = global; [exprs], [partitionSpec] = fine
+        gs(1).contains(" ASC") || gs(1).contains(" DESC")
+      else true // only the window exprs: no partition, no order
     }
     var inWindow = false
     val out = scala.collection.mutable.Buffer[String]()
@@ -412,7 +430,7 @@ class PlanAuditSpec extends SparkSpec {
       val t = l.trim
       if (t.matches("\\(\\d+\\) Window\\s*")) inWindow = true
       else if (t.matches("\\(\\d+\\) .*")) inWindow = false
-      if (inWindow && t.startsWith("Arguments:") && topLevelGroups(t) < 3)
+      if (inWindow && t.startsWith("Arguments:") && isGlobal(t))
         out += t
     }
     out.toSeq
@@ -451,6 +469,39 @@ class PlanAuditSpec extends SparkSpec {
     val pp = partitioned.queryExecution.explainString(FormattedMode)
     assert(globalWindowLines(pp).isEmpty,
       s"detector false-positived on a partitioned window:\n$pp")
+    // partitioned-but-UNORDERED window (max over partition): the order
+    // spec is the omitted group here, not the partition spec
+    val unordered = spark.range(10).select(col("id"),
+      org.apache.spark.sql.functions.max(col("id")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id") % 2)).as("m"))
+    val up = unordered.queryExecution.explainString(FormattedMode)
+    assert(globalWindowLines(up).isEmpty,
+      s"detector false-positived on a partitioned-unordered window:\n$up")
+    // global UNORDERED window (corpus-wide max) must still flag
+    val gu = spark.range(10).select(col("id"),
+      org.apache.spark.sql.functions.max(col("id")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy()).as("m"))
+    val gup = gu.queryExecution.explainString(FormattedMode)
+    assert(globalWindowLines(gup).nonEmpty,
+      s"detector failed to flag a global unordered window:\n$gup")
+  }
+
+  test("pref tier: pair build reduces in ONE prompt-keyed aggregate — no " +
+      "window, no cartesian; the audit's window partitions by prompt") {
+    val pb = plan("pref_pair_build")
+    assert(pb.linesIterator.exists(_.matches("\\(\\d+\\) \\w*HashAggregate\\s*")) ||
+      pb.contains("SortAggregate"), pb)
+    assert(!pb.linesIterator.exists(_.matches("\\(\\d+\\) Window\\s*")), pb)
+    assert(!pb.contains("CartesianProduct"))
+    val pa = plan("pref_pair_audit")
+    assert(!pa.contains("CartesianProduct"))
+    assert(globalWindowLines(pa).isEmpty,
+      s"pair audit window must partition by prompt:\n$pa")
+    // eval-side contamination: gram-keyed joins only, never a cartesian,
+    // and no corpus-wide window anywhere
+    val cf = plan("dedup_contamination_frac")
+    assert(!cf.contains("CartesianProduct"))
+    assert(globalWindowLines(cf).isEmpty, cf)
   }
 
   test("pure-projection entries never shuffle: zero Exchange in the " +

@@ -389,6 +389,26 @@ class DedupSpec extends SparkSpec {
     assert(out == again)
   }
 
+  test("contaminationFraction: full leak, partial overlap, clean, and " +
+      "too-short held docs") {
+    val train = Seq(
+      (10L, "a b c d e f g h"),
+      (11L, "p q r s t u v w")).toDF("doc_id", "text")
+    val held = Seq(
+      (1L, "a b c d e f g h"),      // verbatim train doc -> frac 1.0
+      (2L, "a b c d e zz yy xx"),   // shares exactly 1 of 4 5-grams
+      (3L, "m n o is clean here ok"), // zero overlap
+      (4L, "too short")).toDF("doc_id", "text") // < 5 tokens -> 0 grams
+    val out = Dedup.contaminationFraction(train, held, "doc_id", "text",
+        n = 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 4L, 4L, 1.0),
+      (2L, 4L, 1L, 0.25),
+      (3L, 3L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)))
+  }
+
   test("simhash: identical docs share fingerprints, unrelated docs do not") {
     val fp = SimHash.fingerprints(docs, "doc_id", "text")
       .as[(Long, String)].collect().toMap
