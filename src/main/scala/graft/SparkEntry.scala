@@ -4008,6 +4008,23 @@ object SparkEntry {
 
   private val IvfPqCtes = IvfPqPre + IvfPqSeedCent + IvfPqPost
 
+  /** The residual twin of [[IvfPqPost]]: code slices come from the
+    * residual frame `res`, and each probed (query, cluster) pair
+    * scores against the per-cluster residual query `qe − c_cluster`
+    * (CTE `qres`) — so the ADC chain prices exactly
+    * ‖(q − c) − decode(codes)‖². Everything else (argmin encode,
+    * quantization points, rank contract) is byte-identical.
+    */
+  private val IvfPqResidualPost =
+    ", sl AS (SELECT res.vec_id, res.label, sub.s, res.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS sv FROM res CROSS JOIN sub), " +
+      "asg AS (SELECT sl.vec_id, sl.label, sl.s, cent.cj, row_number() OVER (PARTITION BY sl.vec_id, sl.s ORDER BY round(list_inner_product(sv, sv) - 2*list_inner_product(sv, cv) + list_inner_product(cv, cv), 9), cent.cj) AS rn FROM sl JOIN cent ON cent.s = sl.s), " +
+      "code AS (SELECT vec_id, label, s, cj FROM asg WHERE rn = 1), " +
+      "qres AS (SELECT pr.q_id, pr.label, list_transform(generate_series(1, 64), i -> pr.qe[CAST(i AS INT)] - kc.cv[CAST(i AS INT)]) AS qe FROM pr JOIN kcent kc ON kc.cj = pr.label), " +
+      "qsl AS (SELECT q_id, qres.label, sub.s, qe[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS qv FROM qres CROSS JOIN sub), " +
+      "term AS (SELECT qsl.q_id, code.vec_id AS nid, round(list_inner_product(qv, qv) - 2*list_inner_product(qv, cv) + list_inner_product(cv, cv), 9) AS t FROM qsl JOIN code ON code.s = qsl.s AND code.label = qsl.label JOIN cent ON cent.s = code.s AND cent.cj = code.cj), " +
+      "adc0 AS (SELECT q_id, nid, round(sum(t), 4) AS adc FROM term GROUP BY 1, 2), " +
+      "r AS (SELECT q_id, nid, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc, nid) AS rank FROM adc0 WHERE q_id <> nid)"
+
   /** Per-subspace Lloyd training UNROLLED IN SQL — id-ordered init
     * (`kmeans(initHashOrdered = false)`'s contract), per-iteration
     * argmin assignment (dist² quantized 9, ties to the lower centroid
@@ -4130,6 +4147,52 @@ object SparkEntry {
       "sub AS (SELECT unnest(generate_series(0, 7)) AS s)" +
       trainedCentCtes(m = 8, subDim = 8, ksub = 16, iters = 1) +
       IvfPqPost + RecallTail))
+
+  /** Residual-encoded IVF-PQ ([[Ann.residuals]] +
+    * [[Ann.ivfPqTopKResidual]], Jégou et al. 2011 §III) — the sweep's
+    * "+0.04" made a first-class operator: PQ encodes `v − c(v)`
+    * against the trained coarse layer, and queries score candidates as
+    * ‖(q − c_cluster) − decode(codes)‖² with a per-(query, cluster)
+    * LUT. Same trained coarse quantizer, same m=8/ksub=16 code budget
+    * as `ann_recall_trained`; the measured recall delta between the
+    * two entries IS the residual-encoding payoff at this bit budget.
+    * The oracle replays the coarse k-means, derives the residual frame
+    * in SQL, replays per-subspace Lloyd ON THE RESIDUALS, and walks
+    * the residual probe/encode/ADC chain to the same recall tail.
+    */
+  private val annRecallResidual = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (assign, model) = Ann.kmeans(emb, "vec_id", "embedding",
+        k = 10, iters = 1, initHashOrdered = false)
+      val sess = s
+      import sess.implicits._
+      val centTable = model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "centroid")
+      val res = Ann.residuals(emb, "vec_id", "embedding",
+        assign.withColumnRenamed("id", "vec_id"), "cluster", centTable)
+        .localCheckpoint()
+      val cb = Ann.pqTrainCodebook(res, "vec_id", "rvec",
+        m = 8, ksub = 16, iters = 1)
+      val indexed = Ann.pqEncode(res, "vec_id", "rvec", cb)
+        .join(assign.withColumnRenamed("id", "vec_id"), "vec_id")
+      recallOf(s, dir, Ann.ivfPqTopKResidual(indexed, "vec_id", "cluster",
+        centTable, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cb, k = 5, nprobe = 3))
+    },
+    Some("WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)" +
+      trainedCentCtes(m = 1, subDim = 64, ksub = 10, iters = 1,
+        prefix = "k", src = "v0") +
+      ", memb AS (SELECT vec_id, cj FROM (SELECT v0.vec_id, c.cj, row_number() OVER (PARTITION BY v0.vec_id ORDER BY round(list_inner_product(e, e) - 2*list_inner_product(e, cv) + list_inner_product(cv, cv), 9), c.cj) AS rn FROM v0 CROSS JOIN (SELECT cj, cv FROM kcent) c) WHERE rn = 1), " +
+      "v AS (SELECT v0.vec_id, memb.cj AS label, v0.e FROM v0 JOIN memb USING (vec_id)), " +
+      "res AS (SELECT v.vec_id, v.label, list_transform(generate_series(1, 64), i -> v.e[CAST(i AS INT)] - kc.cv[CAST(i AS INT)]) AS e FROM v JOIN kcent kc ON kc.cj = v.label), " +
+      "q AS (SELECT vec_id AS q_id, e AS qe FROM v0 WHERE vec_id < 10), " +
+      "probe AS (SELECT q_id, qe, cj AS label, row_number() OVER (PARTITION BY q_id ORDER BY round(list_cosine_similarity(qe, cv), 4) DESC, cj) AS crank FROM q CROSS JOIN (SELECT cj, cv FROM kcent) kc), " +
+      "pr AS (SELECT q_id, qe, label FROM probe WHERE crank <= 3), " +
+      "sub AS (SELECT unnest(generate_series(0, 7)) AS s)" +
+      trainedCentCtes(m = 8, subDim = 8, ksub = 16, iters = 1,
+        src = "res") +
+      IvfPqResidualPost + RecallTail))
 
   /** IVF-PQ index persistence — the production vector-store lifecycle:
     * BUILD the index once (pqEncode ⋈ cluster assignment), SAVE it as
@@ -4420,6 +4483,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> annIvfPqTopK,
     "ann_recall" -> annRecall,
     "ann_recall_trained" -> annRecallTrained,
+    "ann_recall_residual" -> annRecallResidual,
     "ann_index_persist" -> annIndexPersist,
     "ann_kmeans" -> annKmeans,
     "dedup_exact" -> dedupExact,

@@ -721,6 +721,105 @@ object Ann {
     rankAdc(scored, k)
   }
 
+  /** Residual vectors against the coarse quantizer — the IVF-PQ
+    * refinement of Jégou et al. 2011 §III: PQ-encode `v − c(v)` (the
+    * offset from the assigned coarse centroid) instead of `v` itself.
+    * Residuals concentrate near the origin with far smaller spread
+    * than raw vectors, so the same m×ksub codebook budget spends its
+    * resolution on the part of the vector the coarse layer hasn't
+    * already explained — the standard answer when PQ bit resolution
+    * caps recall. `assign` carries (id-named, cluster) rows from the
+    * coarse [[kmeans]]; `centTable` is the (cluster, centroid) model
+    * table, broadcast. Output (id, cluster, rvec): feed `rvec` to the
+    * unchanged [[pqTrainCodebook]]/[[pqEncode]] machinery — the
+    * subtraction is exact FP arithmetic on already-quantized
+    * centroids, so oracle replays stay bit-identical.
+    */
+  def residuals(
+      corpus: DataFrame, id: String, vec: String,
+      assign: DataFrame, cluster: String,
+      centTable: DataFrame): DataFrame = {
+    corpus
+      .select(col(id), toDouble(col(vec)).as("__v"))
+      .join(assign.select(col(id), col(cluster)), Seq(id))
+      .join(broadcast(centTable.select(col(cluster),
+        toDouble(col("centroid")).as("__c"))), Seq(cluster))
+      .select(col(id), col(cluster),
+        zip_with(col("__v"), col("__c"), (a, b) => a - b).as("rvec"))
+  }
+
+  /** IVF-PQ top-k over RESIDUAL codes — the query-side twin of
+    * [[residuals]]: a probed cluster's candidates are scored as
+    * ‖(q − c_cluster) − decode(codes)‖², so the ADC lookup table is
+    * per (query, probed cluster) rather than per query. Probe routing,
+    * rank contract, and quantization (dist² at 9, ADC sum at 4) are
+    * identical to [[ivfPqTopK]]; the LUT cache holds at most
+    * |queries| × nprobe tables per partition (driver-budget-sized,
+    * same as the query batch itself). Index rows still carry only
+    * (id, cluster, codes) — no raw vectors at query time.
+    */
+  def ivfPqTopKResidual(
+      indexed: DataFrame, id: String, cluster: String,
+      centTable: DataFrame,
+      queries: DataFrame, qId: String, qVec: String,
+      cb: PqCodebook, k: Int, nprobe: Int): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val qs = collectQueries(queries, qId, qVec, cb)
+    val qDf = qs.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("q_id", "q_vec")
+      .withColumn("__qn", sqrt(dotD(col("q_vec"), col("q_vec"))))
+    val cents = centTable
+      .select(col(cluster), toDouble(col("centroid")).as("centroid"))
+      .withColumn("__cn", sqrt(dotD(col("centroid"), col("centroid"))))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col(cluster).asc)
+    val probed = qDf.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(dotD(col("q_vec"), col("centroid")) / (col("__qn") * col("__cn")), 4))
+      .withColumn("crank", row_number().over(probeW))
+      .where(col("crank") <= nprobe)
+      .select(col("q_id"), col(cluster))
+    val centsLocal: Map[Long, Array[Double]] = centTable
+      .select(col(cluster).cast("long"), toDouble(col("centroid")))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (c, v) =>
+        require(v.length == cb.dim,
+          s"centroid dim ${v.length} != codebook dim ${cb.dim}")
+        (c, v.toArray)
+      }.toMap
+    val bc = spark.sparkContext.broadcast((qs, cb, centsLocal))
+    val scored = widen(indexed)
+      .join(broadcast(probed), Seq(cluster))
+      .select(col(id).cast("long"), col("q_id"),
+        col(cluster).cast("long").as("__cl"), col("codes"))
+      .as[(Long, Long, Long, Seq[Int])]
+      .mapPartitions { it =>
+        val (q, b, cm) = bc.value
+        val qIdx = q.iterator.map(_._1).zipWithIndex.toMap
+        val lutCache =
+          scala.collection.mutable.HashMap.empty[(Int, Long), Array[Array[Double]]]
+        it.map { case (nid, qid, cl, cseq) =>
+          val qi = qIdx(qid)
+          val lut = lutCache.getOrElseUpdate((qi, cl), {
+            val c = cm(cl)
+            val qv = q(qi)._2
+            val r = new Array[Double](b.dim)
+            var i = 0
+            while (i < b.dim) { r(i) = qv(i) - c(i); i += 1 }
+            Array.tabulate(b.m, b.ksub)((s, j) =>
+              subDist2(r, s * b.subDim, b.cents(s)(j)))
+          })
+          val codes = cseq.toArray
+          var adc = 0.0
+          var s = 0
+          while (s < b.m) { adc += lut(s)(codes(s)); s += 1 }
+          (qid, nid, BigDecimal(adc)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.toDF("q_id", "neighbor_id", "adc")
+    rankAdc(scored, k)
+  }
+
   /** Exact pairwise similarity ≥ threshold (verification baseline —
     * quadratic; use signLshPairs at scale for high thresholds).
     */

@@ -245,6 +245,55 @@ class AnnSpec extends SparkSpec {
     assert(perQuery.nonEmpty && perQuery.forall(_ == 1L))
   }
 
+  test("residual IVF-PQ: zero-centroid parity with the plain scan, and " +
+      "residuals subtract the assigned centroid exactly") {
+    val rnd = new scala.util.Random(47)
+    val df = (0L until 40L)
+      .map(i => (i, Seq.fill(16)(rnd.nextDouble().toFloat), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val assign = df.select($"vec_id", $"label".as("cluster"))
+    // residuals against the true centroid table: r = v - c(v), checked
+    // against a hand-joined subtraction
+    val cents = Ann.pivotCentroids(df, "label", "vec_id", "embedding")
+      .withColumnRenamed("label", "cluster")
+    val res = Ann.residuals(df, "vec_id", "embedding", assign, "cluster",
+      cents)
+    val expect = df.join(assign, "vec_id")
+      .join(cents, "cluster")
+      .select($"vec_id",
+        zip_with(Ann.toDouble($"embedding"),
+          Ann.toDouble($"centroid"), (a, b) => a - b).as("want"))
+    val mismatch = res.join(expect, "vec_id")
+      .where($"rvec" =!= $"want").count()
+    assert(mismatch == 0 && res.count() == 40)
+    // single-cluster equivalence: residual-scanning raw queries against
+    // centroid c must equal PLAIN ivfPqTopK over the residual codes fed
+    // the PRE-SHIFTED queries (q - c) — both price
+    // ‖(q − c) − decode(codes)‖², so rows match bit-for-bit
+    val oneAssign = df.select($"vec_id", lit(0).as("cluster"))
+    val oneCents = Seq((0, Seq.fill(16)(0.25))).toDF("cluster", "centroid")
+    val res0 = Ann.residuals(df, "vec_id", "embedding", oneAssign,
+      "cluster", oneCents)
+    val cb = Ann.pqSeedCodebook(res0, "vec_id", "rvec", m = 4, ksub = 8)
+    val codes = Ann.pqEncode(res0, "vec_id", "rvec", cb)
+    val indexed = codes.join(oneAssign, "vec_id")
+    val q = df.where($"vec_id" < 3L)
+    val qShift = Ann.residuals(q, "vec_id", "embedding", oneAssign,
+      "cluster", oneCents)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("q_id", "rank", "neighbor_id", "adc")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val viaResidual = rows(Ann.ivfPqTopKResidual(indexed, "vec_id",
+      "cluster", oneCents, q, "vec_id", "embedding", cb, k = 4, nprobe = 1))
+    val plain = rows(Ann.ivfPqTopK(indexed, "vec_id", "cluster", oneCents,
+      qShift, "vec_id", "rvec", cb, k = 4, nprobe = 1))
+    assert(viaResidual == plain && viaResidual.nonEmpty)
+    // determinism under re-run
+    val again = rows(Ann.ivfPqTopKResidual(indexed, "vec_id", "cluster",
+      oneCents, q, "vec_id", "embedding", cb, k = 4, nprobe = 1))
+    assert(viaResidual == again)
+  }
+
   test("semanticDedup keeps the smallest id of each intra-cluster " +
       "near-dup relation; threshold gates the pruning") {
     // pivots are the min-id member per label: 0 → unit(0), 2 → unit(2),
