@@ -1816,6 +1816,26 @@ object SparkEntry {
     },
     Some("WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8), e AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2 AS s, id1 AS d FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.id) SELECT id AS doc_id, min(lbl) AS cluster, min(lbl) = id AS is_canonical FROM walk GROUP BY id"))
 
+  /** Leakage-safe split ([[graft.dedup.Clusters.leakageSafeSplit]]):
+    * the so6 hash-split applied to the NEAR-DUP COMPONENT instead of
+    * the document id, so a doc and its near-duplicates always land on
+    * the same side — an id-level split of a dup-bearing corpus puts
+    * one copy in train and its twin in test, and the eval silently
+    * measures memorization. Same MinHash pair stage as dedup_clusters;
+    * the oracle re-derives the recursive min-label closure and the
+    * md5-first-hex-char split of the component id.
+    */
+  private val so14LeakageSafeSplit = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = sharedStage(s, "minhash_pairs", dir)(
+        Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8))
+      graft.dedup.Clusters.leakageSafeSplit(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("component"), col("split"))
+    },
+    Some("WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8), e AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2 AS s, id1 AS d FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.id), lab AS (SELECT id AS doc_id, min(lbl) AS component FROM walk GROUP BY id) " +
+      "SELECT doc_id, component, CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) <= 'b' THEN 'train' WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) <= 'd' THEN 'val' ELSE 'test' END AS split FROM lab"))
+
   /** Near-dup curation E2E composite — the pipeline a real corpus
     * curator actually runs, executed as ONE entry: MinHash-LSH candidate
     * pairs → connected components → keep one canonical doc (min id) per
@@ -2744,6 +2764,30 @@ object SparkEntry {
         "lang", "doc_id", alpha = 0.5, budget = 300)
       .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk")),
     Some("WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), z AS (SELECT sum(power(CAST(n AS DOUBLE), 0.5)) AS z FROM c), q AS (SELECT lang, least(n, CAST(floor(300.0 * power(CAST(n AS DOUBLE), 0.5) / z + 0.5) AS BIGINT)) AS quota FROM c, z), r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) SELECT doc_id, r.lang AS lang, CAST(rk AS INT) AS rk FROM r JOIN q ON r.lang = q.lang WHERE rk <= quota"))
+
+  /** Token-budget mixture plan ([[graft.operators.Mixture
+    * .tokenBudgetPlan]]): per language, what the target mixture weights
+    * want vs what the corpus holds — desired/planned tokens, acceptance
+    * rate, and the repetition count (`epochs`) a full quota needs. The
+    * planning table every pretraining run starts from; one domain-keyed
+    * aggregate, weights a broadcast literal. `fr` is deliberately
+    * absent from the weight map (plans to zero — exclusion is the
+    * curation default, not an error).
+    */
+  private val mixTokenBudget = Q(
+    (s, dir) => graft.operators.Mixture.tokenBudgetPlan(
+      t(s, dir, "documents").select(col("lang"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n_tokens")),
+      "lang", "n_tokens",
+      Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.1),
+      budget = 100000L),
+    Some("WITH tok AS (SELECT lang, len(string_split_regex(lower(trim(text)), '\\s+')) AS n FROM documents), " +
+      "av AS (SELECT lang, CAST(sum(n) AS BIGINT) AS available FROM tok GROUP BY 1), " +
+      "w AS (SELECT 'en' AS dom, 0.5 AS wt UNION ALL SELECT 'zh', 0.2 UNION ALL SELECT 'es', 0.15 UNION ALL SELECT 'de', 0.1), " +
+      "d AS (SELECT lang, available, CAST(floor(COALESCE(wt, 0.0) * 100000 + 0.5) AS BIGINT) AS desired FROM av LEFT JOIN w ON av.lang = w.dom) " +
+      "SELECT lang, available, desired, least(desired, available) AS planned, " +
+      "CASE WHEN available = 0 THEN 0.0 ELSE floor(CAST(least(desired, available) AS DOUBLE) / available * 10000.0 + 0.5) / 10000.0 END AS rate, " +
+      "CASE WHEN available = 0 OR desired = 0 THEN 0 ELSE CAST(ceil(CAST(desired AS DOUBLE) / available) AS BIGINT) END AS epochs FROM d"))
 
   /** SO10 — deterministic weighted sampling without replacement
     * ([[graft.operators.WeightedSample]], Efraimidis–Spirakis): 100
@@ -4496,6 +4540,7 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_near" -> dedupSimhashNear,
     "dedup_clusters" -> dedupClusters,
+    "so14_leakage_safe_split" -> so14LeakageSafeSplit,
     "corpus_neardup_curation" -> corpusNeardupCuration,
     "dedup_contamination" -> dedupContamination,
     "v1_schema_resolve" -> v1SchemaResolve,
@@ -4513,6 +4558,7 @@ object SparkEntry {
     "so8_sample_k_per_group" -> so8SampleKPerGroup,
     "so10_weighted_sample" -> so10WeightedSample,
     "mix_temperature_sample" -> mixTemperatureSample,
+    "mix_token_budget" -> mixTokenBudget,
     "so9_quantile_buckets" -> so9QuantileBuckets,
     "so11_winsorize" -> so11Winsorize,
     "so12_zorder" -> so12Zorder,

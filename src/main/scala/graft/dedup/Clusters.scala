@@ -95,4 +95,28 @@ object Clusters {
         labels.select(col("id"), col("lbl").as("component"))
     }
   }
+
+  /** Leakage-safe train/val/test split: hash-split on the NEAR-DUP
+    * COMPONENT label instead of the document id, so a document and its
+    * near-duplicates land on the same side by construction — the split
+    * every eval-honest pipeline needs (an id-level split of a corpus
+    * with near-dups puts one copy in train and its twin in test, and
+    * the benchmark silently measures memorization). `pairs` is any
+    * near-dup pair list ([[graft.dedup.Dedup.minhashPairs]],
+    * [[SimHash]] bands, semantic pairs); singleton docs form their own
+    * component and split exactly like a plain id hash-split. The hash
+    * is the repo's md5-first-hex-char convention (so6_hash_split:
+    * ≤'b' → train ~69%, ≤'d' → val ~12.5%, else test), applied to the
+    * component id. Cost over the plain split: the component iteration —
+    * edge-bounded, not corpus-bounded.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+      pairs: DataFrame, src: String = "id1", dst: String = "id2"): DataFrame = {
+    val comps = connectedComponents(pairs, src, dst,
+      nodes = Some(docs.select(col(idCol))), idCol = idCol)
+    val d = substring(md5(col("component").cast("string")), 1, 1)
+    comps.select(col("id"), col("component"),
+      when(d <= "b", "train").when(d <= "d", "val")
+        .otherwise("test").as("split"))
+  }
 }

@@ -82,4 +82,44 @@ object Mixture {
           .cast("long"), lit(n)))
       .where(col("neg_id") =!= col(idCol))
   }
+
+  /** Token-budget mixture plan — the pretraining-data planning table:
+    * given per-domain target WEIGHTS and a total token budget, report
+    * per domain what's available, what the mixture wants
+    * (`desired = floor(w_d · budget + 0.5)`), what one epoch can supply
+    * (`planned = min(desired, available)`), the matching acceptance
+    * rate, and the repetition count a full quota needs
+    * (`epochs = ceil(desired / available)` — the "how many times does
+    * C4 repeat" number). One domain-keyed aggregate over the corpus;
+    * the weight table is a driver-sized broadcast literal. Domains in
+    * the corpus but not in `weights` plan to zero (excluded), which is
+    * the curation default; a weight for an absent domain is a config
+    * error and fails loudly via the inner-join row-count check the
+    * caller can do on the output.
+    */
+  def tokenBudgetPlan(df: DataFrame, domainCol: String, tokensCol: String,
+      weights: Map[String, Double], budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF("__dom", "w")
+    val avail = df.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol).cast("long")).as("available"))
+    avail
+      .join(broadcast(w), avail(domainCol) === w("__dom"), "left")
+      .select(col(domainCol),
+        col("available"),
+        floor(coalesce(col("w"), lit(0.0)) * budget + 0.5).cast("long")
+          .as("desired"))
+      .select(col(domainCol), col("available"), col("desired"),
+        least(col("desired"), col("available")).as("planned"),
+        when(col("available") === 0, lit(0.0))
+          .otherwise(round(
+            least(col("desired"), col("available")) /
+              col("available").cast("double"), 4)).as("rate"),
+        when(col("available") === 0 || col("desired") === 0, lit(0L))
+          .otherwise(ceil(col("desired") / col("available").cast("double"))
+            .cast("long")).as("epochs"))
+  }
 }

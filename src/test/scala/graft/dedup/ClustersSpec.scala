@@ -33,6 +33,31 @@ class ClustersSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("leakageSafeSplit: every member of a component shares one split; " +
+      "singletons follow the plain component hash-split") {
+    // chain 1-2-3 one component; 4-5 another; 6, 7 singletons
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val out = Clusters.leakageSafeSplit(docs, "doc_id", edges)
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 7)
+    // all members of a component carry the identical split label
+    val byComp = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byComp.values.forall(_.size == 1))
+    // the label is the md5-first-hex-char rule on the component id
+    def want(c: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+      if (h <= 'b') "train" else if (h <= 'd') "val" else "test"
+    }
+    out.foreach { case (_, c, s) => assert(s == want(c), s"component $c") }
+    // determinism
+    val again = Clusters.leakageSafeSplit(docs, "doc_id", edges)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(again == out.sortBy(_._1).toSeq)
+  }
+
   test("iteration budget failure is explicit") {
     val edges = (0L until 30L).map(i => (i, i + 1)).toDF("id1", "id2")
     val e = intercept[IllegalArgumentException] {

@@ -78,4 +78,23 @@ class MixtureSpec extends SparkSpec {
     // hash draws actually spread: a large fraction of the ring is hit
     assert(out.map(_._3).size > n / 2)
   }
+
+  test("tokenBudgetPlan: desired/planned/rate/epochs arithmetic, " +
+      "unweighted domains plan to zero") {
+    val docs = Seq(
+      ("a", 60L), ("a", 40L),      // available 100
+      ("b", 10L),                  // available 10
+      ("c", 500L))                 // available 500, no weight
+      .toDF("dom", "n_tok")
+    val out = Mixture.tokenBudgetPlan(docs, "dom", "n_tok",
+        Map("a" -> 0.5, "b" -> 0.5), budget = 200L)
+      .as[(String, Long, Long, Long, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // a: desired 100 == available -> rate 1, one epoch
+    assert(out("a") == ("a", 100L, 100L, 100L, 1.0, 1L))
+    // b: wants 100 but holds 10 -> rate 1 (planned/available), 10 epochs
+    assert(out("b") == ("b", 10L, 100L, 10L, 1.0, 10L))
+    // c: no weight -> excluded, zero everything
+    assert(out("c") == ("c", 500L, 0L, 0L, 0.0, 0L))
+  }
 }
