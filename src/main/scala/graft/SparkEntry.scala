@@ -1957,6 +1957,29 @@ object SparkEntry {
     * quantile_cont (Spark `percentile` is the same interpolated
     * definition).
     */
+  /** AN8 — exponentially time-decayed counts (recency-weighted
+    * popularity: each event contributes exp(−0.1·Δdays) against the
+    * corpus max date — the freshness signal behind trending/decay
+    * ranking). The 1-row max-date model broadcasts onto the scan (the
+    * PSI totals pattern — never a corpus-wide window); per-row weights
+    * quantize at 9 and the sum at 4 so both engines agree to the hash.
+    */
+  private val an8DecayedCounts = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"))
+      val maxd = ev.agg(max(col("d")).as("maxd"))
+      ev.crossJoin(broadcast(maxd))
+        .select(col("event_type"),
+          round(exp(lit(-0.1) * datediff(col("maxd"), col("d"))), 9).as("w"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("w")), 4).as("decayed_count"))
+    },
+    Some("WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events), mx AS (SELECT max(d) AS maxd FROM e), " +
+      "w AS (SELECT event_type, round(exp(-0.1 * date_diff('day', d, maxd)), 9) AS w FROM e CROSS JOIN mx) " +
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, round(sum(w), 4) AS decayed_count FROM w GROUP BY 1"))
+
   private val an7RobustScale = Q(
     (s, dir) => graft.operators.Drift.robustScale(
       t(s, dir, "events").select(col("event_id"), col("event_type"),
@@ -3756,6 +3779,53 @@ object SparkEntry {
         .mkString(", ") +
       " SELECT node, rank FROM r5")))
 
+  /** Label-propagation communities over the same link graph
+    * ([[graft.graph.PageRank.labelPropagation]]) — the
+    * community-detection complement of PageRank's centrality (link
+    * farms and mirror clusters move TOGETHER even when individually
+    * low-rank). Three fixed synchronous rounds, most-frequent neighbor
+    * label with a min-label tie-break; the oracle unrolls every round
+    * (count → deterministic argmax → carry), so each iterate is
+    * pinned, not just the final partition.
+    */
+  private val graphLpa = Q(
+    (s, dir) => {
+      val edges = t(s, dir, "documents")
+        .where(col("doc_id") % 29 < 3)
+        .select(col("source").as("src"),
+          concat(lit("src"), ((col("doc_id") * (length(col("source")) + 1))
+            % 17).cast("string")).as("dst"))
+        .distinct()
+      graft.graph.PageRank.labelPropagation(edges, "src", "dst", iters = 3)
+    },
+    Some(("WITH e AS (SELECT DISTINCT source AS src, 'src' || CAST((doc_id * (1 + len(source))) % 17 AS VARCHAR) AS dst FROM documents WHERE doc_id % 29 < 3), " +
+      "e2 AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
+      "nodes AS (SELECT DISTINCT src AS node FROM e2), " +
+      "l0 AS (SELECT node, node AS lbl FROM nodes), " +
+      (1 to 3).map(k =>
+        s"c$k AS (SELECT e2.src AS node, l.lbl, count(*) AS cnt FROM e2 JOIN l${k - 1} l ON l.node = e2.dst GROUP BY 1, 2), " +
+          s"p$k AS (SELECT node, lbl FROM (SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn FROM c$k) WHERE rn = 1), " +
+          s"l$k AS (SELECT l.node, COALESCE(p.lbl, l.lbl) AS lbl FROM l${k - 1} l LEFT JOIN p$k p ON p.node = l.node)")
+        .mkString(", ") +
+      " SELECT node, lbl AS community FROM l3")))
+
+  /** Fill-in-the-middle transform ([[TextAnalysis.fimTransform]],
+    * Bavarian et al. 2022): every document re-serialized in PSM order
+    * with the half-open char span of the middle — the infilling
+    * objective's data prep. The oracle re-derives the third cuts, the
+    * sentinel assembly, and both span endpoints; an off-by-one lands
+    * loss on sentinel text and fails the hash.
+    */
+  private val textFim = Q(
+    (s, dir) => TextAnalysis.fimTransform(
+      t(s, dir, "documents"), "doc_id", "text"),
+    Some("WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents), " +
+      "c AS (SELECT doc_id, CAST(len(ws) AS INT) AS n, len(ws) // 3 AS p, (len(ws) * 2) // 3 AS m, ws FROM d), " +
+      "parts AS (SELECT doc_id, n, array_to_string(ws[1:p], ' ') AS pre, array_to_string(ws[p+1:m], ' ') AS mid, array_to_string(ws[m+1:n], ' ') AS suf FROM c) " +
+      "SELECT doc_id, n AS n_tokens, '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid AS text_fim, " +
+      "CAST(length(pre) + length(suf) + 15 AS INT) AS mid_s, " +
+      "CAST(length(pre) + length(suf) + 15 + length(mid) AS INT) AS mid_e FROM parts"))
+
   /** The END-TO-END LLM training-data prep as ONE executed pipeline:
     * quality-filter → exact-dedup (keep smallest id per fingerprint) →
     * per-source quota (two-phase salted rank, at most 20 docs per
@@ -4488,6 +4558,7 @@ object SparkEntry {
     "an4_drift_psi" -> an4DriftPsi,
     "an5_outliers_mad" -> an5OutliersMad,
     "an7_robust_scale" -> an7RobustScale,
+    "an8_decayed_counts" -> an8DecayedCounts,
     "an6_sessionize" -> an6Sessionize,
     "r1_relationalize" -> r1Relationalize,
     "r1_deep_relationalize" -> r1DeepRelationalize,
@@ -4586,6 +4657,8 @@ object SparkEntry {
     "text_strip_boilerplate" -> textStripBoilerplate,
     "corpus_training_prep" -> corpusTrainingPrep,
     "graph_pagerank" -> graphPagerank,
+    "graph_lpa" -> graphLpa,
+    "text_fim" -> textFim,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
     "text_repetition" -> textRepetition,

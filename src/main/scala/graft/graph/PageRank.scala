@@ -59,4 +59,47 @@ object PageRank {
     }
     ranks
   }
+
+  /** Synchronous label propagation over the undirected graph — the
+    * community-detection signal (link farms, mirror clusters, mutually
+    * citing template sites) that complements [[pagerank]]'s centrality:
+    * PageRank says WHICH hosts matter, LPA says which hosts move
+    * TOGETHER. Each node starts labeled with itself; each round every
+    * node adopts the most frequent label among its neighbors (ties →
+    * the smallest label; an isolated node keeps its label). A FIXED
+    * iteration count replaces the usual run-to-convergence: synchronous
+    * LPA can oscillate on bipartite structures, and a fixed schedule
+    * plus total tie order makes every iterate deterministic — the same
+    * quantized-fixpoint discipline as [[pagerank]], so an unrolled SQL
+    * replay reproduces each round exactly.
+    *
+    * Shape per round: one edge-keyed join of the label table onto the
+    * (once-materialized, symmetrized) edge list + one (node, label)
+    * count + one node-keyed argmax — all keyed by node id; label state
+    * stays a node-sized table and lineage truncates per round.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ends = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = ends
+      .union(ends.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = und.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var labels = nodes.withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      val counts = und
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val next = counts.groupBy(col("node"))
+        .agg(min_by(col("lbl"),
+          struct((-col("cnt")).as("nc"), col("lbl"))).as("nlbl"))
+      labels = labels.join(next, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

@@ -451,4 +451,37 @@ object TextAnalysis {
         saltCols = Seq(col("w")))
       .select(col(group), col("rk"), col("w"), col("tf"), col("score"))
   }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022 — the FIM
+    * pretraining objective for code/infilling models): each document's
+    * token stream splits into deterministic thirds and re-serializes in
+    * PSM order, `<PRE>prefix<SUF>suffix<MID>middle`, together with the
+    * half-open CHAR span [mid_s, mid_e) of the middle inside the
+    * transformed string — the range an infilling trainer scores. Same
+    * span discipline as [[Chat.renderWithLossSpans]]: an off-by-one
+    * trains on the sentinel tokens, which is exactly what a span-exact
+    * oracle catches. Case is preserved (this is a pretraining
+    * transform, not an analysis pass); whitespace normalizes to single
+    * spaces — the token-altitude convention of [[chunks]]/
+    * [[packSequences]]. Pure per-row array arithmetic: no shuffle, no
+    * window, scales as a map pass.
+    */
+  def fimTransform(docs: DataFrame, id: String, text: String): DataFrame = {
+    val n = size(col("__ts"))
+    val p = floor(n / 3).cast("int")
+    val m = floor(n * 2 / 3).cast("int")
+    docs
+      .select(col(id), split(trim(col(text)), "\\s+").as("__ts"))
+      .select(col(id), n.as("n_tokens"),
+        concat_ws(" ", slice(col("__ts"), lit(1), p)).as("__pre"),
+        concat_ws(" ", slice(col("__ts"), p + 1, m - p)).as("__mid"),
+        concat_ws(" ", slice(col("__ts"), m + 1, n - m)).as("__suf"))
+      .select(col(id), col("n_tokens"),
+        concat(lit("<PRE>"), col("__pre"), lit("<SUF>"), col("__suf"),
+          lit("<MID>"), col("__mid")).as("text_fim"),
+        (length(col("__pre")) + length(col("__suf")) + lit(15))
+          .as("mid_s"),
+        (length(col("__pre")) + length(col("__suf")) + lit(15) +
+          length(col("__mid"))).as("mid_e"))
+  }
 }

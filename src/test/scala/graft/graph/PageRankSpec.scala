@@ -35,6 +35,37 @@ class PageRankSpec extends SparkSpec {
     assert(out.map(_._2).sum <= 1.0 + 1e-6)
   }
 
+  test("labelPropagation: two dense cliques joined by one bridge " +
+      "resolve to two communities; ties break to the smaller label") {
+    // clique {1,2,3}, clique {10,11,12}, bridge 3-10
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (3L, 10L)).toDF("src", "dst")
+    val out = PageRank.labelPropagation(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // the left clique coalesces on label 1
+    assert(Set(1L, 2L, 3L).map(out) == Set(1L))
+    // the right clique coalesces on one label, distinct from the left
+    val rightLabels = Set(10L, 11L, 12L).map(out)
+    assert(rightLabels.size == 1 && !rightLabels.contains(out(1L)))
+    // determinism
+    val again = PageRank.labelPropagation(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == out)
+    // the documented bipartite oscillation, pinned: a 2-node graph swaps
+    // labels every round (odd iters → exchanged, even iters → identity) —
+    // the deterministic fixed-schedule contract, not convergence
+    val pair = Seq((7L, 8L)).toDF("src", "dst")
+    val p1 = PageRank.labelPropagation(pair, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(p1 == Map(7L -> 8L, 8L -> 7L))
+    val p2 = PageRank.labelPropagation(pair, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(p2 == Map(7L -> 7L, 8L -> 8L))
+  }
+
   test("one iteration matches the hand-computed damped update") {
     // two nodes: a -> b, b -> a; uniform start 0.5 each
     // r1(x) = 0.15/2 + 0.85 * 0.5 = 0.5 for both

@@ -276,4 +276,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(idx >= 0 && b.slice(idx, idx + tailA.length) == tailA,
       s"suffix not preserved:\nA=$a\nB=$b")
   }
+
+  test("fimTransform: PSM order, exact middle span, case preserved, " +
+      "short-doc degenerate cuts") {
+    val docs = Seq(
+      (1L, "A b c d e F"),   // n=6: p=2, m=4 -> pre=A b, mid=c d, suf=e F
+      (2L, "x y"),           // n=2: p=0, m=1 -> pre='', mid=x, suf=y
+      (3L, "solo"))          // n=1: p=0, m=0 -> pre='', mid='', suf=solo
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fimTransform(docs, "doc_id", "text")
+      .as[(Long, Int, String, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == "<PRE>A b<SUF>e F<MID>c d")
+    assert(out(2L)._3 == "<PRE><SUF>y<MID>x")
+    assert(out(3L)._3 == "<PRE><SUF>solo<MID>")
+    // the span slices exactly the middle back out of the transformed
+    // string, for every doc including the empty-middle degenerate
+    out.values.foreach { case (id, _, fim, s, e) =>
+      val want = Map(1L -> "c d", 2L -> "x", 3L -> "")(id)
+      assert(fim.substring(s, e) == want, s"doc $id")
+    }
+    assert(out(1L)._2 == 6 && out(2L)._2 == 2 && out(3L)._2 == 1)
+  }
 }
