@@ -882,6 +882,57 @@ object SparkEntry {
     },
     Some("SELECT event_id, event_type FROM events"))
 
+  /** §2.8-streaming — ingest-time decontamination
+    * ([[graft.streaming.StreamingIngest.contaminationGate]]): docs
+    * arriving on a checkpointed stream are dropped at the door when any
+    * of their 8-grams appears in the held-out slice (doc_id % 10 == 0)
+    * — contaminated text never lands in the corpus, the streaming
+    * complement of `dedup_contamination_ngram`'s after-the-fact scan.
+    * The held gram set is batch-collected (benchmark-sized,
+    * budget-guarded) and rides the stream plan as one literal array —
+    * a stateless projection + filter, so the file sink stays
+    * exactly-once with no join state. Two appends + two drains prove
+    * incremental behavior; the oracle is the batch zero-overlap
+    * complement.
+    */
+  private val stContaminationGate = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cg").toString
+      val sess = s
+      import sess.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ts = split(lower(trim(col("text"))), "\\s+")
+      val held = docs.where(col("doc_id") % 10 === 0)
+        .where(size(ts) >= 8)
+        .select(explode(array_distinct(transform(
+          sequence(lit(0), size(ts) - 8),
+          i => concat_ws(" ", slice(ts, i + lit(1), lit(8)))))).as("g"))
+        .distinct().as[String].collect()
+      val incoming = docs.where(col("doc_id") % 10 =!= 0)
+      def drain(): Unit =
+        graft.streaming.StreamingIngest.drainToParquet(
+          graft.streaming.StreamingIngest.contaminationGate(
+            s.readStream
+              .schema(StructType.fromDDL("doc_id bigint, text string"))
+              .parquet(s"$tmp/in"),
+            "text", held, n = 8),
+          s"$tmp/out", s"$tmp/ckpt", Seq.empty).awaitTermination()
+      incoming.where(col("doc_id") % 2 === 0)
+        .write.mode("append").parquet(s"$tmp/in")
+      drain()
+      incoming.where(col("doc_id") % 2 =!= 0)
+        .write.mode("append").parquet(s"$tmp/in")
+      drain()
+      s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+    },
+    Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+      "g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 7), i -> array_to_string(ws[i:i+7], ' '))) AS gs FROM d WHERE len(ws) >= 8), " +
+      "hg AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 10 = 0), " +
+      "tg AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 10 <> 0), " +
+      "dirty AS (SELECT DISTINCT doc_id FROM tg JOIN hg USING (g)) " +
+      "SELECT d0.doc_id, CAST(length(d0.text) AS INT) AS n_chars FROM documents d0 WHERE d0.doc_id % 10 <> 0 AND d0.doc_id NOT IN (SELECT doc_id FROM dirty)"))
+
   /** §2.8-streaming — the COMPLETE E2 stage as Structured Streaming
     * ([[graft.streaming.StreamingIngest.relationalizeDrain]]):
     * checkpointed NDJSON drain → relationalize → root + child parquet
@@ -4508,6 +4559,7 @@ object SparkEntry {
     "st_session_window" -> stSessionWindow,
     "st_stream_join" -> stStreamJoin,
     "st_drain_parquet" -> stDrainParquet,
+    "st_contamination_gate" -> stContaminationGate,
     "st_relationalize_drain" -> stRelationalizeDrain,
     "e2_schema_evolve" -> e2SchemaEvolve,
     "e3_schema_version" -> e3SchemaVersion,

@@ -55,6 +55,42 @@ object StreamingIngest {
       .option("path", outPath)
       .start()
 
+  /** Literal-array budget for [[contaminationGate]]'s held gram set —
+    * past this, build the set as a Bloom prefilter + batch
+    * [[graft.dedup.Dedup.ngramContamination]] verification instead of a
+    * per-row literal intersect.
+    */
+  val ContaminationGateBudget: Int = 1 << 18
+
+  /** Streaming decontamination gate — the ingest-time complement of the
+    * batch [[graft.dedup.Dedup.ngramContamination]] scan: documents
+    * arriving on a stream are dropped the moment ANY of their word
+    * n-grams appears verbatim in the held-out/benchmark gram set, so
+    * contaminated text never lands in the corpus at all (filter at the
+    * door vs scrub after the fact). The held set is benchmark-sized —
+    * it rides the plan as ONE literal array (budget-guarded), and the
+    * check is a pure projection + filter (`array_intersect` against
+    * the literal), which keeps the stream transformation stateless:
+    * append-mode, exactly-once file sinks, no watermark, no
+    * stream-static join machinery. Docs shorter than `n` tokens carry
+    * no n-grams and always pass (the batch scan's convention).
+    */
+  def contaminationGate(stream: DataFrame, text: String,
+      heldGrams: Array[String], n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(heldGrams.length <= ContaminationGateBudget,
+      s"held gram set (${heldGrams.length}) exceeds the literal budget " +
+        s"($ContaminationGateBudget); use BloomJoin.prefilter + batch " +
+        "ngramContamination verification for large held sets")
+    val ts = split(lower(trim(col(text))), "\\s+")
+    val grams = when(size(ts) >= n,
+      array_distinct(transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    stream.filter(
+      size(array_intersect(grams, typedlit(heldGrams.toSeq))) === 0)
+  }
+
   /** At-least-once redelivery dedup — the ingest-side guard every
     * file/queue source needs: upstream delivery (SQS retries, Glue
     * re-crawls, producer replays) can hand the stream the same record

@@ -270,6 +270,47 @@ class StreamingIngestSpec extends SparkSpec {
     assert(rows.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("contaminationGate: leaked docs drop at the door, clean and " +
+      "too-short docs pass, incremental across drains") {
+    val tmp = Files.createTempDirectory("graft_cgate").toString
+    val schema = StructType.fromDDL("doc_id bigint, text string")
+    // held-out benchmark: one 3-gram
+    val held = Array("the secret answer")
+    def drain(): Unit =
+      StreamingIngest.drainToParquet(
+        StreamingIngest.contaminationGate(
+          spark.readStream.schema(schema).parquet(s"$tmp/in"),
+          "text", held, n = 3),
+        s"$tmp/out", s"$tmp/ckpt", Seq.empty).awaitTermination()
+    Seq(
+      (1L, "this doc leaks THE Secret  answer verbatim"), // normalized hit
+      (2L, "a perfectly clean document about spark plans"),
+      (3L, "too short")) // < 3 tokens of gram width... 2 tokens
+      .toDF("doc_id", "text").write.mode("append").parquet(s"$tmp/in")
+    drain()
+    val first = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(first == Set(2L, 3L))
+    // second drop: another leak + another clean doc; only the delta
+    // processes and the clean row appends
+    Seq(
+      (4L, "prefix then the secret answer again"),
+      (5L, "fresh clean content"))
+      .toDF("doc_id", "text").write.mode("append").parquet(s"$tmp/in")
+    drain()
+    val second = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(second == Set(2L, 3L, 5L))
+    // budget guard fails loudly
+    val big = Array.fill(StreamingIngest.ContaminationGateBudget + 1)("g")
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.contaminationGate(
+        spark.readStream.schema(schema).parquet(s"$tmp/in"),
+        "text", big, n = 3)
+    }
+    assert(e.getMessage.contains("literal budget"))
+  }
+
   test("stream-static join enriches each micro-batch from a broadcast dim") {
     val tmp = Files.createTempDirectory("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
