@@ -889,11 +889,11 @@ object SparkEntry {
     * — contaminated text never lands in the corpus, the streaming
     * complement of `dedup_contamination_ngram`'s after-the-fact scan.
     * The held gram set is batch-collected (benchmark-sized,
-    * budget-guarded) and rides the stream plan as one literal array —
-    * a stateless projection + filter, so the file sink stays
-    * exactly-once with no join state. Two appends + two drains prove
-    * incremental behavior; the oracle is the batch zero-overlap
-    * complement.
+    * budget-guarded) and broadcasts once as a hash set — a stateless
+    * projection + filter with O(1) membership per gram, so the file
+    * sink stays exactly-once with no join state. Two appends + two
+    * drains prove incremental behavior; the oracle is the batch
+    * zero-overlap complement.
     */
   private val stContaminationGate = Q(
     (s, dir) => {
@@ -3860,6 +3860,37 @@ object SparkEntry {
         .mkString(", ") +
       " SELECT node, lbl AS community FROM l3")))
 
+  /** HITS hubs-and-authorities over the same link graph
+    * ([[graft.graph.PageRank.hits]], Kleinberg 1999): the directional
+    * complement of PageRank — authorities rank content hosts, hubs
+    * rank aggregators, and crawl seeding wants both. Three alternating
+    * L2-normalized rounds, every sum/norm/quotient quantized to 9; the
+    * oracle unrolls all three (in-sum → norm → out-sum → norm), so
+    * each iterate is pinned.
+    */
+  private val graphHits = Q(
+    (s, dir) => {
+      val edges = t(s, dir, "documents")
+        .where(col("doc_id") % 29 < 3)
+        .select(col("source").as("src"),
+          concat(lit("src"), ((col("doc_id") * (length(col("source")) + 1))
+            % 17).cast("string")).as("dst"))
+        .distinct()
+      graft.graph.PageRank.hits(edges, "src", "dst", iters = 3)
+    },
+    Some(("WITH e AS (SELECT DISTINCT source AS src, 'src' || CAST((doc_id * (1 + len(source))) % 17 AS VARCHAR) AS dst FROM documents WHERE doc_id % 29 < 3), " +
+      "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)), " +
+      "s0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS auth, CAST(1.0 AS DOUBLE) AS hub FROM nodes), " +
+      (1 to 3).map(k =>
+        s"ar$k AS (SELECT n.node, COALESCE(x.a, CAST(0.0 AS DOUBLE)) AS a FROM nodes n LEFT JOIN (SELECT e.dst AS node, round(sum(s.hub), 9) AS a FROM e JOIN s${k - 1} s ON s.node = e.src GROUP BY 1) x ON x.node = n.node), " +
+          s"an$k AS (SELECT round(sqrt(round(sum(a * a), 9)), 9) AS nn FROM ar$k), " +
+          s"a$k AS (SELECT node, round(a / nn, 9) AS auth FROM ar$k CROSS JOIN an$k), " +
+          s"hr$k AS (SELECT n.node, COALESCE(x.h, CAST(0.0 AS DOUBLE)) AS h FROM nodes n LEFT JOIN (SELECT e.src AS node, round(sum(a2.auth), 9) AS h FROM e JOIN a$k a2 ON a2.node = e.dst GROUP BY 1) x ON x.node = n.node), " +
+          s"hn$k AS (SELECT round(sqrt(round(sum(h * h), 9)), 9) AS nn FROM hr$k), " +
+          s"s$k AS (SELECT a$k.node, a$k.auth, round(hr$k.h / hn$k.nn, 9) AS hub FROM a$k JOIN hr$k ON hr$k.node = a$k.node CROSS JOIN hn$k)")
+        .mkString(", ") +
+      " SELECT node, auth, hub FROM s3")))
+
   /** Fill-in-the-middle transform ([[TextAnalysis.fimTransform]],
     * Bavarian et al. 2022): every document re-serialized in PSM order
     * with the half-open char span of the middle — the infilling
@@ -4710,6 +4741,7 @@ object SparkEntry {
     "corpus_training_prep" -> corpusTrainingPrep,
     "graph_pagerank" -> graphPagerank,
     "graph_lpa" -> graphLpa,
+    "graph_hits" -> graphHits,
     "text_fim" -> textFim,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,

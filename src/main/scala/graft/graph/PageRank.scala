@@ -102,4 +102,56 @@ object PageRank {
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) — the directional
+    * complement of [[pagerank]]: an AUTHORITY is pointed at by good
+    * hubs, a HUB points at good authorities. On a crawl graph the
+    * authority score ranks content hosts and the hub score ranks
+    * directory/aggregator hosts — crawl seeding wants both lists.
+    * Each iteration: authority = in-sum of hub, L2-normalized, then
+    * hub = out-sum of the NEW authority, L2-normalized (the classic
+    * alternating update). Every sum, norm, and quotient quantizes to
+    * 9 decimals (the [[pagerank]] fixpoint discipline) so an unrolled
+    * SQL replay reproduces each iterate; the normalizer is a 1-row
+    * aggregate broadcast back, never a global window. Per iteration:
+    * two edge-keyed join+sums, score state stays node-sized,
+    * lineage truncates per round.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    def normalized(scores: DataFrame, c: String): DataFrame = {
+      val norm = scores.agg(
+        round(sqrt(round(sum(col(c) * col(c)), 9)), 9).as("__n"))
+      scores.crossJoin(broadcast(norm))
+        .select(col("node"), round(col(c) / col("__n"), 9).as(c))
+    }
+    var state = nodes
+      .select(col("node"), lit(1.0).as("auth"), lit(1.0).as("hub"))
+    for (_ <- 1 to iters) {
+      val authRaw = e
+        .join(state.select(col("node").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(round(sum(col("hub")), 9).as("auth"))
+      val auth = normalized(
+        nodes.join(authRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth")),
+        "auth")
+      val hubRaw = e
+        .join(auth.select(col("node").as("dst"), col("auth")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(round(sum(col("auth")), 9).as("hub"))
+      val hub = normalized(
+        nodes.join(hubRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
+        "hub")
+      state = auth.join(hub, "node").localCheckpoint()
+    }
+    state.select(col("node"), col("auth"), col("hub"))
+  }
 }

@@ -638,4 +638,66 @@ object PropertySpec extends Properties("graft") {
       val selfLaw = Robots.matches(pat, pat) && Robots.matches(pat, pat + "$")
       prefixLaw && anchorLaw && selfLaw
     }
+
+  private val fimDocsGen: Gen[List[Int]] =
+    Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 40)))
+
+  property("fimTransform: the span slices exactly the middle, and the " +
+      "three pieces reconstruct the normalized token stream") =
+    Prop.forAllNoShrink(fimDocsGen) { lens =>
+      import spark.implicits._
+      val docs = lens.zipWithIndex
+        .map { case (len, i) =>
+          (i.toLong, (0 until len).map(j => s"t${i}_$j").mkString("  ")) }
+        .toDF("doc_id", "text")
+      val out = graft.text.TextAnalysis
+        .fimTransform(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getInt(3), r.getInt(4)))
+      out.forall { case (id, n, fim, s, e) =>
+        val toks = (0 until lens(id.toInt)).map(j => s"t${id}_$j")
+        val (p, m) = (n / 3, n * 2 / 3)
+        val mid = toks.slice(p, m).mkString(" ")
+        val rebuilt = (toks.take(p) ++ toks.drop(m) ++ toks.slice(p, m))
+        n == lens(id.toInt) &&
+          fim.substring(s, e) == mid &&
+          fim == s"<PRE>${toks.take(p).mkString(" ")}" +
+            s"<SUF>${toks.drop(m).mkString(" ")}<MID>$mid" &&
+          rebuilt.length == n
+      }
+    }
+
+  private val splitGraphGen: Gen[(Int, List[(Long, Long)])] = for {
+    nodes <- Gen.chooseNum(2, 24)
+    m <- Gen.chooseNum(0, 30)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0, nodes - 1)
+      b <- Gen.chooseNum(0, nodes - 1)
+      if a != b
+    } yield (a.toLong, b.toLong))
+  } yield (nodes, edges)
+
+  property("leakageSafeSplit: no component ever straddles a split — the " +
+      "brute-force closure of any random graph agrees") =
+    Prop.forAllNoShrink(splitGraphGen) { case (n, edges) =>
+      import spark.implicits._
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("id1", "id2")
+      val out = graft.dedup.Clusters
+        .leakageSafeSplit(docs, "doc_id", pairs)
+        .as[(Long, Long, String)].collect()
+      // brute-force components on the driver
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val splitsByComp = out.groupBy(r => find(r._1.toInt))
+        .view.mapValues(_.map(_._3).toSet)
+      out.length == n && splitsByComp.values.forall(_.size == 1)
+    }
 }

@@ -66,6 +66,30 @@ class PageRankSpec extends SparkSpec {
     assert(p2 == Map(7L -> 7L, 8L -> 8L))
   }
 
+  test("hits: star graph — the hub points, the center collects " +
+      "authority; scores L2-normalize each round; determinism") {
+    // h -> {a, b, c}: h is the pure hub, a/b/c pure authorities
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("src", "dst")
+    val out = PageRank.hits(star, "src", "dst", iters = 3)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // authorities: a=b=c = 1/sqrt(3), h = 0; hub: h = 1, leaves 0
+    val inv = 1.0 / math.sqrt(3)
+    Seq("a", "b", "c").foreach { n =>
+      assert(math.abs(out(n)._1 - inv) < 1e-8, s"auth($n)=${out(n)._1}")
+      assert(out(n)._2 == 0.0)
+    }
+    assert(out("h")._1 == 0.0 && math.abs(out("h")._2 - 1.0) < 1e-8)
+    // auth and hub vectors are unit-norm
+    val a2 = out.values.map(v => v._1 * v._1).sum
+    val h2 = out.values.map(v => v._2 * v._2).sum
+    assert(math.abs(a2 - 1.0) < 1e-6 && math.abs(h2 - 1.0) < 1e-6)
+    val again = PageRank.hits(star, "src", "dst", iters = 3)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again == out)
+  }
+
   test("one iteration matches the hand-computed damped update") {
     // two nodes: a -> b, b -> a; uniform start 0.5 each
     // r1(x) = 0.15/2 + 0.85 * 0.5 = 0.5 for both

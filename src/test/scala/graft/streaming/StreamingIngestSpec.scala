@@ -308,7 +308,7 @@ class StreamingIngestSpec extends SparkSpec {
         spark.readStream.schema(schema).parquet(s"$tmp/in"),
         "text", big, n = 3)
     }
-    assert(e.getMessage.contains("literal budget"))
+    assert(e.getMessage.contains("broadcast budget"))
   }
 
   test("stream-static join enriches each micro-batch from a broadcast dim") {
