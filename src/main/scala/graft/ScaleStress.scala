@@ -220,10 +220,12 @@ object ScaleStress {
     val results = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.LinkedHashMap[Int, (Double, Long)]]()
     // construction-heavy ops (driver-sequenced jobs while building the
-    // plan) time through the by-name path; the rest keep the original
-    // boundary so exponents stay comparable with prior rounds
-    val constructionHeavy =
-      Set("so14_leakage_split", "ann_ivfpq_residual")
+    // plan) time through the by-name path; the rest — INCLUDING
+    // ann_ivfpq_residual, whose construction-time collects are the same
+    // class as its comparison twin ann_ivfpq_topk's — keep the original
+    // boundary so the residual-vs-plain comparison and prior-round
+    // exponents stay apples-to-apples
+    val constructionHeavy = Set("so14_leakage_split")
     for ((name, mk) <- ops; f <- factors) {
       val (sec, rows) =
         if (constructionHeavy(name)) timeAll(mk(f)) else time(mk(f))

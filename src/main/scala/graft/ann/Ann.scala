@@ -615,16 +615,47 @@ object Ann {
     Array.tabulate(q.length, b.m, b.ksub)((qi, s, j) =>
       subDist2(q(qi)._2, s * b.subDim, b.cents(s)(j)))
 
-  /** Sum a code row's m LUT entries, quantized to 4 decimals (absorbing
-    * summation-order ulps) — the one ADC arithmetic both scans share.
+  /** Sum one code row's m LUT entries, quantized to 4 decimals
+    * (absorbing summation-order ulps) — the ONE ADC arithmetic every
+    * scan (flat, IVF, residual) shares.
     */
-  private def adcOf(
-      lut: Array[Array[Array[Double]]], qi: Int, codes: Array[Int],
-      m: Int): Double = {
+  private def adcRow(
+      lut: Array[Array[Double]], codes: Array[Int], m: Int): Double = {
     var adc = 0.0
     var s = 0
-    while (s < m) { adc += lut(qi)(s)(codes(s)); s += 1 }
+    while (s < m) { adc += lut(s)(codes(s)); s += 1 }
     BigDecimal(adc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def adcOf(
+      lut: Array[Array[Array[Double]]], qi: Int, codes: Array[Int],
+      m: Int): Double = adcRow(lut(qi), codes, m)
+
+  /** Coarse probe routing shared by [[ivfPqTopK]] and
+    * [[ivfPqTopKResidual]] — one definition of the probe contract
+    * (cosine vs the broadcast centroid table, round-4, cluster-id
+    * tiebreak), so the two scans can never drift. Returns the
+    * (q_id, cluster) pairs to scan.
+    */
+  private def probeClusters(
+      spark: SparkSession, qs: Array[(Long, Array[Double])],
+      centTable: DataFrame, cluster: String, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val qDf = qs.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("q_id", "q_vec")
+      .withColumn("__qn", sqrt(dotD(col("q_vec"), col("q_vec"))))
+    val cents = centTable
+      .select(col(cluster), toDouble(col("centroid")).as("centroid"))
+      .withColumn("__cn", sqrt(dotD(col("centroid"), col("centroid"))))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col(cluster).asc)
+    qDf.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(dotD(col("q_vec"), col("centroid")) /
+          (col("__qn") * col("__cn")), 4))
+      .withColumn("crank", row_number().over(probeW))
+      .where(col("crank") <= nprobe)
+      .select(col("q_id"), col(cluster))
   }
 
   /** Rank scored (q_id, neighbor_id, adc) rows: ascending ADC with a
@@ -692,19 +723,7 @@ object Ann {
     val spark = indexed.sparkSession
     import spark.implicits._
     val qs = collectQueries(queries, qId, qVec, cb)
-    val qDf = qs.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("q_id", "q_vec")
-      .withColumn("__qn", sqrt(dotD(col("q_vec"), col("q_vec"))))
-    val cents = centTable
-      .select(col(cluster), toDouble(col("centroid")).as("centroid"))
-      .withColumn("__cn", sqrt(dotD(col("centroid"), col("centroid"))))
-    val probeW = Window.partitionBy(col("q_id"))
-      .orderBy(col("csim").desc, col(cluster).asc)
-    val probed = qDf.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        round(dotD(col("q_vec"), col("centroid")) / (col("__qn") * col("__cn")), 4))
-      .withColumn("crank", row_number().over(probeW))
-      .where(col("crank") <= nprobe)
-      .select(col("q_id"), col(cluster))
+    val probed = probeClusters(spark, qs, centTable, cluster, nprobe)
     val bc = spark.sparkContext.broadcast((qs, cb))
     val scored = widen(indexed)
       .join(broadcast(probed), Seq(cluster))
@@ -745,7 +764,15 @@ object Ann {
       .join(broadcast(centTable.select(col(cluster),
         toDouble(col("centroid")).as("__c"))), Seq(cluster))
       .select(col(id), col(cluster),
-        zip_with(col("__v"), col("__c"), (a, b) => a - b).as("rvec"))
+        // zip_with silently null-pads on length mismatch and the NPE
+        // then surfaces deep inside pqEncode — fail here, clearly,
+        // like every sibling entry point's dim require
+        when(size(col("__v")) === size(col("__c")),
+          zip_with(col("__v"), col("__c"), (a, b) => a - b))
+          .otherwise(raise_error(concat(
+            lit("residuals: vector dim "), size(col("__v")).cast("string"),
+            lit(" != centroid dim "), size(col("__c")).cast("string"))))
+          .as("rvec"))
   }
 
   /** IVF-PQ top-k over RESIDUAL codes — the query-side twin of
@@ -766,19 +793,7 @@ object Ann {
     val spark = indexed.sparkSession
     import spark.implicits._
     val qs = collectQueries(queries, qId, qVec, cb)
-    val qDf = qs.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("q_id", "q_vec")
-      .withColumn("__qn", sqrt(dotD(col("q_vec"), col("q_vec"))))
-    val cents = centTable
-      .select(col(cluster), toDouble(col("centroid")).as("centroid"))
-      .withColumn("__cn", sqrt(dotD(col("centroid"), col("centroid"))))
-    val probeW = Window.partitionBy(col("q_id"))
-      .orderBy(col("csim").desc, col(cluster).asc)
-    val probed = qDf.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        round(dotD(col("q_vec"), col("centroid")) / (col("__qn") * col("__cn")), 4))
-      .withColumn("crank", row_number().over(probeW))
-      .where(col("crank") <= nprobe)
-      .select(col("q_id"), col(cluster))
+    val probed = probeClusters(spark, qs, centTable, cluster, nprobe)
     val centsLocal: Map[Long, Array[Double]] = centTable
       .select(col(cluster).cast("long"), toDouble(col("centroid")))
       .as[(Long, Seq[Double])].collect()
@@ -809,12 +824,7 @@ object Ann {
             Array.tabulate(b.m, b.ksub)((s, j) =>
               subDist2(r, s * b.subDim, b.cents(s)(j)))
           })
-          val codes = cseq.toArray
-          var adc = 0.0
-          var s = 0
-          while (s < b.m) { adc += lut(s)(codes(s)); s += 1 }
-          (qid, nid, BigDecimal(adc)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          (qid, nid, adcRow(lut, cseq.toArray, b.m))
         }
       }.toDF("q_id", "neighbor_id", "adc")
     rankAdc(scored, k)

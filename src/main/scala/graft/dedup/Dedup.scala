@@ -511,22 +511,33 @@ object Dedup {
     * stays a shuffle join because a LARGE held set force-broadcast
     * would OOM exactly when this scan matters most.
     */
+  /** Per-doc distinct word n-grams — THE definition of a contaminating
+    * n-gram, shared by [[ngramContamination]] (which train docs to
+    * drop) and [[contaminationFraction]] (how dirty each eval item is):
+    * one copy, so a tokenization/normalization change can never make
+    * the two halves of the decontamination story disagree. Stages the
+    * token array in its own projection (HOF lambda over a column
+    * reference, not an inline re-split per element); `keep` columns are
+    * aliased in the FIRST projection, then referenced by their output
+    * names downstream.
+    */
+  private def distinctNgrams(df: DataFrame, text: String, n: Int,
+      keep: Seq[Column]): DataFrame = {
+    val toks =
+      df.select(keep :+ split(lower(trim(col(text))), "\\s+").as("__ts"): _*)
+    val keepNames = toks.columns.dropRight(1).map(col)
+    toks
+      .where(size(col("__ts")) >= n)
+      .select(keepNames :+ explode(array_distinct(transform(
+        sequence(lit(0), size(col("__ts")) - n),
+        i => concat_ws(" ", slice(col("__ts"), i + lit(1), lit(n)))))).as("g"): _*)
+  }
+
   def ngramContamination(
       train: DataFrame, held: DataFrame, id: String, text: String,
       n: Int = 8, broadcastHeld: Boolean = false): DataFrame = {
-    def grams(df: DataFrame, keep: Seq[Column]): DataFrame = {
-      // stage the token array in its own projection (HOF lambda over a
-      // column reference, not an inline re-split per element); `keep`
-      // columns are aliased in the FIRST projection, then referenced by
-      // their output names downstream
-      val toks = df.select(keep :+ split(lower(trim(col(text))), "\\s+").as("__ts"): _*)
-      val keepNames = toks.columns.dropRight(1).map(col)
-      toks
-        .where(size(col("__ts")) >= n)
-        .select(keepNames :+ explode(array_distinct(transform(
-          sequence(lit(0), size(col("__ts")) - n),
-          i => concat_ws(" ", slice(col("__ts"), i + lit(1), lit(n)))))).as("g"): _*)
-    }
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame =
+      distinctNgrams(df, text, n, keep)
     val heldGrams = grams(held, Nil).select(col("g")).distinct()
     val rightSide = if (broadcastHeld) broadcast(heldGrams) else heldGrams
     val counts = grams(train, Seq(col(id).as("id")))
@@ -562,18 +573,9 @@ object Dedup {
   def contaminationFraction(
       train: DataFrame, held: DataFrame, id: String, text: String,
       n: Int = 8): DataFrame = {
-    def grams(df: DataFrame, keep: Seq[Column]): DataFrame = {
-      val toks =
-        df.select(keep :+ split(lower(trim(col(text))), "\\s+").as("__ts"): _*)
-      val keepNames = toks.columns.dropRight(1).map(col)
-      toks
-        .where(size(col("__ts")) >= n)
-        .select(keepNames :+ explode(array_distinct(transform(
-          sequence(lit(0), size(col("__ts")) - n),
-          i => concat_ws(" ", slice(col("__ts"), i + lit(1), lit(n)))))).as("g"): _*)
-    }
-    val trainGrams = grams(train, Nil).select(col("g")).distinct()
-    val counts = grams(held, Seq(col(id).as("id")))
+    val trainGrams = distinctNgrams(train, text, n, Nil)
+      .select(col("g")).distinct()
+    val counts = distinctNgrams(held, text, n, Seq(col(id).as("id")))
       .join(trainGrams.withColumn("__hit", lit(1)), Seq("g"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),

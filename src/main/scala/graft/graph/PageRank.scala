@@ -79,15 +79,23 @@ object PageRank {
     * stays a node-sized table and lineage truncates per round.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): DataFrame = {
+      iters: Int, nodes: Option[DataFrame] = None,
+      idCol: String = "id"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val ends = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val und = ends
       .union(ends.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    val nodes = und.select(col("src").as("node")).distinct()
-      .localCheckpoint()
-    var labels = nodes.withColumn("lbl", col("node"))
+    // pass the full node universe (the connectedComponents contract) to
+    // give link-less corpus members singleton communities — endpoints
+    // alone silently drop them from the output
+    val endpoints = und.select(col("src").as("node"))
+    val universe = nodes match {
+      case Some(n) => endpoints.union(n.select(col(idCol).as("node")))
+      case None => endpoints
+    }
+    val nodesDf = universe.distinct().localCheckpoint()
+    var labels = nodesDf.withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
       val counts = und
         .join(labels.select(col("node").as("dst"), col("lbl")), "dst")

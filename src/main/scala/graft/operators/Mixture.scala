@@ -91,11 +91,14 @@ object Mixture {
     * rate, and the repetition count a full quota needs
     * (`epochs = ceil(desired / available)` — the "how many times does
     * C4 repeat" number). One domain-keyed aggregate over the corpus;
-    * the weight table is a driver-sized broadcast literal. Domains in
-    * the corpus but not in `weights` plan to zero (excluded), which is
-    * the curation default; a weight for an absent domain is a config
-    * error and fails loudly via the inner-join row-count check the
-    * caller can do on the output.
+    * the weight table is driver-sized, the join domain-keyed over a
+    * handful of rows. Domains in the corpus but not in `weights` plan
+    * to zero (excluded), which is the curation default; a weight whose
+    * domain is ABSENT from the corpus (a typo'd mixture config) is not
+    * silently dropped — it surfaces as an `available = 0, desired > 0`
+    * row, an impossible plan line the caller's sanity gate
+    * (`desired > 0 && available == 0`) catches before a run
+    * under-allocates its budget.
     */
   def tokenBudgetPlan(df: DataFrame, domainCol: String, tokensCol: String,
       weights: Map[String, Double], budget: Long): DataFrame = {
@@ -107,9 +110,9 @@ object Mixture {
     val avail = df.groupBy(col(domainCol))
       .agg(sum(col(tokensCol).cast("long")).as("available"))
     avail
-      .join(broadcast(w), avail(domainCol) === w("__dom"), "left")
-      .select(col(domainCol),
-        col("available"),
+      .join(w, avail(domainCol) === w("__dom"), "full_outer")
+      .select(coalesce(col(domainCol), col("__dom")).as(domainCol),
+        coalesce(col("available"), lit(0L)).as("available"),
         floor(coalesce(col("w"), lit(0.0)) * budget + 0.5).cast("long")
           .as("desired"))
       .select(col(domainCol), col("available"), col("desired"),

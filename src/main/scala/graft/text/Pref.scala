@@ -89,7 +89,6 @@ object Pref {
       .select(col(prompt).as("prompt_id"), col(respId).as("resp_id"),
         col(text).as("t"), col(score).cast("double").as("sc"))
       .withColumn("mx", max(col("sc")).over(w))
-      .withColumn("mn", min(col("sc")).over(w))
     withExtrema
       .groupBy(col("prompt_id"))
       .agg(count(lit(1)).as("n_responses"),

@@ -292,6 +292,15 @@ class AnnSpec extends SparkSpec {
     val again = rows(Ann.ivfPqTopKResidual(indexed, "vec_id", "cluster",
       oneCents, q, "vec_id", "embedding", cb, k = 4, nprobe = 1))
     assert(viaResidual == again)
+    // a wrong-dimension centroid table fails with the clear dim error,
+    // not a null-padded rvec that NPEs deep inside pqEncode
+    val shortCents = Seq((0, Seq.fill(8)(0.25))).toDF("cluster", "centroid")
+    val err = intercept[Exception] {
+      Ann.residuals(df, "vec_id", "embedding", oneAssign, "cluster",
+        shortCents).collect()
+    }
+    assert(err.getMessage.contains("vector dim 16 != centroid dim 8"),
+      err.getMessage)
   }
 
   test("semanticDedup keeps the smallest id of each intra-cluster " +

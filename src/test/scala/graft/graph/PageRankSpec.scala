@@ -54,6 +54,12 @@ class PageRankSpec extends SparkSpec {
     val again = PageRank.labelPropagation(edges, "src", "dst", iters = 3)
       .as[(Long, Long)].collect().toMap
     assert(again == out)
+    // a link-less corpus member passed via the node universe keeps a
+    // singleton community instead of vanishing from the output
+    val withIsolated = PageRank.labelPropagation(edges, "src", "dst",
+        iters = 3, nodes = Some(Seq(99L).toDF("doc_id")), idCol = "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(withIsolated(99L) == 99L && withIsolated.size == 7)
     // the documented bipartite oscillation, pinned: a 2-node graph swaps
     // labels every round (odd iters → exchanged, even iters → identity) —
     // the deterministic fixed-schedule contract, not convergence

@@ -97,4 +97,18 @@ class MixtureSpec extends SparkSpec {
     // c: no weight -> excluded, zero everything
     assert(out("c") == ("c", 500L, 0L, 0L, 0.0, 0L))
   }
+
+  test("tokenBudgetPlan: a weight whose domain is absent from the " +
+      "corpus surfaces as an impossible available=0/desired>0 row, " +
+      "never a silent drop") {
+    val docs = Seq(("a", 100L)).toDF("dom", "n_tok")
+    val out = Mixture.tokenBudgetPlan(docs, "dom", "n_tok",
+        Map("a" -> 0.5, "enn" -> 0.5), budget = 200L)
+      .as[(String, Long, Long, Long, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("a", "enn"))
+    assert(out("enn") == ("enn", 0L, 100L, 0L, 0.0, 0L))
+    // the sanity gate the docs name catches exactly this row
+    assert(out.values.count(r => r._3 > 0 && r._2 == 0) == 1)
+  }
 }
