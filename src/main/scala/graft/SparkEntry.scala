@@ -3830,6 +3830,45 @@ object SparkEntry {
         .mkString(", ") +
       " SELECT node, rank FROM r5")))
 
+  /** Corpus data card — the one-page summary table every curation run
+    * publishes (docs/tokens/langs/duplication/length spread) as ONE
+    * entry in long (metric, value) format: counts and moments ride a
+    * single aggregate over one scan (the Profile discipline), the
+    * exact-dup fraction reuses the md5-fingerprint convention of
+    * `dedup_exact`, and the token p50 uses the exact percentile the
+    * a7 tier pins (approx_percentile at 100 TB, same shape). Quantizes
+    * to 4 decimals.
+    */
+  private val corpusDataCard = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("text"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("__nt"))
+      val agg = d.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        sum(col("__nt")).cast("double").as("total_tokens"),
+        round(avg(col("__nt")), 4).as("mean_tokens"),
+        round(expr("percentile(__nt, 0.5)"), 4).as("p50_tokens"),
+        countDistinct(col("lang")).cast("double").as("n_langs"),
+        round(sum(when(col("lang") === "en", 1).otherwise(0)) /
+          count(lit(1)).cast("double"), 4).as("en_frac"),
+        round(lit(1.0) - countDistinct(md5(col("text"))) /
+          count(lit(1)).cast("double"), 4).as("exact_dup_frac"))
+      agg.select(explode(map(
+        lit("n_docs"), col("n_docs"),
+        lit("total_tokens"), col("total_tokens"),
+        lit("mean_tokens"), col("mean_tokens"),
+        lit("p50_tokens"), col("p50_tokens"),
+        lit("n_langs"), col("n_langs"),
+        lit("en_frac"), col("en_frac"),
+        lit("exact_dup_frac"), col("exact_dup_frac")))
+        .as(Seq("metric", "value")))
+    },
+    Some("WITH d AS (SELECT doc_id, lang, text, len(string_split_regex(lower(trim(text)), '\\s+')) AS nt FROM documents), " +
+      "a AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(nt) AS DOUBLE) AS total_tokens, round(avg(nt), 4) AS mean_tokens, round(quantile_cont(nt, 0.5), 4) AS p50_tokens, CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs, round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS en_frac, round(1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 4) AS exact_dup_frac FROM d) " +
+      "SELECT m.metric, CASE m.metric WHEN 'n_docs' THEN n_docs WHEN 'total_tokens' THEN total_tokens WHEN 'mean_tokens' THEN mean_tokens WHEN 'p50_tokens' THEN p50_tokens WHEN 'n_langs' THEN n_langs WHEN 'en_frac' THEN en_frac ELSE exact_dup_frac END AS value " +
+      "FROM a CROSS JOIN (VALUES ('n_docs'), ('total_tokens'), ('mean_tokens'), ('p50_tokens'), ('n_langs'), ('en_frac'), ('exact_dup_frac')) m(metric)"))
+
   /** Label-propagation communities over the same link graph
     * ([[graft.graph.PageRank.labelPropagation]]) — the
     * community-detection complement of PageRank's centrality (link
@@ -4742,6 +4781,7 @@ object SparkEntry {
     "graph_pagerank" -> graphPagerank,
     "graph_lpa" -> graphLpa,
     "graph_hits" -> graphHits,
+    "corpus_data_card" -> corpusDataCard,
     "text_fim" -> textFim,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,

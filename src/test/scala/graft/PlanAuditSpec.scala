@@ -486,6 +486,17 @@ class PlanAuditSpec extends SparkSpec {
       s"detector failed to flag a global unordered window:\n$gup")
   }
 
+  test("graph tier: LPA and HITS iterate over node-sized checkpointed " +
+      "state — no cartesian, no corpus-wide window in the final plan") {
+    // the per-round jobs run at construction (localCheckpoint); the
+    // audited plan is the final round's tail and must stay keyed
+    Seq("graph_lpa", "graph_hits", "graph_pagerank").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(globalWindowLines(p).isEmpty, s"$n:\n$p")
+    }
+  }
+
   test("pref tier: pair build reduces in ONE prompt-keyed aggregate — no " +
       "window, no cartesian; the audit's window partitions by prompt") {
     val pb = plan("pref_pair_build")
