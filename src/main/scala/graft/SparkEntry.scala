@@ -3363,6 +3363,41 @@ object SparkEntry {
     },
     Some("WITH u AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'HTTP://Example.COM:80/p/P' || CAST(doc_id AS VARCHAR) || '?utm_source=a&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=c#frag' WHEN 1 THEN 'https://CDN.example.org:443/' WHEN 2 THEN 'https://Site.example.net/A/b?fbclid=x' || CAST(doc_id AS VARCHAR) WHEN 3 THEN 'http://example.com/s?q=Spark&gclid=g&msclkid=m' WHEN 4 THEN 'http://User@Host.example.com:8080/x?a=1&b=' || CAST(doc_id AS VARCHAR) ELSE 'plain text ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nf FROM u), s2 AS (SELECT doc_id, url, regexp_replace(nf, '([?&])(?:(?:utm_[A-Za-z]+|gclid|fbclid|msclkid|mc_eid|igshid)=[^&#]*(?:&|$))+', '\\1', 'g') AS nt0 FROM s1), s3 AS (SELECT doc_id, url, regexp_replace(nt0, '[?&]+$', '', 'g') AS nt FROM s2), s4 AS (SELECT doc_id, url, nt, lower(regexp_extract(nt, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) AS auth, regexp_replace(nt, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS rest FROM s3), s5 AS (SELECT doc_id, url, nt, rest, CASE WHEN auth = '' THEN NULL ELSE regexp_replace(regexp_replace(auth, '^(http://[^/?#]*):80$', '\\1', 'g'), '^(https://[^/?#]*):443$', '\\1', 'g') END AS a2 FROM s4) SELECT doc_id, url, CASE WHEN a2 IS NULL THEN nt ELSE a2 || CASE WHEN rest = '/' THEN '' ELSE rest END END AS url_canonical FROM s5"))
 
+  /** URL-level crawl dedup — the FIRST dedup every crawl pipeline runs,
+    * before any content hashing: canonicalize
+    * ([[graft.text.WebCuration.withCanonicalUrl]]) → group by the
+    * canonical form → keep the best-quality variant (n_chars, doc_id
+    * tie-break). The fixture plants three variants per page (bare,
+    * tracking-params + fragment + cased authority + default port,
+    * tracking-only) that must collapse to ONE canonical; the oracle
+    * derives the canonical from the planting arithmetic alone (the
+    * regex chain itself is pinned by `web_url_canonical`) and re-picks
+    * the keeper with a row_number window.
+    */
+  private val webUrlDedup = Q(
+    (s, dir) => {
+      import graft.text.WebCuration
+      val k = floor(col("doc_id") / 3).cast("long").cast("string")
+      val m = (col("doc_id") % 3).cast("int")
+      val u = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          when(m === 0, concat(lit("http://example.com/page/"), k))
+            .when(m === 1, concat(lit("HTTP://Example.COM:80/page/"), k,
+              lit("?utm_source=x#f")))
+            .otherwise(concat(lit("http://example.com/page/"), k,
+              lit("?utm_campaign=y"))).as("url"))
+      WebCuration.withCanonicalUrl(u, "url")
+        .groupBy(col("url_canonical"))
+        .agg(count(lit(1)).as("n_variants"),
+          max_by(struct(col("doc_id"), col("n_chars")),
+            struct(col("n_chars"), col("doc_id"))).as("b"))
+        .select(col("url_canonical"), col("n_variants"),
+          col("b.doc_id").as("keeper_id"), col("b.n_chars").as("keeper_chars"))
+    },
+    Some("WITH u AS (SELECT doc_id, n_chars, 'http://example.com/page/' || CAST(doc_id // 3 AS VARCHAR) AS url_canonical FROM documents), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY url_canonical ORDER BY n_chars DESC, doc_id DESC) AS r, count(*) OVER (PARTITION BY url_canonical) AS n FROM u) " +
+      "SELECT url_canonical, CAST(n AS BIGINT) AS n_variants, doc_id AS keeper_id, n_chars AS keeper_chars FROM rk WHERE r = 1"))
+
   /** HTML-to-text extraction ([[graft.text.Html]]): script/style/comment
     * payloads dropped, tags → word boundaries, entities decoded,
     * whitespace collapsed. HTML chrome is planted deterministically around each
@@ -4761,6 +4796,7 @@ object SparkEntry {
     "text_perplexity" -> textPerplexity,
     "text_dsir_weights" -> textDsirWeights,
     "web_url_canonical" -> webUrlCanonical,
+    "web_url_dedup" -> webUrlDedup,
     "text_html_extract" -> textHtmlExtract,
     "text_html_links" -> textHtmlLinks,
     "text_fix_mojibake" -> textFixMojibake,
