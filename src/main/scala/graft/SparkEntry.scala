@@ -3730,6 +3730,57 @@ object SparkEntry {
       "rj AS (SELECT prompt_id, t AS rt FROM w WHERE rb = 1) " +
       "SELECT a.prompt_id, n_responses, too_few, zero_margin, ct = rt AS degenerate_pair, top_ties FROM a JOIN ch USING (prompt_id) JOIN rj USING (prompt_id)"))
 
+  /** DPO training rows — the preference tier's final artifact:
+    * surviving (chosen, rejected) pairs rendered through the SFT chat
+    * template ([[graft.text.Pref.preferencePairs]] ×
+    * [[graft.text.Chat.renderWithLossSpans]]), two 2-turn
+    * conversations per pair (conv = prompt·2 + {0 chosen, 1 rejected})
+    * with assistant-only loss spans — exactly what a DPO trainer
+    * consumes (sequence pairs + the spans the logprob difference is
+    * taken over). The oracle composes the pair-selection windows with
+    * the template's span arithmetic.
+    */
+  private val prefDpoRender = Q(
+    (s, dir) => {
+      val resp = t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(29)) =!= 0)
+        .select(floor(col("doc_id") / 4).cast("long").as("prompt"),
+          pmod(col("doc_id"), lit(4)).as("rid"), col("text"),
+          length(col("text")).as("sc"))
+      val pairs = graft.text.Pref.preferencePairs(
+        resp, "prompt", "rid", "text", "sc", minMargin = 3.0)
+      val chosen = pairs.join(resp,
+          pairs("prompt_id") === resp("prompt") &&
+            pairs("chosen_id") === resp("rid"))
+        .select(col("prompt_id"), lit(0L).as("side"), col("text"))
+      val rejected = pairs.join(resp,
+          pairs("prompt_id") === resp("prompt") &&
+            pairs("rejected_id") === resp("rid"))
+        .select(col("prompt_id"), lit(1L).as("side"), col("text"))
+      val turns = chosen.union(rejected)
+        .select((col("prompt_id") * 2 + col("side")).as("conv"),
+          col("prompt_id"), col("side"), col("text"))
+      val asTurns = turns.select(col("conv"), lit(0L).as("i"),
+          lit("user").as("role"),
+          concat(lit("q"), col("prompt_id").cast("string")).as("t"))
+        .union(turns.select(col("conv"), lit(1L).as("i"),
+          lit("assistant").as("role"), col("text").as("t")))
+      graft.text.Chat.renderWithLossSpans(asTurns, "conv", "i", "role", "t")
+        .select(floor(col("conv_id") / 2).cast("long").as("prompt_id"),
+          when(pmod(col("conv_id"), lit(2)) === 0, lit("chosen"))
+            .otherwise(lit("rejected")).as("side"),
+          col("text"), col("s"), col("e"))
+    },
+    Some("WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS resp_id, text AS t, CAST(length(text) AS DOUBLE) AS sc FROM documents WHERE doc_id % 29 <> 0), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY prompt_id ORDER BY sc DESC, resp_id DESC) AS ra, row_number() OVER (PARTITION BY prompt_id ORDER BY sc ASC, resp_id ASC) AS rb, count(*) OVER (PARTITION BY prompt_id) AS n FROM r), " +
+      "ch AS (SELECT prompt_id, resp_id AS chosen_id, t AS ct, sc AS cs, n FROM rk WHERE ra = 1), " +
+      "rj AS (SELECT prompt_id, resp_id AS rejected_id, t AS rt, sc AS rs FROM rk WHERE rb = 1), " +
+      "pairs AS (SELECT ch.prompt_id, ct, rt FROM ch JOIN rj USING (prompt_id) WHERE n >= 2 AND cs - rs >= 3.0 AND ct <> rt), " +
+      "sides AS (SELECT prompt_id, 'chosen' AS side, ct AS t FROM pairs UNION ALL SELECT prompt_id, 'rejected', rt FROM pairs), " +
+      "rend AS (SELECT prompt_id, side, '<|user|>q' || CAST(prompt_id AS VARCHAR) || '<|end|><|assistant|>' || t || '<|end|>' AS text, " +
+      "CAST(length('<|user|>q' || CAST(prompt_id AS VARCHAR) || '<|end|>') + 13 AS BIGINT) AS s, length(t) AS lt FROM sides) " +
+      "SELECT prompt_id, side, text, s, s + lt AS e FROM rend"))
+
   /** Eval-side contamination fractions ([[graft.dedup.Dedup
     * .contaminationFraction]]): per held-out document, the fraction of
     * its distinct 5-grams found anywhere in the training slice — the
@@ -4808,6 +4859,7 @@ object SparkEntry {
     "pref_pair_build" -> prefPairBuild,
     "pref_pair_audit" -> prefPairAudit,
     "pref_best_of_n" -> prefBestOfN,
+    "pref_dpo_render" -> prefDpoRender,
     "dedup_contamination_frac" -> dedupContaminationFrac,
     "text_normalize" -> textNormalize,
     "text_tfidf_terms" -> textTfidfTerms,
