@@ -3749,15 +3749,15 @@ object SparkEntry {
           length(col("text")).as("sc"))
       val pairs = graft.text.Pref.preferencePairs(
         resp, "prompt", "rid", "text", "sc", minMargin = 3.0)
-      val chosen = pairs.join(resp,
-          pairs("prompt_id") === resp("prompt") &&
-            pairs("chosen_id") === resp("rid"))
-        .select(col("prompt_id"), lit(0L).as("side"), col("text"))
-      val rejected = pairs.join(resp,
-          pairs("prompt_id") === resp("prompt") &&
-            pairs("rejected_id") === resp("rid"))
-        .select(col("prompt_id"), lit(1L).as("side"), col("text"))
-      val turns = chosen.union(rejected)
+      // unpivot the pair to (side, resp_id) FIRST, then rejoin texts in
+      // ONE pass — two separate chosen/rejected joins would embed the
+      // preferencePairs aggregate (and its documents scan) twice
+      val sides = pairs.select(col("prompt_id"),
+        explode(map(lit(0L), col("chosen_id"),
+          lit(1L), col("rejected_id"))).as(Seq("side", "rid2")))
+      val turns = sides.join(resp,
+          sides("prompt_id") === resp("prompt") &&
+            sides("rid2") === resp("rid"))
         .select((col("prompt_id") * 2 + col("side")).as("conv"),
           col("prompt_id"), col("side"), col("text"))
       val asTurns = turns.select(col("conv"), lit(0L).as("i"),
@@ -3927,9 +3927,8 @@ object SparkEntry {
     */
   private val corpusDataCard = Q(
     (s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
-        col("text"),
-        size(split(lower(trim(col("text"))), "\\s+")).as("__nt"))
+      val d = t(s, dir, "documents").select(col("lang"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("__nt"))
       val agg = d.agg(
         count(lit(1)).cast("double").as("n_docs"),
         sum(col("__nt")).cast("double").as("total_tokens"),
