@@ -668,6 +668,42 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  private val prefPoolGen: Gen[List[(Long, Long, String, Double)]] = for {
+    nPrompts <- Gen.chooseNum(1, 6)
+    rows <- Gen.listOfN(nPrompts, for {
+      k <- Gen.chooseNum(1, 5)
+      texts <- Gen.listOfN(k, Gen.oneOf("aa", "bb", "cc", "dd"))
+      scores <- Gen.listOfN(k, Gen.chooseNum(0, 4).map(_.toDouble))
+    } yield texts.zip(scores))
+  } yield rows.zipWithIndex.flatMap { case (pool, p) =>
+    pool.zipWithIndex.map { case ((t, sc), r) =>
+      (p.toLong, r.toLong, t, sc)
+    }
+  }
+
+  property("preferencePairs equals the brute-force driver derivation " +
+      "on random pools (extremes, tie-breaks, every filter)") =
+    Prop.forAllNoShrink(prefPoolGen) { rows =>
+      import spark.implicits._
+      val margin = 1.0
+      val out = graft.text.Pref.preferencePairs(
+          rows.toDF("prompt", "rid", "txt", "sc"),
+          "prompt", "rid", "txt", "sc", minMargin = margin)
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      val want = rows.groupBy(_._1).flatMap { case (p, pool) =>
+        val ch = pool.maxBy(r => (r._4, r._2))
+        val rj = pool.minBy(r => (r._4, r._2))
+        val m = ch._4 - rj._4
+        if (pool.size >= 2 && m >= margin && ch._3 != rj._3)
+          Some(p -> ((p, ch._2, rj._2, pool.size.toLong,
+            BigDecimal(m).setScale(4,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)))
+        else None
+      }
+      out == want
+    }
+
   private val splitGraphGen: Gen[(Int, List[(Long, Long)])] = for {
     nodes <- Gen.chooseNum(2, 24)
     m <- Gen.chooseNum(0, 30)
