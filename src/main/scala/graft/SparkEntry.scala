@@ -1914,6 +1914,32 @@ object SparkEntry {
     },
     Some("WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8), e AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2 AS s, id1 AS d FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.id), comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id), keep AS (SELECT cluster AS doc_id, count(*) AS n_members FROM comp GROUP BY 1) SELECT k.doc_id, k.n_members, d.lang, d.n_chars FROM keep k JOIN documents d ON d.doc_id = k.doc_id"))
 
+  /** Near-dup cluster-size census — the histogram every dedup report
+    * publishes (how many singletons, how many pairs, how big is the
+    * largest mirror cluster): component sizes from the shared
+    * MinHash→connected-components stage, reduced to (cluster_size,
+    * n_clusters, n_docs). Two tiny keyed aggregates AFTER the corpus
+    * has already collapsed to component labels — report cost is
+    * component-bounded, never corpus-bounded.
+    */
+  private val dedupClusterSizeHist = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val comps = sharedStage(s, "minhash_comps", dir) {
+        val pairs = sharedStage(s, "minhash_pairs", dir)(
+          Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8))
+        Clusters.connectedComponents(pairs, "id1", "id2",
+          nodes = Some(docs.select(col("doc_id"))), idCol = "doc_id")
+      }
+      comps.groupBy(col("component"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))
+    },
+    Some("WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8), e AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2 AS s, id1 AS d FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.id), comp AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id), cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1) " +
+      "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, CAST(sum(cluster_size) AS BIGINT) AS n_docs FROM cs GROUP BY 1"))
+
   /** Deterministic uniform negative sampling
     * ([[graft.operators.Mixture.uniformNegatives]]): k hash-drawn other
     * ids per anchor on the dense id ring — contrastive-pair prep with
@@ -4819,6 +4845,7 @@ object SparkEntry {
     "dedup_simhash_near" -> dedupSimhashNear,
     "dedup_clusters" -> dedupClusters,
     "so14_leakage_safe_split" -> so14LeakageSafeSplit,
+    "dedup_cluster_size_hist" -> dedupClusterSizeHist,
     "corpus_neardup_curation" -> corpusNeardupCuration,
     "dedup_contamination" -> dedupContamination,
     "v1_schema_resolve" -> v1SchemaResolve,
