@@ -35,6 +35,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Scratch dirs for entry-local sinks, checkpoints, and state stores:
+    * prefer tmpfs (`/dev/shm`) when present so the streaming entries'
+    * checkpoint/file-sink I/O measures the OPERATOR, not the
+    * container's disk — at sf0.1 the five slowest registry entries were
+    * all streaming drains whose cost was dominated by checkpoint fsyncs
+    * on `/tmp`, burying real plan regressions in I/O noise. Production
+    * checkpoints belong on durable storage (HDFS/S3); this relocates
+    * only the LOCAL bench/verify scratch.
+    */
+  private def scratchPath(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   // --------------------------------------------------------------------
   // §2.1 Scans / sources / sinks
   // --------------------------------------------------------------------
@@ -46,7 +63,7 @@ object SparkEntry {
     */
   private val s2SchemaJsonScan = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s2").toString
+      val tmp = scratchPath("graft_s2").toString
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
         .write.mode("overwrite").json(tmp)
@@ -77,7 +94,7 @@ object SparkEntry {
     corruptFixtureCache.getOrElseUpdate(dir, buildCorruptFixture(s, dir))
 
   private def buildCorruptFixture(s: SparkSession, dir: String): String = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s2c").toString
+    val tmp = scratchPath("graft_s2c").toString
     val line = when(col("doc_id") % 13 === 0,
         concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"n_chars\":")))
       .when(col("doc_id") % 13 === 1,
@@ -104,7 +121,7 @@ object SparkEntry {
   private val s2CorruptAccounting = Q(
     (s, dir) => {
       val tmp = corruptFixture(s, dir)
-      val q = java.nio.file.Files.createTempDirectory("graft_s2q").toString
+      val q = scratchPath("graft_s2q").toString
       val scan = JsonDataset.readAccounted(s, tmp, "docs_acct",
         StructType.fromDDL(CorruptFixtureSchema))
       JsonDataset.quarantineCorrupt(scan.corrupt, q, "docs_acct")
@@ -123,7 +140,7 @@ object SparkEntry {
   private val s2CorruptQuarantine = Q(
     (s, dir) => {
       val tmp = corruptFixture(s, dir)
-      val q = java.nio.file.Files.createTempDirectory("graft_s2q").toString
+      val q = scratchPath("graft_s2q").toString
       val scan = JsonDataset.readAccounted(s, tmp, "docs_acct",
         StructType.fromDDL(CorruptFixtureSchema))
       JsonDataset.quarantineCorrupt(scan.corrupt, q, "docs_acct")
@@ -143,7 +160,7 @@ object SparkEntry {
     */
   private val s1ZipRoundtrip = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s1").toString
+      val tmp = scratchPath("graft_s1").toString
       t(s, dir, "documents").select(col("doc_id"), col("text"))
         .repartition(8)
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -177,7 +194,7 @@ object SparkEntry {
     */
   private val s5ProjectionScan = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s5").toString
+      val tmp = scratchPath("graft_s5").toString
       ParquetDataset.write(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"),
           col("o_custkey"), col("o_orderstatus")),
@@ -191,7 +208,7 @@ object SparkEntry {
     */
   private val s8Listing = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s8").toString
+      val tmp = scratchPath("graft_s8").toString
       val ev = t(s, dir, "events").select(col("event_id"), col("event_type"))
       // write clustering (ParquetDataset.write repartitions by the
       // partition cols) guarantees one file per partition dir per append
@@ -218,7 +235,7 @@ object SparkEntry {
     */
   private val s15Orphans = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s15").toString
+      val tmp = scratchPath("graft_s15").toString
       val ev = t(s, dir, "events").select(col("event_id"), col("event_type"))
       ParquetDataset.write(ev, s"$tmp/data", Seq("event_type"))
       val listed = FileListing.list(s, s"$tmp/data")
@@ -244,7 +261,7 @@ object SparkEntry {
     */
   private val s3NdjsonRoundtrip = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s3").toString
+      val tmp = scratchPath("graft_s3").toString
       val df = t(s, dir, "documents").select(
         col("doc_id"), col("n_chars"), col("lang").as("assessmentid"),
         (lit(2020) + col("doc_id") % 2).cast("int").as("year"),
@@ -276,7 +293,7 @@ object SparkEntry {
     */
   private val s12PerRecordSink = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s12").toString
+      val tmp = scratchPath("graft_s12").toString
       val df = t(s, dir, "documents")
         .where(col("doc_id") % 50 === 0)
         .select(
@@ -302,7 +319,7 @@ object SparkEntry {
     */
   private val s4ParquetRoundtrip = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s4").toString
+      val tmp = scratchPath("graft_s4").toString
       val df = t(s, dir, "events").select(
         col("event_id"), col("user_id"), col("value"),
         col("event_type").as("assessmentid"),
@@ -327,7 +344,7 @@ object SparkEntry {
     */
   private val s10Compact = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s10").toString
+      val tmp = scratchPath("graft_s10").toString
       val df = t(s, dir, "events").select(
         col("event_id"), col("user_id"), col("value"),
         col("event_type").as("assessmentid"),
@@ -360,7 +377,7 @@ object SparkEntry {
     */
   private val s11OrcRoundtrip = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s11").toString
+      val tmp = scratchPath("graft_s11").toString
       val df = t(s, dir, "events").select(
         col("event_id"), col("user_id"), col("value"),
         col("event_type").as("assessmentid"))
@@ -380,7 +397,7 @@ object SparkEntry {
     */
   private val s9CsvRoundtrip = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s9").toString
+      val tmp = scratchPath("graft_s9").toString
       t(s, dir, "nation")
         .write.mode("overwrite").partitionBy("n_regionkey")
         .option("header", "true").csv(tmp)
@@ -410,7 +427,7 @@ object SparkEntry {
     */
   private val s7Quarantine = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s7").toString
+      val tmp = scratchPath("graft_s7").toString
       val schema =
         """{"type": "object", "required": ["name", "size"],
             "properties": {"name": {"type": "string"},
@@ -527,7 +544,7 @@ object SparkEntry {
     */
   private val bmIncremental = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bm").toString
+      val tmp = scratchPath("graft_bm").toString
       val ev = t(s, dir, "events").select(col("event_id"), col("event_type"))
       ev.filter(col("event_id") % 2 === 0)
         .write.mode("append").parquet(s"$tmp/data")
@@ -561,7 +578,7 @@ object SparkEntry {
     */
   private def stEventsDir(s: SparkSession, dir: String): String =
     stInputCache.getOrElseUpdate(dir, {
-      val d = java.nio.file.Files.createTempDirectory("graft_st").toString
+      val d = scratchPath("graft_st").toString
       t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("ts"), col("user_id"))
         .write.mode("overwrite").parquet(s"$d/in")
@@ -585,7 +602,7 @@ object SparkEntry {
     */
   private def stEventsDirDup(s: SparkSession, dir: String): String =
     stInputCache.getOrElseUpdate(dir + "#dup", {
-      val d = java.nio.file.Files.createTempDirectory("graft_st2x").toString
+      val d = scratchPath("graft_st2x").toString
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("ts"))
       ev.write.mode("overwrite").parquet(s"$d/in")
@@ -612,7 +629,7 @@ object SparkEntry {
     */
   private val stSketchState = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stsk").toString
+      val tmp = scratchPath("graft_stsk").toString
       t(s, dir, "events").select(col("event_type"), col("user_id"))
         .repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
       val stream = s.readStream
@@ -639,7 +656,7 @@ object SparkEntry {
     */
   private val stWarcIngest = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stwc").toString
+      val tmp = scratchPath("graft_stwc").toString
       val docs = t(s, dir, "documents")
       def pages(cond: org.apache.spark.sql.Column) = docs.where(cond)
         .select(concat(lit("http://"), col("source"),
@@ -665,7 +682,7 @@ object SparkEntry {
 
   private val stMonoidState = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stms").toString
+      val tmp = scratchPath("graft_stms").toString
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           floor(col("value") * 100).cast("long").as("v100"))
@@ -734,7 +751,7 @@ object SparkEntry {
   private val stUpsertDrain = Q(
     (s, dir) => {
       val tmp = stEventsDir(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("graft_st_up").toString
+      val out = scratchPath("graft_st_up").toString
       val stream = s.readStream
         .schema(StructType.fromDDL(
           "event_id bigint, event_type string, ts timestamp, user_id bigint"))
@@ -816,7 +833,7 @@ object SparkEntry {
       val joined = graft.streaming.StreamingIngest.streamIntervalJoin(
         views, purchases, "user_id", "v_ts", "p_ts",
         window = "60 MINUTES", watermark = "1 hour")
-      val out = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+      val out = scratchPath("graft_ssj").toString
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -863,7 +880,7 @@ object SparkEntry {
     */
   private val stDrainParquet = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_std").toString
+      val tmp = scratchPath("graft_std").toString
       val ev = t(s, dir, "events").select(col("event_id"), col("event_type"))
       val schema = StructType.fromDDL("event_id bigint, event_type string")
       def drain(): Unit =
@@ -897,7 +914,7 @@ object SparkEntry {
     */
   private val stContaminationGate = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cg").toString
+      val tmp = scratchPath("graft_cg").toString
       val sess = s
       import sess.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -945,7 +962,7 @@ object SparkEntry {
     */
   private val stRelationalizeDrain = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_rd").toString
+      val tmp = scratchPath("graft_rd").toString
       val nested = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
         .where(col("o_orderkey") % 7 === 0)
@@ -983,7 +1000,7 @@ object SparkEntry {
     */
   private val e2SchemaEvolve = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_se").toString
+      val tmp = scratchPath("graft_se").toString
       val docs = t(s, dir, "documents")
       def stamp(df: DataFrame) = df
         .withColumn("assessmentid", col("lang"))
@@ -1033,7 +1050,7 @@ object SparkEntry {
     */
   private val e3SchemaVersion = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sv").toString
+      val tmp = scratchPath("graft_sv").toString
       val docs = t(s, dir, "documents")
       def stamp(df: DataFrame) = df
         .withColumn("assessmentid", lit("docs"))
@@ -1150,7 +1167,7 @@ object SparkEntry {
       .select(
         col("doc_id"),
         size(filter(split(col("text"), " "), w => length(w) > 4)).as("n_long_tokens")),
-    Some("SELECT doc_id, length(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS n_long_tokens FROM documents"))
+    Some("SELECT doc_id, CAST(length(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS INTEGER) AS n_long_tokens FROM documents"))
 
   // --------------------------------------------------------------------
   // §2.3 Joins
@@ -1225,7 +1242,7 @@ object SparkEntry {
     (s, dir) => {
       // fixed table names + overwrite: repeated runs in one session
       // replace the catalog entries instead of accumulating them
-      val tmp = java.nio.file.Files.createTempDirectory("graft_j5").toString
+      val tmp = scratchPath("graft_j5").toString
       val custT = "j5_cust"
       val ordT = "j5_ord"
       t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -1774,6 +1791,29 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text", threshold = 0.8),
     Some("WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
 
+  /** The duplicate-saturated MinHash path — proves the g×g hot-bucket
+    * decomposition ([[Dedup.saltedBandLegs]]) INSIDE the oracle gate,
+    * not just in the ScaleStress census: 8 base docs are replicated 64×
+    * byte-identical (id = doc_id·1000 + k), so every (band, bh) bucket
+    * holds ≥64 members and `maxBucketSize = 8` forces g ≥ 8 → ≥64
+    * bounded join cells per bucket (engagement pinned by
+    * DedupSaturatedSpec, which also checks exact candidate parity with
+    * the undecomposed join). The oracle is the exact all-pairs shingle
+    * Jaccard over the same replicated fixture — a pair lost or
+    * duplicated by the chunk algebra flips the hash.
+    */
+  private val dedupMinhashSaturated = Q(
+    (s, dir) => {
+      val sat = t(s, dir, "documents").where(col("doc_id") < 8)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(63))).as("k"))
+        .select((col("doc_id") * 1000 + col("k")).cast("long").as("doc_id"),
+          col("text"))
+      Dedup.minhashPairs(sat, "doc_id", "text", threshold = 0.8,
+        maxBucketSize = 8)
+    },
+    Some("WITH sat AS (SELECT d.doc_id * 1000 + g.k AS doc_id, d.text AS text FROM documents d CROSS JOIN generate_series(0, 63) AS g(k) WHERE d.doc_id < 8), t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM sat), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
+
   /** Incremental near-dup against a PERSISTED LSH index
     * ([[Dedup.saveLshIndex]]/[[Dedup.incrementalMinhashPairs]]): the
     * corpus (doc_id % 10 ≠ 0) is banded once and written as a parquet
@@ -1788,8 +1828,7 @@ object SparkEntry {
       val corpus = t(s, dir, "documents").where(col("doc_id") % 10 =!= 0)
       val batch = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
       val path = lshIndexCache.getOrElseUpdate(dir, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_lshidx").toString
+        val p = scratchPath("graft_lshidx").toString
         Dedup.saveLshIndex(corpus, "doc_id", "text", p)
         p
       })
@@ -1821,7 +1860,7 @@ object SparkEntry {
   private def sharedStage(s: SparkSession, stage: String, dir: String)(
       build: => DataFrame): DataFrame = {
     val path = stageCache.getOrElseUpdate(s"$stage|$dir", {
-      val p = java.nio.file.Files.createTempDirectory("graft_stage")
+      val p = scratchPath("graft_stage")
         .resolve(stage).toString
       PhaseTimer.phase(s"stage_build:$stage") {
         build.write.mode("overwrite").parquet(p)
@@ -2230,7 +2269,7 @@ object SparkEntry {
     */
   private val s13Upsert = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s13").toString
+      val tmp = scratchPath("graft_s13").toString
       val all = t(s, dir, "events").select(
         col("event_id"), col("user_id"), col("value"),
         col("event_type").as("assessmentid"))
@@ -2266,7 +2305,7 @@ object SparkEntry {
     */
   private val s14TarShards = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s14").toString
+      val tmp = scratchPath("graft_s14").toString
       val df = t(s, dir, "documents").select(
         concat(lit("doc_"), col("doc_id")).as("key"),
         col("text"), col("lang"))
@@ -2304,7 +2343,7 @@ object SparkEntry {
     */
   private def warcFixture(df: DataFrame): String =
     warcFixtureInto(df,
-      java.nio.file.Files.createTempDirectory("graft_warc").toString)
+      scratchPath("graft_warc").toString)
 
   /** Same, into a caller-owned dir (UUID segment names never collide,
     * so successive drops into one dir model an arriving crawl feed).
@@ -2777,7 +2816,7 @@ object SparkEntry {
     */
   private val e4IncrementalAgg = Q(
     (s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_e4").toString
+      val out = scratchPath("graft_e4").toString
       val li = t(s, dir, "lineitem")
       def wave(pred: org.apache.spark.sql.Column) = li.filter(pred)
         .groupBy(col("l_returnflag"))
@@ -2887,7 +2926,7 @@ object SparkEntry {
       "d AS (SELECT lang, available, CAST(floor(COALESCE(wt, 0.0) * 100000 + 0.5) AS BIGINT) AS desired FROM av LEFT JOIN w ON av.lang = w.dom) " +
       "SELECT lang, available, desired, least(desired, available) AS planned, " +
       "CASE WHEN available = 0 THEN 0.0 ELSE floor(CAST(least(desired, available) AS DOUBLE) / available * 10000.0 + 0.5) / 10000.0 END AS rate, " +
-      "CASE WHEN available = 0 OR desired = 0 THEN 0 ELSE CAST(ceil(CAST(desired AS DOUBLE) / available) AS BIGINT) END AS epochs FROM d"))
+      "CASE WHEN available = 0 OR desired = 0 THEN 0 ELSE (desired + available - 1) // available END AS epochs FROM d"))
 
   /** SO10 — deterministic weighted sampling without replacement
     * ([[graft.operators.WeightedSample]], Efraimidis–Spirakis): 100
@@ -3676,7 +3715,7 @@ object SparkEntry {
       "r AS (SELECT conv_id, turn_idx, role, t, '<|' || role || '|>' || t || '<|end|>' AS r FROM tu), " +
       "o AS (SELECT *, COALESCE(sum(length(r)) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM r), " +
       "asm AS (SELECT conv_id, string_agg(r, '' ORDER BY turn_idx) AS text FROM o GROUP BY 1), " +
-      "sp AS (SELECT conv_id, turn_idx AS span_turn, off + length(role) + 4 AS s, off + length(role) + 4 + length(t) AS e FROM o WHERE role = 'assistant') " +
+      "sp AS (SELECT conv_id, turn_idx AS span_turn, CAST(off + length(role) + 4 AS BIGINT) AS s, CAST(off + length(role) + 4 + length(t) AS BIGINT) AS e FROM o WHERE role = 'assistant') " +
       "SELECT asm.conv_id, asm.text, sp.span_turn, sp.s, sp.e FROM asm LEFT JOIN sp USING (conv_id)"))
 
   /** Turn-structure audit ([[graft.text.Chat.alternationAudit]]) — the
@@ -3711,23 +3750,76 @@ object SparkEntry {
       "COALESCE(max(CASE WHEN prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1 THEN 1 ELSE 0 END), 0) = 1 AS index_gap " +
       "FROM l GROUP BY 1"))
 
+  /** The gated SFT render — audit → drop defective conversations →
+    * render, the composite an SFT pipeline actually runs
+    * ([[graft.text.Chat.alternationAudit]] feeding
+    * [[graft.text.Chat.renderWithLossSpans]], the same chaining shape
+    * `pref_dpo_render` uses for pairs → render). The fixture is
+    * `chat_alternation_audit`'s defect-planted corpus (role flips at
+    * doc_id % 37, all-user conversations at conv % 53, index gaps from
+    * the % 41 turn drop), so the gate is load-bearing: defective
+    * conversations visibly vanish from the rendered output, and the
+    * oracle re-derives the audit flags AND the span arithmetic in one
+    * query — a wrong flag OR a wrong offset flips the hash.
+    */
+  private val sftRenderGated = Q(
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(41)) =!= 0)
+        .select(
+          floor(col("doc_id") / 4).cast("long").as("conv"),
+          pmod(col("doc_id"), lit(4)).as("i"),
+          col("doc_id"), col("text"))
+      val parity = when(pmod(col("doc_id"), lit(2)) === 0, lit("user"))
+        .otherwise(lit("assistant"))
+      val flipped = when(pmod(col("doc_id"), lit(2)) === 0, lit("assistant"))
+        .otherwise(lit("user"))
+      val turns = base.select(col("conv"), col("i"),
+        when(pmod(col("conv"), lit(53)) === 0, lit("user"))
+          .otherwise(when(pmod(col("doc_id"), lit(37)) === 0, flipped)
+            .otherwise(parity)).as("role"),
+        col("text").as("txt"))
+      val valid = graft.text.Chat.alternationAudit(turns, "conv", "i", "role")
+        .where(!col("bad_opening") && !col("repeated_role") &&
+          !col("no_assistant") && !col("index_gap"))
+        .select(col("conv_id"))
+      // conv-keyed equi-join: the audit aggregate and the render window
+      // share the conversation key, so the gate adds no new shuffle key
+      val gated = turns.join(valid, turns("conv") === valid("conv_id"))
+        .select(col("conv"), col("i"), col("role"), col("txt"))
+      graft.text.Chat.renderWithLossSpans(gated, "conv", "i", "role", "txt")
+    },
+    Some("WITH tu AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx, CASE WHEN (doc_id // 4) % 53 = 0 THEN 'user' WHEN doc_id % 37 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 'assistant' ELSE 'user' END) ELSE (CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END) END AS role, text AS t FROM documents WHERE doc_id % 41 <> 0), " +
+      "l AS (SELECT *, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role, lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx FROM tu), " +
+      "aud AS (SELECT conv_id, arg_min(role, turn_idx) <> 'user' AS bad_opening, COALESCE(max(CASE WHEN prev_role = role THEN 1 ELSE 0 END), 0) = 1 AS repeated_role, sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) = 0 AS no_assistant, COALESCE(max(CASE WHEN prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1 THEN 1 ELSE 0 END), 0) = 1 AS index_gap FROM l GROUP BY 1), " +
+      "ok AS (SELECT conv_id FROM aud WHERE NOT bad_opening AND NOT repeated_role AND NOT no_assistant AND NOT index_gap), " +
+      "r AS (SELECT conv_id, turn_idx, role, t, '<|' || role || '|>' || t || '<|end|>' AS r FROM tu JOIN ok USING (conv_id)), " +
+      "o AS (SELECT *, COALESCE(sum(length(r)) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM r), " +
+      "asm AS (SELECT conv_id, string_agg(r, '' ORDER BY turn_idx) AS text FROM o GROUP BY 1), " +
+      "sp AS (SELECT conv_id, turn_idx AS span_turn, CAST(off + length(role) + 4 AS BIGINT) AS s, CAST(off + length(role) + 4 + length(t) AS BIGINT) AS e FROM o WHERE role = 'assistant') " +
+      "SELECT asm.conv_id, asm.text, sp.span_turn, sp.s, sp.e FROM asm LEFT JOIN sp USING (conv_id)"))
+
   /** DPO preference-pair construction ([[graft.text.Pref
     * .preferencePairs]]): documents pooled four-per-prompt as scored
     * candidates (score = text length), collapsed to deterministic
     * (chosen, rejected) pairs under the (score, resp_id) tie-break,
-    * with single-candidate prompts (planted by the % 29 filter),
+    * with a genuinely single-candidate prompt (prompt 13: doc_ids
+    * 53–55 dropped, only resp 0 survives — the % 29 filter alone can
+    * never shrink a contiguous 4-id pool below 3, so the
+    * n_responses >= 2 gate needs this explicit plant to fire),
     * sub-margin pools, and identical-text pairs filtered. The oracle
     * re-derives both extremes with row_number windows — a divergent
     * tie-break or margin boundary flips rows and fails the hash.
     */
   private val prefPairBuild = Q(
     (s, dir) => graft.text.Pref.preferencePairs(
-      t(s, dir, "documents").where(pmod(col("doc_id"), lit(29)) =!= 0)
+      t(s, dir, "documents").where(pmod(col("doc_id"), lit(29)) =!= 0
+          && !col("doc_id").between(53, 55))
         .select(floor(col("doc_id") / 4).cast("long").as("prompt"),
           pmod(col("doc_id"), lit(4)).as("rid"), col("text"),
           length(col("text")).as("sc")),
       "prompt", "rid", "text", "sc", minMargin = 3.0),
-    Some("WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS resp_id, text AS t, CAST(length(text) AS DOUBLE) AS sc FROM documents WHERE doc_id % 29 <> 0), " +
+    Some("WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS resp_id, text AS t, CAST(length(text) AS DOUBLE) AS sc FROM documents WHERE doc_id % 29 <> 0 AND doc_id NOT BETWEEN 53 AND 55), " +
       "rk AS (SELECT *, row_number() OVER (PARTITION BY prompt_id ORDER BY sc DESC, resp_id DESC) AS ra, row_number() OVER (PARTITION BY prompt_id ORDER BY sc ASC, resp_id ASC) AS rb, count(*) OVER (PARTITION BY prompt_id) AS n FROM r), " +
       "ch AS (SELECT prompt_id, resp_id AS chosen_id, t AS ct, sc AS cs, CAST(n AS BIGINT) AS n_responses FROM rk WHERE ra = 1), " +
       "rj AS (SELECT prompt_id, resp_id AS rejected_id, t AS rt, sc AS rs FROM rk WHERE rb = 1) " +
@@ -3740,16 +3832,19 @@ object SparkEntry {
     * zero_margin, degenerate_pair (tie-broken extremes carry identical
     * text), and top_ties (candidates sharing the top score, i.e.
     * "chosen" decided by tie-break alone). Length-valued scores make
-    * ties and zero-margin pools organically dense in the fixture.
+    * ties and zero-margin pools organically dense in the fixture; the
+    * prompt-13 plant (doc_ids 53–55 dropped) supplies the one genuine
+    * too_few pool, which the % 29 filter alone cannot create.
     */
   private val prefPairAudit = Q(
     (s, dir) => graft.text.Pref.pairAudit(
-      t(s, dir, "documents").where(pmod(col("doc_id"), lit(29)) =!= 0)
+      t(s, dir, "documents").where(pmod(col("doc_id"), lit(29)) =!= 0
+          && !col("doc_id").between(53, 55))
         .select(floor(col("doc_id") / 4).cast("long").as("prompt"),
           pmod(col("doc_id"), lit(4)).as("rid"), col("text"),
           length(col("text")).as("sc")),
       "prompt", "rid", "text", "sc"),
-    Some("WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS resp_id, text AS t, CAST(length(text) AS DOUBLE) AS sc FROM documents WHERE doc_id % 29 <> 0), " +
+    Some("WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS resp_id, text AS t, CAST(length(text) AS DOUBLE) AS sc FROM documents WHERE doc_id % 29 <> 0 AND doc_id NOT BETWEEN 53 AND 55), " +
       "w AS (SELECT *, max(sc) OVER (PARTITION BY prompt_id) AS mx, row_number() OVER (PARTITION BY prompt_id ORDER BY sc DESC, resp_id DESC) AS ra, row_number() OVER (PARTITION BY prompt_id ORDER BY sc ASC, resp_id ASC) AS rb FROM r), " +
       "a AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_responses, count(*) < 2 AS too_few, max(sc) = min(sc) AS zero_margin, CAST(sum(CASE WHEN sc = mx THEN 1 ELSE 0 END) AS BIGINT) AS top_ties FROM w GROUP BY 1), " +
       "ch AS (SELECT prompt_id, t AS ct FROM w WHERE ra = 1), " +
@@ -4556,7 +4651,7 @@ object SparkEntry {
       val indexed = Ann.pqEncode(emb, "vec_id", "embedding", cb)
         .join(emb.select(col("vec_id"), col("label")), "vec_id")
       val path = annIndexCache.getOrElseUpdate(dir,
-        java.nio.file.Files.createTempDirectory("graft_annidx").toString)
+        scratchPath("graft_annidx").toString)
       PhaseTimer.phase("build_save") {
         Ann.saveIndex(indexed, "label", cb, path)
       }
@@ -4692,7 +4787,7 @@ object SparkEntry {
       .select(
         col("event_id"),
         year(col("ts")).as("y"), month(col("ts")).as("m"), dayofmonth(col("ts")).as("d")),
-    Some("SELECT event_id, year(ts) AS y, month(ts) AS m, day(ts) AS d FROM events"))
+    Some("SELECT event_id, CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m, CAST(day(ts) AS INTEGER) AS d FROM events"))
 
   /** V6 — string munging: prefix/suffix manipulation, separators
     * (s3_to_json_s3.py:620-639).
@@ -4705,7 +4800,7 @@ object SparkEntry {
         regexp_replace(col("p_type"), " ", "_").as("type_norm"),
         concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
         length(col("p_name")).as("name_len")),
-    Some("SELECT p_partkey, upper(p_name) AS name_upper, replace(p_type, ' ', '_') AS type_norm, p_brand || '#' || p_type AS brand_type, length(p_name) AS name_len FROM part"))
+    Some("SELECT p_partkey, upper(p_name) AS name_upper, replace(p_type, ' ', '_') AS type_norm, p_brand || '#' || p_type AS brand_type, CAST(length(p_name) AS INTEGER) AS name_len FROM part"))
 
   // --------------------------------------------------------------------
   // Registry
@@ -4841,6 +4936,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_saturated" -> dedupMinhashSaturated,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_near" -> dedupSimhashNear,
     "dedup_clusters" -> dedupClusters,
@@ -4882,6 +4978,7 @@ object SparkEntry {
     "web_robots_filter" -> webRobotsFilter,
     "chat_template_render" -> chatTemplateRender,
     "chat_alternation_audit" -> chatAlternationAudit,
+    "sft_render_gated" -> sftRenderGated,
     "pref_pair_build" -> prefPairBuild,
     "pref_pair_audit" -> prefPairAudit,
     "pref_best_of_n" -> prefBestOfN,

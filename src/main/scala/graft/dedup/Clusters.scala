@@ -106,7 +106,7 @@ object Clusters {
     * [[SimHash]] bands, semantic pairs); singleton docs form their own
     * component and split exactly like a plain id hash-split. The hash
     * is the repo's md5-first-hex-char convention (so6_hash_split:
-    * ≤'b' → train ~69%, ≤'d' → val ~12.5%, else test), applied to the
+    * ≤'b' → train ~75%, ≤'d' → val ~12.5%, else test), applied to the
     * component id. Cost over the plain split: the component iteration —
     * edge-bounded, not corpus-bounded.
     */

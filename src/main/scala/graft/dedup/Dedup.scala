@@ -962,8 +962,10 @@ object Dedup {
     */
   def minhashPairs(
       docs: DataFrame, id: String, text: String, threshold: Double,
-      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3): DataFrame = {
-    val cands = minhashCandidates(docs, id, text, numHashes, bands, shingleN)
+      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val cands = minhashCandidates(docs, id, text, numHashes, bands, shingleN,
+      maxBucketSize)
     // materialized: the shingle sets feed BOTH verify-join legs; token
     // staging keeps the shingle lambda from re-splitting per element
     val sets = widen(docs)

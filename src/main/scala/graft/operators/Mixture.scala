@@ -89,7 +89,7 @@ object Mixture {
     * (`desired = floor(w_d · budget + 0.5)`), what one epoch can supply
     * (`planned = min(desired, available)`), the matching acceptance
     * rate, and the repetition count a full quota needs
-    * (`epochs = ceil(desired / available)` — the "how many times does
+    * (`epochs = ⌈desired / available⌉`, integer ceiling — the "how many times does
     * C4 repeat" number). One domain-keyed aggregate over the corpus;
     * the weight table is driver-sized, the join domain-keyed over a
     * handful of rows. Domains in the corpus but not in `weights` plan
@@ -122,7 +122,9 @@ object Mixture {
             least(col("desired"), col("available")) /
               col("available").cast("double"), 4)).as("rate"),
         when(col("available") === 0 || col("desired") === 0, lit(0L))
-          .otherwise(ceil(col("desired") / col("available").cast("double"))
-            .cast("long")).as("epochs"))
+          // Integer ceiling, not ceil(double-div): at token counts past
+          // 2^53 the double quotient can land on k±ε and ceil off-by-one.
+          .otherwise(expr("(desired + available - 1) div available"))
+          .as("epochs"))
   }
 }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
@@ -79,22 +80,45 @@ object StreamingIngest {
     * exactly-once file sinks, no watermark, no stream-static join
     * machinery. Docs shorter than `n` tokens carry no n-grams and
     * always pass (the batch scan's convention).
+    *
+    * BROADCAST LIFECYCLE: this convenience form broadcasts the held set
+    * on EVERY call and the block lives until the session ends, so a
+    * long-lived session constructing many gates over the same held set
+    * accumulates dead broadcast blocks. Such callers should broadcast
+    * once via [[heldGramBroadcast]], build gates with the
+    * `Broadcast`-taking overload, and `destroy()` the broadcast after
+    * the last query over it terminates.
     */
   def contaminationGate(stream: DataFrame, text: String,
-      heldGrams: Array[String], n: Int): DataFrame = {
-    require(n >= 1, s"n must be >= 1, got $n")
+      heldGrams: Array[String], n: Int): DataFrame =
+    contaminationGate(stream, text,
+      heldGramBroadcast(stream.sparkSession, heldGrams), n)
+
+  /** Broadcast a held gram set once for reuse across many
+    * [[contaminationGate]] constructions; the caller owns the handle
+    * and should `destroy()` it after its last gate query terminates. */
+  def heldGramBroadcast(spark: SparkSession,
+      heldGrams: Array[String]): Broadcast[Set[String]] = {
     require(heldGrams.length <= ContaminationGateBudget,
       s"held gram set (${heldGrams.length}) exceeds the broadcast budget " +
         s"($ContaminationGateBudget); use BloomJoin.prefilter + batch " +
         "ngramContamination verification for large held sets")
+    spark.sparkContext.broadcast(heldGrams.toSet)
+  }
+
+  /** [[contaminationGate]] over a caller-owned broadcast held set —
+    * the form long-lived sessions should use (one broadcast, many
+    * gates, explicit `destroy()` when done). */
+  def contaminationGate(stream: DataFrame, text: String,
+      bcHeld: Broadcast[Set[String]], n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
     val ts = split(lower(trim(col(text))), "\\s+")
     val grams = when(size(ts) >= n,
       array_distinct(transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + lit(1), lit(n))))))
       .otherwise(array().cast("array<string>"))
-    val bc = stream.sparkSession.sparkContext.broadcast(heldGrams.toSet)
     val anyHeld = udf((gs: Seq[String]) =>
-      gs != null && gs.exists(bc.value.contains))
+      gs != null && gs.exists(bcHeld.value.contains))
     stream.filter(!anyHeld(grams))
   }
 

@@ -226,6 +226,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
   }
 
+  test("dedup_minhash_saturated: the entry's replicated fixture genuinely " +
+      "engages the g×g hot-bucket decomposition, with exact pair parity") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the entry's fixture, verbatim: 8 base docs × 64 byte-identical
+    // replicas (SparkEntry.dedupMinhashSaturated)
+    val sat = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 8)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(63))).as("k"))
+      .select((col("doc_id") * 1000 + col("k")).cast("long").as("doc_id"),
+        col("text"))
+    // engagement: every replica group saturates its (band, bh) buckets
+    // past the entry's maxBucketSize = 8 → chunk fan-out g = ⌈64/8⌉ = 8
+    val census = Dedup.oversizedBandBuckets(sat, "doc_id", "text",
+        maxBucketSize = 8)
+      .select(col("n"), col("g")).as[(Long, Int)].collect()
+    assert(census.nonEmpty, "no oversized bucket — the guard never engaged")
+    assert(census.exists(_._2 >= 8),
+      s"max chunk fan-out ${census.map(_._2).max} < 8 — saturation too weak")
+    // parity: the decomposed entry produces EXACTLY the undecomposed
+    // pair set — the claim the oracle hash rides on
+    val salted = SparkEntry.queries("dedup_minhash_saturated")(spark, sfDir)
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+    val unsalted = Dedup.minhashPairs(sat, "doc_id", "text", 0.8,
+        maxBucketSize = Int.MaxValue)
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+    assert(salted == unsalted)
+    assert(salted.nonEmpty)
+  }
+
   test("a2_dedup_keep_latest: single-pass max_by aggregate, no window sort") {
     val p = plan("a2_dedup_keep_latest")
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
@@ -420,8 +452,13 @@ class PlanAuditSpec extends SparkSpec {
       val gs = topLevelGroups(line)
       if (gs.size >= 3) false // all three specs printed -> partitioned
       else if (gs.size == 2)
-        // [exprs], [orderSpec] = global; [exprs], [partitionSpec] = fine
-        gs(1).contains(" ASC") || gs(1).contains(" DESC")
+        // [exprs], [orderSpec] = global; [exprs], [partitionSpec] = fine.
+        // Anchor the direction token: an order spec entry ends in
+        // `expr ASC|DESC [NULLS FIRST|LAST]`; a bare substring match
+        // would misfire on a partition expression whose printed form
+        // merely CONTAINS "ASC" (e.g. a column or literal named so).
+        " (ASC|DESC)( NULLS (FIRST|LAST))?\\s*(,|$)".r
+          .findFirstIn(gs(1)).isDefined
       else true // only the window exprs: no partition, no order
     }
     var inWindow = false
