@@ -2722,6 +2722,23 @@ object SparkEntry {
     },
     Some("WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0), open_o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') SELECT o_custkey, 'both' AS src FROM (SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM open_o) UNION ALL SELECT o_custkey, 'only_big' AS src FROM (SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM open_o)"))
 
+  /** Deterministic corpus shuffle + sharding ([[graft.operators
+    * .Shuffle.deterministicShard]]): the write-side order a training
+    * run consumes — seeded md5 rank de-correlates examples from ingest
+    * order and fixes both shard membership and within-shard position
+    * across retries (SO6's no-RNG convention extended from split
+    * assignment to full ordering). Shard = first hex nibble (16
+    * balanced buckets; the nibble count is the 100 TB scale valve),
+    * pos = rank of the hash within the shard — a PARTITIONED window,
+    * never a global sort.
+    */
+  private val corpusShuffleShard = Q(
+    (s, dir) => graft.operators.Shuffle.deterministicShard(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id",
+      seed = "r10", nibbles = 1),
+    Some("WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':r10') AS hh FROM documents) " +
+      "SELECT doc_id, substr(hh, 1, 1) AS shard, CAST(row_number() OVER (PARTITION BY substr(hh, 1, 1) ORDER BY hh, doc_id) AS BIGINT) AS pos FROM h"))
+
   /** SO6 — deterministic hash split (train/val/test assignment, the
     * standard training-data partitioner): bucket by the first hex digit
     * of md5(id) — 12/2/2 of 16 digits ≈ 75/12.5/12.5 — so membership is
@@ -2893,6 +2910,26 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
       "o_custkey", "c_custkey", salts = 8),
     Some("SELECT o_orderkey, o_custkey, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey"))
+
+  /** Deterministic mixture interleaving ([[graft.operators.Mixture
+    * .interleavePlan]]): the low-discrepancy schedule the token-budget
+    * plan feeds — domain d's k-th document occupies budget slot
+    * ⌈k / w_d⌉, so every prefix of the slot order matches the target
+    * mixture within ±1 per domain. `fr` carries no weight and drops
+    * (the curation default). The slot arithmetic is double division +
+    * ceil computed bit-identically by both engines — the CONTRACT is
+    * determinism of the schedule, which is what makes a training run
+    * resumable mid-stream; there is deliberately no dense global
+    * row_number (a corpus-scale single-task window).
+    */
+  private val mixInterleave = Q(
+    (s, dir) => graft.operators.Mixture.interleavePlan(
+      t(s, dir, "documents").select(col("lang"), col("doc_id")),
+      "lang", "doc_id",
+      Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.1)),
+    Some("WITH w AS (SELECT 'en' AS dom, 0.5 AS wt UNION ALL SELECT 'zh', 0.2 UNION ALL SELECT 'es', 0.15 UNION ALL SELECT 'de', 0.1), " +
+      "d AS (SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS k, wt FROM documents JOIN w ON lang = dom) " +
+      "SELECT lang, doc_id, k, CAST(ceil(k / wt) AS BIGINT) AS slot FROM d"))
 
   /** Temperature-based domain mixture ([[graft.operators.Mixture]]):
     * a 300-document training mix at α = 0.5 — low-resource languages
@@ -3631,6 +3668,63 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("prob"), col("predicted")),
     Some(qmGdCtes +
       " SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 4) AS prob, round(1.0 / (1.0 + exp(-m)), 4) >= 0.5 AS predicted FROM mf"))
+
+  /** Bradley–Terry strength ratings ([[graft.operators.Rating
+    * .bradleyTerry]]) over the DPO pair fixture: the four response
+    * slots act as the "policies" being compared, every surviving
+    * (chosen, rejected) pair is one game, and two MM iterations from
+    * the all-ones start turn the win/loss log into per-slot strength
+    * scores — the aggregation that ranks model variants (or judges) in
+    * a preference pipeline. The oracle replays both MM iterations
+    * (game matrix → per-player denominators → W_i/den), so the rating
+    * arithmetic — not just the pair derivation — is pinned.
+    */
+  private val prefBradleyTerry = Q(
+    (s, dir) => graft.operators.Rating.bradleyTerry(
+      graft.text.Pref.preferencePairs(
+        t(s, dir, "documents").where(pmod(col("doc_id"), lit(29)) =!= 0)
+          .select(floor(col("doc_id") / 4).cast("long").as("prompt"),
+            pmod(col("doc_id"), lit(4)).as("rid"), col("text"),
+            length(col("text")).as("sc")),
+        "prompt", "rid", "text", "sc", minMargin = 3.0)
+        .select(col("chosen_id"), col("rejected_id")),
+      "chosen_id", "rejected_id", iters = 2),
+    Some("WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS resp_id, text AS t, CAST(length(text) AS DOUBLE) AS sc FROM documents WHERE doc_id % 29 <> 0), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY prompt_id ORDER BY sc DESC, resp_id DESC) AS ra, row_number() OVER (PARTITION BY prompt_id ORDER BY sc ASC, resp_id ASC) AS rb, count(*) OVER (PARTITION BY prompt_id) AS n FROM r), " +
+      "ch AS (SELECT prompt_id, resp_id AS w, t AS ct, sc AS cs, n FROM rk WHERE ra = 1), " +
+      "rj AS (SELECT prompt_id, resp_id AS l, t AS rt, sc AS rs FROM rk WHERE rb = 1), " +
+      "pw AS (SELECT w, l FROM ch JOIN rj USING (prompt_id) WHERE n >= 2 AND cs - rs >= 3.0 AND ct <> rt), " +
+      "g AS (SELECT w, l, count(*) AS c FROM pw GROUP BY 1, 2), " +
+      "nn AS (SELECT i, j, sum(n) AS n FROM (SELECT w AS i, l AS j, c AS n FROM g UNION ALL SELECT l AS i, w AS j, c AS n FROM g) GROUP BY 1, 2), " +
+      "wi AS (SELECT w AS i, sum(c) AS wtot FROM g GROUP BY 1), " +
+      "r0 AS (SELECT DISTINCT i, 1.0 AS r FROM nn), " +
+      "r1 AS (SELECT d.i, COALESCE(wi.wtot, 0) / d.den AS r FROM (SELECT nn.i, sum(nn.n / (ri.r + rj.r)) AS den FROM nn JOIN r0 ri ON ri.i = nn.i JOIN r0 rj ON rj.i = nn.j GROUP BY nn.i) d LEFT JOIN wi ON wi.i = d.i), " +
+      "r2 AS (SELECT d.i, COALESCE(wi.wtot, 0) / d.den AS r FROM (SELECT nn.i, sum(nn.n / (ri.r + rj.r)) AS den FROM nn JOIN r1 ri ON ri.i = nn.i JOIN r1 rj ON rj.i = nn.j GROUP BY nn.i) d LEFT JOIN wi ON wi.i = d.i) " +
+      "SELECT i AS player, round(r, 6) AS rating FROM r2"))
+
+  /** Annotation majority vote ([[graft.operators.Annotations
+    * .majorityVote]]): five deterministic synthetic annotators label
+    * every document ('bad'/'good'/'ok' off a (n_chars, annotator,
+    * doc_id) residue), and the aggregate reports the consensus label,
+    * agreement fraction, and unanimity — the rater-aggregation step
+    * between raw labels and a training set, with the modal tie broken
+    * to the LOWER label on both sides.
+    */
+  private val prefMajorityVote = Q(
+    (s, dir) => graft.operators.Annotations.majorityVote(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(4))).as("a"))
+        .select(col("doc_id"),
+          element_at(array(lit("bad"), lit("good"), lit("ok")),
+            (pmod(col("n_chars") + col("a") * (col("doc_id") + 1), lit(3))
+              + 1).cast("int")).as("lab")),
+      "doc_id", "lab"),
+    Some("WITH l AS (SELECT doc_id, ['bad','good','ok'][CAST((n_chars + t.a * (doc_id + 1)) % 3 + 1 AS INT)] AS lab FROM documents CROSS JOIN generate_series(0, 4) t(a)), " +
+      "pl AS (SELECT doc_id, lab, count(*) AS c FROM l GROUP BY 1, 2), " +
+      "v AS (SELECT doc_id, lab AS vote, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lab) AS rn FROM pl), " +
+      "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_annotations, CAST(max(c) AS BIGINT) AS n_agree FROM pl GROUP BY 1) " +
+      "SELECT a.doc_id AS item, v.vote, n_annotations, n_agree, round(n_agree * 1.0 / n_annotations, 4) AS agreement, n_agree = n_annotations AS unanimous FROM a JOIN v ON v.doc_id = a.doc_id AND v.rn = 1"))
 
   /** Best-of-N rejection sampling driven by the TRAINED quality model
     * ([[graft.text.Pref.bestOfN]] over [[graft.text.QualityModel
@@ -5038,6 +5132,7 @@ object SparkEntry {
     "v7_json_extract" -> v7JsonExtract,
     "so5_intersect_except" -> so5IntersectExcept,
     "so6_hash_split" -> so6HashSplit,
+    "corpus_shuffle_shard" -> corpusShuffleShard,
     "so7_stratified_sample" -> so7StratifiedSample,
     "text_bm25" -> textBm25,
     "profile_table" -> profileTable,
@@ -5045,6 +5140,7 @@ object SparkEntry {
     "so10_weighted_sample" -> so10WeightedSample,
     "mix_temperature_sample" -> mixTemperatureSample,
     "mix_token_budget" -> mixTokenBudget,
+    "mix_interleave" -> mixInterleave,
     "so9_quantile_buckets" -> so9QuantileBuckets,
     "so11_winsorize" -> so11Winsorize,
     "so12_zorder" -> so12Zorder,
@@ -5067,6 +5163,8 @@ object SparkEntry {
     "pref_pair_build" -> prefPairBuild,
     "pref_pair_audit" -> prefPairAudit,
     "pref_best_of_n" -> prefBestOfN,
+    "pref_bradley_terry" -> prefBradleyTerry,
+    "pref_majority_vote" -> prefMajorityVote,
     "pref_dpo_render" -> prefDpoRender,
     "dedup_contamination_frac" -> dedupContaminationFrac,
     "text_normalize" -> textNormalize,

@@ -127,4 +127,36 @@ object Mixture {
           .otherwise(expr("(desired + available - 1) div available"))
           .as("epochs"))
   }
+
+  /** Deterministic mixture interleaving — the SCHEDULE the token-budget
+    * plan feeds: given per-domain weights, in what order do examples
+    * from each domain appear in the training stream so that every
+    * prefix of the stream matches the target mixture (low-discrepancy
+    * interleaving, the Bresenham line-drawing idea applied to data
+    * loading)? Domain d's k-th example occupies budget slot
+    * `slot = ⌈k / w_d⌉`: after any N slots, domain d has emitted
+    * ⌊w_d · N⌋ ± 1 examples — the streaming-mixture guarantee batch
+    * shuffling cannot give.
+    *
+    * Scale shape: one per-domain rank window (partitioned, never
+    * global) and a closed-form slot expression. The output is keyed by
+    * (slot, domain) — a total order a writer sorts by WITHIN its output
+    * shards; deliberately NO dense global row_number, which would be a
+    * single-task window at corpus scale. Domains absent from `weights`
+    * (weight 0) are excluded, matching [[tokenBudgetPlan]]'s curation
+    * default.
+    */
+  def interleavePlan(df: DataFrame, domainCol: String, orderCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.filter(_._2 > 0).toSeq.toDF("__dom", "w")
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col(orderCol))
+    df.join(broadcast(w), df(domainCol) === w("__dom"))
+      .withColumn("k", row_number().over(rank).cast("long"))
+      .select(col(domainCol), col(orderCol), col("k"),
+        ceil(col("k") / col("w")).cast("long").as("slot"))
+  }
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bradley–Terry strength ratings from pairwise preference outcomes —
+  * the aggregation a preference-data pipeline runs to turn millions of
+  * (winner, loser) comparisons into per-model (or per-policy,
+  * per-annotator-slot) strength scores: under the BT model
+  * P(i beats j) = r_i / (r_i + r_j), and the minorization–maximization
+  * update (Hunter 2004, "MM algorithms for generalized Bradley-Terry
+  * models")
+  *
+  *   r_i ← W_i / Σ_{j≠i} n_ij / (r_i + r_j)
+  *
+  * monotonically increases the likelihood. A FIXED number of
+  * iterations from the all-ones start keeps the computation
+  * deterministic and exactly replayable in SQL (the repo's
+  * trained-model convention: BPE, k-means, the LR quality model).
+  *
+  * Scale shape: the comparison log is corpus-sized but collapses
+  * immediately to the (i, j) game matrix — one hash aggregate with
+  * map-side combine — and every iteration is a pair of k-sized joins
+  * against the ratings table (k = #players, model-sized, so AQE
+  * broadcasts them). Nothing is collected to the driver; the corpus
+  * is touched exactly once.
+  */
+object Rating {
+
+  /** Ratings after `iters` MM updates. Output: (player, rating) with
+    * rating rounded to 6 decimals (oracle-parity convention). Players
+    * that never win rate 0 after one update — the MM fixed point for a
+    * winless player — and stay there; callers wanting regularization
+    * add virtual games upstream.
+    */
+  def bradleyTerry(pairs: DataFrame, winner: String, loser: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // directed win counts, then the symmetric game matrix n_ij and
+    // per-player win totals W_i — the only corpus-sized aggregation
+    val g = pairs
+      .groupBy(col(winner).as("w"), col(loser).as("l"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nn = g.select(col("w").as("i"), col("l").as("j"), col("c").as("n"))
+      .unionAll(g.select(col("l").as("i"), col("w").as("j"),
+        col("c").as("n")))
+      .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n"))
+      .localCheckpoint()
+    val wi = g.groupBy(col("w").as("i")).agg(sum(col("c")).as("wtot"))
+    val players = nn.select(col("i")).distinct()
+    var r = players.select(col("i"), lit(1.0).as("r"))
+    for (_ <- 1 to iters) {
+      // r_i ← W_i / Σ_j n_ij / (r_i + r_j); the two ratings joins are
+      // k-sized (players), the group-by is over the k² game matrix
+      r = nn
+        .join(r.select(col("i"), col("r").as("ri")), "i")
+        .join(r.select(col("i").as("j"), col("r").as("rj")), "j")
+        .groupBy(col("i"))
+        .agg(sum(col("n") / (col("ri") + col("rj"))).as("den"))
+        .join(wi, Seq("i"), "left")
+        .select(col("i"),
+          (coalesce(col("wtot"), lit(0L)) / col("den")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("i").as("player"), round(col("r"), 6).as("rating"))
+  }
+}

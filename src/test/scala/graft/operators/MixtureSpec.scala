@@ -111,4 +111,39 @@ class MixtureSpec extends SparkSpec {
     // the sanity gate the docs name catches exactly this row
     assert(out.values.count(r => r._3 > 0 && r._2 == 0) == 1)
   }
+
+  test("interleavePlan: every slot prefix matches the target mixture " +
+      "within one item per domain (low-discrepancy guarantee)") {
+    val docs = ((1L to 40L).map(i => ("a", i)) ++
+      (41L to 60L).map(i => ("b", i)) ++
+      (61L to 80L).map(i => ("c", i))).toDF("dom", "id")
+    val w = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+    val plan = Mixture.interleavePlan(docs, "dom", "id", w)
+      .as[(String, Long, Long, Long)].collect()
+    // slot of the k-th item = ceil(k / w): per-domain slots strictly
+    // increase with k
+    plan.groupBy(_._1).values.foreach { rows =>
+      val byK = rows.sortBy(_._3)
+      assert(byK.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+    }
+    // prefix property: after any N slots, domain d has emitted
+    // |{k : ceil(k/w_d) <= N}| = floor(w_d * N) items (±1 for fp)
+    for (n <- 1 to 80) {
+      val emitted = plan.filter(_._4 <= n).groupBy(_._1)
+        .view.mapValues(_.length).toMap
+      w.foreach { case (d, wd) =>
+        val want = math.floor(wd * n)
+        val got = emitted.getOrElse(d, 0)
+        assert(math.abs(got - want) <= 1, s"dom=$d N=$n got=$got want=$want")
+      }
+    }
+  }
+
+  test("interleavePlan: unweighted domains are excluded") {
+    val docs = Seq(("a", 1L), ("zz", 2L)).toDF("dom", "id")
+    val plan = Mixture.interleavePlan(docs, "dom", "id", Map("a" -> 1.0))
+      .as[(String, Long, Long, Long)].collect()
+    assert(plan.map(_._1).toSet == Set("a"))
+    assert(plan.head == (("a", 1L, 1L, 1L)))
+  }
 }
