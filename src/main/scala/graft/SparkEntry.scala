@@ -1787,6 +1787,25 @@ object SparkEntry {
       n = 3, threshold = 0.8, maxDf = Some(100L)),
     Some("WITH g0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(text) >= 3 THEN [substr(lower(text), i, 3) FOR i IN generate_series(1, len(text)-2)] ELSE [lower(text)] END)) AS w FROM documents WHERE doc_id < 500), df AS (SELECT w, count(*) AS dfc FROM g0 GROUP BY 1), g AS (SELECT g0.doc_id, g0.w FROM g0 JOIN df USING (w) WHERE dfc <= 100), sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM g a JOIN g b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
 
+  /** Cross-source overlap matrix ([[Dedup.sourceOverlapMatrix]]): per
+    * source pair, distinct word-3-gram intersection, Jaccard, and
+    * containment — the "does snapshot B re-crawl snapshot A" curation
+    * report. The maxSources = 10 cap is LOAD-BEARING at 20 sources
+    * (ubiquitous grams drop from every vocabulary before sizes and
+    * intersections), and the oracle applies the identical cap, so the
+    * valve's effect on every reported number is hash-pinned.
+    */
+  private val corpusOverlapMatrix = Q(
+    (s, dir) => Dedup.sourceOverlapMatrix(
+      t(s, dir, "documents"), "source", "text",
+      shingleN = 3, maxSources = Some(10)),
+    Some("WITH g0 AS (SELECT DISTINCT source AS src, unnest(CASE WHEN len(ws) >= 3 THEN list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, len(ws)-2)]) ELSE [array_to_string(ws, ' ')] END) AS g FROM (SELECT source, string_split_regex(lower(text), '\\s+') AS ws FROM documents)), " +
+      "hot AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 10), " +
+      "gk AS (SELECT * FROM g0 WHERE g NOT IN (SELECT g FROM hot)), " +
+      "sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM gk GROUP BY 1), " +
+      "inter AS (SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_common FROM gk a JOIN gk b ON a.g = b.g AND a.src < b.src GROUP BY 1, 2) " +
+      "SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b, round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard, round(n_common * 1.0 / least(sa.n, sb.n), 6) AS containment FROM inter JOIN sz sa ON sa.src = src_a JOIN sz sb ON sb.src = src_b"))
+
   /** MinHash-LSH near-dup detection (the 100 TB path): banded signatures →
     * in-bucket candidates → exact verification. The oracle is the exact
     * all-pairs shingle Jaccard — the entry proves the LSH pipeline loses
@@ -2803,6 +2822,21 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text",
       terms = Seq("vector", "hash", "scan"), k = 20),
     Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM d), tk AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS w FROM d), tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tk WHERE w IN ('vector', 'hash', 'scan') GROUP BY 1, 2, 3), idf AS (SELECT w, round(ln((st.n - CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5) / (CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5) + 1.0), 9) AS idf FROM tf, st GROUP BY w, st.n), sc AS (SELECT doc_id, round(sum(idf.idf * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score FROM tf JOIN idf USING (w), st GROUP BY 1), r AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc) SELECT doc_id, CAST(rank AS INT) AS rank, score FROM r WHERE rank <= 20"))
+
+  /** k-anonymity audit ([[graft.operators.Privacy.kAnonymityAudit]]):
+    * every (lang, source, length-bucket) quasi-identifier class with
+    * its size and at-risk flag at k = 3 — the re-identification gate a
+    * dataset release runs before publishing. The length bucket
+    * (n_chars // 100) is the classic generalization step that trades
+    * precision for class size; the fixture still leaves genuine
+    * singleton classes, so the flag is exercised in both directions.
+    */
+  private val privacyKAnon = Q(
+    (s, dir) => graft.operators.Privacy.kAnonymityAudit(
+      t(s, dir, "documents").select(col("lang"), col("source"),
+        floor(col("n_chars") / 100).cast("long").as("len_bucket")),
+      Seq("lang", "source", "len_bucket"), k = 3),
+    Some("SELECT lang, source, n_chars // 100 AS len_bucket, CAST(count(*) AS BIGINT) AS group_n, count(*) < 3 AS at_risk FROM documents GROUP BY 1, 2, 3"))
 
   /** Column profiling ([[graft.operators.Profile]]): per-column row/
     * null/distinct counts and min/max in ONE aggregation over one scan —
@@ -5115,6 +5149,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
     "dedup_minhash" -> dedupMinhash,
+    "corpus_overlap_matrix" -> corpusOverlapMatrix,
     "dedup_minhash_saturated" -> dedupMinhashSaturated,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_near" -> dedupSimhashNear,
@@ -5136,6 +5171,7 @@ object SparkEntry {
     "so7_stratified_sample" -> so7StratifiedSample,
     "text_bm25" -> textBm25,
     "profile_table" -> profileTable,
+    "privacy_k_anon" -> privacyKAnon,
     "so8_sample_k_per_group" -> so8SampleKPerGroup,
     "so10_weighted_sample" -> so10WeightedSample,
     "mix_temperature_sample" -> mixTemperatureSample,

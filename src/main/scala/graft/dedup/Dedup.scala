@@ -48,6 +48,58 @@ object Dedup {
         i => concat_ws(" ", slice(words, i + lit(1), lit(n))))))
       .otherwise(array_distinct(array(concat_ws(" ", words))))
 
+  /** Cross-source overlap matrix — the curation report that answers
+    * "how much does source A duplicate source B" at the SOURCE level
+    * (CommonCrawl snapshot vs snapshot, vendor corpus vs scrape):
+    * each source collapses to its distinct word-shingle vocabulary,
+    * and every source pair reports the intersection size, Jaccard, and
+    * containment (n_common / min-side — the "one corpus swallows the
+    * other" signal Jaccard hides when sizes are skewed).
+    *
+    * Scale shape: the corpus collapses IMMEDIATELY to distinct
+    * (source, gram) postings — the only corpus-sized pass — and the
+    * pair join fans out per gram as (#sources containing it)², so
+    * `maxSources` is the mandatory valve at scale: a gram present in
+    * more than that many sources discriminates nothing and is dropped
+    * from the vocabulary BEFORE sizes and intersections (the
+    * [[ngramJaccardPairs]] df-cap convention lifted one level, to
+    * source granularity — fanout is bounded by cap², never by corpus
+    * duplication).
+    */
+  def sourceOverlapMatrix(docs: DataFrame, src: String, text: String,
+      shingleN: Int = 3, maxSources: Option[Int] = None): DataFrame = {
+    // materialized: the postings feed the cap census, per-source
+    // sizes, and both legs of the pair join
+    val grams = widen(docs)
+      .select(col(src).as("src"), split(lower(col(text)), "\\s+").as("__w"))
+      .select(col("src"), explode(shinglesOfTokens(col("__w"), shingleN))
+        .as("g"))
+      .distinct()
+      .localCheckpoint()
+    val kept = maxSources match {
+      case Some(cap) =>
+        val hot = grams.groupBy(col("g"))
+          .agg(count(lit(1)).as("__df")).where(col("__df") > cap)
+          .select(col("g"))
+        grams.join(hot, Seq("g"), "left_anti").localCheckpoint()
+      case None => grams
+    }
+    val sz = kept.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val inter = kept.as("a").join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sz.select(col("src").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sz.select(col("src").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        round(col("n_common") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"),
+        round(col("n_common") / least(col("n_a"), col("n_b")), 6)
+          .as("containment"))
+  }
+
   /** Exact dedup: fingerprint groupBy keeping the smallest id
     * (the distributed form of "drop exact duplicates").
     */

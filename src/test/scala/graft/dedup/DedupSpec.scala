@@ -278,6 +278,29 @@ class DedupSpec extends SparkSpec {
       n == 200 && g == math.ceil(200.0 / 16).toInt })
   }
 
+  test("sourceOverlapMatrix: hand-computed pair stats, and the " +
+      "maxSources cap removes ubiquitous grams from every number") {
+    // a/b share 'x y z'; 'c c c' appears in all three sources
+    val d = Seq(
+      (1L, "A", "x y z"), (2L, "A", "c c c"),
+      (3L, "B", "x y z w"), (4L, "B", "c c c"),
+      (5L, "C", "p q r"), (6L, "C", "c c c")).toDF("id", "src", "text")
+    // uncapped: A={xyz, ccc}, B={xyz, yzw, ccc}, C={pqr, ccc}
+    val m0 = Dedup.sourceOverlapMatrix(d, "src", "text")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(m0(("A", "B")) == (("A", "B", 2L, 2L, 3L, 0.666667, 1.0)))
+    assert(m0(("A", "C")) == (("A", "C", 1L, 2L, 2L, 0.333333, 0.5)))
+    // cap at 2 sources: 'c c c' (df = 3) drops everywhere, so A∩C
+    // vanishes and the A/B overlap is only the genuine shingle
+    val m1 = Dedup.sourceOverlapMatrix(d, "src", "text",
+        maxSources = Some(2))
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(!m1.contains(("A", "C")))
+    assert(m1(("A", "B")) == (("A", "B", 1L, 1L, 2L, 0.5, 1.0)))
+  }
+
   test("simhash nearPairs equals brute-force Hamming filter") {
     import org.apache.spark.sql.functions._
     def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }

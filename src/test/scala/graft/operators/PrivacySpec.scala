@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    ("en", "a"), ("en", "a"), ("en", "a"), // class of 3: safe at k=3
+    ("en", "b"), ("en", "b"),              // class of 2: at risk
+    ("fr", "a")                            // singleton: at risk
+  ).toDF("lang", "src")
+
+  test("audit flags every class below k and only those") {
+    val out = Privacy.kAnonymityAudit(rows, Seq("lang", "src"), k = 3)
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out(("en", "a")) == ((3L, false)))
+    assert(out(("en", "b")) == ((2L, true)))
+    assert(out(("fr", "a")) == ((1L, true)))
+  }
+
+  test("summary reports the release-decision numbers including the " +
+      "actual k level") {
+    val s = Privacy.kAnonymitySummary(rows, Seq("lang", "src"), k = 3)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(s == ((3L, 6L, 2L, 3L, 1L)))
+  }
+
+  test("a fully k-anonymous table audits clean") {
+    val clean = Seq.fill(4)(("en", "a")).toDF("lang", "src")
+    val s = Privacy.kAnonymitySummary(clean, Seq("lang", "src"), k = 3)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(s == ((1L, 4L, 0L, 0L, 4L)))
+  }
+}
