@@ -2479,6 +2479,30 @@ object SparkEntry {
         col("n_frames")),
     Some("SELECT doc_id, 'png' AS format, CAST(16 + doc_id % 16 AS INT) AS width, CAST(12 + doc_id % 8 AS INT) AS height, CAST(1 AS INT) AS n_frames FROM documents"))
 
+  /** Multimodal JPEG decode: REAL JPEG containers (JVM-bundled encoder
+    * and decoder) through the same batch-shaped decode path as PNG —
+    * JPEG is lossy, so the entry pins exactly the container facts that
+    * survive the codec (format sniff from the FF D8 FF magic, decoded
+    * dimensions), which the oracle re-derives from the generator
+    * arithmetic.
+    */
+  private val mmJpegMeta = Q(
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (16 + id % 16).toInt
+          val h = (12 + id % 8).toInt
+          (id, Multimodal.encodeGrayJpeg(w, h,
+            (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+        }.toDF("doc_id", "content")
+      Multimodal.decodeImageMeta(blobs, "doc_id", "content")
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_frames"))
+    },
+    Some("SELECT doc_id, 'jpeg' AS format, CAST(16 + doc_id % 16 AS INT) AS width, CAST(12 + doc_id % 8 AS INT) AS height, CAST(1 AS INT) AS n_frames FROM documents"))
+
   /** Multimodal audio decode: REAL WAV containers decoded with
     * javax.sound.sampled (header + frame count).
     */
@@ -5109,6 +5133,7 @@ object SparkEntry {
     "so3_slice" -> so3Slice,
     "so4_batching" -> so4Batching,
     "mm_decode_meta" -> mmDecodeMeta,
+    "mm_jpeg_meta" -> mmJpegMeta,
     "mm_audio_meta" -> mmAudioMeta,
     "mm_audio_features" -> mmAudioFeatures,
     "mm_frame_sample" -> mmFrameSample,

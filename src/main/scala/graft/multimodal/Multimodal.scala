@@ -75,6 +75,8 @@ object Multimodal {
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
         bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') "wav"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpeg"
     else "unknown"
 
   /** REAL image decode: PNG/BMP via `javax.imageio`. Malformed or
@@ -83,7 +85,7 @@ object Multimodal {
     */
   def decodeImage(bytes: Array[Byte]): MediaMeta = {
     val fmt = sniffFormat(bytes)
-    if (fmt != "png" && fmt != "bmp")
+    if (fmt != "png" && fmt != "bmp" && fmt != "jpeg")
       MediaMeta("unknown", 0, 0, 0, bytes.length)
     else try {
       val img = ImageIO.read(new ByteArrayInputStream(bytes))
@@ -137,6 +139,24 @@ object Multimodal {
     }
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode a deterministic 8-bit grayscale JPEG (JVM-bundled encoder).
+    * JPEG is LOSSY: only container facts (dimensions, format) round-trip
+    * exactly — pixel-level contracts stay on the PNG path.
+    */
+  def encodeGrayJpeg(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
     bos.toByteArray
   }
 

@@ -169,6 +169,25 @@ class MultimodalSpec extends SparkSpec {
     assert((w, h) == (4, 3) && px(1 * 4 + 2) == 21) // (x=2,y=1) → 2·10+1
   }
 
+  test("encodeGrayJpeg → decodeImage round-trips the container facts " +
+      "(JPEG is lossy; dimensions and format are the contract)") {
+    val bytes = Multimodal.encodeGrayJpeg(20, 14, (x, y) => (x * 7 + y) & 0xff)
+    assert(bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8)
+    assert(Multimodal.sniffFormat(bytes) == "jpeg")
+    val m = Multimodal.decodeImage(bytes)
+    assert(m.format == "jpeg" && m.width == 20 && m.height == 14 &&
+      m.nFrames == 1)
+    // truncated JPEG quarantines, never throws
+    val cut = bytes.take(bytes.length / 2)
+    assert(Multimodal.decodeImage(cut).format match {
+      case "jpeg" | "unknown" => true // decoder may salvage dims or reject
+      case _ => false
+    })
+    assert(Multimodal.decodeImage("not an image".getBytes).format ==
+      "unknown")
+  }
+
   test("decodePcm8 round-trips samples; audioFeatures computes exact " +
       "RMS and zero crossings per complete frame") {
     val samples = Array.tabulate(25)(k => ((k * 37 + 5) % 256).toByte)
