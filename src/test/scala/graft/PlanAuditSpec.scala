@@ -79,6 +79,44 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-10 additions: partitioned windows only, no cartesians, " +
+      "and the overlap matrix caps via a broadcast anti-join") {
+    // shuffle/shard and interleave rank inside partitioned windows —
+    // never the corpus-wide single-task window shape
+    Seq("corpus_shuffle_shard", "mix_interleave", "pref_majority_vote",
+      "privacy_k_anon", "pref_bradley_terry").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(globalWindowLines(p).isEmpty, s"$n:\n$p")
+    }
+    // the overlap matrix's capped postings are materialized
+    // (localCheckpoint) before the pair join, so the audited tail is
+    // joins-of-aggregates over the spilled postings; the cap's
+    // left_anti itself runs at materialization time — audit it on the
+    // UNCHECKPOINTED construction instead
+    val om = plan("corpus_overlap_matrix")
+    assert(!om.contains("CartesianProduct"))
+    assert(globalWindowLines(om).isEmpty, om)
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val grams = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source").as("src"), col("text"))
+      .select(col("src"),
+        org.apache.spark.sql.functions.explode(
+          graft.dedup.Dedup.shinglesOfTokens(
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.lower(col("text")), "\\s+"),
+            3)).as("g"))
+      .distinct()
+    val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > lit(10)).select(col("g"))
+    val capPlan = grams.join(hot, Seq("g"), "left_anti")
+      .queryExecution.explainString(FormattedMode)
+    // the ubiquitous-gram drop must not shuffle the postings: the hot
+    // list is tiny, so Spark plans the left_anti as a broadcast join
+    assert(capPlan.contains("BroadcastHashJoin") &&
+      capPlan.contains("LeftAnti"), capPlan)
+  }
+
   test("j5: bucket-co-located join plans with zero shuffle exchanges") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_j5_spec").toString
