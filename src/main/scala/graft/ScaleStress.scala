@@ -143,6 +143,18 @@ object ScaleStress {
           docs(f).where(col("doc_id") % 10 === 0), "doc_id", "text",
           threshold = 0.8)
       }),
+      "overlap_matrix" -> (f =>
+        // sources stay FIXED (20 labels) while each source's vocabulary
+        // grows with f: postings scale linearly and the pair fanout per
+        // gram is bounded by the maxSources cap, so the matrix must
+        // scale with the corpus, not with duplication
+        Dedup.sourceOverlapMatrix(docs(f), "source", "text",
+          shingleN = 3, maxSources = Some(10))),
+      "shuffle_shard" -> (f =>
+        // 256 balanced hash shards: the rank window is per-shard, so
+        // the widest task holds |corpus|/256 rows at every rung
+        graft.operators.Shuffle.deterministicShard(
+          docs(f).select(col("doc_id")), "doc_id", "s", nibbles = 2)),
       "j13_fuzzy_join" -> (f =>
         graft.operators.FuzzyJoin.selfJoin(cust(f), "c_custkey", "c_name",
           maxDist = 1)),
@@ -225,7 +237,7 @@ object ScaleStress {
     // class as its comparison twin ann_ivfpq_topk's — keep the original
     // boundary so the residual-vs-plain comparison and prior-round
     // exponents stay apples-to-apples
-    val constructionHeavy = Set("so14_leakage_split")
+    val constructionHeavy = Set("so14_leakage_split", "overlap_matrix")
     for ((name, mk) <- ops; f <- factors) {
       val (sec, rows) =
         if (constructionHeavy(name)) timeAll(mk(f)) else time(mk(f))
@@ -299,8 +311,8 @@ object ScaleStress {
         s""""ops":{$opsJson},$guardJson}"""
     println(json)
     val outName =
-      if (factors == Seq(1, 3, 10)) "STRESS_r09.json"
-      else s"STRESS_r09_f${factors.last}.json"
+      if (factors == Seq(1, 3, 10)) "STRESS_r10.json"
+      else s"STRESS_r10_f${factors.last}.json"
     Files.write(Paths.get(outName),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
