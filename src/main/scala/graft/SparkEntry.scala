@@ -4488,6 +4488,27 @@ object SparkEntry {
       t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4),
     Some("SELECT a.vec_id AS id1, b.vec_id AS id2, round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.4"))
 
+  /** Chunk→document mean pooling ([[graft.ann.Pooling.meanPool]]): the
+    * retrieval-pipeline aggregation that turns per-chunk embeddings
+    * into one document vector, as a typed Aggregator summing
+    * fixed-width double arrays in place — dim+1 doubles of state per
+    * group with map-side combine, where the posexplode alternative
+    * multiplies the shuffle by the dimension. Synthetic grouping
+    * vec_id % 100 stands in for the chunk→doc mapping; elements
+    * quantize via the sign-stable floor(x·10⁶+0.5)/10⁶ both sides.
+    */
+  private val annMeanPool = Q(
+    (s, dir) => graft.ann.Pooling.meanPool(
+      t(s, dir, "embeddings")
+        .select(pmod(col("vec_id"), lit(100)).as("grp"), col("embedding")),
+      "grp", "embedding"),
+    Some("WITH c AS (SELECT vec_id % 100 AS grp, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "u AS (SELECT grp, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM c), " +
+      "m AS (SELECT grp, pos, floor(avg(v) * 1000000 + 0.5) / 1000000 AS mv FROM u GROUP BY 1, 2), " +
+      "p AS (SELECT grp, list(mv ORDER BY pos) AS pooled FROM m GROUP BY 1), " +
+      "n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_chunks FROM c GROUP BY 1) " +
+      "SELECT p.grp, p.pooled, n.n_chunks FROM p JOIN n USING (grp)"))
+
   /** Pairwise cosine between per-label embedding centroids
     * ([[Ann.groupCentroidCosine]]): the corpus collapses to a G×d
     * centroid model in one aggregate; the pairwise stage touches only
@@ -5157,6 +5178,7 @@ object SparkEntry {
     "text_pmi_bigrams" -> textPmiBigrams,
     "ann_neardup" -> annNearDup,
     "ann_group_cosine" -> annGroupCosine,
+    "ann_mean_pool" -> annMeanPool,
     "ann_ivf_topk" -> annIvfTopK,
     "ann_trained_ivf" -> annTrainedIvf,
     "ann_pq_topk" -> annPqTopK,

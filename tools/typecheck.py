@@ -15,13 +15,19 @@ import pyarrow.parquet as pq
 
 
 def canon(t):
+    import re
     s = str(t)
     if s in ("large_string", "string"):
         return "string"
     if s.startswith("timestamp"):
         return "timestamp"
     if s.startswith("large_list"):
-        return "list" + s[len("large_list"):]
+        s = "list" + s[len("large_list"):]
+    # list element field NAME ("element" vs "l") and nullability are
+    # arrow-writer conventions, not value types — the driver's hash
+    # compares python values and sees neither
+    s = re.sub(r"list<[^:<>]+: ", "list<", s)
+    s = s.replace(" not null", "")
     return s
 
 
