@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomContains, DotProduct, RepairMojibake, UnicodeNormalize}
+import graft.functions.{BloomContains, DotProduct, RepairMojibake, TokenCount, UnicodeNormalize}
 import graft.plans.IntervalJoinStrategy
 
 /** Session extensions registering the library's native expressions and
@@ -52,6 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"${RepairMojibake.Name} takes exactly 1 argument")
         RepairMojibake(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(TokenCount.Name),
+      new ExpressionInfo(classOf[TokenCount].getName, TokenCount.Name),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"${TokenCount.Name} takes exactly 1 argument")
+        TokenCount(children.head)
       }))
     // thread the owning session through so plan-time width sampling runs
     // on the session that owns the plan, not whatever is `active`

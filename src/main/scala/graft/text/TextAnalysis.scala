@@ -14,8 +14,13 @@ object TextAnalysis {
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count — the native byte-scan expression
+    * ([[graft.functions.TokenCount]]), bit-identical to
+    * `size(tokens(text))` (TokenCountSpec pins the parity) without
+    * materializing the token array per row.
+    */
+  def tokenCount(text: Column): Column =
+    graft.functions.TokenCount.tokenCountNative(text)
 
   /** BPE-ish subword count: alpha runs, digit runs, and individual
     * punctuation marks each count as one piece — a cheap, deterministic
