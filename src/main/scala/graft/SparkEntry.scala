@@ -45,11 +45,26 @@ object SparkEntry {
     * only the LOCAL bench/verify scratch.
     */
   private def scratchPath(prefix: String): java.nio.file.Path = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, prefix)
-    else java.nio.file.Files.createTempDirectory(prefix)
+    // honor an explicit override first (GRAFT_SCRATCH_DIR), then prefer
+    // shm only when it can actually hold sf0.1-scale fixtures — Docker's
+    // default /dev/shm is 64 MB, writable but useless, and ENOSPC
+    // mid-drain is worse than slow fsyncs
+    val MinShmBytes = 8L << 30
+    val override_ = sys.env.get("GRAFT_SCRATCH_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .filter(java.nio.file.Files.isDirectory(_))
+    val shm = override_.orElse {
+      Some(java.nio.file.Paths.get("/dev/shm")).filter(p =>
+        java.nio.file.Files.isDirectory(p) &&
+          java.nio.file.Files.isWritable(p) &&
+          (try java.nio.file.Files.getFileStore(p)
+            .getUsableSpace >= MinShmBytes
+          catch { case _: java.io.IOException => false }))
+    }
+    shm match {
+      case Some(p) => java.nio.file.Files.createTempDirectory(p, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
   }
 
   // --------------------------------------------------------------------

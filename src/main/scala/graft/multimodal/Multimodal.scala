@@ -79,9 +79,11 @@ object Multimodal {
         (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpeg"
     else "unknown"
 
-  /** REAL image decode: PNG/BMP via `javax.imageio`. Malformed or
+  /** REAL image decode: PNG/BMP/JPEG via `javax.imageio`. Malformed or
     * non-image input → format "unknown" with zeroed dimensions
     * (quarantine-able, never throws) — same contract as `decodeStub`.
+    * JPEG is lossy: dimensions/format are exact, pixel-level contracts
+    * live on the PNG path only.
     */
   def decodeImage(bytes: Array[Byte]): MediaMeta = {
     val fmt = sniffFormat(bytes)

@@ -106,14 +106,14 @@ object Mixture {
     require(weights.values.forall(_ >= 0), "weights must be non-negative")
     val spark = df.sparkSession
     import spark.implicits._
-    val w = weights.toSeq.toDF("__dom", "w")
+    val w = weights.toSeq.toDF("__dom", "__w")
     val avail = df.groupBy(col(domainCol))
       .agg(sum(col(tokensCol).cast("long")).as("available"))
     avail
       .join(w, avail(domainCol) === w("__dom"), "full_outer")
       .select(coalesce(col(domainCol), col("__dom")).as(domainCol),
         coalesce(col("available"), lit(0L)).as("available"),
-        floor(coalesce(col("w"), lit(0.0)) * budget + 0.5).cast("long")
+        floor(coalesce(col("__w"), lit(0.0)) * budget + 0.5).cast("long")
           .as("desired"))
       .select(col(domainCol), col("available"), col("desired"),
         least(col("desired"), col("available")).as("planned"),
@@ -151,12 +151,15 @@ object Mixture {
     require(weights.values.forall(_ >= 0), "weights must be non-negative")
     val spark = df.sparkSession
     import spark.implicits._
-    val w = weights.filter(_._2 > 0).toSeq.toDF("__dom", "w")
+    // "__w"-prefixed internals: a caller's own "w" column must neither
+    // collide (AMBIGUOUS_REFERENCE) nor silently win resolution. "k" and
+    // "slot" are the OUTPUT contract and intentionally overwrite.
+    val w = weights.filter(_._2 > 0).toSeq.toDF("__dom", "__w")
     val rank = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol)).orderBy(col(orderCol))
     df.join(broadcast(w), df(domainCol) === w("__dom"))
       .withColumn("k", row_number().over(rank).cast("long"))
       .select(col(domainCol), col(orderCol), col("k"),
-        ceil(col("k") / col("w")).cast("long").as("slot"))
+        ceil(col("k") / col("__w")).cast("long").as("slot"))
   }
 }

@@ -90,9 +90,13 @@ object StreamingIngest {
     * the last query over it terminates.
     */
   def contaminationGate(stream: DataFrame, text: String,
-      heldGrams: Array[String], n: Int): DataFrame =
+      heldGrams: Array[String], n: Int): DataFrame = {
+    // validate BEFORE broadcasting: a failed require after the
+    // broadcast would leak an undestroyable block
+    require(n >= 1, s"n must be >= 1, got $n")
     contaminationGate(stream, text,
       heldGramBroadcast(stream.sparkSession, heldGrams), n)
+  }
 
   /** Broadcast a held gram set once for reuse across many
     * [[contaminationGate]] constructions; the caller owns the handle

@@ -15,12 +15,20 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** Whitespace token count — the native byte-scan expression
-    * ([[graft.functions.TokenCount]]), bit-identical to
-    * `size(tokens(text))` (TokenCountSpec pins the parity) without
-    * materializing the token array per row.
+    * ([[graft.functions.TokenCount]]) when the session registered
+    * [[graft.GraftExtensions]], bit-identical to `size(tokens(text))`
+    * (TokenCountSpec pins the parity) without materializing the token
+    * array per row. Sessions WITHOUT the extension (a library user on a
+    * plain SparkSession) transparently get the built-in HOF form — same
+    * values, one array allocation per row more.
     */
   def tokenCount(text: Column): Column =
-    graft.functions.TokenCount.tokenCountNative(text)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if s.catalog.functionExists(
+          graft.functions.TokenCount.Name) =>
+        graft.functions.TokenCount.tokenCountNative(text)
+      case _ => size(tokens(text))
+    }
 
   /** BPE-ish subword count: alpha runs, digit runs, and individual
     * punctuation marks each count as one piece — a cheap, deterministic

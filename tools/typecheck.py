@@ -9,13 +9,12 @@ script compares the arrow schema of each Spark parquet dump with the arrow
 schema of the DuckDB oracle result and flags any per-column type difference
 (after harmless unifications: string/large_string, timestamp units).
 """
-import sys, json, glob, os
+import sys, json, glob, os, re
 import duckdb
 import pyarrow.parquet as pq
 
 
 def canon(t):
-    import re
     s = str(t)
     if s in ("large_string", "string"):
         return "string"
