@@ -736,4 +736,71 @@ object PropertySpec extends Properties("graft") {
         .view.mapValues(_.map(_._3).toSet)
       out.length == n && splitsByComp.values.forall(_.size == 1)
     }
+
+  private val weightsGen: Gen[Map[String, Double]] = for {
+    k <- Gen.chooseNum(1, 4)
+    ws <- Gen.listOfN(k, Gen.chooseNum(1, 20))
+  } yield {
+    val total = ws.sum.toDouble
+    ws.zipWithIndex.map { case (w, i) => s"d$i" -> w / total }.toMap
+  }
+
+  property("interleavePlan: the low-discrepancy prefix guarantee holds " +
+      "for arbitrary weights — |emitted_d(N) - floor(w_d * N)| <= 1 at " +
+      "every slot prefix") =
+    Prop.forAllNoShrink(weightsGen, Gen.chooseNum(5, 30)) { (w, perDom) =>
+      import spark.implicits._
+      val docs = w.keys.toSeq.sorted.zipWithIndex.flatMap { case (d, di) =>
+        (1 to perDom).map(i => (d, (di * 1000 + i).toLong))
+      }.toDF("dom", "id")
+      val plan = graft.operators.Mixture.interleavePlan(docs, "dom", "id", w)
+        .as[(String, Long, Long, Long)].collect()
+      val maxSlot = plan.map(_._4).max
+      (1L to math.min(maxSlot, 200L)).forall { nSlots =>
+        val emitted = plan.filter(_._4 <= nSlots).groupBy(_._1)
+          .view.mapValues(_.length).toMap
+        w.forall { case (d, wd) =>
+          val got = emitted.getOrElse(d, 0)
+          // the domain may have run out of items — then it trails floor
+          val want = math.min(math.floor(wd * nSlots), perDom.toDouble)
+          math.abs(got - want) <= 1
+        }
+      }
+    }
+
+  property("deterministicShard is a bijection partitioned into dense " +
+      "per-shard rankings, invariant to input layout") =
+    Prop.forAllNoShrink(Gen.chooseNum(1, 300), Gen.chooseNum(1, 7)) {
+      (n, parts) =>
+        import spark.implicits._
+        val ids = (1L to n.toLong).toDF("id").repartition(parts)
+        val out = graft.operators.Shuffle.deterministicShard(ids, "id", "ps")
+          .as[(Long, String, Long)].collect()
+        val idsOk = out.map(_._1).sorted.toSeq == (1L to n.toLong)
+        val dense = out.groupBy(_._2).values.forall(rows =>
+          rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+        idsOk && dense
+    }
+
+  property("majorityVote: the vote always carries a maximal count, and " +
+      "agreement = n_agree / n exactly") =
+    Prop.forAllNoShrink(Gen.listOf(Gen.zip(
+      Gen.chooseNum(0L, 5L), Gen.oneOf("a", "b", "c")))) { labels =>
+      labels.isEmpty || {
+        import spark.implicits._
+        val out = graft.operators.Annotations.majorityVote(
+            labels.toDF("item", "lab"), "item", "lab")
+          .as[(Long, String, Long, Long, Double, Boolean)].collect()
+        val byItem = labels.groupBy(_._1)
+        out.forall { case (item, vote, nAnn, nAgree, agr, unan) =>
+          val hist = byItem(item).groupBy(_._2).view.mapValues(_.size).toMap
+          val maxC = hist.values.max
+          hist(vote) == maxC && nAnn == byItem(item).size &&
+            nAgree == maxC && unan == (maxC == byItem(item).size) &&
+            // agr is round(maxC/n, 4): within half an ulp of the ratio
+            math.abs(agr - maxC.toDouble / byItem(item).size) <=
+              0.00005 + 1e-12
+        }
+      }
+    }
 }
