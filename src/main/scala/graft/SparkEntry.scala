@@ -3004,6 +3004,33 @@ object SparkEntry {
       "d AS (SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS k, wt FROM documents JOIN w ON lang = dom) " +
       "SELECT lang, doc_id, k, CAST(ceil(k / wt) AS BIGINT) AS slot FROM d"))
 
+  /** Epoch expansion of the token-budget plan ([[graft.operators
+    * .Mixture.epochExpand]]): the CONCRETE (doc, epoch) multiset behind
+    * the plan's `epochs` column — full epochs for every document plus a
+    * deterministic md5-ranked prefix as the final partial epoch (the
+    * remainder-token cut). The oracle recomputes the plan arithmetic,
+    * the rank, the exclusive running token sum, and both the full and
+    * partial legs — a drifted cut boundary changes the row set.
+    */
+  private val mixEpochExpand = Q(
+    (s, dir) => graft.operators.Mixture.epochExpand(
+      t(s, dir, "documents").select(col("lang"), col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("n_tokens")),
+      "lang", "doc_id", "n_tokens",
+      Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.1),
+      budget = 100000L),
+    Some("WITH tok AS (SELECT lang, doc_id, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n FROM documents), " +
+      "av AS (SELECT lang, CAST(sum(n) AS BIGINT) AS available FROM tok GROUP BY 1), " +
+      "w AS (SELECT 'en' AS dom, 0.5 AS wt UNION ALL SELECT 'zh', 0.2 UNION ALL SELECT 'es', 0.15 UNION ALL SELECT 'de', 0.1), " +
+      "d AS (SELECT lang, available, CAST(floor(COALESCE(wt, 0.0) * 100000 + 0.5) AS BIGINT) AS desired FROM av LEFT JOIN w ON av.lang = w.dom), " +
+      "pl AS (SELECT lang, CASE WHEN available = 0 OR desired = 0 THEN 0 ELSE desired // available END AS fullep, desired - (CASE WHEN available = 0 OR desired = 0 THEN 0 ELSE desired // available END) * available AS rem FROM d), " +
+      "rk AS (SELECT lang, doc_id, n, md5(CAST(doc_id AS VARCHAR) || ':' || lang) AS h FROM tok), " +
+      "cm AS (SELECT lang, doc_id, COALESCE(sum(n) OVER (PARTITION BY lang ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM rk), " +
+      "j AS (SELECT cm.lang, cm.doc_id, cm.cum, pl.fullep, pl.rem FROM cm JOIN pl USING (lang)) " +
+      "SELECT lang, doc_id, CAST(unnest(generate_series(1, fullep)) AS BIGINT) AS epoch FROM j WHERE fullep >= 1 " +
+      "UNION ALL SELECT lang, doc_id, fullep + 1 AS epoch FROM j WHERE cum < rem"))
+
   /** Temperature-based domain mixture ([[graft.operators.Mixture]]):
     * a 300-document training mix at α = 0.5 — low-resource languages
     * upweighted relative to natural frequency, quotas capped at
@@ -4460,6 +4487,21 @@ object SparkEntry {
     },
     Some("WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN '. le chat est dans les jardins et le vin est une merveille.' ELSE '' END AS t2 FROM documents), sp AS (SELECT doc_id, unnest(string_split_regex(t2, '[.!?]+\\s*')) AS s, generate_subscripts(string_split_regex(t2, '[.!?]+\\s*'), 1) - 1 AS i FROM aug), ke AS (SELECT doc_id, i, string_split_regex(lower(trim(s)), '\\s+') AS ws FROM sp WHERE trim(s) <> ''), sc AS (SELECT doc_id, i, len(list_filter(ws, x -> list_contains(['der', 'die', 'das', 'und', 'nicht', 'ist'], x))) AS de, len(list_filter(ws, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in'], x))) AS en, len(list_filter(ws, x -> list_contains(['el', 'los', 'las', 'y', 'que', 'una'], x))) AS es, len(list_filter(ws, x -> list_contains(['le', 'les', 'et', 'dans', 'une', 'est'], x))) AS fr FROM ke), lg AS (SELECT doc_id, i, CASE WHEN de >= en AND de >= es AND de >= fr AND de > 0 THEN 'de' WHEN en >= es AND en >= fr AND en > 0 THEN 'en' WHEN es >= fr AND es > 0 THEN 'es' WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang FROM sc), o AS (SELECT doc_id, i, lang, lag(i) OVER w AS pid, lag(lang) OVER w AS plang FROM lg WINDOW w AS (PARTITION BY doc_id ORDER BY i)), st AS (SELECT doc_id, i, lang FROM o WHERE pid IS NULL OR plang IS DISTINCT FROM lang) SELECT doc_id, lang, CAST(i AS INT) AS valid_from, CAST(lead(i) OVER w2 AS INT) AS valid_to, lead(i) OVER w2 IS NULL AS is_current FROM st WINDOW w2 AS (PARTITION BY doc_id ORDER BY i)"))
 
+  /** Per-language adaptive length filter ([[TextAnalysis
+    * .adaptiveLengthFilter]]): each language's keep-window is its OWN
+    * [p5, p95] token-count quantile band — the fixed-threshold rule's
+    * multilingual fix. Bounds are a language-keyed model broadcast
+    * back; `kept` compares against the rounded bounds so the decision
+    * reproduces from the report. Oracle: grouped quantile_cont + the
+    * same band comparison.
+    */
+  private val textAdaptiveLengthFilter = Q(
+    (s, dir) => TextAnalysis.adaptiveLengthFilter(
+      t(s, dir, "documents"), "doc_id", "text", "lang"),
+    Some("WITH ctd AS (SELECT lang, doc_id, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+      "b AS (SELECT lang, round(quantile_cont(n_tokens, 0.05), 4) AS lo, round(quantile_cont(n_tokens, 0.95), 4) AS hi FROM ctd GROUP BY 1) " +
+      "SELECT ctd.lang, doc_id, n_tokens, lo, hi, n_tokens >= lo AND n_tokens <= hi AS kept FROM ctd JOIN b USING (lang)"))
+
   /** Rule-based quality filter chain
     * ([[TextAnalysis.qualityRuleFlags]], the Gopher/C4 recipe): named
     * boolean rules + their conjunction, kept as auditable flags. The
@@ -5189,6 +5231,7 @@ object SparkEntry {
     "ann_hard_negatives" -> annHardNegatives,
     "text_cdc_chunks" -> textCdcChunks,
     "text_quality_rules" -> textQualityRules,
+    "text_adaptive_length_filter" -> textAdaptiveLengthFilter,
     "text_langid_spans" -> textLangidSpans,
     "text_pmi_bigrams" -> textPmiBigrams,
     "ann_neardup" -> annNearDup,
@@ -5239,6 +5282,7 @@ object SparkEntry {
     "mix_temperature_sample" -> mixTemperatureSample,
     "mix_token_budget" -> mixTokenBudget,
     "mix_interleave" -> mixInterleave,
+    "mix_epoch_expand" -> mixEpochExpand,
     "so9_quantile_buckets" -> so9QuantileBuckets,
     "so11_winsorize" -> so11Winsorize,
     "so12_zorder" -> so12Zorder,

@@ -162,4 +162,51 @@ object Mixture {
       .select(col(domainCol), col(orderCol), col("k"),
         ceil(col("k") / col("__w")).cast("long").as("slot"))
   }
+
+  /** Expand the [[tokenBudgetPlan]] into the CONCRETE repeated-document
+    * schedule — "C4 repeats 2.3×" as an actual (doc, epoch) multiset a
+    * loader can read: every document of domain d appears in epochs
+    * 1..⌊desired/available⌋ in full, and the final partial epoch takes
+    * the deterministic md5-ranked PREFIX of the domain's documents
+    * whose exclusive running token sum is still below the remainder
+    * (the weighted-sample prefix convention — no RNG, stable across
+    * retries). Unweighted / over-budget-zero domains expand to nothing.
+    *
+    * Scale shape: the plan is domain-keyed (model-sized, broadcast
+    * back); the expansion is one partitioned rank window plus an
+    * explode bounded by the epoch count — output rows = Σ_d docs_d ×
+    * epochs_d, which is the size of the thing being materialized, not
+    * overhead.
+    */
+  def epochExpand(df: DataFrame, domainCol: String, idCol: String,
+      tokensCol: String, weights: Map[String, Double],
+      budget: Long): DataFrame = {
+    val plan = tokenBudgetPlan(
+        df.select(col(domainCol), col(tokensCol)),
+        domainCol, tokensCol, weights, budget)
+      .withColumn("__full",
+        when(col("available") === 0 || col("desired") === 0, lit(0L))
+          .otherwise(expr("desired div available")))
+      .withColumn("__rem",
+        col("desired") - col("__full") * col("available"))
+      .select(col(domainCol), col("__full"), col("__rem"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col("__h"), col(idCol))
+    val ranked = df
+      .select(col(domainCol), col(idCol),
+        col(tokensCol).cast("long").as("__t"))
+      .withColumn("__h", md5(concat(col(idCol).cast("string"), lit(":"),
+        col(domainCol))))
+      .withColumn("__cum",
+        coalesce(sum(col("__t")).over(
+          w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .join(broadcast(plan), domainCol)
+    val fullEpochs = ranked.where(col("__full") >= 1)
+      .select(col(domainCol), col(idCol),
+        explode(sequence(lit(1L), col("__full"))).as("epoch"))
+    val partial = ranked.where(col("__cum") < col("__rem"))
+      .select(col(domainCol), col(idCol),
+        (col("__full") + 1).as("epoch"))
+    fullEpochs.unionAll(partial)
+  }
 }

@@ -123,6 +123,31 @@ object TextAnalysis {
       i => concat_ws(" ", slice(ts, (i * step + 1).cast("int"), lit(size))))
   }
 
+  /** Per-group ADAPTIVE length filter — the quantile twin of the
+    * absolute token bounds in [[qualityRuleFlags]]: fixed thresholds
+    * tuned on English prose misfire on other languages and domains
+    * (CJK tokenizes shorter, code longer), so each group's keep-window
+    * is its own [lo, hi] token-count quantile band. The bounds table is
+    * group-keyed (model-sized → broadcast back, the robustScale
+    * pattern); documents carry their bounds and an auditable `kept`
+    * flag rather than silently vanishing. `kept` compares against the
+    * ROUNDED bounds (4 decimals) so the decision is reproducible from
+    * the report itself.
+    */
+  def adaptiveLengthFilter(docs: DataFrame, id: String, text: String,
+      group: String, lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad quantile band [$lo, $hi]")
+    val counted = docs.select(col(group), col(id),
+      tokenCount(col(text)).cast("long").as("n_tokens"))
+    val bounds = counted.groupBy(col(group))
+      .agg(round(expr(s"percentile(n_tokens, $lo)"), 4).as("lo"),
+        round(expr(s"percentile(n_tokens, $hi)"), 4).as("hi"))
+    counted.join(broadcast(bounds), group)
+      .select(col(group), col(id), col("n_tokens"), col("lo"), col("hi"),
+        (col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+          .as("kept"))
+  }
+
   /** Rule-based quality filter chain (the Gopher §A1 / C4 recipe: a
     * battery of cheap structural rules, each a named boolean, with the
     * keep decision their conjunction — kept AS FLAGS so curation can

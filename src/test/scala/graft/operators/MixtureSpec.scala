@@ -139,6 +139,31 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("epochExpand: full epochs for everyone, the md5-ranked prefix " +
+      "for the remainder, nothing for unweighted domains") {
+    // domain a: 3 docs of 10 tokens (available 30); budget 100 at
+    // weight 0.5 -> desired 50 -> 1 full epoch + 20 remainder tokens
+    // -> partial epoch = the 2 first-by-md5 docs (cum 0, 10 < 20; the
+    // third has cum 20, not < 20). domain z carries no weight.
+    val docs = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+      ("z", 9L, 50L)).toDF("dom", "id", "toks")
+    val out = Mixture.epochExpand(docs, "dom", "id", "toks",
+        Map("a" -> 0.5), budget = 100L)
+      .as[(String, Long, Long)].collect()
+    assert(out.count(_._3 == 1L) == 3) // full epoch: all 3 docs
+    val partial = out.filter(_._3 == 2L).map(_._2).toSet
+    assert(partial.size == 2)
+    // the partial prefix follows the md5(id:dom) rank order
+    val order = Seq(1L, 2L, 3L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:a".getBytes).map("%02x".format(_)).mkString, i))
+    assert(partial == order.take(2).toSet)
+    assert(!out.exists(_._1 == "z"))
+    // totals: emitted tokens per domain = full*available + prefix cut
+    assert(out.length == 5)
+  }
+
   test("interleavePlan: unweighted domains are excluded") {
     val docs = Seq(("a", 1L), ("zz", 2L)).toDF("dom", "id")
     val plan = Mixture.interleavePlan(docs, "dom", "id", Map("a" -> 1.0))

@@ -223,6 +223,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(single.find(_._1 == 4L).map(_._2).contains(4L))
   }
 
+  test("adaptiveLengthFilter: per-group quantile bands, outliers " +
+      "flagged within their own group's distribution") {
+    import spark.implicits._
+    // group g1: lengths 1..20 plus a 1000-token outlier; group g2:
+    // uniformly long docs where 1000 tokens would be NORMAL
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val rows = (1 to 20).map(n => ("g1", n.toLong, doc(n))) ++
+      Seq(("g1", 99L, doc(1000))) ++
+      (1 to 10).map(i => ("g2", 100L + i, doc(900 + i * 20)))
+    val out = TextAnalysis.adaptiveLengthFilter(
+        rows.toDF("lang", "doc_id", "text"), "doc_id", "text", "lang")
+      .as[(String, Long, Long, Double, Double, Boolean)].collect()
+    val g1 = out.filter(_._1 == "g1").map(r => r._2 -> r._6).toMap
+    // the 1000-token doc is an outlier IN g1 (its p95 sits ~100)...
+    assert(!g1(99L))
+    // ...while similar lengths are kept in g2, whose band covers them
+    val g2 = out.filter(_._1 == "g2")
+    assert(g2.count(_._6) >= 8)
+    // band edges are group-local: every kept doc sits inside its band
+    out.foreach { case (_, _, n, lo, hi, kept) =>
+      assert(kept == (n >= lo && n <= hi))
+    }
+  }
+
   test("qualityRuleFlags: each rule fires on its designed violation " +
       "and only then; keep is the conjunction") {
     val good = "the quick brown fox jumps over a lazy dog of the north " +
