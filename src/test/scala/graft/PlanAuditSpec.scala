@@ -84,11 +84,22 @@ class PlanAuditSpec extends SparkSpec {
     // shuffle/shard and interleave rank inside partitioned windows —
     // never the corpus-wide single-task window shape
     Seq("corpus_shuffle_shard", "mix_interleave", "pref_majority_vote",
-      "privacy_k_anon", "pref_bradley_terry").foreach { n =>
+      "privacy_k_anon", "pref_bradley_terry", "mix_epoch_expand",
+      "text_adaptive_length_filter").foreach { n =>
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n:\n$p")
       assert(globalWindowLines(p).isEmpty, s"$n:\n$p")
     }
+    // the adaptive filter's bounds and the epoch plan are model-sized
+    // tables broadcast BACK onto the corpus — never a shuffle join
+    assert(plan("text_adaptive_length_filter").contains("BroadcastHashJoin"))
+    assert(plan("mix_epoch_expand").contains("BroadcastHashJoin"))
+    // mean pooling is ONE hash aggregate — no posexplode dimension
+    // blow-up, no window
+    val mp = plan("ann_mean_pool")
+    assert(mp.contains("HashAggregate") || mp.contains("ObjectHashAggregate"),
+      mp)
+    assert(!mp.contains("Generate") && !mp.contains("Window"), mp)
     // the overlap matrix's capped postings are materialized
     // (localCheckpoint) before the pair join, so the audited tail is
     // joins-of-aggregates over the spilled postings; the cap's
