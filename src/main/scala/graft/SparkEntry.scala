@@ -3024,7 +3024,7 @@ object SparkEntry {
       "av AS (SELECT lang, CAST(sum(n) AS BIGINT) AS available FROM tok GROUP BY 1), " +
       "w AS (SELECT 'en' AS dom, 0.5 AS wt UNION ALL SELECT 'zh', 0.2 UNION ALL SELECT 'es', 0.15 UNION ALL SELECT 'de', 0.1), " +
       "d AS (SELECT lang, available, CAST(floor(COALESCE(wt, 0.0) * 100000 + 0.5) AS BIGINT) AS desired FROM av LEFT JOIN w ON av.lang = w.dom), " +
-      "pl AS (SELECT lang, CASE WHEN available = 0 OR desired = 0 THEN 0 ELSE desired // available END AS fullep, desired - (CASE WHEN available = 0 OR desired = 0 THEN 0 ELSE desired // available END) * available AS rem FROM d), " +
+      "pl AS (SELECT lang, CASE WHEN available = 0 OR desired = 0 THEN 0 ELSE desired // available END AS fullep, CASE WHEN available = 0 THEN 0 ELSE desired - (CASE WHEN desired = 0 THEN 0 ELSE desired // available END) * available END AS rem FROM d), " +
       "rk AS (SELECT lang, doc_id, n, md5(CAST(doc_id AS VARCHAR) || ':' || lang) AS h FROM tok), " +
       "cm AS (SELECT lang, doc_id, COALESCE(sum(n) OVER (PARTITION BY lang ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM rk), " +
       "j AS (SELECT cm.lang, cm.doc_id, cm.cum, pl.fullep, pl.rem FROM cm JOIN pl USING (lang)) " +

@@ -170,7 +170,9 @@ object Mixture {
     * the deterministic md5-ranked PREFIX of the domain's documents
     * whose exclusive running token sum is still below the remainder
     * (the weighted-sample prefix convention — no RNG, stable across
-    * retries). Unweighted / over-budget-zero domains expand to nothing.
+    * retries). Unweighted domains, zero-desired domains, AND
+    * zero-available domains (the plan's impossible available=0 /
+    * desired>0 sanity-gate row) all expand to nothing.
     *
     * Scale shape: the plan is domain-keyed (model-sized, broadcast
     * back); the expansion is one partitioned rank window plus an
@@ -187,20 +189,29 @@ object Mixture {
       .withColumn("__full",
         when(col("available") === 0 || col("desired") === 0, lit(0L))
           .otherwise(expr("desired div available")))
+      // available = 0 is the impossible-plan row (tokenBudgetPlan's
+      // sanity-gate case): it must expand to NOTHING — a naive
+      // desired − full·available remainder would sweep every zero-token
+      // doc into a bogus "partial epoch"
       .withColumn("__rem",
-        col("desired") - col("__full") * col("available"))
+        when(col("available") === 0, lit(0L))
+          .otherwise(col("desired") - col("__full") * col("available")))
       .select(col(domainCol), col("__full"), col("__rem"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol)).orderBy(col("__h"), col(idCol))
+    // join the (broadcast, domain-keyed) plan BEFORE hashing/windowing:
+    // unweighted domains drop ahead of the per-domain sort, so the
+    // cumsum window never runs over rows the plan discards (Catalyst
+    // cannot push an inner join below a Window)
     val ranked = df
       .select(col(domainCol), col(idCol),
         col(tokensCol).cast("long").as("__t"))
+      .join(broadcast(plan), domainCol)
       .withColumn("__h", md5(concat(col(idCol).cast("string"), lit(":"),
         col(domainCol))))
       .withColumn("__cum",
         coalesce(sum(col("__t")).over(
           w.rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .join(broadcast(plan), domainCol)
     val fullEpochs = ranked.where(col("__full") >= 1)
       .select(col(domainCol), col(idCol),
         explode(sequence(lit(1L), col("__full"))).as("epoch"))

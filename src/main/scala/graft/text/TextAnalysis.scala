@@ -142,10 +142,15 @@ object TextAnalysis {
     val bounds = counted.groupBy(col(group))
       .agg(round(expr(s"percentile(n_tokens, $lo)"), 4).as("lo"),
         round(expr(s"percentile(n_tokens, $hi)"), 4).as("hi"))
-    counted.join(broadcast(bounds), group)
+      .withColumnRenamed(group, "__grp")
+    // NULL-SAFE group join: a null-group slice (failed langid) is a
+    // legitimate group with its own bounds — a plain equi-join would
+    // silently drop those documents from the report. A null text has no
+    // measurable length: kept = false explicitly, never a null flag.
+    counted.join(broadcast(bounds), col(group) <=> col("__grp"))
       .select(col(group), col(id), col("n_tokens"), col("lo"), col("hi"),
-        (col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
-          .as("kept"))
+        coalesce(col("n_tokens") >= col("lo") &&
+          col("n_tokens") <= col("hi"), lit(false)).as("kept"))
   }
 
   /** Rule-based quality filter chain (the Gopher §A1 / C4 recipe: a

@@ -164,6 +164,20 @@ class MixtureSpec extends SparkSpec {
     assert(out.length == 5)
   }
 
+  test("epochExpand: a weighted domain with zero available tokens (the " +
+      "impossible-plan row) expands to nothing, and the window never " +
+      "runs over unweighted domains") {
+    val docs = Seq(
+      ("a", 1L, 0L), ("a", 2L, 0L), // weighted, but supplies no tokens
+      ("b", 3L, 10L)).toDF("dom", "id", "toks")
+    val out = Mixture.epochExpand(docs, "dom", "id", "toks",
+        Map("a" -> 0.5, "b" -> 0.5), budget = 20L)
+      .as[(String, Long, Long)].collect()
+    assert(!out.exists(_._1 == "a"), out.mkString(","))
+    // b: available 10, desired 10 -> exactly 1 full epoch, no partial
+    assert(out.toSet == Set(("b", 3L, 1L)))
+  }
+
   test("interleavePlan: unweighted domains are excluded") {
     val docs = Seq(("a", 1L), ("zz", 2L)).toDF("dom", "id")
     val plan = Mixture.interleavePlan(docs, "dom", "id", Map("a" -> 1.0))

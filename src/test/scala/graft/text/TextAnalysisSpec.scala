@@ -247,6 +247,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("adaptiveLengthFilter: null-group documents keep their own " +
+      "bounds row and a null text flags kept=false, never a null") {
+    import spark.implicits._
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val rows = Seq(
+      (Option("en"), 1L, Option(doc(5))),
+      (None, 2L, Option(doc(5))),       // failed langid: group NULL
+      (None, 3L, Option(doc(5))),       // same length → band [5, 5]
+      (Option("en"), 4L, Option.empty[String])) // null text
+    val out = TextAnalysis.adaptiveLengthFilter(
+        rows.toDF("lang", "doc_id", "text"), "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(0)) null else r.getString(0), r.getBoolean(5)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // nobody vanished
+    assert(out(2L)._1 == null && out(2L)._2)  // null group, own band
+    assert(!out(4L)._2)                       // null text: kept = false
+  }
+
   test("qualityRuleFlags: each rule fires on its designed violation " +
       "and only then; keep is the conjunction") {
     val good = "the quick brown fox jumps over a lazy dog of the north " +
