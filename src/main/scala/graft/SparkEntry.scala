@@ -4545,6 +4545,22 @@ object SparkEntry {
       t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4),
     Some("SELECT a.vec_id AS id1, b.vec_id AS id2, round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.4"))
 
+  /** Scalar int8 embedding quantization ([[graft.ann.Quantize
+    * .int8Quantize]]): per-vector symmetric codes + scale + measured
+    * max dequantization error — the 4×-smaller storage format a
+    * serving-tier index persists. Pure per-row projection; the oracle
+    * re-derives scale, every code (same round-half-away boundary both
+    * engines), and the error bound element-by-element.
+    */
+  private val annInt8Quantize = Q(
+    (s, dir) => graft.ann.Quantize.int8Quantize(
+      t(s, dir, "embeddings"), "vec_id", "embedding"),
+    Some("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "sc AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS s FROM v) " +
+      "SELECT vec_id, round(s, 9) AS scale, " +
+      "CASE WHEN s = 0 THEN list_transform(e, x -> 0) ELSE list_transform(e, x -> CAST(round(x / s, 0) AS INTEGER)) END AS codes, " +
+      "CASE WHEN s = 0 THEN 0.0 ELSE round(list_max(list_transform(e, x -> abs(round(x / s, 0) * s - x))), 6) END AS max_err FROM sc"))
+
   /** Chunk→document mean pooling ([[graft.ann.Pooling.meanPool]]): the
     * retrieval-pipeline aggregation that turns per-chunk embeddings
     * into one document vector, as a typed Aggregator summing
@@ -5237,6 +5253,7 @@ object SparkEntry {
     "ann_neardup" -> annNearDup,
     "ann_group_cosine" -> annGroupCosine,
     "ann_mean_pool" -> annMeanPool,
+    "ann_int8_quantize" -> annInt8Quantize,
     "ann_ivf_topk" -> annIvfTopK,
     "ann_trained_ivf" -> annTrainedIvf,
     "ann_pq_topk" -> annPqTopK,
