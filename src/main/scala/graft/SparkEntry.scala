@@ -3826,6 +3826,57 @@ object SparkEntry {
       "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_annotations, CAST(max(c) AS BIGINT) AS n_agree FROM pl GROUP BY 1) " +
       "SELECT a.doc_id AS item, v.vote, n_annotations, n_agree, round(n_agree * 1.0 / n_annotations, 4) AS agreement, n_agree = n_annotations AS unanimous FROM a JOIN v ON v.doc_id = a.doc_id AND v.rn = 1"))
 
+  /** Length-bias audit ([[graft.text.Pref.lengthBias]]): the
+    * reward-hacking check over derived preference pairs — pairs bucket
+    * by the sign of the chosen−rejected token-count delta, with pair
+    * shares and mean margins per bucket. The fixture scores by
+    * `n_chars % 97` (a pseudo-quality DECORRELATED from length, so all
+    * three buckets populate); the oracle re-derives the pair extremes
+    * with the (score, resp_id) row_number twin and the same
+    * whitespace token count.
+    */
+  private val prefLengthBias = Q(
+    (s, dir) => graft.text.Pref.lengthBias(
+      t(s, dir, "documents")
+        .select(floor(col("doc_id") / 4).cast("long").as("prompt"),
+          pmod(col("doc_id"), lit(4)).as("rid"), col("text"),
+          pmod(col("n_chars"), lit(97)).as("sc")),
+      "prompt", "rid", "text", "sc", minMargin = 3.0),
+    Some("WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS resp_id, text AS t, CAST(n_chars % 97 AS DOUBLE) AS sc, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS tk FROM documents), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY prompt_id ORDER BY sc DESC, resp_id DESC) AS ra, row_number() OVER (PARTITION BY prompt_id ORDER BY sc ASC, resp_id ASC) AS rb, count(*) OVER (PARTITION BY prompt_id) AS n FROM r), " +
+      "ch AS (SELECT prompt_id, t AS ct, sc AS cs, tk AS ctk, n FROM rk WHERE ra = 1), " +
+      "rj AS (SELECT prompt_id, t AS rt, sc AS rs, tk AS rtk FROM rk WHERE rb = 1), " +
+      "pw AS (SELECT ctk - rtk AS d, cs - rs AS m FROM ch JOIN rj USING (prompt_id) WHERE n >= 2 AND cs - rs >= 3.0 AND ct <> rt), " +
+      "b AS (SELECT CASE WHEN d > 0 THEN 'chosen_longer' WHEN d < 0 THEN 'rejected_longer' ELSE 'equal_length' END AS bucket, count(*) AS n_pairs, round(avg(d), 4) AS avg_len_delta, round(avg(m), 4) AS avg_margin FROM pw GROUP BY 1), " +
+      "tt AS (SELECT sum(n_pairs) AS tot FROM b) " +
+      "SELECT bucket, n_pairs, round(n_pairs * 1.0 / tot, 6) AS frac, avg_len_delta, avg_margin FROM b CROSS JOIN tt"))
+
+  /** Fleiss' kappa ([[graft.operators.Annotations.fleissKappa]]) over
+    * the SAME synthetic five-annotator label log as
+    * `pref_majority_vote` — chance-corrected agreement for the whole
+    * campaign in one row, the go/re-brief number raw agreement can't
+    * give on a skewed label marginal. The oracle re-derives the
+    * item×label cells, per-item P_i, assignment-weighted marginals,
+    * and the (P̄−P_e)/(1−P_e) fold.
+    */
+  private val prefFleissKappa = Q(
+    (s, dir) => graft.operators.Annotations.fleissKappa(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(4))).as("a"))
+        .select(col("doc_id"),
+          element_at(array(lit("bad"), lit("good"), lit("ok")),
+            (pmod(col("n_chars") + col("a") * (col("doc_id") + 1), lit(3))
+              + 1).cast("int")).as("lab")),
+      "doc_id", "lab"),
+    Some("WITH l AS (SELECT doc_id, ['bad','good','ok'][CAST((n_chars + t.a * (doc_id + 1)) % 3 + 1 AS INT)] AS lab FROM documents CROSS JOIN generate_series(0, 4) t(a)), " +
+      "cell AS (SELECT doc_id, lab, count(*) AS c FROM l GROUP BY 1, 2), " +
+      "it AS (SELECT doc_id, sum(c) AS n, sum(c * c) AS s2 FROM cell GROUP BY 1 HAVING sum(c) >= 2), " +
+      "pb AS (SELECT count(*) AS n_items, CAST(sum(n) AS BIGINT) AS n_ratings, avg((s2 - n) * 1.0 / (n * (n - 1))) AS pb FROM it), " +
+      "pj AS (SELECT lab, sum(c) AS cj FROM cell JOIN it USING (doc_id) GROUP BY 1), " +
+      "pe AS (SELECT count(*) AS n_categories, sum(cj * cj) * 1.0 / (sum(cj) * sum(cj)) AS pe FROM pj) " +
+      "SELECT n_items, n_ratings, n_categories, round(pb, 6) AS p_bar, round(pe, 6) AS p_e, round((pb - pe) / (1 - pe), 6) AS kappa FROM pb CROSS JOIN pe"))
+
   /** Best-of-N rejection sampling driven by the TRAINED quality model
     * ([[graft.text.Pref.bestOfN]] over [[graft.text.QualityModel
     * .trainAndScore]] probabilities): documents pooled
@@ -5324,6 +5375,8 @@ object SparkEntry {
     "pref_best_of_n" -> prefBestOfN,
     "pref_bradley_terry" -> prefBradleyTerry,
     "pref_majority_vote" -> prefMajorityVote,
+    "pref_fleiss_kappa" -> prefFleissKappa,
+    "pref_length_bias" -> prefLengthBias,
     "pref_dpo_render" -> prefDpoRender,
     "dedup_contamination_frac" -> dedupContaminationFrac,
     "text_normalize" -> textNormalize,

@@ -99,4 +99,57 @@ object Pref {
         sum(when(col("sc") === col("mx"), 1L).otherwise(0L))
           .as("top_ties"))
   }
+
+  /** Length-bias audit over the derived preference pairs — the
+    * reward-hacking check a DPO/RLHF data lead runs before training:
+    * if "chosen" is systematically the LONGER response, the reward
+    * signal is (partly) a length heuristic and the policy will learn
+    * verbosity, not quality. The audit derives the same
+    * (chosen, rejected) extremes as [[preferencePairs]] (identical
+    * tie-breaks and validity filters) but keeps both sides' token
+    * counts, then buckets pairs by the sign of the token-count delta.
+    *
+    * Output: one row per bucket (`chosen_longer` / `equal_length` /
+    * `rejected_longer`) with `n_pairs`, `frac` of all surviving pairs
+    * (rounded 6), `avg_len_delta` (chosen − rejected tokens, rounded
+    * 4), and `avg_margin` (score margin, rounded 4). A healthy corpus
+    * keeps `chosen_longer`'s frac near the rejected bucket's; ~1.0
+    * means the scorer is length-confounded.
+    *
+    * Scale shape: the prompt-keyed constant-state aggregate of
+    * [[preferencePairs]], then a 3-row bucket aggregate crossed with a
+    * 1-row total — nothing corpus-sized past the first shuffle.
+    */
+  def lengthBias(responses: DataFrame, prompt: String, respId: String,
+      text: String, score: String, minMargin: Double): DataFrame = {
+    val ord = struct(col("sc"), col("resp_id"))
+    val cand = struct(col("resp_id"), col("t"), col("sc"), col("tk"))
+    val pairs = responses
+      .select(col(prompt).as("prompt_id"), col(respId).as("resp_id"),
+        col(text).as("t"), col(score).cast("double").as("sc"),
+        TextAnalysis.tokenCount(col(text)).cast("long").as("tk"))
+      .groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n_responses"),
+        max_by(cand, ord).as("ch"), min_by(cand, ord).as("rj"))
+      .where(col("n_responses") >= 2 &&
+        (col("ch.sc") - col("rj.sc")) >= minMargin &&
+        col("ch.t") =!= col("rj.t"))
+      .select((col("ch.tk") - col("rj.tk")).as("len_delta"),
+        (col("ch.sc") - col("rj.sc")).as("margin"))
+    val bucketed = pairs
+      .select(
+        when(col("len_delta") > 0, lit("chosen_longer"))
+          .when(col("len_delta") < 0, lit("rejected_longer"))
+          .otherwise(lit("equal_length")).as("bucket"),
+        col("len_delta"), col("margin"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("len_delta")), 4).as("avg_len_delta"),
+        round(avg(col("margin")), 4).as("avg_margin"))
+    val total = bucketed.agg(sum(col("n_pairs")).as("__tot"))
+    bucketed.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_pairs"),
+        round(col("n_pairs") / col("__tot"), 6).as("frac"),
+        col("avg_len_delta"), col("avg_margin"))
+  }
 }

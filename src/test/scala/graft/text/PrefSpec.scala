@@ -69,4 +69,26 @@ class PrefSpec extends SparkSpec {
       .collect().toSet
     assert(a == b)
   }
+
+  test("lengthBias: buckets by token delta over the SAME surviving " +
+      "pairs as preferencePairs, with shares summing to 1") {
+    // minMargin 0.5 admits prompts 1 and 4 (see above):
+    //   prompt 1: chosen "a long answer" (3 tok) vs "short" (1) -> +2
+    //   prompt 4: chosen "q" (1 tok) vs "r" (1 tok) -> equal
+    val out = Pref.lengthBias(resp, "prompt", "rid", "txt", "sc",
+        minMargin = 0.5)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("chosen_longer", "equal_length"))
+    assert(out("chosen_longer") ==
+      (("chosen_longer", 1L, 0.5, 2.0, 8.0)))
+    assert(out("equal_length") ==
+      (("equal_length", 1L, 0.5, 0.0, 1.0)))
+    // a rejected-longer pair lands in its own bucket
+    val rl = Seq((9L, 0L, "one two three", 1.0), (9L, 1L, "won", 5.0))
+      .toDF("prompt", "rid", "txt", "sc")
+    val o2 = Pref.lengthBias(rl, "prompt", "rid", "txt", "sc", 0.5)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(o2.toSeq == Seq(("rejected_longer", 1L, 1.0, -2.0, 4.0)))
+  }
 }
