@@ -4499,6 +4499,59 @@ object SparkEntry {
     },
     Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neighbor_id, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
 
+  /** Binary-quantized two-stage top-k ([[graft.ann.Quantize
+    * .binaryHammingTopK]]): packed sign-bit Hamming prunes the corpus
+    * to 32 candidates/query (dim/64 longs per distance instead of dim
+    * floats — the serving-tier byte/ALU cut), exact cosine re-ranks
+    * the survivors. The oracle re-derives per-dimension sign
+    * mismatches, the (hamming, id) candidate cut, and the float
+    * rerank.
+    */
+  private val annBinaryTopK = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Quantize.binaryHammingTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 10, rerank = 32)
+    },
+    Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), " +
+      "p AS (SELECT q_id, vec_id AS nid, qe, embedding AS ne FROM q, embeddings WHERE vec_id <> q_id), " +
+      "h AS (SELECT q_id, nid, CAST(sum(CASE WHEN (qe[i] > 0) <> (ne[i] > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming FROM (SELECT q_id, nid, qe, ne, unnest(generate_series(1, len(qe))) AS i FROM p) GROUP BY 1, 2), " +
+      "c AS (SELECT q_id, nid, hamming, row_number() OVER (PARTITION BY q_id ORDER BY hamming, nid) AS crk FROM h), " +
+      "sc AS (SELECT c.q_id, nid, hamming, round(list_cosine_similarity(list_transform(q.qe, x -> CAST(x AS DOUBLE)), list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM c JOIN q ON q.q_id = c.q_id JOIN embeddings e ON e.vec_id = c.nid WHERE crk <= 32), " +
+      "r AS (SELECT q_id, nid, hamming, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nid) AS rank FROM sc) " +
+      "SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, hamming, sim FROM r WHERE rank <= 10"))
+
+  /** Retrieval metrics over the brute-force cosine run
+    * ([[graft.ann.RetrievalEval.retrievalMetrics]]): per-query
+    * recall@10, reciprocal rank, and nDCG@10 with label relevance —
+    * the number the ANN tier is judged by, as an operator. Per-rank
+    * log gains quantize to 9 decimals before the fold on BOTH sides so
+    * sum order can't drift; the oracle re-derives the ranked run, the
+    * relevant-universe counts, and the ideal-DCG normalizer.
+    */
+  private val annRetrievalMetrics = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ann.RetrievalEval.retrievalMetrics(
+        emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", "label",
+        k = 10)
+    },
+    Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql FROM embeddings WHERE vec_id < 10), " +
+      "s AS (SELECT q_id, ql, vec_id AS nid, label AS nl, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), " +
+      "r AS (SELECT q_id, ql, nl, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nid) AS rank FROM s), " +
+      "topk AS (SELECT * FROM r WHERE rank <= 10), " +
+      "agg AS (SELECT q_id, any_value(ql) AS ql, CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS hits, " +
+      "max(CASE WHEN nl = ql THEN round(CAST(1 AS DOUBLE) / rank, 9) END) AS rr0, " +
+      "sum(CASE WHEN nl = ql THEN round(CAST(1 AS DOUBLE) / log2(rank + 1), 9) ELSE 0 END) AS dcg FROM topk GROUP BY q_id), " +
+      "nr AS (SELECT q.q_id, CAST(count(e.vec_id) AS BIGINT) AS n_rel FROM q LEFT JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.q_id GROUP BY q.q_id), " +
+      "m AS (SELECT a.q_id, n_rel, hits, COALESCE(rr0, 0.0) AS rr, dcg, " +
+      "CASE WHEN n_rel > 0 THEN list_sum(list_transform(generate_series(1, LEAST(10, n_rel)), i -> round(CAST(1 AS DOUBLE) / log2(i + 1), 9))) ELSE 1 END AS idcg " +
+      "FROM agg a JOIN nr ON nr.q_id = a.q_id) " +
+      "SELECT q_id, n_rel, hits, round(CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE) / n_rel ELSE 0 END, 6) AS recall_at_k, round(rr, 6) AS rr, round(CASE WHEN n_rel > 0 THEN dcg / idcg ELSE 0 END, 6) AS ndcg_at_k FROM m"))
+
   /** Deterministic JL random projection ([[Ann.randomProjection]]):
     * 64-dim embeddings → 8 dims through the md5-parity ±1 sign matrix —
     * model broadcast, one narrow pass, no shuffle. The oracle rebuilds
@@ -5294,6 +5347,8 @@ object SparkEntry {
     "text_fingerprint" -> textFingerprint,
     "text_ngrams" -> textNgrams,
     "ann_topk" -> annTopK,
+    "ann_retrieval_metrics" -> annRetrievalMetrics,
+    "ann_binary_topk" -> annBinaryTopK,
     "ann_random_projection" -> annRandomProjection,
     "ann_hard_negatives" -> annHardNegatives,
     "text_cdc_chunks" -> textCdcChunks,

@@ -1,6 +1,7 @@
 package graft.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalar int8 embedding quantization — the storage format most vector
@@ -37,5 +38,78 @@ object Quantize {
           .otherwise(round(array_max(transform(col("__e"),
             x => abs(round(x / col("__sc"), 0) * col("__sc") - x))), 6))
           .as("max_err"))
+  }
+
+  /** Sign-bit packing: dimension i of `vec` sets bit i%64 of word i/64
+    * when the value is STRICTLY positive — 32× smaller than float32,
+    * and Hamming distance between two packed vectors is a handful of
+    * XOR+popcount word ops instead of a dim-length float loop. Bits
+    * assemble with bitwise OR (distinct powers — no ANSI overflow path
+    * even for bit 63).
+    */
+  private def packSignBits(vec: Column): Column =
+    transform(
+      sequence(lit(0), ((size(vec) - 1) / 64).cast("int")),
+      w => aggregate(
+        sequence(w * 64,
+          least(w * 64 + 63, size(vec) - 1).cast("int")),
+        lit(0L),
+        (acc, i) => acc.bitwiseOR(
+          when(element_at(vec, i + 1) > 0,
+            call_function("shiftleft", lit(1L),
+              pmod(i, lit(64)).cast("int")))
+            .otherwise(lit(0L)))))
+
+  /** Two-stage binary-quantized top-k: Hamming distance over packed
+    * sign bits prunes the corpus to `rerank` candidates per query
+    * (ties → lower id), then exact cosine re-ranks only those — the
+    * standard serving-tier recipe (binary pre-filter + float rerank)
+    * that touches dim/64 longs per corpus row instead of dim floats,
+    * an 8-16× cut in the distance stage's bytes and ALU work.
+    *
+    * Output per query: (q_id, rank, neighbor_id, hamming, sim) with
+    * rank by (cosine desc, id), sim rounded 4 ([[Ann.topK]]
+    * convention). Queries broadcast packed; the corpus packs once in
+    * the scan projection and never shuffles — the per-query rank
+    * windows run over |corpus| candidate rows pre-pruned to `rerank`
+    * before any float math.
+    */
+  def binaryHammingTopK(
+      corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, qId: String, qVec: String,
+      k: Int, rerank: Int): DataFrame = {
+    require(k > 0 && rerank >= k, "need k > 0 and rerank >= k")
+    val corp = corpus.select(col(id), col(vec).as("__v"),
+      packSignBits(col(vec)).as("__cw"))
+    val qs = queries.select(col(qId).as("q_id"), col(qVec).as("__qv"),
+      packSignBits(col(qVec)).as("__qw"))
+    val ham = aggregate(
+      zip_with(col("__qw"), col("__cw"),
+        (a, b) => bit_count(a.bitwiseXOR(b))),
+      lit(0), (acc, x) => acc + x)
+    val scored = corp.crossJoin(broadcast(qs))
+      .where(col("q_id") =!= col(id))
+      .withColumn("hamming", ham.cast("long"))
+    val wH = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col(id).asc)
+    val cand = scored.withColumn("__crk", row_number().over(wH))
+      .where(col("__crk") <= rerank)
+    // exact cosine only on the surviving candidates
+    val dot = aggregate(
+      zip_with(col("__qv"), col("__v"),
+        (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val norm = (c: Column) => sqrt(aggregate(
+      transform(c, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val wC = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(id).asc)
+    cand
+      .withColumn("sim",
+        round(dot / (norm(col("__qv")) * norm(col("__v"))), 4))
+      .withColumn("rank", row_number().over(wC))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col(id).as("neighbor_id"), col("hamming"), col("sim"))
   }
 }

@@ -48,4 +48,42 @@ class QuantizeSpec extends SparkSpec {
       }
     }
   }
+
+  test("binaryHammingTopK: hamming counts sign flips across word " +
+      "boundaries and the rerank restores cosine order") {
+    // 70 dims forces two packed words (64 + 6). Query = all-positive.
+    // n1 flips NO signs (hamming 0) but has a worse cosine than n2,
+    // which flips one sign in word 0 and one in word 1 (hamming 2).
+    val dim = 70
+    val q = (0 until dim).map(_ => 1.0f)
+    val n1 = (0 until dim).map(i => if (i < 35) 1.0f else 0.01f)
+    val n2 = q.updated(3, -1.0f).updated(66, -1.0f)
+    val n3 = q.map(v => -v) // all flipped: hamming = 70
+    val df = Seq((0L, q), (1L, n1), (2L, n2), (3L, n3))
+      .toDF("vec_id", "embedding")
+    val out = Quantize.binaryHammingTopK(
+        df, "vec_id", "embedding", df.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 3, rerank = 3)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    assert(out.sortBy(_._3).map(r => (r._3, r._4)).toSeq ==
+      Seq((1L, 0L), (2L, 2L), (3L, 70L)))
+    // ranks follow exact cosine, not hamming: n2 (cos 66/70 ~ 0.943)
+    // outranks the hamming-0 n1 (cos ~ 0.714)
+    assert(out.sortBy(_._2).map(_._3).toSeq == Seq(2L, 1L, 3L))
+  }
+
+  test("binaryHammingTopK: a tight rerank budget prunes by hamming " +
+      "before any float math sees the pair") {
+    val q = Seq.fill(8)(1.0f)
+    // hamming: a=0, b=1, c=8; rerank=2 must drop c even though its
+    // cosine (−1) would lose anyway — and keep a,b by hamming order
+    val df = Seq(
+      (0L, q), (1L, q), (2L, q.updated(0, -1.0f)), (3L, q.map(-_)))
+      .toDF("vec_id", "embedding")
+    val out = Quantize.binaryHammingTopK(
+        df, "vec_id", "embedding", df.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 2, rerank = 2)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    assert(out.map(_._3).toSet == Set(1L, 2L))
+  }
 }
