@@ -2888,6 +2888,23 @@ object SparkEntry {
       t(s, dir, "documents"), Seq("doc_id", "lang", "n_chars")),
     Some("SELECT 'doc_id' AS \"column\", count(*) AS n_rows, count(*) - count(doc_id) AS n_nulls, count(DISTINCT doc_id) AS n_distinct, CAST(min(doc_id) AS VARCHAR) AS min_str, CAST(max(doc_id) AS VARCHAR) AS max_str FROM documents UNION ALL SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents"))
 
+  /** Key-skew audit ([[graft.operators.Profile.keySkew]]): the
+    * shuffle-planning probe — max/mean key concentration and top-1/
+    * top-10 row shares for a prospective join key, in one row. The
+    * oracle re-derives the key histogram, the (count desc, key)
+    * top-10 head, and every ratio.
+    */
+  private val profileKeySkew = Q(
+    (s, dir) => graft.operators.Profile.keySkew(
+      t(s, dir, "events"), "user_id"),
+    Some("WITH c AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1), " +
+      "h AS (SELECT CAST(max(c) AS BIGINT) AS top1, CAST(sum(c) AS BIGINT) AS top10 FROM (SELECT c FROM c ORDER BY c DESC, k LIMIT 10)), " +
+      "t AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_key_rows FROM c) " +
+      "SELECT n_rows, n_keys, max_key_rows, round(CAST(n_rows AS DOUBLE) / n_keys, 4) AS mean_key_rows, " +
+      "round(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows, 4) AS skew_ratio, " +
+      "round(CAST(top1 AS DOUBLE) / n_rows, 6) AS top1_share, " +
+      "round(CAST(top10 AS DOUBLE) / n_rows, 6) AS top10_share FROM t CROSS JOIN h"))
+
   /** SO7 — deterministic stratified sampling: per-stratum keep rates
     * driven by an md5 bucket of the row key (~50% of `en`, ~25% of every
     * other language) — a pure filter, no RNG state, no sampling shuffle,
@@ -3101,6 +3118,37 @@ object SparkEntry {
     (s, dir) => TextAnalysis.packSequences(
       t(s, dir, "documents"), "doc_id", "text", maxTokens = 256, groups = 8),
     Some("WITH tk AS (SELECT doc_id, doc_id % 8 AS grp, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS toks FROM documents), c AS (SELECT grp, doc_id, toks, COALESCE(sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tk) SELECT grp, CAST(cum // 256 AS BIGINT) AS seq, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM c GROUP BY 1, 2"))
+
+  /** Packing-efficiency audit ([[graft.text.TextAnalysis
+    * .packEfficiency]]): per pack group, the fill rate (capped at the
+    * budget so overhang can't inflate it), overhang and underfill
+    * counts — the trainer-utilization readout over the same packing
+    * the `text_pack_sequences` entry pins.
+    */
+  private val textPackEfficiency = Q(
+    (s, dir) => TextAnalysis.packEfficiency(
+      t(s, dir, "documents"), "doc_id", "text", maxTokens = 256, groups = 8),
+    Some("WITH tk AS (SELECT doc_id, doc_id % 8 AS grp, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS toks FROM documents), " +
+      "c AS (SELECT grp, doc_id, toks, COALESCE(sum(toks) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tk), " +
+      "p AS (SELECT grp, cum // 256 AS seq, count(*) AS nd, sum(toks) AS nt FROM c GROUP BY 1, 2) " +
+      "SELECT grp, count(*) AS n_seqs, CAST(sum(nd) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens, " +
+      "round(CAST(sum(LEAST(nt, 256)) AS DOUBLE) / (count(*) * 256), 6) AS fill_rate, " +
+      "CAST(sum(CASE WHEN nt > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_overhang, " +
+      "CAST(sum(CASE WHEN nt < 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_underfilled FROM p GROUP BY 1"))
+
+  /** Per-language tokenizer fertility ([[graft.text.TextAnalysis
+    * .tokenFertility]]): chars-per-token and subwords-per-token by
+    * language — the audit that converts a token budget into the
+    * mixture it actually buys across languages with different
+    * tokenization costs.
+    */
+  private val textTokenFertility = Q(
+    (s, dir) => TextAnalysis.tokenFertility(
+      t(s, dir, "documents"), "lang", "text"),
+    Some("WITH c AS (SELECT lang, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS tk, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS sw, CAST(length(text) AS BIGINT) AS ch FROM documents) " +
+      "SELECT lang, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS n_tokens, CAST(sum(sw) AS BIGINT) AS n_subwords, CAST(sum(ch) AS BIGINT) AS n_chars, " +
+      "CASE WHEN sum(tk) > 0 THEN round(CAST(sum(ch) AS DOUBLE) / sum(tk), 4) END AS chars_per_token, " +
+      "CASE WHEN sum(tk) > 0 THEN round(CAST(sum(sw) AS DOUBLE) / sum(tk), 4) END AS subwords_per_token FROM c GROUP BY 1"))
 
   /** BPE training pair statistics ([[graft.text.Bpe.pairStats]]): the
     * corpus-sized stage of BPE training — char-level (iteration-0)
@@ -5399,6 +5447,7 @@ object SparkEntry {
     "so7_stratified_sample" -> so7StratifiedSample,
     "text_bm25" -> textBm25,
     "profile_table" -> profileTable,
+    "profile_key_skew" -> profileKeySkew,
     "privacy_k_anon" -> privacyKAnon,
     "so8_sample_k_per_group" -> so8SampleKPerGroup,
     "so10_weighted_sample" -> so10WeightedSample,
@@ -5446,6 +5495,8 @@ object SparkEntry {
     "text_fim" -> textFim,
     "text_chunks" -> textChunks,
     "text_pack_sequences" -> textPackSequences,
+    "text_pack_efficiency" -> textPackEfficiency,
+    "text_token_fertility" -> textTokenFertility,
     "text_repetition" -> textRepetition,
     "text_bpe_pair_stats" -> textBpePairStats,
     "j13_fuzzy_join" -> j13FuzzyJoin,

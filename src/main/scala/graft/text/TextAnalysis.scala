@@ -527,4 +527,65 @@ object TextAnalysis {
         (length(col("__pre")) + length(col("__suf")) + lit(15) +
           length(col("__mid"))).as("mid_e"))
   }
+
+  /** Per-language tokenizer fertility — the multilingual budget audit:
+    * how many (whitespace and subword-proxy) tokens a language costs
+    * per character decides the real mixture a token budget buys (a
+    * language at 2× fertility gets half the documents for the same
+    * tokens). Output per language: `n_docs`, `n_tokens`, `n_subwords`,
+    * `n_chars`, `chars_per_token` and `subwords_per_token` (both
+    * rounded 4; null when the language has zero tokens — reported,
+    * not silently dropped, since an all-empty slice is itself a
+    * data-quality signal).
+    *
+    * Scale shape: one language-keyed hash aggregate over per-row
+    * codegen'd counting expressions — map-side combined, |languages|
+    * output rows.
+    */
+  def tokenFertility(docs: DataFrame, lang: String, text: String)
+      : DataFrame = {
+    docs
+      .select(col(lang).as("lang"),
+        tokenCount(col(text)).cast("long").as("__tk"),
+        subwordCount(col(text)).cast("long").as("__sw"),
+        length(col(text)).cast("long").as("__ch"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("n_tokens"),
+        sum(col("__sw")).as("n_subwords"), sum(col("__ch")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_subwords"), col("n_chars"),
+        when(col("n_tokens") > 0,
+          round(col("n_chars") / col("n_tokens"), 4))
+          .as("chars_per_token"),
+        when(col("n_tokens") > 0,
+          round(col("n_subwords") / col("n_tokens"), 4))
+          .as("subwords_per_token"))
+  }
+
+  /** Packing-efficiency audit over [[packSequences]] output — the
+    * trainer-utilization number: a packing run that leaves sequences
+    * half-empty wastes the same fraction of every training step.
+    * Per pack group: `n_seqs`, `n_docs`, `n_tokens`, `fill_rate` =
+    * Σ min(seq tokens, maxTokens) / (n_seqs·maxTokens) (overhang
+    * doesn't inflate fill past 1, rounded 6), `n_overhang` (sequences
+    * whose boundary doc spills past the budget — truncation losses),
+    * and `n_underfilled` (sequences below budget — padding losses).
+    *
+    * Scale shape: the [[packSequences]] window + aggregate, then a
+    * |groups|-row re-aggregate — nothing beyond the packing's own
+    * shuffle.
+    */
+  def packEfficiency(df: DataFrame, id: String, text: String,
+      maxTokens: Int, groups: Int): DataFrame = {
+    packSequences(df, id, text, maxTokens, groups)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(least(col("n_tokens"), lit(maxTokens.toLong))) /
+          (count(lit(1)) * maxTokens.toDouble), 6).as("fill_rate"),
+        sum(when(col("n_tokens") > maxTokens, 1L).otherwise(0L))
+          .as("n_overhang"),
+        sum(when(col("n_tokens") < maxTokens, 1L).otherwise(0L))
+          .as("n_underfilled"))
+  }
 }

@@ -38,4 +38,29 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("keySkew: one hot key dominates the ratios") {
+    import spark.implicits._
+    // key 1 holds 8 rows; keys 2..5 hold 1 each -> 12 rows, 5 keys
+    val rows = (Seq.fill(8)(1L) ++ Seq(2L, 3L, 4L, 5L))
+      .toDF("k")
+    val (nRows, nKeys, mx, mean, skew, t1, t10) =
+      Profile.keySkew(rows, "k")
+        .as[(Long, Long, Long, Double, Double, Double, Double)]
+        .collect().head
+    assert((nRows, nKeys, mx) == ((12L, 5L, 8L)))
+    assert(mean == 2.4 && skew == 3.3333) // round(8·5/12, 4)
+    assert(t1 == 0.666667 && t10 == 1.0) // only 5 keys: top10 = all
+  }
+
+  test("keySkew: a uniform key reads as skew 1 with a partial top-10") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => i % 20).toDF("k")
+    val (nRows, nKeys, _, _, skew, t1, t10) =
+      Profile.keySkew(rows, "k")
+        .as[(Long, Long, Long, Double, Double, Double, Double)]
+        .collect().head
+    assert(nRows == 40L && nKeys == 20L && skew == 1.0)
+    assert(t1 == 0.05 && t10 == 0.5) // 10 of 20 equal keys = half the rows
+  }
 }

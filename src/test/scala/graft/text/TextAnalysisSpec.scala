@@ -341,4 +341,47 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(out(1L)._2 == 6 && out(2L)._2 == 2 && out(3L)._2 == 1)
   }
+
+  test("tokenFertility aggregates counts and ratios per language") {
+    val docs = Seq(
+      (1L, "en", "hello world"),        // 2 tok, 3 subwords? no: 2 alpha runs
+      (2L, "en", "a b, c"),             // 3 tok, 4 subwords (a,b,',',c)
+      (3L, "zz", ""),                   // tokenCount('') = 1 (split conv.)
+      (4L, "de", "straße!"))            // 1 tok, 2 subwords
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tokenFertility(docs, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)), Option(r.get(6)))).toMap
+    // en: 5 tokens, 6 subwords, 17 chars
+    assert(out("en")._1 == 2L && out("en")._2 == 5L && out("en")._3 == 6L)
+    assert(out("en")._4 == 17L && out("en")._5 == Some(3.4))
+    assert(out("en")._6 == Some(1.2))
+    // de: "straße!" = 1 ws token; subwords: 'stra', 'ß'? — regex is
+    // ASCII-alpha, so runs split at 'ß': [stra] [ß] [e] -> 3? 'ß' is
+    // non-alnum punct class match, 'e' alpha -> stra, ß, e, ! = 4
+    assert(out("de")._2 == 1L && out("de")._3 == 4L)
+    // the empty doc still counts 1 whitespace token (split convention),
+    // so its ratios are 0.0 rather than the zero-token null path
+    assert(out("zz")._2 == 1L && out("zz")._5 == Some(0.0))
+  }
+
+  test("packEfficiency: fill rate caps overhang at the budget and " +
+      "counts over/underfilled sequences") {
+    // one group (ids all even -> grp 0 with groups=1); budget 10:
+    //   docs: 6, 6 -> seq 0 (12 tokens, overhang), seq 1 gets 8 -> under
+    val docs = Seq(
+      (0L, Seq.fill(6)("w").mkString(" ")),
+      (1L, Seq.fill(6)("w").mkString(" ")),
+      (2L, Seq.fill(8)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packEfficiency(
+        docs, "doc_id", "text", maxTokens = 10, groups = 1)
+      .as[(Long, Long, Long, Long, Double, Long, Long)].collect()
+    assert(out.length == 1)
+    val (grp, nSeqs, nDocs, nToks, fill, over, under) = out.head
+    assert((grp, nSeqs, nDocs, nToks) == ((0L, 2L, 3L, 20L)))
+    // seq 0 holds 12 (capped to 10), seq 1 holds 8 -> fill = 18/20
+    assert(fill == 0.9 && over == 1L && under == 1L)
+  }
 }
