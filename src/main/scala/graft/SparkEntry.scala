@@ -4435,6 +4435,27 @@ object SparkEntry {
         .mkString(", ") +
       " SELECT node, auth, hub FROM s3")))
 
+  /** Root-to-node path linearization ([[graft.graph.TreePaths
+    * .rootPaths]]): a heap-shaped parent-pointer tree over the
+    * documents table (parent = (id−1)/2, id 0 the root) flattens to
+    * (node, root, depth, '/'-joined path) through POINTER DOUBLING —
+    * ⌈log₂ depth⌉ join rounds, one scalar action each, instead of a
+    * depth-long walk. The oracle walks the same tree with a recursive
+    * CTE, pinning every path string and depth.
+    */
+  private val graphTreePaths = Q(
+    (s, dir) => graft.graph.TreePaths.rootPaths(
+      t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") === 0, lit(null).cast("long"))
+          .otherwise(floor((col("doc_id") - 1) / 2).cast("long"))
+          .as("parent")),
+      "doc_id", "parent"),
+    Some("WITH RECURSIVE walk AS (" +
+      "SELECT doc_id AS node, doc_id AS cur, CAST(doc_id AS VARCHAR) AS path, 0 AS depth FROM documents " +
+      "UNION ALL " +
+      "SELECT node, (cur - 1) // 2 AS cur, CAST((cur - 1) // 2 AS VARCHAR) || '/' || path AS path, depth + 1 AS depth FROM walk WHERE cur <> 0) " +
+      "SELECT node, CAST(cur AS BIGINT) AS root, CAST(depth AS BIGINT) AS depth, path FROM walk WHERE cur = 0"))
+
   /** Fill-in-the-middle transform ([[TextAnalysis.fimTransform]],
     * Bavarian et al. 2022): every document re-serialized in PSM order
     * with the half-open char span of the middle — the infilling
@@ -5491,6 +5512,7 @@ object SparkEntry {
     "graph_pagerank" -> graphPagerank,
     "graph_lpa" -> graphLpa,
     "graph_hits" -> graphHits,
+    "graph_tree_paths" -> graphTreePaths,
     "corpus_data_card" -> corpusDataCard,
     "text_fim" -> textFim,
     "text_chunks" -> textChunks,
