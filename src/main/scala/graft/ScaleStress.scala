@@ -197,6 +197,27 @@ object ScaleStress {
           e.filter(col("vec_id") < 10), "vec_id", "embedding",
           cb, k = 5, nprobe = 3)
       }),
+      "tree_paths" -> (f => {
+        // a forest of f heap trees (parents never straddle replicas):
+        // depth stays ~log2(base corpus), so the pointer-doubling round
+        // COUNT is constant across rungs and each round is one linear
+        // node-keyed join — the time must scale with rows, not depth
+        val local = pmod(col("doc_id"), lit(Offset))
+        graft.graph.TreePaths.rootPaths(
+          docs(f).select(col("doc_id"),
+            when(local === 0, lit(null).cast("long"))
+              .otherwise(col("doc_id") - local +
+                floor((local - 1) / 2).cast("long")).as("parent")),
+          "doc_id", "parent")
+      }),
+      "binary_topk" -> (f => {
+        // queries fixed (replica-0 ids), scanned corpus grows with f:
+        // the hamming stage is the linear axis, rerank stays 32/query
+        val e = emb(f)
+        graft.ann.Quantize.binaryHammingTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, rerank = 32)
+      }),
       "ann_ivfpq_topk" -> (f => {
         // codebook seeds + coarse centroids + queries all resolve to
         // replica-0 rows (lowest vec_ids), so model and query load stay
@@ -237,7 +258,8 @@ object ScaleStress {
     // class as its comparison twin ann_ivfpq_topk's — keep the original
     // boundary so the residual-vs-plain comparison and prior-round
     // exponents stay apples-to-apples
-    val constructionHeavy = Set("so14_leakage_split", "overlap_matrix")
+    val constructionHeavy =
+      Set("so14_leakage_split", "overlap_matrix", "tree_paths")
     for ((name, mk) <- ops; f <- factors) {
       val (sec, rows) =
         if (constructionHeavy(name)) timeAll(mk(f)) else time(mk(f))

@@ -2877,6 +2877,22 @@ object SparkEntry {
       Seq("lang", "source", "len_bucket"), k = 3),
     Some("SELECT lang, source, n_chars // 100 AS len_bucket, CAST(count(*) AS BIGINT) AS group_n, count(*) < 3 AS at_risk FROM documents GROUP BY 1, 2, 3"))
 
+  /** l-diversity audit ([[graft.operators.Privacy.lDiversityAudit]]):
+    * the homogeneity-attack check on the SAME quasi-identifier grid as
+    * `privacy_k_anon`, with the language as the sensitive attribute —
+    * per class, distinct sensitive values, the modal value's share
+    * (the adversary's posterior), and the l-gate flag.
+    */
+  private val privacyLDiversity = Q(
+    (s, dir) => graft.operators.Privacy.lDiversityAudit(
+      t(s, dir, "documents").select(col("source"),
+        floor(col("n_chars") / 100).cast("long").as("len_bucket"),
+        col("lang")),
+      Seq("source", "len_bucket"), "lang", l = 2),
+    Some("WITH c AS (SELECT source, n_chars // 100 AS len_bucket, lang, count(*) AS c FROM documents GROUP BY 1, 2, 3) " +
+      "SELECT source, len_bucket, CAST(sum(c) AS BIGINT) AS group_n, count(*) AS l_distinct, " +
+      "round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_sensitive_frac, count(*) < 2 AS at_risk FROM c GROUP BY 1, 2"))
+
   /** Column profiling ([[graft.operators.Profile]]): per-column row/
     * null/distinct counts and min/max in ONE aggregation over one scan —
     * the post-conversion sanity report (count parity is the reference's
@@ -4011,6 +4027,55 @@ object SparkEntry {
       graft.text.Chat.renderWithLossSpans(turns, "conv", "i", "role", "txt")
     },
     Some("WITH tu AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx, CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, text AS t FROM documents), " +
+      "r AS (SELECT conv_id, turn_idx, role, t, '<|' || role || '|>' || t || '<|end|>' AS r FROM tu), " +
+      "o AS (SELECT *, COALESCE(sum(length(r)) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM r), " +
+      "asm AS (SELECT conv_id, string_agg(r, '' ORDER BY turn_idx) AS text FROM o GROUP BY 1), " +
+      "sp AS (SELECT conv_id, turn_idx AS span_turn, CAST(off + length(role) + 4 AS BIGINT) AS s, CAST(off + length(role) + 4 + length(t) AS BIGINT) AS e FROM o WHERE role = 'assistant') " +
+      "SELECT asm.conv_id, asm.text, sp.span_turn, sp.s, sp.e FROM asm LEFT JOIN sp USING (conv_id)"))
+
+  /** SFT from a BRANCHING conversation store — the composite a real
+    * assistant-data pipeline runs: [[graft.graph.TreePaths.rootPaths]]
+    * linearizes a heap-shaped message forest (8-message trees over
+    * documents), leaves (messages nobody replied to) select the
+    * trainable threads, each root→leaf path explodes into ordered
+    * turns with depth-alternating roles, and [[graft.text.Chat
+    * .renderWithLossSpans]] renders them with assistant loss spans.
+    * The oracle replays the walk with a recursive CTE, the leaf
+    * anti-filter, the path explode, and the render arithmetic
+    * (BIGINT-cast spans, the `pref_dpo_render` convention).
+    */
+  private val sftTreeRender = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+      val conv = floor(col("doc_id") / 8).cast("long")
+      val local = pmod(col("doc_id"), lit(8))
+      val msgs = docs.select(col("doc_id"), col("text"),
+        when(local === 0, lit(null).cast("long"))
+          .otherwise(conv * 8 + floor((local - 1) / 2).cast("long"))
+          .as("parent"))
+      val paths = graft.graph.TreePaths.rootPaths(msgs, "doc_id", "parent")
+      val leaves = paths.join(
+        msgs.select(col("parent").as("node"))
+          .where(col("node").isNotNull).distinct(),
+        Seq("node"), "left_anti")
+      val turns = leaves
+        .select(col("node").as("conv"),
+          posexplode(split(col("path"), "/")))
+        .select(col("conv"), col("pos").cast("long").as("i"),
+          when(pmod(col("pos"), lit(2)) === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          col("col").cast("long").as("msg_id"))
+        .join(docs.select(col("doc_id").as("msg_id"),
+          col("text").as("txt")), Seq("msg_id"))
+      graft.text.Chat.renderWithLossSpans(turns, "conv", "i", "role", "txt")
+    },
+    Some("WITH RECURSIVE msg AS (SELECT doc_id, text, CASE WHEN doc_id % 8 = 0 THEN NULL ELSE (doc_id // 8) * 8 + (doc_id % 8 - 1) // 2 END AS parent FROM documents WHERE doc_id < 120), " +
+      "walk AS (SELECT doc_id AS node, doc_id AS cur, CAST(doc_id AS VARCHAR) AS path FROM msg " +
+      "UNION ALL SELECT w.node, p.parent AS cur, CAST(p.parent AS VARCHAR) || '/' || w.path AS path FROM walk w JOIN msg p ON p.doc_id = w.cur WHERE p.parent IS NOT NULL), " +
+      "full_p AS (SELECT w.node, w.path FROM walk w JOIN msg m ON m.doc_id = w.cur WHERE m.parent IS NULL), " +
+      "leaves AS (SELECT node, path FROM full_p WHERE node NOT IN (SELECT parent FROM msg WHERE parent IS NOT NULL)), " +
+      "ex AS (SELECT node, unnest(string_split(path, '/')) AS mid, generate_subscripts(string_split(path, '/'), 1) AS i FROM leaves), " +
+      "tu AS (SELECT x.node AS conv_id, CAST(x.i - 1 AS BIGINT) AS turn_idx, CASE WHEN (x.i - 1) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, d.text AS t FROM ex x JOIN msg d ON d.doc_id = CAST(x.mid AS BIGINT)), " +
       "r AS (SELECT conv_id, turn_idx, role, t, '<|' || role || '|>' || t || '<|end|>' AS r FROM tu), " +
       "o AS (SELECT *, COALESCE(sum(length(r)) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM r), " +
       "asm AS (SELECT conv_id, string_agg(r, '' ORDER BY turn_idx) AS text FROM o GROUP BY 1), " +
@@ -5470,6 +5535,7 @@ object SparkEntry {
     "profile_table" -> profileTable,
     "profile_key_skew" -> profileKeySkew,
     "privacy_k_anon" -> privacyKAnon,
+    "privacy_l_diversity" -> privacyLDiversity,
     "so8_sample_k_per_group" -> so8SampleKPerGroup,
     "so10_weighted_sample" -> so10WeightedSample,
     "mix_temperature_sample" -> mixTemperatureSample,
@@ -5495,6 +5561,7 @@ object SparkEntry {
     "chat_template_render" -> chatTemplateRender,
     "chat_alternation_audit" -> chatAlternationAudit,
     "sft_render_gated" -> sftRenderGated,
+    "sft_tree_render" -> sftTreeRender,
     "pref_pair_build" -> prefPairBuild,
     "pref_pair_audit" -> prefPairAudit,
     "pref_best_of_n" -> prefBestOfN,

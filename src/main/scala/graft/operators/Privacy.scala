@@ -43,4 +43,32 @@ object Privacy {
         sum(when(col("at_risk"), col("group_n")).otherwise(0L))
           .as("rows_at_risk"),
         min(col("group_n")).as("k_actual"))
+
+  /** l-diversity audit — k-anonymity's necessary complement: a class
+    * can be k-large yet leak the SENSITIVE attribute outright when
+    * every member shares it (the homogeneity attack — "all 12 people
+    * in this zip/age class have the same diagnosis"). Per
+    * quasi-identifier class this reports `group_n`, `l_distinct`
+    * (distinct sensitive values), `top_sensitive_frac` (the modal
+    * sensitive value's share, rounded 4 — the adversary's posterior
+    * confidence), and `at_risk = l_distinct < l`.
+    *
+    * Scale shape: one (quasi × sensitive) hash aggregate (map-side
+    * combined) then a class-keyed re-aggregate — both bounded by the
+    * identifier-domain product, never corpus-wide state.
+    */
+  def lDiversityAudit(df: DataFrame, quasi: Seq[String],
+      sensitive: String, l: Int): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy((quasi :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(quasi.map(col): _*)
+      .agg(sum(col("__c")).as("group_n"),
+        count(lit(1)).as("l_distinct"),
+        max(col("__c")).as("__top"))
+      .select((quasi.map(col) ++ Seq(col("group_n"), col("l_distinct"),
+        round(col("__top") / col("group_n"), 4).as("top_sensitive_frac"),
+        (col("l_distinct") < l).as("at_risk"))): _*)
+  }
 }

@@ -620,4 +620,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(ex == 1, s"widen should be the only exchange, found $ex:\n$p")
     assert(p.contains("RoundRobinPartitioning"), p)
   }
+
+  test("round-10 second-wave entries: metric/audit folds stay keyed and " +
+      "broadcast — no cartesian, no global window, heads distributed") {
+    // kappa + length bias: keyed hash aggregates, scalar 1×1 crosses only
+    val fk = plan("pref_fleiss_kappa")
+    assert(fk.contains("HashAggregate"), fk)
+    assert(!fk.contains("CartesianProduct") && globalWindowLines(fk).isEmpty, fk)
+    val lb = plan("pref_length_bias")
+    assert(!lb.contains("CartesianProduct") && globalWindowLines(lb).isEmpty, lb)
+    // retrieval metrics: the |Q|·k run and query labels broadcast into
+    // the corpus-sized label join — broadcast hash, never sort-merge
+    val rm = plan("ann_retrieval_metrics")
+    assert(rm.contains("BroadcastHashJoin"), rm)
+    assert(!rm.contains("SortMergeJoin") && !rm.contains("CartesianProduct"), rm)
+    assert(globalWindowLines(rm).isEmpty, rm)
+    // binary topk: scoring is the deliberate broadcast NLJ (the ann_topk
+    // shape); candidate/rerank windows stay per-query partitioned
+    val bt = plan("ann_binary_topk")
+    assert(bt.contains("BroadcastNestedLoopJoin"), bt)
+    assert(!bt.contains("SortMergeJoin") && globalWindowLines(bt).isEmpty, bt)
+    // key skew: the top-10 head is a distributed TakeOrdered, never a
+    // global sort of the key histogram
+    val ks = plan("profile_key_skew")
+    assert(ks.contains("TakeOrderedAndProject"), ks)
+    assert(!ks.linesIterator.exists(_.matches("\\(\\d+\\) Sort\\s*")), ks)
+    // fertility: lang-keyed partial+final aggregate, no window
+    val tf = plan("text_token_fertility")
+    assert(tf.linesIterator.count(_.contains("HashAggregate")) >= 2, tf)
+    assert(globalWindowLines(tf).isEmpty, tf)
+    // pack efficiency: the packing window partitions by pack group
+    val pe = plan("text_pack_efficiency")
+    assert(globalWindowLines(pe).isEmpty, pe)
+    assert(!pe.contains("CartesianProduct"), pe)
+  }
 }

@@ -33,4 +33,17 @@ class PrivacySpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].head()
     assert(s == ((1L, 4L, 0L, 0L, 4L)))
   }
+
+  test("lDiversityAudit flags homogeneous classes a k-audit passes") {
+    // class A: 4 rows, ONE diagnosis -> k=3-safe but l=2-unsafe
+    // class B: 3 rows, diagnoses x,x,y -> l-diverse, modal share 2/3
+    val rows = Seq(
+      ("A", "flu"), ("A", "flu"), ("A", "flu"), ("A", "flu"),
+      ("B", "x"), ("B", "x"), ("B", "y")).toDF("zip", "diag")
+    val out = Privacy.lDiversityAudit(rows, Seq("zip"), "diag", l = 2)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 4L, 1L, 1.0, true)))
+    assert(out("B") == (("B", 3L, 2L, 0.6667, false)))
+  }
 }
