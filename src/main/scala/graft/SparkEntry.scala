@@ -4633,6 +4633,28 @@ object SparkEntry {
     },
     Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neighbor_id, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
 
+  /** Per-label embedding centroid drift ([[Ann.centroidDrift]]):
+    * even/odd vec_id halves stand in for reference vs refreshed
+    * corpora; per label the centroid cosine and L2 shift — the
+    * encoder-change monitor. The oracle re-derives both G×d centroid
+    * models (9-decimal hand-off) and both comparison folds.
+    */
+  private val annCentroidDrift = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("label"), col("embedding"), pmod(col("vec_id"), lit(2)).as("__side"))
+      graft.ann.Ann.centroidDrift(
+        emb.where(col("__side") === 0), emb.where(col("__side") === 1),
+        "label", "embedding")
+    },
+    Some("WITH dims AS (SELECT label, vec_id % 2 AS side, i AS dim, embedding[i + 1] AS v FROM embeddings, unnest(range(len(embedding))) AS u(i)), " +
+      "r AS (SELECT label, dim, round(avg(v), 9) AS ca, count(*) AS nr FROM dims WHERE side = 0 GROUP BY 1, 2), " +
+      "c AS (SELECT label, dim, round(avg(v), 9) AS cb, count(*) AS nc FROM dims WHERE side = 1 GROUP BY 1, 2), " +
+      "j AS (SELECT r.label, ca, cb, nr, nc FROM r JOIN c ON c.label = r.label AND c.dim = r.dim) " +
+      "SELECT label, CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur, " +
+      "round(sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6) AS cos, " +
+      "round(sqrt(sum((ca - cb) * (ca - cb))), 6) AS l2_shift FROM j GROUP BY 1"))
+
   /** Binary-quantized two-stage top-k ([[graft.ann.Quantize
     * .binaryHammingTopK]]): packed sign-bit Hamming prunes the corpus
     * to 32 candidates/query (dim/64 longs per distance instead of dim
@@ -5483,6 +5505,7 @@ object SparkEntry {
     "ann_topk" -> annTopK,
     "ann_retrieval_metrics" -> annRetrievalMetrics,
     "ann_binary_topk" -> annBinaryTopK,
+    "ann_centroid_drift" -> annCentroidDrift,
     "ann_random_projection" -> annRandomProjection,
     "ann_hard_negatives" -> annHardNegatives,
     "text_cdc_chunks" -> textCdcChunks,

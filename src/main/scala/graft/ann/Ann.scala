@@ -1021,4 +1021,36 @@ object Ann {
         (sqrt(sum(col("ca") * col("ca"))) * sqrt(sum(col("cb") * col("cb")))),
         6).as("cos"))
   }
+
+  /** Embedding-space drift monitor: per label, the cosine and L2 shift
+    * between the REFERENCE corpus's centroid and the CURRENT one — the
+    * "did the upstream encoder/model change under us" check an
+    * embedding pipeline runs on every refresh, where the scalar drift
+    * tier ([[graft.operators.Drift]]) watches feature columns. A
+    * cosine well under 1 on a stable label means re-embedding or
+    * re-indexing, BEFORE recall silently decays.
+    *
+    * Both corpora collapse to G×d centroid models in one
+    * dim-exploded aggregate each (map-side combined; same shape as
+    * [[groupCentroidCosine]]); the comparison joins the two tiny
+    * models. Labels missing on either side drop (an inner model join)
+    * — absence is a census question, not a drift one. Centroid means
+    * quantize to 9 at the hand-off, cosine/shift to 6.
+    */
+  def centroidDrift(ref: DataFrame, cur: DataFrame, group: String,
+      vecCol: String): DataFrame = {
+    def model(df: DataFrame, c: String, n: String) = df
+      .select(col(group).as("g"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("g"), col("dim"))
+      .agg(round(avg(col("v")), 9).as(c), count(lit(1)).as(n))
+    model(ref, "ca", "nr").join(model(cur, "cb", "nc"), Seq("g", "dim"))
+      .groupBy(col("g"))
+      .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+        round(sum(col("ca") * col("cb")) /
+          (sqrt(sum(col("ca") * col("ca"))) *
+            sqrt(sum(col("cb") * col("cb")))), 6).as("cos"),
+        round(sqrt(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))),
+          6).as("l2_shift"))
+      .withColumnRenamed("g", group)
+  }
 }

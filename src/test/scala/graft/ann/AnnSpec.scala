@@ -471,4 +471,24 @@ class AnnSpec extends SparkSpec {
     assert(cb.cents(0).exists(c =>
       math.abs(c(0) - 50.0) < 1.0 && math.abs(c(1) - 50.0) < 1.0))
   }
+
+  test("centroidDrift: identical halves read cos 1 / shift 0; a " +
+      "rotated label reads the rotation; unshared labels drop") {
+    val ref = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(1.0f, 0.0f), "a"),
+      (3L, Seq(0.0f, 2.0f), "b"),
+      (9L, Seq(5.0f, 5.0f), "gone")).toDF("vec_id", "embedding", "label")
+    val cur = Seq(
+      (4L, Seq(1.0f, 0.0f), "a"),
+      (5L, Seq(2.0f, 0.0f), "b")) // b rotated 90°: cos 0, shift sqrt(8)
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.centroidDrift(ref, cur, "label", "embedding")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet == Set("a", "b")) // 'gone' has no current side
+    assert(out("a") == ((2L, 1L, 1.0, 0.0)))
+    assert(out("b")._3 == 0.0 &&
+      math.abs(out("b")._4 - math.sqrt(8.0)) < 1e-6)
+  }
 }
