@@ -803,4 +803,66 @@ object PropertySpec extends Properties("graft") {
         }
       }
     }
+
+  property("fleissKappa equals the textbook scalar recomputation and " +
+      "respects its bounds") =
+    Prop.forAllNoShrink(Gen.listOf(Gen.zip(
+      Gen.chooseNum(0L, 4L), Gen.oneOf("a", "b", "c")))) { labels =>
+      val kept = labels.groupBy(_._1).filter(_._2.size >= 2)
+      kept.isEmpty || {
+        import spark.implicits._
+        val out = graft.operators.Annotations.fleissKappa(
+            labels.toDF("item", "lab"), "item", "lab")
+          .as[(Long, Long, Long, Double, Double, Double)].collect().head
+        // scalar re-derivation over ONLY the kept items
+        val pis = kept.values.map { rs =>
+          val n = rs.size.toDouble
+          val s2 = rs.groupBy(_._2).values.map(g => g.size * g.size).sum
+          (s2 - n) / (n * (n - 1))
+        }
+        val pBar = pis.sum / pis.size
+        val marg = kept.values.flatten.groupBy(_._2).view
+          .mapValues(_.size.toDouble).toMap
+        val tot = marg.values.sum
+        val pE = marg.values.map(c => (c / tot) * (c / tot)).sum
+        val (nItems, nRatings, nCats, oPb, oPe, oK) = out
+        val countsOk = nItems == kept.size &&
+          nRatings == kept.values.map(_.size).sum && nCats == marg.size
+        val pbOk = math.abs(oPb - pBar) <= 5e-7 + 1e-12
+        val peOk = math.abs(oPe - pE) <= 5e-7 + 1e-12
+        // kappa only defined when chance agreement < 1
+        val kOk = pE >= 1.0 - 1e-12 ||
+          math.abs(oK - (pBar - pE) / (1 - pE)) <= 5e-7 + 1e-9
+        val boundOk = oK.isNaN || oK <= 1.0 + 1e-9
+        countsOk && pbOk && peOk && kOk && boundOk
+      }
+    }
+
+  property("rootPaths: every path walks parent pointers from a root to " +
+      "its node with the exact depth") =
+    Prop.forAllNoShrink(Gen.chooseNum(1, 60), Gen.chooseNum(0L, 1000L)) {
+      (n, seed) =>
+        import spark.implicits._
+        val rnd = new scala.util.Random(seed)
+        // random forest: node i attaches to a uniform earlier node, or
+        // roots itself with probability ~1/4
+        val parents = (0L until n.toLong).map(i =>
+          if (i == 0 || rnd.nextInt(4) == 0) (i, None: Option[Long])
+          else (i, Some(rnd.nextInt(i.toInt).toLong)))
+        val pmap = parents.toMap
+        val out = graft.graph.TreePaths.rootPaths(
+            parents.toDF("id", "parent"), "id", "parent")
+          .as[(Long, Long, Long, String)].collect()
+        val allNodes = out.map(_._1).sorted.toSeq == (0L until n.toLong)
+        val pathsOk = out.forall { case (node, root, depth, path) =>
+          val ids = path.split("/").map(_.toLong).toSeq
+          ids.last == node && ids.head == root &&
+            pmap(root).isEmpty && depth == ids.length - 1 &&
+            ids.sliding(2).forall {
+              case Seq(p, c) => pmap(c).contains(p)
+              case _ => true
+            }
+        }
+        allNodes && pathsOk
+    }
 }
