@@ -1741,6 +1741,30 @@ object SparkEntry {
     (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text"),
     Some("SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups FROM documents GROUP BY 1"))
 
+  /** Template/structural dedup ([[Dedup.templateGroups]]): digit runs
+    * mask to '#' and whitespace collapses before hashing, so
+    * boilerplate families (product pages, pagination shells, log
+    * dumps) group under one fingerprint — the cheap tier between
+    * exact dedup and MinHash. Oracle re-derives the masked md5 with
+    * global-flag regexp_replace.
+    */
+  private val dedupTemplate = Q(
+    (s, dir) => Dedup.templateGroups(t(s, dir, "documents"), "doc_id", "text"),
+    Some("SELECT md5(regexp_replace(regexp_replace(lower(trim(text)), '[0-9]+', '#', 'g'), '\\s+', ' ', 'g')) AS fp, min(doc_id) AS keeper, count(*) AS n_members FROM documents GROUP BY 1"))
+
+  /** Per-document character entropy ([[graft.text.TextAnalysis
+    * .charEntropy]]): the Gopher-style bits-per-char quality signal —
+    * base64/key-mash spam reads high, padding floods read near zero.
+    * Per-char terms quantize to 9 before the fold on both sides; the
+    * oracle re-derives the char histogram via substr explode.
+    */
+  private val textEntropy = Q(
+    (s, dir) => TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text"),
+    Some("WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch FROM documents, unnest(range(1, length(text) + 1)) AS u(i)), " +
+      "cells AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2), " +
+      "e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars, sum(round(c * log2(c), 9)) AS clogc FROM cells GROUP BY 1) " +
+      "SELECT d.doc_id, COALESCE(e.n_chars, 0) AS n_chars, COALESCE(round(log2(e.n_chars) - clogc / e.n_chars, 6), 0.0) AS entropy FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id"))
+
   /** Exact word-set Jaccard near-dup pairs, adaptive: this corpus's
     * ~31-token vocabulary fits in a 64-bit mask, so the probe picks
     * [[Dedup.jaccardPairsBitset]] — per-doc bitmasks, popcount Jaccard
@@ -5497,6 +5521,7 @@ object SparkEntry {
     "mm_featurize" -> mmFeaturize,
     "mm_resize" -> mmResize,
     "text_tokens" -> textTokens,
+    "text_entropy" -> textEntropy,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "corpus_curation" -> corpusCuration,
@@ -5528,6 +5553,7 @@ object SparkEntry {
     "ann_index_persist" -> annIndexPersist,
     "ann_kmeans" -> annKmeans,
     "dedup_exact" -> dedupExact,
+    "dedup_template" -> dedupTemplate,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_incremental" -> dedupIncremental,

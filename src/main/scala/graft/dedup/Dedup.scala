@@ -107,6 +107,22 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("fp"))
       .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_dups"))
 
+  /** Template (structural) dedup — the boilerplate-page catch exact
+    * hashing misses: pages differing ONLY in digits (ids, counters,
+    * timestamps, prices) and whitespace collapse to one fingerprint
+    * (lowercase+trim, digit runs → '#', whitespace runs → one space).
+    * This is the cheap tier between exact dedup and MinHash: product
+    * pages, pagination shells, and log dumps are template families long
+    * before they're token-level near-dups. Same one-aggregate shape as
+    * [[exact]]: the masking is a per-row codegen'd projection, the
+    * group state is constant, and the shuffle carries md5 keys.
+    */
+  def templateGroups(docs: DataFrame, id: String, text: String)
+      : DataFrame =
+    docs.groupBy(md5(regexp_replace(regexp_replace(
+        lower(trim(col(text))), "[0-9]+", "#"), "\\s+", " ")).as("fp"))
+      .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_members"))
+
   /** Per-document duplicated-span fraction — the exact-substring-dedup
     * signal (Lee et al. 2021, "Deduplicating Training Data Makes
     * Language Models Better"): for each document, the fraction of its

@@ -528,6 +528,38 @@ object TextAnalysis {
           length(col("__mid"))).as("mid_e"))
   }
 
+  /** Per-document character entropy (bits/char) — the Gopher-style
+    * quality rule the length/punctuation ratios miss: binary blobs,
+    * base64 runs, and key-mash spam sit HIGH (near log₂ alphabet),
+    * while single-char floods and padding sit near 0; natural prose
+    * occupies a stable mid band per language. Output per document:
+    * `n_chars` (non-empty character count) and `entropy` =
+    * log₂ n − (Σ c·log₂ c)/n over the char histogram, rounded 6, with
+    * per-char terms quantized to 9 before the fold so the engine and
+    * oracle sum order can't drift. Empty documents report (0, 0.0).
+    *
+    * Scale shape: one (doc, char) hash aggregate (map-side combined —
+    * the shuffle carries histogram cells, ≤ alphabet per doc, not
+    * characters) and a doc-keyed fold; the join back rides the same
+    * doc partitioning.
+    */
+  def charEntropy(docs: DataFrame, id: String, text: String): DataFrame = {
+    val cells = docs
+      .select(col(id), explode(split(col(text), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy(col(id), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val ent = cells.groupBy(col(id))
+      .agg(sum(col("c")).as("n_chars"),
+        sum(round(col("c") * log(2.0, col("c")), 9)).as("__clogc"))
+      .select(col(id), col("n_chars"),
+        round(log(2.0, col("n_chars")) - col("__clogc") / col("n_chars"), 6)
+          .as("entropy"))
+    docs.select(col(id)).join(ent, Seq(id), "left")
+      .select(col(id), coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+  }
+
   /** Per-language tokenizer fertility — the multilingual budget audit:
     * how many (whitespace and subword-proxy) tokens a language costs
     * per character decides the real mixture a token budget buys (a

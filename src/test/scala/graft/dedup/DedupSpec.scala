@@ -442,4 +442,20 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("templateGroups collapses digit/whitespace/case variants that " +
+      "exact dedup keeps apart") {
+    val docs = Seq(
+      (1L, "Order 123 shipped"),
+      (2L, "order   456 SHIPPED"),   // digits+ws+case differ: same template
+      (3L, "order cancelled"),
+      (4L, "v1.2.3 build 99"),
+      (5L, "v9.0.1 build 7"))        // same shape: v#.#.# build #
+      .toDF("doc_id", "text")
+    val exact = Dedup.exact(docs, "doc_id", "text").count()
+    assert(exact == 5) // all byte-distinct
+    val out = Dedup.templateGroups(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 2L))
+  }
 }

@@ -366,6 +366,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("zz")._2 == 1L && out("zz")._5 == Some(0.0))
   }
 
+  test("charEntropy matches hand-computed values and zeroes empties") {
+    val docs = Seq(
+      (1L, "aaaa"),  // one symbol -> 0 bits
+      (2L, "aabb"),  // uniform 2 -> 1 bit
+      (3L, "abcd"),  // uniform 4 -> 2 bits
+      (4L, "aab"),   // log2(3) - 2/3
+      (5L, ""))      // empty -> (0, 0.0)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 0.0)))
+    assert(out(2L) == ((2L, 4L, 1.0)))
+    assert(out(3L) == ((3L, 4L, 2.0)))
+    assert(out(4L)._2 == 3L && out(4L)._3 == 0.918296)
+    assert(out(5L) == ((5L, 0L, 0.0)))
+  }
+
   test("packEfficiency: fill rate caps overhang at the budget and " +
       "counts over/underfilled sequences") {
     // one group (ids all even -> grp 0 with groups=1); budget 10:
