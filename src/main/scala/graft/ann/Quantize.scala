@@ -48,17 +48,22 @@ object Quantize {
     * even for bit 63).
     */
   private def packSignBits(vec: Column): Column =
-    transform(
-      sequence(lit(0), ((size(vec) - 1) / 64).cast("int")),
-      w => aggregate(
-        sequence(w * 64,
-          least(w * 64 + 63, size(vec) - 1).cast("int")),
-        lit(0L),
-        (acc, i) => acc.bitwiseOR(
-          when(element_at(vec, i + 1) > 0,
-            call_function("shiftleft", lit(1L),
-              pmod(i, lit(64)).cast("int")))
-            .otherwise(lit(0L)))))
+    // empty/null vectors pack to zero words (the If short-circuits, so
+    // the descending sequence + element_at(0) ANSI error path of a
+    // 0-length input is never built)
+    when(size(vec) > 0,
+      transform(
+        sequence(lit(0), ((size(vec) - 1) / 64).cast("int")),
+        w => aggregate(
+          sequence(w * 64,
+            least(w * 64 + 63, size(vec) - 1).cast("int")),
+          lit(0L),
+          (acc, i) => acc.bitwiseOR(
+            when(element_at(vec, i + 1) > 0,
+              call_function("shiftleft", lit(1L),
+                pmod(i, lit(64)).cast("int")))
+              .otherwise(lit(0L))))))
+      .otherwise(array().cast("array<bigint>"))
 
   /** Two-stage binary-quantized top-k: Hamming distance over packed
     * sign bits prunes the corpus to `rerank` candidates per query
@@ -83,9 +88,13 @@ object Quantize {
       packSignBits(col(vec)).as("__cw"))
     val qs = queries.select(col(qId).as("q_id"), col(qVec).as("__qv"),
       packSignBits(col(qVec)).as("__qw"))
+    // zip_with pads a shorter word array with nulls; an absent word
+    // reads as 0 bits, so a degenerate (empty/short) vector measures
+    // the full popcount of the other side instead of a null distance
     val ham = aggregate(
       zip_with(col("__qw"), col("__cw"),
-        (a, b) => bit_count(a.bitwiseXOR(b))),
+        (a, b) => bit_count(coalesce(a, lit(0L))
+          .bitwiseXOR(coalesce(b, lit(0L))))),
       lit(0), (acc, x) => acc + x)
     val scored = corp.crossJoin(broadcast(qs))
       .where(col("q_id") =!= col(id))

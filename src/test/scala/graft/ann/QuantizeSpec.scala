@@ -86,4 +86,20 @@ class QuantizeSpec extends SparkSpec {
       .as[(Long, Int, Long, Long, Double)].collect()
     assert(out.map(_._3).toSet == Set(1L, 2L))
   }
+
+  test("binaryHammingTopK: an empty corpus vector packs to zero words " +
+      "instead of tripping the ANSI element_at(0) path") {
+    val q = Seq.fill(4)(1.0f)
+    val df = Seq((0L, q), (1L, q), (2L, Seq.empty[Float]))
+      .toDF("vec_id", "embedding")
+    // must not throw; absent words read as 0 bits, so the empty
+    // vector's hamming is the query's full popcount (4 positive dims),
+    // and its zero-norm cosine is honestly null rather than invented
+    val out = Quantize.binaryHammingTopK(
+        df, "vec_id", "embedding", df.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 2, rerank = 2)
+      .as[(Long, Int, Long, Long, Option[Double])].collect()
+    assert(out.map(r => r._3 -> r._4).toMap == Map(1L -> 0L, 2L -> 4L))
+    assert(out.find(_._3 == 2L).get._5.forall(_.isNaN))
+  }
 }
