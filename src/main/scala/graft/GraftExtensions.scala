@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomContains, DotProduct, RepairMojibake, TokenCount, UnicodeNormalize}
+import graft.functions.{BloomContains, DotProduct, HammingDistance, RepairMojibake, TokenCount, UnicodeNormalize}
 import graft.plans.IntervalJoinStrategy
 
 /** Session extensions registering the library's native expressions and
@@ -52,6 +52,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"${RepairMojibake.Name} takes exactly 1 argument")
         RepairMojibake(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(HammingDistance.Name),
+      new ExpressionInfo(classOf[HammingDistance].getName,
+        HammingDistance.Name),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"${HammingDistance.Name} takes exactly 2 arguments")
+        HammingDistance(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier(TokenCount.Name),

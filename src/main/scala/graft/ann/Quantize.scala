@@ -90,12 +90,23 @@ object Quantize {
       packSignBits(col(qVec)).as("__qw"))
     // zip_with pads a shorter word array with nulls; an absent word
     // reads as 0 bits, so a degenerate (empty/short) vector measures
-    // the full popcount of the other side instead of a null distance
-    val ham = aggregate(
-      zip_with(col("__qw"), col("__cw"),
-        (a, b) => bit_count(coalesce(a, lit(0L))
-          .bitwiseXOR(coalesce(b, lit(0L))))),
-      lit(0), (acc, x) => acc + x)
+    // the full popcount of the other side instead of a null distance.
+    // Sessions with GraftExtensions get the native codegen'd
+    // Long.bitCount loop ([[graft.functions.HammingDistance]], zero
+    // allocation on the |corpus|·|queries| hot path); plain sessions
+    // transparently fall back to the HOF form — same values
+    // (HammingDistanceSpec pins the parity).
+    val ham = org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if s.catalog.functionExists(
+          graft.functions.HammingDistance.Name) =>
+        graft.functions.HammingDistance.hammingNative(
+          col("__qw"), col("__cw"))
+      case _ => aggregate(
+        zip_with(col("__qw"), col("__cw"),
+          (a, b) => bit_count(coalesce(a, lit(0L))
+            .bitwiseXOR(coalesce(b, lit(0L))))),
+        lit(0), (acc, x) => acc + x)
+    }
     val scored = corp.crossJoin(broadcast(qs))
       .where(col("q_id") =!= col(id))
       .withColumn("hamming", ham.cast("long"))
