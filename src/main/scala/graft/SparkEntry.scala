@@ -2928,6 +2928,33 @@ object SparkEntry {
       t(s, dir, "documents"), Seq("doc_id", "lang", "n_chars")),
     Some("SELECT 'doc_id' AS \"column\", count(*) AS n_rows, count(*) - count(doc_id) AS n_nulls, count(DISTINCT doc_id) AS n_distinct, CAST(min(doc_id) AS VARCHAR) AS min_str, CAST(max(doc_id) AS VARCHAR) AS max_str FROM documents UNION ALL SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents"))
 
+  /** Curriculum staging ([[graft.operators.Mixture.curriculumStages]]):
+    * per-language difficulty quartiles (char length as the difficulty
+    * proxy) with the (score, id) tie-break — the easy→hard band
+    * assignment a curriculum schedule consumes. Oracle re-derives the
+    * ntile with the same ordering.
+    */
+  private val mixCurriculum = Q(
+    (s, dir) => graft.operators.Mixture.curriculumStages(
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), length(col("text")).as("d")),
+      "lang", "doc_id", "d", stages = 4),
+    Some("SELECT lang, doc_id, CAST(length(text) AS DOUBLE) AS score, CAST(ntile(4) OVER (PARTITION BY lang ORDER BY CAST(length(text) AS DOUBLE), doc_id) AS INT) AS stage FROM documents"))
+
+  /** Deterministic bootstrap CI ([[graft.operators.Resample
+    * .bootstrapCI]]): 40 md5-coin half-sample replicates of the mean
+    * document length, collapsed to (mean, p5, p95) — reproducible
+    * error bars for corpus metrics. The oracle replays every replicate
+    * coin and the quantile_cont fold.
+    */
+  private val evalBootstrapCI = Q(
+    (s, dir) => graft.operators.Resample.bootstrapCI(
+      t(s, dir, "documents"), "doc_id", "n_chars", reps = 40),
+    Some("WITH b AS (SELECT unnest(range(40)) AS b), " +
+      "k AS (SELECT b.b, CAST(d.n_chars AS DOUBLE) AS v FROM documents d CROSS JOIN b WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)), 1, 1) < '8'), " +
+      "m AS (SELECT b, avg(v) AS m FROM k GROUP BY 1) " +
+      "SELECT count(*) AS n_reps, round(avg(m), 6) AS mean, round(quantile_cont(m, 0.05), 6) AS ci_lo, round(quantile_cont(m, 0.95), 6) AS ci_hi FROM m"))
+
   /** Key-skew audit ([[graft.operators.Profile.keySkew]]): the
     * shuffle-planning probe — max/mean key concentration and top-1/
     * top-10 row shares for a prospective join key, in one row. The
@@ -5589,6 +5616,8 @@ object SparkEntry {
     "so10_weighted_sample" -> so10WeightedSample,
     "mix_temperature_sample" -> mixTemperatureSample,
     "mix_token_budget" -> mixTokenBudget,
+    "mix_curriculum" -> mixCurriculum,
+    "eval_bootstrap_ci" -> evalBootstrapCI,
     "mix_interleave" -> mixInterleave,
     "mix_epoch_expand" -> mixEpochExpand,
     "so9_quantile_buckets" -> so9QuantileBuckets,

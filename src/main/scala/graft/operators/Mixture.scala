@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temperature-based domain mixture sampling — the "data mixing" step
@@ -219,5 +220,28 @@ object Mixture {
       .select(col(domainCol), col(idCol),
         (col("__full") + 1).as("epoch"))
     fullEpochs.unionAll(partial)
+  }
+
+  /** Curriculum staging: within each group (a language, a domain),
+    * documents rank by a difficulty/quality score and split into
+    * `stages` equal bands — the easy→hard ordering a curriculum
+    * schedule trains through, assigned deterministically ((score, id)
+    * tie-break) so re-runs and the oracle agree on every boundary row.
+    * `ntile` follows the SQL-standard remainder rule (the first
+    * n mod stages bands get one extra row) on both engines.
+    *
+    * Scale shape: one group-partitioned rank window — the same
+    * per-group sort any curriculum assignment needs; no global
+    * ordering, no driver state. Groups are the parallelism unit, so
+    * the widest task holds the largest group, not the corpus.
+    */
+  def curriculumStages(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, stages: Int): DataFrame = {
+    require(stages >= 2, s"need at least 2 stages, got $stages")
+    df.select(col(groupCol), col(idCol),
+        col(scoreCol).cast("double").as("score"))
+      .withColumn("stage", ntile(stages).over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("score"), col(idCol))))
   }
 }

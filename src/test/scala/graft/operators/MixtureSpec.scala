@@ -185,4 +185,22 @@ class MixtureSpec extends SparkSpec {
     assert(plan.map(_._1).toSet == Set("a"))
     assert(plan.head == (("a", 1L, 1L, 1L)))
   }
+
+  test("curriculumStages bands by score within each group, remainder " +
+      "to the first bands, ties broken by id") {
+    val docs = Seq(
+      ("en", 1L, 10.0), ("en", 2L, 20.0), ("en", 3L, 30.0),
+      ("en", 4L, 40.0), ("en", 5L, 50.0),
+      // tie group: identical scores -> id order decides the split
+      ("de", 1L, 7.0), ("de", 2L, 7.0))
+      .toDF("g", "id", "sc")
+    val out = Mixture.curriculumStages(docs, "g", "id", "sc", stages = 2)
+      .as[(String, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    // en: 5 rows / 2 stages -> first band takes 3 (remainder rule)
+    assert(out(("en", 1L)) == 1 && out(("en", 2L)) == 1 &&
+      out(("en", 3L)) == 1)
+    assert(out(("en", 4L)) == 2 && out(("en", 5L)) == 2)
+    assert(out(("de", 1L)) == 1 && out(("de", 2L)) == 2)
+  }
 }
