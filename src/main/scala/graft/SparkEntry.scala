@@ -3519,6 +3519,29 @@ object SparkEntry {
     },
     Some("SELECT user_id, event_id, CAST(count(*) OVER w AS BIGINT) AS n_1h, round(sum(value) OVER w, 4) AS value_1h FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"))
 
+  /** W3 — forward-fill (gap fill): nulls planted at event_id % 11
+    * carry the user's LAST observed value forward in (ts, event_id)
+    * order — the sensor/metrics imputation every time-series pipeline
+    * runs, as a per-user running `last(ignoreNulls)` window (no
+    * self-join, no global sort; the user partition is the
+    * parallelism unit). Leading nulls stay null — there is nothing to
+    * carry. Oracle: `last_value(... IGNORE NULLS)` over the same
+    * frame.
+    */
+  private val w3GapFill = Q(
+    (s, dir) => {
+      val v = when(pmod(col("event_id"), lit(11)) === 0,
+        lit(null).cast("double")).otherwise(col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"), v.as("v"),
+        last(v, ignoreNulls = true).over(w).as("v_filled"))
+    },
+    Some("SELECT event_id, user_id, CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v, " +
+      "last_value(CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled FROM events"))
+
   /** Pivot (long → wide counts over the closed event-type domain).
     * Explicit pivot values keep the plan a single pass (no
     * distinct-values pre-query) and the output schema static.
@@ -5521,6 +5544,7 @@ object SparkEntry {
     "a12_grouping_sets" -> a12GroupingSets,
     "w1_window_funcs" -> w1WindowFuncs,
     "w2_rolling_window" -> w2RollingWindow,
+    "w3_gap_fill" -> w3GapFill,
     "an1_funnel" -> an1Funnel,
     "an2_cohort" -> an2Cohort,
     "an3_transitions" -> an3Transitions,

@@ -653,5 +653,26 @@ class PlanAuditSpec extends SparkSpec {
     val pe = plan("text_pack_efficiency")
     assert(globalWindowLines(pe).isEmpty, pe)
     assert(!pe.contains("CartesianProduct"), pe)
+    // template dedup + char entropy: keyed hash aggregates, no window
+    Seq("dedup_template", "text_entropy").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("HashAggregate"), s"$n:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        globalWindowLines(p).isEmpty, s"$n:\n$p")
+    }
+    // curriculum + gap fill: group-partitioned windows only
+    Seq("mix_curriculum", "w3_gap_fill").foreach { n =>
+      val p = plan(n)
+      assert(globalWindowLines(p).isEmpty, s"$n:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+    }
+    // bootstrap: the 40-row replicate frame broadcasts (the deliberate
+    // NLJ); the corpus side never sort-merges
+    val bc = plan("eval_bootstrap_ci")
+    assert(bc.contains("BroadcastNestedLoopJoin"), bc)
+    assert(!bc.contains("SortMergeJoin"), bc)
+    // centroid drift: tiny model join — keyed or broadcast, no cartesian
+    val cd = plan("ann_centroid_drift")
+    assert(!cd.contains("CartesianProduct"), cd)
   }
 }
