@@ -718,6 +718,53 @@ object SparkEntry {
     },
     Some("SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(v100) AS BIGINT) AS vsum, min(v100) AS vmin, max(v100) AS vmax, round(CAST(sum(v100) AS DOUBLE) / count(*), 4) AS vavg FROM (SELECT user_id, event_type, CAST(floor(value * 100) AS BIGINT) AS v100 FROM events) GROUP BY 1, 2"))
 
+  /** §2.8-streaming — streaming forward-fill ([[graft.streaming
+    * .StreamingIngest.gapFillDrain]]): the events table arrives as FOUR
+    * time-ordered micro-batches (ts-quartile files with ascending
+    * modTimes, so the file source replays event-time order); each
+    * batch fills its planted nulls (event_id % 7) from the per-key
+    * carry state and advances it. The drained output must equal the
+    * one-shot batch window over everything — the cross-batch-boundary
+    * parity proof for the fill's seeding and state advance.
+    */
+  private val stGapFill = Q(
+    (s, dir) => {
+      val tmp = scratchPath("graft_stgf").toString
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"),
+        when(pmod(col("event_id"), lit(7)) === 0,
+          lit(null).cast("double")).otherwise(col("value")).as("v"))
+      val staged = ev.withColumn("__q",
+        ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$tmp/in"))
+      (1 to 4).foreach { q =>
+        staged.where(col("__q") === q).drop("__q")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stage/q$q")
+        val src = new java.io.File(s"$tmp/stage/q$q").listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = java.nio.file.Paths.get(s"$tmp/in/batch-$q.parquet")
+        java.nio.file.Files.copy(src.toPath, dst)
+        // explicit ascending modTimes: the file source's replay order
+        // must not depend on sub-ms write timing
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + q * 60000L))
+      }
+      val stream = s.readStream
+        .schema(StructType.fromDDL(
+          "event_id bigint, user_id bigint, ts timestamp, v double"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/in")
+      graft.streaming.StreamingIngest.gapFillDrain(
+        stream, s"$tmp/state", s"$tmp/ck", s"$tmp/out",
+        "user_id", Seq("ts", "event_id"), "v")
+        .awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("event_id"), col("user_id"), col("v"), col("v_filled"))
+    },
+    Some("SELECT event_id, user_id, CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v, " +
+      "last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled FROM events"))
+
   /** §2.8-streaming — at-least-once redelivery dedup
     * ([[graft.streaming.StreamingIngest.dedupFirstSeen]]): the doubled
     * input simulates upstream redelivery (every record arrives twice);
@@ -5699,6 +5746,7 @@ object SparkEntry {
     "dedup_semantic" -> dedupSemantic,
     "st_dedup_replay" -> stDedupReplay,
     "st_monoid_state" -> stMonoidState,
+    "st_gap_fill" -> stGapFill,
     "st_warc_ingest" -> stWarcIngest,
     "st_sketch_state" -> stSketchState,
     "st_upsert_drain" -> stUpsertDrain,

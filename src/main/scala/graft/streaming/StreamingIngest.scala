@@ -329,6 +329,70 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming forward-fill: the arrival-path twin of the batch
+    * `w3_gap_fill` window — each micro-batch fills its nulls from the
+    * key's last observed value, seeding each key's leading nulls from
+    * persisted per-key carry state, then advances the state to the
+    * batch's last filled value. Filled rows append to `outPath`; state
+    * is one row per key regardless of stream length.
+    *
+    * Ordering contract: like every forward fill, correctness needs
+    * per-key event-time order ACROSS batches (the file source's
+    * modTime order in the entry fixture); within a batch the window
+    * sorts by `orderCols`. Out-of-order late data needs upstream
+    * reordering or reprocessing — state here is deliberately last-
+    * value-only, not a reorder buffer.
+    */
+  def gapFillDrain(
+      stream: DataFrame, statePath: String, checkpoint: String,
+      outPath: String, key: String, orderCols: Seq[String],
+      valueCol: String): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val w = Window.partitionBy(col(key))
+            .orderBy(orderCols.map(col): _*)
+            .rowsBetween(Window.unboundedPreceding, 0)
+          val local = batch.toDF()
+            .withColumn("__f", last(col(valueCol), ignoreNulls = true).over(w))
+          val p = new org.apache.hadoop.fs.Path(statePath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val hasState = fs.exists(p) && fs.listStatus(p).nonEmpty
+          val seeded =
+            if (hasState)
+              local.join(spark.read.parquet(statePath), Seq(key), "left")
+                .withColumn("__f", coalesce(col("__f"), col("__carry")))
+            else local.withColumn("__carry",
+              lit(null).cast(local.schema(valueCol).dataType))
+          seeded
+            .select(batch.columns.map(col) :+
+              col("__f").as(s"${valueCol}_filled"): _*)
+            .write.mode("append").parquet(outPath)
+          // next carry: the batch's last filled value per key (falls
+          // back to the old carry when the batch was all-null); keys
+          // not in this batch keep their row via the outer merge
+          val advanced = seeded.groupBy(col(key))
+            .agg(coalesce(
+              max_by(col("__f"), struct(orderCols.map(col): _*)),
+              first(col("__carry"))).as("__carry"))
+          val merged =
+            if (hasState)
+              spark.read.parquet(statePath)
+                .join(advanced.select(col(key)), Seq(key), "left_anti")
+                .unionByName(advanced)
+            else advanced
+          // localCheckpoint cuts the self-referential lineage (the new
+          // state reads the files it is about to replace)
+          merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
+        }
+      }
+      .start()
+  }
+
   /** Streaming distinct-count sketch state: the approximate sibling of
     * [[monoidStateDrain]] for the measure plain monoids can't carry —
     * COUNT DISTINCT. Each micro-batch aggregates its rows into one HLL

@@ -495,4 +495,48 @@ class StreamingIngestSpec extends SparkSpec {
     drain() // restart, nothing new
     assert(counts() == Map("a" -> 3L, "b" -> 1L))
   }
+
+  test("gapFillDrain: carry crosses batch boundaries, all-null batches " +
+      "preserve it, unseen-key leading nulls stay null") {
+    val tmp = Files.createTempDirectory("graft_gapfill").toString
+    val schema = StructType.fromDDL("k bigint, seq bigint, v double")
+
+    def drain(): Unit =
+      StreamingIngest.gapFillDrain(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in"),
+        s"$tmp/state", s"$tmp/ck", s"$tmp/out",
+        "k", Seq("seq"), "v")
+        .awaitTermination()
+
+    // batch 1: key 1 ends on 5.0; key 2 all null (never observed)
+    Seq((1L, 1L, Some(1.0)), (1L, 2L, None: Option[Double]),
+      (1L, 3L, Some(5.0)), (2L, 1L, None: Option[Double]))
+      .toDF("k", "seq", "v")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    drain()
+    // batch 2: key 1's leading null must read 5.0 from the carry;
+    // key 2 sees its first real value; key 3 arrives new with a null
+    Seq((1L, 4L, None: Option[Double]), (2L, 2L, Some(7.0)),
+      (3L, 1L, None: Option[Double]))
+      .toDF("k", "seq", "v")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    drain()
+    // batch 3: all-null batch for key 2 — the 7.0 carry must survive
+    Seq((2L, 3L, None: Option[Double]))
+      .toDF("k", "seq", "v")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    drain()
+
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("k", "seq", "v_filled")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == Some(1.0))   // within-batch fill
+    assert(out((1L, 4L)) == Some(5.0))   // cross-batch carry
+    assert(out((2L, 1L)) == None)        // nothing to carry yet
+    assert(out((2L, 2L)) == Some(7.0))
+    assert(out((2L, 3L)) == Some(7.0))   // carry through all-null batch
+    assert(out((3L, 1L)) == None)        // unseen key stays null
+  }
 }
