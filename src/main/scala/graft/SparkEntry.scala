@@ -4754,6 +4754,20 @@ object SparkEntry {
     },
     Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neighbor_id, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
 
+  /** Sort-free brute top-k ([[Ann.topKAgg]]): the SAME query/oracle as
+    * `ann_topk`, ranked by the bounded-buffer aggregate instead of the
+    * rank window — the shuffle carries ≤k tuples per (query × map
+    * partition), never the scored stream, and no sort runs. Identical
+    * hash against the identical oracle IS the parity proof.
+    */
+  private val annTopKAgg = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.topKAgg(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    },
+    Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neighbor_id, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
+
   /** Per-label embedding centroid drift ([[Ann.centroidDrift]]):
     * even/odd vec_id halves stand in for reference vs refreshed
     * corpora; per label the centroid cosine and L2 shift — the
@@ -5626,6 +5640,7 @@ object SparkEntry {
     "text_fingerprint" -> textFingerprint,
     "text_ngrams" -> textNgrams,
     "ann_topk" -> annTopK,
+    "ann_topk_agg" -> annTopKAgg,
     "ann_retrieval_metrics" -> annRetrievalMetrics,
     "ann_binary_topk" -> annBinaryTopK,
     "ann_centroid_drift" -> annCentroidDrift,

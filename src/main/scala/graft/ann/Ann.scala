@@ -90,6 +90,30 @@ object Ann {
         col(id).as("neighbor_id"), col("sim"))
   }
 
+  /** [[topK]] with the rank window replaced by the bounded-buffer
+    * aggregate ([[graft.operators.TopKAggregate]]): identical results
+    * (same rounded scores, same (sim desc, id) tie-break — the
+    * AnnSpec/oracle parity), but the per-query ranking shuffles AT MOST
+    * k tuples per (query × map partition) instead of sorting the full
+    * |corpus|·|Q| scored stream — the shape that wins when the scored
+    * stream is the stage bottleneck at cluster scale.
+    */
+  def topKAgg(
+      corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, qId: String, qVec: String,
+      k: Int): DataFrame = {
+    val corp = widen(prepared(corpus, id, vec, id, "__v", "__n"))
+    val qs = prepared(queries, qId, qVec, "q_id", "q_vec", "__qn")
+    val scored = corp.crossJoin(broadcast(qs))
+      .where(col("q_id") =!= col(id))
+      .withColumn("sim",
+        round(dotD(col("q_vec"), col("__v")) / (col("__qn") * col("__n")), 4))
+    graft.operators.TopKAggregate
+      .topKPerGroup(scored, col("q_id"), col("sim"), col(id), k)
+      .select(col("g").as("q_id"), col("rank"),
+        col("id").as("neighbor_id"), col("score").as("sim"))
+  }
+
   /** Hard-negative mining — the contrastive-training data op: for each
     * query vector, the k most similar corpus vectors with a DIFFERENT
     * label (same-label neighbors are positives; the high-similarity
