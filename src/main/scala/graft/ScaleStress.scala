@@ -210,6 +210,18 @@ object ScaleStress {
                 floor((local - 1) / 2).cast("long")).as("parent")),
           "doc_id", "parent")
       }),
+      "topk_window" -> (f => {
+        // A/B vs topk_agg: same broadcast scorer, rank-window ranking
+        val e = emb(f)
+        Ann.topK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      }),
+      "topk_agg" -> (f => {
+        // bounded-buffer ranking: shuffle carries k-row states, no sort
+        val e = emb(f)
+        Ann.topKAgg(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      }),
       "binary_topk" -> (f => {
         // queries fixed (replica-0 ids), scanned corpus grows with f:
         // the hamming stage is the linear axis, rerank stays 32/query

@@ -1799,6 +1799,18 @@ object SparkEntry {
     (s, dir) => Dedup.templateGroups(t(s, dir, "documents"), "doc_id", "text"),
     Some("SELECT md5(regexp_replace(regexp_replace(lower(trim(text)), '[0-9]+', '#', 'g'), '\\s+', ' ', 'g')) AS fp, min(doc_id) AS keeper, count(*) AS n_members FROM documents GROUP BY 1"))
 
+  /** Intra-document duplicate-line removal ([[graft.text.TextAnalysis
+    * .dedupLines]]): each line keeps its first occurrence, docs
+    * reassemble in order, removals counted — the within-doc C4 line
+    * rule beside the cross-doc boilerplate census. Oracle re-derives
+    * first-occurrence positions and the ordered string_agg.
+    */
+  private val textDedupLines = Q(
+    (s, dir) => TextAnalysis.dedupLines(t(s, dir, "documents"), "doc_id", "text"),
+    Some("WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM documents), " +
+      "k AS (SELECT doc_id, line, min(pos) AS pos, count(*) AS c FROM l GROUP BY 1, 2) " +
+      "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_deduped, CAST(sum(c) - count(*) AS BIGINT) AS n_removed FROM k GROUP BY 1"))
+
   /** Per-document character entropy ([[graft.text.TextAnalysis
     * .charEntropy]]): the Gopher-style bits-per-char quality signal —
     * base64/key-mash spam reads high, padding floods read near zero.
@@ -5634,6 +5646,7 @@ object SparkEntry {
     "mm_resize" -> mmResize,
     "text_tokens" -> textTokens,
     "text_entropy" -> textEntropy,
+    "text_dedup_lines" -> textDedupLines,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "corpus_curation" -> corpusCuration,

@@ -560,6 +560,33 @@ object TextAnalysis {
         coalesce(col("entropy"), lit(0.0)).as("entropy"))
   }
 
+  /** Intra-document duplicate-line removal — the WITHIN-doc line rule
+    * next to [[stripBoilerplateLines]]'s cross-doc census: scraped
+    * pages repeat nav rows, cookie banners, and table headers inside
+    * one document; each line keeps its FIRST occurrence and the doc
+    * reassembles in original order. Output per document:
+    * `text_deduped` and `n_removed`.
+    *
+    * Scale shape: one (doc, line) hash aggregate (min position +
+    * occurrence count, map-side combined) and a doc-keyed reassembly
+    * aggregate (array_sort inside the group — bounded by lines per
+    * doc, never a window).
+    */
+  def dedupLines(docs: DataFrame, id: String, text: String)
+      : DataFrame = {
+    val kept = docs
+      .select(col(id), posexplode(split(col(text), "\n"))
+        .as(Seq("pos", "line")))
+      .groupBy(col(id), col("line"))
+      .agg(min(col("pos")).as("pos"), count(lit(1)).as("c"))
+    kept.groupBy(col(id))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("text_deduped"),
+        (sum(col("c")) - count(lit(1))).as("n_removed"))
+  }
+
   /** Per-language tokenizer fertility — the multilingual budget audit:
     * how many (whitespace and subword-proxy) tokens a language costs
     * per character decides the real mixture a token budget buys (a

@@ -366,6 +366,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("zz")._2 == 1L && out("zz")._5 == Some(0.0))
   }
 
+  test("dedupLines keeps first occurrences in order and counts removals") {
+    val docs = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav"),
+      (2L, "only\nlines"),
+      (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "nav\nbody one\nbody two", 2L)))
+    assert(out(2L) == ((2L, "only\nlines", 0L)))
+    assert(out(3L) == ((3L, "x", 0L)))
+  }
+
   test("charEntropy matches hand-computed values and zeroes empties") {
     val docs = Seq(
       (1L, "aaaa"),  // one symbol -> 0 bits
