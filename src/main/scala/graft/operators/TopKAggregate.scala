@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   * total, so partial merges commute and the result is independent of
   * partitioning — the same guarantee the window form's ORDER BY gives,
   * minus the sort.
+  *
+  * Versus [[Salted]]'s two-phase salted rank (the OTHER window
+  * alternative): salting still sorts, but keeps full codegen and
+  * handles "k large / arbitrary ordering" cases; this aggregate never
+  * sorts and shrinks the shuffle itself, at the cost of an imperative
+  * (non-codegen) agg buffer — prefer it when the scored stream
+  * dominates the stage and k is small, salting when k is large or the
+  * ordering isn't a (score, id) pair. At bench scale (500k scored
+  * rows) the two time identically; the separation is a cluster-scale
+  * shuffle-volume argument, not a local-bench one (measured honestly
+  * in STRESS r10: both flat).
   */
 object TopKAggregate {
 
