@@ -4215,6 +4215,42 @@ object SparkEntry {
       "sp AS (SELECT conv_id, turn_idx AS span_turn, CAST(off + length(role) + 4 AS BIGINT) AS s, CAST(off + length(role) + 4 + length(t) AS BIGINT) AS e FROM o WHERE role = 'assistant') " +
       "SELECT asm.conv_id, asm.text, sp.span_turn, sp.s, sp.e FROM asm LEFT JOIN sp USING (conv_id)"))
 
+  /** Char-span → token-span conversion: trainers mask loss in TOKEN
+    * indices, not characters, so the rendered conversations' [s, e)
+    * char spans convert to inclusive whitespace-token index ranges —
+    * token index of a position = tokens in the prefix up to it minus
+    * one (positions inside a token resolve to that token). Pure
+    * per-row prefix token counts over the `chat_template_render`
+    * output (the native [[graft.functions.TokenCount]] when
+    * registered); the oracle re-derives both prefix counts from the
+    * same render CTEs.
+    */
+  private val sftTokenSpans = Q(
+    (s, dir) => {
+      val turns = t(s, dir, "documents").select(
+        floor(col("doc_id") / 4).cast("long").as("conv"),
+        pmod(col("doc_id"), lit(4)).as("i"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        col("text").as("txt"))
+      val tokAt = (p: org.apache.spark.sql.Column) =>
+        (graft.text.TextAnalysis.tokenCount(
+          col("text").substr(lit(1), p.cast("int"))) - 1).cast("long")
+      graft.text.Chat.renderWithLossSpans(turns, "conv", "i", "role", "txt")
+        .where(col("span_turn").isNotNull)
+        .select(col("conv_id"), col("span_turn"),
+          tokAt(col("s")).as("tok_s"), tokAt(col("e")).as("tok_e"))
+    },
+    Some("WITH tu AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx, CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, text AS t FROM documents), " +
+      "r AS (SELECT conv_id, turn_idx, role, t, '<|' || role || '|>' || t || '<|end|>' AS r FROM tu), " +
+      "o AS (SELECT *, COALESCE(sum(length(r)) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM r), " +
+      "asm AS (SELECT conv_id, string_agg(r, '' ORDER BY turn_idx) AS text FROM o GROUP BY 1), " +
+      "sp AS (SELECT conv_id, turn_idx AS span_turn, off + length(role) + 4 AS s, off + length(role) + 4 + length(t) AS e FROM o WHERE role = 'assistant') " +
+      "SELECT asm.conv_id, sp.span_turn, " +
+      "CAST(len(string_split_regex(lower(trim(substr(asm.text, 1, CAST(sp.s AS INT)))), '\\s+')) - 1 AS BIGINT) AS tok_s, " +
+      "CAST(len(string_split_regex(lower(trim(substr(asm.text, 1, CAST(sp.e AS INT)))), '\\s+')) - 1 AS BIGINT) AS tok_e " +
+      "FROM asm JOIN sp USING (conv_id)"))
+
   /** Turn-structure audit ([[graft.text.Chat.alternationAudit]]) — the
     * validity gate ahead of rendering: defects planted off doc_id
     * residues (role flips at doc_id % 37 = 0, all-user conversations
@@ -5198,6 +5234,36 @@ object SparkEntry {
     (s, dir) => recallOf(s, dir, ivfPqQuery(s, dir)),
     Some(IvfPqCtes + RecallTail))
 
+  /** Recall gate for the binary sign-bit index ([[graft.ann.Quantize
+    * .binaryHammingTopK]]) at a DELIBERATELY tight rerank budget
+    * (8 candidates for top-5): with rerank ≈ corpus the float rerank
+    * trivially recovers exact top-k, so the gate starves it to
+    * measure what the HAMMING PREFILTER itself preserves — the same
+    * honest-measurement posture as the `ann_recall*` IVF-PQ gates.
+    * Measured: mean recall@5 = 0.32 at rerank 8 on this fixture —
+    * i.i.d.-uniform vectors are 1-bit-per-dim quantization's worst
+    * case exactly as they are PQ's (the `ann_recall` diagnosis), and
+    * the rerank budget is the dial: the budget IS the recall knob a
+    * deployment tunes. The oracle replays sign-mismatch hamming, the
+    * (ham, id) cut, the rerank, and the recall fold.
+    */
+  private val annRecallBinary = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      recallOf(s, dir, graft.ann.Quantize.binaryHammingTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, rerank = 8))
+    },
+    Some("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe, embedding AS qraw FROM embeddings WHERE vec_id < 10), " +
+      "p AS (SELECT q_id, e2.vec_id AS nid, qraw, e2.embedding AS ne FROM q, embeddings e2 WHERE e2.vec_id <> q_id), " +
+      "h AS (SELECT q_id, nid, sum(CASE WHEN (qraw[i] > 0) <> (ne[i] > 0) THEN 1 ELSE 0 END) AS ham FROM (SELECT q_id, nid, qraw, ne, unnest(generate_series(1, len(qraw))) AS i FROM p) GROUP BY 1, 2), " +
+      "c AS (SELECT q_id, nid, ham, row_number() OVER (PARTITION BY q_id ORDER BY ham, nid) AS crk FROM h), " +
+      "sc AS (SELECT c.q_id, c.nid, round(list_cosine_similarity(q.qe, v.e), 4) AS sim FROM c JOIN q ON q.q_id = c.q_id JOIN v ON v.vec_id = c.nid WHERE crk <= 8), " +
+      "r AS (SELECT q_id, nid, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nid) AS rank FROM sc)" +
+      RecallTail))
+
   /** The recall gate CLEARING — the production response to
     * `ann_recall`'s 0.12: BOTH quantizer layers trained. Diagnosis
     * (measured): the label partitioning is not a geometric quantizer —
@@ -5673,6 +5739,7 @@ object SparkEntry {
     "ann_pq_topk" -> annPqTopK,
     "ann_ivfpq_topk" -> annIvfPqTopK,
     "ann_recall" -> annRecall,
+    "ann_recall_binary" -> annRecallBinary,
     "ann_recall_trained" -> annRecallTrained,
     "ann_recall_residual" -> annRecallResidual,
     "ann_recall_clustered" -> annRecallClustered,
@@ -5739,6 +5806,7 @@ object SparkEntry {
     "chat_alternation_audit" -> chatAlternationAudit,
     "sft_render_gated" -> sftRenderGated,
     "sft_tree_render" -> sftTreeRender,
+    "sft_token_spans" -> sftTokenSpans,
     "pref_pair_build" -> prefPairBuild,
     "pref_pair_audit" -> prefPairAudit,
     "pref_best_of_n" -> prefBestOfN,
