@@ -348,12 +348,23 @@ object StreamingIngest {
       outPath: String, key: String, orderCols: Seq[String],
       valueCol: String): StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
+    // replay guard (the relationalizeDrain marker discipline): a batch
+    // retried after a mid-commit crash must not append its rows twice
+    // or advance the carry state twice
+    val ckptTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val prefix = s"_graft_batch_${ckptTag}_"
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty) {
+        val outDir = new org.apache.hadoop.fs.Path(outPath)
+        val marker = new org.apache.hadoop.fs.Path(outDir, s"$prefix$batchId")
+        val mfs = marker.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!batch.isEmpty && !mfs.exists(marker)) {
           val w = Window.partitionBy(col(key))
             .orderBy(orderCols.map(col): _*)
             .rowsBetween(Window.unboundedPreceding, 0)
@@ -388,6 +399,13 @@ object StreamingIngest {
           // localCheckpoint cuts the self-referential lineage (the new
           // state reads the files it is about to replace)
           merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
+          mfs.create(marker, true).close()
+          // retire superseded markers of this checkpoint
+          mfs.listStatus(outDir).foreach { st =>
+            val n = st.getPath.getName
+            if (n.startsWith(prefix) && n.stripPrefix(prefix).toLong < batchId)
+              mfs.delete(st.getPath, false)
+          }
         }
       }
       .start()

@@ -538,5 +538,8 @@ class StreamingIngestSpec extends SparkSpec {
     assert(out((2L, 2L)) == Some(7.0))
     assert(out((2L, 3L)) == Some(7.0))   // carry through all-null batch
     assert(out((3L, 1L)) == None)        // unseen key stays null
+    // restart with nothing new: no double-appends, carry state intact
+    drain()
+    assert(spark.read.parquet(s"$tmp/out").count() == out.size)
   }
 }
