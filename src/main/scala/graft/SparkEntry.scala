@@ -1799,6 +1799,36 @@ object SparkEntry {
     (s, dir) => Dedup.templateGroups(t(s, dir, "documents"), "doc_id", "text"),
     Some("SELECT md5(regexp_replace(regexp_replace(lower(trim(text)), '[0-9]+', '#', 'g'), '\\s+', ' ', 'g')) AS fp, min(doc_id) AS keeper, count(*) AS n_members FROM documents GROUP BY 1"))
 
+  /** pass@k evaluation reduction ([[graft.operators.PassAtK]]): five
+    * samples per problem with planted correctness, the unbiased
+    * 1 − C(n−c,k)/C(n,k) at k = 2 — the HumanEval-style estimator as
+    * one problem-keyed aggregate. The oracle reproduces the clamped
+    * integer products and the single division term for term.
+    */
+  private val evalPassAtK = Q(
+    (s, dir) => graft.operators.PassAtK.passAtK(
+      t(s, dir, "documents").select(
+        floor(col("doc_id") / 5).cast("long").as("prob"),
+        (pmod(col("n_chars") + col("doc_id"), lit(3)) === 0).as("ok")),
+      "prob", "ok", k = 2),
+    Some("WITH s AS (SELECT doc_id // 5 AS problem, CASE WHEN (n_chars + doc_id) % 3 = 0 THEN 1 ELSE 0 END AS ok FROM documents), " +
+      "g AS (SELECT problem, count(*) AS n, CAST(sum(ok) AS BIGINT) AS c FROM s GROUP BY 1) " +
+      "SELECT problem, n, c, round(CAST(c AS DOUBLE) / n, 6) AS pass_at_1, " +
+      "CASE WHEN n >= 2 THEN round(1 - CAST(GREATEST(n - c, 0) * GREATEST(n - c - 1, 0) AS DOUBLE) / (n * (n - 1)), 6) END AS pass_at_2 FROM g"))
+
+  /** Code-vs-prose scoring ([[graft.text.TextAnalysis.codeScore]]):
+    * indent fraction + bracket/operator density + the routing flag,
+    * all per-row codegen'd expressions. The oracle re-derives both
+    * fractions with list_filter / global regexp_replace.
+    */
+  private val textCodeScore = Q(
+    (s, dir) => TextAnalysis.codeScore(t(s, dir, "documents"), "doc_id", "text"),
+    Some("WITH b AS (SELECT doc_id, string_split(text, chr(10)) AS ls, length(text) AS nc, length(regexp_replace(text, '[\\[\\]{}();=<>]', '', 'g')) AS keep FROM documents), " +
+      "m AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, " +
+      "CASE WHEN len(ls) > 0 THEN round(CAST(len(list_filter(ls, l -> l LIKE ' %' OR l LIKE chr(9) || '%')) AS DOUBLE) / len(ls), 4) ELSE 0.0 END AS indent_frac, " +
+      "CASE WHEN nc > 0 THEN round(CAST(nc - keep AS DOUBLE) / nc, 4) ELSE 0.0 END AS sym_density FROM b) " +
+      "SELECT doc_id, n_lines, indent_frac, sym_density, indent_frac >= 0.3 OR sym_density >= 0.05 AS is_code FROM m"))
+
   /** Intra-document duplicate-line removal ([[graft.text.TextAnalysis
     * .dedupLines]]): each line keeps its first occurrence, docs
     * reassemble in order, removals counted — the within-doc C4 line
@@ -5713,6 +5743,7 @@ object SparkEntry {
     "text_tokens" -> textTokens,
     "text_entropy" -> textEntropy,
     "text_dedup_lines" -> textDedupLines,
+    "text_code_score" -> textCodeScore,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "corpus_curation" -> corpusCuration,
@@ -5784,6 +5815,7 @@ object SparkEntry {
     "mix_token_budget" -> mixTokenBudget,
     "mix_curriculum" -> mixCurriculum,
     "eval_bootstrap_ci" -> evalBootstrapCI,
+    "eval_pass_at_k" -> evalPassAtK,
     "mix_interleave" -> mixInterleave,
     "mix_epoch_expand" -> mixEpochExpand,
     "so9_quantile_buckets" -> so9QuantileBuckets,

@@ -560,6 +560,36 @@ object TextAnalysis {
         coalesce(col("entropy"), lit(0.0)).as("entropy"))
   }
 
+  /** Code-vs-prose scoring — the mixture-routing signal: source code
+    * reads as indented lines plus bracket/operator density, prose as
+    * neither, and the router that decides "code pile or text pile"
+    * (different tokenizers, different quality rules, different budget
+    * lines) needs the score per document. Pure per-row expressions:
+    * `indent_frac` = lines starting with a space/tab over all lines,
+    * `sym_density` = `[]{}();=<>` characters over all characters (both
+    * rounded 4), `is_code` = indent_frac ≥ 0.3 OR sym_density ≥ 0.05
+    * (thresholds from the doc fixtures; tune per corpus). An empty
+    * document splits to one empty line (the split convention) and
+    * scores (1, 0.0, 0.0, false).
+    */
+  def codeScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    val lines = split(col(text), "\n")
+    val indented = size(filter(lines,
+      l => l.startsWith(" ") || l.startsWith("\t")))
+    val nChars = length(col(text))
+    val symChars = nChars -
+      length(regexp_replace(col(text), "[\\[\\]{}();=<>]", ""))
+    docs.select(col(id), size(lines).cast("long").as("n_lines"),
+        when(size(lines) > 0,
+          round(indented.cast("double") / size(lines), 4))
+          .otherwise(lit(0.0)).as("indent_frac"),
+        when(nChars > 0,
+          round(symChars.cast("double") / nChars, 4))
+          .otherwise(lit(0.0)).as("sym_density"))
+      .withColumn("is_code",
+        col("indent_frac") >= 0.3 || col("sym_density") >= 0.05)
+  }
+
   /** Intra-document duplicate-line removal — the WITHIN-doc line rule
     * next to [[stripBoilerplateLines]]'s cross-doc census: scraped
     * pages repeat nav rows, cookie banners, and table headers inside

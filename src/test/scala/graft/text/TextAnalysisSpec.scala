@@ -366,6 +366,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("zz")._2 == 1L && out("zz")._5 == Some(0.0))
   }
 
+  test("codeScore separates indented/bracketed code from prose") {
+    val docs = Seq(
+      (1L, "def f(x):\n  return x;\n  y = [1];"),  // 2/3 indented, dense
+      (2L, "Plain prose sentence without symbols here"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.codeScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 3L && out(1L)._3 == 0.6667 && out(1L)._5)
+    assert(out(2L)._3 == 0.0 && out(2L)._4 == 0.0 && !out(2L)._5)
+    assert(out(3L) == ((3L, 1L, 0.0, 0.0, false)))
+  }
+
   test("dedupLines keeps first occurrences in order and counts removals") {
     val docs = Seq(
       (1L, "nav\nbody one\nnav\nbody two\nnav"),
