@@ -1799,6 +1799,33 @@ object SparkEntry {
     (s, dir) => Dedup.templateGroups(t(s, dir, "documents"), "doc_id", "text"),
     Some("SELECT md5(regexp_replace(regexp_replace(lower(trim(text)), '[0-9]+', '#', 'g'), '\\s+', ' ', 'g')) AS fp, min(doc_id) AS keeper, count(*) AS n_members FROM documents GROUP BY 1"))
 
+  /** R4 — de-relationalize ([[graft.relationalize.Relationalize
+    * .nest]]): the inverse of the repo's flagship flatten — child rows
+    * fold back into an ordered array on the parent (docs with no
+    * children get `[]`, not null), and the rebuilt nested document
+    * serializes via to_json for a byte-level cross-engine pin. The
+    * fixture plants 1-3 ASCII child rows per doc and drops doc_id%11's
+    * children to exercise the empty-array contract.
+    */
+  private val r4Derelationalize = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val child = docs
+        .where(pmod(col("doc_id"), lit(11)) =!= 0)
+        .select(col("doc_id"), explode(sequence(lit(0),
+          pmod(col("doc_id"), lit(3)).cast("int"))).as("idx"))
+        .select(col("doc_id"), col("idx"),
+          concat(lit("t"), col("idx"), lit("_"), col("doc_id")).as("w"))
+      graft.relationalize.Relationalize
+        .nest(docs, child, "doc_id", "idx", col("w"), "words")
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("words")))
+            .as("doc_json"))
+    },
+    Some("WITH c AS (SELECT doc_id, i AS idx, 't' || i || '_' || doc_id AS w FROM documents, unnest(generate_series(0, doc_id % 3)) AS u(i) WHERE doc_id % 11 <> 0), " +
+      "f AS (SELECT doc_id, list(w ORDER BY idx) AS words FROM c GROUP BY 1) " +
+      "SELECT d.doc_id, to_json(struct_pack(doc_id := d.doc_id, lang := d.lang, words := COALESCE(f.words, []))) AS doc_json FROM documents d LEFT JOIN f USING (doc_id)"))
+
   /** pass@k evaluation reduction ([[graft.operators.PassAtK]]): five
     * samples per problem with planted correctness, the unbiased
     * 1 − C(n−c,k)/C(n,k) at k = 2 — the HumanEval-style estimator as
@@ -5726,6 +5753,7 @@ object SparkEntry {
     "r1_deep_relationalize" -> r1DeepRelationalize,
     "r2_carry_cols" -> r2CarryCols,
     "r3_nested_detect" -> r3NestedDetect,
+    "r4_derelationalize" -> r4Derelationalize,
     "so1_union_distinct" -> so1UnionDistinct,
     "so2_sort_topn" -> so2SortTopN,
     "so3_slice" -> so3Slice,

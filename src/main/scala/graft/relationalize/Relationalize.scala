@@ -136,4 +136,31 @@ object Relationalize {
     process(df, rootName, keyCols)
     out.toMap
   }
+
+  /** The INVERSE direction — de-relationalize: fold a child table's
+    * rows back into an ordered array column on its parent, the export/
+    * serving step that rebuilds nested documents from the flat tables
+    * [[relationalize]] produced (APIs and JSON sinks want the nested
+    * shape back). `payload` is the element expression (a column or a
+    * struct of columns evaluated against the CHILD), ordered by
+    * `orderCol`; parents with no child rows get an EMPTY array, not a
+    * null (a doc with no entries is `[]` in every JSON contract).
+    *
+    * Scale shape: one child-keyed collect aggregate (group state
+    * bounded by that parent's fan-out, sorted IN the group — no
+    * window) and a parent-keyed join; both shuffles are on the FK the
+    * tables are already keyed by.
+    */
+  def nest(parent: DataFrame, child: DataFrame, key: String,
+      orderCol: String, payload: Column, as: String): DataFrame = {
+    val folded = child
+      .groupBy(col(key))
+      .agg(transform(
+        array_sort(collect_list(struct(col(orderCol).as("__o"),
+          payload.as("__p")))),
+        x => x.getField("__p")).as(as))
+    parent.join(folded, Seq(key), "left")
+      .withColumn(as, coalesce(col(as),
+        array().cast(folded.schema(as).dataType)))
+  }
 }

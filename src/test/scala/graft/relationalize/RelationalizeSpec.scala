@@ -162,4 +162,24 @@ class RelationalizeSpec extends SparkSpec {
     assert(root(0).get(1) != null && root(1).get(1) == null)
     assert(tables("t_xs").count() == 1)
   }
+
+  test("nest inverts relationalize: arrays rebuild in order, childless " +
+      "parents get empty arrays") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("r0", Seq(3, 1, 2)),   // order must come from index, not values
+      ("r1", Seq.empty[Int]),
+      ("r2", Seq(5)))
+      .toDF("rid", "xs")
+    val tables = Relationalize.relationalize(
+      df, "t", keyCols = Seq("rid"), carryCols = Seq("rid"))
+    val rebuilt = Relationalize.nest(
+        tables("t").withColumnRenamed("xs", "fk"),
+        tables("t_xs").withColumnRenamed("id", "fk"),
+        "fk", "index", col("xs_val"), "xs")
+      .select(col("rid"), col("xs"))
+      .as[(String, Seq[Int])].collect().toMap
+    assert(rebuilt == Map(
+      "r0" -> Seq(3, 1, 2), "r1" -> Seq(), "r2" -> Seq(5)))
+  }
 }
