@@ -838,6 +838,46 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("binaryHammingTopK equals a scalar brute-force recomputation " +
+      "(packing, candidate cut, rerank, every tie-break)") =
+    Prop.forAllNoShrink(Gen.chooseNum(2, 30), Gen.chooseNum(3, 70),
+      Gen.chooseNum(0L, 999L)) { (n, dim, seed) =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      val vecs = (0L until n.toLong).map(i =>
+        (i, Seq.tabulate(dim)(j =>
+          // element 0 is forced nonzero: an all-zero vector has an
+          // undefined cosine and both sides would just disagree on NaN
+          if (j == 0) (rnd.nextInt(4) + 1) *
+            (if (rnd.nextBoolean()) 0.25f else -0.25f)
+          else (rnd.nextInt(9) - 4) * 0.25f)))
+      val k = 1 + rnd.nextInt(3)
+      val rerank = k + rnd.nextInt(4)
+      val out = graft.ann.Quantize.binaryHammingTopK(
+          vecs.toDF("id", "v"), "id", "v",
+          vecs.take(2).toDF("id", "v"), "id", "v", k, rerank)
+        .as[(Long, Int, Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r =>
+          (r._3, r._4, r._5)).toSeq).toMap
+      def round4(d: Double) = BigDecimal(d)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expected = vecs.take(2).map { case (qid, qv) =>
+        val cands = vecs.filter(_._1 != qid).map { case (cid, cv) =>
+          val ham = qv.zip(cv).count { case (a, b) => (a > 0) != (b > 0) }
+          (cid, ham.toLong, cv)
+        }.sortBy(c => (c._2, c._1)).take(rerank)
+        val reranked = cands.map { case (cid, ham, cv) =>
+          val dot = qv.zip(cv).foldLeft(0.0)((a, p) =>
+            a + p._1.toDouble * p._2.toDouble)
+          def norm(v: Seq[Float]) = math.sqrt(
+            v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+          (cid, ham, round4(dot / (norm(qv) * norm(cv))))
+        }.sortBy(c => (-c._3, c._1)).take(k)
+        qid -> reranked
+      }.toMap
+      out == expected
+    }
+
   property("rootPaths: every path walks parent pointers from a root to " +
       "its node with the exact depth") =
     Prop.forAllNoShrink(Gen.chooseNum(1, 60), Gen.chooseNum(0L, 1000L)) {
