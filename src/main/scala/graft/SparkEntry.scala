@@ -2764,6 +2764,22 @@ object SparkEntry {
     },
     Some("WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS f FROM documents), fr AS (SELECT doc_id, CAST(i AS INT) AS frame_idx FROM d JOIN (SELECT unnest(generate_series(0, 2)) AS i) s ON i < f WHERE i % 2 = 0), px AS (SELECT doc_id, frame_idx, CAST(sum((doc_id * 37 + frame_idx * 11 + k * 5) % 256) AS BIGINT) AS byte_sum FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k) g GROUP BY 1, 2) SELECT doc_id, frame_idx, CAST(32 AS INT) AS frame_len, byte_sum FROM px"))
 
+  /** Scene-cut detection ([[Multimodal.sceneCuts]]) over the REAL AVI
+    * corpus: mean absolute pixel delta between consecutive demuxed
+    * frames vs an 8.0 threshold — the shot-boundary segmentation a
+    * video-curation pipeline samples within. The oracle re-derives
+    * every per-pixel delta from the frame generator arithmetic
+    * (wraparound included); single-frame videos emit no pair on
+    * either side.
+    */
+  private val mmSceneCuts = Q(
+    (s, dir) => Multimodal.sceneCuts(
+      mmAviBlobs(s, dir), "doc_id", "content", threshold = 8.0),
+    Some("WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS f FROM documents), " +
+      "fr AS (SELECT doc_id, i AS fi FROM d JOIN (SELECT unnest(generate_series(0, 1)) AS i) s ON i < f - 1), " +
+      "del AS (SELECT doc_id, fi, round(CAST(sum(abs(((doc_id * 37 + (fi + 1) * 11 + k * 5) % 256) - ((doc_id * 37 + fi * 11 + k * 5) % 256))) AS DOUBLE) / 32, 4) AS mean_delta FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k) g GROUP BY 1, 2) " +
+      "SELECT doc_id, CAST(fi AS INT) AS frame_idx, mean_delta, mean_delta >= 8.0 AS is_cut FROM del"))
+
   /** REAL image resize: decode the PNG raster, nearest-neighbor resample
     * to a fixed 8×8 grid, emit the resampled gray levels exploded as
     * (doc_id, k, px) scalar rows. The oracle recomputes each output pixel
@@ -5766,6 +5782,7 @@ object SparkEntry {
     "mm_video_meta" -> mmVideoMeta,
     "mm_avi_meta" -> mmAviMeta,
     "mm_avi_frame_sample" -> mmAviFrameSample,
+    "mm_scene_cuts" -> mmSceneCuts,
     "mm_featurize" -> mmFeaturize,
     "mm_resize" -> mmResize,
     "text_tokens" -> textTokens,

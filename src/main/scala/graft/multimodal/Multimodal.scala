@@ -813,4 +813,39 @@ object Multimodal {
       }
       .toDF(id, "features")
   }
+
+  /** Scene-cut detection over demuxed raw frames: the mean absolute
+    * per-pixel delta between CONSECUTIVE frames, flagged against a
+    * threshold — the shot-boundary signal a video-curation pipeline
+    * segments on before sampling frames per shot (uniform sampling
+    * over-covers static scenes and misses cuts). One row per adjacent
+    * frame pair: (id, frame_idx, mean_delta rounded 4, is_cut), where
+    * `frame_idx` is the EARLIER frame. Single-frame videos emit
+    * nothing — there is no pair.
+    *
+    * Scale shape: frames demux executor-side ([[frameSampleVideo]]'s
+    * mapPartitions walk), pixels lift to int arrays once, and the
+    * consecutive pairing is an (id, frame_idx) equi-join — frames of
+    * one video co-locate by key; no window over frame payloads, no
+    * cross-frame shuffle beyond the keyed join.
+    */
+  def sceneCuts(df: DataFrame, id: String, content: String,
+      threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val px = frameSampleVideo(df, id, content, everyN = 1)
+      .as[(Long, Int, Array[Byte])]
+      .map { case (i, f, b) => (i, f, b.map(x => x & 0xff).toSeq) }
+      .toDF(id, "fi", "px")
+    val a = px.select(col(id), col("fi"), col("px").as("pa"))
+    val b = px.select(col(id), (col("fi") - 1).as("fi"),
+      col("px").as("pb"))
+    a.join(b, Seq(id, "fi"))
+      .select(col(id), col("fi").cast("int").as("frame_idx"),
+        round(aggregate(
+          zip_with(col("pa"), col("pb"), (x, y) => abs(x - y)),
+          lit(0L), (acc, v) => acc + v).cast("double") /
+          greatest(size(col("pa")), lit(1)), 4).as("mean_delta"))
+      .withColumn("is_cut", col("mean_delta") >= threshold)
+  }
 }

@@ -437,4 +437,22 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(banded == brute)
   }
+
+  test("sceneCuts flags the planted shot boundary and skips " +
+      "single-frame videos") {
+    import spark.implicits._
+    // 3 frames, 8 px each: f0≈f1 (delta 2 everywhere), f2 jumps by 100
+    val frames = Seq(
+      Array.tabulate(8)(k => (10 + k).toByte),
+      Array.tabulate(8)(k => (12 + k).toByte),
+      Array.tabulate(8)(k => (112 + k).toByte))
+    val vids = Seq(
+      (1L, Multimodal.encodeAvi(4, 2, "DIB ", frames)),
+      (2L, Multimodal.encodeAvi(4, 2, "DIB ", frames.take(1))))
+      .toDF("doc_id", "content")
+    val out = Multimodal.sceneCuts(vids, "doc_id", "content",
+        threshold = 50.0)
+      .as[(Long, Int, Double, Boolean)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((1L, 0, 2.0, false), (1L, 1, 100.0, true)))
+  }
 }
