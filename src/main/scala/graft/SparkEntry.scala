@@ -2780,6 +2780,23 @@ object SparkEntry {
       "del AS (SELECT doc_id, fi, round(CAST(sum(abs(((doc_id * 37 + (fi + 1) * 11 + k * 5) % 256) - ((doc_id * 37 + fi * 11 + k * 5) % 256))) AS DOUBLE) / 32, 4) AS mean_delta FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k) g GROUP BY 1, 2) " +
       "SELECT doc_id, CAST(fi AS INT) AS frame_idx, mean_delta, mean_delta >= 8.0 AS is_cut FROM del"))
 
+  /** Shot-aware keyframe sampling ([[Multimodal.shotSample]]): frames
+    * group into shots at the detected cuts and each shot emits its
+    * first frame — the composite `mm_scene_cuts` exists for. The
+    * oracle re-derives cuts from the generator arithmetic, assigns
+    * shots by counting earlier cut starts, and folds keyframes.
+    */
+  private val mmShotSample = Q(
+    (s, dir) => Multimodal.shotSample(
+      mmAviBlobs(s, dir), "doc_id", "content", threshold = 8.0),
+    Some("WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS f FROM documents), " +
+      "fr AS (SELECT doc_id, i AS fi FROM d JOIN (SELECT unnest(generate_series(0, 2)) AS i) s ON i < f), " +
+      "pr AS (SELECT doc_id, i AS fi FROM d JOIN (SELECT unnest(generate_series(0, 1)) AS i) s ON i < f - 1), " +
+      "del AS (SELECT doc_id, fi, CAST(sum(abs(((doc_id * 37 + (fi + 1) * 11 + k * 5) % 256) - ((doc_id * 37 + fi * 11 + k * 5) % 256))) AS DOUBLE) / 32 AS mean_delta FROM pr CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k) g GROUP BY 1, 2), " +
+      "cuts AS (SELECT doc_id, fi + 1 AS start_fi FROM del WHERE round(mean_delta, 4) >= 8.0), " +
+      "sh AS (SELECT fr.doc_id, fr.fi, count(c.start_fi) AS shot FROM fr LEFT JOIN cuts c ON c.doc_id = fr.doc_id AND c.start_fi <= fr.fi GROUP BY 1, 2) " +
+      "SELECT doc_id, shot, CAST(min(fi) AS INT) AS keyframe_idx, count(*) AS n_frames FROM sh GROUP BY 1, 2"))
+
   /** REAL image resize: decode the PNG raster, nearest-neighbor resample
     * to a fixed 8×8 grid, emit the resampled gray levels exploded as
     * (doc_id, k, px) scalar rows. The oracle recomputes each output pixel
@@ -5783,6 +5800,7 @@ object SparkEntry {
     "mm_avi_meta" -> mmAviMeta,
     "mm_avi_frame_sample" -> mmAviFrameSample,
     "mm_scene_cuts" -> mmSceneCuts,
+    "mm_shot_sample" -> mmShotSample,
     "mm_featurize" -> mmFeaturize,
     "mm_resize" -> mmResize,
     "text_tokens" -> textTokens,

@@ -848,4 +848,33 @@ object Multimodal {
           greatest(size(col("pa")), lit(1)), 4).as("mean_delta"))
       .withColumn("is_cut", col("mean_delta") >= threshold)
   }
+
+  /** Shot-aware keyframe sampling — what [[sceneCuts]] exists FOR:
+    * frames group into shots (a shot starts at frame 0 and after every
+    * cut) and each shot contributes its first frame as the keyframe,
+    * so downstream image curation sees one representative per shot
+    * instead of uniform samples that over-cover static scenes. Output
+    * per (video, shot): (id, shot, keyframe_idx, n_frames).
+    *
+    * Scale shape: [[sceneCuts]]'s keyed join, then the shot assignment
+    * rides a per-video inequality join against that video's cut list
+    * (cuts per video are few — the fan-out is frames × cuts within one
+    * video, never across videos) and two keyed aggregates.
+    */
+  def shotSample(df: DataFrame, id: String, content: String,
+      threshold: Double): DataFrame = {
+    val cuts = sceneCuts(df, id, content, threshold)
+      .where(col("is_cut"))
+      .select(col(id), (col("frame_idx") + 1).as("__start"))
+    val frames = frameSampleVideo(df, id, content, everyN = 1)
+      .select(col(id), col("frame_idx").as("fi"))
+    frames.join(cuts,
+        frames(id) === cuts(id) && col("__start") <= col("fi"), "left")
+      .select(frames(id).as(id), col("fi"), col("__start"))
+      .groupBy(col(id), col("fi"))
+      .agg(count(col("__start")).as("shot"))
+      .groupBy(col(id), col("shot"))
+      .agg(min(col("fi")).cast("int").as("keyframe_idx"),
+        count(lit(1)).as("n_frames"))
+  }
 }

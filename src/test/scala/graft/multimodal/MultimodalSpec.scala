@@ -454,5 +454,12 @@ class MultimodalSpec extends SparkSpec {
         threshold = 50.0)
       .as[(Long, Int, Double, Boolean)].collect().sortBy(_._2)
     assert(out.toSeq == Seq((1L, 0, 2.0, false), (1L, 1, 100.0, true)))
+    // shot sampling on the same fixture: frames 0-1 form shot 0
+    // (keyframe 0), the cut opens shot 1 at frame 2; the single-frame
+    // video is one whole shot
+    val shots = Multimodal.shotSample(vids, "doc_id", "content", 50.0)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(shots == Set(
+      (1L, 0L, 0, 2L), (1L, 1L, 2, 1L), (2L, 0L, 0, 1L)))
   }
 }
