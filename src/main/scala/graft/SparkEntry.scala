@@ -204,6 +204,51 @@ object SparkEntry {
     },
     Some("SELECT doc_id, text FROM documents"))
 
+  /** S17 — manifest checksum audit: landed files verify against their
+    * manifest md5s BEFORE ingestion trusts them — the integrity gate a
+    * 100 TB transfer runs (corrupt/truncated objects must quarantine
+    * at the door, not surface as parse errors mid-pipeline). The
+    * fixture writes 16 concatenated-group files (a 16-row driver-side
+    * fixture write — the AUDIT itself is distributed), plants
+    * a corrupt manifest digest on every g%5==0 group, and the engine
+    * re-hashes the ACTUAL file bytes through the distributed
+    * binaryFile source; the oracle re-derives every digest from the
+    * same ordered concatenation.
+    */
+  private val s17ManifestCheck = Q(
+    (s, dir) => {
+      val tmp = scratchPath("graft_s17").toString
+      val bodies = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(16)).as("g"), col("doc_id"),
+          col("text"))
+        .groupBy(col("g"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), "\n").as("body"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$tmp/files"))
+      bodies.select(col("g").cast("long"), col("body"))
+        .collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$tmp/files/g${r.getLong(0)}.txt"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      val manifest = bodies.select(col("g"),
+        when(pmod(col("g"), lit(5)) === 0, concat(md5(col("body")), lit("x")))
+          .otherwise(md5(col("body"))).as("manifest_md5"))
+      val actual = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt").load(s"$tmp/files")
+        .select(
+          regexp_extract(col("path"), "g(\\d+)\\.txt", 1).cast("long").as("g"),
+          md5(col("content")).as("actual_md5"))
+      manifest.join(actual, Seq("g"))
+        .select(col("g"), col("manifest_md5"), col("actual_md5"),
+          (col("manifest_md5") === col("actual_md5")).as("ok"))
+    },
+    Some("WITH b AS (SELECT doc_id % 16 AS g, string_agg(text, chr(10) ORDER BY doc_id) AS body FROM documents GROUP BY 1) " +
+      "SELECT g, CASE WHEN g % 5 = 0 THEN md5(body) || 'x' ELSE md5(body) END AS manifest_md5, md5(body) AS actual_md5, " +
+      "CASE WHEN g % 5 = 0 THEN false ELSE true END AS ok FROM b"))
+
   /** S5 — column-pruned parquet projection scan of a partitioned dataset
     * (bootstrap_trigger.py:121-144).
     */
@@ -5718,6 +5763,7 @@ object SparkEntry {
     "s13_upsert" -> s13Upsert,
     "s14_tar_shards" -> s14TarShards,
     "s16_warc" -> s16Warc,
+    "s17_manifest_check" -> s17ManifestCheck,
     "s12_per_record_sink" -> s12PerRecordSink,
     "bm_incremental" -> bmIncremental,
     "inc_agg_merge" -> incAggMerge,
