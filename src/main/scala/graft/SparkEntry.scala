@@ -2393,6 +2393,40 @@ object SparkEntry {
     * + one distinct-user count over (cohort, offset) — the standard
     * retention triangle.
     */
+  /** AN9 — RFM segmentation: per user, recency (days behind the
+    * corpus-max event), frequency, and monetary sum, each split at its
+    * EXACT median into high/low, composed into the 3-digit segment
+    * code marketing analytics reads. The medians are scalar
+    * `percentile` aggregates broadcast back (1-row cross joins) — no
+    * corpus-wide ntile window; the oracle mirrors with quantile_cont.
+    */
+  private val an9RfmSegments = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val per = ev.groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("__last"),
+          count(lit(1)).as("f"), round(sum(col("value")), 4).as("m"))
+      val maxTs = ev.agg(max(unix_micros(col("ts"))).as("__mx"))
+      val withR = per.crossJoin(broadcast(maxTs))
+        .withColumn("r_days",
+          floor((col("__mx") - col("__last")) / 86400000000L).cast("long"))
+      val med = withR.agg(
+        expr("percentile(r_days, 0.5)").as("__rm"),
+        expr("percentile(f, 0.5)").as("__fm"),
+        expr("percentile(m, 0.5)").as("__mm"))
+      withR.crossJoin(broadcast(med))
+        .select(col("user_id"), col("r_days"), col("f"), col("m"),
+          (when(col("r_days") <= col("__rm"), 2).otherwise(1) * 100 +
+            when(col("f") >= col("__fm"), 2).otherwise(1) * 10 +
+            when(col("m") >= col("__mm"), 2).otherwise(1))
+            .cast("int").as("segment"))
+    },
+    Some("WITH per AS (SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS f, round(sum(value), 4) AS m FROM events GROUP BY 1), " +
+      "mx AS (SELECT max(epoch_us(ts)) AS mxus FROM events), " +
+      "r AS (SELECT user_id, (mxus - last_us) // 86400000000 AS r_days, f, m FROM per CROSS JOIN mx), " +
+      "med AS (SELECT quantile_cont(r_days, 0.5) AS rm, quantile_cont(f, 0.5) AS fm, quantile_cont(m, 0.5) AS mm FROM r) " +
+      "SELECT user_id, r_days, f, m, CAST((CASE WHEN r_days <= rm THEN 2 ELSE 1 END) * 100 + (CASE WHEN f >= fm THEN 2 ELSE 1 END) * 10 + (CASE WHEN m >= mm THEN 2 ELSE 1 END) AS INT) AS segment FROM r CROSS JOIN med"))
+
   private val an2Cohort = Q(
     (s, dir) => {
       val ev = t(s, dir, "events")
@@ -5822,6 +5856,7 @@ object SparkEntry {
     "w3_gap_fill" -> w3GapFill,
     "an1_funnel" -> an1Funnel,
     "an2_cohort" -> an2Cohort,
+    "an9_rfm_segments" -> an9RfmSegments,
     "an3_transitions" -> an3Transitions,
     "an4_drift_psi" -> an4DriftPsi,
     "an5_outliers_mad" -> an5OutliersMad,

@@ -674,5 +674,16 @@ class PlanAuditSpec extends SparkSpec {
     // centroid drift: tiny model join — keyed or broadcast, no cartesian
     val cd = plan("ann_centroid_drift")
     assert(!cd.contains("CartesianProduct"), cd)
+    // RFM: medians are scalar aggregates broadcast back — never a
+    // corpus-wide ntile window
+    val rfm = plan("an9_rfm_segments")
+    assert(globalWindowLines(rfm).isEmpty, rfm)
+    assert(!rfm.linesIterator.exists(_.matches("\\(\\d+\\) Window\\s*")), rfm)
+    // pass@k + scene arithmetic entries: keyed aggregates, no cartesian
+    Seq("eval_pass_at_k", "text_code_score").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") &&
+        globalWindowLines(p).isEmpty, s"$n:\n$p")
+    }
   }
 }
