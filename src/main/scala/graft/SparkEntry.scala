@@ -3359,6 +3359,37 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk")),
     Some("WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), z AS (SELECT sum(power(CAST(n AS DOUBLE), 0.5)) AS z FROM c), q AS (SELECT lang, least(n, CAST(floor(300.0 * power(CAST(n AS DOUBLE), 0.5) / z + 0.5) AS BIGINT)) AS quota FROM c, z), r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) SELECT doc_id, r.lang AS lang, CAST(rk AS INT) AS rk FROM r JOIN q ON r.lang = q.lang WHERE rk <= quota"))
 
+  /** Mixture-planning report: per language, document/token counts,
+    * the natural token share, the α=0.5 temperature share over TOKEN
+    * mass (the unit budgets are actually spent in — `mix_temperature
+    * _sample` reweights doc counts; a fertility-skewed corpus makes
+    * the two diverge, which is the point of reading them together),
+    * and the implied up/down-sampling factor. One language-keyed
+    * aggregate plus 1-row scalar folds.
+    */
+  private val corpusMixtureReport = Q(
+    (s, dir) => {
+      val c = t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tk"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"))
+      val tot = c.agg(sum(col("n_tokens")).as("__t"),
+        sum(pow(col("n_tokens").cast("double"), 0.5)).as("__z"))
+      c.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens") / col("__t"), 6).as("natural_share"),
+          round(pow(col("n_tokens").cast("double"), 0.5) / col("__z"), 6)
+            .as("temp_share"),
+          round((pow(col("n_tokens").cast("double"), 0.5) / col("__z")) /
+            (col("n_tokens") / col("__t")), 4).as("upsample"))
+    },
+    Some("WITH c AS (SELECT lang, count(*) AS n_docs, CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt, sum(power(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM c) " +
+      "SELECT lang, n_docs, n_tokens, round(CAST(n_tokens AS DOUBLE) / tt, 6) AS natural_share, " +
+      "round(power(CAST(n_tokens AS DOUBLE), 0.5) / z, 6) AS temp_share, " +
+      "round((power(CAST(n_tokens AS DOUBLE), 0.5) / z) / (CAST(n_tokens AS DOUBLE) / tt), 4) AS upsample FROM c CROSS JOIN t"))
+
   /** Token-budget mixture plan ([[graft.operators.Mixture
     * .tokenBudgetPlan]]): per language, what the target mixture weights
     * want vs what the corpus holds — desired/planned tokens, acceptance
@@ -5997,6 +6028,7 @@ object SparkEntry {
     "text_phrase_search" -> textPhraseSearch,
     "text_strip_boilerplate" -> textStripBoilerplate,
     "corpus_training_prep" -> corpusTrainingPrep,
+    "corpus_mixture_report" -> corpusMixtureReport,
     "graph_pagerank" -> graphPagerank,
     "graph_lpa" -> graphLpa,
     "graph_hits" -> graphHits,
