@@ -5809,6 +5809,12 @@ object SparkEntry {
   // Registry
   // --------------------------------------------------------------------
 
+  /** Registry entry names in declaration order — exposed for the
+    * hygiene spec: a duplicated name in the Seq would silently shadow
+    * its earlier twin when the maps collapse it.
+    */
+  private[graft] def registryNames: Seq[String] = registry.map(_._1)
+
   private val registry: Seq[(String, Q)] = Seq(
     "q1_agg" -> q1Agg,
     "s1_zip_roundtrip" -> s1ZipRoundtrip,
