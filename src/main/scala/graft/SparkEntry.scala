@@ -2703,6 +2703,30 @@ object SparkEntry {
     }.toDF("doc_id", "content")
   }
 
+  /** Audio silence trim ([[Multimodal.silenceTrim]]): WAV clips with
+    * PLANTED leading (id%7) and trailing (id%5) exact-center silence
+    * around an always-active band — the engine decodes real PCM8 and
+    * scans samples; the oracle derives every trim from the planting
+    * arithmetic alone (the mm-tier contract).
+    */
+  private val mmAudioTrim = Q(
+    (s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (60 + id % 20).toInt
+          val lead = (id % 7).toInt
+          val trail = (id % 5).toInt
+          val samples = Array.tabulate(n) { k =>
+            if (k < lead || k >= n - trail) 128.toByte
+            else (158 + (id + k) % 60).toByte
+          }
+          (id, Multimodal.encodeWavPcm8(samples, sampleRate = 8000))
+        }.toDF("doc_id", "content")
+      Multimodal.silenceTrim(blobs, "doc_id", "content", eps = 2)
+    },
+    Some("SELECT doc_id, CAST(60 + doc_id % 20 AS INT) AS n_samples, CAST(doc_id % 7 AS INT) AS lead_trim, CAST(doc_id % 5 AS INT) AS trail_trim, CAST(60 + doc_id % 20 - doc_id % 7 - doc_id % 5 AS INT) AS kept FROM documents"))
+
   /** Multimodal image decode: REAL PNG containers decoded with
     * javax.imageio via batch-shaped mapPartitions; the oracle re-derives
     * the decoded dimensions from the generator arithmetic.
@@ -5919,6 +5943,7 @@ object SparkEntry {
     "mm_avi_frame_sample" -> mmAviFrameSample,
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_shot_sample" -> mmShotSample,
+    "mm_audio_trim" -> mmAudioTrim,
     "mm_featurize" -> mmFeaturize,
     "mm_resize" -> mmResize,
     "text_tokens" -> textTokens,

@@ -814,6 +814,36 @@ object Multimodal {
       .toDF(id, "features")
   }
 
+  /** Leading/trailing silence trim over PCM8 WAV blobs — the audio-
+    * curation cut every speech pipeline makes before feature
+    * extraction (silence carries storage and compute, no signal): a
+    * sample is silent when |v − 128| ≤ eps (PCM8's unsigned center),
+    * and the trim reports the leading/trailing silent runs plus the
+    * kept span. All-silent clips report kept = 0 with both trims at
+    * the full length — the "drop this clip" signal. Executor-side
+    * decode (batch-shaped mapPartitions, the mm-tier convention);
+    * undecodable blobs drop to the quarantine path like the other
+    * audio ops.
+    */
+  def silenceTrim(df: DataFrame, id: String, content: String,
+      eps: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    widen(df).select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (rowId, bytes) =>
+          decodePcm8(bytes).map { s =>
+            val active = s.indices.filter(k => math.abs(s(k) - 128) > eps)
+            if (active.isEmpty) (rowId, s.length, s.length, s.length, 0)
+            else (rowId, s.length, active.head,
+              s.length - 1 - active.last, active.last - active.head + 1)
+          }
+        }
+      }
+      .toDF(id, "n_samples", "lead_trim", "trail_trim", "kept")
+  }
+
   /** Scene-cut detection over demuxed raw frames: the mean absolute
     * per-pixel delta between CONSECUTIVE frames, flagged against a
     * threshold — the shot-boundary signal a video-curation pipeline

@@ -462,4 +462,22 @@ class MultimodalSpec extends SparkSpec {
     assert(shots == Set(
       (1L, 0L, 0, 2L), (1L, 1L, 2, 1L), (2L, 0L, 0, 1L)))
   }
+
+  test("silenceTrim reports lead/trail runs, eps tolerance, and the " +
+      "all-silent drop signal") {
+    import spark.implicits._
+    def wav(s: Seq[Int]) =
+      Multimodal.encodeWavPcm8(s.map(_.toByte).toArray, 8000)
+    val clips = Seq(
+      // 2 lead + 3 trail around an active band; 129 is INSIDE eps=2
+      (1L, wav(Seq(128, 129, 200, 210, 190, 128, 127, 126))),
+      (2L, wav(Seq.fill(6)(128))),           // all silence
+      (3L, wav(Seq(200, 201, 202))))         // no silence at all
+      .toDF("doc_id", "content")
+    val out = Multimodal.silenceTrim(clips, "doc_id", "content", eps = 2)
+      .as[(Long, Int, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 8, 2, 3, 3)))
+    assert(out(2L) == ((2L, 6, 6, 6, 0)))
+    assert(out(3L) == ((3L, 3, 0, 0, 3)))
+  }
 }
