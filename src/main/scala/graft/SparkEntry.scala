@@ -2703,6 +2703,27 @@ object SparkEntry {
     }.toDF("doc_id", "content")
   }
 
+  /** Letterbox detection ([[Multimodal.letterboxDetect]]): PNGs with a
+    * PLANTED uniform border of thickness id%3 around an always-varying
+    * interior — the engine decodes real rasters and scans line
+    * uniformity; the oracle derives every count from the planting.
+    */
+  private val mmLetterbox = Q(
+    (s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val (w, h, t) = ((8 + id % 8).toInt, (6 + id % 6).toInt,
+            (id % 3).toInt)
+          (id, Multimodal.encodeGrayPng(w, h, (x, y) =>
+            if (x < t || y < t || x >= w - t || y >= h - t) 0
+            else ((id * 31 + x * 7 + y * 13) % 256).toInt))
+        }.toDF("doc_id", "content")
+      Multimodal.letterboxDetect(blobs, "doc_id", "content")
+    },
+    Some("SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS width, CAST(6 + doc_id % 6 AS INT) AS height, " +
+      "CAST(doc_id % 3 AS INT) AS \"top\", CAST(doc_id % 3 AS INT) AS \"bottom\", CAST(doc_id % 3 AS INT) AS \"left\", CAST(doc_id % 3 AS INT) AS \"right\" FROM documents"))
+
   /** Audio silence trim ([[Multimodal.silenceTrim]]): WAV clips with
     * PLANTED leading (id%7) and trailing (id%5) exact-center silence
     * around an always-active band — the engine decodes real PCM8 and
@@ -5944,6 +5965,7 @@ object SparkEntry {
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_shot_sample" -> mmShotSample,
     "mm_audio_trim" -> mmAudioTrim,
+    "mm_letterbox" -> mmLetterbox,
     "mm_featurize" -> mmFeaturize,
     "mm_resize" -> mmResize,
     "text_tokens" -> textTokens,

@@ -814,6 +814,41 @@ object Multimodal {
       .toDF(id, "features")
   }
 
+  /** Letterbox/border detection over decoded gray rasters — the image-
+    * curation probe for padded thumbnails and pillarboxed frames: the
+    * count of leading/trailing rows and columns that are each entirely
+    * UNIFORM (one constant value per line — black bars, white mattes).
+    * Downstream crops to the content box before hashing/featurizing,
+    * or drops images whose content box vanishes. Output per image:
+    * (id, width, height, top, bottom, left, right). Executor-side
+    * real decode; undecodable blobs drop (quarantine path).
+    */
+  def letterboxDetect(df: DataFrame, id: String, content: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    widen(df).select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (rowId, bytes) =>
+          decodeGray(bytes).map { case (w, h, px) =>
+            def rowUniform(y: Int) =
+              (1 until w).forall(x => px(y * w + x) == px(y * w))
+            def colUniform(x: Int) =
+              (1 until h).forall(y => px(y * w + x) == px(x))
+            val top = (0 until h).takeWhile(rowUniform).size
+            val bottom = (0 until h).reverseIterator
+              .takeWhile(rowUniform).size
+            val left = (0 until w).takeWhile(colUniform).size
+            val right = (0 until w).reverseIterator
+              .takeWhile(colUniform).size
+            (rowId, w, h, top, bottom, left, right)
+          }
+        }
+      }
+      .toDF(id, "width", "height", "top", "bottom", "left", "right")
+  }
+
   /** Leading/trailing silence trim over PCM8 WAV blobs — the audio-
     * curation cut every speech pipeline makes before feature
     * extraction (silence carries storage and compute, no signal): a

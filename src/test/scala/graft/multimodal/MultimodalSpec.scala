@@ -463,6 +463,27 @@ class MultimodalSpec extends SparkSpec {
       (1L, 0L, 0, 2L), (1L, 1L, 2, 1L), (2L, 0L, 0, 1L)))
   }
 
+  test("letterboxDetect counts uniform border lines, including " +
+      "asymmetric bars and the no-border image") {
+    import spark.implicits._
+    // 6x5 with 0-bars top/bottom/right but a varying FIRST column
+    val px = Array(
+      0, 0, 0, 0, 0, 0,
+      1, 2, 3, 4, 5, 0,
+      2, 3, 4, 5, 6, 0,
+      3, 4, 5, 6, 7, 0,
+      0, 0, 0, 0, 0, 0)
+    val imgs = Seq(
+      (1L, Multimodal.encodeGrayPng(6, 5, (x, y) => px(y * 6 + x))),
+      (2L, Multimodal.encodeGrayPng(4, 3, (x, y) => x * 10 + y)))
+      .toDF("doc_id", "content")
+    val out = Multimodal.letterboxDetect(imgs, "doc_id", "content")
+      .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 6, 5, 1, 1, 0, 1)))
+    assert(out(2L) == ((2L, 4, 3, 0, 0, 0, 0)))
+  }
+
   test("silenceTrim reports lead/trail runs, eps tolerance, and the " +
       "all-silent drop signal") {
     import spark.implicits._
