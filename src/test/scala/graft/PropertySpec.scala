@@ -838,6 +838,47 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("templateGroups partitions the corpus by the digit/ws/case " +
+      "mask: sizes sum to total, keepers are group minima") =
+    Prop.forAllNoShrink(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 50L),
+      Gen.oneOf("a 1 b", "A  2 B", "x9y", "x 12 y", "zz")))) { docs =>
+      docs.isEmpty || {
+        import spark.implicits._
+        val ids = docs.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }
+        val out = graft.dedup.Dedup.templateGroups(
+            ids.toDF("id", "t"), "id", "t")
+          .as[(String, Long, Long)].collect()
+        def mask(t: String) = t.toLowerCase.trim
+          .replaceAll("[0-9]+", "#").replaceAll("\\s+", " ")
+        val byMask = ids.groupBy { case (_, t) => mask(t) }
+        out.map(_._3).sum == ids.size &&
+          out.length == byMask.size &&
+          out.forall { case (_, keeper, n) =>
+            byMask.values.exists(g =>
+              g.map(_._1).min == keeper && g.size == n)
+          }
+      }
+    }
+
+  property("keySkew equals a scalar recomputation of every ratio") =
+    Prop.forAllNoShrink(Gen.nonEmptyListOf(Gen.chooseNum(0L, 15L))) { ks =>
+      import spark.implicits._
+      val (nRows, nKeys, mx, mean, skew, t1, t10) =
+        graft.operators.Profile.keySkew(ks.toDF("k"), "k")
+          .as[(Long, Long, Long, Double, Double, Double, Double)]
+          .collect().head
+      def r(d: Double, s: Int) = BigDecimal(d)
+        .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val hist = ks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val top = hist.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+      nRows == ks.size && nKeys == hist.size &&
+        mx == hist.values.max &&
+        mean == r(ks.size.toDouble / hist.size, 4) &&
+        skew == r(hist.values.max.toDouble * hist.size / ks.size, 4) &&
+        t1 == r(top.head._2.toDouble / ks.size, 6) &&
+        t10 == r(top.map(_._2).sum.toDouble / ks.size, 6)
+    }
+
   property("binaryHammingTopK equals a scalar brute-force recomputation " +
       "(packing, candidate cut, rerank, every tie-break)") =
     Prop.forAllNoShrink(Gen.chooseNum(2, 30), Gen.chooseNum(3, 70),
