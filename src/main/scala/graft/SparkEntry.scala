@@ -5242,11 +5242,16 @@ object SparkEntry {
     */
   private val annInt8Quantize = Q(
     (s, dir) => graft.ann.Quantize.int8Quantize(
-      t(s, dir, "embeddings"), "vec_id", "embedding"),
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      // entry contract: driver-sortable scalars only — the integer code
+      // array serializes through to_json (the r4_derelationalize
+      // convention; int rendering is engine-stable, unlike doubles)
+      .select(col("vec_id"), col("scale"),
+        to_json(col("codes")).as("codes"), col("max_err")),
     Some("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
       "sc AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS s FROM v) " +
       "SELECT vec_id, round(s, 9) AS scale, " +
-      "CASE WHEN s = 0 THEN list_transform(e, x -> 0) ELSE list_transform(e, x -> CAST(round(x / s, 0) AS INTEGER)) END AS codes, " +
+      "CASE WHEN s = 0 THEN to_json(list_transform(e, x -> 0)) ELSE to_json(list_transform(e, x -> CAST(round(x / s, 0) AS INTEGER))) END AS codes, " +
       "CASE WHEN s = 0 THEN 0.0 ELSE round(list_max(list_transform(e, x -> abs(round(x / s, 0) * s - x))), 6) END AS max_err FROM sc"))
 
   /** Chunk→document mean pooling ([[graft.ann.Pooling.meanPool]]): the
@@ -5260,15 +5265,20 @@ object SparkEntry {
     */
   private val annMeanPool = Q(
     (s, dir) => graft.ann.Pooling.meanPool(
-      t(s, dir, "embeddings")
-        .select(pmod(col("vec_id"), lit(100)).as("grp"), col("embedding")),
-      "grp", "embedding"),
+        t(s, dir, "embeddings")
+          .select(pmod(col("vec_id"), lit(100)).as("grp"), col("embedding")),
+        "grp", "embedding")
+      // entry contract: driver-sortable scalars only — the pooled double
+      // array goes LONG format (grp, pos, mv) rather than to_json,
+      // whose double rendering (scientific-notation cutoffs) differs
+      // between the JVM and DuckDB
+      .select(col("grp"), posexplode(col("pooled")).as(Seq("pos", "mv")),
+        col("n_chunks")),
     Some("WITH c AS (SELECT vec_id % 100 AS grp, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
       "u AS (SELECT grp, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM c), " +
       "m AS (SELECT grp, pos, floor(avg(v) * 1000000 + 0.5) / 1000000 AS mv FROM u GROUP BY 1, 2), " +
-      "p AS (SELECT grp, list(mv ORDER BY pos) AS pooled FROM m GROUP BY 1), " +
       "n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_chunks FROM c GROUP BY 1) " +
-      "SELECT p.grp, p.pooled, n.n_chunks FROM p JOIN n USING (grp)"))
+      "SELECT m.grp, CAST(m.pos - 1 AS INT) AS pos, m.mv, n.n_chunks FROM m JOIN n USING (grp)"))
 
   /** Pairwise cosine between per-label embedding centroids
     * ([[Ann.groupCentroidCosine]]): the corpus collapses to a G×d
