@@ -779,12 +779,21 @@ object SparkEntry {
         col("event_id"), col("user_id"), col("ts"),
         when(pmod(col("event_id"), lit(7)) === 0,
           lit(null).cast("double")).otherwise(col("value")).as("v"))
-      val staged = ev.withColumn("__q",
-        ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
+      // batch split by ts-quartile THRESHOLDS (3 driver-held bounds
+      // from approxQuantile — the RangeJoin bounds-probe pattern), not
+      // a global ntile window: the old form sorted the whole fixture in
+      // ONE partition inside the suite's slowest entry. Any time-
+      // ordered split satisfies the parity oracle; ties at a bound all
+      // land in the same batch so per-key event-time order holds.
+      val cuts = Double.NegativeInfinity +:
+        ev.select(col("ts").cast("double").as("__t"))
+          .stat.approxQuantile("__t", Array(0.25, 0.5, 0.75), 0.001) :+
+        Double.PositiveInfinity
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(s"$tmp/in"))
       (1 to 4).foreach { q =>
-        staged.where(col("__q") === q).drop("__q")
+        ev.where(col("ts").cast("double") > cuts(q - 1) &&
+            col("ts").cast("double") <= cuts(q))
           .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stage/q$q")
         val src = new java.io.File(s"$tmp/stage/q$q").listFiles()
           .filter(_.getName.startsWith("part-")).head
@@ -5131,9 +5140,9 @@ object SparkEntry {
       "max(CASE WHEN nl = ql THEN round(CAST(1 AS DOUBLE) / rank, 9) END) AS rr0, " +
       "sum(CASE WHEN nl = ql THEN round(CAST(1 AS DOUBLE) / log2(rank + 1), 9) ELSE 0 END) AS dcg FROM topk GROUP BY q_id), " +
       "nr AS (SELECT q.q_id, CAST(count(e.vec_id) AS BIGINT) AS n_rel FROM q LEFT JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.q_id GROUP BY q.q_id), " +
-      "m AS (SELECT a.q_id, n_rel, hits, COALESCE(rr0, 0.0) AS rr, dcg, " +
+      "m AS (SELECT nr.q_id, n_rel, CAST(COALESCE(hits, 0) AS BIGINT) AS hits, COALESCE(rr0, 0.0) AS rr, COALESCE(dcg, 0.0) AS dcg, " +
       "CASE WHEN n_rel > 0 THEN list_sum(list_transform(generate_series(1, LEAST(10, n_rel)), i -> round(CAST(1 AS DOUBLE) / log2(i + 1), 9))) ELSE 1 END AS idcg " +
-      "FROM agg a JOIN nr ON nr.q_id = a.q_id) " +
+      "FROM nr LEFT JOIN agg a ON nr.q_id = a.q_id) " +
       "SELECT q_id, n_rel, hits, round(CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE) / n_rel ELSE 0 END, 6) AS recall_at_k, round(rr, 6) AS rr, round(CASE WHEN n_rel > 0 THEN dcg / idcg ELSE 0 END, 6) AS ndcg_at_k FROM m"))
 
   /** Deterministic JL random projection ([[Ann.randomProjection]]):

@@ -65,15 +65,22 @@ object RetrievalEval {
       transform(idealRanks,
         i => round(lit(1.0) / log(2.0, i.cast("double") + lit(1.0)), 9)),
       lit(0.0), (acc, x) => acc + x)
-    perQuery.join(broadcast(nRel), Seq("q_id"), "left")
+    // anchor on the QUERY SET, not the scored run: a query whose run is
+    // empty (the corpus holds only its own row) must still report a
+    // zeroed row — "per query" means every query
+    qlab.select(col("q_id"))
+      .join(perQuery, Seq("q_id"), "left")
+      .join(broadcast(nRel), Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-        col("hits"), col("__rr"), col("__dcg"))
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("__rr"), col("__dcg"))
       .select(col("q_id"), col("n_rel"), col("hits"),
         round(when(col("n_rel") > 0, col("hits") / col("n_rel"))
           .otherwise(lit(0.0)), 6).as("recall_at_k"),
         round(coalesce(col("__rr"), lit(0.0)), 6).as("rr"),
-        round(when(col("n_rel") > 0, col("__dcg") / idcg)
+        round(when(col("n_rel") > 0,
+          coalesce(col("__dcg"), lit(0.0)) / idcg)
           .otherwise(lit(0.0)), 6).as("ndcg_at_k"))
   }
 }

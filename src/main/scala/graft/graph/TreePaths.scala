@@ -45,8 +45,16 @@ object TreePaths {
         col(parent).cast("long").as("anc"))
       .withColumn("p", array(col("n")))
     val init = state.agg(count(lit(1)),
-      sum(when(col("anc").isNotNull, 1L).otherwise(0L))).head()
+      sum(when(col("anc").isNotNull, 1L).otherwise(0L)),
+      countDistinct(col("n"))).head()
     val total = init.getLong(0)
+    // duplicate node ids would silently fan out the self-join into
+    // duplicated/garbled paths — same fail-fast posture as the cycle
+    // and dangling-pointer guards
+    if (init.getLong(2) != total)
+      throw new IllegalStateException(
+        s"${total - init.getLong(2)} duplicate node id(s) in the " +
+          "parent table — refusing to fan out the ancestor join")
     var unresolved = Option(init.get(1)).fold(0L)(_.asInstanceOf[Long])
     var it = 0
     while (unresolved > 0) {

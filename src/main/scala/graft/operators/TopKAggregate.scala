@@ -38,8 +38,17 @@ object TopKAggregate {
       (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
     require(k > 0, "k must be > 0")
 
-    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    // java.lang.Double.compare, not </>: IEEE comparisons are false in
+    // both directions for NaN (and the id tie-break fires only on score
+    // EQUALITY, which NaN never satisfies), which would make the buffer
+    // order partitioning-dependent the moment a NaN score (zero-norm
+    // vector) enters. The total order ranks NaN above every real score —
+    // the same ordering Spark's sort gives DoubleType, so rank-window
+    // parity holds for NaN inputs too.
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
 
     private def insert(b: Seq[(Double, Long)], x: (Double, Long))
         : Seq[(Double, Long)] =

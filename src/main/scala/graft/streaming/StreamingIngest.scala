@@ -334,7 +334,9 @@ object StreamingIngest {
     * key's last observed value, seeding each key's leading nulls from
     * persisted per-key carry state, then advances the state to the
     * batch's last filled value. Filled rows append to `outPath`; state
-    * is one row per key regardless of stream length.
+    * is one row per key regardless of stream length, versioned by
+    * batchId so a crash-retry re-derives identical output (at-least-
+    * once: duplicates possible, but always byte-identical).
     *
     * Ordering contract: like every forward fill, correctness needs
     * per-key event-time order ACROSS batches (the file source's
@@ -370,15 +372,33 @@ object StreamingIngest {
             .rowsBetween(Window.unboundedPreceding, 0)
           val local = batch.toDF()
             .withColumn("__f", last(col(valueCol), ignoreNulls = true).over(w))
+          // carry state is VERSIONED by batchId (snapshot dirs
+          // batch_<id> under statePath): a batch seeds from the newest
+          // snapshot with id < its own, so a retry that crashed after
+          // writing its snapshot but before the marker re-derives from
+          // the SAME seed and appends byte-identical duplicates —
+          // unversioned overwrite state would make the retry seed from
+          // the already-advanced carry, so the duplicated rows could
+          // carry DIFFERENT filled values. Old snapshots retire only
+          // AFTER the marker commits.
           val p = new org.apache.hadoop.fs.Path(statePath)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val hasState = fs.exists(p) && fs.listStatus(p).nonEmpty
-          val seeded =
-            if (hasState)
-              local.join(spark.read.parquet(statePath), Seq(key), "left")
+          val snapIds =
+            if (fs.exists(p))
+              fs.listStatus(p).map(_.getPath.getName)
+                .filter(_.startsWith("batch_"))
+                .map(_.stripPrefix("batch_").toLong)
+                .filter(_ < batchId)
+            else Array.empty[Long]
+          val seedPath = snapIds.sorted.lastOption
+            .map(id => s"$statePath/batch_$id")
+          val seeded = seedPath match {
+            case Some(sp) =>
+              local.join(spark.read.parquet(sp), Seq(key), "left")
                 .withColumn("__f", coalesce(col("__f"), col("__carry")))
-            else local.withColumn("__carry",
+            case None => local.withColumn("__carry",
               lit(null).cast(local.schema(valueCol).dataType))
+          }
           seeded
             .select(batch.columns.map(col) :+
               col("__f").as(s"${valueCol}_filled"): _*)
@@ -390,16 +410,20 @@ object StreamingIngest {
             .agg(coalesce(
               max_by(col("__f"), struct(orderCols.map(col): _*)),
               first(col("__carry"))).as("__carry"))
-          val merged =
-            if (hasState)
-              spark.read.parquet(statePath)
+          val merged = seedPath match {
+            case Some(sp) =>
+              spark.read.parquet(sp)
                 .join(advanced.select(col(key)), Seq(key), "left_anti")
                 .unionByName(advanced)
-            else advanced
-          // localCheckpoint cuts the self-referential lineage (the new
-          // state reads the files it is about to replace)
-          merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
+            case None => advanced
+          }
+          // reads batch_<seed>, writes batch_<batchId> — distinct paths,
+          // so no self-referential lineage and no checkpoint needed
+          merged.write.mode("overwrite")
+            .parquet(s"$statePath/batch_$batchId")
           mfs.create(marker, true).close()
+          snapIds.foreach(id =>
+            fs.delete(new org.apache.hadoop.fs.Path(p, s"batch_$id"), true))
           // retire superseded markers of this checkpoint
           mfs.listStatus(outDir).foreach { st =>
             val n = st.getPath.getName

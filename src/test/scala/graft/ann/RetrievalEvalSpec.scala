@@ -44,4 +44,15 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(m._2 == 0L && m._3 == 0L)
     assert(m._4 == 0.0 && m._5 == 0.0 && m._6 == 0.0)
   }
+
+  test("a query whose top-k run is empty still reports a zeroed row") {
+    // corpus = only the query's own row: self-exclusion leaves nothing
+    // to rank, but "per query" means the row must still appear
+    val solo = corpus.filter($"vec_id" === 0L)
+    val out = RetrievalEval.retrievalMetrics(
+      solo, "vec_id", "embedding", "label",
+      solo, "vec_id", "embedding", "label", k = 3)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(out.toSeq == Seq((0L, 0L, 0L, 0.0, 0.0, 0.0)))
+  }
 }

@@ -58,4 +58,12 @@ class TreePathsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("dangling"))
   }
+
+  test("a duplicate node id fails rather than fanning out the join") {
+    val e = intercept[IllegalStateException] {
+      paths(Seq((1L, None), (2L, Some(1L)), (2L, Some(1L)),
+        (3L, Some(2L))))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
 }
