@@ -5263,6 +5263,35 @@ object SparkEntry {
       "CASE WHEN s = 0 THEN to_json(list_transform(e, x -> 0)) ELSE to_json(list_transform(e, x -> CAST(round(x / s, 0) AS INTEGER))) END AS codes, " +
       "CASE WHEN s = 0 THEN 0.0 ELSE round(list_max(list_transform(e, x -> abs(round(x / s, 0) * s - x))), 6) END AS max_err FROM sc"))
 
+  /** Two-stage int8-quantized top-k ([[graft.ann.Quantize.int8TopK]]):
+    * the QUERY path for the 4×-smaller persisted format — integer
+    * code-cosine prunes the corpus to 32 candidates/query (the scales
+    * cancel out of the ratio, so stage 1 is a pure int MAC), exact
+    * float cosine re-ranks the survivors. The oracle re-derives the
+    * per-vector codes, the integer prune score, the (qsim, id)
+    * candidate cut, and the float rerank.
+    */
+  private val annInt8TopK = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Quantize.int8TopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 10, rerank = 32)
+    },
+    Some("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "sc AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS s FROM v), " +
+      "cd AS (SELECT vec_id, e, CASE WHEN s = 0 THEN list_transform(e, x -> 0) ELSE list_transform(e, x -> CAST(round(x / s, 0) AS INTEGER)) END AS cds FROM sc), " +
+      "q AS (SELECT vec_id AS q_id, e AS qe, cds AS qc FROM cd WHERE vec_id < 10), " +
+      "p AS (SELECT q_id, qe, vec_id AS nid, e, " +
+      "CAST(list_sum(list_transform(range(len(qc)), i -> qc[i + 1] * cds[i + 1])) AS DOUBLE) AS idot, " +
+      "sqrt(CAST(list_sum(list_transform(qc, x -> CAST(x AS BIGINT) * x)) AS DOUBLE)) * sqrt(CAST(list_sum(list_transform(cds, x -> CAST(x AS BIGINT) * x)) AS DOUBLE)) AS den " +
+      "FROM q, cd WHERE vec_id <> q_id), " +
+      "ps AS (SELECT q_id, qe, nid, e, round(CASE WHEN den = 0 THEN 0 ELSE idot / den END, 4) AS qsim FROM p), " +
+      "cand AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, nid) AS crk FROM ps), " +
+      "r AS (SELECT q_id, nid, qsim, round(list_cosine_similarity(qe, e), 4) AS sim FROM cand WHERE crk <= 32), " +
+      "rk AS (SELECT q_id, nid, qsim, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nid) AS rank FROM r) " +
+      "SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, qsim, sim FROM rk WHERE rank <= 10"))
+
   /** Chunk→document mean pooling ([[graft.ann.Pooling.meanPool]]): the
     * retrieval-pipeline aggregation that turns per-chunk embeddings
     * into one document vector, as a typed Aggregator summing
@@ -6000,6 +6029,7 @@ object SparkEntry {
     "ann_topk_agg" -> annTopKAgg,
     "ann_retrieval_metrics" -> annRetrievalMetrics,
     "ann_binary_topk" -> annBinaryTopK,
+    "ann_int8_topk" -> annInt8TopK,
     "ann_centroid_drift" -> annCentroidDrift,
     "ann_random_projection" -> annRandomProjection,
     "ann_hard_negatives" -> annHardNegatives,

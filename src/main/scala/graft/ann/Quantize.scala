@@ -124,12 +124,94 @@ object Quantize {
       lit(0.0), (acc, x) => acc + x))
     val wC = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col(id).asc)
+    // a zero-norm survivor has no defined cosine: null (ranked last —
+    // desc puts nulls last), never ANSI DIVIDE_BY_ZERO
+    val den = norm(col("__qv")) * norm(col("__v"))
     cand
       .withColumn("sim",
-        round(dot / (norm(col("__qv")) * norm(col("__v"))), 4))
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(round(dot / den, 4)))
       .withColumn("rank", row_number().over(wC))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("int").as("rank"),
         col(id).as("neighbor_id"), col("hamming"), col("sim"))
+  }
+
+  /** Per-vector int8 codes as a Column ([[int8Quantize]]'s quantizer,
+    * factored so the top-k scan can quantize in the scan projection
+    * without materializing the codes table).
+    */
+  private def int8Codes(vec: Column): Column = {
+    val e = transform(vec, x => x.cast("double"))
+    val sc = array_max(transform(e, x => abs(x))) / 127.0
+    when(sc === 0, transform(e, _ => lit(0)))
+      .otherwise(transform(e, x => round(x / sc, 0).cast("int")))
+  }
+
+  /** Two-stage int8-quantized top-k — the QUERY path for the 4×-smaller
+    * format [[int8Quantize]] persists: stage 1 ranks the corpus by
+    * cosine over the int8 codes (a pure integer multiply-accumulate —
+    * the per-vector scales cancel out of the cosine ratio, so the
+    * approximate score needs no float rescale at all) and keeps
+    * `rerank` candidates per query (ties → lower id); stage 2 re-ranks
+    * only the survivors by exact float cosine. Same serving-tier
+    * recipe as [[binaryHammingTopK]], trading the binary path's 8-16×
+    * byte cut for a far tighter pre-rank (int8 cosine is within
+    * ~1/127 of exact, so small rerank budgets already reach full
+    * recall — QuantizeSpec pins exact parity at rerank = |corpus|).
+    *
+    * Output per query: (q_id, rank, neighbor_id, qsim, sim) — qsim the
+    * int8-cosine prune score, both rounded to 4 ([[Ann.topK]]
+    * convention) BEFORE their rank windows so candidate cuts are
+    * engine-reproducible. Queries broadcast quantized; the corpus
+    * quantizes once in the scan projection and never shuffles.
+    */
+  def int8TopK(
+      corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, qId: String, qVec: String,
+      k: Int, rerank: Int): DataFrame = {
+    require(k > 0 && rerank >= k, "need k > 0 and rerank >= k")
+    val corp = corpus.select(col(id), col(vec).as("__v"),
+      int8Codes(col(vec)).as("__cc"))
+    val qs = queries.select(col(qId).as("q_id"), col(qVec).as("__qv"),
+      int8Codes(col(qVec)).as("__qc"))
+    // integer MAC: products peak at 127² and dims are bounded, but the
+    // accumulator goes long anyway — ANSI mode must never see an
+    // overflow path
+    val idot = aggregate(
+      zip_with(col("__qc"), col("__cc"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val inorm = (c: Column) => sqrt(aggregate(
+      transform(c, x => (x * x).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double"))
+    val den = inorm(col("__qc")) * inorm(col("__cc"))
+    val scored = corp.crossJoin(broadcast(qs))
+      .where(col("q_id") =!= col(id))
+      .withColumn("qsim", round(
+        when(den === 0, lit(0.0)).otherwise(idot.cast("double") / den), 4))
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("qsim").desc, col(id).asc)
+    val cand = scored.withColumn("__crk", row_number().over(wQ))
+      .where(col("__crk") <= rerank)
+    val dot = aggregate(
+      zip_with(col("__qv"), col("__v"),
+        (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val norm = (c: Column) => sqrt(aggregate(
+      transform(c, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val wC = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(id).asc)
+    // zero-norm survivor: null cosine (ranked last), never ANSI
+    // DIVIDE_BY_ZERO
+    val den2 = norm(col("__qv")) * norm(col("__v"))
+    cand
+      .withColumn("sim",
+        when(den2 === 0, lit(null).cast("double"))
+          .otherwise(round(dot / den2, 4)))
+      .withColumn("rank", row_number().over(wC))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col(id).as("neighbor_id"), col("qsim"), col("sim"))
   }
 }

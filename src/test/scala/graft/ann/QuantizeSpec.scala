@@ -87,6 +87,49 @@ class QuantizeSpec extends SparkSpec {
     assert(out.map(_._3).toSet == Set(1L, 2L))
   }
 
+  test("int8TopK: full rerank budget equals the exact brute-force topK") {
+    // int8 prune scores reorder slightly vs float cosine, but with
+    // rerank = |corpus| every candidate survives to the float rerank,
+    // so (rank, neighbor, sim) must match Ann.topK exactly
+    val vecs = (1L to 40L)
+      .map(i => (i, (0 until 8).map(j =>
+        math.sin(i * 13 + j * 3).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" <= 3)
+    val out = Quantize.int8TopK(vecs, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 5, rerank = 40)
+      .select("q_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val exact = Ann.topK(vecs, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(out == exact)
+  }
+
+  test("int8TopK: a tight rerank budget prunes by the int8 cosine and " +
+      "a zero vector scores 0, not NaN") {
+    val q = Seq(1.0f, 1.0f, 0.0f, 0.0f)
+    val df = Seq(
+      (0L, q),
+      (1L, Seq(1.0f, 1.0f, 0.1f, 0.0f)),   // int8-cos highest
+      (2L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),   // mid
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))   // zero vector: qsim 0
+      .toDF("vec_id", "embedding")
+    val out = Quantize.int8TopK(df, "vec_id", "embedding",
+        df.filter($"vec_id" === 0), "vec_id", "embedding",
+        k = 2, rerank = 2)
+      .as[(Long, Int, Long, Double, Option[Double])].collect()
+    assert(out.map(_._3).toSet == Set(1L, 2L))
+    val all = Quantize.int8TopK(df, "vec_id", "embedding",
+        df.filter($"vec_id" === 0), "vec_id", "embedding",
+        k = 3, rerank = 3)
+      .as[(Long, Int, Long, Double, Option[Double])].collect()
+    val zeroRow = all.find(_._3 == 3L).get
+    assert(zeroRow._4 == 0.0)        // int8 prune score guards to 0
+    assert(zeroRow._5.isEmpty)       // undefined cosine stays null
+    assert(zeroRow._2 == 3)          // nulls rank last
+  }
+
   test("binaryHammingTopK: an empty corpus vector packs to zero words " +
       "instead of tripping the ANSI element_at(0) path") {
     val q = Seq.fill(4)(1.0f)
