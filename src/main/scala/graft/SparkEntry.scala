@@ -2757,6 +2757,59 @@ object SparkEntry {
     },
     Some("SELECT doc_id, CAST(60 + doc_id % 20 AS INT) AS n_samples, CAST(doc_id % 7 AS INT) AS lead_trim, CAST(doc_id % 5 AS INT) AS trail_trim, CAST(60 + doc_id % 20 - doc_id % 7 - doc_id % 5 AS INT) AS kept FROM documents"))
 
+  /** Image metadata extraction ([[graft.multimodal.ImageMetadata
+    * .imageMetadata]]): PNG tEXt/iTXt chunks and JPEG APP1/EXIF IFD0
+    * tags walked from PLANTED provenance (keys/values pure functions
+    * of doc_id), long format (doc_id, format, key, value). Every 13th
+    * image carries a malformed metadata segment (overrun chunk/APP1
+    * length) — the walker quarantines it to zero rows, which the
+    * oracle mirrors by exclusion.
+    */
+  private val mmExifMeta = Q(
+    (s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val corrupt = id % 13 == 0
+          val bytes =
+            if (id % 2 == 0) {
+              val base = Multimodal.encodeGrayPng(
+                (8 + id % 8).toInt, (6 + id % 6).toInt,
+                (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+              if (corrupt)
+                // declared tEXt length overruns the file: walker stops
+                base.take(33) ++ Array[Byte](0, 0, 0x27, 0x0f) ++
+                  "tEXtxx".getBytes("US-ASCII")
+              else graft.multimodal.ImageMetadata.pngAddText(base,
+                Seq("Author" -> s"author_${id % 10}",
+                  "Software" -> s"graft-${id % 4}"),
+                Seq("Comment" -> s"c_${id % 6}"))
+            } else {
+              val base = Multimodal.encodeGrayJpeg(
+                (8 + id % 8).toInt, (6 + id % 6).toInt,
+                (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+              if (corrupt) Array[Byte](0xff.toByte, 0xd8.toByte,
+                0xff.toByte, 0xe1.toByte, 0x7f, 0x00)
+              else graft.multimodal.ImageMetadata.jpegAddExif(base,
+                Seq(0x010f -> s"make_${id % 5}",
+                  0x0110 -> s"model_${id % 7}"),
+                Seq(0x0112 -> (1 + id % 8).toInt))
+            }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+      graft.multimodal.ImageMetadata.imageMetadata(
+        blobs, "doc_id", "content")
+    },
+    Some("WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0), " +
+      "png AS (SELECT doc_id FROM ids WHERE doc_id % 2 = 0), " +
+      "jpg AS (SELECT doc_id FROM ids WHERE doc_id % 2 = 1) " +
+      "SELECT doc_id, 'png' AS format, 'Author' AS \"key\", 'author_' || (doc_id % 10) AS \"value\" FROM png " +
+      "UNION ALL SELECT doc_id, 'png', 'Software', 'graft-' || (doc_id % 4) FROM png " +
+      "UNION ALL SELECT doc_id, 'png', 'Comment', 'c_' || (doc_id % 6) FROM png " +
+      "UNION ALL SELECT doc_id, 'jpeg', 'Make', 'make_' || (doc_id % 5) FROM jpg " +
+      "UNION ALL SELECT doc_id, 'jpeg', 'Model', 'model_' || (doc_id % 7) FROM jpg " +
+      "UNION ALL SELECT doc_id, 'jpeg', 'Orientation', CAST(1 + doc_id % 8 AS VARCHAR) FROM jpg"))
+
   /** Multimodal image decode: REAL PNG containers decoded with
     * javax.imageio via batch-shaped mapPartitions; the oracle re-derives
     * the decoded dimensions from the generator arithmetic.
@@ -6014,6 +6067,7 @@ object SparkEntry {
     "mm_shot_sample" -> mmShotSample,
     "mm_audio_trim" -> mmAudioTrim,
     "mm_letterbox" -> mmLetterbox,
+    "mm_exif_meta" -> mmExifMeta,
     "mm_featurize" -> mmFeaturize,
     "mm_resize" -> mmResize,
     "text_tokens" -> textTokens,
