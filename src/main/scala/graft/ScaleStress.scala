@@ -127,11 +127,15 @@ object ScaleStress {
       "dedup_ngram_capped" -> (f =>
         // the cap scales with the corpus (a fixed absolute cap at 10×
         // drops 10× more grams and measures the cap, not the operator;
-        // operationally a df cap is a corpus-relative knob anyway)
+        // operationally a df cap is a corpus-relative knob anyway).
+        // maxPostings engages the adaptive g×g posting decomposition:
+        // without it the admitted hot grams' df² fanout lands on a few
+        // unsplittable shuffle keys and wall-clock goes Θ(f²)
+        // (r10 reading: exponent 1.46, 0.73 s → 80 s at f25)
         Dedup.ngramJaccardPairs(
           docs(f).where(pmod(col("doc_id"), lit(Offset)) < 500),
           "doc_id", "text", n = 3, threshold = 0.8,
-          maxDf = Some(100L * f))),
+          maxDf = Some(100L * f), maxPostings = Some(100))),
       "dedup_incremental" -> (f => {
         // index build is amortized ingest cost; the timed query is the
         // O(batch) path the docs promise
@@ -245,6 +249,18 @@ object ScaleStress {
           cb, k = 5, nprobe = 3)
       }))
 
+    // optional op filter for isolated re-times (comma-separated names);
+    // full-suite runs leave it unset
+    val opFilter = sys.env.get("SPARK_GRAFT_STRESS_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    val selectedOps = opFilter match {
+      case Some(sel) =>
+        val unknown = sel.diff(ops.map(_._1).toSet)
+        require(unknown.isEmpty, s"unknown stress ops: ${unknown.mkString(",")}")
+        ops.filter(o => sel(o._1))
+      case None => ops
+    }
+
     def time(df: DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = df.count()
@@ -260,7 +276,7 @@ object ScaleStress {
     }
 
     // warmup: codegen compile + page cache on the smallest rung
-    ops.foreach { case (_, mk) => mk(factors.head).count(); quiesce() }
+    selectedOps.foreach { case (_, mk) => mk(factors.head).count(); quiesce() }
 
     val results = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.LinkedHashMap[Int, (Double, Long)]]()
@@ -272,7 +288,7 @@ object ScaleStress {
     // exponents stay apples-to-apples
     val constructionHeavy =
       Set("so14_leakage_split", "overlap_matrix", "tree_paths")
-    for ((name, mk) <- ops; f <- factors) {
+    for ((name, mk) <- selectedOps; f <- factors) {
       val (sec, rows) =
         if (constructionHeavy(name)) timeAll(mk(f)) else time(mk(f))
       results.getOrElseUpdate(name,
@@ -345,8 +361,8 @@ object ScaleStress {
         s""""ops":{$opsJson},$guardJson}"""
     println(json)
     val outName =
-      if (factors == Seq(1, 3, 10)) "STRESS_r10.json"
-      else s"STRESS_r10_f${factors.last}.json"
+      if (factors == Seq(1, 3, 10)) "STRESS_r11.json"
+      else s"STRESS_r11_f${factors.last}.json"
     Files.write(Paths.get(outName),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -1996,6 +1996,36 @@ object SparkEntry {
       n = 3, threshold = 0.8, maxDf = Some(100L)),
     Some("WITH g0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(text) >= 3 THEN [substr(lower(text), i, 3) FOR i IN generate_series(1, len(text)-2)] ELSE [lower(text)] END)) AS w FROM documents WHERE doc_id < 500), df AS (SELECT w, count(*) AS dfc FROM g0 GROUP BY 1), g AS (SELECT g0.doc_id, g0.w FROM g0 JOIN df USING (w) WHERE dfc <= 100), sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM g a JOIN g b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
 
+  /** The posting-DECOMPOSED twin of `dedup_ngram_jaccard_capped` on a
+    * duplicate-saturated fixture — proves the adaptive g×g per-gram
+    * decomposition ([[Dedup.saltedPostingLegs]], the relative-df-cap
+    * scale valve) INSIDE the oracle gate: 8 base docs replicated 24×
+    * byte-identical (id = doc_id·1000 + k) give every gram a posting
+    * list of ≥24 ids, and `maxPostings = 8` forces g ≥ 3 → ≥9 bounded
+    * join cells per gram. The df cap (96 = 24·4, i.e. grams shared by
+    * >4 base docs drop) runs UNDER the decomposition, so cap + split
+    * compose. The oracle is the exact capped trigram Jaccard over the
+    * replicated fixture — a pair met twice or lost by the chunk
+    * algebra shifts |∩| and flips the hash.
+    */
+  private val dedupNgramDecomposed = Q(
+    (s, dir) => {
+      val sat = t(s, dir, "documents").where(col("doc_id") < 8)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(23))).as("k"))
+        .select((col("doc_id") * 1000 + col("k")).cast("long").as("doc_id"),
+          col("text"))
+      Dedup.ngramJaccardPairs(sat, "doc_id", "text", n = 3,
+        threshold = 0.8, maxDf = Some(96L), maxPostings = Some(8))
+    },
+    Some("WITH sat AS (SELECT d.doc_id * 1000 + g.k AS doc_id, d.text AS text FROM documents d CROSS JOIN generate_series(0, 23) AS g(k) WHERE d.doc_id < 8), " +
+      "g0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(text) >= 3 THEN [substr(lower(text), i, 3) FOR i IN generate_series(1, len(text)-2)] ELSE [lower(text)] END)) AS w FROM sat), " +
+      "df AS (SELECT w, count(*) AS dfc FROM g0 GROUP BY 1), " +
+      "g AS (SELECT g0.doc_id, g0.w FROM g0 JOIN df USING (w) WHERE dfc <= 96), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM g a JOIN g b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
+
   /** Cross-source overlap matrix ([[Dedup.sourceOverlapMatrix]]): per
     * source pair, distinct word-3-gram intersection, Jaccard, and
     * containment — the "does snapshot B re-crawl snapshot A" curation
@@ -6114,6 +6144,7 @@ object SparkEntry {
     "dedup_incremental" -> dedupIncremental,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
+    "dedup_ngram_decomposed" -> dedupNgramDecomposed,
     "dedup_minhash" -> dedupMinhash,
     "corpus_overlap_matrix" -> corpusOverlapMatrix,
     "dedup_minhash_saturated" -> dedupMinhashSaturated,

@@ -321,11 +321,17 @@ object Dedup {
     *   Costs k× shuffle volume of the tiny (id, sz, w) rows; leave at 1
     *   for well-spread vocabularies.
     */
+  /** @param maxPostings adaptive per-gram g×g decomposition cap
+    *   ([[saltedPostingLegs]]): no join key carries more than ~this
+    *   many posting rows per side. The scale valve for RELATIVE df
+    *   caps; subsumes `salt` (leave salt at 1 when set).
+    */
   def jaccardPairs(
       docs: DataFrame, id: String, text: String,
       threshold: Double, maxDf: Option[Long] = None,
-      salt: Int = 1): DataFrame =
-    pairsFromTokens(tokensWithSize(docs, id, text, maxDf), threshold, salt)
+      salt: Int = 1, maxPostings: Option[Int] = None): DataFrame =
+    pairsFromTokens(tokensWithSize(docs, id, text, maxDf), threshold, salt,
+      maxPostings)
 
   /** Character n-gram set of `text`, lowercased — the tokenizer for
     * scripts without word boundaries (CJK), OCR noise, and code, where
@@ -354,24 +360,28 @@ object Dedup {
     * at scale ALWAYS pair this with `maxDf` — ubiquitous grams
     * discriminate nothing and dominate the Σ df² join fanout.
     *
-    * `maxDf` must be an ABSOLUTE constant, not a corpus fraction: the
-    * in-bucket join work is Σ_grams df², so a cap that scales with the
-    * corpus makes the operator Θ(corpus²) — measured empirically at
-    * exponent 1.24 on the 25× replication stress (STRESS_r09_f25.json:
-    * 0.65 s → 35.1 s with cap 100·f) vs sub-second with the cap held at
-    * 100. An absolute cap bounds per-gram work outright; if capped-out
-    * grams still matter for the similarity domain, decompose oversized
-    * postings with the minhash-style g×g chunking instead of raising
-    * the cap.
+    * Prefer an ABSOLUTE `maxDf` constant: the in-bucket join work is
+    * Σ_grams df², so a cap that scales with the corpus admits grams
+    * whose df² pair fanout is Θ(corpus²) — measured empirically at
+    * exponent 1.46 on the 25× replication stress (STRESS_r10_f25.json:
+    * 0.73 s → 80 s with cap 100·f) vs sub-second with the cap held at
+    * 100. When capped-out grams still matter for the similarity domain
+    * (so a relative cap is the operational knob), pair it with
+    * `maxPostings`: the adaptive g×g posting decomposition
+    * ([[saltedPostingLegs]]) bounds every join key at ~maxPostings rows
+    * per side, so the admitted fanout spreads over independent
+    * AQE-balanceable cells instead of landing on one unsplittable hot
+    * key — total work is still Σ df² (that is the exact-Jaccard
+    * contract), but it parallelizes instead of straggling.
     */
   def ngramJaccardPairs(
       docs: DataFrame, id: String, text: String, n: Int,
       threshold: Double, maxDf: Option[Long] = None,
-      salt: Int = 1): DataFrame = {
+      salt: Int = 1, maxPostings: Option[Int] = None): DataFrame = {
     val sets = widen(docs)
       .select(col(id).as("id"), lower(col(text)).as("__t"))
       .select(col("id"), charShinglesOfLower(col("__t"), n).as("ts"))
-    pairsFromTokens(withSizes(sets, maxDf), threshold, salt)
+    pairsFromTokens(withSizes(sets, maxDf), threshold, salt, maxPostings)
   }
 
   /** The counted-inverted-index pair join over exploded (id, sz, w)
@@ -386,19 +396,66 @@ object Dedup {
     * reclaimed by the ContextCleaner; on a cluster the checkpoint also
     * stops the shuffle-side of each leg from re-scanning the corpus.
     */
+  /** The (x, y) legs of the POSTING self-join with the minhash-style
+    * adaptive g×g decomposition ([[saltedBandLegs]]' algebra on the
+    * per-gram posting lists): a gram with df = n > maxPostings splits
+    * into g = ⌈n / maxPostings⌉ id-hash chunks, the x leg replicates
+    * each posting across the g columns of its chunk row, the y leg
+    * across the g rows of its chunk column, and the join key becomes
+    * (w, cx, cy) — a pair (a, b) meets in EXACTLY the
+    * (chunk(a), chunk(b)) cell, so the counted-index |∩| parity is
+    * exact while no join key ever carries more than ~maxPostings rows
+    * per side. This is what makes a CORPUS-RELATIVE df cap safe: an
+    * absolute cap bounds per-gram work outright, but when the cap
+    * scales with the corpus a hot gram's df² pair fanout otherwise
+    * lands on ONE unsplittable shuffle key (the Θ(f²)-wall-clock
+    * stress reading, STRESS_r10_f25 exponent 1.46) — decomposed, the
+    * same fanout spreads over g² independent, AQE-balanceable cells.
+    * Normal grams have g = 1: one cell, zero replication — free until
+    * a posting list actually overflows (the saltedBandLegs guarantee).
+    */
+  private[dedup] def saltedPostingLegs(
+      toks: DataFrame, maxPostings: Int): (DataFrame, DataFrame) = {
+    require(maxPostings > 0, "maxPostings must be positive")
+    // census only OVERSIZED grams: slim (w) rows with map-side combine;
+    // empty census → AQE broadcasts the annotation join for ~free
+    val over = toks.groupBy(col("w"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxPostings)
+      .select(col("w"),
+        ceil(col("__n") / lit(maxPostings)).cast("int").as("__g"))
+    val withG = toks.join(over, Seq("w"), "left")
+      .withColumn("g", coalesce(col("__g"), lit(1))).drop("__g")
+      .localCheckpoint()
+    val chunk = pmod(xxhash64(col("id")), col("g")).cast("int")
+    val x = withG.withColumn("cx", chunk)
+      .withColumn("cy", explode(sequence(lit(0), col("g") - 1)))
+    val y = withG.withColumn("cy", chunk)
+      .withColumn("cx", explode(sequence(lit(0), col("g") - 1)))
+    (x.drop("g"), y.drop("g"))
+  }
+
   private def pairsFromTokens(
-      toks0: DataFrame, threshold: Double, salt: Int): DataFrame = {
+      toks0: DataFrame, threshold: Double, salt: Int,
+      maxPostings: Option[Int] = None): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
+    require(maxPostings.isEmpty || salt == 1,
+      "maxPostings (adaptive per-gram decomposition) subsumes the " +
+        "static two-sided salt — use one or the other")
     val toks = toks0.localCheckpoint()
     val allSalts = array((0 until salt).map(lit): _*)
-    val (a, b, saltCond) =
-      if (salt == 1) (toks.as("a"), toks.as("b"), lit(true))
-      else (
+    val (a, b, saltCond) = maxPostings match {
+      case Some(cap) =>
+        val (x, y) = saltedPostingLegs(toks, cap)
+        (x.as("a"), y.as("b"),
+          col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy"))
+      case None if salt == 1 => (toks.as("a"), toks.as("b"), lit(true))
+      case None => (
         toks.withColumn("__sa", pmod(xxhash64(col("id")), lit(salt)))
           .withColumn("__sb", explode(allSalts)).as("a"),
         toks.withColumn("__sb", pmod(xxhash64(col("id")), lit(salt)))
           .withColumn("__sa", explode(allSalts)).as("b"),
         col("a.__sa") === col("b.__sa") && col("a.__sb") === col("b.__sb"))
+    }
     a.join(b,
         col("a.w") === col("b.w") && saltCond && col("a.id") < col("b.id") &&
           least(col("a.sz"), col("b.sz")) >=

@@ -168,6 +168,53 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("posting-decomposed jaccard join returns identical pairs AND " +
+      "values (duplicate-saturated corpus, oversized grams split)") {
+    import org.apache.spark.sql.functions._
+    // 6 base docs × 24 identical replicas: every gram's posting list
+    // holds ≥24 ids, so maxPostings = 5 forces g ≥ 5 on every gram —
+    // the decomposition must engage everywhere and lose/duplicate
+    // nothing (a doubled cell meeting would inflate |∩| and shift the
+    // jaccard VALUE, so comparing values pins the exactly-once algebra)
+    val sat = docs.limit(6)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(23))).as("k"))
+      .select((col("doc_id") * 100 + col("k")).as("doc_id"), col("text"))
+    val plain = Dedup.jaccardPairs(sat, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(plain.nonEmpty)
+    for (cap <- Seq(1, 5, 1000)) {
+      val split = Dedup.jaccardPairs(sat, "doc_id", "text", 0.8,
+          maxPostings = Some(cap))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(split == plain, s"maxPostings=$cap")
+    }
+    // ngram form, with the RELATIVE-style df cap on top: parity holds
+    // through cap + decomposition together
+    val nplain = Dedup.ngramJaccardPairs(sat, "doc_id", "text", 3, 0.8,
+        maxDf = Some(100L))
+      .as[(Long, Long, Double)].collect().toSet
+    val nsplit = Dedup.ngramJaccardPairs(sat, "doc_id", "text", 3, 0.8,
+        maxDf = Some(100L), maxPostings = Some(7))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(nsplit == nplain)
+    // engagement: the legs really fan out — x replicates each posting
+    // across its gram's g columns, so the leg outgrows the posting set
+    val toks = sat
+      .select(col("doc_id").as("id"), lit(1).as("sz"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .distinct()
+    val (x, _) = Dedup.saltedPostingLegs(toks, maxPostings = 5)
+    assert(x.count() > toks.count())
+    // and a small corpus under the cap pays zero replication
+    val smallToks = docs.limit(3)
+      .select(col("doc_id").as("id"), lit(1).as("sz"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .distinct()
+    val (xs, _) = Dedup.saltedPostingLegs(smallToks, maxPostings = 1000)
+    assert(xs.count() == smallToks.count())
+  }
+
   test("bitset jaccard equals the inverted index, values included") {
     val plain = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
       .as[(Long, Long, Double)].collect().toSet
