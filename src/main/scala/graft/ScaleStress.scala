@@ -136,6 +136,26 @@ object ScaleStress {
           docs(f).where(pmod(col("doc_id"), lit(Offset)) < 500),
           "doc_id", "text", n = 3, threshold = 0.8,
           maxDf = Some(100L * f), maxPostings = Some(100))),
+      "dedup_ngram_prefix" -> (f =>
+        // same relative cap, prefix-filtered: candidates collide only
+        // on each doc's rarest grams, so the hot-gram df² fanout that
+        // keeps the counted index Θ(f²) never materializes — this is
+        // the documented scale path for relative-cap configs
+        Dedup.ngramJaccardPairsPrefix(
+          docs(f).where(pmod(col("doc_id"), lit(Offset)) < 500),
+          "doc_id", "text", n = 3, threshold = 0.8,
+          maxDf = Some(100L * f))),
+      "dedup_ngram_prefix_uncapped" -> (f =>
+        // NO cap at all — the confound-free rung: per-doc workload is
+        // constant across rungs (full vocabulary; the relative cap's
+        // admitted band shifts per rung and at f25 is a no-op — census
+        // max_df 1547 < 2500), so this measures the prefix operator
+        // under pure corpus growth. Hot invariant grams never enter a
+        // prefix (they sort last in every doc), which is exactly why
+        // this path doesn't need the cap to survive
+        Dedup.ngramJaccardPairsPrefix(
+          docs(f).where(pmod(col("doc_id"), lit(Offset)) < 500),
+          "doc_id", "text", n = 3, threshold = 0.8, maxDf = None)),
       "dedup_incremental" -> (f => {
         // index build is amortized ingest cost; the timed query is the
         // O(batch) path the docs promise

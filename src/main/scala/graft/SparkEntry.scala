@@ -1996,6 +1996,18 @@ object SparkEntry {
       n = 3, threshold = 0.8, maxDf = Some(100L)),
     Some("WITH g0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(text) >= 3 THEN [substr(lower(text), i, 3) FOR i IN generate_series(1, len(text)-2)] ELSE [lower(text)] END)) AS w FROM documents WHERE doc_id < 500), df AS (SELECT w, count(*) AS dfc FROM g0 GROUP BY 1), g AS (SELECT g0.doc_id, g0.w FROM g0 JOIN df USING (w) WHERE dfc <= 100), sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM g a JOIN g b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
 
+  /** The PREFIX-FILTERED twin of `dedup_ngram_jaccard_capped`
+    * ([[Dedup.ngramJaccardPairsPrefix]]) — identical capped relation,
+    * identical oracle, but candidates collide only on each doc's
+    * rarest grams (All-Pairs/PPJoin prefix scheme), the scale path
+    * when the df cap is corpus-relative and Σ df² would be Θ(corpus²).
+    */
+  private val dedupNgramPrefixCapped = Q(
+    (s, dir) => Dedup.ngramJaccardPairsPrefix(
+      t(s, dir, "documents").where(col("doc_id") < 500), "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = Some(100L)),
+    Some("WITH g0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(text) >= 3 THEN [substr(lower(text), i, 3) FOR i IN generate_series(1, len(text)-2)] ELSE [lower(text)] END)) AS w FROM documents WHERE doc_id < 500), df AS (SELECT w, count(*) AS dfc FROM g0 GROUP BY 1), g AS (SELECT g0.doc_id, g0.w FROM g0 JOIN df USING (w) WHERE dfc <= 100), sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM g a JOIN g b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
+
   /** The posting-DECOMPOSED twin of `dedup_ngram_jaccard_capped` on a
     * duplicate-saturated fixture — proves the adaptive g×g per-gram
     * decomposition ([[Dedup.saltedPostingLegs]], the relative-df-cap
@@ -6145,6 +6157,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
     "dedup_ngram_decomposed" -> dedupNgramDecomposed,
+    "dedup_ngram_prefix_capped" -> dedupNgramPrefixCapped,
     "dedup_minhash" -> dedupMinhash,
     "corpus_overlap_matrix" -> corpusOverlapMatrix,
     "dedup_minhash_saturated" -> dedupMinhashSaturated,

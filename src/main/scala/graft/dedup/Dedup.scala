@@ -900,20 +900,61 @@ object Dedup {
     */
   def jaccardPairsPrefix(
       docs: DataFrame, id: String, text: String,
+      threshold: Double, maxDf: Option[Long] = None): DataFrame =
+    prefixPairsFromTokens(tokensWithSize(docs, id, text, maxDf), threshold)
+
+  /** [[jaccardPairsPrefix]] over char n-grams — the scale path for a
+    * CORPUS-RELATIVE df cap on the n-gram domain: the counted inverted
+    * index's work is Σ df² over every admitted gram (Θ(corpus²) when
+    * the cap scales with the corpus — even decomposed into bounded
+    * cells the total stands, measured exponent 1.36), while prefix
+    * filtering collides only each doc's ~(1−t)·|d| RAREST grams, whose
+    * df is small by construction — the hot grams that dominate Σ df²
+    * sort to the back of every doc and never generate a candidate.
+    * Same exact results (the oracle-checked parity), dup-sparse-linear
+    * cost.
+    */
+  def ngramJaccardPairsPrefix(
+      docs: DataFrame, id: String, text: String, n: Int,
       threshold: Double, maxDf: Option[Long] = None): DataFrame = {
-    val words = tokensWithSize(docs, id, text, maxDf)
+    val sets = widen(docs)
+      .select(col(id).as("id"), lower(col(text)).as("__t"))
+      .select(col("id"), charShinglesOfLower(col("__t"), n).as("ts"))
+    prefixPairsFromTokens(withSizes(sets, maxDf), threshold)
+  }
+
+  private def prefixPairsFromTokens(
+      words: DataFrame, threshold: Double): DataFrame = {
     val dfs = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("id"))
       .orderBy(col("df").asc, col("w").asc)
+    // materialized: the df-census join + per-doc rarity window would
+    // otherwise execute on BOTH legs of the candidate self-join
     val prefix = words.join(dfs, "w")
       .withColumn("pos", row_number().over(byRarity))
       .where(col("pos") <= col("sz") - tceil(threshold, col("sz")) + 1)
-      .select(col("id"), col("w"), col("sz"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.w") === col("b.w") && col("a.id") < col("b.id") &&
-          least(col("a.sz"), col("b.sz")) >=
-            tceil(threshold, greatest(col("a.sz"), col("b.sz"))))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .select(col("id"), col("w"), col("sz"), col("pos"))
+      .localCheckpoint()
+    // ASYMMETRIC prefixes (the PPJoin index/probe split): the smaller
+    // doc of a qualifying pair needs only its SHORT prefix
+    // |d| − ⌈2t/(1+t)·|d|⌉ + 1 to be guaranteed a collision — for
+    // J ≥ t with |x| ≤ |y| the overlap is ≥ 2t/(1+t)·|x| (and
+    // ≥ t·|y| via the size filter), so the prefix lemma lands a shared
+    // token inside short(x) × long(y). Joining short×long instead of
+    // long×long cuts the collision fanout ~(1−t)/(1+t) ÷ (1−t) =
+    // 1/(1+t) per side with zero completeness loss; each unordered
+    // pair meets in exactly one orientation (smaller set on the short
+    // leg, id tie-break at equal sizes).
+    val short = prefix.where(
+      col("pos") <= col("sz") -
+        tceil(2 * threshold / (1 + threshold), col("sz")) + 1)
+    val cand = short.as("a").join(prefix.as("b"),
+        col("a.w") === col("b.w") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))) &&
+          col("a.sz") >= tceil(threshold, col("b.sz")))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"))
       .distinct()
     val sets = words.groupBy(col("id"))
       .agg(sort_array(collect_list(col("w"))).as("set"),

@@ -156,6 +156,17 @@ class DedupSpec extends SparkSpec {
     val capped = Dedup.ngramJaccardPairs(
       df, "doc_id", "text", 3, 0.8, maxDf = Some(2L))
     assert(capped.columns.toSeq == Seq("id1", "id2", "jaccard"))
+    // prefix-filtered form: identical relation (pairs AND values), with
+    // and without the cap — the provably-complete candidate scheme
+    for (cap <- Seq(None, Some(4L))) {
+      val inv = Dedup.ngramJaccardPairs(
+          df, "doc_id", "text", 3, 0.8, maxDf = cap)
+        .as[(Long, Long, Double)].collect().toSet
+      val pre = Dedup.ngramJaccardPairsPrefix(
+          df, "doc_id", "text", 3, 0.8, maxDf = cap)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pre == inv, s"maxDf=$cap")
+    }
   }
 
   test("salted jaccard join returns the identical pair set") {
