@@ -3294,6 +3294,31 @@ object SparkEntry {
       "SELECT source, len_bucket, CAST(sum(c) AS BIGINT) AS group_n, count(*) AS l_distinct, " +
       "round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_sensitive_frac, count(*) < 2 AS at_risk FROM c GROUP BY 1, 2"))
 
+  /** t-closeness audit ([[graft.operators.Privacy.tClosenessAudit]]):
+    * the distribution-skew gate on the SAME quasi-identifier grid as
+    * `privacy_l_diversity` — per class, the total variation distance
+    * between the class's language distribution and the corpus-wide one
+    * (the attack l-diversity misses: l distinct values can still be
+    * wildly over-represented vs their global base rates). The oracle
+    * replays the absent-value-mass form of the TVD: ½(Σ_{v∈class}
+    * |p_c−p_g| + 1 − Σ_{v∈class} p_g).
+    */
+  private val privacyTCloseness = Q(
+    (s, dir) => graft.operators.Privacy.tClosenessAudit(
+      t(s, dir, "documents").select(col("source"),
+        floor(col("n_chars") / 100).cast("long").as("len_bucket"),
+        col("lang")),
+      Seq("source", "len_bucket"), "lang", t = 0.2),
+    Some("WITH cell AS (SELECT source, n_chars // 100 AS len_bucket, lang, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1, 2, 3), " +
+      "cl AS (SELECT source, len_bucket, sum(c) AS gn FROM cell GROUP BY 1, 2), " +
+      "g AS (SELECT lang, CAST(count(*) AS DOUBLE) AS gc FROM documents GROUP BY 1), " +
+      "tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents) " +
+      "SELECT source, len_bucket, CAST(gn AS BIGINT) AS group_n, " +
+      "round((sum(abs(c / gn - gc / n)) + 1.0 - sum(gc / n)) / 2, 4) AS tvd, " +
+      "round((sum(abs(c / gn - gc / n)) + 1.0 - sum(gc / n)) / 2, 4) > 0.2 AS at_risk " +
+      "FROM cell JOIN cl USING (source, len_bucket) JOIN g USING (lang), tot " +
+      "GROUP BY source, len_bucket, gn"))
+
   /** Column profiling ([[graft.operators.Profile]]): per-column row/
     * null/distinct counts and min/max in ONE aggregation over one scan —
     * the post-conversion sanity report (count parity is the reference's
@@ -6184,6 +6209,7 @@ object SparkEntry {
     "profile_key_skew" -> profileKeySkew,
     "privacy_k_anon" -> privacyKAnon,
     "privacy_l_diversity" -> privacyLDiversity,
+    "privacy_t_closeness" -> privacyTCloseness,
     "so8_sample_k_per_group" -> so8SampleKPerGroup,
     "so10_weighted_sample" -> so10WeightedSample,
     "mix_temperature_sample" -> mixTemperatureSample,

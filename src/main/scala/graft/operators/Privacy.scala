@@ -71,4 +71,51 @@ object Privacy {
         round(col("__top") / col("group_n"), 4).as("top_sensitive_frac"),
         (col("l_distinct") < l).as("at_risk"))): _*)
   }
+
+  /** t-closeness audit — the distribution-skew gate l-diversity misses:
+    * a class can hold l distinct sensitive values yet still leak ("2 of
+    * the 3 diagnoses in this class are cancer" when cancer is 1% of the
+    * corpus). Per quasi-identifier class this reports the total
+    * variation distance between the class's sensitive-value distribution
+    * and the corpus-wide one:
+    *
+    *   TVD = ½ Σ_v |p_class(v) − p_global(v)|
+    *       = ½ (Σ_{v∈class} |p_c(v) − p_g(v)| + 1 − Σ_{v∈class} p_g(v))
+    *
+    * — the second form needs only the values PRESENT in the class (the
+    * absent-value terms collapse to their global mass), so no per-class
+    * densification over the sensitive domain. `at_risk` compares the
+    * ROUNDED tvd against t so the decision reproduces from the report.
+    *
+    * Scale shape: one (quasi × sensitive) hash aggregate, the global
+    * sensitive distribution (sensitive-domain-sized, broadcast) joined
+    * in, then a class-keyed re-aggregate — all bounded by identifier
+    * domains, never corpus-wide state. TVD is the categorical EMD with
+    * the discrete metric; for ORDERED sensitive attributes bucket them
+    * first (the generalization step k-anonymity already uses).
+    */
+  def tClosenessAudit(df: DataFrame, quasi: Seq[String],
+      sensitive: String, t: Double): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    val cell = df.groupBy((quasi :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .withColumn("__gn", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(quasi.map(col): _*)))
+    val glob = df.groupBy(col(sensitive))
+      .agg(count(lit(1)).cast("double").as("__g"))
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    cell.join(broadcast(glob), sensitive)
+      .crossJoin(broadcast(n))
+      .groupBy(quasi.map(col): _*)
+      .agg(max(col("__gn")).cast("long").as("group_n"),
+        sum(abs(col("__c") / col("__gn") - col("__g") / col("__n")))
+          .as("__sa"),
+        sum(col("__g") / col("__n")).as("__sp"))
+      .select((quasi.map(col) ++ Seq(col("group_n"),
+        round((col("__sa") + lit(1.0) - col("__sp")) / 2, 4).as("tvd"),
+        (round((col("__sa") + lit(1.0) - col("__sp")) / 2, 4) > t)
+          .as("at_risk"))): _*)
+  }
 }

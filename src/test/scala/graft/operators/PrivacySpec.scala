@@ -46,4 +46,30 @@ class PrivacySpec extends SparkSpec {
     assert(out("A") == (("A", 4L, 1L, 1.0, true)))
     assert(out("B") == (("B", 3L, 2L, 0.6667, false)))
   }
+
+  test("tClosenessAudit measures TVD vs the corpus distribution, " +
+      "counting absent-value mass") {
+    // global: flu 6/8, hiv 2/8. class A (4 rows, all flu):
+    // TVD = 0.5*(|1-0.75| + |0-0.25|) = 0.25  — absent hiv contributes
+    // class B (4 rows, flu 2 hiv 2): 0.5*(|0.5-0.75|+|0.5-0.25|) = 0.25
+    val rows = Seq(
+      ("A", "flu"), ("A", "flu"), ("A", "flu"), ("A", "flu"),
+      ("B", "flu"), ("B", "flu"), ("B", "hiv"), ("B", "hiv"))
+      .toDF("zip", "diag")
+    val out = Privacy.tClosenessAudit(rows, Seq("zip"), "diag", t = 0.2)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 4L, 0.25, true)))
+    assert(out("B") == (("B", 4L, 0.25, true)))
+  }
+
+  test("tClosenessAudit: a class matching the corpus scores zero and " +
+      "the flag compares the ROUNDED tvd") {
+    val rows = Seq(
+      ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "y")).toDF("zip", "diag")
+    val out = Privacy.tClosenessAudit(rows, Seq("zip"), "diag", t = 0.1)
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(out.forall(r => r._3 == 0.0 && !r._4))
+  }
 }
