@@ -5190,6 +5190,19 @@ object SparkEntry {
     },
     Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neighbor_id, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
 
+  /** kNN-distance outlier scoring ([[Ann.knnOutliers]]): every corpus
+    * row's 5th-nearest-neighbor cosine, flagged below 0.29 — the
+    * embedding-space stray detector (mis-embedded media, garbled text,
+    * wrong-domain rows live in no density region). Rides the sort-free
+    * [[Ann.topKAgg]] scored stream; the oracle brute-ranks all pairs
+    * and takes each row's min sim inside its top-5.
+    */
+  private val annKnnOutliers = Q(
+    (s, dir) => Ann.knnOutliers(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+      minSim = 0.29),
+    Some("WITH s AS (SELECT a.vec_id AS q_id, round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id), r AS (SELECT q_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC) AS rank FROM s) SELECT q_id AS vec_id, min(sim) AS kth_sim, min(sim) < 0.29 AS outlier FROM r WHERE rank <= 5 GROUP BY q_id"))
+
   /** Per-label embedding centroid drift ([[Ann.centroidDrift]]):
     * even/odd vec_id halves stand in for reference vs refreshed
     * corpora; per label the centroid cosine and L2 shift — the
@@ -6148,6 +6161,7 @@ object SparkEntry {
     "text_ngrams" -> textNgrams,
     "ann_topk" -> annTopK,
     "ann_topk_agg" -> annTopKAgg,
+    "ann_knn_outliers" -> annKnnOutliers,
     "ann_retrieval_metrics" -> annRetrievalMetrics,
     "ann_binary_topk" -> annBinaryTopK,
     "ann_int8_topk" -> annInt8TopK,

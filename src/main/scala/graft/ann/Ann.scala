@@ -114,6 +114,33 @@ object Ann {
         col("id").as("neighbor_id"), col("score").as("sim"))
   }
 
+  /** kNN-distance outlier scoring — the embedding-space corpus-cleaning
+    * gate: a document whose k-th nearest neighbor is still far away
+    * lives in no density region (mis-embedded media, garbled text,
+    * wrong-domain strays), and those are exactly the rows that poison
+    * clustering, mixture balancing, and semantic dedup downstream. Per
+    * corpus row: `kth_sim` = the cosine similarity of its k-th nearest
+    * OTHER row (the smallest sim inside its top-k; rows with fewer than
+    * k neighbors use their last available rank), and `outlier` compares
+    * the already-4-rounded sim against `minSim` so the decision
+    * reproduces from the report.
+    *
+    * Scale shape: the scoring is self-kNN — here the brute [[topKAgg]]
+    * form (corpus broadcast as its own query side; the sort-free
+    * bounded-buffer ranking), which is the verification baseline. Past
+    * broadcast size the same per-row reduction runs unchanged over
+    * [[ivfTopK]]'s cluster-pruned scored stream or [[signLshPairs]]
+    * candidates — kth_sim only ever needs each row's top-k.
+    */
+  def knnOutliers(
+      corpus: DataFrame, id: String, vec: String,
+      k: Int, minSim: Double): DataFrame =
+    topKAgg(corpus, id, vec, corpus, id, vec, k)
+      .groupBy(col("q_id").as(id))
+      .agg(min(col("sim")).as("kth_sim"))
+      .select(col(id), col("kth_sim"),
+        (col("kth_sim") < minSim).as("outlier"))
+
   /** Hard-negative mining — the contrastive-training data op: for each
     * query vector, the k most similar corpus vectors with a DIFFERENT
     * label (same-label neighbors are positives; the high-similarity

@@ -491,4 +491,24 @@ class AnnSpec extends SparkSpec {
     assert(out("b")._3 == 0.0 &&
       math.abs(out("b")._4 - math.sqrt(8.0)) < 1e-6)
   }
+
+  test("knnOutliers: a dense cluster scores high, the stray scores its " +
+      "actual kth sim and flags; short corpora use the last rank") {
+    // 1-3 mutually near (cos ~1); 9 orthogonal to all of them
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.99f, 0.1f, 0.0f)),
+      (3L, Seq(1.0f, 0.05f, 0.0f)), (9L, Seq(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.knnOutliers(emb, "vec_id", "embedding", k = 2,
+        minSim = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 9L))
+    assert(!out(1L)._2 && !out(2L)._2 && !out(3L)._2)
+    assert(out(9L) == ((0.0, true))) // orthogonal to every neighbor
+    // k beyond the corpus: kth_sim falls back to the worst available
+    val short = Ann.knnOutliers(emb.filter($"vec_id" <= 2), "vec_id",
+      "embedding", k = 5, minSim = 0.5).collect()
+    assert(short.length == 2 && short.forall(!_.getBoolean(2)))
+  }
 }
