@@ -2775,6 +2775,27 @@ object SparkEntry {
     Some("SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS width, CAST(6 + doc_id % 6 AS INT) AS height, " +
       "CAST(doc_id % 3 AS INT) AS \"top\", CAST(doc_id % 3 AS INT) AS \"bottom\", CAST(doc_id % 3 AS INT) AS \"left\", CAST(doc_id % 3 AS INT) AS \"right\" FROM documents"))
 
+  /** Windowed audio loudness ([[Multimodal.loudnessWindows]]): real
+    * PCM8 WAV decode → per-16-sample-window RMS (full-scale
+    * normalized), dBFS, and peak deviation — the level gate an audio
+    * curation pipeline drops near-silent or clipped clips on. The
+    * windowed accumulation is an exact integer sum of squares, so the
+    * oracle re-derives every value from the generator arithmetic
+    * (`sample k = 158 + (id+k) % 60`, deviation 30..89) with one sqrt
+    * and one log at the hand-off.
+    */
+  private val mmAudioLoudness = Q(
+    (s, dir) => Multimodal.loudnessWindows(
+      mmWavBlobs(s, dir), "doc_id", "content", window = 16),
+    Some("WITH d AS (SELECT doc_id, 100 + doc_id % 50 AS n FROM documents), " +
+      "k AS (SELECT doc_id, unnest(generate_series(0, CAST(n AS INT) - 1)) AS k FROM d), " +
+      "sm AS (SELECT doc_id, CAST(k // 16 AS INT) AS win, abs(CAST((doc_id + k * 17) % 256 AS INT) - 128) AS dev FROM k), " +
+      "w AS (SELECT doc_id, win, count(*) AS nw, sum(dev * dev) AS ss, max(dev) AS peak FROM sm GROUP BY 1, 2) " +
+      "SELECT doc_id, win, CAST(nw AS INT) AS n_samples, " +
+      "round(sqrt(CAST(ss AS DOUBLE) / (nw * 127.0 * 127.0)), 6) AS rms, " +
+      "CASE WHEN ss = 0 THEN NULL ELSE round(20 * log10(sqrt(CAST(ss AS DOUBLE) / (nw * 127.0 * 127.0))), 4) END AS db, " +
+      "CAST(peak AS INT) AS peak FROM w"))
+
   /** Audio silence trim ([[Multimodal.silenceTrim]]): WAV clips with
     * PLANTED leading (id%7) and trailing (id%5) exact-center silence
     * around an always-active band — the engine decodes real PCM8 and
@@ -6146,6 +6167,7 @@ object SparkEntry {
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_shot_sample" -> mmShotSample,
     "mm_audio_trim" -> mmAudioTrim,
+    "mm_audio_loudness" -> mmAudioLoudness,
     "mm_letterbox" -> mmLetterbox,
     "mm_exif_meta" -> mmExifMeta,
     "mm_featurize" -> mmFeaturize,

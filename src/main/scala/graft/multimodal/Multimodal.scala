@@ -879,6 +879,62 @@ object Multimodal {
       .toDF(id, "n_samples", "lead_trim", "trail_trim", "kept")
   }
 
+  /** Windowed loudness profile over PCM8 audio — the level signal an
+    * audio-curation pipeline gates on (clips that are near-silence,
+    * clipped at full scale, or wildly level-inconsistent across time
+    * are the ones to drop or renormalize before training). One row per
+    * NON-OVERLAPPING window of `window` samples (the tail window may be
+    * short): `rms` is the root-mean-square of the center-removed
+    * samples normalized to full scale (|s−128|/127, rounded 6), `db`
+    * the dBFS reading 20·log10(rms) (rounded 4; NULL for an all-center
+    * digital-silence window — there is no dB for zero), `peak` the max
+    * absolute deviation (raw 0..128 integer).
+    *
+    * Determinism across engines: the windowed accumulation is the SUM
+    * OF SQUARED INTEGER deviations (exact in any order), lifted to
+    * double only for the final sqrt/log — so the oracle can re-derive
+    * every value from generator arithmetic without float-order drift.
+    *
+    * Scale shape: the same batch-shaped mapPartitions decode walk as
+    * [[silenceTrim]]; windows emit from the decoded array in-task, so
+    * nothing wider than (id, window stats) ever shuffles.
+    */
+  def loudnessWindows(df: DataFrame, id: String, content: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val spark = df.sparkSession
+    import spark.implicits._
+    widen(df).select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (rowId, bytes) =>
+          decodePcm8(bytes).toSeq.flatMap { s =>
+            s.grouped(window).zipWithIndex.map { case (w, wi) =>
+              var ss = 0L
+              var peak = 0
+              var i = 0
+              while (i < w.length) {
+                val d = math.abs(w(i) - 128)
+                ss += d.toLong * d
+                if (d > peak) peak = d
+                i += 1
+              }
+              val rms = math.sqrt(ss.toDouble / (w.length * 127.0 * 127.0))
+              val db: Option[Double] =
+                if (ss == 0L) None
+                else Some(BigDecimal(20.0 * math.log10(rms))
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              (rowId, wi, w.length,
+                BigDecimal(rms).setScale(6,
+                  BigDecimal.RoundingMode.HALF_UP).toDouble,
+                db, peak)
+            }
+          }
+        }
+      }
+      .toDF(id, "win", "n_samples", "rms", "db", "peak")
+  }
+
   /** Scene-cut detection over demuxed raw frames: the mean absolute
     * per-pixel delta between CONSECUTIVE frames, flagged against a
     * threshold — the shot-boundary signal a video-curation pipeline

@@ -501,4 +501,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == ((2L, 6, 6, 6, 0)))
     assert(out(3L) == ((3L, 3, 0, 0, 3)))
   }
+
+  test("loudnessWindows: hand-computed rms/db/peak per window, a short " +
+      "tail window, and NULL db on digital silence") {
+    import spark.implicits._
+    def wav(s: Seq[Int]) =
+      Multimodal.encodeWavPcm8(s.map(_.toByte).toArray, 8000)
+    val clips = Seq(
+      // window=4: [full-scale, mixed] then a short tail of 2
+      (1L, wav(Seq(255, 1, 255, 1, 128, 192, 128, 64, 228, 28))),
+      (2L, wav(Seq.fill(4)(128))))           // digital silence
+      .toDF("doc_id", "content")
+    val out = Multimodal.loudnessWindows(clips, "doc_id", "content",
+        window = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getInt(5))).toMap
+    assert(out.keySet == Set((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
+    // window 0: dev 127,127,127,127 -> rms 1.0, db 0.0, peak 127
+    assert(out((1L, 0)) == ((4, 1.0, Some(0.0), 127)))
+    // window 1: dev 0,64,0,64 -> rms sqrt(8192/4)/127
+    val rms1 = math.sqrt(8192.0 / (4 * 127.0 * 127.0))
+    assert(math.abs(out((1L, 1))._2 - rms1) < 1e-6)
+    assert(out((1L, 1))._4 == 64)
+    // short tail: dev 100,100 -> rms 100/127, n=2
+    assert(out((1L, 2))._1 == 2 && out((1L, 2))._4 == 100)
+    assert(math.abs(out((1L, 2))._2 - 100.0 / 127.0) < 1e-6)
+    // digital silence: rms 0, db NULL
+    assert(out((2L, 0)) == ((4, 0.0, None, 0)))
+  }
 }
