@@ -2057,6 +2057,28 @@ object SparkEntry {
       "inter AS (SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_common FROM gk a JOIN gk b ON a.g = b.g AND a.src < b.src GROUP BY 1, 2) " +
       "SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b, round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard, round(n_common * 1.0 / least(sa.n, sb.n), 6) AS containment FROM inter JOIN sz sa ON sa.src = src_a JOIN sz sb ON sb.src = src_b"))
 
+  /** MinHash-LSH parameter planner ([[graft.dedup.LshPlan.plan]]): for
+    * a 128-hash signature budget at threshold 0.5, every divisor
+    * (bands, rows) split scored by its S-curve's wasted-collision and
+    * lost-recall areas — the design report that picks
+    * [[Dedup.minhashPairs]]'s banding before a corpus-scale run. Pure
+    * bounded arithmetic (8 splits × 19 grid cells); the oracle replays
+    * the same curve in SQL. Threshold 0.5 sits ON the grid (j/20 < 0.5
+    * ⇔ j < 10 exactly), so the area split is engine-exact.
+    */
+  private val dedupLshPlan = Q(
+    (s, dir) => graft.dedup.LshPlan.plan(
+      s, totalHashes = 128, threshold = 0.5),
+    Some("WITH div AS (SELECT CAST(b AS INT) AS bands, CAST(128 // b AS INT) AS rows FROM generate_series(1, 128) AS g(b) WHERE 128 % b = 0), " +
+      "cell AS (SELECT bands, rows, i / 20.0 AS jac FROM div CROSS JOIN generate_series(1, 19) AS s(i)), " +
+      "p AS (SELECT bands, rows, jac, 1.0 - pow(1.0 - pow(jac, rows), bands) AS p FROM cell), " +
+      "sc AS (SELECT bands, rows, round(pow(1.0 / bands, 1.0 / rows), 4) AS t_star, " +
+      "round(sum(CASE WHEN jac < 0.5 THEN p ELSE 0 END) / 20, 4) AS fp_area, " +
+      "round(sum(CASE WHEN jac >= 0.5 THEN 1.0 - p ELSE 0 END) / 20, 4) AS fn_area FROM p GROUP BY 1, 2), " +
+      "c AS (SELECT *, round(fp_area + fn_area, 4) AS cost FROM sc), " +
+      "m AS (SELECT min(cost) AS mc FROM c) " +
+      "SELECT bands, rows, t_star, fp_area, fn_area, cost, cost = mc AS best FROM c, m"))
+
   /** MinHash-LSH near-dup detection (the 100 TB path): banded signatures →
     * in-bucket candidates → exact verification. The oracle is the exact
     * all-pairs shingle Jaccard — the entry proves the LSH pipeline loses
@@ -6220,6 +6242,7 @@ object SparkEntry {
     "dedup_ngram_decomposed" -> dedupNgramDecomposed,
     "dedup_ngram_prefix_capped" -> dedupNgramPrefixCapped,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_lsh_plan" -> dedupLshPlan,
     "corpus_overlap_matrix" -> corpusOverlapMatrix,
     "dedup_minhash_saturated" -> dedupMinhashSaturated,
     "dedup_simhash" -> dedupSimhash,

@@ -516,4 +516,23 @@ class DedupSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().map(r => r._2 -> r._3).toMap
     assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 2L))
   }
+
+  test("lshPlan: divisor splits, textbook midpoints, degenerate-split " +
+      "error areas, and the best flag on the minimum cost") {
+    val out = LshPlan.plan(spark, totalHashes = 128, threshold = 0.5)
+      .as[(Int, Int, Double, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1, 2, 4, 8, 16, 32, 64, 128))
+    assert(out.values.forall(r => r._1 * r._2 == 128))
+    // (16 bands, 8 rows): t* = (1/16)^(1/8) = 2^-0.5
+    assert(out(16)._3 == 0.7071)
+    // b=128,r=1: collides on ANY shared hash -> catches all, floods fp
+    assert(out(128)._5 < 0.01 && out(128)._4 > 0.3)
+    // b=1,r=128: needs ALL hashes equal -> near-zero fp, loses recall
+    assert(out(1)._4 < 0.01 && out(1)._5 > 0.3)
+    // best flags exactly the minimum-cost split(s)
+    val mc = out.values.map(_._6).min
+    assert(out.values.forall(r => r._7 == (r._6 == mc)))
+    assert(out.values.count(_._7) >= 1)
+  }
 }
