@@ -5233,6 +5233,33 @@ object SparkEntry {
     },
     Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neighbor_id, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
 
+  /** Margin-based bitext mining ([[graft.ann.Bitext.minePairs]]): the
+    * even/odd vec_id halves stand in for two monolingual corpora in a
+    * shared embedding space; forward ∪ backward nearest neighbors
+    * scored by the ratio margin (cos over the mean of both top-4
+    * neighborhoods — the hubness correction) and thresholded at 1.05.
+    * The oracle replays both direction windows, both neighborhood
+    * means, and the margin arithmetic.
+    */
+  private val annBitextMine = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Bitext.minePairs(
+        emb.where(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        emb.where(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
+        k = 4, marginThreshold = 1.05)
+    },
+    Some("WITH s AS (SELECT vec_id AS s_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE vec_id % 2 = 0), " +
+      "t AS (SELECT vec_id AS t_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE vec_id % 2 = 1), " +
+      "sc AS (SELECT s_id, t_id, round(list_cosine_similarity(s.e, t.e), 4) AS sim FROM s CROSS JOIN t), " +
+      "f AS (SELECT s_id, t_id, sim, row_number() OVER (PARTITION BY s_id ORDER BY sim DESC, t_id) AS r FROM sc), " +
+      "b AS (SELECT s_id, t_id, sim, row_number() OVER (PARTITION BY t_id ORDER BY sim DESC, s_id) AS r FROM sc), " +
+      "fs AS (SELECT s_id, avg(sim) AS avg_s FROM f WHERE r <= 4 GROUP BY 1), " +
+      "bs AS (SELECT t_id, avg(sim) AS avg_t FROM b WHERE r <= 4 GROUP BY 1), " +
+      "cand AS (SELECT DISTINCT s_id, t_id, sim FROM (SELECT s_id, t_id, sim FROM f WHERE r = 1 UNION ALL SELECT s_id, t_id, sim FROM b WHERE r = 1)), " +
+      "m AS (SELECT c.s_id AS src_id, c.t_id AS tgt_id, c.sim, round(c.sim / ((fs.avg_s + bs.avg_t) / 2), 4) AS margin FROM cand c JOIN fs ON fs.s_id = c.s_id JOIN bs ON bs.t_id = c.t_id) " +
+      "SELECT src_id, tgt_id, sim, margin FROM m WHERE margin >= 1.05"))
+
   /** kNN-distance outlier scoring ([[Ann.knnOutliers]]): every corpus
     * row's 5th-nearest-neighbor cosine, flagged below 0.29 — the
     * embedding-space stray detector (mis-embedded media, garbled text,
@@ -6206,6 +6233,7 @@ object SparkEntry {
     "ann_topk" -> annTopK,
     "ann_topk_agg" -> annTopKAgg,
     "ann_knn_outliers" -> annKnnOutliers,
+    "ann_bitext_mine" -> annBitextMine,
     "ann_retrieval_metrics" -> annRetrievalMetrics,
     "ann_binary_topk" -> annBinaryTopK,
     "ann_int8_topk" -> annInt8TopK,
