@@ -5260,6 +5260,38 @@ object SparkEntry {
       "m AS (SELECT c.s_id AS src_id, c.t_id AS tgt_id, c.sim, round(c.sim / ((fs.avg_s + bs.avg_t) / 2), 4) AS margin FROM cand c JOIN fs ON fs.s_id = c.s_id JOIN bs ON bs.t_id = c.t_id) " +
       "SELECT src_id, tgt_id, sim, margin FROM m WHERE margin >= 1.05"))
 
+  /** IVF-backed bitext mining ([[graft.ann.Bitext.minePairsIvf]]): the
+    * SAME mining run as `ann_bitext_mine` with both direction scorings
+    * routed through [[Ann.ivfTopK]] over the label clusters (pivot
+    * centroids). At nprobe = 10 = #labels every cluster is probed, so
+    * the mined set must EQUAL the brute margin oracle while the entry
+    * executes the full probe-rank → per-cluster-scoring-join → margin
+    * machinery (the `ann_trained_ivf` pattern); the recall trade at
+    * lower nprobe is BitextSpec's territory.
+    */
+  private val annBitextMineIvf = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val src = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val tgt = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      graft.ann.Bitext.minePairsIvf(
+        src, "vec_id", "embedding", "label",
+        tgt, "vec_id", "embedding", "label",
+        k = 4, nprobe = 10, marginThreshold = 1.05,
+        sCents = Some(Ann.pivotCentroids(src, "label", "vec_id", "embedding")),
+        tCents = Some(Ann.pivotCentroids(tgt, "label", "vec_id", "embedding")))
+    },
+    Some("WITH s AS (SELECT vec_id AS s_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE vec_id % 2 = 0), " +
+      "t AS (SELECT vec_id AS t_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE vec_id % 2 = 1), " +
+      "sc AS (SELECT s_id, t_id, round(list_cosine_similarity(s.e, t.e), 4) AS sim FROM s CROSS JOIN t), " +
+      "f AS (SELECT s_id, t_id, sim, row_number() OVER (PARTITION BY s_id ORDER BY sim DESC, t_id) AS r FROM sc), " +
+      "b AS (SELECT s_id, t_id, sim, row_number() OVER (PARTITION BY t_id ORDER BY sim DESC, s_id) AS r FROM sc), " +
+      "fs AS (SELECT s_id, avg(sim) AS avg_s FROM f WHERE r <= 4 GROUP BY 1), " +
+      "bs AS (SELECT t_id, avg(sim) AS avg_t FROM b WHERE r <= 4 GROUP BY 1), " +
+      "cand AS (SELECT DISTINCT s_id, t_id, sim FROM (SELECT s_id, t_id, sim FROM f WHERE r = 1 UNION ALL SELECT s_id, t_id, sim FROM b WHERE r = 1)), " +
+      "m AS (SELECT c.s_id AS src_id, c.t_id AS tgt_id, c.sim, round(c.sim / ((fs.avg_s + bs.avg_t) / 2), 4) AS margin FROM cand c JOIN fs ON fs.s_id = c.s_id JOIN bs ON bs.t_id = c.t_id) " +
+      "SELECT src_id, tgt_id, sim, margin FROM m WHERE margin >= 1.05"))
+
   /** kNN-distance outlier scoring ([[Ann.knnOutliers]]): every corpus
     * row's 5th-nearest-neighbor cosine, flagged below 0.29 — the
     * embedding-space stray detector (mis-embedded media, garbled text,
@@ -6234,6 +6266,7 @@ object SparkEntry {
     "ann_topk_agg" -> annTopKAgg,
     "ann_knn_outliers" -> annKnnOutliers,
     "ann_bitext_mine" -> annBitextMine,
+    "ann_bitext_mine_ivf" -> annBitextMineIvf,
     "ann_retrieval_metrics" -> annRetrievalMetrics,
     "ann_binary_topk" -> annBinaryTopK,
     "ann_int8_topk" -> annInt8TopK,

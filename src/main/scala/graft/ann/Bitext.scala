@@ -58,6 +58,49 @@ object Bitext {
       Window.partitionBy(col("tgt_id"))
         .orderBy(col("sim").desc, col("src_id").asc)))
       .where(col("r") <= k)
+    marginFromRuns(fwd, bwd, marginThreshold)
+  }
+
+  /** [[minePairs]] with the scoring stage swapped for [[Ann.ivfTopK]]
+    * in both directions — the corpus-scale path: each direction scores
+    * only `nprobe` clusters per query instead of the full |S|×|T|
+    * matrix, and the margin reduction is IDENTICAL (it needs only each
+    * row's pruned top-k; at nprobe = #clusters the result EQUALS the
+    * brute [[minePairs]], which is how the entry stays exactly
+    * oracle-checkable while executing the probe machinery — the
+    * recall-at-lower-nprobe trade is BitextSpec's territory).
+    *
+    * Both corpora must carry a cluster assignment (train with
+    * [[Ann.kmeans]] or use [[Ann.pivotCentroids]]' labels) and DISJOINT
+    * id spaces — ivfTopK drops q_id = neighbor_id rows, which across
+    * two corpora would silently eat a legitimate pair on an id clash.
+    */
+  def minePairsIvf(
+      src: DataFrame, sId: String, sVec: String, sCluster: String,
+      tgt: DataFrame, tId: String, tVec: String, tCluster: String,
+      k: Int, nprobe: Int, marginThreshold: Double,
+      sCents: Option[DataFrame] = None,
+      tCents: Option[DataFrame] = None): DataFrame = {
+    val fwd = Ann.ivfTopK(tgt, tId, tVec, tCluster,
+        src, sId, sVec, k, nprobe, tCents)
+      .select(col("q_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("sim"), col("rank").as("r"))
+    val bwd = Ann.ivfTopK(src, sId, sVec, sCluster,
+        tgt, tId, tVec, k, nprobe, sCents)
+      .select(col("neighbor_id").as("src_id"), col("q_id").as("tgt_id"),
+        col("sim"), col("rank").as("r"))
+    marginFromRuns(fwd, bwd, marginThreshold)
+  }
+
+  /** The margin reduction shared by the brute and IVF paths: `fwd` is
+    * each source row's ≤k-ranked target run (src_id, tgt_id, sim, r),
+    * `bwd` each target row's ≤k-ranked source run in the SAME column
+    * shape (r ranks within tgt_id). Candidates are the two rank-1
+    * nominations unioned; each neighborhood mean is a k-row-bounded
+    * aggregate on the key its run already grouped by.
+    */
+  def marginFromRuns(fwd: DataFrame, bwd: DataFrame,
+      marginThreshold: Double): DataFrame = {
     val fwdAvg = fwd.groupBy(col("src_id")).agg(avg(col("sim")).as("__as"))
     val bwdAvg = bwd.groupBy(col("tgt_id")).agg(avg(col("sim")).as("__at"))
     val cand = fwd.where(col("r") === 1)

@@ -49,6 +49,36 @@ class BitextSpec extends SparkSpec {
     assert(cut.forall(_._4 >= 1.01))
   }
 
+  test("minePairsIvf at nprobe=all equals the brute miner; nprobe=1 " +
+      "stays inside the probed cluster") {
+    // two well-separated clusters per side so pivot centroids are clean
+    val src2 = Seq(
+      (2L, Seq(1.0f, 0.0f, 0.0f), 0), (4L, Seq(0.9f, 0.1f, 0.0f), 0),
+      (6L, Seq(0.0f, 0.0f, 1.0f), 1), (8L, Seq(0.0f, 0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val tgt2 = Seq(
+      (1L, Seq(0.95f, 0.05f, 0.0f), 0), (3L, Seq(1.0f, 0.2f, 0.0f), 0),
+      (5L, Seq(0.0f, 0.05f, 0.95f), 1), (7L, Seq(0.1f, 0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val brute = Bitext.minePairs(src2, "vec_id", "embedding",
+        tgt2, "vec_id", "embedding", k = 2, marginThreshold = 0.0)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val ivf = Bitext.minePairsIvf(src2, "vec_id", "embedding", "label",
+        tgt2, "vec_id", "embedding", "label",
+        k = 2, nprobe = 2, marginThreshold = 0.0)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(ivf == brute)
+    // nprobe=1: every nomination's target shares the query's best
+    // cluster — cross-cluster sims never score
+    val pruned = Bitext.minePairsIvf(src2, "vec_id", "embedding", "label",
+        tgt2, "vec_id", "embedding", "label",
+        k = 2, nprobe = 1, marginThreshold = 0.0)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(pruned.nonEmpty)
+    assert(pruned.forall { case (s, t, _, _) =>
+      (s < 5) == (t < 5) }) // cluster 0 ids: src 2,4 / tgt 1,3
+  }
+
   test("candidates are the forward/backward top-1 union: a target " +
       "nobody nominates forward still enters via its own nomination") {
     // one source, two targets: only 11 wins forward; 13 enters backward
