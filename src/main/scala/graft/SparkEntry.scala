@@ -3379,6 +3379,21 @@ object SparkEntry {
     * assignment a curriculum schedule consumes. Oracle re-derives the
     * ntile with the same ordering.
     */
+  /** Weighted sampling without replacement
+    * ([[graft.operators.Mixture.weightedSample]]): 100 documents drawn
+    * with inclusion probability ∝ n_chars via the Efraimidis–Spirakis
+    * key u^(1/w) on seeded md5 uniforms — the char-budget-proportional
+    * subcorpus draw, RNG-free and retry-stable. The oracle replays the
+    * key arithmetic ('0x'-cast of the same 8 md5 hex digits) and the
+    * rounded-key rank.
+    */
+  private val mixWeightedSample = Q(
+    (s, dir) => graft.operators.Mixture.weightedSample(
+      t(s, dir, "documents"), "doc_id", "n_chars", k = 100, seed = "es1"),
+    Some("WITH b AS (SELECT doc_id, n_chars AS weight, round(pow(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':es1'), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0, 1.0 / n_chars), 9) AS es_key FROM documents WHERE n_chars > 0), " +
+      "r AS (SELECT doc_id, weight, es_key, row_number() OVER (ORDER BY es_key DESC, doc_id) AS rk FROM b) " +
+      "SELECT doc_id, weight, es_key, CAST(rk AS INT) AS rk FROM r WHERE rk <= 100"))
+
   private val mixCurriculum = Q(
     (s, dir) => graft.operators.Mixture.curriculumStages(
       t(s, dir, "documents")
@@ -6335,6 +6350,7 @@ object SparkEntry {
     "mix_temperature_sample" -> mixTemperatureSample,
     "mix_token_budget" -> mixTokenBudget,
     "mix_curriculum" -> mixCurriculum,
+    "mix_weighted_sample" -> mixWeightedSample,
     "eval_bootstrap_ci" -> evalBootstrapCI,
     "eval_pass_at_k" -> evalPassAtK,
     "mix_interleave" -> mixInterleave,

@@ -244,4 +244,41 @@ object Mixture {
         Window.partitionBy(col(groupCol))
           .orderBy(col("score"), col(idCol))))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis 2006): draw `k` rows where each row's
+    * inclusion probability is proportional to its weight — "sample 100k
+    * documents, long documents proportionally more often" — without an
+    * RNG, a scan order, or a driver loop. Each row gets the ES key
+    * u^(1/w) with u a seeded md5-derived uniform (first 8 hex digits /
+    * 2³²; the so6/so7 coin convention), and the global top-k by key IS
+    * the weighted sample — one expression per row, one TakeOrdered.
+    *
+    * Determinism across engines: ranking uses the key ROUNDED to 9
+    * decimals with the id as tie-break (pow differs by an ulp across
+    * libms; at 9 decimals the md5-spread keys collide with negligible
+    * probability and ties still order). Zero/negative weights are
+    * excluded up front — ES gives them key 0 anyway; excluding them
+    * keeps 1/w finite.
+    *
+    * Scale shape: a pure per-row projection then TakeOrderedAndProject
+    * (k-bounded heap per partition, k-sized driver merge — no global
+    * sort); the final rank window runs on the k-row result, not the
+    * corpus. Output: (id, weight, es_key, rk).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keyed = df
+      .where(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).as("weight"))
+      .withColumn("es_key", round(pow(
+        conv(substring(md5(concat(col(idCol).cast("string"),
+          lit(":"), lit(seed))), 1, 8), 16, 10).cast("double") /
+          lit(4294967296.0),
+        lit(1.0) / col("weight").cast("double")), 9))
+    keyed.orderBy(col("es_key").desc, col(idCol).asc).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("es_key").desc, col(idCol).asc)).cast("int"))
+  }
 }

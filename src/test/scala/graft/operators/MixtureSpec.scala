@@ -203,4 +203,36 @@ class MixtureSpec extends SparkSpec {
     assert(out(("en", 4L)) == 2 && out(("en", 5L)) == 2)
     assert(out(("de", 1L)) == 1 && out(("de", 2L)) == 2)
   }
+
+  test("weightedSample: ES key arithmetic, deterministic across runs " +
+      "and partitionings, nonpositive weights excluded, contiguous rk") {
+    val rows = (1L to 50L).map(i => (i, if (i % 10 == 0) 0L else i * 7))
+      .toDF("id", "w")
+    val a = Mixture.weightedSample(rows, "id", "w", k = 10, seed = "s")
+      .as[(Long, Long, Double, Int)].collect()
+    val b = Mixture.weightedSample(rows.repartition(7), "id", "w",
+        k = 10, seed = "s")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(a.sortBy(_._4).toSeq == b.sortBy(_._4).toSeq)
+    assert(a.length == 10 && a.map(_._4).sorted.toSeq == (1 to 10))
+    assert(a.forall(_._2 > 0)) // zero-weight rows never sampled
+    // rk follows (es_key desc, id) exactly
+    val byRank = a.sortBy(_._4)
+    assert(byRank.sliding(2).forall { case Array(x, y) =>
+      x._3 > y._3 || (x._3 == y._3 && x._1 < y._1) })
+    // the key is the documented expression for a known row
+    val u = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("1:s")
+        .substring(0, 8), 16).toDouble / 4294967296.0
+    val expect = BigDecimal(math.pow(u, 1.0 / 7.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row1 = Mixture.weightedSample(rows, "id", "w", k = 50, seed = "s")
+      .as[(Long, Long, Double, Int)].collect().find(_._1 == 1L)
+    assert(row1.exists(_._3 == expect))
+    // a different seed reorders the draw
+    val c = Mixture.weightedSample(rows, "id", "w", k = 10, seed = "t")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(c.map(_._1).toSet != a.map(_._1).toSet ||
+      c.sortBy(_._4).map(_._1).toSeq != byRank.map(_._1).toSeq)
+  }
 }
