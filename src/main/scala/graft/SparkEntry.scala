@@ -3306,6 +3306,26 @@ object SparkEntry {
       terms = Seq("vector", "hash", "scan"), k = 20),
     Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM d), tk AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS w FROM d), tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tk WHERE w IN ('vector', 'hash', 'scan') GROUP BY 1, 2, 3), idf AS (SELECT w, round(ln((st.n - CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5) / (CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5) + 1.0), 9) AS idf FROM tf, st GROUP BY w, st.n), sc AS (SELECT doc_id, round(sum(idf.idf * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score FROM tf JOIN idf USING (w), st GROUP BY 1), r AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc) SELECT doc_id, CAST(rank AS INT) AS rank, score FROM r WHERE rank <= 20"))
 
+  /** Corpus Zipf audit ([[TextAnalysis.zipfAudit]]): OLS fit of
+    * ln(freq) on ln(rank) over the top-100 terms — slope ≈ −1 and high
+    * r² is the natural-language fingerprint; template/log corpora bend
+    * the line. One (term, count) aggregate + a TakeOrdered head; the
+    * oracle replays the 9-quantized logs and the five regression sums.
+    */
+  private val textZipfAudit = Q(
+    (s, dir) => TextAnalysis.zipfAudit(
+      t(s, dir, "documents"), "doc_id", "text", topN = 100),
+    Some("WITH tf AS (SELECT w, count(*) AS f FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) WHERE w <> '' GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens FROM tf), " +
+      "top AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rk FROM tf ORDER BY f DESC, w LIMIT 100), " +
+      "l AS (SELECT f, round(ln(rk), 9) AS x, round(ln(f), 9) AS y FROM top), " +
+      "sm AS (SELECT CAST(count(*) AS INT) AS top_n, CAST(count(*) AS DOUBLE) AS n, sum(f) AS hf, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM l) " +
+      "SELECT top_n, total_tokens, round(hf * 1.0 / total_tokens, 4) AS coverage, " +
+      "round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 4) AS slope, " +
+      "round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx) / n, 4) AS intercept, " +
+      "round((n * sxy - sx * sy) * (n * sxy - sx * sy) / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 4) AS r2 " +
+      "FROM sm, tot"))
+
   /** k-anonymity audit ([[graft.operators.Privacy.kAnonymityAudit]]):
     * every (lang, source, length-bucket) quasi-identifier class with
     * its size and at-risk flag at k = 3 — the re-identification gate a
@@ -6270,6 +6290,7 @@ object SparkEntry {
     "mm_resize" -> mmResize,
     "text_tokens" -> textTokens,
     "text_entropy" -> textEntropy,
+    "text_zipf_audit" -> textZipfAudit,
     "text_dedup_lines" -> textDedupLines,
     "text_code_score" -> textCodeScore,
     "text_langid" -> textLangId,

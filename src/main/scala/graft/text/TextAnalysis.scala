@@ -677,4 +677,64 @@ object TextAnalysis {
         sum(when(col("n_tokens") < maxTokens, 1L).otherwise(0L))
           .as("n_underfilled"))
   }
+
+  /** Corpus Zipf audit — the term-frequency-distribution fingerprint: a
+    * natural-language corpus's top term frequencies follow f ∝ rank^s
+    * with s ≈ −1; a corpus of templates, logs, or scraped boilerplate
+    * bends the line (shallow slope = flat head, low r² = no power law
+    * at all), so the OLS fit of ln f on ln rank over the top `topN`
+    * terms is a one-row data-quality signal cheap enough to run per
+    * snapshot. Output: (top_n, total_tokens, coverage = head's share
+    * of all tokens, slope, intercept, r2).
+    *
+    * Determinism: ln values quantize to 9 decimals before the folds
+    * (the BM25 idf convention); the regression reduces the top-N rows
+    * to five sums, so engine summation order drifts below the
+    * 4-decimal hand-off. Needs ≥2 distinct terms (the fit's
+    * denominator); the degenerate 1-term corpus returns a null slope
+    * rather than erroring.
+    *
+    * Scale shape: one (term, count) hash aggregate over one scan, a
+    * TakeOrdered head of `topN`, then all arithmetic on ≤topN rows —
+    * the corpus never shuffles anything wider than (term, count).
+    */
+  def zipfAudit(docs: DataFrame, id: String, text: String,
+      topN: Int): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val tf = docs.select(explode(tokens(col(text))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val total = tf.agg(sum(col("f")).as("total_tokens"))
+    val top = tf.orderBy(col("f").desc, col("w").asc).limit(topN)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("f").desc, col("w").asc)))
+      .select(col("f"),
+        round(log(col("rk").cast("double")), 9).as("x"),
+        round(log(col("f").cast("double")), 9).as("y"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    top.agg(
+        count(lit(1)).cast("int").as("top_n"),
+        count(lit(1)).cast("double").as("n"),
+        sum(col("f")).as("__hf"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .crossJoin(broadcast(total))
+      .select(col("top_n"), col("total_tokens"),
+        round(col("__hf") / col("total_tokens"), 4).as("coverage"),
+        // degenerate spreads (all-equal ranks can't happen past the
+        // topN >= 2 gate, but all-equal FREQUENCIES zero the y spread)
+        // report null, not an ANSI divide error: "no power law" is a
+        // legitimate audit answer for a template corpus
+        when(den =!= 0, round(num / den, 4)).as("slope"),
+        when(den =!= 0,
+          round((col("sy") - num / den * col("sx")) / col("n"), 4))
+          .as("intercept"),
+        when(den * (col("n") * col("syy") - col("sy") * col("sy")) =!= 0,
+          round(num * num /
+            (den * (col("n") * col("syy") - col("sy") * col("sy"))), 4))
+          .as("r2"))
+  }
 }

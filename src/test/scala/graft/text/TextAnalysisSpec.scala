@@ -428,4 +428,29 @@ class TextAnalysisSpec extends SparkSpec {
     // seq 0 holds 12 (capped to 10), seq 1 holds 8 -> fill = 18/20
     assert(fill == 0.9 && over == 1L && under == 1L)
   }
+
+  test("zipfAudit: an exact power law fits slope -1 / r2 1; coverage " +
+      "and total tokens count the head's share") {
+    // frequencies 12, 6, 4, 3 = 12/rank: f*rank constant -> slope -1
+    val words =
+      Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
+        Seq.fill(3)("d") ++ Seq("e") // one tail term outside topN=4
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfAudit(docs, "doc_id", "text", topN = 4)
+      .as[(Int, Long, Double, Double, Double, Double)].head()
+    val (topN, total, cov, slope, intercept, r2) = out
+    assert(topN == 4 && total == 26L)
+    assert(cov == math.rint(25.0 / 26.0 * 10000) / 10000)
+    assert(slope == -1.0 && r2 == 1.0)
+    assert(intercept == math.rint(math.log(12.0) * 10000) / 10000)
+  }
+
+  test("zipfAudit: a flat template corpus reads slope 0 and a null r2 " +
+      "(zero y-spread -> no power law, not a divide error)") {
+    val docs = Seq((1L, "x y z w x y z w")).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfAudit(docs, "doc_id", "text", topN = 4)
+      .collect().head
+    assert(row.getDouble(3) == 0.0) // identical frequencies: zero slope
+    assert(row.isNullAt(5))
+  }
 }
