@@ -4993,6 +4993,32 @@ object SparkEntry {
     },
     Some("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' || chr(10) ELSE '' END || text || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) ELSE '' END AS s FROM documents), ls AS (SELECT doc_id, string_split(s, chr(10)) AS l FROM aug), lines AS (SELECT doc_id, i AS pos, l[i + 1] AS line FROM ls, unnest(range(len(l))) AS u(i)), census AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line HAVING count(*) >= 10), kept AS (SELECT doc_id, pos, line FROM lines WHERE line NOT IN (SELECT line FROM census)) SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean FROM kept GROUP BY doc_id"))
 
+  /** Per-node triangle counts ([[graft.graph.Triangles.perNode]]) over
+    * a synthesized 17-node link graph (edges from (doc_id) arithmetic,
+    * deduped/canonicalized from their directed raw form) — the local
+    * clustering signal for link-farm detection. The engine runs the
+    * degree-ordered orientation (hub wedges re-centered at their
+    * lower-degree neighbors); the oracle enumerates a<b<c triangles by
+    * the canonical triple join — parity IS the orientation's
+    * exactly-once claim. Zero-triangle nodes report 0.
+    */
+  private val graphTriangles = Q(
+    (s, dir) => graft.graph.Triangles.perNode(
+      t(s, dir, "documents")
+        .where(col("doc_id") % 41 < 6)
+        .select(
+          concat(lit("n"), (col("doc_id") % 17).cast("string")).as("a"),
+          concat(lit("n"),
+            (floor(col("doc_id") / 17).cast("long") % 17).cast("string"))
+            .as("b")),
+      "a", "b"),
+    Some("WITH raw AS (SELECT 'n' || CAST(doc_id % 17 AS VARCHAR) AS a, 'n' || CAST((doc_id // 17) % 17 AS VARCHAR) AS b FROM documents WHERE doc_id % 41 < 6), " +
+      "e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b), " +
+      "tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), " +
+      "alln AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e), " +
+      "pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (SELECT a AS node FROM tr UNION ALL SELECT b AS node FROM tr UNION ALL SELECT c AS node FROM tr) GROUP BY 1) " +
+      "SELECT node, COALESCE(pn.n_triangles, 0) AS n_triangles FROM alln LEFT JOIN pn USING (node)"))
+
   /** PageRank over a synthesized domain link graph
     * ([[graft.graph.PageRank]]): 5 damped iterations, each one
     * edge-keyed join + one destination-keyed sum, rank state quantized
@@ -6413,6 +6439,7 @@ object SparkEntry {
     "corpus_training_prep" -> corpusTrainingPrep,
     "corpus_mixture_report" -> corpusMixtureReport,
     "graph_pagerank" -> graphPagerank,
+    "graph_triangles" -> graphTriangles,
     "graph_lpa" -> graphLpa,
     "graph_hits" -> graphHits,
     "graph_tree_paths" -> graphTreePaths,
