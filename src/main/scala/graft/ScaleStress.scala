@@ -267,6 +267,49 @@ object ScaleStress {
           Ann.pivotCentroids(e, "label", "vec_id", "embedding"),
           e.filter(col("vec_id") < 10), "vec_id", "embedding",
           cb, k = 5, nprobe = 3)
+      }),
+      "graph_triangles" -> (f => {
+        // f disjoint copies of the 17-node base component (node ids
+        // carry the replica base): wedge + closing joins must scale
+        // with edges, never across components
+        val local = pmod(col("doc_id"), lit(Offset))
+        val repBase = col("doc_id") - local
+        graft.graph.Triangles.perNode(
+          docs(f).where(local % 41 < 6)
+            .select((repBase + local % 17).as("a"),
+              (repBase + floor(local / 17).cast("long") % 17).as("b")),
+          "a", "b")
+      }),
+      "zipf_audit" -> (f =>
+        // rotated replicas multiply the vocabulary by f; the audit is
+        // one (term, count) aggregate + a fixed-size head — linear in
+        // tokens regardless of vocabulary growth
+        graft.text.TextAnalysis.zipfAudit(docs(f), "doc_id", "text",
+          topN = 100)),
+      "t_closeness" -> (f =>
+        // quasi/sensitive domains stay FIXED (source/lang survive
+        // replication unrotated): classes grow f× deep, the audit's
+        // aggregates stay domain-bounded — the linear axis
+        graft.operators.Privacy.tClosenessAudit(
+          docs(f).select(col("source"),
+            floor(col("n_chars") / 100).cast("long").as("len_bucket"),
+            col("lang")),
+          Seq("source", "len_bucket"), "lang", t = 0.2)),
+      "weighted_sample" -> (f =>
+        // ES keys are a pure projection; the draw reduces through the
+        // TakeOrdered heap (k per partition) — linear scan, no sort
+        graft.operators.Mixture.weightedSample(
+          docs(f), "doc_id", "n_chars", k = 100, seed = "es1")),
+      "bitext_mine" -> (f => {
+        // the production axis: reference side FIXED (replica-0 even
+        // ids, the broadcast side), candidate snapshot grows with f —
+        // scored stream and both margin reductions must scale linearly
+        val e = emb(f)
+        graft.ann.Bitext.minePairs(
+          e.where(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
+          e.where(col("vec_id") < Offset &&
+            pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+          k = 4, marginThreshold = 1.05)
       }))
 
     // optional op filter for isolated re-times (comma-separated names);

@@ -2089,6 +2089,32 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text", threshold = 0.8),
     Some("WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
 
+  /** Planner-driven MinHash ([[graft.dedup.LshPlan.plan]] feeding
+    * [[Dedup.minhashPairs]]): the banding comes from the min-cost split
+    * the planner reports instead of a hand-picked constant — the
+    * composite a real pipeline runs (plan once, mine with the planned
+    * parameters). The BANDING threshold is deliberately planned BELOW
+    * the verification threshold (0.5 vs 0.8): banding misses are
+    * unrecoverable recall, banding extras are just verification CPU,
+    * so the catch curve belongs left of the keep line — at t = 0.8 the
+    * min-cost split (8,16) would deterministically drop ~20% of J=0.9
+    * pairs; planned at 0.5 it lands on (32,4), whose collision
+    * probability at the fixture's minimum true J = 0.9 is 1 − 1e-15.
+    * The plan is a driver-held 8-row model (the k×dim k-means
+    * discipline); ties pick the smallest band count. Oracle: exact
+    * all-pairs Jaccard, same as `dedup_minhash`.
+    */
+  private val dedupMinhashPlanned = Q(
+    (s, dir) => {
+      val best = graft.dedup.LshPlan.plan(s, totalHashes = 128,
+          threshold = 0.5)
+        .where(col("best")).orderBy(col("bands").asc).head()
+      Dedup.minhashPairs(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.8,
+        numHashes = 128, bands = best.getAs[Int]("bands"))
+    },
+    Some("WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, c * 1.0 / (sa.n + sb.n - c) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"))
+
   /** The duplicate-saturated MinHash path — proves the g×g hot-bucket
     * decomposition ([[Dedup.saltedBandLegs]]) INSIDE the oracle gate,
     * not just in the ScaleStress census: 8 base docs are replicated 64×
@@ -6366,6 +6392,7 @@ object SparkEntry {
     "dedup_ngram_prefix_capped" -> dedupNgramPrefixCapped,
     "dedup_minhash" -> dedupMinhash,
     "dedup_lsh_plan" -> dedupLshPlan,
+    "dedup_minhash_planned" -> dedupMinhashPlanned,
     "corpus_overlap_matrix" -> corpusOverlapMatrix,
     "dedup_minhash_saturated" -> dedupMinhashSaturated,
     "dedup_simhash" -> dedupSimhash,

@@ -686,4 +686,44 @@ class PlanAuditSpec extends SparkSpec {
         globalWindowLines(p).isEmpty, s"$n:\n$p")
     }
   }
+
+  test("round-11 entries: domain models broadcast, heads take-ordered, " +
+      "class windows partitioned, no cartesian") {
+    // t-closeness: sensitive-domain model + 1-row n broadcast in; the
+    // class-total window partitions by the quasi tuple, never globally
+    val tc = plan("privacy_t_closeness")
+    assert(tc.contains("BroadcastExchange"), tc)
+    assert(!tc.contains("CartesianProduct") &&
+      globalWindowLines(tc).isEmpty, tc)
+    // ES weighted sample: the corpus reduces through a distributed
+    // TakeOrdered heap — no full Sort; the rank window runs on the
+    // k-row head (the one deliberate post-limit global window)
+    val ws = plan("mix_weighted_sample")
+    assert(ws.contains("TakeOrderedAndProject"), ws)
+    assert(!ws.contains("SortMergeJoin") && !ws.contains("CartesianProduct"),
+      ws)
+    // zipf: one (term, count) hash aggregate, TakeOrdered head, fit on
+    // <= topN rows; the 1-row totals frame broadcasts
+    val zf = plan("text_zipf_audit")
+    assert(zf.contains("TakeOrderedAndProject") &&
+      zf.contains("HashAggregate"), zf)
+    assert(!zf.contains("CartesianProduct") ||
+      zf.contains("BroadcastNestedLoopJoin"), zf)
+    // knn outliers: scoring is the deliberate broadcast NLJ (ann_topk
+    // shape); the per-row reduction is a keyed aggregate, no window
+    val ko = plan("ann_knn_outliers")
+    assert(ko.contains("BroadcastNestedLoopJoin"), ko)
+    assert(!ko.contains("SortMergeJoin") && globalWindowLines(ko).isEmpty,
+      ko)
+    // lsh planner: bounded divisor x grid relation, no corpus scan at
+    // all (zero parquet reads)
+    val lp = plan("dedup_lsh_plan")
+    assert(!lp.contains("Scan parquet"), lp)
+    // triangles: the wedge and closing joins stay keyed — no cartesian
+    // (the pre-checkpoint canonicalization executes eagerly; the
+    // audited shape is the wedge/closing stage)
+    val tr = plan("graph_triangles")
+    assert(!tr.contains("CartesianProduct"), tr)
+    assert(globalWindowLines(tr).isEmpty, tr)
+  }
 }
