@@ -69,7 +69,7 @@ object RetrievalEval {
     // empty (the corpus holds only its own row) must still report a
     // zeroed row — "per query" means every query
     qlab.select(col("q_id"))
-      .join(perQuery, Seq("q_id"), "left")
+      .join(broadcast(perQuery), Seq("q_id"), "left")
       .join(broadcast(nRel), Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),

@@ -94,12 +94,20 @@ class PlanAuditSpec extends SparkSpec {
     // tables broadcast BACK onto the corpus — never a shuffle join
     assert(plan("text_adaptive_length_filter").contains("BroadcastHashJoin"))
     assert(plan("mix_epoch_expand").contains("BroadcastHashJoin"))
-    // mean pooling is ONE hash aggregate — no posexplode dimension
-    // blow-up, no window
+    // mean pooling is ONE hash aggregate; the round-11 long-format
+    // hand-off posexplodes ABOVE it (|docs|·dim rows, the
+    // driver-sortable contract) — the chunk stream itself still never
+    // explodes, and no window appears
     val mp = plan("ann_mean_pool")
     assert(mp.contains("HashAggregate") || mp.contains("ObjectHashAggregate"),
       mp)
-    assert(!mp.contains("Generate") && !mp.contains("Window"), mp)
+    assert(!mp.contains("Window"), mp)
+    val mpLines = mp.linesIterator.toSeq
+    val genIdx = mpLines.indexWhere(_.contains("Generate"))
+    val aggIdx = mpLines.indexWhere(_.contains("HashAggregate"))
+    assert(genIdx >= 0 && aggIdx >= 0 && genIdx < aggIdx,
+      s"posexplode must sit above (earlier in formatted output than) " +
+        s"the pooling aggregate:\n$mp")
     // the overlap matrix's capped postings are materialized
     // (localCheckpoint) before the pair join, so the audited tail is
     // joins-of-aggregates over the spilled postings; the cap's
