@@ -763,6 +763,34 @@ object SparkEntry {
     },
     Some("SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(v100) AS BIGINT) AS vsum, min(v100) AS vmin, max(v100) AS vmax, round(CAST(sum(v100) AS DOUBLE) / count(*), 4) AS vavg FROM (SELECT user_id, event_type, CAST(floor(value * 100) AS BIGINT) AS v100 FROM events) GROUP BY 1, 2"))
 
+  /** Streaming weighted sampling ([[graft.streaming.StreamingIngest
+    * .weightedSampleDrain]]): the documents table arrives as four
+    * micro-batch files; each batch folds into the k-row ES state
+    * (top-k of state ∪ batch — the mergeable-sampler property), and
+    * the drained state re-keyed through the batch sampler must equal
+    * the ONE-SHOT `mix_weighted_sample` draw exactly — the same oracle
+    * verifies both entries.
+    */
+  private val stWeightedSample = Q(
+    (s, dir) => {
+      val tmp = scratchPath("graft_stws").toString
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream
+        .schema(StructType.fromDDL("doc_id bigint, n_chars bigint"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/in")
+      graft.streaming.StreamingIngest.weightedSampleDrain(
+        stream, s"$tmp/state", s"$tmp/ck", "doc_id", "n_chars",
+        k = 100, seed = "es1").awaitTermination()
+      graft.operators.Mixture.weightedSample(
+        s.read.parquet(s"$tmp/state"), "doc_id", "n_chars",
+        k = 100, seed = "es1")
+    },
+    Some("WITH b AS (SELECT doc_id, n_chars AS weight, round(pow(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':es1'), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0, 1.0 / n_chars), 9) AS es_key FROM documents WHERE n_chars > 0), " +
+      "r AS (SELECT doc_id, weight, es_key, row_number() OVER (ORDER BY es_key DESC, doc_id) AS rk FROM b) " +
+      "SELECT doc_id, weight, es_key, CAST(rk AS INT) AS rk FROM r WHERE rk <= 100"))
+
   /** §2.8-streaming — streaming forward-fill ([[graft.streaming
     * .StreamingIngest.gapFillDrain]]): the events table arrives as FOUR
     * time-ordered micro-batches (ts-quartile files with ascending
@@ -6488,6 +6516,7 @@ object SparkEntry {
     "st_dedup_replay" -> stDedupReplay,
     "st_monoid_state" -> stMonoidState,
     "st_gap_fill" -> stGapFill,
+    "st_weighted_sample" -> stWeightedSample,
     "st_warc_ingest" -> stWarcIngest,
     "st_sketch_state" -> stSketchState,
     "st_upsert_drain" -> stUpsertDrain,

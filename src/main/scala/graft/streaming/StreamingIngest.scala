@@ -329,6 +329,46 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming Efraimidis–Spirakis weighted sampling — the
+    * arrival-path twin of [[graft.operators.Mixture.weightedSample]]:
+    * because the ES key u^(1/w) is a PURE PROJECTION of (id, weight,
+    * seed), the sampler is mergeable — the top-k of a union equals the
+    * top-k of the per-part top-k's — so each micro-batch folds into a
+    * k-row persisted state by re-sampling (state ∪ batch) and the
+    * drained state after any batch split equals the one-shot batch
+    * draw exactly (the parity oracle). This is weighted reservoir
+    * sampling without the reservoir's RNG: retry-replayed rows
+    * collapse in the pre-sample distinct (same id → same key → same
+    * rank), making the drain idempotent under at-least-once delivery.
+    *
+    * State is ≤k (id, weight) rows regardless of stream length; each
+    * batch does one k-row union + the batch's own TakeOrdered.
+    */
+  def weightedSampleDrain(
+      stream: DataFrame, statePath: String, checkpoint: String,
+      idCol: String, weightCol: String, k: Int, seed: String)
+      : StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val cand = batch.toDF().select(col(idCol), col(weightCol))
+        if (!cand.isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(statePath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val pool =
+            if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+              spark.read.parquet(statePath).unionByName(cand)
+            else cand
+          val top = graft.operators.Mixture.weightedSample(
+              pool.distinct(), idCol, weightCol, k, seed)
+            .select(col(idCol), col("weight").as(weightCol))
+          top.localCheckpoint().write.mode("overwrite").parquet(statePath)
+        }
+      }
+      .start()
+
   /** Streaming forward-fill: the arrival-path twin of the batch
     * `w3_gap_fill` window — each micro-batch fills its nulls from the
     * key's last observed value, seeding each key's leading nulls from

@@ -473,6 +473,38 @@ class StreamingIngestSpec extends SparkSpec {
       "a" -> (3L, 42L, 2L, 30L), "b" -> (2L, 6L, 1L, 5L)))
   }
 
+  test("weightedSampleDrain: batch-split draws equal the one-shot " +
+      "batch sample; restarts and replayed rows never shift the draw") {
+    val tmp = Files.createTempDirectory("graft_stws").toString
+    val schema = StructType.fromDDL("id bigint, w bigint")
+    val all = (1L to 60L).map(i => (i, i * 3))
+    def drain(): Unit = StreamingIngest.weightedSampleDrain(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in"),
+      s"$tmp/state", s"$tmp/ck", "id", "w", k = 8, seed = "z")
+      .awaitTermination()
+    def draw(): Seq[(Long, Long, Double, Int)] =
+      graft.operators.Mixture.weightedSample(
+          spark.read.parquet(s"$tmp/state"), "id", "w", k = 8, seed = "z")
+        .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    // three waves -> three micro-batches, one doubling as a replay
+    all.take(20).toDF("id", "w")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    all.slice(20, 45).toDF("id", "w")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    (all.drop(45) ++ all.take(5)).toDF("id", "w") // rows 1-5 replayed
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    drain()
+    val streamed = draw()
+    val oneShot = graft.operators.Mixture.weightedSample(
+        all.toDF("id", "w"), "id", "w", k = 8, seed = "z")
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    assert(streamed == oneShot)
+    // restart with nothing new: identical state, identical draw
+    drain()
+    assert(draw() == oneShot)
+  }
+
   test("sketchStateDrain: distinct counts survive batch splits and " +
       "cross-batch duplicates; restart never double-merges") {
     val tmp = Files.createTempDirectory("graft_stsk").toString
