@@ -2872,6 +2872,22 @@ object SparkEntry {
       "CASE WHEN ss = 0 THEN NULL ELSE round(20 * log10(sqrt(CAST(ss AS DOUBLE) / (nw * 127.0 * 127.0))), 4) END AS db, " +
       "CAST(peak AS INT) AS peak FROM w"))
 
+  /** Audio zero-crossing profile ([[Multimodal.zeroCrossings]]): real
+    * PCM8 decode → strict-opposite-sign adjacent-pair count and rate —
+    * the FFT-free noise-vs-voiced proxy beside `mm_audio_loudness`.
+    * Integer arithmetic until the final divide; the oracle replays the
+    * generator samples through a lag window.
+    */
+  private val mmAudioZcr = Q(
+    (s, dir) => Multimodal.zeroCrossings(
+      mmWavBlobs(s, dir), "doc_id", "content"),
+    Some("WITH d AS (SELECT doc_id, 100 + doc_id % 50 AS n FROM documents), " +
+      "k AS (SELECT doc_id, n, unnest(generate_series(0, CAST(n AS INT) - 1)) AS k FROM d), " +
+      "sm AS (SELECT doc_id, n, k, CAST((doc_id + k * 17) % 256 AS INT) - 128 AS dev FROM k), " +
+      "lg AS (SELECT doc_id, n, dev, lag(dev) OVER (PARTITION BY doc_id ORDER BY k) AS prev FROM sm), " +
+      "c AS (SELECT doc_id, CAST(max(n) AS INT) AS n_samples, CAST(count(*) FILTER (WHERE dev * prev < 0) AS BIGINT) AS crossings FROM lg GROUP BY doc_id) " +
+      "SELECT doc_id, n_samples, crossings, round(CAST(crossings AS DOUBLE) / (n_samples - 1), 6) AS zcr FROM c"))
+
   /** Audio silence trim ([[Multimodal.silenceTrim]]): WAV clips with
     * PLANTED leading (id%7) and trailing (id%5) exact-center silence
     * around an always-active band — the engine decodes real PCM8 and
@@ -3359,6 +3375,21 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text",
       terms = Seq("vector", "hash", "scan"), k = 20),
     Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM d), tk AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS w FROM d), tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tk WHERE w IN ('vector', 'hash', 'scan') GROUP BY 1, 2, 3), idf AS (SELECT w, round(ln((st.n - CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5) / (CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5) + 1.0), 9) AS idf FROM tf, st GROUP BY w, st.n), sc AS (SELECT doc_id, round(sum(idf.idf * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score FROM tf JOIN idf USING (w), st GROUP BY 1), r AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc) SELECT doc_id, CAST(rank AS INT) AS rank, score FROM r WHERE rank <= 20"))
+
+  /** Flesch readability ([[TextAnalysis.readability]]): per-document
+    * reading-ease from whitespace words, `[.!?]+` sentences, and
+    * vowel-group syllables — the dictionary-free filter signal, fully
+    * re-derived in SQL (regexp_extract_all mirrors regexp_count).
+    */
+  private val textReadability = Q(
+    (s, dir) => TextAnalysis.readability(
+      t(s, dir, "documents"), "doc_id", "text"),
+    Some("WITH b AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> '') AS ws, " +
+      "greatest(1, CAST(len(list_filter(string_split_regex(text, '[.!?]+'), x -> trim(x) <> '')) AS BIGINT)) AS n_sentences FROM documents), " +
+      "c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, n_sentences, " +
+      "CAST(coalesce(list_sum(list_transform(ws, w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0) AS BIGINT) AS n_syllables FROM b) " +
+      "SELECT doc_id, n_words, n_sentences, n_syllables, " +
+      "CASE WHEN n_words > 0 THEN round(206.835 - 1.015 * n_words / n_sentences - 84.6 * n_syllables / n_words, 4) END AS flesch FROM c"))
 
   /** Corpus Zipf audit ([[TextAnalysis.zipfAudit]]): OLS fit of
     * ln(freq) on ln(rank) over the top-100 terms — slope ≈ −1 and high
@@ -6364,6 +6395,7 @@ object SparkEntry {
     "mm_shot_sample" -> mmShotSample,
     "mm_audio_trim" -> mmAudioTrim,
     "mm_audio_loudness" -> mmAudioLoudness,
+    "mm_audio_zcr" -> mmAudioZcr,
     "mm_letterbox" -> mmLetterbox,
     "mm_exif_meta" -> mmExifMeta,
     "mm_featurize" -> mmFeaturize,
@@ -6371,6 +6403,7 @@ object SparkEntry {
     "text_tokens" -> textTokens,
     "text_entropy" -> textEntropy,
     "text_zipf_audit" -> textZipfAudit,
+    "text_readability" -> textReadability,
     "text_dedup_lines" -> textDedupLines,
     "text_code_score" -> textCodeScore,
     "text_langid" -> textLangId,

@@ -935,6 +935,45 @@ object Multimodal {
       .toDF(id, "win", "n_samples", "rms", "db", "peak")
   }
 
+  /** Zero-crossing profile over PCM8 audio — the cheap spectral proxy
+    * audio curation pairs with [[loudnessWindows]]: high ZCR separates
+    * fricatives/noise/hiss from voiced speech and tone, so clips that
+    * are all-noise (ZCR near 0.5) or DC-stuck (ZCR 0 with nonzero
+    * level) surface without an FFT. One row per clip: `crossings`
+    * counts strictly-opposite-sign adjacent center-removed sample
+    * pairs (a zero sample breaks a run — no crossing through silence),
+    * `zcr` = crossings/(n−1) rounded 6 (null for n < 2), all integer
+    * arithmetic until the final divide.
+    *
+    * Scale shape: the [[silenceTrim]] mapPartitions decode walk; only
+    * (id, scalars) ever shuffles.
+    */
+  def zeroCrossings(df: DataFrame, id: String, content: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    widen(df).select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (rowId, bytes) =>
+          decodePcm8(bytes).map { s =>
+            var crossings = 0L
+            var i = 1
+            while (i < s.length) {
+              if ((s(i) - 128) * (s(i - 1) - 128) < 0) crossings += 1
+              i += 1
+            }
+            val zcr: Option[Double] =
+              if (s.length < 2) None
+              else Some(BigDecimal(crossings.toDouble / (s.length - 1))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            (rowId, s.length, crossings, zcr)
+          }
+        }
+      }
+      .toDF(id, "n_samples", "crossings", "zcr")
+  }
+
   /** Scene-cut detection over demuxed raw frames: the mean absolute
     * per-pixel delta between CONSECUTIVE frames, flagged against a
     * threshold — the shot-boundary signal a video-curation pipeline

@@ -678,6 +678,37 @@ object TextAnalysis {
           .as("n_underfilled"))
   }
 
+  /** Flesch reading-ease scoring — the readability gate an educational/
+    * kids-corpus curation (or its inverse, a complexity floor) filters
+    * on: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * with sentences as non-empty `[.!?]+` segments and syllables as
+    * vowel-group runs (`[aeiouy]+`, min 1 per word) — the standard
+    * dictionary-free approximation, stated as such: it's a FILTER
+    * SIGNAL, not linguistics. Pure column expressions (split + HOF
+    * aggregate + regexp_count, all codegen'd); docs with no words
+    * report null instead of dividing by zero.
+    *
+    * Output: (id, n_words, n_sentences, n_syllables, flesch rounded 4).
+    */
+  def readability(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = filter(tokens(col(text)), w => w =!= "")
+    val sents = greatest(lit(1L),
+      size(filter(split(col(text), "[.!?]+"),
+        s => length(trim(s)) > 0)).cast("long"))
+    val sylls = aggregate(toks, lit(0L),
+      (acc, w) => acc +
+        greatest(lit(1L), regexp_count(w, lit("[aeiouy]+")).cast("long")))
+    docs.select(col(id),
+        size(toks).cast("long").as("n_words"),
+        sents.as("n_sentences"),
+        sylls.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          round(lit(206.835) -
+            lit(1.015) * col("n_words") / col("n_sentences") -
+            lit(84.6) * col("n_syllables") / col("n_words"), 4)))
+  }
+
   /** Corpus Zipf audit — the term-frequency-distribution fingerprint: a
     * natural-language corpus's top term frequencies follow f ∝ rank^s
     * with s ≈ −1; a corpus of templates, logs, or scraped boilerplate

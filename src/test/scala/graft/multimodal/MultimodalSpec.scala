@@ -502,6 +502,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == ((3L, 3, 0, 0, 3)))
   }
 
+  test("zeroCrossings: alternating signal reads zcr 1, constant reads " +
+      "0, zero samples break runs, and n<2 reports null") {
+    import spark.implicits._
+    def wav(s: Seq[Int]) =
+      Multimodal.encodeWavPcm8(s.map(_.toByte).toArray, 8000)
+    val clips = Seq(
+      (1L, wav(Seq(200, 50, 200, 50, 200))),  // every pair crosses
+      (2L, wav(Seq(200, 200, 200))),          // never crosses
+      (3L, wav(Seq(200, 128, 50))),           // zero breaks the run
+      (4L, wav(Seq(77))))                     // single sample: null zcr
+      .toDF("doc_id", "content")
+    val out = Multimodal.zeroCrossings(clips, "doc_id", "content")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L) == ((5, 4L, Some(1.0))))
+    assert(out(2L) == ((3, 0L, Some(0.0))))
+    assert(out(3L) == ((3, 0L, Some(0.0))))
+    assert(out(4L) == ((1, 0L, None)))
+  }
+
   test("loudnessWindows: hand-computed rms/db/peak per window, a short " +
       "tail window, and NULL db on digital silence") {
     import spark.implicits._

@@ -445,6 +445,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(intercept == math.rint(math.log(12.0) * 10000) / 10000)
   }
 
+  test("readability: hand-computed Flesch over words/sentences/" +
+      "vowel-group syllables; empty docs report null") {
+    val docs = Seq(
+      // 6 words, 2 sentences, syllables: the=1 cat=1 sat=1 here=2
+      // it=1 slept=1 -> 7
+      (1L, "The cat sat here. It slept!"),
+      (2L, ""),               // no words -> null flesch
+      (3L, "xyz qrst"))       // vowel-free words floor at 1 syllable
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((6L, 2L, 7L)))
+    val expect = BigDecimal(206.835 - 1.015 * 6 / 2.0 - 84.6 * 7 / 6.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getDouble(4) == expect)
+    assert(out(2L).getLong(1) == 0L && out(2L).isNullAt(4))
+    assert(out(3L).getLong(3) == 2L) // 1 + 1 floored syllables
+  }
+
   test("zipfAudit: a flat template corpus reads slope 0 and a null r2 " +
       "(zero y-spread -> no power law, not a divide error)") {
     val docs = Seq((1L, "x y z w x y z w")).toDF("doc_id", "text")
