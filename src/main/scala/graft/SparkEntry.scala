@@ -4536,6 +4536,40 @@ object SparkEntry {
       "r2 AS (SELECT d.i, COALESCE(wi.wtot, 0) / d.den AS r FROM (SELECT nn.i, sum(nn.n / (ri.r + rj.r)) AS den FROM nn JOIN r1 ri ON ri.i = nn.i JOIN r1 rj ON rj.i = nn.j GROUP BY nn.i) d LEFT JOIN wi ON wi.i = d.i) " +
       "SELECT i AS player, round(r, 6) AS rating FROM r2"))
 
+  /** Bradley–Terry calibration ([[graft.operators.Rating
+    * .btCalibration]]) over the same pair fixture: matchups bucketed
+    * by the model's predicted win probability (from the PUBLISHED
+    * rounded ratings) vs their empirical win fractions — the
+    * reliability diagram beside the leaderboard. The oracle replays
+    * the full chain: pair derivation, both MM iterations, the matchup
+    * fold, and the bucket arithmetic.
+    */
+  private val prefBtCalibration = Q(
+    (s, dir) => graft.operators.Rating.btCalibration(
+      graft.text.Pref.preferencePairs(
+        t(s, dir, "documents").where(pmod(col("doc_id"), lit(29)) =!= 0)
+          .select(floor(col("doc_id") / 4).cast("long").as("prompt"),
+            pmod(col("doc_id"), lit(4)).as("rid"), col("text"),
+            length(col("text")).as("sc")),
+        "prompt", "rid", "text", "sc", minMargin = 3.0)
+        .select(col("chosen_id"), col("rejected_id")),
+      "chosen_id", "rejected_id", iters = 2, buckets = 10),
+    Some("WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS resp_id, text AS t, CAST(length(text) AS DOUBLE) AS sc FROM documents WHERE doc_id % 29 <> 0), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY prompt_id ORDER BY sc DESC, resp_id DESC) AS ra, row_number() OVER (PARTITION BY prompt_id ORDER BY sc ASC, resp_id ASC) AS rb, count(*) OVER (PARTITION BY prompt_id) AS n FROM r), " +
+      "ch AS (SELECT prompt_id, resp_id AS w, t AS ct, sc AS cs, n FROM rk WHERE ra = 1), " +
+      "rj AS (SELECT prompt_id, resp_id AS l, t AS rt, sc AS rs FROM rk WHERE rb = 1), " +
+      "pw AS (SELECT w, l FROM ch JOIN rj USING (prompt_id) WHERE n >= 2 AND cs - rs >= 3.0 AND ct <> rt), " +
+      "g AS (SELECT w, l, count(*) AS c FROM pw GROUP BY 1, 2), " +
+      "nn AS (SELECT i, j, sum(n) AS n FROM (SELECT w AS i, l AS j, c AS n FROM g UNION ALL SELECT l AS i, w AS j, c AS n FROM g) GROUP BY 1, 2), " +
+      "wi AS (SELECT w AS i, sum(c) AS wtot FROM g GROUP BY 1), " +
+      "r0 AS (SELECT DISTINCT i, 1.0 AS r FROM nn), " +
+      "r1 AS (SELECT d.i, COALESCE(wi.wtot, 0) / d.den AS r FROM (SELECT nn.i, sum(nn.n / (ri.r + rj.r)) AS den FROM nn JOIN r0 ri ON ri.i = nn.i JOIN r0 rj ON rj.i = nn.j GROUP BY nn.i) d LEFT JOIN wi ON wi.i = d.i), " +
+      "r2 AS (SELECT d.i, COALESCE(wi.wtot, 0) / d.den AS r FROM (SELECT nn.i, sum(nn.n / (ri.r + rj.r)) AS den FROM nn JOIN r1 ri ON ri.i = nn.i JOIN r1 rj ON rj.i = nn.j GROUP BY nn.i) d LEFT JOIN wi ON wi.i = d.i), " +
+      "rr AS (SELECT i AS player, round(r, 6) AS rating FROM r2), " +
+      "mm AS (SELECT least(w, l) AS i, greatest(w, l) AS j, sum(CASE WHEN w < l THEN c ELSE 0 END) AS wins_i, sum(c) AS n FROM g GROUP BY 1, 2), " +
+      "sc AS (SELECT mm.i, mm.j, mm.wins_i, mm.n, ri.rating / (ri.rating + rj.rating) AS p FROM mm JOIN rr ri ON ri.player = mm.i JOIN rr rj ON rj.player = mm.j) " +
+      "SELECT CAST(least(floor(p * 10), 9) AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n_matchups, CAST(sum(n) AS BIGINT) AS n_games, round(sum(p * n) / sum(n), 4) AS p_pred, round(CAST(sum(wins_i) AS DOUBLE) / sum(n), 4) AS p_emp FROM sc GROUP BY 1"))
+
   /** Annotation majority vote ([[graft.operators.Annotations
     * .majorityVote]]): five deterministic synthetic annotators label
     * every document ('bad'/'good'/'ok' off a (n_chars, annotator,
@@ -6515,6 +6549,7 @@ object SparkEntry {
     "pref_pair_audit" -> prefPairAudit,
     "pref_best_of_n" -> prefBestOfN,
     "pref_bradley_terry" -> prefBradleyTerry,
+    "pref_bt_calibration" -> prefBtCalibration,
     "pref_majority_vote" -> prefMajorityVote,
     "pref_fleiss_kappa" -> prefFleissKappa,
     "pref_length_bias" -> prefLengthBias,

@@ -65,4 +65,54 @@ object Rating {
     }
     r.select(col("i").as("player"), round(col("r"), 6).as("rating"))
   }
+
+  /** Bradley–Terry calibration — the goodness-of-fit check that makes
+    * the ratings trustworthy: per UNORDERED matchup (i, j) the model
+    * predicts P(i beats j) = rᵢ/(rᵢ+rⱼ); bucketing matchups by that
+    * prediction and comparing the game-weighted predicted mean against
+    * the empirical win fraction per bucket is the reliability diagram
+    * every preference pipeline should publish next to its
+    * leaderboard — systematic bucket deviation means the
+    * one-dimensional strength model is wrong (intransitive matchups,
+    * style effects), not just noisy. Uses the ROUNDED published
+    * ratings so the diagram reproduces from the leaderboard.
+    *
+    * Output: (bucket, n_matchups, n_games, p_pred, p_emp) — bucket k
+    * covers predictions [k/buckets, (k+1)/buckets), the top edge
+    * folded into the last bucket.
+    *
+    * Scale shape: one game-matrix aggregate (the corpus-sized step,
+    * shared shape with [[bradleyTerry]]), two k-sized rating joins
+    * (AQE-broadcast), then a buckets-bounded aggregate.
+    */
+  def btCalibration(pairs: DataFrame, winner: String, loser: String,
+      iters: Int = 2, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val ratings = bradleyTerry(pairs, winner, loser, iters)
+    val g = pairs
+      .groupBy(col(winner).as("w"), col(loser).as("l"))
+      .agg(count(lit(1)).as("c"))
+    val m = g
+      .select(least(col("w"), col("l")).as("i"),
+        greatest(col("w"), col("l")).as("j"),
+        when(col("w") < col("l"), col("c")).otherwise(lit(0L))
+          .as("wins_i"),
+        col("c").as("n"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("wins_i")).as("wins_i"), sum(col("n")).as("n"))
+    val scored = m
+      .join(ratings.select(col("player").as("i"),
+        col("rating").as("ri")), "i")
+      .join(ratings.select(col("player").as("j"),
+        col("rating").as("rj")), "j")
+      .withColumn("p", col("ri") / (col("ri") + col("rj")))
+    scored
+      .withColumn("bucket",
+        least(floor(col("p") * buckets), lit(buckets - 1L)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_matchups"), sum(col("n")).as("n_games"),
+        round(sum(col("p") * col("n")) / sum(col("n")), 4).as("p_pred"),
+        round(sum(col("wins_i")) / sum(col("n")).cast("double"), 4)
+          .as("p_emp"))
+  }
 }

@@ -43,4 +43,26 @@ class RatingSpec extends SparkSpec {
     val r = ratings(Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L)), iters = 1)
     assert(r(1L) == 1.5 && r(2L) == 0.5)
   }
+
+  test("btCalibration: predicted buckets from published ratings, " +
+      "game-weighted means, empirical fractions from the lower player") {
+    // one matchup after iters=1: r = (1.5, 0.5); p(1 beats 2) = 0.75,
+    // empirical = 3/4 -> a perfectly calibrated bucket 7
+    val pairs = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L))
+      .toDF("w", "l")
+    val out = Rating.btCalibration(pairs, "w", "l", iters = 1,
+        buckets = 10)
+      .as[(Int, Long, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq((7, 1L, 4L, 0.75, 0.75)))
+    // an intransitive rock-paper-scissors log: every rating ties, so
+    // every matchup predicts 0.5 while the empirical rates are 1 or 0
+    // in each orientation fold — the diagram exposes the misfit
+    val rps = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("w", "l")
+    val cal = Rating.btCalibration(rps, "w", "l", iters = 3,
+        buckets = 10)
+      .as[(Int, Long, Long, Double, Double)].collect()
+    assert(cal.length == 1 && cal.head._1 == 5)
+    assert(cal.head._4 == 0.5)
+    assert(cal.head._5 != 0.5 || cal.head._3 == 3L) // folded empirics
+  }
 }
