@@ -2872,6 +2872,27 @@ object SparkEntry {
       "CASE WHEN ss = 0 THEN NULL ELSE round(20 * log10(sqrt(CAST(ss AS DOUBLE) / (nw * 127.0 * 127.0))), 4) END AS db, " +
       "CAST(peak AS INT) AS peak FROM w"))
 
+  /** Per-image raster statistics ([[Multimodal.imageStats]]): real PNG
+    * decode → exact-integer mean/std/min/max, 16-bucket histogram
+    * entropy, modal bucket — the blank/clipped/degenerate-render gate.
+    * The oracle rebuilds every pixel from the generator arithmetic
+    * (`px = (31·id + 7x + 13y) % 256`) and replays the same quantized
+    * entropy folds.
+    */
+  private val mmImageStats = Q(
+    (s, dir) => Multimodal.imageStats(mmPngBlobs(s, dir), "doc_id",
+      "content"),
+    Some("WITH d AS (SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS w, CAST(12 + doc_id % 8 AS INT) AS h FROM documents), " +
+      "px AS (SELECT doc_id, w, h, CAST((doc_id * 31 + x * 7 + y * 13) % 256 AS INT) AS v FROM d, (SELECT unnest(generate_series(0, 31)) AS x) xs, (SELECT unnest(generate_series(0, 19)) AS y) ys WHERE x < w AND y < h), " +
+      "st AS (SELECT doc_id, w, h, sum(v) AS s, sum(v * v) AS ss, min(v) AS mn, max(v) AS mx, count(*) AS n FROM px GROUP BY 1, 2, 3), " +
+      "hb AS (SELECT doc_id, v // 16 AS b, count(*) AS c FROM px GROUP BY 1, 2), " +
+      "ent AS (SELECT hb.doc_id, round(-sum(round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) / ln(2), 9)), 4) AS entropy FROM hb JOIN st ON st.doc_id = hb.doc_id GROUP BY 1), " +
+      "md AS (SELECT doc_id, b FROM (SELECT doc_id, b, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS r FROM hb) WHERE r = 1) " +
+      "SELECT st.doc_id, w AS width, h AS height, round(CAST(s AS DOUBLE) / n, 4) AS mean_px, " +
+      "round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n), 4) AS std_px, " +
+      "entropy, CAST(mn AS INT) AS min_px, CAST(mx AS INT) AS max_px, CAST(md.b AS INT) AS mode_bucket " +
+      "FROM st JOIN ent ON ent.doc_id = st.doc_id JOIN md ON md.doc_id = st.doc_id"))
+
   /** Audio zero-crossing profile ([[Multimodal.zeroCrossings]]): real
     * PCM8 decode → strict-opposite-sign adjacent-pair count and rate —
     * the FFT-free noise-vs-voiced proxy beside `mm_audio_loudness`.
@@ -3390,6 +3411,29 @@ object SparkEntry {
       "CAST(coalesce(list_sum(list_transform(ws, w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0) AS BIGINT) AS n_syllables FROM b) " +
       "SELECT doc_id, n_words, n_sentences, n_syllables, " +
       "CASE WHEN n_words > 0 THEN round(206.835 - 1.015 * n_words / n_sentences - 84.6 * n_syllables / n_words, 4) END AS flesch FROM c"))
+
+  /** License-header detection ([[TextAnalysis.licenseDetect]]): the
+    * legal gate over a fixture with PLANTED headers — doc_id % 7
+    * routes each document to one of the four license families (or
+    * none), prepended verbatim; the engine matches the normative
+    * phrases case-insensitively and the oracle re-derives every label
+    * from the planting arithmetic alone.
+    */
+  private val textLicenseDetect = Q(
+    (s, dir) => TextAnalysis.licenseDetect(
+      t(s, dir, "documents").select(col("doc_id"), concat(
+        when(col("doc_id") % 7 === 1,
+          lit("Permission is hereby granted, free of charge\n"))
+          .when(col("doc_id") % 7 === 2,
+            lit("Licensed under the Apache License, Version 2.0\n"))
+          .when(col("doc_id") % 7 === 3,
+            lit("GNU General Public License\n"))
+          .when(col("doc_id") % 7 === 4,
+            lit("Redistribution and use in source and binary forms\n"))
+          .otherwise(lit("")),
+        col("text")).as("text")),
+      "doc_id", "text"),
+    Some("SELECT doc_id, CASE doc_id % 7 WHEN 1 THEN 'MIT' WHEN 2 THEN 'Apache-2.0' WHEN 3 THEN 'GPL' WHEN 4 THEN 'BSD' END AS license, doc_id % 7 IN (1, 2, 3, 4) AS has_license FROM documents"))
 
   /** Corpus Zipf audit ([[TextAnalysis.zipfAudit]]): OLS fit of
     * ln(freq) on ln(rank) over the top-100 terms — slope ≈ −1 and high
@@ -6430,6 +6474,7 @@ object SparkEntry {
     "mm_audio_trim" -> mmAudioTrim,
     "mm_audio_loudness" -> mmAudioLoudness,
     "mm_audio_zcr" -> mmAudioZcr,
+    "mm_image_stats" -> mmImageStats,
     "mm_letterbox" -> mmLetterbox,
     "mm_exif_meta" -> mmExifMeta,
     "mm_featurize" -> mmFeaturize,
@@ -6438,6 +6483,7 @@ object SparkEntry {
     "text_entropy" -> textEntropy,
     "text_zipf_audit" -> textZipfAudit,
     "text_readability" -> textReadability,
+    "text_license_detect" -> textLicenseDetect,
     "text_dedup_lines" -> textDedupLines,
     "text_code_score" -> textCodeScore,
     "text_langid" -> textLangId,

@@ -879,6 +879,66 @@ object Multimodal {
       .toDF(id, "n_samples", "lead_trim", "trail_trim", "kept")
   }
 
+  /** Per-image raster statistics — the exposure/degeneracy gate image
+    * curation runs before anything expensive: a constant or
+    * near-constant raster (std ≈ 0, entropy ≈ 0) is a blank/failed
+    * render, a both-ends-clipped histogram is a scan artifact, and the
+    * stats are one decode-walk pass per image. Reports (width, height,
+    * mean, std — population, from exact integer sums), 16-bucket
+    * histogram entropy in bits (each p·log₂p term quantized to 9
+    * decimals, the charEntropy convention), min/max pixel, and the
+    * modal bucket (ties to the LOWER bucket). All accumulation is
+    * integer; doubles appear only at the final mean/std/entropy
+    * hand-off, so the oracle re-derives everything from generator
+    * arithmetic.
+    */
+  def imageStats(df: DataFrame, id: String, content: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    widen(df).select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (rowId, bytes) =>
+          decodeGray(bytes).map { case (w, h, px) =>
+            val n = w.toLong * h
+            var sum = 0L
+            var sumSq = 0L
+            var mn = 255
+            var mx = 0
+            val hist = new Array[Long](16)
+            var i = 0
+            while (i < px.length) {
+              val v = px(i)
+              sum += v
+              sumSq += v.toLong * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              hist(v / 16) += 1
+              i += 1
+            }
+            val mean = sum.toDouble / n
+            val variance = (sumSq.toDouble - sum.toDouble * sum / n) / n
+            val entropy = -hist.filter(_ > 0).map { c =>
+              val p = c.toDouble / n
+              BigDecimal(p * math.log(p) / math.log(2.0))
+                .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }.sum
+            val mode = hist.indexOf(hist.max)
+            (rowId, w, h,
+              BigDecimal(mean).setScale(4,
+                BigDecimal.RoundingMode.HALF_UP).toDouble,
+              BigDecimal(math.sqrt(math.max(0.0, variance))).setScale(4,
+                BigDecimal.RoundingMode.HALF_UP).toDouble,
+              BigDecimal(entropy).setScale(4,
+                BigDecimal.RoundingMode.HALF_UP).toDouble,
+              mn, mx, mode)
+          }
+        }
+      }
+      .toDF(id, "width", "height", "mean_px", "std_px", "entropy",
+        "min_px", "max_px", "mode_bucket")
+  }
+
   /** Windowed loudness profile over PCM8 audio — the level signal an
     * audio-curation pipeline gates on (clips that are near-silence,
     * clipped at full scale, or wildly level-inconsistent across time

@@ -265,6 +265,14 @@ object Mixture {
     * (k-bounded heap per partition, k-sized driver merge — no global
     * sort); the final rank window runs on the k-row result, not the
     * corpus. Output: (id, weight, es_key, rk).
+    *
+    * Relation to [[WeightedSample.take]] (the so10 entry): the SAME
+    * sampler — top-k by u^(1/w) and bottom-k by −ln(u)/w are
+    * equivalent orderings of the one ES draw. This form adds the
+    * caller seed, the rank column, and the mergeable-state streaming
+    * twin ([[graft.streaming.StreamingIngest.weightedSampleDrain]]);
+    * that form keeps the exponential key whose VALUES are the
+    * Poisson-process arrival times priority sampling reports.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: String): DataFrame = {

@@ -678,6 +678,32 @@ object TextAnalysis {
           .as("n_underfilled"))
   }
 
+  /** License-header detection — the legal gate a code/document corpus
+    * runs before training (permissively-licensed subsets are a
+    * contractual requirement, and GPL contamination of a "permissive
+    * only" corpus is exactly the row this flags): matches the
+    * distinctive normative phrases of the four big families
+    * case-insensitively, first match wins in MIT → Apache-2.0 → GPL →
+    * BSD order (the phrases are mutually exclusive in real headers;
+    * the order only breaks pathological multi-license blobs
+    * deterministically). Pure `contains` on one lowercase pass — no
+    * regex backtracking on corpus text. Unrecognized/absent headers
+    * report null + false.
+    */
+  def licenseDetect(docs: DataFrame, id: String, text: String)
+      : DataFrame = {
+    val t = lower(col(text))
+    val lic = when(t.contains(
+        "permission is hereby granted, free of charge"), "MIT")
+      .when(t.contains(
+        "licensed under the apache license, version 2.0"), "Apache-2.0")
+      .when(t.contains("gnu general public license"), "GPL")
+      .when(t.contains(
+        "redistribution and use in source and binary forms"), "BSD")
+    docs.select(col(id), lic.as("license"),
+      lic.isNotNull.as("has_license"))
+  }
+
   /** Flesch reading-ease scoring — the readability gate an educational/
     * kids-corpus curation (or its inverse, a complexity floor) filters
     * on: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),

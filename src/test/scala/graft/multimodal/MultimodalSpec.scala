@@ -502,6 +502,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == ((3L, 3, 0, 0, 3)))
   }
 
+  test("imageStats: hand-computed stats; a constant raster reads " +
+      "std 0 / entropy 0; malformed blobs quarantine") {
+    import spark.implicits._
+    val imgs = Seq(
+      // 2x2: values 0, 255, 16, 16 -> buckets 0,15,1,1 (mode 1)
+      (1L, Multimodal.encodeGrayPng(2, 2, (x, y) =>
+        Seq(Seq(0, 255), Seq(16, 16))(y)(x))),
+      (2L, Multimodal.encodeGrayPng(3, 1, (_, _) => 77)), // constant
+      (3L, Array[Byte](1, 2, 3)))                          // garbage
+      .toDF("doc_id", "content")
+    val out = Multimodal.imageStats(imgs, "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L)) // quarantined, not crashed
+    val r1 = out(1L)
+    assert((r1.getInt(1), r1.getInt(2)) == ((2, 2)))
+    assert(r1.getDouble(3) == 71.75) // (0+255+16+16)/4
+    val varr = (0.0 + 255.0 * 255 + 256 + 256) / 4 - 71.75 * 71.75
+    assert(math.abs(r1.getDouble(4) - math.sqrt(varr)) < 1e-3)
+    // entropy: p = {1/4, 1/4, 2/4} -> 1.5 bits
+    assert(r1.getDouble(5) == 1.5)
+    assert((r1.getInt(6), r1.getInt(7), r1.getInt(8)) == ((0, 255, 1)))
+    val r2 = out(2L)
+    assert(r2.getDouble(4) == 0.0 && r2.getDouble(5) == 0.0)
+    assert((r2.getInt(6), r2.getInt(7)) == ((77, 77)))
+  }
+
   test("zeroCrossings: alternating signal reads zcr 1, constant reads " +
       "0, zero samples break runs, and n<2 reports null") {
     import spark.implicits._

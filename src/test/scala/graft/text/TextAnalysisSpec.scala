@@ -445,6 +445,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(intercept == math.rint(math.log(12.0) * 10000) / 10000)
   }
 
+  test("licenseDetect: each family's normative phrase matches " +
+      "case-insensitively; unlicensed and lookalike text stay null") {
+    val docs = Seq(
+      (1L, "/* PERMISSION IS HEREBY GRANTED, free of Charge ... */ code"),
+      (2L, "// licensed under the apache license, version 2.0\nmain()"),
+      (3L, "This program is free software: GNU General Public License."),
+      (4L, "Redistribution and use in source and binary forms, with or"),
+      (5L, "plain prose about licenses and permission, nothing normative"),
+      (6L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.licenseDetect(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getBoolean(2))).toMap
+    assert(out(1L) == ((Some("MIT"), true)))
+    assert(out(2L) == ((Some("Apache-2.0"), true)))
+    assert(out(3L) == ((Some("GPL"), true)))
+    assert(out(4L) == ((Some("BSD"), true)))
+    assert(out(5L) == ((None, false)) && out(6L) == ((None, false)))
+  }
+
   test("readability: hand-computed Flesch over words/sentences/" +
       "vowel-group syllables; empty docs report null") {
     val docs = Seq(
