@@ -5457,6 +5457,29 @@ object SparkEntry {
     },
     Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neighbor_id, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
 
+  /** Matryoshka truncation evaluation ([[Ann.matryoshkaEval]]): the
+    * same top-5 retrieval re-run at embedding prefixes 32/16/8 of the
+    * 64-dim fixture, reporting mean overlap with the full-dim top-5 —
+    * the dimension-budget study before shrinking a serving index. The
+    * oracle replays every truncated ranking via list_slice and the
+    * overlap folds.
+    */
+  private val annMatryoshkaEval = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.matryoshkaEval(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, dims = Seq(32, 16, 8))
+    },
+    Some("WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM embeddings WHERE vec_id < 10), " +
+      "c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "f5 AS (SELECT q_id, neighbor_id FROM (SELECT q_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q_id ORDER BY round(list_cosine_similarity(qe, e), 4) DESC, c.vec_id) AS r FROM q, c WHERE c.vec_id <> q_id) WHERE r <= 5), " +
+      "nq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n FROM f5), " +
+      "dd AS (SELECT unnest([32, 16, 8]) AS dim), " +
+      "td AS (SELECT dim, q_id, neighbor_id FROM (SELECT dd.dim, q.q_id, c.vec_id AS neighbor_id, row_number() OVER (PARTITION BY dd.dim, q.q_id ORDER BY round(list_cosine_similarity(list_slice(qe, 1, dd.dim), list_slice(e, 1, dd.dim)), 4) DESC, c.vec_id) AS r FROM dd, q, c WHERE c.vec_id <> q.q_id) WHERE r <= 5), " +
+      "ov AS (SELECT dim, CAST(count(*) AS BIGINT) AS c FROM td JOIN f5 USING (q_id, neighbor_id) GROUP BY 1) " +
+      "SELECT dd.dim, nq.n AS n_queries, round(COALESCE(ov.c, 0) / (nq.n * 5.0), 4) AS mean_overlap FROM dd CROSS JOIN nq LEFT JOIN ov ON ov.dim = dd.dim"))
+
   /** Margin-based bitext mining ([[graft.ann.Bitext.minePairs]]): the
     * even/odd vec_id halves stand in for two monolingual corpora in a
     * shared embedding space; forward ∪ backward nearest neighbors
@@ -6496,6 +6519,7 @@ object SparkEntry {
     "ann_knn_outliers" -> annKnnOutliers,
     "ann_bitext_mine" -> annBitextMine,
     "ann_bitext_mine_ivf" -> annBitextMineIvf,
+    "ann_matryoshka_eval" -> annMatryoshkaEval,
     "ann_retrieval_metrics" -> annRetrievalMetrics,
     "ann_binary_topk" -> annBinaryTopK,
     "ann_int8_topk" -> annInt8TopK,

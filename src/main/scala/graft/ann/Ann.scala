@@ -141,6 +141,48 @@ object Ann {
       .select(col(id), col("kth_sim"),
         (col("kth_sim") < minSim).as("outlier"))
 
+  /** Matryoshka truncation evaluation — the dimension-budget study for
+    * MRL-style embeddings (Kusupati et al. 2022: nested prefixes of a
+    * representation remain usable embeddings): for each candidate
+    * prefix length, run the SAME top-k retrieval over prefix-truncated
+    * vectors and report the mean per-query overlap with the full-dim
+    * top-k — the number that says "serving at 16 of 64 dims keeps X%
+    * of retrieval" before committing to a 4× smaller index. (On
+    * non-MRL-trained embeddings — like the test fixture — overlap
+    * decays fast; that decay is the measurement, not a bug.)
+    *
+    * Output: one row per dim — (dim, n_queries, mean_overlap) with
+    * overlap = |topk_dim ∩ topk_full| / k per query, mean rounded 4.
+    *
+    * Scale shape: one [[topKAgg]] scored pass per candidate dim (each
+    * a prefix-sliced projection of the same scan — dims is a handful,
+    * not a search), then (q_id, neighbor)-keyed overlap joins bounded
+    * by |Q|·k rows.
+    */
+  def matryoshkaEval(
+      corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, qId: String, qVec: String,
+      k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "need at least one truncation dim")
+    val full = topKAgg(corpus, id, vec, queries, qId, qVec, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val nq = full.select(col("q_id")).distinct().count()
+    dims.map { d =>
+      val run = topKAgg(
+        corpus.select(col(id), slice(col(vec), 1, d).as(vec)), id, vec,
+        queries.select(col(qId), slice(col(qVec), 1, d).as(qVec)),
+        qId, qVec, k)
+        .select(col("q_id"), col("neighbor_id"))
+      run.join(full, Seq("q_id", "neighbor_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("__ov"))
+        .agg(
+          round(coalesce(sum(col("__ov")), lit(0L)) /
+            lit(nq.toDouble * k), 4).as("mean_overlap"))
+        .select(lit(d).as("dim"), lit(nq).as("n_queries"),
+          col("mean_overlap"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Hard-negative mining — the contrastive-training data op: for each
     * query vector, the k most similar corpus vectors with a DIFFERENT
     * label (same-label neighbors are positives; the high-similarity

