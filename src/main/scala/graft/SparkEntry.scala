@@ -2278,6 +2278,25 @@ object SparkEntry {
     Some("WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8), e AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2 AS s, id1 AS d FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.id), lab AS (SELECT id AS doc_id, min(lbl) AS component FROM walk GROUP BY id) " +
       "SELECT doc_id, component, CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) <= 'b' THEN 'train' WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) <= 'd' THEN 'val' ELSE 'test' END AS split FROM lab"))
 
+  /** Leakage-safe K-fold assignment ([[graft.dedup.Clusters
+    * .leakageSafeFolds]]): `so14_leakage_safe_split`'s
+    * cross-validation twin — every near-dup cluster lands wholly in
+    * one of 5 folds via the cluster id's md5 folded mod k, so no
+    * fold's held-out set shares a near-dup with any training fold.
+    * Same shared minhash pair stage; oracle replays the closure and
+    * the '0x' hex fold arithmetic.
+    */
+  private val so15LeakageFolds = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = sharedStage(s, "minhash_pairs", dir)(
+        Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8))
+      graft.dedup.Clusters.leakageSafeFolds(docs, "doc_id", k = 5, pairs)
+        .select(col("id").as("doc_id"), col("component"), col("fold"))
+    },
+    Some("WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8), e AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2 AS s, id1 AS d FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.id), lab AS (SELECT id AS doc_id, min(lbl) AS component FROM walk GROUP BY id) " +
+      "SELECT doc_id, component, CAST(CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS INT) AS fold FROM lab"))
+
   /** Near-dup curation E2E composite — the pipeline a real corpus
     * curator actually runs, executed as ONE entry: MinHash-LSH candidate
     * pairs → connected components → keep one canonical doc (min id) per
@@ -6564,6 +6583,7 @@ object SparkEntry {
     "dedup_simhash_near" -> dedupSimhashNear,
     "dedup_clusters" -> dedupClusters,
     "so14_leakage_safe_split" -> so14LeakageSafeSplit,
+    "so15_leakage_folds" -> so15LeakageFolds,
     "dedup_cluster_size_hist" -> dedupClusterSizeHist,
     "corpus_neardup_curation" -> corpusNeardupCuration,
     "dedup_contamination" -> dedupContamination,

@@ -119,4 +119,28 @@ object Clusters {
       when(d <= "b", "train").when(d <= "d", "val")
         .otherwise("test").as("split"))
   }
+
+  /** Leakage-safe K-fold assignment — [[leakageSafeSplit]]'s
+    * cross-validation twin: every near-duplicate CLUSTER (not every
+    * document) lands wholly in one of `k` folds, so no fold's
+    * held-out set shares a near-dup with any training fold — the
+    * leak that makes CV scores lie. Fold = the cluster id's md5
+    * folded mod k (first 8 hex digits, the deterministic-coin
+    * convention), so membership is stable across runs and across
+    * cluster-membership-preserving re-partitions.
+    *
+    * Scale shape: the component iteration (edge-bounded pointer
+    * doubling) plus one projection; nothing beyond
+    * [[connectedComponents]]'s own shuffles.
+    */
+  def leakageSafeFolds(docs: DataFrame, idCol: String, k: Int,
+      pairs: DataFrame, src: String = "id1", dst: String = "id2")
+      : DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val comps = connectedComponents(pairs, src, dst,
+      nodes = Some(docs.select(col(idCol))), idCol = idCol)
+    comps.select(col("id"), col("component"),
+      pmod(conv(substring(md5(col("component").cast("string")), 1, 8),
+        16, 10).cast("long"), lit(k.toLong)).cast("int").as("fold"))
+  }
 }

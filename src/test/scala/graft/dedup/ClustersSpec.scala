@@ -65,4 +65,23 @@ class ClustersSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("leakageSafeFolds: clusters land whole in one of k folds via " +
+      "the md5-mod rule; every doc appears; folds stay in range") {
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val out = Clusters.leakageSafeFolds(docs, "doc_id", k = 3, edges)
+      .as[(Long, Long, Int)].collect()
+    assert(out.length == 7)
+    assert(out.forall(r => r._3 >= 0 && r._3 < 3))
+    val byComp = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byComp.values.forall(_.size == 1))
+    def want(c: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(h, 16) % 3).toInt
+    }
+    out.foreach { case (_, c, f) => assert(f == want(c), s"component $c") }
+  }
 }
