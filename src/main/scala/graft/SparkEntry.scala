@@ -2297,6 +2297,26 @@ object SparkEntry {
     Some("WITH RECURSIVE t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word, generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS ord FROM documents), sh0 AS (SELECT doc_id, word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) || ' ' || lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS sh FROM t), sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8), e AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2 AS s, id1 AS d FROM pairs), walk(id, lbl) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.id), lab AS (SELECT id AS doc_id, min(lbl) AS component FROM walk GROUP BY id) " +
       "SELECT doc_id, component, CAST(CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS INT) AS fold FROM lab"))
 
+  /** Avro object-container round-trip ([[graft.sources
+    * .AvroContainers]]): the documents projection written as 4
+    * null-codec Avro containers (hash-routed + sorted by key — layout
+    * a pure function of data) and read back through the binaryFile
+    * walk with driver-side schema discovery from one header. The
+    * distribution ships Avro core but not spark-avro; the
+    * ZipSource/TarShards discipline says a missing connector is a
+    * reason to write one. Identity oracle.
+    */
+  private val s19AvroRoundtrip = Q(
+    (s, dir) => {
+      val tmp = scratchPath("graft_s19").toString
+      graft.sources.AvroContainers.write(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("text")),
+        tmp, "doc_id", numFiles = 4)
+      graft.sources.AvroContainers.read(s, tmp)
+    },
+    Some("SELECT doc_id, lang, n_chars, text FROM documents"))
+
   /** Near-dup curation E2E composite — the pipeline a real corpus
     * curator actually runs, executed as ONE entry: MinHash-LSH candidate
     * pairs → connected components → keep one canonical doc (min id) per
@@ -6429,6 +6449,7 @@ object SparkEntry {
     "s14_tar_shards" -> s14TarShards,
     "s16_warc" -> s16Warc,
     "s17_manifest_check" -> s17ManifestCheck,
+    "s19_avro_roundtrip" -> s19AvroRoundtrip,
     "s12_per_record_sink" -> s12PerRecordSink,
     "bm_incremental" -> bmIncremental,
     "inc_agg_merge" -> incAggMerge,
