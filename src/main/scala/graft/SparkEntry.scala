@@ -3451,6 +3451,38 @@ object SparkEntry {
       "SELECT doc_id, n_words, n_sentences, n_syllables, " +
       "CASE WHEN n_words > 0 THEN round(206.835 - 1.015 * n_words / n_sentences - 84.6 * n_syllables / n_words, 4) END AS flesch FROM c"))
 
+  /** Sitemap parsing ([[graft.text.Sitemap.entries]]): per-source
+    * synthesized `<urlset>` documents (one `<url>` per doc with
+    * loc/lastmod/priority from doc_id arithmetic) parsed through the
+    * doctype-disallowing SAX walk — robots.txt's companion politeness
+    * file, the frontier-seeding half of the crawl loop. The oracle
+    * re-derives every entry from the generator arithmetic; index
+    * documents and malformed XML are MultimodalSpec-style spec
+    * territory.
+    */
+  private val webSitemapParse = Q(
+    (s, dir) => {
+      val sm = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          concat(lit("<url><loc>http://"), col("source"),
+            lit(".example.com/doc/"), col("doc_id"),
+            lit("</loc><lastmod>2024-01-"),
+            lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            lit("</lastmod><priority>0."),
+            (col("doc_id") % 10).cast("string"),
+            lit("</priority></url>")).as("e"))
+        .groupBy(col("source"))
+        .agg(concat(lit("<urlset>"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("doc_id"), col("e")))),
+            x => x("e")), ""),
+          lit("</urlset>")).as("xml"))
+      graft.text.Sitemap.entries(sm, "source", "xml")
+    },
+    Some("SELECT source, 'url' AS kind, 'http://' || source || '.example.com/doc/' || doc_id AS loc, " +
+      "'2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod, " +
+      "CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) AS priority FROM documents"))
+
   /** License-header detection ([[TextAnalysis.licenseDetect]]): the
     * legal gate over a fixture with PLANTED headers — doc_id % 7
     * routes each document to one of the four license families (or
@@ -6651,6 +6683,7 @@ object SparkEntry {
     "corpus_crawl_pagerank" -> corpusCrawlPagerank,
     "text_quality_model" -> textQualityModel,
     "web_robots_filter" -> webRobotsFilter,
+    "web_sitemap_parse" -> webSitemapParse,
     "chat_template_render" -> chatTemplateRender,
     "chat_alternation_audit" -> chatAlternationAudit,
     "sft_render_gated" -> sftRenderGated,
