@@ -946,4 +946,35 @@ object PropertySpec extends Properties("graft") {
         }
         allNodes && pathsOk
     }
+
+  property("weightedSample is actually WEIGHTED: across many seeds a " +
+      "10x-weight row is drawn far more often than a 1x row, and every " +
+      "draw is a valid exact-k sample") = {
+    import org.apache.spark.sql.functions.col
+    // 20 rows; row 1 carries weight 1000, rows 2..20 weight 100. ES
+    // inclusion probability for k=5 strongly favors row 1; with 40
+    // seeds the heavy row should appear in nearly all draws and far
+    // more often than any light row (a deterministic check: the seeds
+    // are fixed strings, so this is replayable, not flaky).
+    val rows = (1L to 20L).map(i => (i, if (i == 1L) 1000L else 100L))
+    val df = {
+      val s = spark
+      import s.implicits._
+      rows.toDF("id", "w")
+    }
+    val draws = (1 to 40).map { s =>
+      graft.operators.Mixture.weightedSample(df, "id", "w", k = 5,
+          seed = s"seed$s")
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+    }
+    val okShape = draws.forall(d => d.size == 5 &&
+      d.subsetOf(rows.map(_._1).toSet))
+    val heavyHits = draws.count(_.contains(1L))
+    val lightHits = (2L to 20L).map(i => draws.count(_.contains(i)))
+    // E[heavy] ≈ 40·0.95+, E[light] ≈ 40·0.21 — a wide margin
+    Prop(okShape) :| "every draw is a 5-subset" &&
+      Prop(heavyHits >= 30) :| s"heavy row drawn $heavyHits/40" &&
+      Prop(lightHits.max <= heavyHits - 5) :|
+        s"max light ${lightHits.max} vs heavy $heavyHits"
+  }
 }
