@@ -3388,6 +3388,21 @@ object SparkEntry {
     },
     Some("SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val' ELSE 'test' END AS split FROM documents"))
 
+  /** Exact-quota stratified split ([[graft.operators.Mixture
+    * .stratifiedExactSplit]]): 80/10/10 per LANGUAGE with exact
+    * per-stratum ceilings — the guarantee `so6_hash_split`'s
+    * md5-threshold routing only approximates (binomial drift on small
+    * strata). Oracle replays the seeded rank and both cumulative
+    * boundaries.
+    */
+  private val so16StratifiedSplit = Q(
+    (s, dir) => graft.operators.Mixture.stratifiedExactSplit(
+      t(s, dir, "documents"), "doc_id", "lang",
+      fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      seed = "sp1"),
+    Some("WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || ':sp1'), doc_id) AS rk, count(*) OVER (PARTITION BY lang) AS n FROM documents) " +
+      "SELECT doc_id, lang, CASE WHEN rk <= ceil(round(0.8 * n, 9)) THEN 'train' WHEN rk <= ceil(round(0.9 * n, 9)) THEN 'val' ELSE 'test' END AS split FROM r"))
+
   /** Overlapping chunking ([[TextAnalysis.chunks]]): 40-token windows
     * with 10-token overlap, exploded to the (doc, chunk_idx, chunk)
     * child-table shape — the RAG-ingestion / long-document splitter.
@@ -6637,6 +6652,7 @@ object SparkEntry {
     "dedup_clusters" -> dedupClusters,
     "so14_leakage_safe_split" -> so14LeakageSafeSplit,
     "so15_leakage_folds" -> so15LeakageFolds,
+    "so16_stratified_split" -> so16StratifiedSplit,
     "dedup_cluster_size_hist" -> dedupClusterSizeHist,
     "corpus_neardup_curation" -> corpusNeardupCuration,
     "dedup_contamination" -> dedupContamination,

@@ -274,6 +274,48 @@ object Mixture {
     * that form keeps the exponential key whose VALUES are the
     * Poisson-process arrival times priority sampling reports.
     */
+  /** Exact-quota stratified split — the guarantee hash splits can't
+    * give: `so6`-style md5-threshold routing only APPROXIMATES its
+    * proportions (a 20-row stratum under a 10% val threshold holds
+    * 0–5 val rows, binomially), while evaluation design usually needs
+    * "exactly ⌈10%⌉ of EVERY language in val". Rows rank within their
+    * stratum by seeded md5 (the deterministic-shuffle convention) and
+    * the split boundaries are per-stratum ceilings of the cumulative
+    * fractions: train gets rows 1..⌈f₁n⌉, val ⌈f₁n⌉+1..⌈(f₁+f₂)n⌉,
+    * test the rest — every stratum splits to the exact rounded quota,
+    * independent of corpus layout.
+    *
+    * Scale shape: one rank window PARTITIONED by the stratum (never
+    * global) over a (stratum, count) broadcast — the curriculum/shard
+    * shape; nothing wider than (id, stratum, rank) shuffles.
+    */
+  def stratifiedExactSplit(df: DataFrame, idCol: String,
+      stratumCol: String, fractions: Seq[(String, Double)],
+      seed: String): DataFrame = {
+    require(fractions.size >= 2, "need at least two split labels")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    require(fractions.forall(_._2 > 0), "every fraction must be > 0")
+    val ranked = df.select(col(idCol), col(stratumCol))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(stratumCol))
+          .orderBy(md5(concat(col(idCol).cast("string"), lit(":"),
+            lit(seed))), col(idCol))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(stratumCol))))
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val label = fractions.map(_._1).zip(cum)
+      .foldLeft(lit(null).cast("string")) { case (acc, (name, c)) =>
+        when(acc.isNotNull, acc)
+          // round-9 before ceil: 0.8·20 is 16.000000000000004 in IEEE
+          // and must mean 16, not 17
+          .otherwise(when(
+            col("__rk") <= ceil(round(lit(c) * col("__n"), 9)),
+            lit(name)))
+      }
+    ranked.select(col(idCol), col(stratumCol), label.as("split"))
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

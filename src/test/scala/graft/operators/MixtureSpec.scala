@@ -204,6 +204,32 @@ class MixtureSpec extends SparkSpec {
     assert(out(("de", 1L)) == 1 && out(("de", 2L)) == 2)
   }
 
+  test("stratifiedExactSplit: every stratum splits to the exact " +
+      "ceiling quotas regardless of layout; labels exhaust; the IEEE " +
+      "0.8*n boundary rounds down, not up") {
+    // strata of 20, 3, and 1 rows
+    val rows = ((1L to 20L).map(i => (i, "en")) ++
+      (21L to 23L).map(i => (i, "de")) :+ ((24L, "fr"))).toDF("id", "g")
+    val out = Mixture.stratifiedExactSplit(rows.repartition(7), "id", "g",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s")
+      .as[(Long, String, String)].collect()
+    assert(out.length == 24 && out.forall(_._3 != null))
+    def quota(g: String) = out.filter(_._2 == g).groupBy(_._3)
+      .view.mapValues(_.length).toMap
+    // en: ceil(16)=16 train (0.8*20 must NOT become 17), ceil(18)-16=2
+    // val, 2 test
+    assert(quota("en") == Map("train" -> 16, "val" -> 2, "test" -> 2))
+    // de(3): ceil(2.4)=3 train -> val/test empty
+    assert(quota("de") == Map("train" -> 3))
+    // fr(1): ceil(0.8)=1 train
+    assert(quota("fr") == Map("train" -> 1))
+    // determinism across layouts
+    val again = Mixture.stratifiedExactSplit(rows.coalesce(1), "id", "g",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s")
+      .as[(Long, String, String)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("weightedSample: ES key arithmetic, deterministic across runs " +
       "and partitionings, nonpositive weights excluded, contiguous rk") {
     val rows = (1L to 50L).map(i => (i, if (i % 10 == 0) 0L else i * 7))
