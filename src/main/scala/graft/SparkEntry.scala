@@ -4666,6 +4666,34 @@ object SparkEntry {
       "r2 AS (SELECT d.i, COALESCE(wi.wtot, 0) / d.den AS r FROM (SELECT nn.i, sum(nn.n / (ri.r + rj.r)) AS den FROM nn JOIN r1 ri ON ri.i = nn.i JOIN r1 rj ON rj.i = nn.j GROUP BY nn.i) d LEFT JOIN wi ON wi.i = d.i) " +
       "SELECT i AS player, round(r, 6) AS rating FROM r2"))
 
+  /** Pairwise win-rate matrix ([[graft.operators.Rating.winMatrix]]):
+    * the raw head-to-head table beside the BT leaderboard — per
+    * matchup, games, empirical rate, Wilson 95% interval, and the
+    * straddles-0.5 "unresolved" flag an active-sampling loop feeds
+    * on. Oracle replays the pair derivation, the matchup fold, and
+    * the Wilson arithmetic.
+    */
+  private val prefWinMatrix = Q(
+    (s, dir) => graft.operators.Rating.winMatrix(
+      graft.text.Pref.preferencePairs(
+        t(s, dir, "documents").where(pmod(col("doc_id"), lit(29)) =!= 0)
+          .select(floor(col("doc_id") / 4).cast("long").as("prompt"),
+            pmod(col("doc_id"), lit(4)).as("rid"), col("text"),
+            length(col("text")).as("sc")),
+        "prompt", "rid", "text", "sc", minMargin = 3.0)
+        .select(col("chosen_id"), col("rejected_id")),
+      "chosen_id", "rejected_id"),
+    Some("WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS resp_id, text AS t, CAST(length(text) AS DOUBLE) AS sc FROM documents WHERE doc_id % 29 <> 0), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY prompt_id ORDER BY sc DESC, resp_id DESC) AS ra, row_number() OVER (PARTITION BY prompt_id ORDER BY sc ASC, resp_id ASC) AS rb, count(*) OVER (PARTITION BY prompt_id) AS n FROM r), " +
+      "ch AS (SELECT prompt_id, resp_id AS w, t AS ct, sc AS cs, n FROM rk WHERE ra = 1), " +
+      "rj AS (SELECT prompt_id, resp_id AS l, t AS rt, sc AS rs FROM rk WHERE rb = 1), " +
+      "pw AS (SELECT w, l FROM ch JOIN rj USING (prompt_id) WHERE n >= 2 AND cs - rs >= 3.0 AND ct <> rt), " +
+      "g AS (SELECT w, l, count(*) AS c FROM pw GROUP BY 1, 2), " +
+      "mm AS (SELECT least(w, l) AS i, greatest(w, l) AS j, CAST(sum(CASE WHEN w < l THEN c ELSE 0 END) AS BIGINT) AS wins_i, CAST(sum(c) AS BIGINT) AS n_games FROM g GROUP BY 1, 2), " +
+      "wa AS (SELECT *, CAST(n_games AS DOUBLE) AS nd, wins_i / CAST(n_games AS DOUBLE) AS p FROM mm), " +
+      "wb AS (SELECT i, j, n_games, wins_i, p, (p + (1.96 * 1.96) / (2.0 * nd)) / (1.0 + (1.96 * 1.96) / nd) AS ctr, 1.96 * sqrt(p * (1.0 - p) / nd + (1.96 * 1.96) / (4.0 * nd * nd)) / (1.0 + (1.96 * 1.96) / nd) AS hf FROM wa) " +
+      "SELECT i, j, n_games, wins_i, round(p, 4) AS p_emp, round(ctr - hf, 4) AS wilson_lo, round(ctr + hf, 4) AS wilson_hi, round(ctr - hf, 4) <= 0.5 AND round(ctr + hf, 4) >= 0.5 AS unresolved FROM wb"))
+
   /** Bradley–Terry calibration ([[graft.operators.Rating
     * .btCalibration]]) over the same pair fixture: matchups bucketed
     * by the model's predicted win probability (from the PUBLISHED
@@ -6710,6 +6738,7 @@ object SparkEntry {
     "pref_best_of_n" -> prefBestOfN,
     "pref_bradley_terry" -> prefBradleyTerry,
     "pref_bt_calibration" -> prefBtCalibration,
+    "pref_win_matrix" -> prefWinMatrix,
     "pref_majority_vote" -> prefMajorityVote,
     "pref_fleiss_kappa" -> prefFleissKappa,
     "pref_length_bias" -> prefLengthBias,

@@ -66,6 +66,47 @@ object Rating {
     r.select(col("i").as("player"), round(col("r"), 6).as("rating"))
   }
 
+  /** Pairwise win-rate matrix with Wilson 95% intervals — the raw
+    * head-to-head table published beside the BT leaderboard: per
+    * unordered matchup (i, j), the game count, i's empirical win rate,
+    * and the Wilson score interval (the binomial CI that stays sane at
+    * small n and extreme rates, unlike the Wald interval every
+    * spreadsheet reaches for — at n=3, p=1 Wald says [1, 1], Wilson
+    * honestly says [0.44, 1]). An interval straddling 0.5 means the
+    * matchup is UNRESOLVED at this sample size — the "collect more
+    * comparisons here" signal an active-sampling loop feeds on.
+    *
+    * Scale shape: one game-matrix aggregate (shared shape with
+    * [[bradleyTerry]]) then pure per-row arithmetic — no joins at all.
+    */
+  def winMatrix(pairs: DataFrame, winner: String, loser: String,
+      z: Double = 1.96): DataFrame = {
+    val g = pairs
+      .groupBy(col(winner).as("w"), col(loser).as("l"))
+      .agg(count(lit(1)).as("c"))
+    val m = g
+      .select(least(col("w"), col("l")).as("i"),
+        greatest(col("w"), col("l")).as("j"),
+        when(col("w") < col("l"), col("c")).otherwise(lit(0L))
+          .as("wins_i"),
+        col("c").as("n"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("wins_i")).as("wins_i"), sum(col("n")).as("n_games"))
+    val n = col("n_games").cast("double")
+    val p = col("wins_i") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n)) / denom
+    m.select(col("i"), col("j"), col("n_games"), col("wins_i"),
+      round(p, 4).as("p_emp"),
+      round(center - half, 4).as("wilson_lo"),
+      round(center + half, 4).as("wilson_hi"),
+      (round(center - half, 4) <= 0.5 && round(center + half, 4) >= 0.5)
+        .as("unresolved"))
+  }
+
   /** Bradley–Terry calibration — the goodness-of-fit check that makes
     * the ratings trustworthy: per UNORDERED matchup (i, j) the model
     * predicts P(i beats j) = rᵢ/(rᵢ+rⱼ); bucketing matchups by that

@@ -733,5 +733,18 @@ class PlanAuditSpec extends SparkSpec {
     val tr = plan("graph_triangles")
     assert(!tr.contains("CartesianProduct"), tr)
     assert(globalWindowLines(tr).isEmpty, tr)
+    // exact-quota split: the rank window partitions by the stratum
+    val ss = plan("so16_stratified_split")
+    assert(globalWindowLines(ss).isEmpty && !ss.contains("CartesianProduct"),
+      ss)
+    // sitemap: domain-sized flatMap — no join, no window, no cartesian
+    val sm = plan("web_sitemap_parse")
+    assert(!sm.contains("CartesianProduct") &&
+      globalWindowLines(sm).isEmpty, sm)
+    // win matrix: one keyed game aggregate then pure arithmetic —
+    // zero joins in the whole plan
+    val wm = plan("pref_win_matrix")
+    assert(!wm.contains("Join"), wm)
+    assert(wm.contains("HashAggregate"), wm)
   }
 }

@@ -44,6 +44,31 @@ class RatingSpec extends SparkSpec {
     assert(r(1L) == 1.5 && r(2L) == 0.5)
   }
 
+  test("winMatrix: hand-computed Wilson interval, the small-n honesty " +
+      "(p=1 never reads [1,1]), and the unresolved straddle flag") {
+    // matchup (1,2): 1 wins 3, loses 1 -> p = 0.75
+    val pairs = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L),
+      (3L, 4L), (3L, 4L), (3L, 4L)) // (3,4): 3-0
+      .toDF("w", "l")
+    val out = Rating.winMatrix(pairs, "w", "l")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val m12 = out((1L, 2L))
+    assert((m12._3, m12._4, m12._5) == ((4L, 3L, 0.75)))
+    // Wilson at n=4, p=.75, z=1.96
+    val (n, p, z2) = (4.0, 0.75, 1.96 * 1.96)
+    val ctr = (p + z2 / (2 * n)) / (1 + z2 / n)
+    val hf = 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) /
+      (1 + z2 / n)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m12._6 == r4(ctr - hf) && m12._7 == r4(ctr + hf))
+    assert(m12._8) // interval straddles 0.5: unresolved at n=4
+    // the 3-0 sweep: p_emp 1 but the Wilson upper-only honesty holds
+    val m34 = out((3L, 4L))
+    assert(m34._5 == 1.0 && m34._6 < 1.0 && m34._7 == 1.0)
+  }
+
   test("btCalibration: predicted buckets from published ratings, " +
       "game-weighted means, empirical fractions from the lower player") {
     // one matchup after iters=1: r = (1.5, 0.5); p(1 beats 2) = 0.75,
