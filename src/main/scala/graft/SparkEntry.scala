@@ -2487,6 +2487,48 @@ object SparkEntry {
       "w AS (SELECT event_type, round(exp(-0.1 * date_diff('day', d, maxd)), 9) AS w FROM e CROSS JOIN mx) " +
       "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, round(sum(w), 4) AS decayed_count FROM w GROUP BY 1"))
 
+  /** EWMA spike detection over daily event volumes — the
+    * ops-analytics anomaly monitor beside `an8`'s decayed totals: per
+    * (event_type, day), today's count against the exponentially
+    * weighted mean of all PRIOR days, flagged when it exceeds the
+    * spike factor (1.2 here, sized so the fixture's natural daily
+    * variation exercises BOTH flag branches; a production monitor
+    * would run 2–3×). The
+    * decayed-mean window uses the a^(t−s) = a^t·a^(−s) decomposition —
+    * a^t cancels in the ratio, so two plain prior-row window sums
+    * (x·a^(−s) and a^(−s)) give the exact EWMA with no recursion and
+    * no per-row pow chain; the pow ULP washes out at the 4-decimal
+    * hand-off. First day per type reports null/false (no prior).
+    * Day-typed windows are per-type partitioned — never global.
+    */
+  private val an10EwmaSpikes = Q(
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val mind = daily.agg(min(col("d")).as("mind"))
+      val idx = daily.crossJoin(broadcast(mind))
+        .withColumn("__i", datediff(col("d"), col("mind")))
+        .withColumn("__ia", pow(lit(1.0 / 0.7), col("__i")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("__i"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      idx
+        .withColumn("__num", sum(col("n") * col("__ia")).over(w))
+        .withColumn("__den", sum(col("__ia")).over(w))
+        .select(col("event_type"), col("d"), col("n").cast("long").as("n"),
+          round(col("__num") / col("__den"), 4).as("ewma_prev"),
+          coalesce(col("n") >
+            lit(1.2) * round(col("__num") / col("__den"), 4),
+            lit(false)).as("spike"))
+    },
+    Some("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2), " +
+      "mn AS (SELECT min(d) AS mind FROM daily), " +
+      "ix AS (SELECT event_type, d, n, date_diff('day', mind, d) AS i, pow(1.0 / 0.7, date_diff('day', mind, d)) AS ia FROM daily CROSS JOIN mn), " +
+      "ws AS (SELECT event_type, d, n, sum(n * ia) OVER (PARTITION BY event_type ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS num, " +
+      "sum(ia) OVER (PARTITION BY event_type ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS den FROM ix) " +
+      "SELECT event_type, d, CAST(n AS BIGINT) AS n, round(num / den, 4) AS ewma_prev, COALESCE(n > 1.2 * round(num / den, 4), false) AS spike FROM ws"))
+
   private val an7RobustScale = Q(
     (s, dir) => graft.operators.Drift.robustScale(
       t(s, dir, "events").select(col("event_id"), col("event_type"),
@@ -6589,6 +6631,7 @@ object SparkEntry {
     "an5_outliers_mad" -> an5OutliersMad,
     "an7_robust_scale" -> an7RobustScale,
     "an8_decayed_counts" -> an8DecayedCounts,
+    "an10_ewma_spikes" -> an10EwmaSpikes,
     "an6_sessionize" -> an6Sessionize,
     "r1_relationalize" -> r1Relationalize,
     "r1_deep_relationalize" -> r1DeepRelationalize,
