@@ -3540,6 +3540,31 @@ object SparkEntry {
       "'2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod, " +
       "CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) AS priority FROM documents"))
 
+  /** Cross-document sentence dedup ([[TextAnalysis.dedupSentences]]):
+    * the CCNet granularity — corpus-wide first occurrence per
+    * sentence, tested over a fixture with PLANTED shared sentences
+    * (doc_id % 3 / % 5 residues append two template sentences, the
+    * syndication-footer shape) so cross-document removal genuinely
+    * engages beyond the corpus's natural whole-text duplicates. The
+    * oracle replays the split/trim/winner-window/rewrite chain.
+    */
+  private val textDedupSentences = Q(
+    (s, dir) => TextAnalysis.dedupSentences(
+      t(s, dir, "documents").select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(". all rights reserved"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(". subscribe to the feed"))
+          .otherwise(lit(""))).as("text")),
+      "doc_id", "text"),
+    Some("WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 THEN '. all rights reserved' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '. subscribe to the feed' ELSE '' END AS text FROM documents), " +
+      "sp AS (SELECT doc_id, string_split_regex(text, '[.!?]+') AS arr FROM aug), " +
+      "sent0 AS (SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, trim(unnest(arr)) AS st FROM sp), " +
+      "sent AS (SELECT * FROM sent0 WHERE st <> ''), " +
+      "win AS (SELECT doc_id, pos, st, row_number() OVER (PARTITION BY st ORDER BY doc_id, pos) AS r FROM sent) " +
+      "SELECT doc_id, COALESCE(string_agg(CASE WHEN r = 1 THEN st END, '. ' ORDER BY pos), '') AS text_deduped, " +
+      "CAST(count(*) FILTER (WHERE r = 1) AS BIGINT) AS n_kept, " +
+      "CAST(count(*) FILTER (WHERE r <> 1) AS BIGINT) AS n_removed FROM win GROUP BY doc_id"))
+
   /** License-header detection ([[TextAnalysis.licenseDetect]]): the
     * legal gate over a fixture with PLANTED headers — doc_id % 7
     * routes each document to one of the four license families (or
@@ -6666,6 +6691,7 @@ object SparkEntry {
     "text_readability" -> textReadability,
     "text_license_detect" -> textLicenseDetect,
     "text_dedup_lines" -> textDedupLines,
+    "text_dedup_sentences" -> textDedupSentences,
     "text_code_score" -> textCodeScore,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,

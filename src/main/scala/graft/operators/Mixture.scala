@@ -293,6 +293,8 @@ object Mixture {
       stratumCol: String, fractions: Seq[(String, Double)],
       seed: String): DataFrame = {
     require(fractions.size >= 2, "need at least two split labels")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"duplicate split labels: ${fractions.map(_._1)}")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
     require(fractions.forall(_._2 > 0), "every fraction must be > 0")

@@ -617,6 +617,50 @@ object TextAnalysis {
         (sum(col("c")) - count(lit(1))).as("n_removed"))
   }
 
+  /** CROSS-document sentence dedup — the CCNet granularity between
+    * [[dedupLines]] (intra-document) and [[stripBoilerplateLines]]
+    * (census-thresholded): every sentence that already appeared in a
+    * LOWER (doc, position) keeps only its first occurrence corpus-wide,
+    * so syndication chains, quote farms, and template paragraphs
+    * deflate while each sentence survives exactly once. Sentences are
+    * `[.!?]+`-terminated segments (the [[readability]] splitter);
+    * first occurrence is min (doc id, position) over the md5 sentence
+    * key — deterministic under any layout. Output per doc: the
+    * rewritten text (kept sentences in original order, '. '-joined),
+    * kept/removed counts; docs whose every sentence is seen elsewhere
+    * first emit an EMPTY rewrite (the drop signal), not no row.
+    *
+    * Scale shape: one (sentence-hash)-keyed aggregate picks winners
+    * (shuffle carries hashes + (id, pos) pairs, never text twice), a
+    * semi-join back tags keepers, and the rewrite is a doc-keyed fold —
+    * the dedupLines shape with the census made global.
+    */
+  def dedupSentences(docs: DataFrame, id: String, text: String)
+      : DataFrame = {
+    val sent = docs
+      .select(col(id), posexplode(split(col(text), "[.!?]+"))
+        .as(Seq("pos", "s")))
+      .withColumn("s", trim(col("s")))
+      .where(col("s") =!= "")
+      .withColumn("h", md5(col("s")))
+    val winners = sent
+      .groupBy(col("h"))
+      .agg(min(struct(col(id).as("wid"), col("pos").as("wpos")))
+        .as("w"))
+      .select(col("h"), col("w.wid").as("wid"), col("w.wpos").as("wpos"))
+    val tagged = sent.join(winners, "h")
+      .withColumn("keep",
+        col(id) === col("wid") && col("pos") === col("wpos"))
+    tagged.groupBy(col(id))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("pos"), col("s"))))),
+          x => x.getField("s")), ". ").as("text_deduped"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Per-language tokenizer fertility — the multilingual budget audit:
     * how many (whitespace and subword-proxy) tokens a language costs
     * per character decides the real mixture a token budget buys (a

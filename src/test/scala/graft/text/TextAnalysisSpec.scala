@@ -445,6 +445,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(intercept == math.rint(math.log(12.0) * 10000) / 10000)
   }
 
+  test("dedupSentences: corpus-wide first occurrence wins by (doc, " +
+      "pos); within-doc repeats dedup; an all-duplicate doc rewrites " +
+      "to empty, not to no row") {
+    val docs = Seq(
+      (1L, "The sky is blue. Water is wet."),
+      (2L, "Water is wet. Grass grows! Water is wet."),
+      (3L, "The sky is blue."))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSentences(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "The sky is blue. Water is wet", 2L, 0L)))
+    // doc 2: 'Water is wet' lost to doc 1 (and its own repeat too)
+    assert(out(2L) == ((2L, "Grass grows", 1L, 2L)))
+    // doc 3: everything seen first elsewhere -> empty rewrite
+    assert(out(3L) == ((3L, "", 0L, 1L)))
+  }
+
   test("licenseDetect: each family's normative phrase matches " +
       "case-insensitively; unlicensed and lookalike text stay null") {
     val docs = Seq(
