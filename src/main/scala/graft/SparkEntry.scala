@@ -5733,6 +5733,26 @@ object SparkEntry {
       minSim = 0.29),
     Some("WITH s AS (SELECT a.vec_id AS q_id, round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id), r AS (SELECT q_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC) AS rank FROM s) SELECT q_id AS vec_id, min(sim) AS kth_sim, min(sim) < 0.29 AS outlier FROM r WHERE rank <= 5 GROUP BY q_id"))
 
+  /** IVF-backed kNN outlier scoring ([[Ann.knnOutliersIvf]]): the SAME
+    * gate as `ann_knn_outliers` with the self-kNN scoring routed through
+    * [[Ann.ivfTopK]] over the label clusters (pivot centroids) with
+    * `broadcastProbes = false` — the corpus-scale plan: both join sides
+    * shuffle on the cluster key; nothing corpus-sized is broadcast. At
+    * nprobe = 10 = #labels every cluster is probed, so the result must
+    * EQUAL the brute oracle while the entry executes the probe-rank →
+    * cluster-shuffle-join → bounded reduction machinery (the
+    * `ann_bitext_mine_ivf` pattern); the conservative-gate containment
+    * at lower nprobe is AnnSpec's territory.
+    */
+  private val annKnnOutliersIvf = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.knnOutliersIvf(emb, "vec_id", "embedding", "label",
+        k = 5, minSim = 0.29, nprobe = 10,
+        cents = Some(Ann.pivotCentroids(emb, "label", "vec_id", "embedding")))
+    },
+    Some("WITH s AS (SELECT a.vec_id AS q_id, round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id), r AS (SELECT q_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC) AS rank FROM s) SELECT q_id AS vec_id, min(sim) AS kth_sim, min(sim) < 0.29 AS outlier FROM r WHERE rank <= 5 GROUP BY q_id"))
+
   /** Per-label embedding centroid drift ([[Ann.centroidDrift]]):
     * even/odd vec_id halves stand in for reference vs refreshed
     * corpora; per label the centroid cosine and L2 shift — the
@@ -6701,6 +6721,7 @@ object SparkEntry {
     "ann_topk" -> annTopK,
     "ann_topk_agg" -> annTopKAgg,
     "ann_knn_outliers" -> annKnnOutliers,
+    "ann_knn_outliers_ivf" -> annKnnOutliersIvf,
     "ann_bitext_mine" -> annBitextMine,
     "ann_bitext_mine_ivf" -> annBitextMineIvf,
     "ann_matryoshka_eval" -> annMatryoshkaEval,

@@ -128,15 +128,49 @@ object Ann {
     * Scale shape: the scoring is self-kNN — here the brute [[topKAgg]]
     * form (corpus broadcast as its own query side; the sort-free
     * bounded-buffer ranking), which is the verification baseline. Past
-    * broadcast size the same per-row reduction runs unchanged over
-    * [[ivfTopK]]'s cluster-pruned scored stream or [[signLshPairs]]
-    * candidates — kth_sim only ever needs each row's top-k.
+    * broadcast size use [[knnOutliersIvf]] — the SAME per-row reduction
+    * over the cluster-pruned, shuffle-joined scored stream; kth_sim only
+    * ever needs each row's top-k.
     */
   def knnOutliers(
       corpus: DataFrame, id: String, vec: String,
       k: Int, minSim: Double): DataFrame =
-    topKAgg(corpus, id, vec, corpus, id, vec, k)
-      .groupBy(col("q_id").as(id))
+    outlierReduce(topKAgg(corpus, id, vec, corpus, id, vec, k),
+      id, minSim)
+
+  /** [[knnOutliers]] with the scoring stage swapped for [[ivfTopK]] with
+    * the corpus as its own query set — the corpus-scale path: each row
+    * probes its `nprobe` nearest clusters and scores only those clusters'
+    * members, and because the query side IS the corpus the probe join
+    * runs `broadcastProbes = false` — both sides shuffle on the cluster
+    * key and NOTHING corpus-sized is ever broadcast (the brute
+    * [[knnOutliers]]' corpus×corpus NLJ dies exactly there at 100×).
+    *
+    * At nprobe = #clusters the pruned top-k equals the brute top-k (same
+    * rounding, same tie-breaks), so the entry stays oracle-exact against
+    * the brute oracle while executing the probe machinery. At lower
+    * nprobe the pruned kth_sim can only DROP (the pruned top-k draws
+    * from a subset of sims), so the gate is conservative: every brute
+    * outlier is still flagged, plus possibly strays whose density region
+    * sits in an unprobed cluster — the containment AnnSpec pins.
+    */
+  def knnOutliersIvf(
+      corpus: DataFrame, id: String, vec: String, cluster: String,
+      k: Int, minSim: Double, nprobe: Int,
+      cents: Option[DataFrame] = None): DataFrame =
+    outlierReduce(
+      ivfTopK(corpus, id, vec, cluster, corpus.select(col(id), col(vec)),
+        id, vec, k, nprobe, cents, broadcastProbes = false),
+      id, minSim)
+
+  /** The per-row reduction shared by the brute and IVF outlier paths:
+    * kth_sim = min sim inside the row's (≤k)-row top-k run, flagged
+    * against `minSim` on the already-4-rounded value so the decision
+    * reproduces from the report.
+    */
+  private def outlierReduce(
+      topk: DataFrame, id: String, minSim: Double): DataFrame =
+    topk.groupBy(col("q_id").as(id))
       .agg(min(col("sim")).as("kth_sim"))
       .select(col(id), col("kth_sim"),
         (col("kth_sim") < minSim).as("outlier"))
@@ -301,11 +335,20 @@ object Ann {
     * [[pivotCentroids]]); default is the elementwise mean. Probe ranking
     * rounds to 4 decimals with a cluster-id tiebreak, so a deterministic
     * centroid table makes the whole operator deterministic.
+    *
+    * `broadcastProbes` picks the probed-queries-to-corpus join strategy:
+    * true (default) broadcasts the nprobe-expanded query set — right when
+    * queries ≪ corpus (the serving shape). Set false when the query set IS
+    * corpus-sized (self-kNN — [[knnOutliersIvf]]): both sides then shuffle
+    * on the cluster key and the per-cluster join is bounded by cluster
+    * size × nprobe fan-in, never a corpus broadcast. Results are identical
+    * either way — it is purely a physical-plan hint.
     */
   def ivfTopK(
       corpus: DataFrame, id: String, vec: String, cluster: String,
       queries: DataFrame, qId: String, qVec: String,
-      k: Int, nprobe: Int, cents: Option[DataFrame] = None): DataFrame = {
+      k: Int, nprobe: Int, cents: Option[DataFrame] = None,
+      broadcastProbes: Boolean = true): DataFrame = {
     val centTable = cents.getOrElse(centroids(corpus, cluster, vec))
       .select(col(cluster), toDouble(col("centroid")).as("centroid"))
       .withColumn("__cn", sqrt(dotD(col("centroid"), col("centroid"))))
@@ -322,7 +365,7 @@ object Ann {
       .orderBy(col("sim").desc, col(id).asc)
     widen(corpus.select(col(id), col(cluster), toDouble(col(vec)).as("__v")))
       .withColumn("__n", sqrt(dotD(col("__v"), col("__v"))))
-      .join(broadcast(probed), Seq(cluster))
+      .join(if (broadcastProbes) broadcast(probed) else probed, Seq(cluster))
       .where(col("q_id") =!= col(id))
       .withColumn("sim",
         round(dotD(col("q_vec"), col("__v")) / (col("__qn") * col("__n")), 4))

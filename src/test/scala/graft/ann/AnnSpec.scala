@@ -537,4 +537,33 @@ class AnnSpec extends SparkSpec {
       "embedding", k = 5, minSim = 0.5).collect()
     assert(short.length == 2 && short.forall(!_.getBoolean(2)))
   }
+
+  test("knnOutliersIvf: probe-all equals brute; pruning only drops " +
+      "kth_sim, so the pruned outlier set contains the brute set") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getBoolean(2))).toMap
+    val brute = rows(Ann.knnOutliers(corpus, "vec_id", "embedding",
+      k = 2, minSim = 0.5))
+    // probe-all (3 clusters): exact equality with the brute gate —
+    // what keeps the entry oracle-exact while executing the probe plan
+    val all = rows(Ann.knnOutliersIvf(corpus, "vec_id", "embedding",
+      "label", k = 2, minSim = 0.5, nprobe = 3))
+    assert(all == brute)
+    // nprobe=1: each row sees only its own best cluster, so its pruned
+    // top-k draws from a sim subset -> kth_sim can only drop and every
+    // brute outlier stays flagged (the conservative-gate containment)
+    val pruned = rows(Ann.knnOutliersIvf(corpus, "vec_id", "embedding",
+      "label", k = 2, minSim = 0.5, nprobe = 1))
+    assert(pruned.keySet == brute.keySet)
+    brute.foreach { case (id, (kth, flag)) =>
+      assert(pruned(id)._1 <= kth)
+      if (flag) assert(pruned(id)._2)
+    }
+    // pivot centroids keep the probe deterministic end-to-end
+    val pivots = Ann.pivotCentroids(corpus, "label", "vec_id", "embedding")
+    val again = rows(Ann.knnOutliersIvf(corpus, "vec_id", "embedding",
+      "label", k = 2, minSim = 0.5, nprobe = 3, cents = Some(pivots)))
+    assert(again == brute)
+  }
 }
