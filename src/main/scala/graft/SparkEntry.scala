@@ -5742,13 +5742,18 @@ object SparkEntry {
     * EQUAL the brute oracle while the entry executes the probe-rank →
     * cluster-shuffle-join → bounded reduction machinery (the
     * `ann_bitext_mine_ivf` pattern); the conservative-gate containment
-    * at lower nprobe is AnnSpec's territory.
+    * at lower nprobe is AnnSpec's territory. nprobe is DERIVED as the
+    * label count (one scalar aggregate — a group-count-sized driver
+    * action), not hard-coded, so the probe-all precondition the brute
+    * oracle depends on survives a fixture regeneration with more labels.
     */
   private val annKnnOutliersIvf = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val nClusters =
+        emb.agg(countDistinct(col("label"))).head.getLong(0).toInt
       Ann.knnOutliersIvf(emb, "vec_id", "embedding", "label",
-        k = 5, minSim = 0.29, nprobe = 10,
+        k = 5, minSim = 0.29, nprobe = nClusters,
         cents = Some(Ann.pivotCentroids(emb, "label", "vec_id", "embedding")))
     },
     Some("WITH s AS (SELECT a.vec_id AS q_id, round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id), r AS (SELECT q_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC) AS rank FROM s) SELECT q_id AS vec_id, min(sim) AS kth_sim, min(sim) < 0.29 AS outlier FROM r WHERE rank <= 5 GROUP BY q_id"))

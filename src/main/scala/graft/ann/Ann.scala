@@ -128,9 +128,10 @@ object Ann {
     * Scale shape: the scoring is self-kNN — here the brute [[topKAgg]]
     * form (corpus broadcast as its own query side; the sort-free
     * bounded-buffer ranking), which is the verification baseline. Past
-    * broadcast size use [[knnOutliersIvf]] — the SAME per-row reduction
-    * over the cluster-pruned, shuffle-joined scored stream; kth_sim only
-    * ever needs each row's top-k.
+    * broadcast size use [[knnOutliersIvf]] — the same kth_sim reduction
+    * over the cluster-pruned, shuffle-joined scored stream, plus a
+    * survivor count so the gate stays conservative under pruning;
+    * kth_sim only ever needs each row's top-k.
     */
   def knnOutliers(
       corpus: DataFrame, id: String, vec: String,
@@ -146,27 +147,56 @@ object Ann {
     * key and NOTHING corpus-sized is ever broadcast (the brute
     * [[knnOutliers]]' corpus×corpus NLJ dies exactly there at 100×).
     *
-    * At nprobe = #clusters the pruned top-k equals the brute top-k (same
-    * rounding, same tie-breaks), so the entry stays oracle-exact against
-    * the brute oracle while executing the probe machinery. At lower
-    * nprobe the pruned kth_sim can only DROP (the pruned top-k draws
-    * from a subset of sims), so the gate is conservative: every brute
-    * outlier is still flagged, plus possibly strays whose density region
-    * sits in an unprobed cluster — the containment AnnSpec pins.
+    * At nprobe = #clusters (and a corpus with more than k rows) the
+    * pruned top-k equals the brute top-k (same rounding, same
+    * tie-breaks), so the entry stays oracle-exact against the brute
+    * oracle while executing the probe machinery.
+    *
+    * At lower nprobe the gate stays CONSERVATIVE (every brute outlier
+    * is still flagged) — but NOT because kth_sim is monotone under
+    * pruning. The k-th-best statistic only shrinks under subsetting
+    * while ≥ k candidates survive; a row whose probed clusters hold
+    * FEWER than k other members takes its min over fewer, higher sims,
+    * so its kth_sim can RISE above the brute value. The gate therefore
+    * flags on EITHER signal: `kth_sim < minSim` (dense evidence of
+    * isolation) OR `n_found < k` (the probed region itself is too
+    * sparse to even produce k neighbors — which at serving scale is the
+    * stray-in-an-empty-cluster signature). Rows whose probed clusters
+    * contain NO other member still appear in the output (left join
+    * against the corpus ids) with `kth_sim = null, outlier = true` —
+    * the most-isolated row must not vanish from an isolation report.
+    * Containment proof: brute outlier ⇒ brute kth_sim < minSim; if the
+    * pruned run has ≥ k candidates they are a subset of the brute sims
+    * so pruned kth_sim ≤ brute kth_sim < minSim ⇒ flagged; if < k,
+    * flagged by the count rule. AnnSpec pins both branches.
+    *
+    * The sparse-run rule intentionally DIFFERS from brute
+    * [[knnOutliers]] (where rows with fewer than k neighbors keep their
+    * last available rank un-flagged): under brute scoring every row
+    * sees the whole corpus, so a short run just means the corpus is
+    * small — not that the row sits in a sparse region.
     */
   def knnOutliersIvf(
       corpus: DataFrame, id: String, vec: String, cluster: String,
       k: Int, minSim: Double, nprobe: Int,
-      cents: Option[DataFrame] = None): DataFrame =
-    outlierReduce(
-      ivfTopK(corpus, id, vec, cluster, corpus.select(col(id), col(vec)),
-        id, vec, k, nprobe, cents, broadcastProbes = false),
-      id, minSim)
+      cents: Option[DataFrame] = None): DataFrame = {
+    val scored = ivfTopK(corpus, id, vec, cluster,
+      corpus.select(col(id), col(vec)), id, vec, k, nprobe, cents,
+      broadcastProbes = false)
+    val reduced = scored.groupBy(col("q_id"))
+      .agg(min(col("sim")).as("kth_sim"), count(lit(1)).as("__n_found"))
+    corpus.select(col(id))
+      .join(reduced, col(id) === col("q_id"), "left")
+      .select(col(id), col("kth_sim"),
+        (coalesce(col("__n_found"), lit(0L)) < k ||
+          col("kth_sim") < minSim).as("outlier"))
+  }
 
-  /** The per-row reduction shared by the brute and IVF outlier paths:
-    * kth_sim = min sim inside the row's (≤k)-row top-k run, flagged
-    * against `minSim` on the already-4-rounded value so the decision
-    * reproduces from the report.
+  /** The per-row reduction of the brute outlier path: kth_sim = min sim
+    * inside the row's (≤k)-row top-k run, flagged against `minSim` on
+    * the already-4-rounded value so the decision reproduces from the
+    * report. (The IVF path carries its own reduction — it must also
+    * count survivors; see [[knnOutliersIvf]].)
     */
   private def outlierReduce(
       topk: DataFrame, id: String, minSim: Double): DataFrame =

@@ -538,28 +538,54 @@ class AnnSpec extends SparkSpec {
     assert(short.length == 2 && short.forall(!_.getBoolean(2)))
   }
 
-  test("knnOutliersIvf: probe-all equals brute; pruning only drops " +
-      "kth_sim, so the pruned outlier set contains the brute set") {
+  test("knnOutliersIvf: probe-all equals brute; pruned gate contains the " +
+      "brute outlier set (short runs flag; empty runs emit null+true)") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) ->
-        (r.getDouble(1), r.getBoolean(2))).toMap
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+          r.getBoolean(2))).toMap
     val brute = rows(Ann.knnOutliers(corpus, "vec_id", "embedding",
       k = 2, minSim = 0.5))
-    // probe-all (3 clusters): exact equality with the brute gate —
-    // what keeps the entry oracle-exact while executing the probe plan
+    // probe-all (3 clusters, corpus > k rows): exact equality with the
+    // brute gate — what keeps the entry oracle-exact while executing
+    // the probe plan
     val all = rows(Ann.knnOutliersIvf(corpus, "vec_id", "embedding",
       "label", k = 2, minSim = 0.5, nprobe = 3))
     assert(all == brute)
-    // nprobe=1: each row sees only its own best cluster, so its pruned
-    // top-k draws from a sim subset -> kth_sim can only drop and every
-    // brute outlier stays flagged (the conservative-gate containment)
+    // nprobe=1: each row sees only its own best cluster. Clusters 1/2
+    // have TWO members, so their rows' pruned runs hold ONE candidate
+    // (< k=2): kth_sim is a min over fewer, higher sims and RISES above
+    // the brute kth (vec 2: brute kth 0.0, pruned sees only vec 3 at
+    // ~0.995) — the k-th-best statistic is NOT monotone under
+    // subsetting once fewer than k candidates survive. The gate stays
+    // conservative anyway via the count rule: n_found < k flags.
     val pruned = rows(Ann.knnOutliersIvf(corpus, "vec_id", "embedding",
       "label", k = 2, minSim = 0.5, nprobe = 1))
     assert(pruned.keySet == brute.keySet)
     brute.foreach { case (id, (kth, flag)) =>
-      assert(pruned(id)._1 <= kth)
+      // containment: every brute outlier is still flagged
       if (flag) assert(pruned(id)._2)
+      // monotonicity holds exactly where the gate did NOT need the
+      // count rule: an unflagged pruned row had >= k candidates, and a
+      // k-th-best over a >=k-sized subset can only drop
+      if (!pruned(id)._2) assert(pruned(id)._1.get <= kth.get)
     }
+    // vec 2 (cluster of 2): short run -> kth_sim rose, count rule flags
+    assert(pruned(2L)._1.get > brute(2L)._1.get && pruned(2L)._2)
+    // a singleton cluster at nprobe=1 probes only itself: zero
+    // candidates survive, yet the row must not vanish from the report —
+    // it surfaces as (kth_sim = null, outlier = true)
+    val lonely = corpus.union(
+      Seq((6L, unit(6), 3)).toDF("vec_id", "embedding", "label"))
+    val withLonely = rows(Ann.knnOutliersIvf(lonely, "vec_id",
+      "embedding", "label", k = 2, minSim = 0.5, nprobe = 1))
+    assert(withLonely.keySet == brute.keySet + 6L)
+    assert(withLonely(6L) == ((None, true)))
+    // ... and brute on the same corpus calls vec 6 an outlier too, so
+    // containment covers the empty-run branch as well
+    val bruteLonely = rows(Ann.knnOutliers(lonely, "vec_id", "embedding",
+      k = 2, minSim = 0.5))
+    assert(bruteLonely(6L)._2 && withLonely(6L)._2)
     // pivot centroids keep the probe deterministic end-to-end
     val pivots = Ann.pivotCentroids(corpus, "label", "vec_id", "embedding")
     val again = rows(Ann.knnOutliersIvf(corpus, "vec_id", "embedding",
