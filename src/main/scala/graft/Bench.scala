@@ -23,6 +23,29 @@ object Bench {
     ()
   }
 
+  /** Host-speed control probe: a fixed synthetic workload (100M-row
+    * codegen'd hash projection + a 1M-key shuffle aggregate) that shares
+    * NO code path or testdata with any entry, so its timing moves only
+    * when the machine does. Pinned against [[HostRefSec]] (calibrated
+    * round 13: warm best-of-3 on an idle local[32] host via
+    * tools/probe_host.sc), the ratio published as `host_factor`
+    * adjudicates cross-round drift: entries regressing together with
+    * host_factor is a loaded host; an entry regressing alone is a plan
+    * change. Rounds 10-12 each lost 2×-class readings to exactly this
+    * ambiguity.
+    */
+  private def hostControl(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 100000000L, 1L, 32)
+      .select((col("id") % 1000000L).as("k"), xxhash64(col("id")).as("h"))
+      .groupBy("k").agg(bit_xor(col("h")).as("x"))
+      .agg(bit_xor(col("x"))).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Round-13 calibration of [[hostControl]] (see its doc). */
+  private val HostRefSec = 3.4
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -79,6 +102,11 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       System.gc()
     }
+    // Control probe brackets the suite: 3 runs up front (first absorbs
+    // codegen warmup; best-of-2 warm = the host reading) and 1 after the
+    // isolated pass (did the host drift DURING the bench?).
+    val ctlStart = { hostControl(spark); Seq(hostControl(spark), hostControl(spark)).min }
+    System.err.println(f"[bench:ctl] host control start $ctlStart%.3fs (ref $HostRefSec%.2fs)")
     val p1 = onePass("p1", names)
     val p2 = onePass("p2", names)
     // Isolated third pass for the slowest warm entries: suite pressure
@@ -118,8 +146,15 @@ object Bench {
     // 5-7 recorded parsed:null). Emitting queries/phases FIRST keeps
     // metric/value/failed inside the captured tail; bench_result.json
     // still holds the full clean line.
+    val ctlEnd = hostControl(spark)
+    System.err.println(f"[bench:ctl] host control end $ctlEnd%.3fs")
+    // host_factor uses the BEST control reading of the run: transient
+    // load during one probe can't overstate the host penalty, while a
+    // genuinely slow host slows every probe. >1 = slower than the pinned
+    // calibration host; divide entry timings by it to compare rounds.
+    val hostFactor = math.min(ctlStart, ctlEnd) / HostRefSec
     val line =
-      f"""{"queries":$qs,"phases":$ph,"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","failed":$nFailed}"""
+      f"""{"queries":$qs,"phases":$ph,"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","failed":$nFailed,"host_control_sec":${math.min(ctlStart, ctlEnd)}%.3f,"host_control_end_sec":$ctlEnd%.3f,"host_ref_sec":$HostRefSec%.2f,"host_factor":$hostFactor%.3f}"""
     println(line)
     Files.writeString(Paths.get("bench_result.json"), line)
     spark.stop()
