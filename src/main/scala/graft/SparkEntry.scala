@@ -4028,6 +4028,23 @@ object SparkEntry {
     (s, dir) => graft.text.Bpe.pairStats(t(s, dir, "documents"), "text", k = 50),
     Some("WITH w AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) WHERE w <> '' GROUP BY w), sy AS (SELECT list_append(list_transform(generate_series(1, len(w)), i -> w[i:i]), '</w>') AS syms, c FROM w), p AS (SELECT syms[i] AS a, syms[i + 1] AS b, c FROM (SELECT syms, c, unnest(generate_series(1, len(syms) - 1)) AS i FROM sy)) SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt FROM p GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 50"))
 
+  /** Unigram-LM tokenizer training seed statistics ([[graft.text
+    * .UnigramLm.seedStats]], Kudo 2018): positioned-substring counts
+    * (length ≤ 4) over the word-frequency table, deterministic top-50 —
+    * the corpus-sized stage of SentencePiece-style unigram training,
+    * exactly the [[textBpePairStats]] pattern: the EM loop itself
+    * ([[graft.text.UnigramLm.train]]/`viterbi`/`encodeTokens`) is not
+    * SQL-expressible, so UnigramLmSpec carries it (hand-derived golden
+    * EM sequence, driver/distributed parity, coverage-floor pruning,
+    * Viterbi tie-breaks). The oracle re-derives the same positioned
+    * substrings with 1-based slice arithmetic (ASCII corpus: DuckDB
+    * character slicing and JVM char mapping agree).
+    */
+  private val textUnigramLm = Q(
+    (s, dir) => graft.text.UnigramLm.seedStats(
+      t(s, dir, "documents"), "text", maxLen = 4, k = 50),
+    Some("WITH w AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) WHERE w <> '' GROUP BY w), s AS (SELECT w[i:i+l-1] AS piece, c FROM (SELECT w, c, unnest(generate_series(1, len(w))) AS i FROM w) t, (SELECT unnest(generate_series(1, 4)) AS l) ls WHERE i + l - 1 <= len(w)) SELECT piece, CAST(sum(c) AS BIGINT) AS cnt FROM s GROUP BY piece ORDER BY cnt DESC, piece LIMIT 50"))
+
   /** Typo-tolerant fuzzy self-join ([[graft.operators.FuzzyJoin]]):
     * all Levenshtein-distance-≤1 customer-name pairs via SymSpell
     * deletion-neighborhood blocking — candidate generation is an
@@ -6858,6 +6875,7 @@ object SparkEntry {
     "text_token_fertility" -> textTokenFertility,
     "text_repetition" -> textRepetition,
     "text_bpe_pair_stats" -> textBpePairStats,
+    "text_unigram_lm" -> textUnigramLm,
     "j13_fuzzy_join" -> j13FuzzyJoin,
     "dedup_contamination_ngram" -> dedupContaminationNgram,
     "text_vocab_coverage" -> textVocabCoverage,
