@@ -119,32 +119,73 @@ object ScaleStress {
     import graft.ann.Ann
     import graft.dedup.Dedup
 
+    // rotation-clean text for the n-gram rungs: the alphabet rotation
+    // only bijects [a-z], so digit/punctuation grams are SHARED across
+    // replicas and their df grows ∝f — under any df cap the dropped-gram
+    // band then shifts per rung and the rung measures the band, not the
+    // operator (r13 first reading: capped pair counts 1→254→3825 where
+    // the uncapped design gives exactly 1→5→25). Restricting the stress
+    // input to letters+space makes every gram's df rung-invariant
+    // (per-replica vocabularies are disjoint; only all-space grams are
+    // shared, and those sit above the cap at every rung), so a FIXED
+    // cap binds identically per replica and per-doc workload is
+    // constant across factors — the honest axis
+    def lettersOnly(d: DataFrame): DataFrame =
+      d.withColumn("text", regexp_replace(lower(col("text")), "[^a-z ]", ""))
+
+    // replica-qualified IVF clustering: label + 10·replica — the
+    // cluster count tracks the corpus (constant cluster size), which is
+    // how a real IVF index scales nlist with N
+    def withReplicaClusters(e: DataFrame): DataFrame =
+      e.withColumn("cl",
+        (col("label") + lit(10) * floor(col("vec_id") / Offset)).cast("long"))
+
+    // shared shape for the bitext nprobe ladder: reference side FIXED
+    // (replica-0 even ids, 10 clusters), candidate side grows with f
+    // over its replica-qualified clusters — only nprobe varies, so the
+    // ladder isolates the pruning's cost effect
+    def bitextIvf(e0: DataFrame, nprobe: Int): DataFrame = {
+      val e = withReplicaClusters(e0)
+      graft.ann.Bitext.minePairsIvf(
+        e.where(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", "cl",
+        e.where(col("vec_id") < Offset && pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", "cl",
+        k = 4, nprobe = nprobe, marginThreshold = 1.05)
+    }
+
     // ---- the operators under stress; each returns the DataFrame whose
     // full materialization is timed
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "dedup_minhash" -> (f =>
         Dedup.minhashPairs(docs(f), "doc_id", "text", threshold = 0.8)),
       "dedup_ngram_capped" -> (f =>
-        // the cap scales with the corpus (a fixed absolute cap at 10×
-        // drops 10× more grams and measures the cap, not the operator;
-        // operationally a df cap is a corpus-relative knob anyway).
-        // maxPostings engages the adaptive g×g posting decomposition:
-        // without it the admitted hot grams' df² fanout lands on a few
-        // unsplittable shuffle keys and wall-clock goes Θ(f²)
-        // (r10 reading: exponent 1.46, 0.73 s → 80 s at f25)
+        // FIXED cap (r13 de-confound): under alphabet rotation each
+        // replica owns a disjoint vocabulary, so per-gram df stays
+        // ~CONSTANT as the corpus grows (r11 census: max_df 1547 at
+        // every factor) — a corpus-relative cap (100·f, rounds 9-12)
+        // therefore progressively UN-binds: it bound at f1/f5 and was a
+        // no-op at f25, so the rung measured the cap's band shifting,
+        // not the operator (r11: prefix f5 20.1 s > f25 11.5 s,
+        // non-monotone). A fixed cap binds identically inside every
+        // replica → per-doc workload constant across rungs, the honest
+        // axis. maxPostings still engages the adaptive g×g posting
+        // decomposition: without it the admitted hot grams' df² fanout
+        // lands on a few unsplittable shuffle keys and wall-clock goes
+        // Θ(f²) (r10 reading: exponent 1.46, 0.73 s → 80 s at f25)
         Dedup.ngramJaccardPairs(
-          docs(f).where(pmod(col("doc_id"), lit(Offset)) < 500),
+          lettersOnly(docs(f).where(pmod(col("doc_id"), lit(Offset)) < 500)),
           "doc_id", "text", n = 3, threshold = 0.8,
-          maxDf = Some(100L * f), maxPostings = Some(100))),
+          maxDf = Some(100L), maxPostings = Some(100))),
       "dedup_ngram_prefix" -> (f =>
-        // same relative cap, prefix-filtered: candidates collide only
-        // on each doc's rarest grams, so the hot-gram df² fanout that
-        // keeps the counted index Θ(f²) never materializes — this is
-        // the documented scale path for relative-cap configs
+        // same FIXED cap (see dedup_ngram_capped), prefix-filtered:
+        // candidates collide only on each doc's rarest grams, so the
+        // hot-gram df² fanout that keeps the counted index Θ(f²) never
+        // materializes — the documented scale path for capped configs
         Dedup.ngramJaccardPairsPrefix(
-          docs(f).where(pmod(col("doc_id"), lit(Offset)) < 500),
+          lettersOnly(docs(f).where(pmod(col("doc_id"), lit(Offset)) < 500)),
           "doc_id", "text", n = 3, threshold = 0.8,
-          maxDf = Some(100L * f))),
+          maxDf = Some(100L))),
       "dedup_ngram_prefix_uncapped" -> (f =>
         // NO cap at all — the confound-free rung: per-doc workload is
         // constant across rungs (full vocabulary; the relative cap's
@@ -154,7 +195,7 @@ object ScaleStress {
         // prefix (they sort last in every doc), which is exactly why
         // this path doesn't need the cap to survive
         Dedup.ngramJaccardPairsPrefix(
-          docs(f).where(pmod(col("doc_id"), lit(Offset)) < 500),
+          lettersOnly(docs(f).where(pmod(col("doc_id"), lit(Offset)) < 500)),
           "doc_id", "text", n = 3, threshold = 0.8, maxDf = None)),
       "dedup_incremental" -> (f => {
         // index build is amortized ingest cost; the timed query is the
@@ -310,6 +351,27 @@ object ScaleStress {
           e.where(col("vec_id") < Offset &&
             pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
           k = 4, marginThreshold = 1.05)
+      }),
+      "bitext_mine_ivf_np1" -> (f => bitextIvf(emb(f), nprobe = 1)),
+      "bitext_mine_ivf_np3" -> (f => bitextIvf(emb(f), nprobe = 3)),
+      // probe-all on the replica-qualified clustering (10·f clusters on
+      // the growing side): the brute-equivalent upper bound the np1/np3
+      // rungs must separate from — r11 task 6's pruning-cost evidence
+      "bitext_mine_ivf_npall" -> (f => bitextIvf(emb(f), nprobe = 10 * f)),
+      "ann_outlier_gate_ivf" -> (f => {
+        // fixed-query axis for the IVF outlier gate: a FIXED replica-0
+        // batch (100 rows) gates against the f× corpus in BATCH mode —
+        // the probed batch broadcasts, the corpus never shuffles.
+        // Clusters are replica-qualified (label + 10·replica), so the
+        // cluster COUNT grows with the corpus and cluster SIZE stays
+        // constant (the honest IVF configuration: nlist tracks N) and
+        // nprobe = 3 ≪ 10·f clusters — per-query scoring work is then
+        // cluster-size-bounded, and the rung's exponent must sit far
+        // below 1 (the ≤0.3 bar bitext_mine set at r11)
+        val e = withReplicaClusters(emb(f))
+        graft.ann.Ann.knnOutliersIvf(e, "vec_id", "embedding", "cl",
+          k = 5, minSim = 0.29, nprobe = 3,
+          queries = Some(e.where(col("vec_id") < 100)))
       }))
 
     // optional op filter for isolated re-times (comma-separated names);
@@ -381,18 +443,27 @@ object ScaleStress {
       f"[stress] sat10 candidates split=$nSplit ($tSplit%.2fs) " +
         f"whole=$nWhole ($tWhole%.2fs) parity=${nSplit == nWhole}")
 
-    // df-cap census on the top-rung n-gram slice (diagnostic tokenizer
-    // is a plain-HOF re-derivation of the char-3-gram shingler)
-    val grams = docs(factors.last)
-      .where(pmod(col("doc_id"), lit(Offset)) < 500)
-      .select(explode(array_distinct(expr(
-        "transform(sequence(1, greatest(length(lower(text)) - 2, 1)), " +
-          "i -> substr(lower(text), i, 3))"))).as("w"))
-    val f10Cap = 100L * factors.last
-    val capped = grams.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .agg(sum(when(col("df") > f10Cap, 1).otherwise(0)).as("over"),
-        max(col("df")).as("mx")).collect()(0)
-    quiesce()
+    // df-cap census at EVERY factor (diagnostic tokenizer is a plain-HOF
+    // re-derivation of the char-3-gram shingler): the de-confounded
+    // rungs claim the fixed cap BINDS at every rung — grams_over_cap
+    // must be > 0 at each factor, or the rung is measuring an uncapped
+    // operator somewhere on the ladder (the r11 confound)
+    val FixedCap = 100L
+    val capCensus = factors.map { f =>
+      val grams = lettersOnly(docs(f)
+        .where(pmod(col("doc_id"), lit(Offset)) < 500))
+        .select(explode(array_distinct(expr(
+          "transform(sequence(1, greatest(length(lower(text)) - 2, 1)), " +
+            "i -> substr(lower(text), i, 3))"))).as("w"))
+      val r = grams.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .agg(sum(when(col("df") > FixedCap, 1).otherwise(0)).as("over"),
+          max(col("df")).as("mx")).collect()(0)
+      quiesce()
+      (f, r.getLong(0), r.getLong(1))
+    }
+    capCensus.foreach { case (f, over, mx) =>
+      System.err.println(s"[stress] df-cap census f$f: over=$over max_df=$mx")
+    }
 
     def expFit(name: String): Double = {
       val r = results(name)
@@ -417,15 +488,16 @@ object ScaleStress {
         s""""candidates_split":$nSplit,"sec_split":${f"$tSplit%.3f"},""" +
         s""""candidates_whole":$nWhole,"sec_whole":${f"$tWhole%.3f"},""" +
         s""""parity":${nSplit == nWhole}},""" +
-        s""""f10_df_cap":{"grams_over_cap":${capped.getLong(0)},""" +
-        s""""max_df":${capped.getLong(1)}}"""
+        s""""df_cap_census":{${capCensus.map { case (f, over, mx) =>
+          s""""f$f":{"cap":$FixedCap,"grams_over_cap":$over,"max_df":$mx}"""
+        }.mkString(",")}}"""
     val json =
       s"""{"base":"$baseDir","factors":[${factors.mkString(",")}],""" +
         s""""ops":{$opsJson},$guardJson}"""
     println(json)
     val outName =
-      if (factors == Seq(1, 3, 10)) "STRESS_r11.json"
-      else s"STRESS_r11_f${factors.last}.json"
+      if (factors == Seq(1, 3, 10)) "STRESS_r13.json"
+      else s"STRESS_r13_f${factors.last}.json"
     Files.write(Paths.get(outName),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

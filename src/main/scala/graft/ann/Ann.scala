@@ -175,17 +175,27 @@ object Ann {
     * last available rank un-flagged): under brute scoring every row
     * sees the whole corpus, so a short run just means the corpus is
     * small — not that the row sits in a sparse region.
+    *
+    * `queries` switches to BATCH mode — the incremental-ingest serving
+    * shape: gate only those rows (same id/vec column names as the
+    * corpus; ids present in the corpus self-exclude) against the full
+    * corpus. The probed batch then broadcasts (`broadcastProbes = true`
+    * — batch ≪ corpus) and the corpus NEVER shuffles: with
+    * cluster-partitioned storage the unprobed clusters prune at the
+    * scan, so per-batch cost tracks nprobe × cluster size, not corpus
+    * size — the fixed-query stress axis ScaleStress measures.
     */
   def knnOutliersIvf(
       corpus: DataFrame, id: String, vec: String, cluster: String,
       k: Int, minSim: Double, nprobe: Int,
-      cents: Option[DataFrame] = None): DataFrame = {
-    val scored = ivfTopK(corpus, id, vec, cluster,
-      corpus.select(col(id), col(vec)), id, vec, k, nprobe, cents,
-      broadcastProbes = false)
+      cents: Option[DataFrame] = None,
+      queries: Option[DataFrame] = None): DataFrame = {
+    val qdf = queries.getOrElse(corpus).select(col(id), col(vec))
+    val scored = ivfTopK(corpus, id, vec, cluster, qdf, id, vec, k,
+      nprobe, cents, broadcastProbes = queries.isDefined)
     val reduced = scored.groupBy(col("q_id"))
       .agg(min(col("sim")).as("kth_sim"), count(lit(1)).as("__n_found"))
-    corpus.select(col(id))
+    qdf.select(col(id))
       .join(reduced, col(id) === col("q_id"), "left")
       .select(col(id), col("kth_sim"),
         (coalesce(col("__n_found"), lit(0L)) < k ||

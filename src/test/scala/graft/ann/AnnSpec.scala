@@ -591,5 +591,12 @@ class AnnSpec extends SparkSpec {
     val again = rows(Ann.knnOutliersIvf(corpus, "vec_id", "embedding",
       "label", k = 2, minSim = 0.5, nprobe = 3, cents = Some(pivots)))
     assert(again == brute)
+    // batch mode (the serving shape: probed batch broadcasts, corpus
+    // never shuffles): at probe-all it restricts self-gating to the
+    // batch's rows exactly
+    val batch = rows(Ann.knnOutliersIvf(corpus, "vec_id", "embedding",
+      "label", k = 2, minSim = 0.5, nprobe = 3,
+      queries = Some(corpus.filter($"vec_id" <= 2))))
+    assert(batch == brute.view.filterKeys(_ <= 2L).toMap)
   }
 }
