@@ -40,6 +40,21 @@ object ScaleStress {
     Alphabet.drop(r) + Alphabet.take(r)
   }
 
+  /** Replica-k alphabet for the n-gram stress corpus: 26 consecutive
+    * CASELESS codepoints from the CJK ideograph block (0x4E00 + 26·(k−1)
+    * onward). Unlike a rotation — whose images COLLIDE as strings
+    * across replicas (replica 1 maps "abc"→"bcd", which equals replica
+    * 0's literal "bcd"), so a gram string's GLOBAL df still grows ∝f —
+    * disjoint blocks guarantee no gram string ever appears in two
+    * replicas: every gram's df is exactly its base-corpus df at every
+    * factor. Caseless matters: Latin-Extended blocks case-fold (Ā and ā
+    * are distinct codepoints folding together), which would break the
+    * within-replica bijection under the operators' lower(); CJK has no
+    * case. All single UTF-16 chars, no whitespace.
+    */
+  private def caselessAlphabet(k: Int): String =
+    (0 until 26).map(i => (0x4E00 + 26 * (k - 1) + i).toChar).mkString
+
   /** One replica: ids offset by k·Offset, [a-z] rotated by k. Replica 0
     * is byte-identical to the base corpus (no lower(), no translate),
     * so the factor-1 rung anchors to the same inputs the bench times.
@@ -102,6 +117,33 @@ object ScaleStress {
         Files.createFile(Paths.get(s"$dir/_built"))
       }
     }
+    // ---- the n-gram de-confound corpus: letters+space only (digits and
+    // punctuation are shared across replicas, so their grams' df grows
+    // ∝f and any df cap's dropped band shifts per rung), whitespace
+    // collapsed (so every gram contains a letter), and each replica's
+    // letters mapped to a DISJOINT caseless codepoint block (see
+    // caselessAlphabet: rotations collide as strings, these cannot).
+    // Result: every gram's df is rung-INVARIANT, a fixed cap binds
+    // identically inside every replica, per-doc workload is constant
+    // across factors, and capped pair counts scale exactly f× — the
+    // confound-free axis for the capped rungs.
+    for (f <- factors) {
+      val dir = s"$workDir/f$f"
+      if (!Files.exists(Paths.get(s"$dir/_built_ng"))) {
+        val base = Tables.load(spark, baseDir, "documents")
+          .select(col("doc_id"), regexp_replace(regexp_replace(
+            lower(col("text")), "[^a-z ]", ""), " +", " ").as("text"))
+        (0 until f).map { k =>
+          val shifted = base.select(
+            (col("doc_id") + lit(k * Offset)).as("doc_id"), col("text"))
+          if (k == 0) shifted
+          else shifted.withColumn("text",
+            translate(col("text"), Alphabet, caselessAlphabet(k)))
+        }.reduce(_ union _)
+          .write.mode("overwrite").parquet(s"$dir/documents_ng.parquet")
+        Files.createFile(Paths.get(s"$dir/_built_ng"))
+      }
+    }
     val satDir = s"$workDir/sat10"
     if (!Files.exists(Paths.get(s"$satDir/_built"))) {
       // identical copies: every doc gains 9 exact twins → duplicate-
@@ -113,25 +155,13 @@ object ScaleStress {
     }
 
     def docs(f: Int) = spark.read.parquet(s"$workDir/f$f/documents.parquet")
+    def docsNg(f: Int) =
+      spark.read.parquet(s"$workDir/f$f/documents_ng.parquet")
     def cust(f: Int) = spark.read.parquet(s"$workDir/f$f/customer.parquet")
     def emb(f: Int) = spark.read.parquet(s"$workDir/f$f/embeddings.parquet")
 
     import graft.ann.Ann
     import graft.dedup.Dedup
-
-    // rotation-clean text for the n-gram rungs: the alphabet rotation
-    // only bijects [a-z], so digit/punctuation grams are SHARED across
-    // replicas and their df grows ∝f — under any df cap the dropped-gram
-    // band then shifts per rung and the rung measures the band, not the
-    // operator (r13 first reading: capped pair counts 1→254→3825 where
-    // the uncapped design gives exactly 1→5→25). Restricting the stress
-    // input to letters+space makes every gram's df rung-invariant
-    // (per-replica vocabularies are disjoint; only all-space grams are
-    // shared, and those sit above the cap at every rung), so a FIXED
-    // cap binds identically per replica and per-doc workload is
-    // constant across factors — the honest axis
-    def lettersOnly(d: DataFrame): DataFrame =
-      d.withColumn("text", regexp_replace(lower(col("text")), "[^a-z ]", ""))
 
     // replica-qualified IVF clustering: label + 10·replica — the
     // cluster count tracks the corpus (constant cluster size), which is
@@ -160,21 +190,21 @@ object ScaleStress {
       "dedup_minhash" -> (f =>
         Dedup.minhashPairs(docs(f), "doc_id", "text", threshold = 0.8)),
       "dedup_ngram_capped" -> (f =>
-        // FIXED cap (r13 de-confound): under alphabet rotation each
-        // replica owns a disjoint vocabulary, so per-gram df stays
-        // ~CONSTANT as the corpus grows (r11 census: max_df 1547 at
-        // every factor) — a corpus-relative cap (100·f, rounds 9-12)
-        // therefore progressively UN-binds: it bound at f1/f5 and was a
-        // no-op at f25, so the rung measured the cap's band shifting,
-        // not the operator (r11: prefix f5 20.1 s > f25 11.5 s,
-        // non-monotone). A fixed cap binds identically inside every
-        // replica → per-doc workload constant across rungs, the honest
-        // axis. maxPostings still engages the adaptive g×g posting
+        // FIXED cap over the disjoint-codepoint ng corpus (r13
+        // de-confound): there, every gram's df is rung-invariant, so
+        // the cap drops the SAME grams inside every replica at every
+        // factor — per-doc workload constant, output pairs exactly f×.
+        // The r9-r12 rungs (corpus-relative cap over the rotation
+        // corpus) measured the cap's band shifting instead: rotated
+        // gram strings COLLIDE across replicas, global df grows ∝f,
+        // and the 100·f cap bound at f5 but not f25 (r11: prefix
+        // f5 20.1 s > f25 11.5 s, non-monotone).
+        // maxPostings still engages the adaptive g×g posting
         // decomposition: without it the admitted hot grams' df² fanout
         // lands on a few unsplittable shuffle keys and wall-clock goes
         // Θ(f²) (r10 reading: exponent 1.46, 0.73 s → 80 s at f25)
         Dedup.ngramJaccardPairs(
-          lettersOnly(docs(f).where(pmod(col("doc_id"), lit(Offset)) < 500)),
+          docsNg(f).where(pmod(col("doc_id"), lit(Offset)) < 500),
           "doc_id", "text", n = 3, threshold = 0.8,
           maxDf = Some(100L), maxPostings = Some(100))),
       "dedup_ngram_prefix" -> (f =>
@@ -183,19 +213,17 @@ object ScaleStress {
         // hot-gram df² fanout that keeps the counted index Θ(f²) never
         // materializes — the documented scale path for capped configs
         Dedup.ngramJaccardPairsPrefix(
-          lettersOnly(docs(f).where(pmod(col("doc_id"), lit(Offset)) < 500)),
+          docsNg(f).where(pmod(col("doc_id"), lit(Offset)) < 500),
           "doc_id", "text", n = 3, threshold = 0.8,
           maxDf = Some(100L))),
       "dedup_ngram_prefix_uncapped" -> (f =>
-        // NO cap at all — the confound-free rung: per-doc workload is
-        // constant across rungs (full vocabulary; the relative cap's
-        // admitted band shifts per rung and at f25 is a no-op — census
-        // max_df 1547 < 2500), so this measures the prefix operator
-        // under pure corpus growth. Hot invariant grams never enter a
+        // NO cap at all — per-doc workload constant by construction
+        // on the ng corpus, so this measures the prefix operator under
+        // pure corpus growth. Hot invariant grams never enter a
         // prefix (they sort last in every doc), which is exactly why
         // this path doesn't need the cap to survive
         Dedup.ngramJaccardPairsPrefix(
-          lettersOnly(docs(f).where(pmod(col("doc_id"), lit(Offset)) < 500)),
+          docsNg(f).where(pmod(col("doc_id"), lit(Offset)) < 500),
           "doc_id", "text", n = 3, threshold = 0.8, maxDf = None)),
       "dedup_incremental" -> (f => {
         // index build is amortized ingest cost; the timed query is the
@@ -450,8 +478,8 @@ object ScaleStress {
     // operator somewhere on the ladder (the r11 confound)
     val FixedCap = 100L
     val capCensus = factors.map { f =>
-      val grams = lettersOnly(docs(f)
-        .where(pmod(col("doc_id"), lit(Offset)) < 500))
+      val grams = docsNg(f)
+        .where(pmod(col("doc_id"), lit(Offset)) < 500)
         .select(explode(array_distinct(expr(
           "transform(sequence(1, greatest(length(lower(text)) - 2, 1)), " +
             "i -> substr(lower(text), i, 3))"))).as("w"))
