@@ -1,0 +1,959 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import org.apache.spark.sql.types.StructType
+
+import graft.ann.Ann
+import graft.dedup.{Clusters, Dedup, SimHash}
+import graft.ingest.{FileListing, Router, ZipSource}
+import graft.multimodal.Multimodal
+import graft.operators.Salted
+import graft.pipeline.SchemaEvolution
+import graft.schema.{ColumnSpec, TableSpec}
+import graft.streaming.Bookmark
+import graft.text.{Dsir, TextAnalysis}
+import graft.relationalize.Relationalize
+import graft.sources.{JsonDataset, ParquetDataset, TarShards, Warc}
+import graft.validate.{ErrorSuppression, FileMetadata, JsonSchemaValidator, SchemaCache, SchemaResolver}
+
+
+/** Relational tier: projections/filters (§2.2), joins (§2.3), aggregations (§2.4), set ops/sorts (§2.7), restructuring (§2.5), the analytic surface, and the validation/scalar surface (§2.6).
+  *
+  * Split from the single SparkEntry registry file by tier; entry
+  * semantics, names, and oracles are unchanged. [[SparkEntry]] holds
+  * the one declaration-ordered registry over all tiers.
+  */
+private[graft] object EntriesRelational {
+  import EntryKit._
+
+  // §2.2 Projections / filters / predicates
+  // --------------------------------------------------------------------
+
+  /** P2 — flatten-name normalization (json_s3_to_parquet.py:136-176):
+    * struct path `info.name` → column `info_name`.
+    */
+  val p2FlattenRename = Q(
+    (s, dir) => Relationalize.flattenStructs(
+      t(s, dir, "part").select(col("p_partkey"),
+        struct(col("p_name").as("name"), col("p_type").as("tpe")).as("info"))),
+    Some("SELECT p_partkey, p_name AS info_name, p_type AS info_tpe FROM part"))
+
+  /** P3 — partition+metadata column injection (s3_to_json_s3.py:592-619):
+    * year/month/day parsed from the ISO-8601 `uploadedon` metadata string
+    * (V5), assessmentid/recordid stamped onto every row.
+    */
+  val p3Inject = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        date_format(col("ts"), JsonDataset.UploadedOnFormat).as("uploadedon"))
+      JsonDataset.injectPartitions(ev,
+          uploadedOn = col("uploadedon"),
+          assessmentId = col("event_type"),
+          recordId = col("event_id"))
+        .select(col("event_id"), col("assessmentid"), col("year"),
+          col("month"), col("day"), col("recordid"))
+    },
+    Some("SELECT event_id, event_type AS assessmentid, CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month, CAST(day(ts) AS INT) AS day, event_id AS recordid FROM events"))
+
+  /** P1 — column projection (Catalyst prunes the parquet scan). */
+  val p1Project = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice")),
+    Some("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem"))
+
+  /** P6 — file-name routing predicate (s3_to_json_s3.py:692-693, :721-722):
+    * normalize the member filename, then resolve its dataset through the
+    * legacy mapping; unmapped files are skipped (routed to a sentinel).
+    */
+  val p6Route = Q(
+    (s, dir) => {
+      val route = udf((fname: String) =>
+        Router.datasetIdentifier(
+          schemaId = None,
+          schemaMapping = Map.empty,
+          datasetMapping = Router.defaultDatasetMapping,
+          meta = FileMetadata("dccs", 5, Router.normalizeFileName(fname),
+            "mobile-toolbox")).getOrElse("skipped"))
+      val fname = when(col("doc_id") % 4 === 0, "microphone.json")
+        .when(col("doc_id") % 4 === 1, "motion.json")
+        .when(col("doc_id") % 4 === 2, "weather.json")
+        .otherwise("info.json")
+      t(s, dir, "documents")
+        .select(col("doc_id"), fname.as("fname"), route(fname).as("dataset"))
+    },
+    Some("SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'microphone.json' WHEN doc_id % 4 = 1 THEN 'motion.json' WHEN doc_id % 4 = 2 THEN 'weather.json' ELSE 'info.json' END AS fname, CASE WHEN doc_id % 4 = 0 THEN 'AudioLevelRecord_v1' WHEN doc_id % 4 = 1 THEN 'MotionRecord_v1' WHEN doc_id % 4 = 2 THEN 'WeatherResult_v1' ELSE 'skipped' END AS dataset FROM documents"))
+
+  /** P5 — row filter via predicate (pushed to the scan). */
+  val p5Filter = Q(
+    (s, dir) => t(s, dir, "orders")
+      .filter(col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus")),
+    Some("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders WHERE o_totalprice > 150000.0"))
+
+  /** P4 — predicate filter over an array column (higher-order `filter`),
+    * mirroring the reference's expected-error suppression
+    * (s3_to_json_s3.py:418-490): drop allowlisted entries, count survivors.
+    */
+  val p4ArrayFilter = Q(
+    (s, dir) => t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 4)).as("n_long_tokens")),
+    Some("SELECT doc_id, CAST(length(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS INTEGER) AS n_long_tokens FROM documents"))
+
+  // --------------------------------------------------------------------
+  // §2.3 Joins
+  // --------------------------------------------------------------------
+
+  /** J1 — parent-child equi-join with an explicitly broadcast small side
+    * (json_s3_to_parquet.py:151-160). part is the small dimension.
+    */
+  val j1BroadcastJoin = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items")),
+    Some("SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"))
+
+  /** J2 — anti-join diff: rows not yet present downstream
+    * (bootstrap_trigger.py:228-250).
+    */
+  val j2AntiJoin = Q(
+    (s, dir) => t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name")),
+    Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')"))
+
+  /** J3 — two-way anti-join diff + union-distinct of the key sets
+    * (bootstrap_trigger.py:241-250). Single fact-table pass: aggregate
+    * per-order flag presence once, then one join — equivalent to the two
+    * anti-joins + union-distinct, but scans lineitem once instead of twice
+    * (at 100 TB the double scan is the bottleneck). o_orderkey is unique in
+    * orders so no final distinct is needed.
+    */
+  val j3UnionDiff = Q(
+    (s, dir) => {
+      val flags = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"),
+          max(when(col("l_returnflag") === "A", 1).otherwise(0)).as("has_a"))
+      t(s, dir, "orders").select(col("o_orderkey"))
+        .join(flags, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .filter(col("has_r").isNull || col("has_r") === 0 || col("has_a") === 0)
+        .select(col("o_orderkey"))
+    },
+    Some("SELECT DISTINCT o_orderkey FROM (SELECT o_orderkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') UNION ALL SELECT o_orderkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'A'))"))
+
+  /** J4 — key-membership lookup against tiny reference data, the Spark
+    * shape of the reference's nested dict lookup (s3_to_json_s3.py:515-556):
+    * an explicit broadcast hash join. No shuffle of the probe side, no
+    * driver-side materialization in the query path (a collect-to-literal-map
+    * is a scale trap once the reference table isn't 5 rows).
+    */
+  val j4MapLookup = Q(
+    (s, dir) => t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"),
+        col("r_name").as("region_name")),
+    Some("SELECT n_nationkey, n_name, r_name AS region_name FROM nation JOIN region ON n_regionkey = r_regionkey"))
+
+  /** J5 — bucket-co-located join: both sides written bucketed (+ sorted)
+    * on the join key, so the sort-merge join runs with NO shuffle
+    * exchange and no per-run sort on either side — the 100 TB fact-fact
+    * join strategy when neither side broadcasts. The plan property
+    * (SortMergeJoin with zero Exchange nodes) is asserted in
+    * PlanAuditSpec; here the joined result is checked for value parity.
+    */
+  val j5BucketedJoin = Q(
+    (s, dir) => {
+      // fixed table names + overwrite: repeated runs in one session
+      // replace the catalog entries instead of accumulating them
+      val tmp = scratchPath("graft_j5").toString
+      val custT = "j5_cust"
+      val ordT = "j5_ord"
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$tmp/c").saveAsTable(custT)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$tmp/o").saveAsTable(ordT)
+      bucketedJoin(s.table(custT), s.table(ordT))
+    },
+    Some("SELECT c_custkey, c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1, 2"))
+
+  /** J6 — as-of join ([[graft.operators.AsofJoin]]): each error event
+    * attributed to the user's most recent click at or before it. The
+    * click side is pre-aggregated per (user, ts) so equal-timestamp
+    * matches are deterministic; the oracle is DuckDB's native ASOF LEFT
+    * JOIN over the same inputs.
+    */
+  val j6AsofJoin = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_event_id"))
+      graft.operators.AsofJoin.asof(errors, clicks, Seq("user_id"),
+          "ts", "ts", Map("click_event_id" -> "click_event_id"))
+        .select(col("event_id"), col("user_id"), col("click_event_id"))
+    },
+    Some("SELECT e.event_id, e.user_id, c.click_event_id FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_event_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) c ON e.user_id = c.user_id AND e.ts >= c.ts"))
+
+  /** J6t — the as-of join's TOLERANCE contract: a preceding click older
+    * than one hour is too stale to attribute and yields nulls instead of
+    * a match (the match itself stays the latest-preceding row; tolerance
+    * only gates it). Oracle: DuckDB ASOF LEFT JOIN with the staleness
+    * CASE applied to the matched row's own timestamp.
+    */
+  val j6AsofTolerance = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_event_id"))
+      graft.operators.AsofJoin.asof(errors, clicks, Seq("user_id"),
+          "ts", "ts", Map("click_event_id" -> "click_event_id"),
+          tolerance = Some("1 HOUR"))
+        .select(col("event_id"), col("user_id"), col("click_event_id"))
+    },
+    Some("SELECT e.event_id, e.user_id, CASE WHEN c.ts IS NOT NULL AND e.ts - c.ts <= INTERVAL 1 HOUR THEN c.click_event_id END AS click_event_id FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_event_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) c ON e.user_id = c.user_id AND e.ts >= c.ts"))
+
+  /** J7 — range join ([[graft.operators.RangeJoin]]): view events matched
+    * to purchase events whose value lies within ±0.05 — a large×large
+    * interval join executed as bin-bucketed equi-join + exact filter,
+    * never a nested-loop product. Both engines compute the interval
+    * bounds with the same IEEE double ops, so boundary comparisons
+    * agree exactly.
+    */
+  val j7RangeJoin = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("value").as("pv"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          (col("value") - 0.05).as("lo"), (col("value") + 0.05).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(
+          views, "pv", purchases, "lo", "hi", binWidth = 0.05)
+        .select(col("view_id"), col("purchase_id"),
+          round(col("pv"), 4).as("view_value"))
+    },
+    Some("SELECT v.event_id AS view_id, p.event_id AS purchase_id, round(v.value, 4) AS view_value FROM (SELECT * FROM events WHERE event_type = 'view') v JOIN (SELECT * FROM events WHERE event_type = 'purchase') p ON v.value >= p.value - 0.05 AND v.value < p.value + 0.05"))
+
+  /** J7L — the LEFT-OUTER range join ([[RangeJoin.pointInIntervalLeft]]):
+    * the enrichment shape — every view survives, purchase columns null
+    * where no band covers it. Composed as the inner bin join plus a
+    * keyed anti-join; both legs linear, no nested loop.
+    */
+  val j7RangeJoinLeft = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("value").as("pv"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          (col("value") - 0.05).as("lo"), (col("value") + 0.05).as("hi"))
+      graft.operators.RangeJoin.pointInIntervalLeft(
+          views, "pv", purchases, "lo", "hi", binWidth = 0.05)
+        .select(col("view_id"), col("purchase_id"),
+          round(col("pv"), 4).as("view_value"))
+    },
+    Some("SELECT v.event_id AS view_id, p.event_id AS purchase_id, round(v.value, 4) AS view_value FROM (SELECT * FROM events WHERE event_type = 'view') v LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p ON v.value >= p.value - 0.05 AND v.value < p.value + 0.05"))
+
+  /** J8 — the same point-in-interval semantics as J7, written as a
+    * DECLARATIVE inequality join and planned by the injected
+    * [[graft.plans.IntervalJoinStrategy]]: lineitem quantities (large
+    * side, streamed in place — no shuffle) against per-nation value
+    * bands (small side, broadcast + segment-tree interval index,
+    * O(log m + k) per row). Built-in planning would nested-loop this at
+    * |lineitem|×|nation| comparisons. The large×large form stays J7's
+    * bin-bucketed equi-join; the strategy gates on the broadcast
+    * threshold so each shape gets the plan that survives scale-up.
+    */
+  val j8IntervalJoin = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val bands = t(s, dir, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * 2.0).as("lo"),
+        (col("n_nationkey") * 2.0 + 6.0).as("hi"))
+      li.join(bands,
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_matches"))
+    },
+    Some("SELECT n_nationkey, count(*) AS n_matches FROM lineitem, nation " +
+      "WHERE l_quantity >= n_nationkey * 2.0 " +
+      "AND l_quantity < n_nationkey * 2.0 + 6.0 GROUP BY 1"))
+
+  /** J9 — the LARGE×LARGE shape of the declarative interval join: with
+    * broadcasting disabled and `spark.graft.intervalJoin.binWidth` set,
+    * [[graft.plans.IntervalJoinStrategy]] rewrites the same inequality
+    * join to the bin-bucketed equi-join (J7's plan) instead of letting
+    * built-in planning nested-loop it. The entry REQUIREs no
+    * BroadcastNestedLoopJoin in the initial physical plan, so a silently
+    * regressed strategy fails the driver run rather than hash-matching
+    * its way past it. Conf set/restore relies on the single-threaded
+    * harness; planning is forced inside the conf window (AQE may still
+    * re-plan exchanges at runtime with the restored confs — the pinned
+    * property is the compile-time plan choice).
+    */
+  val j9BinIntervalJoin = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val bands = t(s, dir, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * 2.0).as("lo"),
+        (col("n_nationkey") * 2.0 + 6.0).as("hi"))
+      val prevT = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.graft.intervalJoin.binWidth", "6.0")
+        val out = li.join(bands,
+            col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+          .groupBy(col("n_nationkey"))
+          .agg(count(lit(1)).as("n_matches"))
+        // force planning while the confs are live; QueryExecution caches it
+        val rendered = out.queryExecution.executedPlan.toString
+        require(!rendered.contains("BroadcastNestedLoopJoin"),
+          "bin rewrite did not fire — large interval join fell to a nested loop")
+        out
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+        s.conf.unset("spark.graft.intervalJoin.binWidth")
+      }
+    },
+    Some("SELECT n_nationkey, count(*) AS n_matches FROM lineitem, nation " +
+      "WHERE l_quantity >= n_nationkey * 2.0 " +
+      "AND l_quantity < n_nationkey * 2.0 + 6.0 GROUP BY 1"))
+
+  /** J9ts — the TIMESTAMP twin of J9, the single most common
+    * interval-join shape at scale (events × time windows): view events
+    * against 10-minute purchase sessions, large×large (broadcast
+    * disabled). [[graft.plans.IntervalJoinStrategy]] bins timestamp
+    * bounds on exact epoch microseconds; the bin width is deliberately
+    * left UNSET so the entry also exercises the sampled-median
+    * auto-width. REQUIREs no BroadcastNestedLoopJoin in the plan — the
+    * shape that silently fell to a nested loop before the epoch-cast
+    * landed now fails loudly if it regresses.
+    */
+  val j9TsIntervalJoin = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("p"))
+      val sessions = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("hi"))
+      val prevT = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val out = views.join(sessions,
+            col("p") >= col("lo") && col("p") < col("hi"))
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).as("n_views"))
+        val rendered = out.queryExecution.executedPlan.toString
+        require(!rendered.contains("BroadcastNestedLoopJoin"),
+          "timestamp bin rewrite did not fire — fell to a nested loop")
+        out
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+    },
+    Some("SELECT p.event_id AS purchase_id, count(*) AS n_views FROM (SELECT event_id, ts FROM events WHERE event_type = 'view') v JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p ON v.ts >= p.ts AND v.ts < p.ts + INTERVAL 10 MINUTE GROUP BY 1"))
+
+  /** J10 — Bloom-prefiltered semi join ([[graft.operators.BloomJoin]]):
+    * the fact side is prefiltered by a distributed-built, broadcast
+    * Bloom bitset of the key side before the exact semi join — the scale
+    * shape for membership joins where the key SET sketches small but its
+    * rows don't broadcast. False positives are removed by the exact
+    * join, so the oracle is the plain semi-join SQL; the sketch only
+    * decides how many probe rows reach the shuffle.
+    */
+  /** J12 — interval-OVERLAP join ([[RangeJoin.intervalOverlap]]): both
+    * sides are ranges (view bands × purchase bands over the value
+    * domain); a raw `a.lo < b.hi AND b.lo < a.hi` predicate plans a
+    * nested loop, so both sides explode to covered bins and hash-join
+    * on bin, with each pair attributed to exactly one bin (the
+    * overlap-start bin) — no dedup shuffle. Oracle is the plain
+    * inequality join.
+    */
+  val j12IntervalOverlap = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view" &&
+          col("event_id") % 3 === 0)
+        .select(col("event_id").as("view_id"),
+          (col("value") - 0.03).as("vlo"), (col("value") + 0.03).as("vhi"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          (col("value") - 0.05).as("plo"), (col("value") + 0.05).as("phi"))
+      graft.operators.RangeJoin.intervalOverlap(
+          views, "vlo", "vhi", purchases, "plo", "phi", binWidth = 0.05)
+        .select(col("view_id"), col("purchase_id"),
+          round(least(col("vhi"), col("phi")) -
+            greatest(col("vlo"), col("plo")), 4).as("overlap_len"))
+    },
+    Some("SELECT v.event_id AS view_id, p.event_id AS purchase_id, round(least(v.value + 0.03, p.value + 0.05) - greatest(v.value - 0.03, p.value - 0.05), 4) AS overlap_len FROM (SELECT * FROM events WHERE event_type = 'view' AND event_id % 3 = 0) v JOIN (SELECT * FROM events WHERE event_type = 'purchase') p ON v.value - 0.03 < p.value + 0.05 AND p.value - 0.05 < v.value + 0.03"))
+
+  val j10BloomJoin = Q(
+    (s, dir) => {
+      val bigOrders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 420000.0)
+        .select(col("o_orderkey"))
+      graft.operators.BloomJoin.semiJoin(
+          t(s, dir, "lineitem"), bigOrders,
+          Seq("l_orderkey"), Seq("o_orderkey"),
+          expectedItems = 4000, fpp = 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+    },
+    Some("SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 420000)"))
+
+  /** The join+agg shape shared by the entry and PlanAuditSpec. The merge
+    * hint pins the sort-merge strategy (at test scale Catalyst would
+    * auto-broadcast the tiny side; at fact-fact scale neither side
+    * broadcasts and SMJ over aligned buckets is the wanted plan).
+    */
+  def bucketedJoin(cust: DataFrame, ord: DataFrame): DataFrame =
+    cust.hint("merge").join(ord, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+
+  // --------------------------------------------------------------------
+  // §2.4 Aggregations / distinct / dedup
+  // --------------------------------------------------------------------
+
+  /** A-flagship — grouped aggregation over the fact table (TPC-H Q1 shape). */
+  val q1Agg = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        count(lit(1)).as("count_order")),
+    Some("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, round(avg(l_quantity), 2) AS avg_qty, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"))
+
+  /** A1 — distinct (hash aggregate), json_s3_to_parquet.py:151-155. */
+  val a1Distinct = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+    Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"))
+
+  /** A2 — dedup keep-latest per key by timestamp (bootstrap_trigger.py:222-225).
+    * Ties broken deterministically by event_id. Implemented as a single
+    * max_by aggregate rather than a row_number window: the partial
+    * aggregation combines map-side and AQE can split a skewed hot key,
+    * where a window must co-locate the whole partition on one task.
+    * Ordering uses raw nanosecond ts (ts_ns) for full-precision parity
+    * with the oracle.
+    */
+  val a2KeepLatest = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type")),
+        struct(col("ts_ns"), col("event_id"))).as("w"))
+      .select(col("user_id"), col("w.event_id").as("latest_event_id"),
+        col("w.event_type").as("latest_type")),
+    Some("SELECT user_id, event_id AS latest_event_id, event_type AS latest_type FROM (SELECT user_id, event_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"))
+
+  /** A3 — count / count-distinct parity check (JIRA/etl-245/main.py:20-55). */
+  val a3CountDistinct = Q(
+    (s, dir) => t(s, dir, "events")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_events")),
+    Some("SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types, count(*) AS n_events FROM events"))
+
+  /** A4 — group-and-batch (sns_to_glue/app.py:26-57): group by routing key,
+    * count members per batch.
+    */
+  val a4GroupBatch = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users")),
+    Some("SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"))
+
+  /** A5 — sample one representative row per group (get_representative_sample.py:55-66),
+    * deterministic pick instead of shuffle-then-drop-duplicates; min_by
+    * aggregate for the same skew-friendliness as A2.
+    */
+  val a5SamplePerGroup = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(min_by(col("event_id"),
+        struct(col("ts_ns"), col("event_id"))).as("sample_event_id")),
+    Some("SELECT event_type, event_id AS sample_event_id FROM (SELECT event_type, event_id, row_number() OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS rn FROM events) WHERE rn = 1"))
+
+  /** A3-salted — exact count-distinct with a salted value space: the
+    * skew-safe form for hot keys whose distinct-state would otherwise
+    * accumulate on a single reducer. Result is identical to a plain
+    * count-distinct (each distinct value lands in exactly one salt).
+    */
+  val a3SaltedDistinct = Q(
+    (s, dir) => Salted.countDistinct(
+      t(s, dir, "events"), Seq("event_type"), "user_id",
+      salts = 16, resultName = "n_users"),
+    Some("SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"))
+
+  /** A6 — max-over-group (archive_dataset.py:119-152). min/max are exact on
+    * doubles, so no rounding.
+    */
+  val a6MaxPerGroup = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(col("value")).as("max_value"), min(col("value")).as("min_value")),
+    Some("SELECT user_id, max(value) AS max_value, min(value) AS min_value FROM events GROUP BY user_id"))
+
+  // --------------------------------------------------------------------
+  // §2.7 Set ops, sorts, limits
+  // --------------------------------------------------------------------
+
+  /** SO1 — union of key sets + distinct (bootstrap_trigger.py:244-246). */
+  val so1UnionDistinct = Q(
+    (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct(),
+    Some("SELECT DISTINCT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer UNION ALL SELECT s_nationkey AS nationkey FROM supplier)"))
+
+  /** SO2 — deterministic global sort + top-N (order fully tie-broken). */
+  val so2SortTopN = Q(
+    (s, dir) => t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_totalprice")),
+    Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"))
+
+  /** SO3 — slice/truncation of a per-row list (the 10-error cap,
+    * s3_to_json_s3.py:814-818), emitted as a joined string for stable hashing.
+    */
+  val so3Slice = Q(
+    (s, dir) => t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 10)).as("head10")),
+    Some("SELECT doc_id, array_to_string(string_split(text, ' ')[1:10], ' ') AS head10 FROM documents"))
+
+  /** SO4 — batching: deterministic groups of 100 per routing key
+    * (bootstrap_trigger.py:163-181's grouped submission, distributed as a
+    * ranked batch assignment instead of a driver loop).
+    */
+  val so4Batching = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          row_number().over(w).as("rn"))
+        .select(col("event_id"), col("event_type"),
+          expr("CAST((rn - 1) div 100 AS INT) AS batch_no"))
+    },
+    Some("SELECT event_id, event_type, CAST((row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1) // 100 AS INT) AS batch_no FROM events"))
+
+  // --------------------------------------------------------------------
+  // §2.5 Restructuring (relationalize — the engine core)
+  // --------------------------------------------------------------------
+
+  /** R1 — relationalize an array-of-structs column into a child table with
+    * synthetic FK id + index, then join back to the parent to prove the FK
+    * linkage (json_s3_to_parquet.py:195-214; golden contract
+    * tests/test_json_s3_to_parquet.py:365-425). The nested input is built
+    * from orders+lineitem so the oracle can re-derive the flat output.
+    */
+  val r1Relationalize = Q(
+    (s, dir) => {
+      val nested = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"), col("l_quantity").as("qty")))).as("items"))
+      val tables = Relationalize.relationalize(
+        nested, "orders", keyCols = Seq("o_orderkey"))
+      tables("orders_items")
+        .join(tables("orders")
+          .select(col("items").as("id"), col("o_orderkey")), "id")
+        .select(col("o_orderkey"), col("index").as("idx"),
+          col("ln"), col("qty"))
+    },
+    Some("SELECT o_orderkey, CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) - 1 AS INT) AS idx, l_linenumber AS ln, l_quantity AS qty FROM lineitem JOIN orders ON o_orderkey = l_orderkey"))
+
+  /** R1-deep — two-level nesting: array of structs whose elements contain a
+    * further array; the grandchild keys on the child's (id, index) chain.
+    */
+  val r1DeepRelationalize = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val inner = li.groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
+      val nested = inner.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_returnflag").as("flag"), col("qtys")))).as("flags"))
+      val tables = Relationalize.relationalize(
+        nested, "li", keyCols = Seq("l_orderkey"), carryCols = Seq("l_orderkey"))
+      tables("li_flags_qtys")
+        .join(tables("li_flags").select(col("qtys").as("id"), col("flag")), "id")
+        .select(col("l_orderkey"), col("flag"),
+          col("index").as("idx"), col("qtys_val").as("qty"))
+    },
+    Some("SELECT l_orderkey, l_returnflag AS flag, CAST(row_number() OVER (PARTITION BY l_orderkey, l_returnflag ORDER BY l_quantity) - 1 AS INT) AS idx, l_quantity AS qty FROM lineitem"))
+
+  /** R2 — partition/index-column inheritance: carry columns flow into every
+    * child without the reference's distinct+re-join per child
+    * (json_s3_to_parquet.py:105-177).
+    */
+  val r2CarryCols = Q(
+    (s, dir) => {
+      val nested = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_nationkey"))
+        .agg(sort_array(collect_list(struct(
+          col("o_orderkey").as("okey"), col("o_totalprice").as("price")))).as("ords"))
+      val tables = Relationalize.relationalize(
+        nested, "cust", keyCols = Seq("c_custkey"),
+        carryCols = Seq("c_custkey", "c_nationkey"))
+      tables("cust_ords")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("index").as("idx"), col("okey"), col("price"))
+    },
+    Some("SELECT c_custkey, c_nationkey, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS INT) AS idx, o_orderkey AS okey, o_totalprice AS price FROM orders JOIN customer ON c_custkey = o_custkey"))
+
+  /** R3 — nested-field detection (json_s3_to_parquet.py:37-57): flat tables
+    * bypass relationalize, nested ones don't. Schema-only — no scan runs.
+    */
+  val r3NestedDetect = Q(
+    (s, dir) => {
+      import s.implicits._
+      val flat = t(s, dir, "lineitem")
+      val nested = flat.select(struct(col("l_orderkey")).as("s"),
+        array(col("l_quantity")).as("a"))
+      Seq(
+        ("flat", Relationalize.hasNestedFields(flat.schema)),
+        ("nested", Relationalize.hasNestedFields(nested.schema)))
+        .toDF("tbl", "has_nested")
+    },
+    Some("SELECT * FROM (VALUES ('flat', false), ('nested', true)) AS t(tbl, has_nested)"))
+
+  // --------------------------------------------------------------------
+  // Analytic surface: percentiles, rollup, windows, pivot
+  // --------------------------------------------------------------------
+
+  /** Exact grouped percentiles (builtin `percentile`, linear
+    * interpolation — same definition as SQL quantile_cont). The exact
+    * form is oracle-checkable; at 100 TB swap in approx_percentile
+    * (t-digest) per group, same plan shape.
+    */
+  val a7Percentile = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(min(col("value")), 4).as("vmin"),
+        round(max(col("value")), 4).as("vmax")),
+    Some("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, round(quantile_cont(value, 0.9), 4) AS p90, round(min(value), 4) AS vmin, round(max(value), 4) AS vmax FROM events GROUP BY 1"))
+
+  /** Sketch aggregates — the 100 TB form of count-distinct/quantiles
+    * (HLL++ and t-digest: mergeable partials, fixed memory, one pass, no
+    * exact-distinct shuffle). Sketch estimates are engine-specific, so
+    * the oracle checks the INVARIANT instead of the value: the estimate
+    * must land within the published error bound of the exact answer
+    * (HLL++ at default rsd 0.05 → assert |approx−exact|/exact ≤ 0.15,
+    * 3σ — plus an absolute floor of 3 counts, which at n_exact < 20 is
+    * LOOSER than 3σ; HLL small-cardinality bias correction makes the
+    * relative bound meaningless there, so the floor absorbs it.
+    * t-digest p50 is checked within the observed value range.) The
+    * exact figures in the output hash-match the oracle as usual.
+    */
+  val a10Sketches = Q(
+    (s, dir) => {
+      // Deliberately TWO aggregations joined, not one: countDistinct plans
+      // a first-level aggregate keyed (event_type, user_id), and mixing in
+      // imperative aggs (HLL, percentile) makes every per-USER group carry
+      // a full 52-long HLL sketch + QuantileSummaries buffer through two
+      // exchanges — 5× slower measured. Split, the exact branch stays in
+      // codegen'd hash aggregation and the sketch branch keeps one sketch
+      // per event_type; the rejoin is a broadcast of a handful of rows.
+      val ev = t(s, dir, "events")
+      val exact = ev.groupBy(col("event_type")).agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        round(min(col("value")), 4).as("vmin"),
+        round(max(col("value")), 4).as("vmax"))
+      val sketch = ev.groupBy(col("event_type")).agg(
+        approx_count_distinct(col("user_id")).as("n_approx"),
+        expr("approx_percentile(value, 0.5)").as("p50_approx"))
+      exact.join(broadcast(sketch), "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            greatest(col("n_exact") * 0.15, lit(3.0))).as("hll_ok"),
+          col("p50_approx").between(col("vmin"), col("vmax")).as("tdigest_ok"),
+          col("vmin"), col("vmax"))
+    },
+    Some("SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS hll_ok, true AS tdigest_ok, round(min(value), 4) AS vmin, round(max(value), 4) AS vmax FROM events GROUP BY 1"))
+
+  /** Hierarchical totals via rollup — subtotal + grand-total rows with
+    * NULL group markers, one pass (expand + hash agg), no union of
+    * re-scans.
+    */
+  val a8Rollup = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n")),
+    Some("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"))
+
+  /** A11 — full cube: all four grouping sets in one expand + hash-agg
+    * pass (the rollup's superset; both are Expand-based, never a union
+    * of re-scans). grouping_id disambiguates subtotal NULLs from data
+    * NULLs — emitted so the oracle compares marker semantics too.
+    */
+  val a11Cube = Q(
+    (s, dir) => t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        count(lit(1)).as("n")),
+    Some("SELECT o_orderstatus, o_orderpriority, " +
+      "CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid, " +
+      "round(sum(o_totalprice), 2) AS sum_price, count(*) AS n " +
+      "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"))
+
+  /** A12 — explicit GROUPING SETS (the general form rollup/cube
+    * specialize): per-status, per-priority, and grand-total aggregates
+    * in ONE pass — Spark expands the sets into a single Expand +
+    * aggregate, one shuffle for all three groupings.
+    */
+  val a12GroupingSets = Q(
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("a12_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+          round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        FROM a12_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    },
+    Some("SELECT o_orderstatus, o_orderpriority, CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid, round(sum(o_totalprice), 2) AS sum_price, count(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"))
+
+  /** SO9 — quantile-bucket assignment ([[graft.operators.Buckets]]):
+    * the length-curriculum assigner (short/medium/long/very-long
+    * mixes). One exact percentile aggregate yields the 3 thresholds
+    * (driver-sized model → plan literals); assignment is a pure
+    * projection, no second shuffle, retry-deterministic.
+    */
+  val so9QuantileBuckets = Q(
+    (s, dir) => graft.operators.Buckets.quantileBuckets(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", k = 4),
+    Some("WITH th AS (SELECT quantile_cont(n_chars, 0.25) AS q1, quantile_cont(n_chars, 0.5) AS q2, quantile_cont(n_chars, 0.75) AS q3 FROM documents) SELECT doc_id, n_chars, CAST(CASE WHEN n_chars <= q1 THEN 0 WHEN n_chars <= q2 THEN 1 WHEN n_chars <= q3 THEN 2 ELSE 3 END AS INT) AS bucket FROM documents, th"))
+
+  /** SO11 — per-group winsorization ([[graft.operators.Buckets]]):
+    * clip each event's value into its type's [p5, p95] envelope —
+    * outlier taming before normalization. The bounds table is
+    * group-sized (one row per event_type) and broadcast back onto the
+    * data; one aggregation + one narrow clip projection, never a sort.
+    * round(4) absorbs cross-engine interpolation ulps.
+    */
+  val so11Winsorize = Q(
+    (s, dir) => graft.operators.Buckets.winsorize(
+        t(s, dir, "events").select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), "value", 0.05, 0.95)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 4).as("value"),
+        round(col("value_w"), 4).as("value_w")),
+    Some("WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi FROM events GROUP BY 1) SELECT e.event_type, e.event_id, round(e.value, 4) AS value, round(least(greatest(e.value, b.lo), b.hi), 4) AS value_w FROM events e JOIN b USING (event_type)"))
+
+  /** Ordered analytic windows per user: row numbering, running sum, and
+    * lag — the deterministic (ts, event_id) ordering makes RANGE peers
+    * singletons, so both engines accumulate in the identical order.
+    */
+  val w1WindowFuncs = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).as("rn"),
+        round(sum(col("value")).over(w), 4).as("running_value"),
+        lag(col("event_id"), 1).over(w).as("prev_event"))
+    },
+    Some("SELECT user_id, event_id, CAST(row_number() OVER w AS INT) AS rn, round(sum(value) OVER w, 4) AS running_value, lag(event_id, 1) OVER w AS prev_event FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"))
+
+  /** W2 — RANGE-frame rolling features: per event, the trailing-hour
+    * event count and value sum for its user — the sliding-window
+    * feature-engineering shape (w1 covers ROWS frames; a RANGE frame
+    * bounds by the ORDER key's VALUE, so gaps and ties behave
+    * differently). Both engines frame over integral epoch-micros —
+    * identical peer and boundary semantics, no timestamp-precision
+    * ambiguity.
+    */
+  val w2RollingWindow = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value")).over(w), 4).as("value_1h"))
+    },
+    Some("SELECT user_id, event_id, CAST(count(*) OVER w AS BIGINT) AS n_1h, round(sum(value) OVER w, 4) AS value_1h FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"))
+
+  /** W3 — forward-fill (gap fill): nulls planted at event_id % 11
+    * carry the user's LAST observed value forward in (ts, event_id)
+    * order — the sensor/metrics imputation every time-series pipeline
+    * runs, as a per-user running `last(ignoreNulls)` window (no
+    * self-join, no global sort; the user partition is the
+    * parallelism unit). Leading nulls stay null — there is nothing to
+    * carry. Oracle: `last_value(... IGNORE NULLS)` over the same
+    * frame.
+    */
+  val w3GapFill = Q(
+    (s, dir) => {
+      val v = when(pmod(col("event_id"), lit(11)) === 0,
+        lit(null).cast("double")).otherwise(col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"), v.as("v"),
+        last(v, ignoreNulls = true).over(w).as("v_filled"))
+    },
+    Some("SELECT event_id, user_id, CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v, " +
+      "last_value(CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled FROM events"))
+
+  /** Pivot (long → wide counts over the closed event-type domain).
+    * Explicit pivot values keep the plan a single pass (no
+    * distinct-values pre-query) and the output schema static.
+    */
+  val a9Pivot = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L),
+    Some("SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS click, count(*) FILTER (WHERE event_type = 'error') AS error, count(*) FILTER (WHERE event_type = 'purchase') AS purchase, count(*) FILTER (WHERE event_type = 'signup') AS signup, count(*) FILTER (WHERE event_type = 'view') AS view FROM events GROUP BY 1"))
+
+  // --------------------------------------------------------------------
+  // §2.6 Validation surface (V1–V4)
+  // --------------------------------------------------------------------
+
+  /** V1 — 3-level schema resolution's nearest-revision rule as a broadcast
+    * as-of join (s3_to_json_s3.py:231-254): for each record (customer) the
+    * entry (supplier) with the greatest revision ≤ the record's revision
+    * within the key group. No shuffle of the record side — candidates are
+    * pre-sorted per key and broadcast.
+    */
+  val v1SchemaResolve = Q(
+    (s, dir) => SchemaResolver.resolveNearest(
+        records = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        entries = t(s, dir, "supplier")
+          .select(col("s_nationkey"), col("s_suppkey"), col("s_name")),
+        keys = Seq(("c_nationkey", "s_nationkey")),
+        recordRev = col("c_custkey"),
+        entryRevCol = "s_suppkey",
+        payloadCols = Seq("s_name"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("resolved_rev"), col("resolved_s_name")),
+    Some("SELECT c_custkey, c_nationkey, resolved_rev, resolved_s_name FROM (SELECT c_custkey, c_nationkey, s_suppkey AS resolved_rev, s_name AS resolved_s_name, row_number() OVER (PARTITION BY c_custkey ORDER BY s_suppkey DESC) AS rn FROM customer JOIN supplier ON s_nationkey = c_nationkey AND s_suppkey <= c_custkey) WHERE rn = 1"))
+
+  /** V2 — schema caching (s3_to_json_s3.py:285-299): resolving the same
+    * URLs repeatedly fetches each exactly once. Driver-side reference-data
+    * machinery, surfaced as a deterministic one-row result.
+    */
+  val v2SchemaCache = Q(
+    (s, dir) => {
+      import s.implicits._
+      var fetches = 0
+      val cache = new SchemaCache(url => { fetches += 1; s"""{"$$id": "$url"}""" })
+      val urls = Seq("u1", "u2", "u3", "u1", "u2", "u1")
+      urls.foreach(cache.get)
+      Seq((urls.length, cache.size, fetches))
+        .toDF("n_resolves", "n_cached", "n_fetches")
+    },
+    Some("SELECT * FROM (VALUES (6, 3, 3)) AS t(n_resolves, n_cached, n_fetches)"))
+
+  /** V3 — JSON-Schema validation over a payload column
+    * (s3_to_json_s3.py:302-415): three deterministic payload shapes (valid,
+    * missing required, wrong type) produce python-jsonschema-parity error
+    * strings the oracle re-derives per shape.
+    */
+  val v3Validate = Q(
+    (s, dir) => {
+      val schema =
+        """{"type": "object", "required": ["name", "size"],
+            "properties": {"name": {"type": "string"},
+                           "size": {"type": "integer"}}}"""
+      val validateUdf = udf((data: String) =>
+        JsonSchemaValidator.validate(data, schema))
+      val payload = when(col("n_chars") % 3 === 0,
+          concat(lit("{\"name\": \""), col("lang"), lit("\"}")))
+        .when(col("n_chars") % 3 === 1,
+          concat(lit("{\"name\": 7, \"size\": "), col("n_chars"), lit("}")))
+        .otherwise(concat(lit("{\"name\": \""), col("lang"),
+          lit("\", \"size\": "), col("n_chars"), lit("}")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("|", validateUdf(payload)).as("errs"))
+    },
+    Some("SELECT doc_id, CASE WHEN n_chars % 3 = 0 THEN '''size'' is a required property' WHEN n_chars % 3 = 1 THEN '7 is not of type ''string''' ELSE '' END AS errs FROM documents"))
+
+  /** V4 — expected-error suppression re-expressed over an errors array
+    * column (s3_to_json_s3.py:418-490): allowlisted errors drop (as a
+    * higher-order filter that preserves duplicates of unexpected errors,
+    * unlike array_except), survivors remain.
+    */
+  val v4Suppress = Q(
+    (s, dir) => {
+      val allow = ErrorSuppression.MetadataAllowed
+      val errs = array(
+        lit("'appName' is a required property"),
+        lit("'files' is a required property"),
+        when(col("n_chars") % 2 === 0,
+          concat(lit("'"), col("lang"), lit("' is not of type 'object'")))
+          .otherwise(lit("'appName' is a required property")))
+      t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("|", filter(errs, e => !e.isin(allow: _*))).as("remaining"))
+    },
+    Some("SELECT doc_id, CASE WHEN n_chars % 2 = 0 THEN '''' || lang || ''' is not of type ''object''' ELSE '' END AS remaining FROM documents"))
+
+  // --------------------------------------------------------------------
+  // §2.6 Scalar-function surface
+  // --------------------------------------------------------------------
+
+  /** V5 — timestamp part extraction (s3_to_json_s3.py:592-603). */
+  val v5TimestampParts = Q(
+    (s, dir) => t(s, dir, "events")
+      .select(
+        col("event_id"),
+        year(col("ts")).as("y"), month(col("ts")).as("m"), dayofmonth(col("ts")).as("d")),
+    Some("SELECT event_id, CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m, CAST(day(ts) AS INTEGER) AS d FROM events"))
+
+  /** V6 — string munging: prefix/suffix manipulation, separators
+    * (s3_to_json_s3.py:620-639).
+    */
+  val v6StringFns = Q(
+    (s, dir) => t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        regexp_replace(col("p_type"), " ", "_").as("type_norm"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len")),
+    Some("SELECT p_partkey, upper(p_name) AS name_upper, replace(p_type, ' ', '_') AS type_norm, p_brand || '#' || p_type AS brand_type, CAST(length(p_name) AS INTEGER) AS name_len FROM part"))
+
+  // --------------------------------------------------------------------
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import org.apache.spark.sql.types.StructType
+
+import graft.ann.Ann
+import graft.dedup.{Clusters, Dedup, SimHash}
+import graft.ingest.{FileListing, Router, ZipSource}
+import graft.multimodal.Multimodal
+import graft.operators.Salted
+import graft.pipeline.SchemaEvolution
+import graft.schema.{ColumnSpec, TableSpec}
+import graft.streaming.Bookmark
+import graft.text.{Dsir, TextAnalysis}
+import graft.relationalize.Relationalize
+import graft.sources.{JsonDataset, ParquetDataset, TarShards, Warc}
+import graft.validate.{ErrorSuppression, FileMetadata, JsonSchemaValidator, SchemaCache, SchemaResolver}
+
+
+/** Shared kit for the tier entry files: the registry row type `Q`
+  * (query function + DuckDB oracle SQL), the table loader, and the
+  * scratch-dir policy. Split out of SparkEntry so each tier registers
+  * against one definition.
+  */
+private[graft] object EntryKit {
+  type QFn = (SparkSession, String) => DataFrame
+  final case class Q(fn: QFn, oracle: Option[String])
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Scratch dirs for entry-local sinks, checkpoints, and state stores:
+    * prefer tmpfs (`/dev/shm`) when present so the streaming entries'
+    * checkpoint/file-sink I/O measures the OPERATOR, not the
+    * container's disk — at sf0.1 the five slowest registry entries were
+    * all streaming drains whose cost was dominated by checkpoint fsyncs
+    * on `/tmp`, burying real plan regressions in I/O noise. Production
+    * checkpoints belong on durable storage (HDFS/S3); this relocates
+    * only the LOCAL bench/verify scratch.
+    */
+  def scratchPath(prefix: String): java.nio.file.Path = {
+    // honor an explicit override first (GRAFT_SCRATCH_DIR), then prefer
+    // shm only when it can actually hold sf0.1-scale fixtures — Docker's
+    // default /dev/shm is 64 MB, writable but useless, and ENOSPC
+    // mid-drain is worse than slow fsyncs
+    val MinShmBytes = 8L << 30
+    val override_ = sys.env.get("GRAFT_SCRATCH_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .filter(java.nio.file.Files.isDirectory(_))
+    val shm = override_.orElse {
+      Some(java.nio.file.Paths.get("/dev/shm")).filter(p =>
+        java.nio.file.Files.isDirectory(p) &&
+          java.nio.file.Files.isWritable(p) &&
+          (try java.nio.file.Files.getFileStore(p)
+            .getUsableSpace >= MinShmBytes
+          catch { case _: java.io.IOException => false }))
+    }
+    shm match {
+      case Some(p) => java.nio.file.Files.createTempDirectory(p, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
+  }
+
+}

@@ -147,7 +147,7 @@ class PlanAuditSpec extends SparkSpec {
       .select(col("o_custkey"), col("o_totalprice"))
       .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
       .option("path", s"$tmp/o").saveAsTable("j5_spec_ord")
-    val p = SparkEntry.bucketedJoin(
+    val p = EntriesRelational.bucketedJoin(
       spark.table("j5_spec_cust"), spark.table("j5_spec_ord"))
       .queryExecution.explainString(FormattedMode)
     assert(p.contains("SortMergeJoin"))
