@@ -747,4 +747,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!wm.contains("Join"), wm)
     assert(wm.contains("HashAggregate"), wm)
   }
+
+  test("round-13 entries: self-kNN IVF shuffles both sides on the " +
+      "cluster key (no corpus broadcast); batch mode broadcasts the " +
+      "probed batch; seeding is one aggregate chain") {
+    // self-gating (entry path, broadcastProbes = false): the scoring
+    // join must be a shuffle join — a corpus-sized broadcast is exactly
+    // the plan that dies at 100× (only the tiny centroid table may
+    // broadcast, inside the probe-ranking cross join)
+    for (name <- Seq("ann_knn_outliers_ivf", "ann_knn_outliers_ivf_pruned")) {
+      val p = plan(name)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"$name: no shuffle join in\n$p")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+    // batch mode (serving shape): the nprobe-expanded 2-row batch
+    // broadcasts; the corpus-side scan never shuffles for the scoring
+    // join
+    val batch = graft.ann.Ann.knnOutliersIvf(
+      Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding",
+      "label", k = 2, minSim = 0.5, nprobe = 2,
+      queries = Some(Tables.load(spark, sfDir, "embeddings")
+        .where(org.apache.spark.sql.functions.col("vec_id") < 2)))
+      .queryExecution.explainString(FormattedMode)
+    assert(batch.contains("BroadcastHashJoin"), batch)
+    // unigram-LM seeding entry: word aggregate → substring explosion →
+    // piece aggregate → TakeOrdered head; no join anywhere
+    val ug = plan("text_unigram_lm")
+    assert(!ug.contains("Join") && !ug.contains("CartesianProduct"), ug)
+    assert(ug.contains("TakeOrderedAndProject"), ug)
+  }
 }
