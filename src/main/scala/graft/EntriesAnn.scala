@@ -943,6 +943,62 @@ private[graft] object EntriesAnn {
   val annIndexCache =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Incremental UPSERT into the persisted IVF-PQ index ([[Ann
+    * .upsertIndex]]) — the maintenance half of the persist-once/
+    * query-many lifecycle that `ann_index_persist` only builds: the
+    * index is built from the EVEN vectors (even-seeded codebook,
+    * even-side pivot centroids), the ODD batch is then assigned to its
+    * nearest coarse centroid, encoded with the PERSISTED codebook
+    * (immutable serving state), and appended to the cluster-partitioned
+    * codes table — touching only the clusters the batch lands in, so
+    * upsert cost tracks the batch, never the index. Serving over the
+    * merged index answers mixed-parity queries. The oracle replays the
+    * whole chain: even-seed codebook, even pivot centroids, the odd
+    * batch's cosine assignment (4-rounded, label-asc tiebreak),
+    * per-subspace code argmin, probe ranking, ADC, rank. The scratch
+    * path is FRESH per invocation (parquet append is not idempotent;
+    * a cached path would double-append under the bench's re-runs).
+    */
+  val annIndexUpsert = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val path = scratchPath("graft_annups").toString
+      PhaseTimer.phase("build_save") {
+        Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
+          .join(even.select(col("vec_id"), col("label")), "vec_id"),
+          "label", cb, path)
+      }
+      PhaseTimer.phase("upsert") {
+        Ann.upsertIndex(s, path, odd, "vec_id", "embedding", cents, "label")
+      }
+      val (codes, cbLoaded) = Ann.loadIndex(s, path)
+      Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cbLoaded, k = 5, nprobe = 3)
+    },
+    Some("WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "coarse AS (SELECT label, arg_min(e, vec_id) AS cv FROM v WHERE vec_id % 2 = 0 GROUP BY label), " +
+      "sub AS (SELECT unnest(generate_series(0, 7)) AS s), " +
+      "seeds AS (SELECT vec_id, e FROM v WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16), " +
+      "cent AS (SELECT sub.s, seeds.vec_id AS cj, seeds.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS cv FROM seeds CROSS JOIN sub), " +
+      "oas AS (SELECT o.vec_id, c.label AS cl, row_number() OVER (PARTITION BY o.vec_id ORDER BY round(list_cosine_similarity(o.e, c.cv), 4) DESC, c.label) AS rn FROM v o CROSS JOIN coarse c WHERE o.vec_id % 2 = 1), " +
+      "clus AS (SELECT vec_id, label AS cl FROM v WHERE vec_id % 2 = 0 UNION ALL SELECT vec_id, cl FROM oas WHERE rn = 1), " +
+      "sl AS (SELECT v.vec_id, sub.s, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS sv FROM v CROSS JOIN sub), " +
+      "asg AS (SELECT sl.vec_id, sl.s, cent.cj, row_number() OVER (PARTITION BY sl.vec_id, sl.s ORDER BY round(list_inner_product(sv, sv) - 2*list_inner_product(sv, cv) + list_inner_product(cv, cv), 9), cent.cj) AS rn FROM sl JOIN cent ON cent.s = sl.s), " +
+      "code AS (SELECT asg.vec_id, clus.cl, asg.s, asg.cj FROM asg JOIN clus ON clus.vec_id = asg.vec_id WHERE asg.rn = 1), " +
+      "q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10), " +
+      "probe AS (SELECT q_id, qe, label, row_number() OVER (PARTITION BY q_id ORDER BY round(list_cosine_similarity(qe, cv), 4) DESC, label) AS crank FROM q CROSS JOIN coarse), " +
+      "pr AS (SELECT q_id, qe, label FROM probe WHERE crank <= 3), " +
+      "qsl AS (SELECT q_id, pr.label, sub.s, qe[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS qv FROM pr CROSS JOIN sub), " +
+      "term AS (SELECT qsl.q_id, code.vec_id AS nid, round(list_inner_product(qv, qv) - 2*list_inner_product(qv, cv) + list_inner_product(cv, cv), 9) AS t FROM qsl JOIN code ON code.s = qsl.s AND code.cl = qsl.label JOIN cent ON cent.s = code.s AND cent.cj = code.cj), " +
+      "adc0 AS (SELECT q_id, nid, round(sum(t), 4) AS adc FROM term GROUP BY 1, 2), " +
+      "r AS (SELECT q_id, nid, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc, nid) AS rank FROM adc0 WHERE q_id <> nid) " +
+      "SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5"))
+
   /** IVF quantizer TRAINING ([[Ann.kmeans]], deterministic Lloyd's):
     * k=8, 3 iterations over the embedding corpus. The oracle is
     * invariant-style (a10 pattern): DuckDB pins the exact corpus count;

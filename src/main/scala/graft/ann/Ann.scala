@@ -1061,6 +1061,59 @@ object Ann {
     (codes, PqCodebook(m, subDim, cents))
   }
 
+  /** Nearest-coarse-centroid assignment of a batch — the shared
+    * deterministic rule ([[semanticDedup]]'s assignment stage, exposed):
+    * argmax of round(cos, 4) with a cluster-id tiebreak against a
+    * broadcast centroid table; the map-side `min_by` partial collapses
+    * the k candidate rows per vector BEFORE any shuffle. Returns
+    * (id, cluster).
+    */
+  def assignClusters(
+      batch: DataFrame, id: String, vec: String,
+      centTable: DataFrame, cluster: String): DataFrame = {
+    val cents = centTable
+      .select(col(cluster).as("__cl"), toDouble(col("centroid")).as("cv"))
+      .withColumn("__cn", sqrt(dotD(col("cv"), col("cv"))))
+    widen(prepared(batch, id, vec, "__id", "__v", "__n"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(dotD(col("__v"), col("cv")) / (col("__n") * col("__cn")), 4))
+      .groupBy(col("__id"))
+      .agg(min_by(col("__cl"),
+        struct((-col("csim")).as("d"), col("__cl"))).as("__c"))
+      .select(col("__id").as(id), col("__c").as(cluster))
+  }
+
+  /** Append a batch to a persisted IVF-PQ index ([[saveIndex]] layout):
+    * assign each new vector to its nearest coarse centroid
+    * ([[assignClusters]]), encode it with the index's PERSISTED
+    * codebook — the codebook is immutable serving state: re-training on
+    * upsert would silently re-meaning every existing code — and append
+    * the rows to the cluster-partitioned codes table. The write touches
+    * only the partitions the batch lands in; existing cluster files are
+    * never rewritten, so probe-routed serving keeps its file-level
+    * pruning and the upsert cost tracks the BATCH, not the index.
+    * This is the maintenance half of the persist-once/query-many
+    * lifecycle: a growing corpus ingests by batch upsert + periodic
+    * re-train, not by index rebuild per refresh.
+    *
+    * NOT idempotent across replays by itself (parquet append): callers
+    * re-running a failed batch should write to a fresh staging path or
+    * dedup on id at serve — the bookmark-manifest discipline
+    * ([[graft.streaming.Bookmark]]) is the replay guard at the pipeline
+    * altitude.
+    */
+  def upsertIndex(
+      spark: SparkSession, path: String, batch: DataFrame,
+      id: String, vec: String,
+      centTable: DataFrame, cluster: String): Unit = {
+    val (_, cb) = loadIndex(spark, path)
+    val assigned = assignClusters(batch, id, vec, centTable, cluster)
+    pqEncode(batch, id, vec, cb)
+      .join(assigned, id)
+      .write.mode("append").partitionBy(cluster).parquet(s"$path/codes")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): assign every embedding to its nearest coarse
     * centroid, find cosine near-duplicate pairs WITHIN each cluster,

@@ -355,6 +355,45 @@ class AnnSpec extends SparkSpec {
         q, "vec_id", "embedding", cb, k = 3, nprobe = 2)))
   }
 
+  test("upsertIndex: batch assigns to nearest pivot centroid, encodes " +
+      "with the persisted codebook, and the merged index serves like a " +
+      "one-shot build of the same rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annups").toString
+    // base = ids 0-3 (labels 0/1 only): the batch (4, 5, 10) must land
+    // on the base's pivots — including label-2 rows with no own cluster
+    val base = corpus.where($"vec_id" <= 3)
+    val batch = corpus.where($"vec_id" > 3)
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, tmp)
+    Ann.upsertIndex(spark, tmp, batch, "vec_id", "embedding", cents, "label")
+    val (codes, cbLoaded) = Ann.loadIndex(spark, tmp)
+    // nothing lost, nothing rewritten: one row per corpus vector
+    assert(codes.count() == corpus.count())
+    // the batch rows carry the ASSIGNED cluster (nearest base pivot by
+    // 4-rounded cosine, cluster-asc tiebreak) — independently recomputed
+    val expected = Ann.assignClusters(batch, "vec_id", "embedding",
+        cents, "label")
+      .as[(Long, Int)].collect().toMap
+    val got = codes.select($"vec_id", col("label").cast("int"))
+      .as[(Long, Int)].collect().toMap
+      .view.filterKeys(expected.contains).toMap
+    assert(got == expected)
+    // serve parity: the upserted index answers exactly like an index
+    // built in one shot from the same (id, cluster, codes) rows
+    val oneShot = Ann.pqEncode(corpus, "vec_id", "embedding", cb)
+      .join(codes.select($"vec_id", col("label").cast("int").as("label")),
+        "vec_id")
+    val q = corpus.where($"vec_id" === 0L)
+    def rows2(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(rows2(Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+        q, "vec_id", "embedding", cbLoaded, k = 3, nprobe = 2)) ==
+      rows2(Ann.ivfPqTopK(oneShot, "vec_id", "label", cents,
+        q, "vec_id", "embedding", cb, k = 3, nprobe = 2)))
+  }
+
   test("kmeans survives k exceeding the distinct-point count") {
     val tiny = Seq((1L, unit(0), 0), (2L, unit(0), 0), (3L, unit(2), 1))
       .toDF("vec_id", "embedding", "label")
