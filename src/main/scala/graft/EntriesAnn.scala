@@ -999,6 +999,49 @@ private[graft] object EntriesAnn {
       "r AS (SELECT q_id, nid, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc, nid) AS rank FROM adc0 WHERE q_id <> nid) " +
       "SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5"))
 
+  /** STREAMING maintenance of the persisted IVF-PQ index ([[graft
+    * .streaming.StreamingIngest.annIndexUpsertDrain]]): the odd batch
+    * arrives as a file STREAM in multiple micro-batches
+    * (maxFilesPerTrigger = 1 over a 4-file input), each assigned +
+    * encoded with the persisted models and staged to a batch-keyed
+    * overwrite partition (the replay guard plain append lacks), and
+    * serving reads codes ∪ stream. Assignment and encoding are pure
+    * per-row functions of broadcast models, so the drained index must
+    * be INDEPENDENT of how the source batched the input: the entry
+    * shares `ann_index_upsert`'s oracle VERBATIM — the
+    * st_weighted_sample parity discipline.
+    */
+  val stAnnIndexUpsert = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val path = scratchPath("graft_st_ann").toString
+      PhaseTimer.phase("build_save") {
+        Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
+          .join(even.select(col("vec_id"), col("label")), "vec_id"),
+          "label", cb, path)
+      }
+      odd.repartition(4).write.parquet(s"$path/in")
+      val stream = s.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$path/in")
+      PhaseTimer.phase("stream_upsert") {
+        graft.streaming.StreamingIngest.annIndexUpsertDrain(
+            stream, path, s"$path/ckpt", "vec_id", "embedding",
+            cents, "label")
+          .awaitTermination()
+      }
+      val (_, cbLoaded) = Ann.loadIndex(s, path)
+      val codes = graft.streaming.StreamingIngest.loadStreamedCodes(
+        s, path, "vec_id", "label")
+      Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cbLoaded, k = 5, nprobe = 3)
+    },
+    annIndexUpsert.oracle)
+
   /** IVF quantizer TRAINING ([[Ann.kmeans]], deterministic Lloyd's):
     * k=8, 3 iterations over the embedding corpus. The oracle is
     * invariant-style (a10 pattern): DuckDB pins the exact corpus count;

@@ -651,4 +651,61 @@ object StreamingIngest {
           winner
       }
   }
+
+  /** Streaming maintenance of a persisted IVF-PQ index ([[graft.ann
+    * .Ann.saveIndex]] layout): each micro-batch of new vectors is
+    * assigned to its nearest coarse centroid and encoded with the
+    * index's PERSISTED codebook ([[graft.ann.Ann.upsertIndex]]
+    * semantics), then written to a BATCH-KEYED staging partition
+    * (`<index>/stream/batch=<id>/<cluster>=…`) in overwrite mode — the
+    * replay guard [[graft.ann.Ann.upsertIndex]]'s plain parquet append
+    * lacks: foreachBatch is at-least-once, and a retried batch here
+    * overwrites its own staging directory and lands byte-identically
+    * instead of double-appending. Serving reads codes ∪ stream (see
+    * [[loadStreamedCodes]]); a compaction job can periodically fold the
+    * staging partitions into the main codes table.
+    *
+    * Assignment and encoding are pure per-row functions of the
+    * broadcast models, so the drained index is INDEPENDENT of how the
+    * file source batched the input — the entry shares the one-shot
+    * upsert oracle verbatim (the st_weighted_sample parity discipline).
+    */
+  def annIndexUpsertDrain(
+      stream: DataFrame, indexPath: String, checkpoint: String,
+      id: String, vec: String,
+      centTable: DataFrame, cluster: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val (_, cb) = graft.ann.Ann.loadIndex(spark, indexPath)
+        val assigned = graft.ann.Ann.assignClusters(
+          batch.toDF(), id, vec, centTable, cluster)
+        graft.ann.Ann.pqEncode(batch.toDF(), id, vec, cb)
+          .join(assigned, id)
+          .write.mode("overwrite").partitionBy(cluster)
+          .parquet(s"$indexPath/stream/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The serving view over a streamed-into index: the persisted codes
+    * table unioned with every staged micro-batch (the `batch` partition
+    * column drops out — it is replay bookkeeping, not index data).
+    * Cluster-partition pruning holds on both legs: `cluster` is a
+    * partition column in the main table AND inside each staging dir.
+    */
+  def loadStreamedCodes(
+      spark: SparkSession, indexPath: String,
+      id: String, cluster: String): DataFrame = {
+    val codes = spark.read.parquet(s"$indexPath/codes")
+      .select(col(id), col("codes"), col(cluster))
+    val stagedPath = new org.apache.hadoop.fs.Path(s"$indexPath/stream")
+    val fs = stagedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stagedPath)) codes
+    else codes.unionByName(
+      spark.read.parquet(s"$indexPath/stream")
+        .select(col(id), col("codes"), col(cluster)))
+  }
 }

@@ -574,4 +574,50 @@ class StreamingIngestSpec extends SparkSpec {
     drain()
     assert(spark.read.parquet(s"$tmp/out").count() == out.size)
   }
+
+  test("annIndexUpsertDrain: micro-batched upserts equal the one-shot " +
+      "upsert; a drained-again index is unchanged (replay guard)") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val emb = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (1L, unit(0), 0), (3L, unit(2), 1),
+      (5L, unit(4), 2), (7L, unit(4), 2))
+      .toDF("vec_id", "embedding", "label")
+    val even = emb.where($"vec_id" % 2 === 0)
+    val odd = emb.where($"vec_id" % 2 === 1)
+    val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+    def build(path: String): Unit =
+      Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
+        .join(even.select($"vec_id", $"label"), "vec_id"), "label", cb, path)
+    // streamed path: 3 files → 3 micro-batches
+    val st = Files.createTempDirectory("graft_st_ann").toString
+    build(st)
+    odd.repartition(3).write.parquet(s"$st/in")
+    def drain(): Unit = StreamingIngest.annIndexUpsertDrain(
+      spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$st/in"),
+      st, s"$st/ckpt", "vec_id", "embedding", cents, "label")
+      .awaitTermination()
+    drain()
+    // one-shot path on a second index
+    val os = Files.createTempDirectory("graft_os_ann").toString
+    build(os)
+    Ann.upsertIndex(spark, os, odd, "vec_id", "embedding", cents, "label")
+    def rows(codes: org.apache.spark.sql.DataFrame) = codes
+      .select($"vec_id", col("label").cast("int"), $"codes")
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1).toSeq
+    val streamed = rows(StreamingIngest.loadStreamedCodes(
+      spark, st, "vec_id", "label"))
+    val oneShot = rows(Ann.loadIndex(spark, os)._1)
+    assert(streamed == oneShot && streamed.size == 8)
+    // replay guard: draining again with a committed checkpoint (and
+    // nothing new) must leave the index byte-equal, not double-upsert
+    drain()
+    assert(rows(StreamingIngest.loadStreamedCodes(
+      spark, st, "vec_id", "label")) == streamed)
+  }
 }
