@@ -1042,6 +1042,44 @@ private[graft] object EntriesAnn {
     },
     annIndexUpsert.oracle)
 
+  /** Staged-index COMPACTION ([[graft.streaming.StreamingIngest
+    * .compactStreamedIndex]]): after the streamed upserts, the staging
+    * partitions fold into the main codes table via the crash-safe
+    * version-and-swap (never an in-place mutate, never a double-count —
+    * see the method doc), and serving switches back to the plain
+    * [[Ann.loadIndex]] path with zero staging dirs left. Serving
+    * results are INVARIANT under compaction, which the entry proves by
+    * sharing the upsert oracle VERBATIM a third time: one-shot upsert,
+    * streamed upsert, and compacted stream must all serve identically.
+    */
+  val annIndexCompact = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val path = scratchPath("graft_ann_cmp").toString
+      Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
+        .join(even.select(col("vec_id"), col("label")), "vec_id"),
+        "label", cb, path)
+      odd.repartition(4).write.parquet(s"$path/in")
+      graft.streaming.StreamingIngest.annIndexUpsertDrain(
+          s.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$path/in"),
+          path, s"$path/ckpt", "vec_id", "embedding", cents, "label")
+        .awaitTermination()
+      PhaseTimer.phase("compact") {
+        graft.streaming.StreamingIngest.compactStreamedIndex(
+          s, path, "vec_id", "label")
+      }
+      val (codes, cbLoaded) = Ann.loadIndex(s, path)
+      Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cbLoaded, k = 5, nprobe = 3)
+    },
+    annIndexUpsert.oracle)
+
   /** IVF quantizer TRAINING ([[Ann.kmeans]], deterministic Lloyd's):
     * k=8, 3 iterations over the embedding corpus. The oracle is
     * invariant-style (a10 pattern): DuckDB pins the exact corpus count;

@@ -708,4 +708,49 @@ object StreamingIngest {
       spark.read.parquet(s"$indexPath/stream")
         .select(col(id), col("codes"), col(cluster)))
   }
+
+  /** Fold the staged micro-batch partitions into the main codes table —
+    * the periodic half of the stream-upsert lifecycle: staging dirs
+    * accumulate one directory per micro-batch, and a serve that unions
+    * hundreds of them pays file-listing and small-file costs the
+    * compacted table doesn't. Serving results are INVARIANT under
+    * compaction (same rows, same cluster partitioning — the entry
+    * proves it by sharing the upsert oracle).
+    *
+    * Crash-safe in the SchemaEvolution discipline — the danger is a
+    * failure between "codes rewritten" and "staging cleared" replaying
+    * staged rows into a table that already contains them, so the fold
+    * never mutates in place: (1) write codes ∪ stream to a fresh
+    * `codes_v<n+1>` (pick the first version suffix that does not exist;
+    * a re-run after a crash mid-write just overwrites the same
+    * half-written dir), (2) atomically swap the `codes` pointer (rename
+    * codes → codes_old_v<n+1>, codes_v<n+1> → codes), (3) only then
+    * delete staging and the old table. A crash before (2) leaves the
+    * live index untouched; a crash between (2) and (3) leaves stale
+    * side dirs that the next compaction ignores (they are not `codes`
+    * and not `stream`) — never a double-count.
+    */
+  def compactStreamedIndex(
+      spark: SparkSession, indexPath: String,
+      id: String, cluster: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stream = new org.apache.hadoop.fs.Path(s"$indexPath/stream")
+    if (!fs.exists(stream)) return
+    val n = Iterator.from(1).find(i =>
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/codes_v$i")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"$indexPath/codes_old_v$i"))).get
+    val next = new org.apache.hadoop.fs.Path(s"$indexPath/codes_v$n")
+    loadStreamedCodes(spark, indexPath, id, cluster)
+      .write.mode("overwrite").partitionBy(cluster)
+      .parquet(next.toString)
+    val live = new org.apache.hadoop.fs.Path(s"$indexPath/codes")
+    val old = new org.apache.hadoop.fs.Path(s"$indexPath/codes_old_v$n")
+    require(fs.rename(live, old), s"could not retire $live")
+    require(fs.rename(next, live), s"could not promote $next")
+    fs.delete(stream, true)
+    fs.delete(old, true)
+    ()
+  }
 }

@@ -619,5 +619,15 @@ class StreamingIngestSpec extends SparkSpec {
     drain()
     assert(rows(StreamingIngest.loadStreamedCodes(
       spark, st, "vec_id", "label")) == streamed)
+    // compaction folds staging into codes: same rows via EITHER loader,
+    // staging gone, and a second compaction is a no-op (nothing staged)
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    assert(rows(Ann.loadIndex(spark, st)._1) == streamed)
+    assert(rows(StreamingIngest.loadStreamedCodes(
+      spark, st, "vec_id", "label")) == streamed)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/stream")))
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    assert(rows(Ann.loadIndex(spark, st)._1) == streamed)
   }
 }
