@@ -209,6 +209,34 @@ object Bpe {
       .limit(k)
   }
 
+  /** Persist a trained merge list as one parquet table ((rank, a, b),
+    * rank = training order — the rank table IS the tokenizer) — the
+    * artifact half of the persist-once/encode-many lifecycle, same
+    * rationale as [[UnigramLm.save]]: a corpus tokenizes against ONE
+    * frozen artifact across jobs; retraining per job would silently
+    * shift every token boundary downstream.
+    */
+  def save(spark: SparkSession, merges: Seq[(String, String)],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "a", "b")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted merge list in training order ([[save]]'s inverse —
+    * BpeSpec pins the round-trip).
+    */
+  def load(spark: SparkSession, path: String): Seq[(String, String)] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("a"), col("b"))
+      .as[(Int, String, String)].collect()
+    require(rows.nonEmpty, s"no BPE merge list at $path")
+    rows.sortBy(_._1).map { case (_, a, b) => (a, b) }.toSeq
+  }
+
   /** Encode one word with the greedy lowest-rank-first merge loop (the
     * GPT-2 reference algorithm): repeatedly merge every occurrence of
     * the known pair with the smallest rank until none remains.

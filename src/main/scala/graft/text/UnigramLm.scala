@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Unigram-language-model subword tokenization (Kudo 2018,
@@ -338,6 +338,36 @@ object UnigramLm {
     var i = n
     while (i > 0) { rev.prepend(word.substring(back(i), i)); i = back(i) }
     rev.toVector
+  }
+
+  /** Persist a trained model as one parquet table ((rank, piece, logp),
+    * rank = the train-order position) — the tokenizer-artifact half of
+    * the persist-once/encode-many lifecycle: a 100 TB corpus tokenizes
+    * against ONE frozen artifact across jobs and weeks, and retraining
+    * per job would silently shift every token boundary downstream
+    * (packing, spans, counts). Parquet rather than a driver-format
+    * file so the artifact lives next to the data on the same store and
+    * survives engine swaps.
+    */
+  def save(spark: SparkSession, model: Seq[(String, Double)],
+      path: String): Unit = {
+    import spark.implicits._
+    model.zipWithIndex
+      .map { case ((p, lp), r) => (r, p, lp) }
+      .toDF("rank", "piece", "logp")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted model in training order ([[save]]'s inverse —
+    * UnigramLmSpec pins the byte round-trip).
+    */
+  def load(spark: SparkSession, path: String): Seq[(String, Double)] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("piece"), col("logp"))
+      .as[(Int, String, Double)].collect()
+    require(rows.nonEmpty, s"no unigram-LM model at $path")
+    rows.sortBy(_._1).map { case (_, p, lp) => (p, lp) }.toSeq
   }
 
   /** Per-document subword token sequences under a trained model:

@@ -91,4 +91,19 @@ class BpeSpec extends SparkSpec {
     // round-trip: concatenating subwords (minus markers) re-spells the text
     assert(got(0)._2.mkString.replace("</w>", " ").trim == "lowest newest")
   }
+
+  test("save/load round-trips the merge list in training order and the " +
+      "reloaded artifact encodes identically") {
+    val merges = Bpe.train(corpus, "text", numMerges = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Bpe.save(spark, merges, tmp)
+    val back = Bpe.load(spark, tmp)
+    assert(back == merges)
+    val docs = Seq((1L, "lowest newest")).toDF("doc_id", "text")
+    assert(
+      Bpe.encodeTokens(docs, "doc_id", "text", back)
+        .collect().map(_.toSeq).toSeq ==
+        Bpe.encodeTokens(docs, "doc_id", "text", merges)
+          .collect().map(_.toSeq).toSeq)
+  }
 }

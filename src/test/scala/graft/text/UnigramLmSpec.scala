@@ -118,6 +118,23 @@ class UnigramLmSpec extends SparkSpec {
     assert(UnigramLm.viterbi("", m, 2) == Vector.empty)
   }
 
+  test("save/load round-trips the model in training order and the " +
+      "reloaded artifact encodes identically") {
+    val docs = Seq((1L, "abab abab cdcd")).toDF("doc_id", "text")
+    val model = UnigramLm.train(docs, "text", vocabSize = 6,
+      maxPieceLen = 2, emIters = 1)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_unigram").toString
+    UnigramLm.save(spark, model, tmp)
+    val back = UnigramLm.load(spark, tmp)
+    assert(back == model)
+    val enc = UnigramLm.encodeTokens(docs, "doc_id", "text", model, 2)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val encBack = UnigramLm.encodeTokens(docs, "doc_id", "text", back, 2)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(encBack == enc)
+  }
+
   test("encodeTokens: lossless concatenation, counts match") {
     val docs = Seq((1L, "abab cd"), (2L, "")).toDF("doc_id", "text")
     val model = UnigramLm.train(docs, "text", vocabSize = 10,
