@@ -977,4 +977,46 @@ object PropertySpec extends Properties("graft") {
       Prop(lightHits.max <= heavyHits - 5) :|
         s"max light ${lightHits.max} vs heavy $heavyHits"
   }
+
+  private val outlierCorpusGen: Gen[(List[(Long, Seq[Float], Int)], Int, Int)] =
+    for {
+      n <- Gen.chooseNum(3, 14)
+      nClusters <- Gen.chooseNum(1, 4)
+      dim = 6
+      vecs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-3, 3)))
+      labels <- Gen.listOfN(n, Gen.chooseNum(0, nClusters - 1))
+      k <- Gen.chooseNum(1, 4)
+      nprobe <- Gen.chooseNum(1, nClusters)
+    } yield (
+      vecs.zip(labels).zipWithIndex.collect {
+        // keep the zero vector out: cosine against it is undefined
+        case ((v, l), i) if v.exists(_ != 0) =>
+          (i.toLong, v.map(_.toFloat): Seq[Float], l)
+      },
+      k, nprobe)
+
+  property("knnOutliersIvf conservative-gate containment: at ANY nprobe " +
+      "every brute outlier stays flagged, and every corpus row appears") =
+    Prop.forAllNoShrink(outlierCorpusGen) { case (rows, k, nprobe) =>
+      if (rows.size < 2) Prop.passed else {
+        val df = {
+          val s = spark
+          import s.implicits._
+          rows.toDF("vec_id", "embedding", "label")
+        }
+        import graft.ann.Ann
+        def gate(d: org.apache.spark.sql.DataFrame) = d.collect()
+          .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+        val brute = gate(Ann.knnOutliers(df, "vec_id", "embedding",
+          k, minSim = 0.3))
+        val pruned = gate(Ann.knnOutliersIvf(df, "vec_id", "embedding",
+          "label", k, minSim = 0.3, nprobe = nprobe))
+        val allRows = pruned.keySet == rows.map(_._1).toSet
+        val contained = brute.forall { case (id, flag) =>
+          !flag || pruned(id)
+        }
+        Prop(allRows) :| s"missing rows: ${rows.map(_._1).toSet -- pruned.keySet}" &&
+          Prop(contained) :| s"brute=$brute pruned=$pruned k=$k nprobe=$nprobe"
+      }
+    }
 }
