@@ -1080,6 +1080,41 @@ private[graft] object EntriesAnn {
     },
     annIndexUpsert.oracle)
 
+  /** In-context-pretraining pack ([[Ann.icpOrder]], Shi et al. 2023):
+    * documents ordered so semantic neighbors sit adjacent — nearest
+    * pivot centroid, then descending centroid similarity within the
+    * cluster — and packed into 256-token training rows WITHIN each
+    * cluster, so every training sequence fills from one semantic
+    * neighborhood instead of the id-order baseline
+    * (`text_pack_sequences`). The pack's cumsum window partitions on
+    * the cluster (bounded), never globally. Oracle replays assignment,
+    * ordering, and the exclusive-cumsum pack arithmetic; documents
+    * join embeddings 1:1 on id in the fixture.
+    */
+  val corpusIcpPack = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ord = Ann.icpOrder(emb, "vec_id", "embedding", "label",
+        cents = Some(Ann.pivotCentroids(emb, "label", "vec_id", "embedding")))
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(col("in_rank"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      ord.join(toks, ord("vec_id") === toks("doc_id"))
+        .withColumn("cum", coalesce(sum(col("toks")).over(w), lit(0L)))
+        .withColumn("seq", floor(col("cum") / 256))
+        .groupBy(col("cluster"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    },
+    Some("WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "c AS (SELECT label AS cl, min_by(e, vec_id) AS cv FROM v GROUP BY label), " +
+      "a0 AS (SELECT v.vec_id, c.cl, round(list_cosine_similarity(v.e, c.cv), 4) AS csim, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC, c.cl) AS rn FROM v CROSS JOIN c), " +
+      "o AS (SELECT vec_id, cl, row_number() OVER (PARTITION BY cl ORDER BY csim DESC, vec_id) AS in_rank FROM a0 WHERE rn = 1), " +
+      "tk AS (SELECT o.cl, o.in_rank, CAST(len(string_split_regex(lower(trim(d.text)), '\\s+')) AS BIGINT) AS toks FROM o JOIN documents d ON d.doc_id = o.vec_id), " +
+      "cm AS (SELECT cl, toks, COALESCE(sum(toks) OVER (PARTITION BY cl ORDER BY in_rank ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tk) " +
+      "SELECT cl AS cluster, CAST(cum // 256 AS BIGINT) AS seq, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM cm GROUP BY 1, 2"))
+
   /** IVF quantizer TRAINING ([[Ann.kmeans]], deterministic Lloyd's):
     * k=8, 3 iterations over the embedding corpus. The oracle is
     * invariant-style (a10 pattern): DuckDB pins the exact corpus count;

@@ -1084,6 +1084,46 @@ object Ann {
       .select(col("__id").as(id), col("__c").as(cluster))
   }
 
+  /** In-context-pretraining document ordering (Shi et al. 2023,
+    * arXiv:2310.10638: pretraining on RELATED documents packed into the
+    * same context window beats the random-order baseline — the model
+    * gets to use cross-document evidence at train time). The paper
+    * orders documents by a traveling-salesman-style walk over the kNN
+    * graph; the Spark-first approximation keeps the property that
+    * matters (semantic neighbors land adjacent) without the inherently
+    * sequential walk: coarse-cluster every document (nearest pivot
+    * centroid — the [[assignClusters]] rule), then order WITHIN each
+    * cluster by descending centroid similarity with an id tiebreak, so
+    * a pack that consumes (cluster, in_rank) order fills each training
+    * sequence from one semantic neighborhood.
+    *
+    * Output (id, cluster, csim, in_rank). The ordering key is the
+    * lexicographic PAIR (cluster, in_rank), deliberately NOT a
+    * materialized global rank: a global row_number serializes the
+    * corpus through one window task, while the pair gives the same
+    * total order and range-partitions at any scale — the in_rank window
+    * is cluster-partitioned (bounded by cluster size).
+    */
+  def icpOrder(
+      corpus: DataFrame, id: String, vec: String, cluster: String,
+      cents: Option[DataFrame] = None): DataFrame = {
+    val centTable = cents.getOrElse(pivotCentroids(corpus, cluster, id, vec))
+      .select(col(cluster).as("__cl"), toDouble(col("centroid")).as("cv"))
+      .withColumn("__cn", sqrt(dotD(col("cv"), col("cv"))))
+    val assigned = widen(prepared(corpus, id, vec, "__id", "__v", "__n"))
+      .crossJoin(broadcast(centTable))
+      .withColumn("csim",
+        round(dotD(col("__v"), col("cv")) / (col("__n") * col("__cn")), 4))
+      .groupBy(col("__id"))
+      .agg(min_by(struct(col("__cl"), col("csim")),
+        struct((-col("csim")).as("d"), col("__cl"))).as("a"))
+      .select(col("__id").as(id), col("a.__cl").as("cluster"),
+        col("a.csim").as("csim"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("csim").desc, col(id))
+    assigned.withColumn("in_rank", row_number().over(w))
+  }
+
   /** Append a batch to a persisted IVF-PQ index ([[saveIndex]] layout):
     * assign each new vector to its nearest coarse centroid
     * ([[assignClusters]]), encode it with the index's PERSISTED

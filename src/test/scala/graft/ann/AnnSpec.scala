@@ -394,6 +394,26 @@ class AnnSpec extends SparkSpec {
         q, "vec_id", "embedding", cb, k = 3, nprobe = 2)))
   }
 
+  test("icpOrder: semantic neighbors land adjacent — per-cluster rank " +
+      "descends from the pivot, tiebreak by id, deterministic") {
+    val out = Ann.icpOrder(corpus, "vec_id", "embedding", "label")
+      .select($"vec_id", $"cluster", $"in_rank")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // every row ordered, ranks contiguous within each cluster
+    assert(out.keySet == corpus.select($"vec_id").as[Long].collect().toSet)
+    out.groupBy(_._2._1).foreach { case (_, members) =>
+      assert(members.values.map(_._2).toSeq.sorted ==
+        (1 to members.size).toSeq)
+    }
+    // cluster 0 pivot is vec 0 (min id): rank 1 = the pivot itself
+    // (csim 1.0), then the near-copy 10 (eps 0.01) before 1 (eps 0.1)
+    assert(out(0L) == ((0, 1)) && out(10L) == ((0, 2)) && out(1L) == ((0, 3)))
+    val again = Ann.icpOrder(corpus, "vec_id", "embedding", "label")
+      .select($"vec_id", $"cluster", $"in_rank")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again == out)
+  }
+
   test("kmeans survives k exceeding the distinct-point count") {
     val tiny = Seq((1L, unit(0), 0), (2L, unit(0), 0), (3L, unit(2), 1))
       .toDF("vec_id", "embedding", "label")
