@@ -1044,13 +1044,15 @@ private[graft] object EntriesAnn {
 
   /** Staged-index COMPACTION ([[graft.streaming.StreamingIngest
     * .compactStreamedIndex]]): after the streamed upserts, the staging
-    * partitions fold into the main codes table via the crash-safe
-    * version-and-swap (never an in-place mutate, never a double-count —
-    * see the method doc), and serving switches back to the plain
-    * [[Ann.loadIndex]] path with zero staging dirs left. Serving
-    * results are INVARIANT under compaction, which the entry proves by
-    * sharing the upsert oracle VERBATIM a third time: one-shot upsert,
-    * streamed upsert, and compacted stream must all serve identically.
+    * partitions fold into a fresh compacted version published by its
+    * `_folded` high-water marker — monotone publication, no live dir
+    * ever renamed, a crash anywhere never double-counts (see the method
+    * doc) — and serving ([[graft.streaming.StreamingIngest
+    * .loadStreamedCodes]]) resolves to that single version with zero
+    * staging batches left to union. Serving results are INVARIANT under
+    * compaction, which the entry proves by sharing the upsert oracle
+    * VERBATIM a third time: one-shot upsert, streamed upsert, and
+    * compacted stream must all serve identically.
     */
   val annIndexCompact = Q(
     (s, dir) => {
@@ -1073,7 +1075,9 @@ private[graft] object EntriesAnn {
         graft.streaming.StreamingIngest.compactStreamedIndex(
           s, path, "vec_id", "label")
       }
-      val (codes, cbLoaded) = Ann.loadIndex(s, path)
+      val (_, cbLoaded) = Ann.loadIndex(s, path)
+      val codes = graft.streaming.StreamingIngest.loadStreamedCodes(
+        s, path, "vec_id", "label")
       Ann.ivfPqTopK(codes, "vec_id", "label", cents,
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         cbLoaded, k = 5, nprobe = 3)

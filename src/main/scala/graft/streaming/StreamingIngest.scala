@@ -690,67 +690,133 @@ object StreamingIngest {
       }
       .start()
 
-  /** The serving view over a streamed-into index: the persisted codes
-    * table unioned with every staged micro-batch (the `batch` partition
-    * column drops out — it is replay bookkeeping, not index data).
-    * Cluster-partition pruning holds on both legs: `cluster` is a
-    * partition column in the main table AND inside each staging dir.
+  private def hfs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The highest COMPLETE compacted version under `indexPath` and its
+    * folded high-water batch id: a `codes_v<n>` is visible to readers
+    * only once its `_folded` marker exists (written last, via tmp +
+    * rename, so a half-written version is invisible). None = no
+    * compaction has completed; the base `codes` table is the view.
+    */
+  private def resolveVersion(
+      spark: SparkSession, indexPath: String): Option[(String, Long)] = {
+    val fs = hfs(spark, indexPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    if (!fs.exists(root)) return None
+    val versions = fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .flatMap { n =>
+        if (!n.startsWith("codes_v")) None
+        else n.drop("codes_v".length).toLongOption
+      }
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$indexPath/codes_v$v/_folded")))
+    if (versions.isEmpty) None
+    else {
+      val v = versions.max
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        s"$indexPath/codes_v$v/_folded"))
+      val hw = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+      Some((s"$indexPath/codes_v$v", hw))
+    }
+  }
+
+  /** Batch ids currently staged under `stream/` (directory names are
+    * `batch=<id>`); empty if the staging dir does not exist.
+    */
+  private def stagedBatches(
+      spark: SparkSession, indexPath: String): Seq[Long] = {
+    val fs = hfs(spark, indexPath)
+    val stream = new org.apache.hadoop.fs.Path(s"$indexPath/stream")
+    if (!fs.exists(stream)) Seq.empty
+    else fs.listStatus(stream).toSeq
+      .map(_.getPath.getName)
+      .flatMap(n =>
+        if (n.startsWith("batch=")) n.drop("batch=".length).toLongOption
+        else None)
+  }
+
+  /** The serving view over a streamed-into index: the newest COMPLETE
+    * compacted version (or the base codes table if none) unioned with
+    * the staged micro-batches NEWER than that version's folded
+    * high-water batch id — so a staged batch is counted exactly once no
+    * matter where a previous compaction crashed. The `batch` partition
+    * column is replay bookkeeping and drops out; cluster-partition
+    * pruning holds on both legs.
     */
   def loadStreamedCodes(
       spark: SparkSession, indexPath: String,
       id: String, cluster: String): DataFrame = {
-    val codes = spark.read.parquet(s"$indexPath/codes")
+    val (basePath, hw) = resolveVersion(spark, indexPath)
+      .getOrElse((s"$indexPath/codes", -1L))
+    val base = spark.read.parquet(basePath)
       .select(col(id), col("codes"), col(cluster))
-    val stagedPath = new org.apache.hadoop.fs.Path(s"$indexPath/stream")
-    val fs = stagedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(stagedPath)) codes
-    else codes.unionByName(
+    if (!stagedBatches(spark, indexPath).exists(_ > hw)) base
+    else base.unionByName(
       spark.read.parquet(s"$indexPath/stream")
+        .where(col("batch") > hw)
         .select(col(id), col("codes"), col(cluster)))
   }
 
-  /** Fold the staged micro-batch partitions into the main codes table —
-    * the periodic half of the stream-upsert lifecycle: staging dirs
-    * accumulate one directory per micro-batch, and a serve that unions
+  /** Fold the staged micro-batch partitions into a compacted codes
+    * table — the periodic half of the stream-upsert lifecycle: staging
+    * accumulates one directory per micro-batch, and a serve that unions
     * hundreds of them pays file-listing and small-file costs the
     * compacted table doesn't. Serving results are INVARIANT under
     * compaction (same rows, same cluster partitioning — the entry
     * proves it by sharing the upsert oracle).
     *
-    * Crash-safe in the SchemaEvolution discipline — the danger is a
-    * failure between "codes rewritten" and "staging cleared" replaying
-    * staged rows into a table that already contains them, so the fold
-    * never mutates in place: (1) write codes ∪ stream to a fresh
-    * `codes_v<n+1>` (pick the first version suffix that does not exist;
-    * a re-run after a crash mid-write just overwrites the same
-    * half-written dir), (2) atomically swap the `codes` pointer (rename
-    * codes → codes_old_v<n+1>, codes_v<n+1> → codes), (3) only then
-    * delete staging and the old table. A crash before (2) leaves the
-    * live index untouched; a crash between (2) and (3) leaves stale
-    * side dirs that the next compaction ignores (they are not `codes`
-    * and not `stream`) — never a double-count.
+    * Crash-safe by monotone publication — no live directory is ever
+    * renamed or rewritten (an earlier design swapped `codes` via two
+    * renames, which leaves a window with NO live index at all):
+    * (1) write the current serving view to a fresh `codes_v<n>`
+    * (n = highest existing suffix + 1; a half-written dir from a crash
+    * is invisible and simply superseded), (2) publish it by writing the
+    * `_folded` marker — the folded high-water batch id — via tmp +
+    * atomic rename-to-fresh, (3) only then lazily delete the folded
+    * staging batches and older versions. A crash before (2) changes
+    * nothing for readers; after (2), [[loadStreamedCodes]] unions only
+    * batches ABOVE the marker's high-water, so not-yet-deleted staging
+    * is skipped, never double-counted. New stream batches keep landing
+    * with monotonically increasing ids (the checkpoint's batchId), so
+    * upserts may continue across compactions.
     */
   def compactStreamedIndex(
       spark: SparkSession, indexPath: String,
       id: String, cluster: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stream = new org.apache.hadoop.fs.Path(s"$indexPath/stream")
-    if (!fs.exists(stream)) return
-    val n = Iterator.from(1).find(i =>
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/codes_v$i")) &&
-        !fs.exists(new org.apache.hadoop.fs.Path(
-          s"$indexPath/codes_old_v$i"))).get
-    val next = new org.apache.hadoop.fs.Path(s"$indexPath/codes_v$n")
+    val fs = hfs(spark, indexPath)
+    val staged = stagedBatches(spark, indexPath)
+    val prior = resolveVersion(spark, indexPath)
+    val hwPrior = prior.map(_._2).getOrElse(-1L)
+    if (!staged.exists(_ > hwPrior)) return // nothing unfolded
+    val hw = staged.max
+    val n = {
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .flatMap(nm =>
+          if (nm.startsWith("codes_v")) nm.drop("codes_v".length).toLongOption
+          else None)
+        .foldLeft(0L)(math.max) + 1
+    }
+    val next = s"$indexPath/codes_v$n"
     loadStreamedCodes(spark, indexPath, id, cluster)
-      .write.mode("overwrite").partitionBy(cluster)
-      .parquet(next.toString)
-    val live = new org.apache.hadoop.fs.Path(s"$indexPath/codes")
-    val old = new org.apache.hadoop.fs.Path(s"$indexPath/codes_old_v$n")
-    require(fs.rename(live, old), s"could not retire $live")
-    require(fs.rename(next, live), s"could not promote $next")
-    fs.delete(stream, true)
-    fs.delete(old, true)
+      .write.mode("overwrite").partitionBy(cluster).parquet(next)
+    val tmp = new org.apache.hadoop.fs.Path(s"$next/_folded_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(hw.toString.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$next/_folded")),
+      s"could not publish $next")
+    // lazy cleanup — correctness never depends on it
+    staged.filter(_ <= hw).foreach(b => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$indexPath/stream/batch=$b"), true))
+    if (stagedBatches(spark, indexPath).isEmpty)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/stream"), true)
+    prior.foreach { case (p, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
     ()
   }
 }

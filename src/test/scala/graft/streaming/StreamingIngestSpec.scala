@@ -619,15 +619,51 @@ class StreamingIngestSpec extends SparkSpec {
     drain()
     assert(rows(StreamingIngest.loadStreamedCodes(
       spark, st, "vec_id", "label")) == streamed)
-    // compaction folds staging into codes: same rows via EITHER loader,
-    // staging gone, and a second compaction is a no-op (nothing staged)
+    // a half-written compacted version (crash before the _folded
+    // marker) is invisible to readers
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$st/codes_v9"))
+    assert(rows(StreamingIngest.loadStreamedCodes(
+      spark, st, "vec_id", "label")) == streamed)
+    // compaction folds staging into a published version: same serving
+    // rows, staging gone, and a second compaction is a no-op
     StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
-    assert(rows(Ann.loadIndex(spark, st)._1) == streamed)
     assert(rows(StreamingIngest.loadStreamedCodes(
       spark, st, "vec_id", "label")) == streamed)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$st/stream")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v10/_folded")))
     StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
-    assert(rows(Ann.loadIndex(spark, st)._1) == streamed)
+    assert(rows(StreamingIngest.loadStreamedCodes(
+      spark, st, "vec_id", "label")) == streamed)
+    // crash window AFTER publication, BEFORE staging cleanup: a staged
+    // batch at-or-below the folded high-water must be SKIPPED (it is
+    // already inside the published version), while a NEWER batch joins
+    val hw = {
+      val src = scala.io.Source.fromFile(s"$st/codes_v10/_folded")
+      try src.mkString.trim.toLong finally src.close()
+    }
+    val dup = even.limit(1) // vec 0: already in the index
+    Ann.pqEncode(dup, "vec_id", "embedding", cb)
+      .join(Ann.assignClusters(dup, "vec_id", "embedding", cents, "label"),
+        "vec_id")
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$st/stream/batch=$hw")
+    assert(rows(StreamingIngest.loadStreamedCodes(
+      spark, st, "vec_id", "label")) == streamed) // no double-count
+    val fresh = Seq((9L, unit(6), 0)).toDF("vec_id", "embedding", "label")
+    Ann.pqEncode(fresh, "vec_id", "embedding", cb)
+      .join(Ann.assignClusters(fresh, "vec_id", "embedding", cents, "label"),
+        "vec_id")
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$st/stream/batch=${hw + 5}")
+    val withFresh = rows(StreamingIngest.loadStreamedCodes(
+      spark, st, "vec_id", "label"))
+    assert(withFresh.size == 9 && withFresh.map(_._1).contains(9L))
+    // ... and the next compaction folds exactly the unfolded tail
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    assert(rows(StreamingIngest.loadStreamedCodes(
+      spark, st, "vec_id", "label")) == withFresh)
   }
 }
