@@ -1119,6 +1119,40 @@ private[graft] object EntriesAnn {
       "cm AS (SELECT cl, toks, COALESCE(sum(toks) OVER (PARTITION BY cl ORDER BY in_rank ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tk) " +
       "SELECT cl AS cluster, CAST(cum // 256 AS BIGINT) AS seq, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM cm GROUP BY 1, 2"))
 
+  /** D4-style diversified subcorpus selection (Tirumala et al. 2023,
+    * arXiv:2308.12284: semantic dedup then DIVERSIFY — density-matched
+    * sampling over-represents the dense regions dedup just thinned):
+    * SemDeDup keeps ([[Ann.semanticDedup]], the dedup_semantic
+    * configuration), then a deterministic Efraimidis–Spirakis draw with
+    * weight 1 / |cluster| — inclusion probability flattens across
+    * semantic clusters, so the 100-doc subcorpus covers the embedding
+    * space instead of mirroring its density. RNG-free end-to-end
+    * (pivot centroids + seeded md5 keys), so the oracle replays the
+    * whole chain: assignment, pair-drop, cluster sizes, inverse
+    * weights, key arithmetic, rank.
+    */
+  val corpusD4Sample = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val kept = Ann.semanticDedup(emb, "vec_id", "embedding", "label",
+        threshold = 0.3).where(col("keep"))
+      val sizes = kept.groupBy(col("cluster")).agg(count(lit(1)).as("cs"))
+      val weighted = kept.join(broadcast(sizes), "cluster")
+        .select(col("vec_id"), (lit(1.0) / col("cs")).as("w"))
+      graft.operators.Mixture.weightedSample(
+        weighted, "vec_id", "w", k = 100, seed = "d4")
+    },
+    Some("WITH cent AS (SELECT label AS cl, arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)), vec_id) AS cv FROM embeddings GROUP BY label), " +
+      "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "asg AS (SELECT vec_id, e, cl FROM (SELECT v.vec_id, v.e, c.cl, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC, c.cl) AS r FROM v CROSS JOIN cent c) WHERE r = 1), " +
+      "p AS (SELECT b.vec_id AS id2 FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id AND round(list_cosine_similarity(a.e, b.e), 4) >= 0.3), " +
+      "keep AS (SELECT asg.vec_id, asg.cl FROM asg LEFT JOIN (SELECT DISTINCT id2 FROM p) dr ON asg.vec_id = dr.id2 WHERE dr.id2 IS NULL), " +
+      "cs AS (SELECT cl, count(*) AS n FROM keep GROUP BY cl), " +
+      "wt AS (SELECT k.vec_id, 1.0 / cs.n AS weight FROM keep k JOIN cs ON cs.cl = k.cl), " +
+      "b AS (SELECT vec_id, weight, round(pow(CAST(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':d4'), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0, 1.0 / weight), 9) AS es_key FROM wt WHERE weight > 0), " +
+      "r AS (SELECT vec_id, weight, es_key, row_number() OVER (ORDER BY es_key DESC, vec_id) AS rk FROM b) " +
+      "SELECT vec_id, weight, es_key, CAST(rk AS INT) AS rk FROM r WHERE rk <= 100"))
+
   /** IVF quantizer TRAINING ([[Ann.kmeans]], deterministic Lloyd's):
     * k=8, 3 iterations over the embedding corpus. The oracle is
     * invariant-style (a10 pattern): DuckDB pins the exact corpus count;

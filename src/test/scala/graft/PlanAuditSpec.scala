@@ -776,5 +776,10 @@ class PlanAuditSpec extends SparkSpec {
     val ug = plan("text_unigram_lm")
     assert(!ug.contains("Join") && !ug.contains("CartesianProduct"), ug)
     assert(ug.contains("TakeOrderedAndProject"), ug)
+    // ICP ordering/packing: both the in-cluster rank and the pack
+    // cumsum are CLUSTER-partitioned windows — a global window here
+    // would serialize the corpus through one task
+    val icp = plan("corpus_icp_pack")
+    assert(globalWindowLines(icp).isEmpty, icp)
   }
 }
