@@ -1153,6 +1153,36 @@ private[graft] object EntriesAnn {
       "r AS (SELECT vec_id, weight, es_key, row_number() OVER (ORDER BY es_key DESC, vec_id) AS rk FROM b) " +
       "SELECT vec_id, weight, es_key, CAST(rk AS INT) AS rk FROM r WHERE rk <= 100"))
 
+  /** Cluster cards ([[graft.text.TextAnalysis.clusterTerms]] over the
+    * [[Ann.assignClusters]] assignment): the top-5 distinguishing terms
+    * per semantic cluster — within-cluster count × cross-cluster idf —
+    * the readout a corpus team uses to know what each embedding cluster
+    * IS before weighting or pruning it. Documents join embeddings 1:1
+    * on id in the fixture; the oracle replays assignment, the token
+    * aggregate, both df folds, and the ranked head.
+    */
+  val corpusClusterTerms = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assigned = Ann.assignClusters(emb, "vec_id", "embedding",
+        Ann.pivotCentroids(emb, "label", "vec_id", "embedding"), "label")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.text.TextAnalysis.clusterTerms(
+        assigned.join(docs, assigned("vec_id") === docs("doc_id"))
+          .select(col("label").as("cluster"), col("text")),
+        "cluster", "text", k = 5)
+    },
+    Some("WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "c AS (SELECT label AS cl, min_by(e, vec_id) AS cv FROM v GROUP BY label), " +
+      "a AS (SELECT vec_id, cl FROM (SELECT v.vec_id, c.cl, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC, c.cl) AS rn FROM v CROSS JOIN c) WHERE rn = 1), " +
+      "tm AS (SELECT a.cl, unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS term FROM a JOIN documents d ON d.doc_id = a.vec_id), " +
+      "cnts AS (SELECT cl, term, CAST(count(*) AS BIGINT) AS cnt FROM tm WHERE term <> '' GROUP BY 1, 2), " +
+      "nc AS (SELECT count(DISTINCT cl) AS n FROM cnts), " +
+      "cdf AS (SELECT term, count(*) AS cdf FROM cnts GROUP BY 1), " +
+      "sc AS (SELECT cnts.cl, cnts.term, cnts.cnt, round(cnts.cnt * round(ln((CAST(nc.n AS DOUBLE) + 1) / (CAST(cdf.cdf AS DOUBLE) + 1)), 9), 6) AS score FROM cnts JOIN cdf USING (term) CROSS JOIN nc), " +
+      "r AS (SELECT cl, term, cnt, score, row_number() OVER (PARTITION BY cl ORDER BY score DESC, term) AS rk FROM sc) " +
+      "SELECT cl AS cluster, term, cnt, score, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5"))
+
   /** IVF quantizer TRAINING ([[Ann.kmeans]], deterministic Lloyd's):
     * k=8, 3 iterations over the embedding corpus. The oracle is
     * invariant-style (a10 pattern): DuckDB pins the exact corpus count;

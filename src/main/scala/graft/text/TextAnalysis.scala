@@ -838,4 +838,43 @@ object TextAnalysis {
             (den * (col("n") * col("syy") - col("sy") * col("sy"))), 4))
           .as("r2"))
   }
+
+  /** Per-cluster distinguishing terms — the "cluster card" a corpus
+    * team reads to know what each semantic cluster IS: for every
+    * cluster, the top-`k` terms by within-cluster count × cross-cluster
+    * idf (ln((C+1)/(cdf+1)), C = clusters, cdf = clusters containing
+    * the term — terms every cluster shares score ≤ 0; terms unique to
+    * one cluster score highest). Deterministic tie-break (score desc,
+    * term asc); idf rounds to 9 and the score to 6 so the report
+    * reproduces across engines.
+    *
+    * Scale shape: one (cluster, term) aggregate over the token stream;
+    * the cluster-df table is VOCABULARY-sized, so the counts×cdf join
+    * keys on the term (a shuffle join — broadcasting a web-scale
+    * vocabulary would be wrong; AQE may still pick broadcast when it
+    * fits); only the 1-row cluster-count aggregate broadcasts. The
+    * final top-k window partitions by cluster.
+    */
+  def clusterTerms(
+      df: DataFrame, cluster: String, text: String, k: Int): DataFrame = {
+    val counts = df
+      .select(col(cluster).as("cl"),
+        explode(split(lower(trim(col(text))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("cl"), col("term")).agg(count(lit(1)).as("cnt"))
+    val nClusters = counts.agg(countDistinct(col("cl")).as("nc"))
+    val cdf = counts.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+    val w = Window.partitionBy(col("cl"))
+      .orderBy(col("score").desc, col("term"))
+    counts.join(cdf, "term")
+      .crossJoin(broadcast(nClusters))
+      .withColumn("idf", round(
+        log((col("nc").cast("double") + 1) / (col("cdf").cast("double") + 1)),
+        9))
+      .withColumn("score", round(col("cnt") * col("idf"), 6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("cl").as(cluster), col("term"), col("cnt"),
+        col("score"), col("rk").cast("int").as("rk"))
+  }
 }

@@ -510,4 +510,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getDouble(3) == 0.0) // identical frequencies: zero slope
     assert(row.isNullAt(5))
   }
+
+  test("clusterTerms: unique terms outrank shared ones; shared-by-all " +
+      "terms score non-positive; ties break on the term") {
+    val df = Seq(
+      (0, "spark spark the"), (0, "spark rdd the"),
+      (1, "duck pond the"), (1, "duck the"))
+      .toDF("cluster", "text")
+    val out = TextAnalysis.clusterTerms(df, "cluster", "text", k = 2)
+      .as[(Int, String, Long, Double, Int)].collect()
+      .map(r => (r._1, r._5) -> (r._2, r._3, r._4)).toMap
+    // C = 2; unique terms (cdf 1): idf = ln(3/2); shared "the" (cdf 2):
+    // idf = 0 -> score 0, always outranked by any unique term
+    val idf1 = BigDecimal(math.log(3.0 / 2))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sc(cnt: Long) = BigDecimal(cnt * idf1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((0, 1)) == (("spark", 3L, sc(3))))
+    assert(out((0, 2)) == (("rdd", 1L, sc(1))))
+    assert(out((1, 1)) == (("duck", 2L, sc(2))))
+    assert(out((1, 2)) == (("pond", 1L, sc(1))))
+  }
 }
