@@ -1183,6 +1183,54 @@ private[graft] object EntriesAnn {
       "r AS (SELECT cl, term, cnt, score, row_number() OVER (PARTITION BY cl ORDER BY score DESC, term) AS rk FROM sc) " +
       "SELECT cl AS cluster, term, cnt, score, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5"))
 
+  /** Conservative-gate audit for the IVF outlier detector: at every
+    * nprobe ∈ {1, 2, 3} (of 10 clusters), count brute outliers, pruned
+    * flags, MISSES (brute outliers the pruned gate did not flag — must
+    * be ZERO at every nprobe: the containment theorem, here measured
+    * rather than assumed), and EXTRAS (the count-rule's false-positive
+    * overhead, the price of the safety guarantee — it shrinks as nprobe
+    * grows). This is the number a pipeline owner reads before choosing
+    * nprobe for a corpus-cleaning gate: how much over-flagging buys
+    * never missing a stray. The oracle replays BOTH gates at all three
+    * nprobe values (the probe parameter is a cross-joined unnest).
+    */
+  val annOutlierGateAudit = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val brute = Ann.knnOutliers(emb, "vec_id", "embedding",
+          k = 5, minSim = 0.29)
+        .select(col("vec_id"), col("outlier").as("b_out"))
+      val cents = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+      val runs = Seq(1, 2, 3).map { np =>
+        Ann.knnOutliersIvf(emb, "vec_id", "embedding", "label",
+            k = 5, minSim = 0.29, nprobe = np, cents = Some(cents))
+          .select(lit(np).as("nprobe"), col("vec_id"),
+            col("outlier").as("p_out"))
+      }.reduce(_ unionByName _)
+      runs.join(brute, "vec_id")
+        .groupBy(col("nprobe"))
+        .agg(
+          sum(when(col("b_out"), 1).otherwise(0)).as("n_brute_outliers"),
+          sum(when(col("p_out"), 1).otherwise(0)).as("n_pruned_flags"),
+          sum(when(col("b_out") && !col("p_out"), 1).otherwise(0))
+            .as("n_missed"),
+          sum(when(!col("b_out") && col("p_out"), 1).otherwise(0))
+            .as("n_extra"))
+    },
+    Some("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "c AS (SELECT label AS cl, min_by(v, vec_id) AS cv FROM e GROUP BY label), " +
+      "np AS (SELECT unnest([1, 2, 3]) AS np), " +
+      "p AS (SELECT e.vec_id AS q_id, c.cl, row_number() OVER (PARTITION BY e.vec_id ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cl) AS crank FROM e, c), " +
+      "pr AS (SELECT np.np, p.q_id, p.cl FROM p CROSS JOIN np WHERE p.crank <= np.np), " +
+      "s2 AS (SELECT pr.np, a.vec_id AS q_id, round(list_cosine_similarity(a.v, b.v), 4) AS sim FROM e a JOIN pr ON pr.q_id = a.vec_id JOIN e b ON b.label = pr.cl AND b.vec_id <> a.vec_id), " +
+      "r2 AS (SELECT np, q_id, sim, row_number() OVER (PARTITION BY np, q_id ORDER BY sim DESC) AS rank FROM s2), " +
+      "k2 AS (SELECT np, q_id, min(sim) AS kth, count(*) AS nf FROM r2 WHERE rank <= 5 GROUP BY 1, 2), " +
+      "pg AS (SELECT np.np, e.vec_id, (COALESCE(k2.nf, 0) < 5 OR k2.kth < 0.29) AS p_out FROM e CROSS JOIN np LEFT JOIN k2 ON k2.np = np.np AND k2.q_id = e.vec_id), " +
+      "bs AS (SELECT a.vec_id AS q_id, round(list_cosine_similarity(a.v, b.v), 4) AS sim FROM e a JOIN e b ON b.vec_id <> a.vec_id), " +
+      "br AS (SELECT q_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC) AS rank FROM bs), " +
+      "bg AS (SELECT q_id AS vec_id, min(sim) < 0.29 AS b_out FROM br WHERE rank <= 5 GROUP BY 1) " +
+      "SELECT pg.np AS nprobe, CAST(sum(CASE WHEN b_out THEN 1 ELSE 0 END) AS BIGINT) AS n_brute_outliers, CAST(sum(CASE WHEN p_out THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned_flags, CAST(sum(CASE WHEN b_out AND NOT p_out THEN 1 ELSE 0 END) AS BIGINT) AS n_missed, CAST(sum(CASE WHEN p_out AND NOT b_out THEN 1 ELSE 0 END) AS BIGINT) AS n_extra FROM pg JOIN bg USING (vec_id) GROUP BY 1"))
+
   /** IVF quantizer TRAINING ([[Ann.kmeans]], deterministic Lloyd's):
     * k=8, 3 iterations over the embedding corpus. The oracle is
     * invariant-style (a10 pattern): DuckDB pins the exact corpus count;
