@@ -669,6 +669,21 @@ object StreamingIngest {
     * broadcast models, so the drained index is INDEPENDENT of how the
     * file source batched the input — the entry shares the one-shot
     * upsert oracle verbatim (the st_weighted_sample parity discipline).
+    *
+    * The whole lifecycle keys staging on the checkpoint's batchId, so
+    * ids are monotone only WITHIN one checkpoint. Two guards enforce
+    * what the compaction machinery assumes, both failing the query
+    * rather than silently corrupting the index:
+    *  - a `stream/_run` marker pins the staging area to the first
+    *    checkpoint that wrote it — a SECOND query with a different
+    *    checkpoint would restart batch ids at 0 and overwrite another
+    *    run's live staging dirs byte-differently;
+    *  - `batchId` must sit ABOVE the published `_folded` high-water —
+    *    a fresh checkpoint against an already-compacted index lands at
+    *    ids the serving view skips and the next compaction deletes as
+    *    "already folded" (silent data loss). Continuing a compacted
+    *    index therefore requires KEEPING its checkpoint; a genuinely
+    *    new stream needs a new index path.
     */
   def annIndexUpsertDrain(
       stream: DataFrame, indexPath: String, checkpoint: String,
@@ -679,6 +694,16 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // high-water check FIRST: a doomed fresh checkpoint must not
+        // claim the staging area on its way to failing
+        val hw = resolveVersion(spark, indexPath).map(_._2).getOrElse(-1L)
+        if (batchId <= hw) throw new IllegalStateException(
+          s"staging batch id $batchId is at-or-below the published folded " +
+            s"high-water $hw of $indexPath — a fresh checkpoint against a " +
+            "compacted index would stage batches the serving view skips " +
+            "and the next compaction deletes; keep the original " +
+            "checkpoint, or stream into a new index path")
+        claimRun(spark, indexPath, checkpoint)
         val (_, cb) = graft.ann.Ann.loadIndex(spark, indexPath)
         val assigned = graft.ann.Ann.assignClusters(
           batch.toDF(), id, vec, centTable, cluster)
@@ -689,6 +714,40 @@ object StreamingIngest {
         ()
       }
       .start()
+
+  /** Pin `indexPath`'s staging area to `checkpoint` via the
+    * `stream/_run` marker (create-exclusive, so a concurrent first
+    * claim has exactly one winner; the loser re-reads and compares).
+    * Throws if another checkpoint already owns the staging area. The
+    * underscore prefix keeps the marker invisible to the staging
+    * parquet scan (Spark's file index skips `_`/`.` names).
+    */
+  private def claimRun(
+      spark: SparkSession, indexPath: String, checkpoint: String): Unit = {
+    val fs = hfs(spark, indexPath)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/stream/_run")
+    def ownerOf(): Option[String] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+        finally in.close()
+      }
+    val owner = ownerOf().orElse {
+      try {
+        val out = fs.create(marker, false) // exclusive: no overwrite
+        try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
+        Some(checkpoint)
+      } catch { // lost the creation race: read the winner's claim
+        case _: java.io.IOException => ownerOf()
+      }
+    }
+    if (!owner.contains(checkpoint)) throw new IllegalStateException(
+      s"staging area $indexPath/stream is owned by checkpoint " +
+        s"${owner.getOrElse("<unreadable>")} — a different checkpoint " +
+        "would restart batch ids at 0 and overwrite that run's live " +
+        "staging; one checkpoint per index lifetime")
+  }
 
   private def hfs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -746,18 +805,27 @@ object StreamingIngest {
     * matter where a previous compaction crashed. The `batch` partition
     * column is replay bookkeeping and drops out; cluster-partition
     * pruning holds on both legs.
+    *
+    * `maxBatch` bounds the staging leg from ABOVE (inclusive) — the
+    * compaction fold passes its snapshotted high-water here so a
+    * micro-batch landing between the snapshot and the fold's scan is
+    * excluded from the folded set exactly as it is excluded from the
+    * published `_folded` marker. Serving callers leave it unbounded.
     */
   def loadStreamedCodes(
       spark: SparkSession, indexPath: String,
-      id: String, cluster: String): DataFrame = {
+      id: String, cluster: String,
+      maxBatch: Long = Long.MaxValue): DataFrame = {
     val (basePath, hw) = resolveVersion(spark, indexPath)
       .getOrElse((s"$indexPath/codes", -1L))
     val base = spark.read.parquet(basePath)
       .select(col(id), col("codes"), col(cluster))
-    if (!stagedBatches(spark, indexPath).exists(_ > hw)) base
+    val unfolded = stagedBatches(spark, indexPath)
+      .exists(b => b > hw && b <= maxBatch)
+    if (!unfolded) base
     else base.unionByName(
       spark.read.parquet(s"$indexPath/stream")
-        .where(col("batch") > hw)
+        .where(col("batch") > hw && col("batch") <= maxBatch)
         .select(col(id), col("codes"), col(cluster)))
   }
 
@@ -772,23 +840,43 @@ object StreamingIngest {
     * Crash-safe by monotone publication — no live directory is ever
     * renamed or rewritten (an earlier design swapped `codes` via two
     * renames, which leaves a window with NO live index at all):
-    * (1) write the current serving view to a fresh `codes_v<n>`
-    * (n = highest existing suffix + 1; a half-written dir from a crash
-    * is invisible and simply superseded), (2) publish it by writing the
-    * `_folded` marker — the folded high-water batch id — via tmp +
-    * atomic rename-to-fresh, (3) only then lazily delete the folded
-    * staging batches and older versions. A crash before (2) changes
-    * nothing for readers; after (2), [[loadStreamedCodes]] unions only
+    * (1) snapshot the staged batch ids and take their max as the fold's
+    * high-water `hw`, (2) write the serving view BOUNDED AT `hw` to a
+    * fresh `codes_v<n>` (n = highest existing suffix + 1; a
+    * half-written dir from a crash is invisible and simply superseded)
+    * — the bound matters: a micro-batch landing between the snapshot
+    * and the fold's scan would otherwise be folded in while sitting
+    * ABOVE the published marker, and every later serve would union it
+    * a second time, (3) publish by writing the `_folded` marker — `hw`
+    * — via tmp + atomic rename-to-fresh, (4) only then garbage-collect
+    * ONE GENERATION BEHIND: versions older than the prior complete
+    * version, and staged batches the PRIOR version had already folded.
+    * The just-superseded version and its staging tail survive until
+    * the NEXT compaction (or an explicit [[gcStreamedIndex]]), so a
+    * reader that resolved the prior version before this publication
+    * can still finish its scan — deleting inline at publish time would
+    * fail it with FileNotFound mid-query. A crash before (3) changes
+    * nothing for readers; after (3), [[loadStreamedCodes]] unions only
     * batches ABOVE the marker's high-water, so not-yet-deleted staging
     * is skipped, never double-counted. New stream batches keep landing
-    * with monotonically increasing ids (the checkpoint's batchId), so
-    * upserts may continue across compactions.
+    * with monotonically increasing ids (the checkpoint's batchId —
+    * [[annIndexUpsertDrain]]'s run marker + high-water guard enforce
+    * the monotonicity), so upserts may continue across compactions.
+    *
+    * `upTo` bounds which staged batches this compaction folds
+    * (inclusive); the default folds everything staged at snapshot
+    * time. It doubles as the deterministic harness for the
+    * mid-compaction race: folding `upTo = k` with batches above `k`
+    * already staged is observationally identical to a batch landing
+    * after the snapshot.
     */
   def compactStreamedIndex(
       spark: SparkSession, indexPath: String,
-      id: String, cluster: String): Unit = {
+      id: String, cluster: String,
+      upTo: Option[Long] = None): Unit = {
     val fs = hfs(spark, indexPath)
-    val staged = stagedBatches(spark, indexPath)
+    val bound = upTo.getOrElse(Long.MaxValue)
+    val staged = stagedBatches(spark, indexPath).filter(_ <= bound)
     val prior = resolveVersion(spark, indexPath)
     val hwPrior = prior.map(_._2).getOrElse(-1L)
     if (!staged.exists(_ > hwPrior)) return // nothing unfolded
@@ -802,21 +890,62 @@ object StreamingIngest {
         .foldLeft(0L)(math.max) + 1
     }
     val next = s"$indexPath/codes_v$n"
-    loadStreamedCodes(spark, indexPath, id, cluster)
+    loadStreamedCodes(spark, indexPath, id, cluster, maxBatch = hw)
       .write.mode("overwrite").partitionBy(cluster).parquet(next)
     val tmp = new org.apache.hadoop.fs.Path(s"$next/_folded_tmp")
     val out = fs.create(tmp, true)
     try out.write(hw.toString.getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$next/_folded")),
       s"could not publish $next")
-    // lazy cleanup — correctness never depends on it
-    staged.filter(_ <= hw).foreach(b => fs.delete(
+    // grace-period GC — one generation behind; correctness never
+    // depends on it (see the doc: inline deletion of the version a
+    // live reader just resolved is the failure this avoids)
+    prior.foreach { case (priorPath, _) =>
+      val priorV = new org.apache.hadoop.fs.Path(priorPath)
+        .getName.drop("codes_v".length).toLong
+      completeVersions(spark, indexPath).filter(_ < priorV).foreach(v =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$indexPath/codes_v$v"), true))
+    }
+    staged.filter(_ <= hwPrior).foreach(b => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$indexPath/stream/batch=$b"), true))
+    ()
+  }
+
+  /** Suffixes of COMPLETE (`_folded`-published) compacted versions. */
+  private def completeVersions(
+      spark: SparkSession, indexPath: String): Seq[Long] = {
+    val fs = hfs(spark, indexPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .flatMap(nm =>
+        if (nm.startsWith("codes_v")) nm.drop("codes_v".length).toLongOption
+        else None)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$indexPath/codes_v$v/_folded")))
+  }
+
+  /** Explicit full GC of a streamed-into index: deletes every complete
+    * version OLDER than the newest, every staged batch the newest
+    * version already folded, and the staging dir itself once empty.
+    * [[compactStreamedIndex]] deliberately retains one superseded
+    * generation for in-flight readers; call this only from a point
+    * where no reader can hold a pre-publication view (maintenance
+    * window, end of a batch job) to reclaim that last generation.
+    */
+  def gcStreamedIndex(spark: SparkSession, indexPath: String): Unit = {
+    val fs = hfs(spark, indexPath)
+    val versions = completeVersions(spark, indexPath)
+    if (versions.isEmpty) return // nothing published: staging is live
+    val newest = versions.max
+    val hw = resolveVersion(spark, indexPath).map(_._2).getOrElse(-1L)
+    versions.filter(_ < newest).foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$indexPath/codes_v$v"), true))
+    stagedBatches(spark, indexPath).filter(_ <= hw).foreach(b => fs.delete(
       new org.apache.hadoop.fs.Path(s"$indexPath/stream/batch=$b"), true))
     if (stagedBatches(spark, indexPath).isEmpty)
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/stream"), true)
-    prior.foreach { case (p, _) =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true)
-    }
     ()
   }
 }

@@ -626,11 +626,14 @@ class StreamingIngestSpec extends SparkSpec {
     assert(rows(StreamingIngest.loadStreamedCodes(
       spark, st, "vec_id", "label")) == streamed)
     // compaction folds staging into a published version: same serving
-    // rows, staging gone, and a second compaction is a no-op
+    // rows, and a second compaction is a no-op. The folded staging is
+    // RETAINED one generation (a reader that resolved the pre-compact
+    // view may still be scanning it) — only the NEXT compaction or an
+    // explicit gc reclaims it
     StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
     assert(rows(StreamingIngest.loadStreamedCodes(
       spark, st, "vec_id", "label")) == streamed)
-    assert(!java.nio.file.Files.exists(
+    assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$st/stream")))
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$st/codes_v10/_folded")))
@@ -661,9 +664,133 @@ class StreamingIngestSpec extends SparkSpec {
     val withFresh = rows(StreamingIngest.loadStreamedCodes(
       spark, st, "vec_id", "label"))
     assert(withFresh.size == 9 && withFresh.map(_._1).contains(9L))
-    // ... and the next compaction folds exactly the unfolded tail
+    // ... and the next compaction folds exactly the unfolded tail,
+    // reclaiming the staging the PRIOR version had folded (grace over)
     StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
     assert(rows(StreamingIngest.loadStreamedCodes(
       spark, st, "vec_id", "label")) == withFresh)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/stream/batch=0")))
+    assert(java.nio.file.Files.exists( // above prior hw: grace-retained
+      java.nio.file.Paths.get(s"$st/stream/batch=${hw + 5}")))
+    // explicit gc from a no-readers point reclaims the last generation:
+    // superseded versions, folded staging, the staging dir itself
+    StreamingIngest.gcStreamedIndex(spark, st)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v10")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/stream")))
+    assert(rows(StreamingIngest.loadStreamedCodes(
+      spark, st, "vec_id", "label")) == withFresh)
+  }
+
+  test("compactStreamedIndex: a staged batch above the fold's " +
+      "snapshotted high-water is excluded from the folded set and " +
+      "served exactly once (the mid-compaction landing race)") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val emb = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (1L, unit(0), 0), (3L, unit(2), 1),
+      (5L, unit(4), 2), (7L, unit(4), 2))
+      .toDF("vec_id", "embedding", "label")
+    val even = emb.where($"vec_id" % 2 === 0)
+    val odd = emb.where($"vec_id" % 2 === 1)
+    val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+    val st = Files.createTempDirectory("graft_race_ann").toString
+    Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
+      .join(even.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    odd.repartition(3).write.parquet(s"$st/in")
+    StreamingIngest.annIndexUpsertDrain(
+      spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$st/in"),
+      st, s"$st/ckpt", "vec_id", "embedding", cents, "label")
+      .awaitTermination() // stages batches 0, 1, 2
+    // the "landed after the snapshot" batch: already on disk when the
+    // fold scans, but ABOVE the bound the compaction snapshotted —
+    // folding upTo=2 with batch 3 staged is observationally identical
+    // to batch 3 landing between the snapshot and the scan
+    val late = Seq((9L, unit(6), 0)).toDF("vec_id", "embedding", "label")
+    Ann.pqEncode(late, "vec_id", "embedding", cb)
+      .join(Ann.assignClusters(late, "vec_id", "embedding", cents, "label"),
+        "vec_id")
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$st/stream/batch=3")
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label",
+      upTo = Some(2L))
+    // the published marker and the folded set must agree: marker = 2,
+    // version holds exactly the 8 base+drained ids (NOT 9)
+    val hw = {
+      val src = scala.io.Source.fromFile(s"$st/codes_v1/_folded")
+      try src.mkString.trim.toLong finally src.close()
+    }
+    assert(hw == 2L)
+    val folded = spark.read.parquet(s"$st/codes_v1")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(folded == (0L to 7L))
+    // serve: every id exactly once — the late batch via the staging
+    // leg, never ALSO from the folded version (the pre-fix defect)
+    val served = StreamingIngest.loadStreamedCodes(
+        spark, st, "vec_id", "label")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(served == (0L to 7L) :+ 9L)
+    // the next compaction folds the late batch; serve invariant
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    assert(StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label")
+      .select($"vec_id").as[Long].collect().sorted.toSeq ==
+      (0L to 7L) :+ 9L)
+  }
+
+  test("annIndexUpsertDrain: a fresh checkpoint cannot stage below the " +
+      "published high-water, and a second checkpoint cannot hijack a " +
+      "live staging area") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val emb = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (1L, unit(0), 0), (3L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val even = emb.where($"vec_id" % 2 === 0)
+    val odd = emb.where($"vec_id" % 2 === 1)
+    val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+    val st = Files.createTempDirectory("graft_guard_ann").toString
+    Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
+      .join(even.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    odd.coalesce(1).write.parquet(s"$st/in")
+    def drain(ckpt: String): Unit = StreamingIngest.annIndexUpsertDrain(
+      spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$st/in"),
+      st, ckpt, "vec_id", "embedding", cents, "label")
+      .awaitTermination()
+    drain(s"$st/ckpt")
+    // a DIFFERENT checkpoint against the live staging area: its batch 0
+    // would overwrite the first run's batch 0 byte-differently
+    val hijack = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(s"$st/ckpt2")
+    }
+    assert(hijack.getMessage.contains("owned by checkpoint") ||
+      Option(hijack.getCause).exists(_.getMessage.contains("owned by checkpoint")))
+    // after compaction + gc the staging claim is gone, but the folded
+    // high-water now guards: a fresh checkpoint restarts batchId at 0,
+    // which the serving view would skip and the next compaction would
+    // delete — fail fast instead
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    StreamingIngest.gcStreamedIndex(spark, st)
+    val stale = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(s"$st/ckpt3")
+    }
+    assert(stale.getMessage.contains("at-or-below the published") ||
+      Option(stale.getCause).exists(
+        _.getMessage.contains("at-or-below the published")))
+    // the ORIGINAL checkpoint continues fine (nothing new: no-op)
+    drain(s"$st/ckpt")
+    assert(StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label")
+      .count() == 6)
   }
 }
