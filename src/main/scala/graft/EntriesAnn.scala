@@ -957,7 +957,10 @@ private[graft] object EntriesAnn {
     * batch's cosine assignment (4-rounded, label-asc tiebreak),
     * per-subspace code argmin, probe ranking, ADC, rank. The scratch
     * path is FRESH per invocation (parquet append is not idempotent;
-    * a cached path would double-append under the bench's re-runs).
+    * a cached path would double-append under the bench's re-runs) and
+    * deleted once the k-sized serve is materialized off it
+    * ([[EntryKit.servedThenCleanup]]) — scratch prefers RAM-backed
+    * tmpfs, where leaked index copies would accumulate across runs.
     */
   val annIndexUpsert = Q(
     (s, dir) => {
@@ -966,7 +969,8 @@ private[graft] object EntriesAnn {
       val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
       val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
       val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
-      val path = scratchPath("graft_annups").toString
+      val scratch = scratchPath("graft_annups")
+      val path = scratch.toString
       PhaseTimer.phase("build_save") {
         Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
           .join(even.select(col("vec_id"), col("label")), "vec_id"),
@@ -976,9 +980,11 @@ private[graft] object EntriesAnn {
         Ann.upsertIndex(s, path, odd, "vec_id", "embedding", cents, "label")
       }
       val (codes, cbLoaded) = Ann.loadIndex(s, path)
-      Ann.ivfPqTopK(codes, "vec_id", "label", cents,
-        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        cbLoaded, k = 5, nprobe = 3)
+      servedThenCleanup(
+        Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cbLoaded, k = 5, nprobe = 3),
+        scratch)
     },
     Some("WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
       "coarse AS (SELECT label, arg_min(e, vec_id) AS cv FROM v WHERE vec_id % 2 = 0 GROUP BY label), " +
@@ -1018,7 +1024,8 @@ private[graft] object EntriesAnn {
       val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
       val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
       val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
-      val path = scratchPath("graft_st_ann").toString
+      val scratch = scratchPath("graft_st_ann")
+      val path = scratch.toString
       PhaseTimer.phase("build_save") {
         Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
           .join(even.select(col("vec_id"), col("label")), "vec_id"),
@@ -1036,9 +1043,11 @@ private[graft] object EntriesAnn {
       val (_, cbLoaded) = Ann.loadIndex(s, path)
       val codes = graft.streaming.StreamingIngest.loadStreamedCodes(
         s, path, "vec_id", "label")
-      Ann.ivfPqTopK(codes, "vec_id", "label", cents,
-        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        cbLoaded, k = 5, nprobe = 3)
+      servedThenCleanup(
+        Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cbLoaded, k = 5, nprobe = 3),
+        scratch)
     },
     annIndexUpsert.oracle)
 
@@ -1061,7 +1070,8 @@ private[graft] object EntriesAnn {
       val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
       val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
       val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
-      val path = scratchPath("graft_ann_cmp").toString
+      val scratch = scratchPath("graft_ann_cmp")
+      val path = scratch.toString
       Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
         .join(even.select(col("vec_id"), col("label")), "vec_id"),
         "label", cb, path)
@@ -1078,9 +1088,11 @@ private[graft] object EntriesAnn {
       val (_, cbLoaded) = Ann.loadIndex(s, path)
       val codes = graft.streaming.StreamingIngest.loadStreamedCodes(
         s, path, "vec_id", "label")
-      Ann.ivfPqTopK(codes, "vec_id", "label", cents,
-        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        cbLoaded, k = 5, nprobe = 3)
+      servedThenCleanup(
+        Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cbLoaded, k = 5, nprobe = 3),
+        scratch)
     },
     annIndexUpsert.oracle)
 

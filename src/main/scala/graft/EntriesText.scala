@@ -527,8 +527,8 @@ private[graft] object EntriesText {
   /** Fleiss' kappa ([[graft.operators.Annotations.fleissKappa]]) over
     * the SAME synthetic five-annotator label log as
     * `pref_majority_vote` — chance-corrected agreement for the whole
-    * campaign in one row, the go/re-brief number raw agreement can't
-    * give on a skewed label marginal. The oracle re-derives the
+    * campaign in one row, the ship-or-re-brief signal raw agreement
+    * can't give on a skewed label marginal. The oracle re-derives the
     * item×label cells, per-item P_i, assignment-weighted marginals,
     * and the (P̄−P_e)/(1−P_e) fold.
     */

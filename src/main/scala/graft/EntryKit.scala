@@ -47,9 +47,15 @@ private[graft] object EntryKit {
     // default /dev/shm is 64 MB, writable but useless, and ENOSPC
     // mid-drain is worse than slow fsyncs
     val MinShmBytes = 8L << 30
-    val override_ = sys.env.get("GRAFT_SCRATCH_DIR")
-      .map(java.nio.file.Paths.get(_))
-      .filter(java.nio.file.Files.isDirectory(_))
+    // a SET override must be usable — silently falling back to shm/tmp
+    // would mask the misconfiguration instead of surfacing it
+    val override_ = sys.env.get("GRAFT_SCRATCH_DIR").map { s =>
+      val p = java.nio.file.Paths.get(s)
+      require(java.nio.file.Files.isDirectory(p) &&
+          java.nio.file.Files.isWritable(p),
+        s"GRAFT_SCRATCH_DIR=$s is not an existing writable directory")
+      p
+    }
     val shm = override_.orElse {
       Some(java.nio.file.Paths.get("/dev/shm")).filter(p =>
         java.nio.file.Files.isDirectory(p) &&
@@ -61,6 +67,31 @@ private[graft] object EntryKit {
     shm match {
       case Some(p) => java.nio.file.Files.createTempDirectory(p, prefix)
       case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
+  }
+
+  /** Materialize an entry's small served result off its scratch files
+    * (localCheckpoint pulls the rows into executor storage and cuts the
+    * lineage back to the parquet scan), then delete the scratch dir.
+    * For entries whose scratch is invocation-fresh by design (parquet
+    * append/staging is not replay-idempotent, so they cannot share
+    * `ann_index_persist`'s cached path): without this, repeated
+    * bench/verify runs accumulate dead index copies in RAM-backed
+    * tmpfs. Only valid for k-sized results — the checkpoint pins the
+    * rows in memory for the session.
+    */
+  def servedThenCleanup(
+      result: DataFrame, scratch: java.nio.file.Path): DataFrame = {
+    val served = result.localCheckpoint()
+    deleteRecursively(scratch)
+    served
+  }
+
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
     }
   }
 
