@@ -1096,6 +1096,81 @@ private[graft] object EntriesAnn {
     },
     annIndexUpsert.oracle)
 
+  /** Index RE-TRAIN + migration ([[graft.streaming.StreamingIngest
+    * .retrainStreamedIndex]]) — the generation change the upsert path
+    * deliberately defers: upsert freezes the codebook (re-training on
+    * upsert would re-meaning every existing code), so a growing corpus
+    * drifts off its centroids (`ann_centroid_drift` is the trigger
+    * signal) until a retrain re-derives BOTH models on the full
+    * current corpus, re-encodes every row from its raw vector
+    * (rebuild-from-the-lake — re-encoding lossy codes would compound
+    * quantization error), and publishes codes + codebook + centroids
+    * atomically as the next `codes_v<n>` generation via the same
+    * monotone `_folded` machinery compaction uses. The chain here:
+    * index built on the EVEN half (even-seeded codebook, even pivot
+    * centroids), grown by upserting the ODD half — the drifted state —
+    * then retrained on the FULL corpus (full-seeded codebook, full
+    * pivot centroids, every vector re-assigned). The oracle replays
+    * the POST-RETRAIN generation end-to-end, which is by construction
+    * exactly a from-scratch build on the full corpus: serve
+    * equivalence to the rebuild is the correctness bar, and the
+    * pre-retrain history (which half was upserted when) must leave NO
+    * trace in the result.
+    */
+  val annIndexRetrain = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cb0 = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents0 = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val scratch = scratchPath("graft_annrt")
+      val path = scratch.toString
+      PhaseTimer.phase("build_save") {
+        Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb0)
+          .join(even.select(col("vec_id"), col("label")), "vec_id"),
+          "label", cb0, path)
+      }
+      PhaseTimer.phase("upsert") {
+        Ann.upsertIndex(s, path, odd, "vec_id", "embedding", cents0, "label")
+      }
+      val centsFull = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+      PhaseTimer.phase("retrain") {
+        graft.streaming.StreamingIngest.retrainStreamedIndex(
+          s, path, emb, "vec_id", "embedding", centsFull, "label",
+          m = 8, ksub = 16)
+      }
+      val (codes, cb2, cents2) = graft.streaming.StreamingIngest
+        .loadStreamedIndex(s, path, "vec_id", "label")
+      servedThenCleanup(
+        Ann.ivfPqTopK(codes, "vec_id", "label", cents2.getOrElse(centsFull),
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cb2, k = 5, nprobe = 3),
+        scratch)
+    },
+    // the upsert oracle with FULL-corpus models and every vector
+    // re-assigned: coarse centroids over the whole corpus, codebook
+    // seeds the 16 lowest ids overall, assignment for ALL rows —
+    // i.e. a from-scratch build on the current corpus
+    Some("WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "coarse AS (SELECT label, arg_min(e, vec_id) AS cv FROM v GROUP BY label), " +
+      "sub AS (SELECT unnest(generate_series(0, 7)) AS s), " +
+      "seeds AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16), " +
+      "cent AS (SELECT sub.s, seeds.vec_id AS cj, seeds.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS cv FROM seeds CROSS JOIN sub), " +
+      "oas AS (SELECT o.vec_id, c.label AS cl, row_number() OVER (PARTITION BY o.vec_id ORDER BY round(list_cosine_similarity(o.e, c.cv), 4) DESC, c.label) AS rn FROM v o CROSS JOIN coarse c), " +
+      "clus AS (SELECT vec_id, cl FROM oas WHERE rn = 1), " +
+      "sl AS (SELECT v.vec_id, sub.s, v.e[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS sv FROM v CROSS JOIN sub), " +
+      "asg AS (SELECT sl.vec_id, sl.s, cent.cj, row_number() OVER (PARTITION BY sl.vec_id, sl.s ORDER BY round(list_inner_product(sv, sv) - 2*list_inner_product(sv, cv) + list_inner_product(cv, cv), 9), cent.cj) AS rn FROM sl JOIN cent ON cent.s = sl.s), " +
+      "code AS (SELECT asg.vec_id, clus.cl, asg.s, asg.cj FROM asg JOIN clus ON clus.vec_id = asg.vec_id WHERE asg.rn = 1), " +
+      "q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10), " +
+      "probe AS (SELECT q_id, qe, label, row_number() OVER (PARTITION BY q_id ORDER BY round(list_cosine_similarity(qe, cv), 4) DESC, label) AS crank FROM q CROSS JOIN coarse), " +
+      "pr AS (SELECT q_id, qe, label FROM probe WHERE crank <= 3), " +
+      "qsl AS (SELECT q_id, pr.label, sub.s, qe[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS qv FROM pr CROSS JOIN sub), " +
+      "term AS (SELECT qsl.q_id, code.vec_id AS nid, round(list_inner_product(qv, qv) - 2*list_inner_product(qv, cv) + list_inner_product(cv, cv), 9) AS t FROM qsl JOIN code ON code.s = qsl.s AND code.cl = qsl.label JOIN cent ON cent.s = code.s AND cent.cj = code.cj), " +
+      "adc0 AS (SELECT q_id, nid, round(sum(t), 4) AS adc FROM term GROUP BY 1, 2), " +
+      "r AS (SELECT q_id, nid, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc, nid) AS rank FROM adc0 WHERE q_id <> nid) " +
+      "SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5"))
+
   /** In-context-pretraining pack ([[Ann.icpOrder]], Shi et al. 2023):
     * documents ordered so semantic neighbors sit adjacent — nearest
     * pivot centroid, then descending centroid similarity within the

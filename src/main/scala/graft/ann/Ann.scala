@@ -1034,31 +1034,48 @@ object Ann {
       path: String): Unit = {
     indexed.write.mode("overwrite")
       .partitionBy(cluster).parquet(s"$path/codes")
-    val spark = indexed.sparkSession
+    writeCodebook(indexed.sparkSession, cb, s"$path/codebook")
+  }
+
+  /** Persist a codebook (a driver-sized model) as one flattened
+    * parquet table at `dir`: (subspace s, code j, centroid cv).
+    */
+  def writeCodebook(
+      spark: SparkSession, cb: PqCodebook, dir: String): Unit = {
     import spark.implicits._
     cb.cents.zipWithIndex.flatMap { case (sub, s) =>
       sub.zipWithIndex.map { case (cv, j) => (s, j, cv.toSeq) }
     }.toSeq.toDF("s", "j", "cv")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/codebook")
+      .repartition(1).write.mode("overwrite").parquet(dir)
   }
 
-  /** Load a persisted IVF-PQ index: the codes frame (cluster partition
-    * pruning intact) and the reconstructed codebook.
-    */
-  def loadIndex(
-      spark: SparkSession, path: String): (DataFrame, PqCodebook) = {
+  /** Reconstruct a codebook persisted by [[writeCodebook]]. */
+  def readCodebook(spark: SparkSession, dir: String): PqCodebook = {
     import spark.implicits._
-    val codes = spark.read.parquet(s"$path/codes")
-    val rows = spark.read.parquet(s"$path/codebook")
+    val rows = spark.read.parquet(dir)
       .select(col("s"), col("j"), col("cv"))
       .as[(Int, Int, Seq[Double])].collect()
-    require(rows.nonEmpty, s"no codebook at $path/codebook")
+    require(rows.nonEmpty, s"no codebook at $dir")
     val m = rows.map(_._1).max + 1
     val ksub = rows.map(_._2).max + 1
     val subDim = rows.head._3.length
     val cents = Array.ofDim[Array[Double]](m, ksub)
     rows.foreach { case (s, j, cv) => cents(s)(j) = cv.toArray }
-    (codes, PqCodebook(m, subDim, cents))
+    PqCodebook(m, subDim, cents)
+  }
+
+  /** Load a persisted IVF-PQ index: the codes frame (cluster partition
+    * pruning intact) and the reconstructed codebook. NOTE: this reads
+    * the BASE generation only; an index maintained through the
+    * streamed lifecycle should load through [[graft.streaming
+    * .StreamingIngest.loadStreamedIndex]], which resolves the newest
+    * published generation's codebook (a retrain re-means every code —
+    * pairing new codes with the base codebook would score garbage).
+    */
+  def loadIndex(
+      spark: SparkSession, path: String): (DataFrame, PqCodebook) = {
+    val codes = spark.read.parquet(s"$path/codes")
+    (codes, readCodebook(spark, s"$path/codebook"))
   }
 
   /** Nearest-coarse-centroid assignment of a batch — the shared

@@ -704,9 +704,14 @@ object StreamingIngest {
             "and the next compaction deletes; keep the original " +
             "checkpoint, or stream into a new index path")
         claimRun(spark, indexPath, checkpoint)
-        val (_, cb) = graft.ann.Ann.loadIndex(spark, indexPath)
+        // models re-resolved EVERY micro-batch: after a retrain
+        // publishes a new generation, subsequent batches must encode
+        // and route with the NEW codebook/centroids, or their codes
+        // would be meaningless against the generation that serves them
+        val (cb, centsV) = versionedModels(spark, indexPath)
+        val cents = centsV.getOrElse(centTable)
         val assigned = graft.ann.Ann.assignClusters(
-          batch.toDF(), id, vec, centTable, cluster)
+          batch.toDF(), id, vec, cents, cluster)
         graft.ann.Ann.pqEncode(batch.toDF(), id, vec, cb)
           .join(assigned, id)
           .write.mode("overwrite").partitionBy(cluster)
@@ -881,14 +886,7 @@ object StreamingIngest {
     val hwPrior = prior.map(_._2).getOrElse(-1L)
     if (!staged.exists(_ > hwPrior)) return // nothing unfolded
     val hw = staged.max
-    val n = {
-      val root = new org.apache.hadoop.fs.Path(indexPath)
-      fs.listStatus(root).toSeq.map(_.getPath.getName)
-        .flatMap(nm =>
-          if (nm.startsWith("codes_v")) nm.drop("codes_v".length).toLongOption
-          else None)
-        .foldLeft(0L)(math.max) + 1
-    }
+    val n = completeOrPartialVersionMax(spark, indexPath) + 1
     val next = s"$indexPath/codes_v$n"
     loadStreamedCodes(spark, indexPath, id, cluster, maxBatch = hw)
       .write.mode("overwrite").partitionBy(cluster).parquet(next)
@@ -924,6 +922,140 @@ object StreamingIngest {
         else None)
       .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
         s"$indexPath/codes_v$v/_folded")))
+  }
+
+  /** The model state paired with the newest published generation: its
+    * embedded `_codebook` (+ `_centroids`) when the generation carries
+    * them (written by [[retrainStreamedIndex]]), else the base
+    * `codebook` [[graft.ann.Ann.saveIndex]] wrote (compaction-only
+    * generations re-fold codes the base codebook encoded, so the base
+    * model stays correct for them). The underscore prefix keeps the
+    * model tables invisible to the generation's codes scan (Spark's
+    * file index skips `_`/`.` names) — which is also what makes it
+    * safe to embed them INSIDE the version dir, giving codes + models
+    * one atomic `_folded` publication.
+    */
+  private def versionedModels(
+      spark: SparkSession, indexPath: String)
+      : (graft.ann.Ann.PqCodebook, Option[DataFrame]) = {
+    val fs = hfs(spark, indexPath)
+    val verCb = resolveVersion(spark, indexPath)
+      .map(_._1)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(s"$p/_codebook")))
+    verCb match {
+      case Some(p) =>
+        val cents =
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$p/_centroids")))
+            Some(spark.read.parquet(s"$p/_centroids"))
+          else None
+        (graft.ann.Ann.readCodebook(spark, s"$p/_codebook"), cents)
+      case None =>
+        (graft.ann.Ann.readCodebook(spark, s"$indexPath/codebook"), None)
+    }
+  }
+
+  /** Load a streamed-into index as a coherent (codes, codebook,
+    * centroids) triple: the serving view ([[loadStreamedCodes]]) plus
+    * the model generation that ENCODED it ([[versionedModels]]).
+    * Centroids are present only once a retrain has published them;
+    * before that the coarse table is whatever the caller built the
+    * base index with (it was never persisted by [[graft.ann.Ann
+    * .saveIndex]]).
+    */
+  def loadStreamedIndex(
+      spark: SparkSession, indexPath: String,
+      id: String, cluster: String)
+      : (DataFrame, graft.ann.Ann.PqCodebook, Option[DataFrame]) = {
+    val (cb, cents) = versionedModels(spark, indexPath)
+    (loadStreamedCodes(spark, indexPath, id, cluster), cb, cents)
+  }
+
+  /** RE-TRAIN the index on the current corpus and publish the result
+    * as the next generation — the migration path a growing corpus
+    * needs once it drifts off the centroids it was indexed under
+    * ([[graft.ann.Ann.centroidDrift]] is the trigger signal; upsert
+    * deliberately freezes the codebook because re-training on upsert
+    * would silently re-meaning every existing code, so drift
+    * accumulates BY DESIGN until a retrain pays it down).
+    *
+    * Rebuild-from-the-lake semantics: `corpus` (id, vec) IS the new
+    * index content — raw vectors live upstream of the index, codes are
+    * derived state, and re-encoding from lossy PQ codes would compound
+    * quantization error generation over generation. A new codebook is
+    * trained on `corpus` ([[graft.ann.Ann.pqSeedCodebook]] seeds, or
+    * `iters` rounds of [[graft.ann.Ann.pqTrainCodebook]]), every row is
+    * re-assigned against `centTable` (the NEW coarse centroids) and
+    * re-encoded, and codes + `_codebook` + `_centroids` publish
+    * together under one `codes_v<n>/_folded` marker — the same
+    * monotone machinery compaction uses, so readers switch generations
+    * atomically and a crash mid-retrain is invisible. The marker's
+    * high-water is the max staged batch id at snapshot time: all
+    * current staging is superseded (its rows must be in `corpus`).
+    * Run from a point where the upsert drain is quiesced — a
+    * micro-batch racing the retrain could land above the snapshot
+    * high-water encoded with the OLD codebook.
+    *
+    * Scale shape: train-encode-publish is one linear pass over the
+    * corpus (assignment broadcasts `centTable`, encoding broadcasts
+    * the codebook), and the write is cluster-partitioned like every
+    * other generation — no shuffle beyond the partitioned write.
+    */
+  def retrainStreamedIndex(
+      spark: SparkSession, indexPath: String,
+      corpus: DataFrame, id: String, vec: String,
+      centTable: DataFrame, cluster: String,
+      m: Int, ksub: Int, iters: Int = 0): Unit = {
+    val fs = hfs(spark, indexPath)
+    val staged = stagedBatches(spark, indexPath)
+    val prior = resolveVersion(spark, indexPath)
+    val hw = (staged :+ prior.map(_._2).getOrElse(-1L)).max
+    val cb =
+      if (iters <= 0)
+        graft.ann.Ann.pqSeedCodebook(corpus, id, vec, m, ksub)
+      else graft.ann.Ann.pqTrainCodebook(corpus, id, vec, m, ksub, iters)
+    val assigned = graft.ann.Ann.assignClusters(
+      corpus, id, vec, centTable, cluster)
+    val n = completeOrPartialVersionMax(spark, indexPath) + 1
+    val next = s"$indexPath/codes_v$n"
+    graft.ann.Ann.pqEncode(corpus, id, vec, cb)
+      .join(assigned, id)
+      .write.mode("overwrite").partitionBy(cluster).parquet(next)
+    graft.ann.Ann.writeCodebook(spark, cb, s"$next/_codebook")
+    centTable.select(col(cluster), col("centroid"))
+      .repartition(1).write.mode("overwrite").parquet(s"$next/_centroids")
+    val tmp = new org.apache.hadoop.fs.Path(s"$next/_folded_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(hw.toString.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$next/_folded")),
+      s"could not publish $next")
+    // same one-generation grace policy as compaction
+    prior.foreach { case (priorPath, _) =>
+      val priorV = new org.apache.hadoop.fs.Path(priorPath)
+        .getName.drop("codes_v".length).toLong
+      completeVersions(spark, indexPath).filter(_ < priorV).foreach(v =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$indexPath/codes_v$v"), true))
+      staged.filter(_ <= prior.map(_._2).getOrElse(-1L)).foreach(b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexPath/stream/batch=$b"), true))
+    }
+    ()
+  }
+
+  /** Highest `codes_v<n>` suffix present, complete or not (a
+    * half-written dir still claims its number — the next publication
+    * must supersede it, never reuse it). 0 if none.
+    */
+  private def completeOrPartialVersionMax(
+      spark: SparkSession, indexPath: String): Long = {
+    val fs = hfs(spark, indexPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .flatMap(nm =>
+        if (nm.startsWith("codes_v")) nm.drop("codes_v".length).toLongOption
+        else None)
+      .foldLeft(0L)(math.max)
   }
 
   /** Explicit full GC of a streamed-into index: deletes every complete

@@ -793,4 +793,70 @@ class StreamingIngestSpec extends SparkSpec {
     assert(StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label")
       .count() == 6)
   }
+
+  test("retrainStreamedIndex: the published generation equals a " +
+      "from-scratch build on the same corpus, and post-retrain drained " +
+      "upserts encode with the NEW codebook") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val emb = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (1L, unit(1), 0), (3L, unit(3), 1),
+      (5L, unit(4), 2), (7L, unit(5), 2))
+      .toDF("vec_id", "embedding", "label")
+    val even = emb.where($"vec_id" % 2 === 0)
+    val odd = emb.where($"vec_id" % 2 === 1)
+    val cb0 = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents0 = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+    val st = Files.createTempDirectory("graft_rt_ann").toString
+    Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb0)
+      .join(even.select($"vec_id", $"label"), "vec_id"), "label", cb0, st)
+    Ann.upsertIndex(spark, st, odd, "vec_id", "embedding", cents0, "label")
+    // retrain on the full current corpus with full-corpus models
+    val centsFull = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+    StreamingIngest.retrainStreamedIndex(spark, st, emb,
+      "vec_id", "embedding", centsFull, "label", m = 4, ksub = 4)
+    val (codes, cb2, cents2) = StreamingIngest.loadStreamedIndex(
+      spark, st, "vec_id", "label")
+    // from-scratch twin: same corpus, same seed rule, same assignment
+    val os = Files.createTempDirectory("graft_rt_twin").toString
+    val cbF = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 4, ksub = 4)
+    Ann.saveIndex(Ann.pqEncode(emb, "vec_id", "embedding", cbF)
+      .join(Ann.assignClusters(emb, "vec_id", "embedding",
+        centsFull, "label"), "vec_id"),
+      "label", cbF, os)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", col("label").cast("int"), $"codes")
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(rows(codes) == rows(Ann.loadIndex(spark, os)._1))
+    assert(cb2.m == cbF.m && cb2.subDim == cbF.subDim &&
+      cb2.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+        cbF.cents.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(cents2.isDefined)
+    assert(cents2.get.select($"label".cast("long"),
+      Ann.toDouble($"centroid")).as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).toSeq ==
+      centsFull.select($"label".cast("long"),
+        Ann.toDouble($"centroid")).as[(Long, Seq[Double])]
+        .collect().sortBy(_._1).toSeq)
+    // a post-retrain streamed upsert must encode + route with the NEW
+    // generation's models, not the base ones the index was born with
+    val fresh = Seq((9L, unit(6), 0)).toDF("vec_id", "embedding", "label")
+    fresh.coalesce(1).write.parquet(s"$st/in")
+    StreamingIngest.annIndexUpsertDrain(
+      spark.readStream.schema(fresh.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$st/in"),
+      st, s"$st/ckpt", "vec_id", "embedding", cents0, "label")
+      .awaitTermination()
+    val served = StreamingIngest.loadStreamedCodes(
+      spark, st, "vec_id", "label")
+    assert(served.count() == 9)
+    val newCodes = served.where($"vec_id" === 9L)
+      .select($"codes").as[Seq[Int]].collect().head
+    val expected = Ann.pqEncode(fresh, "vec_id", "embedding", cbF)
+      .select($"codes").as[Seq[Int]].collect().head
+    assert(newCodes == expected)
+  }
 }
