@@ -73,27 +73,41 @@ object Bench {
     // Phase breakdowns for composite entries (PhaseTimer), keyed
     // "<query>.<stage>"; the warm pass's numbers win.
     val phases = scala.collection.mutable.Map[String, Double]()
-    // Pass 1 doubles as warmup (codegen compile, page-cache fill); pass 2
-    // runs warm. Reported timing is the MIN of the passes: a transient
-    // machine-contention spike during either pass then can't masquerade as
-    // a query regression, while a real regression shows in both passes.
-    def onePass(tag: String, subset: Seq[String]): Map[String, Double] =
-      subset.flatMap { n =>
-        val t0 = System.nanoTime()
-        PhaseTimer.drain() // clear anything a failed predecessor left behind
-        try {
-          materialize(SparkEntry.queries(n)(spark, sfDir))
-          val dt = (System.nanoTime() - t0) / 1e9
-          PhaseTimer.drain().foreach { case (ph, v) =>
-            phases(s"$n.$ph") = v
-            System.err.println(f"[bench:$tag]   $n.$ph $v%.2fs")
+    // Per-entry host adjudication (r13 verdict task 4): ONE control
+    // probe bracketing the whole suite mis-normalizes — same-day runs
+    // disagreed by 40% because host load drifts WITHIN a 25-minute
+    // pass. So a control probe is interleaved before every GROUP of
+    // GroupSize consecutive entries (and before each isolated re-run),
+    // and each entry's reported timing carries the control reading of
+    // the group it was measured in (`query_controls` in the output).
+    // Cross-round adjudication is then per-entry: an entry whose
+    // timing and group control moved together is host drift; an entry
+    // regressing against a quiet group control is a plan change. Still
+    // a flag, not a divisor — quiet-window re-times remain the ground
+    // truth.
+    val GroupSize = 24
+    def onePass(tag: String, subset: Seq[String]): Map[String, (Double, Double)] =
+      subset.grouped(GroupSize).flatMap { group =>
+        val ctl = hostControl(spark)
+        System.err.println(f"[bench:$tag] group control $ctl%.3fs " +
+          s"(entries ${group.head}..${group.last})")
+        group.flatMap { n =>
+          val t0 = System.nanoTime()
+          PhaseTimer.drain() // clear anything a failed predecessor left
+          try {
+            materialize(SparkEntry.queries(n)(spark, sfDir))
+            val dt = (System.nanoTime() - t0) / 1e9
+            PhaseTimer.drain().foreach { case (ph, v) =>
+              phases(s"$n.$ph") = v
+              System.err.println(f"[bench:$tag]   $n.$ph $v%.2fs")
+            }
+            System.err.println(f"[bench:$tag] $n $dt%.2fs")
+            Some(n -> (dt, ctl))
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench:$tag] $n FAILED: ${e.getMessage}")
+              None
           }
-          System.err.println(f"[bench:$tag] $n $dt%.2fs")
-          Some(n -> dt)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench:$tag] $n FAILED: ${e.getMessage}")
-            None
         }
       }.toMap
     // Release suite-accumulated executor state so an isolated re-run
@@ -123,23 +137,30 @@ object Bench {
     // is wider than 6.
     val isoTop = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_TOP", "16").toInt
     val slowest = names
-      .flatMap(n => p2.get(n).map(n -> _))
+      .flatMap(n => p2.get(n).map(n -> _._1))
       .sortBy(-_._2).take(math.max(0, isoTop)).map(_._1)
     val p3 = slowest.flatMap { n =>
       quiesce()
-      onePass("iso", Seq(n))
+      onePass("iso", Seq(n)) // its own group: per-entry control
     }.toMap
-    val results: Seq[(String, Option[Double])] = names.map { n =>
+    // min over passes by TIMING; the winning pass's group control rides
+    // along so per-entry drift is adjudicated against the host reading
+    // taken minutes, not a full pass, away from the measurement
+    val results: Seq[(String, Option[(Double, Double)])] = names.map { n =>
       // a query must succeed in the warm pass to count; p1-only success
       // (e.g. a flaky external resource) is not a benchmarkable state
       n -> p2.get(n).map(t2 =>
-        (Seq(t2) ++ p1.get(n) ++ p3.get(n)).min)
+        (Seq(t2) ++ p1.get(n) ++ p3.get(n)).minBy(_._1))
     }
     val qs = results.map {
-      case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
+      case (k, Some((v, _))) => "\"" + k + "\":" + f"$v%.3f"
       case (k, None) => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    val qctl = results.flatMap {
+      case (k, Some((_, c))) => Some("\"" + k + "\":" + f"$c%.3f")
+      case _ => None
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2.map(_._1)).sum
     val nFailed = results.count(_._2.isEmpty)
     val ph = phases.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -158,7 +179,7 @@ object Bench {
     // calibration host; divide entry timings by it to compare rounds.
     val hostFactor = math.min(ctlStart, ctlEnd) / HostRefSec
     val line =
-      f"""{"queries":$qs,"phases":$ph,"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","failed":$nFailed,"host_control_sec":${math.min(ctlStart, ctlEnd)}%.3f,"host_control_end_sec":$ctlEnd%.3f,"host_ref_sec":$HostRefSec%.2f,"host_factor":$hostFactor%.3f}"""
+      f"""{"queries":$qs,"query_controls":$qctl,"phases":$ph,"group_size":$GroupSize,"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","failed":$nFailed,"host_control_sec":${math.min(ctlStart, ctlEnd)}%.3f,"host_control_end_sec":$ctlEnd%.3f,"host_ref_sec":$HostRefSec%.2f,"host_factor":$hostFactor%.3f}"""
     println(line)
     Files.writeString(Paths.get("bench_result.json"), line)
     spark.stop()
