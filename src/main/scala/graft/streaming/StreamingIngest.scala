@@ -704,6 +704,17 @@ object StreamingIngest {
             "and the next compaction deletes; keep the original " +
             "checkpoint, or stream into a new index path")
         claimRun(spark, indexPath, checkpoint)
+        // fail fast while a retrain is publishing: a batch encoded
+        // with the OLD codebook that lands above the retrain's
+        // snapshot high-water would serve incoherently against the
+        // new generation (see retrainStreamedIndex). foreachBatch is
+        // transactional per batch — the failed batch replays after
+        // the lock clears, re-encoding with the NEW models.
+        if (hfs(spark, indexPath).exists(new org.apache.hadoop.fs.Path(
+            s"$indexPath/_retrain_lock")))
+          throw new IllegalStateException(
+            s"retrain in progress on $indexPath (_retrain_lock present); " +
+              "upserts replay after it completes")
         // models re-resolved EVERY micro-batch: after a retrain
         // publishes a new generation, subsequent batches must encode
         // and route with the NEW codebook/centroids, or their codes
@@ -991,9 +1002,17 @@ object StreamingIngest {
     * atomically and a crash mid-retrain is invisible. The marker's
     * high-water is the max staged batch id at snapshot time: all
     * current staging is superseded (its rows must be in `corpus`).
-    * Run from a point where the upsert drain is quiesced — a
-    * micro-batch racing the retrain could land above the snapshot
-    * high-water encoded with the OLD codebook.
+    *
+    * Drain coordination: the retrain holds an `_retrain_lock` for its
+    * duration, and [[annIndexUpsertDrain]] fails any micro-batch that
+    * observes it — a batch encoded with the OLD codebook landing above
+    * the snapshot high-water would serve incoherently against the new
+    * generation. foreachBatch is transactional per batch, so the
+    * failed batch replays after the lock clears and re-encodes with
+    * the new models. The lock narrows the race to a batch already PAST
+    * the check when the lock lands; quiesce the drain around retrains
+    * to close it operationally (a crash mid-retrain leaves the lock —
+    * publication is still atomic, delete the lock after inspecting).
     *
     * Scale shape: train-encode-publish is one linear pass over the
     * corpus (assignment broadcasts `centTable`, encoding broadcasts
@@ -1005,6 +1024,26 @@ object StreamingIngest {
       corpus: DataFrame, id: String, vec: String,
       centTable: DataFrame, cluster: String,
       m: Int, ksub: Int, iters: Int = 0): Unit = {
+    val fs = hfs(spark, indexPath)
+    val lock = new org.apache.hadoop.fs.Path(s"$indexPath/_retrain_lock")
+    val lockOut =
+      try fs.create(lock, false) // exclusive: one retrain at a time
+      catch {
+        case _: java.io.IOException => throw new IllegalStateException(
+          s"another retrain holds $lock (or a crashed one left it; " +
+            "inspect, then delete the lock)")
+      }
+    try lockOut.write("retrain".getBytes("UTF-8")) finally lockOut.close()
+    try retrainLocked(spark, indexPath, corpus, id, vec, centTable,
+      cluster, m, ksub, iters)
+    finally { fs.delete(lock, false); () }
+  }
+
+  private def retrainLocked(
+      spark: SparkSession, indexPath: String,
+      corpus: DataFrame, id: String, vec: String,
+      centTable: DataFrame, cluster: String,
+      m: Int, ksub: Int, iters: Int): Unit = {
     val fs = hfs(spark, indexPath)
     val staged = stagedBatches(spark, indexPath)
     val prior = resolveVersion(spark, indexPath)

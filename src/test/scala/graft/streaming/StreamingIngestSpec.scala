@@ -841,15 +841,35 @@ class StreamingIngestSpec extends SparkSpec {
       centsFull.select($"label".cast("long"),
         Ann.toDouble($"centroid")).as[(Long, Seq[Double])]
         .collect().sortBy(_._1).toSeq)
-    // a post-retrain streamed upsert must encode + route with the NEW
-    // generation's models, not the base ones the index was born with
+    // a live _retrain_lock excludes BOTH a second retrain and any
+    // drained micro-batch (which would encode with models the lock
+    // holder is about to supersede); the failed batch replays clean
+    // once the lock clears
+    val lockP = java.nio.file.Paths.get(s"$st/_retrain_lock")
+    java.nio.file.Files.createFile(lockP)
+    intercept[IllegalStateException] {
+      StreamingIngest.retrainStreamedIndex(spark, st, emb,
+        "vec_id", "embedding", centsFull, "label", m = 4, ksub = 4)
+    }
     val fresh = Seq((9L, unit(6), 0)).toDF("vec_id", "embedding", "label")
     fresh.coalesce(1).write.parquet(s"$st/in")
-    StreamingIngest.annIndexUpsertDrain(
+    def drainFresh(): Unit = StreamingIngest.annIndexUpsertDrain(
       spark.readStream.schema(fresh.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$st/in"),
       st, s"$st/ckpt", "vec_id", "embedding", cents0, "label")
       .awaitTermination()
+    val blocked =
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        drainFresh()
+      }
+    assert(blocked.getMessage.contains("retrain in progress") ||
+      Option(blocked.getCause).exists(
+        _.getMessage.contains("retrain in progress")))
+    java.nio.file.Files.delete(lockP)
+    // a post-retrain streamed upsert must encode + route with the NEW
+    // generation's models, not the base ones the index was born with;
+    // the lock-failed batch replays here off the same checkpoint
+    drainFresh()
     val served = StreamingIngest.loadStreamedCodes(
       spark, st, "vec_id", "label")
     assert(served.count() == 9)
