@@ -1171,6 +1171,48 @@ private[graft] object EntriesAnn {
       "r AS (SELECT q_id, nid, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc, nid) AS rank FROM adc0 WHERE q_id <> nid) " +
       "SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5"))
 
+  /** TWO-LEVEL coarse assignment ([[Ann.assignClustersTwoLevel]] —
+    * IMI/coarse-router shape, Babenko & Lempitsky 2014): when the
+    * centroid count tracks the corpus (nlist ∝ N, the honest IVF
+    * configuration), the flat assignment crossJoin is N·k work and
+    * turns quadratic; routing through the `superCount` lowest-id
+    * centroids first drops it to N·(s + nprobe·k/s). The entry runs
+    * BOTH assignments over the corpus and reports per-vector agreement
+    * — the recall/cost dial measured, not asserted. The oracle replays
+    * the full two-level chain (super seeding, centroid routing,
+    * per-vector super probing, probed-member argmax) AND the flat
+    * argmax, all on the shared round-4/id-asc determinism rules.
+    */
+  val annAssignTwoLevel = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+      val two = Ann.assignClustersTwoLevel(emb, "vec_id", "embedding",
+          cents, "label", superCount = 3, nprobe = 2)
+        .withColumnRenamed("label", "cluster_two")
+      val flat = Ann.assignClusters(emb, "vec_id", "embedding",
+          cents, "label")
+        .withColumnRenamed("label", "cluster_flat")
+      two.join(flat, "vec_id")
+        .select(col("vec_id"),
+          col("cluster_two").cast("long").as("cluster_two"),
+          col("cluster_flat").cast("long").as("cluster_flat"),
+          (col("cluster_two") === col("cluster_flat")).as("agree"))
+    },
+    Some("WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "c AS (SELECT CAST(label AS BIGINT) AS cl, arg_min(e, vec_id) AS cv FROM v GROUP BY label), " +
+      "sp AS (SELECT cl AS spc, cv AS sv FROM c ORDER BY cl LIMIT 3), " +
+      "cs AS (SELECT c.cl, sp.spc, row_number() OVER (PARTITION BY c.cl ORDER BY round(list_cosine_similarity(c.cv, sp.sv), 4) DESC, sp.spc) AS rn FROM c CROSS JOIN sp), " +
+      "csr AS (SELECT cl, spc FROM cs WHERE rn = 1), " +
+      "pq AS (SELECT v.vec_id, sp.spc, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(list_cosine_similarity(v.e, sp.sv), 4) DESC, sp.spc) AS srank FROM v CROSS JOIN sp), " +
+      "pr AS (SELECT vec_id, spc FROM pq WHERE srank <= 2), " +
+      "cand AS (SELECT pr.vec_id, csr.cl FROM pr JOIN csr USING (spc)), " +
+      "a2 AS (SELECT cand.vec_id, cand.cl, row_number() OVER (PARTITION BY cand.vec_id ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC, cand.cl) AS rn FROM cand JOIN v USING (vec_id) JOIN c ON c.cl = cand.cl), " +
+      "two AS (SELECT vec_id, cl AS cluster_two FROM a2 WHERE rn = 1), " +
+      "af AS (SELECT v.vec_id, c.cl, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC, c.cl) AS rn FROM v CROSS JOIN c), " +
+      "flat AS (SELECT vec_id, cl AS cluster_flat FROM af WHERE rn = 1) " +
+      "SELECT two.vec_id, cluster_two, cluster_flat, cluster_two = cluster_flat AS agree FROM two JOIN flat USING (vec_id)"))
+
   /** In-context-pretraining pack ([[Ann.icpOrder]], Shi et al. 2023):
     * documents ordered so semantic neighbors sit adjacent — nearest
     * pivot centroid, then descending centroid similarity within the

@@ -72,6 +72,39 @@ object ScaleStress {
       textCols: Seq[String], factor: Int): DataFrame =
     (0 until factor).map(replica(df, idCol, textCols, _)).reduce(_ union _)
 
+  /** Replica-k embedding transform for the SEMANTIC stress corpus
+    * (`embeddings_perm`): a cyclic shift of the coordinate axes by
+    * 7·k mod dim. A coordinate permutation is orthogonal, so every
+    * within-replica dot, norm, and cosine is preserved EXACTLY —
+    * per-replica workload is the base corpus's — while cross-replica
+    * similarity collapses to noise. Without it, replicated embeddings
+    * are byte-identical across replicas and any operator that derives
+    * clusters from the VECTORS (SemDeDup assignment, ICP routing)
+    * degenerates: all f copies of a vector route to the same replica-0
+    * pivot (id-asc tiebreak), the effective clustering collapses to
+    * the base 10 clusters at f× the size, and per-cluster |c|² work
+    * explodes ∝ f² — at f25 the D4 rung measured 127M candidate pairs
+    * where the replica-qualified shape implies ~5M. The shift stride 7
+    * is coprime to the dim, so replicas 0..24 all get distinct
+    * permutations. (The fixed-axis ANN rungs — ivfpq/bitext/outlier —
+    * keep the UNPERMUTED corpus: their clusters come from the label
+    * column, not from vector geometry, and their r9-r13 readings stay
+    * comparable.)
+    */
+  private def replicaEmb(df: DataFrame, k: Int, dim: Int): DataFrame = {
+    val shifted = df.withColumn("vec_id", col("vec_id") + lit(k * Offset))
+    val s = (7 * k) % dim
+    if (s == 0) shifted
+    else shifted.withColumn("embedding",
+      expr(s"concat(slice(embedding, ${s + 1}, ${dim - s}), " +
+        s"slice(embedding, 1, $s))"))
+  }
+
+  private def replicateEmb(df: DataFrame, factor: Int): DataFrame = {
+    val dim = df.select(size(col("embedding"))).head.getInt(0)
+    (0 until factor).map(replicaEmb(df, _, dim)).reduce(_ union _)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val workDir = args.headOption.getOrElse("target/stress")
@@ -116,6 +149,11 @@ object ScaleStress {
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         Files.createFile(Paths.get(s"$dir/_built"))
       }
+      if (!Files.exists(Paths.get(s"$dir/_built_perm"))) {
+        replicateEmb(Tables.load(spark, baseDir, "embeddings"), f)
+          .write.mode("overwrite").parquet(s"$dir/embeddings_perm.parquet")
+        Files.createFile(Paths.get(s"$dir/_built_perm"))
+      }
     }
     // ---- the n-gram de-confound corpus: letters+space only (digits and
     // punctuation are shared across replicas, so their grams' df grows
@@ -159,6 +197,10 @@ object ScaleStress {
       spark.read.parquet(s"$workDir/f$f/documents_ng.parquet")
     def cust(f: Int) = spark.read.parquet(s"$workDir/f$f/customer.parquet")
     def emb(f: Int) = spark.read.parquet(s"$workDir/f$f/embeddings.parquet")
+    // the permuted twin for operators that derive clusters from vector
+    // geometry (see replicaEmb — identical replicas collapse them)
+    def embP(f: Int) =
+      spark.read.parquet(s"$workDir/f$f/embeddings_perm.parquet")
 
     import graft.ann.Ann
     import graft.dedup.Dedup
@@ -169,6 +211,15 @@ object ScaleStress {
     def withReplicaClusters(e: DataFrame): DataFrame =
       e.withColumn("cl",
         (col("label") + lit(10) * floor(col("vec_id") / Offset)).cast("long"))
+
+    // finer replica-qualified clustering (1000 per replica) for the
+    // assignment A/B rungs: at 10·f centroids the two-level router's
+    // fixed stage overheads swamp its N·k savings at these corpus
+    // sizes; 1000·f makes the pair-stream term the visible axis
+    def withFineClusters(e: DataFrame): DataFrame =
+      e.withColumn("clf",
+        (pmod(col("vec_id"), lit(1000)) +
+          lit(1000) * floor(col("vec_id") / Offset)).cast("long"))
 
     // shared shape for the bitext nprobe ladder: reference side FIXED
     // (replica-0 even ids, 10 clusters), candidate side grows with f
@@ -410,7 +461,7 @@ object ScaleStress {
         // with k ∝ N — the price of nlist tracking the corpus; the
         // 100 TB path is two-level routing, which changes the constant,
         // not this rung's window-skew question). Output rows ∝ tokens.
-        val e = withReplicaClusters(emb(f))
+        val e = withReplicaClusters(embP(f))
         val ord = Ann.icpOrder(e, "vec_id", "embedding", "cl",
           cents = Some(Ann.pivotCentroids(e, "cl", "vec_id", "embedding")))
         val toks = docs(f).select(col("doc_id"),
@@ -431,7 +482,7 @@ object ScaleStress {
         // lands in the same cluster and both windows collapse to a
         // single partition — the serialization the replica-qualified
         // configuration exists to avoid, measured instead of asserted
-        val e = emb(f)
+        val e = embP(f)
         val one = Ann.pivotCentroids(
           e.withColumn("cl", lit(0L)), "cl", "vec_id", "embedding")
         val ord = Ann.icpOrder(e, "vec_id", "embedding", "cl",
@@ -449,12 +500,34 @@ object ScaleStress {
           .groupBy(col("cluster"), col("seq"))
           .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
       }),
+      "ann_assign_flat" -> (f => {
+        // flat coarse assignment with nlist ∝ N (100 replica-qualified
+        // centroids per replica — k large enough that the N·k pair
+        // stream dominates the codegen'd dot's tiny constant): the
+        // stream is quadratic in corpus size — the shape the
+        // two-level rung below exists to break. The rung measures the
+        // COST axis; cluster quality is irrelevant to it
+        val e = withFineClusters(embP(f))
+        graft.ann.Ann.assignClusters(e, "vec_id", "embedding",
+          Ann.pivotCentroids(e, "clf", "vec_id", "embedding"), "clf")
+      }),
+      "ann_assign_two_level" -> (f => {
+        // same corpus + centroids through the super-router
+        // (s ≈ √(2k), nprobe 2): the pair stream shrinks to
+        // N·(s + 2k/s) — the rung's exponent must sit below flat's
+        val e = withFineClusters(embP(f))
+        val k = 1000 * f
+        val s = math.max(2, math.round(math.sqrt(2.0 * k)).toInt)
+        graft.ann.Ann.assignClustersTwoLevel(e, "vec_id", "embedding",
+          Ann.pivotCentroids(e, "clf", "vec_id", "embedding"), "clf",
+          superCount = s, nprobe = 2)
+      }),
       "corpus_d4_sample" -> (f => {
         // D4 at scale: SemDeDup over replica-qualified clusters keeps
         // the per-cluster pair fanout Σ|c|² linear (|c| constant, the
         // cluster count carries the growth), then the fixed-k ES draw
         // reduces through a TakeOrdered heap — output fixed at 100
-        val e = withReplicaClusters(emb(f))
+        val e = withReplicaClusters(embP(f))
         val kept = Ann.semanticDedup(e, "vec_id", "embedding", "cl",
             threshold = 0.3,
             cents = Some(Ann.pivotCentroids(e, "cl", "vec_id", "embedding")))
@@ -664,6 +737,26 @@ object ScaleStress {
       System.err.println(s"[stress] df-cap census f$f: over=$over max_df=$mx")
     }
 
+    // semantic census at EVERY factor: the permuted-corpus de-confound
+    // (see replicaEmb) holds only if GEOMETRY-derived assignment keeps
+    // effective cluster sizes at the base corpus's (~N/10f per
+    // cluster), not f× them — on identical replicas the max effective
+    // cluster reads f·|c| and the semantic rungs measure the collapse,
+    // not the operator
+    val semCensus = factors.map { f =>
+      val e = withReplicaClusters(embP(f))
+      val eff = graft.ann.Ann.assignClusters(e, "vec_id", "embedding",
+          Ann.pivotCentroids(e, "cl", "vec_id", "embedding"), "cl")
+        .groupBy(col("cl")).count()
+        .agg(max(col("count")).as("mx"), count(lit(1)).as("k")).collect()(0)
+      quiesce()
+      (f, eff.getLong(0), eff.getLong(1))
+    }
+    semCensus.foreach { case (f, mx, k) =>
+      System.err.println(
+        s"[stress] semantic census f$f: effective_clusters=$k max_cluster=$mx")
+    }
+
     def expFit(name: String): Double = {
       val r = results(name)
       val (f1, fN) = (factors.head, factors.last)
@@ -689,6 +782,9 @@ object ScaleStress {
         s""""parity":${nSplit == nWhole}},""" +
         s""""df_cap_census":{${capCensus.map { case (f, over, mx) =>
           s""""f$f":{"cap":$FixedCap,"grams_over_cap":$over,"max_df":$mx}"""
+        }.mkString(",")}},""" +
+        s""""semantic_census":{${semCensus.map { case (f, mx, k) =>
+          s""""f$f":{"effective_clusters":$k,"max_cluster":$mx}"""
         }.mkString(",")}}"""
     val json =
       s"""{"base":"$baseDir","factors":[${factors.mkString(",")}],""" +

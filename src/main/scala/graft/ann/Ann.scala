@@ -1101,6 +1101,76 @@ object Ann {
       .select(col("__id").as(id), col("__c").as(cluster))
   }
 
+  /** TWO-LEVEL coarse assignment — the scale path for the flat
+    * [[assignClusters]] crossJoin when the centroid count tracks the
+    * corpus (the honest IVF configuration, nlist ∝ N): flat assignment
+    * is N·k similarity work, which turns quadratic in corpus size;
+    * routing through √k-ish super-centroids first costs
+    * N·(s + nprobe·k/s) — minimized near s = √(nprobe·k) — the standard
+    * IMI/coarse-router trick (Babenko & Lempitsky 2014, inverted
+    * multi-index; FAISS's IVF-on-IVF coarse quantizer).
+    *
+    * Deterministic end-to-end so an oracle can replay it exactly:
+    * super-centroids are the `superCount` LOWEST-id centroids (the
+    * [[pqSeedCodebook]] seed rule applied one level up); each centroid
+    * routes to its nearest super (round-4 cosine, super-id-asc
+    * tiebreak — the [[assignClusters]] rule); a vector probes its
+    * `nprobe` best supers (same rounding/tiebreak) and takes the argmax
+    * centroid among the probed supers' members. APPROXIMATE by
+    * construction for nprobe < superCount: a vector whose true nearest
+    * centroid routed to an unprobed super gets its best PROBED
+    * centroid — the recall/cost dial every multi-level quantizer
+    * exposes.
+    *
+    * Scale shape: supers and the routed centroid table are both
+    * driver-tiny and broadcast; the per-vector probe ranking is a
+    * super-count-bounded window; no stage ever shuffles the corpus —
+    * the N·k pair stream just shrinks to N·(s + nprobe·k/s).
+    * Returns (id, cluster).
+    */
+  def assignClustersTwoLevel(
+      batch: DataFrame, id: String, vec: String,
+      centTable: DataFrame, cluster: String,
+      superCount: Int, nprobe: Int): DataFrame = {
+    require(superCount >= 1 && nprobe >= 1 && nprobe <= superCount,
+      s"need 1 <= nprobe <= superCount, got nprobe=$nprobe, " +
+        s"superCount=$superCount")
+    val cents = centTable
+      .select(col(cluster).cast("long").as("__cl"),
+        toDouble(col("centroid")).as("cv"))
+      .withColumn("__cn", sqrt(dotD(col("cv"), col("cv"))))
+    val supers = cents.orderBy(col("__cl")).limit(superCount)
+      .select(col("__cl").as("__sp"), col("cv").as("sv"),
+        col("__cn").as("__sn"))
+    // centroid → super: k rows, stays driver-tiny
+    val routed = cents.crossJoin(broadcast(supers))
+      .withColumn("ssim",
+        round(dotD(col("cv"), col("sv")) / (col("__cn") * col("__sn")), 4))
+      .groupBy(col("__cl"))
+      .agg(min_by(col("__sp"),
+        struct((-col("ssim")).as("d"), col("__sp"))).as("__sp"))
+      .join(cents, "__cl") // re-attach cv/__cn for the final argmax
+    // vector → top-nprobe supers (probe ranking over s rows per vector)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("qsim").desc, col("__sp"))
+    val probed = widen(prepared(batch, id, vec, "__id", "__v", "__n"))
+      .crossJoin(broadcast(supers))
+      .withColumn("qsim",
+        round(dotD(col("__v"), col("sv")) / (col("__n") * col("__sn")), 4))
+      .withColumn("srank", row_number().over(w))
+      .where(col("srank") <= nprobe)
+      .select(col("__id"), col("__v"), col("__n"), col("__sp"))
+    // argmax over the probed supers' member centroids only
+    probed.join(broadcast(routed), "__sp")
+      .withColumn("csim",
+        round(dotD(col("__v"), col("cv")) / (col("__n") * col("__cn")), 4))
+      .groupBy(col("__id"))
+      .agg(min_by(col("__cl"),
+        struct((-col("csim")).as("d"), col("__cl"))).as("__c"))
+      .select(col("__id").as(id), col("__c").as(cluster))
+  }
+
   /** In-context-pretraining document ordering (Shi et al. 2023,
     * arXiv:2310.10638: pretraining on RELATED documents packed into the
     * same context window beats the random-order baseline — the model
@@ -1189,9 +1259,15 @@ object Ann {
     * a crossJoin + per-id `min_by` aggregate, so the map-side partial
     * collapses the k candidate rows per vector BEFORE any shuffle (a
     * rank window here would shuffle corpus×k rows into window tasks
-    * instead). The assigned projection is materialized once and feeds
-    * both legs of the per-cluster self-join. Output one row per input
-    * vector: (id, cluster, keep).
+    * instead). The crossJoin stream and the aggregate buffers carry
+    * ONLY (id, cluster, csim) scalars — an earlier shape carried the
+    * full vector through the min_by struct, which multiplies the
+    * aggregate's working set by the embedding width (64 doubles = a
+    * 32× constant) and turned the f25 stress rung into a spill cliff;
+    * vectors re-attach afterwards via one linear id-keyed join. The
+    * assigned projection is materialized once and feeds both legs of
+    * the per-cluster self-join. Output one row per input vector:
+    * (id, cluster, keep).
     */
   def semanticDedup(
       corpus: DataFrame, id: String, vec: String, cluster: String,
@@ -1199,15 +1275,16 @@ object Ann {
     val centTable = cents.getOrElse(pivotCentroids(corpus, cluster, id, vec))
       .select(col(cluster).as("cl"), toDouble(col("centroid")).as("cv"))
       .withColumn("__cn", sqrt(dotD(col("cv"), col("cv"))))
-    val assigned = widen(prepared(corpus, id, vec, "__id", "__v", "__n"))
+    val prep = widen(prepared(corpus, id, vec, "__id", "__v", "__n"))
+    val asg = prep
       .crossJoin(broadcast(centTable))
       .withColumn("csim",
         round(dotD(col("__v"), col("cv")) / (col("__n") * col("__cn")), 4))
       .groupBy(col("__id"))
-      .agg(min_by(struct(col("cl"), col("__v"), col("__n")),
-        struct((-col("csim")).as("d"), col("cl"))).as("a"))
-      .select(col("__id"), col("a.cl").as("cl"),
-        col("a.__v").as("__v"), col("a.__n").as("__n"))
+      .agg(min_by(col("cl"),
+        struct((-col("csim")).as("d"), col("cl"))).as("cl"))
+    val assigned = prep.join(asg, "__id")
+      .select(col("__id"), col("cl"), col("__v"), col("__n"))
       .localCheckpoint()
     val pairs = assigned
       .select(col("cl"), col("__id").as("id1"),

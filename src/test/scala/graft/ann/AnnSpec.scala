@@ -658,4 +658,53 @@ class AnnSpec extends SparkSpec {
       queries = Some(corpus.filter($"vec_id" <= 2))))
     assert(batch == brute.view.filterKeys(_ <= 2L).toMap)
   }
+
+  test("assignClustersTwoLevel: probe-all equals the flat assignment " +
+      "exactly; fewer probes stay within the probed supers' members") {
+    // 40 vectors spread over 8 distinguishable directions → 8 pivot
+    // centroids; super seeding takes the 3 lowest centroid ids
+    val dim = 16
+    val vecs = (0L until 40L).map { i =>
+      val hot = (i % 8).toInt
+      val v = (0 until dim).map(d =>
+        if (d == hot) 1.0f else if (d == (hot + 8)) 0.3f * ((i % 3) + 1)
+        else 0.01f * ((i % 5).toInt))
+      (i, v, hot)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Ann.pivotCentroids(vecs, "label", "vec_id", "embedding")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val flat = asMap(Ann.assignClusters(
+      vecs, "vec_id", "embedding", cents, "label"))
+    // probe-all: routing can exclude nothing, so the argmax is exact
+    val all = asMap(Ann.assignClustersTwoLevel(
+      vecs, "vec_id", "embedding", cents, "label",
+      superCount = 3, nprobe = 3))
+    assert(all == flat)
+    // superCount = k degenerates to one super per centroid: nprobe=k
+    // is again exact
+    val k = 8
+    val perCent = asMap(Ann.assignClustersTwoLevel(
+      vecs, "vec_id", "embedding", cents, "label",
+      superCount = k, nprobe = k))
+    assert(perCent == flat)
+    // nprobe < superCount: approximate, but every vector still lands
+    // on SOME centroid, exactly one per vector, and deterministically
+    val one = asMap(Ann.assignClustersTwoLevel(
+      vecs, "vec_id", "embedding", cents, "label",
+      superCount = 3, nprobe = 1))
+    assert(one.keySet == flat.keySet)
+    assert(one == asMap(Ann.assignClustersTwoLevel(
+      vecs, "vec_id", "embedding", cents, "label",
+      superCount = 3, nprobe = 1)))
+    // agreement can only improve with more probes (monotone dial):
+    // count where nprobe=2 matches flat >= where nprobe=1 matches flat
+    val two = asMap(Ann.assignClustersTwoLevel(
+      vecs, "vec_id", "embedding", cents, "label",
+      superCount = 3, nprobe = 2))
+    val agree1 = one.count { case (id, c) => flat(id) == c }
+    val agree2 = two.count { case (id, c) => flat(id) == c }
+    assert(agree2 >= agree1)
+  }
 }

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Cross-round bench adjudication using per-group host controls.
+
+Usage: python3 tools/bench_compare.py BENCH_rPREV.json BENCH_rCUR.json [--min-ratio 2.0]
+
+For every entry present in both rounds, computes the raw timing ratio
+cur/prev and, where both rounds carry `query_controls` (r14+), the
+control ratio of the groups each measurement was taken in. The verdict
+column applies the adjudication policy from Bench.scala's doc: an entry
+whose timing moved WITH its group control is host drift; an entry
+regressing against a quiet control is flagged as a plan-change suspect.
+Controls are a flag, not a divisor — suspects deserve a quiet-window
+re-time before being called regressions.
+"""
+import json
+import sys
+
+
+def load(path):
+    """Accept either a raw Bench line (bench_result.json) or the
+    driver's BENCH_r{N}.json wrapper ({... "parsed": <line>})."""
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" in d:
+        return d
+    if isinstance(d.get("parsed"), dict):
+        return d["parsed"]
+    sys.exit(f"{path}: no queries and parsed is null (driver tail was "
+             "truncated) — use the round's committed bench_result.json")
+
+
+def main():
+    argv = sys.argv[1:]
+    min_ratio = 2.0
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--min-ratio"):
+            if "=" in a:
+                min_ratio = float(a.split("=", 1)[1])
+            else:
+                i += 1
+                min_ratio = float(argv[i])
+        else:
+            args.append(a)
+        i += 1
+    if len(args) != 2:
+        sys.exit(__doc__)
+    prev, cur = load(args[0]), load(args[1])
+    pq, cq = prev.get("queries", {}), cur.get("queries", {})
+    pc, cc = prev.get("query_controls", {}), cur.get("query_controls", {})
+    # pre-r14 files carry only the run-level control
+    p_run_ctl = prev.get("host_control_sec")
+    c_run_ctl = cur.get("host_control_sec")
+    rows = []
+    for name in sorted(set(pq) & set(cq)):
+        tp, tc = pq[name], cq[name]
+        if tp is None or tc is None or tp <= 0:
+            continue
+        ratio = tc / tp
+        if ratio < min_ratio and ratio > 1.0 / min_ratio:
+            continue
+        ctl_p = pc.get(name, p_run_ctl)
+        ctl_c = cc.get(name, c_run_ctl)
+        ctl_ratio = (ctl_c / ctl_p) if ctl_p and ctl_c else None
+        if ctl_ratio is None:
+            verdict = "no-controls"
+        elif ratio >= min_ratio and ctl_ratio >= 0.75 * ratio:
+            verdict = "host-drift"
+        elif ratio >= min_ratio and ctl_ratio <= 1.15:
+            verdict = "PLAN-SUSPECT"
+        elif ratio >= min_ratio:
+            verdict = "mixed (re-time)"
+        else:
+            verdict = "faster"
+        rows.append((name, tp, tc, ratio, ctl_ratio, verdict))
+    if not rows:
+        print(f"no entries moved by >= {min_ratio}x in either direction")
+        return
+    w = max(len(r[0]) for r in rows)
+    print(f"{'entry':<{w}}  {'prev_s':>8} {'cur_s':>8} {'ratio':>6} "
+          f"{'ctl_ratio':>9}  verdict")
+    for name, tp, tc, ratio, ctl_ratio, verdict in rows:
+        cr = f"{ctl_ratio:9.2f}" if ctl_ratio is not None else "        -"
+        print(f"{name:<{w}}  {tp:8.3f} {tc:8.3f} {ratio:6.2f} {cr}  {verdict}")
+    n_sus = sum(1 for r in rows if r[5] == "PLAN-SUSPECT")
+    print(f"\n{len(rows)} moved >= {min_ratio}x; {n_sus} plan-change "
+          f"suspect(s) (regressed against a quiet group control)")
+
+
+if __name__ == "__main__":
+    main()
