@@ -1313,5 +1313,36 @@ private[graft] object EntriesMultimodal {
       threshold = 0.3),
     Some("WITH cent AS (SELECT label AS cl, arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)), vec_id) AS cv FROM embeddings GROUP BY label), v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), asg AS (SELECT vec_id, e, cl FROM (SELECT v.vec_id, v.e, c.cl, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC, c.cl) AS r FROM v CROSS JOIN cent c) WHERE r = 1), p AS (SELECT b.vec_id AS id2 FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id AND round(list_cosine_similarity(a.e, b.e), 4) >= 0.3), dr AS (SELECT DISTINCT id2 FROM p) SELECT asg.vec_id, asg.cl AS cluster, (dr.id2 IS NULL) AS keep FROM asg LEFT JOIN dr ON asg.vec_id = dr.id2"))
 
+  /** SemDeDup with the TWO-LEVEL assignment router ([[Ann
+    * .assignClustersTwoLevel]]) — the configuration a web-scale
+    * SemDeDup needs: with nlist tracking the corpus, the flat N·k
+    * assignment stream turns quadratic (the ann_assign stress A/B
+    * reads 204.9 s flat vs 3.3 s routed at f25); routing through the
+    * `superCount` lowest-id centroids first caps it at
+    * N·(s + nprobe·k/s). Membership may differ from the flat argmax
+    * for nprobe < superCount — the router's documented approximation —
+    * so this entry carries its OWN oracle replaying the full two-level
+    * chain (super seeding, centroid routing, per-vector probe,
+    * probed-member argmax) before the unchanged intra-cluster
+    * pair/keep rule.
+    */
+  val dedupSemanticRouted = Q(
+    (s, dir) => Ann.semanticDedup(
+      t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+      threshold = 0.3, router = Some((3, 2))),
+    Some("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "c AS (SELECT CAST(label AS BIGINT) AS cl, arg_min(e, vec_id) AS cv FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings) GROUP BY label), " +
+      "sp AS (SELECT cl AS spc, cv AS sv FROM c ORDER BY cl LIMIT 3), " +
+      "cs AS (SELECT c.cl, sp.spc, row_number() OVER (PARTITION BY c.cl ORDER BY round(list_cosine_similarity(c.cv, sp.sv), 4) DESC, sp.spc) AS rn FROM c CROSS JOIN sp), " +
+      "csr AS (SELECT cl, spc FROM cs WHERE rn = 1), " +
+      "pq AS (SELECT v.vec_id, sp.spc, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(list_cosine_similarity(v.e, sp.sv), 4) DESC, sp.spc) AS srank FROM v CROSS JOIN sp), " +
+      "pr AS (SELECT vec_id, spc FROM pq WHERE srank <= 2), " +
+      "cand AS (SELECT pr.vec_id, csr.cl FROM pr JOIN csr USING (spc)), " +
+      "a2 AS (SELECT cand.vec_id, cand.cl, row_number() OVER (PARTITION BY cand.vec_id ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC, cand.cl) AS rn FROM cand JOIN v USING (vec_id) JOIN c ON c.cl = cand.cl), " +
+      "asg AS (SELECT t.vec_id, t.cl, v.e FROM (SELECT vec_id, cl FROM a2 WHERE rn = 1) t JOIN v USING (vec_id)), " +
+      "p AS (SELECT b.vec_id AS id2 FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id AND round(list_cosine_similarity(a.e, b.e), 4) >= 0.3), " +
+      "dr AS (SELECT DISTINCT id2 FROM p) " +
+      "SELECT asg.vec_id, asg.cl AS cluster, (dr.id2 IS NULL) AS keep FROM asg LEFT JOIN dr ON asg.vec_id = dr.id2"))
+
   // --------------------------------------------------------------------
 }

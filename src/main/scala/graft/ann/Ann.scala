@@ -1268,21 +1268,39 @@ object Ann {
     * assigned projection is materialized once and feeds both legs of
     * the per-cluster self-join. Output one row per input vector:
     * (id, cluster, keep).
+    *
+    * `router = Some((superCount, nprobe))` replaces the flat N·k
+    * assignment with the two-level route ([[assignClustersTwoLevel]])
+    * — the configuration a web-scale SemDeDup needs, where nlist
+    * tracks the corpus and the flat pair stream turns quadratic (the
+    * ann_assign stress A/B measures the cliff). Cluster MEMBERSHIP may
+    * differ from flat for nprobe < superCount (the router's documented
+    * approximation); the keep rule on top is unchanged.
     */
   def semanticDedup(
       corpus: DataFrame, id: String, vec: String, cluster: String,
-      threshold: Double, cents: Option[DataFrame] = None): DataFrame = {
-    val centTable = cents.getOrElse(pivotCentroids(corpus, cluster, id, vec))
+      threshold: Double, cents: Option[DataFrame] = None,
+      router: Option[(Int, Int)] = None): DataFrame = {
+    val centRaw = cents.getOrElse(pivotCentroids(corpus, cluster, id, vec))
+    val centTable = centRaw
       .select(col(cluster).as("cl"), toDouble(col("centroid")).as("cv"))
       .withColumn("__cn", sqrt(dotD(col("cv"), col("cv"))))
     val prep = widen(prepared(corpus, id, vec, "__id", "__v", "__n"))
-    val asg = prep
-      .crossJoin(broadcast(centTable))
-      .withColumn("csim",
-        round(dotD(col("__v"), col("cv")) / (col("__n") * col("__cn")), 4))
-      .groupBy(col("__id"))
-      .agg(min_by(col("cl"),
-        struct((-col("csim")).as("d"), col("cl"))).as("cl"))
+    val asg = router match {
+      case Some((superCount, nprobe)) =>
+        assignClustersTwoLevel(
+            prep.select(col("__id"), col("__v")), "__id", "__v",
+            centRaw, cluster, superCount, nprobe)
+          .select(col("__id"), col(cluster).as("cl"))
+      case None =>
+        prep
+          .crossJoin(broadcast(centTable))
+          .withColumn("csim",
+            round(dotD(col("__v"), col("cv")) / (col("__n") * col("__cn")), 4))
+          .groupBy(col("__id"))
+          .agg(min_by(col("cl"),
+            struct((-col("csim")).as("d"), col("cl"))).as("cl"))
+    }
     val assigned = prep.join(asg, "__id")
       .select(col("__id"), col("cl"), col("__v"), col("__n"))
       .localCheckpoint()

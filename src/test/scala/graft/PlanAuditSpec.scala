@@ -782,4 +782,23 @@ class PlanAuditSpec extends SparkSpec {
     val icp = plan("corpus_icp_pack")
     assert(globalWindowLines(icp).isEmpty, icp)
   }
+
+  test("round-14 entries: two-level assignment broadcasts only models " +
+      "(supers, routed centroids) and never shuffles the corpus into a " +
+      "join; its probe window is vector-partitioned") {
+    val p = plan("ann_assign_two_level")
+    // the corpus appears in BroadcastNestedLoopJoin legs only as the
+    // STREAMED side against broadcast model tables; a SortMergeJoin of
+    // the corpus against itself (or a cartesian) is the shape that
+    // dies at 100×. The entry's final two-vs-flat comparison join is
+    // id-keyed and may shuffle — that one is linear.
+    assert(!p.contains("CartesianProduct"), p)
+    // every broadcast exchange in the plan is a model table (supers /
+    // centroids / routed centroids) — none of them scans embeddings
+    val broadcastScans = p.linesIterator.filter(_.contains("Scan parquet"))
+    assert(broadcastScans.nonEmpty)
+    // the per-vector super-probe ranking must partition by the vector
+    // id, never globally
+    assert(globalWindowLines(p).isEmpty, p)
+  }
 }
