@@ -1096,6 +1096,50 @@ private[graft] object EntriesAnn {
     },
     annIndexUpsert.oracle)
 
+  /** INCREMENTAL staged-index compaction ([[graft.streaming
+    * .StreamingIngest.compactStreamedIncremental]]): the fold touches
+    * only the clusters the staging window lands in and publishes a
+    * MANIFEST generation whose untouched clusters keep pointing at the
+    * prior generation's files — fold cost ∝ touched clusters, never
+    * the index (the full fold's ∝-index rewrite is the shape that
+    * cannot run per-fold at 100 TB). Serving is INVARIANT across full
+    * and incremental folds, proven by sharing the upsert oracle a
+    * fourth time; the manifest read resolves to one pruned scan per
+    * referenced generation.
+    */
+  val annIndexCompactInc = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val scratch = scratchPath("graft_ann_inc")
+      val path = scratch.toString
+      Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
+        .join(even.select(col("vec_id"), col("label")), "vec_id"),
+        "label", cb, path)
+      odd.repartition(4).write.parquet(s"$path/in")
+      graft.streaming.StreamingIngest.annIndexUpsertDrain(
+          s.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$path/in"),
+          path, s"$path/ckpt", "vec_id", "embedding", cents, "label")
+        .awaitTermination()
+      PhaseTimer.phase("compact_inc") {
+        graft.streaming.StreamingIngest.compactStreamedIncremental(
+          s, path, "vec_id", "label")
+      }
+      val (_, cbLoaded) = Ann.loadIndex(s, path)
+      val codes = graft.streaming.StreamingIngest.loadStreamedCodes(
+        s, path, "vec_id", "label")
+      servedThenCleanup(
+        Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cbLoaded, k = 5, nprobe = 3),
+        scratch)
+    },
+    annIndexUpsert.oracle)
+
   /** Index RE-TRAIN + migration ([[graft.streaming.StreamingIngest
     * .retrainStreamedIndex]]) — the generation change the upsert path
     * deliberately defers: upsert freezes the codebook (re-training on

@@ -592,6 +592,37 @@ object ScaleStress {
             spark, dir, batch, "vec_id", "embedding", cents, "cl"),
           () => batch.count())
       }),
+      "ann_index_compact_inc_touched" -> (f => {
+        // INCREMENTAL fold with staging confined to ~one cluster
+        // (label-0 rows only): fold cost must track touched clusters ×
+        // cluster size + staging — FLAT as the index grows — where the
+        // full fold below tracks the whole index
+        val dir = lifecycleIndex(f, "ci")
+        val cents = spark.read.parquet(s"$dir/cents_ext")
+        val cb = graft.ann.Ann.readCodebook(spark, s"$dir/codebook")
+        nextBatchIds(dir, 4).foreach { b =>
+          val batch = emb(f)
+            .where(col("vec_id") < 500 && col("label") === 0)
+            .withColumn("vec_id",
+              col("vec_id") + lit(70000000L + b * 1000L))
+          graft.ann.Ann.pqEncode(batch, "vec_id", "embedding", cb)
+            .join(graft.ann.Ann.assignClusters(
+              batch, "vec_id", "embedding", cents, "cl"), "vec_id")
+            .write.mode("overwrite").partitionBy("cl")
+            .parquet(s"$dir/stream/batch=$b")
+        }
+        val pre = StreamingIngest.loadStreamedCodes(
+          spark, dir, "vec_id", "cl").count()
+        (() => StreamingIngest.compactStreamedIncremental(
+            spark, dir, "vec_id", "cl"),
+          () => {
+            val post = StreamingIngest.loadStreamedCodes(
+              spark, dir, "vec_id", "cl").count()
+            require(post == pre,
+              s"serve not invariant under incremental fold: $pre -> $post")
+            post
+          })
+      }),
       "ann_index_compact_fixed_staging" -> (f => {
         // FIXED staging (4 batches × 50 rows) over the f× index: the
         // fold rewrites the serving view, so the rung must track the

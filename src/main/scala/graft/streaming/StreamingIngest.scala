@@ -799,6 +799,57 @@ object StreamingIngest {
     }
   }
 
+  /** Cluster partition values (dir-name encoding) present under a
+    * partitioned parquet root, e.g. `Seq("0", "3")` for
+    * `cluster=0`/`cluster=3`. Empty if the root does not exist.
+    */
+  private def clusterValues(
+      spark: SparkSession, root: String, cluster: String): Seq[String] = {
+    val fs = hfs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$cluster="))
+      .map(_.drop(cluster.length + 1))
+  }
+
+  /** Read one published generation. A generation is either MATERIALIZED
+    * (a plain cluster-partitioned parquet dir — base `codes`, full
+    * compactions, retrains) or MANIFEST-BACKED (an incremental
+    * compaction: `_manifest` maps each cluster value to the root that
+    * materializes it — its own `data/` for clusters the fold touched,
+    * a PRIOR generation's root for the rest). Manifest entries always
+    * point at materialized roots (construction resolves through the
+    * prior manifest), so resolution is one hop, and reads group by
+    * root — one pruned scan per referenced generation, each given the
+    * EXPLICIT cluster dirs it owns (storage-level pruning by
+    * construction; `basePath` keeps the partition column). The
+    * manifest is a driver-sized model at bench scale; at millions of
+    * clusters the same grouping runs as a distributed join against the
+    * file index — the shape, not the driver list, is the contract.
+    */
+  private def readVersion(
+      spark: SparkSession, versionPath: String,
+      id: String, cluster: String): DataFrame = {
+    val fs = hfs(spark, versionPath)
+    val m = new org.apache.hadoop.fs.Path(s"$versionPath/_manifest")
+    if (!fs.exists(m))
+      spark.read.parquet(versionPath)
+        .select(col(id), col("codes"), col(cluster))
+    else {
+      import spark.implicits._
+      val entries = spark.read.parquet(s"$versionPath/_manifest")
+        .select(col("value"), col("root")).as[(String, String)].collect()
+      require(entries.nonEmpty, s"empty manifest at $versionPath")
+      entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (root, es) =>
+        spark.read.option("basePath", root)
+          .parquet(es.map(e => s"$root/$cluster=${e._1}").sorted: _*)
+          .select(col(id), col("codes"), col(cluster))
+      }.reduce(_ unionByName _)
+    }
+  }
+
   /** Batch ids currently staged under `stream/` (directory names are
     * `batch=<id>`); empty if the staging dir does not exist.
     */
@@ -834,8 +885,7 @@ object StreamingIngest {
       maxBatch: Long = Long.MaxValue): DataFrame = {
     val (basePath, hw) = resolveVersion(spark, indexPath)
       .getOrElse((s"$indexPath/codes", -1L))
-    val base = spark.read.parquet(basePath)
-      .select(col(id), col("codes"), col(cluster))
+    val base = readVersion(spark, basePath, id, cluster)
     val unfolded = stagedBatches(spark, indexPath)
       .exists(b => b > hw && b <= maxBatch)
     if (!unfolded) base
@@ -901,24 +951,171 @@ object StreamingIngest {
     val next = s"$indexPath/codes_v$n"
     loadStreamedCodes(spark, indexPath, id, cluster, maxBatch = hw)
       .write.mode("overwrite").partitionBy(cluster).parquet(next)
-    val tmp = new org.apache.hadoop.fs.Path(s"$next/_folded_tmp")
+    carryModels(spark, indexPath, prior.map(_._1), next)
+    publishFolded(spark, next, hw)
+    graceGc(spark, indexPath, staged, prior)
+  }
+
+  /** Incremental compaction: fold ONLY the clusters the unfolded
+    * staging window touches, and publish a MANIFEST generation whose
+    * untouched clusters keep pointing at the prior generation's
+    * materialized files. [[compactStreamedIndex]] rewrites the whole
+    * serving view — honest, but ∝ index (the stress rung measures
+    * exponent ≈ 1), which at 100 TB means rewriting 100 TB per fold;
+    * here the fold cost tracks `touched clusters × cluster size +
+    * staging`, invariant in the index. The price is a reference
+    * layer: reads resolve the manifest ([[readVersion]] — one pruned
+    * scan per referenced generation), and GC must keep every
+    * generation a LIVE manifest references ([[referencedRoots]]).
+    * Publication remains monotone and atomic: data, manifest, and the
+    * carried model tables all land before the `_folded` marker. Same
+    * snapshot-bounded fold and `upTo` harness as the full compaction.
+    *
+    * Serving results are INVARIANT across full and incremental
+    * compaction (the entry proves it by sharing the upsert oracle);
+    * choosing between them is a cost policy — fold incrementally while
+    * the touched fraction is small, fold fully (or retrain) when the
+    * reference chains or the touched fraction grow.
+    */
+  def compactStreamedIncremental(
+      spark: SparkSession, indexPath: String,
+      id: String, cluster: String,
+      upTo: Option[Long] = None): Unit = {
+    val fs = hfs(spark, indexPath)
+    val bound = upTo.getOrElse(Long.MaxValue)
+    val staged = stagedBatches(spark, indexPath).filter(_ <= bound)
+    val prior = resolveVersion(spark, indexPath)
+    val hwPrior = prior.map(_._2).getOrElse(-1L)
+    if (!staged.exists(_ > hwPrior)) return // nothing unfolded
+    val hw = staged.max
+    val priorPath = prior.map(_._1).getOrElse(s"$indexPath/codes")
+    // prior generation as (cluster value → materialized root)
+    val priorEntries: Map[String, String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$priorPath/_manifest"))) {
+        import spark.implicits._
+        spark.read.parquet(s"$priorPath/_manifest")
+          .select(col("value"), col("root")).as[(String, String)]
+          .collect().toMap
+      } else if (fs.exists(new org.apache.hadoop.fs.Path(priorPath)))
+        clusterValues(spark, priorPath, cluster).map(_ -> priorPath).toMap
+      else Map.empty
+    val window = staged.filter(b => b > hwPrior && b <= hw)
+    val touched = window
+      .flatMap(b => clusterValues(
+        spark, s"$indexPath/stream/batch=$b", cluster))
+      .toSet
+    val n = completeOrPartialVersionMax(spark, indexPath) + 1
+    val next = s"$indexPath/codes_v$n"
+    // fold = prior rows of the touched clusters ∪ the staging window —
+    // untouched clusters are never read, never rewritten
+    val priorTouched = priorEntries.filter { case (v, _) => touched(v) }
+    val priorLeg =
+      if (priorTouched.isEmpty) None
+      else Some(priorTouched.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (root, es) =>
+          spark.read.option("basePath", root)
+            .parquet(es.map(e => s"$root/$cluster=${e._1}").toSeq.sorted: _*)
+            .select(col(id), col("codes"), col(cluster))
+        }.reduce(_ unionByName _))
+    val stagedLeg = spark.read.parquet(s"$indexPath/stream")
+      .where(col("batch") > hwPrior && col("batch") <= hw)
+      .select(col(id), col("codes"), col(cluster))
+    priorLeg.map(_.unionByName(stagedLeg)).getOrElse(stagedLeg)
+      .write.mode("overwrite").partitionBy(cluster).parquet(s"$next/data")
+    val entries = (priorEntries.filterNot { case (v, _) => touched(v) } ++
+      touched.map(_ -> s"$next/data")).toSeq.sorted
+    import spark.implicits._
+    entries.toDF("value", "root").repartition(1)
+      .write.mode("overwrite").parquet(s"$next/_manifest")
+    carryModels(spark, indexPath, prior.map(_._1), next)
+    publishFolded(spark, next, hw)
+    graceGc(spark, indexPath, staged, prior)
+  }
+
+  /** Write the `_folded` high-water marker via tmp + atomic
+    * rename-to-fresh — the single publication point every generation
+    * shares.
+    */
+  private def publishFolded(
+      spark: SparkSession, versionPath: String, hw: Long): Unit = {
+    val fs = hfs(spark, versionPath)
+    val tmp = new org.apache.hadoop.fs.Path(s"$versionPath/_folded_tmp")
     val out = fs.create(tmp, true)
     try out.write(hw.toString.getBytes("UTF-8")) finally out.close()
-    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$next/_folded")),
-      s"could not publish $next")
-    // grace-period GC — one generation behind; correctness never
-    // depends on it (see the doc: inline deletion of the version a
-    // live reader just resolved is the failure this avoids)
-    prior.foreach { case (priorPath, _) =>
+    require(fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(s"$versionPath/_folded")),
+      s"could not publish $versionPath")
+  }
+
+  /** Carry the prior generation's embedded model tables (`_codebook`,
+    * `_centroids` — present once a retrain has published them) into a
+    * new compaction generation: [[versionedModels]] resolves models
+    * from the NEWEST generation only, so a compaction that failed to
+    * carry them would silently fall back to the BASE codebook —
+    * pairing post-retrain codes with pre-retrain centroids.
+    */
+  private def carryModels(
+      spark: SparkSession, indexPath: String,
+      priorPath: Option[String], next: String): Unit = {
+    val fs = hfs(spark, indexPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    priorPath.foreach { p =>
+      Seq("_codebook", "_centroids").foreach { m =>
+        val src = new org.apache.hadoop.fs.Path(s"$p/$m")
+        if (fs.exists(src))
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, src, fs, new org.apache.hadoop.fs.Path(s"$next/$m"),
+            false, conf)
+      }
+    }
+  }
+
+  /** One-generation-grace GC shared by every publication path: delete
+    * complete versions OLDER than the just-superseded one — except any
+    * version still materializing clusters for a live manifest
+    * ([[referencedRoots]] of the newest two generations) — and staged
+    * batches the prior generation had already folded.
+    */
+  private def graceGc(
+      spark: SparkSession, indexPath: String,
+      staged: Seq[Long], prior: Option[(String, Long)]): Unit = {
+    val fs = hfs(spark, indexPath)
+    prior.foreach { case (priorPath, hwPrior) =>
       val priorV = new org.apache.hadoop.fs.Path(priorPath)
         .getName.drop("codes_v".length).toLong
-      completeVersions(spark, indexPath).filter(_ < priorV).foreach(v =>
-        fs.delete(
+      val refs = referencedRoots(spark, indexPath, keep = 2)
+      completeVersions(spark, indexPath)
+        .filter(v => v < priorV && !ownsReferencedRoot(indexPath, v, refs))
+        .foreach(v => fs.delete(
           new org.apache.hadoop.fs.Path(s"$indexPath/codes_v$v"), true))
+      staged.filter(_ <= hwPrior).foreach(b => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$indexPath/stream/batch=$b"), true))
     }
-    staged.filter(_ <= hwPrior).foreach(b => fs.delete(
-      new org.apache.hadoop.fs.Path(s"$indexPath/stream/batch=$b"), true))
     ()
+  }
+
+  /** Materialized roots still referenced by the manifests of the
+    * `keep` newest complete generations — 2 for the grace-window GC
+    * (the newest serves; the prior may still have in-flight readers),
+    * 1 for the explicit no-readers [[gcStreamedIndex]]. A materialized
+    * generation references itself.
+    */
+  private def referencedRoots(
+      spark: SparkSession, indexPath: String, keep: Int): Set[String] = {
+    val fs = hfs(spark, indexPath)
+    completeVersions(spark, indexPath).sorted.reverse.take(keep).flatMap { v =>
+      val p = s"$indexPath/codes_v$v"
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$p/_manifest")))
+        spark.read.parquet(s"$p/_manifest")
+          .select(col("root")).distinct().collect().map(_.getString(0)).toSeq
+      else Seq(p)
+    }.toSet
+  }
+
+  private def ownsReferencedRoot(
+      indexPath: String, v: Long, roots: Set[String]): Boolean = {
+    val dir = s"$indexPath/codes_v$v"
+    roots.exists(r => r == dir || r.startsWith(s"$dir/"))
   }
 
   /** Suffixes of COMPLETE (`_folded`-published) compacted versions. */
@@ -1098,12 +1295,16 @@ object StreamingIngest {
   }
 
   /** Explicit full GC of a streamed-into index: deletes every complete
-    * version OLDER than the newest, every staged batch the newest
-    * version already folded, and the staging dir itself once empty.
-    * [[compactStreamedIndex]] deliberately retains one superseded
-    * generation for in-flight readers; call this only from a point
-    * where no reader can hold a pre-publication view (maintenance
-    * window, end of a batch job) to reclaim that last generation.
+    * version OLDER than the newest — except versions still
+    * materializing clusters for the NEWEST generation's manifest —
+    * plus every staged batch the newest version already folded, and
+    * the staging dir itself once empty. [[compactStreamedIndex]]
+    * deliberately retains one superseded generation for in-flight
+    * readers; call this only from a point where no reader can hold a
+    * pre-publication view (maintenance window, end of a batch job) to
+    * reclaim that last generation. To reclaim manifest-referenced
+    * history too, run a FULL [[compactStreamedIndex]] (or a retrain)
+    * first — it materializes everything into one generation.
     */
   def gcStreamedIndex(spark: SparkSession, indexPath: String): Unit = {
     val fs = hfs(spark, indexPath)
@@ -1111,8 +1312,11 @@ object StreamingIngest {
     if (versions.isEmpty) return // nothing published: staging is live
     val newest = versions.max
     val hw = resolveVersion(spark, indexPath).map(_._2).getOrElse(-1L)
-    versions.filter(_ < newest).foreach(v => fs.delete(
-      new org.apache.hadoop.fs.Path(s"$indexPath/codes_v$v"), true))
+    val refs = referencedRoots(spark, indexPath, keep = 1)
+    versions
+      .filter(v => v < newest && !ownsReferencedRoot(indexPath, v, refs))
+      .foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$indexPath/codes_v$v"), true))
     stagedBatches(spark, indexPath).filter(_ <= hw).foreach(b => fs.delete(
       new org.apache.hadoop.fs.Path(s"$indexPath/stream/batch=$b"), true))
     if (stagedBatches(spark, indexPath).isEmpty)

@@ -794,6 +794,90 @@ class StreamingIngestSpec extends SparkSpec {
       .count() == 6)
   }
 
+  test("compactStreamedIncremental: folds only the touched clusters, " +
+      "serves identically, and GC never deletes a generation a live " +
+      "manifest references") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    // base clusters 0/1/2 (labels), pivots = unit(0)/unit(2)/unit(4)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (8L, unit(4), 2), (10L, unit(4), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val st = Files.createTempDirectory("graft_inc_ann").toString
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    def stage(b: Long, rows: Seq[(Long, Seq[Float], Int)]): Unit = {
+      val df = rows.toDF("vec_id", "embedding", "label")
+      Ann.pqEncode(df, "vec_id", "embedding", cb)
+        .join(Ann.assignClusters(df, "vec_id", "embedding", cents, "label"),
+          "vec_id")
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$st/stream/batch=$b")
+    }
+    def served() = StreamingIngest.loadStreamedCodes(
+        spark, st, "vec_id", "label")
+      .select($"vec_id", col("label").cast("int"), $"codes")
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1).toSeq
+    // batch 0 lands only in cluster 0
+    stage(0L, Seq((1L, unit(0), 0), (3L, unit(0), 0)))
+    val pre1 = served()
+    StreamingIngest.compactStreamedIncremental(spark, st, "vec_id", "label")
+    assert(served() == pre1 && pre1.size == 8)
+    // v1 is a MANIFEST generation: only cluster 0 materialized in its
+    // data/; clusters 1/2 still point at the base codes
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v1/_manifest")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v1/data/label=0")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v1/data/label=1")))
+    val m1 = spark.read.parquet(s"$st/codes_v1/_manifest")
+      .as[(String, String)].collect().toMap
+    assert(m1("0") == s"$st/codes_v1/data" && m1("1") == s"$st/codes")
+    // batch 1 lands only in cluster 1 → v2 references v1/data (cluster
+    // 0), base (cluster 2), and its own data (cluster 1)
+    stage(1L, Seq((5L, unit(2), 1)))
+    val pre2 = served()
+    StreamingIngest.compactStreamedIncremental(spark, st, "vec_id", "label")
+    assert(served() == pre2 && pre2.size == 9)
+    val m2 = spark.read.parquet(s"$st/codes_v2/_manifest")
+      .as[(String, String)].collect().toMap
+    assert(m2("0") == s"$st/codes_v1/data")
+    assert(m2("1") == s"$st/codes_v2/data")
+    assert(m2("2") == s"$st/codes")
+    // batch 2 → v3: grace GC may delete versions older than v2 ONLY if
+    // unreferenced — v1 is still referenced by v3's manifest (cluster
+    // 0 never touched again), so it must survive
+    stage(2L, Seq((7L, unit(2), 1)))
+    val pre3 = served()
+    StreamingIngest.compactStreamedIncremental(spark, st, "vec_id", "label")
+    assert(served() == pre3 && pre3.size == 10)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v1/data/label=0")))
+    // explicit gc keeps referenced history too
+    StreamingIngest.gcStreamedIndex(spark, st)
+    assert(served() == pre3)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v1/data/label=0")))
+    // a FULL compaction materializes everything into one generation;
+    // after the next gc the referenced history is reclaimable
+    stage(3L, Seq((9L, unit(4), 2)))
+    val pre4 = served()
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    assert(served() == pre4 && pre4.size == 11)
+    StreamingIngest.gcStreamedIndex(spark, st)
+    assert(served() == pre4)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v1")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v2")))
+  }
+
   test("retrainStreamedIndex: the published generation equals a " +
       "from-scratch build on the same corpus, and post-retrain drained " +
       "upserts encode with the NEW codebook") {
@@ -878,5 +962,15 @@ class StreamingIngestSpec extends SparkSpec {
     val expected = Ann.pqEncode(fresh, "vec_id", "embedding", cbF)
       .select($"codes").as[Seq[Int]].collect().head
     assert(newCodes == expected)
+    // a compaction AFTER the retrain must CARRY the retrained models
+    // into its generation — versionedModels resolves the newest
+    // generation only, and falling back to the base codebook would
+    // pair post-retrain codes with pre-retrain models
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    val (_, cbAfter, centsAfter) = StreamingIngest.loadStreamedIndex(
+      spark, st, "vec_id", "label")
+    assert(cbAfter.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+      cbF.cents.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(centsAfter.isDefined)
   }
 }
