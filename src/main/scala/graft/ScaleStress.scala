@@ -213,9 +213,9 @@ object ScaleStress {
         (col("label") + lit(10) * floor(col("vec_id") / Offset)).cast("long"))
 
     // finer replica-qualified clustering (1000 per replica) for the
-    // assignment A/B rungs: at 10·f centroids the two-level router's
-    // fixed stage overheads swamp its N·k savings at these corpus
-    // sizes; 1000·f makes the pair-stream term the visible axis
+    // assignment A/B rungs: 1000 per replica is the max the fixture
+    // supports (vec_id spans 2000 per replica) and makes the N·k
+    // stream the dominant flat-side term
     def withFineClusters(e: DataFrame): DataFrame =
       e.withColumn("clf",
         (pmod(col("vec_id"), lit(1000)) +
@@ -501,12 +501,14 @@ object ScaleStress {
           .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
       }),
       "ann_assign_flat" -> (f => {
-        // flat coarse assignment with nlist ∝ N (100 replica-qualified
-        // centroids per replica — k large enough that the N·k pair
-        // stream dominates the codegen'd dot's tiny constant): the
-        // stream is quadratic in corpus size — the shape the
-        // two-level rung below exists to break. The rung measures the
-        // COST axis; cluster quality is irrelevant to it
+        // flat coarse assignment with nlist ∝ N (1000 clusters per
+        // replica; quality is irrelevant — the rung measures the COST
+        // axis): the pair stream is N·k, quadratic in corpus size.
+        // At fixture N the codegen'd dot sustains ~0.8G pairs/s, so
+        // flat still WINS here (1.25B pairs ≈ 1.6 s at f25) — the
+        // rung pins that throughput constant; the router's case is
+        // the arithmetic at production N·k (10¹⁰+ pairs), not a
+        // local wall-clock win
         val e = withFineClusters(embP(f))
         graft.ann.Ann.assignClusters(e, "vec_id", "embedding",
           Ann.pivotCentroids(e, "clf", "vec_id", "embedding"), "clf")
@@ -514,7 +516,9 @@ object ScaleStress {
       "ann_assign_two_level" -> (f => {
         // same corpus + centroids through the super-router
         // (s ≈ √(2k), nprobe 2): the pair stream shrinks to
-        // N·(s + 2k/s) — the rung's exponent must sit below flat's
+        // N·(s + 2k/s); the rung must stay flat-ish across f while
+        // flat's stream grows ∝ f² (wall-clock crossover sits above
+        // fixture N — see the flat rung's note)
         val e = withFineClusters(embP(f))
         val k = 1000 * f
         val s = math.max(2, math.round(math.sqrt(2.0 * k)).toInt)
