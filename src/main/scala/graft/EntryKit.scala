@@ -64,10 +64,61 @@ private[graft] object EntryKit {
             .getUsableSpace >= MinShmBytes
           catch { case _: java.io.IOException => false }))
     }
-    shm match {
+    val created = shm match {
       case Some(p) => java.nio.file.Files.createTempDirectory(p, prefix)
       case None => java.nio.file.Files.createTempDirectory(prefix)
     }
+    trackForSweep(created)
+    created
+  }
+
+  /** Scratch-lifetime policy. The ANN index entries delete their
+    * scratch inline ([[servedThenCleanup]] — invocation-fresh index
+    * copies are the large case); everything else (fixture-sized sink/
+    * checkpoint dirs) is swept here: every dir this JVM creates is
+    * deleted by a shutdown hook, and the FIRST scratchPath call also
+    * reaps graft-prefixed siblings older than [[StaleAfterMs]] —
+    * debris from a crashed or killed earlier run. The age threshold is
+    * what makes the sibling sweep safe against CONCURRENT runs: no
+    * graft run holds a scratch dir for 2 h (the full bench is ~21 min),
+    * so an old dir cannot belong to a live process, while a fresh dir
+    * from a parallel sbt invocation is never touched.
+    */
+  private val StaleAfterMs = 2L * 60 * 60 * 1000
+  private val swept = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val ownDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  private def trackForSweep(p: java.nio.file.Path): Unit = {
+    if (ownDirs.isEmpty) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        ownDirs.forEach(d =>
+          try deleteRecursively(d) catch { case _: Exception => () })
+      }, "graft-scratch-sweep"))
+    }
+    ownDirs.add(p)
+    if (swept.compareAndSet(false, true)) sweepStale(p.getParent, Some(p))
+  }
+
+  /** Delete graft-prefixed siblings of `keep` under `parent` whose
+    * mtime is older than [[StaleAfterMs]]. Failures are swallowed —
+    * the sweep is best-effort hygiene, never correctness.
+    */
+  private[graft] def sweepStale(
+      parent: java.nio.file.Path,
+      keep: Option[java.nio.file.Path]): Unit = {
+    val cutoff = System.currentTimeMillis() - StaleAfterMs
+    try {
+      val sibs = java.nio.file.Files.list(parent)
+      try sibs.forEach { s =>
+        val stale = s.getFileName.toString.startsWith("graft_") &&
+          !keep.contains(s) &&
+          (try java.nio.file.Files.getLastModifiedTime(s).toMillis < cutoff
+          catch { case _: Exception => false })
+        if (stale)
+          try deleteRecursively(s) catch { case _: Exception => () }
+      } finally sibs.close()
+    } catch { case _: Exception => () }
   }
 
   /** Materialize an entry's small served result off its scratch files
