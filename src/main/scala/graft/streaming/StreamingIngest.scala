@@ -1264,18 +1264,13 @@ object StreamingIngest {
     try out.write(hw.toString.getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$next/_folded")),
       s"could not publish $next")
-    // same one-generation grace policy as compaction
-    prior.foreach { case (priorPath, _) =>
-      val priorV = new org.apache.hadoop.fs.Path(priorPath)
-        .getName.drop("codes_v".length).toLong
-      completeVersions(spark, indexPath).filter(_ < priorV).foreach(v =>
-        fs.delete(
-          new org.apache.hadoop.fs.Path(s"$indexPath/codes_v$v"), true))
-      staged.filter(_ <= prior.map(_._2).getOrElse(-1L)).foreach(b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$indexPath/stream/batch=$b"), true))
-    }
-    ()
+    // same one-generation grace policy as compaction — INCLUDING the
+    // manifest-reference exception: after an incremental fold, the
+    // retained prior generation may be a manifest whose untouched
+    // clusters still point at an OLDER materialized generation, and
+    // deleting that root would fail an in-flight reader that resolved
+    // the prior generation before this publication
+    graceGc(spark, indexPath, staged, prior)
   }
 
   /** Highest `codes_v<n>` suffix present, complete or not (a

@@ -973,4 +973,85 @@ class StreamingIngestSpec extends SparkSpec {
       cbF.cents.map(_.map(_.toSeq).toSeq).toSeq)
     assert(centsAfter.isDefined)
   }
+
+  test("retrainStreamedIndex GC honors manifest references: a retrain " +
+      "after an incremental fold keeps the generation the retained " +
+      "manifest still materializes clusters from") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (8L, unit(4), 2), (10L, unit(4), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val st = Files.createTempDirectory("graft_rtgc_ann").toString
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    def stage(b: Long, rows: Seq[(Long, Seq[Float], Int)]): Unit = {
+      val df = rows.toDF("vec_id", "embedding", "label")
+      Ann.pqEncode(df, "vec_id", "embedding", cb)
+        .join(Ann.assignClusters(df, "vec_id", "embedding", cents, "label"),
+          "vec_id")
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$st/stream/batch=$b")
+    }
+    // v1: a FULL fold materializes everything
+    stage(0L, Seq((1L, unit(0), 0)))
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    // v2: an INCREMENTAL fold touching only cluster 0 — its manifest
+    // points clusters 1/2 at the materialized codes_v1
+    stage(1L, Seq((3L, unit(0), 0)))
+    StreamingIngest.compactStreamedIncremental(spark, st, "vec_id", "label")
+    val m2 = spark.read.parquet(s"$st/codes_v2/_manifest")
+      .as[(String, String)].collect().toMap
+    assert(m2("1") == s"$st/codes_v1" && m2("2") == s"$st/codes_v1")
+    // the full current corpus (base + both staged batches)
+    val corpus = base.unionByName(Seq((1L, unit(0), 0), (3L, unit(0), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val centsFull = Ann.pivotCentroids(corpus, "label", "vec_id", "embedding")
+    // v3: the retrain. Pre-fix, its GC deleted codes_v1 (v1 < priorV=2)
+    // even though v2's live manifest still materializes clusters 1/2
+    // from it — an in-flight reader that resolved v2 before the publish
+    // would die with FileNotFound. The grace exception must keep v1.
+    StreamingIngest.retrainStreamedIndex(spark, st, corpus,
+      "vec_id", "embedding", centsFull, "label", m = 4, ksub = 4)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v3/_folded")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v1/label=1")),
+      "retrain GC deleted a generation the retained manifest references")
+    // the prior-generation reader path stays whole: every manifest
+    // entry of v2 resolves to files that still exist
+    val refs = spark.read.parquet(s"$st/codes_v2/_manifest")
+      .as[(String, String)].collect()
+    refs.foreach { case (v, root) =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/label=$v")), s"$v -> $root")
+    }
+    // serving on v3 equals a from-scratch build on the corpus
+    val (codes, cb2, _) = StreamingIngest.loadStreamedIndex(
+      spark, st, "vec_id", "label")
+    val cbF = Ann.pqSeedCodebook(corpus, "vec_id", "embedding", m = 4, ksub = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", col("label").cast("int"), $"codes")
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(rows(codes) == rows(Ann.pqEncode(
+        corpus, "vec_id", "embedding", cbF)
+      .join(Ann.assignClusters(corpus, "vec_id", "embedding",
+        centsFull, "label"), "vec_id")
+      .select($"vec_id", $"label", $"codes")))
+    assert(cb2.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+      cbF.cents.map(_.map(_.toSeq).toSeq).toSeq)
+    // once v3 (materialized) is itself superseded, v1 leaves the grace
+    // window and the next publication's GC reclaims it with v2
+    stage(9L, Seq((5L, unit(2), 1)))
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v1")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v2")))
+  }
 }
