@@ -1224,8 +1224,9 @@ private[graft] object EntriesAnn {
     * BOTH assignments over the corpus and reports per-vector agreement
     * — the recall/cost dial measured, not asserted. The oracle replays
     * the full two-level chain (super seeding, centroid routing,
-    * per-vector super probing, probed-member argmax) AND the flat
-    * argmax, all on the shared round-4/id-asc determinism rules.
+    * per-vector super probing, argmax over probed members ∪ the probed
+    * supers themselves — the never-drops-a-vector guarantee) AND the
+    * flat argmax, all on the shared round-4/id-asc determinism rules.
     */
   val annAssignTwoLevel = Q(
     (s, dir) => {
@@ -1250,7 +1251,7 @@ private[graft] object EntriesAnn {
       "csr AS (SELECT cl, spc FROM cs WHERE rn = 1), " +
       "pq AS (SELECT v.vec_id, sp.spc, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(list_cosine_similarity(v.e, sp.sv), 4) DESC, sp.spc) AS srank FROM v CROSS JOIN sp), " +
       "pr AS (SELECT vec_id, spc FROM pq WHERE srank <= 2), " +
-      "cand AS (SELECT pr.vec_id, csr.cl FROM pr JOIN csr USING (spc)), " +
+      "cand AS (SELECT pr.vec_id, csr.cl FROM pr JOIN csr USING (spc) UNION SELECT vec_id, spc AS cl FROM pr), " +
       "a2 AS (SELECT cand.vec_id, cand.cl, row_number() OVER (PARTITION BY cand.vec_id ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC, cand.cl) AS rn FROM cand JOIN v USING (vec_id) JOIN c ON c.cl = cand.cl), " +
       "two AS (SELECT vec_id, cl AS cluster_two FROM a2 WHERE rn = 1), " +
       "af AS (SELECT v.vec_id, c.cl, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC, c.cl) AS rn FROM v CROSS JOIN c), " +

@@ -1327,9 +1327,10 @@ private[graft] object EntriesMultimodal {
     * N·(s + nprobe·k/s). Membership may differ from the flat argmax
     * for nprobe < superCount — the router's documented approximation —
     * so this entry carries its OWN oracle replaying the full two-level
-    * chain (super seeding, centroid routing, per-vector probe,
-    * probed-member argmax) before the unchanged intra-cluster
-    * pair/keep rule.
+    * chain (super seeding, centroid routing, per-vector probe, argmax
+    * over probed members ∪ the probed supers themselves) before the
+    * unchanged intra-cluster pair/keep rule. Every input vector gets
+    * exactly one (keep/drop) verdict — the router never drops rows.
     */
   val dedupSemanticRouted = Q(
     (s, dir) => Ann.semanticDedup(
@@ -1342,7 +1343,7 @@ private[graft] object EntriesMultimodal {
       "csr AS (SELECT cl, spc FROM cs WHERE rn = 1), " +
       "pq AS (SELECT v.vec_id, sp.spc, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(list_cosine_similarity(v.e, sp.sv), 4) DESC, sp.spc) AS srank FROM v CROSS JOIN sp), " +
       "pr AS (SELECT vec_id, spc FROM pq WHERE srank <= 2), " +
-      "cand AS (SELECT pr.vec_id, csr.cl FROM pr JOIN csr USING (spc)), " +
+      "cand AS (SELECT pr.vec_id, csr.cl FROM pr JOIN csr USING (spc) UNION SELECT vec_id, spc AS cl FROM pr), " +
       "a2 AS (SELECT cand.vec_id, cand.cl, row_number() OVER (PARTITION BY cand.vec_id ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC, cand.cl) AS rn FROM cand JOIN v USING (vec_id) JOIN c ON c.cl = cand.cl), " +
       "asg AS (SELECT t.vec_id, t.cl, v.e FROM (SELECT vec_id, cl FROM a2 WHERE rn = 1) t JOIN v USING (vec_id)), " +
       "p AS (SELECT b.vec_id AS id2 FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id AND round(list_cosine_similarity(a.e, b.e), 4) >= 0.3), " +

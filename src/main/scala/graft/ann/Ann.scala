@@ -1116,17 +1116,29 @@ object Ann {
     * routes to its nearest super (round-4 cosine, super-id-asc
     * tiebreak — the [[assignClusters]] rule); a vector probes its
     * `nprobe` best supers (same rounding/tiebreak) and takes the argmax
-    * centroid among the probed supers' members. APPROXIMATE by
-    * construction for nprobe < superCount: a vector whose true nearest
-    * centroid routed to an unprobed super gets its best PROBED
-    * centroid — the recall/cost dial every multi-level quantizer
-    * exposes.
+    * centroid among the probed supers' members AND the probed supers
+    * themselves — a super is a centroid, so the candidate set is never
+    * empty and the output keeps ONE ROW PER INPUT VECTOR even when a
+    * probed super routed no members (supers generically self-route, so
+    * the self-candidate leg changes nothing outside that degenerate
+    * case). APPROXIMATE by construction for nprobe < superCount: a
+    * vector whose true nearest centroid routed to an unprobed super
+    * gets its best PROBED candidate — the recall/cost dial every
+    * multi-level quantizer exposes.
     *
-    * Scale shape: supers and the routed centroid table are both
-    * driver-tiny and broadcast; the per-vector probe ranking is a
-    * super-count-bounded window; no stage ever shuffles the corpus —
-    * the N·k pair stream just shrinks to N·(s + nprobe·k/s).
-    * Returns (id, cluster).
+    * Scale shape: supers are driver-tiny BY CONSTRUCTION (superCount
+    * rows — the caller's dial), so the per-vector probe ranking
+    * evaluates as a PROJECTION against a literal supers array
+    * (score → array_sort → slice nprobe), never a join: no stage
+    * shuffles the corpus, and no exchange anywhere carries the
+    * embedding column — an earlier shape ranked probes with a
+    * row_number window over a crossJoin, which hash-partitioned N·s
+    * vector-carrying rows (the same working-set constant that made
+    * [[semanticDedup]]'s old assignment a spill cliff). The routed
+    * centroid table broadcasts for the member argmax, whose map-side
+    * `min_by` partial collapses to (id, cluster) scalars before the
+    * only exchange. The N·k pair stream shrinks to
+    * N·(s + nprobe·k/s). Returns (id, cluster).
     */
   def assignClustersTwoLevel(
       batch: DataFrame, id: String, vec: String,
@@ -1150,19 +1162,32 @@ object Ann {
       .agg(min_by(col("__sp"),
         struct((-col("ssim")).as("d"), col("__sp"))).as("__sp"))
       .join(cents, "__cl") // re-attach cv/__cn for the final argmax
-    // vector → top-nprobe supers (probe ranking over s rows per vector)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__id"))
-      .orderBy(col("qsim").desc, col("__sp"))
+    // vector → top-nprobe supers, as a zero-shuffle projection against
+    // the literal supers array (sort key d = -qsim so (d asc, sp asc)
+    // is the shared qsim-desc/super-id-asc rule)
+    import batch.sparkSession.implicits._
+    val supersRows = supers.as[(Long, Seq[Double], Double)].collect().toSeq
+    require(supersRows.nonEmpty, "empty centroid table")
+    val supersArr = array(supersRows.map { case (sp, sv, sn) =>
+      struct(lit(sp).as("sp"), typedLit(sv).as("sv"), lit(sn).as("sn"))
+    }: _*)
+    val probes = slice(
+      array_sort(transform(supersArr, s => struct(
+        (-round(dotD(col("__v"), s("sv")) / (col("__n") * s("sn")), 4))
+          .as("d"),
+        s("sp").as("sp")))),
+      1, nprobe)
     val probed = widen(prepared(batch, id, vec, "__id", "__v", "__n"))
-      .crossJoin(broadcast(supers))
-      .withColumn("qsim",
-        round(dotD(col("__v"), col("sv")) / (col("__n") * col("__sn")), 4))
-      .withColumn("srank", row_number().over(w))
-      .where(col("srank") <= nprobe)
-      .select(col("__id"), col("__v"), col("__n"), col("__sp"))
-    // argmax over the probed supers' member centroids only
-    probed.join(broadcast(routed), "__sp")
+      .select(col("__id"), col("__v"), col("__n"), explode(probes).as("p"))
+      .select(col("__id"), col("__v"), col("__n"), col("p.sp").as("__sp"))
+    // candidates = probed supers' routed members ∪ the probed supers
+    // themselves (the non-empty guarantee); duplicates from a
+    // self-routing super are harmless under the argmax
+    val cands = routed
+      .select(col("__sp"), col("__cl"), col("cv"), col("__cn"))
+      .unionByName(supers.select(col("__sp"), col("__sp").as("__cl"),
+        col("sv").as("cv"), col("__sn").as("__cn")))
+    probed.join(broadcast(cands), "__sp")
       .withColumn("csim",
         round(dotD(col("__v"), col("cv")) / (col("__n") * col("__cn")), 4))
       .groupBy(col("__id"))

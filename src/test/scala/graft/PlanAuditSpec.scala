@@ -785,7 +785,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("round-14 entries: two-level assignment broadcasts only models " +
       "(supers, routed centroids) and never shuffles the corpus into a " +
-      "join; its probe window is vector-partitioned") {
+      "join; no keyed exchange carries the embedding column") {
     val p = plan("ann_assign_two_level")
     // the corpus appears in BroadcastNestedLoopJoin legs only as the
     // STREAMED side against broadcast model tables; a SortMergeJoin of
@@ -800,5 +800,31 @@ class PlanAuditSpec extends SparkSpec {
     // the per-vector super-probe ranking must partition by the vector
     // id, never globally
     assert(globalWindowLines(p).isEmpty, p)
+    assertNoVectorCarryingExchange(p)
+    // same check on the routed SemDeDup plan — the round-14 router
+    // reintroduced exactly this defect one function below the
+    // semanticDedup fix, and the old audit missed it
+    assertNoVectorCarryingExchange(plan("dedup_semantic_routed"))
+    assertNoVectorCarryingExchange(plan("dedup_semantic"))
+  }
+
+  /** No HASH/RANGE shuffle exchange may output an embedding-carrying
+    * column: keyed exchanges multiply the corpus' vector bytes by the
+    * stage's row fanout (the r14 two-level probe shuffled N·s rows each
+    * carrying the full __v — a pure working-set tax). The deliberate
+    * one-time [[graft.operators.Widen]] round-robin (local small-file
+    * spread; a no-op on cluster-sized inputs) is exempt: the check
+    * targets the partitioning kinds a join/window/aggregate inserts.
+    */
+  private def assertNoVectorCarryingExchange(p: String): Unit = {
+    val vectorCols = Seq("__v#", "cv#", "sv#", "embedding#", "centroid#")
+    val blocks = p.split("\n\\(").toSeq // details blocks: "(n) NodeName\n..."
+    val offenders = blocks
+      .filter(_.linesIterator.take(1).exists(_.matches("\\d+\\) Exchange\\s*")))
+      .filter(b => b.contains("hashpartitioning") ||
+        b.contains("rangepartitioning("))
+      .filter(b => vectorCols.exists(b.contains))
+    assert(offenders.isEmpty,
+      s"keyed exchange carries an embedding column:\n${offenders.mkString("\n---\n")}")
   }
 }

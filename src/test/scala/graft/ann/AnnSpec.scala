@@ -707,4 +707,35 @@ class AnnSpec extends SparkSpec {
     val agree2 = two.count { case (id, c) => flat(id) == c }
     assert(agree2 >= agree1)
   }
+
+  test("assignClustersTwoLevel: a vector whose probed super routed no " +
+      "members is never dropped — it assigns to the probed super itself") {
+    val dim = 8
+    def v(x: Double, y: Double): Seq[Float] =
+      Seq(x.toFloat, y.toFloat) ++ Seq.fill(dim - 2)(0.0f)
+    // centroids 0 and 1 sit 0.009 rad apart: their mutual cosine
+    // ROUNDS to 1.0, so centroid 1 ties against both supers and the
+    // id-asc tiebreak routes it to super 0 — super 1 owns ZERO members.
+    // vec 2 sits 0.45 rad from centroid 1 (0.459 from centroid 0):
+    // 0.9004 vs 0.8966 survives the rounding, so at nprobe=1 it probes
+    // EXACTLY the member-empty super 1.
+    val th = 0.009
+    val vecs = Seq(
+      (0L, v(math.cos(th), math.sin(th)), 0),
+      (1L, v(1.0, 0.0), 1),
+      (2L, v(math.cos(0.45), -math.sin(0.45)), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Ann.pivotCentroids(vecs, "label", "vec_id", "embedding")
+    val out = Ann.assignClustersTwoLevel(
+        vecs, "vec_id", "embedding", cents, "label",
+        superCount = 2, nprobe = 1)
+      .select($"vec_id", col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // pre-fix, vec 2 silently VANISHED from the output (inner join on
+    // an empty member set) — in semanticDedup's routed mode it was
+    // neither kept nor dropped
+    assert(out.keySet == Set(0L, 1L, 2L),
+      s"one row per input vector, got $out")
+    assert(out(2L) == 1L) // the probed super itself is the candidate
+  }
 }
