@@ -814,6 +814,39 @@ object StreamingIngest {
       .map(_.drop(cluster.length + 1))
   }
 
+  /** Default cap on how many manifest entries (cluster value →
+    * materialized root) a fold or read may pull to the driver. One
+    * entry per cluster; a million short pairs is ~100 MB of driver
+    * heap — the [[Bookmark.DefaultNewFilesBudget]] discipline. The
+    * repo's honest-IVF doctrine is nlist ∝ N, so at web scale the
+    * manifest CAN grow past any fixed driver budget: the guard fails
+    * fast with the remedy (fold fully — one materialized generation
+    * has no manifest — or raise the budget deliberately) instead of
+    * silently ballooning driver state.
+    */
+  val DefaultManifestBudget = 1000000
+
+  /** Driver-held manifest of one generation, budget-guarded: reads at
+    * most `budget + 1` rows, never the full oversized map.
+    */
+  private def manifestEntries(
+      spark: SparkSession, versionPath: String,
+      budget: Int): Seq[(String, String)] = {
+    require(budget > 0 && budget < Int.MaxValue,
+      s"manifest budget must be in (0, ${Int.MaxValue}), got $budget")
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$versionPath/_manifest")
+      .select(col("value"), col("root")).as[(String, String)]
+      .limit(budget + 1).collect()
+    if (rows.length > budget) throw new IllegalStateException(
+      s"manifest at $versionPath holds more than $budget entries — the " +
+        "driver-held cluster→root map would exceed its budget. Fold " +
+        "fully (compactStreamedIndex / retrain materializes one " +
+        "generation with no manifest), or raise manifestBudget " +
+        "deliberately.")
+    rows.toSeq
+  }
+
   /** Read one published generation. A generation is either MATERIALIZED
     * (a plain cluster-partitioned parquet dir — base `codes`, full
     * compactions, retrains) or MANIFEST-BACKED (an incremental
@@ -825,22 +858,21 @@ object StreamingIngest {
     * root — one pruned scan per referenced generation, each given the
     * EXPLICIT cluster dirs it owns (storage-level pruning by
     * construction; `basePath` keeps the partition column). The
-    * manifest is a driver-sized model at bench scale; at millions of
-    * clusters the same grouping runs as a distributed join against the
-    * file index — the shape, not the driver list, is the contract.
+    * manifest is a driver-sized model bounded by `budget`
+    * ([[DefaultManifestBudget]]) — past that the read fails fast with
+    * the fold-fully remedy rather than ballooning driver state.
     */
   private def readVersion(
       spark: SparkSession, versionPath: String,
-      id: String, cluster: String): DataFrame = {
+      id: String, cluster: String,
+      budget: Int = DefaultManifestBudget): DataFrame = {
     val fs = hfs(spark, versionPath)
     val m = new org.apache.hadoop.fs.Path(s"$versionPath/_manifest")
     if (!fs.exists(m))
       spark.read.parquet(versionPath)
         .select(col(id), col("codes"), col(cluster))
     else {
-      import spark.implicits._
-      val entries = spark.read.parquet(s"$versionPath/_manifest")
-        .select(col("value"), col("root")).as[(String, String)].collect()
+      val entries = manifestEntries(spark, versionPath, budget)
       require(entries.nonEmpty, s"empty manifest at $versionPath")
       entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (root, es) =>
         spark.read.option("basePath", root)
@@ -882,10 +914,11 @@ object StreamingIngest {
   def loadStreamedCodes(
       spark: SparkSession, indexPath: String,
       id: String, cluster: String,
-      maxBatch: Long = Long.MaxValue): DataFrame = {
+      maxBatch: Long = Long.MaxValue,
+      manifestBudget: Int = DefaultManifestBudget): DataFrame = {
     val (basePath, hw) = resolveVersion(spark, indexPath)
       .getOrElse((s"$indexPath/codes", -1L))
-    val base = readVersion(spark, basePath, id, cluster)
+    val base = readVersion(spark, basePath, id, cluster, manifestBudget)
     val unfolded = stagedBatches(spark, indexPath)
       .exists(b => b > hw && b <= maxBatch)
     if (!unfolded) base
@@ -939,7 +972,8 @@ object StreamingIngest {
   def compactStreamedIndex(
       spark: SparkSession, indexPath: String,
       id: String, cluster: String,
-      upTo: Option[Long] = None): Unit = {
+      upTo: Option[Long] = None,
+      manifestBudget: Int = DefaultManifestBudget): Unit = {
     val fs = hfs(spark, indexPath)
     val bound = upTo.getOrElse(Long.MaxValue)
     val staged = stagedBatches(spark, indexPath).filter(_ <= bound)
@@ -949,7 +983,8 @@ object StreamingIngest {
     val hw = staged.max
     val n = completeOrPartialVersionMax(spark, indexPath) + 1
     val next = s"$indexPath/codes_v$n"
-    loadStreamedCodes(spark, indexPath, id, cluster, maxBatch = hw)
+    loadStreamedCodes(spark, indexPath, id, cluster, maxBatch = hw,
+        manifestBudget = manifestBudget)
       .write.mode("overwrite").partitionBy(cluster).parquet(next)
     carryModels(spark, indexPath, prior.map(_._1), next)
     publishFolded(spark, next, hw)
@@ -980,7 +1015,8 @@ object StreamingIngest {
   def compactStreamedIncremental(
       spark: SparkSession, indexPath: String,
       id: String, cluster: String,
-      upTo: Option[Long] = None): Unit = {
+      upTo: Option[Long] = None,
+      manifestBudget: Int = DefaultManifestBudget): Unit = {
     val fs = hfs(spark, indexPath)
     val bound = upTo.getOrElse(Long.MaxValue)
     val staged = stagedBatches(spark, indexPath).filter(_ <= bound)
@@ -989,14 +1025,12 @@ object StreamingIngest {
     if (!staged.exists(_ > hwPrior)) return // nothing unfolded
     val hw = staged.max
     val priorPath = prior.map(_._1).getOrElse(s"$indexPath/codes")
-    // prior generation as (cluster value → materialized root)
+    // prior generation as (cluster value → materialized root),
+    // budget-guarded like every driver-held manifest
     val priorEntries: Map[String, String] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$priorPath/_manifest"))) {
-        import spark.implicits._
-        spark.read.parquet(s"$priorPath/_manifest")
-          .select(col("value"), col("root")).as[(String, String)]
-          .collect().toMap
-      } else if (fs.exists(new org.apache.hadoop.fs.Path(priorPath)))
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$priorPath/_manifest")))
+        manifestEntries(spark, priorPath, manifestBudget).toMap
+      else if (fs.exists(new org.apache.hadoop.fs.Path(priorPath)))
         clusterValues(spark, priorPath, cluster).map(_ -> priorPath).toMap
       else Map.empty
     val window = staged.filter(b => b > hwPrior && b <= hw)
@@ -1105,10 +1139,20 @@ object StreamingIngest {
     val fs = hfs(spark, indexPath)
     completeVersions(spark, indexPath).sorted.reverse.take(keep).flatMap { v =>
       val p = s"$indexPath/codes_v$v"
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$p/_manifest")))
-        spark.read.parquet(s"$p/_manifest")
-          .select(col("root")).distinct().collect().map(_.getString(0)).toSeq
-      else Seq(p)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$p/_manifest"))) {
+        // distinct roots = referenced generations (chain width), which
+        // the one-hop construction keeps tiny; the cap is a tripwire,
+        // not a working limit — hitting it means the manifest layer
+        // itself is broken
+        val cap = 100000
+        val roots = spark.read.parquet(s"$p/_manifest")
+          .select(col("root")).distinct().limit(cap + 1)
+          .collect().map(_.getString(0)).toSeq
+        if (roots.length > cap) throw new IllegalStateException(
+          s"manifest at $p references more than $cap distinct roots — " +
+            "the one-hop manifest contract is broken")
+        roots
+      } else Seq(p)
     }.toSet
   }
 

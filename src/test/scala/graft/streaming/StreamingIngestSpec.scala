@@ -974,6 +974,57 @@ class StreamingIngestSpec extends SparkSpec {
     assert(centsAfter.isDefined)
   }
 
+  test("driver-held manifests are budget-guarded: an over-budget " +
+      "manifest fails fast on read and on incremental fold; a full " +
+      "fold (no manifest) is the remedy") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (8L, unit(4), 2), (10L, unit(4), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val st = Files.createTempDirectory("graft_mbudget").toString
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    def stage(b: Long, rows: Seq[(Long, Seq[Float], Int)]): Unit = {
+      val df = rows.toDF("vec_id", "embedding", "label")
+      Ann.pqEncode(df, "vec_id", "embedding", cb)
+        .join(Ann.assignClusters(df, "vec_id", "embedding", cents, "label"),
+          "vec_id")
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$st/stream/batch=$b")
+    }
+    stage(0L, Seq((1L, unit(0), 0)))
+    StreamingIngest.compactStreamedIncremental(spark, st, "vec_id", "label")
+    // v1 is a manifest generation with one entry per cluster (3); a
+    // budget of 2 must fail fast — cap+1 probe, never the full map
+    val read = intercept[IllegalStateException] {
+      StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label",
+        manifestBudget = 2)
+    }
+    assert(read.getMessage.contains("more than 2 entries"))
+    // the default budget serves fine
+    assert(StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label")
+      .count() == 7)
+    // an incremental fold resolving an over-budget PRIOR manifest
+    // fails the same way
+    stage(1L, Seq((3L, unit(0), 0)))
+    val fold = intercept[IllegalStateException] {
+      StreamingIngest.compactStreamedIncremental(
+        spark, st, "vec_id", "label", manifestBudget = 2)
+    }
+    assert(fold.getMessage.contains("more than 2 entries"))
+    // the advertised remedy: a FULL fold materializes one generation
+    // with no manifest — any budget reads it
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    assert(StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label",
+      manifestBudget = 1).count() == 8)
+  }
+
   test("retrainStreamedIndex GC honors manifest references: a retrain " +
       "after an incremental fold keeps the generation the retained " +
       "manifest still materializes clusters from") {
