@@ -221,6 +221,12 @@ object ScaleStress {
         (pmod(col("vec_id"), lit(1000)) +
           lit(1000) * floor(col("vec_id") / Offset)).cast("long"))
 
+    // fixed-corpus k-scaling clusters for the crossover rungs: exactly
+    // k clusters regardless of replica (quality irrelevant — the rungs
+    // measure the COST axis as nlist grows at constant N)
+    def withKClusters(e: DataFrame, k: Int): DataFrame =
+      e.withColumn("clk", pmod(col("vec_id"), lit(k)).cast("long"))
+
     // shared shape for the bitext nprobe ladder: reference side FIXED
     // (replica-0 even ids, 10 clusters), candidate side grows with f
     // over its replica-qualified clusters — only nprobe varies, so the
@@ -526,6 +532,61 @@ object ScaleStress {
           Ann.pivotCentroids(e, "clf", "vec_id", "embedding"), "clf",
           superCount = s, nprobe = 2)
       }),
+      "ann_assign_flat_kscale" -> (f => {
+        // k-SCALING twin at FIXED N (the largest corpus, every rung):
+        // nlist grows 1000·f while the corpus stays put — the axis the
+        // router exists for, isolated. Flat work is N·k ∝ f
+        val e = withKClusters(embP(factors.last), 1000 * f)
+        graft.ann.Ann.assignClusters(e, "vec_id", "embedding",
+          Ann.pivotCentroids(e, "clk", "vec_id", "embedding"), "clk")
+      }),
+      "ann_assign_two_level_kscale" -> (f => {
+        // routed twin: N·(s + 2k/s) ∝ √f — against the flat twin above
+        // this is the measured wall-clock crossover in k, not the
+        // arithmetic claim
+        val k = 1000 * f
+        val s = math.max(2, math.round(math.sqrt(2.0 * k)).toInt)
+        val e = withKClusters(embP(factors.last), k)
+        graft.ann.Ann.assignClustersTwoLevel(e, "vec_id", "embedding",
+          Ann.pivotCentroids(e, "clk", "vec_id", "embedding"), "clk",
+          superCount = s, nprobe = 2)
+      }),
+      "ann_index_chain_read" -> (f => {
+        // manifest-CHAIN read cost at FIXED data: one index per factor,
+        // base codes (1000 clusters) plus f incremental folds each
+        // touching a DISTINCT cluster, so the live manifest references
+        // f + 1 materialized roots and a serve pays one pruned scan per
+        // root ([[StreamingIngest.readVersion]]). Data is constant
+        // across rungs — the exponent is pure fan-out slope, the
+        // number that makes compactStreamedAuto's maxRoots a measured
+        // bound (on local disk the per-root cost is listing + scan
+        // setup; an object store's listing latency multiplies it).
+        // Timed portion = the fan-out SCAN; manifest resolution (one
+        // driver-side budget-guarded parquet read) sits at plan
+        // construction, outside the timer, like every model collect
+        val dir = s"$workDir/chain_f$f"
+        if (!Files.exists(Paths.get(s"$dir/_chain_built"))) {
+          val base = embP(factors.head).select(col("vec_id"),
+            array(lit(0)).cast("array<int>").as("codes"),
+            pmod(col("vec_id"), lit(1000)).cast("long").as("cl"))
+          base.write.mode("overwrite").partitionBy("cl")
+            .parquet(s"$dir/codes")
+          (0 until f).foreach { j =>
+            embP(factors.head).where(col("vec_id") < 50)
+              .select((col("vec_id") + lit(80000000L + j * 1000L))
+                .as("vec_id"),
+                array(lit(0)).cast("array<int>").as("codes"),
+                lit(j.toLong).as("cl"))
+              .write.mode("overwrite").partitionBy("cl")
+              .parquet(s"$dir/stream/batch=$j")
+            graft.streaming.StreamingIngest.compactStreamedIncremental(
+              spark, dir, "vec_id", "cl")
+          }
+          Files.createFile(Paths.get(s"$dir/_chain_built"))
+        }
+        graft.streaming.StreamingIngest.loadStreamedCodes(
+          spark, dir, "vec_id", "cl")
+      }),
       "corpus_d4_sample" -> (f => {
         // D4 at scale: SemDeDup over replica-qualified clusters keeps
         // the per-cluster pair fanout Σ|c|² linear (|c| constant, the
@@ -699,9 +760,14 @@ object ScaleStress {
     // ann_ivfpq_residual, whose construction-time collects are the same
     // class as its comparison twin ann_ivfpq_topk's — keep the original
     // boundary so the residual-vs-plain comparison and prior-round
-    // exponents stay apples-to-apples
+    // exponents stay apples-to-apples. The assignment A/B rungs moved
+    // to this path in r15: the router now collects its supers at plan
+    // construction (the de-vectored probe), so time(mk(f)) would hide
+    // that job — both sides of each A/B pair time identically
     val constructionHeavy =
-      Set("so14_leakage_split", "overlap_matrix", "tree_paths")
+      Set("so14_leakage_split", "overlap_matrix", "tree_paths",
+        "ann_assign_flat", "ann_assign_two_level",
+        "ann_assign_flat_kscale", "ann_assign_two_level_kscale")
     for ((name, mk) <- selectedOps; f <- factors) {
       val (sec, rows) =
         if (constructionHeavy(name)) timeAll(mk(f)) else time(mk(f))
@@ -826,8 +892,8 @@ object ScaleStress {
         s""""ops":{$opsJson},$guardJson}"""
     println(json)
     val outName =
-      if (factors == Seq(1, 3, 10)) "STRESS_r14.json"
-      else s"STRESS_r14_f${factors.last}.json"
+      if (factors == Seq(1, 3, 10)) "STRESS_r15.json"
+      else s"STRESS_r15_f${factors.last}.json"
     Files.write(Paths.get(outName),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -1066,6 +1066,74 @@ object StreamingIngest {
     graceGc(spark, indexPath, staged, prior)
   }
 
+  /** The fold-or-promote POLICY the incremental doc defers to the
+    * caller ("fold fully when the reference chains or the touched
+    * fraction grow"), made a measured trigger: plan the incremental
+    * fold's metadata (staged window, touched clusters, prior manifest)
+    * and promote to a FULL fold when either
+    *
+    *  - the NEW generation's manifest would reference more than
+    *    `maxRoots` distinct materialized roots — every manifest read
+    *    costs one pruned scan PER referenced root
+    *    ([[readVersion]]), so chain width is scan fan-out, and
+    *    without a bound it grows by up to one root per fold; or
+    *  - the staging window touches at least `maxTouchedFrac` of the
+    *    clusters — the incremental fold would rewrite most of the
+    *    index anyway, so the manifest indirection buys little and the
+    *    full fold resets chain width to 1 and makes referenced
+    *    history reclaimable.
+    *
+    * Cost shape: the decision reads only listings and the
+    * budget-guarded prior manifest — no data files — and then
+    * dispatches to exactly one of the two proven folds, so serving
+    * stays invariant by their shared contract. The chain-depth stress
+    * rung measures the read-cost-vs-roots slope that makes `maxRoots`
+    * a real bound, not prose.
+    */
+  def compactStreamedAuto(
+      spark: SparkSession, indexPath: String,
+      id: String, cluster: String,
+      upTo: Option[Long] = None,
+      maxRoots: Int = 4, maxTouchedFrac: Double = 0.5,
+      manifestBudget: Int = DefaultManifestBudget): Unit = {
+    require(maxRoots >= 1, s"maxRoots must be >= 1, got $maxRoots")
+    require(maxTouchedFrac > 0.0 && maxTouchedFrac <= 1.0,
+      s"maxTouchedFrac must be in (0, 1], got $maxTouchedFrac")
+    val fs = hfs(spark, indexPath)
+    val bound = upTo.getOrElse(Long.MaxValue)
+    val staged = stagedBatches(spark, indexPath).filter(_ <= bound)
+    val prior = resolveVersion(spark, indexPath)
+    val hwPrior = prior.map(_._2).getOrElse(-1L)
+    if (!staged.exists(_ > hwPrior)) return // nothing unfolded
+    val hw = staged.max
+    val priorPath = prior.map(_._1).getOrElse(s"$indexPath/codes")
+    val priorEntries: Map[String, String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$priorPath/_manifest")))
+        manifestEntries(spark, priorPath, manifestBudget).toMap
+      else if (fs.exists(new org.apache.hadoop.fs.Path(priorPath)))
+        clusterValues(spark, priorPath, cluster).map(_ -> priorPath).toMap
+      else Map.empty
+    val touched = staged.filter(b => b > hwPrior && b <= hw)
+      .flatMap(b => clusterValues(
+        spark, s"$indexPath/stream/batch=$b", cluster))
+      .toSet
+    val untouchedRoots = priorEntries.collect {
+      case (v, root) if !touched(v) => root
+    }.toSet
+    val prospectiveRoots =
+      untouchedRoots.size + (if (touched.nonEmpty) 1 else 0)
+    val allClusters = (priorEntries.keySet ++ touched).size
+    val touchedFrac =
+      if (allClusters == 0) 1.0
+      else touched.size.toDouble / allClusters
+    if (prospectiveRoots > maxRoots || touchedFrac >= maxTouchedFrac)
+      compactStreamedIndex(spark, indexPath, id, cluster, upTo,
+        manifestBudget)
+    else
+      compactStreamedIncremental(spark, indexPath, id, cluster, upTo,
+        manifestBudget)
+  }
+
   /** Write the `_folded` high-water marker via tmp + atomic
     * rename-to-fresh — the single publication point every generation
     * shares.

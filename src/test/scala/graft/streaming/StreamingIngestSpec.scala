@@ -974,6 +974,67 @@ class StreamingIngestSpec extends SparkSpec {
     assert(centsAfter.isDefined)
   }
 
+  test("compactStreamedAuto: incremental while chain width and touched " +
+      "fraction stay under the thresholds; full fold when either " +
+      "crosses — serving invariant throughout") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (8L, unit(4), 2), (10L, unit(4), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val st = Files.createTempDirectory("graft_auto_ann").toString
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    def stage(b: Long, rows: Seq[(Long, Seq[Float], Int)]): Unit = {
+      val df = rows.toDF("vec_id", "embedding", "label")
+      Ann.pqEncode(df, "vec_id", "embedding", cb)
+        .join(Ann.assignClusters(df, "vec_id", "embedding", cents, "label"),
+          "vec_id")
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$st/stream/batch=$b")
+    }
+    def served() = StreamingIngest.loadStreamedCodes(
+        spark, st, "vec_id", "label")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    def hasManifest(v: Long) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v$v/_manifest"))
+    // fold A: touches 1/3 clusters, prospective roots = base + own
+    // data = 2 ≤ maxRoots → INCREMENTAL (manifest generation)
+    stage(0L, Seq((1L, unit(0), 0)))
+    val preA = served()
+    StreamingIngest.compactStreamedAuto(spark, st, "vec_id", "label",
+      maxRoots = 2, maxTouchedFrac = 0.5)
+    assert(served() == preA && hasManifest(1L))
+    // fold B: touches 1/3 again, but untouched clusters now live on
+    // TWO roots (v1/data + base), so the new manifest would reference
+    // 3 > maxRoots — PROMOTED to a full fold (chain width resets)
+    stage(1L, Seq((5L, unit(2), 1)))
+    val preB = served()
+    StreamingIngest.compactStreamedAuto(spark, st, "vec_id", "label",
+      maxRoots = 2, maxTouchedFrac = 0.5)
+    assert(served() == preB)
+    assert(!hasManifest(2L) && java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v2/_folded")))
+    // fold C: touches 2/3 clusters ≥ maxTouchedFrac — promoted even
+    // with chain width unconstrained (the incremental fold would
+    // rewrite most of the index anyway)
+    stage(2L, Seq((3L, unit(0), 0), (7L, unit(2), 1)))
+    val preC = served()
+    StreamingIngest.compactStreamedAuto(spark, st, "vec_id", "label",
+      maxRoots = 100, maxTouchedFrac = 0.5)
+    assert(served() == preC && preC.size == 10)
+    assert(!hasManifest(3L) && java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v3/_folded")))
+    // nothing unfolded: a no-op
+    StreamingIngest.compactStreamedAuto(spark, st, "vec_id", "label")
+    assert(served() == preC)
+  }
+
   test("driver-held manifests are budget-guarded: an over-budget " +
       "manifest fails fast on read and on incremental fold; a full " +
       "fold (no manifest) is the remedy") {
