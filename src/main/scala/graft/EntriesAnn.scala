@@ -1215,6 +1215,54 @@ private[graft] object EntriesAnn {
       "r AS (SELECT q_id, nid, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc, nid) AS rank FROM adc0 WHERE q_id <> nid) " +
       "SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5"))
 
+  /** Drift-TRIGGERED retrain ([[graft.streaming.StreamingIngest
+    * .retrainOnDrift]]): the policy loop closed end-to-end — the same
+    * even-build/odd-upsert drifted state as `ann_index_retrain`, but
+    * the retrain fires through the measured trigger (worst-cluster
+    * cosine between the serving centroids and the corpus's current
+    * per-cluster mean, vs `minCosine`) instead of a manual call. The
+    * upserted half moves every cluster's mean off its even-pivot
+    * centroid, so the trigger fires deterministically at any sf; a
+    * fired retrain publishes the next generation and serving flips to
+    * it — which the shared `ann_index_retrain` oracle then checks as
+    * from-scratch-build equivalence (an unfired trigger would leave
+    * the old generation serving and hash-fail). The no-fire side is
+    * spec-pinned (minCosine = -1 leaves the index untouched).
+    */
+  val annRetrainOnDrift = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cb0 = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents0 = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val scratch = scratchPath("graft_annrtd")
+      val path = scratch.toString
+      PhaseTimer.phase("build_save") {
+        Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb0)
+          .join(even.select(col("vec_id"), col("label")), "vec_id"),
+          "label", cb0, path)
+      }
+      PhaseTimer.phase("upsert") {
+        Ann.upsertIndex(s, path, odd, "vec_id", "embedding", cents0, "label")
+      }
+      val centsFull = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+      val fired = PhaseTimer.phase("drift_retrain") {
+        graft.streaming.StreamingIngest.retrainOnDrift(
+          s, path, emb, "vec_id", "embedding", cents0, centsFull, "label",
+          m = 8, ksub = 16, minCosine = 0.9999)
+      }
+      require(fired, "drift trigger must fire on the drifted corpus")
+      val (codes, cb2, cents2) = graft.streaming.StreamingIngest
+        .loadStreamedIndex(s, path, "vec_id", "label")
+      servedThenCleanup(
+        Ann.ivfPqTopK(codes, "vec_id", "label", cents2.getOrElse(centsFull),
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cb2, k = 5, nprobe = 3),
+        scratch)
+    },
+    annIndexRetrain.oracle)
+
   /** TWO-LEVEL coarse assignment ([[Ann.assignClustersTwoLevel]] —
     * IMI/coarse-router shape, Babenko & Lempitsky 2014): when the
     * centroid count tracks the corpus (nlist ∝ N, the honest IVF

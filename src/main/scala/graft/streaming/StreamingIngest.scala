@@ -1348,6 +1348,51 @@ object StreamingIngest {
     finally { fs.delete(lock, false); () }
   }
 
+  /** Drift-TRIGGERED retrain — the wiring between the signal
+    * ([[graft.ann.Ann.centroidDrift]]) and the act
+    * ([[retrainStreamedIndex]]), so a growing corpus pays its
+    * accumulated drift down by POLICY instead of by operator memory:
+    * per cluster, compare the centroid the index currently serves
+    * under (the newest generation's `_centroids` when a retrain has
+    * published them, else `baseCents` — the table the index was built
+    * with) against the corpus's CURRENT per-cluster mean under that
+    * same assignment; if any cluster's cosine falls below
+    * `minCosine`, retrain onto `newCents` and publish the next
+    * generation (serving flips atomically with the `_folded` marker,
+    * exactly [[retrainStreamedIndex]]'s contract). Returns whether a
+    * retrain fired.
+    *
+    * Scale shape: the signal is one linear assignment pass (broadcast
+    * centroids, map-side `min_by`) plus two G×d centroid aggregates;
+    * the decision is a one-row collect of the worst cluster cosine.
+    * The worst-cluster trigger (not the mean) is deliberate: drift
+    * concentrates where the corpus grows, and an average dilutes the
+    * one region whose recall is decaying.
+    */
+  def retrainOnDrift(
+      spark: SparkSession, indexPath: String,
+      corpus: DataFrame, id: String, vec: String,
+      baseCents: DataFrame, newCents: DataFrame, cluster: String,
+      m: Int, ksub: Int, iters: Int = 0,
+      minCosine: Double = 0.999): Boolean = {
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"minCosine must be in [-1, 1], got $minCosine")
+    val serving = versionedModels(spark, indexPath)._2.getOrElse(baseCents)
+    val assigned = graft.ann.Ann.assignClusters(
+      corpus, id, vec, serving, cluster)
+    val cur = corpus.select(col(id), col(vec)) // drop any corpus column
+      .join(assigned, id)                      // colliding with `cluster`
+      .select(col(cluster), col(vec).cast("array<double>").as("__dv"))
+    val ref = serving
+      .select(col(cluster), col("centroid").cast("array<double>").as("__dv"))
+    val worst = graft.ann.Ann.centroidDrift(ref, cur, cluster, "__dv")
+      .agg(min(col("cos"))).collect()(0)
+    val fire = !worst.isNullAt(0) && worst.getDouble(0) < minCosine
+    if (fire) retrainStreamedIndex(spark, indexPath, corpus, id, vec,
+      newCents, cluster, m, ksub, iters)
+    fire
+  }
+
   private def retrainLocked(
       spark: SparkSession, indexPath: String,
       corpus: DataFrame, id: String, vec: String,

@@ -974,6 +974,72 @@ class StreamingIngestSpec extends SparkSpec {
     assert(centsAfter.isDefined)
   }
 
+  test("retrainOnDrift: below-threshold leaves the index untouched; a " +
+      "drifted corpus fires the retrain and serving flips to the new " +
+      "generation") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    // even half spans directions 0/2/4 (the build); odd half points
+    // elsewhere (1/3/5) — after the upsert every cluster's mean sits
+    // ~45° off its even-pivot centroid (cos ≈ 0.707)
+    val emb = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (1L, unit(1), 0), (3L, unit(3), 1),
+      (5L, unit(4), 2), (7L, unit(5), 2))
+      .toDF("vec_id", "embedding", "label")
+    val even = emb.where($"vec_id" % 2 === 0)
+    val odd = emb.where($"vec_id" % 2 === 1)
+    val cb0 = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents0 = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+    val st = Files.createTempDirectory("graft_drift_rt").toString
+    Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb0)
+      .join(even.select($"vec_id", $"label"), "vec_id"), "label", cb0, st)
+    Ann.upsertIndex(spark, st, odd, "vec_id", "embedding", cents0, "label")
+    val centsFull = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+    // below threshold: nothing can sit under cos -1 — no retrain, no
+    // new generation, the base models keep serving
+    assert(!StreamingIngest.retrainOnDrift(spark, st, emb,
+      "vec_id", "embedding", cents0, centsFull, "label",
+      m = 4, ksub = 4, minCosine = -1.0))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v1")))
+    val (_, cbBefore, centsBefore) = StreamingIngest.loadStreamedIndex(
+      spark, st, "vec_id", "label")
+    assert(centsBefore.isEmpty)
+    assert(cbBefore.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb0.cents.map(_.map(_.toSeq).toSeq).toSeq)
+    // the drifted state crosses a 0.999 worst-cluster threshold — the
+    // retrain fires and publishes the next generation atomically
+    assert(StreamingIngest.retrainOnDrift(spark, st, emb,
+      "vec_id", "embedding", cents0, centsFull, "label",
+      m = 4, ksub = 4, minCosine = 0.999))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v1/_folded")))
+    val (codes, cb2, cents2) = StreamingIngest.loadStreamedIndex(
+      spark, st, "vec_id", "label")
+    val cbF = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 4, ksub = 4)
+    assert(cb2.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+      cbF.cents.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(cents2.isDefined && codes.count() == 8)
+    // once retrained onto the full-corpus centroids, the drift signal
+    // reads healthy at the SAME threshold that fired pre-retrain...
+    // (the serving side now resolves the published _centroids)
+    // ...unless the corpus itself still scatters within clusters: the
+    // policy is re-entrant, so a second call may fire again on a
+    // corpus whose per-cluster spread keeps the worst cosine low; what
+    // must hold is that serving stays from-scratch-equivalent
+    StreamingIngest.retrainOnDrift(spark, st, emb,
+      "vec_id", "embedding", cents0, centsFull, "label",
+      m = 4, ksub = 4, minCosine = 0.999)
+    val (codesAfter, cbAfter, _) = StreamingIngest.loadStreamedIndex(
+      spark, st, "vec_id", "label")
+    assert(cbAfter.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+      cbF.cents.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(codesAfter.count() == 8)
+  }
+
   test("compactStreamedAuto: incremental while chain width and touched " +
       "fraction stay under the thresholds; full fold when either " +
       "crosses — serving invariant throughout") {
