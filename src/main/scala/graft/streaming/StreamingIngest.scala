@@ -723,13 +723,46 @@ object StreamingIngest {
         val cents = centsV.getOrElse(centTable)
         val assigned = graft.ann.Ann.assignClusters(
           batch.toDF(), id, vec, cents, cluster)
+        // stage to a dot-prefixed tmp (invisible to staging scans),
+        // then publish via commitStagedBatch's lock-recheck + rename:
+        // with the retrain's no-tmp assertion this CLOSES the race the
+        // top-of-batch lock check only narrows — a batch already past
+        // that check either has its tmp visible when the retrain scans
+        // (retrain fails fast) or re-checks the lock here and aborts
         graft.ann.Ann.pqEncode(batch.toDF(), id, vec, cb)
           .join(assigned, id)
           .write.mode("overwrite").partitionBy(cluster)
-          .parquet(s"$indexPath/stream/batch=$batchId")
-        ()
+          .parquet(s"$indexPath/stream/.batch_tmp_$batchId")
+        commitStagedBatch(spark, indexPath, batchId)
       }
       .start()
+
+  /** Publish a staged micro-batch written at `stream/.batch_tmp_<id>`:
+    * re-check the retrain lock INSIDE the batch transaction, then
+    * rename to `stream/batch=<id>`. Abort (delete tmp, throw — the
+    * batch replays with the new models after the lock clears) if a
+    * retrain started since the top-of-batch check. A replayed batch
+    * re-publishes: the half-published destination from a crash between
+    * delete and rename is replaced wholesale.
+    */
+  private[streaming] def commitStagedBatch(
+      spark: SparkSession, indexPath: String, batchId: Long): Unit = {
+    val fs = hfs(spark, indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexPath/stream/.batch_tmp_$batchId")
+    val dst = new org.apache.hadoop.fs.Path(
+      s"$indexPath/stream/batch=$batchId")
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$indexPath/_retrain_lock"))) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"retrain in progress on $indexPath (_retrain_lock observed at " +
+          "staging publish); the batch replays after it completes")
+    }
+    if (fs.exists(dst)) fs.delete(dst, true) // replay: re-publish
+    require(fs.rename(tmp, dst),
+      s"could not publish staged batch $batchId under $indexPath")
+  }
 
   /** Pin `indexPath`'s staging area to `checkpoint` via the
     * `stream/_run` marker (create-exclusive, so a concurrent first
@@ -737,6 +770,17 @@ object StreamingIngest {
     * Throws if another checkpoint already owns the staging area. The
     * underscore prefix keeps the marker invisible to the staging
     * parquet scan (Spark's file index skips `_`/`.` names).
+    *
+    * Crash recovery: a JVM dying between the exclusive create and the
+    * content write leaves an EMPTY marker, which pre-fix failed every
+    * later batch permanently ("owned by checkpoint <empty>"). An empty
+    * owner is now treated as a crashed claim: after a short grace poll
+    * (a LIVE claimant's create→write gap is microseconds — don't
+    * misread it mid-write), the empty marker is deleted and the claim
+    * retried. Exclusivity stays with create-exclusive rather than
+    * tmp+rename because local-FS rename silently REPLACES an existing
+    * destination (POSIX), which would let a second checkpoint hijack a
+    * live claim.
     */
   private def claimRun(
       spark: SparkSession, indexPath: String, checkpoint: String): Unit = {
@@ -749,14 +793,33 @@ object StreamingIngest {
         try Some(scala.io.Source.fromInputStream(in).mkString.trim)
         finally in.close()
       }
-    val owner = ownerOf().orElse {
+    def claim(): Option[String] =
       try {
         val out = fs.create(marker, false) // exclusive: no overwrite
         try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
         Some(checkpoint)
       } catch { // lost the creation race: read the winner's claim
-        case _: java.io.IOException => ownerOf()
+        case _: java.io.IOException => None
       }
+    def settledOwner(): Option[String] = {
+      var o = ownerOf()
+      var polls = 0
+      while (o.contains("") && polls < 20) { // grace for a mid-write claimant
+        Thread.sleep(100)
+        o = ownerOf()
+        polls += 1
+      }
+      o
+    }
+    val first = ownerOf() match {
+      case Some("") => settledOwner() // possibly a mid-write claimant
+      case o => o
+    }
+    val owner = first.orElse(claim()).orElse(settledOwner()) match {
+      case Some("") => // still empty after the grace poll: crashed
+        fs.delete(marker, false) // claim — reclaim by delete + retry
+        claim().orElse(settledOwner())
+      case o => o
     }
     if (!owner.contains(checkpoint)) throw new IllegalStateException(
       s"staging area $indexPath/stream is owned by checkpoint " +
@@ -1318,10 +1381,14 @@ object StreamingIngest {
     * the snapshot high-water would serve incoherently against the new
     * generation. foreachBatch is transactional per batch, so the
     * failed batch replays after the lock clears and re-encodes with
-    * the new models. The lock narrows the race to a batch already PAST
-    * the check when the lock lands; quiesce the drain around retrains
-    * to close it operationally (a crash mid-retrain leaves the lock —
-    * publication is still atomic, delete the lock after inspecting).
+    * the new models. The race with a batch already past the
+    * top-of-batch check is CLOSED by the staging protocol: the drain
+    * writes each batch to a dot-tmp, re-checks the lock, then renames
+    * ([[commitStagedBatch]]); the retrain, after taking the lock,
+    * fails fast if any tmp is visible — so a drained batch is either
+    * in the retrain's snapshot or aborts on the lock (a crash
+    * mid-retrain leaves the lock — publication is still atomic,
+    * delete the lock after inspecting).
     *
     * Scale shape: train-encode-publish is one linear pass over the
     * corpus (assignment broadcasts `centTable`, encoding broadcasts
@@ -1399,6 +1466,25 @@ object StreamingIngest {
       centTable: DataFrame, cluster: String,
       m: Int, ksub: Int, iters: Int): Unit = {
     val fs = hfs(spark, indexPath)
+    // no micro-batch may be MID-STAGE at the snapshot: the drain writes
+    // each batch to stream/.batch_tmp_<id> BEFORE its lock re-check, so
+    // with the lock held (we hold it here) a clean scan proves every
+    // drained batch is either fully published (visible to the snapshot
+    // below) or will observe the lock at commitStagedBatch and abort —
+    // the interleaving the lock alone only narrowed. A tmp from a
+    // CRASHED drain blocks retrains until the drain replays (which
+    // re-publishes it) or the operator deletes it after verifying no
+    // drain is live.
+    val stream = new org.apache.hadoop.fs.Path(s"$indexPath/stream")
+    val midStage =
+      if (!fs.exists(stream)) Seq.empty
+      else fs.listStatus(stream).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(".batch_tmp_"))
+    if (midStage.nonEmpty) throw new IllegalStateException(
+      s"micro-batches mid-stage under $indexPath/stream " +
+        s"(${midStage.mkString(", ")}) — retry after the drain settles; " +
+        "a stale tmp from a crashed drain replays on drain restart, or " +
+        "delete it after verifying no drain is live")
     val staged = stagedBatches(spark, indexPath)
     val prior = resolveVersion(spark, indexPath)
     val hw = (staged :+ prior.map(_._2).getOrElse(-1L)).max
@@ -1450,7 +1536,8 @@ object StreamingIngest {
     * version OLDER than the newest — except versions still
     * materializing clusters for the NEWEST generation's manifest —
     * plus every staged batch the newest version already folded, and
-    * the staging dir itself once empty. [[compactStreamedIndex]]
+    * the staging dir itself once empty — unless the `stream/_run`
+    * checkpoint-ownership marker pins it. [[compactStreamedIndex]]
     * deliberately retains one superseded generation for in-flight
     * readers; call this only from a point where no reader can hold a
     * pre-publication view (maintenance window, end of a batch job) to
@@ -1471,7 +1558,15 @@ object StreamingIngest {
         new org.apache.hadoop.fs.Path(s"$indexPath/codes_v$v"), true))
     stagedBatches(spark, indexPath).filter(_ <= hw).foreach(b => fs.delete(
       new org.apache.hadoop.fs.Path(s"$indexPath/stream/batch=$b"), true))
-    if (stagedBatches(spark, indexPath).isEmpty)
+    // sweep the emptied staging dir ONLY when no `_run` ownership
+    // marker pins it: deleting the marker would drop the
+    // one-checkpoint-per-index guarantee — a different checkpoint
+    // whose batch ids happen to exceed the published high-water could
+    // then claim the staging area and interleave with the original
+    // run. Index paths that only ever staged manually (no drain, no
+    // marker) still get the full sweep.
+    if (stagedBatches(spark, indexPath).isEmpty &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/stream/_run")))
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/stream"), true)
     ()
   }

@@ -674,12 +674,23 @@ class StreamingIngestSpec extends SparkSpec {
     assert(java.nio.file.Files.exists( // above prior hw: grace-retained
       java.nio.file.Paths.get(s"$st/stream/batch=${hw + 5}")))
     // explicit gc from a no-readers point reclaims the last generation:
-    // superseded versions, folded staging, the staging dir itself
+    // superseded versions and folded staging — but NOT the stream/_run
+    // ownership marker (this index was drained, so the marker pins the
+    // one-checkpoint-per-index guarantee for the index's lifetime;
+    // deleting it would let a different checkpoint claim the staging
+    // area)
     StreamingIngest.gcStreamedIndex(spark, st)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$st/codes_v10")))
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$st/stream")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/stream/_run")))
+    val leftover = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$st/stream"))
+      .map[String](_.getFileName.toString)
+      .filter(_.startsWith("batch="))
+      .toArray
+    assert(leftover.isEmpty,
+      s"staging sweep left batches: ${leftover.mkString(",")}")
     assert(rows(StreamingIngest.loadStreamedCodes(
       spark, st, "vec_id", "label")) == withFresh)
   }
@@ -1150,6 +1161,107 @@ class StreamingIngestSpec extends SparkSpec {
     StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
     assert(StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label",
       manifestBudget = 1).count() == 8)
+  }
+
+  test("retrain-under-load protocol: a mid-stage tmp fails the retrain " +
+      "fast (lock released), and a staging publish that observes the " +
+      "lock aborts and leaves no batch behind") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val emb = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+    val st = Files.createTempDirectory("graft_load_rt").toString
+    Ann.saveIndex(Ann.pqEncode(emb, "vec_id", "embedding", cb)
+      .join(emb.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    // a drain mid-stage: its tmp is on disk, its lock re-check hasn't
+    // happened — the retrain must NOT snapshot around it
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$st/stream/.batch_tmp_7"))
+    val blocked = intercept[IllegalStateException] {
+      StreamingIngest.retrainStreamedIndex(spark, st, emb,
+        "vec_id", "embedding", cents, "label", m = 4, ksub = 4)
+    }
+    assert(blocked.getMessage.contains("mid-stage"))
+    // the failed retrain released its lock: clearing the tmp (here: the
+    // crashed-drain manual remedy) lets the retrain proceed
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$st/stream/.batch_tmp_7"))
+    StreamingIngest.retrainStreamedIndex(spark, st, emb,
+      "vec_id", "embedding", cents, "label", m = 4, ksub = 4)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v1/_folded")))
+    // the staging publish: tmp written, then the lock lands (the race
+    // window past the top-of-batch check) — the commit aborts, deletes
+    // its tmp, and publishes nothing
+    val batch = Seq((9L, unit(6), 0)).toDF("vec_id", "embedding", "label")
+    def writeTmp(): Unit =
+      Ann.pqEncode(batch, "vec_id", "embedding", cb)
+        .join(Ann.assignClusters(batch, "vec_id", "embedding",
+          cents, "label"), "vec_id")
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$st/stream/.batch_tmp_9")
+    writeTmp()
+    val lockP = java.nio.file.Paths.get(s"$st/_retrain_lock")
+    java.nio.file.Files.createFile(lockP)
+    val aborted = intercept[IllegalStateException] {
+      StreamingIngest.commitStagedBatch(spark, st, 9L)
+    }
+    assert(aborted.getMessage.contains("retrain in progress"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/stream/.batch_tmp_9")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/stream/batch=9")))
+    // lock cleared: the replayed publish (tmp rewritten, commit) lands
+    java.nio.file.Files.delete(lockP)
+    writeTmp()
+    StreamingIngest.commitStagedBatch(spark, st, 9L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/stream/batch=9")))
+    assert(StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label")
+      .count() == 5)
+  }
+
+  test("claimRun: an EMPTY _run marker (a crashed claim) is recovered " +
+      "by re-claiming — the drain proceeds instead of failing forever") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val emb = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (8L, unit(3), 2))
+      .toDF("vec_id", "embedding", "label")
+    val even = emb.where($"vec_id" % 2 === 0)
+    val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+    val st = Files.createTempDirectory("graft_emptyrun").toString
+    Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
+      .join(even.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    // the crash remnant: marker created, content never written
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$st/stream"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$st/stream/_run"))
+    val fresh = Seq((1L, unit(4), 2)).toDF("vec_id", "embedding", "label")
+    fresh.coalesce(1).write.parquet(s"$st/in")
+    StreamingIngest.annIndexUpsertDrain(
+      spark.readStream.schema(fresh.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$st/in"),
+      st, s"$st/ckpt", "vec_id", "embedding", cents, "label")
+      .awaitTermination()
+    // re-claimed: the marker now holds this drain's checkpoint, and
+    // the batch landed
+    val owner = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$st/stream/_run")), "UTF-8").trim
+    assert(owner == s"$st/ckpt")
+    assert(StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label")
+      .count() == 6)
   }
 
   test("retrainStreamedIndex GC honors manifest references: a retrain " +
