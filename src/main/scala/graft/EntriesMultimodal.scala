@@ -1316,15 +1316,17 @@ private[graft] object EntriesMultimodal {
   /** SemDeDup with the TWO-LEVEL assignment router ([[Ann
     * .assignClustersTwoLevel]]) — the configuration a web-scale
     * SemDeDup needs: with nlist tracking the corpus, the flat N·k
-    * assignment stream turns quadratic. The stress A/B pins the
-    * shapes, not a local win: the codegen'd flat crossJoin sustains
-    * ~0.8G pairs/s on 32 cores (1.25B pairs ≈ 1.6 s at f25), so at
-    * fixture N the router's extra stages cost more than they save —
-    * the crossover is arithmetic from that measured constant (N·k in
-    * the 10¹⁰+ range; unconditional at web scale, where N·k ~ 10¹⁵
-    * pairs is not runnable at any constant). Routing through the
-    * `superCount` lowest-id centroids caps the stream at
-    * N·(s + nprobe·k/s). Membership may differ from the flat argmax
+    * assignment stream turns quadratic. The stress A/B measures the
+    * crossover INSIDE the fixture ladder: under forced
+    * materialization (r15 — the earlier count()-based readings let
+    * Catalyst prune the argmax, so the flat rung never computed its
+    * dots and read ~1.6 s where the honest cost is ~2 orders higher
+    * at f25) flat wins the small rungs and loses ~11× at f25, and on
+    * the fixed-N k-scaling ladder the routed path wins at every
+    * measured k. At web scale N·k ~ 10¹⁵ pairs is not runnable at any
+    * constant. Routing through the `superCount` lowest-id centroids
+    * caps the stream at N·(s + nprobe·k/s). Membership may differ
+    * from the flat argmax
     * for nprobe < superCount — the router's documented approximation —
     * so this entry carries its OWN oracle replaying the full two-level
     * chain (super seeding, centroid routing, per-vector probe, argmax

@@ -227,6 +227,29 @@ object ScaleStress {
     def withKClusters(e: DataFrame, k: Int): DataFrame =
       e.withColumn("clk", pmod(col("vec_id"), lit(k)).cast("long"))
 
+    // fixed LARGE-N corpus for the k-scaling crossover rungs: 8
+    // id-shifted copies of the largest permuted corpus, built once
+    // (constant across rungs — only k varies). The flat assignment's
+    // codegen'd N·k stream runs at ~2G dots/s on 32 threads, so at the
+    // plain fixture N its k-growth drowns in sub-second stage noise;
+    // 8× the rows puts flat's f25 stream at ~1e10 dots — large enough
+    // that the crossover is MEASURED inside the ladder, not
+    // extrapolated. Content repetition is irrelevant on the cost axis.
+    def kxCorpus(): DataFrame = {
+      val dir = s"$workDir/kx_corpus"
+      if (!Files.exists(Paths.get(s"$dir/_built_kx"))) {
+        val base = embP(factors.last)
+          .select(col("vec_id"), col("embedding"))
+        (0 until 8).map(c => base.select(
+            (col("vec_id") + lit(c * 100000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ union _)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        Files.createFile(Paths.get(s"$dir/_built_kx"))
+      }
+      spark.read.parquet(s"$dir/embeddings.parquet")
+    }
+
     // shared shape for the bitext nprobe ladder: reference side FIXED
     // (replica-0 even ids, 10 clusters), candidate side grows with f
     // over its replica-qualified clusters — only nprobe varies, so the
@@ -510,11 +533,13 @@ object ScaleStress {
         // flat coarse assignment with nlist ∝ N (1000 clusters per
         // replica; quality is irrelevant — the rung measures the COST
         // axis): the pair stream is N·k, quadratic in corpus size.
-        // At fixture N the codegen'd dot sustains ~0.8G pairs/s, so
-        // flat still WINS here (1.25B pairs ≈ 1.6 s at f25) — the
-        // rung pins that throughput constant; the router's case is
-        // the arithmetic at production N·k (10¹⁰+ pairs), not a
-        // local wall-clock win
+        // HISTORY: r14 read this rung at 1.6 s/f25 and concluded flat
+        // wins at fixture N — that number was an artifact of count()
+        // materialization letting Catalyst prune the min_by argmax
+        // (the dots were never computed). Under forced
+        // materialization the quadratic cliff is real ON the fixture
+        // ladder (~2 orders over f1) and the router crosses over
+        // between f5 and f25
         val e = withFineClusters(embP(f))
         graft.ann.Ann.assignClusters(e, "vec_id", "embedding",
           Ann.pivotCentroids(e, "clf", "vec_id", "embedding"), "clf")
@@ -522,9 +547,9 @@ object ScaleStress {
       "ann_assign_two_level" -> (f => {
         // same corpus + centroids through the super-router
         // (s ≈ √(2k), nprobe 2): the pair stream shrinks to
-        // N·(s + 2k/s); the rung must stay flat-ish across f while
-        // flat's stream grows ∝ f² (wall-clock crossover sits above
-        // fixture N — see the flat rung's note)
+        // N·(s + 2k/s); the rung must stay near-flat across f while
+        // flat's stream grows ∝ f² — the measured crossover sits
+        // INSIDE this ladder (see the flat rung's note)
         val e = withFineClusters(embP(f))
         val k = 1000 * f
         val s = math.max(2, math.round(math.sqrt(2.0 * k)).toInt)
@@ -533,10 +558,10 @@ object ScaleStress {
           superCount = s, nprobe = 2)
       }),
       "ann_assign_flat_kscale" -> (f => {
-        // k-SCALING twin at FIXED N (the largest corpus, every rung):
-        // nlist grows 1000·f while the corpus stays put — the axis the
+        // k-SCALING twin at FIXED N (the 8× corpus, every rung): nlist
+        // grows 1000·f while the corpus stays put — the axis the
         // router exists for, isolated. Flat work is N·k ∝ f
-        val e = withKClusters(embP(factors.last), 1000 * f)
+        val e = withKClusters(kxCorpus(), 1000 * f)
         graft.ann.Ann.assignClusters(e, "vec_id", "embedding",
           Ann.pivotCentroids(e, "clk", "vec_id", "embedding"), "clk")
       }),
@@ -546,7 +571,7 @@ object ScaleStress {
         // arithmetic claim
         val k = 1000 * f
         val s = math.max(2, math.round(math.sqrt(2.0 * k)).toInt)
-        val e = withKClusters(embP(factors.last), k)
+        val e = withKClusters(kxCorpus(), k)
         graft.ann.Ann.assignClustersTwoLevel(e, "vec_id", "embedding",
           Ann.pivotCentroids(e, "clk", "vec_id", "embedding"), "clk",
           superCount = s, nprobe = 2)
@@ -736,22 +761,36 @@ object ScaleStress {
       case None => effectOps
     }
 
+    // full materialization, the Bench discipline: xxhash64 over every
+    // column, xor-folded — a bare count() lets Catalyst PRUNE unused
+    // aggregate expressions, so a rung ending in a groupBy-argmax
+    // (the assignment A/Bs) would never compute its dot products and
+    // the rung would measure empty-row iteration (caught in r15: the
+    // flat k-scaling rung read k-INVARIANT under count()). Absolute
+    // times re-baseline this round; exponents stay comparable.
+    def forced(df: DataFrame): (Long, Unit) = {
+      val h = xxhash64(df.columns.toIndexedSeq.map(col): _*)
+      val r = df.select(h.as("h"))
+        .agg(bit_xor(col("h")), count(lit(1))).collect()(0)
+      (r.getLong(1), ())
+    }
     def time(df: DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
-      val n = df.count()
+      val (n, _) = forced(df)
       ((System.nanoTime() - t0) / 1e9, n)
     }
     // by-name twin: plan CONSTRUCTION inside the timer, for operators
     // that run driver-sequenced jobs while building (the component
-    // iteration, codebook collects) — time(mk(f)) would exclude them
+    // iteration, codebook/supers collects) — time(mk(f)) would
+    // exclude them
     def timeAll(mk: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
-      val n = mk.count()
+      val (n, _) = forced(mk)
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
     // warmup: codegen compile + page cache on the smallest rung
-    selectedOps.foreach { case (_, mk) => mk(factors.head).count(); quiesce() }
+    selectedOps.foreach { case (_, mk) => forced(mk(factors.head)); quiesce() }
 
     val results = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.LinkedHashMap[Int, (Double, Long)]]()

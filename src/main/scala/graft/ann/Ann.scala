@@ -1154,14 +1154,24 @@ object Ann {
     val supers = cents.orderBy(col("__cl")).limit(superCount)
       .select(col("__cl").as("__sp"), col("cv").as("sv"),
         col("__cn").as("__sn"))
-    // centroid → super: k rows, stays driver-tiny
+    // centroid → super: k rows, stays driver-tiny. Materialized ONCE
+    // (localCheckpoint — executor blocks, still distributed): the
+    // routing table is referenced by both the member-argmax broadcast
+    // and the self-candidate union, and its centroid aggregate would
+    // otherwise recompute per subtree occurrence — at nlist ∝ N that
+    // k-group aggregate is the router's priciest model stage
     val routed = cents.crossJoin(broadcast(supers))
       .withColumn("ssim",
         round(dotD(col("cv"), col("sv")) / (col("__cn") * col("__sn")), 4))
       .groupBy(col("__cl"))
       .agg(min_by(col("__sp"),
-        struct((-col("ssim")).as("d"), col("__sp"))).as("__sp"))
-      .join(cents, "__cl") // re-attach cv/__cn for the final argmax
+        struct((-col("ssim")).as("d"), col("__sp"))).as("__sp"),
+        // cv/__cn are group constants: carrying them through the
+        // aggregate keeps the final argmax's inputs WITHOUT a join
+        // back onto cents (which would recompute the k-group centroid
+        // aggregate a second time and shuffle k rows to align them)
+        first(col("cv")).as("cv"), first(col("__cn")).as("__cn"))
+      .localCheckpoint()
     // vector → top-nprobe supers, as a zero-shuffle projection against
     // the literal supers array (sort key d = -qsim so (d asc, sp asc)
     // is the shared qsim-desc/super-id-asc rule)
