@@ -1140,6 +1140,50 @@ private[graft] object EntriesAnn {
     },
     annIndexUpsert.oracle)
 
+  /** POLICY-driven staged-index compaction ([[graft.streaming
+    * .StreamingIngest.compactStreamedAuto]]): the fold-or-promote
+    * trigger run end-to-end — plan the incremental fold's metadata and
+    * dispatch (chain width vs `maxRoots`, touched fraction vs
+    * `maxTouchedFrac`) to one of the two proven folds. The streamed
+    * odd batch lands across ALL clusters, so the touched-fraction
+    * trigger promotes to the FULL fold here (the incremental branch
+    * and both thresholds are spec-pinned with surgical staging);
+    * serving is INVARIANT whichever branch fires, proven by sharing
+    * the upsert oracle a fifth time.
+    */
+  val annIndexCompactAuto = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val scratch = scratchPath("graft_ann_auto")
+      val path = scratch.toString
+      Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
+        .join(even.select(col("vec_id"), col("label")), "vec_id"),
+        "label", cb, path)
+      odd.repartition(4).write.parquet(s"$path/in")
+      graft.streaming.StreamingIngest.annIndexUpsertDrain(
+          s.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$path/in"),
+          path, s"$path/ckpt", "vec_id", "embedding", cents, "label")
+        .awaitTermination()
+      PhaseTimer.phase("compact_auto") {
+        graft.streaming.StreamingIngest.compactStreamedAuto(
+          s, path, "vec_id", "label")
+      }
+      val (_, cbLoaded) = Ann.loadIndex(s, path)
+      val codes = graft.streaming.StreamingIngest.loadStreamedCodes(
+        s, path, "vec_id", "label")
+      servedThenCleanup(
+        Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cbLoaded, k = 5, nprobe = 3),
+        scratch)
+    },
+    annIndexUpsert.oracle)
+
   /** Index RE-TRAIN + migration ([[graft.streaming.StreamingIngest
     * .retrainStreamedIndex]]) — the generation change the upsert path
     * deliberately defers: upsert freezes the codebook (re-training on
