@@ -600,6 +600,293 @@ object Ann {
   }
 
   // --------------------------------------------------------------------
+  // Cosine argmax IN A PROJECTION — the shared assignment kernel for
+  // every nearest-coarse-centroid rule (assignClusters, semanticDedup,
+  // icpOrder, the two-level router, the streamed-index lifecycle).
+  //
+  // HISTORY: through r15 these sites computed the argmax as a
+  // crossJoin(broadcast(cents)) + per-id `min_by` AGGREGATE. An isolated
+  // decomposition (r15 post-close, honest forced-materialization timers)
+  // showed the aggregate machinery — per-pair struct buffers plus
+  // object-hash aggregation constants — costs 20–40× the dot-product
+  // arithmetic itself (the 10¹⁰-dot stream reads ~3.4 s where the full
+  // operator reads 73–151 s, swinging ~2× run-to-run with
+  // aggregation-fallback sensitivity), and with nlist ∝ N the flat rung
+  // measured exponent 1.44 on the fixture ladder. Computing the argmax
+  // IN THE PROJECTION materializes zero pair rows and no aggregate: one
+  // pass over the corpus, k dots per row against a driver-held model,
+  // map-side only. Both paths below replay the exact published rule —
+  // argmax of round(cos, 4) with the lowest-cluster-id tiebreak — so
+  // every oracle that replays it in SQL is unchanged.
+  // --------------------------------------------------------------------
+
+  /** Driver-held coarse-centroid model for the cosine-argmax kernel:
+    * cluster ids (long), centroid vectors (double), and their L2 norms,
+    * sorted by cluster id ascending — so "first strict improvement
+    * wins" IS the lowest-id tiebreak. Driver-sized by the same argument
+    * as the broadcast it replaces: the pre-r16 shape already collected
+    * or broadcast the full centroid table; at nlist ∝ N web scale the
+    * two-level router (√k supers + routed members) is the path that
+    * keeps any single model slice bounded.
+    */
+  private[graft] final case class CosModel(
+      cls: Array[Long], cvs: Array[Array[Double]], cns: Array[Double]) {
+    def k: Int = cls.length
+    def cells: Long =
+      if (cls.isEmpty) 0L else cls.length.toLong * cvs(0).length
+  }
+
+  /** Collect a (cluster, centroid) table into a [[CosModel]] plus the
+    * cluster column's original data type (integral required — every
+    * in-repo cluster key is an int/long label), so callers can cast the
+    * kernel's long cluster ids back and keep their published schemas.
+    * Norms are computed driver-side with the same left-to-right
+    * accumulation and `Math.sqrt` the in-plan `sqrt(dot(cv, cv))`
+    * column used — bit-identical inputs to the rounding step.
+    */
+  private[graft] def collectCosModel(
+      centTable: DataFrame, cluster: String)
+      : (CosModel, org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = centTable.schema(cluster).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"cluster column '$cluster' must be integral, got ${dt.simpleString}")
+    val rows = centTable
+      .select(col(cluster).cast("long"), toDouble(col("centroid")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "empty centroid table")
+    val cns = rows.map { case (_, cv) =>
+      var s = 0.0
+      var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      math.sqrt(s)
+    }
+    (CosModel(rows.map(_._1), rows.map(_._2), cns), dt)
+  }
+
+  /** Spark's Round on doubles: scala BigDecimal HALF_UP with NaN/±Inf
+    * passed through (verified equal to the `round(_, 4)` column the
+    * aggregate form used — the literal/broadcast parity spec pins it,
+    * zero-norm NaN case included).
+    */
+  private[graft] def roundHalfUp(x: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** Twin of the interpreted double ordering every struct `min_by` /
+    * `array_min` comparison in the published rule used
+    * (`SQLOrderingUtil.compareDoubles`): 0.0 == -0.0, NaN greatest.
+    */
+  private[graft] def cmpD(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** Cosine-argmax kernel: append (`outCl`: long, `outCsim`: double) —
+    * the argmax-of-round(cos, 4), lowest-id-tiebreak cluster and its
+    * similarity — to every row of `df`, as a PROJECTION. Dispatches on
+    * model size exactly like the k-means argmin ([[assignLiteral]] /
+    * [[assignBroadcast]]): small models inline as plan literals (the
+    * k unrolled dots stay in whole-stage codegen; `array_min` over
+    * (d = −csim, cl) structs is the published lexicographic rule);
+    * production-sized models ship ONCE per executor as a broadcast and
+    * the argmax runs as a tight primitive loop in mapPartitions —
+    * same left-to-right dot accumulation, same HALF_UP rounding, same
+    * [[cmpD]] comparison, so the two paths are bit-identical (pinned
+    * by AnnSpec's cosine parity case). Neither path shuffles a row or
+    * buffers a pair: the plan-audit suite asserts zero Exchange and
+    * zero Aggregate in the kernel's subplan.
+    */
+  private[graft] def assignCos(
+      df: DataFrame, vecCol: String, normCol: String, m: CosModel,
+      outCl: String, outCsim: String): DataFrame =
+    if (m.cells <= LiteralModelBudget) {
+      val options = (0 until m.k).map { i =>
+        val cvLit = array(m.cvs(i).toIndexedSeq.map(lit): _*)
+        val csim = round(
+          dotD(col(vecCol), cvLit) / (col(normCol) * lit(m.cns(i))), 4)
+        struct((-csim).as("d"), lit(m.cls(i)).as("cl"))
+      }
+      df.withColumn("__best", array_min(array(options.toIndexedSeq: _*)))
+        .withColumn(outCl, col("__best.cl"))
+        .withColumn(outCsim, -col("__best.d"))
+        .drop("__best")
+    } else {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      val bc = df.sparkSession.sparkContext.broadcast(m)
+      val vIdx = df.schema.fieldIndex(vecCol)
+      val nIdx = df.schema.fieldIndex(normCol)
+      val outSchema = StructType(df.schema.fields ++ Seq(
+        StructField(outCl, LongType, nullable = false),
+        StructField(outCsim, DoubleType, nullable = false)))
+      df.mapPartitions { rows =>
+        val mm = bc.value
+        rows.map { r =>
+          val v = r.getSeq[Double](vIdx).toArray
+          val n = r.getDouble(nIdx)
+          var bestD = 0.0
+          var bestCl = 0L
+          var bestS = 0.0
+          var first = true
+          var j = 0
+          while (j < mm.cls.length) {
+            val c = mm.cvs(j)
+            val len = math.min(v.length, c.length)
+            var dot = 0.0
+            var i = 0
+            while (i < len) { dot += v(i) * c(i); i += 1 }
+            val s = roundHalfUp(dot / (n * mm.cns(j)), 4)
+            val d = -s
+            // model is cl-ascending, so strict improvement keeps the
+            // lowest id on ties — the min_by(struct(d, cl)) rule
+            if (first || cmpD(d, bestD) < 0) {
+              bestD = d; bestCl = mm.cls(j); bestS = s; first = false
+            }
+            j += 1
+          }
+          Row.fromSeq(r.toSeq :+ bestCl :+ bestS)
+        }
+      }(Encoders.row(outSchema))
+    }
+
+  /** Driver-held two-level routing model: the `superCount` lowest-id
+    * centroids as supers (sp-ascending), and per super the members the
+    * centroid routing assigned to it PLUS the super itself (the
+    * non-empty / never-drops-a-vector guarantee) — each member list
+    * cl-ascending. Total size is the centroid table plus one duplicate
+    * row per super.
+    */
+  private[graft] final case class RouterModel(
+      sps: Array[Long], svs: Array[Array[Double]], sns: Array[Double],
+      members: Map[Long, CosModel])
+
+  /** Build the [[RouterModel]]: supers are the `superCount` lowest-id
+    * centroids; each centroid routes to its nearest super under the
+    * SAME kernel rule (round-4 cosine, super-id-asc tiebreak). The
+    * k-row routing runs DISTRIBUTED through [[assignCos]] (at nlist ∝ N
+    * a driver-side k×s dot loop would not scale) and collects k
+    * (centroid, super) id pairs — driver-tiny.
+    */
+  private[graft] def buildRouter(
+      centTable: DataFrame, cluster: String, superCount: Int)
+      : RouterModel = {
+    val (cm, _) = collectCosModel(
+      centTable.select(col(cluster).cast("long").as(cluster),
+        col("centroid")), cluster)
+    val sc = math.min(superCount, cm.k)
+    val supers = CosModel(
+      cm.cls.take(sc), cm.cvs.take(sc), cm.cns.take(sc))
+    val centsPrep = centTable
+      .select(col(cluster).cast("long").as("__mcl"),
+        toDouble(col("centroid")).as("__mcv"))
+      .withColumn("__mcn", sqrt(dotD(col("__mcv"), col("__mcv"))))
+    val routedPairs = assignCos(
+        centsPrep, "__mcv", "__mcn", supers, "__sp", "__ssim")
+      .select(col("__mcl"), col("__sp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byId = cm.cls.zipWithIndex.toMap
+    val members = routedPairs.groupBy(_._2).map { case (sp, pairs) =>
+      val mcls = (pairs.map(_._1) :+ sp).sorted // super self-candidate;
+      // a self-routed super appears twice — harmless under the argmax
+      val idxs = mcls.map(byId)
+      sp -> CosModel(mcls, idxs.map(cm.cvs), idxs.map(cm.cns))
+    }
+    // a super that routed no members still carries itself
+    val withSelf = supers.cls.foldLeft(members) { (acc, sp) =>
+      if (acc.contains(sp)) acc
+      else {
+        val i = byId(sp)
+        acc + (sp -> CosModel(Array(sp), Array(cm.cvs(i)), Array(cm.cns(i))))
+      }
+    }
+    RouterModel(supers.cls, supers.cvs, supers.cns, withSelf)
+  }
+
+  /** Two-level routed cosine argmax as ONE projection pass: per row,
+    * rank the supers (round-4 cosine, (d asc, sp asc) — the published
+    * probe rule), then take the argmax of round(cos, 4) with the
+    * lowest-cl tiebreak over the probed supers' members ∪ the probed
+    * supers themselves. No explode, no join, no aggregate, no
+    * exchange — the N·(s + nprobe·k/s) pair stream of the pre-r16
+    * shape shrinks to the same arithmetic with ZERO materialized rows.
+    * The model broadcasts once per executor (it IS the centroid table,
+    * the thing the flat path broadcast anyway).
+    */
+  private[graft] def assignCosRouted(
+      df: DataFrame, vecCol: String, normCol: String, rm: RouterModel,
+      nprobe: Int, outCl: String, outCsim: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val bc = df.sparkSession.sparkContext.broadcast(rm)
+    val vIdx = df.schema.fieldIndex(vecCol)
+    val nIdx = df.schema.fieldIndex(normCol)
+    val np = math.min(nprobe, rm.sps.length)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField(outCl, LongType, nullable = false),
+      StructField(outCsim, DoubleType, nullable = false)))
+    df.mapPartitions { rows =>
+      val m = bc.value
+      val s = m.sps.length
+      rows.map { r =>
+        val v = r.getSeq[Double](vIdx).toArray
+        val n = r.getDouble(nIdx)
+        // probe ranking: d_i = -round4(cos(v, super_i)); supers are
+        // sp-ascending, so keep-first selection is the (d, sp) rule
+        val ds = new Array[Double](s)
+        var i = 0
+        while (i < s) {
+          val sv = m.svs(i)
+          val len = math.min(v.length, sv.length)
+          var dot = 0.0
+          var e = 0
+          while (e < len) { dot += v(e) * sv(e); e += 1 }
+          ds(i) = -roundHalfUp(dot / (n * m.sns(i)), 4)
+          i += 1
+        }
+        val taken = new Array[Boolean](s)
+        var bestD = 0.0
+        var bestCl = 0L
+        var bestS = 0.0
+        var first = true
+        var p = 0
+        while (p < np) {
+          var sel = -1
+          var selD = 0.0
+          var q = 0
+          while (q < s) {
+            if (!taken(q) && (sel < 0 || cmpD(ds(q), selD) < 0)) {
+              sel = q; selD = ds(q)
+            }
+            q += 1
+          }
+          taken(sel) = true
+          val mem = m.members(m.sps(sel))
+          var j = 0
+          while (j < mem.cls.length) {
+            val c = mem.cvs(j)
+            val len = math.min(v.length, c.length)
+            var dot = 0.0
+            var e = 0
+            while (e < len) { dot += v(e) * c(e); e += 1 }
+            val sim = roundHalfUp(dot / (n * mem.cns(j)), 4)
+            val d = -sim
+            val cmp = if (first) -1 else cmpD(d, bestD)
+            if (cmp < 0 || (cmp == 0 && mem.cls(j) < bestCl)) {
+              bestD = d; bestCl = mem.cls(j); bestS = sim; first = false
+            }
+            j += 1
+          }
+          p += 1
+        }
+        Row.fromSeq(r.toSeq :+ bestCl :+ bestS)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // --------------------------------------------------------------------
   // Product quantization: byte codes + asymmetric-distance (ADC) scan —
   // the memory-compression tier of a production vector index (an IVF-PQ
   // index stores m small ints per vector instead of dim floats)
@@ -1080,25 +1367,38 @@ object Ann {
 
   /** Nearest-coarse-centroid assignment of a batch — the shared
     * deterministic rule ([[semanticDedup]]'s assignment stage, exposed):
-    * argmax of round(cos, 4) with a cluster-id tiebreak against a
-    * broadcast centroid table; the map-side `min_by` partial collapses
-    * the k candidate rows per vector BEFORE any shuffle. Returns
-    * (id, cluster).
+    * argmax of round(cos, 4) with a cluster-id tiebreak, computed IN A
+    * PROJECTION against the driver-held centroid model ([[assignCos]] —
+    * zero pair rows, zero aggregate, zero exchange; the pre-r16
+    * crossJoin + `min_by` shape paid 20–40× the dot arithmetic in
+    * aggregation machinery). Returns (id, cluster) with the cluster
+    * column in the centroid table's own type. Model size is bounded by
+    * the same argument as the broadcast it replaces; with nlist ∝ N use
+    * [[assignClustersTwoLevel]].
     */
   def assignClusters(
       batch: DataFrame, id: String, vec: String,
       centTable: DataFrame, cluster: String): DataFrame = {
-    val cents = centTable
-      .select(col(cluster).as("__cl"), toDouble(col("centroid")).as("cv"))
-      .withColumn("__cn", sqrt(dotD(col("cv"), col("cv"))))
-    widen(prepared(batch, id, vec, "__id", "__v", "__n"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim",
-        round(dotD(col("__v"), col("cv")) / (col("__n") * col("__cn")), 4))
-      .groupBy(col("__id"))
-      .agg(min_by(col("__cl"),
-        struct((-col("csim")).as("d"), col("__cl"))).as("__c"))
-      .select(col("__id").as(id), col("__c").as(cluster))
+    val (m, dt) = collectCosModel(centTable, cluster)
+    assignCos(widen(prepared(batch, id, vec, "__id", "__v", "__n")),
+        "__v", "__n", m, "__c", "__cs")
+      .select(col("__id").as(id), col("__c").cast(dt).as(cluster))
+  }
+
+  /** [[assignClusters]] carrying the pre-cast double vector through the
+    * projection — for callers that need (id, cluster, vector) rows
+    * (the drift probe's per-cluster means) WITHOUT re-joining the
+    * corpus onto the assignment (the pre-r16 drift probe paid an
+    * id-keyed join carrying every vector). Returns (id, cluster, `as`).
+    */
+  private[graft] def assignClustersCarry(
+      batch: DataFrame, id: String, vec: String,
+      centTable: DataFrame, cluster: String, as: String): DataFrame = {
+    val (m, dt) = collectCosModel(centTable, cluster)
+    assignCos(widen(prepared(batch, id, vec, "__id", "__v", "__n")),
+        "__v", "__n", m, "__c", "__cs")
+      .select(col("__id").as(id), col("__c").cast(dt).as(cluster),
+        col("__v").as(as))
   }
 
   /** TWO-LEVEL coarse assignment — the scale path for the flat
@@ -1126,19 +1426,20 @@ object Ann {
     * gets its best PROBED candidate — the recall/cost dial every
     * multi-level quantizer exposes.
     *
-    * Scale shape: supers are driver-tiny BY CONSTRUCTION (superCount
-    * rows — the caller's dial), so the per-vector probe ranking
-    * evaluates as a PROJECTION against a literal supers array
-    * (score → array_sort → slice nprobe), never a join: no stage
-    * shuffles the corpus, and no exchange anywhere carries the
-    * embedding column — an earlier shape ranked probes with a
-    * row_number window over a crossJoin, which hash-partitioned N·s
-    * vector-carrying rows (the same working-set constant that made
-    * [[semanticDedup]]'s old assignment a spill cliff). The routed
-    * centroid table broadcasts for the member argmax, whose map-side
-    * `min_by` partial collapses to (id, cluster) scalars before the
-    * only exchange. The N·k pair stream shrinks to
-    * N·(s + nprobe·k/s). Returns (id, cluster).
+    * Scale shape (r16): the whole route — probe ranking AND member
+    * argmax — is ONE projection pass ([[assignCosRouted]]): per row,
+    * rank the supers, then argmax over the probed supers' members ∪
+    * the probed supers themselves, all inside one mapPartitions
+    * against the broadcast [[RouterModel]]. No stage shuffles the
+    * corpus, no exchange anywhere carries the embedding column, no
+    * aggregate buffers a pair (two pre-r16 shapes died here: a
+    * row_number window that hash-partitioned N·s vector-carrying
+    * rows, then a probed-member `min_by` whose aggregation machinery
+    * cost 20–40× the dot arithmetic). The centroid→super routing is
+    * the one distributed model stage ([[buildRouter]] — k rows through
+    * the same kernel, k id-pairs collected). The N·k pair stream
+    * shrinks to N·(s + nprobe·k/s) arithmetic with ZERO materialized
+    * pair rows. Returns (id, cluster).
     */
   def assignClustersTwoLevel(
       batch: DataFrame, id: String, vec: String,
@@ -1147,62 +1448,10 @@ object Ann {
     require(superCount >= 1 && nprobe >= 1 && nprobe <= superCount,
       s"need 1 <= nprobe <= superCount, got nprobe=$nprobe, " +
         s"superCount=$superCount")
-    val cents = centTable
-      .select(col(cluster).cast("long").as("__cl"),
-        toDouble(col("centroid")).as("cv"))
-      .withColumn("__cn", sqrt(dotD(col("cv"), col("cv"))))
-    val supers = cents.orderBy(col("__cl")).limit(superCount)
-      .select(col("__cl").as("__sp"), col("cv").as("sv"),
-        col("__cn").as("__sn"))
-    // centroid → super: k rows, stays driver-tiny. Materialized ONCE
-    // (localCheckpoint — executor blocks, still distributed): the
-    // routing table is referenced by both the member-argmax broadcast
-    // and the self-candidate union, and its centroid aggregate would
-    // otherwise recompute per subtree occurrence — at nlist ∝ N that
-    // k-group aggregate is the router's priciest model stage
-    val routed = cents.crossJoin(broadcast(supers))
-      .withColumn("ssim",
-        round(dotD(col("cv"), col("sv")) / (col("__cn") * col("__sn")), 4))
-      .groupBy(col("__cl"))
-      .agg(min_by(col("__sp"),
-        struct((-col("ssim")).as("d"), col("__sp"))).as("__sp"),
-        // cv/__cn are group constants: carrying them through the
-        // aggregate keeps the final argmax's inputs WITHOUT a join
-        // back onto cents (which would recompute the k-group centroid
-        // aggregate a second time and shuffle k rows to align them)
-        first(col("cv")).as("cv"), first(col("__cn")).as("__cn"))
-      .localCheckpoint()
-    // vector → top-nprobe supers, as a zero-shuffle projection against
-    // the literal supers array (sort key d = -qsim so (d asc, sp asc)
-    // is the shared qsim-desc/super-id-asc rule)
-    import batch.sparkSession.implicits._
-    val supersRows = supers.as[(Long, Seq[Double], Double)].collect().toSeq
-    require(supersRows.nonEmpty, "empty centroid table")
-    val supersArr = array(supersRows.map { case (sp, sv, sn) =>
-      struct(lit(sp).as("sp"), typedLit(sv).as("sv"), lit(sn).as("sn"))
-    }: _*)
-    val probes = slice(
-      array_sort(transform(supersArr, s => struct(
-        (-round(dotD(col("__v"), s("sv")) / (col("__n") * s("sn")), 4))
-          .as("d"),
-        s("sp").as("sp")))),
-      1, nprobe)
-    val probed = widen(prepared(batch, id, vec, "__id", "__v", "__n"))
-      .select(col("__id"), col("__v"), col("__n"), explode(probes).as("p"))
-      .select(col("__id"), col("__v"), col("__n"), col("p.sp").as("__sp"))
-    // candidates = probed supers' routed members ∪ the probed supers
-    // themselves (the non-empty guarantee); duplicates from a
-    // self-routing super are harmless under the argmax
-    val cands = routed
-      .select(col("__sp"), col("__cl"), col("cv"), col("__cn"))
-      .unionByName(supers.select(col("__sp"), col("__sp").as("__cl"),
-        col("sv").as("cv"), col("__sn").as("__cn")))
-    probed.join(broadcast(cands), "__sp")
-      .withColumn("csim",
-        round(dotD(col("__v"), col("cv")) / (col("__n") * col("__cn")), 4))
-      .groupBy(col("__id"))
-      .agg(min_by(col("__cl"),
-        struct((-col("csim")).as("d"), col("__cl"))).as("__c"))
+    val rm = buildRouter(centTable, cluster, superCount)
+    assignCosRouted(
+        widen(prepared(batch, id, vec, "__id", "__v", "__n")),
+        "__v", "__n", rm, nprobe, "__c", "__cs")
       .select(col("__id").as(id), col("__c").as(cluster))
   }
 
@@ -1229,18 +1478,13 @@ object Ann {
   def icpOrder(
       corpus: DataFrame, id: String, vec: String, cluster: String,
       cents: Option[DataFrame] = None): DataFrame = {
-    val centTable = cents.getOrElse(pivotCentroids(corpus, cluster, id, vec))
-      .select(col(cluster).as("__cl"), toDouble(col("centroid")).as("cv"))
-      .withColumn("__cn", sqrt(dotD(col("cv"), col("cv"))))
-    val assigned = widen(prepared(corpus, id, vec, "__id", "__v", "__n"))
-      .crossJoin(broadcast(centTable))
-      .withColumn("csim",
-        round(dotD(col("__v"), col("cv")) / (col("__n") * col("__cn")), 4))
-      .groupBy(col("__id"))
-      .agg(min_by(struct(col("__cl"), col("csim")),
-        struct((-col("csim")).as("d"), col("__cl"))).as("a"))
-      .select(col("__id").as(id), col("a.__cl").as("cluster"),
-        col("a.csim").as("csim"))
+    val (m, dt) = collectCosModel(
+      cents.getOrElse(pivotCentroids(corpus, cluster, id, vec)), cluster)
+    val assigned = assignCos(
+        widen(prepared(corpus, id, vec, "__id", "__v", "__n")),
+        "__v", "__n", m, "__c", "__cs")
+      .select(col("__id").as(id), col("__c").cast(dt).as("cluster"),
+        col("__cs").as("csim"))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("csim").desc, col(id))
     assigned.withColumn("in_rank", row_number().over(w))
@@ -1290,19 +1534,17 @@ object Ann {
     * iff some smaller-id vector in its cluster is ≥ `threshold` similar
     * (greedy-by-id keep rule: one pass, no iteration, retry-stable).
     *
-    * Scale shape: the centroid table broadcasts (k rows); assignment is
-    * a crossJoin + per-id `min_by` aggregate, so the map-side partial
-    * collapses the k candidate rows per vector BEFORE any shuffle (a
-    * rank window here would shuffle corpus×k rows into window tasks
-    * instead). The crossJoin stream and the aggregate buffers carry
-    * ONLY (id, cluster, csim) scalars — an earlier shape carried the
-    * full vector through the min_by struct, which multiplies the
-    * aggregate's working set by the embedding width (64 doubles = a
-    * 32× constant) and turned the f25 stress rung into a spill cliff;
-    * vectors re-attach afterwards via one linear id-keyed join. The
-    * assigned projection is materialized once and feeds both legs of
-    * the per-cluster self-join. Output one row per input vector:
-    * (id, cluster, keep).
+    * Scale shape: assignment is the projection argmax ([[assignCos]] —
+    * the model ships once per executor; zero pair rows, zero
+    * aggregate). Two earlier shapes died on this stage and are worth
+    * remembering: a rank window shuffled corpus×k vector-carrying rows
+    * into window tasks (spill cliff), and the r13–r15 crossJoin +
+    * per-id `min_by` aggregate — though map-side-combining and
+    * scalar-only — still paid 20–40× the dot arithmetic in per-pair
+    * struct buffers and aggregation constants. The assigned projection
+    * (vector and norm simply carried through) is materialized once and
+    * feeds both legs of the per-cluster self-join. Output one row per
+    * input vector: (id, cluster, keep).
     *
     * `router = Some((superCount, nprobe))` replaces the flat N·k
     * assignment with the two-level route ([[assignClustersTwoLevel]])
@@ -1317,26 +1559,24 @@ object Ann {
       threshold: Double, cents: Option[DataFrame] = None,
       router: Option[(Int, Int)] = None): DataFrame = {
     val centRaw = cents.getOrElse(pivotCentroids(corpus, cluster, id, vec))
-    val centTable = centRaw
-      .select(col(cluster).as("cl"), toDouble(col("centroid")).as("cv"))
-      .withColumn("__cn", sqrt(dotD(col("cv"), col("cv"))))
     val prep = widen(prepared(corpus, id, vec, "__id", "__v", "__n"))
-    val asg = router match {
+    // assignment is a projection over prep (the kernel appends the
+    // cluster in place), so the vector/norm columns the pair stage
+    // needs are simply CARRIED — the pre-r16 shape re-joined the
+    // corpus onto an (id, cluster) aggregate to re-attach them
+    val withCl = router match {
       case Some((superCount, nprobe)) =>
-        assignClustersTwoLevel(
-            prep.select(col("__id"), col("__v")), "__id", "__v",
-            centRaw, cluster, superCount, nprobe)
-          .select(col("__id"), col(cluster).as("cl"))
+        // the router's published contract types the cluster as long
+        assignCosRouted(prep, "__v", "__n",
+            buildRouter(centRaw, cluster, superCount), nprobe,
+            "__c", "__cs")
+          .withColumn("cl", col("__c"))
       case None =>
-        prep
-          .crossJoin(broadcast(centTable))
-          .withColumn("csim",
-            round(dotD(col("__v"), col("cv")) / (col("__n") * col("__cn")), 4))
-          .groupBy(col("__id"))
-          .agg(min_by(col("cl"),
-            struct((-col("csim")).as("d"), col("cl"))).as("cl"))
+        val (m, dt) = collectCosModel(centRaw, cluster)
+        assignCos(prep, "__v", "__n", m, "__c", "__cs")
+          .withColumn("cl", col("__c").cast(dt))
     }
-    val assigned = prep.join(asg, "__id")
+    val assigned = withCl
       .select(col("__id"), col("cl"), col("__v"), col("__n"))
       .localCheckpoint()
     val pairs = assigned
