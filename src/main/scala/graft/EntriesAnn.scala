@@ -1291,6 +1291,17 @@ private[graft] object EntriesAnn {
         Ann.upsertIndex(s, path, odd, "vec_id", "embedding", cents0, "label")
       }
       val centsFull = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+      // the steady-state cost that matters operationally: a NO-FIRE
+      // drift check (minCosine = -1 never fires) on a quarter
+      // id-hash sample — the phase readout shows the probe ≪ the
+      // retrain it gates (the pre-r16 probe re-assigned and re-joined
+      // the full corpus per tick)
+      val probeFired = PhaseTimer.phase("drift_probe_nofire") {
+        graft.streaming.StreamingIngest.retrainOnDrift(
+          s, path, emb, "vec_id", "embedding", cents0, centsFull, "label",
+          m = 8, ksub = 16, minCosine = -1.0, probeFraction = 0.25)
+      }
+      require(!probeFired, "the no-fire probe must leave the index alone")
       val fired = PhaseTimer.phase("drift_retrain") {
         graft.streaming.StreamingIngest.retrainOnDrift(
           s, path, emb, "vec_id", "embedding", cents0, centsFull, "label",

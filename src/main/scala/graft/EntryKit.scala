@@ -72,6 +72,20 @@ private[graft] object EntryKit {
     created
   }
 
+  /** Test-scratch twin of [[scratchPath]] for the ScalaTest suites: a
+    * plain default-tmp dir registered with the same shutdown-hook
+    * sweep (and the first call reaps stale graft_* siblings), so
+    * `sbt test` runs stop accumulating debris in /tmp (~250 MB /
+    * 1,200 dirs per full suite run observed before r16). Stays on
+    * /tmp — suite fixtures are tiny and should not contend with the
+    * bench entries' shm budget.
+    */
+  def scratchTracked(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    trackForSweep(p)
+    p
+  }
+
   /** Scratch-lifetime policy. The ANN index entries delete their
     * scratch inline ([[servedThenCleanup]] — invocation-fresh index
     * copies are the large case); everything else (fixture-sized sink/

@@ -1053,6 +1053,78 @@ object Ann {
       }.toDF(id, "codes")
   }
 
+  /** PQ-encode AND coarse-assign in ONE corpus pass — the index
+    * ingest/rebuild projection (upsert, streamed drain, retrain). Both
+    * outputs are pure per-row functions of driver-sized broadcast
+    * models, so deriving them separately and re-joining on id — the
+    * pre-r16 shape — paid a corpus-sized equi-join (two shuffles at
+    * scale) to align two projections of the SAME rows. Fused, the
+    * ingest path is a single mapPartitions with zero shuffles before
+    * the cluster-partitioned write. Code rule is [[pqEncode]]'s
+    * (per-subspace argmin of round-9 dist², first-win) and the cluster
+    * rule is [[assignCos]]'s (argmax of round-4 cosine, lowest-id
+    * tiebreak) — bit-identical to the join of the two, column order
+    * included (id long, codes, cluster in the centroid table's type).
+    */
+  def encodeAssign(
+      corpus: DataFrame, id: String, vec: String, cb: PqCodebook,
+      centTable: DataFrame, cluster: String): DataFrame = {
+    val (m, dt) = collectCosModel(centTable, cluster)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcM = spark.sparkContext.broadcast(m)
+    widen(corpus).select(col(id).cast("long"), toDouble(col(vec)))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val b = bcCb.value
+        val mm = bcM.value
+        it.map { case (rid, vseq) =>
+          val v = vseq.toArray
+          require(v.length == b.dim,
+            s"vector dim ${v.length} != codebook dim ${b.dim}")
+          val codes = new Array[Int](b.m)
+          var s = 0
+          while (s < b.m) {
+            val cs = b.cents(s)
+            var best = Double.PositiveInfinity
+            var bi = 0
+            var j = 0
+            while (j < cs.length) {
+              val d = subDist2(v, s * b.subDim, cs(j))
+              if (d < best) { best = d; bi = j }
+              j += 1
+            }
+            codes(s) = bi
+            s += 1
+          }
+          // the norm twin of prepared()'s sqrt(dot(v, v)) column
+          var vn2 = 0.0
+          var e = 0
+          while (e < v.length) { vn2 += v(e) * v(e); e += 1 }
+          val n = math.sqrt(vn2)
+          var bestD = 0.0
+          var bestCl = 0L
+          var first = true
+          var j = 0
+          while (j < mm.cls.length) {
+            val c = mm.cvs(j)
+            val len = math.min(v.length, c.length)
+            var dot = 0.0
+            var i = 0
+            while (i < len) { dot += v(i) * c(i); i += 1 }
+            val d = -roundHalfUp(dot / (n * mm.cns(j)), 4)
+            if (first || cmpD(d, bestD) < 0) {
+              bestD = d; bestCl = mm.cls(j); first = false
+            }
+            j += 1
+          }
+          (rid, codes.toSeq, bestCl)
+        }
+      }.toDF(id, "codes", "__c")
+      .select(col(id), col("codes"), col("__c").cast(dt).as(cluster))
+  }
+
   /** Collect the (driver-sized) query batch with a dim check against the
     * codebook — shared by both ADC scans.
     */
@@ -1491,11 +1563,11 @@ object Ann {
   }
 
   /** Append a batch to a persisted IVF-PQ index ([[saveIndex]] layout):
-    * assign each new vector to its nearest coarse centroid
-    * ([[assignClusters]]), encode it with the index's PERSISTED
-    * codebook — the codebook is immutable serving state: re-training on
-    * upsert would silently re-meaning every existing code — and append
-    * the rows to the cluster-partitioned codes table. The write touches
+    * assign each new vector to its nearest coarse centroid and encode
+    * it with the index's PERSISTED codebook in one fused pass
+    * ([[encodeAssign]] — the codebook is immutable serving state:
+    * re-training on upsert would silently re-meaning every existing
+    * code) and append the rows to the cluster-partitioned codes table. The write touches
     * only the partitions the batch lands in; existing cluster files are
     * never rewritten, so probe-routed serving keeps its file-level
     * pruning and the upsert cost tracks the BATCH, not the index.
@@ -1514,9 +1586,7 @@ object Ann {
       id: String, vec: String,
       centTable: DataFrame, cluster: String): Unit = {
     val (_, cb) = loadIndex(spark, path)
-    val assigned = assignClusters(batch, id, vec, centTable, cluster)
-    pqEncode(batch, id, vec, cb)
-      .join(assigned, id)
+    encodeAssign(batch, id, vec, cb, centTable, cluster)
       .write.mode("append").partitionBy(cluster).parquet(s"$path/codes")
   }
 

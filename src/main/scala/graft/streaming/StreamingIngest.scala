@@ -721,32 +721,45 @@ object StreamingIngest {
         // would be meaningless against the generation that serves them
         val (cb, centsV) = versionedModels(spark, indexPath)
         val cents = centsV.getOrElse(centTable)
-        val assigned = graft.ann.Ann.assignClusters(
-          batch.toDF(), id, vec, cents, cluster)
+        // capture WHICH model generation the batch encodes with: a
+        // retrain that runs lock-to-lock entirely inside this batch's
+        // stage window would leave no lock and no tmp-era conflict to
+        // observe, and the publish would land OLD-codebook codes above
+        // the new generation's high-water; commitStagedBatch re-reads
+        // the epoch and aborts the publish if it moved (model-carrying
+        // compactions keep the epoch, so only a retrain aborts)
+        val epoch = modelEpoch(spark, indexPath)
         // stage to a dot-prefixed tmp (invisible to staging scans),
         // then publish via commitStagedBatch's lock-recheck + rename:
         // with the retrain's no-tmp assertion this CLOSES the race the
         // top-of-batch lock check only narrows — a batch already past
         // that check either has its tmp visible when the retrain scans
         // (retrain fails fast) or re-checks the lock here and aborts
-        graft.ann.Ann.pqEncode(batch.toDF(), id, vec, cb)
-          .join(assigned, id)
+        graft.ann.Ann.encodeAssign(batch.toDF(), id, vec, cb,
+            cents, cluster)
           .write.mode("overwrite").partitionBy(cluster)
           .parquet(s"$indexPath/stream/.batch_tmp_$batchId")
-        commitStagedBatch(spark, indexPath, batchId)
+        commitStagedBatch(spark, indexPath, batchId, epoch)
       }
       .start()
 
   /** Publish a staged micro-batch written at `stream/.batch_tmp_<id>`:
-    * re-check the retrain lock INSIDE the batch transaction, then
-    * rename to `stream/batch=<id>`. Abort (delete tmp, throw — the
-    * batch replays with the new models after the lock clears) if a
-    * retrain started since the top-of-batch check. A replayed batch
+    * re-check the retrain lock AND the model epoch INSIDE the batch
+    * transaction, then rename to `stream/batch=<id>`. Abort (delete
+    * tmp, throw — the batch replays with the new models after the
+    * lock clears) if a retrain started since the top-of-batch check
+    * (lock visible), OR already ran to completion since the batch
+    * resolved its models (lock gone but the published model epoch
+    * moved — the lock-to-lock-inside-the-stage-window interleaving a
+    * lock check alone cannot see). `expectedEpoch` is the epoch read
+    * when the batch's models were resolved; compactions carry the
+    * epoch forward, so only a retrain moves it. A replayed batch
     * re-publishes: the half-published destination from a crash between
     * delete and rename is replaced wholesale.
     */
   private[streaming] def commitStagedBatch(
-      spark: SparkSession, indexPath: String, batchId: Long): Unit = {
+      spark: SparkSession, indexPath: String, batchId: Long,
+      expectedEpoch: Long = -1L): Unit = {
     val fs = hfs(spark, indexPath)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$indexPath/stream/.batch_tmp_$batchId")
@@ -759,9 +772,38 @@ object StreamingIngest {
         s"retrain in progress on $indexPath (_retrain_lock observed at " +
           "staging publish); the batch replays after it completes")
     }
+    if (expectedEpoch >= 0L && modelEpoch(spark, indexPath) != expectedEpoch) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"model epoch moved since this batch resolved its models " +
+          s"(expected $expectedEpoch) — a retrain completed inside the " +
+          "stage window; the batch replays and re-encodes with the new " +
+          "models")
+    }
     if (fs.exists(dst)) fs.delete(dst, true) // replay: re-publish
     require(fs.rename(tmp, dst),
       s"could not publish staged batch $batchId under $indexPath")
+  }
+
+  /** The model EPOCH the newest published generation serves under: a
+    * monotone counter that moves ONLY when a retrain publishes new
+    * models (`_model_epoch`, written inside the generation dir by
+    * [[retrainStreamedIndex]] and carried forward by every compaction
+    * like the models themselves). 0 before any retrain — the base
+    * codebook era. The drain captures it at model resolution and
+    * [[commitStagedBatch]] requires it unmoved at publish.
+    */
+  private[streaming] def modelEpoch(
+      spark: SparkSession, indexPath: String): Long = {
+    val fs = hfs(spark, indexPath)
+    resolveVersion(spark, indexPath).map(_._1) match {
+      case Some(p) if fs.exists(
+          new org.apache.hadoop.fs.Path(s"$p/_model_epoch")) =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$p/_model_epoch"))
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      case _ => 0L
+    }
   }
 
   /** Pin `indexPath`'s staging area to `checkpoint` via the
@@ -774,13 +816,22 @@ object StreamingIngest {
     * Crash recovery: a JVM dying between the exclusive create and the
     * content write leaves an EMPTY marker, which pre-fix failed every
     * later batch permanently ("owned by checkpoint <empty>"). An empty
-    * owner is now treated as a crashed claim: after a short grace poll
-    * (a LIVE claimant's create→write gap is microseconds — don't
-    * misread it mid-write), the empty marker is deleted and the claim
-    * retried. Exclusivity stays with create-exclusive rather than
-    * tmp+rename because local-FS rename silently REPLACES an existing
-    * destination (POSIX), which would let a second checkpoint hijack a
-    * live claim.
+    * owner is treated as a crashed claim: after a grace poll (a LIVE
+    * claimant's create→write gap is microseconds — don't misread it
+    * mid-write), the marker is re-read IMMEDIATELY before deletion and
+    * deleted only if STILL empty (a recoverer that slept through
+    * another recoverer's delete+reclaim must not delete the valid new
+    * claim), then the claim is retried. Exclusivity stays with
+    * create-exclusive rather than tmp+rename because local-FS rename
+    * silently REPLACES an existing destination (POSIX), which would
+    * let a second checkpoint hijack a live claim.
+    *
+    * Ownership is decided by a FINAL READ of the marker, never by the
+    * create's return value: once recovery deletion exists, a claimant
+    * stalled mid-claim (GC pause past the grace window) can have its
+    * just-created marker deleted and replaced — its create "succeeded"
+    * but the settled marker names the other checkpoint, and exactly
+    * one of the two passes.
     */
   private def claimRun(
       spark: SparkSession, indexPath: String, checkpoint: String): Unit = {
@@ -793,13 +844,12 @@ object StreamingIngest {
         try Some(scala.io.Source.fromInputStream(in).mkString.trim)
         finally in.close()
       }
-    def claim(): Option[String] =
+    def claim(): Unit =
       try {
         val out = fs.create(marker, false) // exclusive: no overwrite
         try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
-        Some(checkpoint)
-      } catch { // lost the creation race: read the winner's claim
-        case _: java.io.IOException => None
+      } catch { // lost the creation race: the final read decides
+        case _: java.io.IOException => ()
       }
     def settledOwner(): Option[String] = {
       var o = ownerOf()
@@ -811,15 +861,20 @@ object StreamingIngest {
       }
       o
     }
-    val first = ownerOf() match {
-      case Some("") => settledOwner() // possibly a mid-write claimant
-      case o => o
-    }
-    val owner = first.orElse(claim()).orElse(settledOwner()) match {
-      case Some("") => // still empty after the grace poll: crashed
-        fs.delete(marker, false) // claim — reclaim by delete + retry
-        claim().orElse(settledOwner())
-      case o => o
+    var attempts = 0
+    var owner = settledOwner()
+    while (!owner.contains(checkpoint) && attempts < 2) {
+      owner match {
+        case None => claim()
+        case Some("") =>
+          // crashed claim (empty through the grace poll): re-read
+          // immediately before deleting — delete only if STILL empty
+          if (ownerOf().contains("")) { fs.delete(marker, false); () }
+          claim()
+        case _ => () // someone else's settled claim: fail below
+      }
+      owner = settledOwner() // the marker content is the authority
+      attempts += 1
     }
     if (!owner.contains(checkpoint)) throw new IllegalStateException(
       s"staging area $indexPath/stream is owned by checkpoint " +
@@ -1189,11 +1244,17 @@ object StreamingIngest {
     val touchedFrac =
       if (allClusters == 0) 1.0
       else touched.size.toDouble / allClusters
+    // dispatch bounded AT THE DECISION'S OWN HIGH-WATER, not the
+    // caller's raw upTo: a batch staged between this listing and the
+    // dispatched fold's re-snapshot would otherwise be folded under
+    // thresholds it was never evaluated against — the fold must cover
+    // exactly the window the policy costed (it stays correct either
+    // way by each fold's own contract; the late batch folds next cycle)
     if (prospectiveRoots > maxRoots || touchedFrac >= maxTouchedFrac)
-      compactStreamedIndex(spark, indexPath, id, cluster, upTo,
+      compactStreamedIndex(spark, indexPath, id, cluster, Some(hw),
         manifestBudget)
     else
-      compactStreamedIncremental(spark, indexPath, id, cluster, upTo,
+      compactStreamedIncremental(spark, indexPath, id, cluster, Some(hw),
         manifestBudget)
   }
 
@@ -1225,7 +1286,7 @@ object StreamingIngest {
     val fs = hfs(spark, indexPath)
     val conf = spark.sparkContext.hadoopConfiguration
     priorPath.foreach { p =>
-      Seq("_codebook", "_centroids").foreach { m =>
+      Seq("_codebook", "_centroids", "_model_epoch").foreach { m =>
         val src = new org.apache.hadoop.fs.Path(s"$p/$m")
         if (fs.exists(src))
           org.apache.hadoop.fs.FileUtil.copy(
@@ -1429,32 +1490,52 @@ object StreamingIngest {
     * exactly [[retrainStreamedIndex]]'s contract). Returns whether a
     * retrain fired.
     *
-    * Scale shape: the signal is one linear assignment pass (broadcast
-    * centroids, map-side `min_by`) plus two G×d centroid aggregates;
-    * the decision is a one-row collect of the worst cluster cosine.
-    * The worst-cluster trigger (not the mean) is deliberate: drift
+    * Scale shape: the PROBE must cost a fraction of the retrain it
+    * gates — monitoring that pays O(retrain) per no-fire tick is an
+    * operational tax. The signal is one linear projection pass
+    * ([[graft.ann.Ann.assignClustersCarry]] — the assignment carries
+    * the vector, so no id-keyed join re-attaches it) over an optional
+    * DETERMINISTIC sample (`probeFraction` of rows by id-hash bucket —
+    * xxhash64, so the same ids are sampled on every tick and the
+    * statistic is replayable), plus two G×d centroid aggregates; the
+    * decision is a one-row collect of the worst cluster cosine. The
+    * worst-cluster trigger (not the mean) is deliberate: drift
     * concentrates where the corpus grows, and an average dilutes the
-    * one region whose recall is decaying.
+    * one region whose recall is decaying. A serving cluster whose
+    * corpus mass has ENTIRELY reassigned elsewhere never appears in
+    * the per-cluster means — it reads as cos = −1 (maximal drift),
+    * not as absent (the pre-r16 inner join silently dropped exactly
+    * the most-drifted cluster from its own signal). An empty corpus
+    * (or empty sample) never fires — there is nothing to retrain on.
     */
   def retrainOnDrift(
       spark: SparkSession, indexPath: String,
       corpus: DataFrame, id: String, vec: String,
       baseCents: DataFrame, newCents: DataFrame, cluster: String,
       m: Int, ksub: Int, iters: Int = 0,
-      minCosine: Double = 0.999): Boolean = {
+      minCosine: Double = 0.999,
+      probeFraction: Double = 1.0): Boolean = {
     require(minCosine >= -1.0 && minCosine <= 1.0,
       s"minCosine must be in [-1, 1], got $minCosine")
+    require(probeFraction > 0.0 && probeFraction <= 1.0,
+      s"probeFraction must be in (0, 1], got $probeFraction")
     val serving = versionedModels(spark, indexPath)._2.getOrElse(baseCents)
-    val assigned = graft.ann.Ann.assignClusters(
-      corpus, id, vec, serving, cluster)
-    val cur = corpus.select(col(id), col(vec)) // drop any corpus column
-      .join(assigned, id)                      // colliding with `cluster`
-      .select(col(cluster), col(vec).cast("array<double>").as("__dv"))
+    val probe =
+      if (probeFraction >= 1.0) corpus
+      else corpus.where(pmod(xxhash64(col(id)), lit(10000L)) <
+        lit(math.round(probeFraction * 10000).toInt))
+    val cur = graft.ann.Ann.assignClustersCarry(
+      probe, id, vec, serving, cluster, "__dv")
     val ref = serving
       .select(col(cluster), col("centroid").cast("array<double>").as("__dv"))
-    val worst = graft.ann.Ann.centroidDrift(ref, cur, cluster, "__dv")
-      .agg(min(col("cos"))).collect()(0)
-    val fire = !worst.isNullAt(0) && worst.getDouble(0) < minCosine
+    val sig = ref.select(col(cluster))
+      .join(graft.ann.Ann.centroidDrift(ref, cur, cluster, "__dv")
+        .select(col(cluster), col("cos")), Seq(cluster), "left")
+      .agg(min(coalesce(col("cos"), lit(-1.0))).as("worst"),
+        count(col("cos")).as("present"))
+      .collect()(0)
+    val fire = !sig.isNullAt(0) && sig.getLong(1) > 0 &&
+      sig.getDouble(0) < minCosine
     if (fire) retrainStreamedIndex(spark, indexPath, corpus, id, vec,
       newCents, cluster, m, ksub, iters)
     fire
@@ -1492,16 +1573,19 @@ object StreamingIngest {
       if (iters <= 0)
         graft.ann.Ann.pqSeedCodebook(corpus, id, vec, m, ksub)
       else graft.ann.Ann.pqTrainCodebook(corpus, id, vec, m, ksub, iters)
-    val assigned = graft.ann.Ann.assignClusters(
-      corpus, id, vec, centTable, cluster)
     val n = completeOrPartialVersionMax(spark, indexPath) + 1
     val next = s"$indexPath/codes_v$n"
-    graft.ann.Ann.pqEncode(corpus, id, vec, cb)
-      .join(assigned, id)
+    graft.ann.Ann.encodeAssign(corpus, id, vec, cb, centTable, cluster)
       .write.mode("overwrite").partitionBy(cluster).parquet(next)
     graft.ann.Ann.writeCodebook(spark, cb, s"$next/_codebook")
     centTable.select(col(cluster), col("centroid"))
       .repartition(1).write.mode("overwrite").parquet(s"$next/_centroids")
+    // new models ⇒ new epoch (the version number is monotone across
+    // publications, so it serves as the counter); inside the dir, so
+    // it publishes atomically with the models under _folded
+    val eOut = fs.create(
+      new org.apache.hadoop.fs.Path(s"$next/_model_epoch"), true)
+    try eOut.write(n.toString.getBytes("UTF-8")) finally eOut.close()
     val tmp = new org.apache.hadoop.fs.Path(s"$next/_folded_tmp")
     val out = fs.create(tmp, true)
     try out.write(hw.toString.getBytes("UTF-8")) finally out.close()

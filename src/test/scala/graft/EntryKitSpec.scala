@@ -14,7 +14,7 @@ class EntryKitSpec extends AnyFunSuite {
 
   test("sweepStale deletes old graft-prefixed siblings, keeps fresh " +
       "ones, non-graft dirs, and the caller's own dir") {
-    val parent = java.nio.file.Files.createTempDirectory("graft_kit_parent")
+    val parent = graft.EntryKit.scratchTracked("graft_kit_parent")
     def mk(name: String, ageMs: Long): java.nio.file.Path = {
       val d = java.nio.file.Files.createDirectory(parent.resolve(name))
       java.nio.file.Files.createFile(d.resolve("payload"))

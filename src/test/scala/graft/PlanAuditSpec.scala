@@ -138,7 +138,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("j5: bucket-co-located join plans with zero shuffle exchanges") {
     import org.apache.spark.sql.functions.col
-    val tmp = java.nio.file.Files.createTempDirectory("graft_j5_spec").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_j5_spec").toString
     spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
       .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
@@ -165,7 +165,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("s4 output: partition predicates prune the hive-partitioned scan") {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s4_prune").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_s4_prune").toString
     val df = Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("event_type").as("assessmentid"),
         year(col("ts")).as("year"), month(col("ts")).as("month"),
@@ -806,6 +806,47 @@ class PlanAuditSpec extends SparkSpec {
     // semanticDedup fix, and the old audit missed it
     assertNoVectorCarryingExchange(plan("dedup_semantic_routed"))
     assertNoVectorCarryingExchange(plan("dedup_semantic"))
+  }
+
+  test("round-16: the coarse-assignment argmax is a PROJECTION on every " +
+      "path — no aggregate and no keyed exchange in the assignment " +
+      "subplan (flat literal, flat broadcast, routed, and the fused " +
+      "lifecycle encode+assign that retrain/upsert/drain write through)") {
+    import org.apache.spark.sql.functions.{array, col, lit, pmod}
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = graft.ann.Ann.pivotCentroids(
+      emb, "label", "vec_id", "embedding")
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(FormattedMode)
+    // the r15 profile's core finding, pinned as a tripwire: the argmax
+    // aggregate (crossJoin + min_by) cost 20-40x its dot arithmetic;
+    // any Aggregate reappearing under an assignment output means the
+    // kernel regressed to that shape
+    def assertProjectionOnly(tag: String, p: String): Unit = {
+      for (agg <- Seq("HashAggregate", "ObjectHashAggregate",
+          "SortAggregate")) assert(!p.contains(agg),
+        s"$tag: aggregate in the assignment subplan\n$p")
+      assert(!p.contains("hashpartitioning") &&
+        !p.contains("rangepartitioning("),
+        s"$tag: keyed exchange in the assignment subplan\n$p")
+      assertNoVectorCarryingExchange(p)
+    }
+    assertProjectionOnly("flat_literal", fmt(graft.ann.Ann.assignClusters(
+      emb, "vec_id", "embedding", cents, "label")))
+    // force the broadcast dispatch: 200 centroids x 64 dims > the
+    // 8192-cell literal budget
+    val bigCents = emb.limit(200)
+      .select(pmod(col("vec_id"), lit(100000)).cast("int").as("label"),
+        col("embedding").cast("array<double>").as("centroid"))
+    assertProjectionOnly("flat_broadcast", fmt(graft.ann.Ann.assignClusters(
+      emb, "vec_id", "embedding", bigCents, "label")))
+    assertProjectionOnly("routed", fmt(graft.ann.Ann.assignClustersTwoLevel(
+      emb, "vec_id", "embedding", cents, "label",
+      superCount = 3, nprobe = 2)))
+    val cb = graft.ann.Ann.pqSeedCodebook(
+      emb, "vec_id", "embedding", m = 8, ksub = 16)
+    assertProjectionOnly("encode_assign", fmt(graft.ann.Ann.encodeAssign(
+      emb, "vec_id", "embedding", cb, cents, "label")))
   }
 
   /** No HASH/RANGE shuffle exchange may output an embedding-carrying

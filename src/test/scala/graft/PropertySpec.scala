@@ -140,7 +140,7 @@ object PropertySpec extends Properties("graft") {
     Prop.forAllNoShrink(rowsGen) { rows =>
       import org.apache.spark.sql.DataFrame
       import org.apache.spark.sql.functions.lit
-      val tmp = java.nio.file.Files.createTempDirectory("graft_pdrain").toString
+      val tmp = graft.EntryKit.scratchTracked("graft_pdrain").toString
       val schema = StructType(Seq(
         StructField("recordid", StringType),
         StructField("xs", ArrayType(IntegerType))))

@@ -34,7 +34,7 @@ class TablesSpec extends SparkSpec {
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
     import org.apache.hadoop.fs.Path
 
-    val dir = java.nio.file.Files.createTempDirectory("graft-nanos-events")
+    val dir = graft.EntryKit.scratchTracked("graft-nanos-events")
     dir.toFile.deleteOnExit()
     val schema = Types.buildMessage()
       .addField(Types.primitive(PrimitiveTypeName.INT64,

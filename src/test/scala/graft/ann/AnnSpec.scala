@@ -329,7 +329,7 @@ class AnnSpec extends SparkSpec {
 
   test("saveIndex/loadIndex round-trips codes, clusters, and codebook; " +
       "the persisted index serves identical queries") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_annidx").toString
     val cb = Ann.pqSeedCodebook(corpus, "vec_id", "embedding", m = 4, ksub = 4)
     val indexed = Ann.pqEncode(corpus, "vec_id", "embedding", cb)
       .join(corpus.select($"vec_id", $"label"), "vec_id")
@@ -358,7 +358,7 @@ class AnnSpec extends SparkSpec {
   test("upsertIndex: batch assigns to nearest pivot centroid, encodes " +
       "with the persisted codebook, and the merged index serves like a " +
       "one-shot build of the same rows") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_annups").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_annups").toString
     // base = ids 0-3 (labels 0/1 only): the batch (4, 5, 10) must land
     // on the base's pivots — including label-2 rows with no own cluster
     val base = corpus.where($"vec_id" <= 3)

@@ -36,7 +36,7 @@ class DedupSpec extends SparkSpec {
 
   test("incremental minhash against a persisted index equals the " +
       "full-corpus pairs involving a batch doc; params drift fails fast") {
-    val path = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val path = graft.EntryKit.scratchTracked("lshidx").toString
     Dedup.saveLshIndex(docs, "doc_id", "text", path)
     val batch = Seq(
       (101L, base.replace("softly", "gently")), // near-dup of 1/2/3
@@ -60,7 +60,7 @@ class DedupSpec extends SparkSpec {
 
   test("an oversized index bucket decomposes into bounded cells with " +
       "exact candidate parity") {
-    val path = java.nio.file.Files.createTempDirectory("lshidx2").toString
+    val path = graft.EntryKit.scratchTracked("lshidx2").toString
     val dupCorpus = (1L to 60L).map(i => (i, base)).toDF("doc_id", "text")
     Dedup.saveLshIndex(dupCorpus, "doc_id", "text", path)
     val batch = Seq((200L, base), (201L, "nothing in common with the " +

@@ -61,7 +61,7 @@ class IngestPipelineSpec extends SparkSpec {
 
   test("E2E: zip -> NDJSON layout -> schema-applied read -> relationalize " +
       "-> partitioned parquet with FK/count parity") {
-    val tmp = Files.createTempDirectory("graft_e2e").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_e2e").toString
     val jsonRoot = s"$tmp/raw_json"
     val parquetRoot = s"$tmp/parquet"
     val records = spark.createDataset(Seq(record))
@@ -105,7 +105,7 @@ class IngestPipelineSpec extends SparkSpec {
 
   test("staging retention: previous generation survives by default, " +
       "is reclaimed under the TTL valve, older ones always go") {
-    val tmp = Files.createTempDirectory("graft_stage").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_stage").toString
     val jsonRoot = s"$tmp/raw_json"
     def stagingDirs(): Seq[String] = {
       val f = new java.io.File(s"$jsonRoot/_staging")
@@ -137,7 +137,7 @@ class IngestPipelineSpec extends SparkSpec {
   }
 
   test("S8: file listing enumerates the written NDJSON dataset") {
-    val tmp = Files.createTempDirectory("graft_e2e").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_e2e").toString
     val jsonRoot = s"$tmp/raw_json"
     IngestJob.run(spark, spark.createDataset(Seq(record)), cfg,
       jsonRoot, s"$tmp/quarantine")
@@ -148,7 +148,7 @@ class IngestPipelineSpec extends SparkSpec {
   }
 
   test("S1: ZipSource enumerates fixture members distributively") {
-    val tmp = Files.createTempDirectory("graft_zip").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_zip").toString
     Files.copy(Paths.get(fixtureZip), Paths.get(tmp, "a.zip"))
     val entries = ZipSource.read(spark, s"$tmp/*.zip").collect()
     assert(entries.length == 9)

@@ -61,7 +61,7 @@ class BloomJoinSpec extends SparkSpec {
       "literal and broadcast-udf tiers both") {
     // parquet-backed probe: over a LocalRelation the optimizer folds
     // the (foldable-input) filter away entirely, hiding the plan shape
-    val tmp = java.nio.file.Files.createTempDirectory("bloom_plan").toString
+    val tmp = graft.EntryKit.scratchTracked("bloom_plan").toString
     (1L to 500L).toDF("k").write.mode("overwrite").parquet(tmp)
     val probe = spark.read.parquet(tmp)
     val build = (1L to 500L by 11).toDF("k")

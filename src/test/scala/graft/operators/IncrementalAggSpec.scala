@@ -17,7 +17,7 @@ class IncrementalAggSpec extends SparkSpec {
       sum($"n").as("total_n"), sum($"v").as("total_v"))
 
   test("two merged deltas equal the full recompute exactly") {
-    val path = Files.createTempDirectory("inc_agg").toString + "/t"
+    val path = graft.EntryKit.scratchTracked("inc_agg").toString + "/t"
     val (a, b) = (facts.filter($"id" % 2 === 0), facts.filter($"id" % 2 === 1))
     IncrementalAgg.mergeAdditive(spark, path, delta(a),
       Seq("grp"), Seq("total_n", "total_v"), Seq("grp"))
@@ -33,7 +33,7 @@ class IncrementalAggSpec extends SparkSpec {
 
   test("a delta touching one key leaves other partitions' files " +
       "byte-identical and only adjusts that key") {
-    val path = Files.createTempDirectory("inc_agg2").toString + "/t"
+    val path = graft.EntryKit.scratchTracked("inc_agg2").toString + "/t"
     IncrementalAgg.mergeAdditive(spark, path, delta(facts),
       Seq("grp"), Seq("total_n", "total_v"), Seq("grp"))
     def files(): Map[String, Long] = {

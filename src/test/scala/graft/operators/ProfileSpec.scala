@@ -24,7 +24,7 @@ class ProfileSpec extends SparkSpec {
   }
 
   test("profiling N columns costs one scan, not N jobs") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_prof").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_prof").toString
     df.write.mode("overwrite").parquet(tmp)
     val plan = Profile.table(spark.read.parquet(tmp))
       .queryExecution.explainString(FormattedMode)

@@ -34,7 +34,7 @@ class PipelineSpec extends SparkSpec {
 
   test("E2 ParquetJob: NDJSON -> relationalized partitioned parquet, " +
       "bookmark makes reruns no-ops, new records append incrementally") {
-    val tmp = Files.createTempDirectory("graft_e2").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_e2").toString
     val jsonRoot = s"$tmp/raw_json"
     IngestJob.run(spark, spark.createDataset(Seq(record("rec1"))), cfg,
       jsonRoot, s"$tmp/quarantine")
@@ -108,7 +108,7 @@ class PipelineSpec extends SparkSpec {
       "leaves the current table untouched (schema_change_protocol)") {
     import org.apache.spark.sql.functions.{col, lit}
     import graft.schema.{ColumnSpec, TableSpec}
-    val tmp = Files.createTempDirectory("graft_sv").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_sv").toString
     def stamp(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("assessmentid", lit("a"))
       .withColumn("year", lit(2023))
@@ -177,7 +177,7 @@ class PipelineSpec extends SparkSpec {
       .select("exportedOn").as[Long].head() == 20L)
 
     // existing parquet holds r2 only → r1/r3/r4 need processing
-    val tmp = Files.createTempDirectory("graft_e3").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_e3").toString
     Seq(("r2", "a", 2022, 1, 1)).toDF(
       "recordid", "assessmentid", "year", "month", "day")
       .write.parquet(s"$tmp/ds1")
@@ -202,7 +202,7 @@ class PipelineSpec extends SparkSpec {
   test("archiveDataset snapshot-copies to archive/{name}_{n}, verifies " +
       "row parity, and the archive stays frozen when the source mutates " +
       "(archive_dataset.py:119-170)") {
-    val tmp = Files.createTempDirectory("graft_arch").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_arch").toString
     val src = s"$tmp/parquet/dataset_v1"
     val archive = s"$tmp/parquet/archive"
     Seq(("r1", 1), ("r2", 2)).toDF("recordid", "v")

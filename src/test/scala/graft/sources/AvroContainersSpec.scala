@@ -13,7 +13,7 @@ class AvroContainersSpec extends SparkSpec {
 
   test("write/read round-trips every supported type including nulls " +
       "and binary, across a multi-file layout") {
-    val tmp = Files.createTempDirectory("graft_avro").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_avro").toString
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("s", StringType),
       StructField("d", DoubleType), StructField("b", BooleanType),
@@ -41,8 +41,8 @@ class AvroContainersSpec extends SparkSpec {
 
   test("the layout is a pure function of the data: re-writing an " +
       "arbitrarily repartitioned frame yields byte-identical files") {
-    val t1 = Files.createTempDirectory("graft_avro_a").toString
-    val t2 = Files.createTempDirectory("graft_avro_b").toString
+    val t1 = graft.EntryKit.scratchTracked("graft_avro_a").toString
+    val t2 = graft.EntryKit.scratchTracked("graft_avro_b").toString
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
     AvroContainers.write(df, t1, "id", numFiles = 4)
     AvroContainers.write(df.repartition(13).sort($"v".desc), t2, "id",

@@ -16,7 +16,7 @@ class SinksSpec extends SparkSpec {
 
   test("S3 sink produces the exact Hive layout " +
       "dataset=/assessmentid=/year=/month=/day= (s3_to_json_s3.py:628-639)") {
-    val tmp = Files.createTempDirectory("graft_sink").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_sink").toString
     JsonDataset.write(sample, tmp, "WeatherResult_v1")
     val expect = Paths.get(tmp,
       "dataset=WeatherResult_v1", "assessmentid=assessA", "year=2022",
@@ -33,7 +33,7 @@ class SinksSpec extends SparkSpec {
 
   test("per-record sink writes exactly one {recordid}.ndjson per record " +
       "with the hidden-name 0-prefix rename (s3_to_json_s3.py:620-623)") {
-    val tmp = Files.createTempDirectory("graft_sinkpr").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_sinkpr").toString
     // _r4 starts with '_' (hidden to downstream scanners) → 0_r4.ndjson;
     // r2 is a multi-row record (the reference's JSON-array case)
     val df = Seq(
@@ -69,7 +69,7 @@ class SinksSpec extends SparkSpec {
   }
 
   test("S2 read recovers rows + partition columns from the layout") {
-    val tmp = Files.createTempDirectory("graft_sink").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_sink").toString
     JsonDataset.write(sample, tmp, "ds")
     val back = JsonDataset.read(spark, tmp, "ds",
       StructType.fromDDL("recordid string, payload string"))
@@ -82,7 +82,7 @@ class SinksSpec extends SparkSpec {
   }
 
   test("S4 parquet sink appends new partitions without clobbering") {
-    val tmp = Files.createTempDirectory("graft_sink").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_sink").toString
     ParquetDataset.write(sample.where($"recordid" === "r1"), tmp)
     ParquetDataset.write(sample.where($"recordid" =!= "r1"), tmp)
     val back = ParquetDataset.read(spark, tmp)
@@ -96,7 +96,7 @@ class SinksSpec extends SparkSpec {
   test("compact rewrites ONLY over-full partitions; quiet partitions " +
       "keep their files untouched; rows survive exactly") {
     import org.apache.spark.sql.functions.{col, lit}
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_cmp").toString
     def rows(a: String, n: Int) = (1 to n)
       .map(i => (s"$a-$i", a, 2023, 1, 1))
       .toDF("recordid", "assessmentid", "year", "month", "day")
@@ -126,7 +126,7 @@ class SinksSpec extends SparkSpec {
 
   test("compact preserves directory names for numeric-looking string " +
       "partition values (no re-typed dir, no row duplication)") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp01").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_cmp01").toString
     def rows(n: Int) = (1 to n).map(i => (s"r$i", "01"))
       .toDF("recordid", "assessmentid")
     (1 to 3).foreach(_ => ParquetDataset.write(rows(2), tmp,
@@ -152,7 +152,7 @@ class SinksSpec extends SparkSpec {
     assert(ParquetDataset.unescapePathName("a%20b") == "a b")
     assert(ParquetDataset.unescapePathName("x%3Ay") == "x:y")
     assert(ParquetDataset.unescapePathName("50%") == "50%") // dangling %
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cmpplus").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_cmpplus").toString
     def rows(n: Int) = (1 to n).map(i => (s"r$i", "a+b"))
       .toDF("recordid", "assessmentid")
     (1 to 3).foreach(_ => ParquetDataset.write(rows(2), tmp,
@@ -170,7 +170,7 @@ class SinksSpec extends SparkSpec {
 
   test("upsert replaces keys, inserts new ones, leaves untouched " +
       "partitions byte-identical, and re-runs idempotently") {
-    val tmp = Files.createTempDirectory("graft_upsert").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_upsert").toString
     val base = Seq(
       (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "c", 40.0))
       .toDF("k", "part", "v")
@@ -223,7 +223,7 @@ class SinksSpec extends SparkSpec {
   test("corrupt-record accounting: a type-drifted field is counted, " +
       "quarantined, and absent from the clean output " +
       "(json_s3_to_parquet.py:75-78 resolveChoice parity)") {
-    val tmp = Files.createTempDirectory("graft_acct").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_acct").toString
     def leaf(a: String) = {
       val p = Paths.get(tmp, "dataset=acc", s"assessmentid=$a",
         "year=2023", "month=1", "day=1")

@@ -11,7 +11,7 @@ class TarShardsSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmpDir(): String =
-    Files.createTempDirectory("graft_tar_test").toString
+    graft.EntryKit.scratchTracked("graft_tar_test").toString
 
   test("ustar writeEntry produces a header a standard parser accepts") {
     val out = new ByteArrayOutputStream()

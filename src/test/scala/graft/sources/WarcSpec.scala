@@ -58,7 +58,7 @@ class WarcSpec extends SparkSpec {
 
   test("multi-member .warc.gz parses through the distributed reader " +
       "with per-file parallelism") {
-    val dir = Files.createTempDirectory("warc_gz").toString
+    val dir = graft.EntryKit.scratchTracked("warc_gz").toString
     (0 until 3).foreach { f =>
       val recs = Warc.warcinfoRecord(date, s"file: $f\r\n") +:
         (0 until 4).map(i => response(f * 10 + i))

@@ -24,7 +24,7 @@ class ZOrderSpec extends SparkSpec {
 
   test("z-ordered layout prunes a 2-D box to a few files; a 1-D sort " +
       "of the same data cannot") {
-    val tmp = Files.createTempDirectory("graft_zorder").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_zorder").toString
     // 64×64 grid, one row per cell
     val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x, y)))
       .toDF("x", "y")

@@ -8,7 +8,7 @@ class BookmarkSpec extends SparkSpec {
 
   test("first run sees everything; committed files are skipped; " +
       "recommit advances the bookmark") {
-    val tmp = Files.createTempDirectory("graft_bm").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_bm").toString
     val data = s"$tmp/data"
     val manifest = s"$tmp/manifest"
 
@@ -29,7 +29,7 @@ class BookmarkSpec extends SparkSpec {
 
   test("newFiles fails fast past its driver budget; the distributed " +
       "delta (newFilesDF) still serves the same listing") {
-    val tmp = Files.createTempDirectory("graft_bmb").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_bmb").toString
     val data = s"$tmp/data"
     val manifest = s"$tmp/manifest"
     // 4 appends → at least 4 data files
@@ -49,7 +49,7 @@ class BookmarkSpec extends SparkSpec {
 
   test("commitFilesDF unions distributedly: pinned files are skipped, " +
       "unpinned files stay new, previous commits survive the overwrite") {
-    val tmp = Files.createTempDirectory("graft_bmd").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_bmd").toString
     val data = s"$tmp/data"
     val manifest = s"$tmp/manifest"
     Seq(1).toDF("x").coalesce(1).write.mode("append").parquet(data)

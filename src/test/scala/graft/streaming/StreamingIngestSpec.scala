@@ -13,7 +13,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("AvailableNow drain: first run takes everything, second run only " +
       "new files (checkpoint = bookmark)") {
-    val tmp = Files.createTempDirectory("graft_stream").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_stream").toString
     val jsonRoot = s"$tmp/json"
     val schema = StructType.fromDDL("recordid string, v bigint")
 
@@ -43,7 +43,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("relationalize drain: micro-batches fan out to root + child " +
       "parquet tables, incrementally, FK-linked") {
-    val tmp = Files.createTempDirectory("graft_rdrain").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_rdrain").toString
     val jsonRoot = s"$tmp/json"
     val schema = StructType.fromDDL(
       "recordid string, xs array<bigint>")
@@ -87,7 +87,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("relationalize drain: a replayed micro-batch does not double-append " +
       "(per-table batch markers make foreachBatch idempotent)") {
-    val tmp = Files.createTempDirectory("graft_rretry").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_rretry").toString
     val jsonRoot = s"$tmp/json"
     val schema = StructType.fromDDL("recordid string, xs array<bigint>")
     Seq(("r1", Seq(10L, 20L), "r1", 2022, 1, 1))
@@ -118,7 +118,7 @@ class StreamingIngestSpec extends SparkSpec {
   }
 
   test("watermarked windowed counts aggregate per key and window") {
-    val tmp = Files.createTempDirectory("graft_stream").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
     mem.addData(
@@ -141,7 +141,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("streaming session_window: sessions finalize in append mode once " +
       "the watermark passes their close") {
-    val tmp = Files.createTempDirectory("graft_stream").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
     // user 7: two events 30s apart (one session), then a 10-minute gap
@@ -174,7 +174,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("flatMapGroupsWithState gap sessions match the built-in " +
       "session_window semantics") {
-    val tmp = Files.createTempDirectory("graft_stream").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingIngest.TsEvent]
     // user 7: same shape as the session_window test — 2-event session,
@@ -220,7 +220,7 @@ class StreamingIngestSpec extends SparkSpec {
   }
 
   test("streaming dropDuplicates suppresses re-deliveries across batches") {
-    val tmp = Files.createTempDirectory("graft_stream").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
     val dedup = mem.toDF.toDF("event_id", "payload")
@@ -244,7 +244,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("dedupFirstSeen: watermarked redelivery dedup emits each key once, " +
       "late replays beyond the horizon are dropped, not re-emitted") {
-    val tmp = Files.createTempDirectory("graft_stream").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
     def ts(m: Int) = Timestamp.valueOf(f"2022-01-01 10:$m%02d:00")
     val mem = MemoryStream[(Timestamp, Long)]
@@ -272,7 +272,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("contaminationGate: leaked docs drop at the door, clean and " +
       "too-short docs pass, incremental across drains") {
-    val tmp = Files.createTempDirectory("graft_cgate").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_cgate").toString
     val schema = StructType.fromDDL("doc_id bigint, text string")
     // held-out benchmark: one 3-gram
     val held = Array("the secret answer")
@@ -312,7 +312,7 @@ class StreamingIngestSpec extends SparkSpec {
   }
 
   test("stream-static join enriches each micro-batch from a broadcast dim") {
-    val tmp = Files.createTempDirectory("graft_stream").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
     val mem = MemoryStream[(Long, Long)]
@@ -337,7 +337,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("stream-stream interval join equals the batch join across " +
       "out-of-order micro-batches") {
-    val tmp = Files.createTempDirectory("graft_ssjoin").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_ssjoin").toString
     implicit val sqlCtx = spark.sqlContext
     def ts(m: Long) = new Timestamp(1672531200000L + m * 60000L)
     val lmem = MemoryStream[(Long, Timestamp)]
@@ -367,7 +367,7 @@ class StreamingIngestSpec extends SparkSpec {
   }
 
   test("stateful keep-latest updates the per-user winner across batches") {
-    val tmp = Files.createTempDirectory("graft_stream").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_stream").toString
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingIngest.Event]
     val latest = StreamingIngest.keepLatest(mem.toDS())
@@ -396,7 +396,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("upsertDrain: streamed keyed updates converge to keep-latest, " +
       "in-batch ties collapse, re-drain is a no-op") {
-    val tmp = Files.createTempDirectory("graft_upsert_drain").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_upsert_drain").toString
     val in = s"$tmp/in"
     val target = s"$tmp/target"
     val schema = StructType.fromDDL(
@@ -443,7 +443,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("monoidStateDrain: micro-batch merges equal the one-shot " +
       "aggregate; a restart with the same checkpoint never double-merges") {
-    val tmp = Files.createTempDirectory("graft_stmon").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_stmon").toString
     val schema = StructType.fromDDL("k string, v bigint")
     def drain(): Unit = StreamingIngest.monoidStateDrain(
       spark.readStream.schema(schema)
@@ -475,7 +475,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("weightedSampleDrain: batch-split draws equal the one-shot " +
       "batch sample; restarts and replayed rows never shift the draw") {
-    val tmp = Files.createTempDirectory("graft_stws").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_stws").toString
     val schema = StructType.fromDDL("id bigint, w bigint")
     val all = (1L to 60L).map(i => (i, i * 3))
     def drain(): Unit = StreamingIngest.weightedSampleDrain(
@@ -507,7 +507,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("sketchStateDrain: distinct counts survive batch splits and " +
       "cross-batch duplicates; restart never double-merges") {
-    val tmp = Files.createTempDirectory("graft_stsk").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_stsk").toString
     val schema = StructType.fromDDL("k string, v bigint")
     def drain(): Unit = StreamingIngest.sketchStateDrain(
       spark.readStream.schema(schema)
@@ -530,7 +530,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("gapFillDrain: carry crosses batch boundaries, all-null batches " +
       "preserve it, unseen-key leading nulls stay null") {
-    val tmp = Files.createTempDirectory("graft_gapfill").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_gapfill").toString
     val schema = StructType.fromDDL("k bigint, seq bigint, v double")
 
     def drain(): Unit =
@@ -594,7 +594,7 @@ class StreamingIngestSpec extends SparkSpec {
       Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
         .join(even.select($"vec_id", $"label"), "vec_id"), "label", cb, path)
     // streamed path: 3 files → 3 micro-batches
-    val st = Files.createTempDirectory("graft_st_ann").toString
+    val st = graft.EntryKit.scratchTracked("graft_st_ann").toString
     build(st)
     odd.repartition(3).write.parquet(s"$st/in")
     def drain(): Unit = StreamingIngest.annIndexUpsertDrain(
@@ -604,7 +604,7 @@ class StreamingIngestSpec extends SparkSpec {
       .awaitTermination()
     drain()
     // one-shot path on a second index
-    val os = Files.createTempDirectory("graft_os_ann").toString
+    val os = graft.EntryKit.scratchTracked("graft_os_ann").toString
     build(os)
     Ann.upsertIndex(spark, os, odd, "vec_id", "embedding", cents, "label")
     def rows(codes: org.apache.spark.sql.DataFrame) = codes
@@ -711,7 +711,7 @@ class StreamingIngestSpec extends SparkSpec {
     val odd = emb.where($"vec_id" % 2 === 1)
     val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 4, ksub = 4)
     val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
-    val st = Files.createTempDirectory("graft_race_ann").toString
+    val st = graft.EntryKit.scratchTracked("graft_race_ann").toString
     Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
       .join(even.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
     odd.repartition(3).write.parquet(s"$st/in")
@@ -770,7 +770,7 @@ class StreamingIngestSpec extends SparkSpec {
     val odd = emb.where($"vec_id" % 2 === 1)
     val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 4, ksub = 4)
     val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
-    val st = Files.createTempDirectory("graft_guard_ann").toString
+    val st = graft.EntryKit.scratchTracked("graft_guard_ann").toString
     Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
       .join(even.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
     odd.coalesce(1).write.parquet(s"$st/in")
@@ -819,7 +819,7 @@ class StreamingIngestSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
     val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
-    val st = Files.createTempDirectory("graft_inc_ann").toString
+    val st = graft.EntryKit.scratchTracked("graft_inc_ann").toString
     Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
       .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
     def stage(b: Long, rows: Seq[(Long, Seq[Float], Int)]): Unit = {
@@ -905,7 +905,7 @@ class StreamingIngestSpec extends SparkSpec {
     val odd = emb.where($"vec_id" % 2 === 1)
     val cb0 = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 4, ksub = 4)
     val cents0 = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
-    val st = Files.createTempDirectory("graft_rt_ann").toString
+    val st = graft.EntryKit.scratchTracked("graft_rt_ann").toString
     Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb0)
       .join(even.select($"vec_id", $"label"), "vec_id"), "label", cb0, st)
     Ann.upsertIndex(spark, st, odd, "vec_id", "embedding", cents0, "label")
@@ -916,7 +916,7 @@ class StreamingIngestSpec extends SparkSpec {
     val (codes, cb2, cents2) = StreamingIngest.loadStreamedIndex(
       spark, st, "vec_id", "label")
     // from-scratch twin: same corpus, same seed rule, same assignment
-    val os = Files.createTempDirectory("graft_rt_twin").toString
+    val os = graft.EntryKit.scratchTracked("graft_rt_twin").toString
     val cbF = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 4, ksub = 4)
     Ann.saveIndex(Ann.pqEncode(emb, "vec_id", "embedding", cbF)
       .join(Ann.assignClusters(emb, "vec_id", "embedding",
@@ -1004,7 +1004,7 @@ class StreamingIngestSpec extends SparkSpec {
     val odd = emb.where($"vec_id" % 2 === 1)
     val cb0 = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 4, ksub = 4)
     val cents0 = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
-    val st = Files.createTempDirectory("graft_drift_rt").toString
+    val st = graft.EntryKit.scratchTracked("graft_drift_rt").toString
     Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb0)
       .join(even.select($"vec_id", $"label"), "vec_id"), "label", cb0, st)
     Ann.upsertIndex(spark, st, odd, "vec_id", "embedding", cents0, "label")
@@ -1064,7 +1064,7 @@ class StreamingIngestSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
     val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
-    val st = Files.createTempDirectory("graft_auto_ann").toString
+    val st = graft.EntryKit.scratchTracked("graft_auto_ann").toString
     Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
       .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
     def stage(b: Long, rows: Seq[(Long, Seq[Float], Int)]): Unit = {
@@ -1125,7 +1125,7 @@ class StreamingIngestSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
     val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
-    val st = Files.createTempDirectory("graft_mbudget").toString
+    val st = graft.EntryKit.scratchTracked("graft_mbudget").toString
     Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
       .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
     def stage(b: Long, rows: Seq[(Long, Seq[Float], Int)]): Unit = {
@@ -1176,7 +1176,7 @@ class StreamingIngestSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     val cb = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 4, ksub = 4)
     val cents = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
-    val st = Files.createTempDirectory("graft_load_rt").toString
+    val st = graft.EntryKit.scratchTracked("graft_load_rt").toString
     Ann.saveIndex(Ann.pqEncode(emb, "vec_id", "embedding", cb)
       .join(emb.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
     // a drain mid-stage: its tmp is on disk, its lock re-check hasn't
@@ -1240,7 +1240,7 @@ class StreamingIngestSpec extends SparkSpec {
     val even = emb.where($"vec_id" % 2 === 0)
     val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 4, ksub = 4)
     val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
-    val st = Files.createTempDirectory("graft_emptyrun").toString
+    val st = graft.EntryKit.scratchTracked("graft_emptyrun").toString
     Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
       .join(even.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
     // the crash remnant: marker created, content never written
@@ -1277,7 +1277,7 @@ class StreamingIngestSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
     val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
-    val st = Files.createTempDirectory("graft_rtgc_ann").toString
+    val st = graft.EntryKit.scratchTracked("graft_rtgc_ann").toString
     Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
       .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
     def stage(b: Long, rows: Seq[(Long, Seq[Float], Int)]): Unit = {
@@ -1343,5 +1343,206 @@ class StreamingIngestSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$st/codes_v1")))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$st/codes_v2")))
+  }
+
+  test("commitStagedBatch aborts when the model epoch moved: a retrain " +
+      "that ran lock-to-lock inside the stage window (no lock, no tmp " +
+      "to observe) still cannot publish an old-codebook batch; " +
+      "compactions carry the epoch and do not abort anything") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val emb = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_epoch").toString
+    Ann.saveIndex(Ann.pqEncode(emb, "vec_id", "embedding", cb)
+      .join(emb.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    assert(StreamingIngest.modelEpoch(spark, st) == 0L)
+    val batch = Seq((9L, unit(6), 0)).toDF("vec_id", "embedding", "label")
+    def writeTmp(b: Long): Unit =
+      Ann.encodeAssign(batch, "vec_id", "embedding", cb, cents, "label")
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$st/stream/.batch_tmp_$b")
+    // the race replayed deterministically: models resolved (epoch 0),
+    // then a FULL retrain runs lock create → publish → lock delete
+    // BEFORE the batch stages its tmp — the commit sees no lock and
+    // the retrain saw no tmp (this is exactly the interleaving the
+    // tmp-before-lock-recheck protocol cannot observe), but the epoch
+    // moved
+    val epochAtResolve = StreamingIngest.modelEpoch(spark, st)
+    StreamingIngest.retrainStreamedIndex(spark, st, emb,
+      "vec_id", "embedding", cents, "label", m = 4, ksub = 4)
+    assert(StreamingIngest.modelEpoch(spark, st) == 1L)
+    writeTmp(9L)
+    val aborted = intercept[IllegalStateException] {
+      StreamingIngest.commitStagedBatch(spark, st, 9L, epochAtResolve)
+    }
+    assert(aborted.getMessage.contains("model epoch moved"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/stream/.batch_tmp_9")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/stream/batch=9")))
+    // the replay resolves the NEW models and lands
+    writeTmp(9L)
+    StreamingIngest.commitStagedBatch(spark, st, 9L,
+      StreamingIngest.modelEpoch(spark, st))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/stream/batch=9")))
+    // a compaction publishes a new generation but CARRIES the model
+    // epoch — a batch staged across it must NOT abort
+    val epochPreFold = StreamingIngest.modelEpoch(spark, st)
+    writeTmp(10L)
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    assert(StreamingIngest.modelEpoch(spark, st) == epochPreFold)
+    StreamingIngest.commitStagedBatch(spark, st, 10L, epochPreFold)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/stream/batch=10")))
+  }
+
+  test("claimRun recovery never deletes a live claim: a NON-empty " +
+      "foreign marker fails the drain and survives byte-identically") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val emb = Seq(
+      (0L, unit(0), 0), (2L, unit(2), 1), (4L, unit(0), 0),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_liveclaim").toString
+    Ann.saveIndex(Ann.pqEncode(emb, "vec_id", "embedding", cb)
+      .join(emb.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$st/stream"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$st/stream/_run"),
+      "/somewhere/else/ckpt".getBytes("UTF-8"))
+    val fresh = Seq((1L, unit(4), 1)).toDF("vec_id", "embedding", "label")
+    fresh.coalesce(1).write.parquet(s"$st/in")
+    val failed = intercept[Exception] {
+      StreamingIngest.annIndexUpsertDrain(
+        spark.readStream.schema(fresh.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$st/in"),
+        st, s"$st/ckpt", "vec_id", "embedding", cents, "label")
+        .awaitTermination()
+    }
+    assert(failed.getMessage.contains("owned by checkpoint"))
+    val owner = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$st/stream/_run")), "UTF-8")
+    assert(owner == "/somewhere/else/ckpt")
+  }
+
+  test("compactStreamedAuto folds exactly the window its policy " +
+      "evaluated: a batch above the decision bound stays staged and " +
+      "serves through the overlay until the next cycle folds it") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(2), 1), (4L, unit(4), 2),
+      (6L, unit(4), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_autowin").toString
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    def stage(b: Long, rows: Seq[(Long, Seq[Float], Int)]): Unit =
+      Ann.encodeAssign(rows.toDF("vec_id", "embedding", "label"),
+          "vec_id", "embedding", cb, cents, "label")
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$st/stream/batch=$b")
+    stage(0L, Seq((1L, unit(0), 0)))
+    stage(1L, Seq((3L, unit(0), 0)))
+    // the "between decision and dispatch" batch, replayed
+    // deterministically as an explicit bound: the policy evaluated
+    // batches ≤ 1, so the dispatched fold must cover exactly ≤ 1
+    stage(2L, Seq((5L, unit(2), 1)))
+    StreamingIngest.compactStreamedAuto(spark, st, "vec_id", "label",
+      upTo = Some(1L))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/stream/batch=2")))
+    val served = StreamingIngest.loadStreamedCodes(
+        spark, st, "vec_id", "label")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(served == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L)) // overlay serves 5
+    val hw1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$st/codes_v1/_folded")), "UTF-8").trim
+    assert(hw1 == "1") // the fold's snapshot is the policy's window
+    StreamingIngest.compactStreamedAuto(spark, st, "vec_id", "label")
+    val served2 = StreamingIngest.loadStreamedCodes(
+        spark, st, "vec_id", "label")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(served2 == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("retrainOnDrift: a serving cluster whose corpus mass entirely " +
+      "reassigned elsewhere reads as maximal drift (cos = -1) and can " +
+      "fire the trigger; an empty corpus never fires; the sampled " +
+      "probe fires on a drifted corpus") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    // serving centroids span 0/2/5; the corpus sits EXACTLY on the
+    // first two (their per-cluster means read cos = 1.0) and nothing
+    // assigns to cluster 2 — the pre-r16 inner-join signal read this
+    // corpus as perfectly healthy
+    val emb = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val baseCents = Seq(
+      (0, unit(0).toSeq), (1, unit(2).toSeq), (2, unit(5).toSeq))
+      .toDF("label", "centroid")
+    val newCents = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+    val cb = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 4, ksub = 4)
+    val st = graft.EntryKit.scratchTracked("graft_drift_miss").toString
+    Ann.saveIndex(Ann.pqEncode(emb, "vec_id", "embedding", cb)
+      .join(emb.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    // minCosine = -1 still never fires (cos = -1 is not < -1): the
+    // no-fire pin holds even for the missing-cluster signal
+    assert(!StreamingIngest.retrainOnDrift(spark, st, emb,
+      "vec_id", "embedding", baseCents, newCents, "label",
+      m = 4, ksub = 4, minCosine = -1.0))
+    // an empty corpus has nothing to retrain on: no fire, even though
+    // every serving cluster is "missing"
+    assert(!StreamingIngest.retrainOnDrift(spark, st, emb.limit(0),
+      "vec_id", "embedding", baseCents, newCents, "label",
+      m = 4, ksub = 4, minCosine = 0.999))
+    // the orphaned serving cluster fires the trigger at a threshold
+    // the present clusters' cos = 1.0 would never cross
+    assert(StreamingIngest.retrainOnDrift(spark, st, emb,
+      "vec_id", "embedding", baseCents, newCents, "label",
+      m = 4, ksub = 4, minCosine = 0.999))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/codes_v1/_folded")))
+    // sampled probe: every corpus vector sits off the serving
+    // centroid, so ANY non-empty deterministic id-hash sample reads
+    // the drift; the fired retrain is the full-corpus one
+    val st2 = graft.EntryKit.scratchTracked("graft_drift_smp").toString
+    val emb2 = Seq(
+      (0L, unit(1), 0), (1L, unit(1), 0), (2L, unit(1), 0),
+      (3L, unit(1), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cents2 = Seq((0, unit(0).toSeq)).toDF("label", "centroid")
+    Ann.saveIndex(Ann.pqEncode(emb2, "vec_id", "embedding",
+        Ann.pqSeedCodebook(emb2, "vec_id", "embedding", m = 4, ksub = 4))
+      .join(emb2.select($"vec_id", $"label"), "vec_id"), "label",
+      Ann.pqSeedCodebook(emb2, "vec_id", "embedding", m = 4, ksub = 4), st2)
+    assert(StreamingIngest.retrainOnDrift(spark, st2, emb2,
+      "vec_id", "embedding", cents2,
+      Ann.pivotCentroids(emb2, "label", "vec_id", "embedding"), "label",
+      m = 4, ksub = 4, minCosine = 0.999, probeFraction = 0.5))
+    assert(StreamingIngest.loadStreamedCodes(spark, st2, "vec_id", "label")
+      .count() == 4) // retrain covered the FULL corpus, not the sample
   }
 }

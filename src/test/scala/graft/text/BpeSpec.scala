@@ -95,7 +95,7 @@ class BpeSpec extends SparkSpec {
   test("save/load round-trips the merge list in training order and the " +
       "reloaded artifact encodes identically") {
     val merges = Bpe.train(corpus, "text", numMerges = 8)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_bpe").toString
     Bpe.save(spark, merges, tmp)
     val back = Bpe.load(spark, tmp)
     assert(back == merges)

@@ -123,8 +123,7 @@ class UnigramLmSpec extends SparkSpec {
     val docs = Seq((1L, "abab abab cdcd")).toDF("doc_id", "text")
     val model = UnigramLm.train(docs, "text", vocabSize = 6,
       maxPieceLen = 2, emIters = 1)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_unigram").toString
+    val tmp = graft.EntryKit.scratchTracked("graft_unigram").toString
     UnigramLm.save(spark, model, tmp)
     val back = UnigramLm.load(spark, tmp)
     assert(back == model)
