@@ -1318,6 +1318,52 @@ private[graft] object EntriesAnn {
     },
     annIndexRetrain.oracle)
 
+  /** Routed retrain ([[graft.streaming.StreamingIngest
+    * .retrainStreamedIndex]] with `router = (superCount, nprobe)`):
+    * the rebuild path for the nlist ∝ N regime, where even the
+    * projection kernel's flat N·k dot stream is quadratic in corpus
+    * size — the fused [[Ann.encodeAssignRouted]] pass routes each
+    * row's assignment through the two-level model
+    * (N·(s + nprobe·k/s)). Probe-all (nprobe = superCount) is
+    * provably exact — every centroid routes to some super, so the
+    * candidate set is the full centroid table — which is what lets
+    * this entry SHARE the flat retrain's from-scratch-equivalence
+    * oracle verbatim: a routed rebuild that dropped or re-homed any
+    * vector would hash-fail.
+    */
+  val annRetrainRouted = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cb0 = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents0 = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val scratch = scratchPath("graft_annrtr")
+      val path = scratch.toString
+      PhaseTimer.phase("build_save") {
+        Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb0)
+          .join(even.select(col("vec_id"), col("label")), "vec_id"),
+          "label", cb0, path)
+      }
+      PhaseTimer.phase("upsert") {
+        Ann.upsertIndex(s, path, odd, "vec_id", "embedding", cents0, "label")
+      }
+      val centsFull = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+      PhaseTimer.phase("retrain_routed") {
+        graft.streaming.StreamingIngest.retrainStreamedIndex(
+          s, path, emb, "vec_id", "embedding", centsFull, "label",
+          m = 8, ksub = 16, router = Some((3, 3)))
+      }
+      val (codes, cb2, cents2) = graft.streaming.StreamingIngest
+        .loadStreamedIndex(s, path, "vec_id", "label")
+      servedThenCleanup(
+        Ann.ivfPqTopK(codes, "vec_id", "label", cents2.getOrElse(centsFull),
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cb2, k = 5, nprobe = 3),
+        scratch)
+    },
+    annIndexRetrain.oracle)
+
   /** TWO-LEVEL coarse assignment ([[Ann.assignClustersTwoLevel]] —
     * IMI/coarse-router shape, Babenko & Lempitsky 2014): when the
     * centroid count tracks the corpus (nlist ∝ N, the honest IVF

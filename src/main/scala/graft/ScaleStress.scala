@@ -931,8 +931,8 @@ object ScaleStress {
         s""""ops":{$opsJson},$guardJson}"""
     println(json)
     val outName =
-      if (factors == Seq(1, 3, 10)) "STRESS_r15.json"
-      else s"STRESS_r15_f${factors.last}.json"
+      if (factors == Seq(1, 3, 10)) "STRESS_r16.json"
+      else s"STRESS_r16_f${factors.last}.json"
     Files.write(Paths.get(outName),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

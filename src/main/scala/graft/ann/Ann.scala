@@ -683,6 +683,93 @@ object Ann {
   private[graft] def cmpD(x: Double, y: Double): Int =
     if (x == y) 0 else java.lang.Double.compare(x, y)
 
+  /** Per-row flat argmax — the broadcast kernel's inner loop, shared
+    * by [[assignCos]] and the fused [[encodeAssign]]: argmax of
+    * round(cos, 4) over a cl-ascending model, first strict improvement
+    * wins (= the lowest-id tiebreak). Returns (cluster, csim).
+    */
+  private[graft] def flatBest(
+      m: CosModel, v: Array[Double], n: Double): (Long, Double) = {
+    var bestD = 0.0
+    var bestCl = 0L
+    var bestS = 0.0
+    var first = true
+    var j = 0
+    while (j < m.cls.length) {
+      val c = m.cvs(j)
+      val len = math.min(v.length, c.length)
+      var dot = 0.0
+      var i = 0
+      while (i < len) { dot += v(i) * c(i); i += 1 }
+      val s = roundHalfUp(dot / (n * m.cns(j)), 4)
+      val d = -s
+      if (first || cmpD(d, bestD) < 0) {
+        bestD = d; bestCl = m.cls(j); bestS = s; first = false
+      }
+      j += 1
+    }
+    (bestCl, bestS)
+  }
+
+  /** Per-row ROUTED argmax — rank the supers (round-4 cosine,
+    * (d asc, sp asc)), then argmax over the probed supers' members ∪
+    * the probed supers themselves. Shared by [[assignCosRouted]] and
+    * the fused [[encodeAssignRouted]]. Returns (cluster, csim).
+    */
+  private[graft] def routedBest(
+      rm: RouterModel, v: Array[Double], n: Double, np: Int)
+      : (Long, Double) = {
+    val s = rm.sps.length
+    val ds = new Array[Double](s)
+    var i = 0
+    while (i < s) {
+      val sv = rm.svs(i)
+      val len = math.min(v.length, sv.length)
+      var dot = 0.0
+      var e = 0
+      while (e < len) { dot += v(e) * sv(e); e += 1 }
+      ds(i) = -roundHalfUp(dot / (n * rm.sns(i)), 4)
+      i += 1
+    }
+    val taken = new Array[Boolean](s)
+    var bestD = 0.0
+    var bestCl = 0L
+    var bestS = 0.0
+    var first = true
+    var p = 0
+    val probes = math.min(np, s)
+    while (p < probes) {
+      var sel = -1
+      var selD = 0.0
+      var q = 0
+      while (q < s) {
+        if (!taken(q) && (sel < 0 || cmpD(ds(q), selD) < 0)) {
+          sel = q; selD = ds(q)
+        }
+        q += 1
+      }
+      taken(sel) = true
+      val mem = rm.members(rm.sps(sel))
+      var j = 0
+      while (j < mem.cls.length) {
+        val c = mem.cvs(j)
+        val len = math.min(v.length, c.length)
+        var dot = 0.0
+        var e = 0
+        while (e < len) { dot += v(e) * c(e); e += 1 }
+        val sim = roundHalfUp(dot / (n * mem.cns(j)), 4)
+        val d = -sim
+        val cmp = if (first) -1 else cmpD(d, bestD)
+        if (cmp < 0 || (cmp == 0 && mem.cls(j) < bestCl)) {
+          bestD = d; bestCl = mem.cls(j); bestS = sim; first = false
+        }
+        j += 1
+      }
+      p += 1
+    }
+    (bestCl, bestS)
+  }
+
   /** Cosine-argmax kernel: append (`outCl`: long, `outCsim`: double) —
     * the argmax-of-round(cos, 4), lowest-id-tiebreak cluster and its
     * similarity — to every row of `df`, as a PROJECTION. Dispatches on
@@ -724,29 +811,9 @@ object Ann {
       df.mapPartitions { rows =>
         val mm = bc.value
         rows.map { r =>
-          val v = r.getSeq[Double](vIdx).toArray
-          val n = r.getDouble(nIdx)
-          var bestD = 0.0
-          var bestCl = 0L
-          var bestS = 0.0
-          var first = true
-          var j = 0
-          while (j < mm.cls.length) {
-            val c = mm.cvs(j)
-            val len = math.min(v.length, c.length)
-            var dot = 0.0
-            var i = 0
-            while (i < len) { dot += v(i) * c(i); i += 1 }
-            val s = roundHalfUp(dot / (n * mm.cns(j)), 4)
-            val d = -s
-            // model is cl-ascending, so strict improvement keeps the
-            // lowest id on ties — the min_by(struct(d, cl)) rule
-            if (first || cmpD(d, bestD) < 0) {
-              bestD = d; bestCl = mm.cls(j); bestS = s; first = false
-            }
-            j += 1
-          }
-          Row.fromSeq(r.toSeq :+ bestCl :+ bestS)
+          val (cl, s) = flatBest(
+            mm, r.getSeq[Double](vIdx).toArray, r.getDouble(nIdx))
+          Row.fromSeq(r.toSeq :+ cl :+ s)
         }
       }(Encoders.row(outSchema))
     }
@@ -829,59 +896,10 @@ object Ann {
       StructField(outCsim, DoubleType, nullable = false)))
     df.mapPartitions { rows =>
       val m = bc.value
-      val s = m.sps.length
       rows.map { r =>
-        val v = r.getSeq[Double](vIdx).toArray
-        val n = r.getDouble(nIdx)
-        // probe ranking: d_i = -round4(cos(v, super_i)); supers are
-        // sp-ascending, so keep-first selection is the (d, sp) rule
-        val ds = new Array[Double](s)
-        var i = 0
-        while (i < s) {
-          val sv = m.svs(i)
-          val len = math.min(v.length, sv.length)
-          var dot = 0.0
-          var e = 0
-          while (e < len) { dot += v(e) * sv(e); e += 1 }
-          ds(i) = -roundHalfUp(dot / (n * m.sns(i)), 4)
-          i += 1
-        }
-        val taken = new Array[Boolean](s)
-        var bestD = 0.0
-        var bestCl = 0L
-        var bestS = 0.0
-        var first = true
-        var p = 0
-        while (p < np) {
-          var sel = -1
-          var selD = 0.0
-          var q = 0
-          while (q < s) {
-            if (!taken(q) && (sel < 0 || cmpD(ds(q), selD) < 0)) {
-              sel = q; selD = ds(q)
-            }
-            q += 1
-          }
-          taken(sel) = true
-          val mem = m.members(m.sps(sel))
-          var j = 0
-          while (j < mem.cls.length) {
-            val c = mem.cvs(j)
-            val len = math.min(v.length, c.length)
-            var dot = 0.0
-            var e = 0
-            while (e < len) { dot += v(e) * c(e); e += 1 }
-            val sim = roundHalfUp(dot / (n * mem.cns(j)), 4)
-            val d = -sim
-            val cmp = if (first) -1 else cmpD(d, bestD)
-            if (cmp < 0 || (cmp == 0 && mem.cls(j) < bestCl)) {
-              bestD = d; bestCl = mem.cls(j); bestS = sim; first = false
-            }
-            j += 1
-          }
-          p += 1
-        }
-        Row.fromSeq(r.toSeq :+ bestCl :+ bestS)
+        val (cl, s) = routedBest(
+          m, r.getSeq[Double](vIdx).toArray, r.getDouble(nIdx), np)
+        Row.fromSeq(r.toSeq :+ cl :+ s)
       }
     }(Encoders.row(outSchema))
   }
@@ -1102,24 +1120,70 @@ object Ann {
           var vn2 = 0.0
           var e = 0
           while (e < v.length) { vn2 += v(e) * v(e); e += 1 }
-          val n = math.sqrt(vn2)
-          var bestD = 0.0
-          var bestCl = 0L
-          var first = true
-          var j = 0
-          while (j < mm.cls.length) {
-            val c = mm.cvs(j)
-            val len = math.min(v.length, c.length)
-            var dot = 0.0
-            var i = 0
-            while (i < len) { dot += v(i) * c(i); i += 1 }
-            val d = -roundHalfUp(dot / (n * mm.cns(j)), 4)
-            if (first || cmpD(d, bestD) < 0) {
-              bestD = d; bestCl = mm.cls(j); first = false
+          val (cl, _) = flatBest(mm, v, math.sqrt(vn2))
+          (rid, codes.toSeq, cl)
+        }
+      }.toDF(id, "codes", "__c")
+      .select(col(id), col("codes"), col("__c").cast(dt).as(cluster))
+  }
+
+  /** [[encodeAssign]] with the TWO-LEVEL routed assignment — the index
+    * ingest/rebuild projection for the nlist ∝ N regime, where the
+    * flat N·k dot stream turns quadratic in corpus size even at the
+    * projection kernel's floor: one mapPartitions pass PQ-encodes and
+    * routes each row through the [[RouterModel]]
+    * (N·(s + nprobe·k/s) arithmetic). Probe-all (nprobe = superCount)
+    * is provably exact — identical to [[encodeAssign]] (spec-pinned);
+    * fewer probes are the recall/cost dial, with cluster MEMBERSHIP
+    * the approximated part (codes are exact either way). The routed
+    * cluster is cast back to the centroid table's own type, so the
+    * published index layout is identical to the flat path's.
+    */
+  def encodeAssignRouted(
+      corpus: DataFrame, id: String, vec: String, cb: PqCodebook,
+      centTable: DataFrame, cluster: String,
+      superCount: Int, nprobe: Int): DataFrame = {
+    require(superCount >= 1 && nprobe >= 1 && nprobe <= superCount,
+      s"need 1 <= nprobe <= superCount, got nprobe=$nprobe, " +
+        s"superCount=$superCount")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = centTable.schema(cluster).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"cluster column '$cluster' must be integral, got ${dt.simpleString}")
+    val rm = buildRouter(centTable, cluster, superCount)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcRm = spark.sparkContext.broadcast(rm)
+    widen(corpus).select(col(id).cast("long"), toDouble(col(vec)))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val b = bcCb.value
+        val r = bcRm.value
+        it.map { case (rid, vseq) =>
+          val v = vseq.toArray
+          require(v.length == b.dim,
+            s"vector dim ${v.length} != codebook dim ${b.dim}")
+          val codes = new Array[Int](b.m)
+          var s = 0
+          while (s < b.m) {
+            val cs = b.cents(s)
+            var best = Double.PositiveInfinity
+            var bi = 0
+            var j = 0
+            while (j < cs.length) {
+              val d = subDist2(v, s * b.subDim, cs(j))
+              if (d < best) { best = d; bi = j }
+              j += 1
             }
-            j += 1
+            codes(s) = bi
+            s += 1
           }
-          (rid, codes.toSeq, bestCl)
+          var vn2 = 0.0
+          var e = 0
+          while (e < v.length) { vn2 += v(e) * v(e); e += 1 }
+          val (cl, _) = routedBest(r, v, math.sqrt(vn2), nprobe)
+          (rid, codes.toSeq, cl)
         }
       }.toDF(id, "codes", "__c")
       .select(col(id), col("codes"), col("__c").cast(dt).as(cluster))

@@ -1451,16 +1451,24 @@ object StreamingIngest {
     * mid-retrain leaves the lock — publication is still atomic,
     * delete the lock after inspecting).
     *
-    * Scale shape: train-encode-publish is one linear pass over the
-    * corpus (assignment broadcasts `centTable`, encoding broadcasts
-    * the codebook), and the write is cluster-partitioned like every
-    * other generation — no shuffle beyond the partitioned write.
+    * Scale shape: train-encode-publish is ONE fused projection pass
+    * over the corpus ([[graft.ann.Ann.encodeAssign]] — both models
+    * broadcast, no id-join, no aggregate), and the write is
+    * cluster-partitioned like every other generation — no shuffle
+    * beyond the partitioned write. At nlist ∝ N the flat N·k dot
+    * stream inside that pass is itself quadratic in corpus size:
+    * `router = Some((superCount, nprobe))` routes the assignment
+    * through the two-level model instead
+    * ([[graft.ann.Ann.encodeAssignRouted]], N·(s + nprobe·k/s);
+    * probe-all is provably exact, fewer probes are the documented
+    * membership approximation — codes are exact either way).
     */
   def retrainStreamedIndex(
       spark: SparkSession, indexPath: String,
       corpus: DataFrame, id: String, vec: String,
       centTable: DataFrame, cluster: String,
-      m: Int, ksub: Int, iters: Int = 0): Unit = {
+      m: Int, ksub: Int, iters: Int = 0,
+      router: Option[(Int, Int)] = None): Unit = {
     val fs = hfs(spark, indexPath)
     val lock = new org.apache.hadoop.fs.Path(s"$indexPath/_retrain_lock")
     val lockOut =
@@ -1472,7 +1480,7 @@ object StreamingIngest {
       }
     try lockOut.write("retrain".getBytes("UTF-8")) finally lockOut.close()
     try retrainLocked(spark, indexPath, corpus, id, vec, centTable,
-      cluster, m, ksub, iters)
+      cluster, m, ksub, iters, router)
     finally { fs.delete(lock, false); () }
   }
 
@@ -1514,7 +1522,8 @@ object StreamingIngest {
       baseCents: DataFrame, newCents: DataFrame, cluster: String,
       m: Int, ksub: Int, iters: Int = 0,
       minCosine: Double = 0.999,
-      probeFraction: Double = 1.0): Boolean = {
+      probeFraction: Double = 1.0,
+      router: Option[(Int, Int)] = None): Boolean = {
     require(minCosine >= -1.0 && minCosine <= 1.0,
       s"minCosine must be in [-1, 1], got $minCosine")
     require(probeFraction > 0.0 && probeFraction <= 1.0,
@@ -1537,7 +1546,7 @@ object StreamingIngest {
     val fire = !sig.isNullAt(0) && sig.getLong(1) > 0 &&
       sig.getDouble(0) < minCosine
     if (fire) retrainStreamedIndex(spark, indexPath, corpus, id, vec,
-      newCents, cluster, m, ksub, iters)
+      newCents, cluster, m, ksub, iters, router)
     fire
   }
 
@@ -1545,7 +1554,8 @@ object StreamingIngest {
       spark: SparkSession, indexPath: String,
       corpus: DataFrame, id: String, vec: String,
       centTable: DataFrame, cluster: String,
-      m: Int, ksub: Int, iters: Int): Unit = {
+      m: Int, ksub: Int, iters: Int,
+      router: Option[(Int, Int)] = None): Unit = {
     val fs = hfs(spark, indexPath)
     // no micro-batch may be MID-STAGE at the snapshot: the drain writes
     // each batch to stream/.batch_tmp_<id> BEFORE its lock re-check, so
@@ -1575,8 +1585,12 @@ object StreamingIngest {
       else graft.ann.Ann.pqTrainCodebook(corpus, id, vec, m, ksub, iters)
     val n = completeOrPartialVersionMax(spark, indexPath) + 1
     val next = s"$indexPath/codes_v$n"
-    graft.ann.Ann.encodeAssign(corpus, id, vec, cb, centTable, cluster)
-      .write.mode("overwrite").partitionBy(cluster).parquet(next)
+    (router match {
+      case Some((superCount, nprobe)) => graft.ann.Ann.encodeAssignRouted(
+        corpus, id, vec, cb, centTable, cluster, superCount, nprobe)
+      case None => graft.ann.Ann.encodeAssign(
+        corpus, id, vec, cb, centTable, cluster)
+    }).write.mode("overwrite").partitionBy(cluster).parquet(next)
     graft.ann.Ann.writeCodebook(spark, cb, s"$next/_codebook")
     centTable.select(col(cluster), col("centroid"))
       .repartition(1).write.mode("overwrite").parquet(s"$next/_centroids")

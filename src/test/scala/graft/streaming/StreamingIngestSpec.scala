@@ -1484,6 +1484,47 @@ class StreamingIngestSpec extends SparkSpec {
     assert(served2 == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("retrainStreamedIndex with a probe-all router publishes a " +
+      "generation bit-equal to the flat retrain: same codes, same " +
+      "clusters, same models") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val emb = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (8L, unit(4), 2), (10L, unit(5), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+    def build(tag: String): String = {
+      val st = graft.EntryKit.scratchTracked(s"graft_rtr_$tag").toString
+      Ann.saveIndex(Ann.pqEncode(emb, "vec_id", "embedding", cb)
+        .join(emb.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+      st
+    }
+    val flatIdx = build("flat")
+    val routedIdx = build("routed")
+    StreamingIngest.retrainStreamedIndex(spark, flatIdx, emb,
+      "vec_id", "embedding", cents, "label", m = 4, ksub = 4)
+    // superCount = 2 of 3 centroids, probe-all: candidates = probed
+    // supers' members ∪ supers = the full table — provably exact
+    StreamingIngest.retrainStreamedIndex(spark, routedIdx, emb,
+      "vec_id", "embedding", cents, "label", m = 4, ksub = 4,
+      router = Some((2, 2)))
+    def serve(st: String) = {
+      val (codes, cbv, _) = StreamingIngest.loadStreamedIndex(
+        spark, st, "vec_id", "label")
+      (codes.select($"vec_id", $"label".cast("long"), $"codes")
+        .as[(Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq,
+        cbv.cents.map(_.map(_.toSeq).toSeq).toSeq)
+    }
+    val (flatCodes, flatCb) = serve(flatIdx)
+    val (routedCodes, routedCb) = serve(routedIdx)
+    assert(flatCodes == routedCodes)
+    assert(flatCb == routedCb)
+  }
+
   test("retrainOnDrift: a serving cluster whose corpus mass entirely " +
       "reassigned elsewhere reads as maximal drift (cos = -1) and can " +
       "fire the trigger; an empty corpus never fires; the sampled " +
