@@ -389,17 +389,15 @@ object Ann {
       queries: DataFrame, qId: String, qVec: String,
       k: Int, nprobe: Int, cents: Option[DataFrame] = None,
       broadcastProbes: Boolean = true): DataFrame = {
-    val centTable = cents.getOrElse(centroids(corpus, cluster, vec))
-      .select(col(cluster), toDouble(col("centroid")).as("centroid"))
-      .withColumn("__cn", sqrt(dotD(col("centroid"), col("centroid"))))
-    val probeW = Window.partitionBy(col("q_id"))
-      .orderBy(col("csim").desc, col(cluster).asc)
-    val probed = prepared(queries, qId, qVec, "q_id", "q_vec", "__qn")
-      .crossJoin(broadcast(centTable))
-      .withColumn("csim",
-        round(dotD(col("q_vec"), col("centroid")) / (col("__qn") * col("__cn")), 4))
-      .withColumn("crank", row_number().over(probeW))
-      .where(col("crank") <= nprobe)
+    // probe ranking is a per-row projection against the driver-held
+    // centroid model (topProbes) — the pre-r16 row_number window
+    // hash-partitioned |Q|·k vector-carrying rows, an N·k exchange in
+    // the self-kNN configuration
+    val (cm, dt) = collectCosModel(
+      cents.getOrElse(centroids(corpus, cluster, vec)), cluster)
+    val probed = topProbes(
+        prepared(queries, qId, qVec, "q_id", "q_vec", "__qn"),
+        "q_vec", "__qn", cm, nprobe, dt, cluster)
       .select(col("q_id"), col("q_vec"), col("__qn"), col(cluster))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col(id).asc)
@@ -768,6 +766,68 @@ object Ann {
       p += 1
     }
     (bestCl, bestS)
+  }
+
+  /** Top-`nprobe` coarse probes per row as a PROJECTION — the probe
+    * ranking of [[ivfTopK]], de-windowed: the pre-r16 shape ranked
+    * probes with a row_number window over a queries×k crossJoin,
+    * which hash-partitions |Q|·k rows each carrying the query vector —
+    * an N·k vector-carrying keyed exchange when the query set IS the
+    * corpus (self-kNN, bitext mining). One mapPartitions pass emits
+    * exactly the rows the window kept: min(nprobe, k) per query, the
+    * input columns plus the probed cluster in the centroid table's own
+    * type. The ranking rule is the window's, bit-for-bit: round-4
+    * cosine DESCENDING (compareDoubles order — NaN first), cluster-id
+    * ascending on ties (the model is cl-ascending, so keep-first
+    * max-selection IS the tiebreak).
+    */
+  private def topProbes(
+      df: DataFrame, vecCol: String, normCol: String, m: CosModel,
+      nprobe: Int, dt: org.apache.spark.sql.types.DataType,
+      outCl: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val bc = df.sparkSession.sparkContext.broadcast(m)
+    val vIdx = df.schema.fieldIndex(vecCol)
+    val nIdx = df.schema.fieldIndex(normCol)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCl, LongType, nullable = false))
+    df.mapPartitions { rows =>
+      val mm = bc.value
+      val k = mm.cls.length
+      rows.flatMap { r =>
+        val v = r.getSeq[Double](vIdx).toArray
+        val n = r.getDouble(nIdx)
+        val cs = new Array[Double](k)
+        var i = 0
+        while (i < k) {
+          val c = mm.cvs(i)
+          val len = math.min(v.length, c.length)
+          var dot = 0.0
+          var e = 0
+          while (e < len) { dot += v(e) * c(e); e += 1 }
+          cs(i) = roundHalfUp(dot / (n * mm.cns(i)), 4)
+          i += 1
+        }
+        val probes = math.min(nprobe, k)
+        val taken = new Array[Boolean](k)
+        val base = r.toSeq
+        (0 until probes).iterator.map { _ =>
+          var sel = -1
+          var selS = 0.0
+          var q = 0
+          while (q < k) {
+            if (!taken(q) && (sel < 0 || cmpD(cs(q), selS) > 0)) {
+              sel = q; selS = cs(q)
+            }
+            q += 1
+          }
+          taken(sel) = true
+          Row.fromSeq(base :+ mm.cls(sel))
+        }
+      }
+    }(Encoders.row(outSchema))
+      .withColumn(outCl, col(outCl).cast(dt))
   }
 
   /** Cosine-argmax kernel: append (`outCl`: long, `outCsim`: double) —
