@@ -1205,6 +1205,118 @@ private[graft] object EntriesAnn {
     * pre-retrain history (which half was upserted when) must leave NO
     * trace in the result.
     */
+  /** Streamed-index DELETE ([[graft.streaming.StreamingIngest
+    * .deleteStreamed]]) — the lifecycle's removal verb (takedown /
+    * right-to-be-forgotten / contamination purge): a delete stages a
+    * tiny tombstone batch and the serving view anti-joins it
+    * (broadcast — the corpus never shuffles), effective immediately
+    * and WITHOUT rewriting the index. The oracle is the upsert replay
+    * with the deleted ids excluded from the candidate set — logical
+    * deletion must be observationally identical to an index that
+    * never held those rows.
+    */
+  val annIndexDelete = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val scratch = scratchPath("graft_ann_del")
+      val path = scratch.toString
+      Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
+        .join(even.select(col("vec_id"), col("label")), "vec_id"),
+        "label", cb, path)
+      odd.repartition(2).write.parquet(s"$path/in")
+      graft.streaming.StreamingIngest.annIndexUpsertDrain(
+          s.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$path/in"),
+          path, s"$path/ckpt", "vec_id", "embedding", cents, "label")
+        .awaitTermination()
+      PhaseTimer.phase("delete") {
+        graft.streaming.StreamingIngest.deleteStreamed(s, path,
+          emb.where(pmod(col("vec_id"), lit(5)) === 2)
+            .select(col("vec_id")),
+          "vec_id", "label")
+      }
+      val (_, cbLoaded) = Ann.loadIndex(s, path)
+      val codes = graft.streaming.StreamingIngest.loadStreamedCodes(
+        s, path, "vec_id", "label")
+      servedThenCleanup(
+        Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cbLoaded, k = 5, nprobe = 3),
+        scratch)
+    },
+    annIndexUpsert.oracle.map(_.replace("WHERE asg.rn = 1)",
+      "WHERE asg.rn = 1 AND asg.vec_id % 5 <> 2)")))
+
+  /** Delete → streamed RE-INSERT → fold: the tombstone's as-of
+    * ordering end-to-end. Half the deleted ids are re-upserted through
+    * the drain (new micro-batches land ABOVE the tombstone's as-of
+    * point, so they survive it), then the fold consumes the tombstone
+    * — killed rows physically absent from the published generation,
+    * the re-inserts folded in, the tombstone's applied high-water
+    * recorded. Serving must equal an index that never held the
+    * still-deleted rows and always held the re-inserted ones: the
+    * upsert oracle excluding exactly `deleted \ re-inserted`.
+    */
+  val annIndexDeleteFold = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val scratch = scratchPath("graft_ann_delf")
+      val path = scratch.toString
+      Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
+        .join(even.select(col("vec_id"), col("label")), "vec_id"),
+        "label", cb, path)
+      odd.repartition(2).write.parquet(s"$path/in")
+      def drain(): Unit = graft.streaming.StreamingIngest
+        .annIndexUpsertDrain(
+          s.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$path/in"),
+          path, s"$path/ckpt", "vec_id", "embedding", cents, "label")
+        .awaitTermination()
+      drain()
+      PhaseTimer.phase("delete") {
+        graft.streaming.StreamingIngest.deleteStreamed(s, path,
+          emb.where(pmod(col("vec_id"), lit(5)) === 2)
+            .select(col("vec_id")),
+          "vec_id", "label")
+      }
+      // re-insert HALF the deleted ids: new files, same checkpoint —
+      // the drain continues above the as-of point
+      emb.where(pmod(col("vec_id"), lit(10)) === 2)
+        .select(odd.columns.map(col).toIndexedSeq: _*)
+        .repartition(1).write.mode("append").parquet(s"$path/in")
+      PhaseTimer.phase("reinsert_drain") { drain() }
+      PhaseTimer.phase("fold") {
+        graft.streaming.StreamingIngest.compactStreamedIndex(
+          s, path, "vec_id", "label")
+      }
+      val (_, cbLoaded) = Ann.loadIndex(s, path)
+      val codes = graft.streaming.StreamingIngest.loadStreamedCodes(
+        s, path, "vec_id", "label")
+      servedThenCleanup(
+        Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cbLoaded, k = 5, nprobe = 3),
+        scratch)
+    },
+    annIndexUpsert.oracle.map(_
+      .replace("WHERE asg.rn = 1)",
+        "WHERE asg.rn = 1 AND asg.vec_id % 10 <> 7)")
+      // re-inserted ids travel the drain's nearest-centroid assignment
+      // (the base build had used the label directly), so the oracle
+      // routes them through the assignment CTE like any upsert
+      .replace("WHERE o.vec_id % 2 = 1)",
+        "WHERE o.vec_id % 2 = 1 OR o.vec_id % 10 = 2)")
+      .replace("WHERE vec_id % 2 = 0 UNION ALL",
+        "WHERE vec_id % 2 = 0 AND vec_id % 10 <> 2 UNION ALL")))
+
   val annIndexRetrain = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -1015,13 +1015,186 @@ object StreamingIngest {
         else None)
   }
 
+  // --------------------------------------------------------------------
+  // DELETES — tombstones over the streamed index.
+  //
+  // The lifecycle's missing verb: a 100 TB training-data index must
+  // honor removal requests (right-to-be-forgotten, licensing takedowns,
+  // contamination purges) without rewriting the index per delete.
+  // Deletes are LOGICAL first — a delete stages a tiny tombstone batch
+  // (`tombs/tomb=<seq>`, rows of (id, cluster, asof)) and the serving
+  // view anti-joins the live tombstones (delete-sized, broadcast; the
+  // corpus never shuffles) — and PHYSICAL on the amortized schedule the
+  // index already pays: every fold consumes the tombstones pending at
+  // its snapshot (the rewritten data simply omits killed rows), records
+  // the consumed high-water in the generation's `_tombs_applied`, and
+  // grace-GC reclaims consumed tombstone batches one generation behind,
+  // exactly like staged batches.
+  //
+  // Ordering semantics (the delete/re-insert race): each tombstone
+  // records `asof` — the staging high-water visible when the delete was
+  // staged. It kills exactly the rows from batches <= asof; a row
+  // re-upserted in a LATER batch survives. Folded rows lose their batch
+  // ids, so the base-leg rule is bare id match — sound because folds
+  // list staging BEFORE tombstones: a generation whose fold window
+  // passed an as-of point must have seen (and consumed) that tombstone,
+  // so every generation a live tombstone can meet holds only rows from
+  // batches <= its asof. `cluster` is resolved at DELETE time (one
+  // column-pruned membership probe against the serving view), so the
+  // incremental fold learns which clusters a tombstone touches from the
+  // tombstone itself — metadata-only, never an index scan. Same
+  // single-maintainer assumption as the folds.
+  // --------------------------------------------------------------------
+
+  /** Tombstone batch seqs currently staged under `tombs/`. */
+  private def tombSeqs(
+      spark: SparkSession, indexPath: String): Seq[Long] = {
+    val fs = hfs(spark, indexPath)
+    val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
+    if (!fs.exists(tombs)) Seq.empty
+    else fs.listStatus(tombs).toSeq
+      .map(_.getPath.getName)
+      .flatMap(n =>
+        if (n.startsWith("tomb=")) n.drop("tomb=".length).toLongOption
+        else None)
+  }
+
+  /** The tombstone seq high-water a generation has physically applied
+    * (`_tombs_applied`, written before `_folded` so it publishes
+    * atomically with the data). -1 before any fold consumed one — and
+    * for the base `codes` table, which never mutates.
+    */
+  private[streaming] def tombsApplied(
+      spark: SparkSession, versionPath: String): Long = {
+    val fs = hfs(spark, versionPath)
+    val p = new org.apache.hadoop.fs.Path(s"$versionPath/_tombs_applied")
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Tombstone seqs NOT yet applied by the generation that reads them. */
+  private def pendingTombSeqs(
+      spark: SparkSession, indexPath: String, applied: Long): Seq[Long] =
+    tombSeqs(spark, indexPath).filter(_ > applied)
+
+  /** Kill tombstoned rows: view rows (carrying `__b` — the staging
+    * batch id, or -1 for folded base rows) anti-joined against the
+    * live tombstones; a row dies when ANY tombstone matches its id at
+    * or above its batch, so no per-id aggregation is needed — the kill
+    * is one broadcast anti-join, and the serve plan stays entirely
+    * shuffle-free (the assignment-plan audit discipline). No live
+    * tombstones — the overwhelmingly common serve — adds nothing to
+    * the plan.
+    */
+  private def applyTombstones(
+      spark: SparkSession, indexPath: String, view: DataFrame,
+      id: String, live: Seq[Long]): DataFrame =
+    if (live.isEmpty) view.drop("__b")
+    else {
+      val kills = spark.read
+        .parquet(live.sorted.map(s => s"$indexPath/tombs/tomb=$s"): _*)
+        .select(col(id).as("__del_id"), col("asof").as("__del_asof"))
+      view.join(broadcast(kills),
+          view(id) === col("__del_id") && col("__b") <= col("__del_asof"),
+          "left_anti")
+        .drop("__b")
+    }
+
+  private def writeTombsApplied(
+      spark: SparkSession, versionPath: String, seq: Long): Unit = {
+    val fs = hfs(spark, versionPath)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$versionPath/_tombs_applied"), true)
+    try out.write(seq.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Stage a delete: every index row whose `id` is in `ids` and was
+    * visible at call time is removed from the serving view immediately
+    * (logically) and from the data at the next fold (physically). Rows
+    * upserted AFTER this call — including re-inserts of these very ids
+    * — are untouched. Returns the staged tombstone seq, or -1 when no
+    * index row matched (deleting an absent or already-deleted id is a
+    * no-op and stages nothing).
+    *
+    * The membership probe joins the delete set (broadcast) against a
+    * two-column projection of the serving view — column-pruned, cluster
+    * partitions intact — recording each hit's (id, cluster, asof). The
+    * seq is allocated above both existing tombstone dirs and the newest
+    * generation's applied high-water (a consumed seq is never reused),
+    * and publication is tmp + rename-to-fresh with a bounded retry on
+    * collision.
+    */
+  def deleteStreamed(
+      spark: SparkSession, indexPath: String, ids: DataFrame,
+      id: String, cluster: String): Long = {
+    val fs = hfs(spark, indexPath)
+    // the drain's retrain discipline, verbatim: a delete resolves its
+    // membership (and cluster values, which a retrain re-means)
+    // against the current generation, so it must not interleave with
+    // a retrain — fail fast on the lock, and fence the unobservable
+    // lock-to-lock window by re-reading the model epoch before the
+    // tombstone publishes. A retrain also cannot honor a concurrent
+    // delete (its corpus was captured first), so refusing is the only
+    // coherent answer; the delete retries after the retrain.
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_retrain_lock")))
+      throw new IllegalStateException(
+        s"retrain in progress on $indexPath (_retrain_lock present); " +
+          "retry the delete after it completes (and ensure the retrain " +
+          "corpus reflects it)")
+    val epoch = modelEpoch(spark, indexPath)
+    val staged = stagedBatches(spark, indexPath)
+    val (basePath, hwFolded) = resolveVersion(spark, indexPath)
+      .getOrElse((s"$indexPath/codes", -1L))
+    val asof = (staged :+ hwFolded).max
+    val hits = loadStreamedCodes(spark, indexPath, id, cluster)
+      .join(broadcast(ids.select(col(id)).distinct()), Seq(id), "left_semi")
+      .select(col(id), col(cluster)).distinct()
+      .withColumn("asof", lit(asof))
+    val tmp = s"$indexPath/tombs/.tomb_tmp_${java.util.UUID.randomUUID}"
+    hits.repartition(1).write.mode("overwrite").parquet(tmp)
+    val abortRetrain =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_retrain_lock")) ||
+        modelEpoch(spark, indexPath) != epoch
+    if (abortRetrain) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      throw new IllegalStateException(
+        s"retrain started or completed on $indexPath while this delete " +
+          "resolved membership — its cluster records are stale; retry " +
+          "the delete against the new generation")
+    }
+    val empty = spark.read.parquet(tmp).isEmpty
+    if (empty) { fs.delete(new org.apache.hadoop.fs.Path(tmp), true); -1L }
+    else {
+      var seq = (tombSeqs(spark, indexPath) :+
+        tombsApplied(spark, basePath) :+ -1L).max + 1
+      var attempts = 0
+      var placed = false
+      while (!placed && attempts < 64) {
+        placed = fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(s"$indexPath/tombs/tomb=$seq"))
+        if (!placed) { seq += 1; attempts += 1 }
+      }
+      require(placed,
+        s"could not stage tombstone under $indexPath/tombs after " +
+          s"$attempts collisions")
+      seq
+    }
+  }
+
   /** The serving view over a streamed-into index: the newest COMPLETE
     * compacted version (or the base codes table if none) unioned with
     * the staged micro-batches NEWER than that version's folded
     * high-water batch id — so a staged batch is counted exactly once no
     * matter where a previous compaction crashed. The `batch` partition
     * column is replay bookkeeping and drops out; cluster-partition
-    * pruning holds on both legs.
+    * pruning holds on both legs. Rows killed by live tombstones
+    * ([[deleteStreamed]]) are excluded — `maxTomb` bounds which
+    * tombstones apply (the folds pass their snapshot; serving callers
+    * leave it unbounded).
     *
     * `maxBatch` bounds the staging leg from ABOVE (inclusive) — the
     * compaction fold passes its snapshotted high-water here so a
@@ -1033,17 +1206,30 @@ object StreamingIngest {
       spark: SparkSession, indexPath: String,
       id: String, cluster: String,
       maxBatch: Long = Long.MaxValue,
-      manifestBudget: Int = DefaultManifestBudget): DataFrame = {
+      manifestBudget: Int = DefaultManifestBudget,
+      maxTomb: Long = Long.MaxValue): DataFrame = {
     val (basePath, hw) = resolveVersion(spark, indexPath)
       .getOrElse((s"$indexPath/codes", -1L))
+    val live = pendingTombSeqs(spark, indexPath,
+      tombsApplied(spark, basePath)).filter(_ <= maxTomb)
+    // the staging leg carries its batch id into the kill rule (a
+    // re-insert staged ABOVE a tombstone's as-of point survives it);
+    // base rows are provably all from batches <= every live
+    // tombstone's as-of (folds list staging BEFORE tombstones, so a
+    // generation folding past an as-of has consumed that tombstone),
+    // hence kill on bare id match (__b = -1 <= any as-of)
     val base = readVersion(spark, basePath, id, cluster, manifestBudget)
+      .withColumn("__b", lit(-1L))
     val unfolded = stagedBatches(spark, indexPath)
       .exists(b => b > hw && b <= maxBatch)
-    if (!unfolded) base
-    else base.unionByName(
-      spark.read.parquet(s"$indexPath/stream")
-        .where(col("batch") > hw && col("batch") <= maxBatch)
-        .select(col(id), col("codes"), col(cluster)))
+    val view =
+      if (!unfolded) base
+      else base.unionByName(
+        spark.read.parquet(s"$indexPath/stream")
+          .where(col("batch") > hw && col("batch") <= maxBatch)
+          .select(col(id), col("codes"), col(cluster),
+            col("batch").cast("long").as("__b")))
+    applyTombstones(spark, indexPath, view, id, live)
   }
 
   /** Fold the staged micro-batch partitions into a compacted codes
@@ -1091,20 +1277,39 @@ object StreamingIngest {
       spark: SparkSession, indexPath: String,
       id: String, cluster: String,
       upTo: Option[Long] = None,
-      manifestBudget: Int = DefaultManifestBudget): Unit = {
-    val fs = hfs(spark, indexPath)
+      manifestBudget: Int = DefaultManifestBudget,
+      upToTomb: Option[Long] = None): Unit = {
     val bound = upTo.getOrElse(Long.MaxValue)
     val staged = stagedBatches(spark, indexPath).filter(_ <= bound)
     val prior = resolveVersion(spark, indexPath)
     val hwPrior = prior.map(_._2).getOrElse(-1L)
-    if (!staged.exists(_ > hwPrior)) return // nothing unfolded
-    val hw = staged.max
+    // tombstones listed AFTER staging — the ordering the serve rule's
+    // base-leg kill depends on (see the DELETES section)
+    val appliedPrior = tombsApplied(
+      spark, prior.map(_._1).getOrElse(s"$indexPath/codes"))
+    val pendingTombs = pendingTombSeqs(spark, indexPath, appliedPrior)
+      .filter(_ <= upToTomb.getOrElse(Long.MaxValue))
+    if (!staged.exists(_ > hwPrior) && pendingTombs.isEmpty)
+      return // nothing unfolded, nothing to reclaim
+    val hw = (staged :+ hwPrior).max
+    val tombHw = (pendingTombs :+ appliedPrior).max
     val n = completeOrPartialVersionMax(spark, indexPath) + 1
     val next = s"$indexPath/codes_v$n"
     loadStreamedCodes(spark, indexPath, id, cluster, maxBatch = hw,
-        manifestBudget = manifestBudget)
+        manifestBudget = manifestBudget, maxTomb = tombHw)
       .write.mode("overwrite").partitionBy(cluster).parquet(next)
+    // a fold whose every row the consumed tombstones killed would
+    // publish a file-less generation no reader can infer a schema
+    // from — abandon it and stay in the logical-delete regime (the
+    // serve keeps applying the kills; the next fold with surviving
+    // rows reclaims)
+    if (clusterValues(spark, next, cluster).isEmpty) {
+      hfs(spark, indexPath).delete(
+        new org.apache.hadoop.fs.Path(next), true)
+      return
+    }
     carryModels(spark, indexPath, prior.map(_._1), next)
+    writeTombsApplied(spark, next, tombHw)
     publishFolded(spark, next, hw)
     graceGc(spark, indexPath, staged, prior)
   }
@@ -1134,15 +1339,29 @@ object StreamingIngest {
       spark: SparkSession, indexPath: String,
       id: String, cluster: String,
       upTo: Option[Long] = None,
-      manifestBudget: Int = DefaultManifestBudget): Unit = {
+      manifestBudget: Int = DefaultManifestBudget,
+      upToTomb: Option[Long] = None): Unit = {
     val fs = hfs(spark, indexPath)
     val bound = upTo.getOrElse(Long.MaxValue)
     val staged = stagedBatches(spark, indexPath).filter(_ <= bound)
     val prior = resolveVersion(spark, indexPath)
     val hwPrior = prior.map(_._2).getOrElse(-1L)
-    if (!staged.exists(_ > hwPrior)) return // nothing unfolded
-    val hw = staged.max
     val priorPath = prior.map(_._1).getOrElse(s"$indexPath/codes")
+    // tombstones listed AFTER staging (the serve rule's ordering
+    // dependency); a tombstone makes every cluster it recorded at
+    // delete time TOUCHED — killable rows live only there, so the
+    // untouched-clusters-by-reference invariant survives deletes
+    val appliedPrior = tombsApplied(spark, priorPath)
+    val pendingTombs = pendingTombSeqs(spark, indexPath, appliedPrior)
+      .filter(_ <= upToTomb.getOrElse(Long.MaxValue))
+    if (!staged.exists(_ > hwPrior) && pendingTombs.isEmpty)
+      return // nothing unfolded, nothing to reclaim
+    val hw = (staged :+ hwPrior).max
+    val tombHw = (pendingTombs :+ appliedPrior).max
+    val tombs =
+      if (pendingTombs.isEmpty) None
+      else Some(spark.read.parquet(
+        pendingTombs.sorted.map(s => s"$indexPath/tombs/tomb=$s"): _*))
     // prior generation as (cluster value → materialized root),
     // budget-guarded like every driver-held manifest
     val priorEntries: Map[String, String] =
@@ -1152,34 +1371,52 @@ object StreamingIngest {
         clusterValues(spark, priorPath, cluster).map(_ -> priorPath).toMap
       else Map.empty
     val window = staged.filter(b => b > hwPrior && b <= hw)
+    val tombClusters = tombs.map(
+        _.select(col(cluster).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty[String])
     val touched = window
       .flatMap(b => clusterValues(
         spark, s"$indexPath/stream/batch=$b", cluster))
-      .toSet
+      .toSet ++ tombClusters
     val n = completeOrPartialVersionMax(spark, indexPath) + 1
     val next = s"$indexPath/codes_v$n"
     // fold = prior rows of the touched clusters ∪ the staging window —
-    // untouched clusters are never read, never rewritten
+    // untouched clusters are never read, never rewritten; both legs
+    // drop rows the consumed tombstones kill (base: bare id match,
+    // staging: batch <= the tombstone's as-of)
+    def killed(df: DataFrame): DataFrame =
+      applyTombstones(spark, indexPath, df, id, pendingTombs)
     val priorTouched = priorEntries.filter { case (v, _) => touched(v) }
     val priorLeg =
       if (priorTouched.isEmpty) None
-      else Some(priorTouched.groupBy(_._2).toSeq.sortBy(_._1)
+      else Some(killed(priorTouched.groupBy(_._2).toSeq.sortBy(_._1)
         .map { case (root, es) =>
           spark.read.option("basePath", root)
             .parquet(es.map(e => s"$root/$cluster=${e._1}").toSeq.sorted: _*)
             .select(col(id), col("codes"), col(cluster))
-        }.reduce(_ unionByName _))
-    val stagedLeg = spark.read.parquet(s"$indexPath/stream")
+        }.reduce(_ unionByName _).withColumn("__b", lit(-1L))))
+    val stagedLeg = killed(spark.read.parquet(s"$indexPath/stream")
       .where(col("batch") > hwPrior && col("batch") <= hw)
-      .select(col(id), col("codes"), col(cluster))
+      .select(col(id), col("codes"), col(cluster),
+        col("batch").cast("long").as("__b")))
     priorLeg.map(_.unionByName(stagedLeg)).getOrElse(stagedLeg)
       .write.mode("overwrite").partitionBy(cluster).parquet(s"$next/data")
+    // manifest the touched clusters the fold actually WROTE: a cluster
+    // whose every row a tombstone killed has no partition dir, and an
+    // entry pointing at it would fail the manifest read
+    val written = clusterValues(spark, s"$next/data", cluster).toSet
     val entries = (priorEntries.filterNot { case (v, _) => touched(v) } ++
-      touched.map(_ -> s"$next/data")).toSeq.sorted
+      (touched & written).map(_ -> s"$next/data")).toSeq.sorted
+    if (entries.isEmpty) { // every row killed: see the full fold's guard
+      fs.delete(new org.apache.hadoop.fs.Path(next), true)
+      return
+    }
     import spark.implicits._
     entries.toDF("value", "root").repartition(1)
       .write.mode("overwrite").parquet(s"$next/_manifest")
     carryModels(spark, indexPath, prior.map(_._1), next)
+    writeTombsApplied(spark, next, tombHw)
     publishFolded(spark, next, hw)
     graceGc(spark, indexPath, staged, prior)
   }
@@ -1222,19 +1459,32 @@ object StreamingIngest {
     val staged = stagedBatches(spark, indexPath).filter(_ <= bound)
     val prior = resolveVersion(spark, indexPath)
     val hwPrior = prior.map(_._2).getOrElse(-1L)
-    if (!staged.exists(_ > hwPrior)) return // nothing unfolded
-    val hw = staged.max
     val priorPath = prior.map(_._1).getOrElse(s"$indexPath/codes")
+    // tombstones after staging (ordering, see the DELETES section);
+    // their recorded clusters count as touched for BOTH triggers —
+    // the dispatched fold will rewrite them
+    val appliedPrior = tombsApplied(spark, priorPath)
+    val pendingTombs = pendingTombSeqs(spark, indexPath, appliedPrior)
+    if (!staged.exists(_ > hwPrior) && pendingTombs.isEmpty)
+      return // nothing unfolded, nothing to reclaim
+    val hw = (staged :+ hwPrior).max
+    val tombHw = (pendingTombs :+ appliedPrior).max
     val priorEntries: Map[String, String] =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$priorPath/_manifest")))
         manifestEntries(spark, priorPath, manifestBudget).toMap
       else if (fs.exists(new org.apache.hadoop.fs.Path(priorPath)))
         clusterValues(spark, priorPath, cluster).map(_ -> priorPath).toMap
       else Map.empty
+    val tombClusters =
+      if (pendingTombs.isEmpty) Set.empty[String]
+      else spark.read.parquet(
+          pendingTombs.sorted.map(s => s"$indexPath/tombs/tomb=$s"): _*)
+        .select(col(cluster).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
     val touched = staged.filter(b => b > hwPrior && b <= hw)
       .flatMap(b => clusterValues(
         spark, s"$indexPath/stream/batch=$b", cluster))
-      .toSet
+      .toSet ++ tombClusters
     val untouchedRoots = priorEntries.collect {
       case (v, root) if !touched(v) => root
     }.toSet
@@ -1252,10 +1502,10 @@ object StreamingIngest {
     // way by each fold's own contract; the late batch folds next cycle)
     if (prospectiveRoots > maxRoots || touchedFrac >= maxTouchedFrac)
       compactStreamedIndex(spark, indexPath, id, cluster, Some(hw),
-        manifestBudget)
+        manifestBudget, upToTomb = Some(tombHw))
     else
       compactStreamedIncremental(spark, indexPath, id, cluster, Some(hw),
-        manifestBudget)
+        manifestBudget, upToTomb = Some(tombHw))
   }
 
   /** Write the `_folded` high-water marker via tmp + atomic
@@ -1316,6 +1566,13 @@ object StreamingIngest {
           new org.apache.hadoop.fs.Path(s"$indexPath/codes_v$v"), true))
       staged.filter(_ <= hwPrior).foreach(b => fs.delete(
         new org.apache.hadoop.fs.Path(s"$indexPath/stream/batch=$b"), true))
+      // tombstones the PRIOR generation had already applied: same
+      // one-generation grace as staged batches (a reader still on the
+      // prior generation needs only seqs above ITS applied mark)
+      val appliedPrior = tombsApplied(spark, priorPath)
+      tombSeqs(spark, indexPath).filter(_ <= appliedPrior).foreach(s =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$indexPath/tombs/tomb=$s"), true))
     }
     ()
   }
@@ -1576,6 +1833,19 @@ object StreamingIngest {
         s"(${midStage.mkString(", ")}) — retry after the drain settles; " +
         "a stale tmp from a crashed drain replays on drain restart, or " +
         "delete it after verifying no drain is live")
+    // same scan for a delete mid-stage ([[deleteStreamed]] writes its
+    // tombstone to tombs/.tomb_tmp_* before its own lock re-check —
+    // the mirror of the batch protocol, closing the same window)
+    val tombsDir = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
+    val midTomb =
+      if (!fs.exists(tombsDir)) Seq.empty
+      else fs.listStatus(tombsDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(".tomb_tmp_"))
+    if (midTomb.nonEmpty) throw new IllegalStateException(
+      s"deletes mid-stage under $indexPath/tombs " +
+        s"(${midTomb.mkString(", ")}) — retry after they settle; a " +
+        "stale tmp from a crashed delete can be removed after " +
+        "verifying none is live")
     val staged = stagedBatches(spark, indexPath)
     val prior = resolveVersion(spark, indexPath)
     val hw = (staged :+ prior.map(_._2).getOrElse(-1L)).max
@@ -1600,6 +1870,17 @@ object StreamingIngest {
     val eOut = fs.create(
       new org.apache.hadoop.fs.Path(s"$next/_model_epoch"), true)
     try eOut.write(n.toString.getBytes("UTF-8")) finally eOut.close()
+    // the CORPUS is the membership authority at retrain, for deletes
+    // exactly as for inserts: rows removed via deleteStreamed must
+    // already be absent from it, so every tombstone pending at this
+    // snapshot is marked consumed without replaying its kill (a
+    // tombstone staged after this listing stays live and applies to
+    // the new generation at serve — its as-of equals this snapshot's
+    // high-water, so the base-leg id-match kill stays sound)
+    writeTombsApplied(spark, next,
+      (tombSeqs(spark, indexPath) :+
+        tombsApplied(spark, prior.map(_._1)
+          .getOrElse(s"$indexPath/codes"))).max)
     val tmp = new org.apache.hadoop.fs.Path(s"$next/_folded_tmp")
     val out = fs.create(tmp, true)
     try out.write(hw.toString.getBytes("UTF-8")) finally out.close()
@@ -1656,6 +1937,13 @@ object StreamingIngest {
         new org.apache.hadoop.fs.Path(s"$indexPath/codes_v$v"), true))
     stagedBatches(spark, indexPath).filter(_ <= hw).foreach(b => fs.delete(
       new org.apache.hadoop.fs.Path(s"$indexPath/stream/batch=$b"), true))
+    // tombstones the newest generation has applied (no-readers GC:
+    // nothing resolves an older generation, so no grace needed)
+    val applied = tombsApplied(spark, s"$indexPath/codes_v$newest")
+    tombSeqs(spark, indexPath).filter(_ <= applied).foreach(s => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$indexPath/tombs/tomb=$s"), true))
+    if (tombSeqs(spark, indexPath).isEmpty)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/tombs"), true)
     // sweep the emptied staging dir ONLY when no `_run` ownership
     // marker pins it: deleting the marker would drop the
     // one-checkpoint-per-index guarantee — a different checkpoint

