@@ -665,6 +665,45 @@ private[graft] object EntriesAnn {
     Some(IvfPqCtes +
       " SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5"))
 
+  /** FILTERED vector search — top-k restricted by a metadata predicate
+    * the index does not carry (the retrieval shape every RAG /
+    * curation stack needs: "nearest neighbors among docs from these
+    * sources"). Spark-first composition, no new operator: the allowed
+    * ids (the predicate evaluated on the metadata table) semi-join the
+    * codes BROADCAST before ADC ranking — a PRE-filter, so the k
+    * survivors are genuinely the best among allowed candidates in the
+    * probed clusters rather than a post-filtered (possibly short)
+    * list, and the corpus never shuffles. Probe ranking stays on the
+    * full centroid table: the filter constrains CANDIDATES, not
+    * geometry. At scale the allowed set is predicate-sized (a source
+    * list, a license class); a corpus-sized filter belongs upstream as
+    * its own index. The oracle replays the full IVF-PQ chain with the
+    * same membership restriction on the encoded candidates.
+    */
+  val annFilteredTopK = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      val indexed = Ann.pqEncode(emb, "vec_id", "embedding", cb)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      val allowed = t(s, dir, "documents")
+        .where(col("source").isin(
+          (0 until 20 by 2).map(i => s"src$i"): _*))
+        .select(col("doc_id").as("vec_id"))
+      Ann.ivfPqTopK(
+        indexed.join(broadcast(allowed), Seq("vec_id"), "left_semi"),
+        "vec_id", "label",
+        Ann.pivotCentroids(emb, "label", "vec_id", "embedding"),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cb, k = 5, nprobe = 3)
+    },
+    Some((IvfPqCtes +
+      " SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5")
+      .replace("code AS (SELECT vec_id, label, s, cj FROM asg WHERE rn = 1)",
+        "code AS (SELECT vec_id, label, s, cj FROM asg WHERE rn = 1 AND " +
+          "vec_id IN (SELECT doc_id FROM documents WHERE source IN (" +
+          (0 until 20 by 2).map(i => s"'src$i'").mkString(", ") + ")))")))
+
   /** Recall@5 of the IVF-PQ index against brute-force cosine ground
     * truth, measured IN-ENGINE — the index-quality gate a vector store
     * runs before serving ("measure, don't guess" applied to ANN): both

@@ -713,6 +713,44 @@ object ScaleStress {
             post
           })
       }),
+      "ann_index_delete_live" -> (f => {
+        // FIXED 200-id delete over the f× index: upsert 200 fresh
+        // rows (untimed), then time deleteStreamed — the membership
+        // probe is a two-column pruned scan of the serving view plus
+        // a tombstone-sized write, so the rung tracks the INDEX with
+        // a small constant (the delete-time price that keeps folds
+        // metadata-cheap: clusters are recorded in the tombstone, so
+        // no fold ever re-derives them). The validator proves the
+        // kill: serving returns exactly to its pre-upsert count.
+        val dir = lifecycleIndex(f, "dl")
+        val cents = spark.read.parquet(s"$dir/cents_ext")
+        val shift = {
+          val p = Paths.get(s"$dir/next_del")
+          val n0 =
+            if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toLong
+            else 0L
+          Files.write(p, (n0 + 1).toString.getBytes)
+          // far above any replica id (k·Offset + base ids): a colliding
+          // delete id would kill the replica original too
+          9000000000L + n0 * 1000L
+        }
+        val pre = StreamingIngest.loadStreamedCodes(
+          spark, dir, "vec_id", "cl").count()
+        val batch = emb(f).where(col("vec_id") < 200)
+          .withColumn("vec_id", col("vec_id") + lit(shift))
+          .localCheckpoint()
+        graft.ann.Ann.upsertIndex(
+          spark, dir, batch, "vec_id", "embedding", cents, "cl")
+        (() => { StreamingIngest.deleteStreamed(spark, dir,
+            batch.select(col("vec_id")), "vec_id", "cl"); () },
+          () => {
+            val post = StreamingIngest.loadStreamedCodes(
+              spark, dir, "vec_id", "cl").count()
+            require(post == pre,
+              s"delete did not restore the serve: $pre -> $post")
+            post
+          })
+      }),
       "ann_index_compact_fixed_staging" -> (f => {
         // FIXED staging (4 batches × 50 rows) over the f× index: the
         // fold rewrites the serving view, so the rung must track the
