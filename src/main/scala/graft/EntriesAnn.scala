@@ -1079,9 +1079,8 @@ private[graft] object EntriesAnn {
             cents, "label")
           .awaitTermination()
       }
-      val (_, cbLoaded) = Ann.loadIndex(s, path)
-      val codes = graft.streaming.StreamingIngest.loadStreamedCodes(
-        s, path, "vec_id", "label")
+      val (codes, cbLoaded, _) = graft.streaming.StreamingIngest
+        .loadStreamedIndex(s, path, "vec_id", "label")
       servedThenCleanup(
         Ann.ivfPqTopK(codes, "vec_id", "label", cents,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -1124,9 +1123,8 @@ private[graft] object EntriesAnn {
         graft.streaming.StreamingIngest.compactStreamedIndex(
           s, path, "vec_id", "label")
       }
-      val (_, cbLoaded) = Ann.loadIndex(s, path)
-      val codes = graft.streaming.StreamingIngest.loadStreamedCodes(
-        s, path, "vec_id", "label")
+      val (codes, cbLoaded, _) = graft.streaming.StreamingIngest
+        .loadStreamedIndex(s, path, "vec_id", "label")
       servedThenCleanup(
         Ann.ivfPqTopK(codes, "vec_id", "label", cents,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -1168,9 +1166,8 @@ private[graft] object EntriesAnn {
         graft.streaming.StreamingIngest.compactStreamedIncremental(
           s, path, "vec_id", "label")
       }
-      val (_, cbLoaded) = Ann.loadIndex(s, path)
-      val codes = graft.streaming.StreamingIngest.loadStreamedCodes(
-        s, path, "vec_id", "label")
+      val (codes, cbLoaded, _) = graft.streaming.StreamingIngest
+        .loadStreamedIndex(s, path, "vec_id", "label")
       servedThenCleanup(
         Ann.ivfPqTopK(codes, "vec_id", "label", cents,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -1212,9 +1209,8 @@ private[graft] object EntriesAnn {
         graft.streaming.StreamingIngest.compactStreamedAuto(
           s, path, "vec_id", "label")
       }
-      val (_, cbLoaded) = Ann.loadIndex(s, path)
-      val codes = graft.streaming.StreamingIngest.loadStreamedCodes(
-        s, path, "vec_id", "label")
+      val (codes, cbLoaded, _) = graft.streaming.StreamingIngest
+        .loadStreamedIndex(s, path, "vec_id", "label")
       servedThenCleanup(
         Ann.ivfPqTopK(codes, "vec_id", "label", cents,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -1278,9 +1274,8 @@ private[graft] object EntriesAnn {
             .select(col("vec_id")),
           "vec_id", "label")
       }
-      val (_, cbLoaded) = Ann.loadIndex(s, path)
-      val codes = graft.streaming.StreamingIngest.loadStreamedCodes(
-        s, path, "vec_id", "label")
+      val (codes, cbLoaded, _) = graft.streaming.StreamingIngest
+        .loadStreamedIndex(s, path, "vec_id", "label")
       servedThenCleanup(
         Ann.ivfPqTopK(codes, "vec_id", "label", cents,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -1336,9 +1331,8 @@ private[graft] object EntriesAnn {
         graft.streaming.StreamingIngest.compactStreamedIndex(
           s, path, "vec_id", "label")
       }
-      val (_, cbLoaded) = Ann.loadIndex(s, path)
-      val codes = graft.streaming.StreamingIngest.loadStreamedCodes(
-        s, path, "vec_id", "label")
+      val (codes, cbLoaded, _) = graft.streaming.StreamingIngest
+        .loadStreamedIndex(s, path, "vec_id", "label")
       servedThenCleanup(
         Ann.ivfPqTopK(codes, "vec_id", "label", cents,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",

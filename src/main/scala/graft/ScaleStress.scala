@@ -739,8 +739,12 @@ object ScaleStress {
         val batch = emb(f).where(col("vec_id") < 200)
           .withColumn("vec_id", col("vec_id") + lit(shift))
           .localCheckpoint()
-        graft.ann.Ann.upsertIndex(
-          spark, dir, batch, "vec_id", "embedding", cents, "cl")
+        val cbDl = graft.ann.Ann.readCodebook(spark, s"$dir/codebook")
+        val b = nextBatchIds(dir, 1).head
+        graft.ann.Ann.encodeAssign(
+            batch, "vec_id", "embedding", cbDl, cents, "cl")
+          .write.mode("overwrite").partitionBy("cl")
+          .parquet(s"$dir/stream/batch=$b")
         (() => { StreamingIngest.deleteStreamed(spark, dir,
             batch.select(col("vec_id")), "vec_id", "cl"); () },
           () => {

@@ -1557,8 +1557,36 @@ object Ann {
     */
   def loadIndex(
       spark: SparkSession, path: String): (DataFrame, PqCodebook) = {
+    requirePlainIndex(spark, path, "loadIndex")
     val codes = spark.read.parquet(s"$path/codes")
     (codes, readCodebook(spark, s"$path/codebook"))
+  }
+
+  /** Fail fast when a PLAIN-index verb meets a STREAM-MAINTAINED index.
+    * `loadIndex`/`upsertIndex` read and append the base `codes` table
+    * directly; once a `_folded` compacted generation, live staging, or
+    * tombstones exist, the base table is no longer the serving truth —
+    * a direct read silently misses folds/kills, and a direct append
+    * lands rows the serving view never unions. Both mistakes are
+    * SILENT data corruption, so the boundary is enforced, not
+    * documented.
+    */
+  private def requirePlainIndex(
+      spark: SparkSession, path: String, verb: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return
+    val managed = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => (n.startsWith("codes_v") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/$n/_folded"))) ||
+        n == "tombs" || n == "stream")
+    require(managed.isEmpty,
+      s"$verb($path) — this index is stream-maintained " +
+        s"(${managed.sorted.mkString(", ")} present): the base codes " +
+        "table is not the serving truth. Read through " +
+        "StreamingIngest.loadStreamedCodes/loadStreamedIndex and write " +
+        "through the drain (annIndexUpsertDrain) or deleteStreamed.")
   }
 
   /** Nearest-coarse-centroid assignment of a batch — the shared

@@ -1662,7 +1662,8 @@ class StreamingIngestSpec extends SparkSpec {
   }
 
   test("deleteStreamed before any staging: the as-of point covers the " +
-      "base table, and the first upsert after it is untouched") {
+      "base table, and the one-shot verbs refuse the now " +
+      "stream-maintained index") {
     import graft.ann.Ann
     val dim = 8
     def unit(hot: Int) =
@@ -1682,15 +1683,20 @@ class StreamingIngestSpec extends SparkSpec {
         spark, st, "vec_id", "label")
       .select($"vec_id").as[Long].collect().sorted.toSeq
     assert(servedIds() == Seq(2L, 4L, 6L))
-    // re-insert via the one-shot upsert (batch 0 > as-of -1): survives
-    Ann.upsertIndex(spark, st,
-      Seq((0L, unit(0), 0)).toDF("vec_id", "embedding", "label"),
-      "vec_id", "embedding", cents, "label")
-    // the one-shot path appends to the BASE codes table (no batch id),
-    // so the re-inserted row is only safe after the staged-delete is
-    // consumed; a streamed re-insert is the supported path — here the
-    // base-append lands UNDER the as-of and stays dead, documenting
-    // the boundary
+    // the one-shot verbs refuse a stream-maintained index outright: a
+    // base-append after a delete would land UNDER the tombstone's
+    // as-of and stay dead (and a direct loadIndex read would silently
+    // skip the kill) — the boundary is enforced, not documented
+    val e = intercept[IllegalArgumentException] {
+      Ann.upsertIndex(spark, st,
+        Seq((0L, unit(0), 0)).toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", cents, "label")
+    }
+    assert(e.getMessage.contains("stream-maintained"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.loadIndex(spark, st)
+    }
+    assert(e2.getMessage.contains("stream-maintained"))
     assert(servedIds() == Seq(2L, 4L, 6L))
   }
 
