@@ -1942,8 +1942,11 @@ object StreamingIngest {
     val applied = tombsApplied(spark, s"$indexPath/codes_v$newest")
     tombSeqs(spark, indexPath).filter(_ <= applied).foreach(s => fs.delete(
       new org.apache.hadoop.fs.Path(s"$indexPath/tombs/tomb=$s"), true))
-    if (tombSeqs(spark, indexPath).isEmpty)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/tombs"), true)
+    // sweep the dir only when TRULY empty — a recursive delete on
+    // "no published tombstones" could wipe a mid-stage .tomb_tmp_
+    val tombsDir = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
+    if (fs.exists(tombsDir) && fs.listStatus(tombsDir).isEmpty)
+      fs.delete(tombsDir, false)
     // sweep the emptied staging dir ONLY when no `_run` ownership
     // marker pins it: deleting the marker would drop the
     // one-checkpoint-per-index guarantee — a different checkpoint
