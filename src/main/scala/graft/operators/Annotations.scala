@@ -91,7 +91,12 @@ object Annotations {
     pBar.crossJoin(pe)
       .select(col("n_items"), col("n_ratings"), col("n_categories"),
         round(col("pb"), 6).as("p_bar"), round(col("pe"), 6).as("p_e"),
-        round((col("pb") - col("pe")) / (lit(1.0) - col("pe")), 6)
-          .as("kappa"))
+        // κ is UNDEFINED at p_e = 1 (a single observed category leaves
+        // no chance variation to beat): NaN, not an ANSI
+        // division-by-zero crash — the degenerate-panel case the
+        // property generator legitimately produces
+        round(when(col("pe") < lit(1.0),
+            (col("pb") - col("pe")) / (lit(1.0) - col("pe")))
+          .otherwise(lit(Double.NaN)), 6).as("kappa"))
   }
 }
