@@ -697,12 +697,13 @@ private[graft] object EntriesAnn {
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         cb, k = 5, nprobe = 3)
     },
-    Some((IvfPqCtes +
-      " SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5")
-      .replace("code AS (SELECT vec_id, label, s, cj FROM asg WHERE rn = 1)",
-        "code AS (SELECT vec_id, label, s, cj FROM asg WHERE rn = 1 AND " +
-          "vec_id IN (SELECT doc_id FROM documents WHERE source IN (" +
-          (0 until 20 by 2).map(i => s"'src$i'").mkString(", ") + ")))")))
+    Some(replaceExactlyOnce(
+      IvfPqCtes +
+        " SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5",
+      "code AS (SELECT vec_id, label, s, cj FROM asg WHERE rn = 1)",
+      "code AS (SELECT vec_id, label, s, cj FROM asg WHERE rn = 1 AND " +
+        "vec_id IN (SELECT doc_id FROM documents WHERE source IN (" +
+        (0 until 20 by 2).map(i => s"'src$i'").mkString(", ") + ")))")))
 
   /** Recall@5 of the IVF-PQ index against brute-force cosine ground
     * truth, measured IN-ENGINE — the index-quality gate a vector store
@@ -1282,7 +1283,8 @@ private[graft] object EntriesAnn {
           cbLoaded, k = 5, nprobe = 3),
         scratch)
     },
-    annIndexUpsert.oracle.map(_.replace("WHERE asg.rn = 1)",
+    annIndexUpsert.oracle.map(o => replaceExactlyOnce(o,
+      "WHERE asg.rn = 1)",
       "WHERE asg.rn = 1 AND asg.vec_id % 5 <> 2)")))
 
   /** Delete → streamed RE-INSERT → fold: the tombstone's as-of
@@ -1339,16 +1341,20 @@ private[graft] object EntriesAnn {
           cbLoaded, k = 5, nprobe = 3),
         scratch)
     },
-    annIndexUpsert.oracle.map(_
-      .replace("WHERE asg.rn = 1)",
+    annIndexUpsert.oracle.map { o =>
+      val d = replaceExactlyOnce(o,
+        "WHERE asg.rn = 1)",
         "WHERE asg.rn = 1 AND asg.vec_id % 10 <> 7)")
       // re-inserted ids travel the drain's nearest-centroid assignment
       // (the base build had used the label directly), so the oracle
       // routes them through the assignment CTE like any upsert
-      .replace("WHERE o.vec_id % 2 = 1)",
+      val r = replaceExactlyOnce(d,
+        "WHERE o.vec_id % 2 = 1)",
         "WHERE o.vec_id % 2 = 1 OR o.vec_id % 10 = 2)")
-      .replace("WHERE vec_id % 2 = 0 UNION ALL",
-        "WHERE vec_id % 2 = 0 AND vec_id % 10 <> 2 UNION ALL")))
+      replaceExactlyOnce(r,
+        "WHERE vec_id % 2 = 0 UNION ALL",
+        "WHERE vec_id % 2 = 0 AND vec_id % 10 <> 2 UNION ALL")
+    })
 
   val annIndexRetrain = Q(
     (s, dir) => {

@@ -152,6 +152,26 @@ private[graft] object EntryKit {
     served
   }
 
+  /** `.replace` for oracle-SQL rewrites that must fail LOUDLY on CTE
+    * drift: the shared CTE text is rewritten by pattern, and a plain
+    * `.replace` whose pattern no longer matches silently no-ops — the
+    * oracle degrades to the unrewritten query, masking a real
+    * divergence as a confusing mismatch (or, against a symmetric
+    * Spark-side regression, passing vacuously). Requires the pattern
+    * to occur EXACTLY once, so both drift (0 matches) and ambiguity
+    * (2+) break at entry construction, not at compare time.
+    */
+  def replaceExactlyOnce(
+      s: String, pattern: String, replacement: String): String = {
+    require(pattern.nonEmpty, "empty oracle rewrite pattern")
+    val first = s.indexOf(pattern)
+    require(first >= 0,
+      s"oracle rewrite pattern not found (CTE drift): $pattern")
+    require(s.indexOf(pattern, first + 1) < 0,
+      s"oracle rewrite pattern ambiguous (occurs 2+ times): $pattern")
+    s.substring(0, first) + replacement + s.substring(first + pattern.length)
+  }
+
   def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.exists(p)) {
       java.nio.file.Files.walk(p)

@@ -1396,11 +1396,26 @@ object StreamingIngest {
             .parquet(es.map(e => s"$root/$cluster=${e._1}").toSeq.sorted: _*)
             .select(col(id), col("codes"), col(cluster))
         }.reduce(_ unionByName _).withColumn("__b", lit(-1L))))
-    val stagedLeg = killed(spark.read.parquet(s"$indexPath/stream")
-      .where(col("batch") > hwPrior && col("batch") <= hw)
-      .select(col(id), col("codes"), col(cluster),
-        col("batch").cast("long").as("__b")))
-    priorLeg.map(_.unionByName(stagedLeg)).getOrElse(stagedLeg)
+    // a tombs-only fold can reach here with NOTHING staged (the guard
+    // proceeds on pendingTombs alone — e.g. deleteStreamed on a
+    // base-only index that never drained a batch), where reading the
+    // absent stream dir would throw; build the leg only when the
+    // staging window is non-empty
+    val stagedLeg =
+      if (window.isEmpty) None
+      else Some(killed(spark.read.parquet(s"$indexPath/stream")
+        .where(col("batch") > hwPrior && col("batch") <= hw)
+        .select(col(id), col("codes"), col(cluster),
+          col("batch").cast("long").as("__b"))))
+    val foldSrc = (priorLeg ++ stagedLeg).reduceOption(_ unionByName _)
+      .getOrElse {
+        // both legs absent: the pending tombstones' recorded clusters
+        // resolve to nothing materialized — stay in the logical-delete
+        // regime (the serve keeps applying the kills) rather than
+        // publish a file-less generation
+        return
+      }
+    foldSrc
       .write.mode("overwrite").partitionBy(cluster).parquet(s"$next/data")
     // manifest the touched clusters the fold actually WROTE: a cluster
     // whose every row a tombstone killed has no partition dir, and an
@@ -1849,17 +1864,43 @@ object StreamingIngest {
     val staged = stagedBatches(spark, indexPath)
     val prior = resolveVersion(spark, indexPath)
     val hw = (staged :+ prior.map(_._2).getOrElse(-1L)).max
+    // ENFORCE the membership contract instead of trusting it: the
+    // retrain marks every pending tombstone consumed without replaying
+    // its kill, on the premise that the caller's corpus already
+    // excludes the deleted ids — a stale corpus that still carried one
+    // would silently resurrect it into the new generation. Dead ids
+    // (pending tombstone ids NOT live in the serving view — a live one
+    // is a legitimate re-insert staged above the tombstone's as-of and
+    // MUST survive) are anti-joined out of the corpus before any model
+    // touches it. The probe is tombstone-sized: tomb ids broadcast
+    // twice (serve semi-join, corpus anti-join), one column-pruned
+    // serve scan — the deleteStreamed membership-probe cost class,
+    // paid once per retrain.
+    val pendingT = pendingTombSeqs(spark, indexPath, tombsApplied(
+      spark, prior.map(_._1).getOrElse(s"$indexPath/codes")))
+    val corpusClean =
+      if (pendingT.isEmpty) corpus
+      else {
+        val tombIds = spark.read.parquet(
+            pendingT.sorted.map(s => s"$indexPath/tombs/tomb=$s"): _*)
+          .select(col(id)).distinct()
+        val live = loadStreamedCodes(spark, indexPath, id, cluster)
+          .join(broadcast(tombIds), Seq(id), "left_semi")
+          .select(col(id)).distinct()
+        val dead = tombIds.join(live, Seq(id), "left_anti")
+        corpus.join(broadcast(dead), Seq(id), "left_anti")
+      }
     val cb =
       if (iters <= 0)
-        graft.ann.Ann.pqSeedCodebook(corpus, id, vec, m, ksub)
-      else graft.ann.Ann.pqTrainCodebook(corpus, id, vec, m, ksub, iters)
+        graft.ann.Ann.pqSeedCodebook(corpusClean, id, vec, m, ksub)
+      else graft.ann.Ann.pqTrainCodebook(corpusClean, id, vec, m, ksub, iters)
     val n = completeOrPartialVersionMax(spark, indexPath) + 1
     val next = s"$indexPath/codes_v$n"
     (router match {
       case Some((superCount, nprobe)) => graft.ann.Ann.encodeAssignRouted(
-        corpus, id, vec, cb, centTable, cluster, superCount, nprobe)
+        corpusClean, id, vec, cb, centTable, cluster, superCount, nprobe)
       case None => graft.ann.Ann.encodeAssign(
-        corpus, id, vec, cb, centTable, cluster)
+        corpusClean, id, vec, cb, centTable, cluster)
     }).write.mode("overwrite").partitionBy(cluster).parquet(next)
     graft.ann.Ann.writeCodebook(spark, cb, s"$next/_codebook")
     centTable.select(col(cluster), col("centroid"))
@@ -1870,13 +1911,13 @@ object StreamingIngest {
     val eOut = fs.create(
       new org.apache.hadoop.fs.Path(s"$next/_model_epoch"), true)
     try eOut.write(n.toString.getBytes("UTF-8")) finally eOut.close()
-    // the CORPUS is the membership authority at retrain, for deletes
-    // exactly as for inserts: rows removed via deleteStreamed must
-    // already be absent from it, so every tombstone pending at this
-    // snapshot is marked consumed without replaying its kill (a
-    // tombstone staged after this listing stays live and applies to
-    // the new generation at serve — its as-of equals this snapshot's
-    // high-water, so the base-leg id-match kill stays sound)
+    // every tombstone pending at this snapshot is marked consumed: its
+    // kill was enforced above (dead ids anti-joined out of the corpus,
+    // re-inserts spared), so the new generation honors it even against
+    // a stale corpus. A tombstone staged after this listing stays live
+    // and applies to the new generation at serve — its as-of equals
+    // this snapshot's high-water, so the base-leg id-match kill stays
+    // sound.
     writeTombsApplied(spark, next,
       (tombSeqs(spark, indexPath) :+
         tombsApplied(spark, prior.map(_._1)

@@ -1757,6 +1757,89 @@ class StreamingIngestSpec extends SparkSpec {
       .mkString.trim == "1")
   }
 
+  test("tombs-only fold on a base-only index (nothing EVER staged): " +
+      "the incremental fold must not read the absent stream dir — " +
+      "delete then fold physically removes the row; auto dispatch " +
+      "handles the same shape") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val st = graft.EntryKit.scratchTracked("graft_del_onlyt").toString
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    def servedIds() = StreamingIngest.loadStreamedCodes(
+        spark, st, "vec_id", "label")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(StreamingIngest.deleteStreamed(spark, st,
+      Seq(0L).toDF("vec_id"), "vec_id", "label") == 0L)
+    // pre-fix: AnalysisException (Path does not exist: .../stream)
+    StreamingIngest.compactStreamedIncremental(spark, st, "vec_id", "label")
+    assert(servedIds() == Seq(2L, 4L, 6L))
+    // physically gone from the published generation, tombstone consumed
+    assert(spark.read.parquet(s"$st/codes_v1/data/label=0")
+      .select($"vec_id").as[Long].collect().toSeq == Seq(2L))
+    assert(scala.io.Source.fromFile(s"$st/codes_v1/_tombs_applied")
+      .mkString.trim == "0")
+    // the auto policy walks the same guard on the same shape
+    assert(StreamingIngest.deleteStreamed(spark, st,
+      Seq(2L).toDF("vec_id"), "vec_id", "label") == 1L)
+    StreamingIngest.compactStreamedAuto(spark, st, "vec_id", "label")
+    assert(servedIds() == Seq(4L, 6L))
+  }
+
+  test("retrainStreamedIndex enforces the delete-membership contract: " +
+      "a stale corpus still carrying a deleted id cannot resurrect " +
+      "it, while a re-inserted id (live above the tombstone's as-of) " +
+      "survives") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1), (8L, unit(4), 2), (10L, unit(4), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_rt_stale").toString
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    def servedIds() = StreamingIngest.loadStreamedCodes(
+        spark, st, "vec_id", "label")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    // delete 4, then RE-INSERT it via a staged batch above the as-of
+    assert(StreamingIngest.deleteStreamed(spark, st,
+      Seq(4L).toDF("vec_id"), "vec_id", "label") == 0L)
+    val reins = Seq((4L, unit(2), 1)).toDF("vec_id", "embedding", "label")
+    Ann.pqEncode(reins, "vec_id", "embedding", cb)
+      .join(Ann.assignClusters(reins, "vec_id", "embedding", cents, "label"),
+        "vec_id")
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$st/stream/batch=0")
+    // delete 6 — never re-inserted: its id must stay dead
+    assert(StreamingIngest.deleteStreamed(spark, st,
+      Seq(6L).toDF("vec_id"), "vec_id", "label") == 1L)
+    assert(servedIds() == Seq(0L, 2L, 4L, 8L, 10L))
+    // retrain with a STALE corpus: still carries the dead 6 (and the
+    // legitimately-live re-inserted 4)
+    StreamingIngest.retrainStreamedIndex(spark, st, base,
+      "vec_id", "embedding", cents, "label", m = 4, ksub = 4)
+    assert(servedIds() == Seq(0L, 2L, 4L, 8L, 10L))
+    // 6 is physically absent from the published generation (not just
+    // logically killed — the retrain consumed both tombstones)
+    val gen = spark.read.parquet(s"$st/codes_v1")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(gen == Seq(0L, 2L, 4L, 8L, 10L))
+    assert(scala.io.Source.fromFile(s"$st/codes_v1/_tombs_applied")
+      .mkString.trim == "1")
+  }
+
   test("deleteStreamed refuses to interleave with a retrain (lock " +
       "fail-fast), and a mid-stage tombstone tmp fails the retrain — " +
       "the batch protocol's fences, mirrored") {
