@@ -1532,9 +1532,19 @@ object Ann {
       .repartition(1).write.mode("overwrite").parquet(dir)
   }
 
+  /** Passive instrumentation: codebook parquet reads per exact dir.
+    * The drain model-cache spec counts these to prove a multi-batch
+    * drain resolves its models once per generation, not once per
+    * micro-batch; when nothing reads it, the map holds a few longs.
+    */
+  private[graft] val codebookReads =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Reconstruct a codebook persisted by [[writeCodebook]]. */
   def readCodebook(spark: SparkSession, dir: String): PqCodebook = {
     import spark.implicits._
+    codebookReads.merge(dir, java.lang.Long.valueOf(1L),
+      (a, b) => java.lang.Long.valueOf(a + b))
     val rows = spark.read.parquet(dir)
       .select(col("s"), col("j"), col("cv"))
       .as[(Int, Int, Seq[Double])].collect()

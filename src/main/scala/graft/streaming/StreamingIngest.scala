@@ -688,7 +688,26 @@ object StreamingIngest {
   def annIndexUpsertDrain(
       stream: DataFrame, indexPath: String, checkpoint: String,
       id: String, vec: String,
-      centTable: DataFrame, cluster: String): StreamingQuery =
+      centTable: DataFrame, cluster: String): StreamingQuery = {
+    // the caller's base coarse table materializes ONCE per drain (on
+    // first use — a drain against an already-retrained index never
+    // evaluates it): it is constant until a retrain publishes
+    // `_centroids`, at which point versionedModels supersedes it. When
+    // it derives from the corpus (pivotCentroids), per-batch
+    // re-evaluation is work ∝ corpus on EVERY micro-batch — the
+    // genuine scale-killer at production batch rates.
+    lazy val centBase = centTable.localCheckpoint()
+    // driver-side model cache, PER DRAIN (closure state, so two drains
+    // on two indexes cannot cross-pollinate), keyed by (generation
+    // path, model epoch). On a hit the held models are reused — no
+    // codebook parquet read, no centroid table re-read; on movement (a
+    // retrain, or a model-carrying fold that published a new
+    // generation) the entry is replaced via one fresh read. The epoch
+    // FENCE is untouched: commitStagedBatch re-reads lock and epoch
+    // from disk, never from this cache, so a cache bug can only cost
+    // an abort-and-replay, never a stale-model publish.
+    var modelCache: Option[(Option[String], Long,
+      graft.ann.Ann.PqCodebook, Option[DataFrame])] = None
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -696,7 +715,8 @@ object StreamingIngest {
         val spark = batch.sparkSession
         // high-water check FIRST: a doomed fresh checkpoint must not
         // claim the staging area on its way to failing
-        val hw = resolveVersion(spark, indexPath).map(_._2).getOrElse(-1L)
+        val ver = resolveVersion(spark, indexPath)
+        val hw = ver.map(_._2).getOrElse(-1L)
         if (batchId <= hw) throw new IllegalStateException(
           s"staging batch id $batchId is at-or-below the published folded " +
             s"high-water $hw of $indexPath — a fresh checkpoint against a " +
@@ -715,33 +735,57 @@ object StreamingIngest {
           throw new IllegalStateException(
             s"retrain in progress on $indexPath (_retrain_lock present); " +
               "upserts replay after it completes")
-        // models re-resolved EVERY micro-batch: after a retrain
-        // publishes a new generation, subsequent batches must encode
-        // and route with the NEW codebook/centroids, or their codes
-        // would be meaningless against the generation that serves them
-        val (cb, centsV) = versionedModels(spark, indexPath)
-        val cents = centsV.getOrElse(centTable)
-        // capture WHICH model generation the batch encodes with: a
-        // retrain that runs lock-to-lock entirely inside this batch's
-        // stage window would leave no lock and no tmp-era conflict to
-        // observe, and the publish would land OLD-codebook codes above
-        // the new generation's high-water; commitStagedBatch re-reads
-        // the epoch and aborts the publish if it moved (model-carrying
-        // compactions keep the epoch, so only a retrain aborts)
-        val epoch = modelEpoch(spark, indexPath)
+        // models CHECKED every micro-batch, READ once per generation:
+        // after a retrain publishes, subsequent batches must encode and
+        // route with the NEW codebook/centroids (their codes would be
+        // meaningless against the generation that serves them) — but
+        // between publications the models are immutable, so per-batch
+        // resolution is the version listing already paid above plus one
+        // epoch read; the parquet reads happen only when the key moves
+        val genPath = ver.map(_._1)
+        val epoch = modelEpochAt(spark, indexPath, genPath)
+        val (cb, centsV) = graft.PhaseTimer.phase("drain_models") {
+          modelCache match {
+            case Some((p, e, ccb, cc)) if p == genPath && e == epoch =>
+              (ccb, cc)
+            case _ =>
+              val (mcb, mcents) =
+                versionedModelsAt(spark, indexPath, genPath)
+              // published centroids pin once per generation too — they
+              // are generation-immutable and coarse-model-sized
+              val held = (mcb, mcents.map(_.localCheckpoint()))
+              modelCache = Some((genPath, epoch, held._1, held._2))
+              held
+          }
+        }
+        val cents = centsV.getOrElse(centBase)
+        // the epoch captures WHICH model generation the batch encodes
+        // with: a retrain that runs lock-to-lock entirely inside this
+        // batch's stage window would leave no lock and no tmp-era
+        // conflict to observe, and the publish would land OLD-codebook
+        // codes above the new generation's high-water; commitStagedBatch
+        // re-reads the epoch and aborts the publish if it moved
+        // (model-carrying compactions keep the epoch, so only a retrain
+        // aborts)
+        //
         // stage to a dot-prefixed tmp (invisible to staging scans),
         // then publish via commitStagedBatch's lock-recheck + rename:
         // with the retrain's no-tmp assertion this CLOSES the race the
         // top-of-batch lock check only narrows — a batch already past
         // that check either has its tmp visible when the retrain scans
         // (retrain fails fast) or re-checks the lock here and aborts
-        graft.ann.Ann.encodeAssign(batch.toDF(), id, vec, cb,
-            cents, cluster)
-          .write.mode("overwrite").partitionBy(cluster)
-          .parquet(s"$indexPath/stream/.batch_tmp_$batchId")
-        commitStagedBatch(spark, indexPath, batchId, epoch)
+        graft.PhaseTimer.phase("drain_stage") {
+          graft.ann.Ann.encodeAssign(batch.toDF(), id, vec, cb,
+              cents, cluster)
+            .write.mode("overwrite").partitionBy(cluster)
+            .parquet(s"$indexPath/stream/.batch_tmp_$batchId")
+        }
+        graft.PhaseTimer.phase("drain_commit") {
+          commitStagedBatch(spark, indexPath, batchId, epoch)
+        }
       }
       .start()
+  }
 
   /** Publish a staged micro-batch written at `stream/.batch_tmp_<id>`:
     * re-check the retrain lock AND the model epoch INSIDE the batch
@@ -794,9 +838,18 @@ object StreamingIngest {
     * [[commitStagedBatch]] requires it unmoved at publish.
     */
   private[streaming] def modelEpoch(
-      spark: SparkSession, indexPath: String): Long = {
+      spark: SparkSession, indexPath: String): Long =
+    modelEpochAt(spark, indexPath,
+      resolveVersion(spark, indexPath).map(_._1))
+
+  /** [[modelEpoch]] with the version listing already paid: `genPath`
+    * is the newest complete generation (None = base-only, epoch 0).
+    */
+  private def modelEpochAt(
+      spark: SparkSession, indexPath: String,
+      genPath: Option[String]): Long = {
     val fs = hfs(spark, indexPath)
-    resolveVersion(spark, indexPath).map(_._1) match {
+    genPath match {
       case Some(p) if fs.exists(
           new org.apache.hadoop.fs.Path(s"$p/_model_epoch")) =>
         val in = fs.open(new org.apache.hadoop.fs.Path(s"$p/_model_epoch"))
@@ -1653,10 +1706,19 @@ object StreamingIngest {
     */
   private def versionedModels(
       spark: SparkSession, indexPath: String)
+      : (graft.ann.Ann.PqCodebook, Option[DataFrame]) =
+    versionedModelsAt(spark, indexPath,
+      resolveVersion(spark, indexPath).map(_._1))
+
+  /** [[versionedModels]] with the version listing already paid:
+    * `genPath` is the newest complete generation (None = base-only).
+    */
+  private def versionedModelsAt(
+      spark: SparkSession, indexPath: String,
+      genPath: Option[String])
       : (graft.ann.Ann.PqCodebook, Option[DataFrame]) = {
     val fs = hfs(spark, indexPath)
-    val verCb = resolveVersion(spark, indexPath)
-      .map(_._1)
+    val verCb = genPath
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(s"$p/_codebook")))
     verCb match {
       case Some(p) =>

@@ -1840,6 +1840,119 @@ class StreamingIngestSpec extends SparkSpec {
       .mkString.trim == "1")
   }
 
+  test("drain model cache: a 3-batch drain reads the codebook ONCE per " +
+      "generation — once for the base, once more after a retrain moves " +
+      "the key — and post-move batches encode with the NEW models") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_drainc").toString
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    val ups = Seq((1L, unit(0), 0), (3L, unit(2), 1), (5L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    ups.repartition(3).write.parquet(s"$st/in")
+    def drain(): Unit = StreamingIngest.annIndexUpsertDrain(
+      spark.readStream.schema(ups.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$st/in"),
+      st, s"$st/ckpt", "vec_id", "embedding", cents, "label")
+      .awaitTermination()
+    def reads(dir: String): Long =
+      Option(Ann.codebookReads.get(dir)).map(_.longValue).getOrElse(0L)
+    val before = reads(s"$st/codebook")
+    drain()
+    assert(StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label")
+      .count() == 7)
+    assert(reads(s"$st/codebook") - before == 1,
+      "a 3-micro-batch drain must resolve the base codebook exactly once")
+    // retrain moves the generation + epoch: the cache key must move,
+    // costing exactly one read of the NEW codebook for the next window
+    val all = base.unionByName(ups)
+    val centsFull = Ann.pivotCentroids(all, "label", "vec_id", "embedding")
+    StreamingIngest.retrainStreamedIndex(spark, st, all,
+      "vec_id", "embedding", centsFull, "label", m = 4, ksub = 4)
+    val more = Seq((9L, unit(1), 0), (11L, unit(3), 1))
+      .toDF("vec_id", "embedding", "label")
+    more.repartition(2).write.mode("append").parquet(s"$st/in")
+    val beforeBase = reads(s"$st/codebook")
+    val beforeGen = reads(s"$st/codes_v1/_codebook")
+    drain()
+    assert(reads(s"$st/codebook") == beforeBase,
+      "post-retrain batches must not resolve the base codebook")
+    assert(reads(s"$st/codes_v1/_codebook") - beforeGen == 1,
+      "the 2-batch post-retrain drain must read the new codebook once")
+    val cbNew = Ann.pqSeedCodebook(all, "vec_id", "embedding", m = 4, ksub = 4)
+    val got = StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label")
+      .where($"vec_id" === 9L).select($"codes").as[Seq[Int]].collect().head
+    val expected = Ann.pqEncode(
+        Seq((9L, unit(1), 0)).toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", cbNew)
+      .select($"codes").as[Seq[Int]].collect().head
+    assert(got == expected)
+  }
+
+  test("drain model cache is per-drain closure state: two CONCURRENT " +
+      "drains on different indexes each encode with their own " +
+      "index's models") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    def neg(hot: Int) = (0 until dim).map(d => if (d == hot) -1.0f else 0.0f)
+    val baseA = Seq(
+      (0L, unit(0), 0), (2L, unit(1), 0), (4L, unit(2), 1),
+      (6L, unit(3), 1)).toDF("vec_id", "embedding", "label")
+    val baseB = Seq(
+      (0L, neg(0), 0), (2L, neg(1), 0), (4L, neg(2), 1),
+      (6L, neg(3), 1)).toDF("vec_id", "embedding", "label")
+    val cbA = Ann.pqSeedCodebook(baseA, "vec_id", "embedding", m = 4, ksub = 4)
+    val cbB = Ann.pqSeedCodebook(baseB, "vec_id", "embedding", m = 4, ksub = 4)
+    val centsA = Ann.pivotCentroids(baseA, "label", "vec_id", "embedding")
+    val centsB = Ann.pivotCentroids(baseB, "label", "vec_id", "embedding")
+    val stA = graft.EntryKit.scratchTracked("graft_dcA").toString
+    val stB = graft.EntryKit.scratchTracked("graft_dcB").toString
+    Ann.saveIndex(Ann.pqEncode(baseA, "vec_id", "embedding", cbA)
+      .join(baseA.select($"vec_id", $"label"), "vec_id"), "label", cbA, stA)
+    Ann.saveIndex(Ann.pqEncode(baseB, "vec_id", "embedding", cbB)
+      .join(baseB.select($"vec_id", $"label"), "vec_id"), "label", cbB, stB)
+    val upA = Seq((1L, unit(1), 0), (3L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val upB = Seq((1L, neg(1), 0), (3L, neg(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    upA.repartition(2).write.parquet(s"$stA/in")
+    upB.repartition(2).write.parquet(s"$stB/in")
+    val qA = StreamingIngest.annIndexUpsertDrain(
+      spark.readStream.schema(upA.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stA/in"),
+      stA, s"$stA/ckpt", "vec_id", "embedding", centsA, "label")
+    val qB = StreamingIngest.annIndexUpsertDrain(
+      spark.readStream.schema(upB.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stB/in"),
+      stB, s"$stB/ckpt", "vec_id", "embedding", centsB, "label")
+    qA.awaitTermination()
+    qB.awaitTermination()
+    def codesOf(st: String, idv: Long): Seq[Int] =
+      StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label")
+        .where($"vec_id" === idv)
+        .select($"codes").as[Seq[Int]].collect().head
+    def enc(row: (Long, Seq[Float], Int), cb: Ann.PqCodebook): Seq[Int] =
+      Ann.pqEncode(Seq(row).toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", cb)
+        .select($"codes").as[Seq[Int]].collect().head
+    // non-vacuity: B's vector encodes DIFFERENTLY under A's codebook,
+    // so a cross-pollinated cache could not pass the assertions below
+    assert(enc((1L, neg(1), 0), cbA) != enc((1L, neg(1), 0), cbB))
+    assert(codesOf(stA, 1L) == enc((1L, unit(1), 0), cbA))
+    assert(codesOf(stB, 1L) == enc((1L, neg(1), 0), cbB))
+  }
+
   test("deleteStreamed refuses to interleave with a retrain (lock " +
       "fail-fast), and a mid-stage tombstone tmp fails the retrain — " +
       "the batch protocol's fences, mirrored") {
