@@ -1275,12 +1275,17 @@ private[graft] object EntriesAnn {
             .select(col("vec_id")),
           "vec_id", "label")
       }
-      val (codes, cbLoaded, _) = graft.streaming.StreamingIngest
-        .loadStreamedIndex(s, path, "vec_id", "label")
+      // serve through the ≤1-listing-warm handle ([[graft.streaming
+      // .StreamingIngest.openServeHandle]]) — the oracle proves the
+      // handle's snapshot equals the direct resolution, making the
+      // repeated-serve surface oracle-executed, not just spec'd
+      val h = graft.streaming.StreamingIngest.refreshServeHandle(s,
+        graft.streaming.StreamingIngest.openServeHandle(
+          s, path, "vec_id", "label"))
       servedThenCleanup(
-        Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+        Ann.ivfPqTopK(h.codes, "vec_id", "label", cents,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          cbLoaded, k = 5, nprobe = 3),
+          h.codebook, k = 5, nprobe = 3),
         scratch)
     },
     annIndexUpsert.oracle.map(o => replaceExactlyOnce(o,

@@ -940,6 +940,23 @@ object StreamingIngest {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Passive instrumentation: count of index-lifecycle directory
+    * listings (every `listStatus` the streamed-index machinery
+    * performs routes through [[listIndexDir]]). The serve-handle spec
+    * counts these to prove a warm re-serve pays at most ONE listing —
+    * the object-storage tax the handle exists to amortize.
+    */
+  private[streaming] val indexListings =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  private def listIndexDir(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    indexListings.incrementAndGet()
+    fs.listStatus(p)
+  }
+
   /** The highest COMPLETE compacted version under `indexPath` and its
     * folded high-water batch id: a `codes_v<n>` is visible to readers
     * only once its `_folded` marker exists (written last, via tmp +
@@ -951,7 +968,7 @@ object StreamingIngest {
     val fs = hfs(spark, indexPath)
     val root = new org.apache.hadoop.fs.Path(indexPath)
     if (!fs.exists(root)) return None
-    val versions = fs.listStatus(root).toSeq
+    val versions = listIndexDir(fs, root).toSeq
       .map(_.getPath.getName)
       .flatMap { n =>
         if (!n.startsWith("codes_v")) None
@@ -979,7 +996,7 @@ object StreamingIngest {
     val fs = hfs(spark, root)
     val p = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
+    else listIndexDir(fs, p).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith(s"$cluster="))
       .map(_.drop(cluster.length + 1))
@@ -1061,7 +1078,7 @@ object StreamingIngest {
     val fs = hfs(spark, indexPath)
     val stream = new org.apache.hadoop.fs.Path(s"$indexPath/stream")
     if (!fs.exists(stream)) Seq.empty
-    else fs.listStatus(stream).toSeq
+    else listIndexDir(fs, stream).toSeq
       .map(_.getPath.getName)
       .flatMap(n =>
         if (n.startsWith("batch=")) n.drop("batch=".length).toLongOption
@@ -1105,7 +1122,7 @@ object StreamingIngest {
     val fs = hfs(spark, indexPath)
     val tombs = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
     if (!fs.exists(tombs)) Seq.empty
-    else fs.listStatus(tombs).toSeq
+    else listIndexDir(fs, tombs).toSeq
       .map(_.getPath.getName)
       .flatMap(n =>
         if (n.startsWith("tomb=")) n.drop("tomb=".length).toLongOption
@@ -1685,7 +1702,7 @@ object StreamingIngest {
     val fs = hfs(spark, indexPath)
     val root = new org.apache.hadoop.fs.Path(indexPath)
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+    else listIndexDir(fs, root).toSeq.map(_.getPath.getName)
       .flatMap(nm =>
         if (nm.startsWith("codes_v")) nm.drop("codes_v".length).toLongOption
         else None)
@@ -1747,6 +1764,72 @@ object StreamingIngest {
     val (cb, cents) = versionedModels(spark, indexPath)
     (loadStreamedCodes(spark, indexPath, id, cluster), cb, cents)
   }
+
+  /** A resolved serve snapshot of a streamed-into index: the serving
+    * view ([[loadStreamedCodes]]) plus the generation's models
+    * ([[loadStreamedIndex]]) plus the directory fingerprint they were
+    * resolved under. Serving repeatedly through a handle re-pays NONE
+    * of the 3–4 lifecycle listings resolution costs ([[refresh]]
+    * checks staleness with exactly ONE listing of the index root) —
+    * the object-storage tax at production serve rates. Snapshot
+    * semantics are the generation protocol's own MVCC contract: a
+    * handle serves the state it resolved, and a concurrent fold keeps
+    * that state readable one generation behind.
+    */
+  final case class ServeHandle private[streaming] (
+      indexPath: String, id: String, cluster: String,
+      manifestBudget: Int,
+      private[streaming] val fingerprint: Seq[(String, Long)],
+      codes: DataFrame,
+      codebook: graft.ann.Ann.PqCodebook,
+      cents: Option[DataFrame])
+
+  /** One listing of the index root: (child name, child mtime) pairs.
+    * Every lifecycle mutation moves it on HDFS-semantics filesystems —
+    * a staged batch or run marker bumps `stream`'s mtime (direct-child
+    * create/rename), a tombstone bumps `tombs`, a new generation adds
+    * a `codes_v<n>` name, and a generation's later `_folded`
+    * publication bumps that generation dir's own mtime. Object stores
+    * without real directory mtimes (S3) cannot carry this contract:
+    * there, re-open per serve or wrap [[refresh]] in a TTL policy —
+    * documented, not silently wrong, since a fingerprint that cannot
+    * move makes refresh a no-op, never a crash.
+    */
+  private def serveFingerprint(
+      spark: SparkSession, indexPath: String): Seq[(String, Long)] = {
+    val fs = hfs(spark, indexPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    try listIndexDir(fs, root).toSeq
+      .map(s => (s.getPath.getName, s.getModificationTime))
+      .sortBy(_._1)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  /** Resolve a [[ServeHandle]] — pays the full listing cost once
+    * (fingerprint FIRST, so any mutation racing the resolution is
+    * seen as staleness by the next [[refresh]] rather than missed).
+    */
+  def openServeHandle(
+      spark: SparkSession, indexPath: String,
+      id: String, cluster: String,
+      manifestBudget: Int = DefaultManifestBudget): ServeHandle = {
+    val fp = serveFingerprint(spark, indexPath)
+    val (cb, cents) = versionedModels(spark, indexPath)
+    val codes = loadStreamedCodes(spark, indexPath, id, cluster,
+      manifestBudget = manifestBudget)
+    ServeHandle(indexPath, id, cluster, manifestBudget, fp, codes, cb, cents)
+  }
+
+  /** The ≤1-listing warm serve: re-fingerprint (ONE root listing); on
+    * a match return the SAME handle — view and models reused, zero
+    * further FS resolution; on movement re-open. Callers serve in a
+    * loop as `h = refresh(spark, h); use(h.codes)`.
+    */
+  def refreshServeHandle(
+      spark: SparkSession, h: ServeHandle): ServeHandle =
+    if (serveFingerprint(spark, h.indexPath) == h.fingerprint) h
+    else openServeHandle(spark, h.indexPath, h.id, h.cluster,
+      h.manifestBudget)
 
   /** RE-TRAIN the index on the current corpus and publish the result
     * as the next generation — the migration path a growing corpus
@@ -1903,7 +1986,7 @@ object StreamingIngest {
     val stream = new org.apache.hadoop.fs.Path(s"$indexPath/stream")
     val midStage =
       if (!fs.exists(stream)) Seq.empty
-      else fs.listStatus(stream).toSeq.map(_.getPath.getName)
+      else listIndexDir(fs, stream).toSeq.map(_.getPath.getName)
         .filter(_.startsWith(".batch_tmp_"))
     if (midStage.nonEmpty) throw new IllegalStateException(
       s"micro-batches mid-stage under $indexPath/stream " +
@@ -1916,7 +1999,7 @@ object StreamingIngest {
     val tombsDir = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
     val midTomb =
       if (!fs.exists(tombsDir)) Seq.empty
-      else fs.listStatus(tombsDir).toSeq.map(_.getPath.getName)
+      else listIndexDir(fs, tombsDir).toSeq.map(_.getPath.getName)
         .filter(_.startsWith(".tomb_tmp_"))
     if (midTomb.nonEmpty) throw new IllegalStateException(
       s"deletes mid-stage under $indexPath/tombs " +
@@ -2007,7 +2090,7 @@ object StreamingIngest {
     val fs = hfs(spark, indexPath)
     val root = new org.apache.hadoop.fs.Path(indexPath)
     if (!fs.exists(root)) 0L
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+    else listIndexDir(fs, root).toSeq.map(_.getPath.getName)
       .flatMap(nm =>
         if (nm.startsWith("codes_v")) nm.drop("codes_v".length).toLongOption
         else None)
@@ -2048,7 +2131,7 @@ object StreamingIngest {
     // sweep the dir only when TRULY empty — a recursive delete on
     // "no published tombstones" could wipe a mid-stage .tomb_tmp_
     val tombsDir = new org.apache.hadoop.fs.Path(s"$indexPath/tombs")
-    if (fs.exists(tombsDir) && fs.listStatus(tombsDir).isEmpty)
+    if (fs.exists(tombsDir) && listIndexDir(fs, tombsDir).isEmpty)
       fs.delete(tombsDir, false)
     // sweep the emptied staging dir ONLY when no `_run` ownership
     // marker pins it: deleting the marker would drop the

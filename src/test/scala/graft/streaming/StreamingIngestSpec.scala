@@ -1953,6 +1953,73 @@ class StreamingIngestSpec extends SparkSpec {
     assert(codesOf(stB, 1L) == enc((1L, neg(1), 0), cbB))
   }
 
+  test("serve handle: a warm re-serve pays exactly ONE lifecycle " +
+      "listing and reuses the held view and models; every mutation " +
+      "class (staged batch, tombstone, fold) flips it stale") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_handle").toString
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    def stage(b: Long, rows: Seq[(Long, Seq[Float], Int)]): Unit = {
+      val df = rows.toDF("vec_id", "embedding", "label")
+      Ann.pqEncode(df, "vec_id", "embedding", cb)
+        .join(Ann.assignClusters(df, "vec_id", "embedding", cents, "label"),
+          "vec_id")
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$st/stream/batch=$b")
+    }
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select($"vec_id").as[Long].collect().sorted.toSeq
+    stage(0L, Seq((1L, unit(0), 0)))
+    val h0 = StreamingIngest.openServeHandle(spark, st, "vec_id", "label")
+    assert(ids(h0.codes) ==
+      ids(StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label")))
+    // warm refresh: ONE listing, same handle instance (view + models
+    // reused — no re-resolution)
+    val c0 = StreamingIngest.indexListings.get()
+    val h1 = StreamingIngest.refreshServeHandle(spark, h0)
+    assert(h1 eq h0)
+    assert(StreamingIngest.indexListings.get() - c0 == 1,
+      "a warm refresh must cost exactly one lifecycle listing")
+    // and twice more — the cost is per-refresh, not amortized-once
+    val c1 = StreamingIngest.indexListings.get()
+    assert(StreamingIngest.refreshServeHandle(spark, h1) eq h0)
+    assert(StreamingIngest.refreshServeHandle(spark, h1) eq h0)
+    assert(StreamingIngest.indexListings.get() - c1 == 2)
+    // mutation class 1: a staged batch flips the handle stale
+    stage(1L, Seq((3L, unit(2), 1)))
+    val h2 = StreamingIngest.refreshServeHandle(spark, h1)
+    assert(h2 ne h1)
+    assert(ids(h2.codes) == Seq(0L, 1L, 2L, 3L, 4L, 6L))
+    // mutation class 2: a tombstone flips it stale
+    assert(StreamingIngest.deleteStreamed(spark, st,
+      Seq(4L).toDF("vec_id"), "vec_id", "label") == 0L)
+    val h3 = StreamingIngest.refreshServeHandle(spark, h2)
+    assert(h3 ne h2)
+    assert(ids(h3.codes) == Seq(0L, 1L, 2L, 3L, 6L))
+    // mutation class 3: a fold publishes a generation — stale again,
+    // rows invariant, and the handle models stay coherent with
+    // loadStreamedIndex
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    val h4 = StreamingIngest.refreshServeHandle(spark, h3)
+    assert(h4 ne h3)
+    assert(ids(h4.codes) == Seq(0L, 1L, 2L, 3L, 6L))
+    val (_, cbRef, centsRef) = StreamingIngest.loadStreamedIndex(
+      spark, st, "vec_id", "label")
+    assert(h4.codebook.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+      cbRef.cents.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(h4.cents.isDefined == centsRef.isDefined)
+  }
+
   test("deleteStreamed refuses to interleave with a retrain (lock " +
       "fail-fast), and a mid-stage tombstone tmp fails the retrain — " +
       "the batch protocol's fences, mirrored") {
