@@ -705,6 +705,49 @@ private[graft] object EntriesAnn {
         "vec_id IN (SELECT doc_id FROM documents WHERE source IN (" +
         (0 until 20 by 2).map(i => s"'src$i'").mkString(", ") + ")))")))
 
+  /** Filtered search at HIGH selectivity — the recall guard's
+    * execution path ([[Ann.ivfPqTopKFiltered]]): the allowed set here
+    * is ~4% of the corpus, so a query's probed clusters typically
+    * hold fewer than k allowed candidates and the guard escalates
+    * those queries to probe-all over the filtered index (≡ brute ADC
+    * over the allowed set). The oracle models the guard itself — per
+    * query, the probed ranking when it holds ≥ k allowed candidates,
+    * the unrestricted-allowed ranking otherwise — so BOTH branches are
+    * pinned, and the recall behavior is proved, not asserted. At the
+    * larger bench SF the same entry exercises the non-escalated branch
+    * (the allowed-per-probed count crosses k), which is exactly the
+    * scale story: selectivity, not corpus size, chooses the path.
+    */
+  val annFilteredTopKSelective = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      val indexed = Ann.pqEncode(emb, "vec_id", "embedding", cb)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      val allowed = t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(25)) === 7)
+        .select(col("doc_id").as("vec_id"))
+      Ann.ivfPqTopKFiltered(indexed, "vec_id", "label",
+        Ann.pivotCentroids(emb, "label", "vec_id", "embedding"),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cb, k = 5, nprobe = 3, allowed)
+    },
+    Some {
+      val restricted = replaceExactlyOnce(IvfPqCtes,
+        "code AS (SELECT vec_id, label, s, cj FROM asg WHERE rn = 1)",
+        "code AS (SELECT vec_id, label, s, cj FROM asg WHERE rn = 1 AND " +
+          "vec_id IN (SELECT doc_id FROM documents WHERE doc_id % 25 = 7))")
+      restricted +
+        ", cntp AS (SELECT q_id, count(*) AS c FROM adc0 WHERE q_id <> nid GROUP BY 1)" +
+        ", qslA AS (SELECT q_id, sub.s, qe[(CAST(sub.s AS INT)*8+1):(CAST(sub.s AS INT)*8+8)] AS qv FROM q CROSS JOIN sub)" +
+        ", termA AS (SELECT qslA.q_id, code.vec_id AS nid, round(list_inner_product(qv, qv) - 2*list_inner_product(qv, cv) + list_inner_product(cv, cv), 9) AS t FROM qslA JOIN code ON code.s = qslA.s JOIN cent ON cent.s = code.s AND cent.cj = code.cj)" +
+        ", adcA AS (SELECT q_id, nid, round(sum(t), 4) AS adc FROM termA GROUP BY 1, 2)" +
+        ", rA AS (SELECT q_id, nid, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc, nid) AS rank FROM adcA WHERE q_id <> nid)" +
+        ", fullq AS (SELECT q_id FROM cntp WHERE c >= 5)" +
+        " SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5 AND q_id IN (SELECT q_id FROM fullq)" +
+        " UNION ALL SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM rA WHERE rank <= 5 AND q_id NOT IN (SELECT q_id FROM fullq)"
+    })
+
   /** Recall@5 of the IVF-PQ index against brute-force cosine ground
     * truth, measured IN-ENGINE — the index-quality gate a vector store
     * runs before serving ("measure, don't guess" applied to ANN): both

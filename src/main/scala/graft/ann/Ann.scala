@@ -1399,6 +1399,52 @@ object Ann {
     rankAdc(scored, k)
   }
 
+  /** FILTERED IVF-PQ top-k with a RECALL GUARD for selective
+    * predicates. The allowed ids (a metadata predicate the index does
+    * not carry) semi-join the index BROADCAST before anything else —
+    * a PRE-filter, so survivors are genuinely the best among allowed
+    * candidates, never a post-filtered short list — and the first pass
+    * is the standard probed scan ([[ivfPqTopK]]). A highly selective
+    * predicate can leave FEWER than k allowed candidates inside a
+    * query's probed clusters; those queries (detected from the
+    * first-pass result counts — a ≤|Q|·k-row driver collect, the same
+    * budget class as the query batch itself) ESCALATE to a probe-all
+    * pass over the filtered index, which is exactly brute-force ADC
+    * over the allowed set — the maximal widening of nprobe, so the
+    * guarded result is never worse than any intermediate widening.
+    * Plan shape: the allowed set is predicate-sized and broadcasts;
+    * the escalated pass re-runs ONLY the short queries; no
+    * embedding-carrying exchange is introduced (queries and models
+    * ride the same driver-collected path as [[ivfPqTopK]]).
+    */
+  def ivfPqTopKFiltered(
+      indexed: DataFrame, id: String, cluster: String,
+      centTable: DataFrame,
+      queries: DataFrame, qId: String, qVec: String,
+      cb: PqCodebook, k: Int, nprobe: Int,
+      allowed: DataFrame): DataFrame = {
+    val filtered = indexed.join(
+      broadcast(allowed.select(col(id)).distinct()), Seq(id), "left_semi")
+    val first = ivfPqTopK(filtered, id, cluster, centTable,
+      queries, qId, qVec, cb, k, nprobe).localCheckpoint()
+    val qIds = queries.select(col(qId).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fullQ = first.groupBy(col("q_id")).count()
+      .collect().filter(_.getLong(1) >= k).map(_.getLong(0)).toSet
+    val short = qIds -- fullQ
+    if (short.isEmpty) first
+    else {
+      val nClusters = centTable.select(col(cluster)).distinct()
+        .count().toInt
+      val escalated = ivfPqTopK(filtered, id, cluster, centTable,
+        queries.where(col(qId).cast("long")
+          .isInCollection(short)),
+        qId, qVec, cb, k, nprobe = nClusters)
+      first.where(!col("q_id").isInCollection(short))
+        .unionByName(escalated)
+    }
+  }
+
   /** Residual vectors against the coarse quantizer — the IVF-PQ
     * refinement of Jégou et al. 2011 §III: PQ-encode `v − c(v)` (the
     * offset from the assigned coarse centroid) instead of `v` itself.

@@ -849,6 +849,38 @@ class PlanAuditSpec extends SparkSpec {
       emb, "vec_id", "embedding", cb, cents, "label")))
   }
 
+  test("round-17: filtered search — the allowed-ids pre-filter is ONE " +
+      "LeftSemi broadcast hash join ahead of the probed ADC scan, and " +
+      "no keyed exchange carries an embedding or code column (the " +
+      "recall guard's first pass and its probe-all escalation share " +
+      "this exact shape, differing only in the probe count)") {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, pmod}
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cb = graft.ann.Ann.pqSeedCodebook(
+      emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val indexed = graft.ann.Ann.pqEncode(emb, "vec_id", "embedding", cb)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val allowed = docs.where(pmod(col("doc_id"), lit(25)) === 7)
+      .select(col("doc_id").as("vec_id"))
+    val filtered = indexed.join(
+      broadcast(allowed.select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_semi")
+    val first = graft.ann.Ann.ivfPqTopK(filtered, "vec_id", "label",
+      graft.ann.Ann.pivotCentroids(emb, "label", "vec_id", "embedding"),
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      cb, k = 5, nprobe = 3)
+    val p = first.queryExecution.explainString(FormattedMode)
+    val semis = p.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+      .toSeq
+    assert(semis.size == 1,
+      s"expected exactly one LeftSemi BHJ (the allowed pre-filter), " +
+        s"got ${semis.size}\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assertNoVectorCarryingExchange(p)
+  }
+
   /** No HASH/RANGE shuffle exchange may output an embedding-carrying
     * column: keyed exchanges multiply the corpus' vector bytes by the
     * stage's row fanout (the r14 two-level probe shuffled N·s rows each
