@@ -932,6 +932,40 @@ object Ann {
     RouterModel(supers.cls, supers.cvs, supers.cns, withSelf)
   }
 
+  /** Cell budget (k·dim) past which [[autoRouter]] dials assignment
+    * from flat to two-level routed. Chosen from the measured stress
+    * ladder (k = 1000·f, dim 64): flat's N·k dot stream turns
+    * quadratic when nlist ∝ N and loses to the router by ~12× at the
+    * f25 rung (1.6M cells) while still winning the f5 rung (320k
+    * cells) — the budget sits between them. Model size is ONE knob of
+    * a two-knob (N, k) crossover; a single-cell-count dispatch is the
+    * same deliberate simplification as [[LiteralModelBudget]], not a
+    * 2D cost model.
+    */
+  private[graft] val RoutedDispatchBudget = 524288L
+
+  /** MEASURED flat-vs-routed dispatch for assignment-heavy callers
+    * (retrain, drift-retrain, SemDeDup): None (flat — exact) while the
+    * coarse model holds at most [[RoutedDispatchBudget]] cells, else
+    * the stress ladder's routed shape — superCount ≈ √(2k), nprobe 2.
+    * Routing with nprobe < superCount is the DOCUMENTED membership
+    * approximation (codes stay exact; probe-all is exact and
+    * parity-spec'd against flat), so the dispatch engages only past
+    * the budget, where the ladder shows flat losing by an order of
+    * magnitude. Cost of the decision: one count+dim aggregate over the
+    * centroid table — metadata-cheap relative to any corpus pass it
+    * gates.
+    */
+  def autoRouter(
+      centTable: DataFrame, cluster: String): Option[(Int, Int)] = {
+    val row = centTable
+      .agg(count(lit(1)), max(size(toDouble(col("centroid"))))).head()
+    val k = row.getLong(0)
+    val dim = if (row.isNullAt(1)) 0 else row.getInt(1)
+    if (k * dim.toLong <= RoutedDispatchBudget) None
+    else Some((math.max(2, math.round(math.sqrt(2.0 * k)).toInt), 2))
+  }
+
   /** Two-level routed cosine argmax as ONE projection pass: per row,
     * rank the supers (round-4 cosine, (d asc, sp asc) — the published
     * probe rule), then take the argmax of round(cos, 4) with the
@@ -1841,8 +1875,11 @@ object Ann {
     // assignment is a projection over prep (the kernel appends the
     // cluster in place), so the vector/norm columns the pair stage
     // needs are simply CARRIED — the pre-r16 shape re-joined the
-    // corpus onto an (id, cluster) aggregate to re-attach them
-    val withCl = router match {
+    // corpus onto an (id, cluster) aggregate to re-attach them.
+    // A caller that doesn't choose gets the MEASURED dispatch
+    // ([[autoRouter]]): flat below the model budget, routed above it —
+    // the nlist ∝ N regime routes automatically.
+    val withCl = router.orElse(autoRouter(centRaw, cluster)) match {
       case Some((superCount, nprobe)) =>
         // the router's published contract types the cluster as long
         assignCosRouted(prep, "__v", "__n",

@@ -1878,7 +1878,10 @@ object StreamingIngest {
     * through the two-level model instead
     * ([[graft.ann.Ann.encodeAssignRouted]], N·(s + nprobe·k/s);
     * probe-all is provably exact, fewer probes are the documented
-    * membership approximation — codes are exact either way).
+    * membership approximation — codes are exact either way). A caller
+    * that leaves `router = None` gets the MEASURED dispatch
+    * ([[graft.ann.Ann.autoRouter]]): flat below the model-cell
+    * budget, routed above it — nlist ∝ N routes automatically.
     */
   def retrainStreamedIndex(
       spark: SparkSession, indexPath: String,
@@ -2041,7 +2044,12 @@ object StreamingIngest {
       else graft.ann.Ann.pqTrainCodebook(corpusClean, id, vec, m, ksub, iters)
     val n = completeOrPartialVersionMax(spark, indexPath) + 1
     val next = s"$indexPath/codes_v$n"
-    (router match {
+    // a caller that doesn't choose gets the MEASURED dispatch
+    // ([[graft.ann.Ann.autoRouter]]): flat below the model-cell
+    // budget, the stress ladder's routed shape above it — so a retrain
+    // whose nlist grew with the corpus routes automatically instead of
+    // re-running the quadratic flat stream by default
+    (router.orElse(graft.ann.Ann.autoRouter(centTable, cluster)) match {
       case Some((superCount, nprobe)) => graft.ann.Ann.encodeAssignRouted(
         corpusClean, id, vec, cb, centTable, cluster, superCount, nprobe)
       case None => graft.ann.Ann.encodeAssign(

@@ -708,6 +708,25 @@ class AnnSpec extends SparkSpec {
     assert(agree2 >= agree1)
   }
 
+  test("autoRouter: the measured dispatch stays flat (None) below the " +
+      "model-cell budget and returns the stress ladder's routed shape " +
+      "(superCount ≈ √(2k), nprobe 2) above it") {
+    val dim = 64
+    val small = (0 until 10)
+      .map(i => (i, Seq.fill(dim)(0.1 * (i + 1))))
+      .toDF("label", "centroid")
+    assert(Ann.autoRouter(small, "label").isEmpty)
+    // 10 · 64 = 640 cells ≤ budget; 9000 · 64 = 576000 > 524288
+    val k = 9000
+    val big = (0 until k)
+      .map(i => (i, Seq.fill(dim)(0.1)))
+      .toDF("label", "centroid")
+    assert(Ann.autoRouter(big, "label") ==
+      Some((math.round(math.sqrt(2.0 * k)).toInt, 2)))
+    // an empty centroid table is the degenerate flat case, not a crash
+    assert(Ann.autoRouter(small.where($"label" < 0), "label").isEmpty)
+  }
+
   test("assignClustersTwoLevel: a vector whose probed super routed no " +
       "members is never dropped — it assigns to the probed super itself") {
     val dim = 8
