@@ -77,16 +77,54 @@ def main():
         rows.append((name, tp, tc, ratio, ctl_ratio, verdict))
     if not rows:
         print(f"no entries moved by >= {min_ratio}x in either direction")
+    else:
+        w = max(len(r[0]) for r in rows)
+        print(f"{'entry':<{w}}  {'prev_s':>8} {'cur_s':>8} {'ratio':>6} "
+              f"{'ctl_ratio':>9}  verdict")
+        for name, tp, tc, ratio, ctl_ratio, verdict in rows:
+            cr = f"{ctl_ratio:9.2f}" if ctl_ratio is not None else "        -"
+            print(f"{name:<{w}}  {tp:8.3f} {tc:8.3f} {ratio:6.2f} {cr}  "
+                  f"{verdict}")
+        n_sus = sum(1 for r in rows if r[5] == "PLAN-SUSPECT")
+        print(f"\n{len(rows)} moved >= {min_ratio}x; {n_sus} plan-change "
+              f"suspect(s) (regressed against a quiet group control)")
+    phase_check(prev, cur, min_ratio)
+
+
+def phase_check(prev, cur, min_ratio, floor=0.2):
+    """Phase-level adjudication (r17+): entries carry stage splits under
+    `phases` (`<entry>.<stage>`), so a regression localizes to a stage
+    instead of hiding inside a total. The drain-backed entries' split
+    (drain_models / drain_stage / drain_commit) exists specifically so
+    a model re-resolution regression — the r16 per-micro-batch codebook
+    re-read class — surfaces as a named phase: any `*.drain_models`
+    growth past the ratio gate is called out as MODEL-RESOLVE-SUSPECT
+    regardless of what the entry total did. Sub-`floor`-second phases
+    are skipped as timer noise."""
+    pp, cp = prev.get("phases", {}), cur.get("phases", {})
+    rows = []
+    for name in sorted(set(pp) & set(cp)):
+        tp, tc = pp[name], cp[name]
+        if tp is None or tc is None or max(tp, tc) < floor or tp <= 0:
+            continue
+        ratio = tc / tp
+        if ratio < min_ratio and ratio > 1.0 / min_ratio:
+            continue
+        verdict = ("MODEL-RESOLVE-SUSPECT"
+                   if name.endswith(".drain_models") and ratio >= min_ratio
+                   else "regressed" if ratio >= min_ratio else "faster")
+        rows.append((name, tp, tc, ratio, verdict))
+    if not rows:
+        print(f"phases: none moved >= {min_ratio}x (floor {floor}s)")
         return
     w = max(len(r[0]) for r in rows)
-    print(f"{'entry':<{w}}  {'prev_s':>8} {'cur_s':>8} {'ratio':>6} "
-          f"{'ctl_ratio':>9}  verdict")
-    for name, tp, tc, ratio, ctl_ratio, verdict in rows:
-        cr = f"{ctl_ratio:9.2f}" if ctl_ratio is not None else "        -"
-        print(f"{name:<{w}}  {tp:8.3f} {tc:8.3f} {ratio:6.2f} {cr}  {verdict}")
-    n_sus = sum(1 for r in rows if r[5] == "PLAN-SUSPECT")
-    print(f"\n{len(rows)} moved >= {min_ratio}x; {n_sus} plan-change "
-          f"suspect(s) (regressed against a quiet group control)")
+    print(f"\n{'phase':<{w}}  {'prev_s':>8} {'cur_s':>8} {'ratio':>6}  verdict")
+    for name, tp, tc, ratio, verdict in rows:
+        print(f"{name:<{w}}  {tp:8.3f} {tc:8.3f} {ratio:6.2f}  {verdict}")
+    n_mr = sum(1 for r in rows if r[4] == "MODEL-RESOLVE-SUSPECT")
+    if n_mr:
+        print(f"{n_mr} drain model-resolution suspect(s) — the per-batch "
+              "re-read class; see StreamingIngest.annIndexUpsertDrain")
 
 
 if __name__ == "__main__":
