@@ -755,6 +755,96 @@ object ScaleStress {
             post
           })
       }),
+      "ann_index_delete_percall" -> (f => {
+        // AMORTIZATION CONTRAST for deletes: 10 ids removed via 10
+        // SINGLE-id calls, against the batched form `delete_live`
+        // times (its 200 ids resolve membership in ONE call — one
+        // pruned serving-view scan, one tombstone). Per CALL the cost
+        // is the scan + a tombstone-sized write, so n calls pay n
+        // scans where one n-id call pays one — this rung is the
+        // measured "batch your takedowns" argument, and like
+        // delete_live it must stay flat across f (the scan is
+        // two-column pruned).
+        val dir = lifecycleIndex(f, "dp")
+        val cents = spark.read.parquet(s"$dir/cents_ext")
+        val shift = {
+          val p = Paths.get(s"$dir/next_del")
+          val n0 =
+            if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toLong
+            else 0L
+          Files.write(p, (n0 + 1).toString.getBytes)
+          9000000000L + n0 * 1000L
+        }
+        val pre = StreamingIngest.loadStreamedCodes(
+          spark, dir, "vec_id", "cl").count()
+        val batch = emb(f).where(col("vec_id") < 10)
+          .withColumn("vec_id", col("vec_id") + lit(shift))
+          .localCheckpoint()
+        val cbDp = graft.ann.Ann.readCodebook(spark, s"$dir/codebook")
+        val b = nextBatchIds(dir, 1).head
+        graft.ann.Ann.encodeAssign(
+            batch, "vec_id", "embedding", cbDp, cents, "cl")
+          .write.mode("overwrite").partitionBy("cl")
+          .parquet(s"$dir/stream/batch=$b")
+        val ids = batch.select(col("vec_id")).collect().map(_.getLong(0))
+        (() => ids.foreach { i =>
+            StreamingIngest.deleteStreamed(spark, dir,
+              batch.where(col("vec_id") === i).select(col("vec_id")),
+              "vec_id", "cl")
+            ()
+          },
+          () => {
+            val post = StreamingIngest.loadStreamedCodes(
+              spark, dir, "vec_id", "cl").count()
+            require(post == pre,
+              s"per-call deletes did not restore the serve: $pre -> $post")
+            post
+          })
+      }),
+      "ann_index_compact_full_grown" -> (f => {
+        // the r16 full-fold reading came from a WIPED tree — one
+        // generation deep, constant-dominated (1.6 s at f25). This
+        // rung folds the SAME fixed staging into an index GROWN by 8
+        // prior stage+fold cycles (untimed, marker-guarded): the
+        // steady-state shape a long-lived index folds under —
+        // grace-retained prior generation, carried model tables,
+        // applied-tombstone markers, a longer root listing, and the
+        // accumulated rows of every prior cycle. Quote ∝-index fold
+        // slopes from THIS rung; the fresh rung stays for cross-round
+        // comparability.
+        val dir = lifecycleIndex(f, "cg")
+        val cents = spark.read.parquet(s"$dir/cents_ext")
+        val cb = graft.ann.Ann.readCodebook(spark, s"$dir/codebook")
+        def stageN(n: Int): Unit = nextBatchIds(dir, n).foreach { b =>
+          val batch = emb(f).where(col("vec_id") < 50)
+            .withColumn("vec_id",
+              col("vec_id") + lit(60000000L + b * 1000L))
+          graft.ann.Ann.pqEncode(batch, "vec_id", "embedding", cb)
+            .join(graft.ann.Ann.assignClusters(
+              batch, "vec_id", "embedding", cents, "cl"), "vec_id")
+            .write.mode("overwrite").partitionBy("cl")
+            .parquet(s"$dir/stream/batch=$b")
+        }
+        if (!Files.exists(Paths.get(s"$dir/_grown8"))) {
+          (0 until 8).foreach { _ =>
+            stageN(4)
+            StreamingIngest.compactStreamedIndex(spark, dir, "vec_id", "cl")
+          }
+          Files.createFile(Paths.get(s"$dir/_grown8"))
+        }
+        stageN(4)
+        val pre = StreamingIngest.loadStreamedCodes(
+          spark, dir, "vec_id", "cl").count()
+        (() => StreamingIngest.compactStreamedIndex(
+            spark, dir, "vec_id", "cl"),
+          () => {
+            val post = StreamingIngest.loadStreamedCodes(
+              spark, dir, "vec_id", "cl").count()
+            require(post == pre,
+              s"serve not invariant under grown fold: $pre -> $post")
+            post
+          })
+      }),
       "ann_index_compact_fixed_staging" -> (f => {
         // FIXED staging (4 batches × 50 rows) over the f× index: the
         // fold rewrites the serving view, so the rung must track the
