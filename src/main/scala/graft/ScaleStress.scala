@@ -798,6 +798,12 @@ object ScaleStress {
               spark, dir, "vec_id", "cl").count()
             require(post == pre,
               s"per-call deletes did not restore the serve: $pre -> $post")
+            // keep the rung STATIONARY across invocations: fold the 10
+            // tombstones (untimed) so the next run's serve does not
+            // apply an ever-growing live-tombstone set — without this
+            // the rung measures tombstone accumulation, not the
+            // per-call probe
+            StreamingIngest.compactStreamedIndex(spark, dir, "vec_id", "cl")
             post
           })
       }),
@@ -1063,8 +1069,8 @@ object ScaleStress {
         s""""ops":{$opsJson},$guardJson}"""
     println(json)
     val outName =
-      if (factors == Seq(1, 3, 10)) "STRESS_r16.json"
-      else s"STRESS_r16_f${factors.last}.json"
+      if (factors == Seq(1, 3, 10)) "STRESS_r17.json"
+      else s"STRESS_r17_f${factors.last}.json"
     Files.write(Paths.get(outName),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
