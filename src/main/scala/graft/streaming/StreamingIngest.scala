@@ -1780,6 +1780,7 @@ object StreamingIngest {
       indexPath: String, id: String, cluster: String,
       manifestBudget: Int,
       private[streaming] val fingerprint: Seq[(String, Long)],
+      private[streaming] val openedAtMs: Long,
       codes: DataFrame,
       codebook: graft.ann.Ann.PqCodebook,
       cents: Option[DataFrame])
@@ -1817,7 +1818,8 @@ object StreamingIngest {
     val (cb, cents) = versionedModels(spark, indexPath)
     val codes = loadStreamedCodes(spark, indexPath, id, cluster,
       manifestBudget = manifestBudget)
-    ServeHandle(indexPath, id, cluster, manifestBudget, fp, codes, cb, cents)
+    ServeHandle(indexPath, id, cluster, manifestBudget, fp,
+      System.currentTimeMillis(), codes, cb, cents)
   }
 
   /** The ≤1-listing warm serve: re-fingerprint (ONE root listing); on
@@ -1830,6 +1832,25 @@ object StreamingIngest {
     if (serveFingerprint(spark, h.indexPath) == h.fingerprint) h
     else openServeHandle(spark, h.indexPath, h.id, h.cluster,
       h.manifestBudget)
+
+  /** TTL refresh for filesystems whose directory mtimes cannot carry
+    * the fingerprint (object stores — see [[serveFingerprint]]):
+    * within `maxAgeMs` of the handle's resolution the held snapshot
+    * serves with ZERO FS ops; past it the handle re-resolves
+    * UNCONDITIONALLY (no fingerprint comparison — on a store where the
+    * fingerprint cannot move, comparing it would turn the TTL into
+    * "never refresh"). Bounded staleness as one argument instead of
+    * caller-side clock code; on HDFS-semantics filesystems prefer
+    * [[refreshServeHandle]], which detects mutations instead of
+    * assuming them.
+    */
+  def refreshServeHandleTtl(
+      spark: SparkSession, h: ServeHandle, maxAgeMs: Long): ServeHandle = {
+    require(maxAgeMs >= 0, s"maxAgeMs must be >= 0, got $maxAgeMs")
+    if (System.currentTimeMillis() - h.openedAtMs <= maxAgeMs) h
+    else openServeHandle(spark, h.indexPath, h.id, h.cluster,
+      h.manifestBudget)
+  }
 
   /** RE-TRAIN the index on the current corpus and publish the result
     * as the next generation — the migration path a growing corpus

@@ -2018,6 +2018,17 @@ class StreamingIngestSpec extends SparkSpec {
     assert(h4.codebook.cents.map(_.map(_.toSeq).toSeq).toSeq ==
       cbRef.cents.map(_.map(_.toSeq).toSeq).toSeq)
     assert(h4.cents.isDefined == centsRef.isDefined)
+    // TTL refresh (the object-store policy): within the TTL the held
+    // snapshot serves with ZERO FS ops; past it the handle re-resolves
+    // unconditionally — no fingerprint trust
+    val c2 = StreamingIngest.indexListings.get()
+    assert(StreamingIngest.refreshServeHandleTtl(spark, h4, 3600000L) eq h4)
+    assert(StreamingIngest.indexListings.get() == c2,
+      "a within-TTL refresh must cost zero lifecycle FS ops")
+    Thread.sleep(5)
+    val h5 = StreamingIngest.refreshServeHandleTtl(spark, h4, 0L)
+    assert(h5 ne h4)
+    assert(ids(h5.codes) == ids(h4.codes))
   }
 
   test("deleteStreamed refuses to interleave with a retrain (lock " +
