@@ -831,12 +831,21 @@ object ScaleStress {
             .write.mode("overwrite").partitionBy("cl")
             .parquet(s"$dir/stream/batch=$b")
         }
-        if (!Files.exists(Paths.get(s"$dir/_grown8"))) {
-          (0 until 8).foreach { _ =>
-            stageN(4)
-            StreamingIngest.compactStreamedIndex(spark, dir, "vec_id", "cl")
-          }
-          Files.createFile(Paths.get(s"$dir/_grown8"))
+        // growth is counted PER CYCLE, not by a single end marker: a
+        // crash mid-growth resumes at the recorded cycle instead of
+        // stacking 8 fresh cycles on a partially-grown tree (which
+        // would silently deepen the "grown by 8" steady state the rung
+        // quotes). Trees grown under the old _grown8 marker migrate.
+        val gp = Paths.get(s"$dir/grown_cycles")
+        if (Files.exists(Paths.get(s"$dir/_grown8")) && !Files.exists(gp))
+          Files.write(gp, "8".getBytes)
+        def grownCycles(): Int =
+          if (Files.exists(gp)) new String(Files.readAllBytes(gp)).trim.toInt
+          else 0
+        while (grownCycles() < 8) {
+          stageN(4)
+          StreamingIngest.compactStreamedIndex(spark, dir, "vec_id", "cl")
+          Files.write(gp, (grownCycles() + 1).toString.getBytes)
         }
         stageN(4)
         val pre = StreamingIngest.loadStreamedCodes(

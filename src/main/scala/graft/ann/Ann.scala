@@ -1451,7 +1451,12 @@ object Ann {
     * embedding-carrying exchange is introduced (queries and models
     * ride the same driver-collected path as [[ivfPqTopK]]).
     */
-  def ivfPqTopKFiltered(
+  /** The guarded search's single scan shape, extracted so the plan
+    * audit exercises the REAL code path (both passes share it — the
+    * escalation differs only in `nprobe`): allowed ids broadcast
+    * semi-joined ahead of the probed ADC ranking.
+    */
+  private[graft] def filteredScan(
       indexed: DataFrame, id: String, cluster: String,
       centTable: DataFrame,
       queries: DataFrame, qId: String, qVec: String,
@@ -1459,8 +1464,18 @@ object Ann {
       allowed: DataFrame): DataFrame = {
     val filtered = indexed.join(
       broadcast(allowed.select(col(id)).distinct()), Seq(id), "left_semi")
-    val first = ivfPqTopK(filtered, id, cluster, centTable,
-      queries, qId, qVec, cb, k, nprobe).localCheckpoint()
+    ivfPqTopK(filtered, id, cluster, centTable,
+      queries, qId, qVec, cb, k, nprobe)
+  }
+
+  def ivfPqTopKFiltered(
+      indexed: DataFrame, id: String, cluster: String,
+      centTable: DataFrame,
+      queries: DataFrame, qId: String, qVec: String,
+      cb: PqCodebook, k: Int, nprobe: Int,
+      allowed: DataFrame): DataFrame = {
+    val first = filteredScan(indexed, id, cluster, centTable,
+      queries, qId, qVec, cb, k, nprobe, allowed).localCheckpoint()
     val qIds = queries.select(col(qId).cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet
     val fullQ = first.groupBy(col("q_id")).count()
@@ -1470,10 +1485,10 @@ object Ann {
     else {
       val nClusters = centTable.select(col(cluster)).distinct()
         .count().toInt
-      val escalated = ivfPqTopK(filtered, id, cluster, centTable,
+      val escalated = filteredScan(indexed, id, cluster, centTable,
         queries.where(col(qId).cast("long")
           .isInCollection(short)),
-        qId, qVec, cb, k, nprobe = nClusters)
+        qId, qVec, cb, k, nprobe = nClusters, allowed)
       first.where(!col("q_id").isInCollection(short))
         .unionByName(escalated)
     }
@@ -1876,10 +1891,17 @@ object Ann {
     // cluster in place), so the vector/norm columns the pair stage
     // needs are simply CARRIED — the pre-r16 shape re-joined the
     // corpus onto an (id, cluster) aggregate to re-attach them.
-    // A caller that doesn't choose gets the MEASURED dispatch
-    // ([[autoRouter]]): flat below the model budget, routed above it —
-    // the nlist ∝ N regime routes automatically.
-    val withCl = router.orElse(autoRouter(centRaw, cluster)) match {
+    // A caller that doesn't choose gets the MEASURED dispatch: flat
+    // below [[RoutedDispatchBudget]], routed above it — the nlist ∝ N
+    // regime routes automatically. The flat model collect doubles as
+    // the measurement (its cells ARE the budget metric), so the
+    // common flat path pays exactly its pre-dispatch cost: no
+    // separate decision aggregate. When the dispatch trips, the
+    // routed cluster is cast back to the centroid table's own type —
+    // engaging it must never change the output SCHEMA (looser
+    // membership past the budget is the documented approximation;
+    // the column type is not allowed to drift with it).
+    val withCl = router match {
       case Some((superCount, nprobe)) =>
         // the router's published contract types the cluster as long
         assignCosRouted(prep, "__v", "__n",
@@ -1888,8 +1910,22 @@ object Ann {
           .withColumn("cl", col("__c"))
       case None =>
         val (m, dt) = collectCosModel(centRaw, cluster)
-        assignCos(prep, "__v", "__n", m, "__c", "__cs")
-          .withColumn("cl", col("__c").cast(dt))
+        if (m.cells <= RoutedDispatchBudget)
+          assignCos(prep, "__v", "__n", m, "__c", "__cs")
+            .withColumn("cl", col("__c").cast(dt))
+        else {
+          // routed regime: when the centroid table derives from the
+          // corpus (cents = None), materialize it once so the
+          // router's distributed k-row routing pass reads the small
+          // table instead of re-running the corpus aggregation
+          val centT = if (cents.isEmpty) centRaw.localCheckpoint()
+            else centRaw
+          assignCosRouted(prep, "__v", "__n",
+              buildRouter(centT, cluster,
+                math.max(2, math.round(math.sqrt(2.0 * m.k)).toInt)), 2,
+              "__c", "__cs")
+            .withColumn("cl", col("__c").cast(dt))
+        }
     }
     val assigned = withCl
       .select(col("__id"), col("cl"), col("__v"), col("__n"))

@@ -752,7 +752,14 @@ object StreamingIngest {
               val (mcb, mcents) =
                 versionedModelsAt(spark, indexPath, genPath)
               // published centroids pin once per generation too — they
-              // are generation-immutable and coarse-model-sized
+              // are generation-immutable and coarse-model-sized.
+              // Retention is bounded, not monotone: replacing the
+              // entry drops the only reference to the superseded
+              // checkpoint, and the ContextCleaner reclaims its blocks
+              // on GC — at most one model-sized table in flight per
+              // retrain (Spark exposes no eager unpersist for
+              // localCheckpoint state); centBase likewise holds ONE
+              // model-sized table for the drain's lifetime
               val held = (mcb, mcents.map(_.localCheckpoint()))
               modelCache = Some((genPath, epoch, held._1, held._2))
               held
@@ -1814,24 +1821,48 @@ object StreamingIngest {
       spark: SparkSession, indexPath: String,
       id: String, cluster: String,
       manifestBudget: Int = DefaultManifestBudget): ServeHandle = {
+    // captured BEFORE the fingerprint listing: the guard compares this
+    // against the newest fingerprinted mtime, and an earlier stamp can
+    // only cause extra re-opens, never hide a colliding mutation
+    val t0 = System.currentTimeMillis()
     val fp = serveFingerprint(spark, indexPath)
     val (cb, cents) = versionedModels(spark, indexPath)
     val codes = loadStreamedCodes(spark, indexPath, id, cluster,
       manifestBudget = manifestBudget)
-    ServeHandle(indexPath, id, cluster, manifestBudget, fp,
-      System.currentTimeMillis(), codes, cb, cents)
+    ServeHandle(indexPath, id, cluster, manifestBudget, fp, t0,
+      codes, cb, cents)
   }
+
+  /** Mutations landing in the SAME millisecond as a fingerprinted
+    * mtime are invisible to the comparison (directory mtimes carry ms
+    * precision); a handle resolved within this window of its newest
+    * fingerprinted mtime therefore re-opens instead of trusting a
+    * match. Assumes the observer clock and the FS mtimes share a
+    * timebase (same machine / NTP-close) — skew only widens or
+    * narrows the window of EXTRA re-opens, never re-hides a mutation
+    * older than the skew.
+    */
+  private val MtimeGuardMs = 10L
 
   /** The ≤1-listing warm serve: re-fingerprint (ONE root listing); on
     * a match return the SAME handle — view and models reused, zero
-    * further FS resolution; on movement re-open. Callers serve in a
-    * loop as `h = refresh(spark, h); use(h.codes)`.
+    * further FS resolution; on movement re-open. A handle opened
+    * while the index was actively mutating (its resolution within
+    * [[MtimeGuardMs]] of the newest fingerprinted mtime) re-opens
+    * unconditionally — a colliding same-millisecond mutation could
+    * hide behind an equal fingerprint there; the cost is only an
+    * extra re-open, and the replacement handle, opened against the
+    * now-quiet index, refreshes warm. Callers serve in a loop as
+    * `h = refresh(spark, h); use(h.codes)`.
     */
   def refreshServeHandle(
-      spark: SparkSession, h: ServeHandle): ServeHandle =
-    if (serveFingerprint(spark, h.indexPath) == h.fingerprint) h
+      spark: SparkSession, h: ServeHandle): ServeHandle = {
+    val newest = h.fingerprint.map(_._2).maxOption.getOrElse(0L)
+    if (h.openedAtMs > newest + MtimeGuardMs &&
+        serveFingerprint(spark, h.indexPath) == h.fingerprint) h
     else openServeHandle(spark, h.indexPath, h.id, h.cluster,
       h.manifestBudget)
+  }
 
   /** TTL refresh for filesystems whose directory mtimes cannot carry
     * the fingerprint (object stores — see [[serveFingerprint]]):
@@ -2065,19 +2096,24 @@ object StreamingIngest {
       else graft.ann.Ann.pqTrainCodebook(corpusClean, id, vec, m, ksub, iters)
     val n = completeOrPartialVersionMax(spark, indexPath) + 1
     val next = s"$indexPath/codes_v$n"
+    // the centroid table is read three times below (dispatch
+    // measurement, encode, `_centroids` publication) and may itself
+    // derive from the corpus — materialize it ONCE so those reads are
+    // small-table reads, not repeated corpus aggregations
+    val centLocal = centTable.localCheckpoint()
     // a caller that doesn't choose gets the MEASURED dispatch
     // ([[graft.ann.Ann.autoRouter]]): flat below the model-cell
     // budget, the stress ladder's routed shape above it — so a retrain
     // whose nlist grew with the corpus routes automatically instead of
     // re-running the quadratic flat stream by default
-    (router.orElse(graft.ann.Ann.autoRouter(centTable, cluster)) match {
+    (router.orElse(graft.ann.Ann.autoRouter(centLocal, cluster)) match {
       case Some((superCount, nprobe)) => graft.ann.Ann.encodeAssignRouted(
-        corpusClean, id, vec, cb, centTable, cluster, superCount, nprobe)
+        corpusClean, id, vec, cb, centLocal, cluster, superCount, nprobe)
       case None => graft.ann.Ann.encodeAssign(
-        corpusClean, id, vec, cb, centTable, cluster)
+        corpusClean, id, vec, cb, centLocal, cluster)
     }).write.mode("overwrite").partitionBy(cluster).parquet(next)
     graft.ann.Ann.writeCodebook(spark, cb, s"$next/_codebook")
-    centTable.select(col(cluster), col("centroid"))
+    centLocal.select(col(cluster), col("centroid"))
       .repartition(1).write.mode("overwrite").parquet(s"$next/_centroids")
     // new models ⇒ new epoch (the version number is monotone across
     // publications, so it serves as the counter); inside the dir, so

@@ -854,7 +854,7 @@ class PlanAuditSpec extends SparkSpec {
       "no keyed exchange carries an embedding or code column (the " +
       "recall guard's first pass and its probe-all escalation share " +
       "this exact shape, differing only in the probe count)") {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, pmod}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
     val emb = Tables.load(spark, sfDir, "embeddings")
     val docs = Tables.load(spark, sfDir, "documents")
     val cb = graft.ann.Ann.pqSeedCodebook(
@@ -863,22 +863,26 @@ class PlanAuditSpec extends SparkSpec {
       .join(emb.select(col("vec_id"), col("label")), "vec_id")
     val allowed = docs.where(pmod(col("doc_id"), lit(25)) === 7)
       .select(col("doc_id").as("vec_id"))
-    val filtered = indexed.join(
-      broadcast(allowed.select(col("vec_id")).distinct()),
-      Seq("vec_id"), "left_semi")
-    val first = graft.ann.Ann.ivfPqTopK(filtered, "vec_id", "label",
-      graft.ann.Ann.pivotCentroids(emb, "label", "vec_id", "embedding"),
-      emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      cb, k = 5, nprobe = 3)
-    val p = first.queryExecution.explainString(FormattedMode)
-    val semis = p.linesIterator
-      .filter(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
-      .toSeq
-    assert(semis.size == 1,
-      s"expected exactly one LeftSemi BHJ (the allowed pre-filter), " +
-        s"got ${semis.size}\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
-    assertNoVectorCarryingExchange(p)
+    val cents = graft.ann.Ann.pivotCentroids(
+      emb, "label", "vec_id", "embedding")
+    // audit the REAL scan the guard executes (filteredScan is the one
+    // code path both passes share), at the first-pass probe count AND
+    // at probe-all (the escalation)
+    for (np <- Seq(3, 10)) {
+      val p = graft.ann.Ann.filteredScan(indexed, "vec_id", "label",
+          cents, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cb, k = 5, nprobe = np, allowed)
+        .queryExecution.explainString(FormattedMode)
+      val semis = p.linesIterator
+        .filter(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+        .toSeq
+      assert(semis.size == 1,
+        s"nprobe=$np: expected exactly one LeftSemi BHJ (the allowed " +
+          s"pre-filter), got ${semis.size}\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        p)
+      assertNoVectorCarryingExchange(p)
+    }
   }
 
   /** No HASH/RANGE shuffle exchange may output an embedding-carrying

@@ -1980,6 +1980,10 @@ class StreamingIngestSpec extends SparkSpec {
     def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
       df.select($"vec_id").as[Long].collect().sorted.toSeq
     stage(0L, Seq((1L, unit(0), 0)))
+    // clear the same-millisecond guard: a handle opened within
+    // MtimeGuardMs of the last mutation deliberately re-opens on
+    // refresh instead of trusting the fingerprint
+    Thread.sleep(30)
     val h0 = StreamingIngest.openServeHandle(spark, st, "vec_id", "label")
     assert(ids(h0.codes) ==
       ids(StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label")))
@@ -1995,6 +1999,15 @@ class StreamingIngestSpec extends SparkSpec {
     assert(StreamingIngest.refreshServeHandle(spark, h1) eq h0)
     assert(StreamingIngest.refreshServeHandle(spark, h1) eq h0)
     assert(StreamingIngest.indexListings.get() - c1 == 2)
+    // the same-millisecond guard: a handle whose resolution stamp sits
+    // inside the guard window of its newest fingerprinted mtime
+    // re-opens on refresh even though the fingerprint MATCHES (a
+    // colliding same-ms mutation could hide behind the match); the
+    // replacement serves the same rows
+    val hIn = h1.copy(openedAtMs = h1.fingerprint.map(_._2).max)
+    val hOut = StreamingIngest.refreshServeHandle(spark, hIn)
+    assert(hOut ne hIn)
+    assert(ids(hOut.codes) == ids(h1.codes))
     // mutation class 1: a staged batch flips the handle stale
     stage(1L, Seq((3L, unit(2), 1)))
     val h2 = StreamingIngest.refreshServeHandle(spark, h1)

@@ -103,9 +103,21 @@ def phase_check(prev, cur, min_ratio, floor=0.2):
     are skipped as timer noise."""
     pp, cp = prev.get("phases", {}), cur.get("phases", {})
     rows = []
-    for name in sorted(set(pp) & set(cp)):
-        tp, tc = pp[name], cp[name]
-        if tp is None or tc is None or max(tp, tc) < floor or tp <= 0:
+    for name in sorted(cp):
+        tp, tc = pp.get(name), cp[name]
+        if tc is None:
+            continue
+        if tp is None or tp <= 0:
+            # a watched phase that blew past the floor from ~zero (or
+            # from absent — first round with the split, name drift) is
+            # exactly the from-cold regression a ratio can't express;
+            # flag it for the targeted class, skip the rest (genuinely
+            # new entries appear every round)
+            if tc >= floor and name.endswith(".drain_models"):
+                rows.append((name, tp or 0.0, tc, float("inf"),
+                             "MODEL-RESOLVE-SUSPECT"))
+            continue
+        if max(tp, tc) < floor:
             continue
         ratio = tc / tp
         if ratio < min_ratio and ratio > 1.0 / min_ratio:
