@@ -1313,6 +1313,45 @@ private[graft] object EntriesMultimodal {
       threshold = 0.3),
     Some("WITH cent AS (SELECT label AS cl, arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)), vec_id) AS cv FROM embeddings GROUP BY label), v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), asg AS (SELECT vec_id, e, cl FROM (SELECT v.vec_id, v.e, c.cl, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC, c.cl) AS r FROM v CROSS JOIN cent c) WHERE r = 1), p AS (SELECT b.vec_id AS id2 FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id AND round(list_cosine_similarity(a.e, b.e), 4) >= 0.3), dr AS (SELECT DISTINCT id2 FROM p) SELECT asg.vec_id, asg.cl AS cluster, (dr.id2 IS NULL) AS keep FROM asg LEFT JOIN dr ON asg.vec_id = dr.id2"))
 
+  /** STREAMING SemDeDup ([[graft.streaming.StreamingIngest
+    * .semanticDedupDrain]]) — continuous semantic near-dup pruning of
+    * an ingest stream: the corpus arrives as 4 id-RANGE parquet files
+    * drained one per micro-batch (written sequentially, so the file
+    * source's modification-time order matches ascending id order —
+    * the drain's exact-parity precondition), and each batch is deduped
+    * within itself and against everything drained before it, INCLUDING
+    * already-dropped rows (the one-shot rule drops through a dropped
+    * witness). Assignment uses the same full-corpus pivot centroids
+    * the one-shot entry derives internally, so the union of drained
+    * verdicts must equal the one-shot operator EXACTLY: the entry
+    * shares `dedup_semantic`'s oracle VERBATIM — the
+    * st_weighted_sample parity discipline.
+    */
+  val stDedupSemantic = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+      val scratch = scratchPath("graft_st_sem")
+      val path = scratch.toString
+      val mx = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      var lo = 0L
+      Seq(mx / 4, mx / 2, 3 * mx / 4, mx).foreach { hi =>
+        emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("append").parquet(s"$path/in")
+        lo = hi
+      }
+      graft.streaming.StreamingIngest.semanticDedupDrain(
+          s.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$path/in"),
+          path, s"$path/ckpt", "vec_id", "embedding", "label",
+          threshold = 0.3, cents)
+        .awaitTermination()
+      servedThenCleanup(
+        graft.streaming.StreamingIngest.loadSemanticDedup(s, path),
+        scratch)
+    },
+    dedupSemantic.oracle)
+
   /** SemDeDup with the TWO-LEVEL assignment router ([[Ann
     * .assignClustersTwoLevel]]) — the configuration a web-scale
     * SemDeDup needs: with nlist tracking the corpus, the flat N·k

@@ -1945,6 +1945,56 @@ object Ann {
         col("__drop").isNull.as("keep"))
   }
 
+  /** One micro-batch step of the STREAMING SemDeDup drain
+    * ([[graft.streaming.StreamingIngest.semanticDedupDrain]]): assign
+    * the batch with the FIXED coarse model, then apply the one-shot
+    * keep rule decomposed across batches — a row is dropped iff a
+    * similar (round-4 cosine ≥ threshold, same cluster) LOWER-id row
+    * exists either within this batch or among `seen` (EVERY previously
+    * drained row, kept or dropped: the one-shot rule keys on any lower
+    * similar row, not just a kept one — pruning `seen` to keepers
+    * would resurrect rows the one-shot drops through a dropped
+    * witness). When rows arrive in non-decreasing id order, the
+    * drained verdicts equal [[semanticDedup]] on the full corpus
+    * EXACTLY (the parity the entry proves by sharing its oracle);
+    * out-of-order arrival degrades gracefully to first-seen-wins — a
+    * lower id arriving AFTER a higher one cannot retroactively drop
+    * it. Plan shape: the small batch broadcasts into the seen-side
+    * cluster join, so the accumulated state never shuffles; per-batch
+    * work is |batch| × (seen ∩ batch clusters) — the one-shot Σ|c|²
+    * total, paid incrementally.
+    *
+    * @return (verdicts (id, cluster, keep), state rows to append)
+    */
+  private[graft] def semanticDedupStep(
+      batch: DataFrame, seen: Option[DataFrame], id: String, vec: String,
+      cluster: String, threshold: Double, centTable: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val (m, dt) = collectCosModel(centTable, cluster)
+    val b = assignCos(
+        widen(prepared(batch, id, vec, "__id", "__v", "__n")),
+        "__v", "__n", m, "__c", "__cs")
+      .select(col("__id"), col("__c").cast(dt).as("cl"),
+        col("__v"), col("__n"))
+      .localCheckpoint()
+    def side(df: DataFrame, n: Int) = df.select(col("cl"),
+      col("__id").as(s"id$n"), col("__v").as(s"v$n"), col("__n").as(s"n$n"))
+    val within = side(b, 1).join(side(b, 2), "cl")
+      .where(col("id1") < col("id2"))
+    val vsSeen = seen.map(sn => side(sn, 1)
+      .join(broadcast(side(b, 2)), "cl")
+      .where(col("id1") < col("id2")))
+    val dropped = (Seq(within) ++ vsSeen).reduce(_ unionByName _)
+      .where(round(dotD(col("v1"), col("v2")) /
+        (col("n1") * col("n2")), 4) >= threshold)
+      .select(col("id2").as("__id")).distinct()
+      .withColumn("__drop", lit(true))
+    val out = b.join(dropped, Seq("__id"), "left")
+      .select(col("__id").as(id), col("cl").as("cluster"),
+        col("__drop").isNull.as("keep"))
+    (out, b)
+  }
+
   /** Deterministic Rademacher hyperplanes: component (j, d) is ±1 from a
     * seeded hash — reproducible across runs with no RNG state.
     */

@@ -794,6 +794,64 @@ object StreamingIngest {
       .start()
   }
 
+  /** STREAMING SemDeDup — continuous semantic near-dup pruning of an
+    * ingest stream against everything drained before it
+    * ([[graft.ann.Ann.semanticDedupStep]] per micro-batch): each batch
+    * is assigned with the FIXED coarse model (`centTable`,
+    * materialized once per drain), compared within itself and against
+    * the accumulated state, and its verdicts land at
+    * `statePath/out/batch=<id>` with its vectors appended to
+    * `statePath/seen/batch=<id>` — both written in overwrite mode to
+    * the batch-keyed dir, so an at-least-once replay lands
+    * byte-identically, and the state read EXCLUDES dirs at-or-above
+    * the current batch id (a replay must not compare a batch against
+    * its own previous attempt). When the stream delivers rows in
+    * non-decreasing id order (e.g. id-range files staged in order),
+    * the union of verdicts equals the one-shot [[graft.ann.Ann
+    * .semanticDedup]] on the full corpus EXACTLY — the entry shares
+    * its oracle verbatim (the st_weighted_sample parity discipline);
+    * out-of-order arrival degrades to documented first-seen-wins.
+    * Read results back with [[loadSemanticDedup]].
+    */
+  def semanticDedupDrain(
+      stream: DataFrame, statePath: String, checkpoint: String,
+      id: String, vec: String, cluster: String,
+      threshold: Double, centTable: DataFrame): StreamingQuery = {
+    lazy val centBase = centTable.localCheckpoint()
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = hfs(spark, statePath)
+        val seenRoot = new org.apache.hadoop.fs.Path(s"$statePath/seen")
+        val priorDirs =
+          if (!fs.exists(seenRoot)) Seq.empty
+          else listIndexDir(fs, seenRoot).toSeq.map(_.getPath.getName)
+            .flatMap(n =>
+              if (n.startsWith("batch=")) n.drop("batch=".length).toLongOption
+              else None)
+            .filter(_ < batchId)
+        val seen =
+          if (priorDirs.isEmpty) None
+          else Some(spark.read.parquet(
+            priorDirs.sorted.map(b => s"$statePath/seen/batch=$b"): _*))
+        val (out, state) = graft.ann.Ann.semanticDedupStep(
+          batch.toDF(), seen, id, vec, cluster, threshold, centBase)
+        out.write.mode("overwrite").parquet(s"$statePath/out/batch=$batchId")
+        state.write.mode("overwrite")
+          .parquet(s"$statePath/seen/batch=$batchId")
+      }
+      .start()
+  }
+
+  /** The drained [[semanticDedupDrain]] verdicts: (id, cluster, keep),
+    * one row per drained input row, batch bookkeeping dropped.
+    */
+  def loadSemanticDedup(
+      spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/out").drop("batch")
+
   /** Publish a staged micro-batch written at `stream/.batch_tmp_<id>`:
     * re-check the retrain lock AND the model epoch INSIDE the batch
     * transaction, then rename to `stream/batch=<id>`. Abort (delete

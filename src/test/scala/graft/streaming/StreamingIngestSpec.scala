@@ -2044,6 +2044,47 @@ class StreamingIngestSpec extends SparkSpec {
     assert(ids(h5.codes) == ids(h4.codes))
   }
 
+  test("semanticDedupDrain: batches dedup against ALL previously " +
+      "drained rows including dropped ones (the dropped-witness rule), " +
+      "matching the one-shot operator exactly under ordered arrival") {
+    import graft.ann.Ann
+    // one cluster; v1 is dropped via v0, and v2 is similar ONLY to the
+    // DROPPED v1 — a keepers-only state would wrongly keep v2
+    val dim = 4
+    def v(x: Double, y: Double) =
+      Seq(x.toFloat, y.toFloat, 0.0f, 0.0f)
+    val rows = Seq(
+      (0L, v(1.0, 0.0), 0),       // kept (pivot)
+      (1L, v(0.92, 0.39), 0),     // cos(v0,v1) ≈ 0.92  -> dropped
+      (2L, v(0.71, 0.71), 0))     // cos(v0,v2) ≈ 0.71 < t; cos(v1,v2) ≈ 0.93
+      .toDF("vec_id", "embedding", "label")
+    val cents = Ann.pivotCentroids(rows, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_semdrain").toString
+    // batch 1 = ids 0,1; batch 2 = id 2 (ascending ranges, two files
+    // written sequentially so mtime order matches)
+    rows.where($"vec_id" < 2).coalesce(1)
+      .write.mode("append").parquet(s"$st/in")
+    rows.where($"vec_id" === 2).coalesce(1)
+      .write.mode("append").parquet(s"$st/in")
+    StreamingIngest.semanticDedupDrain(
+        spark.readStream.schema(rows.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$st/in"),
+        st, s"$st/ckpt", "vec_id", "embedding", "label",
+        threshold = 0.75, cents)
+      .awaitTermination()
+    val got = StreamingIngest.loadSemanticDedup(spark, st)
+      .select($"vec_id", $"keep").as[(Long, Boolean)]
+      .collect().toMap
+    assert(got == Map(0L -> true, 1L -> false, 2L -> false),
+      s"dropped-witness rule violated: $got")
+    // exact parity with the one-shot operator on the same corpus
+    val oneShot = Ann.semanticDedup(rows, "vec_id", "embedding", "label",
+        threshold = 0.75, cents = Some(cents))
+      .select($"vec_id", $"keep").as[(Long, Boolean)]
+      .collect().toMap
+    assert(got == oneShot)
+  }
+
   test("deleteStreamed refuses to interleave with a retrain (lock " +
       "fail-fast), and a mid-stage tombstone tmp fails the retrain — " +
       "the batch protocol's fences, mirrored") {
