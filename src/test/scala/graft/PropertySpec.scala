@@ -1019,4 +1019,51 @@ object PropertySpec extends Properties("graft") {
           Prop(contained) :| s"brute=$brute pruned=$pruned k=$k nprobe=$nprobe"
       }
     }
+
+  private val semSplitGen: Gen[(List[(Long, Seq[Float], Int)], Int, Double)] =
+    for {
+      n <- Gen.chooseNum(2, 10)
+      dim = 4
+      vecs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-3, 3)))
+        .suchThat(_.forall(_.exists(_ != 0))) // zero vectors have no cosine
+      labels <- Gen.listOfN(n, Gen.chooseNum(0, 2))
+      splits <- Gen.chooseNum(1, 3)
+      thr <- Gen.oneOf(0.5, 0.75, 0.9)
+    } yield (vecs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(_.toFloat): Seq[Float], labels(i)) }, splits, thr)
+
+  property("semanticDedupStep decomposition: draining ordered id-range " +
+      "batches through the step (state = ALL prior rows) equals the " +
+      "one-shot semanticDedup on the full corpus, for any split") =
+    Prop.forAllNoShrink(semSplitGen) { case (rows, splits, thr) =>
+      val s = spark
+      import s.implicits._
+      import graft.ann.Ann
+      import org.apache.spark.sql.functions.col
+      val df = rows.toDF("vec_id", "embedding", "label")
+      val cents = Ann.pivotCentroids(df, "label", "vec_id", "embedding")
+      def verdicts(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("vec_id"), col("keep"))
+        .as[(Long, Boolean)].collect().toMap
+      val oneShot = verdicts(Ann.semanticDedup(df, "vec_id", "embedding",
+        "label", threshold = thr, cents = Some(cents)))
+      // ordered id-range batches; seen = union of ALL prior batches
+      val n = rows.size
+      val bounds = (1 to splits).map(i => n.toLong * i / splits)
+      var lo = 0L
+      var seen: Option[org.apache.spark.sql.DataFrame] = None
+      var drained = Map.empty[Long, Boolean]
+      bounds.foreach { hi =>
+        val batch = df.where(col("vec_id") >= lo && col("vec_id") < hi)
+        if (lo < hi && !batch.isEmpty) {
+          val (out, state) = Ann.semanticDedupStep(batch, seen,
+            "vec_id", "embedding", "label", thr, cents)
+          drained ++= verdicts(out)
+          seen = Some(seen.map(_.unionByName(state)).getOrElse(state))
+        }
+        lo = hi
+      }
+      Prop(drained == oneShot) :|
+        s"splits=$splits thr=$thr drained=$drained oneShot=$oneShot"
+    }
 }
