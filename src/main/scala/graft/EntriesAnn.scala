@@ -1335,6 +1335,50 @@ private[graft] object EntriesAnn {
       "WHERE asg.rn = 1)",
       "WHERE asg.rn = 1 AND asg.vec_id % 5 <> 2)")))
 
+  /** Streamed-index CLONE — the promotion verb ([[graft.streaming
+    * .StreamingIngest.cloneStreamedIndex]]): build, stage upserts,
+    * DELETE ids, then clone the serving snapshot into a fresh
+    * plain-layout index and serve FROM THE CLONE with the plain verbs
+    * ([[Ann.loadIndex]] — legal there: the clone carries no
+    * stream/tombs/generation state). The tombstone kills must be
+    * PHYSICAL in the clone and its serve must equal the source's at
+    * snapshot time, so the entry reuses `ann_index_delete`'s oracle
+    * VERBATIM (staging arrives as one direct batch here instead of a
+    * drain — assignment is batching-independent, the shared-oracle
+    * discipline).
+    */
+  val annIndexClone = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val scratch = scratchPath("graft_ann_clone")
+      val src = s"$scratch/src"
+      val dst = s"$scratch/dst"
+      Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
+        .join(even.select(col("vec_id"), col("label")), "vec_id"),
+        "label", cb, src)
+      Ann.encodeAssign(odd, "vec_id", "embedding", cb, cents, "label")
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$src/stream/batch=0")
+      graft.streaming.StreamingIngest.deleteStreamed(s, src,
+        emb.where(pmod(col("vec_id"), lit(5)) === 2).select(col("vec_id")),
+        "vec_id", "label")
+      PhaseTimer.phase("clone") {
+        graft.streaming.StreamingIngest.cloneStreamedIndex(
+          s, src, dst, "vec_id", "label")
+      }
+      val (codes, cbLoaded) = Ann.loadIndex(s, dst)
+      servedThenCleanup(
+        Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cbLoaded, k = 5, nprobe = 3),
+        scratch)
+    },
+    annIndexDelete.oracle)
+
   /** Delete → streamed RE-INSERT → fold: the tombstone's as-of
     * ordering end-to-end. Half the deleted ids are re-upserted through
     * the drain (new micro-batches land ABOVE the tombstone's as-of

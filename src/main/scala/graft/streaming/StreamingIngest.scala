@@ -1941,6 +1941,50 @@ object StreamingIngest {
       h.manifestBudget)
   }
 
+  /** CLONE a streamed-into index: materialize its CURRENT serving
+    * view (newest generation ∪ unfolded staging, live tombstones
+    * applied) together with its serving models into a fresh
+    * SELF-CONTAINED plain-layout index at `dstPath` — the PROMOTION
+    * verb: ship a snapshot to a serving fleet or another region
+    * without carrying generations, staging tails, tombstones, or the
+    * checkpoint coupling of the live index. The clone is a base
+    * [[graft.ann.Ann.saveIndex]]-layout index (codes + codebook, plus
+    * `centroids` when the source serves published ones), so the plain
+    * verbs ([[graft.ann.Ann.loadIndex]]) work on it — it has no
+    * stream/tombs/generation state to fence. Serving results from the
+    * clone equal serving from the source at snapshot time (the entry
+    * proves it by reusing the source entry's oracle verbatim).
+    *
+    * Coherence: refuses a live `_retrain_lock` (the models are being
+    * superseded — the delete fence, mirrored) and an existing
+    * destination (never clobber a serving index). The codebook is
+    * written LAST, so a reader pointed at the destination early fails
+    * to load rather than serving a partial snapshot; switch serving to
+    * the clone only after the call returns.
+    */
+  def cloneStreamedIndex(
+      spark: SparkSession, srcPath: String, dstPath: String,
+      id: String, cluster: String,
+      manifestBudget: Int = DefaultManifestBudget): Unit = {
+    val fs = hfs(spark, dstPath)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dstPath)),
+      s"clone destination $dstPath already exists — refusing to " +
+        "clobber a possibly-serving index; clone into a fresh path")
+    if (hfs(spark, srcPath).exists(new org.apache.hadoop.fs.Path(
+        s"$srcPath/_retrain_lock")))
+      throw new IllegalStateException(
+        s"retrain in progress on $srcPath (_retrain_lock present); " +
+          "clone after it completes — the serving models are being " +
+          "superseded")
+    val (cb, cents) = versionedModels(spark, srcPath)
+    loadStreamedCodes(spark, srcPath, id, cluster,
+        manifestBudget = manifestBudget)
+      .write.partitionBy(cluster).parquet(s"$dstPath/codes")
+    cents.foreach(_.select(col(cluster), col("centroid"))
+      .repartition(1).write.parquet(s"$dstPath/centroids"))
+    graft.ann.Ann.writeCodebook(spark, cb, s"$dstPath/codebook")
+  }
+
   /** RE-TRAIN the index on the current corpus and publish the result
     * as the next generation — the migration path a growing corpus
     * needs once it drifts off the centroids it was indexed under

@@ -2044,6 +2044,72 @@ class StreamingIngestSpec extends SparkSpec {
     assert(ids(h5.codes) == ids(h4.codes))
   }
 
+  test("cloneStreamedIndex: the clone is a self-contained plain index " +
+      "serving the snapshot (tombstone kills PHYSICAL), carries " +
+      "retrained models, and the fences hold") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val root = graft.EntryKit.scratchTracked("graft_clone").toString
+    val src = s"$root/src"
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, src)
+    val ups = Seq((1L, unit(0), 0), (3L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    Ann.encodeAssign(ups, "vec_id", "embedding", cb, cents, "label")
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$src/stream/batch=0")
+    assert(StreamingIngest.deleteStreamed(spark, src,
+      Seq(4L).toDF("vec_id"), "vec_id", "label") == 0L)
+    StreamingIngest.cloneStreamedIndex(spark, src, s"$root/d1",
+      "vec_id", "label")
+    // plain verbs are LEGAL on the clone (no lifecycle state), the
+    // serve equals the source snapshot, and the kill is physical
+    val (codes1, cb1) = Ann.loadIndex(spark, s"$root/d1")
+    assert(codes1.select($"vec_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 6L))
+    assert(cb1.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.cents.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(spark.read.parquet(s"$root/d1/codes")
+      .select($"vec_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 6L))
+    // fences: never clobber; never clone mid-retrain
+    intercept[IllegalArgumentException] {
+      StreamingIngest.cloneStreamedIndex(spark, src, s"$root/d1",
+        "vec_id", "label")
+    }
+    val lock = java.nio.file.Paths.get(s"$src/_retrain_lock")
+    java.nio.file.Files.createFile(lock)
+    intercept[IllegalStateException] {
+      StreamingIngest.cloneStreamedIndex(spark, src, s"$root/d2",
+        "vec_id", "label")
+    }
+    java.nio.file.Files.delete(lock)
+    // a retrained source clones its PUBLISHED generation's models:
+    // the clone's codebook equals the retrained one and the published
+    // centroids ride along
+    val all = base.unionByName(ups)
+    val centsFull = Ann.pivotCentroids(all, "label", "vec_id", "embedding")
+    StreamingIngest.retrainStreamedIndex(spark, src, all,
+      "vec_id", "embedding", centsFull, "label", m = 4, ksub = 4)
+    StreamingIngest.cloneStreamedIndex(spark, src, s"$root/d3",
+      "vec_id", "label")
+    val (codes3, cb3) = Ann.loadIndex(spark, s"$root/d3")
+    val cbNew = Ann.pqSeedCodebook(all, "vec_id", "embedding", m = 4, ksub = 4)
+    assert(cb3.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+      cbNew.cents.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(codes3.select($"vec_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 6L))
+    assert(spark.read.parquet(s"$root/d3/centroids").count() == 2)
+  }
+
   test("semanticDedupDrain: batches dedup against ALL previously " +
       "drained rows including dropped ones (the dropped-witness rule), " +
       "matching the one-shot operator exactly under ordered arrival") {
