@@ -1379,6 +1379,46 @@ private[graft] object EntriesAnn {
     },
     annIndexDelete.oracle)
 
+  /** Index observability — the per-cluster SERVING census behind
+    * [[graft.streaming.StreamingIngest.indexStatus]]'s metadata
+    * snapshot (the FS half is spec'd; the data half is oracle-pinned
+    * here): after upserts and a delete, each cluster's live row count
+    * must equal the replayed assignment chain with the deleted ids
+    * excluded — the number an operator reads before deciding to fold,
+    * rebalance, or retrain (cluster skew IS the IVF serving-cost
+    * model). One column-pruned scan of the serving view, map-side
+    * countable.
+    */
+  val annIndexDescribe = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val scratch = scratchPath("graft_ann_desc")
+      val path = scratch.toString
+      Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
+        .join(even.select(col("vec_id"), col("label")), "vec_id"),
+        "label", cb, path)
+      Ann.encodeAssign(odd, "vec_id", "embedding", cb, cents, "label")
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$path/stream/batch=0")
+      graft.streaming.StreamingIngest.deleteStreamed(s, path,
+        emb.where(pmod(col("vec_id"), lit(5)) === 2).select(col("vec_id")),
+        "vec_id", "label")
+      servedThenCleanup(
+        graft.streaming.StreamingIngest.loadStreamedCodes(
+            s, path, "vec_id", "label")
+          .groupBy(col("label").cast("long").as("cluster"))
+          .agg(count(lit(1)).as("n_rows")),
+        scratch)
+    },
+    annIndexUpsert.oracle.map(o => replaceExactlyOnce(o,
+      "SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5",
+      "SELECT CAST(cl AS BIGINT) AS cluster, count(*) AS n_rows " +
+        "FROM clus WHERE vec_id % 5 <> 2 GROUP BY 1")))
+
   /** Delete → streamed RE-INSERT → fold: the tombstone's as-of
     * ordering end-to-end. Half the deleted ids are re-upserted through
     * the drain (new micro-batches land ABOVE the tombstone's as-of

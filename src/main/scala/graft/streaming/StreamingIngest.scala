@@ -1941,6 +1941,44 @@ object StreamingIngest {
       h.manifestBudget)
   }
 
+  /** The driver-sized observable state of a streamed-into index — what
+    * an operator needs before acting on it (fold? retrain? clone? why
+    * is the serve slow?): which generation serves, its folded
+    * high-water, what staging and tombstones are live, the model
+    * epoch, and whether a retrain has published models. Listings only
+    * (the serve-handle's resolution cost, no data scans) — row counts
+    * belong to a query over [[loadStreamedCodes]], which the
+    * ann_index_describe entry oracle-pins per cluster.
+    */
+  final case class IndexStatus(
+      generation: Option[Long],
+      foldedHighWater: Long,
+      stagedBatches: Seq[Long],
+      pendingTombstones: Seq[Long],
+      modelEpoch: Long,
+      hasVersionedModels: Boolean,
+      retrainInProgress: Boolean)
+
+  /** Resolve an [[IndexStatus]] snapshot (see the case class doc). */
+  def indexStatus(spark: SparkSession, indexPath: String): IndexStatus = {
+    val fs = hfs(spark, indexPath)
+    val ver = resolveVersion(spark, indexPath)
+    val genPath = ver.map(_._1)
+    val applied = tombsApplied(
+      spark, genPath.getOrElse(s"$indexPath/codes"))
+    IndexStatus(
+      generation = genPath.map(_.drop(s"$indexPath/codes_v".length).toLong),
+      foldedHighWater = ver.map(_._2).getOrElse(-1L),
+      stagedBatches = stagedBatches(spark, indexPath).sorted,
+      pendingTombstones =
+        pendingTombSeqs(spark, indexPath, applied).sorted,
+      modelEpoch = modelEpochAt(spark, indexPath, genPath),
+      hasVersionedModels = genPath.exists(p => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$p/_codebook"))),
+      retrainInProgress = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$indexPath/_retrain_lock")))
+  }
+
   /** CLONE a streamed-into index: materialize its CURRENT serving
     * view (newest generation ∪ unfolded staging, live tombstones
     * applied) together with its serving models into a fresh

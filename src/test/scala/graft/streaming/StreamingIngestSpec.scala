@@ -2044,6 +2044,54 @@ class StreamingIngestSpec extends SparkSpec {
     assert(ids(h5.codes) == ids(h4.codes))
   }
 
+  test("indexStatus tracks the lifecycle: base → staged → tombstoned → " +
+      "folded → retrained, listings only") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_status").toString
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, st)
+    def status() = StreamingIngest.indexStatus(spark, st)
+    val s0 = status()
+    assert(s0 == StreamingIngest.IndexStatus(
+      None, -1L, Seq.empty, Seq.empty, 0L, false, false))
+    val ups = Seq((1L, unit(0), 0), (3L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    Ann.encodeAssign(ups, "vec_id", "embedding", cb, cents, "label")
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$st/stream/batch=0")
+    assert(StreamingIngest.deleteStreamed(spark, st,
+      Seq(4L).toDF("vec_id"), "vec_id", "label") == 0L)
+    val s1 = status()
+    assert(s1.stagedBatches == Seq(0L) && s1.pendingTombstones == Seq(0L))
+    StreamingIngest.compactStreamedIndex(spark, st, "vec_id", "label")
+    val s2 = status()
+    assert(s2.generation == Some(1L) && s2.foldedHighWater == 0L)
+    assert(s2.pendingTombstones.isEmpty && !s2.hasVersionedModels)
+    val all = base.unionByName(ups)
+      .where($"vec_id" =!= 4L)
+    StreamingIngest.retrainStreamedIndex(spark, st, all,
+      "vec_id", "embedding",
+      Ann.pivotCentroids(all, "label", "vec_id", "embedding"), "label",
+      m = 4, ksub = 4)
+    val s3 = status()
+    assert(s3.generation == Some(2L) && s3.modelEpoch == 2L &&
+      s3.hasVersionedModels && !s3.retrainInProgress)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$st/_retrain_lock"))
+    assert(status().retrainInProgress)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$st/_retrain_lock"))
+  }
+
   test("cloneStreamedIndex: the clone is a self-contained plain index " +
       "serving the snapshot (tombstone kills PHYSICAL), carries " +
       "retrained models, and the fences hold") {
