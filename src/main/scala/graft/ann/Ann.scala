@@ -1286,18 +1286,33 @@ object Ann {
   /** Collect the (driver-sized) query batch with a dim check against the
     * codebook — shared by both ADC scans.
     */
+  /** Cap on the driver-collected query batch: 100k × 64-dim doubles is
+    * ~50 MB of driver heap plus the same again in the executor-side
+    * broadcast — past that the "small queries / large corpus" split
+    * the ADC scans assume has silently inverted. The guard fails fast
+    * with the remedy (chunk the batch, or index the query side too)
+    * instead of an opaque driver OOM — the manifest-budget discipline.
+    */
+  val QueryBatchBudget = 100000
+
   private def collectQueries(
       queries: DataFrame, qId: String, qVec: String,
       cb: PqCodebook): Array[(Long, Array[Double])] = {
     val spark = queries.sparkSession
     import spark.implicits._
-    queries.select(col(qId).cast("long"), toDouble(col(qVec)))
-      .as[(Long, Seq[Double])].collect()
-      .map { case (i, v) =>
-        require(v.length == cb.dim,
-          s"query dim ${v.length} != codebook dim ${cb.dim}")
-        (i, v.toArray)
-      }
+    val rows = queries.select(col(qId).cast("long"), toDouble(col(qVec)))
+      .as[(Long, Seq[Double])].limit(QueryBatchBudget + 1).collect()
+    if (rows.length > QueryBatchBudget) throw new IllegalStateException(
+      s"query batch exceeds $QueryBatchBudget rows — the driver-held " +
+        "query model would exceed its budget. Chunk the query batch " +
+        "across calls, or for corpus×corpus shapes use the self-kNN " +
+        "operators (knnOutliersIvf / semanticDedup), which never " +
+        "collect a corpus side")
+    rows.map { case (i, v) =>
+      require(v.length == cb.dim,
+        s"query dim ${v.length} != codebook dim ${cb.dim}")
+      (i, v.toArray)
+    }
   }
 
   /** The |q|×m×ksub query-slice-to-centroid distance table one partition

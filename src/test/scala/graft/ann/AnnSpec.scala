@@ -757,4 +757,25 @@ class AnnSpec extends SparkSpec {
       s"one row per input vector, got $out")
     assert(out(2L) == 1L) // the probed super itself is the candidate
   }
+
+  test("query-batch budget: a corpus-sized query batch fails fast with " +
+      "the chunk-or-self-kNN remedy instead of a driver OOM") {
+    val dim = 4
+    val small = (0L until 4L)
+      .map(i => (i, (0 until dim).map(d => if (d == i) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Ann.pqSeedCodebook(small, "vec_id", "embedding", m = 4, ksub = 4)
+    val codes = Ann.pqEncode(small, "vec_id", "embedding", cb)
+    val big = spark.range(0L, Ann.QueryBatchBudget + 1L)
+      .select($"id".as("vec_id"),
+        array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalStateException] {
+      Ann.pqTopK(codes, "vec_id", big, "vec_id", "embedding", cb, k = 1)
+    }
+    assert(e.getMessage.contains("query batch exceeds"))
+    // at the budget boundary the collect proceeds
+    val ok = Ann.pqTopK(codes, "vec_id",
+      small.where($"vec_id" < 2), "vec_id", "embedding", cb, k = 1)
+    assert(ok.count() == 2)
+  }
 }
