@@ -2018,6 +2018,16 @@ object StreamingIngest {
     loadStreamedCodes(spark, srcPath, id, cluster,
         manifestBudget = manifestBudget)
       .write.partitionBy(cluster).parquet(s"$dstPath/codes")
+    // a fully-killed serving view writes a FILE-LESS codes dir no
+    // reader can infer a schema from (the fold guards' empty-fold
+    // class) — abandon the clone with the diagnosis instead of
+    // leaving a destination that fails at first load
+    if (clusterValues(spark, s"$dstPath/codes", cluster).isEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(dstPath), true)
+      throw new IllegalStateException(
+        s"serving view of $srcPath is empty (every row deleted) — " +
+          "nothing to clone; fold or retrain the source first")
+    }
     cents.foreach(_.select(col(cluster), col("centroid"))
       .repartition(1).write.parquet(s"$dstPath/centroids"))
     graft.ann.Ann.writeCodebook(spark, cb, s"$dstPath/codebook")

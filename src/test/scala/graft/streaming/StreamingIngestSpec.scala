@@ -2156,6 +2156,17 @@ class StreamingIngestSpec extends SparkSpec {
     assert(codes3.select($"vec_id").as[Long].collect().sorted.toSeq ==
       Seq(0L, 1L, 2L, 3L, 6L))
     assert(spark.read.parquet(s"$root/d3/centroids").count() == 2)
+    // a fully-killed serving view refuses to clone (a file-less codes
+    // dir would fail at first load) and leaves no destination behind
+    assert(StreamingIngest.deleteStreamed(spark, src,
+      Seq(0L, 1L, 2L, 3L, 6L).toDF("vec_id"), "vec_id", "label") >= 0L)
+    val eEmpty = intercept[IllegalStateException] {
+      StreamingIngest.cloneStreamedIndex(spark, src, s"$root/d4",
+        "vec_id", "label")
+    }
+    assert(eEmpty.getMessage.contains("nothing to clone"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/d4")))
   }
 
   test("semanticDedupDrain: batches dedup against ALL previously " +
