@@ -1338,6 +1338,11 @@ private[graft] object EntriesMultimodal {
       Seq(mx / 4, mx / 2, 3 * mx / 4, mx).foreach { hi =>
         emb.where(col("vec_id") >= lo && col("vec_id") < hi)
           .coalesce(1).write.mode("append").parquet(s"$path/in")
+        // the file source orders batches by modification time at ms
+        // granularity — force distinct mtimes so two fast sequential
+        // writes cannot tie and drain out of id order (which would
+        // break the shared-oracle parity, not correctness)
+        Thread.sleep(10)
         lo = hi
       }
       graft.streaming.StreamingIngest.semanticDedupDrain(

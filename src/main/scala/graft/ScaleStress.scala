@@ -837,15 +837,26 @@ object ScaleStress {
         // would silently deepen the "grown by 8" steady state the rung
         // quotes). Trees grown under the old _grown8 marker migrate.
         val gp = Paths.get(s"$dir/grown_cycles")
+        // counter updates are tmp + ATOMIC move: a crash mid-write
+        // must not leave an unparseable file that bricks every later
+        // run (a crash BETWEEN fold and counter write still replays
+        // one cycle — drift bounded to 1, not eliminated)
+        def writeCycles(n: Int): Unit = {
+          val tmp = Paths.get(s"$dir/grown_cycles_tmp")
+          Files.write(tmp, n.toString.getBytes)
+          Files.move(tmp, gp,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
         if (Files.exists(Paths.get(s"$dir/_grown8")) && !Files.exists(gp))
-          Files.write(gp, "8".getBytes)
+          writeCycles(8)
         def grownCycles(): Int =
           if (Files.exists(gp)) new String(Files.readAllBytes(gp)).trim.toInt
           else 0
         while (grownCycles() < 8) {
           stageN(4)
           StreamingIngest.compactStreamedIndex(spark, dir, "vec_id", "cl")
-          Files.write(gp, (grownCycles() + 1).toString.getBytes)
+          writeCycles(grownCycles() + 1)
         }
         stageN(4)
         val pre = StreamingIngest.loadStreamedCodes(

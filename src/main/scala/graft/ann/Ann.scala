@@ -1283,9 +1283,6 @@ object Ann {
       .select(col(id), col("codes"), col("__c").cast(dt).as(cluster))
   }
 
-  /** Collect the (driver-sized) query batch with a dim check against the
-    * codebook — shared by both ADC scans.
-    */
   /** Cap on the driver-collected query batch: 100k × 64-dim doubles is
     * ~50 MB of driver heap plus the same again in the executor-side
     * broadcast — past that the "small queries / large corpus" split
@@ -1295,6 +1292,9 @@ object Ann {
     */
   val QueryBatchBudget = 100000
 
+  /** Collect the (budget-guarded, driver-sized) query batch with a
+    * dim check against the codebook — shared by both ADC scans.
+    */
   private def collectQueries(
       queries: DataFrame, qId: String, qVec: String,
       cb: PqCodebook): Array[(Long, Array[Double])] = {
@@ -1448,28 +1448,11 @@ object Ann {
     rankAdc(scored, k)
   }
 
-  /** FILTERED IVF-PQ top-k with a RECALL GUARD for selective
-    * predicates. The allowed ids (a metadata predicate the index does
-    * not carry) semi-join the index BROADCAST before anything else —
-    * a PRE-filter, so survivors are genuinely the best among allowed
-    * candidates, never a post-filtered short list — and the first pass
-    * is the standard probed scan ([[ivfPqTopK]]). A highly selective
-    * predicate can leave FEWER than k allowed candidates inside a
-    * query's probed clusters; those queries (detected from the
-    * first-pass result counts — a ≤|Q|·k-row driver collect, the same
-    * budget class as the query batch itself) ESCALATE to a probe-all
-    * pass over the filtered index, which is exactly brute-force ADC
-    * over the allowed set — the maximal widening of nprobe, so the
-    * guarded result is never worse than any intermediate widening.
-    * Plan shape: the allowed set is predicate-sized and broadcasts;
-    * the escalated pass re-runs ONLY the short queries; no
-    * embedding-carrying exchange is introduced (queries and models
-    * ride the same driver-collected path as [[ivfPqTopK]]).
-    */
-  /** The guarded search's single scan shape, extracted so the plan
-    * audit exercises the REAL code path (both passes share it — the
-    * escalation differs only in `nprobe`): allowed ids broadcast
-    * semi-joined ahead of the probed ADC ranking.
+  /** The guarded search's single scan shape — both of
+    * [[ivfPqTopKFiltered]]'s passes share it (the escalation differs
+    * only in `nprobe`); extracted so the plan audit exercises the
+    * REAL code path: allowed ids broadcast semi-joined ahead of the
+    * probed ADC ranking.
     */
   private[graft] def filteredScan(
       indexed: DataFrame, id: String, cluster: String,
@@ -1483,6 +1466,23 @@ object Ann {
       queries, qId, qVec, cb, k, nprobe)
   }
 
+  /** FILTERED IVF-PQ top-k with a RECALL GUARD for selective
+    * predicates. The allowed ids (a metadata predicate the index does
+    * not carry) semi-join the index BROADCAST before anything else —
+    * a PRE-filter, so survivors are genuinely the best among allowed
+    * candidates, never a post-filtered short list — and the first pass
+    * is the standard probed scan ([[ivfPqTopK]] via [[filteredScan]]).
+    * A highly selective predicate can leave FEWER than k allowed
+    * candidates inside a query's probed clusters; those queries
+    * (detected from the first-pass result counts — a ≤|Q|·k-row driver
+    * collect, the same budget class as the query batch itself)
+    * ESCALATE to a probe-all pass over the filtered index, which is
+    * exactly brute-force ADC over the allowed set — the maximal
+    * widening of nprobe, so the guarded result is never worse than any
+    * intermediate widening. Plan shape: the allowed set is
+    * predicate-sized and broadcasts; the escalated pass re-runs ONLY
+    * the short queries; no embedding-carrying exchange is introduced.
+    */
   def ivfPqTopKFiltered(
       indexed: DataFrame, id: String, cluster: String,
       centTable: DataFrame,
@@ -1924,23 +1924,25 @@ object Ann {
             "__c", "__cs")
           .withColumn("cl", col("__c"))
       case None =>
-        val (m, dt) = collectCosModel(centRaw, cluster)
+        // when the centroid table derives from the corpus (cents =
+        // None), materialize it BEFORE the measuring collect: the
+        // corpus aggregation then runs exactly once, and every later
+        // read — the model collect here, and the router's distributed
+        // k-row routing pass if the dispatch trips — is a small-table
+        // read (collect-then-checkpoint would re-run the corpus
+        // aggregation to materialize)
+        val centT = if (cents.isEmpty) centRaw.localCheckpoint()
+          else centRaw
+        val (m, dt) = collectCosModel(centT, cluster)
         if (m.cells <= RoutedDispatchBudget)
           assignCos(prep, "__v", "__n", m, "__c", "__cs")
             .withColumn("cl", col("__c").cast(dt))
-        else {
-          // routed regime: when the centroid table derives from the
-          // corpus (cents = None), materialize it once so the
-          // router's distributed k-row routing pass reads the small
-          // table instead of re-running the corpus aggregation
-          val centT = if (cents.isEmpty) centRaw.localCheckpoint()
-            else centRaw
+        else
           assignCosRouted(prep, "__v", "__n",
               buildRouter(centT, cluster,
                 math.max(2, math.round(math.sqrt(2.0 * m.k)).toInt)), 2,
               "__c", "__cs")
             .withColumn("cl", col("__c").cast(dt))
-        }
     }
     val assigned = withCl
       .select(col("__id"), col("cl"), col("__v"), col("__n"))
@@ -1986,6 +1988,19 @@ object Ann {
       cluster: String, threshold: Double, centTable: DataFrame)
       : (DataFrame, DataFrame) = {
     val (m, dt) = collectCosModel(centTable, cluster)
+    // the drain assigns with the EXACT flat kernel; past the routed
+    // dispatch budget the one-shot operator auto-routes (approximate
+    // membership), so the streamed verdicts would silently diverge
+    // from the parity contract the entry and property pin — refuse
+    // loudly instead (the streaming configuration freezes a
+    // budget-sized coarse model up front; a model that outgrew it
+    // belongs to a batch semanticDedup or an explicit re-clustering)
+    require(m.cells <= RoutedDispatchBudget,
+      s"streaming SemDeDup coarse model holds ${m.cells} cells, past " +
+        s"the flat-dispatch budget $RoutedDispatchBudget — the one-shot " +
+        "operator would auto-route here and the drained verdicts would " +
+        "no longer equal it; dedup in batch, or re-cluster to a " +
+        "budget-sized model")
     val b = assignCos(
         widen(prepared(batch, id, vec, "__id", "__v", "__n")),
         "__v", "__n", m, "__c", "__cs")

@@ -823,6 +823,12 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // pin the state tree to this checkpoint for its lifetime: a
+        // fresh checkpoint restarts batch ids at 0, so its batches
+        // would skip the drained history in the `_ < batchId` state
+        // read AND overwrite live out/seen dirs — the silent-mix class
+        // the index drain's staging area guards identically
+        claimRunAt(spark, statePath, checkpoint)
         val fs = hfs(spark, statePath)
         val seenRoot = new org.apache.hadoop.fs.Path(s"$statePath/seen")
         val priorDirs =
@@ -952,9 +958,19 @@ object StreamingIngest {
     * one of the two passes.
     */
   private def claimRun(
-      spark: SparkSession, indexPath: String, checkpoint: String): Unit = {
-    val fs = hfs(spark, indexPath)
-    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/stream/_run")
+      spark: SparkSession, indexPath: String, checkpoint: String): Unit =
+    claimRunAt(spark, s"$indexPath/stream", checkpoint)
+
+  /** [[claimRun]] for any drain-owned state root: the `_run` marker
+    * pins `root` to one checkpoint for its lifetime (the
+    * [[semanticDedupDrain]] state tree has the same
+    * fresh-checkpoint-restarts-batch-ids hazard as the index staging
+    * area).
+    */
+  private def claimRunAt(
+      spark: SparkSession, root: String, checkpoint: String): Unit = {
+    val fs = hfs(spark, root)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_run")
     def ownerOf(): Option[String] =
       if (!fs.exists(marker)) None
       else {
@@ -995,7 +1011,7 @@ object StreamingIngest {
       attempts += 1
     }
     if (!owner.contains(checkpoint)) throw new IllegalStateException(
-      s"staging area $indexPath/stream is owned by checkpoint " +
+      s"drain state root $root is owned by checkpoint " +
         s"${owner.getOrElse("<unreadable>")} — a different checkpoint " +
         "would restart batch ids at 0 and overwrite that run's live " +
         "staging; one checkpoint per index lifetime")

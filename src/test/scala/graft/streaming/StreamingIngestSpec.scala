@@ -2189,6 +2189,7 @@ class StreamingIngestSpec extends SparkSpec {
     // written sequentially so mtime order matches)
     rows.where($"vec_id" < 2).coalesce(1)
       .write.mode("append").parquet(s"$st/in")
+    Thread.sleep(10) // distinct mtimes: the source orders batches by ms
     rows.where($"vec_id" === 2).coalesce(1)
       .write.mode("append").parquet(s"$st/in")
     StreamingIngest.semanticDedupDrain(
