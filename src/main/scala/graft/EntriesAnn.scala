@@ -1123,12 +1123,16 @@ private[graft] object EntriesAnn {
             cents, "label")
           .awaitTermination()
       }
-      val (codes, cbLoaded, _) = graft.streaming.StreamingIngest
-        .loadStreamedIndex(s, path, "vec_id", "label")
+      // serve through the ≤1-listing-warm handle — the repeated-serve
+      // surface is oracle-carried on every read-path entry, not just
+      // ann_index_delete
+      val h = graft.streaming.StreamingIngest.refreshServeHandle(s,
+        graft.streaming.StreamingIngest.openServeHandle(
+          s, path, "vec_id", "label"))
       servedThenCleanup(
-        Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+        Ann.ivfPqTopK(h.codes, "vec_id", "label", cents,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          cbLoaded, k = 5, nprobe = 3),
+          h.codebook, k = 5, nprobe = 3),
         scratch)
     },
     annIndexUpsert.oracle)
@@ -1167,12 +1171,16 @@ private[graft] object EntriesAnn {
         graft.streaming.StreamingIngest.compactStreamedIndex(
           s, path, "vec_id", "label")
       }
-      val (codes, cbLoaded, _) = graft.streaming.StreamingIngest
-        .loadStreamedIndex(s, path, "vec_id", "label")
+      // serve through the ≤1-listing-warm handle — the repeated-serve
+      // surface is oracle-carried on every read-path entry, not just
+      // ann_index_delete
+      val h = graft.streaming.StreamingIngest.refreshServeHandle(s,
+        graft.streaming.StreamingIngest.openServeHandle(
+          s, path, "vec_id", "label"))
       servedThenCleanup(
-        Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+        Ann.ivfPqTopK(h.codes, "vec_id", "label", cents,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          cbLoaded, k = 5, nprobe = 3),
+          h.codebook, k = 5, nprobe = 3),
         scratch)
     },
     annIndexUpsert.oracle)
@@ -1210,12 +1218,16 @@ private[graft] object EntriesAnn {
         graft.streaming.StreamingIngest.compactStreamedIncremental(
           s, path, "vec_id", "label")
       }
-      val (codes, cbLoaded, _) = graft.streaming.StreamingIngest
-        .loadStreamedIndex(s, path, "vec_id", "label")
+      // serve through the ≤1-listing-warm handle — the repeated-serve
+      // surface is oracle-carried on every read-path entry, not just
+      // ann_index_delete
+      val h = graft.streaming.StreamingIngest.refreshServeHandle(s,
+        graft.streaming.StreamingIngest.openServeHandle(
+          s, path, "vec_id", "label"))
       servedThenCleanup(
-        Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+        Ann.ivfPqTopK(h.codes, "vec_id", "label", cents,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          cbLoaded, k = 5, nprobe = 3),
+          h.codebook, k = 5, nprobe = 3),
         scratch)
     },
     annIndexUpsert.oracle)
@@ -1253,12 +1265,16 @@ private[graft] object EntriesAnn {
         graft.streaming.StreamingIngest.compactStreamedAuto(
           s, path, "vec_id", "label")
       }
-      val (codes, cbLoaded, _) = graft.streaming.StreamingIngest
-        .loadStreamedIndex(s, path, "vec_id", "label")
+      // serve through the ≤1-listing-warm handle — the repeated-serve
+      // surface is oracle-carried on every read-path entry, not just
+      // ann_index_delete
+      val h = graft.streaming.StreamingIngest.refreshServeHandle(s,
+        graft.streaming.StreamingIngest.openServeHandle(
+          s, path, "vec_id", "label"))
       servedThenCleanup(
-        Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+        Ann.ivfPqTopK(h.codes, "vec_id", "label", cents,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          cbLoaded, k = 5, nprobe = 3),
+          h.codebook, k = 5, nprobe = 3),
         scratch)
     },
     annIndexUpsert.oracle)
@@ -1407,9 +1423,13 @@ private[graft] object EntriesAnn {
       graft.streaming.StreamingIngest.deleteStreamed(s, path,
         emb.where(pmod(col("vec_id"), lit(5)) === 2).select(col("vec_id")),
         "vec_id", "label")
+      // the census reads off a warm serve handle — zero lifecycle
+      // listings beyond the handle's own resolution (spec-counted)
+      val h = graft.streaming.StreamingIngest.refreshServeHandle(s,
+        graft.streaming.StreamingIngest.openServeHandle(
+          s, path, "vec_id", "label"))
       servedThenCleanup(
-        graft.streaming.StreamingIngest.loadStreamedCodes(
-            s, path, "vec_id", "label")
+        h.codes
           .groupBy(col("label").cast("long").as("cluster"))
           .agg(count(lit(1)).as("n_rows")),
         scratch)
@@ -1465,12 +1485,16 @@ private[graft] object EntriesAnn {
         graft.streaming.StreamingIngest.compactStreamedIndex(
           s, path, "vec_id", "label")
       }
-      val (codes, cbLoaded, _) = graft.streaming.StreamingIngest
-        .loadStreamedIndex(s, path, "vec_id", "label")
+      // serve through the ≤1-listing-warm handle — the repeated-serve
+      // surface is oracle-carried on every read-path entry, not just
+      // ann_index_delete
+      val h = graft.streaming.StreamingIngest.refreshServeHandle(s,
+        graft.streaming.StreamingIngest.openServeHandle(
+          s, path, "vec_id", "label"))
       servedThenCleanup(
-        Ann.ivfPqTopK(codes, "vec_id", "label", cents,
+        Ann.ivfPqTopK(h.codes, "vec_id", "label", cents,
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          cbLoaded, k = 5, nprobe = 3),
+          h.codebook, k = 5, nprobe = 3),
         scratch)
     },
     annIndexUpsert.oracle.map { o =>
@@ -1511,12 +1535,16 @@ private[graft] object EntriesAnn {
           s, path, emb, "vec_id", "embedding", centsFull, "label",
           m = 8, ksub = 16)
       }
-      val (codes, cb2, cents2) = graft.streaming.StreamingIngest
-        .loadStreamedIndex(s, path, "vec_id", "label")
+      // serve through the ≤1-listing-warm handle (the adoption sweep:
+      // every read-path entry carries the handle's snapshot contract)
+      val h = graft.streaming.StreamingIngest.refreshServeHandle(s,
+        graft.streaming.StreamingIngest.openServeHandle(
+          s, path, "vec_id", "label"))
       servedThenCleanup(
-        Ann.ivfPqTopK(codes, "vec_id", "label", cents2.getOrElse(centsFull),
+        Ann.ivfPqTopK(h.codes, "vec_id", "label",
+          h.cents.getOrElse(centsFull),
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          cb2, k = 5, nprobe = 3),
+          h.codebook, k = 5, nprobe = 3),
         scratch)
     },
     // the upsert oracle with FULL-corpus models and every vector
@@ -1591,12 +1619,16 @@ private[graft] object EntriesAnn {
           m = 8, ksub = 16, minCosine = 0.9999)
       }
       require(fired, "drift trigger must fire on the drifted corpus")
-      val (codes, cb2, cents2) = graft.streaming.StreamingIngest
-        .loadStreamedIndex(s, path, "vec_id", "label")
+      // serve through the ≤1-listing-warm handle (the adoption sweep:
+      // every read-path entry carries the handle's snapshot contract)
+      val h = graft.streaming.StreamingIngest.refreshServeHandle(s,
+        graft.streaming.StreamingIngest.openServeHandle(
+          s, path, "vec_id", "label"))
       servedThenCleanup(
-        Ann.ivfPqTopK(codes, "vec_id", "label", cents2.getOrElse(centsFull),
+        Ann.ivfPqTopK(h.codes, "vec_id", "label",
+          h.cents.getOrElse(centsFull),
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          cb2, k = 5, nprobe = 3),
+          h.codebook, k = 5, nprobe = 3),
         scratch)
     },
     annIndexRetrain.oracle)
@@ -1637,12 +1669,90 @@ private[graft] object EntriesAnn {
           s, path, emb, "vec_id", "embedding", centsFull, "label",
           m = 8, ksub = 16, router = Some((3, 3)))
       }
-      val (codes, cb2, cents2) = graft.streaming.StreamingIngest
-        .loadStreamedIndex(s, path, "vec_id", "label")
+      // serve through the ≤1-listing-warm handle (the adoption sweep:
+      // every read-path entry carries the handle's snapshot contract)
+      val h = graft.streaming.StreamingIngest.refreshServeHandle(s,
+        graft.streaming.StreamingIngest.openServeHandle(
+          s, path, "vec_id", "label"))
       servedThenCleanup(
-        Ann.ivfPqTopK(codes, "vec_id", "label", cents2.getOrElse(centsFull),
+        Ann.ivfPqTopK(h.codes, "vec_id", "label",
+          h.cents.getOrElse(centsFull),
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          cb2, k = 5, nprobe = 3),
+          h.codebook, k = 5, nprobe = 3),
+        scratch)
+    },
+    annIndexRetrain.oracle)
+
+  /** The index MAINTENANCE policy verb ([[graft.streaming
+    * .StreamingIngest.maintainStreamedIndex]]): the even-build /
+    * odd-staged fixture of the retrain entries, but every lifecycle
+    * verb fires through the DECISION TABLE instead of operator glue —
+    * tick 1 (fold-only policy: drift trigger disabled, fold threshold
+    * 1 staged batch) reads the staged window and FOLDS via
+    * `compactStreamedAuto`; tick 2 (drift threshold 0.9999, the
+    * deterministic-fire bar `ann_retrain_on_drift` established) fires
+    * the drift trigger and RETRAINS onto the full-corpus centroids;
+    * tick 3 (the fold-only policy again) finds nothing staged,
+    * nothing pending, and NO-OPS. The final serve — through the
+    * ≤1-listing serve handle — shares `ann_index_retrain`'s
+    * from-scratch-build-equivalence oracle VERBATIM: a policy that
+    * mis-dispatched any tick (no-op'd the live window, folded instead
+    * of retraining, or let the no-op tick mutate state) would leave a
+    * different generation serving and hash-fail. The Blocked branch
+    * and each decision boundary are spec-pinned in
+    * StreamingIngestSpec.
+    */
+  val annIndexMaintain = Q(
+    (s, dir) => {
+      import graft.streaming.StreamingIngest
+      import graft.streaming.StreamingIngest.{MaintenanceAction => MA}
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cb0 = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents0 = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val scratch = scratchPath("graft_ann_maint")
+      val path = scratch.toString
+      PhaseTimer.phase("build_save") {
+        Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb0)
+          .join(even.select(col("vec_id"), col("label")), "vec_id"),
+          "label", cb0, path)
+        Ann.encodeAssign(odd, "vec_id", "embedding", cb0, cents0, "label")
+          .write.mode("overwrite").partitionBy("label")
+          .parquet(s"$path/stream/batch=0")
+      }
+      val centsFull = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+      val foldOnly = StreamingIngest.MaintenancePolicy(
+        foldMinStaged = 1, driftMinCosine = -1.0)
+      val m1 = PhaseTimer.phase("policy_fold") {
+        StreamingIngest.maintainStreamedIndex(s, path, emb,
+          "vec_id", "embedding", cents0, centsFull, "label",
+          m = 8, ksub = 16, policy = foldOnly)
+      }
+      require(m1.isInstanceOf[MA.Folded],
+        s"tick 1 must fold the staged window, got $m1")
+      val m2 = PhaseTimer.phase("policy_retrain") {
+        StreamingIngest.maintainStreamedIndex(s, path, emb,
+          "vec_id", "embedding", cents0, centsFull, "label",
+          m = 8, ksub = 16,
+          policy = StreamingIngest.MaintenancePolicy(
+            foldMinStaged = 1, driftMinCosine = 0.9999))
+      }
+      require(m2 == MA.Retrained,
+        s"tick 2 must fire the drift retrain, got $m2")
+      val m3 = PhaseTimer.phase("policy_noop") {
+        StreamingIngest.maintainStreamedIndex(s, path, emb,
+          "vec_id", "embedding", cents0, centsFull, "label",
+          m = 8, ksub = 16, policy = foldOnly)
+      }
+      require(m3 == MA.NoOp, s"tick 3 must no-op, got $m3")
+      val h = StreamingIngest.refreshServeHandle(s,
+        StreamingIngest.openServeHandle(s, path, "vec_id", "label"))
+      servedThenCleanup(
+        Ann.ivfPqTopK(h.codes, "vec_id", "label",
+          h.cents.getOrElse(centsFull),
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          h.codebook, k = 5, nprobe = 3),
         scratch)
     },
     annIndexRetrain.oracle)

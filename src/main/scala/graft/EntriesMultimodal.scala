@@ -1357,6 +1357,60 @@ private[graft] object EntriesMultimodal {
     },
     dedupSemantic.oracle)
 
+  /** STREAMING SemDeDup under OUT-OF-ORDER arrival — the drain's
+    * documented degraded mode, oracle-PINNED instead of spec'd-only:
+    * the same 4 id-range quarters as `st_dedup_semantic`, delivered
+    * in the order Q2, Q1, Q4, Q3 (sequential writes with distinct
+    * mtimes — the file source drains them in exactly that order), so
+    * lower-id rows arrive AFTER higher-id ones across two batch
+    * pairs. The first-seen-wins rule: a row is dropped iff a similar
+    * same-cluster LOWER-id witness arrived in the same batch or
+    * earlier — a late-arriving lower id never retroactively drops a
+    * row already drained (and a row whose only witness arrives later
+    * than it is KEPT, where the one-shot operator would drop it). The
+    * oracle models arrival order explicitly: the one-shot SemDeDup
+    * CTEs plus an arrival-batch column derived from the same id-range
+    * arithmetic, with the witness constraint `arrival(w) <=
+    * arrival(r)` — so the degraded mode's exact verdicts are
+    * hash-pinned, not just described. Replay idempotence over
+    * reordered splits is property-swept in PropertySpec.
+    */
+  val stDedupSemanticOoo = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+      val scratch = scratchPath("graft_st_sem_ooo")
+      val path = scratch.toString
+      val mx = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val quarters = Seq( // (lo, hi) in ARRIVAL order: Q2, Q1, Q4, Q3
+        (mx / 4, mx / 2), (0L, mx / 4),
+        (3 * mx / 4, mx), (mx / 2, 3 * mx / 4))
+      quarters.foreach { case (lo, hi) =>
+        emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("append").parquet(s"$path/in")
+        Thread.sleep(10) // distinct mtimes: arrival order = write order
+      }
+      graft.streaming.StreamingIngest.semanticDedupDrain(
+          s.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$path/in"),
+          path, s"$path/ckpt", "vec_id", "embedding", "label",
+          threshold = 0.3, cents)
+        .awaitTermination()
+      servedThenCleanup(
+        graft.streaming.StreamingIngest.loadSemanticDedup(s, path),
+        scratch)
+    },
+    Some("WITH cent AS (SELECT label AS cl, arg_min(list_transform(embedding, x -> CAST(x AS DOUBLE)), vec_id) AS cv FROM embeddings GROUP BY label), " +
+      "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "asg AS (SELECT vec_id, e, cl FROM (SELECT v.vec_id, v.e, c.cl, row_number() OVER (PARTITION BY v.vec_id ORDER BY round(list_cosine_similarity(v.e, c.cv), 4) DESC, c.cl) AS r FROM v CROSS JOIN cent c) WHERE r = 1), " +
+      "mxt AS (SELECT max(vec_id) + 1 AS m FROM embeddings), " +
+      // arrival batch per id: Q2 first, then Q1, Q4, Q3 — the entry's
+      // write order, id-range arithmetic identical to the Spark side
+      "arr AS (SELECT v.vec_id, CASE WHEN v.vec_id >= m // 4 AND v.vec_id < m // 2 THEN 0 WHEN v.vec_id < m // 4 THEN 1 WHEN v.vec_id >= (3 * m) // 4 THEN 2 ELSE 3 END AS bt FROM v CROSS JOIN mxt), " +
+      "p AS (SELECT b.vec_id AS id2 FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id AND round(list_cosine_similarity(a.e, b.e), 4) >= 0.3 JOIN arr aa ON aa.vec_id = a.vec_id JOIN arr ab ON ab.vec_id = b.vec_id WHERE aa.bt <= ab.bt), " +
+      "dr AS (SELECT DISTINCT id2 FROM p) " +
+      "SELECT asg.vec_id, asg.cl AS cluster, (dr.id2 IS NULL) AS keep FROM asg LEFT JOIN dr ON asg.vec_id = dr.id2"))
+
   /** SemDeDup with the TWO-LEVEL assignment router ([[Ann
     * .assignClustersTwoLevel]]) — the configuration a web-scale
     * SemDeDup needs: with nlist tracking the corpus, the flat N·k

@@ -606,17 +606,10 @@ private[graft] object EntriesSources {
         .write.mode("overwrite").parquet(s"$d/in")
       d
     })
-  locally { // session-lifetime scaffolding, removed when the JVM exits
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      stInputCache.values.foreach { d =>
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(d)
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }))
-  }
+  // Exit-time deletion of these dirs is owned by EntryKit.scratchPath's
+  // exception-tolerant sweep hook; a second hook here raced it during
+  // JVM shutdown (concurrent hooks) and crashed mid-Files.walk on a
+  // half-deleted tree.
 
   /** Per-sfDir events copy written TWICE into one directory — the
     * redelivered-input fixture for the streaming dedup entry (every file

@@ -250,6 +250,22 @@ object ScaleStress {
       spark.read.parquet(s"$dir/embeddings.parquet")
     }
 
+    // fixed 9000-centroid model for the N-scaling crossover rungs,
+    // built ONCE from the kx corpus (id-mod clusters — quality
+    // irrelevant on the cost axis) and persisted so every rung reads
+    // the same constant model: 9000·64 cells sits past
+    // RoutedDispatchBudget, the regime where the dispatch matters
+    def nxCents(): DataFrame = {
+      val dir = s"$workDir/nx_cents"
+      if (!Files.exists(Paths.get(s"$dir/_built_nx"))) {
+        Ann.pivotCentroids(withKClusters(kxCorpus(), 9000), "clk",
+            "vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$dir/cents.parquet")
+        Files.createFile(Paths.get(s"$dir/_built_nx"))
+      }
+      spark.read.parquet(s"$dir/cents.parquet")
+    }
+
     // shared shape for the bitext nprobe ladder: reference side FIXED
     // (replica-0 even ids, 10 clusters), candidate side grows with f
     // over its replica-qualified clusters — only nprobe varies, so the
@@ -417,6 +433,27 @@ object ScaleStress {
           e.filter(col("vec_id") < 10), "vec_id", "embedding",
           cb, k = 5, nprobe = 3)
       }),
+      "ann_filtered_escalate" -> (f => {
+        // the recall guard at HIGH selectivity (allowed ≈ 4% by
+        // id-mod) over the f× index: most queries' probed clusters
+        // hold < k allowed candidates, so the guard ESCALATES them.
+        // With the r18 FUSED escalation the total ADC work is bounded
+        // by one brute scan over the allowed set (head + DISJOINT
+        // probe tail), so the rung must track the allowed set ∝ f;
+        // the pre-fusion shape re-scored the head's clusters inside
+        // the probe-all pass — the doubled constant this rung exists
+        // to keep out
+        val e = emb(f)
+        val cb = Ann.pqSeedCodebook(e, "vec_id", "embedding", m = 8, ksub = 16)
+        val indexed = Ann.pqEncode(e, "vec_id", "embedding", cb)
+          .join(e.select(col("vec_id"), col("label")), "vec_id")
+        Ann.ivfPqTopKFiltered(indexed, "vec_id", "label",
+          Ann.pivotCentroids(e, "label", "vec_id", "embedding"),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cb, k = 5, nprobe = 2,
+          allowed = e.where(pmod(col("vec_id"), lit(25)) === 7)
+            .select(col("vec_id")))
+      }),
       "graph_triangles" -> (f => {
         // f disjoint copies of the 17-node base component (node ids
         // carry the replica base): wedge + closing joins must scale
@@ -575,6 +612,28 @@ object ScaleStress {
         graft.ann.Ann.assignClustersTwoLevel(e, "vec_id", "embedding",
           Ann.pivotCentroids(e, "clk", "vec_id", "embedding"), "clk",
           superCount = s, nprobe = 2)
+      }),
+      "ann_assign_flat_nscale" -> (f => {
+        // N-SCALING twin at FIXED k (9000 clusters over the kx corpus
+        // — 9000·64 = 576k cells, PAST RoutedDispatchBudget): corpus
+        // grows ∝ f against a constant model, the second coordinate of
+        // the dispatch crossover. Flat work is N·k ∝ f — exponent ~1
+        // expected; the CLAIM under test is that the flat/routed
+        // RATIO stays constant across N (both streams are linear in
+        // N), confirming the budget needs no N term: the crossover is
+        // a function of the model alone.
+        val cents = nxCents()
+        graft.ann.Ann.assignClusters(embP(f), "vec_id", "embedding",
+          cents, "clk")
+      }),
+      "ann_assign_two_level_nscale" -> (f => {
+        // routed twin at the same fixed k: N·(s + 2k/s) ∝ f. Same
+        // exponent, smaller constant — if the ratio drifted with N the
+        // single-knob budget would need the N coordinate.
+        val cents = nxCents()
+        val s = math.max(2, math.round(math.sqrt(2.0 * 9000)).toInt)
+        graft.ann.Ann.assignClustersTwoLevel(embP(f), "vec_id",
+          "embedding", cents, "clk", superCount = s, nprobe = 2)
       }),
       "ann_index_chain_read" -> (f => {
         // manifest-CHAIN read cost at FIXED data: one index per factor,
@@ -752,6 +811,16 @@ object ScaleStress {
               spark, dir, "vec_id", "cl").count()
             require(post == pre,
               s"delete did not restore the serve: $pre -> $post")
+            // keep the rung STATIONARY across invocations (the
+            // percall rung's discipline, adopted r18): fold the live
+            // tombstone untimed so the next run's serve does not
+            // anti-join an ever-growing tombstone set — pre-r18 this
+            // fixture accumulated one live tombstone per invocation
+            // (flat so far, but a future bend would be fixture debt,
+            // not code). The invocation count still lands in the
+            // artifact (delete_live_invocations) so cross-round
+            // comparisons stay attributable.
+            StreamingIngest.compactStreamedIndex(spark, dir, "vec_id", "cl")
             post
           })
       }),
@@ -964,7 +1033,11 @@ object ScaleStress {
     val constructionHeavy =
       Set("so14_leakage_split", "overlap_matrix", "tree_paths",
         "ann_assign_flat", "ann_assign_two_level",
-        "ann_assign_flat_kscale", "ann_assign_two_level_kscale")
+        "ann_assign_flat_kscale", "ann_assign_two_level_kscale",
+        "ann_assign_flat_nscale", "ann_assign_two_level_nscale",
+        // the guard executes its first pass (localCheckpoint) and the
+        // shortfall collects at plan construction
+        "ann_filtered_escalate")
     for ((name, mk) <- selectedOps; f <- factors) {
       val (sec, rows) =
         if (constructionHeavy(name)) timeAll(mk(f)) else time(mk(f))
@@ -1083,14 +1156,26 @@ object ScaleStress {
         }.mkString(",")}},""" +
         s""""semantic_census":{${semCensus.map { case (f, mx, k) =>
           s""""f$f":{"effective_clusters":$k,"max_cluster":$mx}"""
+        }.mkString(",")}},""" +
+        // fixture provenance: how many times the delete rungs have run
+        // against each factor's accumulated index — a future exponent
+        // bend is then attributable to fixture age vs code
+        s""""delete_live_invocations":{${factors.map { f =>
+          def inv(tag: String): Long = {
+            val p = Paths.get(s"$workDir/f$f/annidx_$tag/next_del")
+            if (Files.exists(p))
+              new String(Files.readAllBytes(p)).trim.toLong
+            else 0L
+          }
+          s""""f$f":{"dl":${inv("dl")},"dp":${inv("dp")}}"""
         }.mkString(",")}}"""
     val json =
       s"""{"base":"$baseDir","factors":[${factors.mkString(",")}],""" +
         s""""ops":{$opsJson},$guardJson}"""
     println(json)
     val outName =
-      if (factors == Seq(1, 3, 10)) "STRESS_r17.json"
-      else s"STRESS_r17_f${factors.last}.json"
+      if (factors == Seq(1, 3, 10)) "STRESS_r18.json"
+      else s"STRESS_r18_f${factors.last}.json"
     Files.write(Paths.get(outName),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -1347,7 +1347,8 @@ object Ann {
     */
   private def probeClusters(
       spark: SparkSession, qs: Array[(Long, Array[Double])],
-      centTable: DataFrame, cluster: String, nprobe: Int): DataFrame = {
+      centTable: DataFrame, cluster: String, nprobe: Int,
+      minRank: Int = 1): DataFrame = {
     import spark.implicits._
     val qDf = qs.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("q_id", "q_vec")
@@ -1362,7 +1363,12 @@ object Ann {
         round(dotD(col("q_vec"), col("centroid")) /
           (col("__qn") * col("__cn")), 4))
       .withColumn("crank", row_number().over(probeW))
-      .where(col("crank") <= nprobe)
+      // minRank > 1 selects the probe TAIL — the clusters a prior
+      // pass at nprobe = minRank - 1 did NOT scan; the rank order is
+      // the shared probe contract, so head ∪ tail partitions the
+      // cluster set exactly (the filtered escalation's fusion relies
+      // on this)
+      .where(col("crank") <= nprobe && col("crank") >= minRank)
       .select(col("q_id"), col(cluster))
   }
 
@@ -1429,11 +1435,25 @@ object Ann {
       queries: DataFrame, qId: String, qVec: String,
       cb: PqCodebook, k: Int, nprobe: Int): DataFrame = {
     val spark = indexed.sparkSession
-    import spark.implicits._
     val qs = collectQueries(queries, qId, qVec, cb)
     val probed = probeClusters(spark, qs, centTable, cluster, nprobe)
+    rankAdc(adcScores(indexed, id, cluster, probed, qs, cb), k)
+  }
+
+  /** The probed ADC scan's scoring stage, unranked — (q_id,
+    * neighbor_id, adc) for every (query, probed cluster) candidate.
+    * Shared by [[ivfPqTopK]] (which ranks it) and
+    * [[ivfPqTopKFiltered]]'s escalation (which scores only the probe
+    * TAIL and re-ranks against the first pass's survivors).
+    */
+  private def adcScores(
+      indexed: DataFrame, id: String, cluster: String,
+      probed: DataFrame, qs: Array[(Long, Array[Double])],
+      cb: PqCodebook): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast((qs, cb))
-    val scored = widen(indexed)
+    widen(indexed)
       .join(broadcast(probed), Seq(cluster))
       .select(col(id).cast("long"), col("q_id"), col("codes"))
       .as[(Long, Long, Seq[Int])]
@@ -1445,14 +1465,13 @@ object Ann {
           (qid, nid, adcOf(lut, qIdx(qid), cseq.toArray, b.m))
         }
       }.toDF("q_id", "neighbor_id", "adc")
-    rankAdc(scored, k)
   }
 
-  /** The guarded search's single scan shape — both of
-    * [[ivfPqTopKFiltered]]'s passes share it (the escalation differs
-    * only in `nprobe`); extracted so the plan audit exercises the
-    * REAL code path: allowed ids broadcast semi-joined ahead of the
-    * probed ADC ranking.
+  /** The guarded search's scan shape — the allowed ids broadcast
+    * semi-joined ahead of the probed ADC ranking. [[ivfPqTopKFiltered]]
+    * inlines this (it reuses the semi-joined index across both its
+    * passes); kept so the plan audit can drive the shape at any
+    * nprobe in isolation.
     */
   private[graft] def filteredScan(
       indexed: DataFrame, id: String, cluster: String,
@@ -1476,12 +1495,19 @@ object Ann {
     * candidates inside a query's probed clusters; those queries
     * (detected from the first-pass result counts — a ≤|Q|·k-row driver
     * collect, the same budget class as the query batch itself)
-    * ESCALATE to a probe-all pass over the filtered index, which is
-    * exactly brute-force ADC over the allowed set — the maximal
-    * widening of nprobe, so the guarded result is never worse than any
-    * intermediate widening. Plan shape: the allowed set is
-    * predicate-sized and broadcasts; the escalated pass re-runs ONLY
-    * the short queries; no embedding-carrying exchange is introduced.
+    * ESCALATE over the filtered index so their result equals
+    * brute-force ADC over the allowed set — the maximal widening of
+    * nprobe, so the guarded result is never worse than any
+    * intermediate widening. The escalation is FUSED: a short query's
+    * first-pass candidates all survived the rank (fewer than k
+    * existed), so the second pass scores ONLY the probe TAIL — the
+    * clusters ranked past `nprobe` by the shared probe contract,
+    * which partitions the cluster set exactly against the first
+    * pass's head — and the final top-k re-ranks head ∪ tail; no
+    * cluster's ADC work is paid twice. Plan shape: the allowed set is
+    * predicate-sized, semi-joined broadcast ONCE and reused by both
+    * passes; the tail pass scores only the short queries; no
+    * embedding-carrying exchange is introduced.
     */
   def ivfPqTopKFiltered(
       indexed: DataFrame, id: String, cluster: String,
@@ -1489,23 +1515,30 @@ object Ann {
       queries: DataFrame, qId: String, qVec: String,
       cb: PqCodebook, k: Int, nprobe: Int,
       allowed: DataFrame): DataFrame = {
-    val first = filteredScan(indexed, id, cluster, centTable,
-      queries, qId, qVec, cb, k, nprobe, allowed).localCheckpoint()
-    val qIds = queries.select(col(qId).cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    val spark = indexed.sparkSession
+    val filtered = indexed.join(
+      broadcast(allowed.select(col(id)).distinct()), Seq(id), "left_semi")
+    val qs = collectQueries(queries, qId, qVec, cb)
+    val probed = probeClusters(spark, qs, centTable, cluster, nprobe)
+    val first = rankAdc(adcScores(filtered, id, cluster, probed, qs, cb), k)
+      .localCheckpoint()
     val fullQ = first.groupBy(col("q_id")).count()
       .collect().filter(_.getLong(1) >= k).map(_.getLong(0)).toSet
-    val short = qIds -- fullQ
+    val short = qs.iterator.map(_._1).filterNot(fullQ).toSet
     if (short.isEmpty) first
     else {
       val nClusters = centTable.select(col(cluster)).distinct()
         .count().toInt
-      val escalated = filteredScan(indexed, id, cluster, centTable,
-        queries.where(col(qId).cast("long")
-          .isInCollection(short)),
-        qId, qVec, cb, k, nprobe = nClusters, allowed)
+      val qsShort = qs.filter(q => short(q._1))
+      val tail = probeClusters(spark, qsShort, centTable, cluster,
+        nprobe = nClusters, minRank = nprobe + 1)
+      val tailScores = adcScores(filtered, id, cluster, tail, qsShort, cb)
+      val fusedShort = rankAdc(
+        first.where(col("q_id").isInCollection(short))
+          .select(col("q_id"), col("neighbor_id"), col("adc"))
+          .unionByName(tailScores), k)
       first.where(!col("q_id").isInCollection(short))
-        .unionByName(escalated)
+        .unionByName(fusedShort)
     }
   }
 
@@ -1895,11 +1928,20 @@ object Ann {
     * ann_assign stress A/B measures the cliff). Cluster MEMBERSHIP may
     * differ from flat for nprobe < superCount (the router's documented
     * approximation); the keep rule on top is unchanged.
+    *
+    * The dispatch is a TRI-STATE: `router = Some(...)` forces routed;
+    * `router = None, autoRoute = true` (the default) takes the
+    * measured dispatch — flat below [[RoutedDispatchBudget]], routed
+    * above it; `router = None, autoRoute = false` forces EXACT flat
+    * assignment at any model size — so a caller whose coarse model
+    * outgrows the budget never silently switches to approximate
+    * membership without an escape hatch back to exact.
     */
   def semanticDedup(
       corpus: DataFrame, id: String, vec: String, cluster: String,
       threshold: Double, cents: Option[DataFrame] = None,
-      router: Option[(Int, Int)] = None): DataFrame = {
+      router: Option[(Int, Int)] = None,
+      autoRoute: Boolean = true): DataFrame = {
     val centRaw = cents.getOrElse(pivotCentroids(corpus, cluster, id, vec))
     val prep = widen(prepared(corpus, id, vec, "__id", "__v", "__n"))
     // assignment is a projection over prep (the kernel appends the
@@ -1934,7 +1976,11 @@ object Ann {
         val centT = if (cents.isEmpty) centRaw.localCheckpoint()
           else centRaw
         val (m, dt) = collectCosModel(centT, cluster)
-        if (m.cells <= RoutedDispatchBudget)
+        // autoRoute = false forces EXACT flat assignment regardless of
+        // model size — the dispatch must stay overridable in both
+        // directions, or a caller whose model crossed the budget gets
+        // approximate membership with no code change and no way back
+        if (!autoRoute || m.cells <= RoutedDispatchBudget)
           assignCos(prep, "__v", "__n", m, "__c", "__cs")
             .withColumn("cl", col("__c").cast(dt))
         else

@@ -823,21 +823,41 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // pin the state tree to this checkpoint for its lifetime: a
-        // fresh checkpoint restarts batch ids at 0, so its batches
-        // would skip the drained history in the `_ < batchId` state
-        // read AND overwrite live out/seen dirs — the silent-mix class
-        // the index drain's staging area guards identically
+        // pin the state tree to this checkpoint PATH for its lifetime
+        // (a DIFFERENT checkpoint restarts batch ids at 0, skips the
+        // drained history in the `_ < batchId` state read, and
+        // overwrites live out/seen dirs); the high-water check below
+        // covers what a path claim cannot — the same path deleted and
+        // recreated
         claimRunAt(spark, statePath, checkpoint)
         val fs = hfs(spark, statePath)
-        val seenRoot = new org.apache.hadoop.fs.Path(s"$statePath/seen")
-        val priorDirs =
-          if (!fs.exists(seenRoot)) Seq.empty
-          else listIndexDir(fs, seenRoot).toSeq.map(_.getPath.getName)
+        def batchIdsUnder(sub: String): Seq[Long] = {
+          val root = new org.apache.hadoop.fs.Path(s"$statePath/$sub")
+          if (!fs.exists(root)) Seq.empty
+          else listIndexDir(fs, root).toSeq.map(_.getPath.getName)
             .flatMap(n =>
               if (n.startsWith("batch=")) n.drop("batch=".length).toLongOption
               else None)
-            .filter(_ < batchId)
+        }
+        val seenIds = batchIdsUnder("seen")
+        // the path-keyed claim cannot see a checkpoint DELETED and
+        // recreated at the same path — batch ids restart at 0, pass
+        // the claim, and would overwrite out/batch=0 while the
+        // `_ < batchId` state read skips all drained history. A batch
+        // id strictly below the drained high-water mark is that replay
+        // -from-zero (a crash-replay of the CURRENT batch re-lands at
+        // its own id, which is never strictly below) — fail loudly,
+        // mirroring the index drain's epoch/high-water discipline
+        val highWater = (seenIds ++ batchIdsUnder("out")).maxOption
+        highWater.filter(batchId < _).foreach { hw =>
+          throw new IllegalStateException(
+            s"semantic-dedup state at $statePath has drained through " +
+              s"batch $hw but this stream presented batch $batchId — " +
+              "the checkpoint was recreated at the same path and its " +
+              "batch ids restarted; resume the original checkpoint or " +
+              "point the drain at a fresh statePath")
+        }
+        val priorDirs = seenIds.filter(_ < batchId)
         val seen =
           if (priorDirs.isEmpty) None
           else Some(spark.read.parquet(
@@ -1609,14 +1629,16 @@ object StreamingIngest {
     * dispatches to exactly one of the two proven folds, so serving
     * stays invariant by their shared contract. The chain-depth stress
     * rung measures the read-cost-vs-roots slope that makes `maxRoots`
-    * a real bound, not prose.
+    * a real bound, not prose. Returns WHICH fold it dispatched
+    * ([[FoldDispatch]]) so a policy caller
+    * ([[maintainStreamedIndex]]) can report the decision.
     */
   def compactStreamedAuto(
       spark: SparkSession, indexPath: String,
       id: String, cluster: String,
       upTo: Option[Long] = None,
       maxRoots: Int = 4, maxTouchedFrac: Double = 0.5,
-      manifestBudget: Int = DefaultManifestBudget): Unit = {
+      manifestBudget: Int = DefaultManifestBudget): FoldDispatch = {
     require(maxRoots >= 1, s"maxRoots must be >= 1, got $maxRoots")
     require(maxTouchedFrac > 0.0 && maxTouchedFrac <= 1.0,
       s"maxTouchedFrac must be in (0, 1], got $maxTouchedFrac")
@@ -1632,7 +1654,7 @@ object StreamingIngest {
     val appliedPrior = tombsApplied(spark, priorPath)
     val pendingTombs = pendingTombSeqs(spark, indexPath, appliedPrior)
     if (!staged.exists(_ > hwPrior) && pendingTombs.isEmpty)
-      return // nothing unfolded, nothing to reclaim
+      return FoldDispatch.NothingToFold // nothing unfolded or to reclaim
     val hw = (staged :+ hwPrior).max
     val tombHw = (pendingTombs :+ appliedPrior).max
     val priorEntries: Map[String, String] =
@@ -1666,12 +1688,28 @@ object StreamingIngest {
     // thresholds it was never evaluated against — the fold must cover
     // exactly the window the policy costed (it stays correct either
     // way by each fold's own contract; the late batch folds next cycle)
-    if (prospectiveRoots > maxRoots || touchedFrac >= maxTouchedFrac)
+    if (prospectiveRoots > maxRoots || touchedFrac >= maxTouchedFrac) {
       compactStreamedIndex(spark, indexPath, id, cluster, Some(hw),
         manifestBudget, upToTomb = Some(tombHw))
-    else
+      FoldDispatch.Full
+    } else {
       compactStreamedIncremental(spark, indexPath, id, cluster, Some(hw),
         manifestBudget, upToTomb = Some(tombHw))
+      FoldDispatch.Incremental
+    }
+  }
+
+  /** Which fold [[compactStreamedAuto]] dispatched — the policy
+    * caller's decision record.
+    */
+  sealed trait FoldDispatch
+  object FoldDispatch {
+    /** Nothing unfolded and nothing to reclaim — no fold ran. */
+    case object NothingToFold extends FoldDispatch
+    /** The manifest fold: touched clusters only. */
+    case object Incremental extends FoldDispatch
+    /** Promoted to a full fold (chain width or touched fraction). */
+    case object Full extends FoldDispatch
   }
 
   /** Write the `_folded` high-water marker via tmp + atomic
@@ -1907,6 +1945,29 @@ object StreamingIngest {
       codes, cb, cents)
   }
 
+  /** Schemes whose "directory mtime" is synthetic or frozen (flat-
+    * namespace object stores): a fingerprint built from them can
+    * NEVER move, so mtime-based refresh silently degrades to
+    * never-refresh — the caller serves an unboundedly stale snapshot
+    * with no signal. [[refreshServeHandle]] refuses these loudly and
+    * points at [[refreshServeHandleTtl]], whose staleness bound does
+    * not trust mtimes at all.
+    */
+  private val MtimelessSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "oss", "cos", "cosn",
+    "wasb", "wasbs", "abfs", "abfss", "swift")
+
+  private[streaming] def requireDirMtimes(indexPath: String): Unit = {
+    val scheme = Option(
+      new org.apache.hadoop.fs.Path(indexPath).toUri.getScheme)
+      .getOrElse("file").toLowerCase(java.util.Locale.ROOT)
+    require(!MtimelessSchemes.contains(scheme),
+      s"$indexPath lives on '$scheme://', an object store without " +
+        "directory mtimes — the mtime fingerprint can never move and " +
+        "mtime-based refresh would never detect a mutation; use " +
+        "refreshServeHandleTtl (bounded staleness without mtime trust)")
+  }
+
   /** Mutations landing in the SAME millisecond as a fingerprinted
     * mtime are invisible to the comparison (directory mtimes carry ms
     * precision); a handle resolved within this window of its newest
@@ -1927,10 +1988,14 @@ object StreamingIngest {
     * hide behind an equal fingerprint there; the cost is only an
     * extra re-open, and the replacement handle, opened against the
     * now-quiet index, refreshes warm. Callers serve in a loop as
-    * `h = refresh(spark, h); use(h.codes)`.
+    * `h = refresh(spark, h); use(h.codes)`. Refuses paths on
+    * [[MtimelessSchemes]] (object stores): there the fingerprint can
+    * never move and this variant would silently never refresh — use
+    * [[refreshServeHandleTtl]].
     */
   def refreshServeHandle(
       spark: SparkSession, h: ServeHandle): ServeHandle = {
+    requireDirMtimes(h.indexPath)
     val newest = h.fingerprint.map(_._2).maxOption.getOrElse(0L)
     if (h.openedAtMs > newest + MtimeGuardMs &&
         serveFingerprint(spark, h.indexPath) == h.fingerprint) h
@@ -2011,7 +2076,11 @@ object StreamingIngest {
     *
     * Coherence: refuses a live `_retrain_lock` (the models are being
     * superseded — the delete fence, mirrored) and an existing
-    * destination (never clobber a serving index). The codebook is
+    * destination (never clobber a serving index); a retrain that
+    * publishes INSIDE the clone window (lock taken and released
+    * between the check and the reads) is caught by a generation/epoch
+    * fence — captured before model resolution, required unmoved after
+    * the codes land, clone deleted on mismatch. The codebook is
     * written LAST, so a reader pointed at the destination early fails
     * to load rather than serving a partial snapshot; switch serving to
     * the clone only after the call returns.
@@ -2030,6 +2099,17 @@ object StreamingIngest {
         s"retrain in progress on $srcPath (_retrain_lock present); " +
           "clone after it completes — the serving models are being " +
           "superseded")
+    // generation/epoch fence: models (versionedModels) and view
+    // (loadStreamedCodes) are resolved in two unfenced driver-side
+    // steps — a retrain publishing BETWEEN them (lock taken and
+    // released inside the window, so the lock check above never sees
+    // it) would clone codes and codebook from different generations.
+    // Capture the coordinates before resolution and require them
+    // unmoved after the codes land (commitStagedBatch's fence,
+    // mirrored); a retrain after the re-read is harmless — the clone
+    // is then a coherent snapshot of the captured generation.
+    val gen0 = resolveVersion(spark, srcPath).map(_._1)
+    val epoch0 = modelEpochAt(spark, srcPath, gen0)
     val (cb, cents) = versionedModels(spark, srcPath)
     loadStreamedCodes(spark, srcPath, id, cluster,
         manifestBudget = manifestBudget)
@@ -2044,9 +2124,30 @@ object StreamingIngest {
         s"serving view of $srcPath is empty (every row deleted) — " +
           "nothing to clone; fold or retrain the source first")
     }
+    cloneGenerationFence(spark, srcPath, dstPath, gen0, epoch0)
     cents.foreach(_.select(col(cluster), col("centroid"))
       .repartition(1).write.parquet(s"$dstPath/centroids"))
     graft.ann.Ann.writeCodebook(spark, cb, s"$dstPath/codebook")
+  }
+
+  /** [[cloneStreamedIndex]]'s post-materialization fence: require the
+    * source's (generation, model epoch) unmoved since `gen0`/`epoch0`
+    * were captured; on movement delete the half-built `dstPath` and
+    * throw — the clone's codes and codebook would belong to different
+    * generations ([[commitStagedBatch]]'s epoch fence, mirrored).
+    */
+  private[streaming] def cloneGenerationFence(
+      spark: SparkSession, srcPath: String, dstPath: String,
+      gen0: Option[String], epoch0: Long): Unit = {
+    val gen1 = resolveVersion(spark, srcPath).map(_._1)
+    if (gen1 != gen0 || modelEpochAt(spark, srcPath, gen1) != epoch0) {
+      hfs(spark, dstPath)
+        .delete(new org.apache.hadoop.fs.Path(dstPath), true)
+      throw new IllegalStateException(
+        s"source $srcPath published a new generation while the clone " +
+          "was materializing — codes and models would mix " +
+          "generations; re-run the clone against the settled index")
+    }
   }
 
   /** RE-TRAIN the index on the current corpus and publish the result
@@ -2099,14 +2200,18 @@ object StreamingIngest {
     * membership approximation — codes are exact either way). A caller
     * that leaves `router = None` gets the MEASURED dispatch
     * ([[graft.ann.Ann.autoRouter]]): flat below the model-cell
-    * budget, routed above it — nlist ∝ N routes automatically.
+    * budget, routed above it — nlist ∝ N routes automatically;
+    * `autoRoute = false` pins EXACT flat assignment at any model size
+    * (the [[graft.ann.Ann.semanticDedup]] tri-state, mirrored — the
+    * silent exact-to-approximate switch must stay overridable).
     */
   def retrainStreamedIndex(
       spark: SparkSession, indexPath: String,
       corpus: DataFrame, id: String, vec: String,
       centTable: DataFrame, cluster: String,
       m: Int, ksub: Int, iters: Int = 0,
-      router: Option[(Int, Int)] = None): Unit = {
+      router: Option[(Int, Int)] = None,
+      autoRoute: Boolean = true): Unit = {
     val fs = hfs(spark, indexPath)
     val lock = new org.apache.hadoop.fs.Path(s"$indexPath/_retrain_lock")
     val lockOut =
@@ -2118,7 +2223,7 @@ object StreamingIngest {
       }
     try lockOut.write("retrain".getBytes("UTF-8")) finally lockOut.close()
     try retrainLocked(spark, indexPath, corpus, id, vec, centTable,
-      cluster, m, ksub, iters, router)
+      cluster, m, ksub, iters, router, autoRoute)
     finally { fs.delete(lock, false); () }
   }
 
@@ -2161,7 +2266,8 @@ object StreamingIngest {
       m: Int, ksub: Int, iters: Int = 0,
       minCosine: Double = 0.999,
       probeFraction: Double = 1.0,
-      router: Option[(Int, Int)] = None): Boolean = {
+      router: Option[(Int, Int)] = None,
+      autoRoute: Boolean = true): Boolean = {
     require(minCosine >= -1.0 && minCosine <= 1.0,
       s"minCosine must be in [-1, 1], got $minCosine")
     require(probeFraction > 0.0 && probeFraction <= 1.0,
@@ -2184,8 +2290,133 @@ object StreamingIngest {
     val fire = !sig.isNullAt(0) && sig.getLong(1) > 0 &&
       sig.getDouble(0) < minCosine
     if (fire) retrainStreamedIndex(spark, indexPath, corpus, id, vec,
-      newCents, cluster, m, ksub, iters, router)
+      newCents, cluster, m, ksub, iters, router, autoRoute)
     fire
+  }
+
+  /** The maintenance decision table's knobs, one value object — what
+    * a fleet scheduler configures once per index class instead of
+    * authoring the fold-vs-retrain glue per index.
+    *
+    *  - `foldMinStaged` / `foldMinTombstones`: fold when at least this
+    *    many unfolded staged batches / pending tombstone batches are
+    *    live (fold cost is per-cycle metadata + touched clusters, so
+    *    folding every tiny batch wastes generations; letting the
+    *    window grow unboundedly makes every serve pay the staging
+    *    union).
+    *  - `maxRoots` / `maxTouchedFrac`: passed through to
+    *    [[compactStreamedAuto]] — the measured incremental-vs-full
+    *    promotion.
+    *  - `driftMinCosine` / `driftProbeFraction`: the retrain trigger
+    *    ([[retrainOnDrift]] — worst serving-cluster cosine on a
+    *    deterministic id-hash sample); `driftMinCosine = -1` DISABLES
+    *    the trigger and skips the probe — a fold-only tick costs
+    *    listings only.
+    */
+  final case class MaintenancePolicy(
+      foldMinStaged: Int = 4,
+      foldMinTombstones: Int = 1,
+      maxRoots: Int = 4,
+      maxTouchedFrac: Double = 0.5,
+      driftMinCosine: Double = 0.999,
+      driftProbeFraction: Double = 1.0) {
+    require(foldMinStaged >= 1,
+      s"foldMinStaged must be >= 1, got $foldMinStaged")
+    require(foldMinTombstones >= 1,
+      s"foldMinTombstones must be >= 1, got $foldMinTombstones")
+  }
+
+  /** What one [[maintainStreamedIndex]] tick decided and did. */
+  sealed trait MaintenanceAction
+  object MaintenanceAction {
+    /** A retrain holds the index — nothing safe to dispatch; retry
+      * after it completes (or inspect a crashed lock).
+      */
+    case object Blocked extends MaintenanceAction
+    /** No threshold tripped — the tick cost the drift probe plus
+      * listings and changed nothing.
+      */
+    case object NoOp extends MaintenanceAction
+    /** The fold threshold tripped; `dispatch` records which fold
+      * [[compactStreamedAuto]] chose.
+      */
+    final case class Folded(dispatch: FoldDispatch)
+      extends MaintenanceAction
+    /** The drift trigger fired and [[retrainStreamedIndex]] published
+      * the next generation (staging and pending tombstones consumed).
+      */
+    case object Retrained extends MaintenanceAction
+  }
+
+  /** The index MAINTENANCE verb — one policy tick over a streamed
+    * index: read the [[IndexStatus]] snapshot and the drift signal,
+    * then dispatch retrain / fold / no-op by [[MaintenancePolicy]]'s
+    * decision table. Every primitive it dispatches to already carries
+    * its own fences and serving invariants; this verb only decides,
+    * so a scheduler can run it per index per tick instead of an
+    * operator hand-sequencing `indexStatus` → `centroidDrift` →
+    * `compactStreamedAuto` / `retrainOnDrift` — at fleet scale the
+    * policy IS the operator story.
+    *
+    * Decision table, first match wins:
+    *
+    *  1. `_retrain_lock` present → [[MaintenanceAction.Blocked]]
+    *     (never race a live retrain; a crashed lock is an operator
+    *     inspection, not a policy decision).
+    *  2. Drift fires ([[retrainOnDrift]]: worst serving-cluster
+    *     cosine < `driftMinCosine` on the `driftProbeFraction`
+    *     id-hash sample) → [[MaintenanceAction.Retrained]]. Retrain
+    *     outranks fold because it SUPERSEDES it: the new generation
+    *     snapshots the corpus, consuming staging and pending
+    *     tombstones — folding first would pay a fold the retrain
+    *     immediately obsoletes.
+    *  3. Unfolded staged batches ≥ `foldMinStaged` OR pending
+    *     tombstone batches ≥ `foldMinTombstones` →
+    *     [[MaintenanceAction.Folded]] via [[compactStreamedAuto]]
+    *     (its measured incremental-vs-full promotion, with the
+    *     policy's `maxRoots` / `maxTouchedFrac`).
+    *  4. Otherwise [[MaintenanceAction.NoOp]].
+    *
+    * Tick cost: listings ([[indexStatus]]) + one linear drift probe
+    * over the optional sample — `driftProbeFraction` dials the probe
+    * tax; the probe never runs when the tick is Blocked. `corpus` /
+    * `newCents` are the retrain's rebuild-from-the-lake inputs and
+    * `baseCents` the pre-retrain serving fallback, exactly
+    * [[retrainOnDrift]]'s contract.
+    */
+  def maintainStreamedIndex(
+      spark: SparkSession, indexPath: String,
+      corpus: DataFrame, id: String, vec: String,
+      baseCents: DataFrame, newCents: DataFrame, cluster: String,
+      m: Int, ksub: Int, iters: Int = 0,
+      policy: MaintenancePolicy = MaintenancePolicy(),
+      router: Option[(Int, Int)] = None,
+      autoRoute: Boolean = true,
+      manifestBudget: Int = DefaultManifestBudget): MaintenanceAction = {
+    val status = indexStatus(spark, indexPath)
+    if (status.retrainInProgress) return MaintenanceAction.Blocked
+    // driftMinCosine = -1 DISABLES the trigger (no cosine is < -1),
+    // so don't pay the linear probe for a decision already made — a
+    // fold-only policy tick then costs listings only
+    val fired = policy.driftMinCosine > -1.0 &&
+      retrainOnDrift(spark, indexPath, corpus, id, vec,
+        baseCents, newCents, cluster, m, ksub, iters,
+        policy.driftMinCosine, policy.driftProbeFraction, router,
+        autoRoute)
+    if (fired) return MaintenanceAction.Retrained
+    val unfolded =
+      status.stagedBatches.count(_ > status.foldedHighWater)
+    if (unfolded >= policy.foldMinStaged ||
+        status.pendingTombstones.size >= policy.foldMinTombstones) {
+      // the fold re-snapshots under its own listing (compactStreamed
+      // Auto's bounded-at-decision-high-water discipline) — a batch
+      // staged since indexStatus folds next tick
+      MaintenanceAction.Folded(compactStreamedAuto(
+        spark, indexPath, id, cluster,
+        maxRoots = policy.maxRoots,
+        maxTouchedFrac = policy.maxTouchedFrac,
+        manifestBudget = manifestBudget))
+    } else MaintenanceAction.NoOp
   }
 
   private def retrainLocked(
@@ -2193,7 +2424,8 @@ object StreamingIngest {
       corpus: DataFrame, id: String, vec: String,
       centTable: DataFrame, cluster: String,
       m: Int, ksub: Int, iters: Int,
-      router: Option[(Int, Int)] = None): Unit = {
+      router: Option[(Int, Int)] = None,
+      autoRoute: Boolean = true): Unit = {
     val fs = hfs(spark, indexPath)
     // no micro-batch may be MID-STAGE at the snapshot: the drain writes
     // each batch to stream/.batch_tmp_<id> BEFORE its lock re-check, so
@@ -2271,8 +2503,12 @@ object StreamingIngest {
     // ([[graft.ann.Ann.autoRouter]]): flat below the model-cell
     // budget, the stress ladder's routed shape above it — so a retrain
     // whose nlist grew with the corpus routes automatically instead of
-    // re-running the quadratic flat stream by default
-    (router.orElse(graft.ann.Ann.autoRouter(centLocal, cluster)) match {
+    // re-running the quadratic flat stream by default; autoRoute =
+    // false pins EXACT flat assignment at any model size (the
+    // tri-state semanticDedup documents)
+    (router.orElse(
+      if (autoRoute) graft.ann.Ann.autoRouter(centLocal, cluster)
+      else None) match {
       case Some((superCount, nprobe)) => graft.ann.Ann.encodeAssignRouted(
         corpusClean, id, vec, cb, centLocal, cluster, superCount, nprobe)
       case None => graft.ann.Ann.encodeAssign(

@@ -852,8 +852,8 @@ class PlanAuditSpec extends SparkSpec {
   test("round-17: filtered search — the allowed-ids pre-filter is ONE " +
       "LeftSemi broadcast hash join ahead of the probed ADC scan, and " +
       "no keyed exchange carries an embedding or code column (the " +
-      "recall guard's first pass and its probe-all escalation share " +
-      "this exact shape, differing only in the probe count)") {
+      "scan shape both of the recall guard's passes build on, at a " +
+      "narrow and a probe-all count)") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val emb = Tables.load(spark, sfDir, "embeddings")
     val docs = Tables.load(spark, sfDir, "documents")
@@ -865,9 +865,8 @@ class PlanAuditSpec extends SparkSpec {
       .select(col("doc_id").as("vec_id"))
     val cents = graft.ann.Ann.pivotCentroids(
       emb, "label", "vec_id", "embedding")
-    // audit the REAL scan the guard executes (filteredScan is the one
-    // code path both passes share), at the first-pass probe count AND
-    // at probe-all (the escalation)
+    // audit the guard's scan shape in isolation, at the first-pass
+    // probe count AND at probe-all
     for (np <- Seq(3, 10)) {
       val p = graft.ann.Ann.filteredScan(indexed, "vec_id", "label",
           cents, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -883,6 +882,27 @@ class PlanAuditSpec extends SparkSpec {
         p)
       assertNoVectorCarryingExchange(p)
     }
+    // and the REAL guarded operator end-to-end on a selective allowed
+    // set (the escalation fires): the FUSED plan pays the LeftSemi
+    // semi-join exactly once — the first pass's branch reads its
+    // localCheckpoint, only the tail scores against the live index —
+    // and the tail's ADC work covers only the unprobed clusters
+    val guarded = graft.ann.Ann.ivfPqTopKFiltered(indexed, "vec_id",
+      "label", cents, emb.filter(col("vec_id") < 10), "vec_id",
+      "embedding", cb, k = 5, nprobe = 1, allowed)
+    val gp = guarded.queryExecution.explainString(FormattedMode)
+    assert(gp.contains("Union"),
+      s"selective fixture must fire the escalation (no Union => no " +
+        s"short queries)\n$gp")
+    val gSemis = gp.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+      .toSeq
+    assert(gSemis.size == 1,
+      s"fused guard must pay the allowed semi-join ONCE, got " +
+        s"${gSemis.size}\n$gp")
+    assert(!gp.contains("SortMergeJoin") && !gp.contains("CartesianProduct"),
+      gp)
+    assertNoVectorCarryingExchange(gp)
   }
 
   /** No HASH/RANGE shuffle exchange may output an embedding-carrying

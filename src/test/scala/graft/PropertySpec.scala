@@ -1066,4 +1066,68 @@ object PropertySpec extends Properties("graft") {
       Prop(drained == oneShot) :|
         s"splits=$splits thr=$thr drained=$drained oneShot=$oneShot"
     }
+
+  private val semOooGen: Gen[(List[(Long, Seq[Float], Int)], Int, Double, Long)] =
+    for {
+      (rows, splits, thr) <- semSplitGen
+      seed <- Gen.chooseNum(0L, 100000L)
+    } yield (rows, splits, thr, seed)
+
+  property("semanticDedupStep under OUT-OF-ORDER batches: verdicts " +
+      "equal first-seen-wins (witness = similar same-cluster lower id " +
+      "that arrived in the same batch or earlier), for any permutation " +
+      "of the id-range batches") =
+    Prop.forAllNoShrink(semOooGen) { case (rows, splits, thr, seed) =>
+      val s = spark
+      import s.implicits._
+      import graft.ann.Ann
+      import org.apache.spark.sql.functions.col
+      val df = rows.toDF("vec_id", "embedding", "label")
+      val cents = Ann.pivotCentroids(df, "label", "vec_id", "embedding")
+      // id-range batches, then a seeded permutation = arrival order
+      val n = rows.size
+      val bounds = (0 to splits).map(i => n.toLong * i / splits)
+      val ranges = bounds.zip(bounds.tail).filter(p => p._1 < p._2)
+      val arrival = new scala.util.Random(seed).shuffle(ranges.toList)
+      // drain through the real step in arrival order
+      var seen: Option[org.apache.spark.sql.DataFrame] = None
+      var drained = Map.empty[Long, Boolean]
+      arrival.foreach { case (lo, hi) =>
+        val batch = df.where(col("vec_id") >= lo && col("vec_id") < hi)
+        val (out, state) = Ann.semanticDedupStep(batch, seen,
+          "vec_id", "embedding", "label", thr, cents)
+        drained ++= out.select(col("vec_id"), col("keep"))
+          .as[(Long, Boolean)].collect().toMap
+        seen = Some(seen.map(_.unionByName(state)).getOrElse(state))
+      }
+      // independent reference: round-4 HALF_UP cosine, pivot-centroid
+      // argmax with lowest-label tiebreak, first-seen-wins witness rule
+      def cos4(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.iterator.zip(b.iterator)
+          .map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.iterator.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.iterator.map(x => x.toDouble * x).sum)
+        BigDecimal(dot / (na * nb))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val byId = rows.map(r => r._1 -> r._2).toMap
+      val pivots = rows.groupBy(_._3).map { case (l, rs) =>
+        l -> byId(rs.map(_._1).min)
+      }
+      def clOf(id: Long): Int = pivots.toSeq
+        .map { case (l, cv) => (l, cos4(byId(id), cv)) }
+        .maxBy { case (l, c) => (c, -l) }._1
+      val arrOf = arrival.zipWithIndex.flatMap { case ((lo, hi), i) =>
+        rows.map(_._1).filter(id => id >= lo && id < hi).map(_ -> i)
+      }.toMap
+      val expected = rows.map(_._1).map { r =>
+        val dropped = rows.map(_._1).exists { w =>
+          w < r && clOf(w) == clOf(r) && arrOf(w) <= arrOf(r) &&
+            cos4(byId(w), byId(r)) >= thr
+        }
+        r -> !dropped
+      }.toMap
+      Prop(drained == expected) :|
+        s"arrival=$arrival thr=$thr drained=$drained expected=$expected"
+    }
 }

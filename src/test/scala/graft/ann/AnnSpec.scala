@@ -727,6 +727,40 @@ class AnnSpec extends SparkSpec {
     assert(Ann.autoRouter(small.where($"label" < 0), "label").isEmpty)
   }
 
+  test("semanticDedup tri-state dispatch: autoRoute = false forces " +
+      "EXACT flat assignment past the routed-dispatch budget — the " +
+      "escape hatch back from the measured auto-route") {
+    val dim = 64
+    val k = 9000 // 9000 · 64 cells > RoutedDispatchBudget
+    // two meaningful centroids in the (d0, d1) plane; the other 8998
+    // point into d2.. (cosine 0 with every corpus vector)
+    def cent(i: Int): Seq[Double] =
+      if (i == 100) Seq(1.0, 0.0) ++ Seq.fill(dim - 2)(0.0)
+      else if (i == 200) Seq(0.0, 1.0) ++ Seq.fill(dim - 2)(0.0)
+      else (0 until dim).map(d => if (d == 2 + i % 60) 1.0 else 0.0)
+    val bigCents = (0 until k).map(i => (i, cent(i)))
+      .toDF("label", "centroid")
+    assert(Ann.autoRouter(bigCents, "label").nonEmpty,
+      "fixture must sit past the budget or the test proves nothing")
+    def v(x: Double, y: Double): Seq[Float] =
+      Seq(x.toFloat, y.toFloat) ++ Seq.fill(dim - 2)(0.0f)
+    val corpus = Seq(
+      (0L, v(1.0, 0.0)), (1L, v(0.95, 0.312)),
+      (2L, v(0.0, 1.0)), (3L, v(0.312, 0.95)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.semanticDedup(corpus, "vec_id", "embedding", "label",
+        threshold = 0.9, cents = Some(bigCents), autoRoute = false)
+      .select($"vec_id", col("cluster").cast("int"), $"keep")
+      .as[(Long, Int, Boolean)].collect()
+      .map { case (i, c, kp) => i -> ((c, kp)) }.toMap
+    // exact flat argmax: 0,1 → centroid 100; 2,3 → centroid 200;
+    // within each cluster the higher id dedups against the lower
+    // (cos ≈ 0.95 ≥ 0.9)
+    assert(got == Map(
+      0L -> ((100, true)), 1L -> ((100, false)),
+      2L -> ((200, true)), 3L -> ((200, false))), got.toString)
+  }
+
   test("assignClustersTwoLevel: a vector whose probed super routed no " +
       "members is never dropped — it assigns to the probed super itself") {
     val dim = 8

@@ -2042,6 +2042,15 @@ class StreamingIngestSpec extends SparkSpec {
     val h5 = StreamingIngest.refreshServeHandleTtl(spark, h4, 0L)
     assert(h5 ne h4)
     assert(ids(h5.codes) == ids(h4.codes))
+    // the adoption contract the read-path entries (describe census,
+    // compact serve checks) rely on: downstream reads off a warm
+    // handle pay ZERO further lifecycle listings — resolution cost
+    // lives entirely in open/refresh
+    val c3 = StreamingIngest.indexListings.get()
+    val census = h5.codes.groupBy($"label").count().collect()
+    assert(census.map(_.getLong(1)).sum == 5)
+    assert(StreamingIngest.indexListings.get() == c3,
+      "a census off a warm handle must cost zero lifecycle listings")
   }
 
   test("indexStatus tracks the lifecycle: base → staged → tombstoned → " +
@@ -2258,6 +2267,247 @@ class StreamingIngestSpec extends SparkSpec {
       Seq(0L, 4L, 6L, 8L))
     assert(scala.io.Source.fromFile(s"$st/codes_v1/_tombs_applied")
       .mkString.trim == "0")
+  }
+
+  test("semanticDedupDrain out-of-order arrival: first-seen-wins — a " +
+      "lower id arriving AFTER a higher similar one cannot " +
+      "retroactively drop it, and a row keeps its verdict from its " +
+      "own arrival time") {
+    import graft.ann.Ann
+    val dim = 4
+    def v(x: Double, y: Double) =
+      Seq(x.toFloat, y.toFloat, 0.0f, 0.0f)
+    // same geometry as the ordered test: 1 dedups against 0 (cos ≈
+    // 0.92), 2 is similar ONLY to 1 (cos ≈ 0.93; cos(0,2) ≈ 0.71 < t)
+    val rows = Seq(
+      (0L, v(1.0, 0.0), 0), (1L, v(0.92, 0.39), 0),
+      (2L, v(0.71, 0.71), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Ann.pivotCentroids(rows, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_semdrain_ooo").toString
+    // arrival order: batch 0 = {2} (FIRST), batch 1 = {0, 1}
+    rows.where($"vec_id" === 2).coalesce(1)
+      .write.mode("append").parquet(s"$st/in")
+    Thread.sleep(10)
+    rows.where($"vec_id" < 2).coalesce(1)
+      .write.mode("append").parquet(s"$st/in")
+    StreamingIngest.semanticDedupDrain(
+        spark.readStream.schema(rows.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$st/in"),
+        st, s"$st/ckpt", "vec_id", "embedding", "label",
+        threshold = 0.75, cents)
+      .awaitTermination()
+    val got = StreamingIngest.loadSemanticDedup(spark, st)
+      .select($"vec_id", $"keep").as[(Long, Boolean)]
+      .collect().toMap
+    // 2 arrived before its only witness (the later-dropped 1) — it is
+    // KEPT here, where ordered arrival (and the one-shot operator)
+    // drops it through the dropped witness; 1 still drops via the
+    // in-batch witness 0
+    assert(got == Map(0L -> true, 1L -> false, 2L -> true),
+      s"first-seen-wins violated: $got")
+  }
+
+  test("semanticDedupDrain high-water guard: a checkpoint deleted and " +
+      "recreated at the SAME path (batch ids restart at 0) fails " +
+      "loudly instead of overwriting drained state") {
+    import graft.ann.Ann
+    val dim = 4
+    def v(x: Double, y: Double) =
+      Seq(x.toFloat, y.toFloat, 0.0f, 0.0f)
+    val rows = Seq(
+      (0L, v(1.0, 0.0), 0), (1L, v(0.92, 0.39), 0),
+      (2L, v(0.71, 0.71), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Ann.pivotCentroids(rows, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_semdrain_hw").toString
+    rows.where($"vec_id" < 2).coalesce(1)
+      .write.mode("append").parquet(s"$st/in")
+    Thread.sleep(10)
+    rows.where($"vec_id" === 2).coalesce(1)
+      .write.mode("append").parquet(s"$st/in")
+    def drain() = StreamingIngest.semanticDedupDrain(
+      spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$st/in"),
+      st, s"$st/ckpt", "vec_id", "embedding", "label",
+      threshold = 0.75, cents)
+    drain().awaitTermination() // batches 0 and 1 drain cleanly
+    val before = StreamingIngest.loadSemanticDedup(spark, st)
+      .select($"vec_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(before == Map(0L -> true, 1L -> false, 2L -> false))
+    // simulate the silent-restart hazard: the SAME checkpoint path,
+    // recreated — the path-keyed _run claim passes, but batch ids
+    // restart at 0 and would overwrite out/batch=0 while the
+    // `< batchId` state read skips all drained history
+    graft.EntryKit.deleteRecursively(java.nio.file.Paths.get(s"$st/ckpt"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain().awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("batch ids restarted")),
+      s"expected the high-water refusal, got: ${messages(e)}")
+    // the drained state survived untouched
+    val after = StreamingIngest.loadSemanticDedup(spark, st)
+      .select($"vec_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(after == before)
+  }
+
+  test("cloneGenerationFence: a generation/epoch moved since capture " +
+      "aborts the clone and deletes the half-built destination; " +
+      "unmoved coordinates pass") {
+    import graft.ann.Ann
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val root = graft.EntryKit.scratchTracked("graft_clonefence").toString
+    val src = s"$root/src"
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, src)
+    // current coordinates: base generation (None), epoch 0 — pass
+    val dst = s"$root/dst"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+    StreamingIngest.cloneGenerationFence(spark, src, dst, None, 0L)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dst)))
+    // a retrain publishes codes_v1: coordinates captured BEFORE it
+    // (None, 0) now fail the fence and the destination is deleted
+    StreamingIngest.retrainStreamedIndex(spark, src, base,
+      "vec_id", "embedding", cents, "label", m = 4, ksub = 4)
+    val e = intercept[IllegalStateException] {
+      StreamingIngest.cloneGenerationFence(spark, src, dst, None, 0L)
+    }
+    assert(e.getMessage.contains("new generation"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst)))
+    // the post-retrain coordinates pass again
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+    StreamingIngest.cloneGenerationFence(
+      spark, src, dst, Some(s"$src/codes_v1"), 1L)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dst)))
+  }
+
+  test("maintainStreamedIndex decision table: Blocked on a live " +
+      "retrain lock; NoOp below every threshold; Folded at the staged " +
+      "threshold AND at the tombstone threshold; Retrained on drift " +
+      "(which outranks a simultaneous fold); policy knobs validate") {
+    import graft.ann.Ann
+    import StreamingIngest.{MaintenanceAction => MA, MaintenancePolicy}
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val root = graft.EntryKit.scratchTracked("graft_maint").toString
+    val path = s"$root/idx"
+    def build(): Unit =
+      Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+        .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, path)
+    def tick(policy: MaintenancePolicy, corpus: org.apache.spark.sql.DataFrame = base) =
+      StreamingIngest.maintainStreamedIndex(spark, path, corpus,
+        "vec_id", "embedding", cents, cents, "label",
+        m = 4, ksub = 4, policy = policy)
+    val foldOnly = MaintenancePolicy(
+      foldMinStaged = 1, driftMinCosine = -1.0)
+    build()
+    // Blocked: a live lock stops the tick before any probe or fold
+    val lock = java.nio.file.Paths.get(s"$path/_retrain_lock")
+    java.nio.file.Files.createFile(lock)
+    assert(tick(foldOnly) == MA.Blocked)
+    java.nio.file.Files.delete(lock)
+    // NoOp: nothing staged, nothing pending, drift disabled — and the
+    // index is untouched (no generation published)
+    assert(tick(foldOnly) == MA.NoOp)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/codes_v1")))
+    // staged threshold: one batch below foldMinStaged = 2 no-ops;
+    // a second batch meets it and folds
+    val ups1 = Seq((1L, unit(0), 0)).toDF("vec_id", "embedding", "label")
+    Ann.encodeAssign(ups1, "vec_id", "embedding", cb, cents, "label")
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$path/stream/batch=0")
+    val twoStaged = MaintenancePolicy(
+      foldMinStaged = 2, driftMinCosine = -1.0)
+    assert(tick(twoStaged) == MA.NoOp)
+    val ups2 = Seq((3L, unit(2), 1)).toDF("vec_id", "embedding", "label")
+    Ann.encodeAssign(ups2, "vec_id", "embedding", cb, cents, "label")
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$path/stream/batch=1")
+    tick(twoStaged) match {
+      case MA.Folded(d) =>
+        assert(d != StreamingIngest.FoldDispatch.NothingToFold)
+      case other => fail(s"expected Folded, got $other")
+    }
+    // the fold consumed the window: serving holds all six, next tick
+    // no-ops
+    assert(StreamingIngest.loadStreamedCodes(spark, path, "vec_id", "label")
+      .count() == 6)
+    assert(tick(twoStaged) == MA.NoOp)
+    // tombstone threshold: one pending tombstone trips
+    // foldMinTombstones = 1 even with nothing staged
+    assert(StreamingIngest.deleteStreamed(spark, path,
+      Seq(1L).toDF("vec_id"), "vec_id", "label") == 0L)
+    tick(foldOnly) match {
+      case MA.Folded(_) => ()
+      case other => fail(s"expected tombstone-triggered fold, got $other")
+    }
+    assert(StreamingIngest.loadStreamedCodes(spark, path, "vec_id", "label")
+      .select($"vec_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 2L, 3L, 4L, 6L))
+    // Retrained: a blended vector moves cluster 0's corpus mean off
+    // its serving centroid (worst cosine < 1.0 — the drift trigger
+    // fires) and the retrain OUTRANKS the fold a simultaneously-staged
+    // batch would trigger
+    val blend = (Seq(0.8f, 0.0f, 0.6f) ++ Seq.fill(dim - 3)(0.0f))
+    val drifter = Seq((5L, blend, 0)).toDF("vec_id", "embedding", "label")
+    Ann.encodeAssign(drifter, "vec_id", "embedding", cb, cents, "label")
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$path/stream/batch=2")
+    val drifty = MaintenancePolicy(
+      foldMinStaged = 1, driftMinCosine = 1.0)
+    val corpusNow = base.unionByName(
+      Seq((3L, unit(2), 1)).toDF("vec_id", "embedding", "label"))
+      .unionByName(drifter)
+    assert(tick(drifty, corpusNow) == MA.Retrained)
+    // the retrain snapshotted the corpus: staging superseded, serving
+    // equals it exactly (the tombstoned id 1 stays out — it is not in
+    // corpusNow)
+    assert(StreamingIngest.loadStreamedCodes(spark, path, "vec_id", "label")
+      .select($"vec_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 2L, 3L, 4L, 5L, 6L))
+    assert(tick(foldOnly, corpusNow) == MA.NoOp)
+    // knob validation
+    intercept[IllegalArgumentException] {
+      MaintenancePolicy(foldMinStaged = 0)
+    }
+    intercept[IllegalArgumentException] {
+      MaintenancePolicy(foldMinTombstones = 0)
+    }
+  }
+
+  test("refreshServeHandle refuses object-store paths (the mtime " +
+      "fingerprint can never move there — silent never-refresh); the " +
+      "TTL variant is the documented route") {
+    for (p <- Seq("s3a://bucket/index", "s3://b/i", "gs://b/i",
+        "abfss://c@a.dfs.core.windows.net/i", "wasb://c@a/i")) {
+      val e = intercept[IllegalArgumentException] {
+        StreamingIngest.requireDirMtimes(p)
+      }
+      assert(e.getMessage.contains("refreshServeHandleTtl"), p)
+    }
+    // local and HDFS-semantics schemes pass
+    StreamingIngest.requireDirMtimes("/tmp/idx")
+    StreamingIngest.requireDirMtimes("file:///tmp/idx")
+    StreamingIngest.requireDirMtimes("hdfs://nn/idx")
   }
 }
 
