@@ -1357,6 +1357,47 @@ private[graft] object EntriesMultimodal {
     },
     dedupSemantic.oracle)
 
+  /** STREAMING SemDeDup under REDELIVERY — the at-least-once-source
+    * contract, oracle-pinned: the same 4 id-range quarters as
+    * `st_dedup_semantic`, but every file is delivered TWICE (staged
+    * copy written after all four originals, so each quarter re-arrives
+    * batches later). A redelivered row's verdict stands at its FIRST
+    * delivery: the drain drops already-seen ids before the step, so
+    * the drained output holds exactly one verdict per distinct id and
+    * equals the once-delivered drain — which under ordered first
+    * deliveries equals the one-shot operator, so the entry shares
+    * `dedup_semantic`'s oracle VERBATIM (a duplicate verdict row, a
+    * re-seen state row, or a redelivery-perturbed verdict would all
+    * hash-fail on row count or content).
+    */
+  val stDedupSemanticRedeliver = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+      val scratch = scratchPath("graft_st_sem_rd")
+      val path = scratch.toString
+      val mx = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val quarters =
+        Seq((0L, mx / 4), (mx / 4, mx / 2), (mx / 2, 3 * mx / 4),
+          (3 * mx / 4, mx))
+      // first deliveries in id order, then every quarter AGAIN
+      (quarters ++ quarters).foreach { case (lo, hi) =>
+        emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("append").parquet(s"$path/in")
+        Thread.sleep(10) // distinct mtimes: arrival order = write order
+      }
+      graft.streaming.StreamingIngest.semanticDedupDrain(
+          s.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$path/in"),
+          path, s"$path/ckpt", "vec_id", "embedding", "label",
+          threshold = 0.3, cents)
+        .awaitTermination()
+      servedThenCleanup(
+        graft.streaming.StreamingIngest.loadSemanticDedup(s, path),
+        scratch)
+    },
+    dedupSemantic.oracle)
+
   /** STREAMING SemDeDup under OUT-OF-ORDER arrival — the drain's
     * documented degraded mode, oracle-PINNED instead of spec'd-only:
     * the same 4 id-range quarters as `st_dedup_semantic`, delivered

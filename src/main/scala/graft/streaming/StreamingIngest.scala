@@ -805,7 +805,12 @@ object StreamingIngest {
     * the batch-keyed dir, so an at-least-once replay lands
     * byte-identically, and the state read EXCLUDES dirs at-or-above
     * the current batch id (a replay must not compare a batch against
-    * its own previous attempt). When the stream delivers rows in
+    * its own previous attempt). ROW-level redelivery (the same id
+    * arriving again — within a batch or batches later) is dropped
+    * before the step: the verdict stands at its first delivery, so a
+    * 2×-delivered corpus drains to exactly the once-delivered
+    * verdicts (the st_dedup_semantic_redeliver entry pins this
+    * against the one-shot oracle). When the stream delivers rows in
     * non-decreasing id order (e.g. id-range files staged in order),
     * the union of verdicts equals the one-shot [[graft.ann.Ann
     * .semanticDedup]] on the full corpus EXACTLY — the entry shares
@@ -862,8 +867,30 @@ object StreamingIngest {
           if (priorDirs.isEmpty) None
           else Some(spark.read.parquet(
             priorDirs.sorted.map(b => s"$statePath/seen/batch=$b"): _*))
+        // REDELIVERY tolerance (at-least-once sources deliver a row
+        // more than once, possibly batches apart — distinct from the
+        // whole-batch crash-replay the batch-keyed overwrite already
+        // absorbs): a row whose id is already in the drained state is
+        // the same row again — its verdict exists at its FIRST
+        // delivery and must not be re-issued (duplicate verdict rows)
+        // or re-seen (state growth). Drop within-batch id duplicates,
+        // then anti-join against the already-seen ids. Plan shape: the
+        // accumulated state never shuffles — the micro-batch's ids
+        // broadcast into a semi-join that extracts the (batch-sized)
+        // redelivered set, which then broadcasts into the batch-side
+        // anti-join.
+        val batchOnce = batch.toDF().dropDuplicates(Seq(id))
+        val fresh = seen match {
+          case None => batchOnce
+          case Some(st) =>
+            // the state tree carries semanticDedupStep's internal
+            // column names — its id is `__id`
+            val redelivered = st.select(col("__id").as(id)).join(
+              broadcast(batchOnce.select(col(id))), Seq(id), "left_semi")
+            batchOnce.join(broadcast(redelivered), Seq(id), "left_anti")
+        }
         val (out, state) = graft.ann.Ann.semanticDedupStep(
-          batch.toDF(), seen, id, vec, cluster, threshold, centBase)
+          fresh, seen, id, vec, cluster, threshold, centBase)
         out.write.mode("overwrite").parquet(s"$statePath/out/batch=$batchId")
         state.write.mode("overwrite")
           .parquet(s"$statePath/seen/batch=$batchId")

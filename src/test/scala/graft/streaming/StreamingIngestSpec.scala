@@ -2269,6 +2269,47 @@ class StreamingIngestSpec extends SparkSpec {
       .mkString.trim == "0")
   }
 
+  test("semanticDedupDrain redelivery: a row delivered again — mixed " +
+      "into a later batch with fresh rows, or duplicated within one " +
+      "batch — keeps its first verdict, with exactly one verdict row " +
+      "per distinct id") {
+    import graft.ann.Ann
+    val dim = 4
+    def v(x: Double, y: Double) =
+      Seq(x.toFloat, y.toFloat, 0.0f, 0.0f)
+    val rows = Seq(
+      (0L, v(1.0, 0.0), 0), (1L, v(0.92, 0.39), 0),
+      (2L, v(0.71, 0.71), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Ann.pivotCentroids(rows, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_semdrain_rd").toString
+    // batch 0 = {0, 1}; batch 1 = {1 AGAIN, 2, 2 in-batch dup}
+    rows.where($"vec_id" < 2).coalesce(1)
+      .write.mode("append").parquet(s"$st/in")
+    Thread.sleep(10)
+    rows.where($"vec_id" >= 1)
+      .unionByName(rows.where($"vec_id" === 2)).coalesce(1)
+      .write.mode("append").parquet(s"$st/in")
+    StreamingIngest.semanticDedupDrain(
+        spark.readStream.schema(rows.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$st/in"),
+        st, s"$st/ckpt", "vec_id", "embedding", "label",
+        threshold = 0.75, cents)
+      .awaitTermination()
+    val out = StreamingIngest.loadSemanticDedup(spark, st)
+      .select($"vec_id", $"keep").as[(Long, Boolean)].collect()
+    assert(out.length == 3, s"one verdict per distinct id, got " +
+      s"${out.toSeq}")
+    // identical to the clean ordered drain: 1 drops via 0, 2 drops via
+    // the dropped witness 1 (its redelivery must not perturb that)
+    assert(out.toMap == Map(0L -> true, 1L -> false, 2L -> false),
+      s"redelivery perturbed verdicts: ${out.toSeq}")
+    // and the state holds each id once (no re-seen growth)
+    val seenIds = spark.read.parquet(s"$st/seen")
+      .select($"__id").as[Long].collect().sorted.toSeq
+    assert(seenIds == Seq(0L, 1L, 2L), s"state re-saw ids: $seenIds")
+  }
+
   test("semanticDedupDrain out-of-order arrival: first-seen-wins — a " +
       "lower id arriving AFTER a higher similar one cannot " +
       "retroactively drop it, and a row keeps its verdict from its " +
