@@ -91,6 +91,26 @@ def main():
     phase_check(prev, cur, min_ratio)
 
 
+def stale_phase_entries(bench, slack=1.5):
+    """Entries whose phase block does NOT reflect their adjudicated
+    timing: Bench stores each phase from the LAST pass that ran the
+    entry (p1 → p2 → isolated re-run), while the entry timing is the
+    min over passes — so when an entry's isolated window hits a
+    degraded stretch, its phases can read far above the (clean) entry
+    total. Such phases measure the bad window, not the plan; comparing
+    them round-over-round manufactures phantom regressions (seen at
+    the r18 close: a delete-fold iso window left phases summing to
+    ~2.5x the entry's best-pass timing). An entry is stale-phased when
+    its phase sum exceeds `slack` x its adjudicated timing."""
+    qs, ph = bench.get("queries", {}), bench.get("phases", {})
+    sums = {}
+    for name, v in ph.items():
+        entry = name.rsplit(".", 1)[0]
+        sums[entry] = sums.get(entry, 0.0) + (v or 0.0)
+    return {e for e, s in sums.items()
+            if e in qs and qs[e] and s > slack * qs[e]}
+
+
 def phase_check(prev, cur, min_ratio, floor=0.2):
     """Phase-level adjudication (r17+): entries carry stage splits under
     `phases` (`<entry>.<stage>`), so a regression localizes to a stage
@@ -100,12 +120,26 @@ def phase_check(prev, cur, min_ratio, floor=0.2):
     re-read class — surfaces as a named phase: any `*.drain_models`
     growth past the ratio gate is called out as MODEL-RESOLVE-SUSPECT
     regardless of what the entry total did. Sub-`floor`-second phases
-    are skipped as timer noise."""
+    are skipped as timer noise. Phases from a STALE block on either
+    side (see stale_phase_entries) are adjudicated as stale-phases
+    instead — the reading does not reflect the plan."""
     pp, cp = prev.get("phases", {}), cur.get("phases", {})
+    stale = {e: "cur" for e in stale_phase_entries(cur)}
+    for e in stale_phase_entries(prev):
+        stale[e] = "both" if e in stale else "prev"
     rows = []
     for name in sorted(cp):
         tp, tc = pp.get(name), cp[name]
         if tc is None:
+            continue
+        entry = name.rsplit(".", 1)[0]
+        if entry in stale:
+            # still surface a from-stale drain_models reading, but
+            # named for what it is — a bad-window artifact candidate
+            if (tc >= floor and name.endswith(".drain_models")
+                    and tp and tc / tp >= min_ratio):
+                rows.append((name, tp, tc, tc / tp,
+                             f"stale-phases({stale[entry]}) re-time"))
             continue
         if tp is None or tp <= 0:
             # a watched phase that blew past the floor from ~zero (or
