@@ -1163,8 +1163,11 @@ object ScaleStress {
         s""""delete_live_invocations":{${factors.map { f =>
           def inv(tag: String): Long = {
             val p = Paths.get(s"$workDir/f$f/annidx_$tag/next_del")
+            // provenance metadata only — a truncated counter (crash
+            // mid-write) must not throw AFTER hours of rung timing
             if (Files.exists(p))
-              new String(Files.readAllBytes(p)).trim.toLong
+              new String(Files.readAllBytes(p)).trim.toLongOption
+                .getOrElse(0L)
             else 0L
           }
           s""""f$f":{"dl":${inv("dl")},"dp":${inv("dp")}}"""

@@ -2027,7 +2027,17 @@ object Ann {
     * work is |batch| × (seen ∩ batch clusters) — the one-shot Σ|c|²
     * total, paid incrementally.
     *
-    * @return (verdicts (id, cluster, keep), state rows to append)
+    * REDELIVERED rows (an id already in `seen` — the same row again,
+    * so the same deterministic cluster) are detected inside that one
+    * state scan (the seen join widened to `id1 <= id2`) and EXCLUDED
+    * from both returned frames: the verdict stands at first delivery,
+    * the state holds each id once, and tolerance costs no extra pass.
+    * Within-batch duplicate ids are the caller's precondition (the
+    * drain drops them); an id reused with a DIFFERENT embedding is an
+    * upstream identity bug, not redelivery, and lands as a second row.
+    *
+    * @return (verdicts (id, cluster, keep) for rows NOT already seen,
+    *         state rows to append — the same non-redelivered rows)
     */
   private[graft] def semanticDedupStep(
       batch: DataFrame, seen: Option[DataFrame], id: String, vec: String,
@@ -2055,20 +2065,47 @@ object Ann {
       .localCheckpoint()
     def side(df: DataFrame, n: Int) = df.select(col("cl"),
       col("__id").as(s"id$n"), col("__v").as(s"v$n"), col("__n").as(s"n$n"))
-    val within = side(b, 1).join(side(b, 2), "cl")
+    val sim = round(dotD(col("v1"), col("v2")) /
+      (col("n1") * col("n2")), 4)
+    // witness flags and REDELIVERY detection ride ONE pass over the
+    // accumulated state: the seen-side cluster join is widened to
+    // `id1 <= id2`, so an id-equal pair (the same row arriving again —
+    // redelivery pairs with its own first delivery: same payload ⇒
+    // same deterministic cluster) surfaces in the same scan that finds
+    // witnesses, and the per-id flags aggregate to a batch-sized table
+    // (checkpointed — its two consumers below must not re-run the
+    // state scan). An id REUSED with a DIFFERENT embedding is not
+    // redelivery (it may land in another cluster and never meet its
+    // predecessor) — that is an upstream identity bug, not an
+    // at-least-once artifact, and it lands as a second row. The
+    // within-batch self-join keeps strict `<` (every row is trivially
+    // id-equal to itself there); within-batch duplicate ids are the
+    // CALLER's precondition (the drain drops them before the step).
+    val withinFlags = side(b, 1).join(side(b, 2), "cl")
       .where(col("id1") < col("id2"))
-    val vsSeen = seen.map(sn => side(sn, 1)
+      .select(col("id2").as("__id"),
+        (sim >= threshold).as("w"), lit(false).as("r"))
+    val seenFlags = seen.map(sn => side(sn, 1)
       .join(broadcast(side(b, 2)), "cl")
-      .where(col("id1") < col("id2")))
-    val dropped = (Seq(within) ++ vsSeen).reduce(_ unionByName _)
-      .where(round(dotD(col("v1"), col("v2")) /
-        (col("n1") * col("n2")), 4) >= threshold)
-      .select(col("id2").as("__id")).distinct()
-      .withColumn("__drop", lit(true))
-    val out = b.join(dropped, Seq("__id"), "left")
+      .where(col("id1") <= col("id2"))
+      .select(col("id2").as("__id"),
+        (col("id1") < col("id2") && sim >= threshold).as("w"),
+        (col("id1") === col("id2")).as("r")))
+    val flags = (Seq(withinFlags) ++ seenFlags).reduce(_ unionByName _)
+      .where(col("w") || col("r"))
+      .groupBy(col("__id"))
+      .agg(max(col("w")).as("w"), max(col("r")).as("r"))
+      .localCheckpoint()
+    val fresh = b.join(
+      broadcast(flags.where(col("r")).select(col("__id"))),
+      Seq("__id"), "left_anti")
+    val out = fresh.join(
+        broadcast(flags.where(col("w")).select(col("__id"),
+          lit(true).as("__drop"))),
+        Seq("__id"), "left")
       .select(col("__id").as(id), col("cl").as("cluster"),
         col("__drop").isNull.as("keep"))
-    (out, b)
+    (out, fresh)
   }
 
   /** Deterministic Rademacher hyperplanes: component (j, d) is ±1 from a

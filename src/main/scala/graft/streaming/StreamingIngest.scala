@@ -871,26 +871,18 @@ object StreamingIngest {
         // more than once, possibly batches apart — distinct from the
         // whole-batch crash-replay the batch-keyed overwrite already
         // absorbs): a row whose id is already in the drained state is
-        // the same row again — its verdict exists at its FIRST
+        // the same row again — its verdict stands at its FIRST
         // delivery and must not be re-issued (duplicate verdict rows)
-        // or re-seen (state growth). Drop within-batch id duplicates,
-        // then anti-join against the already-seen ids. Plan shape: the
-        // accumulated state never shuffles — the micro-batch's ids
-        // broadcast into a semi-join that extracts the (batch-sized)
-        // redelivered set, which then broadcasts into the batch-side
-        // anti-join.
+        // or re-seen (state growth). Within-batch id duplicates drop
+        // here (the step's precondition); across batches the step
+        // detects redelivery INSIDE its seen-side cluster join (same
+        // payload ⇒ same cluster ⇒ the id-equal pair surfaces in the
+        // one state scan the witness search already pays) and excludes
+        // those rows from its verdicts and state — redelivery
+        // tolerance costs no extra pass over the accumulated state.
         val batchOnce = batch.toDF().dropDuplicates(Seq(id))
-        val fresh = seen match {
-          case None => batchOnce
-          case Some(st) =>
-            // the state tree carries semanticDedupStep's internal
-            // column names — its id is `__id`
-            val redelivered = st.select(col("__id").as(id)).join(
-              broadcast(batchOnce.select(col(id))), Seq(id), "left_semi")
-            batchOnce.join(broadcast(redelivered), Seq(id), "left_anti")
-        }
         val (out, state) = graft.ann.Ann.semanticDedupStep(
-          fresh, seen, id, vec, cluster, threshold, centBase)
+          batchOnce, seen, id, vec, cluster, threshold, centBase)
         out.write.mode("overwrite").parquet(s"$statePath/out/batch=$batchId")
         state.write.mode("overwrite")
           .parquet(s"$statePath/seen/batch=$batchId")
@@ -2347,10 +2339,23 @@ object StreamingIngest {
       maxTouchedFrac: Double = 0.5,
       driftMinCosine: Double = 0.999,
       driftProbeFraction: Double = 1.0) {
+    // all six knobs validate at CONSTRUCTION — a policy is configured
+    // once per index class, so a bad knob must fail there, not days
+    // later on the first tick whose threshold trips (or, worse,
+    // silently: a sub- -1 driftMinCosine typo would disable the
+    // trigger instead of erroring)
     require(foldMinStaged >= 1,
       s"foldMinStaged must be >= 1, got $foldMinStaged")
     require(foldMinTombstones >= 1,
       s"foldMinTombstones must be >= 1, got $foldMinTombstones")
+    require(maxRoots >= 1, s"maxRoots must be >= 1, got $maxRoots")
+    require(maxTouchedFrac > 0.0 && maxTouchedFrac <= 1.0,
+      s"maxTouchedFrac must be in (0, 1], got $maxTouchedFrac")
+    require(driftMinCosine >= -1.0 && driftMinCosine <= 1.0,
+      s"driftMinCosine must be in [-1, 1] (-1 disables the trigger), " +
+        s"got $driftMinCosine")
+    require(driftProbeFraction > 0.0 && driftProbeFraction <= 1.0,
+      s"driftProbeFraction must be in (0, 1], got $driftProbeFraction")
   }
 
   /** What one [[maintainStreamedIndex]] tick decided and did. */

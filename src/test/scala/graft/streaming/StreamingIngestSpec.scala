@@ -2533,6 +2533,20 @@ class StreamingIngestSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MaintenancePolicy(foldMinTombstones = 0)
     }
+    // every knob validates at construction — a policy is configured
+    // once per index class and must not fail days later on the first
+    // tripped threshold (maxRoots/maxTouchedFrac) or silently disable
+    // the drift trigger (a sub- -1 typo)
+    intercept[IllegalArgumentException] { MaintenancePolicy(maxRoots = 0) }
+    intercept[IllegalArgumentException] {
+      MaintenancePolicy(maxTouchedFrac = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      MaintenancePolicy(driftMinCosine = -2.0)
+    }
+    intercept[IllegalArgumentException] {
+      MaintenancePolicy(driftProbeFraction = 0.0)
+    }
   }
 
   test("refreshServeHandle refuses object-store paths (the mtime " +

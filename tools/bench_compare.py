@@ -127,6 +127,13 @@ def phase_check(prev, cur, min_ratio, floor=0.2):
     stale = {e: "cur" for e in stale_phase_entries(cur)}
     for e in stale_phase_entries(prev):
         stale[e] = "both" if e in stale else "prev"
+    if stale:
+        # keep the suppression visible — "none moved" must not read as
+        # "every phase was adjudicated"
+        print(f"\n{len(stale)} entr{'y' if len(stale) == 1 else 'ies'} "
+              f"stale-phased (phase sum > 1.5x adjudicated timing); "
+              f"their phases excluded: "
+              + ", ".join(f"{e}({side})" for e, side in sorted(stale.items())))
     rows = []
     for name in sorted(cp):
         tp, tc = pp.get(name), cp[name]
