@@ -2310,6 +2310,41 @@ class StreamingIngestSpec extends SparkSpec {
     assert(seenIds == Seq(0L, 1L, 2L), s"state re-saw ids: $seenIds")
   }
 
+  test("semanticDedupStep id-reuse contract: a reused id with a " +
+      "DIFFERENT embedding is not redelivery when it lands in another " +
+      "cluster (second row), but an id-equal pair meeting in the same " +
+      "cluster is treated as redelivery (first write wins)") {
+    import graft.ann.Ann
+    val dim = 4
+    def v(x: Double, y: Double) =
+      Seq(x.toFloat, y.toFloat, 0.0f, 0.0f)
+    // two well-separated clusters
+    val seedRows = Seq(
+      (0L, v(1.0, 0.0), 0), (10L, v(0.0, 1.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Ann.pivotCentroids(seedRows, "label", "vec_id", "embedding")
+    val (out1, st1) = Ann.semanticDedupStep(
+      seedRows, None, "vec_id", "embedding", "label", 0.9, cents)
+    assert(out1.count() == 2)
+    // id 0 reused with a cluster-1 vector: lands in the OTHER cluster,
+    // never meets its predecessor — a second row (the documented
+    // upstream-identity-bug behavior, pinned so it stays deliberate)
+    val reuseOther = Seq((0L, v(0.0, 1.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val (out2, _) = Ann.semanticDedupStep(
+      reuseOther, Some(st1), "vec_id", "embedding", "label", 0.9, cents)
+    assert(out2.count() == 1, "a cross-cluster id reuse is a new row")
+    // id 0 re-arriving into the SAME cluster (here: byte-identical —
+    // true redelivery): the id-equal pair meets in the cluster join
+    // and the row is excluded from verdicts and state
+    val redeliver = Seq((0L, v(1.0, 0.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val (out3, st3) = Ann.semanticDedupStep(
+      redeliver, Some(st1), "vec_id", "embedding", "label", 0.9, cents)
+    assert(out3.isEmpty, "redelivery must not re-issue a verdict")
+    assert(st3.isEmpty, "redelivery must not regrow the state")
+  }
+
   test("semanticDedupDrain out-of-order arrival: first-seen-wins — a " +
       "lower id arriving AFTER a higher similar one cannot " +
       "retroactively drop it, and a row keeps its verdict from its " +
