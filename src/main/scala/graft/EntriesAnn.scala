@@ -57,6 +57,87 @@ private[graft] object EntriesAnn {
     },
     Some("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, vec_id AS neighbor_id, round(list_cosine_similarity(list_transform(qe, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sim FROM q, embeddings WHERE vec_id <> q_id), r AS (SELECT q_id, neighbor_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM r WHERE rank <= 5"))
 
+  /** Late-interaction MaxSim top-k ([[Ann.maxSimTopK]]): documents are
+    * 4-token vector matrices (embeddings grouped by `vec_id DIV 4`,
+    * tokens ordered by vec_id), queries the first 10 such matrices, and
+    * relevance is Σ_{query token} max_{doc token} cos — the
+    * ColBERT-style reranking tier between BM25 recall and cross-encoder
+    * cost. Per-pair cosine rounds to 4 before the max, the sum to 4
+    * again; ranking breaks ties by doc id. The oracle replays the
+    * grouping, the per-(query-token, doc) max over unnested token rows,
+    * and the sum, in plain SQL.
+    */
+  val annMaxSimTopK = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val toks = emb.groupBy(expr("vec_id DIV 4").as("doc_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          p => p.getField("embedding")).as("token_vecs"))
+      Ann.maxSimTopK(toks, "doc_id", "token_vecs",
+        toks.where(col("doc_id") < 10), "doc_id", "token_vecs", k = 5)
+    },
+    Some("WITH tok AS (SELECT vec_id // 4 AS doc_id, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "q AS (SELECT doc_id AS q_id, vec_id, e FROM tok WHERE doc_id < 10), " +
+      "m AS (SELECT q.q_id, q.vec_id AS q_tok, t.doc_id, max(round(list_cosine_similarity(q.e, t.e), 4)) AS mx FROM q, tok t WHERE t.doc_id <> q.q_id GROUP BY 1, 2, 3), " +
+      "sc AS (SELECT q_id, doc_id, round(sum(mx), 4) AS score FROM m GROUP BY 1, 2), " +
+      "r AS (SELECT q_id, doc_id AS neighbor_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc) " +
+      "SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, score FROM r WHERE rank <= 5"))
+
+  /** BM25 → MaxSim rerank composite: the standard two-tier retrieval
+    * cascade — [[TextAnalysis.bm25TopK]] recalls 40 lexical candidates
+    * (the proven `text_bm25` stage, same terms/arithmetic), each
+    * candidate doc gets a deterministic 4-token vector matrix (token j
+    * of doc d = embedding `(d*13 + j*17) % 500` — count-independent, so
+    * the mapping is identical at every sf), and [[Ann.maxSimTopK]]
+    * reranks them against a single 4-token query (embeddings 0–3) into
+    * a top-10 carrying both ranks. The candidate-token key table (≤160
+    * rows) broadcasts into the embeddings join — the corpus side never
+    * shuffles. The oracle composes the two proven stage oracles plus
+    * the modular token mapping.
+    */
+  val annMaxSimRerank = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cands = TextAnalysis.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", terms = Seq("vector", "hash", "scan"), k = 40)
+      val keys = cands.select(col("doc_id"))
+        .withColumn("j", explode(sequence(lit(0), lit(3))))
+        .withColumn("vec_id",
+          pmod(col("doc_id") * 13 + col("j") * 17, lit(500L)))
+      val candToks = emb.select(col("vec_id"), col("embedding"))
+        .join(broadcast(keys), "vec_id")
+        .groupBy(col("doc_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("j"), col("embedding")))),
+          p => p.getField("embedding")).as("token_vecs"))
+      val qToks = emb.where(col("vec_id") < 4)
+        .groupBy(lit(-1L).as("doc_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          p => p.getField("embedding")).as("token_vecs"))
+      Ann.maxSimTopK(candToks, "doc_id", "token_vecs",
+          qToks, "doc_id", "token_vecs", k = 10)
+        .join(broadcast(cands.select(col("doc_id").as("neighbor_id"),
+          col("rank").as("bm25_rank"))), "neighbor_id")
+        .select(col("neighbor_id").as("doc_id"), col("bm25_rank"),
+          col("rank").as("rerank"), col("score"))
+    },
+    Some("WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+      "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM d), " +
+      "tk AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS w FROM d), " +
+      "tf AS (SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM tk WHERE w IN ('vector', 'hash', 'scan') GROUP BY 1, 2, 3), " +
+      "idf AS (SELECT w, round(ln((st.n - CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5) / (CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5) + 1.0), 9) AS idf FROM tf, st GROUP BY w, st.n), " +
+      "sc AS (SELECT doc_id, round(sum(idf.idf * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score FROM tf JOIN idf USING (w), st GROUP BY 1), " +
+      "cand AS (SELECT doc_id, CAST(rank AS INT) AS bm25_rank FROM (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc) WHERE rank <= 40), " +
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "ct AS (SELECT c.doc_id, e.e FROM cand c CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j JOIN e ON e.vec_id = (c.doc_id * 13 + j.j * 17) % 500), " +
+      "qt AS (SELECT vec_id, e FROM e WHERE vec_id < 4), " +
+      "m AS (SELECT qt.vec_id AS q_tok, ct.doc_id, max(round(list_cosine_similarity(qt.e, ct.e), 4)) AS mx FROM qt, ct GROUP BY 1, 2), " +
+      "s2 AS (SELECT doc_id, round(sum(mx), 4) AS score FROM m GROUP BY 1), " +
+      "r AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rerank FROM s2) " +
+      "SELECT r.doc_id, cand.bm25_rank, CAST(r.rerank AS INT) AS rerank, r.score FROM r JOIN cand USING (doc_id) WHERE r.rerank <= 10"))
+
   /** Matryoshka truncation evaluation ([[Ann.matryoshkaEval]]): the
     * same top-5 retrieval re-run at embedding prefixes 32/16/8 of the
     * 64-dim fixture, reporting mean overlap with the full-dim top-5 —
@@ -1756,6 +1837,144 @@ private[graft] object EntriesAnn {
         scratch)
     },
     annIndexRetrain.oracle)
+
+  /** FLEET maintenance sweep ([[graft.streaming.StreamingIngest
+    * .maintainIndexes]]): three indexes, ONE scheduler tick — A
+    * (pivot-row corpus, one staged batch → fold pressure), B (the
+    * `ann_index_retrain` even-build with the full corpus drifted off
+    * its serving pivots → drift fires at the 0.9999 bar), C
+    * (pivot-row corpus, clean → no-op). One sweep at tickBudget = 2
+    * must dispatch BOTH actions in urgency order (B's retrain
+    * outranks A's fold) and leave C untouched — each dispatch is the
+    * single-index verb's own tick, so the sweep equals hand-sequenced
+    * `maintainStreamedIndex` calls verbatim; the entry asserts every
+    * per-index action and serves B, which a retrain rebuilt from
+    * scratch — `ann_index_retrain`'s from-scratch-equivalence oracle
+    * VERBATIM. The pivot-row corpora pin the no-drift side: each
+    * cluster's only member IS its pivot, so the probe's worst cosine
+    * is exactly 1.0 and A/C can never fire. Budget exhaustion
+    * (Deferred) and input-order return are StreamingIngestSpec's.
+    */
+  val annIndexMaintainSweep = Q(
+    (s, dir) => {
+      import graft.streaming.StreamingIngest
+      import graft.streaming.StreamingIngest.{IndexFleetMember, MaintenanceAction => MA}
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val scratch = scratchPath("graft_ann_sweep")
+      val (pa, pb, pc) =
+        (s"$scratch/a", s"$scratch/b", s"$scratch/c")
+      // pivot-row fixtures: one row per cluster, the pivot itself
+      val piv = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+        .select(col("label").cast("long").as("vec_id"),
+          col("centroid").as("embedding"), col("label"))
+      val cbP = Ann.pqSeedCodebook(piv, "vec_id", "embedding", m = 8, ksub = 4)
+      val centsP = Ann.pivotCentroids(piv, "label", "vec_id", "embedding")
+      val cb0 = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents0 = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val centsFull = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+      PhaseTimer.phase("build_fleet") {
+        for (p <- Seq(pa, pc))
+          Ann.saveIndex(Ann.pqEncode(piv, "vec_id", "embedding", cbP)
+            .join(piv.select(col("vec_id"), col("label")), "vec_id"),
+            "label", cbP, p)
+        Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb0)
+          .join(even.select(col("vec_id"), col("label")), "vec_id"),
+          "label", cb0, pb)
+        // A's fold pressure: one staged batch
+        Ann.encodeAssign(
+          emb.where(col("vec_id") >= 10 && col("vec_id") < 20),
+          "vec_id", "embedding", cbP, centsP, "label")
+          .write.mode("overwrite").partitionBy("label")
+          .parquet(s"$pa/stream/batch=0")
+      }
+      val fleet = Seq(
+        IndexFleetMember(pa, piv, "vec_id", "embedding",
+          centsP, centsP, "label", m = 8, ksub = 4),
+        IndexFleetMember(pb, emb, "vec_id", "embedding",
+          cents0, centsFull, "label", m = 8, ksub = 16),
+        IndexFleetMember(pc, piv, "vec_id", "embedding",
+          centsP, centsP, "label", m = 8, ksub = 4))
+      val res = PhaseTimer.phase("sweep") {
+        StreamingIngest.maintainIndexes(s, fleet,
+          StreamingIngest.MaintenancePolicy(
+            foldMinStaged = 1, driftMinCosine = 0.9999),
+          tickBudget = 2).toMap
+      }
+      require(res(pa).isInstanceOf[MA.Folded],
+        s"A must fold its staged window, got ${res(pa)}")
+      require(res(pb) == MA.Retrained,
+        s"B must fire the drift retrain, got ${res(pb)}")
+      require(res(pc) == MA.NoOp, s"C must no-op, got ${res(pc)}")
+      val h = StreamingIngest.refreshServeHandle(s,
+        StreamingIngest.openServeHandle(s, pb, "vec_id", "label"))
+      servedThenCleanup(
+        Ann.ivfPqTopK(h.codes, "vec_id", "label",
+          h.cents.getOrElse(centsFull),
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          h.codebook, k = 5, nprobe = 3),
+        scratch)
+    },
+    annIndexRetrain.oracle)
+
+  /** The maintenance AUDIT TRAIL ([[graft.streaming.StreamingIngest
+    * .maintenanceLog]]): the `ann_index_maintain` decision cycle on a
+    * 100-row slice — fold tick, drift-retrain tick, no-op tick — then
+    * the `_maintenance_log` rows themselves ARE the output: decision,
+    * trigger, the status fields the tick keyed on, generation
+    * before/after. The oracle pins all three rows as constants: the
+    * fixture is fully deterministic, so the log (the record a fleet
+    * scheduler and an oncall both read) must reproduce byte-for-byte
+    * — wall-clock lives in file mtimes, never in rows.
+    */
+  val annMaintenanceLog = Q(
+    (s, dir) => {
+      import graft.streaming.StreamingIngest
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 100)
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cb0 = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      val cents0 = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+      val scratch = scratchPath("graft_ann_mlog")
+      val path = scratch.toString
+      PhaseTimer.phase("build_save") {
+        Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb0)
+          .join(even.select(col("vec_id"), col("label")), "vec_id"),
+          "label", cb0, path)
+        Ann.encodeAssign(odd, "vec_id", "embedding", cb0, cents0, "label")
+          .write.mode("overwrite").partitionBy("label")
+          .parquet(s"$path/stream/batch=0")
+      }
+      val centsFull = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+      val foldOnly = StreamingIngest.MaintenancePolicy(
+        foldMinStaged = 1, driftMinCosine = -1.0)
+      PhaseTimer.phase("ticks") {
+        StreamingIngest.maintainStreamedIndex(s, path, emb,
+          "vec_id", "embedding", cents0, centsFull, "label",
+          m = 8, ksub = 16, policy = foldOnly)
+        StreamingIngest.maintainStreamedIndex(s, path, emb,
+          "vec_id", "embedding", cents0, centsFull, "label",
+          m = 8, ksub = 16,
+          policy = StreamingIngest.MaintenancePolicy(
+            foldMinStaged = 1, driftMinCosine = 0.9999))
+        StreamingIngest.maintainStreamedIndex(s, path, emb,
+          "vec_id", "embedding", cents0, centsFull, "label",
+          m = 8, ksub = 16, policy = foldOnly)
+      }
+      servedThenCleanup(
+        StreamingIngest.maintenanceLog(s, path).orderBy(col("tick")),
+        scratch)
+    },
+    Some("SELECT CAST(tick AS BIGINT) AS tick, decision, \"trigger\", " +
+      "CAST(gen_before AS BIGINT) AS gen_before, " +
+      "CAST(gen_after AS BIGINT) AS gen_after, " +
+      "CAST(staged_unfolded AS BIGINT) AS staged_unfolded, " +
+      "CAST(pending_tombstones AS BIGINT) AS pending_tombstones FROM " +
+      "(VALUES (0, 'folded_full', 'staged', -1, 1, 1, 0), " +
+      "(1, 'retrained', 'drift', 1, 2, 0, 0), " +
+      "(2, 'noop', 'none', 2, 2, 0, 0)) " +
+      "AS t(tick, decision, \"trigger\", gen_before, gen_after, " +
+      "staged_unfolded, pending_tombstones)"))
 
   /** TWO-LEVEL coarse assignment ([[Ann.assignClustersTwoLevel]] —
     * IMI/coarse-router shape, Babenko & Lempitsky 2014): when the

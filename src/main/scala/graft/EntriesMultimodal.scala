@@ -1334,16 +1334,18 @@ private[graft] object EntriesMultimodal {
       val scratch = scratchPath("graft_st_sem")
       val path = scratch.toString
       val mx = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
-      var lo = 0L
-      Seq(mx / 4, mx / 2, 3 * mx / 4, mx).foreach { hi =>
-        emb.where(col("vec_id") >= lo && col("vec_id") < hi)
-          .coalesce(1).write.mode("append").parquet(s"$path/in")
-        // the file source orders batches by modification time at ms
-        // granularity — force distinct mtimes so two fast sequential
-        // writes cannot tie and drain out of id order (which would
-        // break the shared-oracle parity, not correctness)
-        Thread.sleep(10)
-        lo = hi
+      PhaseTimer.phase("input_stage") {
+        var lo = 0L
+        Seq(mx / 4, mx / 2, 3 * mx / 4, mx).foreach { hi =>
+          emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.mode("append").parquet(s"$path/in")
+          // the file source orders batches by modification time at ms
+          // granularity — force distinct mtimes so two fast sequential
+          // writes cannot tie and drain out of id order (which would
+          // break the shared-oracle parity, not correctness)
+          Thread.sleep(10)
+          lo = hi
+        }
       }
       graft.streaming.StreamingIngest.semanticDedupDrain(
           s.readStream.schema(emb.schema)
@@ -1381,10 +1383,12 @@ private[graft] object EntriesMultimodal {
         Seq((0L, mx / 4), (mx / 4, mx / 2), (mx / 2, 3 * mx / 4),
           (3 * mx / 4, mx))
       // first deliveries in id order, then every quarter AGAIN
-      (quarters ++ quarters).foreach { case (lo, hi) =>
-        emb.where(col("vec_id") >= lo && col("vec_id") < hi)
-          .coalesce(1).write.mode("append").parquet(s"$path/in")
-        Thread.sleep(10) // distinct mtimes: arrival order = write order
+      PhaseTimer.phase("input_stage") {
+        (quarters ++ quarters).foreach { case (lo, hi) =>
+          emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.mode("append").parquet(s"$path/in")
+          Thread.sleep(10) // distinct mtimes: arrival order = write order
+        }
       }
       graft.streaming.StreamingIngest.semanticDedupDrain(
           s.readStream.schema(emb.schema)
@@ -1426,10 +1430,12 @@ private[graft] object EntriesMultimodal {
       val quarters = Seq( // (lo, hi) in ARRIVAL order: Q2, Q1, Q4, Q3
         (mx / 4, mx / 2), (0L, mx / 4),
         (3 * mx / 4, mx), (mx / 2, 3 * mx / 4))
-      quarters.foreach { case (lo, hi) =>
-        emb.where(col("vec_id") >= lo && col("vec_id") < hi)
-          .coalesce(1).write.mode("append").parquet(s"$path/in")
-        Thread.sleep(10) // distinct mtimes: arrival order = write order
+      PhaseTimer.phase("input_stage") {
+        quarters.foreach { case (lo, hi) =>
+          emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.mode("append").parquet(s"$path/in")
+          Thread.sleep(10) // distinct mtimes: arrival order = write order
+        }
       }
       graft.streaming.StreamingIngest.semanticDedupDrain(
           s.readStream.schema(emb.schema)

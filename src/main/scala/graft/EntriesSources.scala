@@ -1039,12 +1039,20 @@ private[graft] object EntriesSources {
               .parquet(s"$tmp/in"),
             "text", held, n = 8),
           s"$tmp/out", s"$tmp/ckpt", Seq.empty).awaitTermination()
-      incoming.where(col("doc_id") % 2 === 0)
-        .write.mode("append").parquet(s"$tmp/in")
-      drain()
-      incoming.where(col("doc_id") % 2 =!= 0)
-        .write.mode("append").parquet(s"$tmp/in")
-      drain()
+      // the residual stages phased too (input staging, the two
+      // checkpointed drains): every >3 s streaming entry must carry a
+      // phase block summing near its timing, or the stale-phase
+      // detector and drain tripwires cannot see inside it
+      PhaseTimer.phase("input_stage") {
+        incoming.where(col("doc_id") % 2 === 0)
+          .write.mode("append").parquet(s"$tmp/in")
+      }
+      PhaseTimer.phase("drain") { drain() }
+      PhaseTimer.phase("input_stage") {
+        incoming.where(col("doc_id") % 2 =!= 0)
+          .write.mode("append").parquet(s"$tmp/in")
+      }
+      PhaseTimer.phase("drain") { drain() }
       s.read.parquet(s"$tmp/out")
         .select(col("doc_id"), length(col("text")).as("n_chars"))
     },

@@ -114,6 +114,72 @@ object Ann {
         col("id").as("neighbor_id"), col("score").as("sim"))
   }
 
+  /** Per-row token-matrix preparation shared by the late-interaction
+    * scorer: cast the `array<array<numeric>>` column to double matrices
+    * ONCE per row (the [[prepared]] discipline — a cast inside the
+    * pair-scoring lambda would re-convert per PAIR) and pair every
+    * token vector with its precomputed L2 norm, so the MaxSim inner
+    * loop is one native dot product and one divide per token pair.
+    * Rows with zero tokens are dropped — a token-less side has no
+    * defined MaxSim score, and admitting it would poison the max fold.
+    */
+  private def preparedTokens(
+      df: DataFrame, id: String, tokenVecs: String,
+      idAs: String, toksAs: String): DataFrame =
+    df.select(col(id).as(idAs),
+        col(tokenVecs).cast("array<array<double>>").as("__raw"))
+      .where(size(col("__raw")) > 0)
+      .select(col(idAs),
+        transform(col("__raw"),
+          t => struct(t.as("t"), sqrt(dotD(t, t)).as("n"))).as(toksAs))
+
+  /** ColBERT-style late-interaction MaxSim reranking (Khattab &
+    * Zaharia, SIGIR 2020): each query is a small token-vector matrix,
+    * each document a token-vector matrix, and the relevance score is
+    * `Σ_{query token} max_{doc token} cos(qt, dt)` — the retrieval
+    * middle tier between BM25's lexical recall and cross-encoder cost.
+    * Per token pair the cosine is rounded to 4 decimals before the max
+    * (the cross-engine determinism convention), the per-query sum is
+    * rounded to 4 again (absorbing fold-order ulps), and ranking breaks
+    * ties by document id. Zero-norm token vectors score 0 against
+    * everything (cosine undefined → no contribution) instead of
+    * emitting NaN, which Spark's ordering ranks ABOVE every real score.
+    *
+    * Scale shape: the query side is a reranking batch (driver-budget
+    * small, like every query batch here) and is broadcast; the corpus
+    * never shuffles — scoring is one narrow pass over each corpus row's
+    * token matrix with nested codegen HOF folds (the inner step is the
+    * native [[dot]] expression), and the final per-query ranking runs
+    * over |corpus|·|Q| scalar scores, never token-level rows. Token
+    * matrices are cast and norm-annotated once per row before the pair
+    * loop ([[preparedTokens]]).
+    */
+  def maxSimTopK(
+      corpus: DataFrame, id: String, tokenVecs: String,
+      queries: DataFrame, qId: String, qTokenVecs: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val corp = widen(preparedTokens(corpus, id, tokenVecs, id, "__dt"))
+    val qs = preparedTokens(queries, qId, qTokenVecs, "q_id", "__qt")
+    val pairCos = (qt: Column, dt: Column) =>
+      when(qt.getField("n") * dt.getField("n") > 0,
+        round(dotD(qt.getField("t"), dt.getField("t")) /
+          (qt.getField("n") * dt.getField("n")), 4))
+        .otherwise(lit(0.0))
+    val scored = corp.crossJoin(broadcast(qs))
+      .where(col("q_id") =!= col(id))
+      .withColumn("score", round(
+        aggregate(col("__qt"), lit(0.0), (acc, qt) =>
+          acc + aggregate(col("__dt"), lit(-1.0),
+            (m, dt) => greatest(m, pairCos(qt, dt)))), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col(id).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col(id).as("neighbor_id"), col("score"))
+  }
+
   /** kNN-distance outlier scoring — the embedding-space corpus-cleaning
     * gate: a document whose k-th nearest neighbor is still far away
     * lives in no density region (mis-embedded media, garbled text,
@@ -1345,10 +1411,18 @@ object Ann {
     * tiebreak), so the two scans can never drift. Returns the
     * (q_id, cluster) pairs to scan.
     */
-  private def probeClusters(
+  /** The FULL per-query cluster ranking — every (q_id, cluster,
+    * crank) row, unfiltered. [[probeClusters]] filters it to a probe
+    * window; [[ivfPqTopKFiltered]] materializes it ONCE
+    * (localCheckpoint) and derives BOTH its head and its escalation
+    * tail from the single frame, so a centTable whose re-evaluation
+    * is not deterministic can never hand the two passes inconsistent
+    * rankings (a cluster missed or ADC-scanned twice). |Q| ×
+    * nclusters rows — both factors driver-budget-bounded.
+    */
+  private def probeRanked(
       spark: SparkSession, qs: Array[(Long, Array[Double])],
-      centTable: DataFrame, cluster: String, nprobe: Int,
-      minRank: Int = 1): DataFrame = {
+      centTable: DataFrame, cluster: String): DataFrame = {
     import spark.implicits._
     val qDf = qs.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("q_id", "q_vec")
@@ -1363,14 +1437,20 @@ object Ann {
         round(dotD(col("q_vec"), col("centroid")) /
           (col("__qn") * col("__cn")), 4))
       .withColumn("crank", row_number().over(probeW))
+      .select(col("q_id"), col(cluster), col("crank"))
+  }
+
+  private def probeClusters(
+      spark: SparkSession, qs: Array[(Long, Array[Double])],
+      centTable: DataFrame, cluster: String, nprobe: Int,
+      minRank: Int = 1): DataFrame =
+    probeRanked(spark, qs, centTable, cluster)
       // minRank > 1 selects the probe TAIL — the clusters a prior
       // pass at nprobe = minRank - 1 did NOT scan; the rank order is
       // the shared probe contract, so head ∪ tail partitions the
-      // cluster set exactly (the filtered escalation's fusion relies
-      // on this)
+      // cluster set exactly
       .where(col("crank") <= nprobe && col("crank") >= minRank)
       .select(col("q_id"), col(cluster))
-  }
 
   /** Rank scored (q_id, neighbor_id, adc) rows: ascending ADC with a
     * neighbor-id tiebreak, self excluded, top k per query — via the
@@ -1519,7 +1599,14 @@ object Ann {
     val filtered = indexed.join(
       broadcast(allowed.select(col(id)).distinct()), Seq(id), "left_semi")
     val qs = collectQueries(queries, qId, qVec, cb)
-    val probed = probeClusters(spark, qs, centTable, cluster, nprobe)
+    // the ONE ranking both passes derive from, materialized: two
+    // separate probe plans over a lazily re-evaluated centTable could
+    // rank head and tail inconsistently (a cluster missed or scanned
+    // twice); |Q| × nclusters rows, driver-budget small
+    val ranked = probeRanked(spark, qs, centTable, cluster)
+      .localCheckpoint()
+    val probed = ranked.where(col("crank") <= nprobe)
+      .select(col("q_id"), col(cluster))
     val first = rankAdc(adcScores(filtered, id, cluster, probed, qs, cb), k)
       .localCheckpoint()
     val fullQ = first.groupBy(col("q_id")).count()
@@ -1527,11 +1614,10 @@ object Ann {
     val short = qs.iterator.map(_._1).filterNot(fullQ).toSet
     if (short.isEmpty) first
     else {
-      val nClusters = centTable.select(col(cluster)).distinct()
-        .count().toInt
       val qsShort = qs.filter(q => short(q._1))
-      val tail = probeClusters(spark, qsShort, centTable, cluster,
-        nprobe = nClusters, minRank = nprobe + 1)
+      val tail = ranked.where(col("crank") > nprobe &&
+          col("q_id").isInCollection(short))
+        .select(col("q_id"), col(cluster))
       val tailScores = adcScores(filtered, id, cluster, tail, qsShort, cb)
       val fusedShort = rankAdc(
         first.where(col("q_id").isInCollection(short))
@@ -2075,27 +2161,47 @@ object Ann {
     // witnesses, and the per-id flags aggregate to a batch-sized table
     // (checkpointed — its two consumers below must not re-run the
     // state scan). An id REUSED with a DIFFERENT embedding is not
-    // redelivery (it may land in another cluster and never meet its
-    // predecessor) — that is an upstream identity bug, not an
-    // at-least-once artifact, and it lands as a second row. The
-    // within-batch self-join keeps strict `<` (every row is trivially
-    // id-equal to itself there); within-batch duplicate ids are the
-    // CALLER's precondition (the drain drops them before the step).
+    // redelivery — it is an upstream identity bug, not an
+    // at-least-once artifact: in a DIFFERENT cluster it never meets
+    // its predecessor and lands as a second row (the documented
+    // cross-cluster path); in the SAME cluster it would be
+    // indistinguishable from redelivery by id alone and silently
+    // swallowed, so the id-equal match ALSO checks payload identity
+    // in the same scan (round-4 cosine 1.0 AND equal norms — the
+    // norm guard catches a rescaled collinear payload cosine alone
+    // cannot; both sides run the same kernel over the same bytes, so
+    // true redelivery compares exactly equal) and fails loudly on a
+    // mismatch. The within-batch self-join keeps strict `<` (every
+    // row is trivially id-equal to itself there); within-batch
+    // duplicate ids are the CALLER's precondition (the drain drops
+    // them before the step).
     val withinFlags = side(b, 1).join(side(b, 2), "cl")
       .where(col("id1") < col("id2"))
       .select(col("id2").as("__id"),
-        (sim >= threshold).as("w"), lit(false).as("r"))
+        (sim >= threshold).as("w"), lit(false).as("r"),
+        lit(false).as("bad"))
     val seenFlags = seen.map(sn => side(sn, 1)
       .join(broadcast(side(b, 2)), "cl")
       .where(col("id1") <= col("id2"))
       .select(col("id2").as("__id"),
         (col("id1") < col("id2") && sim >= threshold).as("w"),
-        (col("id1") === col("id2")).as("r")))
+        (col("id1") === col("id2")).as("r"),
+        (col("id1") === col("id2") &&
+          !(sim === 1.0 && col("n1") === col("n2"))).as("bad")))
     val flags = (Seq(withinFlags) ++ seenFlags).reduce(_ unionByName _)
       .where(col("w") || col("r"))
       .groupBy(col("__id"))
-      .agg(max(col("w")).as("w"), max(col("r")).as("r"))
+      .agg(max(col("w")).as("w"), max(col("r")).as("r"),
+        max(col("bad")).as("bad"))
       .localCheckpoint()
+    val badIds = flags.where(col("bad")).select(col("__id"))
+      .limit(5).collect().map(_.get(0))
+    if (badIds.nonEmpty) throw new IllegalStateException(
+      s"id(s) ${badIds.mkString(", ")} arrived again with a DIFFERENT " +
+        "embedding landing in the same cluster — not redelivery (the " +
+        "verdict would silently swallow the new payload) but an " +
+        "upstream identity bug; fix the id assignment upstream or " +
+        "drain the re-keyed corpus to a fresh statePath")
     val fresh = b.join(
       broadcast(flags.where(col("r")).select(col("__id"))),
       Seq("__id"), "left_anti")

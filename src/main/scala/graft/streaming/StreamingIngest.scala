@@ -822,7 +822,13 @@ object StreamingIngest {
       stream: DataFrame, statePath: String, checkpoint: String,
       id: String, vec: String, cluster: String,
       threshold: Double, centTable: DataFrame): StreamingQuery = {
-    lazy val centBase = centTable.localCheckpoint()
+    // the fixed coarse model materializes ONCE per drain — phased so
+    // a regression back to per-micro-batch re-materialization (the
+    // r16 index-drain model-re-read class) surfaces as drain_models
+    // growth under the bench tripwire
+    lazy val centBase = graft.PhaseTimer.phase("drain_models") {
+      centTable.localCheckpoint()
+    }
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -881,11 +887,21 @@ object StreamingIngest {
         // those rows from its verdicts and state — redelivery
         // tolerance costs no extra pass over the accumulated state.
         val batchOnce = batch.toDF().dropDuplicates(Seq(id))
-        val (out, state) = graft.ann.Ann.semanticDedupStep(
-          batchOnce, seen, id, vec, cluster, threshold, centBase)
-        out.write.mode("overwrite").parquet(s"$statePath/out/batch=$batchId")
-        state.write.mode("overwrite")
-          .parquet(s"$statePath/seen/batch=$batchId")
+        // per-stage phases (the index-drain split): step = the
+        // assign + one-pass state scan (its flags/batch checkpoints
+        // materialize inside), out/seen = the two batch-keyed writes
+        val (out, state) = graft.PhaseTimer.phase("drain_step") {
+          graft.ann.Ann.semanticDedupStep(
+            batchOnce, seen, id, vec, cluster, threshold, centBase)
+        }
+        graft.PhaseTimer.phase("drain_out") {
+          out.write.mode("overwrite")
+            .parquet(s"$statePath/out/batch=$batchId")
+        }
+        graft.PhaseTimer.phase("drain_seen") {
+          state.write.mode("overwrite")
+            .parquet(s"$statePath/seen/batch=$batchId")
+        }
       }
       .start()
   }
@@ -1006,10 +1022,41 @@ object StreamingIngest {
     * fresh-checkpoint-restarts-batch-ids hazard as the index staging
     * area).
     */
+  /** The checkpoint's INSTANCE token — the streaming query id Spark
+    * writes into `<checkpoint>/metadata` when the checkpoint is
+    * created, stable across restarts FROM that checkpoint but fresh
+    * when the directory is deleted and recreated at the same path.
+    * This is what lets the `_run` claim refuse the one recreation the
+    * path alone cannot see: same path, restarted batch ids
+    * (empty-string fallback when the metadata is unreadable — the
+    * claim then degrades to the path-only guarantee instead of
+    * failing a healthy drain).
+    */
+  private def checkpointInstanceId(
+      spark: SparkSession, checkpoint: String): String = {
+    val fs = hfs(spark, checkpoint)
+    val meta = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
+    if (!fs.exists(meta)) ""
+    else {
+      val in = fs.open(meta)
+      val txt =
+        try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("")
+    }
+  }
+
   private def claimRunAt(
       spark: SparkSession, root: String, checkpoint: String): Unit = {
     val fs = hfs(spark, root)
     val marker = new org.apache.hadoop.fs.Path(s"$root/_run")
+    // the claim carries the checkpoint PATH and its INSTANCE id: the
+    // path pins the root to one checkpoint, the instance refuses the
+    // same path deleted and recreated (batch ids restart at 0 and the
+    // high-water guard alone cannot see a recreation whose first
+    // batch id equals the drained high water)
+    val token = s"$checkpoint#${checkpointInstanceId(spark, checkpoint)}"
     def ownerOf(): Option[String] =
       if (!fs.exists(marker)) None
       else {
@@ -1020,7 +1067,7 @@ object StreamingIngest {
     def claim(): Unit =
       try {
         val out = fs.create(marker, false) // exclusive: no overwrite
-        try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
+        try out.write(token.getBytes("UTF-8")) finally out.close()
       } catch { // lost the creation race: the final read decides
         case _: java.io.IOException => ()
       }
@@ -1036,7 +1083,7 @@ object StreamingIngest {
     }
     var attempts = 0
     var owner = settledOwner()
-    while (!owner.contains(checkpoint) && attempts < 2) {
+    while (!owner.contains(token) && attempts < 2) {
       owner match {
         case None => claim()
         case Some("") =>
@@ -1044,16 +1091,35 @@ object StreamingIngest {
           // immediately before deleting — delete only if STILL empty
           if (ownerOf().contains("")) { fs.delete(marker, false); () }
           claim()
+        case Some(o) if o == checkpoint =>
+          // legacy path-only claim from a pre-instance-token run,
+          // same checkpoint: upgrade it in place (one scheduler per
+          // root — the single-claimant window the marker already
+          // assumes)
+          fs.delete(marker, false)
+          claim()
         case _ => () // someone else's settled claim: fail below
       }
       owner = settledOwner() // the marker content is the authority
       attempts += 1
     }
-    if (!owner.contains(checkpoint)) throw new IllegalStateException(
-      s"drain state root $root is owned by checkpoint " +
-        s"${owner.getOrElse("<unreadable>")} — a different checkpoint " +
-        "would restart batch ids at 0 and overwrite that run's live " +
-        "staging; one checkpoint per index lifetime")
+    if (!owner.contains(token)) throw new IllegalStateException(
+      owner match {
+        case Some(o) if o.startsWith(s"$checkpoint#") =>
+          s"drain state root $root was drained by a PREVIOUS " +
+            s"incarnation of checkpoint $checkpoint (instance " +
+            s"${o.stripPrefix(s"$checkpoint#")}, now " +
+            s"${token.stripPrefix(s"$checkpoint#")}) — the checkpoint " +
+            "was deleted and recreated at the same path; its batch " +
+            "ids restarted and would silently overwrite drained " +
+            "state. Point the drain at a fresh statePath or restore " +
+            "the original checkpoint"
+        case o =>
+          s"drain state root $root is owned by checkpoint " +
+            s"${o.getOrElse("<unreadable>")} — a different checkpoint " +
+            "would restart batch ids at 0 and overwrite that run's " +
+            "live staging; one checkpoint per index lifetime"
+      })
   }
 
   private def hfs(spark: SparkSession, path: String) =
@@ -1463,12 +1529,29 @@ object StreamingIngest {
     * already staged is observationally identical to a batch landing
     * after the snapshot.
     */
+  /** Refuse to fold while a retrain holds the index: both publish the
+    * next `codes_v<n>` generation, so a fold racing a live retrain can
+    * allocate the SAME version suffix and interleave its files with
+    * the retrain's — the one write collision the monotone-publication
+    * design cannot absorb. The delete verb refuses for the same
+    * reason; the policy tick maps this refusal to `Blocked`.
+    */
+  private def refuseFoldDuringRetrain(
+      spark: SparkSession, indexPath: String): Unit =
+    if (hfs(spark, indexPath).exists(
+        new org.apache.hadoop.fs.Path(s"$indexPath/_retrain_lock")))
+      throw new IllegalStateException(
+        s"retrain in progress on $indexPath (_retrain_lock present); " +
+          "retry the fold after it completes — the retrain consumes " +
+          "the staging window this fold would publish")
+
   def compactStreamedIndex(
       spark: SparkSession, indexPath: String,
       id: String, cluster: String,
       upTo: Option[Long] = None,
       manifestBudget: Int = DefaultManifestBudget,
       upToTomb: Option[Long] = None): Unit = {
+    refuseFoldDuringRetrain(spark, indexPath)
     val bound = upTo.getOrElse(Long.MaxValue)
     val staged = stagedBatches(spark, indexPath).filter(_ <= bound)
     val prior = resolveVersion(spark, indexPath)
@@ -1531,6 +1614,7 @@ object StreamingIngest {
       upTo: Option[Long] = None,
       manifestBudget: Int = DefaultManifestBudget,
       upToTomb: Option[Long] = None): Unit = {
+    refuseFoldDuringRetrain(spark, indexPath)
     val fs = hfs(spark, indexPath)
     val bound = upTo.getOrElse(Long.MaxValue)
     val staged = stagedBatches(spark, indexPath).filter(_ <= bound)
@@ -2287,6 +2371,25 @@ object StreamingIngest {
       probeFraction: Double = 1.0,
       router: Option[(Int, Int)] = None,
       autoRoute: Boolean = true): Boolean = {
+    val fire = driftFired(spark, indexPath, corpus, id, vec,
+      baseCents, cluster, minCosine, probeFraction)
+    if (fire) retrainStreamedIndex(spark, indexPath, corpus, id, vec,
+      newCents, cluster, m, ksub, iters, router, autoRoute)
+    fire
+  }
+
+  /** [[retrainOnDrift]]'s SIGNAL without its act — shared with the
+    * fleet sweep ([[maintainIndexes]]), which must probe every
+    * member's drift in its ranking phase BEFORE dispatching any
+    * action under the tick budget. Cost: one linear projection pass
+    * over the optional deterministic id-hash sample, two G×d centroid
+    * aggregates, a one-row collect.
+    */
+  private def driftFired(
+      spark: SparkSession, indexPath: String,
+      corpus: DataFrame, id: String, vec: String,
+      baseCents: DataFrame, cluster: String,
+      minCosine: Double, probeFraction: Double): Boolean = {
     require(minCosine >= -1.0 && minCosine <= 1.0,
       s"minCosine must be in [-1, 1], got $minCosine")
     require(probeFraction > 0.0 && probeFraction <= 1.0,
@@ -2306,11 +2409,8 @@ object StreamingIngest {
       .agg(min(coalesce(col("cos"), lit(-1.0))).as("worst"),
         count(col("cos")).as("present"))
       .collect()(0)
-    val fire = !sig.isNullAt(0) && sig.getLong(1) > 0 &&
+    !sig.isNullAt(0) && sig.getLong(1) > 0 &&
       sig.getDouble(0) < minCosine
-    if (fire) retrainStreamedIndex(spark, indexPath, corpus, id, vec,
-      newCents, cluster, m, ksub, iters, router, autoRoute)
-    fire
   }
 
   /** The maintenance decision table's knobs, one value object — what
@@ -2378,7 +2478,120 @@ object StreamingIngest {
       * the next generation (staging and pending tombstones consumed).
       */
     case object Retrained extends MaintenanceAction
+    /** A sweep ([[maintainIndexes]]) ranked this index actionable but
+      * the tick budget ran out first — nothing inspected or mutated;
+      * it keeps its urgency slot next tick.
+      */
+    case object Deferred extends MaintenanceAction
   }
+
+  /** One stable label per [[MaintenanceAction]] — the decision column
+    * of the `_maintenance_log` audit rows.
+    */
+  private def actionLabel(a: MaintenanceAction): String = a match {
+    case MaintenanceAction.Blocked => "blocked"
+    case MaintenanceAction.NoOp => "noop"
+    case MaintenanceAction.Retrained => "retrained"
+    case MaintenanceAction.Deferred => "deferred"
+    case MaintenanceAction.Folded(FoldDispatch.Incremental) =>
+      "folded_incremental"
+    case MaintenanceAction.Folded(FoldDispatch.Full) => "folded_full"
+    case MaintenanceAction.Folded(FoldDispatch.NothingToFold) =>
+      "folded_nothing"
+  }
+
+  /** The maintenance audit-log schema — explicit so replays read
+    * stable types regardless of which rows happen to exist.
+    */
+  private val MaintenanceLogSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("tick",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("decision",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("trigger",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("gen_before",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("gen_after",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("staged_unfolded",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pending_tombstones",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Append one tick's decision under `<indexPath>/_maintenance_log`
+    * — the operational record a fleet scheduler and an oncall both
+    * read ([[maintenanceLog]]). One small exclusive-create JSON file
+    * per tick (`tick_<n>.json`, n = highest existing + 1): ticks come
+    * from ONE scheduler per index (the retrain lock's own
+    * precondition), so a create collision is a mis-deployed second
+    * scheduler and must fail loudly, not interleave. Row content is
+    * deterministic (decision, trigger, the status fields it keyed on,
+    * generation before/after) — wall-clock lives in the file's mtime,
+    * not the row, so entry oracles can pin rows exactly.
+    */
+  private def appendMaintenanceLog(
+      spark: SparkSession, indexPath: String,
+      decision: String, trigger: String,
+      genBefore: Long, genAfter: Long,
+      stagedUnfolded: Long, pendingTombstones: Long): Unit = {
+    val fs = hfs(spark, indexPath)
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/_maintenance_log")
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val next = listIndexDir(fs, dir).toSeq.map(_.getPath.getName)
+      .flatMap { n =>
+        if (!n.startsWith("tick_") || !n.endsWith(".json")) None
+        else n.stripPrefix("tick_").stripSuffix(".json").toLongOption
+      }.foldLeft(-1L)(math.max) + 1
+    val row =
+      s"""{"tick":$next,"decision":"$decision","trigger":"$trigger",""" +
+        s""""gen_before":$genBefore,"gen_after":$genAfter,""" +
+        s""""staged_unfolded":$stagedUnfolded,""" +
+        s""""pending_tombstones":$pendingTombstones}"""
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, f"tick_$next%06d.json"), false)
+    try out.write(row.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read the maintenance audit trail as a DataFrame (empty with the
+    * full schema when no tick has ever run). Columns: tick, decision,
+    * trigger, gen_before, gen_after, staged_unfolded,
+    * pending_tombstones; `-1` generation means the unversioned base
+    * `codes`. The log is tick-bounded (one small file per tick), so
+    * reading it whole is a metadata-scale scan.
+    */
+  def maintenanceLog(spark: SparkSession, indexPath: String): DataFrame = {
+    val fs = hfs(spark, indexPath)
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/_maintenance_log")
+    if (!fs.exists(dir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        MaintenanceLogSchema)
+    else spark.read.schema(MaintenanceLogSchema)
+      .json(s"$indexPath/_maintenance_log")
+  }
+
+  /** Map a dispatch that raced a concurrent retrain to
+    * [[MaintenanceAction.Blocked]]: between the tick's status read and
+    * its dispatched verb, another scheduler's `_retrain_lock` can
+    * appear, and the verb then refuses with its own
+    * `IllegalStateException` — safe (nothing half-written; every verb
+    * checks the lock before mutating), but the policy contract says
+    * Blocked means "retry next tick", not "throw from inside the
+    * dispatch". The catch re-checks the lock AT FAILURE TIME: present
+    * → someone else holds the index, Blocked; absent → the failure
+    * was the verb's own (e.g. a mid-stage batch tmp — our crashed
+    * retrain deletes its lock in its finally), rethrow.
+    */
+  private def blockedOnLockRace(
+      spark: SparkSession, indexPath: String)(
+      dispatch: => MaintenanceAction): MaintenanceAction =
+    try dispatch catch {
+      case _: IllegalStateException if hfs(spark, indexPath).exists(
+          new org.apache.hadoop.fs.Path(s"$indexPath/_retrain_lock")) =>
+        MaintenanceAction.Blocked
+    }
 
   /** The index MAINTENANCE verb — one policy tick over a streamed
     * index: read the [[IndexStatus]] snapshot and the drift signal,
@@ -2426,29 +2639,188 @@ object StreamingIngest {
       autoRoute: Boolean = true,
       manifestBudget: Int = DefaultManifestBudget): MaintenanceAction = {
     val status = indexStatus(spark, indexPath)
-    if (status.retrainInProgress) return MaintenanceAction.Blocked
+    val (action, trigger) = maintainTick(spark, indexPath, corpus, id,
+      vec, baseCents, newCents, cluster, m, ksub, iters, policy,
+      router, autoRoute, manifestBudget, status, firedPre = None)
+    logTick(spark, indexPath, status, action, trigger)
+    action
+  }
+
+  /** One decided tick over a pre-read [[IndexStatus]] — the dispatch
+    * half [[maintainStreamedIndex]] and [[maintainIndexes]] share.
+    * `firedPre` carries a drift decision the sweep already probed
+    * (its ranking phase probes every member BEFORE dispatching any
+    * action); `None` probes here, preserving the single-index verb's
+    * probe-after-Blocked-check cost shape. Every dispatch runs under
+    * [[blockedOnLockRace]]: a `_retrain_lock` appearing between the
+    * status read and the verb maps to Blocked instead of surfacing as
+    * the verb's own refusal. Returns (action, trigger) so the caller
+    * can audit-log what the decision keyed on. Package-private as the
+    * race spec's seam: the spec hands it a status read BEFORE the
+    * lock appeared.
+    */
+  private[graft] def maintainTick(
+      spark: SparkSession, indexPath: String,
+      corpus: DataFrame, id: String, vec: String,
+      baseCents: DataFrame, newCents: DataFrame, cluster: String,
+      m: Int, ksub: Int, iters: Int,
+      policy: MaintenancePolicy,
+      router: Option[(Int, Int)], autoRoute: Boolean,
+      manifestBudget: Int,
+      status: IndexStatus,
+      firedPre: Option[Boolean]): (MaintenanceAction, String) = {
+    if (status.retrainInProgress) return (MaintenanceAction.Blocked, "lock")
     // driftMinCosine = -1 DISABLES the trigger (no cosine is < -1),
     // so don't pay the linear probe for a decision already made — a
     // fold-only policy tick then costs listings only
-    val fired = policy.driftMinCosine > -1.0 &&
-      retrainOnDrift(spark, indexPath, corpus, id, vec,
-        baseCents, newCents, cluster, m, ksub, iters,
-        policy.driftMinCosine, policy.driftProbeFraction, router,
-        autoRoute)
-    if (fired) return MaintenanceAction.Retrained
+    val fired = firedPre.getOrElse(policy.driftMinCosine > -1.0 &&
+      driftFired(spark, indexPath, corpus, id, vec, baseCents, cluster,
+        policy.driftMinCosine, policy.driftProbeFraction))
+    if (fired)
+      return (blockedOnLockRace(spark, indexPath) {
+        retrainStreamedIndex(spark, indexPath, corpus, id, vec,
+          newCents, cluster, m, ksub, iters, router, autoRoute)
+        MaintenanceAction.Retrained
+      }, "drift")
     val unfolded =
       status.stagedBatches.count(_ > status.foldedHighWater)
-    if (unfolded >= policy.foldMinStaged ||
-        status.pendingTombstones.size >= policy.foldMinTombstones) {
+    val staged = unfolded >= policy.foldMinStaged
+    val tombs = status.pendingTombstones.size >= policy.foldMinTombstones
+    if (staged || tombs) {
       // the fold re-snapshots under its own listing (compactStreamed
       // Auto's bounded-at-decision-high-water discipline) — a batch
       // staged since indexStatus folds next tick
-      MaintenanceAction.Folded(compactStreamedAuto(
-        spark, indexPath, id, cluster,
-        maxRoots = policy.maxRoots,
-        maxTouchedFrac = policy.maxTouchedFrac,
-        manifestBudget = manifestBudget))
-    } else MaintenanceAction.NoOp
+      val trig =
+        if (staged && tombs) "staged+tombstones"
+        else if (staged) "staged" else "tombstones"
+      (blockedOnLockRace(spark, indexPath) {
+        MaintenanceAction.Folded(compactStreamedAuto(
+          spark, indexPath, id, cluster,
+          maxRoots = policy.maxRoots,
+          maxTouchedFrac = policy.maxTouchedFrac,
+          manifestBudget = manifestBudget))
+      }, trig)
+    } else (MaintenanceAction.NoOp, "none")
+  }
+
+  /** Append the audit row for one decided tick ([[appendMaintenance
+    * Log]]): generation-after re-resolves AFTER the dispatch (one
+    * listing), so the row records the transition the decision caused.
+    */
+  private def logTick(
+      spark: SparkSession, indexPath: String, status: IndexStatus,
+      action: MaintenanceAction, trigger: String): Unit = {
+    val genAfter = resolveVersion(spark, indexPath)
+      .map(_._1.drop(s"$indexPath/codes_v".length).toLong).getOrElse(-1L)
+    appendMaintenanceLog(spark, indexPath,
+      decision = actionLabel(action), trigger = trigger,
+      genBefore = status.generation.getOrElse(-1L),
+      genAfter = genAfter,
+      stagedUnfolded =
+        status.stagedBatches.count(_ > status.foldedHighWater).toLong,
+      pendingTombstones = status.pendingTombstones.size.toLong)
+  }
+
+  /** One fleet member's maintenance configuration — the per-index
+    * arguments [[maintainStreamedIndex]] takes, as a value so a
+    * scheduler declares its fleet once and sweeps it per tick
+    * ([[maintainIndexes]]). `corpus`/`newCents` are the retrain's
+    * rebuild-from-the-lake inputs and `baseCents` the pre-retrain
+    * serving fallback — exactly the single-index verb's contract.
+    */
+  final case class IndexFleetMember(
+      indexPath: String,
+      corpus: DataFrame, id: String, vec: String,
+      baseCents: DataFrame, newCents: DataFrame, cluster: String,
+      m: Int, ksub: Int, iters: Int = 0,
+      router: Option[(Int, Int)] = None,
+      autoRoute: Boolean = true)
+
+  /** FLEET maintenance sweep — one scheduler tick over MANY indexes:
+    * snapshot every member's [[IndexStatus]], probe every non-blocked
+    * member's drift signal (when the policy enables it), rank the
+    * actionable members by urgency, and dispatch at most `tickBudget`
+    * actions, most urgent first. Returns (indexPath, action) in the
+    * INPUT order; every decision (including Deferred and Blocked) is
+    * appended to the member's `_maintenance_log`.
+    *
+    * Urgency order — retrain-needed > tombstone-pressure >
+    * staged-pressure, because that is the order of decay: a drifted
+    * index is answering queries WRONG (recall decays until retrain),
+    * pending tombstones mean DELETED rows still serving (correctness
+    * debt), while an unfolded staging tail only costs serve-time
+    * union width (performance debt). Within a class, higher pressure
+    * (then path, for determinism) first. The drift probes run in the
+    * RANKING phase — monitoring is the per-tick tax `driftProbe
+    * Fraction` already dials, and the budget bounds ACTIONS (the
+    * expensive mutations), not observations; a member whose probe
+    * fired but whose budget ran out is Deferred with its state
+    * untouched, and the next tick re-ranks it first.
+    *
+    * Scale shape: statuses and probes are per-member metadata
+    * listings plus the dialable linear probe; nothing cross-member
+    * ever joins — the sweep is embarrassingly per-index, and the
+    * budget keeps a degraded fleet from turning one tick into an
+    * unbounded rebuild storm.
+    */
+  def maintainIndexes(
+      spark: SparkSession, members: Seq[IndexFleetMember],
+      policy: MaintenancePolicy = MaintenancePolicy(),
+      tickBudget: Int = Int.MaxValue,
+      manifestBudget: Int = DefaultManifestBudget)
+      : Seq[(String, MaintenanceAction)] = {
+    require(tickBudget >= 1, s"tickBudget must be >= 1, got $tickBudget")
+    val dup = members.groupBy(_.indexPath).collect {
+      case (p, occ) if occ.size > 1 => p
+    }
+    require(dup.isEmpty,
+      s"duplicate fleet members: ${dup.mkString(", ")} — one scheduler " +
+        "tick must not dispatch an index twice")
+    // phase 1: observe — statuses, then drift probes for the ranking
+    val observed = members.map { mb =>
+      val status = indexStatus(spark, mb.indexPath)
+      val fired = !status.retrainInProgress &&
+        policy.driftMinCosine > -1.0 &&
+        driftFired(spark, mb.indexPath, mb.corpus, mb.id, mb.vec,
+          mb.baseCents, mb.cluster, policy.driftMinCosine,
+          policy.driftProbeFraction)
+      (mb, status, fired)
+    }
+    // phase 2: rank actionable members — class 0 retrain-needed,
+    // 1 tombstone-pressure, 2 staged-pressure; pressure desc within
+    val ranked = observed.flatMap { case (mb, status, fired) =>
+      if (status.retrainInProgress) None
+      else {
+        val unfolded =
+          status.stagedBatches.count(_ > status.foldedHighWater)
+        val tombs = status.pendingTombstones.size
+        if (fired) Some((mb, status, fired, 0, tombs.toLong))
+        else if (tombs >= policy.foldMinTombstones)
+          Some((mb, status, fired, 1, tombs.toLong))
+        else if (unfolded >= policy.foldMinStaged)
+          Some((mb, status, fired, 2, unfolded.toLong))
+        else None
+      }
+    }.sortBy { case (mb, _, _, cls, pressure) =>
+      (cls, -pressure, mb.indexPath)
+    }
+    val dispatched = ranked.take(tickBudget).map(_._1.indexPath).toSet
+    // phase 3: dispatch under the budget; log every decision
+    val results = observed.map { case (mb, status, fired) =>
+      val (action, trigger) =
+        if (status.retrainInProgress)
+          (MaintenanceAction.Blocked: MaintenanceAction, "lock")
+        else if (ranked.exists(_._1.indexPath == mb.indexPath) &&
+            !dispatched(mb.indexPath))
+          (MaintenanceAction.Deferred: MaintenanceAction, "budget")
+        else maintainTick(spark, mb.indexPath, mb.corpus, mb.id, mb.vec,
+          mb.baseCents, mb.newCents, mb.cluster, mb.m, mb.ksub, mb.iters,
+          policy, mb.router, mb.autoRoute, manifestBudget, status,
+          firedPre = Some(fired))
+      logTick(spark, mb.indexPath, status, action, trigger)
+      mb.indexPath -> action
+    }
+    results
   }
 
   private def retrainLocked(

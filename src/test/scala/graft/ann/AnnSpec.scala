@@ -37,6 +37,40 @@ class AnnSpec extends SparkSpec {
     assert(top.toSeq == Seq(10L, 1L))
   }
 
+  test("maxSimTopK: per-query-token max of cosines, summed; id tiebreak; " +
+      "zero-norm tokens score 0; query doc excluded") {
+    // dim-8 unit-axis tokens: cos is 1 on the same axis, 0 across axes,
+    // so every MaxSim score is hand-computable
+    val docs = Seq(
+      (0L, Seq(unit(0), unit(2))),          // the query itself — excluded
+      (1L, Seq(unit(0), unit(1))),          // matches query token e0 → 1.0
+      (2L, Seq(unit(2), unit(3))),          // matches query token e2 → 1.0
+      (3L, Seq(unit(0), unit(2))),          // matches both → 2.0
+      (4L, Seq(Seq.fill(dim)(0.0f))))       // zero-norm token → 0.0
+      .toDF("doc_id", "token_vecs")
+    val q = docs.where($"doc_id" === 0L)
+    val got = Ann.maxSimTopK(docs, "doc_id", "token_vecs",
+        q, "doc_id", "token_vecs", k = 4)
+      .orderBy("rank")
+      .select("rank", "neighbor_id", "score")
+      .as[(Int, Long, Double)].collect().toSeq
+    // tie at 1.0 between docs 1 and 2 breaks by id; zero-norm doc last
+    assert(got == Seq((1, 3L, 2.0), (2, 1L, 1.0), (3, 2L, 1.0),
+      (4, 4L, 0.0)))
+  }
+
+  test("maxSimTopK drops token-less rows instead of scoring them") {
+    val docs = Seq(
+      (0L, Seq(unit(0))),
+      (1L, Seq(unit(0))),
+      (2L, Seq.empty[Seq[Float]]))
+      .toDF("doc_id", "token_vecs")
+    val got = Ann.maxSimTopK(docs, "doc_id", "token_vecs",
+        docs.where($"doc_id" === 0L), "doc_id", "token_vecs", k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
   test("ivf with nprobe=all matches brute force; nprobe=1 stays in-cluster") {
     val q = corpus.where($"vec_id" === 0L)
     val brute = Ann.topK(corpus, "vec_id", "embedding", q,

@@ -2343,6 +2343,26 @@ class StreamingIngestSpec extends SparkSpec {
       redeliver, Some(st1), "vec_id", "embedding", "label", 0.9, cents)
     assert(out3.isEmpty, "redelivery must not re-issue a verdict")
     assert(st3.isEmpty, "redelivery must not regrow the state")
+    // id 0 reused with a DIFFERENT embedding that still lands in
+    // cluster 0: indistinguishable from redelivery by id alone — the
+    // payload-identity check must fail loudly instead of silently
+    // swallowing the new row
+    val reuseSame = Seq((0L, v(0.9, 0.1), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e1 = intercept[IllegalStateException] {
+      Ann.semanticDedupStep(
+        reuseSame, Some(st1), "vec_id", "embedding", "label", 0.9, cents)
+    }
+    assert(e1.getMessage.contains("DIFFERENT embedding"))
+    // a rescaled collinear payload has cosine exactly 1.0 — the norm
+    // guard still refuses it (same direction, not the same bytes)
+    val rescaled = Seq((0L, v(2.0, 0.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e2 = intercept[IllegalStateException] {
+      Ann.semanticDedupStep(
+        rescaled, Some(st1), "vec_id", "embedding", "label", 0.9, cents)
+    }
+    assert(e2.getMessage.contains("DIFFERENT embedding"))
   }
 
   test("semanticDedupDrain out-of-order arrival: first-seen-wins — a " +
@@ -2428,6 +2448,45 @@ class StreamingIngestSpec extends SparkSpec {
     val after = StreamingIngest.loadSemanticDedup(spark, st)
       .select($"vec_id", $"keep").as[(Long, Boolean)].collect().toMap
     assert(after == before)
+  }
+
+  test("semanticDedupDrain instance token: a checkpoint recreated at " +
+      "the same path after exactly ONE drained batch (high water = 0, " +
+      "which the batch-id guard alone cannot see) is refused by the " +
+      "_run claim's instance id") {
+    import graft.ann.Ann
+    def v(x: Double, y: Double) =
+      Seq(x.toFloat, y.toFloat, 0.0f, 0.0f)
+    val rows = Seq(
+      (0L, v(1.0, 0.0), 0), (1L, v(0.92, 0.39), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Ann.pivotCentroids(rows, "label", "vec_id", "embedding")
+    val st = graft.EntryKit.scratchTracked("graft_semdrain_inst").toString
+    rows.coalesce(1).write.mode("append").parquet(s"$st/in")
+    def drain() = StreamingIngest.semanticDedupDrain(
+      spark.readStream.schema(rows.schema).parquet(s"$st/in"),
+      st, s"$st/ckpt", "vec_id", "embedding", "label",
+      threshold = 0.75, cents)
+    drain().awaitTermination() // exactly one drained batch: id 0
+    val before = StreamingIngest.loadSemanticDedup(spark, st)
+      .select($"vec_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(before == Map(0L -> true, 1L -> false))
+    // recreate the checkpoint: the new stream's first batch id is 0,
+    // NOT strictly below the drained high water (0) — the pre-fix
+    // guard passed and silently overwrote out/batch=0 and
+    // seen/batch=0; the instance token must refuse before any write
+    graft.EntryKit.deleteRecursively(java.nio.file.Paths.get(s"$st/ckpt"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain().awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("PREVIOUS incarnation")),
+      s"expected the instance-token refusal, got: ${messages(e)}")
+    val after = StreamingIngest.loadSemanticDedup(spark, st)
+      .select($"vec_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(after == before, "drained state must survive untouched")
   }
 
   test("cloneGenerationFence: a generation/epoch moved since capture " +
@@ -2581,6 +2640,161 @@ class StreamingIngestSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       MaintenancePolicy(driftProbeFraction = 0.0)
+    }
+  }
+
+  test("maintainTick: a _retrain_lock appearing BETWEEN the status " +
+      "read and the dispatch maps to Blocked (fold and retrain " +
+      "dispatches both); a verb's own failure with no lock present " +
+      "still rethrows") {
+    import graft.ann.Ann
+    import StreamingIngest.{MaintenanceAction => MA, MaintenancePolicy}
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val root = graft.EntryKit.scratchTracked("graft_maintrace").toString
+    val path = s"$root/idx"
+    Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+      .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, path)
+    val ups = Seq((1L, unit(0), 0)).toDF("vec_id", "embedding", "label")
+    Ann.encodeAssign(ups, "vec_id", "embedding", cb, cents, "label")
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$path/stream/batch=0")
+    val foldOnly = MaintenancePolicy(
+      foldMinStaged = 1, driftMinCosine = -1.0)
+    def tick(policy: MaintenancePolicy,
+        status: StreamingIngest.IndexStatus,
+        firedPre: Option[Boolean] = None) =
+      StreamingIngest.maintainTick(spark, path, base,
+        "vec_id", "embedding", cents, cents, "label",
+        m = 4, ksub = 4, iters = 0, policy = policy,
+        router = None, autoRoute = true,
+        manifestBudget = StreamingIngest.DefaultManifestBudget,
+        status = status, firedPre = firedPre)._1
+    // the race: status read with no lock, lock appears, THEN dispatch
+    val staleStatus = StreamingIngest.indexStatus(spark, path)
+    assert(!staleStatus.retrainInProgress)
+    val lock = java.nio.file.Paths.get(s"$path/_retrain_lock")
+    java.nio.file.Files.createFile(lock)
+    // fold dispatch observes the late lock → Blocked, nothing folded
+    assert(tick(foldOnly, staleStatus) == MA.Blocked)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/codes_v1")))
+    // retrain dispatch (pre-decided fire) → Blocked, not a throw
+    assert(tick(MaintenancePolicy(foldMinStaged = 1, driftMinCosine = 1.0),
+      staleStatus, firedPre = Some(true)) == MA.Blocked)
+    java.nio.file.Files.delete(lock)
+    // no lock present at failure time: the verb's own refusal (a
+    // crashed drain's mid-stage tmp; our retrain deletes its lock in
+    // its finally) must RETHROW, not masquerade as Blocked
+    val tmp = java.nio.file.Paths.get(s"$path/stream/.batch_tmp_99")
+    java.nio.file.Files.createDirectories(tmp)
+    val e = intercept[IllegalStateException] {
+      tick(MaintenancePolicy(foldMinStaged = 1, driftMinCosine = 1.0),
+        staleStatus, firedPre = Some(true))
+    }
+    assert(e.getMessage.contains("mid-stage"))
+    assert(!java.nio.file.Files.exists(lock),
+      "the crashed retrain must have released its own lock")
+  }
+
+  test("maintainIndexes: urgency order is drift > tombstones > staged; " +
+      "the tick budget defers the least urgent; Blocked members cost " +
+      "no budget; duplicate paths refuse; every decision is logged") {
+    import graft.ann.Ann
+    import StreamingIngest.{IndexFleetMember, MaintenanceAction => MA,
+      MaintenancePolicy}
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val root = graft.EntryKit.scratchTracked("graft_fleet").toString
+    def build(path: String): Unit =
+      Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+        .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, path)
+    def stage(path: String, batch: Int, rows: Seq[(Long, Seq[Float], Int)]): Unit =
+      Ann.encodeAssign(rows.toDF("vec_id", "embedding", "label"),
+          "vec_id", "embedding", cb, cents, "label")
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$path/stream/batch=$batch")
+    // A: staged pressure only; B: drift fires (corpus mean moved);
+    // C: pending tombstone; D: clean; E: blocked by a live lock
+    val (pa, pb, pc, pd, pe) =
+      (s"$root/a", s"$root/b", s"$root/c", s"$root/d", s"$root/e")
+    Seq(pa, pb, pc, pd, pe).foreach(build)
+    stage(pa, 0, Seq((1L, unit(0), 0)))
+    val blend = (Seq(0.8f, 0.0f, 0.6f) ++ Seq.fill(dim - 3)(0.0f))
+    val driftCorpus = base.unionByName(
+      Seq((5L, blend, 0)).toDF("vec_id", "embedding", "label"))
+    assert(StreamingIngest.deleteStreamed(spark, pc,
+      Seq(0L).toDF("vec_id"), "vec_id", "label") == 0L)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$pe/_retrain_lock"))
+    def member(path: String, corpus: org.apache.spark.sql.DataFrame = base) =
+      IndexFleetMember(path, corpus, "vec_id", "embedding",
+        cents, cents, "label", m = 4, ksub = 4)
+    val fleet = Seq(member(pa), member(pb, driftCorpus), member(pc),
+      member(pd), member(pe))
+    val policy = MaintenancePolicy(foldMinStaged = 1, driftMinCosine = 1.0)
+    // budget 2: B (drift) and C (tombstones) dispatch; A (staged)
+    // defers; D no-ops; E blocked — input order preserved
+    val r1 = StreamingIngest.maintainIndexes(spark, fleet, policy,
+      tickBudget = 2).toMap
+    assert(r1(pb) == MA.Retrained, s"B: ${r1(pb)}")
+    assert(r1(pc).isInstanceOf[MA.Folded], s"C: ${r1(pc)}")
+    assert(r1(pa) == MA.Deferred, s"A: ${r1(pa)}")
+    assert(r1(pd) == MA.NoOp, s"D: ${r1(pd)}")
+    assert(r1(pe) == MA.Blocked, s"E: ${r1(pe)}")
+    // budget 1 re-defers A (B's drift still outranks it) and proves
+    // results come back in input order
+    assert(StreamingIngest.maintainIndexes(spark, fleet, policy,
+      tickBudget = 1).map(_._1) == fleet.map(_.indexPath),
+      "results come back in input order")
+    // next tick (budget default): A's deferred fold lands; B folded
+    // NOTHING new (retrain consumed its state) so it no-ops or
+    // re-fires drift only if the corpus still disagrees
+    val r2 = StreamingIngest.maintainIndexes(spark,
+      Seq(member(pa)), MaintenancePolicy(
+        foldMinStaged = 1, driftMinCosine = -1.0)).toMap
+    assert(r2(pa).isInstanceOf[MA.Folded], s"A tick2: ${r2(pa)}")
+    // every decision logged, including Deferred and Blocked
+    val logA = StreamingIngest.maintenanceLog(spark, pa)
+      .orderBy($"tick").select($"decision", $"trigger")
+      .as[(String, String)].collect().toSeq
+    assert(logA.take(2) == Seq(("deferred", "budget"),
+      ("deferred", "budget")) &&
+      logA(2)._1.startsWith("folded_"), s"A log: $logA")
+    val logE = StreamingIngest.maintenanceLog(spark, pe)
+      .select($"decision", $"trigger").as[(String, String)]
+      .collect().toSeq
+    assert(logE.forall(_ == ("blocked", "lock")), s"E log: $logE")
+    val logB = StreamingIngest.maintenanceLog(spark, pb)
+      .orderBy($"tick")
+      .select($"decision", $"gen_before", $"gen_after")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(logB.head == (("retrained", -1L, 1L)), s"B log: $logB")
+    // an unmaintained index reads as an empty log with the full schema
+    assert(StreamingIngest.maintenanceLog(spark, pd + "_never")
+      .columns.toSeq == Seq("tick", "decision", "trigger", "gen_before",
+        "gen_after", "staged_unfolded", "pending_tombstones"))
+    // duplicate members refuse at the boundary
+    intercept[IllegalArgumentException] {
+      StreamingIngest.maintainIndexes(spark, Seq(member(pa), member(pa)))
+    }
+    intercept[IllegalArgumentException] {
+      StreamingIngest.maintainIndexes(spark, Seq(member(pa)),
+        tickBudget = 0)
     }
   }
 

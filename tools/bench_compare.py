@@ -91,7 +91,22 @@ def main():
     phase_check(prev, cur, min_ratio)
 
 
-def stale_phase_entries(bench, slack=1.5):
+def entry_of(phase_name, queries):
+    """Map a `<entry>.<stage>` phase key to its entry by matching
+    against the known queries dict — an entry name containing a dot
+    would make a bare rsplit misattribute the phase. Falls back to
+    rsplit for phases whose entry is not in the dict (name drift)."""
+    cands = [q for q in queries
+             if phase_name.startswith(q + ".")]
+    if cands:
+        return max(cands, key=len)
+    return phase_name.rsplit(".", 1)[0]
+
+
+STALE_PHASE_SLACK = 1.5
+
+
+def stale_phase_entries(bench, slack=STALE_PHASE_SLACK):
     """Entries whose phase block does NOT reflect their adjudicated
     timing: Bench stores each phase from the LAST pass that ran the
     entry (p1 → p2 → isolated re-run), while the entry timing is the
@@ -105,7 +120,7 @@ def stale_phase_entries(bench, slack=1.5):
     qs, ph = bench.get("queries", {}), bench.get("phases", {})
     sums = {}
     for name, v in ph.items():
-        entry = name.rsplit(".", 1)[0]
+        entry = entry_of(name, qs)
         sums[entry] = sums.get(entry, 0.0) + (v or 0.0)
     return {e for e, s in sums.items()
             if e in qs and qs[e] and s > slack * qs[e]}
@@ -131,15 +146,16 @@ def phase_check(prev, cur, min_ratio, floor=0.2):
         # keep the suppression visible — "none moved" must not read as
         # "every phase was adjudicated"
         print(f"\n{len(stale)} entr{'y' if len(stale) == 1 else 'ies'} "
-              f"stale-phased (phase sum > 1.5x adjudicated timing); "
-              f"their phases excluded: "
+              f"stale-phased (phase sum > {STALE_PHASE_SLACK}x "
+              f"adjudicated timing); their phases excluded: "
               + ", ".join(f"{e}({side})" for e, side in sorted(stale.items())))
     rows = []
     for name in sorted(cp):
         tp, tc = pp.get(name), cp[name]
         if tc is None:
             continue
-        entry = name.rsplit(".", 1)[0]
+        entry = entry_of(name, {**prev.get("queries", {}),
+                                **cur.get("queries", {})})
         if entry in stale:
             # still surface a from-stale drain_models reading, but
             # named for what it is — a bad-window artifact candidate
