@@ -433,6 +433,25 @@ object ScaleStress {
           e.filter(col("vec_id") < 10), "vec_id", "embedding",
           cb, k = 5, nprobe = 3)
       }),
+      "ann_maxsim_candidates" -> (f => {
+        // the late-interaction RERANK tier's scaling axis: candidate
+        // set FIXED (64 replica-0 docs, 4 tokens each from the lowest
+        // 256 ids) and one 4-token query, while the table the token
+        // matrices are fetched FROM grows ∝ f — scoring cost is
+        // candidate-bounded by construction, and the corpus
+        // contributes only a stats-pruned scan (vec_id < 256 prunes
+        // non-replica-0 files at the parquet footer). A rerank whose
+        // cost tracked the corpus would mean the candidate join or
+        // the pair loop regressed to corpus altitude.
+        val e = emb(f)
+        val toks = e.where(col("vec_id") < 256)
+          .groupBy(expr("vec_id DIV 4").as("doc_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+            p => p.getField("embedding")).as("token_vecs"))
+        Ann.maxSimTopK(toks, "doc_id", "token_vecs",
+          toks.where(col("doc_id") < 1), "doc_id", "token_vecs", k = 10)
+      }),
       "ann_filtered_escalate" -> (f => {
         // the recall guard at HIGH selectivity (allowed ≈ 4% by
         // id-mod) over the f× index: most queries' probed clusters
@@ -1177,8 +1196,8 @@ object ScaleStress {
         s""""ops":{$opsJson},$guardJson}"""
     println(json)
     val outName =
-      if (factors == Seq(1, 3, 10)) "STRESS_r18.json"
-      else s"STRESS_r18_f${factors.last}.json"
+      if (factors == Seq(1, 3, 10)) "STRESS_r19.json"
+      else s"STRESS_r19_f${factors.last}.json"
     Files.write(Paths.get(outName),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -276,6 +276,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ann_maxsim_topk: query token matrices broadcast; the corpus " +
+      "side never shuffles for the scoring join; no cartesian; no UDF " +
+      "in the hot path") {
+    val p = plan("ann_maxsim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // scoring is HOF folds over the native dot product — any UDF here
+    // would drop the pair loop out of codegen
+    assert(!p.contains("UDF"), p)
+  }
+
   test("dedup_minhash: signature aggregate is map-side partial") {
     val p = plan("dedup_minhash")
     // partial min() signatures combine before the shuffle — the signature

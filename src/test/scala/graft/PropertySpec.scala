@@ -1067,6 +1067,55 @@ object PropertySpec extends Properties("graft") {
         s"splits=$splits thr=$thr drained=$drained oneShot=$oneShot"
     }
 
+  private val maxSimGen: Gen[(List[(Long, List[List[Float]])], Int)] = {
+    // exact-binary components keep float→double casts bit-stable; the
+    // zero vector exercises the zero-norm → 0 contribution rule
+    val comp = Gen.oneOf(-1.0f, 0.0f, 0.25f, 0.5f, 1.0f, 2.0f)
+    val tok = Gen.listOfN(4, comp)
+    for {
+      n <- Gen.chooseNum(2, 6)
+      mats <- Gen.listOfN(n,
+        Gen.chooseNum(1, 3).flatMap(t => Gen.listOfN(t, tok)))
+      k <- Gen.chooseNum(1, 4)
+    } yield (mats.zipWithIndex.map { case (m, i) => (i.toLong, m) }, k)
+  }
+
+  property("maxSimTopK equals an independent scalar MaxSim reference " +
+      "(round-4 HALF_UP per-pair cosine, zero-norm → 0, per-query-token " +
+      "max summed, (score desc, id) ranking) on random token matrices") =
+    Prop.forAllNoShrink(maxSimGen) { case (docs, k) =>
+      val s = spark
+      import s.implicits._
+      import graft.ann.Ann
+      import org.apache.spark.sql.functions.col
+      val df = docs.toDF("doc_id", "token_vecs")
+      val got = Ann.maxSimTopK(df, "doc_id", "token_vecs",
+          df.where(col("doc_id") < 2), "doc_id", "token_vecs", k)
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("score"))
+        .as[(Long, Int, Long, Double)].collect().toSet
+      // scalar reference — same fold orders as the engine (left-to-
+      // right dot, token-array order), so rounding replays exactly
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def dot(a: List[Double], b: List[Double]) =
+        a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+      def cos(a: List[Float], b: List[Float]): Double = {
+        val ad = a.map(_.toDouble)
+        val bd = b.map(_.toDouble)
+        val nn = math.sqrt(dot(ad, ad)) * math.sqrt(dot(bd, bd))
+        if (nn > 0) r4(dot(ad, bd) / nn) else 0.0
+      }
+      val expect = docs.filter(_._1 < 2).flatMap { case (qid, qt) =>
+        docs.filter(_._1 != qid).map { case (did, dt) =>
+          (did, r4(qt.foldLeft(0.0)((acc, q) =>
+            acc + dt.foldLeft(-1.0)((m, d) => math.max(m, cos(q, d))))))
+        }.sortBy { case (did, sc) => (-sc, did) }
+          .take(k).zipWithIndex
+          .map { case ((did, sc), i) => (qid, i + 1, did, sc) }
+      }.toSet
+      Prop(got == expect) :| s"got=$got expect=$expect"
+    }
+
   private val semOooGen: Gen[(List[(Long, Seq[Float], Int)], Int, Double, Long)] =
     for {
       (rows, splits, thr) <- semSplitGen

@@ -1255,13 +1255,37 @@ class StreamingIngestSpec extends SparkSpec {
         .option("maxFilesPerTrigger", "1").parquet(s"$st/in"),
       st, s"$st/ckpt", "vec_id", "embedding", cents, "label")
       .awaitTermination()
-    // re-claimed: the marker now holds this drain's checkpoint, and
-    // the batch landed
+    // re-claimed: the marker now holds this drain's checkpoint path
+    // AND its instance id (the streaming query id from the checkpoint
+    // metadata), and the batch landed
     val owner = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$st/stream/_run")), "UTF-8").trim
-    assert(owner == s"$st/ckpt")
+    assert(owner.startsWith(s"$st/ckpt#") &&
+      owner.length > s"$st/ckpt#".length, owner)
     assert(StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label")
       .count() == 6)
+    // a LEGACY path-only marker (pre-instance-token run) with the
+    // SAME checkpoint upgrades in place and the drain proceeds —
+    // written through the Hadoop fs (the claim reads through it, and
+    // the local fs keeps a .crc sidecar a raw java.nio write would
+    // invalidate)
+    val lfs = new org.apache.hadoop.fs.Path(st)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mk = new org.apache.hadoop.fs.Path(s"$st/stream/_run")
+    val lo = lfs.create(mk, true)
+    try lo.write(s"$st/ckpt".getBytes("UTF-8")) finally lo.close()
+    val fresh2 = Seq((3L, unit(4), 2)).toDF("vec_id", "embedding", "label")
+    fresh2.coalesce(1).write.mode("append").parquet(s"$st/in")
+    StreamingIngest.annIndexUpsertDrain(
+      spark.readStream.schema(fresh2.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$st/in"),
+      st, s"$st/ckpt", "vec_id", "embedding", cents, "label")
+      .awaitTermination()
+    val owner2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$st/stream/_run")), "UTF-8").trim
+    assert(owner2 == owner, s"legacy claim not upgraded: $owner2")
+    assert(StreamingIngest.loadStreamedCodes(spark, st, "vec_id", "label")
+      .count() == 7)
   }
 
   test("retrainStreamedIndex GC honors manifest references: a retrain " +
