@@ -84,6 +84,26 @@ private[graft] object EntriesAnn {
       "r AS (SELECT q_id, doc_id AS neighbor_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc) " +
       "SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, score FROM r WHERE rank <= 5"))
 
+  /** Sort-free MaxSim top-k ([[Ann.maxSimTopKAgg]]): the SAME
+    * query/oracle as `ann_maxsim_topk`, ranked by the bounded-buffer
+    * aggregate instead of the rank window — the shuffle carries ≤k
+    * tuples per (query × map partition), never the |corpus|·|Q|
+    * scored stream, and no sort runs. Identical hash against the
+    * identical oracle IS the parity proof (the `ann_topk_agg`
+    * discipline applied to the late-interaction tier).
+    */
+  val annMaxSimTopKAgg = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val toks = emb.groupBy(expr("vec_id DIV 4").as("doc_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          p => p.getField("embedding")).as("token_vecs"))
+      Ann.maxSimTopKAgg(toks, "doc_id", "token_vecs",
+        toks.where(col("doc_id") < 10), "doc_id", "token_vecs", k = 5)
+    },
+    annMaxSimTopK.oracle)
+
   /** BM25 → MaxSim rerank composite: the standard two-tier retrieval
     * cascade — [[TextAnalysis.bm25TopK]] recalls 40 lexical candidates
     * (the proven `text_bm25` stage, same terms/arithmetic), each

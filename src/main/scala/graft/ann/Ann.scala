@@ -154,11 +154,12 @@ object Ann {
     * matrices are cast and norm-annotated once per row before the pair
     * loop ([[preparedTokens]]).
     */
-  def maxSimTopK(
+  /** The MaxSim scoring pass shared by both ranking forms: one
+    * (q_id, doc, score) row per (broadcast query × corpus row) pair.
+    */
+  private def maxSimScored(
       corpus: DataFrame, id: String, tokenVecs: String,
-      queries: DataFrame, qId: String, qTokenVecs: String,
-      k: Int): DataFrame = {
-    require(k > 0, "k must be positive")
+      queries: DataFrame, qId: String, qTokenVecs: String): DataFrame = {
     val corp = widen(preparedTokens(corpus, id, tokenVecs, id, "__dt"))
     val qs = preparedTokens(queries, qId, qTokenVecs, "q_id", "__qt")
     val pairCos = (qt: Column, dt: Column) =>
@@ -166,18 +167,50 @@ object Ann {
         round(dotD(qt.getField("t"), dt.getField("t")) /
           (qt.getField("n") * dt.getField("n")), 4))
         .otherwise(lit(0.0))
-    val scored = corp.crossJoin(broadcast(qs))
+    corp.crossJoin(broadcast(qs))
       .where(col("q_id") =!= col(id))
       .withColumn("score", round(
         aggregate(col("__qt"), lit(0.0), (acc, qt) =>
           acc + aggregate(col("__dt"), lit(-1.0),
             (m, dt) => greatest(m, pairCos(qt, dt)))), 4))
+  }
+
+  def maxSimTopK(
+      corpus: DataFrame, id: String, tokenVecs: String,
+      queries: DataFrame, qId: String, qTokenVecs: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val scored = maxSimScored(corpus, id, tokenVecs,
+      queries, qId, qTokenVecs)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col(id).asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("int").as("rank"),
         col(id).as("neighbor_id"), col("score"))
+  }
+
+  /** [[maxSimTopK]] with the rank window replaced by the
+    * bounded-buffer aggregate ([[graft.operators.TopKAggregate]]) —
+    * the [[topKAgg]] discipline applied to the late-interaction tier:
+    * identical results (same rounded scores, same (score desc, id)
+    * tie-break), but the per-query ranking shuffles AT MOST k tuples
+    * per (query × map partition) instead of sorting the |corpus|·|Q|
+    * scored stream — the shape that wins when a large corpus is
+    * MaxSim-scored wholesale rather than as a rerank batch. Identical
+    * hash against the identical oracle IS the parity proof.
+    */
+  def maxSimTopKAgg(
+      corpus: DataFrame, id: String, tokenVecs: String,
+      queries: DataFrame, qId: String, qTokenVecs: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val scored = maxSimScored(corpus, id, tokenVecs,
+      queries, qId, qTokenVecs)
+    graft.operators.TopKAggregate
+      .topKPerGroup(scored, col("q_id"), col("score"), col(id), k)
+      .select(col("g").as("q_id"), col("rank"),
+        col("id").as("neighbor_id"), col("score"))
   }
 
   /** kNN-distance outlier scoring — the embedding-space corpus-cleaning

@@ -59,6 +59,25 @@ class AnnSpec extends SparkSpec {
       (4, 4L, 0.0)))
   }
 
+  test("maxSimTopKAgg equals maxSimTopK (window vs bounded-buffer " +
+      "ranking parity), ties and zero-norm rows included") {
+    val docs = Seq(
+      (0L, Seq(unit(0), unit(2))),
+      (1L, Seq(unit(0), unit(1))),
+      (2L, Seq(unit(2), unit(3))),
+      (3L, Seq(unit(0), unit(2))),
+      (4L, Seq(Seq.fill(dim)(0.0f))))
+      .toDF("doc_id", "token_vecs")
+    val q = docs.where($"doc_id" < 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rank", "neighbor_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(rows(Ann.maxSimTopKAgg(docs, "doc_id", "token_vecs",
+        q, "doc_id", "token_vecs", k = 3)) ==
+      rows(Ann.maxSimTopK(docs, "doc_id", "token_vecs",
+        q, "doc_id", "token_vecs", k = 3)))
+  }
+
   test("maxSimTopK drops token-less rows instead of scoring them") {
     val docs = Seq(
       (0L, Seq(unit(0))),
