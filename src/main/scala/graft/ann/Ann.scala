@@ -2200,11 +2200,13 @@ object Ann {
     // cross-cluster path); in the SAME cluster it would be
     // indistinguishable from redelivery by id alone and silently
     // swallowed, so the id-equal match ALSO checks payload identity
-    // in the same scan (round-4 cosine 1.0 AND equal norms — the
-    // norm guard catches a rescaled collinear payload cosine alone
-    // cannot; both sides run the same kernel over the same bytes, so
-    // true redelivery compares exactly equal) and fails loudly on a
-    // mismatch. The within-batch self-join keeps strict `<` (every
+    // in the same scan — EXACT element-wise equality of the double
+    // vectors (true redelivery runs the same cast over the same
+    // bytes and parquet round-trips doubles exactly, so it compares
+    // equal; a cosine/norm proxy would crash on zero-norm
+    // redelivery, whose cosine is NaN, and could still false-accept
+    // a permuted payload with a bit-equal norm) — and fails loudly
+    // on a mismatch. The within-batch self-join keeps strict `<` (every
     // row is trivially id-equal to itself there); within-batch
     // duplicate ids are the CALLER's precondition (the drain drops
     // them before the step).
@@ -2220,7 +2222,7 @@ object Ann {
         (col("id1") < col("id2") && sim >= threshold).as("w"),
         (col("id1") === col("id2")).as("r"),
         (col("id1") === col("id2") &&
-          !(sim === 1.0 && col("n1") === col("n2"))).as("bad")))
+          !(col("v1") === col("v2"))).as("bad")))
     val flags = (Seq(withinFlags) ++ seenFlags).reduce(_ unionByName _)
       .where(col("w") || col("r"))
       .groupBy(col("__id"))

@@ -889,10 +889,15 @@ object StreamingIngest {
         val batchOnce = batch.toDF().dropDuplicates(Seq(id))
         // per-stage phases (the index-drain split): step = the
         // assign + one-pass state scan (its flags/batch checkpoints
-        // materialize inside), out/seen = the two batch-keyed writes
+        // materialize inside), out/seen = the two batch-keyed writes.
+        // The lazy model resolves OUTSIDE the step phase — evaluating
+        // it inside would count the first batch's materialization in
+        // BOTH drain_models and drain_step, inflating phase sums past
+        // wall time (and into the stale-phase slack)
+        val cents = centBase
         val (out, state) = graft.PhaseTimer.phase("drain_step") {
           graft.ann.Ann.semanticDedupStep(
-            batchOnce, seen, id, vec, cluster, threshold, centBase)
+            batchOnce, seen, id, vec, cluster, threshold, cents)
         }
         graft.PhaseTimer.phase("drain_out") {
           out.write.mode("overwrite")
@@ -1033,19 +1038,24 @@ object StreamingIngest {
     * failing a healthy drain).
     */
   private def checkpointInstanceId(
-      spark: SparkSession, checkpoint: String): String = {
-    val fs = hfs(spark, checkpoint)
-    val meta = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
-    if (!fs.exists(meta)) ""
-    else {
-      val in = fs.open(meta)
-      val txt =
-        try scala.io.Source.fromInputStream(in).mkString
-        finally in.close()
-      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse("")
-    }
-  }
+      spark: SparkSession, checkpoint: String): String =
+    // ANY failure to resolve the instance (absent file, transient
+    // read error, unparseable content) degrades to "" — the claim
+    // then falls back to the path-only guarantee below instead of
+    // failing a healthy drain on a metadata hiccup
+    try {
+      val fs = hfs(spark, checkpoint)
+      val meta = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
+      if (!fs.exists(meta)) ""
+      else {
+        val in = fs.open(meta)
+        val txt =
+          try scala.io.Source.fromInputStream(in).mkString
+          finally in.close()
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+      }
+    } catch { case _: java.io.IOException => "" }
 
   private def claimRunAt(
       spark: SparkSession, root: String, checkpoint: String): Unit = {
@@ -1055,8 +1065,21 @@ object StreamingIngest {
     // path pins the root to one checkpoint, the instance refuses the
     // same path deleted and recreated (batch ids restart at 0 and the
     // high-water guard alone cannot see a recreation whose first
-    // batch id equals the drained high water)
-    val token = s"$checkpoint#${checkpointInstanceId(spark, checkpoint)}"
+    // batch id equals the drained high water). An EMPTY instance on
+    // either side (unreadable metadata, or a legacy pre-token marker)
+    // degrades the comparison to the path-only guarantee instead of
+    // hard-failing a healthy drain on a metadata hiccup.
+    val inst = checkpointInstanceId(spark, checkpoint)
+    val token = s"$checkpoint#$inst"
+    def ownerInst(o: String): Option[String] =
+      if (o == checkpoint) Some("") // legacy path-only claim
+      else if (o.startsWith(s"$checkpoint#"))
+        Some(o.stripPrefix(s"$checkpoint#"))
+      else None // a different checkpoint's claim
+    def compatible(o: String): Boolean = ownerInst(o) match {
+      case Some(oi) => oi == inst || oi.isEmpty || inst.isEmpty
+      case None => false
+    }
     def ownerOf(): Option[String] =
       if (!fs.exists(marker)) None
       else {
@@ -1083,7 +1106,7 @@ object StreamingIngest {
     }
     var attempts = 0
     var owner = settledOwner()
-    while (!owner.contains(token) && attempts < 2) {
+    while (!owner.exists(compatible) && attempts < 2) {
       owner match {
         case None => claim()
         case Some("") =>
@@ -1091,29 +1114,30 @@ object StreamingIngest {
           // immediately before deleting — delete only if STILL empty
           if (ownerOf().contains("")) { fs.delete(marker, false); () }
           claim()
-        case Some(o) if o == checkpoint =>
-          // legacy path-only claim from a pre-instance-token run,
-          // same checkpoint: upgrade it in place (one scheduler per
-          // root — the single-claimant window the marker already
-          // assumes)
-          fs.delete(marker, false)
-          claim()
         case _ => () // someone else's settled claim: fail below
       }
       owner = settledOwner() // the marker content is the authority
       attempts += 1
     }
-    if (!owner.contains(token)) throw new IllegalStateException(
+    // upgrade a LEGACY path-only claim in place once compatible and
+    // the instance is KNOWN — the marker only ever strengthens (an
+    // instance-bearing owner read under an empty current instance is
+    // left untouched: never downgrade a stronger claim)
+    if (owner.contains(checkpoint) && inst.nonEmpty) {
+      fs.delete(marker, false)
+      claim()
+      owner = settledOwner()
+    }
+    if (!owner.exists(compatible)) throw new IllegalStateException(
       owner match {
         case Some(o) if o.startsWith(s"$checkpoint#") =>
           s"drain state root $root was drained by a PREVIOUS " +
             s"incarnation of checkpoint $checkpoint (instance " +
-            s"${o.stripPrefix(s"$checkpoint#")}, now " +
-            s"${token.stripPrefix(s"$checkpoint#")}) — the checkpoint " +
-            "was deleted and recreated at the same path; its batch " +
-            "ids restarted and would silently overwrite drained " +
-            "state. Point the drain at a fresh statePath or restore " +
-            "the original checkpoint"
+            s"${o.stripPrefix(s"$checkpoint#")}, now $inst) — the " +
+            "checkpoint was deleted and recreated at the same path; " +
+            "its batch ids restarted and would silently overwrite " +
+            "drained state. Point the drain at a fresh statePath or " +
+            "restore the original checkpoint"
         case o =>
           s"drain state root $root is owned by checkpoint " +
             s"${o.getOrElse("<unreadable>")} — a different checkpoint " +
@@ -1745,6 +1769,12 @@ object StreamingIngest {
     require(maxRoots >= 1, s"maxRoots must be >= 1, got $maxRoots")
     require(maxTouchedFrac > 0.0 && maxTouchedFrac <= 1.0,
       s"maxTouchedFrac must be in (0, 1], got $maxTouchedFrac")
+    // refuse BEFORE the decision too: a retrain racing this fold is
+    // consuming the very staging window the decision is about to
+    // read — the NothingToFold early return must not let a policy
+    // tick log "folded_nothing" while a retrain held the index (the
+    // dispatched inner folds re-check behind their own listing)
+    refuseFoldDuringRetrain(spark, indexPath)
     val fs = hfs(spark, indexPath)
     val bound = upTo.getOrElse(Long.MaxValue)
     val staged = stagedBatches(spark, indexPath).filter(_ <= bound)
@@ -2151,7 +2181,7 @@ object StreamingIngest {
     val applied = tombsApplied(
       spark, genPath.getOrElse(s"$indexPath/codes"))
     IndexStatus(
-      generation = genPath.map(_.drop(s"$indexPath/codes_v".length).toLong),
+      generation = genPath.map(generationNum(indexPath, _)),
       foldedHighWater = ver.map(_._2).getOrElse(-1L),
       stagedBatches = stagedBatches(spark, indexPath).sorted,
       pendingTombstones =
@@ -2579,17 +2609,22 @@ object StreamingIngest {
     * `IllegalStateException` — safe (nothing half-written; every verb
     * checks the lock before mutating), but the policy contract says
     * Blocked means "retry next tick", not "throw from inside the
-    * dispatch". The catch re-checks the lock AT FAILURE TIME: present
-    * → someone else holds the index, Blocked; absent → the failure
-    * was the verb's own (e.g. a mid-stage batch tmp — our crashed
-    * retrain deletes its lock in its finally), rethrow.
+    * dispatch". The catch demands BOTH signals: the exception is the
+    * lock refusal itself (every refusal site names `_retrain_lock`;
+    * a verb's own unrelated fault — e.g. a mid-stage batch tmp —
+    * does not, and mapping it to Blocked would make a permanent
+    * defect read as transient in the audit log) AND the lock is
+    * present AT FAILURE TIME (our own crashed retrain deletes its
+    * lock in its finally, so its faults rethrow).
     */
   private def blockedOnLockRace(
       spark: SparkSession, indexPath: String)(
       dispatch: => MaintenanceAction): MaintenanceAction =
     try dispatch catch {
-      case _: IllegalStateException if hfs(spark, indexPath).exists(
-          new org.apache.hadoop.fs.Path(s"$indexPath/_retrain_lock")) =>
+      case e: IllegalStateException
+          if Option(e.getMessage).exists(_.contains("_retrain_lock")) &&
+            hfs(spark, indexPath).exists(new org.apache.hadoop.fs.Path(
+              s"$indexPath/_retrain_lock")) =>
         MaintenanceAction.Blocked
     }
 
@@ -2707,11 +2742,18 @@ object StreamingIngest {
     * Log]]): generation-after re-resolves AFTER the dispatch (one
     * listing), so the row records the transition the decision caused.
     */
+  /** Generation number of a resolved `codes_v<n>` path — ONE
+    * definition of the suffix parse, shared by the status snapshot
+    * and the audit log (-1 = the unversioned base `codes`).
+    */
+  private def generationNum(indexPath: String, versionPath: String): Long =
+    versionPath.drop(s"$indexPath/codes_v".length).toLong
+
   private def logTick(
       spark: SparkSession, indexPath: String, status: IndexStatus,
       action: MaintenanceAction, trigger: String): Unit = {
     val genAfter = resolveVersion(spark, indexPath)
-      .map(_._1.drop(s"$indexPath/codes_v".length).toLong).getOrElse(-1L)
+      .map(v => generationNum(indexPath, v._1)).getOrElse(-1L)
     appendMaintenanceLog(spark, indexPath,
       decision = actionLabel(action), trigger = trigger,
       genBefore = status.generation.getOrElse(-1L),
@@ -2804,19 +2846,30 @@ object StreamingIngest {
     }.sortBy { case (mb, _, _, cls, pressure) =>
       (cls, -pressure, mb.indexPath)
     }
-    val dispatched = ranked.take(tickBudget).map(_._1.indexPath).toSet
-    // phase 3: dispatch under the budget; log every decision
+    // phase 3: dispatch under the budget IN URGENCY ORDER — the most
+    // urgent action must run first, so a scheduler killed mid-tick has
+    // paid down the worst decay (a drifted index answering WRONG)
+    // before any fold; results then assemble in input order
+    val dispatched = scala.collection.mutable.LinkedHashMap
+      .empty[String, (MaintenanceAction, String)]
+    ranked.take(tickBudget).foreach { case (mb, status, fired, _, _) =>
+      dispatched(mb.indexPath) = maintainTick(spark, mb.indexPath,
+        mb.corpus, mb.id, mb.vec, mb.baseCents, mb.newCents, mb.cluster,
+        mb.m, mb.ksub, mb.iters, policy, mb.router, mb.autoRoute,
+        manifestBudget, status, firedPre = Some(fired))
+    }
+    val actionable = ranked.map(_._1.indexPath).toSet
     val results = observed.map { case (mb, status, fired) =>
-      val (action, trigger) =
+      val (action, trigger) = dispatched.getOrElse(mb.indexPath, {
         if (status.retrainInProgress)
           (MaintenanceAction.Blocked: MaintenanceAction, "lock")
-        else if (ranked.exists(_._1.indexPath == mb.indexPath) &&
-            !dispatched(mb.indexPath))
+        else if (actionable(mb.indexPath))
           (MaintenanceAction.Deferred: MaintenanceAction, "budget")
         else maintainTick(spark, mb.indexPath, mb.corpus, mb.id, mb.vec,
           mb.baseCents, mb.newCents, mb.cluster, mb.m, mb.ksub, mb.iters,
           policy, mb.router, mb.autoRoute, manifestBudget, status,
           firedPre = Some(fired))
+      })
       logTick(spark, mb.indexPath, status, action, trigger)
       mb.indexPath -> action
     }

@@ -2378,8 +2378,9 @@ class StreamingIngestSpec extends SparkSpec {
         reuseSame, Some(st1), "vec_id", "embedding", "label", 0.9, cents)
     }
     assert(e1.getMessage.contains("DIFFERENT embedding"))
-    // a rescaled collinear payload has cosine exactly 1.0 — the norm
-    // guard still refuses it (same direction, not the same bytes)
+    // a rescaled collinear payload has cosine exactly 1.0 — exact
+    // payload equality still refuses it (same direction, not the
+    // same bytes)
     val rescaled = Seq((0L, v(2.0, 0.0), 0))
       .toDF("vec_id", "embedding", "label")
     val e2 = intercept[IllegalStateException] {

@@ -150,12 +150,12 @@ def phase_check(prev, cur, min_ratio, floor=0.2):
               f"adjudicated timing); their phases excluded: "
               + ", ".join(f"{e}({side})" for e, side in sorted(stale.items())))
     rows = []
+    known_queries = {**prev.get("queries", {}), **cur.get("queries", {})}
     for name in sorted(cp):
         tp, tc = pp.get(name), cp[name]
         if tc is None:
             continue
-        entry = entry_of(name, {**prev.get("queries", {}),
-                                **cur.get("queries", {})})
+        entry = entry_of(name, known_queries)
         if entry in stale:
             # still surface a from-stale drain_models reading, but
             # named for what it is — a bad-window artifact candidate
