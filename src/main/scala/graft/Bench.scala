@@ -71,8 +71,11 @@ object Bench {
       if (args.isEmpty) all else all.filter(args.toSet)
     }
     // Phase breakdowns for composite entries (PhaseTimer), keyed
-    // "<query>.<stage>"; the warm pass's numbers win.
-    val phases = scala.collection.mutable.Map[String, Double]()
+    // "<query>.<stage>". Phases are carried PER PASS alongside the
+    // timing, and the emitted breakdown is the one from the pass whose
+    // timing won best-of — attaching a slow pass's phases to a fast
+    // pass's total made sums exceed the entry by 3× (r19 close:
+    // st_ann_index_upsert phases 22.2 s vs 6.3 s entry).
     // Per-entry host adjudication (r13 verdict task 4): ONE control
     // probe bracketing the whole suite mis-normalizes — same-day runs
     // disagreed by 40% because host load drifts WITHIN a 25-minute
@@ -86,7 +89,9 @@ object Bench {
     // a flag, not a divisor — quiet-window re-times remain the ground
     // truth.
     val GroupSize = 24
-    def onePass(tag: String, subset: Seq[String]): Map[String, (Double, Double)] =
+    // timing, group control, and THIS pass's phase breakdown
+    type Meas = (Double, Double, Map[String, Double])
+    def onePass(tag: String, subset: Seq[String]): Map[String, Meas] =
       subset.grouped(GroupSize).flatMap { group =>
         val ctl = hostControl(spark)
         System.err.println(f"[bench:$tag] group control $ctl%.3fs " +
@@ -97,12 +102,12 @@ object Bench {
           try {
             materialize(SparkEntry.queries(n)(spark, sfDir))
             val dt = (System.nanoTime() - t0) / 1e9
-            PhaseTimer.drain().foreach { case (ph, v) =>
-              phases(s"$n.$ph") = v
-              System.err.println(f"[bench:$tag]   $n.$ph $v%.2fs")
+            val ph = PhaseTimer.drain()
+            ph.foreach { case (p, v) =>
+              System.err.println(f"[bench:$tag]   $n.$p $v%.2fs")
             }
             System.err.println(f"[bench:$tag] $n $dt%.2fs")
-            Some(n -> (dt, ctl))
+            Some(n -> ((dt, ctl, ph)))
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench:$tag] $n FAILED: ${e.getMessage}")
@@ -143,26 +148,31 @@ object Bench {
       quiesce()
       onePass("iso", Seq(n)) // its own group: per-entry control
     }.toMap
-    // min over passes by TIMING; the winning pass's group control rides
-    // along so per-entry drift is adjudicated against the host reading
-    // taken minutes, not a full pass, away from the measurement
-    val results: Seq[(String, Option[(Double, Double)])] = names.map { n =>
+    // min over passes by TIMING; the winning pass's group control AND
+    // phase breakdown ride along, so per-entry drift is adjudicated
+    // against the host reading taken minutes away, and phase sums can
+    // never exceed the entry they're attached to
+    val results: Seq[(String, Option[Meas])] = names.map { n =>
       // a query must succeed in the warm pass to count; p1-only success
       // (e.g. a flaky external resource) is not a benchmarkable state
       n -> p2.get(n).map(t2 =>
         (Seq(t2) ++ p1.get(n) ++ p3.get(n)).minBy(_._1))
     }
     val qs = results.map {
-      case (k, Some((v, _))) => "\"" + k + "\":" + f"$v%.3f"
+      case (k, Some((v, _, _))) => "\"" + k + "\":" + f"$v%.3f"
       case (k, None) => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
     val qctl = results.flatMap {
-      case (k, Some((_, c))) => Some("\"" + k + "\":" + f"$c%.3f")
+      case (k, Some((_, c, _))) => Some("\"" + k + "\":" + f"$c%.3f")
       case _ => None
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2.map(_._1)).sum
     val nFailed = results.count(_._2.isEmpty)
-    val ph = phases.toSeq.sorted
+    val ph = results.flatMap {
+      case (n, Some((_, _, p))) =>
+        p.toSeq.map { case (k, v) => s"$n.$k" -> v }
+      case _ => Nil
+    }.sorted
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // Key order is load-bearing for the driver, not for JSON semantics:

@@ -947,19 +947,27 @@ private[graft] object EntriesAnn {
   val annRecallTrained = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val (assign, model) = Ann.kmeans(emb, "vec_id", "embedding",
-        k = 10, iters = 1, initHashOrdered = false)
+      val (assign, model) = PhaseTimer.phase("train_coarse") {
+        Ann.kmeans(emb, "vec_id", "embedding",
+          k = 10, iters = 1, initHashOrdered = false)
+      }
       val sess = s
       import sess.implicits._
       val centTable = model.centroids.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "centroid")
-      val cb = Ann.pqTrainCodebook(emb, "vec_id", "embedding",
-        m = 8, ksub = 16, iters = 1)
+      val cb = PhaseTimer.phase("train_pq") {
+        Ann.pqTrainCodebook(emb, "vec_id", "embedding",
+          m = 8, ksub = 16, iters = 1)
+      }
       val indexed = Ann.pqEncode(emb, "vec_id", "embedding", cb)
         .join(assign.withColumnRenamed("id", "vec_id"), "vec_id")
-      recallOf(s, dir, Ann.ivfPqTopK(indexed, "vec_id", "cluster",
-        centTable, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        cb, k = 5, nprobe = 3))
+      // search+recall checkpointed inside the phase so the breakdown
+      // covers the entry (the result is 10 rows; checkpoint is free)
+      PhaseTimer.phase("search_recall") {
+        recallOf(s, dir, Ann.ivfPqTopK(indexed, "vec_id", "cluster",
+          centTable, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cb, k = 5, nprobe = 3)).localCheckpoint()
+      }
     },
     Some("WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)" +
       trainedCentCtes(m = 1, subDim = 64, ksub = 10, iters = 1,
@@ -988,22 +996,30 @@ private[graft] object EntriesAnn {
   val annRecallResidual = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val (assign, model) = Ann.kmeans(emb, "vec_id", "embedding",
-        k = 10, iters = 1, initHashOrdered = false)
+      val (assign, model) = PhaseTimer.phase("train_coarse") {
+        Ann.kmeans(emb, "vec_id", "embedding",
+          k = 10, iters = 1, initHashOrdered = false)
+      }
       val sess = s
       import sess.implicits._
       val centTable = model.centroids.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "centroid")
-      val res = Ann.residuals(emb, "vec_id", "embedding",
-        assign.withColumnRenamed("id", "vec_id"), "cluster", centTable)
-        .localCheckpoint()
-      val cb = Ann.pqTrainCodebook(res, "vec_id", "rvec",
-        m = 8, ksub = 16, iters = 1)
+      val res = PhaseTimer.phase("residuals") {
+        Ann.residuals(emb, "vec_id", "embedding",
+          assign.withColumnRenamed("id", "vec_id"), "cluster", centTable)
+          .localCheckpoint()
+      }
+      val cb = PhaseTimer.phase("train_pq") {
+        Ann.pqTrainCodebook(res, "vec_id", "rvec",
+          m = 8, ksub = 16, iters = 1)
+      }
       val indexed = Ann.pqEncode(res, "vec_id", "rvec", cb)
         .join(assign.withColumnRenamed("id", "vec_id"), "vec_id")
-      recallOf(s, dir, Ann.ivfPqTopKResidual(indexed, "vec_id", "cluster",
-        centTable, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        cb, k = 5, nprobe = 3))
+      PhaseTimer.phase("search_recall") {
+        recallOf(s, dir, Ann.ivfPqTopKResidual(indexed, "vec_id", "cluster",
+          centTable, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cb, k = 5, nprobe = 3)).localCheckpoint()
+      }
     },
     Some("WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)" +
       trainedCentCtes(m = 1, subDim = 64, ksub = 10, iters = 1,
@@ -1050,24 +1066,30 @@ private[graft] object EntriesAnn {
         .select(col("vec_id").as("aid"), col("e").as("av"))
       val anchorsB = raw.where(pmod(col("vec_id"), lit(60)) < 10)
         .select(col("vec_id").as("bid"), col("e").as("bv"))
-      val emb = raw
-        .withColumn("aid", pmod(col("vec_id"), lit(10)))
-        .withColumn("bid",
-          pmod(col("vec_id"), lit(10)) + col("vec_id") -
-            pmod(col("vec_id"), lit(60)))
-        .join(broadcast(anchorsA), "aid")
-        .join(broadcast(anchorsB), "bid")
-        .select(col("vec_id"),
-          zip_with(col("av"), zip_with(col("bv"), col("e"),
-            (b, e) => lit(0.13) * b + lit(0.02) * e),
-            (a, r) => lit(0.85) * a + r).as("embedding"))
-        .localCheckpoint()
-      val (assign, model) = Ann.kmeans(emb, "vec_id", "embedding",
-        k = 10, iters = 1, initHashOrdered = false)
+      val emb = PhaseTimer.phase("fixture") {
+        raw
+          .withColumn("aid", pmod(col("vec_id"), lit(10)))
+          .withColumn("bid",
+            pmod(col("vec_id"), lit(10)) + col("vec_id") -
+              pmod(col("vec_id"), lit(60)))
+          .join(broadcast(anchorsA), "aid")
+          .join(broadcast(anchorsB), "bid")
+          .select(col("vec_id"),
+            zip_with(col("av"), zip_with(col("bv"), col("e"),
+              (b, e) => lit(0.13) * b + lit(0.02) * e),
+              (a, r) => lit(0.85) * a + r).as("embedding"))
+          .localCheckpoint()
+      }
+      val (assign, model) = PhaseTimer.phase("train_coarse") {
+        Ann.kmeans(emb, "vec_id", "embedding",
+          k = 10, iters = 1, initHashOrdered = false)
+      }
       val centTable = model.centroids.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "centroid")
-      val cb = Ann.pqTrainCodebook(emb, "vec_id", "embedding",
-        m = 8, ksub = 16, iters = 1)
+      val cb = PhaseTimer.phase("train_pq") {
+        Ann.pqTrainCodebook(emb, "vec_id", "embedding",
+          m = 8, ksub = 16, iters = 1)
+      }
       val indexed = Ann.pqEncode(emb, "vec_id", "embedding", cb)
         .join(assign.withColumnRenamed("id", "vec_id"), "vec_id")
       val approx = Ann.ivfPqTopK(indexed, "vec_id", "cluster",
@@ -1077,10 +1099,13 @@ private[graft] object EntriesAnn {
       val truth = Ann.topK(emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .select(col("q_id"), col("neighbor_id"))
-      truth.join(approx, Seq("q_id", "neighbor_id"), "left")
-        .groupBy(col("q_id"))
-        .agg(round(sum(coalesce(col("hit"), lit(0L))) / lit(5.0), 4)
-          .as("recall_at_5"))
+      PhaseTimer.phase("search_recall") {
+        truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(round(sum(coalesce(col("hit"), lit(0L))) / lit(5.0), 4)
+            .as("recall_at_5"))
+          .localCheckpoint()
+      }
     },
     Some("WITH raw AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
       "v0 AS (SELECT r.vec_id, list_transform(generate_series(1, 64), i -> 0.85 * a.e[CAST(i AS INT)] + (0.13 * b.e[CAST(i AS INT)] + 0.02 * r.e[CAST(i AS INT)])) AS e FROM raw r JOIN raw a ON a.vec_id = r.vec_id % 10 JOIN raw b ON b.vec_id = r.vec_id % 10 + r.vec_id - r.vec_id % 60)" +
@@ -1515,25 +1540,33 @@ private[graft] object EntriesAnn {
       val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
       val scratch = scratchPath("graft_ann_desc")
       val path = scratch.toString
-      Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
-        .join(even.select(col("vec_id"), col("label")), "vec_id"),
-        "label", cb, path)
-      Ann.encodeAssign(odd, "vec_id", "embedding", cb, cents, "label")
-        .write.mode("overwrite").partitionBy("label")
-        .parquet(s"$path/stream/batch=0")
-      graft.streaming.StreamingIngest.deleteStreamed(s, path,
-        emb.where(pmod(col("vec_id"), lit(5)) === 2).select(col("vec_id")),
-        "vec_id", "label")
+      PhaseTimer.phase("build_save") {
+        Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
+          .join(even.select(col("vec_id"), col("label")), "vec_id"),
+          "label", cb, path)
+      }
+      PhaseTimer.phase("upsert") {
+        Ann.encodeAssign(odd, "vec_id", "embedding", cb, cents, "label")
+          .write.mode("overwrite").partitionBy("label")
+          .parquet(s"$path/stream/batch=0")
+      }
+      PhaseTimer.phase("delete") {
+        graft.streaming.StreamingIngest.deleteStreamed(s, path,
+          emb.where(pmod(col("vec_id"), lit(5)) === 2).select(col("vec_id")),
+          "vec_id", "label")
+      }
       // the census reads off a warm serve handle — zero lifecycle
       // listings beyond the handle's own resolution (spec-counted)
-      val h = graft.streaming.StreamingIngest.refreshServeHandle(s,
-        graft.streaming.StreamingIngest.openServeHandle(
-          s, path, "vec_id", "label"))
-      servedThenCleanup(
-        h.codes
-          .groupBy(col("label").cast("long").as("cluster"))
-          .agg(count(lit(1)).as("n_rows")),
-        scratch)
+      PhaseTimer.phase("census") {
+        val h = graft.streaming.StreamingIngest.refreshServeHandle(s,
+          graft.streaming.StreamingIngest.openServeHandle(
+            s, path, "vec_id", "label"))
+        servedThenCleanup(
+          h.codes
+            .groupBy(col("label").cast("long").as("cluster"))
+            .agg(count(lit(1)).as("n_rows")),
+          scratch)
+      }
     },
     annIndexUpsert.oracle.map(o => replaceExactlyOnce(o,
       "SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id, adc FROM r WHERE rank <= 5",
@@ -2152,16 +2185,24 @@ private[graft] object EntriesAnn {
   val annOutlierGateAudit = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val brute = Ann.knnOutliers(emb, "vec_id", "embedding",
-          k = 5, minSim = 0.29)
-        .select(col("vec_id"), col("outlier").as("b_out"))
+      // the two gates checkpoint inside their phases so the breakdown
+      // (brute all-pairs vs pruned-at-3-nprobes) covers the entry; the
+      // final join/agg over per-vector flags is the cheap remainder
+      val brute = PhaseTimer.phase("brute_gate") {
+        Ann.knnOutliers(emb, "vec_id", "embedding",
+            k = 5, minSim = 0.29)
+          .select(col("vec_id"), col("outlier").as("b_out"))
+          .localCheckpoint()
+      }
       val cents = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
-      val runs = Seq(1, 2, 3).map { np =>
-        Ann.knnOutliersIvf(emb, "vec_id", "embedding", "label",
-            k = 5, minSim = 0.29, nprobe = np, cents = Some(cents))
-          .select(lit(np).as("nprobe"), col("vec_id"),
-            col("outlier").as("p_out"))
-      }.reduce(_ unionByName _)
+      val runs = PhaseTimer.phase("pruned_gates") {
+        Seq(1, 2, 3).map { np =>
+          Ann.knnOutliersIvf(emb, "vec_id", "embedding", "label",
+              k = 5, minSim = 0.29, nprobe = np, cents = Some(cents))
+            .select(lit(np).as("nprobe"), col("vec_id"),
+              col("outlier").as("p_out"))
+        }.reduce(_ unionByName _).localCheckpoint()
+      }
       runs.join(brute, "vec_id")
         .groupBy(col("nprobe"))
         .agg(

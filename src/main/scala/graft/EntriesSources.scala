@@ -768,34 +768,38 @@ private[graft] object EntriesSources {
       // ONE partition inside the suite's slowest entry. Any time-
       // ordered split satisfies the parity oracle; ties at a bound all
       // land in the same batch so per-key event-time order holds.
-      val cuts = Double.NegativeInfinity +:
-        ev.select(col("ts").cast("double").as("__t"))
-          .stat.approxQuantile("__t", Array(0.25, 0.5, 0.75), 0.001) :+
-        Double.PositiveInfinity
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(s"$tmp/in"))
-      (1 to 4).foreach { q =>
-        ev.where(col("ts").cast("double") > cuts(q - 1) &&
-            col("ts").cast("double") <= cuts(q))
-          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stage/q$q")
-        val src = new java.io.File(s"$tmp/stage/q$q").listFiles()
-          .filter(_.getName.startsWith("part-")).head
-        val dst = java.nio.file.Paths.get(s"$tmp/in/batch-$q.parquet")
-        java.nio.file.Files.copy(src.toPath, dst)
-        // explicit ascending modTimes: the file source's replay order
-        // must not depend on sub-ms write timing
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000L + q * 60000L))
+      PhaseTimer.phase("stage_batches") {
+        val cuts = Double.NegativeInfinity +:
+          ev.select(col("ts").cast("double").as("__t"))
+            .stat.approxQuantile("__t", Array(0.25, 0.5, 0.75), 0.001) :+
+          Double.PositiveInfinity
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$tmp/in"))
+        (1 to 4).foreach { q =>
+          ev.where(col("ts").cast("double") > cuts(q - 1) &&
+              col("ts").cast("double") <= cuts(q))
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stage/q$q")
+          val src = new java.io.File(s"$tmp/stage/q$q").listFiles()
+            .filter(_.getName.startsWith("part-")).head
+          val dst = java.nio.file.Paths.get(s"$tmp/in/batch-$q.parquet")
+          java.nio.file.Files.copy(src.toPath, dst)
+          // explicit ascending modTimes: the file source's replay order
+          // must not depend on sub-ms write timing
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + q * 60000L))
+        }
       }
       val stream = s.readStream
         .schema(StructType.fromDDL(
           "event_id bigint, user_id bigint, ts timestamp, v double"))
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$tmp/in")
-      graft.streaming.StreamingIngest.gapFillDrain(
-        stream, s"$tmp/state", s"$tmp/ck", s"$tmp/out",
-        "user_id", Seq("ts", "event_id"), "v")
-        .awaitTermination()
+      PhaseTimer.phase("drain") {
+        graft.streaming.StreamingIngest.gapFillDrain(
+          stream, s"$tmp/state", s"$tmp/ck", s"$tmp/out",
+          "user_id", Seq("ts", "event_id"), "v")
+          .awaitTermination()
+      }
       s.read.parquet(s"$tmp/out")
         .select(col("event_id"), col("user_id"), col("v"), col("v_filled"))
     },

@@ -153,6 +153,15 @@ object Ann {
     * over |corpus|·|Q| scalar scores, never token-level rows. Token
     * matrices are cast and norm-annotated once per row before the pair
     * loop ([[preparedTokens]]).
+    *
+    * Id-space contract (applies to [[maxSimTopK]] and
+    * [[maxSimTopKAgg]]): a corpus row whose id EQUALS the query id is
+    * excluded from that query's ranking — the repo-wide self-retrieval
+    * convention ([[topK]] etc.), which assumes queries are drawn from
+    * the corpus id space. When querying from an UNRELATED id space
+    * (e.g. reranking a candidate set against ad-hoc query matrices),
+    * pick query ids outside the corpus domain (negative ids) so no
+    * candidate is silently dropped by the collision.
     */
   /** The MaxSim scoring pass shared by both ranking forms: one
     * (q_id, doc, score) row per (broadcast query × corpus row) pair.
@@ -2221,8 +2230,12 @@ object Ann {
       .select(col("id2").as("__id"),
         (col("id1") < col("id2") && sim >= threshold).as("w"),
         (col("id1") === col("id2")).as("r"),
+        // null-safe inequality: with a plain `===`, a null element in
+        // either array nulls the comparison, max() ignores the null
+        // flag, and a re-keyed payload slips through as redelivery —
+        // the exact silent swallow this check exists to refuse
         (col("id1") === col("id2") &&
-          !(col("v1") === col("v2"))).as("bad")))
+          not(col("v1") <=> col("v2"))).as("bad")))
     val flags = (Seq(withinFlags) ++ seenFlags).reduce(_ unionByName _)
       .where(col("w") || col("r"))
       .groupBy(col("__id"))

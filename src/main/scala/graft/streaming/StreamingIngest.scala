@@ -1119,11 +1119,15 @@ object StreamingIngest {
       owner = settledOwner() // the marker content is the authority
       attempts += 1
     }
-    // upgrade a LEGACY path-only claim in place once compatible and
-    // the instance is KNOWN — the marker only ever strengthens (an
+    // upgrade an INSTANCE-LESS claim in place once compatible and the
+    // instance is KNOWN — the marker only ever strengthens (an
     // instance-bearing owner read under an empty current instance is
-    // left untouched: never downgrade a stronger claim)
-    if (owner.contains(checkpoint) && inst.nonEmpty) {
+    // left untouched: never downgrade a stronger claim). Matching on
+    // ownerInst == "" covers both the legacy path-only form
+    // (`<checkpoint>`) and the empty-instance form (`<checkpoint>#`,
+    // written when metadata was transiently unreadable at claim time)
+    // — the latter previously stayed degraded forever.
+    if (owner.exists(o => ownerInst(o).contains("")) && inst.nonEmpty) {
       fs.delete(marker, false)
       claim()
       owner = settledOwner()
@@ -2615,18 +2619,35 @@ object StreamingIngest {
     * does not, and mapping it to Blocked would make a permanent
     * defect read as transient in the audit log) AND the lock is
     * present AT FAILURE TIME (our own crashed retrain deletes its
-    * lock in its finally, so its faults rethrow).
+    * lock in its finally, so its faults rethrow). One narrow window
+    * remains: the racing retrain COMPLETES (its finally deletes the
+    * lock) between the verb's refusal and our existence re-check —
+    * the refusal was genuinely transient, the lock is gone, and a
+    * rethrow would violate the Blocked-means-retry contract. A
+    * lock-refusal-shaped failure with the lock now absent therefore
+    * retries the dispatch ONCE against the post-retrain index; a
+    * second lock refusal (another scheduler immediately re-locked)
+    * maps to Blocked like any other live race.
     */
   private def blockedOnLockRace(
       spark: SparkSession, indexPath: String)(
-      dispatch: => MaintenanceAction): MaintenanceAction =
+      dispatch: => MaintenanceAction): MaintenanceAction = {
+    def lockRefusal(e: IllegalStateException): Boolean =
+      Option(e.getMessage).exists(_.contains("_retrain_lock"))
+    def lockPresent(): Boolean =
+      hfs(spark, indexPath).exists(new org.apache.hadoop.fs.Path(
+        s"$indexPath/_retrain_lock"))
     try dispatch catch {
-      case e: IllegalStateException
-          if Option(e.getMessage).exists(_.contains("_retrain_lock")) &&
-            hfs(spark, indexPath).exists(new org.apache.hadoop.fs.Path(
-              s"$indexPath/_retrain_lock")) =>
+      case e: IllegalStateException if lockRefusal(e) && lockPresent() =>
         MaintenanceAction.Blocked
+      case e: IllegalStateException if lockRefusal(e) =>
+        // racer finished between refusal and re-check: retry once
+        try dispatch catch {
+          case e2: IllegalStateException if lockRefusal(e2) =>
+            MaintenanceAction.Blocked
+        }
     }
+  }
 
   /** The index MAINTENANCE verb — one policy tick over a streamed
     * index: read the [[IndexStatus]] snapshot and the drift signal,

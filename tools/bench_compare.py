@@ -103,7 +103,11 @@ def entry_of(phase_name, queries):
     return phase_name.rsplit(".", 1)[0]
 
 
-STALE_PHASE_SLACK = 1.5
+# r20: Bench now emits the WINNING pass's phases per entry, so a sum
+# above 110% of the entry can only mean staleness (phase accumulation
+# or a breakdown from a different run than the timing) — tightened
+# from the 1.5 that tolerated last-pass-wins attribution.
+STALE_PHASE_SLACK = 1.1
 
 
 def stale_phase_entries(bench, slack=STALE_PHASE_SLACK):
