@@ -104,6 +104,53 @@ private[graft] object EntriesAnn {
     },
     annMaxSimTopK.oracle)
 
+  /** Int8-compressed MaxSim recall gate ([[Ann.maxSimTopKInt8]] —
+    * ColBERTv2-style token-tier compression through the int8Quantize
+    * arithmetic): the SAME token fixture as `ann_maxsim_topk`, each
+    * token vector symmetric-int8 coded (scale = max|x|/127, round
+    * half-away — the proven `ann_int8_quantize` replay), the identical
+    * MaxSim fold run over the codes (per-token scales cancel out of
+    * cosine, so no dequantization anywhere), and the per-query
+    * recall@5 of the compressed ranking measured against the float
+    * ranking — the number that licenses storing the token tier at
+    * 4-8× less. The oracle replays BOTH chains: the float truth, the
+    * per-token quantization, the int8 pair cosines (zero-norm → 0),
+    * and the overlap fold.
+    */
+  val annMaxSimInt8 = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val toks = emb.groupBy(expr("vec_id DIV 4").as("doc_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          p => p.getField("embedding")).as("token_vecs"))
+        .localCheckpoint() // feeds four scans (both chains × both sides)
+      val approx = Ann.maxSimTopKInt8(toks, "doc_id", "token_vecs",
+          toks.where(col("doc_id") < 10), "doc_id", "token_vecs", k = 5)
+        .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val truth = Ann.maxSimTopK(toks, "doc_id", "token_vecs",
+          toks.where(col("doc_id") < 10), "doc_id", "token_vecs", k = 5)
+        .select(col("q_id"), col("neighbor_id"))
+      truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0L))) / lit(5.0), 4)
+          .as("recall_at_5"))
+    },
+    Some("WITH tok AS (SELECT vec_id // 4 AS doc_id, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "q AS (SELECT doc_id AS q_id, vec_id, e FROM tok WHERE doc_id < 10), " +
+      "m AS (SELECT q.q_id, q.vec_id AS q_tok, t.doc_id, max(round(list_cosine_similarity(q.e, t.e), 4)) AS mx FROM q, tok t WHERE t.doc_id <> q.q_id GROUP BY 1, 2, 3), " +
+      "sc AS (SELECT q_id, doc_id, round(sum(mx), 4) AS score FROM m GROUP BY 1, 2), " +
+      "tr AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc), " +
+      "cd AS (SELECT doc_id, vec_id, CASE WHEN s = 0 THEN list_transform(e, x -> 0.0) ELSE list_transform(e, x -> round(x / s, 0)) END AS c FROM (SELECT doc_id, vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS s FROM tok)), " +
+      "qc AS (SELECT doc_id AS q_id, vec_id, c FROM cd WHERE doc_id < 10), " +
+      "pi AS (SELECT q.q_id, q.vec_id AS q_tok, t.doc_id, max(CASE WHEN list_inner_product(q.c, q.c) * list_inner_product(t.c, t.c) = 0 THEN 0.0 ELSE round(list_cosine_similarity(q.c, t.c), 4) END) AS mx FROM qc q, cd t WHERE t.doc_id <> q.q_id GROUP BY 1, 2, 3), " +
+      "si AS (SELECT q_id, doc_id, round(sum(mx), 4) AS score FROM pi GROUP BY 1, 2), " +
+      "ri AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM si), " +
+      "ai AS (SELECT q_id, doc_id FROM ri WHERE rank <= 5) " +
+      "SELECT tr.q_id, round(count(ai.doc_id) / 5.0, 4) AS recall_at_5 " +
+      "FROM tr LEFT JOIN ai ON ai.q_id = tr.q_id AND ai.doc_id = tr.doc_id " +
+      "WHERE tr.rank <= 5 GROUP BY 1"))
+
   /** BM25 → MaxSim rerank composite: the standard two-tier retrieval
     * cascade — [[TextAnalysis.bm25TopK]] recalls 40 lexical candidates
     * (the proven `text_bm25` stage, same terms/arithmetic), each
@@ -1035,6 +1082,55 @@ private[graft] object EntriesAnn {
         src = "res") +
       IvfPqResidualPost + RecallTail))
 
+  /** IVFADC+R refinement on the recall ladder ([[Ann.ivfPqTopKRefined]],
+    * Jégou et al. 2011 §III-E): the SAME trained chain as
+    * `ann_recall_trained` (1-Lloyd 10-means coarse + m=8/ksub=16
+    * trained PQ, nprobe=3), but the ADC scan ranks to k′=32 candidates
+    * and exact cosine over the float vectors re-ranks to 5. The
+    * builder's ladder pins the residual recall gap as PQ bit
+    * resolution (trained 0.32 → residual 0.36 against a 0.90 probe
+    * ceiling); refinement recovers every true neighbor the probe
+    * reached that ADC buried below rank 5 but above rank 32, so the
+    * measured lift of THIS entry over `ann_recall_trained` IS the
+    * refinement payoff at a 32-candidate budget — the cheapest recall
+    * tier left (cost k′-bounded: a broadcast join-back of |Q|·32 ids,
+    * never a corpus re-scan). The oracle replays the full trained
+    * chain through ADC rank, then the refine stage — candidate slice,
+    * exact-cosine join-back, re-rank — in plain SQL before the shared
+    * recall tail.
+    */
+  val annRecallRefine = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (assign, model) = PhaseTimer.phase("train_coarse") {
+        Ann.kmeans(emb, "vec_id", "embedding",
+          k = 10, iters = 1, initHashOrdered = false)
+      }
+      val sess = s
+      import sess.implicits._
+      val centTable = model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "centroid")
+      val cb = PhaseTimer.phase("train_pq") {
+        Ann.pqTrainCodebook(emb, "vec_id", "embedding",
+          m = 8, ksub = 16, iters = 1)
+      }
+      val indexed = Ann.pqEncode(emb, "vec_id", "embedding", cb)
+        .join(assign.withColumnRenamed("id", "vec_id"), "vec_id")
+      PhaseTimer.phase("search_recall") {
+        recallOf(s, dir, Ann.ivfPqTopKRefined(indexed, "vec_id", "cluster",
+          centTable, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cb, k = 5, kPrime = 32, nprobe = 3,
+          exact = emb, exactVec = "embedding")).localCheckpoint()
+      }
+    },
+    annRecallTrained.oracle.map(o => replaceExactlyOnce(o,
+      RecallTail,
+      ", cand AS (SELECT q_id, nid FROM r WHERE rank <= 32), " +
+        "ref AS (SELECT c.q_id, c.nid, round(list_cosine_similarity(q.qe, v0.e), 4) AS sim FROM cand c JOIN q USING (q_id) JOIN v0 ON v0.vec_id = c.nid), " +
+        "rr AS (SELECT q_id, nid, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nid) AS rank FROM ref)" +
+        replaceExactlyOnce(RecallTail,
+          "FROM r WHERE rank <= 5", "FROM rr WHERE rank <= 5"))))
+
   /** The recall gate on CLUSTERED data — the counterpart that pins the
     * "i.i.d.-uniform unit vectors are PQ's information-theoretic worst
     * case" diagnosis from `ann_recall_trained` with a measured
@@ -1240,26 +1336,32 @@ private[graft] object EntriesAnn {
           .join(even.select(col("vec_id"), col("label")), "vec_id"),
           "label", cb, path)
       }
-      odd.repartition(4).write.parquet(s"$path/in")
+      PhaseTimer.phase("input_stage") {
+        odd.repartition(4).write.parquet(s"$path/in")
+      }
       val stream = s.readStream.schema(odd.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$path/in")
-      PhaseTimer.phase("stream_upsert") {
-        graft.streaming.StreamingIngest.annIndexUpsertDrain(
-            stream, path, s"$path/ckpt", "vec_id", "embedding",
-            cents, "label")
-          .awaitTermination()
-      }
+      // the drain is NOT wrapped in its own phase: its interior emits
+      // the drain_stage/drain_models/drain_commit splits, and an outer
+      // envelope would double-count them in the breakdown's sum (the
+      // r19 close's 353% reading once cross-pass staleness was fixed)
+      graft.streaming.StreamingIngest.annIndexUpsertDrain(
+          stream, path, s"$path/ckpt", "vec_id", "embedding",
+          cents, "label")
+        .awaitTermination()
       // serve through the ≤1-listing-warm handle — the repeated-serve
       // surface is oracle-carried on every read-path entry, not just
       // ann_index_delete
-      val h = graft.streaming.StreamingIngest.refreshServeHandle(s,
-        graft.streaming.StreamingIngest.openServeHandle(
-          s, path, "vec_id", "label"))
-      servedThenCleanup(
-        Ann.ivfPqTopK(h.codes, "vec_id", "label", cents,
-          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          h.codebook, k = 5, nprobe = 3),
-        scratch)
+      PhaseTimer.phase("serve") {
+        val h = graft.streaming.StreamingIngest.refreshServeHandle(s,
+          graft.streaming.StreamingIngest.openServeHandle(
+            s, path, "vec_id", "label"))
+        servedThenCleanup(
+          Ann.ivfPqTopK(h.codes, "vec_id", "label", cents,
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            h.codebook, k = 5, nprobe = 3),
+          scratch)
+      }
     },
     annIndexUpsert.oracle)
 

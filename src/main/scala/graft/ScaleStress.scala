@@ -452,6 +452,42 @@ object ScaleStress {
         Ann.maxSimTopK(toks, "doc_id", "token_vecs",
           toks.where(col("doc_id") < 1), "doc_id", "token_vecs", k = 10)
       }),
+      "ann_maxsim_agg_corpus" -> (f => {
+        // the WHOLESALE late-interaction axis (the twin of
+        // ann_maxsim_candidates' fixed-candidate rerank rung): a fixed
+        // 10-doc query batch (replica-0 ids) MaxSim-scores token
+        // matrices built from the WHOLE f× corpus — one linear scan
+        // under nested codegen folds, ranked by the bounded-buffer
+        // aggregate (maxSimTopKAgg), so the exponent must stay ≤ ~1:
+        // no corpus sort, no token-level row explosion, shuffle
+        // carries ≤k tuples per (query × map partition)
+        val e = emb(f)
+        val toks = e.groupBy(expr("vec_id DIV 4").as("doc_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+            p => p.getField("embedding")).as("token_vecs"))
+        Ann.maxSimTopKAgg(toks, "doc_id", "token_vecs",
+          toks.where(col("doc_id") < 10), "doc_id", "token_vecs", k = 10)
+      }),
+      "ann_refine_rerank" -> (f => {
+        // IVFADC+R (ivfPqTopKRefined): the SAME fixed model/query axis
+        // as ann_ivfpq_topk (stage 1, the probed ADC scan over the f×
+        // index), plus the exact re-rank of k'=32 candidates per query
+        // joined back against the f× exact table. The refine stage is
+        // a |Q|·k' broadcast join onto a column-pruned scan, so this
+        // rung's exponent must TRACK ann_ivfpq_topk's scan exponent —
+        // a refine that re-scanned or re-sorted the corpus would bend
+        // it toward a higher power
+        val e = emb(f)
+        val cb = Ann.pqSeedCodebook(e, "vec_id", "embedding", m = 8, ksub = 16)
+        val indexed = Ann.pqEncode(e, "vec_id", "embedding", cb)
+          .join(e.select(col("vec_id"), col("label")), "vec_id")
+        Ann.ivfPqTopKRefined(indexed, "vec_id", "label",
+          Ann.pivotCentroids(e, "label", "vec_id", "embedding"),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          cb, k = 5, kPrime = 32, nprobe = 3,
+          exact = e, exactVec = "embedding")
+      }),
       "ann_filtered_escalate" -> (f => {
         // the recall guard at HIGH selectivity (allowed ≈ 4% by
         // id-mod) over the f× index: most queries' probed clusters
@@ -958,6 +994,46 @@ object ScaleStress {
               s"serve not invariant under grown fold: $pre -> $post")
             post
           })
+      }),
+      "ann_fleet_sweep_tick" -> (f => {
+        // FLEET observation cost axis: the member COUNT is the scaling
+        // variable (f members — 25 at the top rung), each a small
+        // fixed index over the replica-0 corpus, and one maintenance
+        // tick runs with drift probes ON but thresholds set so nothing
+        // dispatches — the tick is pure observation: per-member
+        // metadata listings plus ONE batched drift job (every member's
+        // probe frame unions into a single collect —
+        // maintainIndexes's r20 shape; the serial form paid one Spark
+        // job round-trip per member, so its tick latency was member ×
+        // job-overhead before any dispatch). Sub-linear latency in
+        // member count is the batching's measured claim.
+        import graft.streaming.StreamingIngest.{IndexFleetMember,
+          MaintenancePolicy}
+        val e0 = emb(factors.head)
+        val cents = graft.ann.Ann.pivotCentroids(
+          e0, "label", "vec_id", "embedding")
+        val members = (0 until f).map { j =>
+          val dir = s"$workDir/fleet/m$j"
+          if (!Files.exists(Paths.get(s"$dir/_built_member"))) {
+            val cb = graft.ann.Ann.pqSeedCodebook(
+              e0, "vec_id", "embedding", m = 4, ksub = 16)
+            graft.ann.Ann.saveIndex(
+              graft.ann.Ann.pqEncode(e0, "vec_id", "embedding", cb)
+                .join(e0.select(col("vec_id"), col("label")), "vec_id"),
+              "label", cb, dir)
+            Files.createFile(Paths.get(s"$dir/_built_member"))
+          }
+          IndexFleetMember(dir, e0, "vec_id", "embedding",
+            cents, cents, "label", m = 4, ksub = 16)
+        }
+        // probes enabled (cos = 1 on the unchanged corpus — no fire),
+        // fold thresholds unreachable: every member observes, none acts
+        val policy = MaintenancePolicy(
+          foldMinStaged = 1000, foldMinTombstones = 1000,
+          driftMinCosine = 0.5)
+        (() => { StreamingIngest.maintainIndexes(
+            spark, members, policy); () },
+          () => members.size.toLong)
       }),
       "ann_index_compact_fixed_staging" -> (f => {
         // FIXED staging (4 batches × 50 rows) over the f× index: the

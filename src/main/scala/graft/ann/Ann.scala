@@ -163,14 +163,14 @@ object Ann {
     * pick query ids outside the corpus domain (negative ids) so no
     * candidate is silently dropped by the collision.
     */
-  /** The MaxSim scoring pass shared by both ranking forms: one
-    * (q_id, doc, score) row per (broadcast query × corpus row) pair.
+  /** The MaxSim scoring fold over two PREPARED token frames (corpus
+    * `__dt`, broadcast queries `__qt`, each token a (t, n) struct):
+    * one (q_id, doc, score) row per pair. Shared by the float tier and
+    * the int8 tier — the fold is representation-blind once tokens
+    * carry their norms.
     */
-  private def maxSimScored(
-      corpus: DataFrame, id: String, tokenVecs: String,
-      queries: DataFrame, qId: String, qTokenVecs: String): DataFrame = {
-    val corp = widen(preparedTokens(corpus, id, tokenVecs, id, "__dt"))
-    val qs = preparedTokens(queries, qId, qTokenVecs, "q_id", "__qt")
+  private def maxSimScoreFrames(
+      corp: DataFrame, qs: DataFrame, id: String): DataFrame = {
     val pairCos = (qt: Column, dt: Column) =>
       when(qt.getField("n") * dt.getField("n") > 0,
         round(dotD(qt.getField("t"), dt.getField("t")) /
@@ -184,19 +184,82 @@ object Ann {
             (m, dt) => greatest(m, pairCos(qt, dt)))), 4))
   }
 
-  def maxSimTopK(
+  /** The MaxSim scoring pass shared by both ranking forms: one
+    * (q_id, doc, score) row per (broadcast query × corpus row) pair.
+    */
+  private def maxSimScored(
       corpus: DataFrame, id: String, tokenVecs: String,
-      queries: DataFrame, qId: String, qTokenVecs: String,
-      k: Int): DataFrame = {
-    require(k > 0, "k must be positive")
-    val scored = maxSimScored(corpus, id, tokenVecs,
-      queries, qId, qTokenVecs)
+      queries: DataFrame, qId: String, qTokenVecs: String): DataFrame =
+    maxSimScoreFrames(
+      widen(preparedTokens(corpus, id, tokenVecs, id, "__dt")),
+      preparedTokens(queries, qId, qTokenVecs, "q_id", "__qt"), id)
+
+  private def rankMaxSim(scored: DataFrame, id: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col(id).asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("int").as("rank"),
         col(id).as("neighbor_id"), col("score"))
+  }
+
+  def maxSimTopK(
+      corpus: DataFrame, id: String, tokenVecs: String,
+      queries: DataFrame, qId: String, qTokenVecs: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    rankMaxSim(maxSimScored(corpus, id, tokenVecs,
+      queries, qId, qTokenVecs), id, k)
+  }
+
+  /** Per-token-vector int8 preparation for the COMPRESSED MaxSim tier
+    * (ColBERTv2's storage insight applied through the
+    * [[graft.ann.Quantize.int8Quantize]] quantizer): each token vector
+    * gets symmetric per-token scaling (`scale = max|x|/127`,
+    * `code = round(x/scale)` — the exact int8Quantize arithmetic, so
+    * the oracle replay is shared), and because cosine is
+    * scale-invariant the per-token scales cancel out of every pair
+    * score — the scored fold needs NO dequantization, just the integer
+    * codes (held as exact small doubles so the native dot expression
+    * applies unchanged) and their integer norms. A zero token vector
+    * codes to all-zero with norm 0 and scores 0 against everything
+    * (the float tier's zero-norm convention).
+    */
+  private def preparedTokensInt8(
+      df: DataFrame, id: String, tokenVecs: String,
+      idAs: String, toksAs: String): DataFrame =
+    df.select(col(id).as(idAs),
+        col(tokenVecs).cast("array<array<double>>").as("__raw"))
+      .where(size(col("__raw")) > 0)
+      .select(col(idAs),
+        transform(col("__raw"), t => {
+          val sc = array_max(transform(t, x => abs(x))) / 127.0
+          val codes = when(sc === 0,
+            transform(t, _ => lit(0.0)))
+            .otherwise(transform(t, x => round(x / sc, 0)))
+          struct(codes.as("t"), sqrt(dotD(codes, codes)).as("n"))
+        }).as(toksAs))
+
+  /** [[maxSimTopK]] over int8-QUANTIZED token matrices — the storage
+    * tier that makes late interaction viable at 100 TB: the dense tier
+    * already ships int8/binary/PQ compression, and the token tier is
+    * tokens× the dense footprint, so storing raw float token matrices
+    * is exactly the cost ColBERTv2 residual-compresses away. Token
+    * codes are 4× (vs float32) / 8× (vs the engine's float64) smaller;
+    * scoring runs the IDENTICAL fold as the float form (scales cancel
+    * out of cosine — [[preparedTokensInt8]]), so the only delta is
+    * quantization error in the pair cosines. `ann_maxsim_int8` pins
+    * the measured recall against the float ranking as the oracle.
+    */
+  def maxSimTopKInt8(
+      corpus: DataFrame, id: String, tokenVecs: String,
+      queries: DataFrame, qId: String, qTokenVecs: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    rankMaxSim(maxSimScoreFrames(
+      widen(preparedTokensInt8(corpus, id, tokenVecs, id, "__dt")),
+      preparedTokensInt8(queries, qId, qTokenVecs, "q_id", "__qt"),
+      id), id, k)
   }
 
   /** [[maxSimTopK]] with the rank window replaced by the
@@ -1758,6 +1821,63 @@ object Ann {
         }
       }.toDF("q_id", "neighbor_id", "adc")
     rankAdc(scored, k)
+  }
+
+  /** IVFADC+R — exact-vector re-ranking refinement (Jégou et al. 2011
+    * §III-E, the production recall fix when PQ bit resolution caps the
+    * ladder): the probed ADC scan ([[ivfPqTopK]], unchanged) ranks to
+    * `kPrime ≥ k` candidates, the candidate ids join BACK to the exact
+    * float vectors, and exact cosine re-ranks to `k`. ADC mis-orders
+    * neighbors whose quantized distance collides inside the code
+    * budget; any true neighbor the probe reached but ADC buried below
+    * rank k is recovered as long as it sits inside the top-k′ — so
+    * recall climbs from the ADC reading toward the PROBE ceiling as
+    * k′ grows, at a re-rank cost that is k′-bounded, never
+    * corpus-bounded.
+    *
+    * Scale shape: stage 1 is the proven probed scan (codes only, no
+    * corpus shuffle); the refine stage broadcasts the |Q|·k′ candidate
+    * frame onto a column-pruned scan of the exact table (a broadcast
+    * hash join — the corpus never shuffles, and only candidate rows
+    * survive the probe), broadcasts the query batch onto the
+    * survivors, and ranks |Q|·k′ scored rows — a window over a
+    * candidate-bounded frame, not a corpus sort. Scoring contract
+    * matches [[topK]] exactly (cosine round-4, (sim desc, id) ties,
+    * self-excluded by stage 1), so k′ = |corpus| ∧ nprobe = all
+    * degenerates to brute-force top-k — the AnnSpec equivalence gate.
+    *
+    * `exact` is the float-vector table the candidates re-score
+    * against (usually the index's source corpus; kept explicit
+    * because a deployed index stores codes only — production keeps
+    * the exact vectors in a separate store exactly like this).
+    */
+  def ivfPqTopKRefined(
+      indexed: DataFrame, id: String, cluster: String,
+      centTable: DataFrame,
+      queries: DataFrame, qId: String, qVec: String,
+      cb: PqCodebook, k: Int, kPrime: Int, nprobe: Int,
+      exact: DataFrame, exactVec: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(kPrime >= k, s"kPrime ($kPrime) must be >= k ($k)")
+    val cand = ivfPqTopK(indexed, id, cluster, centTable,
+        queries, qId, qVec, cb, kPrime, nprobe)
+      .select(col("q_id"), col("neighbor_id"))
+    val corp = widen(prepared(exact, id, exactVec, id, "__v", "__n"))
+    val qs = prepared(queries, qId, qVec, "q_id", "q_vec", "__qn")
+    val rescored = corp
+      .join(broadcast(cand), col(id) === col("neighbor_id"))
+      .join(broadcast(qs), Seq("q_id"))
+      .withColumn("sim",
+        round(dotD(col("q_vec"), col("__v")) / (col("__qn") * col("__n")), 4))
+    // |Q|·k′ rows by construction: the rank window is candidate-
+    // bounded, so the corpus-scale sort concern behind rankAdc's
+    // bounded-buffer ranking does not arise here
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("sim"))
   }
 
   /** Exact pairwise similarity ≥ threshold (verification baseline —

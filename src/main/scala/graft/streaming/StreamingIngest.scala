@@ -2426,6 +2426,24 @@ object StreamingIngest {
       minCosine: Double, probeFraction: Double): Boolean = {
     require(minCosine >= -1.0 && minCosine <= 1.0,
       s"minCosine must be in [-1, 1], got $minCosine")
+    val sig = driftSignal(spark, indexPath, corpus, id, vec,
+      baseCents, cluster, probeFraction).collect()(0)
+    driftDecision(sig, minCosine)
+  }
+
+  /** The drift probe as an UNCOLLECTED one-row frame
+    * (`__path`, `worst`, `present`) — the per-index signal
+    * [[driftFired]] collects directly and [[maintainIndexes]] UNIONS
+    * across its fleet so a whole sweep's observation is ONE Spark job
+    * (N members as N union branches) instead of N sequential
+    * job-latency round-trips — at fleet scale the serial form's tick
+    * latency is N job overheads before any dispatch.
+    */
+  private def driftSignal(
+      spark: SparkSession, indexPath: String,
+      corpus: DataFrame, id: String, vec: String,
+      baseCents: DataFrame, cluster: String,
+      probeFraction: Double): DataFrame = {
     require(probeFraction > 0.0 && probeFraction <= 1.0,
       s"probeFraction must be in (0, 1], got $probeFraction")
     val serving = versionedModels(spark, indexPath)._2.getOrElse(baseCents)
@@ -2437,15 +2455,22 @@ object StreamingIngest {
       probe, id, vec, serving, cluster, "__dv")
     val ref = serving
       .select(col(cluster), col("centroid").cast("array<double>").as("__dv"))
-    val sig = ref.select(col(cluster))
+    ref.select(col(cluster))
       .join(graft.ann.Ann.centroidDrift(ref, cur, cluster, "__dv")
         .select(col(cluster), col("cos")), Seq(cluster), "left")
       .agg(min(coalesce(col("cos"), lit(-1.0))).as("worst"),
         count(col("cos")).as("present"))
-      .collect()(0)
-    !sig.isNullAt(0) && sig.getLong(1) > 0 &&
-      sig.getDouble(0) < minCosine
+      .select(lit(indexPath).as("__path"), col("worst"), col("present"))
   }
+
+  /** The fire decision over one [[driftSignal]] row — shared by the
+    * single-index and batched-fleet observation paths so they can
+    * never diverge.
+    */
+  private def driftDecision(
+      sig: org.apache.spark.sql.Row, minCosine: Double): Boolean =
+    !sig.isNullAt(1) && sig.getLong(2) > 0 &&
+      sig.getDouble(1) < minCosine
 
   /** The maintenance decision table's knobs, one value object — what
     * a fleet scheduler configures once per index class instead of
@@ -2831,6 +2856,22 @@ object StreamingIngest {
       policy: MaintenancePolicy = MaintenancePolicy(),
       tickBudget: Int = Int.MaxValue,
       manifestBudget: Int = DefaultManifestBudget)
+      : Seq[(String, MaintenanceAction)] =
+    maintainIndexesHooked(spark, members, policy, tickBudget,
+      manifestBudget, afterObserve = () => ())
+
+  /** [[maintainIndexes]] with the race-injection seam: `afterObserve`
+    * runs between the observation phase (statuses + drift probes) and
+    * any dispatch — exactly the window where a concurrent scheduler's
+    * `_retrain_lock` can appear. The spec injects the lock there; the
+    * public verb passes a no-op.
+    */
+  private[graft] def maintainIndexesHooked(
+      spark: SparkSession, members: Seq[IndexFleetMember],
+      policy: MaintenancePolicy,
+      tickBudget: Int,
+      manifestBudget: Int,
+      afterObserve: () => Unit)
       : Seq[(String, MaintenanceAction)] = {
     require(tickBudget >= 1, s"tickBudget must be >= 1, got $tickBudget")
     val dup = members.groupBy(_.indexPath).collect {
@@ -2839,16 +2880,28 @@ object StreamingIngest {
     require(dup.isEmpty,
       s"duplicate fleet members: ${dup.mkString(", ")} — one scheduler " +
         "tick must not dispatch an index twice")
-    // phase 1: observe — statuses, then drift probes for the ranking
-    val observed = members.map { mb =>
-      val status = indexStatus(spark, mb.indexPath)
-      val fired = !status.retrainInProgress &&
-        policy.driftMinCosine > -1.0 &&
-        driftFired(spark, mb.indexPath, mb.corpus, mb.id, mb.vec,
-          mb.baseCents, mb.cluster, policy.driftMinCosine,
-          policy.driftProbeFraction)
-      (mb, status, fired)
+    // phase 1: observe — statuses (per-member metadata listings), then
+    // ONE batched drift job: every probeable member's signal frame
+    // unions into a single collect, so fleet-scale observation pays
+    // one Spark job latency, not |members| of them (the per-member
+    // probe work itself is unchanged and still dialed by
+    // driftProbeFraction)
+    val statuses = members.map(mb => (mb, indexStatus(spark, mb.indexPath)))
+    val probeable = statuses.filter { case (_, status) =>
+      !status.retrainInProgress && policy.driftMinCosine > -1.0
     }
+    val firedByPath: Map[String, Boolean] =
+      if (probeable.isEmpty) Map.empty
+      else probeable.map { case (mb, _) =>
+        driftSignal(spark, mb.indexPath, mb.corpus, mb.id, mb.vec,
+          mb.baseCents, mb.cluster, policy.driftProbeFraction)
+      }.reduce(_ unionByName _).collect()
+        .map(r => r.getString(0) ->
+          driftDecision(r, policy.driftMinCosine)).toMap
+    val observed = statuses.map { case (mb, status) =>
+      (mb, status, firedByPath.getOrElse(mb.indexPath, false))
+    }
+    afterObserve()
     // phase 2: rank actionable members — class 0 retrain-needed,
     // 1 tombstone-pressure, 2 staged-pressure; pressure desc within
     val ranked = observed.flatMap { case (mb, status, fired) =>
@@ -2870,14 +2923,24 @@ object StreamingIngest {
     // phase 3: dispatch under the budget IN URGENCY ORDER — the most
     // urgent action must run first, so a scheduler killed mid-tick has
     // paid down the worst decay (a drifted index answering WRONG)
-    // before any fold; results then assemble in input order
+    // before any fold; results then assemble in input order. A
+    // dispatch that comes back Blocked (a lock RACED in after the
+    // observation phase) performed no action, so it consumes NO
+    // budget slot: the slot promotes to the next ranked actionable
+    // member — otherwise a raced member would starve a Deferred
+    // member that was ready to act.
     val dispatched = scala.collection.mutable.LinkedHashMap
       .empty[String, (MaintenanceAction, String)]
-    ranked.take(tickBudget).foreach { case (mb, status, fired, _, _) =>
-      dispatched(mb.indexPath) = maintainTick(spark, mb.indexPath,
+    var budgetUsed = 0
+    val rankedIt = ranked.iterator
+    while (budgetUsed < tickBudget && rankedIt.hasNext) {
+      val (mb, status, fired, _, _) = rankedIt.next()
+      val res = maintainTick(spark, mb.indexPath,
         mb.corpus, mb.id, mb.vec, mb.baseCents, mb.newCents, mb.cluster,
         mb.m, mb.ksub, mb.iters, policy, mb.router, mb.autoRoute,
         manifestBudget, status, firedPre = Some(fired))
+      dispatched(mb.indexPath) = res
+      if (res._1 != MaintenanceAction.Blocked) budgetUsed += 1
     }
     val actionable = ranked.map(_._1.indexPath).toSet
     val results = observed.map { case (mb, status, fired) =>

@@ -78,6 +78,35 @@ class AnnSpec extends SparkSpec {
         q, "doc_id", "token_vecs", k = 3)))
   }
 
+  test("maxSimTopKInt8: exact parity with the float form on losslessly " +
+      "quantizable tokens; zero-norm tokens still score 0") {
+    // axis/diagonal tokens quantize to int8 with NO information loss
+    // (codes are ±127 on the occupied positions), and cosine is
+    // scale-invariant — so the int8 ranking must equal the float one
+    // bit-for-bit, zero-norm row included
+    def half(i: Int, j: Int): Seq[Float] =
+      Seq.tabulate(dim)(d => if (d == i || d == j) 0.5f else 0.0f)
+    val docs = Seq(
+      (0L, Seq(unit(0), unit(2))),
+      (1L, Seq(unit(0), half(0, 1))),
+      (2L, Seq(unit(2), unit(3))),
+      (3L, Seq(half(0, 2), unit(2))),
+      (4L, Seq(Seq.fill(dim)(0.0f))))
+      .toDF("doc_id", "token_vecs")
+    val q = docs.where($"doc_id" === 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rank", "neighbor_id", "score")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    val int8 = rows(Ann.maxSimTopKInt8(docs, "doc_id", "token_vecs",
+      q, "doc_id", "token_vecs", k = 4))
+    val float = rows(Ann.maxSimTopK(docs, "doc_id", "token_vecs",
+      q, "doc_id", "token_vecs", k = 4))
+    assert(int8 == float && int8.size == 4)
+    // determinism under re-run (quantization is stateless arithmetic)
+    assert(int8 == rows(Ann.maxSimTopKInt8(docs, "doc_id", "token_vecs",
+      q, "doc_id", "token_vecs", k = 4)))
+  }
+
   test("maxSimTopK drops token-less rows instead of scoring them") {
     val docs = Seq(
       (0L, Seq(unit(0))),
@@ -296,6 +325,47 @@ class AnnSpec extends SparkSpec {
     val perQuery = one.groupBy("q_id")
       .agg(countDistinct($"label").as("n")).select("n").as[Long].collect()
     assert(perQuery.nonEmpty && perQuery.forall(_ == 1L))
+  }
+
+  test("ivfPqTopKRefined: k'=corpus + nprobe=all equals brute-force topK; " +
+      "a narrow k' stays inside the ADC candidate head") {
+    val rnd = new scala.util.Random(53)
+    val df = (0L until 40L)
+      .map(i => (i, Seq.fill(16)(rnd.nextDouble().toFloat), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(df, "vec_id", "embedding", m = 4, ksub = 8)
+    val indexed = Ann.pqEncode(df, "vec_id", "embedding", cb)
+      .join(df.select($"vec_id", $"label"), "vec_id")
+    val cents = Ann.pivotCentroids(df, "label", "vec_id", "embedding")
+    val q = df.where($"vec_id" < 3L)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("q_id", "rank", "neighbor_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // the degenerate refinement: every corpus row is a candidate and
+    // every cluster is probed, so the exact re-rank IS brute force
+    val refined = rows(Ann.ivfPqTopKRefined(indexed, "vec_id", "label",
+      cents, q, "vec_id", "embedding", cb, k = 4, kPrime = 40, nprobe = 3,
+      exact = df, exactVec = "embedding"))
+    val brute = rows(Ann.topK(df, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 4))
+    assert(refined == brute && refined.nonEmpty)
+    // a narrow candidate budget re-ranks WITHIN the ADC head: every
+    // refined neighbor must appear in stage 1's top-k' for its query
+    val cand = Ann.ivfPqTopK(indexed, "vec_id", "label", cents,
+        q, "vec_id", "embedding", cb, k = 8, nprobe = 3)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val narrow = Ann.ivfPqTopKRefined(indexed, "vec_id", "label", cents,
+        q, "vec_id", "embedding", cb, k = 4, kPrime = 8, nprobe = 3,
+        exact = df, exactVec = "embedding")
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(narrow.nonEmpty && narrow.forall(cand.contains))
+    // guardrail: a refinement budget below k is a construction error
+    val err = intercept[IllegalArgumentException] {
+      Ann.ivfPqTopKRefined(indexed, "vec_id", "label", cents,
+        q, "vec_id", "embedding", cb, k = 5, kPrime = 4, nprobe = 3,
+        exact = df, exactVec = "embedding")
+    }
+    assert(err.getMessage.contains("kPrime"))
   }
 
   test("residual IVF-PQ: zero-centroid parity with the plain scan, and " +

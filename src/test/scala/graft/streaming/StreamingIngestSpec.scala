@@ -2823,6 +2823,64 @@ class StreamingIngestSpec extends SparkSpec {
     }
   }
 
+  test("maintainIndexes: a lock racing in AFTER the observation phase " +
+      "maps the raced member to Blocked WITHOUT spending its budget " +
+      "slot — the slot promotes to the next ranked member") {
+    import graft.ann.Ann
+    import StreamingIngest.{IndexFleetMember, MaintenanceAction => MA,
+      MaintenancePolicy}
+    val dim = 8
+    def unit(hot: Int) =
+      (0 until dim).map(d => if (d == hot) 1.0f else 0.0f)
+    val base = Seq(
+      (0L, unit(0), 0), (2L, unit(0), 0), (4L, unit(2), 1),
+      (6L, unit(2), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Ann.pqSeedCodebook(base, "vec_id", "embedding", m = 4, ksub = 4)
+    val cents = Ann.pivotCentroids(base, "label", "vec_id", "embedding")
+    val root = graft.EntryKit.scratchTracked("graft_fleetrace").toString
+    def build(path: String): Unit =
+      Ann.saveIndex(Ann.pqEncode(base, "vec_id", "embedding", cb)
+        .join(base.select($"vec_id", $"label"), "vec_id"), "label", cb, path)
+    def stage(path: String, rows: Seq[(Long, Seq[Float], Int)]): Unit =
+      Ann.encodeAssign(rows.toDF("vec_id", "embedding", "label"),
+          "vec_id", "embedding", cb, cents, "label")
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$path/stream/batch=0")
+    // two staged members; A outranks B only by path tiebreak (equal
+    // pressure), so with budget 1 the serial contract would dispatch
+    // A alone — the race makes A Blocked, and the fix must hand the
+    // slot to B
+    val (pa, pb) = (s"$root/a", s"$root/b")
+    Seq(pa, pb).foreach(build)
+    stage(pa, Seq((1L, unit(0), 0)))
+    stage(pb, Seq((3L, unit(0), 0)))
+    def member(path: String) =
+      IndexFleetMember(path, base, "vec_id", "embedding",
+        cents, cents, "label", m = 4, ksub = 4)
+    val policy = MaintenancePolicy(foldMinStaged = 1, driftMinCosine = -1.0)
+    val lock = java.nio.file.Paths.get(s"$pa/_retrain_lock")
+    val r = StreamingIngest.maintainIndexesHooked(spark,
+      Seq(member(pa), member(pb)), policy, tickBudget = 1,
+      manifestBudget = StreamingIngest.DefaultManifestBudget,
+      // the race: another scheduler's lock lands between observation
+      // (which saw A unlocked and actionable) and A's dispatch
+      afterObserve = () => { java.nio.file.Files.createFile(lock); () })
+      .toMap
+    assert(r(pa) == MA.Blocked, s"A: ${r(pa)}")
+    assert(r(pb).isInstanceOf[MA.Folded],
+      s"B must take the raced slot, got ${r(pb)}")
+    java.nio.file.Files.delete(lock)
+    // the audit trail records the race verbatim: A blocked, B folded
+    val logA = StreamingIngest.maintenanceLog(spark, pa)
+      .select($"decision").as[String].collect().toSeq
+    assert(logA == Seq("blocked"), s"A log: $logA")
+    val logB = StreamingIngest.maintenanceLog(spark, pb)
+      .select($"decision").as[String].collect().toSeq
+    assert(logB.size == 1 && logB.head.startsWith("folded_"),
+      s"B log: $logB")
+  }
+
   test("refreshServeHandle refuses object-store paths (the mtime " +
       "fingerprint can never move there — silent never-refresh); the " +
       "TTL variant is the documented route") {
