@@ -1604,7 +1604,9 @@ private[graft] object EntriesAnn {
       Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
         .join(even.select(col("vec_id"), col("label")), "vec_id"),
         "label", cb, src)
-      Ann.encodeAssign(odd, "vec_id", "embedding", cb, cents, "label")
+      Ann.sizedByCluster(
+          Ann.encodeAssign(odd, "vec_id", "embedding", cb, cents, "label"),
+          "label")
         .write.mode("overwrite").partitionBy("label")
         .parquet(s"$src/stream/batch=0")
       graft.streaming.StreamingIngest.deleteStreamed(s, src,
@@ -1648,7 +1650,9 @@ private[graft] object EntriesAnn {
           "label", cb, path)
       }
       PhaseTimer.phase("upsert") {
-        Ann.encodeAssign(odd, "vec_id", "embedding", cb, cents, "label")
+        Ann.sizedByCluster(
+            Ann.encodeAssign(odd, "vec_id", "embedding", cb, cents, "label"),
+            "label")
           .write.mode("overwrite").partitionBy("label")
           .parquet(s"$path/stream/batch=0")
       }
@@ -1953,7 +1957,9 @@ private[graft] object EntriesAnn {
         Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb0)
           .join(even.select(col("vec_id"), col("label")), "vec_id"),
           "label", cb0, path)
-        Ann.encodeAssign(odd, "vec_id", "embedding", cb0, cents0, "label")
+        Ann.sizedByCluster(
+            Ann.encodeAssign(odd, "vec_id", "embedding", cb0, cents0,
+              "label"), "label")
           .write.mode("overwrite").partitionBy("label")
           .parquet(s"$path/stream/batch=0")
       }
@@ -2037,9 +2043,9 @@ private[graft] object EntriesAnn {
           .join(even.select(col("vec_id"), col("label")), "vec_id"),
           "label", cb0, pb)
         // A's fold pressure: one staged batch
-        Ann.encodeAssign(
-          emb.where(col("vec_id") >= 10 && col("vec_id") < 20),
-          "vec_id", "embedding", cbP, centsP, "label")
+        Ann.sizedByCluster(Ann.encodeAssign(
+            emb.where(col("vec_id") >= 10 && col("vec_id") < 20),
+            "vec_id", "embedding", cbP, centsP, "label"), "label")
           .write.mode("overwrite").partitionBy("label")
           .parquet(s"$pa/stream/batch=0")
       }
@@ -2096,7 +2102,9 @@ private[graft] object EntriesAnn {
         Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb0)
           .join(even.select(col("vec_id"), col("label")), "vec_id"),
           "label", cb0, path)
-        Ann.encodeAssign(odd, "vec_id", "embedding", cb0, cents0, "label")
+        Ann.sizedByCluster(
+            Ann.encodeAssign(odd, "vec_id", "embedding", cb0, cents0,
+              "label"), "label")
           .write.mode("overwrite").partitionBy("label")
           .parquet(s"$path/stream/batch=0")
       }

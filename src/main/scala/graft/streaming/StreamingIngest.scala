@@ -782,8 +782,9 @@ object StreamingIngest {
         // that check either has its tmp visible when the retrain scans
         // (retrain fails fast) or re-checks the lock here and aborts
         graft.PhaseTimer.phase("drain_stage") {
-          graft.ann.Ann.encodeAssign(batch.toDF(), id, vec, cb,
-              cents, cluster)
+          graft.ann.Ann.sizedByCluster(
+              graft.ann.Ann.encodeAssign(batch.toDF(), id, vec, cb,
+                cents, cluster), cluster)
             .write.mode("overwrite").partitionBy(cluster)
             .parquet(s"$indexPath/stream/.batch_tmp_$batchId")
         }
@@ -1596,8 +1597,9 @@ object StreamingIngest {
     val tombHw = (pendingTombs :+ appliedPrior).max
     val n = completeOrPartialVersionMax(spark, indexPath) + 1
     val next = s"$indexPath/codes_v$n"
-    loadStreamedCodes(spark, indexPath, id, cluster, maxBatch = hw,
-        manifestBudget = manifestBudget, maxTomb = tombHw)
+    graft.ann.Ann.sizedByCluster(
+        loadStreamedCodes(spark, indexPath, id, cluster, maxBatch = hw,
+          manifestBudget = manifestBudget, maxTomb = tombHw), cluster)
       .write.mode("overwrite").partitionBy(cluster).parquet(next)
     // a fold whose every row the consumed tombstones killed would
     // publish a file-less generation no reader can infer a schema
@@ -1717,7 +1719,7 @@ object StreamingIngest {
         // publish a file-less generation
         return
       }
-    foldSrc
+    graft.ann.Ann.sizedByCluster(foldSrc, cluster)
       .write.mode("overwrite").partitionBy(cluster).parquet(s"$next/data")
     // manifest the touched clusters the fold actually WROTE: a cluster
     // whose every row a tombstone killed has no partition dir, and an
@@ -2248,8 +2250,9 @@ object StreamingIngest {
     val gen0 = resolveVersion(spark, srcPath).map(_._1)
     val epoch0 = modelEpochAt(spark, srcPath, gen0)
     val (cb, cents) = versionedModels(spark, srcPath)
-    loadStreamedCodes(spark, srcPath, id, cluster,
-        manifestBudget = manifestBudget)
+    graft.ann.Ann.sizedByCluster(
+        loadStreamedCodes(spark, srcPath, id, cluster,
+          manifestBudget = manifestBudget), cluster)
       .write.partitionBy(cluster).parquet(s"$dstPath/codes")
     // a fully-killed serving view writes a FILE-LESS codes dir no
     // reader can infer a schema from (the fold guards' empty-fold
@@ -3047,14 +3050,14 @@ object StreamingIngest {
     // re-running the quadratic flat stream by default; autoRoute =
     // false pins EXACT flat assignment at any model size (the
     // tri-state semanticDedup documents)
-    (router.orElse(
+    graft.ann.Ann.sizedByCluster(router.orElse(
       if (autoRoute) graft.ann.Ann.autoRouter(centLocal, cluster)
       else None) match {
       case Some((superCount, nprobe)) => graft.ann.Ann.encodeAssignRouted(
         corpusClean, id, vec, cb, centLocal, cluster, superCount, nprobe)
       case None => graft.ann.Ann.encodeAssign(
         corpusClean, id, vec, cb, centLocal, cluster)
-    }).write.mode("overwrite").partitionBy(cluster).parquet(next)
+    }, cluster).write.mode("overwrite").partitionBy(cluster).parquet(next)
     graft.ann.Ann.writeCodebook(spark, cb, s"$next/_codebook")
     centLocal.select(col(cluster), col("centroid"))
       .repartition(1).write.mode("overwrite").parquet(s"$next/_centroids")
