@@ -39,12 +39,24 @@ object Bench {
     * change).
     */
   private def hostControl(spark: SparkSession): Double = {
-    val t0 = System.nanoTime()
-    spark.range(0L, 100000000L, 1L, 32)
-      .select((col("id") % 1000000L).as("k"), xxhash64(col("id")).as("h"))
-      .groupBy("k").agg(bit_xor(col("h")).as("x"))
-      .agg(bit_xor(col("x"))).collect()
-    (System.nanoTime() - t0) / 1e9
+    // the probe's EXECUTION SHAPE is pinned to its round-13 calibration
+    // (parallelism-first AQE coalescing, the Spark default), independent
+    // of the session's own tuning: the control exists to compare HOSTS
+    // across rounds, so a session-level plan-shape change must never
+    // move it (r20 set parallelismFirst=false session-wide; unpinned,
+    // that halves the probe's reduce parallelism and breaks the 2.4 s
+    // reference anchor)
+    val key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try {
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L, 32)
+        .select((col("id") % 1000000L).as("k"), xxhash64(col("id")).as("h"))
+        .groupBy("k").agg(bit_xor(col("h")).as("x"))
+        .agg(bit_xor(col("x"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    } finally spark.conf.set(key, prev)
   }
 
   /** Round-13 idle-host calibration of [[hostControl]] (see its doc). */
@@ -57,10 +69,32 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Size post-shuffle partitions by BYTES (advisoryPartitionSizeInBytes),
+      // not by the parallelism floor: with the default parallelism-first
+      // coalescing every tiny reduce stage keeps `defaultParallelism`
+      // near-empty tasks, and a 300-entry suite pays task-dispatch and
+      // per-partition constants everywhere. Spark's own docs recommend
+      // false once AQE is trusted; at scale it is the guide's "fewer,
+      // larger reduce partitions" (§2.2) — partition count then tracks
+      // data volume through the advisory size (the scale knob), not a
+      // static session constant. Measured full-surface A/B at sf0.1:
+      // 392.2 s -> 353.8 s (median per-entry 0.93×) at a WORSE host
+      // control. The host-control probe pins the old shape (see
+      // hostControl) so cross-round host normalization is unaffected.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B hook for optimization experiments: extra runtime confs as
+    // "k=v;k=v". Absent (the driver's invocation) the session is
+    // exactly the contract above.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
 
     // optional args restrict the run (local iteration aid); an unknown
     // name is a typo, and a silently-empty run would read as "fast"

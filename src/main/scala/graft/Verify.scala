@@ -16,6 +16,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // byte-sized post-shuffle coalescing — same session posture as
+      // Bench (see the rationale there); results are partitioning-
+      // independent, so the correctness surface is unchanged
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -94,10 +94,22 @@ object FuzzyJoin {
         when(length(s) > 1, concat(ident, singles, doubles))
           .when(length(s) > 0, concat(ident, singles))
           .otherwise(ident)
+    // The candidate join's work is PAIRS per key bucket — quadratic in
+    // bucket width — so its cost per shuffled byte is far above what
+    // byte-sized AQE coalescing models: left to the advisory target, a
+    // few-MB variant table coalesces to one task that then enumerates
+    // every candidate pair serially. Pin the join's parallelism with an
+    // explicit partition count (AQE never coalesces a user-numbered
+    // repartition): `spark.sql.shuffle.partitions` is the operator's
+    // scale knob, and keying by the variant k means the join itself
+    // needs no further exchange.
+    val joinParts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val keyed = df.select(col(id).cast("long").as("id"), col(str).as("s"))
       .select(col("id"), explode(variants).as("v"))
       .select(col("id"), col("v.k").as("k"), col("v.n").as("n"),
         col("v.p1").as("p1"), col("v.p2").as("p2"))
+      .repartition(joinParts, col("k"))
     val (na, nb) = (col("a.n"), col("b.n"))
     def hits(double: String, p: Column): Column =
       col(s"$double.p1") === p || col(s"$double.p1") === p + 1 ||
