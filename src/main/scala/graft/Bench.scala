@@ -89,11 +89,15 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // A/B hook for optimization experiments: extra runtime confs as
     // "k=v;k=v". Absent (the driver's invocation) the session is
-    // exactly the contract above.
+    // exactly the contract above. Every applied conf is echoed so an
+    // A/B run is self-describing — a leaked env var can never alter
+    // results without a trace in the log.
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
       .filter(_.contains('=')).foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
         spark.conf.set(k.trim, v.trim)
+        System.err.println(s"[bench:conf] extra conf applied: " +
+          s"${k.trim}=${v.trim}")
       })
 
     // optional args restrict the run (local iteration aid); an unknown
@@ -224,6 +228,12 @@ object Bench {
     val hostFactor = math.min(ctlStart, ctlEnd) / HostRefSec
     val line =
       f"""{"queries":$qs,"query_controls":$qctl,"phases":$ph,"group_size":$GroupSize,"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","failed":$nFailed,"host_control_sec":${math.min(ctlStart, ctlEnd)}%.3f,"host_control_end_sec":$ctlEnd%.3f,"host_ref_sec":$HostRefSec%.2f,"host_factor":$hostFactor%.3f}"""
+    // self-check the one-line contract BEFORE emitting: a line that
+    // doesn't parse (e.g. a query name with a stray quote, or a future
+    // format edit) would silently blind the driver's per-query
+    // comparison for a whole round (r19's artifact did exactly that) —
+    // fail the run loudly instead
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
     println(line)
     Files.writeString(Paths.get("bench_result.json"), line)
     spark.stop()

@@ -1043,10 +1043,15 @@ private[graft] object EntriesAnn {
   val annRecallResidual = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val (assign, model) = PhaseTimer.phase("train_coarse") {
+      val (assign0, model) = PhaseTimer.phase("train_coarse") {
         Ann.kmeans(emb, "vec_id", "embedding",
           k = 10, iters = 1, initHashOrdered = false)
       }
+      // the membership frame kmeans returns is LAZY (its persisted
+      // training input is already unpersisted) and this entry consumes
+      // it twice — the residual derivation and the index join —
+      // checkpoint so the corpus assignment pass runs once (r21 §2.4)
+      val assign = assign0.localCheckpoint()
       val sess = s
       import sess.implicits._
       val centTable = model.centroids.zipWithIndex
@@ -1695,7 +1700,10 @@ private[graft] object EntriesAnn {
       val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
       val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
       val cb = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      // checkpointed once: both drains' model resolution and the serve
+      // probe re-collect this model (r21 §2.4 — see annIndexMaintain)
       val cents = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+        .localCheckpoint()
       val scratch = scratchPath("graft_ann_delf")
       val path = scratch.toString
       Ann.saveIndex(Ann.pqEncode(even, "vec_id", "embedding", cb)
@@ -1830,7 +1838,10 @@ private[graft] object EntriesAnn {
       val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
       val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
       val cb0 = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      // checkpointed once: the upsert and both drift probes each
+      // re-collect this model (r21 §2.4 — see annIndexMaintain)
       val cents0 = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+        .localCheckpoint()
       val scratch = scratchPath("graft_annrtd")
       val path = scratch.toString
       PhaseTimer.phase("build_save") {
@@ -1950,7 +1961,13 @@ private[graft] object EntriesAnn {
       val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
       val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
       val cb0 = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      // pivot tables are LAZY corpus aggregates and every lifecycle
+      // verb re-collects its centroid model — checkpoint the tiny
+      // (k-row) tables once per entry so three policy ticks don't pay
+      // three corpus aggregations each (r21 §2.4: remove repeated
+      // passes; VERDICT r20's "cache model loads once per entry")
       val cents0 = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+        .localCheckpoint()
       val scratch = scratchPath("graft_ann_maint")
       val path = scratch.toString
       PhaseTimer.phase("build_save") {
@@ -1964,6 +1981,7 @@ private[graft] object EntriesAnn {
           .parquet(s"$path/stream/batch=0")
       }
       val centsFull = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+        .localCheckpoint()
       val foldOnly = StreamingIngest.MaintenancePolicy(
         foldMinStaged = 1, driftMinCosine = -1.0)
       val m1 = PhaseTimer.phase("policy_fold") {
@@ -2025,15 +2043,23 @@ private[graft] object EntriesAnn {
       val scratch = scratchPath("graft_ann_sweep")
       val (pa, pb, pc) =
         (s"$scratch/a", s"$scratch/b", s"$scratch/c")
-      // pivot-row fixtures: one row per cluster, the pivot itself
+      // pivot-row fixtures: one row per cluster, the pivot itself.
+      // All of these tiny model tables are consumed several times
+      // across the sweep's observe/rank/dispatch/serve phases —
+      // checkpoint each ONCE so no tick re-runs a corpus aggregation
+      // (r21 §2.4; VERDICT r20's "cache model loads once per entry")
       val piv = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
         .select(col("label").cast("long").as("vec_id"),
           col("centroid").as("embedding"), col("label"))
+        .localCheckpoint()
       val cbP = Ann.pqSeedCodebook(piv, "vec_id", "embedding", m = 8, ksub = 4)
       val centsP = Ann.pivotCentroids(piv, "label", "vec_id", "embedding")
+        .localCheckpoint()
       val cb0 = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
       val cents0 = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+        .localCheckpoint()
       val centsFull = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+        .localCheckpoint()
       PhaseTimer.phase("build_fleet") {
         for (p <- Seq(pa, pc))
           Ann.saveIndex(Ann.pqEncode(piv, "vec_id", "embedding", cbP)
@@ -2095,7 +2121,10 @@ private[graft] object EntriesAnn {
       val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
       val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
       val cb0 = Ann.pqSeedCodebook(even, "vec_id", "embedding", m = 8, ksub = 16)
+      // checkpointed once: three ticks re-collect this model
+      // (r21 §2.4 — see annIndexMaintain)
       val cents0 = Ann.pivotCentroids(even, "label", "vec_id", "embedding")
+        .localCheckpoint()
       val scratch = scratchPath("graft_ann_mlog")
       val path = scratch.toString
       PhaseTimer.phase("build_save") {
@@ -2109,6 +2138,7 @@ private[graft] object EntriesAnn {
           .parquet(s"$path/stream/batch=0")
       }
       val centsFull = Ann.pivotCentroids(emb, "label", "vec_id", "embedding")
+        .localCheckpoint()
       val foldOnly = StreamingIngest.MaintenancePolicy(
         foldMinStaged = 1, driftMinCosine = -1.0)
       PhaseTimer.phase("ticks") {

@@ -597,7 +597,20 @@ private[graft] object EntriesRelational {
   val r1DeepRelationalize = Q(
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val inner = li.groupBy(col("l_orderkey"), col("l_returnflag"))
+      // Pin the aggregation width (the FuzzyJoin discipline, guide
+      // §2.5): collect_list cost is rows-serialized per task, which
+      // the byte-sized AQE coalescing can't see — under it both
+      // aggregations coalesced to ~1 reduce task (r20's worst honest
+      // regression). A user-NUMBERED keyed repartition is never
+      // AQE-coalesced, and hashpartitioning(l_orderkey) satisfies both
+      // groupBys AND the child-table re-derivations inside
+      // relationalize, so the plan drops from two exchanges per
+      // aggregate chain to this one (ReusedExchange everywhere else);
+      // shuffle.partitions stays the scale knob.
+      val width = s.conf.get("spark.sql.shuffle.partitions").toIntOption
+        .getOrElse(s.sparkContext.defaultParallelism)
+      val keyed = li.repartition(width, col("l_orderkey"))
+      val inner = keyed.groupBy(col("l_orderkey"), col("l_returnflag"))
         .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
       val nested = inner.groupBy(col("l_orderkey"))
         .agg(sort_array(collect_list(struct(

@@ -10,8 +10,8 @@ object Explain {
     // --exec: run the query to completion first, so the printed plan is
     // the AQE FINAL plan (isFinalPlan=true, AQEShuffleRead visible) —
     // the shape runtime coalescing claims must be audited against
-    val exec = args.headOption.contains("--exec")
-    val rest = if (exec) args.drop(1) else args
+    val exec = args.contains("--exec")
+    val rest = args.filterNot(_ == "--exec")
     val sfDir = rest(0)
     val names = rest.drop(1)
     val unknown = names.toSet.diff(SparkEntry.queries.keySet)

@@ -121,6 +121,14 @@ object ScaleStress {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // r21 re-baseline: the stress rungs run under the SHIPPING
+      // session posture (Bench/Verify set byte-sized post-shuffle
+      // coalescing in r20) — a ladder timed under the default posture
+      // no longer exercises the plan shapes the bench pays, so rung
+      // exponents from r19 and earlier are not directly comparable to
+      // r21+ (absolute times re-anchored this round)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -782,6 +790,44 @@ object ScaleStress {
       n0 until (n0 + n)
     }
     val effectOps: Seq[(String, Int => (() => Unit, () => Long))] = Seq(
+      "ann_write_hot_cluster" -> (f => {
+        // HOT-CLUSTER write-path rung (r21): half the corpus lands in
+        // ONE cluster, the rest spreads over 10·f replica-qualified
+        // clusters. Ann.sizedByCluster's REBALANCE(cluster) hint must
+        // skew-SPLIT the hot cluster across tasks (the reason it was
+        // chosen over repartition(cluster), which would serialize the
+        // hot cluster through one task and bend this rung
+        // superlinear). The fixture's bytes are far below the
+        // production advisory target, so the rung scales the advisory
+        // down (setup, untimed; restored after the census) to make
+        // the splitter exercise at fixture scale; the census prints
+        // the hot cluster's file count — >1 IS the skew-split proof.
+        val dir = s"$workDir/f$f/hotwrite"
+        val adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        val advPrev = spark.conf.get(adv)
+        val skewed = embP(f).select(col("vec_id"), col("embedding"),
+            when(pmod(col("vec_id"), lit(2)) === 0, lit(0L))
+              .otherwise((pmod(col("vec_id"), lit(10)) + lit(1) +
+                lit(10) * floor(col("vec_id") / Offset)).cast("long"))
+              .as("cl"))
+          .localCheckpoint()
+        spark.conf.set(adv, "262144") // 256 KB: hot cluster >> advisory
+        (() => graft.ann.Ann.sizedByCluster(skewed, "cl")
+            .write.mode("overwrite").partitionBy("cl").parquet(dir),
+          () => {
+            spark.conf.set(adv, advPrev)
+            val hotFiles = Option(new java.io.File(s"$dir/cl=0")
+              .listFiles((_, n) => n.endsWith(".parquet")))
+              .fold(0)(_.length)
+            System.err.println(
+              s"[stress] ann_write_hot_cluster f$f hot-cluster files: " +
+                s"$hotFiles (must be > 1 = REBALANCE skew-split engaged)")
+            require(hotFiles > 1,
+              s"hot cluster wrote $hotFiles file(s) — the REBALANCE " +
+                "write path did not skew-split the hot cluster")
+            spark.read.parquet(dir).count()
+          })
+      }),
       "ann_index_upsert_fixed_batch" -> (f => {
         // FIXED 200-row batch (replica-0 ids, shifted unique) against
         // the f× index: assignment is batch × (10·f) broadcast
@@ -1272,8 +1318,8 @@ object ScaleStress {
         s""""ops":{$opsJson},$guardJson}"""
     println(json)
     val outName =
-      if (factors == Seq(1, 3, 10)) "STRESS_r19.json"
-      else s"STRESS_r19_f${factors.last}.json"
+      if (factors == Seq(1, 3, 10)) "STRESS_r21.json"
+      else s"STRESS_r21_f${factors.last}.json"
     Files.write(Paths.get(outName),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -2313,6 +2313,41 @@ object Ann {
       cluster: String, threshold: Double, centTable: DataFrame)
       : (DataFrame, DataFrame) = {
     val (m, dt) = collectCosModel(centTable, cluster)
+    semanticDedupStep(batch, seen, id, vec, cluster, threshold, m, dt)
+  }
+
+  /** [[semanticDedupStep]] over a pre-collected coarse model — the form
+    * the drain uses so the model collect runs ONCE per drain, not once
+    * per micro-batch (the r21 job-census cut). Split from the combined
+    * frame [[semanticDedupJoint]] builds: verdicts are its
+    * (id, cluster, keep) projection, state its internal-named
+    * (__id, cl, __v, __n) projection — one computation, two views.
+    */
+  private[graft] def semanticDedupStep(
+      batch: DataFrame, seen: Option[DataFrame], id: String, vec: String,
+      cluster: String, threshold: Double, m: CosModel,
+      dt: org.apache.spark.sql.types.DataType): (DataFrame, DataFrame) = {
+    val joint =
+      semanticDedupJoint(batch, seen, id, vec, cluster, threshold, m, dt)
+    (joint.select(col(id), col("cluster"), col("keep")),
+      joint.select(col(id).as("__id"), col("cluster").as("cl"),
+        col("__v"), col("__n")))
+  }
+
+  /** The micro-batch step as ONE combined frame — (id, cluster, keep,
+    * __v, __n): the verdict columns plus the state payload, so the
+    * drain lands verdicts AND state in a single write instead of two
+    * write jobs that each rebuild their broadcasts. Eager like the
+    * step it replaces: the per-id flag table materializes here (one
+    * collect — it is the broadcast build the join needs anyway, pulled
+    * to the driver explicitly so the id-reuse guard rides the same
+    * job), so the id-reuse IllegalStateException still throws at call
+    * time.
+    */
+  private[graft] def semanticDedupJoint(
+      batch: DataFrame, seen: Option[DataFrame], id: String, vec: String,
+      cluster: String, threshold: Double, m: CosModel,
+      dt: org.apache.spark.sql.types.DataType): DataFrame = {
     // the drain assigns with the EXACT flat kernel; past the routed
     // dispatch budget the one-shot operator auto-routes (approximate
     // membership), so the streamed verdicts would silently diverge
@@ -2342,8 +2377,8 @@ object Ann {
     // redelivery pairs with its own first delivery: same payload ⇒
     // same deterministic cluster) surfaces in the same scan that finds
     // witnesses, and the per-id flags aggregate to a batch-sized table
-    // (checkpointed — its two consumers below must not re-run the
-    // state scan). An id REUSED with a DIFFERENT embedding is not
+    // (collected once below — the guard and the broadcast build share
+    // that single materialization of the state scan). An id REUSED with a DIFFERENT embedding is not
     // redelivery — it is an upstream identity bug, not an
     // at-least-once artifact: in a DIFFERENT cluster it never meets
     // its predecessor and lands as a second row (the documented
@@ -2377,30 +2412,37 @@ object Ann {
         // the exact silent swallow this check exists to refuse
         (col("id1") === col("id2") &&
           not(col("v1") <=> col("v2"))).as("bad")))
-    val flags = (Seq(withinFlags) ++ seenFlags).reduce(_ unionByName _)
+    val flagsPlan = (Seq(withinFlags) ++ seenFlags).reduce(_ unionByName _)
       .where(col("w") || col("r"))
       .groupBy(col("__id"))
       .agg(max(col("w")).as("w"), max(col("r")).as("r"),
         max(col("bad")).as("bad"))
-      .localCheckpoint()
-    val badIds = flags.where(col("bad")).select(col("__id"))
-      .limit(5).collect().map(_.get(0))
+    // ONE job materializes the flags AND the id-reuse guard: the flag
+    // table is per-flagged-id (≤ batch rows, three booleans each) and
+    // the join below broadcasts it anyway — a broadcast already pulls
+    // its build side through the driver, so collecting it here costs
+    // nothing the plan wasn't paying, and replaces the r20 shape's
+    // checkpoint job + guard-collect job. The collected rows become a
+    // LocalRelation whose broadcast build is driver-side (no job).
+    val flagRows = flagsPlan.collect()
+    val badIds = flagRows.filter(_.getBoolean(3)).take(5).map(_.get(0))
     if (badIds.nonEmpty) throw new IllegalStateException(
       s"id(s) ${badIds.mkString(", ")} arrived again with a DIFFERENT " +
         "embedding landing in the same cluster — not redelivery (the " +
         "verdict would silently swallow the new payload) but an " +
         "upstream identity bug; fix the id assignment upstream or " +
         "drain the re-keyed corpus to a fresh statePath")
-    val fresh = b.join(
-      broadcast(flags.where(col("r")).select(col("__id"))),
-      Seq("__id"), "left_anti")
-    val out = fresh.join(
-        broadcast(flags.where(col("w")).select(col("__id"),
-          lit(true).as("__drop"))),
+    val flags = batch.sparkSession.createDataFrame(
+      java.util.Arrays.asList(flagRows: _*), flagsPlan.schema)
+    // one broadcast left join replaces the r20 anti-join + drop-flag
+    // join pair (each write rebuilt both broadcasts): r-flagged rows
+    // (redelivery) drop out, w decides keep — identical verdicts
+    b.join(broadcast(flags.select(col("__id"), col("w"), col("r"))),
         Seq("__id"), "left")
+      .where(col("r").isNull || !col("r"))
       .select(col("__id").as(id), col("cl").as("cluster"),
-        col("__drop").isNull.as("keep"))
-    (out, fresh)
+        not(coalesce(col("w"), lit(false))).as("keep"),
+        col("__v"), col("__n"))
   }
 
   /** Deterministic Rademacher hyperplanes: component (j, d) is ±1 from a

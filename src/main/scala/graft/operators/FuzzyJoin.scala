@@ -103,8 +103,12 @@ object FuzzyJoin {
     // repartition): `spark.sql.shuffle.partitions` is the operator's
     // scale knob, and keying by the variant k means the join itself
     // needs no further exchange.
+    // public API: some runtimes set the conf to a non-numeric value
+    // (e.g. "auto"); fall back to defaultParallelism rather than
+    // throwing NumberFormatException out of a join operator
     val joinParts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
+      .get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     val keyed = df.select(col(id).cast("long").as("id"), col(str).as("s"))
       .select(col("id"), explode(variants).as("v"))
       .select(col("id"), col("v.k").as("k"), col("v.n").as("n"),

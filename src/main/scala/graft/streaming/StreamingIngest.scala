@@ -117,13 +117,32 @@ object StreamingIngest {
       bcHeld: Broadcast[Set[String]], n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val ts = split(lower(trim(col(text))), "\\s+")
-    val grams = when(size(ts) >= n,
-      array_distinct(transform(sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", slice(ts, i + lit(1), lit(n))))))
-      .otherwise(array().cast("array<string>"))
-    val anyHeld = udf((gs: Seq[String]) =>
-      gs != null && gs.exists(bcHeld.value.contains))
-    stream.filter(!anyHeld(grams))
+    // membership is EXISTENCE, so the UDF slides the gram window over
+    // the token array itself: the r20 shape materialized every gram
+    // via transform + array_distinct and shipped the gram array (each
+    // token copied n times) across the UDF boundary; building grams
+    // lazily inside the probe keeps the boundary payload at the token
+    // array, skips the distinct (existence needs none), and exits on
+    // the first held gram — same verdicts, ~n× fewer bytes per row
+    // through the boundary (guide §4's only-what-the-function-needs)
+    val anyHeld = udf((ws: Seq[String]) => {
+      if (ws == null || ws.length < n) false
+      else {
+        val held = bcHeld.value
+        var i = 0
+        var hit = false
+        val last = ws.length - n
+        while (i <= last && !hit) {
+          val sb = new java.lang.StringBuilder(ws(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+          hit = held.contains(sb.toString)
+          i += 1
+        }
+        hit
+      }
+    })
+    stream.filter(!anyHeld(ts))
   }
 
   /** At-least-once redelivery dedup — the ingest-side guard every
@@ -798,15 +817,16 @@ object StreamingIngest {
   /** STREAMING SemDeDup — continuous semantic near-dup pruning of an
     * ingest stream against everything drained before it
     * ([[graft.ann.Ann.semanticDedupStep]] per micro-batch): each batch
-    * is assigned with the FIXED coarse model (`centTable`,
-    * materialized once per drain), compared within itself and against
-    * the accumulated state, and its verdicts land at
-    * `statePath/out/batch=<id>` with its vectors appended to
-    * `statePath/seen/batch=<id>` — both written in overwrite mode to
-    * the batch-keyed dir, so an at-least-once replay lands
-    * byte-identically, and the state read EXCLUDES dirs at-or-above
-    * the current batch id (a replay must not compare a batch against
-    * its own previous attempt). ROW-level redelivery (the same id
+    * is assigned with the FIXED coarse model (`centTable`, collected
+    * once per drain), compared within itself and against the
+    * accumulated state, and its verdicts land — TOGETHER with its
+    * state vectors, one combined frame, one write job per batch (the
+    * r21 job-census cut; two batch-keyed writes each rebuilt their
+    * broadcasts) — at `statePath/seen/batch=<id>`, written in
+    * overwrite mode to the batch-keyed dir, so an at-least-once
+    * replay lands byte-identically, and the state read EXCLUDES dirs
+    * at-or-above the current batch id (a replay must not compare a
+    * batch against its own previous attempt). ROW-level redelivery (the same id
     * arriving again — within a batch or batches later) is dropped
     * before the step: the verdict stands at its first delivery, so a
     * 2×-delivered corpus drains to exactly the once-delivered
@@ -823,12 +843,14 @@ object StreamingIngest {
       stream: DataFrame, statePath: String, checkpoint: String,
       id: String, vec: String, cluster: String,
       threshold: Double, centTable: DataFrame): StreamingQuery = {
-    // the fixed coarse model materializes ONCE per drain — phased so
-    // a regression back to per-micro-batch re-materialization (the
+    // the fixed coarse model COLLECTS once per drain (one job — the
+    // r20 shape checkpointed it here but re-collected per batch) —
+    // phased so a regression back to per-micro-batch re-reads (the
     // r16 index-drain model-re-read class) surfaces as drain_models
-    // growth under the bench tripwire
-    lazy val centBase = graft.PhaseTimer.phase("drain_models") {
-      centTable.localCheckpoint()
+    // growth under the bench tripwire. The budget require lives in
+    // the step (semanticDedupJoint) and fires on the first batch.
+    lazy val model = graft.PhaseTimer.phase("drain_models") {
+      graft.ann.Ann.collectCosModel(centTable, cluster)
     }
     stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -870,10 +892,16 @@ object StreamingIngest {
               "point the drain at a fresh statePath")
         }
         val priorDirs = seenIds.filter(_ < batchId)
+        // the combined state rows carry the published names (id,
+        // cluster, keep) plus the prepared vector payload; the step
+        // consumes the internal-named projection (keep pruned at the
+        // parquet scan)
         val seen =
           if (priorDirs.isEmpty) None
           else Some(spark.read.parquet(
-            priorDirs.sorted.map(b => s"$statePath/seen/batch=$b"): _*))
+              priorDirs.sorted.map(b => s"$statePath/seen/batch=$b"): _*)
+            .select(col(id).as("__id"), col("cluster").as("cl"),
+              col("__v"), col("__n")))
         // REDELIVERY tolerance (at-least-once sources deliver a row
         // more than once, possibly batches apart — distinct from the
         // whole-batch crash-replay the batch-keyed overwrite already
@@ -889,23 +917,20 @@ object StreamingIngest {
         // tolerance costs no extra pass over the accumulated state.
         val batchOnce = batch.toDF().dropDuplicates(Seq(id))
         // per-stage phases (the index-drain split): step = the
-        // assign + one-pass state scan (its flags/batch checkpoints
-        // materialize inside), out/seen = the two batch-keyed writes.
-        // The lazy model resolves OUTSIDE the step phase — evaluating
-        // it inside would count the first batch's materialization in
-        // BOTH drain_models and drain_step, inflating phase sums past
-        // wall time (and into the stale-phase slack)
-        val cents = centBase
-        val (out, state) = graft.PhaseTimer.phase("drain_step") {
-          graft.ann.Ann.semanticDedupStep(
-            batchOnce, seen, id, vec, cluster, threshold, cents)
+        // assign checkpoint + the one-pass state scan whose flag
+        // collect doubles as the id-reuse guard, out = the ONE
+        // combined verdict+state write. The lazy model resolves
+        // OUTSIDE the step phase — evaluating it inside would count
+        // the first batch's collect in BOTH drain_models and
+        // drain_step, inflating phase sums past wall time (and into
+        // the stale-phase slack)
+        val (mm, mdt) = model
+        val joint = graft.PhaseTimer.phase("drain_step") {
+          graft.ann.Ann.semanticDedupJoint(
+            batchOnce, seen, id, vec, cluster, threshold, mm, mdt)
         }
         graft.PhaseTimer.phase("drain_out") {
-          out.write.mode("overwrite")
-            .parquet(s"$statePath/out/batch=$batchId")
-        }
-        graft.PhaseTimer.phase("drain_seen") {
-          state.write.mode("overwrite")
+          joint.write.mode("overwrite")
             .parquet(s"$statePath/seen/batch=$batchId")
         }
       }
@@ -913,11 +938,14 @@ object StreamingIngest {
   }
 
   /** The drained [[semanticDedupDrain]] verdicts: (id, cluster, keep),
-    * one row per drained input row, batch bookkeeping dropped.
+    * one row per drained input row — the combined state rows with the
+    * vector payload and batch bookkeeping projected away (column
+    * pruning keeps the vectors unread at the scan).
     */
   def loadSemanticDedup(
       spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(s"$statePath/out").drop("batch")
+    spark.read.parquet(s"$statePath/seen")
+      .drop("batch", "__v", "__n")
 
   /** Publish a staged micro-batch written at `stream/.batch_tmp_<id>`:
     * re-check the retrain lock AND the model epoch INSIDE the batch
@@ -1985,6 +2013,23 @@ object StreamingIngest {
     versionedModelsAt(spark, indexPath,
       resolveVersion(spark, indexPath).map(_._1))
 
+  /** [[versionedModels]]'s centroid half ALONE — the drift probe needs
+    * only the serving centroid table, and the full form's codebook
+    * read (a per-tick collect job) was a pure throwaway there. Same
+    * publication rule as [[versionedModelsAt]]: centroids count only
+    * when the generation carries its `_codebook` too (a `_centroids`
+    * without it is a mid-crash partial the full form also ignores).
+    */
+  private def versionedCents(
+      spark: SparkSession, indexPath: String): Option[DataFrame] = {
+    val fs = hfs(spark, indexPath)
+    resolveVersion(spark, indexPath).map(_._1)
+      .filter(p =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$p/_codebook")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$p/_centroids")))
+      .map(p => spark.read.parquet(s"$p/_centroids"))
+  }
+
   /** [[versionedModels]] with the version listing already paid:
     * `genPath` is the newest complete generation (None = base-only).
     */
@@ -2449,7 +2494,7 @@ object StreamingIngest {
       probeFraction: Double): DataFrame = {
     require(probeFraction > 0.0 && probeFraction <= 1.0,
       s"probeFraction must be in (0, 1], got $probeFraction")
-    val serving = versionedModels(spark, indexPath)._2.getOrElse(baseCents)
+    val serving = versionedCents(spark, indexPath).getOrElse(baseCents)
     val probe =
       if (probeFraction >= 1.0) corpus
       else corpus.where(pmod(xxhash64(col(id)), lit(10000L)) <

@@ -2328,9 +2328,11 @@ class StreamingIngestSpec extends SparkSpec {
     // the dropped witness 1 (its redelivery must not perturb that)
     assert(out.toMap == Map(0L -> true, 1L -> false, 2L -> false),
       s"redelivery perturbed verdicts: ${out.toSeq}")
-    // and the state holds each id once (no re-seen growth)
+    // and the state holds each id once (no re-seen growth) — the
+    // combined frame carries the published id name plus the vector
+    // payload the next batch's state scan consumes
     val seenIds = spark.read.parquet(s"$st/seen")
-      .select($"__id").as[Long].collect().sorted.toSeq
+      .select($"vec_id").as[Long].collect().sorted.toSeq
     assert(seenIds == Seq(0L, 1L, 2L), s"state re-saw ids: $seenIds")
   }
 
